@@ -1,0 +1,72 @@
+"""Catalog layer: sources + dataset resolution.
+
+Spark-first re-expression of the reference's namespace/source model
+(dremio-oss `services/namespace/src/main/proto/dataset.proto:43` DatasetConfig,
+`sabot/kernel/.../exec/store/StoragePlugin.java`): a *source* is a directory
+of data files; a *physical dataset* (PDS) is one file/dir registered as a
+temp view; a *virtual dataset* (VDS, `dataset.proto:60`) is a named SQL view.
+
+At scale the registration is metadata-only: `spark.read.parquet(path)` is
+lazy, so registering all tables of a 100 TB source costs a footer read per
+file at planning time, not a data scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# tables the driver materializes at /root/testdata/<sf>/<name>.parquet
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Source registry: maps named sources (directories) to datasets."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, str] = {}
+
+    def add_source(self, name: str, path: str, fmt: str = "parquet") -> None:
+        """Register a directory source; each <table>.<fmt> becomes a view."""
+        self._sources[name] = path
+        for fn in sorted(os.listdir(path)):
+            if fn.endswith("." + fmt):
+                table = fn[: -len(fmt) - 1]
+                self.read(os.path.join(path, fn), fmt).createOrReplaceTempView(table)
+
+    def read(self, path: str, fmt: str = "parquet") -> DataFrame:
+        return self.spark.read.format(fmt).load(path)
+
+    def create_view(self, name: str, sql: str) -> None:
+        """VDS equivalent: named SQL view (reference dataset.proto:60)."""
+        self.spark.sql(sql).createOrReplaceTempView(name)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the driver's testdata tables as temp views; return handles."""
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table without registering a view."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
