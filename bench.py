@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Times are wall-clock per query over a warm session (mirrors the reference's
+TestTpchDistributed 20 s/query envelope; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dremio_oss_spark.session import build_spark
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    # warm the JVM + file-listing caches with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        # count() forces full execution without driver-side materialization
+        # of the result set (collect would measure pickling, not the query)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
