@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dremio_oss_spark.queries import tpch
+from dremio_oss_spark.queries import operators, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,10 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.TPCH_QUERIES)
+    out.update(operators.OPERATOR_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.TPCH_ORACLE)
+    out.update(operators.OPERATOR_ORACLE)
     return out

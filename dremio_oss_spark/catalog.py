@@ -70,3 +70,20 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table without registering a view."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with `ts` as a proper timestamp.
+
+    The file stores TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    with spark.sql.legacy.parquet.nanosAsLong=true it arrives as long nanos.
+    Integer-divide to micros (ns epochs ~1.7e18 overflow double precision,
+    so never divide as float) — testdata nanos are exactly µs-aligned.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = load(spark, sf_dir, "events")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

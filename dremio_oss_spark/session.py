@@ -61,6 +61,9 @@ def build_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # parquet: keep NTZ inference stable, enable nested-schema pruning
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Spark cannot read parquet TIMESTAMP(NANOS) (events.ts); read nanos
+        # as long and convert in catalog.load_events
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # local runs: modest driver heap; harmless if JVM already up
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
