@@ -1,0 +1,328 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+These go beyond the reference's operator inventory (dremio-oss has no
+dedup/ANN/text operators) — they're the large-scale-pipeline extensions the
+engine adds, exercised over the driver's `documents` and `embeddings`
+tables with full DuckDB oracles wherever the semantics are SQL-expressible.
+
+Every hash in the dedup pipelines derives from md5 (identical across
+engines), so even MinHash-LSH candidate generation is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.dedup import h64_sql
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+def llm_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        T.with_text_analysis(docs, "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bpe_tokens",
+            "score_en",
+            "score_es",
+            "score_fr",
+            "score_de",
+            "lang_pred",
+            "n_words",
+            "mean_word_len",
+            "punct_ratio",
+            "stopword_ratio",
+            "quality_score",
+            "fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MARKER_PATTERNS = {
+    lang: r"\b(" + "|".join(words) + r")\b" for lang, words in T.LANG_MARKERS.items()
+}
+
+_SCORE_EXPRS = "\n".join(
+    f"       round(len(regexp_extract_all(lower(text), '{pat}')) / n_tok, 6) as score_{lang},"
+    for lang, pat in _MARKER_PATTERNS.items()
+)
+
+_RAW_SCORE = {
+    lang: f"(len(regexp_extract_all(lower(text), '{pat}')) / n_tok)"
+    for lang, pat in _MARKER_PATTERNS.items()
+}
+
+LLM_TEXT_ANALYSIS_SQL = f"""
+with base as (
+  select *, cast(len(string_split_regex(lower(text), '\\s+')) as bigint) as n_tok
+  from documents
+), scored as (
+  select doc_id, text, n_tok,
+         n_tok as n_tokens,
+         cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) as bigint) as n_bpe_tokens,
+{_SCORE_EXPRS}
+         greatest({_RAW_SCORE['en']}, {_RAW_SCORE['es']}, {_RAW_SCORE['fr']}, {_RAW_SCORE['de']}) as mscore,
+         cast(length(text) as bigint) as n_chars2,
+         n_tok as n_words,
+         round((length(text) - n_tok + 1) / n_tok, 6) as mean_word_len,
+         round(len(regexp_extract_all(text, '[^\\w\\s]')) / length(text), 6) as punct_ratio,
+         round(len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["en"]}')) / n_tok, 6) as stopword_ratio,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp
+  from base
+)
+select doc_id, n_tokens, n_bpe_tokens, score_en, score_es, score_fr, score_de,
+       case when mscore is null or mscore = 0 then 'und'
+            when {_RAW_SCORE['fr']} = mscore then 'fr'
+            when {_RAW_SCORE['es']} = mscore then 'es'
+            when {_RAW_SCORE['en']} = mscore then 'en'
+            else 'de' end as lang_pred,
+       n_words, mean_word_len, punct_ratio, stopword_ratio,
+       round(
+         (case when n_words between 10 and 100000 then 0.4 else 0.0 end)
+         + (case when (length(text) - n_tok + 1) / n_tok between 2 and 12 then 0.3 else 0.0 end)
+         + (case when len(regexp_extract_all(text, '[^\\w\\s]')) / length(text) < 0.2 then 0.1 else 0.0 end)
+         + (case when len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["en"]}')) / n_tok > 0.05 then 0.2 else 0.0 end)
+       , 6) as quality_score,
+       fp
+from scored
+order by doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+def llm_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf, "documents")).orderBy("fp")
+
+
+LLM_EXACT_DEDUP_SQL = """
+select md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp,
+       min(doc_id) as canonical_id,
+       count(*) as n_copies
+from documents
+group by 1
+order by fp
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (full pipeline, oracle-checked)
+def llm_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_dedup(load(spark, sf, "documents")).orderBy("id_a", "id_b")
+
+
+_MH_COLS = ",\n         ".join(
+    f"min({h64_sql('shingle', i)}) as mh{i}" for i in range(D.N_HASHES)
+)
+_BAND_SELECTS = "\n  union all\n".join(
+    "  select doc_id, {b} as band, md5(concat_ws(',', {cols})) as bucket from sigs".format(
+        b=b,
+        cols=", ".join(f"mh{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)),
+    )
+    for b in range(D.N_BANDS)
+)
+
+LLM_MINHASH_LSH_SQL = f"""
+with toks as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
+), sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) as shingle
+  from toks
+  where len(t) >= 3
+), sigs as (
+  select doc_id, {_MH_COLS}
+  from sh group by doc_id
+), banded as (
+{_BAND_SELECTS}
+), cands as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from banded a join banded b
+    on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id
+), sizes as (
+  select doc_id, count(*) as n_sh from sh group by doc_id
+), inter as (
+  select c.id_a, c.id_b, count(*) as n_inter
+  from cands c
+  join sh sa on sa.doc_id = c.id_a
+  join sh sb on sb.doc_id = c.id_b and sb.shingle = sa.shingle
+  group by c.id_a, c.id_b
+)
+select i.id_a, i.id_b, i.n_inter,
+       round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) as jaccard
+from inter i
+join sizes na on na.doc_id = i.id_a
+join sizes nb on nb.doc_id = i.id_b
+where i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+order by id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures + near pairs
+def llm_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+_BIT_SUMS = ",\n         ".join(
+    f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as s{j}"
+    for j in range(D.SIMHASH_BITS)
+)
+_SH_EXPR = " + ".join(
+    f"(case when s{j} > 0 then {2**j} else 0 end)" for j in range(D.SIMHASH_BITS)
+)
+
+LLM_SIMHASH_SQL = f"""
+with toks as (
+  select doc_id,
+         unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) as tok
+  from documents
+), h as (
+  select doc_id, {h64_sql('tok', 0)} as h from toks
+), bits as (
+  select doc_id, {_BIT_SUMS}
+  from h group by doc_id
+)
+select doc_id, cast({_SH_EXPR} as bigint) as simhash
+from bits
+order by doc_id
+"""
+
+
+def llm_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sh = D.simhash(load(spark, sf, "documents"))
+    return D.simhash_near_pairs(sh, max_hamming=3).orderBy("id_a", "id_b")
+
+
+LLM_SIMHASH_PAIRS_SQL = f"""
+with toks as (
+  select doc_id,
+         unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) as tok
+  from documents
+), h as (
+  select doc_id, {h64_sql('tok', 0)} as h from toks
+), bits as (
+  select doc_id, {_BIT_SUMS}
+  from h group by doc_id
+), sig as (
+  select doc_id, cast({_SH_EXPR} as bigint) as simhash from bits
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       bit_count(xor(a.simhash, b.simhash)) as hamming
+from sig a join sig b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+order by id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+LLM_NGRAM_JACCARD_SQL = """
+with toks as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
+), sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) as shingle
+  from toks
+  where len(t) >= 3
+), sizes as (
+  select doc_id, count(*) as n_sh from sh group by doc_id
+), inter as (
+  select sa.doc_id as id_a, sb.doc_id as id_b, count(*) as n_inter
+  from sh sa join sh sb on sa.shingle = sb.shingle and sa.doc_id < sb.doc_id
+  group by 1, 2
+)
+select i.id_a, i.id_b,
+       round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) as jaccard
+from inter i
+join sizes na on na.doc_id = i.id_a
+join sizes nb on nb.doc_id = i.id_b
+where i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= 0.4
+order by id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle-checked)
+def llm_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+LLM_COSINE_TOPK_SQL = """
+with q as (
+  select vec_id as qid, embedding as qv from embeddings where vec_id < 10
+), c as (
+  select vec_id as nid, embedding as nv from embeddings
+), flat as (
+  select qid, nid,
+         cast(qv[u.i] as double) as a, cast(nv[u.i] as double) as b
+  from q, c, unnest(range(1, 65)) as u(i)
+  where qid <> nid
+), dots as (
+  select qid, nid,
+         cast(sum(cast(a*b as decimal(28,12))) as double) as d,
+         cast(sum(cast(a*a as decimal(28,12))) as double) as na,
+         cast(sum(cast(b*b as decimal(28,12))) as double) as nb
+  from flat group by qid, nid
+), scored as (
+  select qid, nid, d / (sqrt(na) * sqrt(nb)) as cos from dots
+), ranked as (
+  select qid, nid, cos,
+         cast(row_number() over (partition by qid order by cos desc, nid) as bigint) as rk
+  from scored
+)
+select qid, nid, round(cos, 6) as cos, rk
+from ranked where rk <= 5
+order by qid, rk
+"""
+
+
+# ANN via random-hyperplane LSH — scale path; genuinely non-SQL-expressible
+# oracle (the plane generation is engine-side), so rows-only check; recall
+# vs brute force is asserted in tests/test_llmops.py.
+def llm_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+LLMOPS_QUERIES = {
+    "llm_text_analysis": llm_text_analysis,
+    "llm_exact_dedup": llm_exact_dedup,
+    "llm_minhash_lsh": llm_minhash_lsh,
+    "llm_simhash": llm_simhash,
+    "llm_simhash_pairs": llm_simhash_pairs,
+    "llm_ngram_jaccard": llm_ngram_jaccard,
+    "llm_cosine_topk": llm_cosine_topk,
+    "llm_lsh_ann": llm_lsh_ann,
+}
+
+LLMOPS_ORACLE = {
+    "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
+    "llm_exact_dedup": LLM_EXACT_DEDUP_SQL,
+    "llm_minhash_lsh": LLM_MINHASH_LSH_SQL,
+    "llm_simhash": LLM_SIMHASH_SQL,
+    "llm_simhash_pairs": LLM_SIMHASH_PAIRS_SQL,
+    "llm_ngram_jaccard": LLM_NGRAM_JACCARD_SQL,
+    "llm_cosine_topk": LLM_COSINE_TOPK_SQL,
+    # llm_lsh_ann: intentionally no oracle (engine-side plane generation)
+}

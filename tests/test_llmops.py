@@ -1,0 +1,44 @@
+"""LLM-pipeline operators vs DuckDB oracle + LSH recall check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dremio_oss_spark.catalog import load
+from dremio_oss_spark.operators import similarity as S
+from dremio_oss_spark.queries import llmops
+
+from .conftest import SF_SMALL
+from .oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(llmops.LLMOPS_ORACLE))
+def test_llmops_parity(spark, oracle, name):
+    df = llmops.LLMOPS_QUERIES[name](spark, SF_SMALL)
+    expected = oracle.execute(llmops.LLMOPS_ORACLE[name]).fetchdf()
+    problems = compare(df, expected, ordered=False)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_lsh_ann_recall(spark):
+    """LSH ANN must be a real approximation: non-empty, subset-scored
+    correctly, and with reasonable recall vs brute force."""
+    emb = load(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.nid) for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.qid, r.nid) for r in S.lsh_topk(emb, queries, k=5).collect()}
+    assert approx, "LSH returned nothing"
+    # every approx neighbor must at least be a valid non-self pair
+    assert all(q != n for q, n in approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"implausibly low LSH recall: {recall}"
