@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dremio_oss_spark.queries import llmops, operators, tpch
+from dremio_oss_spark.queries import functions_q, llmops, operators, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch.TPCH_QUERIES)
     out.update(operators.OPERATOR_QUERIES)
     out.update(llmops.LLMOPS_QUERIES)
+    out.update(functions_q.FUNCTION_QUERIES)
     return out
 
 
@@ -33,4 +34,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch.TPCH_ORACLE)
     out.update(operators.OPERATOR_ORACLE)
     out.update(llmops.LLMOPS_ORACLE)
+    out.update(functions_q.FUNCTION_ORACLE)
     return out

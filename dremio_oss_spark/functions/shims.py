@@ -1,0 +1,223 @@
+"""Dremio-only scalar functions as Spark SQL temporary functions + helpers.
+
+Reference targets (dremio-oss):
+- CONCAT null-as-empty: `exec/expr/fn/impl/StringFunctions.java:39`
+  (Dremio CONCAT ignores NULL args instead of returning NULL).
+- Masking: `exec/expr/fn/impl/MaskingFunctions.java` (HIVE_MASK family).
+- Geo: `exec/expr/fn/impl/GeoFunctions.java` (geo_distance/nearby/beyond,
+  st_geohash).
+- Hash: `Hash32Functions.java`, `Hash64Functions.java`, HASHSHA256.
+- CONVERT_FROM/TO codecs: `exec/expr/fn/impl/conv/` (json, utf8, base64,
+  big-endian ints).
+- KVGEN/MAPPIFY: `exec/expr/fn/impl/Mappify.java:36`.
+- CONVERT_FROM(col,'JSON') plan-time schema discovery:
+  `sabot/op/fromjson/ConvertFromJsonOperator.java:52` /
+  `ConvertFromJsonConverter.java`.
+
+Spark-first design: every shim that can be a pure SQL expression is
+registered with `CREATE OR REPLACE TEMPORARY FUNCTION ... RETURN <expr>`
+(Spark 4 SQL scalar UDFs — inlined by Catalyst, whole-stage-codegen'd, no
+Python in the executor path).  Only ST_GEOHASH needs Python (iterative
+base-32 encode), implemented as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .datetime_fmt import dremio_to_spark_format
+
+# --- SQL temporary functions (JVM-side, Catalyst-inlined) -----------------
+
+_HAVERSINE = (
+    "12742000.0 * asin(least(1.0d, sqrt("
+    "pow(sin(radians(lat2 - lat1) / 2), 2) + "
+    "cos(radians(lat1)) * cos(radians(lat2)) * "
+    "pow(sin(radians(lon2 - lon1) / 2), 2))))"
+)
+
+_SQL_FUNCTIONS: dict[str, str] = {
+    # Dremio GeoFunctions.java — haversine distance in meters (2R = 12742 km)
+    "geo_distance": (
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+        f"RETURNS DOUBLE RETURN {_HAVERSINE}"
+    ),
+    "geo_nearby": (
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, d DOUBLE) "
+        f"RETURNS BOOLEAN RETURN {_HAVERSINE} <= d"
+    ),
+    "geo_beyond": (
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, d DOUBLE) "
+        f"RETURNS BOOLEAN RETURN {_HAVERSINE} > d"
+    ),
+    # MaskingFunctions.java — HIVE_MASK defaults: upper->X, lower->x, digit->n
+    "hive_mask": "(s STRING) RETURNS STRING RETURN mask(s)",
+    "hive_mask_first_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(mask(substring(s, 1, n)), coalesce(substring(s, n + 1), ''))"
+    ),
+    "hive_mask_last_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(coalesce(substring(s, 1, length(s) - n), ''), "
+        "mask(substring(s, greatest(length(s) - n + 1, 1))))"
+    ),
+    "hive_mask_show_first_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(substring(s, 1, n), coalesce(mask(substring(s, n + 1)), ''))"
+    ),
+    "hive_mask_show_last_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(coalesce(mask(substring(s, 1, length(s) - n)), ''), "
+        "substring(s, greatest(length(s) - n + 1, 1)))"
+    ),
+    "hive_mask_hash": "(s STRING) RETURNS STRING RETURN sha2(s, 256)",
+    # Hash32/Hash64Functions.java — distribution-parity only (documented)
+    "hash32": "(s STRING) RETURNS INT RETURN hash(s)",
+    "hash64": "(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
+    "hashsha256": "(s STRING) RETURNS STRING RETURN sha2(s, 256)",
+    # conv/ big-endian int codecs (4/8-byte two's-complement)
+    "convert_from_int_be": (
+        "(b BINARY) RETURNS INT RETURN cast(cast(conv(hex(b), 16, 10) "
+        "as bigint) as int)"
+    ),
+    "convert_to_int_be": (
+        "(i INT) RETURNS BINARY RETURN unhex(lpad(hex(i & 4294967295), 8, '0'))"
+    ),
+    "convert_from_bigint_be": (
+        "(b BINARY) RETURNS BIGINT RETURN cast(conv(hex(b), 16, 10) as bigint)"
+    ),
+    "convert_to_bigint_be": (
+        "(i BIGINT) RETURNS BINARY RETURN unhex(lpad(hex(i), 16, '0'))"
+    ),
+    "convert_from_utf8": "(b BINARY) RETURNS STRING RETURN decode(b, 'UTF-8')",
+    "convert_to_utf8": "(s STRING) RETURNS BINARY RETURN encode(s, 'UTF-8')",
+    "convert_to_base64": "(b BINARY) RETURNS STRING RETURN base64(b)",
+    "convert_from_base64": "(s STRING) RETURNS BINARY RETURN unbase64(s)",
+    # DremioSqlOperatorTable COL_LIKE — LIKE with a column-valued pattern
+    "col_like": "(s STRING, pat STRING) RETURNS BOOLEAN RETURN s like pat",
+    # StringFunctions.java CONCAT null-as-empty, fixed arities for SQL use;
+    # the variadic form is the Python helper dremio_concat()
+    "concat2": (
+        "(a STRING, b STRING) RETURNS STRING RETURN "
+        "concat(coalesce(a, ''), coalesce(b, ''))"
+    ),
+    "concat3": (
+        "(a STRING, b STRING, c STRING) RETURNS STRING RETURN "
+        "concat(coalesce(a, ''), coalesce(b, ''), coalesce(c, ''))"
+    ),
+}
+
+
+def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Series:
+    """Geohash base-32 encode (GeoFunctions.java st_geohash)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def enc(la: float, lo: float, p: int) -> str | None:
+        if la is None or lo is None or pd.isna(la) or pd.isna(lo):
+            return None
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, bit, even = 0, 0, True
+        out = []
+        while len(out) < p:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lo >= mid:
+                    bits = (bits << 1) | 1
+                    lon_lo = mid
+                else:
+                    bits <<= 1
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if la >= mid:
+                    bits = (bits << 1) | 1
+                    lat_lo = mid
+                else:
+                    bits <<= 1
+                    lat_hi = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(b32[bits])
+                bits, bit = 0, 0
+        return "".join(out)
+
+    return pd.Series(
+        [enc(la, lo, int(p)) for la, lo, p in zip(lat, lon, precision)]
+    )
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every shim in the session's function registry."""
+    for name, body in _SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    from pyspark.sql.types import StringType
+
+    spark.udf.register("st_geohash", pandas_udf(_st_geohash, StringType()))
+
+
+# --- Column helpers (plan-time compositions) ------------------------------
+
+
+def dremio_concat(*cols: Column | str) -> Column:
+    """Variadic CONCAT with Dremio null-as-empty semantics.
+
+    concat_ws('') skips NULL inputs entirely, which is exactly the
+    reference behavior (StringFunctions.java concat ignores nulls).
+    """
+    return F.concat_ws(
+        "", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    )
+
+
+def kvgen(col: Column | str) -> Column:
+    """KVGEN/MAPPIFY (Mappify.java:36): map -> array<struct<key,value>>."""
+    return F.map_entries(F.col(col) if isinstance(col, str) else col)
+
+
+def to_char(col: Column | str, fmt: str) -> Column:
+    """TO_CHAR(datetime, fmt) with Dremio-style format tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, dremio_to_spark_format(fmt))
+
+
+def to_date_fmt(col: Column | str, fmt: str) -> Column:
+    """TO_DATE(str, fmt) with Dremio-style format tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(c, dremio_to_spark_format(fmt))
+
+
+def to_timestamp_fmt(col: Column | str, fmt: str) -> Column:
+    """TO_TIMESTAMP(str, fmt) with Dremio-style format tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_timestamp(c, dremio_to_spark_format(fmt))
+
+
+def convert_from_json(
+    df: DataFrame, col: str, out: str = "parsed", sample: int = 200
+) -> DataFrame:
+    """CONVERT_FROM(col, 'JSON') with plan-time schema discovery.
+
+    Mirrors ConvertFromJsonConverter.java: sample the column at *plan*
+    time (tiny, driver-side — bounded by `sample` rows, never the full
+    table), infer a schema with spark.read.json, then evaluate
+    `from_json` distributed with the fixed schema.  At 100 TB the scan
+    that matters runs with the inferred schema fully JVM-side.
+    """
+    strings = [
+        r[0]
+        for r in df.select(col).where(F.col(col).isNotNull()).limit(sample).collect()
+    ]
+    if not strings:
+        return df.withColumn(out, F.lit(None).cast("string"))
+    schema = spark_schema_of_json(df.sparkSession, strings)
+    return df.withColumn(out, F.from_json(F.col(col), schema))
+
+
+def spark_schema_of_json(spark: SparkSession, samples: list[str]):
+    """Infer a unified schema from JSON sample strings (plan-time only)."""
+    sdf = spark.createDataFrame([(s,) for s in samples], "v string")
+    return spark.read.json(sdf.rdd.map(lambda r: r[0])).schema

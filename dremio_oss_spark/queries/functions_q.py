@@ -1,0 +1,332 @@
+"""Function-shim coverage queries (SURVEY.md §2.7) with DuckDB oracles.
+
+Each query exercises one Dremio-only function family from
+dremio_oss_spark.functions against the driver's testdata, with the oracle
+re-deriving the same values from first principles in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, load_events
+from ..functions import convert_from_json, dremio_concat, kvgen, to_char
+from ..functions.shims import register_all
+
+
+# --------------------------------------------------------------------------
+# CONCAT null-as-empty + HIVE_MASK family
+# (reference: StringFunctions.java:39 concat; MaskingFunctions.java)
+def concat_masking(spark: SparkSession, sf: str) -> DataFrame:
+    register_all(spark)
+    return (
+        load(spark, sf, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            dremio_concat(
+                "c_name",
+                F.lit("-"),
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            ).alias("tagged"),
+            F.expr("hive_mask(c_name)").alias("masked"),
+            F.expr("hive_mask_first_n(c_name, 4)").alias("mask4"),
+            F.expr("hive_mask_show_first_n(c_name, 4)").alias("show4"),
+            F.expr("hive_mask_hash(c_mktsegment)").alias("phash"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CONCAT_MASKING_SQL = r"""
+select c_custkey,
+       concat(coalesce(c_name,''), '-',
+              coalesce(nullif(c_mktsegment,'BUILDING'),'')) as tagged,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]','X','g'), '[a-z]','x','g'), '[0-9]','n','g') as masked,
+       concat(regexp_replace(regexp_replace(regexp_replace(substring(c_name,1,4),
+           '[A-Z]','X','g'), '[a-z]','x','g'), '[0-9]','n','g'),
+           coalesce(substring(c_name,5),'')) as mask4,
+       concat(substring(c_name,1,4),
+           coalesce(regexp_replace(regexp_replace(regexp_replace(substring(c_name,5),
+               '[A-Z]','X','g'), '[a-z]','x','g'), '[0-9]','n','g'),'')) as show4,
+       sha256(c_mktsegment) as phash
+from customer
+where c_custkey <= 500
+order by c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Geo functions (reference: GeoFunctions.java geo_distance/nearby/beyond)
+def geo_functions(spark: SparkSession, sf: str) -> DataFrame:
+    register_all(spark)
+    return (
+        load(spark, sf, "supplier")
+        .select(
+            "s_suppkey",
+            (F.col("s_suppkey") % 80 - 40.0).alias("lat"),
+            ((F.col("s_nationkey") * 13) % 340 - 170.0).alias("lon"),
+        )
+        .select(
+            "s_suppkey",
+            F.round(
+                F.expr("geo_distance(lat, lon, 48.85d, 2.35d)") / 1000.0, 3
+            ).alias("dist_km"),
+            F.expr("geo_nearby(lat, lon, 48.85d, 2.35d, 5000000.0d)").alias(
+                "within_5000km"
+            ),
+            F.expr("geo_beyond(lat, lon, 48.85d, 2.35d, 10000000.0d)").alias(
+                "beyond_10000km"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+GEO_FUNCTIONS_SQL = """
+with c as (
+  select s_suppkey,
+         cast(s_suppkey % 80 - 40.0 as double) as lat,
+         cast((s_nationkey * 13) % 340 - 170.0 as double) as lon
+  from supplier
+), d as (
+  select s_suppkey,
+         12742000.0 * asin(least(1.0, sqrt(
+             pow(sin(radians(48.85 - lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(48.85)) *
+             pow(sin(radians(2.35 - lon) / 2), 2)))) as dist_m
+  from c
+)
+select s_suppkey,
+       round(dist_m / 1000.0, 3) as dist_km,
+       dist_m <= 5000000.0 as within_5000km,
+       dist_m > 10000000.0 as beyond_10000km
+from d
+order by s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TO_CHAR with Dremio-style format tokens (DateToCharFunctions.java,
+# DateFunctionsUtils.java format mapping)
+def to_char_formats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf)
+    return (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            to_char("o_orderdate", "YYYY-MM-DD").alias("iso"),
+            to_char("o_orderdate", "MON").alias("mon"),
+            to_char("o_orderdate", "DY").alias("dy"),
+            to_char("o_orderdate", 'YYYY"y"MM"m"').alias("lit_fmt"),
+        )
+        .join(
+            ev.select(
+                F.col("event_id").alias("o_orderkey"),
+                to_char("ts", "HH24:MI:SS").alias("hms"),
+            ),
+            "o_orderkey",
+            "left",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TO_CHAR_SQL = """
+select o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') as iso,
+       strftime(o.o_orderdate, '%b') as mon,
+       strftime(o.o_orderdate, '%a') as dy,
+       strftime(o.o_orderdate, '%Yy%mm') as lit_fmt,
+       strftime(e.ts, '%H:%M:%S') as hms
+from orders o
+left join events e on e.event_id = o.o_orderkey
+where o.o_orderkey <= 2000
+order by o.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CONVERT_FROM/CONVERT_TO codecs (exec/expr/fn/impl/conv/)
+def convert_codecs(spark: SparkSession, sf: str) -> DataFrame:
+    register_all(spark)
+    return (
+        load(spark, sf, "part")
+        .where(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.expr(
+                "convert_from_int_be(convert_to_int_be(cast(p_partkey as int)))"
+            ).alias("int_rt"),
+            F.expr("convert_from_bigint_be(convert_to_bigint_be(p_partkey))").alias(
+                "bigint_rt"
+            ),
+            F.expr("convert_to_base64(convert_to_utf8(p_name))").alias("b64"),
+            F.expr(
+                "convert_from_utf8(convert_from_base64("
+                "convert_to_base64(convert_to_utf8(p_name))))"
+            ).alias("utf8_rt"),
+            F.expr("hashsha256(p_name)").alias("sha"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+CONVERT_CODECS_SQL = """
+select p_partkey,
+       cast(p_partkey as int) as int_rt,
+       p_partkey as bigint_rt,
+       to_base64(encode(p_name)) as b64,
+       p_name as utf8_rt,
+       sha256(p_name) as sha
+from part
+where p_partkey <= 500
+order by p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CONVERT_FROM(col,'JSON') with plan-time schema discovery
+# (ConvertFromJsonOperator.java:52)
+def convert_from_json_q(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf)
+    parsed = convert_from_json(ev, "props", out="parsed")
+    return (
+        parsed.select("event_id", F.col("parsed.k").alias("k"))
+        .where(F.col("k").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+CONVERT_FROM_JSON_SQL = """
+select event_id, cast(json_extract(props, '$.k') as bigint) as k
+from events
+where json_extract(props, '$.k') is not null
+order by event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# KVGEN / MAPPIFY (Mappify.java:36)
+def kvgen_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").where(F.col("doc_id") <= 300)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return (
+        docs.select("doc_id", F.explode(kvgen(m)).alias("kv"))
+        .select("doc_id", F.col("kv.key").alias("key"), F.col("kv.value").alias("value"))
+        .orderBy("doc_id", "key")
+    )
+
+
+KVGEN_SQL = """
+select doc_id, key, value from (
+  select doc_id, 'lang' as key, lang as value from documents where doc_id <= 300
+  union all
+  select doc_id, 'source' as key, source as value from documents where doc_id <= 300
+)
+order by doc_id, key
+"""
+
+
+# --------------------------------------------------------------------------
+# ARRAY_* gap functions (ArrayFunctions.java:37, exec/expr/fn/impl/array/):
+# array_sum/array_avg/list_to_delimited_string/sublist/set_union/
+# array_generate_range/array_compact — via Catalyst lambda expressions,
+# no Python in the loop.
+def array_gap_functions(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") < 400)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lns"))
+    )
+    return g.select(
+        "l_orderkey",
+        F.aggregate("lns", F.lit(0), lambda a, x: a + x).alias("arr_sum"),
+        F.round(
+            F.aggregate(
+                "lns", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / F.size("lns"),
+            6,
+        ).alias("arr_avg"),
+        F.array_join(F.transform("lns", lambda x: x.cast("string")), ",").alias(
+            "delim"
+        ),
+        F.slice("lns", 2, 2).alias("sub"),
+        F.array_sort(
+            F.array_union("lns", F.array(F.lit(1), F.lit(9)))
+        ).alias("set_un"),
+        F.sequence(F.lit(1), F.size("lns")).alias("gen_range"),
+        F.filter(
+            F.concat("lns", F.array(F.lit(None).cast("int"))),
+            lambda x: x.isNotNull(),
+        ).alias("compacted"),
+    ).orderBy("l_orderkey")
+
+
+ARRAY_GAP_SQL = """
+with g as (
+  select l_orderkey, list_sort(list(l_linenumber)) as lns
+  from lineitem where l_orderkey < 400 group by l_orderkey
+)
+select l_orderkey,
+       cast(list_sum(lns) as int) as arr_sum,
+       round(cast(list_sum(lns) as double) / len(lns), 6) as arr_avg,
+       array_to_string(lns, ',') as delim,
+       lns[2:3] as sub,
+       list_sort(list_distinct(list_concat(lns, [1, 9]))) as set_un,
+       range(1, cast(len(lns) as int) + 1) as gen_range,
+       lns as compacted
+from g
+order by l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# ST_GEOHASH (GeoFunctions.java st_geohash) — pandas-UDF shim; DuckDB has no
+# geohash, so this is a rows-only check (golden values live in tests/).
+def st_geohash_q(spark: SparkSession, sf: str) -> DataFrame:
+    register_all(spark)
+    return (
+        load(spark, sf, "supplier")
+        .select(
+            "s_suppkey",
+            (F.col("s_suppkey") % 80 - 40.0).alias("lat"),
+            ((F.col("s_nationkey") * 13) % 340 - 170.0).alias("lon"),
+        )
+        .select(
+            "s_suppkey",
+            F.expr("st_geohash(lat, lon, 9)").alias("gh"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+FUNCTION_QUERIES = {
+    "fn_concat_masking": concat_masking,
+    "fn_geo_functions": geo_functions,
+    "fn_to_char": to_char_formats,
+    "fn_convert_codecs": convert_codecs,
+    "fn_convert_from_json": convert_from_json_q,
+    "fn_kvgen": kvgen_q,
+    "fn_array_gaps": array_gap_functions,
+    "fn_st_geohash": st_geohash_q,
+}
+
+FUNCTION_ORACLE = {
+    "fn_concat_masking": CONCAT_MASKING_SQL,
+    "fn_geo_functions": GEO_FUNCTIONS_SQL,
+    "fn_to_char": TO_CHAR_SQL,
+    "fn_convert_codecs": CONVERT_CODECS_SQL,
+    "fn_convert_from_json": CONVERT_FROM_JSON_SQL,
+    "fn_kvgen": KVGEN_SQL,
+    "fn_array_gaps": ARRAY_GAP_SQL,
+    # fn_st_geohash: no DuckDB equivalent — rows-only check; golden values
+    # asserted in tests/test_functions.py
+}
