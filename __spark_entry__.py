@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dremio_oss_spark.queries import functions_q, llmops, operators, tpch
+from dremio_oss_spark.queries import functions_q, llmops, operators, relational_q, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +26,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(operators.OPERATOR_QUERIES)
     out.update(llmops.LLMOPS_QUERIES)
     out.update(functions_q.FUNCTION_QUERIES)
+    out.update(relational_q.RELATIONAL_QUERIES)
     return out
 
 
@@ -35,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(operators.OPERATOR_ORACLE)
     out.update(llmops.LLMOPS_ORACLE)
     out.update(functions_q.FUNCTION_ORACLE)
+    out.update(relational_q.RELATIONAL_ORACLE)
     return out

@@ -1,0 +1,343 @@
+"""Relational operator coverage round 2: joins beyond equi-inner,
+subquery decorrelation, sample, maps, lateral generation.
+
+Reference targets (dremio-oss):
+- semi/anti join via plan-level decorrelation:
+  `exec/planner/sql/handlers/RexSubQueryUtils.java`,
+  `DrelTransformer.java:372-374` (DremioRelDecorrelator).
+- NLJ/NLJE theta + range conditions: `sabot/op/join/nlje/NLJEOperator.java:64`,
+  range rewrite `RangeConditionRewriteVisitor.java:67`.
+- TABLESAMPLE -> limit: `exec/planner/physical/SamplePrel.java:33`,
+  SampleToLimitPrule.
+- Map functions: `exec/expr/fn/impl/MapFunctions.java:45`.
+- NDV/HLL: `exec/expr/fn/hll/HyperLogLog.java:28`.
+
+Spark-first notes: EXISTS/IN/scalar subqueries go through spark.sql() so
+Catalyst's RewriteCorrelatedScalarSubquery / RewritePredicateSubquery do
+the decorrelation (the reference implements the same rewrite manually).
+The range join broadcasts its tiny build side -> BroadcastNestedLoopJoin,
+which is the scale-correct plan when one side is a handful of buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_testdata
+
+
+# --------------------------------------------------------------------------
+def semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without"))
+    )
+    return (
+        with_orders.join(without_orders, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEMI_ANTI_JOIN_SQL = """
+with w as (
+  select c_mktsegment, count(*) as n_with from customer c
+  where exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+  group by c_mktsegment
+), wo as (
+  select c_mktsegment, count(*) as n_without from customer c
+  where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+  group by c_mktsegment
+)
+select coalesce(w.c_mktsegment, wo.c_mktsegment) as c_mktsegment,
+       coalesce(n_with, 0) as n_with,
+       coalesce(n_without, 0) as n_without
+from w full outer join wo on w.c_mktsegment = wo.c_mktsegment
+order by c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+def exists_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata(spark, sf)
+    return spark.sql(
+        """
+        select o_orderkey, o_totalprice
+        from orders o
+        where exists (select 1 from lineitem l
+                      where l.l_orderkey = o.o_orderkey and l.l_quantity >= 49)
+          and o_custkey in (select c_custkey from customer where c_acctbal > 8000)
+        order by o_orderkey
+        """
+    )
+
+
+EXISTS_IN_SUBQUERY_SQL = """
+select o_orderkey, o_totalprice
+from orders o
+where exists (select 1 from lineitem l
+              where l.l_orderkey = o.o_orderkey and l.l_quantity >= 49)
+  and o_custkey in (select c_custkey from customer where c_acctbal > 8000)
+order by o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    register_testdata(spark, sf)
+    # uncorrelated scalar + correlated scalar (Catalyst decorrelates both;
+    # the reference rewrites these to joins in DremioRelDecorrelator)
+    return spark.sql(
+        """
+        select p.p_partkey, p.p_retailprice,
+               round((select avg(p2.p_retailprice) from part p2
+                      where p2.p_brand = p.p_brand), 4) as brand_avg
+        from part p
+        where p.p_retailprice > (select avg(p3.p_retailprice) from part p3) * 1.5
+        order by p.p_partkey
+        """
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+select p.p_partkey, p.p_retailprice,
+       round((select avg(p2.p_retailprice) from part p2
+              where p2.p_brand = p.p_brand), 4) as brand_avg
+from part p
+where p.p_retailprice > (select avg(p3.p_retailprice) from part p3) * 1.5
+order by p.p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+def range_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    buckets = spark.createDataFrame(
+        [
+            ("1992H1", "1992-01-01", "1992-06-30"),
+            ("1992H2", "1992-07-01", "1992-12-31"),
+            ("1993H1", "1993-01-01", "1993-06-30"),
+            ("1993H2", "1993-07-01", "1993-12-31"),
+            ("1994H1", "1994-01-01", "1994-06-30"),
+            ("1994H2", "1994-07-01", "1994-12-31"),
+            ("1995H1", "1995-01-01", "1995-06-30"),
+            ("1995H2", "1995-07-01", "1995-12-31"),
+            ("1996H1", "1996-01-01", "1996-06-30"),
+            ("1996H2", "1996-07-01", "1996-12-31"),
+            ("1997H1", "1997-01-01", "1997-06-30"),
+            ("1997H2", "1997-07-01", "1997-12-31"),
+            ("1998H1", "1998-01-01", "1998-06-30"),
+            ("1998H2", "1998-07-01", "1998-12-31"),
+        ],
+        "bucket string, d_start string, d_end string",
+    ).select(
+        "bucket",
+        F.to_date("d_start").alias("d_start"),
+        F.to_date("d_end").alias("d_end"),
+    )
+    # tiny build side -> broadcast; the range predicate runs as a
+    # BroadcastNestedLoopJoin (reference NLJE range-condition matcher)
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_shipdate >= buckets.d_start) & (li.l_shipdate <= buckets.d_end),
+            "inner",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+RANGE_JOIN_SQL = """
+with buckets(bucket, d_start, d_end) as (
+  values
+    ('1992H1', date '1992-01-01', date '1992-06-30'),
+    ('1992H2', date '1992-07-01', date '1992-12-31'),
+    ('1993H1', date '1993-01-01', date '1993-06-30'),
+    ('1993H2', date '1993-07-01', date '1993-12-31'),
+    ('1994H1', date '1994-01-01', date '1994-06-30'),
+    ('1994H2', date '1994-07-01', date '1994-12-31'),
+    ('1995H1', date '1995-01-01', date '1995-06-30'),
+    ('1995H2', date '1995-07-01', date '1995-12-31'),
+    ('1996H1', date '1996-01-01', date '1996-06-30'),
+    ('1996H2', date '1996-07-01', date '1996-12-31'),
+    ('1997H1', date '1997-01-01', date '1997-06-30'),
+    ('1997H2', date '1997-07-01', date '1997-12-31'),
+    ('1998H1', date '1998-01-01', date '1998-06-30'),
+    ('1998H2', date '1998-07-01', date '1998-12-31')
+)
+select bucket, count(*) as n_items,
+       sum(cast(l_quantity as decimal(18,2))) as sum_qty
+from lineitem join buckets
+  on l_shipdate >= d_start and l_shipdate <= d_end
+group by bucket
+order by bucket
+"""
+
+
+# --------------------------------------------------------------------------
+def map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").where(F.col("doc_id") <= 300)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.element_at(m, "lang").alias("lang_v"),
+        F.element_at(m, "source").alias("source_v"),
+        F.size(m).alias("n_entries"),
+        # last_matching_map_entry_for_key (MapFunctions.java): last entry
+        # wins among duplicate keys — filter entries array, take last
+        F.element_at(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("k").alias("key"), F.lit("first").alias("value")),
+                    F.struct(F.lit("k").alias("key"), F.col("lang").alias("value")),
+                ),
+                lambda e: e["key"] == "k",
+            ),
+            -1,
+        )["value"].alias("last_match"),
+    ).orderBy("doc_id")
+
+
+MAP_FUNCTIONS_SQL = """
+select doc_id,
+       ['lang', 'source'] as keys,
+       lang as lang_v,
+       source as source_v,
+       2 as n_entries,
+       lang as last_match
+from documents
+where doc_id <= 300
+order by doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def sample_to_limit(spark: SparkSession, sf: str) -> DataFrame:
+    # TABLESAMPLE lowered to limit (SamplePrel -> SampleToLimitPrule):
+    # deterministic row-count contract, content-agnostic
+    n = load(spark, sf, "lineitem").limit(1000).count()
+    return spark.createDataFrame([(n,)], "sampled_rows bigint")
+
+
+SAMPLE_TO_LIMIT_SQL = """
+select count(*) as sampled_rows from (select * from lineitem limit 1000)
+"""
+
+
+# --------------------------------------------------------------------------
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return (
+        cust.unionByName(supp, allowMissingColumns=True)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("bal").alias("n_bal"),
+            F.sum(F.col("key").cast("decimal(18,0)")).alias("key_sum"),
+        )
+    )
+
+
+UNION_BY_NAME_SQL = """
+with u as (
+  select c_custkey as key, c_name as name, cast(null as double) as bal
+  from customer
+  union all
+  select s_suppkey as key, s_name as name, s_acctbal as bal from supplier
+)
+select count(*) as n_rows, count(bal) as n_bal,
+       sum(cast(key as decimal(18,0))) as key_sum
+from u
+"""
+
+
+# --------------------------------------------------------------------------
+def lateral_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    # correlated lateral generation: explode(sequence(...)) per input row —
+    # the reference's TableFunction/unnest path (TableFunctionOperator.java:42)
+    return (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderkey") <= 600)
+        .select(
+            "o_orderkey",
+            F.posexplode(F.sequence(F.lit(1), F.lit(3))).alias("pos", "n"),
+        )
+        .select("o_orderkey", "pos", "n")
+        .orderBy("o_orderkey", "pos")
+    )
+
+
+LATERAL_SEQUENCE_SQL = """
+select o_orderkey, cast(n - 1 as int) as pos, cast(n as int) as n
+from orders, unnest(range(1, 4)) as t(n)
+where o_orderkey <= 600
+order by o_orderkey, pos
+"""
+
+
+# --------------------------------------------------------------------------
+def ndv_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """NDV (HLL) — approximate; no exact oracle (estimates differ per
+    engine by design). tests/test_relational.py asserts <5% error vs exact."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("ndv_partkey"),
+            F.count_distinct("l_partkey").alias("exact_partkey"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+RELATIONAL_QUERIES = {
+    "op_semi_anti_join": semi_anti_join,
+    "op_exists_in_subquery": exists_in_subquery,
+    "op_scalar_subquery": scalar_subquery,
+    "op_range_join": range_join,
+    "op_map_functions": map_functions,
+    "op_sample_to_limit": sample_to_limit,
+    "op_union_by_name": union_by_name,
+    "op_lateral_sequence": lateral_sequence,
+    "op_ndv_approx": ndv_approx,
+}
+
+RELATIONAL_ORACLE = {
+    "op_semi_anti_join": SEMI_ANTI_JOIN_SQL,
+    "op_exists_in_subquery": EXISTS_IN_SUBQUERY_SQL,
+    "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
+    "op_range_join": RANGE_JOIN_SQL,
+    "op_map_functions": MAP_FUNCTIONS_SQL,
+    "op_sample_to_limit": SAMPLE_TO_LIMIT_SQL,
+    "op_union_by_name": UNION_BY_NAME_SQL,
+    "op_lateral_sequence": LATERAL_SEQUENCE_SQL,
+    # op_ndv_approx: estimator-specific, rows-only (tolerance test in tests/)
+}
