@@ -12,7 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dremio_oss_spark.queries import functions_q, llmops, operators, relational_q, tpch
+from dremio_oss_spark.queries import (
+    functions_q,
+    llmops,
+    operators,
+    relational_q,
+    sources_q,
+    tpch,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llmops.LLMOPS_QUERIES)
     out.update(functions_q.FUNCTION_QUERIES)
     out.update(relational_q.RELATIONAL_QUERIES)
+    out.update(sources_q.SOURCES_QUERIES)
     return out
 
 
@@ -37,4 +45,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(llmops.LLMOPS_ORACLE)
     out.update(functions_q.FUNCTION_ORACLE)
     out.update(relational_q.RELATIONAL_ORACLE)
+    out.update(sources_q.SOURCES_ORACLE)
     return out

@@ -1,0 +1,246 @@
+"""Source/format/writer/DML coverage queries (SURVEY.md §2.3/§2.4).
+
+Each query exercises a real read/write path end-to-end: write derived
+data to a scratch dir under the repo, read it back through the engine's
+source layer, and produce a result the DuckDB oracle re-derives directly
+from the original parquet — so format fidelity (schema + values) is part
+of the correctness gate.
+
+Scratch dirs are deterministic per (query, sf) and wiped at the start of
+each run for idempotence; results stay lazy over the freshly written
+files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..sources import dml
+from ..sources.formats import FormatRegistry
+from ..sources.writer import copy_into, ctas, insert_into, read_table
+
+_SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(name: str, sf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf))
+    d = os.path.join(_SCRATCH_ROOT, f"{name}-{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# --------------------------------------------------------------------------
+# CSV round-trip (TextFormatPlugin.java:54 compliant-text parser)
+def csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("csv_rt", sf)
+    load(spark, sf, "nation").write.mode("overwrite").option("header", "true").csv(
+        os.path.join(d, "nation_csv")
+    )
+    reg = FormatRegistry(spark)
+    nation = reg.read(
+        os.path.join(d, "nation_csv"),
+        "csv",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    region = load(spark, sf, "region")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"), F.sum("n_nationkey").alias("key_sum"))
+        .orderBy("r_name")
+    )
+
+
+CSV_ROUNDTRIP_SQL = """
+select r_name, count(*) as n_nations, sum(n_nationkey) as key_sum
+from nation join region on n_regionkey = r_regionkey
+group by r_name order by r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON round-trip (JSONRecordReader.java:71 schema-on-read)
+def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("json_rt", sf)
+    load(spark, sf, "supplier").write.mode("overwrite").json(
+        os.path.join(d, "supplier_json")
+    )
+    supp = FormatRegistry(spark).read(os.path.join(d, "supplier_json"), "json")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+select s_nationkey, count(*) as n_supp,
+       sum(cast(s_acctbal as decimal(18,2))) as bal_sum
+from supplier group by s_nationkey order by s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Arrow IPC read (ArrowFormatPlugin.java:40)
+def arrow_read(spark: SparkSession, sf: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    d = _scratch("arrow_rt", sf)
+    table = pq.read_table(os.path.join(sf, "region.parquet"))
+    fp = os.path.join(d, "region.arrow")
+    with ipc.new_file(fp, table.schema) as w:
+        w.write_table(table)
+    region = FormatRegistry(spark).read(fp, "arrow")
+    return region.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+ARROW_READ_SQL = "select r_regionkey, r_name from region order by r_regionkey"
+
+
+# --------------------------------------------------------------------------
+# CTAS + INSERT INTO (CreateTableHandler.java, WriterOperator.java:52)
+def ctas_insert(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("ctas", sf)
+    t = os.path.join(d, "orders_t")
+    orders = load(spark, sf, "orders")
+    ctas(
+        orders.where(F.col("o_orderkey") <= 1000),
+        t,
+        partition_by=["o_orderpriority"],
+    )
+    insert_into(
+        orders.where((F.col("o_orderkey") > 1000) & (F.col("o_orderkey") <= 2000)),
+        t,
+        partition_by=["o_orderpriority"],
+    )
+    return (
+        spark.read.parquet(t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CTAS_INSERT_SQL = """
+select o_orderpriority, count(*) as n_orders,
+       sum(cast(o_totalprice as decimal(18,2))) as price_sum
+from orders where o_orderkey <= 2000
+group by o_orderpriority order by o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# COPY INTO with file dedup (CopyIntoPlanBuilder.java, ingestion.ftl pipes)
+def copy_into_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("copyinto", sf)
+    t = os.path.join(d, "customer_t")
+    src = os.path.join(sf, "customer.parquet")
+    n1 = copy_into(spark, t, src, fmt="parquet")
+    n2 = copy_into(spark, t, src, fmt="parquet")  # same file -> deduped, 0 rows
+    assert n2 == 0, "COPY INTO dedup failed to skip an already-loaded file"
+    return (
+        read_table(spark, t)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("c_custkey").alias("n_keys"),
+        )
+    )
+
+
+COPY_INTO_SQL = """
+select count(*) as n_rows, count(distinct c_custkey) as n_keys from customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write DML: DELETE + UPDATE + MERGE
+# (DmlCopyOnWritePlanGenerator.java, Parser.tdd:624-685)
+def dml_cow(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("dml", sf)
+    t = os.path.join(d, "customer_t")
+    cust = load(spark, sf, "customer")
+    dml.create_table(cust, t)
+    # DELETE FROM t WHERE c_acctbal < 0
+    dml.delete_where(spark, t, F.col("c_acctbal") < 0)
+    # UPDATE t SET c_mktsegment = 'VIP' WHERE c_custkey <= 10
+    dml.update_where(
+        spark, t, F.col("c_custkey") <= 10, {"c_mktsegment": F.lit("VIP")}
+    )
+    # MERGE INTO t USING src ON c_custkey: matched -> new balance, else insert
+    # keys 1-5 that survived the DELETE (acctbal >= 0) -> guaranteed matched
+    src = cust.where(
+        (F.col("c_custkey") <= 5) & (F.col("c_acctbal") >= 0)
+    ).withColumn(
+        "c_acctbal", F.lit(0.0)
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000_001, "Customer#fresh", 0, 1.5, "NEW")],
+            "c_custkey bigint, c_name string, c_nationkey bigint, "
+            "c_acctbal double, c_mktsegment string",
+        )
+    )
+    dml.merge_into(spark, t, src, on=["c_custkey"], update_cols=["c_acctbal"])
+    return (
+        dml.read(spark, t)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+DML_COW_SQL = """
+with after_delete as (
+  select * from customer where not (c_acctbal < 0)
+), after_update as (
+  select c_custkey, c_name, c_nationkey, c_acctbal,
+         case when c_custkey <= 10 then 'VIP' else c_mktsegment end as c_mktsegment
+  from after_delete
+), after_merge as (
+  select c_custkey, c_name, c_nationkey,
+         case when c_custkey <= 5 then 0.0 else c_acctbal end as c_acctbal,
+         c_mktsegment
+  from after_update
+  union all
+  select 10000001, 'Customer#fresh', 0, 1.5, 'NEW'
+)
+select c_mktsegment, count(*) as n,
+       sum(cast(c_acctbal as decimal(18,2))) as bal
+from after_merge group by c_mktsegment order by c_mktsegment
+"""
+
+
+SOURCES_QUERIES = {
+    "src_csv_roundtrip": csv_roundtrip,
+    "src_json_roundtrip": json_roundtrip,
+    "src_arrow_read": arrow_read,
+    "src_ctas_insert": ctas_insert,
+    "src_copy_into_dedup": copy_into_dedup,
+    "src_dml_cow": dml_cow,
+}
+
+SOURCES_ORACLE = {
+    "src_csv_roundtrip": CSV_ROUNDTRIP_SQL,
+    "src_json_roundtrip": JSON_ROUNDTRIP_SQL,
+    "src_arrow_read": ARROW_READ_SQL,
+    "src_ctas_insert": CTAS_INSERT_SQL,
+    "src_copy_into_dedup": COPY_INTO_SQL,
+    "src_dml_cow": DML_COW_SQL,
+}
