@@ -18,6 +18,7 @@ from dremio_oss_spark.queries import (
     operators,
     relational_q,
     sources_q,
+    streaming_q,
     tpch,
 )
 
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(functions_q.FUNCTION_QUERIES)
     out.update(relational_q.RELATIONAL_QUERIES)
     out.update(sources_q.SOURCES_QUERIES)
+    out.update(streaming_q.STREAMING_QUERIES)
     return out
 
 
@@ -46,4 +48,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(functions_q.FUNCTION_ORACLE)
     out.update(relational_q.RELATIONAL_ORACLE)
     out.update(sources_q.SOURCES_ORACLE)
+    out.update(streaming_q.STREAMING_ORACLE)
     return out

@@ -1,0 +1,105 @@
+"""Streaming queries (Structured Streaming, availableNow) with batch-SQL
+oracles — the stream drains the full fixture, so final state must equal
+the equivalent batch aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+def tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return tumbling_window_agg(spark, sf)
+
+
+TUMBLING_SQL = """
+select date_trunc('hour', ts) as w_start, event_type,
+       count(*) as n,
+       sum(cast(value as decimal(18,4))) as val_sum
+from events
+group by 1, 2
+order by w_start, event_type
+"""
+
+
+def sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return sliding_window_agg(spark, sf)
+
+
+# every event belongs to exactly two 1h/30m sliding windows:
+# [floor30(ts) - 30min, ...) and [floor30(ts), ...)
+SLIDING_SQL = """
+with cand as (
+  select unnest([
+           time_bucket(interval '30 minutes', ts) - interval '30 minutes',
+           time_bucket(interval '30 minutes', ts)
+         ]) as w_start,
+         value
+  from events
+)
+select w_start, count(*) as n,
+       sum(cast(value as decimal(18,4))) as val_sum
+from cand
+group by w_start
+order by w_start
+"""
+
+
+def session(spark: SparkSession, sf: str) -> DataFrame:
+    return session_window_agg(spark, sf)
+
+
+# gaps-and-islands replica of session_window(ts, '10 minutes') per user
+SESSION_SQL = """
+with marked as (
+  select user_id, ts,
+         case when ts - lag(ts) over (partition by user_id order by ts)
+                   > interval '10 minutes'
+              or lag(ts) over (partition by user_id order by ts) is null
+         then 1 else 0 end as new_session
+  from events
+), numbered as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts
+                                rows unbounded preceding) as sess_id
+  from marked
+)
+select user_id, min(ts) as session_start, count(*) as n_events
+from numbered
+group by user_id, sess_id
+order by user_id, session_start
+"""
+
+
+def dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_dedup(spark, sf)
+
+
+DEDUP_SQL = """
+select event_type, count(distinct event_id) as n
+from events
+group by event_type
+order by event_type
+"""
+
+
+STREAMING_QUERIES = {
+    "stream_tumbling_window": tumbling,
+    "stream_sliding_window": sliding,
+    "stream_session_window": session,
+    "stream_dedup_pipe": dedup,
+}
+
+STREAMING_ORACLE = {
+    "stream_tumbling_window": TUMBLING_SQL,
+    "stream_sliding_window": SLIDING_SQL,
+    "stream_session_window": SESSION_SQL,
+    "stream_dedup_pipe": DEDUP_SQL,
+}

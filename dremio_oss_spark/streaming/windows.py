@@ -1,0 +1,125 @@
+"""Windowed streaming aggregations over the events table.
+
+Pure Structured Streaming (no reference equivalent — Dremio OSS has no
+stream engine; see SURVEY.md §2.9).  Design notes for scale:
+
+- Source is the streaming file source (`readStream.parquet`) with
+  `availableNow` trigger: processes the current backlog in bounded
+  micro-batches, then stops — the pattern for incremental jobs over a
+  growing lake directory (the reference's auto-ingest pipe role).
+- Watermarks bound state: tumbling/sliding state is dropped once the
+  watermark passes the window end; session state once gap + watermark
+  pass.  On a 1000-executor cluster, state lives in the state store
+  partitioned by grouping key — the same shuffle partitioning as a
+  batch groupBy, so skew handling follows from AQE-style key design,
+  not collector logic.
+- Memory sink is test-only; production would writeStream to parquet/
+  Kafka with checkpointing (exactly-once via the offset log).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with normalized timestamp.
+
+    The streaming file source requires a *directory* (it tails new files
+    dropped into it — the auto-ingest model); the fixture is a single
+    file, so stage a symlink dir under the repo scratch area.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    stage = os.path.join(repo_root, ".scratch", f"events_stream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(stage)
+    # events.parquet stores TIMESTAMP(NANOS) -> long nanos under
+    # nanosAsLong (see catalog.load_events); normalize to timestamp
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def run_to_table(stream: DataFrame, name: str, mode: str) -> None:
+    """Drain the stream with availableNow into a memory sink table."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sink(sf_dir: str, base: str) -> str:
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    return f"{base}_{tag}"
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("val_sum"),
+    )
+    name = _sink(sf_dir, "tumble")
+    run_to_table(
+        agg.select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "val_sum"
+        ),
+        name,
+        "complete",
+    )
+    return spark.table(name).orderBy("w_start", "event_type")
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("val_sum"),
+    )
+    name = _sink(sf_dir, "slide")
+    run_to_table(
+        agg.select(F.col("w.start").alias("w_start"), "n", "val_sum"),
+        name,
+        "complete",
+    )
+    return spark.table(name).orderBy("w_start")
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+    name = _sink(sf_dir, "session")
+    run_to_table(
+        agg.select("user_id", F.col("first_ts").alias("session_start"), "n_events"),
+        name,
+        "complete",
+    )
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-style dedup ingest: duplicate delivery collapsed on event_id
+    (auto-ingest pipe DEDUPE_LOOKBACK semantics, ingestion.ftl:195-222)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = ev.union(ev)  # simulate at-least-once redelivery
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = _sink(sf_dir, "dedup")
+    run_to_table(agg, name, "complete")
+    return spark.table(name).orderBy("event_type")
