@@ -16,6 +16,7 @@ from dremio_oss_spark.queries import (
     functions_q,
     llmops,
     operators,
+    reflections_q,
     relational_q,
     sources_q,
     streaming_q,
@@ -37,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational_q.RELATIONAL_QUERIES)
     out.update(sources_q.SOURCES_QUERIES)
     out.update(streaming_q.STREAMING_QUERIES)
+    out.update(reflections_q.REFLECTION_QUERIES)
     return out
 
 
@@ -49,4 +51,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational_q.RELATIONAL_ORACLE)
     out.update(sources_q.SOURCES_ORACLE)
     out.update(streaming_q.STREAMING_ORACLE)
+    out.update(reflections_q.REFLECTION_ORACLE)
     return out

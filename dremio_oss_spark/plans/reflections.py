@@ -1,0 +1,218 @@
+"""Reflections: materialized aggregates with automatic plan substitution.
+
+Reference: dremio-oss
+- definition + lifecycle: `services/accelerator/.../reflection/
+  ReflectionServiceImpl.java` (`ALTER ... CREATE AGGREGATION REFLECTION`).
+- plan substitution: `sabot/kernel/.../planner/acceleration/substitution/
+  SubstitutionProvider.java:40` — Calcite materialized-view matching that
+  swaps a query subtree for a rollup over the materialization.
+- incremental refresh: `services/accelerator/.../IncrementalUpdateServiceUtils.java:46`
+  (append-based: only rows past the last refresh watermark are re-aggregated).
+
+Spark-first design: rather than patching Catalyst internals from Python,
+matching happens one level up on a tiny declarative IR (`AggQuery`): the
+engine's aggregate entry point consults the `ReflectionStore` before
+building the DataFrame plan.  A match means the scan target switches from
+the 100 TB base table to the few-MB materialization and the aggregation
+becomes a rollup (SUM of partial SUMs, SUM of partial COUNTs, MIN of
+MINs, ...).  This is exactly the reference's aggregate-rollup match,
+minus join-tree matching (documented gap).
+
+Scale: the materialization is partitioned parquet keyed by the
+reflection's leading dimension; refresh is a distributed groupBy; the
+incremental path aggregates only new rows (watermark on a monotonic
+column) and merges partials by re-rolling sums/counts/mins/maxes —
+associative measures only, which is why AVG is stored as SUM+COUNT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# measure kinds we can roll up (associative re-aggregation)
+_ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One declared measure: kind in {sum,count,min,max}, over a column."""
+
+    kind: str
+    col: str  # ignored for count
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}_{self.col}" if self.kind != "count" else "count_all"
+
+
+@dataclass(frozen=True)
+class AggQuery:
+    """Declarative aggregate query: the IR substitution matches on."""
+
+    table: str
+    dims: tuple[str, ...]
+    measures: tuple[Measure, ...]
+    filters: tuple[str, ...] = ()  # SQL predicates over dims only
+
+
+@dataclass
+class Reflection:
+    name: str
+    table: str
+    dims: tuple[str, ...]
+    measures: tuple[Measure, ...]
+    path: str
+    watermark_col: str | None = None
+    watermark: object = None
+
+    def covers(self, q: AggQuery) -> bool:
+        if q.table != self.table:
+            return False
+        if not set(q.dims) <= set(self.dims):
+            return False
+        if not set(q.measures) <= set(self.measures):
+            return False
+        # filters must reference reflection dims only (pushable post-rollup)
+        import re
+
+        for f in q.filters:
+            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", f))
+            if not idents & set(self.dims):
+                return False
+        return True
+
+
+class ReflectionStore:
+    """Registry + refresh + substitution for aggregation reflections."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._reflections: dict[str, Reflection] = {}
+
+    # -- DDL ---------------------------------------------------------------
+    def create_aggregation_reflection(
+        self,
+        name: str,
+        source: DataFrame,
+        table: str,
+        dims: list[str],
+        measures: list[Measure],
+        watermark_col: str | None = None,
+    ) -> Reflection:
+        """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent."""
+        path = os.path.join(self.root, name)
+        shutil.rmtree(path, ignore_errors=True)
+        refl = Reflection(
+            name, table, tuple(dims), tuple(measures), path, watermark_col
+        )
+        self._full_refresh(refl, source)
+        self._reflections[name] = refl
+        return refl
+
+    def drop(self, name: str) -> None:
+        refl = self._reflections.pop(name, None)
+        if refl:
+            shutil.rmtree(refl.path, ignore_errors=True)
+
+    # -- refresh -----------------------------------------------------------
+    def _aggregate(self, df: DataFrame, refl: Reflection) -> DataFrame:
+        aggs = []
+        for m in refl.measures:
+            if m.kind == "count":
+                aggs.append(F.count("*").alias(m.name))
+            else:
+                col = F.col(m.col)
+                if m.kind == "sum":
+                    col = col.cast("decimal(28,4)")
+                aggs.append(getattr(F, m.kind)(col).alias(m.name))
+        return df.groupBy(*refl.dims).agg(*aggs)
+
+    def _full_refresh(self, refl: Reflection, source: DataFrame) -> None:
+        agg = self._aggregate(source, refl)
+        agg.write.mode("overwrite").parquet(os.path.join(refl.path, "data"))
+        if refl.watermark_col:
+            wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
+            refl.watermark = wm
+            self._write_meta(refl)
+
+    def incremental_refresh(self, refl_name: str, source: DataFrame) -> int:
+        """Append-based refresh: aggregate only rows past the watermark,
+        then merge partials with the existing materialization
+        (IncrementalUpdateServiceUtils.java:46)."""
+        refl = self._reflections[refl_name]
+        if not refl.watermark_col:
+            raise ValueError("reflection has no watermark column")
+        new_rows = source.where(F.col(refl.watermark_col) > F.lit(refl.watermark))
+        n_new = new_rows.count()
+        if n_new == 0:
+            return 0
+        delta = self._aggregate(new_rows, refl)
+        data_path = os.path.join(refl.path, "data")
+        existing = self.spark.read.parquet(data_path)
+        merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
+            *[
+                _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                for m in refl.measures
+            ]
+        )
+        tmp = data_path + ".new"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data_path)
+        os.replace(tmp, data_path)
+        wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
+        refl.watermark = wm
+        self._write_meta(refl)
+        return n_new
+
+    def _write_meta(self, refl: Reflection) -> None:
+        with open(os.path.join(refl.path, "meta.json"), "w") as f:
+            json.dump({"watermark": str(refl.watermark)}, f)
+
+    # -- substitution ------------------------------------------------------
+    def find_match(self, q: AggQuery) -> Reflection | None:
+        for refl in self._reflections.values():
+            if refl.covers(q):
+                return refl
+        return None
+
+    def execute(self, q: AggQuery, base: DataFrame) -> tuple[DataFrame, bool]:
+        """Answer an AggQuery, substituting a reflection when one covers it.
+
+        Returns (result, substituted).  The rollup path never touches the
+        base table: SUMs re-sum partial sums, COUNTs re-sum partial
+        counts, MIN/MAX re-min/max.
+        """
+        refl = self.find_match(q)
+        if refl is None:
+            df = base
+            for f in q.filters:
+                df = df.where(f)
+            aggs = []
+            for m in q.measures:
+                if m.kind == "count":
+                    aggs.append(F.count("*").alias(m.name))
+                else:
+                    col = F.col(m.col)
+                    if m.kind == "sum":
+                        col = col.cast("decimal(28,4)")
+                    aggs.append(getattr(F, m.kind)(col).alias(m.name))
+            return df.groupBy(*q.dims).agg(*aggs), False
+
+        mat = self.spark.read.parquet(os.path.join(refl.path, "data"))
+        for f in q.filters:
+            mat = mat.where(f)
+        rolled = mat.groupBy(*q.dims).agg(
+            *[
+                _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                for m in q.measures
+            ]
+        )
+        return rolled, True

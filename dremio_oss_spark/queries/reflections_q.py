@@ -1,0 +1,116 @@
+"""Reflection substitution queries: results must be identical whether the
+optimizer answers from the base table or the materialization.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..plans import AggQuery, Measure, ReflectionStore
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+MEASURES = [
+    Measure("sum", "l_quantity"),
+    Measure("sum", "l_extendedprice"),
+    Measure("count", "*"),
+    Measure("min", "l_shipdate"),
+    Measure("max", "l_shipdate"),
+]
+
+
+def _store(spark: SparkSession, sf: str) -> ReflectionStore:
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
+    return ReflectionStore(spark, os.path.join(_REPO, ".scratch", f"refl-{tag}"))
+
+
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Query answered FROM THE REFLECTION (asserted), rolled up from
+    (returnflag, linestatus) partials to returnflag grain."""
+    store = _store(spark, sf)
+    li = load(spark, sf, "lineitem")
+    store.create_aggregation_reflection(
+        "li_by_flag_status",
+        li,
+        table="lineitem",
+        dims=["l_returnflag", "l_linestatus"],
+        measures=MEASURES,
+        watermark_col="l_orderkey",
+    )
+    q = AggQuery(
+        table="lineitem",
+        dims=("l_returnflag",),
+        measures=(
+            Measure("sum", "l_quantity"),
+            Measure("count", "*"),
+            Measure("min", "l_shipdate"),
+        ),
+        filters=("l_linestatus = 'F'",),
+    )
+    df, substituted = store.execute(q, li)
+    assert substituted, "reflection substitution did not fire"
+    return df.orderBy("l_returnflag")
+
+
+AGG_ROLLUP_SQL = """
+select l_returnflag,
+       sum(cast(l_quantity as decimal(28,4))) as sum_l_quantity,
+       count(*) as count_all,
+       min(l_shipdate) as min_l_shipdate
+from lineitem
+where l_linestatus = 'F'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+def incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-source incremental refresh must equal a one-shot full build."""
+    from pyspark.sql import functions as F
+
+    store = _store(spark, sf)
+    li = load(spark, sf, "lineitem")
+    cutoff = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+    store.create_aggregation_reflection(
+        "li_incr",
+        li.where(F.col("l_orderkey") <= cutoff),
+        table="lineitem",
+        dims=["l_returnflag"],
+        measures=[Measure("sum", "l_quantity"), Measure("count", "*")],
+        watermark_col="l_orderkey",
+    )
+    n = store.incremental_refresh("li_incr", li)
+    assert n > 0, "incremental refresh processed no rows"
+    q = AggQuery(
+        table="lineitem",
+        dims=("l_returnflag",),
+        measures=(Measure("sum", "l_quantity"), Measure("count", "*")),
+    )
+    df, substituted = store.execute(q, li)
+    assert substituted
+    return df.orderBy("l_returnflag")
+
+
+INCREMENTAL_SQL = """
+select l_returnflag,
+       sum(cast(l_quantity as decimal(28,4))) as sum_l_quantity,
+       count(*) as count_all
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+REFLECTION_QUERIES = {
+    "refl_agg_rollup": agg_rollup,
+    "refl_incremental_refresh": incremental,
+}
+
+REFLECTION_ORACLE = {
+    "refl_agg_rollup": AGG_ROLLUP_SQL,
+    "refl_incremental_refresh": INCREMENTAL_SQL,
+}

@@ -1,0 +1,50 @@
+"""Reflection substitution/refresh vs DuckDB oracle + plan-shape check."""
+
+from __future__ import annotations
+
+import pytest
+
+from dremio_oss_spark.queries import reflections_q
+
+from .conftest import SF_SMALL
+from .oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(reflections_q.REFLECTION_ORACLE))
+def test_reflection_parity(spark, oracle, name):
+    df = reflections_q.REFLECTION_QUERIES[name](spark, SF_SMALL)
+    expected = oracle.execute(reflections_q.REFLECTION_ORACLE[name]).fetchdf()
+    problems = compare(df, expected, ordered=False)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_substituted_plan_scans_materialization(spark):
+    """Plan-shape check (reference PlanTestBase.testPlanMatchingPatterns):
+    the substituted plan must scan the reflection dir, not lineitem."""
+    df = reflections_q.agg_rollup(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "li_by_flag_status" in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_no_match_falls_back(spark):
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.plans import AggQuery, Measure
+
+    store = reflections_q._store(spark, SF_SMALL)
+    li = load(spark, SF_SMALL, "lineitem")
+    q = AggQuery(
+        table="lineitem",
+        dims=("l_partkey",),  # not covered by any reflection
+        measures=(Measure("sum", "l_quantity"),),
+    )
+    df, substituted = store.execute(q, li)
+    assert not substituted
+    assert df.count() > 0
