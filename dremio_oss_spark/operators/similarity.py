@@ -49,6 +49,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot_dec(a, b) / (_norm_dec(a) * _norm_dec(b))
 
 
+def _dot_dbl(a: Column, b: Column) -> Column:
+    """Fast double dot product (codegen-friendly) — for paths with no
+    cross-engine oracle, where fp summation order can't cause mismatches."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_dbl(a: Column, b: Column) -> Column:
+    return _dot_dbl(a, b) / F.sqrt(_dot_dbl(a, a) * _dot_dbl(b, b))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
@@ -84,37 +98,69 @@ def _plane_component(plane: int, i: int) -> Column:
 
 def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int = 64) -> Column:
     """Bucket id for one hash table: sign bits of dot(vec, plane_j)."""
+    # double accumulation: bucket assignment has no cross-engine oracle
+    # (recall is measured against brute force), so fp order is fine and
+    # the fold stays inside whole-stage codegen
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
         comps = F.array(
             *[_plane_component(table * n_planes + j, i) for i in range(dim)]
         )
         d = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: (x.cast("double") * c).cast(DEC)),
-            F.lit(0).cast(DEC),
-            lambda acc, x: (acc + x).cast(DEC),
-        ).cast("double")
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket
 
 
+def _plane_matrix(n_tables: int, n_planes: int, dim: int):
+    """(dim x n_tables*n_planes) hyperplane matrix; entries identical to
+    _plane_component (same md5 derivation) so both impls agree."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((dim, n_tables * n_planes), dtype=np.float64)
+    for p in range(n_tables * n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"7:p{p}:{i}".encode()).hexdigest()[:15], 16)
+            m[i, p] = float(h % 2001 - 1000)
+    return m
+
+
 def _bucketed(df: DataFrame, id_alias: str, vec_alias: str, n_tables: int,
               n_planes: int, dim: int, id_col: str, vec_col: str) -> DataFrame:
-    """One row per (vector, table) with that table's bucket id."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec_col), t, n_planes, dim).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    """One row per (vector, table) with that table's bucket id.
+
+    All n_tables*n_planes hyperplane dots per vector are ONE numpy matmul
+    inside an Arrow-batched pandas UDF (Spark's array higher-order
+    functions are interpreted, so 16 folds x 64 lambda steps per row cost
+    ~10x a vectorized batch).  The plane matrix is a plan-time constant
+    shipped in the UDF closure.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    m = _plane_matrix(n_tables, n_planes, dim)
+
+    def _buckets(vs):
+        import numpy as np
+
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (x @ m > 0).astype(np.int64)  # (n, tables*planes)
+        weights = 2 ** np.arange(n_planes, dtype=np.int64)
+        b = bits.reshape(len(vs), n_tables, n_planes) @ weights
+        return pd.Series(list(b))
+
+    buckets_udf = pandas_udf(_buckets, ArrayType(LongType()))
     return df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
-        F.explode(buckets).alias("tb"),
-    ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("tbl", "bkt"),
+    )
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -136,7 +182,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("qid", "qvec", "nid", "nvec")
         .distinct()
     )
-    scored = cands.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    scored = cands.withColumn("cos", cosine_dbl(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

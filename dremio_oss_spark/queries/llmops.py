@@ -18,7 +18,7 @@ from ..catalog import load
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
-from ..operators.dedup import h64_sql
+from ..operators.dedup import h64_sql, hbase_sql, lane_sql
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +121,7 @@ def llm_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MH_COLS = ",\n         ".join(
-    f"min({h64_sql('shingle', i)}) as mh{i}" for i in range(D.N_HASHES)
+    f"min({lane_sql('hb', i)}) as mh{i}" for i in range(D.N_HASHES)
 )
 _BAND_SELECTS = "\n  union all\n".join(
     "  select doc_id, {b} as band, md5(concat_ws(',', {cols})) as bucket from sigs".format(
@@ -140,9 +140,11 @@ with toks as (
                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) as shingle
   from toks
   where len(t) >= 3
+), shb as (
+  select doc_id, shingle, {hbase_sql('shingle')} as hb from sh
 ), sigs as (
   select doc_id, {_MH_COLS}
-  from sh group by doc_id
+  from shb group by doc_id
 ), banded as (
 {_BAND_SELECTS}
 ), cands as (

@@ -51,15 +51,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_table(stream: DataFrame, name: str, mode: str) -> None:
-    """Drain the stream with availableNow into a memory sink table."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain the stream with availableNow into a memory sink table.
+
+    Streaming state-store partition count is fixed at query start from
+    spark.sql.shuffle.partitions (AQE does not apply to streaming
+    aggregations); 32 partitions means 32 state stores per stateful op,
+    mostly overhead at micro-batch sizes.  Pin a modest count for the
+    bounded drain, restore the session default after.  On a real cluster
+    this is the knob you size to keyspace (state shards), not input TB.
+    """
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _sink(sf_dir: str, base: str) -> str:
