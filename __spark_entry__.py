@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dremio_oss_spark.queries import (
     functions_q,
     llmops,
+    multimodal_q,
     operators,
     reflections_q,
     relational_q,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sources_q.SOURCES_QUERIES)
     out.update(streaming_q.STREAMING_QUERIES)
     out.update(reflections_q.REFLECTION_QUERIES)
+    out.update(multimodal_q.MULTIMODAL_QUERIES)
     return out
 
 
@@ -52,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sources_q.SOURCES_ORACLE)
     out.update(streaming_q.STREAMING_ORACLE)
     out.update(reflections_q.REFLECTION_ORACLE)
+    out.update(multimodal_q.MULTIMODAL_ORACLE)
     return out
