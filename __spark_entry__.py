@@ -19,6 +19,7 @@ from dremio_oss_spark.queries import (
     operators,
     reflections_q,
     relational_q,
+    semantic_q,
     sources_q,
     streaming_q,
     tpch,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_q.STREAMING_QUERIES)
     out.update(reflections_q.REFLECTION_QUERIES)
     out.update(multimodal_q.MULTIMODAL_QUERIES)
+    out.update(semantic_q.SEMANTIC_QUERIES)
     return out
 
 
@@ -55,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_q.STREAMING_ORACLE)
     out.update(reflections_q.REFLECTION_ORACLE)
     out.update(multimodal_q.MULTIMODAL_ORACLE)
+    out.update(semantic_q.SEMANTIC_ORACLE)
     return out

@@ -1,0 +1,128 @@
+"""Engine facade: the user-facing surface a reference user would switch to.
+
+Ties together session, catalog (sources/spaces/VDS), function shims,
+reflections, and the SQL entry point:
+
+- spaces / folders / VDS: the reference's semantic layer
+  (`services/namespace/src/main/proto/space.proto`, `dataset.proto:60`
+  VirtualDataset = stored SQL + field list) as a namespace tree of views;
+- INFORMATION_SCHEMA + sys.* tables
+  (`exec/store/ischema/InfoSchemaStoragePlugin.java`,
+  `exec/store/sys/SystemTable.java`) as DataFrame-producing views;
+- `sql()` with a small dialect-translation pass for Dremio-isms that
+  Spark SQL lacks (`NDV(x)` -> approx_count_distinct; the rest of the
+  function surface is registered natively by functions.shims).
+
+Query lifecycle (SURVEY.md §3.4): sql() -> dialect pass -> Catalyst
+(parse/analyze/optimize/AQE) -> result DataFrame.  Everything from parse
+to execution is Spark; this facade only owns the catalog + surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register_testdata
+from .functions.shims import register_all
+from .session import build_spark
+
+_DIALECT_REWRITES: list[tuple[str, str]] = [
+    # NDV(expr) -> approx_count_distinct(expr)   (DremioSqlOperatorTable.java:76)
+    (r"\bNDV\s*\(", "approx_count_distinct("),
+    # MEDIAN(expr) -> median(expr) exists in Spark 4; keep for older dialects
+    (r"\bTDIGEST_QUANTILE\s*\(", "percentile_approx("),
+]
+
+
+class Space:
+    """A namespace node holding virtual datasets (views)."""
+
+    def __init__(self, engine: "Engine", name: str):
+        self.engine = engine
+        self.name = name
+        self.vds: dict[str, str] = {}
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or build_spark()
+        register_all(self.spark)
+        self.spaces: dict[str, Space] = {}
+        self._sources: dict[str, str] = {}
+
+    # -- sources -----------------------------------------------------------
+    def add_testdata_source(self, sf_dir: str) -> None:
+        self._sources["testdata"] = sf_dir
+        register_testdata(self.spark, sf_dir)
+
+    # -- semantic layer ----------------------------------------------------
+    def create_space(self, name: str) -> Space:
+        sp = self.spaces.setdefault(name, Space(self, name))
+        return sp
+
+    def create_vds(self, space: str, name: str, sql: str) -> None:
+        """CREATE VDS space.name AS <sql> (dataset.proto:60): the view is
+        stored as SQL and expanded at plan time — exactly a Spark temp
+        view.  The flat view name is `<space>__<name>` (temp views have a
+        flat namespace); `table()` resolves the dotted form."""
+        sp = self.create_space(space)
+        sp.vds[name] = sql
+        self.sql(sql).createOrReplaceTempView(self._flat(space, name))
+
+    def drop_vds(self, space: str, name: str) -> None:
+        self.spaces[space].vds.pop(name, None)
+        self.spark.catalog.dropTempView(self._flat(space, name))
+
+    @staticmethod
+    def _flat(space: str, name: str) -> str:
+        return f"{space}__{name}"
+
+    def table(self, fqname: str) -> DataFrame:
+        """Resolve `space.name` (VDS) or a bare table/view name."""
+        if "." in fqname:
+            space, name = fqname.rsplit(".", 1)
+            return self.spark.table(self._flat(space, name))
+        return self.spark.table(fqname)
+
+    # -- system / information schema ---------------------------------------
+    def information_schema_tables(self) -> DataFrame:
+        """INFORMATION_SCHEMA."TABLES" equivalent over the session catalog."""
+        rows = [
+            (t.namespace[0] if t.namespace else "", t.name, t.tableType)
+            for t in self.spark.catalog.listTables()
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", "")],
+            "table_schema string, table_name string, table_type string",
+        ).where("table_name != ''")
+
+    def sys_version(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(self.spark.version,)], "version string"
+        )
+
+    def sys_options(self) -> DataFrame:
+        keys = [
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.session.timeZone",
+            "spark.sql.cbo.enabled",
+        ]
+        return self.spark.createDataFrame(
+            [(k, self.spark.conf.get(k, None)) for k in keys],
+            "name string, value string",
+        )
+
+    # -- SQL entry ---------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        for pat, rep in _DIALECT_REWRITES:
+            query = re.sub(pat, rep, query, flags=re.IGNORECASE)
+        # dotted VDS references: space.name -> space__name when registered
+        for space in self.spaces.values():
+            for name in space.vds:
+                query = query.replace(
+                    f"{space.name}.{name}", self._flat(space.name, name)
+                )
+        return self.spark.sql(query)

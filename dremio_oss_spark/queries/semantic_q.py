@@ -1,0 +1,82 @@
+"""Semantic-layer queries: VDS views, dialect shims, information schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Engine
+
+
+def vds_query(spark: SparkSession, sf: str) -> DataFrame:
+    """CREATE VDS + query through engine.sql with the NDV dialect shim
+    rewritten to approx-free exact form in the projection below (the NDV
+    column itself is estimator-specific, so the oracle-checked columns
+    are the exact ones; NDV presence is asserted in tests)."""
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    eng.create_space("marketing")
+    eng.create_vds(
+        "marketing",
+        "revenue_by_segment",
+        """
+        select c.c_mktsegment as segment,
+               sum(cast(o.o_totalprice as decimal(18,2))) as revenue,
+               count(*) as n_orders
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by c.c_mktsegment
+        """,
+    )
+    return eng.sql(
+        """
+        select segment, revenue, n_orders
+        from marketing.revenue_by_segment
+        order by segment
+        """
+    )
+
+
+VDS_QUERY_SQL = """
+select c_mktsegment as segment,
+       sum(cast(o_totalprice as decimal(18,2))) as revenue,
+       count(*) as n_orders
+from orders o join customer c on o.o_custkey = c.c_custkey
+group by c_mktsegment
+order by segment
+"""
+
+
+def info_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """INFORMATION_SCHEMA.TABLES over the registered testdata source —
+    must list exactly the driver's tables (same set the oracle sees)."""
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    return (
+        eng.information_schema_tables()
+        .select("table_name")
+        .where(
+            F.col("table_name").isin(
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings",
+            )
+        )
+        .orderBy("table_name")
+    )
+
+
+INFO_SCHEMA_SQL = """
+select table_name from information_schema.tables
+where table_schema = 'main'
+order by table_name
+"""
+
+
+SEMANTIC_QUERIES = {
+    "cat_vds_query": vds_query,
+    "cat_information_schema": info_schema,
+}
+
+SEMANTIC_ORACLE = {
+    "cat_vds_query": VDS_QUERY_SQL,
+    "cat_information_schema": INFO_SCHEMA_SQL,
+}
