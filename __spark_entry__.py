@@ -23,6 +23,7 @@ from dremio_oss_spark.queries import (
     sources_q,
     streaming_q,
     tpch,
+    types_q,
 )
 
 
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(reflections_q.REFLECTION_QUERIES)
     out.update(multimodal_q.MULTIMODAL_QUERIES)
     out.update(semantic_q.SEMANTIC_QUERIES)
+    out.update(types_q.TYPES_QUERIES)
     return out
 
 
@@ -58,4 +60,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(reflections_q.REFLECTION_ORACLE)
     out.update(multimodal_q.MULTIMODAL_ORACLE)
     out.update(semantic_q.SEMANTIC_ORACLE)
+    out.update(types_q.TYPES_ORACLE)
     return out

@@ -31,7 +31,7 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):

@@ -1,0 +1,62 @@
+"""Plan-shape assertions (reference PlanTestBase.testPlanMatchingPatterns,
+sabot/kernel/src/test/java/com/dremio/PlanTestBase.java:82): the optimized
+plans must show predicate pushdown, column pruning, broadcast of small
+dims, and partial aggregation — the properties that carry a 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dremio_oss_spark.catalog import load
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load(spark, SF_SMALL, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    ).select("l_returnflag")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must carry ONLY the projected columns (file order)
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = load(spark, SF_SMALL, "nation")
+    cust = load(spark, SF_SMALL, "customer")
+    df = cust.join(nation, cust.c_nationkey == nation.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_present(spark):
+    df = (
+        load(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    plan = _plan(df)
+    # two-phase agg: partial_sum before the exchange, final after
+    assert "partial_sum" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = load(spark, SF_SMALL, "lineitem").where(F.col("l_quantity") > 10).select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen span
+    assert "*(1)" in _plan(df)
