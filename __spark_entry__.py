@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dremio_oss_spark.queries import (
+    extras_q,
     functions_q,
     llmops,
     multimodal_q,
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal_q.MULTIMODAL_QUERIES)
     out.update(semantic_q.SEMANTIC_QUERIES)
     out.update(types_q.TYPES_QUERIES)
+    out.update(extras_q.EXTRAS_QUERIES)
     return out
 
 
@@ -61,4 +63,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal_q.MULTIMODAL_ORACLE)
     out.update(semantic_q.SEMANTIC_ORACLE)
     out.update(types_q.TYPES_ORACLE)
+    out.update(extras_q.EXTRAS_ORACLE)
     return out

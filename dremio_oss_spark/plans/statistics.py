@@ -1,0 +1,56 @@
+"""ANALYZE TABLE statistics: per-column rowcount/nulls/ndv/min/max.
+
+Reference: dremio-oss `exec/store/sys/statistics/StatisticsService.java`
+(ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS; HLL for ndv, t-digest
+for histograms) feeding the cost model (`exec/planner/cost/DremioCost.java:23`,
+RelMdDistinctRowCount).
+
+Spark-first: one distributed aggregation computes every column's stats in
+a single pass (no per-column scans).  `ndv_approx` is HLL
+(approx_count_distinct) exactly like the reference; `ndv_exact` is also
+emitted at test scale for oracle comparison.  For catalog tables the same
+numbers would flow into Spark CBO via ANALYZE TABLE; here they land in a
+stats DataFrame/store the engine's sys.statistics view serves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per analyzed column: n_rows, n_nulls, ndv(+exact), min, max.
+
+    Single aggregation pass over the table — all columns' accumulators run
+    in the same stage (the reference likewise batches all requested
+    columns into one ANALYZE job).
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"_ndv_{c}"),
+            F.count_distinct(c).alias(f"_ndvx_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            row["_n_rows"],
+            row[f"_nulls_{c}"],
+            row[f"_ndv_{c}"],
+            row[f"_ndvx_{c}"],
+            row[f"_min_{c}"],
+            row[f"_max_{c}"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, n_rows bigint, n_nulls bigint, "
+        "ndv_approx bigint, ndv_exact bigint, min_value string, max_value string",
+    )

@@ -1,0 +1,210 @@
+"""Extras: external-query passthrough, time travel/rollback, ANALYZE
+statistics, LISTAGG ordering/DISTINCT, HLL sketch aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..plans.statistics import analyze_table
+from ..sources import dml
+from ..sources.external import ExternalSource
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def _scratch(name: str, sf: str) -> str:
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
+    d = os.path.join(_REPO, ".scratch", f"{name}-{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# --------------------------------------------------------------------------
+# External query passthrough (ExternalQuery.java; JDBC pushdown rel2sql)
+def external_query(spark: SparkSession, sf: str) -> DataFrame:
+    src = ExternalSource(
+        spark,
+        "ext_rdbms",
+        {
+            "nation": os.path.join(sf, "nation.parquet"),
+            "region": os.path.join(sf, "region.parquet"),
+        },
+    )
+    # the remote engine resolves nation+region; the (small) result joins
+    # broadcast against local fact data — the reference's federated shape
+    remote = src.external_query(
+        """
+        select n_nationkey, r_name
+        from nation join region on n_regionkey = r_regionkey
+        """
+    )
+    cust = load(spark, sf, "customer")
+    return (
+        cust.join(
+            F.broadcast(remote), cust.c_nationkey == remote.n_nationkey
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"))
+        .orderBy("r_name")
+    )
+
+
+EXTERNAL_QUERY_SQL = """
+select r_name, count(*) as n_cust
+from customer c join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by r_name
+order by r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Time travel + rollback over the snapshot store (TimeTravelTableMacro,
+# ROLLBACK TABLE)
+def time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    d = _scratch("tt", sf)
+    t = os.path.join(d, "part_t")
+    part = load(spark, sf, "part")
+    dml.create_table(part, t)
+    snap0 = dml.history(t)[-1]
+    dml.delete_where(spark, t, F.col("p_size") > 25)
+    after_delete = dml.read(spark, t).count()
+    # time travel to the pre-delete snapshot: full original data
+    at0 = dml.read_at(spark, t, snap0)
+    dml.rollback(t, snap0)
+    rolled = dml.read(spark, t)
+    return (
+        at0.groupBy()
+        .agg(
+            F.count("*").alias("n_at_snap0"),
+            F.lit(after_delete).alias("n_after_delete"),
+        )
+        .crossJoin(rolled.groupBy().agg(F.count("*").alias("n_after_rollback")))
+    )
+
+
+TIME_TRAVEL_SQL = """
+select count(*) as n_at_snap0,
+       (select count(*) from part where not (p_size > 25)) as n_after_delete,
+       count(*) as n_after_rollback
+from part
+"""
+
+
+# --------------------------------------------------------------------------
+# ANALYZE TABLE statistics (StatisticsService.java)
+def analyze_stats(spark: SparkSession, sf: str) -> DataFrame:
+    stats = analyze_table(
+        load(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    # oracle-checked columns: exact stats (ndv_approx asserted ±5% in tests)
+    return stats.select(
+        "column_name", "n_rows", "n_nulls", "ndv_exact", "min_value", "max_value"
+    ).orderBy("column_name")
+
+
+ANALYZE_STATS_SQL = """
+with s as (
+  select 'o_orderkey' as column_name, count(*) as n_rows,
+         sum(case when o_orderkey is null then 1 else 0 end) as n_nulls,
+         count(distinct o_orderkey) as ndv_exact,
+         cast(min(o_orderkey) as varchar) as min_value,
+         cast(max(o_orderkey) as varchar) as max_value
+  from orders
+  union all
+  select 'o_custkey', count(*),
+         sum(case when o_custkey is null then 1 else 0 end),
+         count(distinct o_custkey),
+         cast(min(o_custkey) as varchar), cast(max(o_custkey) as varchar)
+  from orders
+  union all
+  select 'o_orderstatus', count(*),
+         sum(case when o_orderstatus is null then 1 else 0 end),
+         count(distinct o_orderstatus),
+         cast(min(o_orderstatus) as varchar), cast(max(o_orderstatus) as varchar)
+  from orders
+  union all
+  select 'o_totalprice', count(*),
+         sum(case when o_totalprice is null then 1 else 0 end),
+         count(distinct o_totalprice),
+         cast(min(o_totalprice) as varchar), cast(max(o_totalprice) as varchar)
+  from orders
+)
+select * from s order by column_name
+"""
+
+
+# --------------------------------------------------------------------------
+# LISTAGG with WITHIN GROUP ordering + DISTINCT
+# (ListAggAccumulator.java; SURVEY.md §7.2 hard part 3)
+def listagg_group(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .where(F.col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "listagg(o_orderstatus, ',') within group (order by o_orderstatus)"
+            ).alias("statuses"),
+            F.expr(
+                "listagg(distinct o_orderpriority, '|') "
+                "within group (order by o_orderpriority)"
+            ).alias("priorities"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+LISTAGG_GROUP_SQL = """
+select o_custkey,
+       string_agg(o_orderstatus, ',' order by o_orderstatus) as statuses,
+       string_agg(distinct o_orderpriority, '|' order by o_orderpriority) as priorities
+from orders
+where o_custkey <= 200
+group by o_custkey
+order by o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL sketch agg/merge/estimate (HyperLogLog.java HLL/HLL_MERGE/HLL_DECODE)
+# — sketch bytes are engine-specific: rows-only + tolerance test
+def hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    per_nation = (
+        load(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy()
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv_merged"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+EXTRAS_QUERIES = {
+    "ext_external_query": external_query,
+    "src_time_travel": time_travel,
+    "stats_analyze": analyze_stats,
+    "op_listagg_group": listagg_group,
+    "op_hll_sketch": hll_sketch,
+}
+
+EXTRAS_ORACLE = {
+    "ext_external_query": EXTERNAL_QUERY_SQL,
+    "src_time_travel": TIME_TRAVEL_SQL,
+    "stats_analyze": ANALYZE_STATS_SQL,
+    "op_listagg_group": LISTAGG_GROUP_SQL,
+    # op_hll_sketch: sketch estimates are engine-specific (tolerance test)
+}

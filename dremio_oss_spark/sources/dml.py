@@ -65,6 +65,42 @@ def read(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.parquet(snap)
 
 
+def history(table: str) -> list[str]:
+    """Snapshot ids oldest-first (Iceberg table-history equivalent;
+    reference surfaces this as `SHOW LOGS` / time-travel metadata)."""
+    snaps = [d for d in os.listdir(table) if d.startswith("snap-")]
+    return sorted(snaps, key=lambda d: os.path.getmtime(os.path.join(table, d)))
+
+
+def read_at(spark: SparkSession, table: str, snapshot: str) -> DataFrame:
+    """Time travel: AT SNAPSHOT '<id>' (reference TimeTravelTableMacro,
+    `exec/tablefunctions/TimeTravelTableMacro.java`)."""
+    return spark.read.parquet(os.path.join(table, snapshot))
+
+
+def rollback(table: str, snapshot: str) -> None:
+    """ROLLBACK TABLE ... TO SNAPSHOT (Parser.tdd ROLLBACK TABLE): flip
+    the pointer back; newer snapshots stay until vacuumed."""
+    if not os.path.isdir(os.path.join(table, snapshot)):
+        raise FileNotFoundError(snapshot)
+    _commit(table, os.path.join(table, snapshot))
+
+
+def vacuum(table: str, keep: int = 1) -> list[str]:
+    """VACUUM: drop all but the newest `keep` snapshots (never the
+    current one).  Returns removed snapshot ids."""
+    import shutil
+
+    cur = os.path.basename(current_snapshot(table) or "")
+    snaps = history(table)
+    removable = [s for s in snaps[:-keep] if s != cur] if keep else [
+        s for s in snaps if s != cur
+    ]
+    for s in removable:
+        shutil.rmtree(os.path.join(table, s), ignore_errors=True)
+    return removable
+
+
 def delete_where(spark: SparkSession, table: str, cond: Column) -> None:
     """DELETE FROM table WHERE cond (copy-on-write)."""
     cur = read(spark, table)

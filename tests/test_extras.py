@@ -1,0 +1,51 @@
+"""Extras queries vs DuckDB oracle + HLL tolerance + vacuum behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from dremio_oss_spark.queries import extras_q
+
+from .conftest import SF_SMALL
+from .oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(extras_q.EXTRAS_ORACLE))
+def test_extras_parity(spark, oracle, name):
+    df = extras_q.EXTRAS_QUERIES[name](spark, SF_SMALL)
+    expected = oracle.execute(extras_q.EXTRAS_ORACLE[name]).fetchdf()
+    problems = compare(df, expected, ordered=False)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_hll_sketch_tolerance(spark):
+    from dremio_oss_spark.catalog import load
+
+    row = extras_q.hll_sketch(spark, SF_SMALL).collect()[0]
+    exact = load(spark, SF_SMALL, "customer").select("c_custkey").distinct().count()
+    assert abs(row["ndv_merged"] - exact) / exact < 0.05
+
+
+def test_vacuum_keeps_current(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.sources import dml
+
+    d = extras_q._scratch("vacuum", SF_SMALL)
+    t = os.path.join(d, "t")
+    dml.create_table(load(spark, SF_SMALL, "region"), t)
+    dml.delete_where(spark, t, F.col("r_regionkey") == 0)
+    assert len(dml.history(t)) == 2
+    removed = dml.vacuum(t, keep=1)
+    assert len(removed) == 1
+    assert dml.read(spark, t).count() == 4  # current snapshot intact
