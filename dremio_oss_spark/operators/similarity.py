@@ -163,6 +163,68 @@ def _bucketed(df: DataFrame, id_alias: str, vec_alias: str, n_tables: int,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into n_centroids cells,
+    probe the n_probe nearest cells per query, exact-score inside them.
+
+    The coarse quantizer is a deterministic sample (first n_centroids
+    vectors by id — at production scale you'd k-means a sample; the
+    search structure is identical).  Centroids are a plan-time constant
+    (n_centroids x dim floats on the driver); assignment runs as one
+    numpy matmul per Arrow batch; candidate generation is an equi-join
+    on cell id — cost ≈ |Q| * n_probe * N / n_centroids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    c = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
+    c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    def _nearest(n: int):
+        def _f(vs):
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = xn @ c_norm.T  # (rows, n_centroids)
+            top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+            return pd.Series(list(top))
+
+        return pandas_udf(_f, ArrayType(IntegerType()))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.element_at(_nearest(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_nearest(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", cosine_dbl(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "qid", "nid", F.round("cos", 6).alias("cos"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 4, n_tables: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

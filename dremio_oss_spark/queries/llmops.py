@@ -307,6 +307,12 @@ def llm_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def llm_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -316,6 +322,7 @@ LLMOPS_QUERIES = {
     "llm_ngram_jaccard": llm_ngram_jaccard,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_lsh_ann": llm_lsh_ann,
+    "llm_ivf_ann": llm_ivf_ann,
 }
 
 LLMOPS_ORACLE = {

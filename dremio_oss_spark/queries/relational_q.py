@@ -318,6 +318,88 @@ def ndv_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+def window_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-fill with LAST_VALUE ... IGNORE NULLS (WindowFunction.java
+    framed aggregates; the canonical time-series gap-fill)."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf).where(F.col("user_id") <= 30)
+    sparse = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("v"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    ).orderBy("user_id", "event_id")
+
+
+WINDOW_GAP_FILL_SQL = """
+select user_id, event_id,
+       case when event_type = 'click' then value end as v,
+       last_value(case when event_type = 'click' then value end ignore nulls)
+         over (partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row) as v_filled
+from events
+where user_id <= 30
+order by user_id, event_id
+"""
+
+
+# --------------------------------------------------------------------------
+def unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns -> (metric, value) rows — the
+    inverse of the pivot operator (Dremio models both through its
+    TableFunction/transpose surface)."""
+    wide = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") <= 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("price"),
+            F.sum(F.col("l_tax").cast("decimal(18,2)")).alias("tax"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["l_orderkey"], ["qty", "price", "tax"], "metric", "value"
+        )
+        .orderBy("l_orderkey", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+with wide as (
+  select l_orderkey,
+         sum(cast(l_quantity as decimal(18,2))) as qty,
+         sum(cast(l_extendedprice as decimal(18,2))) as price,
+         sum(cast(l_tax as decimal(18,2))) as tax
+  from lineitem where l_orderkey <= 500 group by l_orderkey
+)
+select l_orderkey, metric, value from (
+  select l_orderkey, 'qty' as metric, qty as value from wide
+  union all
+  select l_orderkey, 'price', price from wide
+  union all
+  select l_orderkey, 'tax', tax from wide
+)
+order by l_orderkey, metric
+"""
+
+
 RELATIONAL_QUERIES = {
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
@@ -328,6 +410,8 @@ RELATIONAL_QUERIES = {
     "op_union_by_name": union_by_name,
     "op_lateral_sequence": lateral_sequence,
     "op_ndv_approx": ndv_approx,
+    "op_window_gap_fill": window_gap_fill,
+    "op_unpivot": unpivot,
 }
 
 RELATIONAL_ORACLE = {
@@ -340,4 +424,6 @@ RELATIONAL_ORACLE = {
     "op_union_by_name": UNION_BY_NAME_SQL,
     "op_lateral_sequence": LATERAL_SEQUENCE_SQL,
     # op_ndv_approx: estimator-specific, rows-only (tolerance test in tests/)
+    "op_window_gap_fill": WINDOW_GAP_FILL_SQL,
+    "op_unpivot": UNPIVOT_SQL,
 }

@@ -42,3 +42,16 @@ def test_lsh_ann_recall(spark):
     assert all(q != n for q, n in approx)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"implausibly low LSH recall: {recall}"
+
+
+def test_ivf_ann_recall(spark):
+    """IVF probe path returns valid top-k with reasonable recall."""
+    from dremio_oss_spark.queries.llmops import llm_ivf_ann, llm_cosine_topk
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in llm_cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = {(r["qid"], r["nid"]) for r in llm_ivf_ann(spark, SF_SMALL).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"implausibly low IVF recall: {recall}"
