@@ -115,6 +115,19 @@ class Engine:
             "name string, value string",
         )
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN surface (reference: EXPLAIN / EXPLAIN JSON,
+        Parser.tdd): returns the plan text for a SQL string."""
+        df = self.sql(query)
+        qe = df._jdf.queryExecution()
+        if mode == "formatted":
+            return qe.explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        return qe.toString()
+
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         for pat, rep in _DIALECT_REWRITES:

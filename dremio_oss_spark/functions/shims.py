@@ -108,6 +108,14 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "(a STRING, b STRING, c STRING) RETURNS STRING RETURN "
         "concat(coalesce(a, ''), coalesce(b, ''), coalesce(c, ''))"
     ),
+    # ContextFunctions.java: user identity + schema context
+    "query_user": "() RETURNS STRING RETURN current_user()",
+    "session_user_fn": "() RETURNS STRING RETURN current_user()",
+    "current_schema_fn": "() RETURNS STRING RETURN current_database()",
+    # split_part with Dremio 1-based semantics == Spark split_part (alias)
+    "dremio_split_part": (
+        "(s STRING, d STRING, n INT) RETURNS STRING RETURN split_part(s, d, n)"
+    ),
 }
 
 

@@ -34,6 +34,8 @@ class FormatRegistry:
             "txt": self._read_delimited("\n"),
             "orc": self._read_spark("orc"),
             "arrow": self._read_arrow,
+            "xlsx": self._read_excel,
+            "xls": self._read_excel,
         }
 
     def formats(self) -> list[str]:
@@ -70,6 +72,20 @@ class FormatRegistry:
             return r.csv(path)
 
         return _r
+
+    def _read_excel(self, path: str, schema: str | None = None, **opts) -> DataFrame:
+        """Excel (ExcelRecordReader.java): pandas/openpyxl-backed — gated
+        on the library being present (not in this container)."""
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "xlsx/xls reads need openpyxl (or spark-excel on a real "
+                "cluster); not available in this environment"
+            ) from e
+        import pandas as pd
+
+        return self.spark.createDataFrame(pd.read_excel(path, **opts))
 
     def _read_arrow(self, path: str, schema: str | None = None, **opts) -> DataFrame:
         import pyarrow as pa

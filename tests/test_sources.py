@@ -31,3 +31,33 @@ def test_format_registry_lists_formats(spark):
     fmts = FormatRegistry(spark).formats()
     for f in ("parquet", "csv", "tsv", "psv", "json", "arrow", "orc"):
         assert f in fmts
+
+
+def test_pipe_registry_ingest_dedup(spark):
+    import os
+
+    from dremio_oss_spark.queries.sources_q import _scratch
+    from dremio_oss_spark.streaming.pipes import PipeRegistry
+
+    d = _scratch("pipe", SF_SMALL)
+    reg = PipeRegistry(spark)
+    p = reg.create_pipe(
+        "p1", os.path.join(d, "tgt"), os.path.join(SF_SMALL, "region.parquet")
+    )
+    assert p.run(spark) == 5
+    assert reg.run("p1") == 0  # second pass: everything deduped
+    assert reg.pipes() == ["p1"]
+
+
+def test_excel_format_gated(spark):
+    import pytest as _pytest
+
+    from dremio_oss_spark.sources.formats import FormatRegistry
+
+    reg = FormatRegistry(spark)
+    assert "xlsx" in reg.formats()
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            reg.read("/nonexistent.xlsx", "xlsx")
