@@ -308,6 +308,88 @@ def st_geohash_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# String extras: initcap, parse_url, split_part, position, btrim, chr
+# (StringFunctions.java init_cap/parse_url/split_part/position/btrim/chr;
+# soundex is golden-tested in tests/ — DuckDB has no soundex)
+def string_extras(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").where(F.col("c_custkey") <= 400)
+    with_url = c.withColumn(
+        "u",
+        F.concat(
+            F.lit("https://ex.com/seg/"),
+            F.lower("c_mktsegment"),
+            F.lit("?id="),
+            F.col("c_custkey").cast("string"),
+        ),
+    )
+    return with_url.select(
+        "c_custkey",
+        F.initcap(F.lower("c_name")).alias("ic"),
+        F.expr("parse_url(u, 'HOST')").alias("host"),
+        F.expr("parse_url(u, 'PATH')").alias("path"),
+        F.expr("parse_url(u, 'QUERY')").alias("query"),
+        F.expr("split_part(c_name, '#', 2)").alias("id_part"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.expr("btrim(c_mktsegment, 'GY')").alias("trimmed"),
+        F.chr(F.col("c_custkey") % 26 + 65).alias("letter"),
+    ).orderBy("c_custkey")
+
+
+STRING_EXTRAS_SQL = """
+select c_custkey,
+       concat(upper(substr(lower(c_name), 1, 1)), substr(lower(c_name), 2)) as ic,
+       'ex.com' as host,
+       '/seg/' || lower(c_mktsegment) as path,
+       'id=' || cast(c_custkey as varchar) as query,
+       split_part(c_name, '#', 2) as id_part,
+       cast(strpos(c_name, '#') as int) as hash_pos,
+       trim(c_mktsegment, 'GY') as trimmed,
+       chr(cast(c_custkey % 26 + 65 as int)) as letter
+from customer
+where c_custkey <= 400
+order by c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval arithmetic: +/- intervals, timestampadd/diff, next_day, extracts
+# (DateTypeFunctions.java, DateIntervalFunctionTemplates/)
+def intervals(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf).where(F.col("event_id") <= 500)
+    return ev.select(
+        "event_id",
+        F.expr("ts + interval 90 day").alias("plus_90d"),
+        F.expr("ts - interval 3 hour").alias("minus_3h"),
+        F.expr("timestampadd(MINUTE, 45, ts)").alias("plus_45m"),
+        F.expr("timestampdiff(DAY, ts, timestamp'2024-06-01 00:00:00')").alias(
+            "days_to_jun"
+        ),
+        F.next_day(F.col("ts").cast("date"), "Mon").alias("next_mon"),
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("woy"),
+        F.dayofyear("ts").alias("doy"),
+    ).orderBy("event_id")
+
+
+INTERVALS_SQL = """
+select event_id,
+       ts + interval 90 day as plus_90d,
+       ts - interval 3 hour as minus_3h,
+       ts + interval 45 minute as plus_45m,
+       cast(floor(epoch(timestamp '2024-06-01 00:00:00' - ts) / 86400)
+            as bigint) as days_to_jun,
+       cast(ts as date)
+         + cast(((1 - dayofweek(ts) + 6) % 7) + 1 as int) as next_mon,
+       quarter(ts) as q,
+       cast(weekofyear(ts) as int) as woy,
+       cast(dayofyear(ts) as int) as doy
+from events
+where event_id <= 500
+order by event_id
+"""
+
+
 FUNCTION_QUERIES = {
     "fn_concat_masking": concat_masking,
     "fn_geo_functions": geo_functions,
@@ -317,6 +399,8 @@ FUNCTION_QUERIES = {
     "fn_kvgen": kvgen_q,
     "fn_array_gaps": array_gap_functions,
     "fn_st_geohash": st_geohash_q,
+    "fn_string_extras": string_extras,
+    "fn_intervals": intervals,
 }
 
 FUNCTION_ORACLE = {
@@ -329,4 +413,6 @@ FUNCTION_ORACLE = {
     "fn_array_gaps": ARRAY_GAP_SQL,
     # fn_st_geohash: no DuckDB equivalent — rows-only check; golden values
     # asserted in tests/test_functions.py
+    "fn_string_extras": STRING_EXTRAS_SQL,
+    "fn_intervals": INTERVALS_SQL,
 }

@@ -53,3 +53,13 @@ def test_dremio_concat_null_semantics(spark):
     df = spark.createDataFrame([("a", None, "c")], "x string, y string, z string")
     out = df.select(dremio_concat("x", "y", "z").alias("r")).collect()
     assert out[0]["r"] == "ac"
+
+
+def test_soundex_golden(spark):
+    """Soundex (StringFunctions.java soundex; DuckDB lacks it — golden)."""
+    rows = spark.sql(
+        "select soundex('Robert') as a, soundex('Rupert') as b, "
+        "soundex('Tymczak') as c"
+    ).collect()[0]
+    assert rows["a"] == "R163" and rows["b"] == "R163"
+    assert rows["c"] == "T522"
