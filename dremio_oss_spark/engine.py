@@ -88,15 +88,26 @@ class Engine:
 
     # -- system / information schema ---------------------------------------
     def information_schema_tables(self) -> DataFrame:
-        """INFORMATION_SCHEMA."TABLES" equivalent over the session catalog."""
-        rows = [
-            (t.namespace[0] if t.namespace else "", t.name, t.tableType)
-            for t in self.spark.catalog.listTables()
-        ]
-        return self.spark.createDataFrame(
-            rows or [("", "", "")],
-            "table_schema string, table_name string, table_type string",
-        ).where("table_name != ''")
+        """INFORMATION_SCHEMA."TABLES" equivalent over the session catalog.
+
+        SHOW VIEWS/TABLES stay JVM-side (catalog.listTables() pays a py4j
+        round-trip per table — seconds once a session holds many views).
+        """
+        from pyspark.sql import functions as F
+
+        views = self.spark.sql("show views").select(
+            F.col("namespace").alias("table_schema"),
+            F.col("viewName").alias("table_name"),
+            F.lit("VIEW").alias("table_type"),
+        )
+        tables = self.spark.sql("show tables").select(
+            F.col("namespace").alias("table_schema"),
+            F.col("tableName").alias("table_name"),
+            F.lit("TABLE").alias("table_type"),
+        )
+        return tables.join(
+            views.select("table_name"), "table_name", "left_anti"
+        ).unionByName(views)
 
     def sys_version(self) -> DataFrame:
         return self.spark.createDataFrame(

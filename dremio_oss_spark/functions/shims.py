@@ -158,8 +158,18 @@ def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Seri
     )
 
 
+_REGISTERED: set[int] = set()
+
+
 def register_all(spark: SparkSession) -> None:
-    """Register every shim in the session's function registry."""
+    """Register every shim in the session's function registry.
+
+    Idempotent per session: ~30 sequential DDL round-trips cost ~3 s, so
+    repeat calls (every query fn calls this defensively) short-circuit.
+    """
+    if id(spark) in _REGISTERED:
+        return
+    _REGISTERED.add(id(spark))
     for name, body in _SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
     from pyspark.sql.types import StringType
