@@ -400,6 +400,41 @@ order by l_orderkey, metric
 """
 
 
+# --------------------------------------------------------------------------
+def salted_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation — must equal the plain
+    groupBy (the salt only reshapes the shuffle).  l_returnflag has 3
+    hot values over all of lineitem: exactly the pathological-key shape."""
+    from ..operators.skew import salted_agg
+
+    li = load(spark, sf, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        measures={
+            "n": ("count", "*"),
+            "qty_sum": ("sum", "qty_dec"),
+            "min_ship": ("min", "l_shipdate"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        n_salts=16,
+    ).orderBy("l_returnflag")
+
+
+SALTED_AGG_SQL = """
+select l_returnflag,
+       count(*) as n,
+       sum(cast(l_quantity as decimal(18,2))) as qty_sum,
+       min(l_shipdate) as min_ship,
+       max(l_shipdate) as max_ship
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = {
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
@@ -412,6 +447,7 @@ RELATIONAL_QUERIES = {
     "op_ndv_approx": ndv_approx,
     "op_window_gap_fill": window_gap_fill,
     "op_unpivot": unpivot,
+    "op_salted_agg": salted_aggregation,
 }
 
 RELATIONAL_ORACLE = {
@@ -426,4 +462,5 @@ RELATIONAL_ORACLE = {
     # op_ndv_approx: estimator-specific, rows-only (tolerance test in tests/)
     "op_window_gap_fill": WINDOW_GAP_FILL_SQL,
     "op_unpivot": UNPIVOT_SQL,
+    "op_salted_agg": SALTED_AGG_SQL,
 }

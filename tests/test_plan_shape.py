@@ -60,3 +60,34 @@ def test_whole_stage_codegen_active(spark):
     )
     # "*(n)" prefixes mark operators fused into a WholeStageCodegen span
     assert "*(1)" in _plan(df)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketed tables co-locate join keys at write time: the join plan
+    must contain NO shuffle exchange (reference: co-located joins via
+    HashToRandomExchange elimination; Spark: bucketBy + saveAsTable)."""
+    orders = load(spark, SF_SMALL, "orders")
+    cust = load(spark, SF_SMALL, "customer")
+    spark.sql("drop table if exists b_orders")
+    spark.sql("drop table if exists b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("b_customer")
+    # disable broadcast so the join would otherwise shuffle both sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists b_orders")
+        spark.sql("drop table if exists b_customer")
