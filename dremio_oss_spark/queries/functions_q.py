@@ -390,6 +390,88 @@ order by event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Regexp family (StringFunctions.java regexp_like/col_like/regexp_split,
+# similar; regexp_extract via codegen templates)
+def regexp_functions(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").where(F.col("c_custkey") <= 400)
+    return c.select(
+        "c_custkey",
+        F.col("c_name").rlike(r"0{3,}").alias("has_triple_zero"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("id_digits"),
+        F.split("c_name", "#").alias("split_parts"),
+        F.regexp_count("c_name", F.lit("0")).alias("zero_count"),
+        F.regexp_replace("c_name", r"\d", "*").alias("masked_digits"),
+    ).orderBy("c_custkey")
+
+
+REGEXP_SQL = r"""
+select c_custkey,
+       regexp_matches(c_name, '0{3,}') as has_triple_zero,
+       coalesce(regexp_extract(c_name, '#(\d+)', 1), '') as id_digits,
+       string_split(c_name, '#') as split_parts,
+       cast(len(regexp_extract_all(c_name, '0')) as int) as zero_count,
+       regexp_replace(c_name, '\d', '*', 'g') as masked_digits
+from customer
+where c_custkey <= 400
+order by c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Bitwise scalars (MathFunctions bitwise + AggrBitwise aggregates are
+# op_bool_bit_aggregates; these are the scalar ops)
+def bitwise_functions(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").where(F.col("p_partkey") <= 500)
+    a = F.col("p_partkey")
+    b = F.col("p_size").cast("bigint")
+    return p.select(
+        "p_partkey",
+        a.bitwiseAND(b).alias("b_and"),
+        a.bitwiseOR(b).alias("b_or"),
+        a.bitwiseXOR(b).alias("b_xor"),
+        F.shiftleft(a, 2).alias("shl"),
+        F.shiftright(a, 1).alias("shr"),
+        F.bit_count(a).alias("popcount"),
+        F.expr("~p_partkey").alias("b_not"),
+    ).orderBy("p_partkey")
+
+
+BITWISE_SQL = """
+select p_partkey,
+       p_partkey & cast(p_size as bigint) as b_and,
+       p_partkey | cast(p_size as bigint) as b_or,
+       xor(p_partkey, cast(p_size as bigint)) as b_xor,
+       p_partkey << 2 as shl,
+       p_partkey >> 1 as shr,
+       cast(bit_count(p_partkey) as int) as popcount,
+       ~p_partkey as b_not
+from part
+where p_partkey <= 500
+order by p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CONVERT_TO JSON (ConvertToJson / TO_EXTENDEDJSON): struct -> JSON string
+def to_json_q(spark: SparkSession, sf: str) -> DataFrame:
+    n = load(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.to_json(
+            F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk"))
+        ).alias("js"),
+    ).orderBy("n_nationkey")
+
+
+TO_JSON_SQL = """
+select n_nationkey,
+       concat('{"name":"', n_name, '","rk":', cast(n_regionkey as varchar), '}') as js
+from nation
+order by n_nationkey
+"""
+
+
 FUNCTION_QUERIES = {
     "fn_concat_masking": concat_masking,
     "fn_geo_functions": geo_functions,
@@ -401,6 +483,9 @@ FUNCTION_QUERIES = {
     "fn_st_geohash": st_geohash_q,
     "fn_string_extras": string_extras,
     "fn_intervals": intervals,
+    "fn_regexp": regexp_functions,
+    "fn_bitwise": bitwise_functions,
+    "fn_to_json": to_json_q,
 }
 
 FUNCTION_ORACLE = {
@@ -415,4 +500,7 @@ FUNCTION_ORACLE = {
     # asserted in tests/test_functions.py
     "fn_string_extras": STRING_EXTRAS_SQL,
     "fn_intervals": INTERVALS_SQL,
+    "fn_regexp": REGEXP_SQL,
+    "fn_bitwise": BITWISE_SQL,
+    "fn_to_json": TO_JSON_SQL,
 }
