@@ -90,11 +90,30 @@ order by event_type
 """
 
 
+def stateful(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.stateful import user_running_totals
+
+    return user_running_totals(spark, sf)
+
+
+STATEFUL_SQL = """
+select user_id,
+       count(*) as n_events,
+       max(value) as max_value,
+       min(event_id) as first_event_id,
+       max(event_id) as last_event_id
+from events
+group by user_id
+order by user_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_tumbling_window": tumbling,
     "stream_sliding_window": sliding,
     "stream_session_window": session,
     "stream_dedup_pipe": dedup,
+    "stream_stateful_totals": stateful,
 }
 
 STREAMING_ORACLE = {
@@ -102,4 +121,5 @@ STREAMING_ORACLE = {
     "stream_sliding_window": SLIDING_SQL,
     "stream_session_window": SESSION_SQL,
     "stream_dedup_pipe": DEDUP_SQL,
+    "stream_stateful_totals": STATEFUL_SQL,
 }
