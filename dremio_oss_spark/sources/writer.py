@@ -53,6 +53,7 @@ def copy_into(
     fmt: str = "parquet",
     schema: str | None = None,
     dedup: bool = True,
+    on_error: str = "abort",
     **read_opts,
 ) -> int:
     """COPY INTO target FROM source — returns rows loaded.
@@ -60,10 +61,38 @@ def copy_into(
     With dedup=True, files already recorded in the target's ledger are
     skipped (auto-ingest pipe semantics).  The ledger is tiny (one row
     per loaded file), so the skip-join is a broadcast, not a shuffle.
+
+    on_error='continue' (reference `COPY INTO ... ON_ERROR ('continue')`,
+    CopyIntoPlanBuilder + ON_ERROR grammar): malformed CSV/JSON rows are
+    diverted to `<target>/_rejects` (parquet of raw lines) instead of
+    failing the load — Spark's PERMISSIVE corrupt-record column does the
+    classification distributed, no extra pass.
     """
     from .formats import FormatRegistry
 
-    src = FormatRegistry(spark).read(source_glob, fmt, schema=schema, **read_opts)
+    reader_opts = dict(read_opts)
+    corrupt_col = "_corrupt"
+    continue_mode = on_error == "continue" and fmt in ("csv", "json", "tsv", "psv")
+    if continue_mode:
+        if not schema:
+            raise ValueError("on_error='continue' requires an explicit schema")
+        schema = f"{schema}, {corrupt_col} string"
+        reader_opts.update(
+            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
+        )
+    src = FormatRegistry(spark).read(source_glob, fmt, schema=schema, **reader_opts)
+    if continue_mode:
+        # Spark disallows querying only the corrupt-record column of a raw
+        # CSV/JSON scan; cache materializes the parse once (documented
+        # workaround) — and the load reads the same cache, so no re-parse
+        src = src.cache()
+        rejects = src.where(F.col(corrupt_col).isNotNull()).select(
+            F.col(corrupt_col).alias("raw_record")
+        )
+        n_rej = rejects.count()
+        if n_rej:
+            rejects.write.mode("append").parquet(os.path.join(target, "_rejects"))
+        src = src.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     src = src.withColumn("_src_file", F.input_file_name())
 
     ledger_path = os.path.join(target, LEDGER_DIR)

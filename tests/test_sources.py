@@ -61,3 +61,28 @@ def test_excel_format_gated(spark):
     except ImportError:
         with _pytest.raises(NotImplementedError):
             reg.read("/nonexistent.xlsx", "xlsx")
+
+
+def test_copy_into_on_error_continue(spark):
+    import os
+
+    from dremio_oss_spark.queries.sources_q import _scratch
+    from dremio_oss_spark.sources.writer import copy_into, read_table
+
+    d = _scratch("onerror", SF_SMALL)
+    src = os.path.join(d, "in.csv")
+    with open(src, "w") as f:
+        f.write("a,b\n1,x\n2,y\nnot_an_int_row_with_extra,,,,\n3,z\n")
+    n = copy_into(
+        spark,
+        os.path.join(d, "tgt"),
+        src,
+        fmt="csv",
+        schema="a int, b string",
+        on_error="continue",
+        header="true",
+    )
+    assert n == 3
+    assert read_table(spark, os.path.join(d, "tgt")).count() == 3
+    rejects = spark.read.parquet(os.path.join(d, "tgt", "_rejects"))
+    assert rejects.count() == 1
