@@ -307,6 +307,47 @@ def llm_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup modality): exact
+    pairwise cosine over a bounded id-range.  At corpus scale the same
+    scoring runs behind the LSH bucket prefilter (S.lsh_topk) so only
+    bucket-colliding pairs are scored — this query pins the exact-scoring
+    semantics against the oracle."""
+    emb = load(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+LLM_EMBEDDING_NEARDUP_SQL = """
+with s as (
+  select vec_id, embedding from embeddings where vec_id < 300
+), flat as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+         cast(a.embedding[u.i] as double) as x,
+         cast(b.embedding[u.i] as double) as y
+  from s a, s b, unnest(range(1, 65)) as u(i)
+  where a.vec_id < b.vec_id
+), d as (
+  select id_a, id_b,
+         cast(sum(cast(x*y as decimal(28,12))) as double) as d,
+         cast(sum(cast(x*x as decimal(28,12))) as double) as na,
+         cast(sum(cast(y*y as decimal(28,12))) as double) as nb
+  from flat group by id_a, id_b
+)
+select id_a, id_b, round(d / (sqrt(na) * sqrt(nb)), 6) as cos
+from d
+where d / (sqrt(na) * sqrt(nb)) >= 0.35
+order by id_a, id_b
+"""
+
+
 def llm_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -323,6 +364,7 @@ LLMOPS_QUERIES = {
     "llm_cosine_topk": llm_cosine_topk,
     "llm_lsh_ann": llm_lsh_ann,
     "llm_ivf_ann": llm_ivf_ann,
+    "llm_embedding_neardup": llm_embedding_neardup,
 }
 
 LLMOPS_ORACLE = {
@@ -333,5 +375,6 @@ LLMOPS_ORACLE = {
     "llm_simhash_pairs": LLM_SIMHASH_PAIRS_SQL,
     "llm_ngram_jaccard": LLM_NGRAM_JACCARD_SQL,
     "llm_cosine_topk": LLM_COSINE_TOPK_SQL,
+    "llm_embedding_neardup": LLM_EMBEDDING_NEARDUP_SQL,
     # llm_lsh_ann: intentionally no oracle (engine-side plane generation)
 }
