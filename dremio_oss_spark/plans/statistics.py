@@ -27,6 +27,12 @@ def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     columns into one ANALYZE job).
     """
     cols = columns or df.columns
+    # a single-file table arrives as ONE input split; the multi-distinct
+    # aggregation (Expand x n_cols) would run in a single task — fan out
+    # first so partial aggregation parallelizes (on a real lake the scan
+    # is already wide and this repartition is unnecessary but harmless)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_part)
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs += [
