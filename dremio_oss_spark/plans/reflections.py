@@ -88,14 +88,23 @@ class Reflection:
         return True
 
 
+@dataclass
+class RawReflection:
+    name: str
+    table: str
+    cols: tuple[str, ...]
+    path: str
+
+
 class ReflectionStore:
-    """Registry + refresh + substitution for aggregation reflections."""
+    """Registry + refresh + substitution for agg + raw reflections."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._reflections: dict[str, Reflection] = {}
+        self._raw: dict[str, RawReflection] = {}
 
     # -- DDL ---------------------------------------------------------------
     def create_aggregation_reflection(
@@ -116,6 +125,38 @@ class ReflectionStore:
         self._full_refresh(refl, source)
         self._reflections[name] = refl
         return refl
+
+    def create_raw_reflection(
+        self,
+        name: str,
+        source: DataFrame,
+        table: str,
+        display_cols: list[str],
+        sort_col: str | None = None,
+    ) -> "RawReflection":
+        """ALTER TABLE ... CREATE RAW REFLECTION: a column-projected
+        (optionally sorted) copy.  Accelerates scans needing only
+        `display_cols` — narrower files + sorted layout gives min/max
+        row-group pruning on the sort column (the reference's raw
+        reflection role, ReflectionServiceImpl.java)."""
+        path = os.path.join(self.root, name)
+        shutil.rmtree(path, ignore_errors=True)
+        proj = source.select(*display_cols)
+        if sort_col:
+            proj = proj.sortWithinPartitions(sort_col)
+        proj.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        refl = RawReflection(name, table, tuple(display_cols), path)
+        self._raw[name] = refl
+        return refl
+
+    def scan(self, table: str, cols: list[str], base: DataFrame) -> tuple[DataFrame, bool]:
+        """Column-level substitution: if a raw reflection covers `cols`,
+        scan the narrow materialization instead of the base table."""
+        for refl in self._raw.values():
+            if refl.table == table and set(cols) <= set(refl.cols):
+                mat = self.spark.read.parquet(os.path.join(refl.path, "data"))
+                return mat.select(*cols), True
+        return base.select(*cols), False
 
     def drop(self, name: str) -> None:
         refl = self._reflections.pop(name, None)

@@ -48,3 +48,26 @@ def test_no_match_falls_back(spark):
     df, substituted = store.execute(q, li)
     assert not substituted
     assert df.count() > 0
+
+
+def test_raw_reflection_substitution(spark):
+    """RAW reflection: narrow scan substituted; results equal base."""
+    from dremio_oss_spark.catalog import load
+
+    store = reflections_q._store(spark, SF_SMALL)
+    li = load(spark, SF_SMALL, "lineitem")
+    store.create_raw_reflection(
+        "li_raw",
+        li,
+        table="lineitem",
+        display_cols=["l_orderkey", "l_quantity", "l_shipdate"],
+        sort_col="l_shipdate",
+    )
+    df, substituted = store.scan("lineitem", ["l_orderkey", "l_quantity"], li)
+    assert substituted
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "li_raw" in plan and "lineitem.parquet" not in plan
+    assert df.count() == li.count()
+    # not covered -> falls back to base
+    _, sub2 = store.scan("lineitem", ["l_partkey"], li)
+    assert not sub2
