@@ -144,9 +144,12 @@ class Engine:
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
         # dotted VDS references: space.name -> space__name when registered
+        # (word-bounded so string literals / longer identifiers survive)
         for space in self.spaces.values():
             for name in space.vds:
-                query = query.replace(
-                    f"{space.name}.{name}", self._flat(space.name, name)
+                query = re.sub(
+                    rf"\b{re.escape(space.name)}\.{re.escape(name)}\b",
+                    self._flat(space.name, name),
+                    query,
                 )
         return self.spark.sql(query)

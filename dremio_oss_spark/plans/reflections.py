@@ -78,12 +78,22 @@ class Reflection:
             return False
         if not set(q.measures) <= set(self.measures):
             return False
-        # filters must reference reflection dims only (pushable post-rollup)
+        # filters must reference reflection dims only (pushable post-rollup):
+        # any column-looking identifier that is NOT a dim, a measure output,
+        # a SQL keyword, or a quoted literal disqualifies the match
         import re
 
+        keywords = {
+            "and", "or", "not", "in", "is", "null", "true", "false",
+            "between", "like", "cast", "as", "case", "when", "then",
+            "else", "end", "date", "timestamp", "interval",
+        }
+        allowed = set(self.dims) | {m.name for m in self.measures} | keywords
         for f in q.filters:
-            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", f))
-            if not idents & set(self.dims):
+            stripped = re.sub(r"'[^']*'", "", f)
+            idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
+            idents = {i for i in idents if not i.isdigit()}
+            if not all(i.lower() in allowed or i in allowed for i in idents):
                 return False
         return True
 

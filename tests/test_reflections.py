@@ -71,3 +71,26 @@ def test_raw_reflection_substitution(spark):
     # not covered -> falls back to base
     _, sub2 = store.scan("lineitem", ["l_partkey"], li)
     assert not sub2
+
+
+def test_filter_on_non_dim_column_falls_back(spark):
+    """A filter touching a non-materialized column must NOT substitute."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.plans import AggQuery, Measure
+
+    store = reflections_q._store(spark, SF_SMALL)
+    li = load(spark, SF_SMALL, "lineitem")
+    store.create_aggregation_reflection(
+        "li_guard", li, table="lineitem",
+        dims=["l_returnflag"],
+        measures=[Measure("sum", "l_quantity")],
+    )
+    q = AggQuery(
+        table="lineitem",
+        dims=("l_returnflag",),
+        measures=(Measure("sum", "l_quantity"),),
+        filters=("l_returnflag = 'R' and l_quantity > 5",),
+    )
+    df, substituted = store.execute(q, li)
+    assert not substituted  # l_quantity isn't in the materialization
+    assert df.count() > 0
