@@ -30,13 +30,17 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        # count() forces full execution without driver-side materialization
-        # of the result set (collect would measure pickling, not the query)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = queries[name](spark, sf_dir)
+            # count() forces full execution without driver-side
+            # materialization (collect would measure pickling, not the query)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -48,6 +52,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
