@@ -51,6 +51,22 @@ class Engine:
         register_all(self.spark)
         self.spaces: dict[str, Space] = {}
         self._sources: dict[str, str] = {}
+        # object -> privilege -> grantees (reference GRANT/REVOKE surface,
+        # Parser.tdd; enforcement model only — no external IdP here)
+        self._acl: dict[str, dict[str, set[str]]] = {}
+
+    # -- access control (GRANT/REVOKE) -------------------------------------
+    def grant(self, privilege: str, on: str, to: str) -> None:
+        self._acl.setdefault(on, {}).setdefault(privilege.upper(), set()).add(to)
+
+    def revoke(self, privilege: str, on: str, to: str) -> None:
+        self._acl.get(on, {}).get(privilege.upper(), set()).discard(to)
+
+    def check_access(self, user: str, privilege: str, on: str) -> bool:
+        """Objects with no grants are open (OSS default); once any grant
+        exists for an object+privilege, access is allowlist-only."""
+        grants = self._acl.get(on, {}).get(privilege.upper())
+        return True if grants is None else user in grants
 
     # -- sources -----------------------------------------------------------
     def add_testdata_source(self, sf_dir: str) -> None:
@@ -79,8 +95,11 @@ class Engine:
     def _flat(space: str, name: str) -> str:
         return f"{space}__{name}"
 
-    def table(self, fqname: str) -> DataFrame:
-        """Resolve `space.name` (VDS) or a bare table/view name."""
+    def table(self, fqname: str, user: str | None = None) -> DataFrame:
+        """Resolve `space.name` (VDS) or a bare table/view name; when a
+        user is given, SELECT access is enforced against the ACL."""
+        if user is not None and not self.check_access(user, "SELECT", fqname):
+            raise PermissionError(f"{user} lacks SELECT on {fqname}")
         if "." in fqname:
             space, name = fqname.rsplit(".", 1)
             return self.spark.table(self._flat(space, name))

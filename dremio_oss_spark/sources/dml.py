@@ -33,19 +33,61 @@ def _snapshot_dir(table: str) -> str:
     return os.path.join(table, f"snap-{uuid.uuid4().hex[:12]}")
 
 
-def current_snapshot(table: str) -> str | None:
-    p = os.path.join(table, POINTER)
+def _pointer_file(table: str, branch: str = "main") -> str:
+    return os.path.join(table, POINTER if branch == "main" else f"{POINTER}.{branch}")
+
+
+def current_snapshot(table: str, branch: str = "main") -> str | None:
+    p = _pointer_file(table, branch)
     if not os.path.exists(p):
         return None
     with open(p) as f:
         return os.path.join(table, f.read().strip())
 
 
-def _commit(table: str, snap: str) -> None:
-    tmp = os.path.join(table, POINTER + ".tmp")
+def _commit(table: str, snap: str, branch: str = "main") -> None:
+    p = _pointer_file(table, branch)
+    tmp = p + ".tmp"
     with open(tmp, "w") as f:
         f.write(os.path.basename(snap))
-    os.replace(tmp, os.path.join(table, POINTER))  # atomic pointer flip
+    os.replace(tmp, p)  # atomic pointer flip
+
+
+# -- branches (Nessie-style: a branch is a named pointer; reference
+#    CREATE/DROP/ASSIGN/MERGE BRANCH, `AT BRANCH` syntax parserImpls.ftl:943)
+def create_branch(table: str, branch: str, from_branch: str = "main") -> None:
+    src = current_snapshot(table, from_branch)
+    if src is None:
+        raise FileNotFoundError(f"no snapshot on branch {from_branch!r}")
+    _commit(table, src, branch)
+
+
+def drop_branch(table: str, branch: str) -> None:
+    if branch == "main":
+        raise ValueError("cannot drop main")
+    p = _pointer_file(table, branch)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def list_branches(table: str) -> list[str]:
+    out = ["main"] if os.path.exists(_pointer_file(table)) else []
+    prefix = POINTER + "."
+    out += sorted(
+        f[len(prefix):]
+        for f in os.listdir(table)
+        if f.startswith(prefix) and not f.endswith(".tmp")
+    )
+    return out
+
+
+def assign_branch(table: str, branch: str, to_branch: str) -> None:
+    """ASSIGN BRANCH: fast-forward `to_branch` to `branch`'s snapshot
+    (merge for this snapshot model — branches share the snapshot pool)."""
+    src = current_snapshot(table, branch)
+    if src is None:
+        raise FileNotFoundError(f"no snapshot on branch {branch!r}")
+    _commit(table, src, to_branch)
 
 
 def create_table(df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
@@ -58,10 +100,11 @@ def create_table(df: DataFrame, table: str, partition_by: list[str] | None = Non
     _commit(table, snap)
 
 
-def read(spark: SparkSession, table: str) -> DataFrame:
-    snap = current_snapshot(table)
+def read(spark: SparkSession, table: str, branch: str = "main") -> DataFrame:
+    """Read the table AT BRANCH <branch> (default main)."""
+    snap = current_snapshot(table, branch)
     if snap is None:
-        raise FileNotFoundError(f"no committed snapshot in {table}")
+        raise FileNotFoundError(f"no committed snapshot in {table} [{branch}]")
     return spark.read.parquet(snap)
 
 
@@ -101,27 +144,29 @@ def vacuum(table: str, keep: int = 1) -> list[str]:
     return removable
 
 
-def delete_where(spark: SparkSession, table: str, cond: Column) -> None:
-    """DELETE FROM table WHERE cond (copy-on-write)."""
-    cur = read(spark, table)
+def delete_where(spark: SparkSession, table: str, cond: Column,
+                 branch: str = "main") -> None:
+    """DELETE FROM table [AT BRANCH ...] WHERE cond (copy-on-write)."""
+    cur = read(spark, table, branch)
     snap = _snapshot_dir(table)
     cur.where(~cond | cond.isNull()).write.parquet(snap)
-    _commit(table, snap)
+    _commit(table, snap, branch)
 
 
 def update_where(
-    spark: SparkSession, table: str, cond: Column, assignments: dict[str, Column]
+    spark: SparkSession, table: str, cond: Column, assignments: dict[str, Column],
+    branch: str = "main",
 ) -> None:
     """UPDATE table SET col=expr WHERE cond (copy-on-write)."""
     from pyspark.sql import functions as F
 
-    cur = read(spark, table)
+    cur = read(spark, table, branch)
     out = cur
     for col, expr in assignments.items():
         out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
     snap = _snapshot_dir(table)
     out.write.parquet(snap)
-    _commit(table, snap)
+    _commit(table, snap, branch)
 
 
 def merge_into(

@@ -49,3 +49,32 @@ def test_vacuum_keeps_current(spark):
     removed = dml.vacuum(t, keep=1)
     assert len(removed) == 1
     assert dml.read(spark, t).count() == 4  # current snapshot intact
+
+
+def test_branches_isolate_writes(spark):
+    """CREATE BRANCH / write AT BRANCH / ASSIGN BRANCH (Nessie-style
+    branch-pointer semantics over the snapshot store)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.sources import dml
+
+    d = extras_q._scratch("branches", SF_SMALL)
+    t = os.path.join(d, "t")
+    dml.create_table(load(spark, SF_SMALL, "nation"), t)
+    dml.create_branch(t, "dev")
+    assert dml.list_branches(t) == ["main", "dev"] or dml.list_branches(t) == [
+        "main",
+        "dev",
+    ]
+    # write on dev only
+    dml.delete_where(spark, t, F.col("n_regionkey") == 0, branch="dev")
+    assert dml.read(spark, t).count() == 25  # main untouched
+    assert dml.read(spark, t, branch="dev").count() == 20
+    # fast-forward main to dev (merge)
+    dml.assign_branch(t, "dev", "main")
+    assert dml.read(spark, t).count() == 20
+    dml.drop_branch(t, "dev")
+    assert dml.list_branches(t) == ["main"]

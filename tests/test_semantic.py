@@ -68,3 +68,17 @@ def test_context_functions(spark):
     assert row["qu"]
     assert row["cs"]
     assert row["t"] == "double"
+
+
+def test_grant_revoke_enforcement(spark):
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    # open by default
+    assert eng.table("region", user="alice").count() == 5
+    eng.grant("SELECT", "region", "bob")
+    assert eng.table("region", user="bob").count() == 5
+    with pytest.raises(PermissionError):
+        eng.table("region", user="alice")
+    eng.revoke("SELECT", "region", "bob")
+    with pytest.raises(PermissionError):
+        eng.table("region", user="bob")
