@@ -435,6 +435,142 @@ order by l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+def regr_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-regression aggregates (reference AggrTypes3/Covar/Correlation
+    codegen family extended: regr_slope/intercept/r2/avgx/avgy/count)."""
+    li = load(spark, sf, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_avgx(y, x), 4).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REGR_SQL = """
+select l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) as slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) as intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) as r2,
+       regr_count(l_extendedprice, l_quantity) as n,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) as avgx,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) as avgy
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+def lateral_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer) — the
+    reference's decorrelated-apply shape (RexSubQueryUtils)."""
+    register_testdata(spark, sf)
+    return spark.sql(
+        """
+        select c.c_custkey, t.o_orderkey, t.o_totalprice
+        from customer c
+        join lateral (
+          select o_orderkey, o_totalprice
+          from orders o
+          where o.o_custkey = c.c_custkey
+          order by o_totalprice desc, o_orderkey
+          limit 2
+        ) t
+        where c.c_custkey <= 100
+        order by c.c_custkey, t.o_totalprice desc, t.o_orderkey
+        """
+    )
+
+
+LATERAL_SUBQUERY_SQL = """
+select c.c_custkey, t.o_orderkey, t.o_totalprice
+from customer c
+join lateral (
+  select o_orderkey, o_totalprice
+  from orders o
+  where o.o_custkey = c.c_custkey
+  order by o_totalprice desc, o_orderkey
+  limit 2
+) t on true
+where c.c_custkey <= 100
+order by c.c_custkey, t.o_totalprice desc, t.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+def applyinpandas_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped applyInPandas custom operator: per-nation z-score of
+    supplier balances (Arrow batch per group, numpy math, no driver
+    involvement — the grouped-map escape hatch for ops Catalyst can't
+    express)."""
+    import pandas as pd
+
+    supp = load(spark, sf, "supplier")
+
+    def z(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["s_acctbal"]
+        std = s.std()  # sample (ddof=1), matches stddev_samp
+        if pd.isna(std) or std == 0:
+            zs = pd.Series([None] * len(s), dtype="float64")
+        else:
+            zs = ((s - s.mean()) / std).round(6)
+        return pd.DataFrame(
+            {"s_nationkey": pdf["s_nationkey"], "s_suppkey": pdf["s_suppkey"], "z": zs}
+        )
+
+    return (
+        supp.groupBy("s_nationkey")
+        .applyInPandas(z, "s_nationkey bigint, s_suppkey bigint, z double")
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+ZSCORE_SQL = """
+select s_nationkey, s_suppkey,
+       case when stddev_samp(s_acctbal) over w is null
+              or stddev_samp(s_acctbal) over w = 0 then null
+            else round((s_acctbal - avg(s_acctbal) over w)
+                       / stddev_samp(s_acctbal) over w, 6) end as z
+from supplier
+window w as (partition by s_nationkey)
+order by s_nationkey, s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+def intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — reference rewrites INTERSECT
+    via CoreRules.INTERSECT_TO_DISTINCT; ALL is the multiset variant)."""
+    cn = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cn.intersectAll(sn)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .orderBy("nationkey")
+    )
+
+
+INTERSECT_ALL_SQL = """
+with i as (
+  select c_nationkey as nationkey from customer
+  intersect all
+  select s_nationkey from supplier
+)
+select nationkey, count(*) as multiplicity
+from i group by nationkey order by nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
@@ -448,6 +584,10 @@ RELATIONAL_QUERIES = {
     "op_window_gap_fill": window_gap_fill,
     "op_unpivot": unpivot,
     "op_salted_agg": salted_aggregation,
+    "op_regr_aggregates": regr_aggregates,
+    "op_lateral_subquery": lateral_subquery,
+    "op_applyinpandas_zscore": applyinpandas_zscore,
+    "op_intersect_all": intersect_all,
 }
 
 RELATIONAL_ORACLE = {
@@ -463,4 +603,8 @@ RELATIONAL_ORACLE = {
     "op_window_gap_fill": WINDOW_GAP_FILL_SQL,
     "op_unpivot": UNPIVOT_SQL,
     "op_salted_agg": SALTED_AGG_SQL,
+    "op_regr_aggregates": REGR_SQL,
+    "op_lateral_subquery": LATERAL_SUBQUERY_SQL,
+    "op_applyinpandas_zscore": ZSCORE_SQL,
+    "op_intersect_all": INTERSECT_ALL_SQL,
 }
