@@ -571,6 +571,41 @@ from i group by nationkey order by nationkey
 """
 
 
+# --------------------------------------------------------------------------
+def skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-moment aggregates (AggrTypes3.tdd family completion)."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+            F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# Spark's skewness/kurtosis are POPULATION moments (g1, g2-3); DuckDB's
+# are sample-corrected — the oracle derives the population form explicitly
+SKEW_KURTOSIS_SQL = """
+with m as (
+  select l_linestatus, avg(l_quantity) as mq, avg(l_extendedprice) as mp
+  from lineitem group by l_linestatus
+)
+select l.l_linestatus,
+       round(avg(pow(l_quantity - mq, 3))
+             / pow(avg(pow(l_quantity - mq, 2)), 1.5), 4) as skew_qty,
+       round(avg(pow(l_quantity - mq, 4))
+             / pow(avg(pow(l_quantity - mq, 2)), 2) - 3, 4) as kurt_qty,
+       round(avg(pow(l_extendedprice - mp, 3))
+             / pow(avg(pow(l_extendedprice - mp, 2)), 1.5), 4) as skew_price
+from lineitem l join m on l.l_linestatus = m.l_linestatus
+group by l.l_linestatus
+order by l.l_linestatus
+"""
+
+
 RELATIONAL_QUERIES = {
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
@@ -588,6 +623,7 @@ RELATIONAL_QUERIES = {
     "op_lateral_subquery": lateral_subquery,
     "op_applyinpandas_zscore": applyinpandas_zscore,
     "op_intersect_all": intersect_all,
+    "op_skew_kurtosis": skew_kurtosis,
 }
 
 RELATIONAL_ORACLE = {
@@ -607,4 +643,5 @@ RELATIONAL_ORACLE = {
     "op_lateral_subquery": LATERAL_SUBQUERY_SQL,
     "op_applyinpandas_zscore": ZSCORE_SQL,
     "op_intersect_all": INTERSECT_ALL_SQL,
+    "op_skew_kurtosis": SKEW_KURTOSIS_SQL,
 }

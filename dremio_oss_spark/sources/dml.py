@@ -129,6 +129,53 @@ def rollback(table: str, snapshot: str) -> None:
     _commit(table, os.path.join(table, snapshot))
 
 
+def delete_where_mor(spark: SparkSession, table: str, cond: Column,
+                     key_cols: list[str], branch: str = "main") -> None:
+    """Merge-on-read DELETE (reference
+    DmlPositionalMergeOnReadPlanGenerator): instead of rewriting data
+    files, append the matching keys to a delete-file sidecar; reads
+    anti-join it out.  Write cost ~|deleted keys| instead of |table| —
+    the right trade for small deletes on huge tables; OPTIMIZE folds the
+    deletes back into data files.
+    """
+    cur = read_mor(spark, table, key_cols, branch)  # respect prior deletes
+    snap = current_snapshot(table, branch)
+    deletes = cur.where(cond).select(*key_cols)
+    # "_deletes" starts with an underscore, so plain parquet scans of the
+    # snapshot dir ignore it (Hadoop hidden-file convention) — only
+    # read_mor applies it
+    deletes.write.mode("append").parquet(os.path.join(snap, "_deletes"))
+
+
+def read_mor(spark: SparkSession, table: str, key_cols: list[str],
+             branch: str = "main") -> DataFrame:
+    """Read with merge-on-read delete files applied (anti-join on keys;
+    delete sets are small -> broadcast)."""
+    from pyspark.sql import functions as F
+
+    snap = current_snapshot(table, branch)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot in {table} [{branch}]")
+    data = spark.read.parquet(snap)
+    del_path = os.path.join(snap, "_deletes")
+    if os.path.exists(del_path):
+        dels = spark.read.parquet(del_path).distinct()
+        data = data.join(F.broadcast(dels), key_cols, "left_anti")
+    return data
+
+
+def optimize(spark: SparkSession, table: str, key_cols: list[str],
+             branch: str = "main", target_partitions: int | None = None) -> None:
+    """OPTIMIZE TABLE (Parser.tdd OPTIMIZE): compact merge-on-read delete
+    files into a fresh copy-on-write snapshot and coalesce small files."""
+    merged = read_mor(spark, table, key_cols, branch)
+    if target_partitions:
+        merged = merged.coalesce(target_partitions)
+    snap = _snapshot_dir(table)
+    merged.write.parquet(snap)
+    _commit(table, snap, branch)
+
+
 def vacuum(table: str, keep: int = 1) -> list[str]:
     """VACUUM: drop all but the newest `keep` snapshots (never the
     current one).  Returns removed snapshot ids."""

@@ -78,3 +78,29 @@ def test_branches_isolate_writes(spark):
     assert dml.read(spark, t).count() == 20
     dml.drop_branch(t, "dev")
     assert dml.list_branches(t) == ["main"]
+
+
+def test_merge_on_read_delete_and_optimize(spark):
+    """MOR delete: sidecar keys, read-time anti-join; OPTIMIZE compacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.sources import dml
+
+    d = extras_q._scratch("mor", SF_SMALL)
+    t = os.path.join(d, "t")
+    dml.create_table(load(spark, SF_SMALL, "customer"), t)
+    n0 = dml.read(spark, t).count()
+    n_del = dml.read(spark, t).where(F.col("c_custkey") <= 10).count()
+    dml.delete_where_mor(spark, t, F.col("c_custkey") <= 10, ["c_custkey"])
+    # plain read (data files only) still sees all rows; MOR view hides them
+    assert dml.read(spark, t).count() == n0
+    assert dml.read_mor(spark, t, ["c_custkey"]).count() == n0 - n_del
+    # second MOR delete stacks
+    dml.delete_where_mor(spark, t, F.col("c_custkey") == 11, ["c_custkey"])
+    assert dml.read_mor(spark, t, ["c_custkey"]).count() == n0 - n_del - 1
+    # OPTIMIZE folds deletes into a new snapshot: plain read now agrees
+    dml.optimize(spark, t, ["c_custkey"], target_partitions=2)
+    assert dml.read(spark, t).count() == n0 - n_del - 1
