@@ -74,16 +74,75 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    # a single-file corpus arrives as one input split; the scoring pass is
+    # the expensive stage, so fan it out to the session's shuffle width
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c = corpus.repartition(n_part).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+    # two-stage scoring: rank the full |Q|x|N| space with cheap double
+    # math (codegen-friendly), then decimal-rescore only the top k+buffer
+    # survivors so the emitted cos values are bit-stable vs the oracle.
+    # The buffer absorbs any double-vs-decimal ordering jitter near the
+    # cut (only matters for candidates within ~1e-12 of each other).
+    buffer = 8
+    # stage 1: all |Q| cosines per corpus row as ONE numpy matmul per
+    # Arrow batch (Spark's array HOFs are interpreted — 64-step folds per
+    # pair cost ~10x a vectorized batch).  The query set is tiny by this
+    # API's contract (it broadcasts), so it ships as a plan-time constant
+    # in the UDF closure.  Vectors are dropped before the rank shuffle.
+    import numpy as np
+    import pandas as pd
+
+    q_rows = q.collect()
+    qids = [r["qid"] for r in q_rows]
+    qm = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+
+    # batch-local top-(k+buffer) per query via argpartition, so only
+    # ~batches x |Q| x (k+buffer) candidate rows reach the rank shuffle
+    # (the global top-k is always contained in the union of batch-local
+    # top-ks) — a 1M-row explode becomes a few-thousand-row exchange
+    n_cand = k + buffer
+
+    def _score_batches(it):
+        for pdf in it:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = xn @ qn.T  # (rows, |Q|)
+            nids = pdf[id_col].to_numpy()
+            out_qid, out_nid, out_cos = [], [], []
+            top = min(n_cand, len(nids))
+            for j, qid in enumerate(qids):
+                col = sims[:, j].copy()
+                col[nids == qid] = -np.inf  # exclude self
+                idx = np.argpartition(-col, top - 1)[:top]
+                out_qid += [qid] * len(idx)
+                out_nid += list(nids[idx])
+                out_cos += list(col[idx])
+            yield pd.DataFrame(
+                {"qid": out_qid, "nid": out_nid, "cos_fast": out_cos}
+            )
+
+    pre = corpus.repartition(n_part).mapInPandas(
+        _score_batches, "qid long, nid long, cos_fast double"
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_fast"), F.asc("nid"))
+    survivors = (
+        pre.withColumn("rk0", F.row_number().over(wf))
+        .where(F.col("rk0") <= k + buffer)
+        .select("qid", "nid")
+    )
+    # rejoin vectors for the tiny survivor set (broadcast it — joining the
+    # other way would shuffle the whole corpus), decimal-rescore
+    rescored = (
+        c.join(F.broadcast(survivors), "nid")
+        .join(F.broadcast(q), "qid")
         .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        rescored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("qid", "nid", F.round("cos", 6).alias("cos"), F.col("rk").cast("bigint").alias("rk"))
     )
