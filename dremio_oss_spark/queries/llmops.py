@@ -313,11 +313,16 @@ def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     scoring runs behind the LSH bucket prefilter (S.lsh_topk) so only
     bucket-colliding pairs are scored — this query pins the exact-scoring
     semantics against the oracle."""
-    emb = load(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    # repartition the (single-split) subset so the pair join parallelizes
+    emb = load(spark, sf, "embeddings").where(F.col("vec_id") < 300).repartition(16)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # two-stage: double-math prefilter with margin (codegen-cheap), then
+    # decimal rescore of the few survivors for oracle-stable values —
+    # double-vs-decimal drift is ~1e-12, far inside the 0.01 margin
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs.where(S.cosine_dbl(F.col("va"), F.col("vb")) >= 0.34)
         .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
         .where(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
