@@ -124,7 +124,10 @@ order by p.p_partkey
 
 # --------------------------------------------------------------------------
 def range_join(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
+    # single-file scan -> one split; fan out so the BroadcastNLJ probe
+    # side parallelizes (at lake scale the scan is already wide)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = load(spark, sf, "lineitem").repartition(n_part)
     buckets = spark.createDataFrame(
         [
             ("1992H1", "1992-01-01", "1992-06-30"),
