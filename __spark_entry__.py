@@ -33,20 +33,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q01(spark, "/root/testdata/sf0.001")
 
 
+_FAMILIES = (
+    tpch.TPCH_QUERIES,
+    operators.OPERATOR_QUERIES,
+    llmops.LLMOPS_QUERIES,
+    functions_q.FUNCTION_QUERIES,
+    relational_q.RELATIONAL_QUERIES,
+    sources_q.SOURCES_QUERIES,
+    streaming_q.STREAMING_QUERIES,
+    reflections_q.REFLECTION_QUERIES,
+    multimodal_q.MULTIMODAL_QUERIES,
+    semantic_q.SEMANTIC_QUERIES,
+    types_q.TYPES_QUERIES,
+    extras_q.EXTRAS_QUERIES,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # interleave families round-robin so a time-bounded correctness sweep
+    # samples every capability family, not just the first dicts
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(tpch.TPCH_QUERIES)
-    out.update(operators.OPERATOR_QUERIES)
-    out.update(llmops.LLMOPS_QUERIES)
-    out.update(functions_q.FUNCTION_QUERIES)
-    out.update(relational_q.RELATIONAL_QUERIES)
-    out.update(sources_q.SOURCES_QUERIES)
-    out.update(streaming_q.STREAMING_QUERIES)
-    out.update(reflections_q.REFLECTION_QUERIES)
-    out.update(multimodal_q.MULTIMODAL_QUERIES)
-    out.update(semantic_q.SEMANTIC_QUERIES)
-    out.update(types_q.TYPES_QUERIES)
-    out.update(extras_q.EXTRAS_QUERIES)
+    iters = [iter(fam.items()) for fam in _FAMILIES]
+    while iters:
+        nxt = []
+        for it in iters:
+            try:
+                k, v = next(it)
+            except StopIteration:
+                continue
+            out[k] = v
+            nxt.append(it)
+        iters = nxt
     return out
 
 

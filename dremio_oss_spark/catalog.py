@@ -55,8 +55,15 @@ class Catalog:
         self.spark.sql(sql).createOrReplaceTempView(name)
 
 
+def _allow_nanos(spark: SparkSession) -> None:
+    """events.parquet stores TIMESTAMP(NANOS); without this runtime conf any
+    session that didn't come from build_spark fails with PARQUET_TYPE_ILLEGAL."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver's testdata tables as temp views; return handles."""
+    _allow_nanos(spark)
     out: dict[str, DataFrame] = {}
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -69,6 +76,8 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table without registering a view."""
+    if name == "events":
+        _allow_nanos(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -79,6 +88,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with spark.sql.legacy.parquet.nanosAsLong=true it arrives as long nanos.
     Integer-divide to micros (ns epochs ~1.7e18 overflow double precision,
     so never divide as float) — testdata nanos are exactly µs-aligned.
+
+    nanosAsLong is a runtime SQL conf, so set it here: sessions not built by
+    build_spark (e.g. the driver's own) would otherwise fail with
+    PARQUET_TYPE_ILLEGAL.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

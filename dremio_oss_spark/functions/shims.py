@@ -78,16 +78,27 @@ _SQL_FUNCTIONS: dict[str, str] = {
     "hash32": "(s STRING) RETURNS INT RETURN hash(s)",
     "hash64": "(s STRING) RETURNS BIGINT RETURN xxhash64(s)",
     "hashsha256": "(s STRING) RETURNS STRING RETURN sha2(s, 256)",
-    # conv/ big-endian int codecs (4/8-byte two's-complement)
+    # conv/ big-endian int codecs (4/8-byte two's-complement).  conv()
+    # yields the UNSIGNED value; reconstruct the sign explicitly — a
+    # plain bigint/int cast of a top-bit-set value overflows (throws
+    # under Spark 4 ANSI mode).
     "convert_from_int_be": (
-        "(b BINARY) RETURNS INT RETURN cast(cast(conv(hex(b), 16, 10) "
-        "as bigint) as int)"
+        "(b BINARY) RETURNS INT RETURN cast("
+        "cast(conv(hex(b), 16, 10) as bigint) "
+        "- if(cast(conv(hex(b), 16, 10) as bigint) >= 2147483648, "
+        "4294967296, 0) as int)"
     ),
     "convert_to_int_be": (
         "(i INT) RETURNS BINARY RETURN unhex(lpad(hex(i & 4294967295), 8, '0'))"
     ),
+    # 64-bit: split the 16-hex-char value into two 32-bit halves so no
+    # intermediate exceeds bigint range; result = signed(hi)*2^32 + lo
     "convert_from_bigint_be": (
-        "(b BINARY) RETURNS BIGINT RETURN cast(conv(hex(b), 16, 10) as bigint)"
+        "(b BINARY) RETURNS BIGINT RETURN "
+        "(cast(conv(substring(lpad(hex(b), 16, '0'), 1, 8), 16, 10) as bigint)"
+        " - if(cast(conv(substring(lpad(hex(b), 16, '0'), 1, 8), 16, 10) as bigint)"
+        " >= 2147483648, 4294967296, 0)) * 4294967296"
+        " + cast(conv(substring(lpad(hex(b), 16, '0'), 9, 8), 16, 10) as bigint)"
     ),
     "convert_to_bigint_be": (
         "(i BIGINT) RETURNS BINARY RETURN unhex(lpad(hex(i), 16, '0'))"

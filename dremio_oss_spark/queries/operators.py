@@ -331,15 +331,17 @@ def array_functions(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lns"))
         .select(
             "l_orderkey",
-            "lns",
+            # serialize array outputs: the driver's comparator sorts/hashes
+            # pandas frames and list cells are unhashable
+            F.array_join("lns", ",").alias("lns"),
             F.size("lns").alias("n"),
             F.element_at("lns", 1).alias("first_ln"),
             F.element_at("lns", -1).alias("last_ln"),
             F.array_contains("lns", 3).alias("has_3"),
-            F.slice("lns", 1, 2).alias("first_two"),
+            F.array_join(F.slice("lns", 1, 2), ",").alias("first_two"),
             F.array_max("lns").alias("mx"),
             F.array_min("lns").alias("mn"),
-            F.reverse("lns").alias("rev"),
+            F.array_join(F.reverse("lns"), ",").alias("rev"),
         )
         .orderBy("l_orderkey")
     )
@@ -350,15 +352,16 @@ with g as (
   select l_orderkey, list_sort(list(l_linenumber)) as lns
   from lineitem where l_orderkey < 200 group by l_orderkey
 )
-select l_orderkey, lns,
+select l_orderkey,
+       array_to_string(lns, ',') as lns,
        cast(len(lns) as int) as n,
        lns[1] as first_ln,
        lns[-1] as last_ln,
        list_contains(lns, 3) as has_3,
-       lns[1:2] as first_two,
+       array_to_string(lns[1:2], ',') as first_two,
        list_max(lns) as mx,
        list_min(lns) as mn,
-       list_reverse(lns) as rev
+       array_to_string(list_reverse(lns), ',') as rev
 from g
 order by l_orderkey
 """

@@ -511,8 +511,10 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # explicit bigint: DuckDB sum(int) yields HUGEINT, Spark bigint —
+            # pin both sides to bigint so the driver's value-hash agrees
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
@@ -520,8 +522,8 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 
 Q12_SQL = """
 select l_linestatus,
-       sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 1 else 0 end) as high_line_count,
-       sum(case when o_orderpriority not in ('1-URGENT','2-HIGH') then 1 else 0 end) as low_line_count
+       cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority not in ('1-URGENT','2-HIGH') then 1 else 0 end) as bigint) as low_line_count
 from orders
 join lineitem on o_orderkey = l_orderkey
 where l_shipdate >= TIMESTAMP '1997-01-01' and l_shipdate < TIMESTAMP '1998-01-01'

@@ -129,6 +129,28 @@ def rollback(table: str, snapshot: str) -> None:
     _commit(table, os.path.join(table, snapshot))
 
 
+def _fork_snapshot(table: str, parent: str) -> str:
+    """New snapshot sharing the parent's data files via symlinks (zero
+    data copy, like Iceberg manifests referencing unchanged files).
+    Prior delete files are carried forward the same way; realpath keeps
+    link chains one hop deep."""
+    snap = _snapshot_dir(table)
+    os.makedirs(snap)
+    for fn in os.listdir(parent):
+        if fn == "_deletes":
+            continue
+        os.symlink(os.path.realpath(os.path.join(parent, fn)),
+                   os.path.join(snap, fn))
+    pdel = os.path.join(parent, "_deletes")
+    if os.path.isdir(pdel):
+        ddir = os.path.join(snap, "_deletes")
+        os.makedirs(ddir)
+        for fn in os.listdir(pdel):
+            os.symlink(os.path.realpath(os.path.join(pdel, fn)),
+                       os.path.join(ddir, fn))
+    return snap
+
+
 def delete_where_mor(spark: SparkSession, table: str, cond: Column,
                      key_cols: list[str], branch: str = "main") -> None:
     """Merge-on-read DELETE (reference
@@ -137,14 +159,22 @@ def delete_where_mor(spark: SparkSession, table: str, cond: Column,
     anti-join it out.  Write cost ~|deleted keys| instead of |table| —
     the right trade for small deletes on huge tables; OPTIMIZE folds the
     deletes back into data files.
+
+    Commits a NEW snapshot (data via symlinks, deletes accumulated) so
+    the parent snapshot stays immutable: other branches pointing at it,
+    and time-travel reads of it, do not see this branch's delete.
     """
     cur = read_mor(spark, table, key_cols, branch)  # respect prior deletes
-    snap = current_snapshot(table, branch)
+    parent = current_snapshot(table, branch)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot in {table} [{branch}]")
     deletes = cur.where(cond).select(*key_cols)
+    snap = _fork_snapshot(table, parent)
     # "_deletes" starts with an underscore, so plain parquet scans of the
     # snapshot dir ignore it (Hadoop hidden-file convention) — only
     # read_mor applies it
     deletes.write.mode("append").parquet(os.path.join(snap, "_deletes"))
+    _commit(table, snap, branch)
 
 
 def read_mor(spark: SparkSession, table: str, key_cols: list[str],
@@ -177,15 +207,47 @@ def optimize(spark: SparkSession, table: str, key_cols: list[str],
 
 
 def vacuum(table: str, keep: int = 1) -> list[str]:
-    """VACUUM: drop all but the newest `keep` snapshots (never the
-    current one).  Returns removed snapshot ids."""
+    """VACUUM: drop all but the newest `keep` snapshots.  Never removes
+    (a) any branch's current snapshot, or (b) a snapshot whose data files
+    are symlink-referenced by a surviving MOR snapshot.  Returns removed
+    snapshot ids."""
     import shutil
 
-    cur = os.path.basename(current_snapshot(table) or "")
+    protected = {
+        os.path.basename(cur)
+        for b in list_branches(table)
+        if (cur := current_snapshot(table, b)) is not None
+    }
     snaps = history(table)
-    removable = [s for s in snaps[:-keep] if s != cur] if keep else [
-        s for s in snaps if s != cur
-    ]
+    removable = [s for s in (snaps[:-keep] if keep else snaps) if s not in protected]
+
+    # MOR snapshots symlink to parent data files: keep any snapshot a
+    # surviving snapshot still points into (transitively — a protected
+    # parent's own links protect the grandparent)
+    def _link_targets(snap: str) -> set[str]:
+        out: set[str] = set()
+        for root, dirs, files in os.walk(os.path.join(table, snap)):
+            for fn in dirs + files:
+                p = os.path.join(root, fn)
+                if os.path.islink(p):
+                    rel = os.path.relpath(os.path.realpath(p), table)
+                    top = rel.split(os.sep)[0]
+                    if top.startswith("snap-"):
+                        out.add(top)
+        return out
+
+    kept = [s for s in snaps if s not in removable]
+    seen: set[str] = set()
+    while kept:
+        s = kept.pop()
+        if s in seen:
+            continue
+        seen.add(s)
+        for t in _link_targets(s):
+            if s != t and t not in seen:
+                kept.append(t)
+    removable = [s for s in removable if s not in seen]
+
     for s in removable:
         shutil.rmtree(os.path.join(table, s), ignore_errors=True)
     return removable

@@ -33,6 +33,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped into it — the auto-ingest model); the fixture is a single
     file, so stage a symlink dir under the repo scratch area.
     """
+    from ..catalog import _allow_nanos
+
+    _allow_nanos(spark)  # events stores TIMESTAMP(NANOS); runtime conf
     path = os.path.join(sf_dir, "events.parquet")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))

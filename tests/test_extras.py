@@ -104,3 +104,56 @@ def test_merge_on_read_delete_and_optimize(spark):
     # OPTIMIZE folds deletes into a new snapshot: plain read now agrees
     dml.optimize(spark, t, ["c_custkey"], target_partitions=2)
     assert dml.read(spark, t).count() == n0 - n_del - 1
+
+
+def test_mor_delete_is_branch_scoped(spark):
+    """A MOR delete on one branch must NOT leak into other branches that
+    point at the same parent snapshot (snapshot immutability)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.sources import dml
+
+    d = extras_q._scratch("mor_branch", SF_SMALL)
+    t = os.path.join(d, "t")
+    dml.create_table(load(spark, SF_SMALL, "nation"), t)
+    dml.create_branch(t, "dev")  # dev points at the same snapshot as main
+    dml.delete_where_mor(spark, t, F.col("n_regionkey") == 0, ["n_nationkey"],
+                         branch="dev")
+    # main's MOR view is unaffected; dev sees the delete
+    assert dml.read_mor(spark, t, ["n_nationkey"]).count() == 25
+    assert dml.read_mor(spark, t, ["n_nationkey"], branch="dev").count() == 20
+    # the delete created a new snapshot on dev; time travel to the parent
+    # still sees all 25 rows
+    parent = dml.history(t)[0]
+    assert dml.read_at(spark, t, parent).count() == 25
+
+
+def test_vacuum_protects_branches_and_mor_parents(spark):
+    """VACUUM must keep every branch's current snapshot and any snapshot
+    whose data files a surviving MOR snapshot symlinks into."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.sources import dml
+
+    d = extras_q._scratch("vacuum_branch", SF_SMALL)
+    t = os.path.join(d, "t")
+    dml.create_table(load(spark, SF_SMALL, "nation"), t)
+    dml.create_branch(t, "dev")
+    # advance main twice so the branch snapshot is old enough to be a
+    # vacuum candidate
+    dml.delete_where(spark, t, F.col("n_regionkey") == 0)
+    dml.delete_where(spark, t, F.col("n_regionkey") == 1)
+    # MOR delete on main: current snapshot symlinks into its parent
+    dml.delete_where_mor(spark, t, F.col("n_regionkey") == 2, ["n_nationkey"])
+    dml.vacuum(t, keep=1)
+    # dev still readable (its snapshot was protected)
+    assert dml.read(spark, t, branch="dev").count() == 25
+    # main's MOR view still readable (symlink parent was protected):
+    # 25 rows - regions 0,1 (COW) - region 2 (MOR) = 10
+    assert dml.read_mor(spark, t, ["n_nationkey"]).count() == 10

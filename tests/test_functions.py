@@ -46,6 +46,26 @@ def test_st_geohash_golden(spark):
     assert rows[0]["b"] == "gbsuv"
 
 
+def test_convert_be_signed_roundtrip(spark):
+    """Two's-complement round-trip incl. negatives and extremes
+    (ConvertFromImpl int_be/bigint_be semantics)."""
+    from dremio_oss_spark.functions.shims import register_all
+
+    register_all(spark)
+    vals = [0, 1, -1, 2147483647, -2147483648, 42, -42]
+    for v in vals:
+        row = spark.sql(
+            f"select convert_from_int_be(convert_to_int_be({v})) as i"
+        ).collect()[0]
+        assert row["i"] == v, f"int_be roundtrip failed for {v}: {row['i']}"
+    bvals = [0, 1, -1, 9223372036854775807, -9223372036854775808, -4294967296]
+    for v in bvals:
+        row = spark.sql(
+            f"select convert_from_bigint_be(convert_to_bigint_be({v}L)) as i"
+        ).collect()[0]
+        assert row["i"] == v, f"bigint_be roundtrip failed for {v}: {row['i']}"
+
+
 def test_dremio_concat_null_semantics(spark):
     from dremio_oss_spark.functions import dremio_concat
     from pyspark.sql import functions as F
