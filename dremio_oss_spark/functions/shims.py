@@ -82,11 +82,17 @@ _SQL_FUNCTIONS: dict[str, str] = {
     # yields the UNSIGNED value; reconstruct the sign explicitly — a
     # plain bigint/int cast of a top-bit-set value overflows (throws
     # under Spark 4 ANSI mode).
+    # Buffer length is checked like the reference (IntBEConvertFrom /
+    # BigIntBEConvertFrom checkBufferLength): exactly 4/8 bytes or error —
+    # a longer buffer would otherwise silently truncate, a shorter one
+    # zero-pad.
     "convert_from_int_be": (
-        "(b BINARY) RETURNS INT RETURN cast("
+        "(b BINARY) RETURNS INT RETURN if(length(b) = 4, cast("
         "cast(conv(hex(b), 16, 10) as bigint) "
         "- if(cast(conv(hex(b), 16, 10) as bigint) >= 2147483648, "
-        "4294967296, 0) as int)"
+        "4294967296, 0) as int), "
+        "cast(raise_error(concat('convert_from_int_be: buffer must be "
+        "exactly 4 bytes, got ', length(b))) as int))"
     ),
     "convert_to_int_be": (
         "(i INT) RETURNS BINARY RETURN unhex(lpad(hex(i & 4294967295), 8, '0'))"
@@ -94,11 +100,13 @@ _SQL_FUNCTIONS: dict[str, str] = {
     # 64-bit: split the 16-hex-char value into two 32-bit halves so no
     # intermediate exceeds bigint range; result = signed(hi)*2^32 + lo
     "convert_from_bigint_be": (
-        "(b BINARY) RETURNS BIGINT RETURN "
+        "(b BINARY) RETURNS BIGINT RETURN if(length(b) = 8, "
         "(cast(conv(substring(lpad(hex(b), 16, '0'), 1, 8), 16, 10) as bigint)"
         " - if(cast(conv(substring(lpad(hex(b), 16, '0'), 1, 8), 16, 10) as bigint)"
         " >= 2147483648, 4294967296, 0)) * 4294967296"
-        " + cast(conv(substring(lpad(hex(b), 16, '0'), 9, 8), 16, 10) as bigint)"
+        " + cast(conv(substring(lpad(hex(b), 16, '0'), 9, 8), 16, 10) as bigint), "
+        "cast(raise_error(concat('convert_from_bigint_be: buffer must be "
+        "exactly 8 bytes, got ', length(b))) as bigint))"
     ),
     "convert_to_bigint_be": (
         "(i BIGINT) RETURNS BINARY RETURN unhex(lpad(hex(i), 16, '0'))"
@@ -205,6 +213,41 @@ def dremio_concat(*cols: Column | str) -> Column:
 def kvgen(col: Column | str) -> Column:
     """KVGEN/MAPPIFY (Mappify.java:36): map -> array<struct<key,value>>."""
     return F.map_entries(F.col(col) if isinstance(col, str) else col)
+
+
+def single_value(col: Column | str) -> Column:
+    """SINGLE_VALUE aggregate (codegen/templates/
+    SingleValueAggregateFunctions.java): returns the group's one value,
+    errors if the group holds more than one row — the guard the scalar
+    -subquery rewrite relies on.  Expressed as a conditional over two
+    built-in aggregates so it stays JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.count(F.lit(1)) <= 1, F.first(c)
+    ).otherwise(
+        F.expr(
+            "raise_error('SINGLE_VALUE: subqueries used in expressions "
+            "must return a single value')"
+        )
+    )
+
+
+def hll(col: Column | str) -> Column:
+    """HLL(col) -> binary sketch (HyperLogLog.java:28 NDV_FUNCTION/HLL;
+    Spark's Datasketches-backed hll_sketch_agg)."""
+    return F.hll_sketch_agg(F.col(col) if isinstance(col, str) else col)
+
+
+def hll_merge(col: Column | str) -> Column:
+    """HLL_MERGE(sketch_col): merge partial sketches into one
+    (HyperLogLog.java HLL_MERGE aggregate over sketch buffers)."""
+    return F.hll_union_agg(F.col(col) if isinstance(col, str) else col)
+
+
+def hll_decode(col: Column | str) -> Column:
+    """HLL_DECODE(sketch) -> cardinality estimate
+    (HyperLogLog.java HLL_DECODE scalar)."""
+    return F.hll_sketch_estimate(F.col(col) if isinstance(col, str) else col)
 
 
 def to_char(col: Column | str, fmt: str) -> Column:

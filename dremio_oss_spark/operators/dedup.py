@@ -271,16 +271,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """All pairs within `max_hamming` bits (XOR + popcount).
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """All pairs within `max_hamming` bits (XOR + popcount), found via a
+    banded equi-join — never an all-pairs cross join.
 
-    At test scale this is a broadcast cross join; at 100 TB you'd block by
-    simhash prefix bands first (same trick as LSH) — the verify math below
-    is unchanged."""
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    Pigeonhole: split the signature into (max_hamming + 1) bit bands; a
+    pair with ≤ max_hamming differing bits has at least one band with NO
+    differing bit, i.e. agrees exactly on that band's key.  Each band is
+    an equi-join on a small integer key, so the plan is a plain shuffled
+    hash join that scales linearly with docs-per-bucket — the same
+    blocking trick as MinHash-LSH banding, and exact (no recall loss)."""
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil: top band covers the leftover bits
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", F.col("simhash"), F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.key").alias("key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # a close pair can match in several bands
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -1,5 +1,5 @@
 """Plan-level services: reflections (materialized views + substitution)."""
 
-from .reflections import AggQuery, Measure, Reflection, ReflectionStore
+from .reflections import AggQuery, JoinSpec, Measure, Reflection, ReflectionStore
 
-__all__ = ["AggQuery", "Measure", "Reflection", "ReflectionStore"]
+__all__ = ["AggQuery", "JoinSpec", "Measure", "Reflection", "ReflectionStore"]

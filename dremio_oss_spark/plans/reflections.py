@@ -15,8 +15,11 @@ engine's aggregate entry point consults the `ReflectionStore` before
 building the DataFrame plan.  A match means the scan target switches from
 the 100 TB base table to the few-MB materialization and the aggregation
 becomes a rollup (SUM of partial SUMs, SUM of partial COUNTs, MIN of
-MINs, ...).  This is exactly the reference's aggregate-rollup match,
-minus join-tree matching (documented gap).
+MINs, ...).  This is the reference's aggregate-rollup match, including
+the star-join case of join-tree matching (JoinSpec below): a reflection
+materialized over fact ⋈ dims answers any query over a sub-star of the
+same tree.  Snowflake (dim-to-dim) edges and view-tree matching remain
+out of scope.
 
 Scale: the materialization is partitioned parquet keyed by the
 reflection's leading dimension; refresh is a distributed groupBy; the
@@ -52,6 +55,22 @@ class Measure:
 
 
 @dataclass(frozen=True)
+class JoinSpec:
+    """One star edge: fact.fact_key == dim_table.dim_key (N:1 FK join).
+
+    Mirrors the simplest join case of the reference's view substitution
+    (planner/acceleration/substitution/SubstitutionProvider.java:40 —
+    Calcite matches a query join subtree against the materialized one).
+    Soundness assumption, as in star-schema FK matching: the dim key is
+    unique and every fact key matches (N:1 lossless), so extra dim edges
+    in the reflection never change fact-row multiplicity."""
+
+    dim_table: str
+    fact_key: str
+    dim_key: str
+
+
+@dataclass(frozen=True)
 class AggQuery:
     """Declarative aggregate query: the IR substitution matches on."""
 
@@ -59,6 +78,7 @@ class AggQuery:
     dims: tuple[str, ...]
     measures: tuple[Measure, ...]
     filters: tuple[str, ...] = ()  # SQL predicates over dims only
+    joins: tuple[JoinSpec, ...] = ()  # star edges off the fact table
 
 
 @dataclass
@@ -70,9 +90,15 @@ class Reflection:
     path: str
     watermark_col: str | None = None
     watermark: object = None
+    joins: tuple[JoinSpec, ...] = ()
 
     def covers(self, q: AggQuery) -> bool:
         if q.table != self.table:
+            return False
+        # join-tree matching (star case): every join edge the query needs
+        # must be materialized; extra reflection edges are harmless under
+        # the N:1 FK assumption (see JoinSpec)
+        if not set(q.joins) <= set(self.joins):
             return False
         if not set(q.dims) <= set(self.dims):
             return False
@@ -125,16 +151,38 @@ class ReflectionStore:
         dims: list[str],
         measures: list[Measure],
         watermark_col: str | None = None,
+        joins: list[JoinSpec] | None = None,
+        dim_sources: dict[str, DataFrame] | None = None,
     ) -> Reflection:
-        """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent."""
+        """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent.
+
+        With `joins`, the materialization is built over the star join of
+        `source` (the fact) with each broadcast dim — dims/measures may
+        then reference dim-table columns."""
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
         refl = Reflection(
-            name, table, tuple(dims), tuple(measures), path, watermark_col
+            name, table, tuple(dims), tuple(measures), path, watermark_col,
+            joins=tuple(joins or ()),
         )
-        self._full_refresh(refl, source)
+        self._full_refresh(refl, self._join_star(source, refl.joins, dim_sources))
         self._reflections[name] = refl
         return refl
+
+    @staticmethod
+    def _join_star(
+        fact: DataFrame,
+        joins: tuple[JoinSpec, ...],
+        dim_sources: dict[str, DataFrame] | None,
+    ) -> DataFrame:
+        """Fact ⋈ broadcast(dim) per star edge — dims are small by
+        definition of the star reflection, so every edge is a broadcast
+        hash join (no shuffle of the 100 TB fact side)."""
+        df = fact
+        for js in joins:
+            dim = dim_sources[js.dim_table]
+            df = df.join(F.broadcast(dim), F.col(js.fact_key) == F.col(js.dim_key))
+        return df
 
     def create_raw_reflection(
         self,
@@ -234,16 +282,21 @@ class ReflectionStore:
                 return refl
         return None
 
-    def execute(self, q: AggQuery, base: DataFrame) -> tuple[DataFrame, bool]:
+    def execute(
+        self,
+        q: AggQuery,
+        base: DataFrame,
+        dim_sources: dict[str, DataFrame] | None = None,
+    ) -> tuple[DataFrame, bool]:
         """Answer an AggQuery, substituting a reflection when one covers it.
 
         Returns (result, substituted).  The rollup path never touches the
-        base table: SUMs re-sum partial sums, COUNTs re-sum partial
-        counts, MIN/MAX re-min/max.
+        base table (nor re-runs any star join): SUMs re-sum partial sums,
+        COUNTs re-sum partial counts, MIN/MAX re-min/max.
         """
         refl = self.find_match(q)
         if refl is None:
-            df = base
+            df = self._join_star(base, q.joins, dim_sources)
             for f in q.filters:
                 df = df.where(f)
             aggs = []

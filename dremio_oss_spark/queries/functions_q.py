@@ -238,6 +238,11 @@ order by doc_id, key
 # array_sum/array_avg/list_to_delimited_string/sublist/set_union/
 # array_generate_range/array_compact — via Catalyst lambda expressions,
 # no Python in the loop.
+def _arr_str(c):
+    """array<any> -> 'a,b,c' string (scalar-only final schemas)."""
+    return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
+
 def array_gap_functions(spark: SparkSession, sf: str) -> DataFrame:
     g = (
         load(spark, sf, "lineitem")
@@ -258,14 +263,18 @@ def array_gap_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.transform("lns", lambda x: x.cast("string")), ",").alias(
             "delim"
         ),
-        F.slice("lns", 2, 2).alias("sub"),
-        F.array_sort(
-            F.array_union("lns", F.array(F.lit(1), F.lit(9)))
+        # array-valued intermediates are joined to strings for the final
+        # schema: the driver's canonicalizer only hashes scalar cells
+        _arr_str(F.slice("lns", 2, 2)).alias("sub"),
+        _arr_str(
+            F.array_sort(F.array_union("lns", F.array(F.lit(1), F.lit(9))))
         ).alias("set_un"),
-        F.sequence(F.lit(1), F.size("lns")).alias("gen_range"),
-        F.filter(
-            F.concat("lns", F.array(F.lit(None).cast("int"))),
-            lambda x: x.isNotNull(),
+        _arr_str(F.sequence(F.lit(1), F.size("lns"))).alias("gen_range"),
+        _arr_str(
+            F.filter(
+                F.concat("lns", F.array(F.lit(None).cast("int"))),
+                lambda x: x.isNotNull(),
+            )
         ).alias("compacted"),
     ).orderBy("l_orderkey")
 
@@ -279,10 +288,10 @@ select l_orderkey,
        cast(list_sum(lns) as int) as arr_sum,
        round(cast(list_sum(lns) as double) / len(lns), 6) as arr_avg,
        array_to_string(lns, ',') as delim,
-       lns[2:3] as sub,
-       list_sort(list_distinct(list_concat(lns, [1, 9]))) as set_un,
-       range(1, cast(len(lns) as int) + 1) as gen_range,
-       lns as compacted
+       coalesce(array_to_string(lns[2:3], ','), '') as sub,
+       array_to_string(list_sort(list_distinct(list_concat(lns, [1, 9]))), ',') as set_un,
+       array_to_string(range(1, cast(len(lns) as int) + 1), ',') as gen_range,
+       array_to_string(lns, ',') as compacted
 from g
 order by l_orderkey
 """
@@ -365,7 +374,7 @@ def intervals(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("timestampdiff(DAY, ts, timestamp'2024-06-01 00:00:00')").alias(
             "days_to_jun"
         ),
-        F.next_day(F.col("ts").cast("date"), "Mon").alias("next_mon"),
+        F.next_day(F.col("ts").cast("date"), "Mon").cast("timestamp").alias("next_mon"),
         F.quarter("ts").alias("q"),
         F.weekofyear("ts").alias("woy"),
         F.dayofyear("ts").alias("doy"),
@@ -379,8 +388,8 @@ select event_id,
        ts + interval 45 minute as plus_45m,
        cast(floor(epoch(timestamp '2024-06-01 00:00:00' - ts) / 86400)
             as bigint) as days_to_jun,
-       cast(ts as date)
-         + cast(((1 - dayofweek(ts) + 6) % 7) + 1 as int) as next_mon,
+       cast(cast(ts as date)
+         + cast(((1 - dayofweek(ts) + 6) % 7) + 1 as int) as timestamp) as next_mon,
        quarter(ts) as q,
        cast(weekofyear(ts) as int) as woy,
        cast(dayofyear(ts) as int) as doy
@@ -399,7 +408,7 @@ def regexp_functions(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey",
         F.col("c_name").rlike(r"0{3,}").alias("has_triple_zero"),
         F.regexp_extract("c_name", r"#(\d+)", 1).alias("id_digits"),
-        F.split("c_name", "#").alias("split_parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("split_parts"),
         F.regexp_count("c_name", F.lit("0")).alias("zero_count"),
         F.regexp_replace("c_name", r"\d", "*").alias("masked_digits"),
     ).orderBy("c_custkey")
@@ -409,7 +418,7 @@ REGEXP_SQL = r"""
 select c_custkey,
        regexp_matches(c_name, '0{3,}') as has_triple_zero,
        coalesce(regexp_extract(c_name, '#(\d+)', 1), '') as id_digits,
-       string_split(c_name, '#') as split_parts,
+       array_to_string(string_split(c_name, '#'), '|') as split_parts,
        cast(len(regexp_extract_all(c_name, '0')) as int) as zero_count,
        regexp_replace(c_name, '\d', '*', 'g') as masked_digits
 from customer
@@ -472,6 +481,47 @@ order by n_nationkey
 """
 
 
+def single_value_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SINGLE_VALUE over one-row groups + a merged-HLL NDV check
+    (SingleValueAggregateFunctions.java; HyperLogLog.java HLL/HLL_MERGE/
+    HLL_DECODE).  Partial sketches built per nation, merged, decoded;
+    the oracle-checked output pins the estimate to a bounded-error
+    boolean (sketch bytes are engine-specific)."""
+    from ..functions.shims import hll, hll_decode, hll_merge, single_value
+
+    cust = load(spark, sf, "customer")
+    partials = cust.groupBy("c_nationkey").agg(hll("c_custkey").alias("sk"))
+    merged = partials.groupBy().agg(
+        hll_decode(hll_merge("sk")).alias("est"),
+        F.count("*").alias("n_nations"),
+    )
+    # SINGLE_VALUE guards the scalar-subquery shape: the inner aggregate
+    # yields one row, the outer single_value asserts exactly that
+    inner = cust.groupBy().agg(F.count_distinct("c_custkey").alias("ndv"))
+    exact = inner.groupBy().agg(
+        single_value(F.col("ndv")).alias("ndv_exact"),
+        single_value(F.lit("per-nation")).alias("tag"),
+    )
+    return merged.crossJoin(exact).select(
+        "tag",
+        "n_nations",
+        "ndv_exact",
+        (
+            F.abs(F.col("est") - F.col("ndv_exact"))
+            <= 0.05 * F.col("ndv_exact")
+        ).alias("est_within_5pct"),
+    )
+
+
+SINGLE_VALUE_SQL = """
+select 'per-nation' as tag,
+       count(distinct c_nationkey) as n_nations,
+       count(distinct c_custkey) as ndv_exact,
+       true as est_within_5pct
+from customer
+"""
+
+
 FUNCTION_QUERIES = {
     "fn_concat_masking": concat_masking,
     "fn_geo_functions": geo_functions,
@@ -486,6 +536,7 @@ FUNCTION_QUERIES = {
     "fn_regexp": regexp_functions,
     "fn_bitwise": bitwise_functions,
     "fn_to_json": to_json_q,
+    "fn_single_value": single_value_q,
 }
 
 FUNCTION_ORACLE = {
@@ -503,4 +554,5 @@ FUNCTION_ORACLE = {
     "fn_regexp": REGEXP_SQL,
     "fn_bitwise": BITWISE_SQL,
     "fn_to_json": TO_JSON_SQL,
+    "fn_single_value": SINGLE_VALUE_SQL,
 }

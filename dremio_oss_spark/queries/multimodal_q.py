@@ -79,7 +79,7 @@ def frame_sampling(spark: SparkSession, sf: str) -> DataFrame:
         frames.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_frames"),
-            F.sum(F.length("frame_bytes")).alias("frame_bytes_total"),
+            F.sum(F.length("frame_bytes")).cast("bigint").alias("frame_bytes_total"),
         )
         .orderBy("doc_id")
     )
@@ -95,7 +95,7 @@ with m as (
 )
 select doc_id,
        count(*) as n_frames,
-       sum(greatest(0, least(n - frame_no * 64, 64))) as frame_bytes_total
+       cast(sum(greatest(0, least(n - frame_no * 64, 64))) as bigint) as frame_bytes_total
 from fr
 group by doc_id
 order by doc_id

@@ -596,9 +596,9 @@ def date_functions(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("yr"),
             F.month("o_orderdate").cast("bigint").alias("mo"),
             F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
-            F.last_day("o_orderdate").alias("eom"),
+            F.last_day("o_orderdate").cast("timestamp").alias("eom"),
             F.expr("o_orderdate + INTERVAL 90 DAY").alias("plus90"),
-            F.add_months(F.col("o_orderdate"), 3).alias("plus3mo"),
+            F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus3mo"),
             F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
             .cast("bigint")
             .alias("days_to_2002"),
@@ -616,9 +616,9 @@ select o_orderkey,
        cast(extract(year from o_orderdate) as bigint) as yr,
        cast(extract(month from o_orderdate) as bigint) as mo,
        cast(extract(day from o_orderdate) as bigint) as dom,
-       last_day(o_orderdate) as eom,
+       cast(last_day(o_orderdate) as timestamp) as eom,
        cast(cast(o_orderdate as date) + 90 as timestamp) as plus90,
-       cast(o_orderdate + INTERVAL 3 MONTH as date) as plus3mo,
+       cast(cast(o_orderdate + INTERVAL 3 MONTH as date) as timestamp) as plus3mo,
        datediff('day', o_orderdate, TIMESTAMP '2002-01-01') as days_to_2002,
        cast(epoch(o_orderdate) as bigint) as epoch_s,
        strftime(o_orderdate, '%Y-%m-%d') as iso

@@ -10,7 +10,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
-from ..plans import AggQuery, Measure, ReflectionStore
+from ..plans import AggQuery, JoinSpec, Measure, ReflectionStore
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
 
@@ -53,12 +53,18 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     df, substituted = store.execute(q, li)
     assert substituted, "reflection substitution did not fire"
-    return df.orderBy("l_returnflag")
+    from pyspark.sql import functions as F
+
+    # decimal-exact internally; pin the emitted sum to double for the
+    # cross-engine hash (DuckDB fetchdf renders DECIMAL as float64)
+    return df.withColumn(
+        "sum_l_quantity", F.col("sum_l_quantity").cast("double")
+    ).orderBy("l_returnflag")
 
 
 AGG_ROLLUP_SQL = """
 select l_returnflag,
-       sum(cast(l_quantity as decimal(28,4))) as sum_l_quantity,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double) as sum_l_quantity,
        count(*) as count_all,
        min(l_shipdate) as min_l_shipdate
 from lineitem
@@ -92,12 +98,14 @@ def incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
     df, substituted = store.execute(q, li)
     assert substituted
-    return df.orderBy("l_returnflag")
+    return df.withColumn(
+        "sum_l_quantity", F.col("sum_l_quantity").cast("double")
+    ).orderBy("l_returnflag")
 
 
 INCREMENTAL_SQL = """
 select l_returnflag,
-       sum(cast(l_quantity as decimal(28,4))) as sum_l_quantity,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double) as sum_l_quantity,
        count(*) as count_all
 from lineitem
 group by l_returnflag
@@ -105,12 +113,62 @@ order by l_returnflag
 """
 
 
+def join_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-join reflection (lineitem ⋈ supplier) answering a sub-star
+    query FROM THE MATERIALIZATION (asserted) — the first join-tree
+    matching case of SubstitutionProvider.java:40: the reflection's join
+    tree covers the query's, dims/measures roll up."""
+    from pyspark.sql import functions as F
+
+    store = _store(spark, sf)
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    star = [JoinSpec("supplier", "l_suppkey", "s_suppkey")]
+    store.create_aggregation_reflection(
+        "li_by_nation_flag",
+        li,
+        table="lineitem",
+        dims=["s_nationkey", "l_returnflag"],
+        measures=[
+            Measure("sum", "l_extendedprice"),
+            Measure("count", "*"),
+        ],
+        joins=star,
+        dim_sources={"supplier": supp},
+    )
+    q = AggQuery(
+        table="lineitem",
+        dims=("s_nationkey",),
+        measures=(Measure("sum", "l_extendedprice"), Measure("count", "*")),
+        filters=("l_returnflag = 'R'",),
+        joins=tuple(star),
+    )
+    df, substituted = store.execute(q, li, dim_sources={"supplier": supp})
+    assert substituted, "star-join reflection substitution did not fire"
+    return df.withColumn(
+        "sum_l_extendedprice", F.col("sum_l_extendedprice").cast("double")
+    ).orderBy("s_nationkey")
+
+
+JOIN_ROLLUP_SQL = """
+select s_nationkey,
+       cast(sum(cast(l_extendedprice as decimal(28,4))) as double) as sum_l_extendedprice,
+       count(*) as count_all
+from lineitem join supplier on l_suppkey = s_suppkey
+where l_returnflag = 'R'
+group by s_nationkey
+order by s_nationkey
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_agg_rollup": agg_rollup,
     "refl_incremental_refresh": incremental,
+    "refl_join_rollup": join_rollup,
 }
 
 REFLECTION_ORACLE = {
     "refl_agg_rollup": AGG_ROLLUP_SQL,
     "refl_incremental_refresh": INCREMENTAL_SQL,
+    "refl_join_rollup": JOIN_ROLLUP_SQL,
 }

@@ -162,7 +162,7 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
         .orderBy("bucket")
     )
@@ -187,7 +187,7 @@ with buckets(bucket, d_start, d_end) as (
     ('1998H2', date '1998-07-01', date '1998-12-31')
 )
 select bucket, count(*) as n_items,
-       sum(cast(l_quantity as decimal(18,2))) as sum_qty
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty
 from lineitem join buckets
   on l_shipdate >= d_start and l_shipdate <= d_end
 group by bucket
@@ -203,7 +203,9 @@ def map_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.array_sort(F.map_keys(m)).alias("keys"),
+        # scalar output only: the driver's canonicalizer sorts rows with
+        # pandas and cannot hash list cells -> join keys into one string
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
         F.element_at(m, "lang").alias("lang_v"),
         F.element_at(m, "source").alias("source_v"),
         F.size(m).alias("n_entries"),
@@ -224,7 +226,7 @@ def map_functions(spark: SparkSession, sf: str) -> DataFrame:
 
 MAP_FUNCTIONS_SQL = """
 select doc_id,
-       ['lang', 'source'] as keys,
+       'lang,source' as keys,
        lang as lang_v,
        source as source_v,
        2 as n_entries,
@@ -264,7 +266,7 @@ def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.count("bal").alias("n_bal"),
-            F.sum(F.col("key").cast("decimal(18,0)")).alias("key_sum"),
+            F.sum(F.col("key").cast("decimal(18,0)")).cast("bigint").alias("key_sum"),
         )
     )
 
@@ -277,7 +279,7 @@ with u as (
   select s_suppkey as key, s_name as name, s_acctbal as bal from supplier
 )
 select count(*) as n_rows, count(bal) as n_bal,
-       sum(cast(key as decimal(18,0))) as key_sum
+       cast(sum(cast(key as decimal(18,0))) as bigint) as key_sum
 from u
 """
 
@@ -371,9 +373,9 @@ def unpivot(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("l_orderkey") <= 500)
         .groupBy("l_orderkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("price"),
-            F.sum(F.col("l_tax").cast("decimal(18,2)")).alias("tax"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price"),
+            F.sum(F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("tax"),
         )
     )
     return (
@@ -387,9 +389,9 @@ def unpivot(spark: SparkSession, sf: str) -> DataFrame:
 UNPIVOT_SQL = """
 with wide as (
   select l_orderkey,
-         sum(cast(l_quantity as decimal(18,2))) as qty,
-         sum(cast(l_extendedprice as decimal(18,2))) as price,
-         sum(cast(l_tax as decimal(18,2))) as tax
+         cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty,
+         cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as price,
+         cast(sum(cast(l_tax as decimal(18,2))) as double) as tax
   from lineitem where l_orderkey <= 500 group by l_orderkey
 )
 select l_orderkey, metric, value from (
@@ -423,13 +425,13 @@ def salted_aggregation(spark: SparkSession, sf: str) -> DataFrame:
             "max_ship": ("max", "l_shipdate"),
         },
         n_salts=16,
-    ).orderBy("l_returnflag")
+    ).withColumn("qty_sum", F.col("qty_sum").cast("double")).orderBy("l_returnflag")
 
 
 SALTED_AGG_SQL = """
 select l_returnflag,
        count(*) as n,
-       sum(cast(l_quantity as decimal(18,2))) as qty_sum,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty_sum,
        min(l_shipdate) as min_ship,
        max(l_shipdate) as max_ship
 from lineitem

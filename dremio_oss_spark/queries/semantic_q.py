@@ -21,7 +21,7 @@ def vds_query(spark: SparkSession, sf: str) -> DataFrame:
         "revenue_by_segment",
         """
         select c.c_mktsegment as segment,
-               sum(cast(o.o_totalprice as decimal(18,2))) as revenue,
+               cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) as revenue,
                count(*) as n_orders
         from orders o join customer c on o.o_custkey = c.c_custkey
         group by c.c_mktsegment
@@ -38,7 +38,7 @@ def vds_query(spark: SparkSession, sf: str) -> DataFrame:
 
 VDS_QUERY_SQL = """
 select c_mktsegment as segment,
-       sum(cast(o_totalprice as decimal(18,2))) as revenue,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as revenue,
        count(*) as n_orders
 from orders o join customer c on o.o_custkey = c.c_custkey
 group by c_mktsegment

@@ -52,13 +52,16 @@ def csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (
         nation.join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count("*").alias("n_nations"), F.sum("n_nationkey").alias("key_sum"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
         .orderBy("r_name")
     )
 
 
 CSV_ROUNDTRIP_SQL = """
-select r_name, count(*) as n_nations, sum(n_nationkey) as key_sum
+select r_name, count(*) as n_nations, cast(sum(n_nationkey) as bigint) as key_sum
 from nation join region on n_regionkey = r_regionkey
 group by r_name order by r_name
 """
@@ -76,7 +79,7 @@ def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         supp.groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_supp"),
-            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("bal_sum"),
         )
         .orderBy("s_nationkey")
     )
@@ -84,7 +87,7 @@ def json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 JSON_ROUNDTRIP_SQL = """
 select s_nationkey, count(*) as n_supp,
-       sum(cast(s_acctbal as decimal(18,2))) as bal_sum
+       cast(sum(cast(s_acctbal as decimal(18,2))) as double) as bal_sum
 from supplier group by s_nationkey order by s_nationkey
 """
 
@@ -129,7 +132,7 @@ def ctas_insert(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
         )
         .orderBy("o_orderpriority")
     )
@@ -137,7 +140,7 @@ def ctas_insert(spark: SparkSession, sf: str) -> DataFrame:
 
 CTAS_INSERT_SQL = """
 select o_orderpriority, count(*) as n_orders,
-       sum(cast(o_totalprice as decimal(18,2))) as price_sum
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as price_sum
 from orders where o_orderkey <= 2000
 group by o_orderpriority order by o_orderpriority
 """
@@ -200,7 +203,7 @@ def dml_cow(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -222,7 +225,7 @@ with after_delete as (
   select 10000001, 'Customer#fresh', 0, 1.5, 'NEW'
 )
 select c_mktsegment, count(*) as n,
-       sum(cast(c_acctbal as decimal(18,2))) as bal
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) as bal
 from after_merge group by c_mktsegment order by c_mktsegment
 """
 

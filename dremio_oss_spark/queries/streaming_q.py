@@ -22,7 +22,7 @@ def tumbling(spark: SparkSession, sf: str) -> DataFrame:
 TUMBLING_SQL = """
 select date_trunc('hour', ts) as w_start, event_type,
        count(*) as n,
-       sum(cast(value as decimal(18,4))) as val_sum
+       cast(sum(cast(value as decimal(18,4))) as double) as val_sum
 from events
 group by 1, 2
 order by w_start, event_type
@@ -45,7 +45,7 @@ with cand as (
   from events
 )
 select w_start, count(*) as n,
-       sum(cast(value as decimal(18,4))) as val_sum
+       cast(sum(cast(value as decimal(18,4))) as double) as val_sum
 from cand
 group by w_start
 order by w_start

@@ -25,11 +25,13 @@ def cast_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.col("value").cast("int").alias("dbl_to_int"),
-        F.col("value").cast("decimal(12,3)").alias("dbl_to_dec"),
+        # decimal rendered as string: pandas keeps Decimal objects while
+        # DuckDB fetchdf renders DECIMAL as float64 -> pin to string
+        F.col("value").cast("decimal(12,3)").cast("string").alias("dbl_to_dec"),
         F.col("value").cast("string").alias("dbl_to_str"),
         F.col("event_id").cast("double").alias("long_to_dbl"),
         F.col("event_id").cast("string").alias("long_to_str"),
-        F.col("ts").cast("date").alias("ts_to_date"),
+        F.col("ts").cast("date").cast("string").alias("ts_to_date"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_to_str"),
         F.unix_timestamp("ts").alias("ts_to_epoch"),
         # TIME policy: millis since midnight as BIGINT (Types.proto TIME)
@@ -44,11 +46,11 @@ def cast_matrix(spark: SparkSession, sf: str) -> DataFrame:
 CAST_MATRIX_SQL = """
 select event_id,
        cast(trunc(value) as int) as dbl_to_int,
-       cast(value as decimal(12,3)) as dbl_to_dec,
+       cast(cast(value as decimal(12,3)) as varchar) as dbl_to_dec,
        cast(value as varchar) as dbl_to_str,
        cast(event_id as double) as long_to_dbl,
        cast(event_id as varchar) as long_to_str,
-       cast(ts as date) as ts_to_date,
+       cast(cast(ts as date) as varchar) as ts_to_date,
        strftime(ts, '%Y-%m-%d %H:%M:%S') as ts_to_str,
        floor(epoch(ts))::bigint as ts_to_epoch,
        (hour(ts) * 3600000 + minute(ts) * 60000

@@ -146,6 +146,11 @@ def _fork_snapshot(table: str, parent: str) -> str:
         ddir = os.path.join(snap, "_deletes")
         os.makedirs(ddir)
         for fn in os.listdir(pdel):
+            # never symlink job-commit markers/checksums: the append write
+            # into this fork re-commits _SUCCESS/.crc, and a symlinked one
+            # would write through into the (immutable) parent snapshot
+            if fn == "_SUCCESS" or fn.endswith(".crc"):
+                continue
             os.symlink(os.path.realpath(os.path.join(pdel, fn)),
                        os.path.join(ddir, fn))
     return snap
@@ -224,13 +229,20 @@ def vacuum(table: str, keep: int = 1) -> list[str]:
     # MOR snapshots symlink to parent data files: keep any snapshot a
     # surviving snapshot still points into (transitively — a protected
     # parent's own links protect the grandparent)
+    # resolve the table base too: if any component of `table` is itself a
+    # symlink, relpath(realpath(p), table) would yield '../…' and link
+    # targets would silently lose protection
+    table_real = os.path.realpath(table)
+
     def _link_targets(snap: str) -> set[str]:
         out: set[str] = set()
         for root, dirs, files in os.walk(os.path.join(table, snap)):
             for fn in dirs + files:
                 p = os.path.join(root, fn)
                 if os.path.islink(p):
-                    rel = os.path.relpath(os.path.realpath(p), table)
+                    rel = os.path.relpath(os.path.realpath(p), table_real)
+                    if rel.startswith(".."):
+                        continue  # link escapes the table dir: not a snapshot ref
                     top = rel.split(os.sep)[0]
                     if top.startswith("snap-"):
                         out.add(top)

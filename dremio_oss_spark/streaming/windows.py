@@ -93,7 +93,10 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink(sf_dir, "tumble")
     run_to_table(
         agg.select(
-            F.col("w.start").alias("w_start"), "event_type", "n", "val_sum"
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            F.col("val_sum").cast("double").alias("val_sum"),
         ),
         name,
         "complete",
@@ -109,7 +112,11 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _sink(sf_dir, "slide")
     run_to_table(
-        agg.select(F.col("w.start").alias("w_start"), "n", "val_sum"),
+        agg.select(
+            F.col("w.start").alias("w_start"),
+            "n",
+            F.col("val_sum").cast("double").alias("val_sum"),
+        ),
         name,
         "complete",
     )

@@ -41,12 +41,6 @@ def _canon_cell(v):
         return v.floor("ms").to_pydatetime().replace(tzinfo=None)
     if isinstance(v, _dt.datetime):
         return v.replace(microsecond=(v.microsecond // 1000) * 1000, tzinfo=None)
-    if isinstance(v, _dt.date):
-        return _dt.datetime(v.year, v.month, v.day)
-    if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
-        return float(v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_canon_cell(x) for x in v)
     return v
 
 
@@ -57,6 +51,68 @@ def canonicalize(df: pd.DataFrame, ordered: bool) -> list[tuple]:
     if not ordered:
         rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
     return rows
+
+
+def _col_class(s: pd.Series) -> str:
+    """Classify a pandas column the way the driver's hash 'sees' it.
+
+    The driver canonicalizes with pandas sort_values + a dtype-sensitive
+    value hash, so int64 vs float64, Decimal objects vs float64, and
+    datetime.date objects vs datetime64 all hash-differ even when the
+    values are numerically equal.  Classes here must match EXACTLY
+    between the Spark result and the DuckDB ``fetchdf()`` result.
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "timestamp"
+    # object column: inspect the first non-null value
+    for v in s:
+        if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if type(v).__name__ == "Decimal":
+            return "DECIMAL-OBJECT (cast to double/bigint on both sides)"
+        if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+            return "NON-SCALAR (array/map/struct column breaks driver sort)"
+        if isinstance(v, pd.Timestamp) or isinstance(v, _dt.datetime):
+            return "timestamp"
+        if isinstance(v, _dt.date):
+            return "DATE-OBJECT (cast to timestamp or string on both sides)"
+        if isinstance(v, bytes):
+            return "bytes"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return type(v).__name__
+    return "all-null"
+
+
+def dtype_problems(sp: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Driver-strict dtype gate: per-column class must match exactly.
+
+    Any uppercase class is rejected outright (even if both sides agree)
+    because the driver's canonicalizer either crashes on it (non-scalar)
+    or renders it engine-dependently (Decimal, date objects).
+    """
+    problems: list[str] = []
+    omap = {c.lower(): c for c in oracle_df.columns}
+    for c in sp.columns:
+        a = _col_class(sp[c])
+        b = _col_class(oracle_df[omap[c.lower()]])
+        for side, cls in (("spark", a), ("oracle", b)):
+            if cls.isupper() or cls.split()[0].isupper():
+                problems.append(f"col {c!r} [{side}]: {cls}")
+        if a != b and "all-null" not in (a, b):
+            problems.append(f"col {c!r}: dtype class spark={a} oracle={b}")
+    return problems
 
 
 def compare(spark_df, oracle_df: pd.DataFrame, ordered: bool = False) -> list[str]:
@@ -71,6 +127,9 @@ def compare(spark_df, oracle_df: pd.DataFrame, ordered: bool = False) -> list[st
         problems.append(
             f"columns: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
         )
+        return problems
+    problems.extend(dtype_problems(sp, oracle_df))
+    if problems:
         return problems
     a = canonicalize(sp, ordered)
     b = canonicalize(oracle_df, ordered)

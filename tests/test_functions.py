@@ -83,3 +83,63 @@ def test_soundex_golden(spark):
     ).collect()[0]
     assert rows["a"] == "R163" and rows["b"] == "R163"
     assert rows["c"] == "T522"
+
+
+def test_single_value_errors_on_multirow_group(spark):
+    """SINGLE_VALUE must raise when a group has >1 row
+    (SingleValueAggregateFunctions.java error contract)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.functions.shims import single_value
+
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    ok = (
+        df.where("k = 2")
+        .groupBy("k")
+        .agg(single_value(F.col("v")).alias("v"))
+        .collect()
+    )
+    assert ok == [(2, "c")] or (ok[0]["k"], ok[0]["v"]) == (2, "c")
+    with pytest.raises(Exception, match="SINGLE_VALUE"):
+        df.groupBy("k").agg(single_value(F.col("v")).alias("v")).collect()
+
+
+def test_hll_merge_partials_match_whole(spark):
+    """Merging per-partition sketches must estimate like one whole-table
+    sketch (HyperLogLog.java HLL_MERGE/HLL_DECODE semantics)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.functions.shims import hll, hll_decode, hll_merge
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 7).alias("part"), F.col("id").alias("v")
+    )
+    merged = (
+        df.groupBy("part")
+        .agg(hll("v").alias("sk"))
+        .groupBy()
+        .agg(hll_decode(hll_merge("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    whole = df.groupBy().agg(hll_decode(hll("v")).alias("est")).collect()[0]["est"]
+    assert merged == whole  # same sketch algorithm, same buckets
+    assert abs(merged - 20_000) <= 0.05 * 20_000
+
+
+def test_convert_from_be_length_guard(spark):
+    """convert_from_int_be/bigint_be reject wrong-length buffers like the
+    reference's checkBufferLength (IntBEConvertFrom/BigIntBEConvertFrom)."""
+    from dremio_oss_spark.functions.shims import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        "select convert_from_int_be(unhex('0000002A')) as i, "
+        "convert_from_bigint_be(unhex('000000000000002A')) as l"
+    ).collect()[0]
+    assert (row["i"], row["l"]) == (42, 42)
+    with pytest.raises(Exception, match="4 bytes"):
+        spark.sql("select convert_from_int_be(unhex('002A'))").collect()
+    with pytest.raises(Exception, match="8 bytes"):
+        spark.sql(
+            "select convert_from_bigint_be(unhex('0000002A'))"
+        ).collect()

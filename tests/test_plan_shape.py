@@ -91,3 +91,27 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists b_orders")
         spark.sql("drop table if exists b_customer")
+
+
+def test_simhash_pairs_plan_is_banded_not_cartesian(spark):
+    """simhash_near_pairs must run as a banded equi-join (pigeonhole
+    blocking), never CartesianProduct/BroadcastNestedLoopJoin."""
+    from dremio_oss_spark.operators import dedup as D
+
+    sh = D.simhash(load(spark, SF_SMALL, "documents"))
+    plan = D.simhash_near_pairs(sh, max_hamming=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_plan_is_bucketed_not_cartesian(spark):
+    """llm_embedding_neardup must probe LSH buckets (equi-join), never an
+    all-pairs cross join."""
+    from dremio_oss_spark.queries.llmops import llm_embedding_neardup
+
+    plan = (
+        llm_embedding_neardup(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

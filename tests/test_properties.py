@@ -34,7 +34,9 @@ def test_format_translation_never_leaks_raw_letters(fmt):
     out = dremio_to_spark_format(fmt)
     # strip quoted literals, then only pattern letters may remain
     unquoted = re.sub(r"'[^']*'", "", out)
-    assert not re.search(r"[^yMdHhmsSEQWwxa\W]", unquoted), (fmt, out)
+    # D = day-of-year, z = zone name: both valid java.time letters the
+    # translator emits (Dremio DDD passes through, see datetime_fmt.py)
+    assert not re.search(r"[^yMdDHhmsSEQWwxaz\W]", unquoted), (fmt, out)
 
 
 @settings(max_examples=10, deadline=None)

@@ -94,3 +94,53 @@ def test_filter_on_non_dim_column_falls_back(spark):
     df, substituted = store.execute(q, li)
     assert not substituted  # l_quantity isn't in the materialization
     assert df.count() > 0
+
+
+def test_join_reflection_rejects_uncovered_edge(spark):
+    """A query joining a dim the reflection never materialized must NOT
+    substitute (join-tree matching is exact-subset, never a guess)."""
+    import os
+    import re
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.plans import AggQuery, JoinSpec, Measure, ReflectionStore
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(SF_SMALL)))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"refl-jt-{tag}",
+    )
+    store = ReflectionStore(spark, root)
+    li = load(spark, SF_SMALL, "lineitem")
+    supp = load(spark, SF_SMALL, "supplier")
+    store.create_aggregation_reflection(
+        "li_supp", li, table="lineitem",
+        dims=["s_nationkey"], measures=[Measure("count", "*")],
+        joins=[JoinSpec("supplier", "l_suppkey", "s_suppkey")],
+        dim_sources={"supplier": supp},
+    )
+    # same fact, but the query needs an orders edge -> no match
+    q = AggQuery(
+        table="lineitem", dims=("s_nationkey",),
+        measures=(Measure("count", "*"),),
+        joins=(
+            JoinSpec("supplier", "l_suppkey", "s_suppkey"),
+            JoinSpec("orders", "l_orderkey", "o_orderkey"),
+        ),
+    )
+    assert store.find_match(q) is None
+    # and the covered sub-star DOES match
+    q2 = AggQuery(
+        table="lineitem", dims=("s_nationkey",),
+        measures=(Measure("count", "*"),),
+        joins=(JoinSpec("supplier", "l_suppkey", "s_suppkey"),),
+    )
+    assert store.find_match(q2) is not None
+
+
+def test_join_substituted_plan_scans_materialization(spark):
+    df = reflections_q.join_rollup(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "li_by_nation_flag" in plan
+    assert "lineitem.parquet" not in plan
+    assert "supplier.parquet" not in plan  # join pre-materialized too
