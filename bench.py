@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Times are wall-clock per query over a warm session (mirrors the reference's
 TestTpchDistributed 20 s/query envelope; see BASELINE.md).
+
+Per-query numbers are noisy round-over-round: queries run alphabetically in
+ONE shared JVM, so GC/cache pressure from a neighboring family can shift an
+individual query by ~2x while the suite total stays stable — compare totals
+and per-family rollups, not single queries.
 """
 
 from __future__ import annotations

@@ -145,6 +145,69 @@ class Engine:
             "name string, value string",
         )
 
+    # -- SHOW / DESCRIBE statement surface (Parser.tdd:624-685) -------------
+    def show_tables(self) -> DataFrame:
+        return self.information_schema_tables().where("table_type = 'TABLE'")
+
+    def show_views(self) -> DataFrame:
+        return self.information_schema_tables().where("table_type = 'VIEW'")
+
+    def show_schemas(self) -> DataFrame:
+        """SHOW SCHEMAS: session databases + registered spaces."""
+        from pyspark.sql import functions as F
+
+        dbs = self.spark.sql("show databases").select(
+            F.col("namespace").alias("schema_name"),
+            F.lit("DATABASE").alias("schema_type"),
+        )
+        if not self.spaces:
+            return dbs
+        spaces = self.spark.createDataFrame(
+            [(s, "SPACE") for s in sorted(self.spaces)],
+            "schema_name string, schema_type string",
+        )
+        return dbs.unionByName(spaces)
+
+    def describe_table(self, name: str) -> DataFrame:
+        """DESCRIBE TABLE: column name/type/comment rows (native)."""
+        if "." in name and name.split(".", 1)[0] in self.spaces:
+            name = self._flat(*name.split(".", 1))
+        return self.spark.sql(f"describe table {name}")
+
+    def show_branches(self, table_path: str) -> DataFrame:
+        """SHOW BRANCHES IN '<table_path>' over the snapshot store."""
+        import os
+
+        from .sources import dml
+
+        rows = [
+            (b, os.path.basename(dml.current_snapshot(table_path, b) or ""))
+            for b in dml.list_branches(table_path)
+        ]
+        return self.spark.createDataFrame(
+            rows, "branch_name string, snapshot_id string"
+        )
+
+    def show_tags(self, table_path: str) -> DataFrame:
+        from .sources import dml
+
+        rows = []
+        for t in dml.list_tags(table_path):
+            with open(dml._tag_file(table_path, t)) as f:
+                rows.append((t, f.read().strip()))
+        return self.spark.createDataFrame(
+            rows or [("", "")], "tag_name string, snapshot_id string"
+        ).where("tag_name <> ''")
+
+    def show_logs(self, table_path: str) -> DataFrame:
+        """SHOW LOGS IN '<path>': snapshot history oldest-first."""
+        from .sources import dml
+
+        rows = [(i, s) for i, s in enumerate(dml.history(table_path))]
+        return self.spark.createDataFrame(
+            rows or [(0, "")], "ordinal int, snapshot_id string"
+        ).where("snapshot_id <> ''")
+
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: EXPLAIN / EXPLAIN JSON,
         Parser.tdd): returns the plan text for a SQL string."""
@@ -160,6 +223,13 @@ class Engine:
 
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
+        # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
+        m = re.match(
+            r"\s*show\s+(branches|tags|logs)\s+in\s+'([^']+)'\s*$", query, re.I
+        )
+        if m:
+            kind, path = m.group(1).lower(), m.group(2)
+            return getattr(self, f"show_{kind}")(path)
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
         # dotted VDS references: space.name -> space__name when registered

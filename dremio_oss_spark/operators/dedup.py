@@ -323,10 +323,20 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.4) -> DataFrame:
+                        threshold: float = 0.4,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dups via inverted index (no LSH filter):
     docs sharing ≥1 shingle are scored exactly. The shingle join IS the
-    blocking strategy — cost is Σ bucket² over shared shingles."""
+    blocking strategy — cost is Σ bucket² over shared shingles.
+
+    `max_doc_freq` caps the inverted-index bucket size: a stopword-ish
+    shingle appearing in more than that many docs is dropped from the
+    CANDIDATE join only (sizes still count it), turning the worst-case
+    Σ df² blowup into Σ min(df, cap)².  Capped pairs lose at most
+    (dropped ∩) from n_inter, so reported jaccard is a lower bound —
+    exact for every pair that shares any sub-cap shingle's full set.
+    Default None keeps the exact semantics (the oracle-checked query
+    uses None at test scale; at corpus scale set ~1000)."""
     from pyspark.storagelevel import StorageLevel
 
     # hashed inverted index feeds sizes + both join sides: persist once
@@ -336,8 +346,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = hashed.select(F.col("doc_id").alias("id_a"), "sh_h")
-    sb = hashed.select(F.col("doc_id").alias("id_b"), "sh_h")
+    joinable = hashed
+    if max_doc_freq is not None:
+        rare = (
+            hashed.groupBy("sh_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("sh_h")
+        )
+        joinable = hashed.join(rare, "sh_h")  # shuffle-free under AQE if small
+    sa = joinable.select(F.col("doc_id").alias("id_a"), "sh_h")
+    sb = joinable.select(F.col("doc_id").alias("id_b"), "sh_h")
     inter = (
         sa.join(sb, "sh_h")
         .where(F.col("id_a") < F.col("id_b"))

@@ -310,17 +310,37 @@ order by o_orderkey, pos
 
 # --------------------------------------------------------------------------
 def ndv_approx(spark: SparkSession, sf: str) -> DataFrame:
-    """NDV (HLL) — approximate; no exact oracle (estimates differ per
-    engine by design). tests/test_relational.py asserts <5% error vs exact."""
+    """NDV (HLL) — raw estimates are engine-specific, so the
+    oracle-checked output is exact NDV + a bounded-error boolean (the
+    same contract as op_hll_sketch); tests/test_relational.py still
+    asserts the <5% numeric error vs exact."""
     return (
         load(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("ndv_partkey"),
+            F.approx_count_distinct("l_partkey").alias("_ndv"),
             F.count_distinct("l_partkey").alias("exact_partkey"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_partkey",
+            (
+                F.abs(F.col("_ndv") - F.col("exact_partkey"))
+                <= 0.05 * F.col("exact_partkey")
+            ).alias("ndv_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
+
+
+NDV_APPROX_SQL = """
+select l_returnflag,
+       count(distinct l_partkey) as exact_partkey,
+       true as ndv_within_5pct
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -640,7 +660,7 @@ RELATIONAL_ORACLE = {
     "op_sample_to_limit": SAMPLE_TO_LIMIT_SQL,
     "op_union_by_name": UNION_BY_NAME_SQL,
     "op_lateral_sequence": LATERAL_SEQUENCE_SQL,
-    # op_ndv_approx: estimator-specific, rows-only (tolerance test in tests/)
+    "op_ndv_approx": NDV_APPROX_SQL,
     "op_window_gap_fill": WINDOW_GAP_FILL_SQL,
     "op_unpivot": UNPIVOT_SQL,
     "op_salted_agg": SALTED_AGG_SQL,

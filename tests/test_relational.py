@@ -29,5 +29,4 @@ def test_ndv_within_tolerance(spark):
     rows = relational_q.ndv_approx(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        err = abs(r["ndv_partkey"] - r["exact_partkey"]) / max(r["exact_partkey"], 1)
-        assert err < 0.05, f"{r['l_returnflag']}: NDV err {err:.3f}"
+        assert r["ndv_within_5pct"], f"{r['l_returnflag']}: NDV outside 5%"

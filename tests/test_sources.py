@@ -86,3 +86,159 @@ def test_copy_into_on_error_continue(spark):
     assert read_table(spark, os.path.join(d, "tgt")).count() == 3
     rejects = spark.read.parquet(os.path.join(d, "tgt", "_rejects"))
     assert rejects.count() == 1
+
+
+def test_tags_merge_branch_and_show_surface(spark, tmp_path):
+    """Tags pin snapshots (vacuum-protected, immutable); MERGE BRANCH
+    fast-forwards or raises on divergence; SHOW BRANCHES/TAGS/LOGS work
+    through the engine SQL surface (parserImpls.ftl:943, Parser.tdd)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources import dml
+
+    t = str(tmp_path / "part_t")
+    part = load(spark, SF_SMALL, "part").where(F.col("p_partkey") <= 200)
+    dml.create_table(part, t)
+    n0 = dml.read(spark, t).count()
+
+    # tag the initial snapshot, then mutate main
+    dml.create_tag(t, "v1")
+    with _pytest.raises(FileExistsError):
+        dml.create_tag(t, "v1")
+    dml.delete_where(spark, t, F.col("p_size") > 25)
+    assert dml.read(spark, t).count() < n0
+    assert dml.read_at_tag(spark, t, "v1").count() == n0  # tag still sees all
+
+    # vacuum must keep the tag's snapshot even though it's old
+    removed = dml.vacuum(t, keep=1)
+    assert dml.read_at_tag(spark, t, "v1").count() == n0
+    assert removed == []  # only two snapshots exist: head + tagged
+
+    # dev branch advances; main untouched since fork -> fast-forward merge
+    dml.create_branch(t, "dev")
+    dml.delete_where(spark, t, F.col("p_size") > 20, branch="dev")
+    assert dml.merge_branch(t, "dev", "main") == "fast-forward"
+    assert dml.read(spark, t).count() == dml.read(spark, t, "dev").count()
+    assert dml.merge_branch(t, "dev", "main") == "up-to-date"
+
+    # divergence: both branches move independently -> merge refuses
+    dml.create_branch(t, "dev2")
+    dml.delete_where(spark, t, F.col("p_size") > 15, branch="dev2")
+    dml.delete_where(spark, t, F.col("p_partkey") > 190)  # main moves too
+    with _pytest.raises(ValueError, match="diverged"):
+        dml.merge_branch(t, "dev2", "main")
+
+    eng = Engine(spark)
+    branches = {r["branch_name"] for r in eng.sql(f"show branches in '{t}'").collect()}
+    assert {"main", "dev", "dev2"} <= branches
+    tags = {r["tag_name"] for r in eng.sql(f"show tags in '{t}'").collect()}
+    assert tags == {"v1"}
+    assert eng.sql(f"show logs in '{t}'").count() == len(dml.history(t))
+
+
+def test_show_describe_statements(spark):
+    """SHOW TABLES/VIEWS/SCHEMAS + DESCRIBE TABLE engine surface."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    tables = {r["table_name"] for r in eng.show_tables().collect()} | {
+        r["table_name"] for r in eng.show_views().collect()
+    }
+    assert {"region", "nation"} <= tables
+    assert eng.show_schemas().count() >= 1
+    cols = {r["col_name"] for r in eng.describe_table("region").collect()}
+    assert {"r_regionkey", "r_name"} <= cols
+
+
+def test_delta_reader_partitions_checkpoint_history(spark, tmp_path):
+    """Delta log reader: partitionValues reconstruction, checkpoint
+    replay, time travel, DESCRIBE HISTORY (DeltaLakeFormatPlugin.java)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delta_history,
+        is_delta_table,
+        read_delta,
+    )
+
+    t = str(tmp_path / "dt")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id bigint, k string, v bigint"
+    )
+
+    def one_file(sub, name):
+        stage = str(tmp_path / f"stage_{name}")
+        sub.select("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+        os.replace(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                   os.path.join(t, name))
+        return name
+
+    fa = one_file(df.where("k = 'a'"), "fa.parquet")
+    fb = one_file(df.where("k = 'b'"), "fb.parquet")
+
+    def commit(v, actions):
+        with open(os.path.join(t, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            fh.write("".join(json.dumps(a) + "\n" for a in actions))
+
+    schema_json = spark.createDataFrame([], "id bigint, v bigint, k string").schema.json()
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json, "partitionColumns": ["k"],
+                      "configuration": {}}},
+        {"commitInfo": {"operation": "WRITE", "timestamp": 0}},
+        {"add": {"path": fa, "partitionValues": {"k": "a"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": fb, "partitionValues": {"k": "b"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert is_delta_table(t)
+    got = {(r["id"], r["k"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "a", 10), (2, "a", 20), (3, "b", 30)}
+
+    # commit 1 removes partition b
+    commit(1, [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 1}},
+        {"remove": {"path": fb, "deletionTimestamp": 1, "dataChange": True}},
+    ])
+    assert read_delta(spark, t).count() == 2
+    assert read_delta(spark, t, version=0).count() == 3  # time travel
+
+    # checkpoint at v1 + commit 2 re-adds b: replay = checkpoint + tail
+    add_a = {"add": {"path": fa, "partitionValues": {"k": "a"}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}
+    cp_rows = [
+        {"metaData": json.loads(json.dumps({"id": "x",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": ["k"],
+            "configuration": {}}))},
+        add_a,
+    ]
+    spark.createDataFrame([(json.dumps(r),) for r in cp_rows], "json string") \
+        .selectExpr("from_json(json, 'metaData struct<id:string,format:struct<provider:string>,schemaString:string,partitionColumns:array<string>>, add struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>') as a") \
+        .select("a.*").coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "cp_stage"))
+    os.replace(glob.glob(str(tmp_path / "cp_stage/part-*.parquet"))[0],
+               os.path.join(t, "_delta_log", f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 2}, fh)
+    commit(2, [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 2}},
+        {"add": {"path": fb, "partitionValues": {"k": "b"}, "size": 1,
+                 "modificationTime": 2, "dataChange": True}},
+    ])
+    assert read_delta(spark, t).count() == 3  # checkpoint + tail commit
+    hist = delta_history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[1]["operation"] == "DELETE"
