@@ -51,6 +51,7 @@ class Engine:
         register_all(self.spark)
         self.spaces: dict[str, Space] = {}
         self._sources: dict[str, str] = {}
+        self._current_space: str | None = None  # USE <space> context
         # object -> privilege -> grantees (reference GRANT/REVOKE surface,
         # Parser.tdd; enforcement model only — no external IdP here)
         self._acl: dict[str, dict[str, set[str]]] = {}
@@ -103,6 +104,12 @@ class Engine:
         if "." in fqname:
             space, name = fqname.rsplit(".", 1)
             return self.spark.table(self._flat(space, name))
+        # USE <space> context: bare names resolve inside the current space
+        if (
+            self._current_space
+            and fqname in self.spaces[self._current_space].vds
+        ):
+            return self.spark.table(self._flat(self._current_space, fqname))
         return self.spark.table(fqname)
 
     # -- system / information schema ---------------------------------------
@@ -143,6 +150,26 @@ class Engine:
         return self.spark.createDataFrame(
             [(k, self.spark.conf.get(k, None)) for k in keys],
             "name string, value string",
+        )
+
+    # -- Hive UDF loading (plugins/hive-function-registry) ------------------
+    def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
+        """Load a Hive UDF class from a jar into the session function
+        registry — Spark's `CREATE TEMPORARY FUNCTION ... USING JAR` is
+        the native equivalent of the reference's Hive function registry
+        (`plugins/hive-function-registry`).  Capability-gated: this
+        sandbox ships no UDF jars, so a missing jar raises instead of
+        deferring the failure to first call."""
+        import os
+
+        if not os.path.exists(jar_path):
+            raise FileNotFoundError(
+                f"Hive UDF jar not found: {jar_path} (no UDF jars in this "
+                "environment; point jar_path at a real UDF bundle)"
+            )
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name} AS "
+            f"'{class_name}' USING JAR '{jar_path}'"
         )
 
     # -- SHOW / DESCRIBE statement surface (Parser.tdd:624-685) -------------
@@ -207,6 +234,48 @@ class Engine:
         return self.spark.createDataFrame(
             rows or [(0, "")], "ordinal int, snapshot_id string"
         ).where("snapshot_id <> ''")
+
+    def show_files(self, table_path: str) -> DataFrame:
+        """SHOW FILES IN '<path>': data files of the current snapshot."""
+        import os
+
+        from .sources import dml
+
+        snap = dml.current_snapshot(table_path)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_path}")
+        rows = []
+        for root, _dirs, files in os.walk(snap):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    rows.append(
+                        (os.path.relpath(p, snap), os.path.getsize(p))
+                    )
+        return self.spark.createDataFrame(
+            sorted(rows) or [("", 0)], "file_path string, size_bytes bigint"
+        ).where("file_path <> ''")
+
+    def show_functions(self) -> DataFrame:
+        """SHOW FUNCTIONS: built-ins + registered shims (native)."""
+        return self.spark.sql("show functions")
+
+    def show_create_vds(self, space: str, name: str) -> DataFrame:
+        """SHOW CREATE VIEW space.name: reconstructed DDL from the stored
+        SQL (VDS = stored SQL, dataset.proto:60)."""
+        sql = self.spaces[space].vds[name]
+        ddl = f"CREATE VDS {space}.{name} AS {sql.strip()}"
+        return self.spark.createDataFrame(
+            [(f"{space}.{name}", ddl)], "view_name string, ddl string"
+        )
+
+    def use(self, schema: str) -> None:
+        """USE <schema>: current-namespace context for bare-name lookups
+        (native database, or a registered space)."""
+        if schema in self.spaces:
+            self._current_space = schema
+            return
+        self.spark.catalog.setCurrentDatabase(schema)
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: EXPLAIN / EXPLAIN JSON,

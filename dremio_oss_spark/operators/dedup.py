@@ -310,11 +310,23 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
     b = banded.select(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key"
     )
+    # A close pair can collide in several bands; emit it exactly once by
+    # keeping only the FIRST band where the keys agree (for band b:
+    # every earlier band must differ).  Pure codegen'd bit math on the
+    # carried signatures — no distinct, so nothing quadratic is ever
+    # shuffled: the only shuffles are the banded equi-joins themselves.
+    def _key(h: Column, bb: int) -> Column:
+        return F.shiftright(h, bb * width).bitwiseAND(F.lit(mask))
+
+    first_band = F.lit(True)
+    for bp in range(n_bands - 1):
+        first_band = first_band & (
+            (F.col("band") <= bp) | (_key(F.col("ha"), bp) != _key(F.col("hb"), bp))
+        )
     return (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()  # a close pair can match in several bands
+        .where(first_band)
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

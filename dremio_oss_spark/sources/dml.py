@@ -213,6 +213,15 @@ def read_at(spark: SparkSession, table: str, snapshot: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table, snapshot))
 
 
+def truncate(spark: SparkSession, table: str, branch: str = "main") -> None:
+    """TRUNCATE TABLE (Parser.tdd): commit an empty snapshot with the
+    current schema — prior snapshots stay time-travelable until vacuum."""
+    cur = read(spark, table, branch)
+    snap = _snapshot_dir(table)
+    spark.createDataFrame([], cur.schema).write.parquet(snap)
+    _commit(table, snap, branch)
+
+
 def rollback(table: str, snapshot: str) -> None:
     """ROLLBACK TABLE ... TO SNAPSHOT (Parser.tdd ROLLBACK TABLE): flip
     the pointer back; newer snapshots stay until vacuumed."""

@@ -82,3 +82,55 @@ def test_grant_revoke_enforcement(spark):
     eng.revoke("SELECT", "region", "bob")
     with pytest.raises(PermissionError):
         eng.table("region", user="bob")
+
+
+def test_hive_udf_registry_gated(spark):
+    """Hive UDF loading surface exists and gates cleanly on the missing
+    jar (no UDF bundles ship in this sandbox)."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    with _pytest.raises(FileNotFoundError, match="jar"):
+        eng.register_hive_udf(
+            "my_upper", "com.example.hive.UpperUDF", "/nonexistent/udfs.jar"
+        )
+
+
+def test_show_files_functions_create_use_truncate(spark, tmp_path):
+    """Remaining Parser.tdd statement surface: SHOW FILES/FUNCTIONS,
+    SHOW CREATE (VDS), USE, TRUNCATE TABLE."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources import dml
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+
+    t = str(tmp_path / "nation_t")
+    dml.create_table(load(spark, SF_SMALL, "nation"), t)
+    files = eng.show_files(t).collect()
+    assert files and all(r["file_path"].endswith(".parquet") for r in files)
+    assert all(r["size_bytes"] > 0 for r in files)
+
+    fns = {r[0] for r in eng.show_functions().collect()}
+    assert "geo_distance" in fns  # shim registered
+    assert any("abs" in f for f in fns)  # built-in present
+
+    eng.create_space("sales")
+    eng.create_vds("sales", "big_nations",
+                   "select n_name from nation where n_nationkey > 10")
+    ddl = eng.show_create_vds("sales", "big_nations").collect()[0]["ddl"]
+    assert ddl.startswith("CREATE VDS sales.big_nations AS select n_name")
+
+    eng.use("sales")
+    assert eng.table("big_nations").count() == eng.table("sales.big_nations").count()
+
+    n_before = dml.read(spark, t).count()
+    snap_before = dml.history(t)[-1]
+    dml.truncate(spark, t)
+    assert dml.read(spark, t).count() == 0
+    assert dml.read_at(spark, t, snap_before).count() == n_before  # time travel
