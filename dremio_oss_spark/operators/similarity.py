@@ -272,10 +272,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("qid", "qvec", "nid", "nvec")
         .distinct()
     )
-    scored = cands.withColumn("cos", cosine_dbl(F.col("qvec"), F.col("nvec")))
+    return _exact_topk(cands, k)
+
+
+def _exact_topk(cands: DataFrame, k: int, margin: int = 8) -> DataFrame:
+    """Per-query top-k with deterministic cross-engine values: bulk-score
+    every candidate with double math (codegen-cheap), preselect k+margin,
+    then decimal-exact rescore + final rank of only those survivors.
+    Double-vs-decimal rank drift is ~1e-13 — far inside the margin — so
+    the final top-k equals an all-exact ranking, at double-math cost."""
+    w0 = Window.partitionBy("qid").orderBy(F.desc("cos0"), F.asc("nid"))
+    pre = (
+        cands.withColumn("cos0", cosine_dbl(F.col("qvec"), F.col("nvec")))
+        .withColumn("rk0", F.row_number().over(w0))
+        .where(F.col("rk0") <= k + margin)
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(
             "qid", "nid", F.round("cos", 6).alias("cos"),
@@ -303,10 +318,4 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("qid", "qvec", "nid", "nvec")
         .distinct()
     )
-    scored = cands.withColumn("cos", cosine_dbl(F.col("qvec"), F.col("nvec")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("qid", "nid", F.round("cos", 6).alias("cos"), F.col("rk").cast("bigint").alias("rk"))
-    )
+    return _exact_topk(cands, k)

@@ -298,8 +298,44 @@ order by l_orderkey
 
 
 # --------------------------------------------------------------------------
-# ST_GEOHASH (GeoFunctions.java st_geohash) — pandas-UDF shim; DuckDB has no
-# geohash, so this is a rows-only check (golden values live in tests/).
+# ST_GEOHASH (GeoFunctions.java st_geohash) — pandas-UDF shim.  DuckDB has
+# no geohash builtin, but geohash IS closed-form: bisection over lat/lon
+# equals interleaving the bits of floor-quantized coordinates (lon gets 23
+# bits, lat 22 for 9 chars), so the oracle below derives the identical
+# string arithmetically.  Golden vectors stay in tests/.
+def _geohash_sql(lat_expr: str, lon_expr: str, precision: int = 9) -> str:
+    """Generate the closed-form geohash expression for DuckDB."""
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lonq = f"cast(floor((({lon_expr}) + 180.0) / 360.0 * {1 << lon_bits}) as bigint)"
+    latq = f"cast(floor((({lat_expr}) + 90.0) / 180.0 * {1 << lat_bits}) as bigint)"
+    chars = []
+    for c in range(precision):
+        terms = []
+        for j in range(5):
+            g = 5 * c + j  # global bit position, 0 = MSB
+            if g % 2 == 0:
+                src, bit = "lonq", lon_bits - 1 - g // 2
+            else:
+                src, bit = "latq", lat_bits - 1 - (g - 1) // 2
+            terms.append(f"(({src} >> {bit}) & 1) * {1 << (4 - j)}")
+        idx = " + ".join(terms)
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', cast({idx} as int) + 1, 1)"
+        )
+    concat = " || ".join(chars)
+    return f"(select {concat} from (select {lonq} as lonq, {latq} as latq))"
+
+
+ST_GEOHASH_SQL = f"""
+select s_suppkey,
+       {_geohash_sql("s_suppkey % 80 - 40.0", "(s_nationkey * 13) % 340 - 170.0")} as gh
+from supplier
+order by s_suppkey
+"""
+
+
 def st_geohash_q(spark: SparkSession, sf: str) -> DataFrame:
     register_all(spark)
     return (
@@ -547,8 +583,7 @@ FUNCTION_ORACLE = {
     "fn_convert_from_json": CONVERT_FROM_JSON_SQL,
     "fn_kvgen": KVGEN_SQL,
     "fn_array_gaps": ARRAY_GAP_SQL,
-    # fn_st_geohash: no DuckDB equivalent — rows-only check; golden values
-    # asserted in tests/test_functions.py
+    "fn_st_geohash": ST_GEOHASH_SQL,
     "fn_string_extras": STRING_EXTRAS_SQL,
     "fn_intervals": INTERVALS_SQL,
     "fn_regexp": REGEXP_SQL,

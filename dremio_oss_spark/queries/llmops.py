@@ -298,13 +298,71 @@ order by qid, rk
 """
 
 
-# ANN via random-hyperplane LSH — scale path; genuinely non-SQL-expressible
-# oracle (the plane generation is engine-side), so rows-only check; recall
-# vs brute force is asserted in tests/test_llmops.py.
+# ANN via random-hyperplane LSH.  The planes are md5-derived, so the
+# whole pipeline — bucketing, candidate join, exact rescore — is
+# replicated in the DuckDB oracle below: the correctness gate checks the
+# ANN *result*, not just row counts.  Recall vs brute force is still
+# asserted in tests/test_llmops.py.
 def llm_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return S.lsh_topk(emb, queries, k=5).orderBy("qid", "rk")
+
+
+# shared oracle tail: exact decimal rescore + rank of a `cand(qid, nid)` CTE
+_ANN_RESCORE_SQL = """
+flat as (
+  select cand.qid, cand.nid,
+         cast(qe.embedding[u.i] as double) as a,
+         cast(ne.embedding[u.i] as double) as b
+  from cand
+  join embeddings qe on qe.vec_id = cand.qid
+  join embeddings ne on ne.vec_id = cand.nid,
+  unnest(range(1, 65)) as u(i)
+), dots as (
+  select qid, nid,
+         cast(sum(cast(a*b as decimal(28,12))) as double) as d,
+         cast(sum(cast(a*a as decimal(28,12))) as double) as na,
+         cast(sum(cast(b*b as decimal(28,12))) as double) as nb
+  from flat group by qid, nid
+), ranked as (
+  select qid, nid, d / (sqrt(na) * sqrt(nb)) as cos,
+         row_number() over (
+           partition by qid
+           order by d / (sqrt(na) * sqrt(nb)) desc, nid
+         ) as rk
+  from dots
+)
+select qid, nid, round(cos, 6) as cos, cast(rk as bigint) as rk
+from ranked where rk <= 5
+order by qid, rk
+"""
+
+# lsh_topk defaults: 4 tables x 4 planes -> plane ids 0..15, bucket =
+# 4 sign bits; plane component = md5-derived int in [-1000, 1000]
+# (same derivation as similarity._plane_component, seed 7)
+LLM_LSH_ANN_SQL = f"""
+with planes as (
+  select p.p as p, i.i as i,
+         cast(concat('0x', substr(md5(concat('7:p', p.p, ':', i.i)), 1, 15))
+              as bigint) % 2001 - 1000 as c
+  from range(0, 16) as p(p), range(0, 64) as i(i)
+), dots_all as (
+  select e.vec_id, pl.p,
+         sum(cast(e.embedding[pl.i + 1] as double) * pl.c) as d
+  from embeddings e, planes pl
+  group by e.vec_id, pl.p
+), buckets as (
+  select vec_id, p // 4 as tbl,
+         cast(sum(case when d > 0 then power(2, p % 4) else 0 end) as bigint) as bkt
+  from dots_all group by vec_id, p // 4
+), cand as (
+  select distinct q.vec_id as qid, c.vec_id as nid
+  from (select * from buckets where vec_id < 10) q
+  join buckets c using (tbl, bkt)
+  where q.vec_id <> c.vec_id
+), {_ANN_RESCORE_SQL}
+"""
 
 
 def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -382,6 +440,41 @@ def llm_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5).orderBy("qid", "rk")
 
 
+# ivf_topk defaults: centroids = first 16 vectors by id (deterministic),
+# corpus assigned to nearest centroid by cosine, queries probe top-4
+# cells, exact rescore inside — all replicated below
+LLM_IVF_ANN_SQL = f"""
+with cent as (
+  select vec_id as cid, embedding from embeddings order by vec_id limit 16
+), cflat as (
+  select e.vec_id, c.cid,
+         cast(e.embedding[u.i] as double) as a,
+         cast(c.embedding[u.i] as double) as b
+  from embeddings e, cent c, unnest(range(1, 65)) as u(i)
+), csim as (
+  select vec_id, cid,
+         sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) as s
+  from cflat group by vec_id, cid
+), assigned as (
+  select vec_id as nid, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by s desc, cid) as r
+    from csim
+  ) where r = 1
+), probed as (
+  select vec_id as qid, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by s desc, cid) as r
+    from csim where vec_id < 10
+  ) where r <= 4
+), cand as (
+  select distinct p.qid, a.nid
+  from probed p join assigned a using (cell)
+  where p.qid <> a.nid
+), {_ANN_RESCORE_SQL}
+"""
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -404,5 +497,6 @@ LLMOPS_ORACLE = {
     "llm_ngram_jaccard": LLM_NGRAM_JACCARD_SQL,
     "llm_cosine_topk": LLM_COSINE_TOPK_SQL,
     "llm_embedding_neardup": LLM_EMBEDDING_NEARDUP_SQL,
-    # llm_lsh_ann: intentionally no oracle (engine-side plane generation)
+    "llm_lsh_ann": LLM_LSH_ANN_SQL,
+    "llm_ivf_ann": LLM_IVF_ANN_SQL,
 }

@@ -144,3 +144,57 @@ def test_join_substituted_plan_scans_materialization(spark):
     assert "li_by_nation_flag" in plan
     assert "lineitem.parquet" not in plan
     assert "supplier.parquet" not in plan  # join pre-materialized too
+
+
+def test_snowflake_reflection_covers_chained_dims(spark, oracle):
+    """Snowflake chain (fact -> supplier -> nation): JoinSpec edges apply
+    in declaration order, so a dim keyed off another dim composes; the
+    reflection answers a query grouped by the second-hop dim column."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.plans import AggQuery, JoinSpec, Measure, ReflectionStore
+    from .oracle import compare
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(SF_SMALL)))
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"refl-snow-{tag}",
+    )
+    store = ReflectionStore(spark, root)
+    li = load(spark, SF_SMALL, "lineitem")
+    dims = {
+        "supplier": load(spark, SF_SMALL, "supplier"),
+        "nation": load(spark, SF_SMALL, "nation"),
+    }
+    chain = [
+        JoinSpec("supplier", "l_suppkey", "s_suppkey"),
+        JoinSpec("nation", "s_nationkey", "n_nationkey"),  # dim -> dim hop
+    ]
+    store.create_aggregation_reflection(
+        "li_by_nation_name", li, table="lineitem",
+        dims=["n_name"], measures=[Measure("sum", "l_quantity"), Measure("count", "*")],
+        joins=chain, dim_sources=dims,
+    )
+    q = AggQuery(
+        table="lineitem", dims=("n_name",),
+        measures=(Measure("sum", "l_quantity"), Measure("count", "*")),
+        joins=tuple(chain),
+    )
+    df, substituted = store.execute(q, li, dim_sources=dims)
+    assert substituted
+    df = df.withColumn("sum_l_quantity", F.col("sum_l_quantity").cast("double"))
+    expected = oracle.execute("""
+        select n_name,
+               cast(sum(cast(l_quantity as decimal(28,4))) as double) as sum_l_quantity,
+               count(*) as count_all
+        from lineitem
+        join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        group by n_name
+    """).fetchdf()
+    problems = compare(df, expected, ordered=False)
+    assert not problems, problems
