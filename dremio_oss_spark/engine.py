@@ -52,6 +52,10 @@ class Engine:
         self.spaces: dict[str, Space] = {}
         self._sources: dict[str, str] = {}
         self._current_space: str | None = None  # USE <space> context
+        # tabular SQL UDFs: name -> (params, sql template), expanded
+        # inline at plan time (DremioTabularUserDefinedFunction.java,
+        # TabularUserDefinedFunctionExpanderRule.java)
+        self._tabular: dict[str, tuple[list[str], str]] = {}
         # object -> privilege -> grantees (reference GRANT/REVOKE surface,
         # Parser.tdd; enforcement model only — no external IdP here)
         self._acl: dict[str, dict[str, set[str]]] = {}
@@ -151,6 +155,37 @@ class Engine:
             [(k, self.spark.conf.get(k, None)) for k in keys],
             "name string, value string",
         )
+
+    # -- tabular SQL UDFs (CREATE FUNCTION ... RETURNS TABLE) ----------------
+    def create_tabular_udf(self, name: str, params: list[str], sql: str) -> None:
+        """CREATE FUNCTION name(params) RETURNS TABLE RETURN <query>
+        (parserImpls.ftl:367).  Stored as a SQL template; call sites
+        (`TABLE(name(args))`) are expanded inline at plan time like the
+        reference's TabularUserDefinedFunctionExpanderRule — Catalyst
+        then optimizes through the expansion (pushdown into the body)."""
+        self._tabular[name] = (list(params), sql)
+
+    def _expand_tabular(self, query: str) -> str:
+        def repl(m: "re.Match[str]") -> str:
+            name, argstr = m.group(1), m.group(2)
+            if name not in self._tabular:
+                return m.group(0)
+            params, body = self._tabular[name]
+            args = [a.strip() for a in argstr.split(",")] if argstr.strip() else []
+            if len(args) != len(params):
+                raise ValueError(
+                    f"{name} expects {len(params)} args, got {len(args)}"
+                )
+            for p, a in zip(params, args):
+                body = re.sub(rf"\b{re.escape(p)}\b", a, body)
+            return f"({body})"
+
+        return re.sub(r"table\(\s*(\w+)\s*\(([^()]*)\)\s*\)", repl, query, flags=re.I)
+
+    def refresh_dataset(self, name: str) -> None:
+        """REFRESH DATASET (Parser.tdd): invalidate cached metadata/data
+        for a table or view so the next scan re-lists files."""
+        self.spark.catalog.refreshTable(name)
 
     # -- Hive UDF loading (plugins/hive-function-registry) ------------------
     def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
@@ -299,6 +334,7 @@ class Engine:
         if m:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
+        query = self._expand_tabular(query)
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
         # dotted VDS references: space.name -> space__name when registered

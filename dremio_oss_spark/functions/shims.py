@@ -117,6 +117,13 @@ _SQL_FUNCTIONS: dict[str, str] = {
     "convert_from_base64": "(s STRING) RETURNS BINARY RETURN unbase64(s)",
     # DremioSqlOperatorTable COL_LIKE — LIKE with a column-valued pattern
     "col_like": "(s STRING, pat STRING) RETURNS BOOLEAN RETURN s like pat",
+    # SQL-standard SIMILAR TO (StringFunctions.java similar): the pattern
+    # language is regex plus %/_ wildcards, anchored both ends — exactly
+    # rlike after translating the two wildcards
+    "similar_to": (
+        "(s STRING, pat STRING) RETURNS BOOLEAN RETURN "
+        "s rlike concat('^', replace(replace(pat, '%', '.*'), '_', '.'), '$')"
+    ),
     # StringFunctions.java CONCAT null-as-empty, fixed arities for SQL use;
     # the variadic form is the Python helper dremio_concat()
     "concat2": (

@@ -134,3 +134,36 @@ def test_show_files_functions_create_use_truncate(spark, tmp_path):
     dml.truncate(spark, t)
     assert dml.read(spark, t).count() == 0
     assert dml.read_at(spark, t, snap_before).count() == n_before  # time travel
+
+
+def test_tabular_udf_expansion_and_similar_to(spark):
+    """Tabular SQL UDFs expand inline at plan time
+    (TabularUserDefinedFunctionExpanderRule.java); SIMILAR TO shim
+    follows SQL-standard wildcard semantics."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng.create_tabular_udf(
+        "big_nations", ["min_key"],
+        "select n_nationkey, n_name from nation where n_nationkey > min_key",
+    )
+    n = eng.sql("select count(*) as n from table(big_nations(10))").collect()[0]["n"]
+    direct = eng.sql(
+        "select count(*) as n from nation where n_nationkey > 10"
+    ).collect()[0]["n"]
+    assert n == direct > 0
+    # expansion stays declarative: an outer filter pushes into the body
+    plan = (
+        eng.sql("select * from table(big_nations(0)) where n_nationkey < 5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan
+
+    rows = eng.sql("""
+        select similar_to('dremio', 'dr%') as a,
+               similar_to('dremio', 'd_emio') as b,
+               similar_to('dremio', 'd%x') as c,
+               similar_to('abc', '(a|z)bc') as d
+    """).collect()[0]
+    assert (rows["a"], rows["b"], rows["c"], rows["d"]) == (True, True, False, True)
