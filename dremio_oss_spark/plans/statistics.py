@@ -27,29 +27,45 @@ def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     columns into one ANALYZE job).
     """
     cols = columns or df.columns
-    # a single-file table arrives as ONE input split; the multi-distinct
-    # aggregation (Expand x n_cols) would run in a single task — fan out
-    # first so partial aggregation parallelizes (on a real lake the scan
-    # is already wide and this repartition is unnecessary but harmless)
+    # a single-file table arrives as ONE input split; fan out first so
+    # partial aggregation parallelizes (on a real lake the scan is
+    # already wide and this repartition is unnecessary but harmless)
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     df = df.repartition(n_part)
+    # TWO plan shapes, deliberately:
+    # 1. everything non-distinct (count/nulls/HLL-ndv/min/max for ALL
+    #    columns) in ONE single-pass aggregate — no Expand;
+    # 2. exact NDV as one narrow two-phase distinct per column, unioned
+    #    into a single job.  Multiple count_distinct in one agg would
+    #    Expand the FULL row width x (n_cols+1); per-column branches
+    #    each scan (column-pruned) and shuffle only their own values.
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
             F.approx_count_distinct(c).alias(f"_ndv_{c}"),
-            F.count_distinct(c).alias(f"_ndvx_{c}"),
             F.min(c).cast("string").alias(f"_min_{c}"),
             F.max(c).cast("string").alias(f"_max_{c}"),
         ]
-    row = df.agg(*aggs).collect()[0]
+    base_df = df.agg(*aggs)
+    ndv_branches = [
+        df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
+            F.lit(c).alias("c"), "ndvx"
+        )
+        for c in cols
+    ]
+    ndv_df = ndv_branches[0]
+    for b in ndv_branches[1:]:
+        ndv_df = ndv_df.unionByName(b)
+    row = base_df.collect()[0]
+    ndvx = {r["c"]: r["ndvx"] for r in ndv_df.collect()}
     out = [
         (
             c,
             row["_n_rows"],
             row[f"_nulls_{c}"],
             row[f"_ndv_{c}"],
-            row[f"_ndvx_{c}"],
+            ndvx[c],
             row[f"_min_{c}"],
             row[f"_max_{c}"],
         )
