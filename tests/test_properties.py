@@ -67,3 +67,37 @@ def test_exact_dedup_matches_python_reference(spark, texts):
         ref[hashlib.md5(norm.encode()).hexdigest()].append(i)
     expected = {fp: (min(ids), len(ids)) for fp, ids in ref.items()}
     assert got == expected
+
+
+def test_oracle_gate_flags_every_dtype_drift_class():
+    """The local gate must stay at least as strict as the driver's
+    dtype-sensitive hash: int-vs-float, Decimal objects, date objects,
+    and non-scalar cells are each rejected (regression guard for the
+    round-2 failure mode where a lenient local gate hid 11 driver
+    mismatches)."""
+    import datetime
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from .oracle import dtype_problems
+
+    ok_a = pd.DataFrame({"x": [1, 2], "y": [1.5, 2.5]})
+    ok_b = pd.DataFrame({"x": [1, 2], "y": [1.5, 2.5]})
+    assert dtype_problems(ok_a, ok_b) == []
+
+    # int64 vs float64
+    assert dtype_problems(
+        pd.DataFrame({"x": [1, 2]}), pd.DataFrame({"x": [1.0, 2.0]})
+    )
+    # Decimal object column (either side, even if both agree)
+    dec = pd.DataFrame({"x": [Decimal("1.00")]})
+    assert dtype_problems(dec, dec)
+    # date objects vs datetime64
+    assert dtype_problems(
+        pd.DataFrame({"d": [datetime.date(2024, 1, 1)]}),
+        pd.DataFrame({"d": pd.to_datetime(["2024-01-01"])}),
+    )
+    # non-scalar cells (breaks the driver's sort_values)
+    lst = pd.DataFrame({"a": [[1, 2]]})
+    assert dtype_problems(lst, lst)
