@@ -316,6 +316,133 @@ order by n_regionkey
 """
 
 
+# --------------------------------------------------------------------------
+# Iceberg read (IcebergFormatPlugin.java — metadata-tree reader, no jar)
+def _iceberg_fixture(spark: SparkSession, sf: str) -> str:
+    """Two-snapshot Iceberg table from nation per the public table spec:
+    snapshot 1 appends the full table, snapshot 2 is a DELETE rewrite
+    keeping n_regionkey <= 2 (tombstone + new data file)."""
+    import glob
+    import json
+
+    from ..sources.avro_codec import write_avro_file
+
+    d = _scratch("iceberg_rt", sf)
+    t = os.path.join(d, "nation_iceberg")
+    os.makedirs(os.path.join(t, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(t, "data"), exist_ok=True)
+    nation = load(spark, sf, "nation")
+
+    def _one_file(df: DataFrame, name: str) -> str:
+        tmp = os.path.join(d, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                   os.path.join(t, "data", name))
+        return f"data/{name}"
+
+    f0 = _one_file(nation, "file-0.parquet")
+    f1 = _one_file(nation.where(F.col("n_regionkey") <= 2), "file-1.parquet")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ]}
+
+    def _entry(status: int, path: str) -> dict:
+        return {"status": status, "snapshot_id": 1,
+                "data_file": {"file_path": path, "file_format": "PARQUET",
+                              "partition": {}, "record_count": 1,
+                              "file_size_in_bytes": 1}}
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        p = os.path.join(t, "metadata", name)
+        write_avro_file(p, entry_schema, entries)
+        return p
+
+    def _mlist(name: str, manifests: list[str]) -> str:
+        p = os.path.join(t, "metadata", name)
+        write_avro_file(p, list_schema, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "added_snapshot_id": 1}
+            for m in manifests
+        ])
+        return p
+
+    ml1 = _mlist("ml1.avro", [_manifest("m1.avro", [_entry(1, f0)])])
+    ml2 = _mlist(
+        "ml2.avro", [_manifest("m2.avro", [_entry(2, f0), _entry(1, f1)])]
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "nation-iceberg-fixture",
+        "location": t, "current-snapshot-id": 2, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+            {"id": 3, "name": "n_regionkey", "required": False, "type": "long"},
+        ]}],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1,
+             "summary": {"operation": "append"}, "manifest-list": ml1},
+            {"snapshot-id": 2, "timestamp-ms": 2,
+             "summary": {"operation": "delete"}, "manifest-list": ml2},
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+    return t
+
+
+def iceberg_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Read an Iceberg table at HEAD and AT SNAPSHOT 1 through the
+    metadata reader; both states feed one oracle-checked result."""
+    from ..sources.iceberg import read_iceberg
+
+    t = _iceberg_fixture(spark, sf)
+    head = (
+        read_iceberg(spark, t)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    v1_count = read_iceberg(spark, t, snapshot_id=1).groupBy().agg(
+        F.count("*").alias("n_at_snap1")
+    )
+    return head.crossJoin(v1_count).orderBy("n_regionkey")
+
+
+ICEBERG_READ_SQL = """
+select n_regionkey, count(*) as n_nations,
+       cast(sum(n_nationkey) as bigint) as key_sum,
+       (select count(*) from nation) as n_at_snap1
+from nation
+where n_regionkey <= 2
+group by n_regionkey
+order by n_regionkey
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -324,6 +451,7 @@ SOURCES_QUERIES = {
     "src_copy_into_dedup": copy_into_dedup,
     "src_dml_cow": dml_cow,
     "src_delta_read": delta_read,
+    "src_iceberg_read": iceberg_read,
 }
 
 SOURCES_ORACLE = {
@@ -334,4 +462,5 @@ SOURCES_ORACLE = {
     "src_copy_into_dedup": COPY_INTO_SQL,
     "src_dml_cow": DML_COW_SQL,
     "src_delta_read": DELTA_READ_SQL,
+    "src_iceberg_read": ICEBERG_READ_SQL,
 }

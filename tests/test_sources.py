@@ -242,3 +242,123 @@ def test_delta_reader_partitions_checkpoint_history(spark, tmp_path):
     hist = delta_history(t)
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert hist[1]["operation"] == "DELETE"
+
+
+def test_iceberg_reader_partitions_snapshots_history(spark, tmp_path):
+    """Iceberg metadata reader: vN.metadata.json + Avro manifest list +
+    manifests, identity partition values, snapshot time travel, history
+    (IcebergFormatPlugin.java / IcebergScanPrel.java:96)."""
+    import glob
+    import json
+    import os
+
+    from dremio_oss_spark.sources.avro_codec import write_avro_file
+    from dremio_oss_spark.sources.iceberg import (
+        iceberg_history,
+        is_iceberg_table,
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "it")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")], "id long, v long, k string"
+    )
+
+    def one_file(sub, name):
+        stage = str(tmp_path / f"stage_{name}")
+        sub.select("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+        os.replace(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                   os.path.join(t, "data", name))
+        return f"data/{name}"
+
+    fa = one_file(df.where("k = 'a'"), "fa.parquet")
+    fb = one_file(df.where("k = 'b'"), "fb.parquet")
+
+    MANIFEST_SCHEMA = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": "k", "type": ["null", "string"]},
+                        ]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    LIST_SCHEMA = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ]}
+
+    def entry(status, path, k):
+        return {"status": status, "snapshot_id": 1,
+                "data_file": {"file_path": path, "file_format": "PARQUET",
+                              "partition": {"k": k}, "record_count": 1,
+                              "file_size_in_bytes": 1}}
+
+    def manifest(name, entries):
+        p = os.path.join(t, "metadata", name)
+        write_avro_file(p, MANIFEST_SCHEMA, entries)
+        return p
+
+    def mlist(name, manifests):
+        p = os.path.join(t, "metadata", name)
+        write_avro_file(p, LIST_SCHEMA, [
+            {"manifest_path": m, "manifest_length": 1,
+             "partition_spec_id": 0, "added_snapshot_id": 1}
+            for m in manifests
+        ])
+        return p
+
+    m1 = manifest("m1.avro", [entry(1, fa, "a"), entry(1, fb, "b")])
+    ml1 = mlist("ml1.avro", [m1])
+    # snapshot 2: partition b deleted (status 2 tombstone in a new manifest)
+    m2 = manifest("m2.avro", [entry(0, fa, "a"), entry(2, fb, "b")])
+    ml2 = mlist("ml2.avro", [m2])
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": "fixture",
+        "location": t,
+        "current-snapshot-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+            {"id": 3, "name": "k", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "k", "transform": "identity",
+             "source-id": 3, "field-id": 1000},
+        ]}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"}, "manifest-list": ml1},
+            {"snapshot-id": 2, "timestamp-ms": 2000,
+             "summary": {"operation": "delete"}, "manifest-list": ml2},
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    assert is_iceberg_table(t)
+    head = {(r["id"], r["v"], r["k"]) for r in read_iceberg(spark, t).collect()}
+    assert head == {(1, 10, "a"), (2, 20, "a")}  # partition b tombstoned
+    v1 = {(r["id"], r["k"]) for r in read_iceberg(spark, t, snapshot_id=1).collect()}
+    assert v1 == {(1, "a"), (2, "a"), (3, "b")}  # time travel
+    hist = iceberg_history(t)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["operation"] == "delete"
