@@ -59,19 +59,43 @@ class Engine:
         # object -> privilege -> grantees (reference GRANT/REVOKE surface,
         # Parser.tdd; enforcement model only — no external IdP here)
         self._acl: dict[str, dict[str, set[str]]] = {}
+        # principal -> roles directly granted to it (users/roles graph)
+        self._roles: dict[str, set[str]] = {}
 
-    # -- access control (GRANT/REVOKE) -------------------------------------
+    # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
+        """GRANT <priv> ON <object> TO <user-or-role> (Parser.tdd grant
+        surface; roles resolve transitively at check time)."""
         self._acl.setdefault(on, {}).setdefault(privilege.upper(), set()).add(to)
 
     def revoke(self, privilege: str, on: str, to: str) -> None:
         self._acl.get(on, {}).get(privilege.upper(), set()).discard(to)
 
+    def grant_role(self, role: str, to: str) -> None:
+        """GRANT ROLE <role> TO USER/ROLE <to> — membership edge."""
+        self._roles.setdefault(to, set()).add(role)
+
+    def revoke_role(self, role: str, to: str) -> None:
+        self._roles.get(to, set()).discard(role)
+
+    def _principals(self, user: str) -> set[str]:
+        """user + every role reachable through membership edges."""
+        out, stack = {user}, [user]
+        while stack:
+            for r in self._roles.get(stack.pop(), ()):  # noqa: B023
+                if r not in out:
+                    out.add(r)
+                    stack.append(r)
+        return out
+
     def check_access(self, user: str, privilege: str, on: str) -> bool:
         """Objects with no grants are open (OSS default); once any grant
-        exists for an object+privilege, access is allowlist-only."""
+        exists for an object+privilege, access is allowlist-only — a
+        grant to any of the user's (transitive) roles suffices."""
         grants = self._acl.get(on, {}).get(privilege.upper())
-        return True if grants is None else user in grants
+        if grants is None:
+            return True
+        return bool(grants & self._principals(user))
 
     # -- sources -----------------------------------------------------------
     def add_testdata_source(self, sf_dir: str) -> None:
@@ -143,6 +167,21 @@ class Engine:
         return self.spark.createDataFrame(
             [(self.spark.version,)], "version string"
         )
+
+    def sys_jobs(self) -> DataFrame:
+        """sys.jobs equivalent: active + recent Spark jobs from the
+        status tracker (reference exposes the jobs service as a system
+        table)."""
+        st = self.spark.sparkContext.statusTracker()
+        rows = []
+        for jid in sorted(st.getActiveJobsIds()):
+            info = st.getJobInfo(jid)
+            if info:
+                rows.append((jid, str(info.status), len(info.stageIds)))
+        return self.spark.createDataFrame(
+            rows or [(-1, "", 0)],
+            "job_id int, status string, n_stages int",
+        ).where("job_id >= 0")
 
     def sys_options(self) -> DataFrame:
         keys = [
@@ -314,9 +353,13 @@ class Engine:
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: EXPLAIN / EXPLAIN JSON,
-        Parser.tdd): returns the plan text for a SQL string."""
+        Parser.tdd): returns the plan text for a SQL string.  mode
+        'json' serializes the optimized logical plan as JSON, like the
+        reference's EXPLAIN JSON output."""
         df = self.sql(query)
         qe = df._jdf.queryExecution()
+        if mode == "json":
+            return qe.optimizedPlan().toJSON()
         if mode == "formatted":
             return qe.explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -167,3 +167,34 @@ def test_tabular_udf_expansion_and_similar_to(spark):
                similar_to('abc', '(a|z)bc') as d
     """).collect()[0]
     assert (rows["a"], rows["b"], rows["c"], rows["d"]) == (True, True, False, True)
+
+
+def test_roles_explain_json_sys_jobs(spark):
+    """Role-based grants resolve transitively; EXPLAIN JSON serializes
+    the optimized plan; sys.jobs surfaces the status tracker."""
+    import json as _json
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+
+    # analyst -> reporting -> (grant on nation to reporting)
+    eng.grant("SELECT", "nation", "reporting")
+    eng.grant_role("reporting", "alex")
+    assert eng.check_access("alex", "SELECT", "nation")
+    assert not eng.check_access("sam", "SELECT", "nation")
+    eng.grant_role("analysts", "sam")
+    eng.grant_role("reporting", "analysts")  # nested role
+    assert eng.check_access("sam", "SELECT", "nation")
+    eng.revoke("SELECT", "nation", "reporting")
+    # the privilege entry survives with an empty allowlist: deny-all
+    # (revoking the last grantee must not silently reopen the object)
+    assert not eng.check_access("sam", "SELECT", "nation")
+
+    js = eng.explain("select n_name from nation where n_nationkey = 1", mode="json")
+    parsed = _json.loads(js)
+    assert isinstance(parsed, list) and parsed  # list of plan nodes
+    assert "class" in parsed[0]
+
+    assert eng.sys_jobs().columns == ["job_id", "status", "n_stages"]
