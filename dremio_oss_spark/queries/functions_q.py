@@ -558,6 +558,69 @@ from customer
 """
 
 
+def array_extras(spark: SparkSession, sf: str) -> DataFrame:
+    """Remaining ARRAY_* surface (DremioSqlOperatorTable ARRAY_APPEND/
+    PREPEND/CAT/POSITION/REMOVE/REMOVE_AT/INSERT/FREQUENCY,
+    ARRAYS_OVERLAP, EMPTY_ARRAY — impl exec/expr/fn/impl/array/).
+    Array results serialize to strings for the scalar-only gate."""
+    g = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") < 300)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lns"))
+    )
+    freq = F.transform(
+        F.array_sort(F.array_distinct("lns")),
+        lambda x: F.concat(
+            x.cast("string"),
+            F.lit(":"),
+            F.size(F.filter("lns", lambda y: y == x)).cast("string"),
+        ),
+    )
+    return g.select(
+        "l_orderkey",
+        _arr_str(F.array_append("lns", F.lit(99))).alias("appended"),
+        _arr_str(F.array_prepend("lns", F.lit(0))).alias("prepended"),
+        _arr_str(F.concat("lns", F.array(F.lit(7), F.lit(8)))).alias("cat"),
+        F.array_position("lns", 2).cast("bigint").alias("pos_of_2"),
+        _arr_str(F.array_remove("lns", 1)).alias("removed_1"),
+        _arr_str(
+            F.concat(
+                F.slice("lns", 1, 1),
+                F.expr("slice(lns, 3, size(lns))"),
+            )
+        ).alias("removed_at_2"),
+        _arr_str(F.array_insert("lns", 2, F.lit(42))).alias("inserted"),
+        F.array_join(freq, ",").alias("freq"),
+        F.arrays_overlap("lns", F.array(F.lit(2), F.lit(9))).alias("overlaps"),
+        F.size(F.array().cast("array<int>")).alias("empty_size"),
+    ).orderBy("l_orderkey")
+
+
+ARRAY_EXTRAS_SQL = """
+with g as (
+  select l_orderkey, list_sort(list(l_linenumber)) as lns
+  from lineitem where l_orderkey < 300 group by l_orderkey
+)
+select l_orderkey,
+       coalesce(array_to_string(list_append(lns, 99), ','), '') as appended,
+       coalesce(array_to_string(list_prepend(0, lns), ','), '') as prepended,
+       coalesce(array_to_string(list_concat(lns, [7, 8]), ','), '') as cat,
+       cast(coalesce(list_position(lns, 2), 0) as bigint) as pos_of_2,
+       coalesce(array_to_string(list_filter(lns, x -> x <> 1), ','), '') as removed_1,
+       coalesce(array_to_string(list_concat(lns[1:1], lns[3:]), ','), '') as removed_at_2,
+       coalesce(array_to_string(list_concat(list_concat(lns[1:1], [42]), lns[2:]), ','), '')
+         as inserted,
+       coalesce(array_to_string(
+         list_transform(list_sort(list_distinct(lns)),
+           x -> x || ':' || len(list_filter(lns, y -> y = x))), ','), '') as freq,
+       list_has_any(lns, [2, 9]) as overlaps,
+       0 as empty_size
+from g
+order by l_orderkey
+"""
+
+
 FUNCTION_QUERIES = {
     "fn_concat_masking": concat_masking,
     "fn_geo_functions": geo_functions,
@@ -573,6 +636,7 @@ FUNCTION_QUERIES = {
     "fn_bitwise": bitwise_functions,
     "fn_to_json": to_json_q,
     "fn_single_value": single_value_q,
+    "fn_array_extras": array_extras,
 }
 
 FUNCTION_ORACLE = {
@@ -590,4 +654,5 @@ FUNCTION_ORACLE = {
     "fn_bitwise": BITWISE_SQL,
     "fn_to_json": TO_JSON_SQL,
     "fn_single_value": SINGLE_VALUE_SQL,
+    "fn_array_extras": ARRAY_EXTRAS_SQL,
 }
