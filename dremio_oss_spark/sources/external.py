@@ -42,5 +42,30 @@ class ExternalSource:
         arrow = self._con.execute(sql).fetch_arrow_table()
         return self.spark.createDataFrame(arrow.to_pandas())
 
+    def read(self, table: str, columns: list[str] | None = None,
+             predicate: str | None = None,
+             aggregate: tuple[list[str], dict[str, str]] | None = None) -> DataFrame:
+        """ARP-style subtree pushdown (PlannerPhase.java:171-188 +
+        DremioRelToSqlConverter.java): project / filter / aggregate are
+        rendered into the REMOTE engine's SQL so only the reduced result
+        crosses the wire — the whole point of federation at 100 TB.
+
+        aggregate = (group_cols, {alias: "agg_expr"}) pushes a GROUP BY.
+        The generated SQL is recorded on `self.last_pushed_sql` so tests
+        (and EXPLAIN-style tooling) can assert what was shipped.
+        """
+        proj = ", ".join(columns) if columns else "*"
+        sql = f"select {proj} from {table}"
+        if aggregate is not None:
+            keys, measures = aggregate
+            sel = keys + [f"{expr} as {alias}" for alias, expr in measures.items()]
+            sql = f"select {', '.join(sel)} from {table}"
+        if predicate:
+            sql += f" where {predicate}"
+        if aggregate is not None and aggregate[0]:
+            sql += f" group by {', '.join(aggregate[0])}"
+        self.last_pushed_sql = sql
+        return self.external_query(sql)
+
     def close(self) -> None:
         self._con.close()

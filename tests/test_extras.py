@@ -158,3 +158,36 @@ def test_vacuum_protects_branches_and_mor_parents(spark):
     # main's MOR view still readable (symlink parent was protected):
     # 25 rows - regions 0,1 (COW) - region 2 (MOR) = 10
     assert dml.read_mor(spark, t, ["n_nationkey"]).count() == 10
+
+
+def test_external_source_pushdown_sql(spark):
+    """ARP-style pushdown: project/filter/aggregate render into the
+    remote SQL (asserted on last_pushed_sql), and the reduced result is
+    what crosses into Spark."""
+    import os
+
+    from dremio_oss_spark.sources.external import ExternalSource
+
+    src = ExternalSource(
+        spark, "rdbms",
+        {"orders": os.path.join(SF_SMALL, "orders.parquet")},
+    )
+    try:
+        df = src.read(
+            "orders",
+            predicate="o_orderkey <= 100",
+            aggregate=(["o_orderpriority"],
+                       {"n": "count(*)", "total": "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"}),
+        )
+        pushed = src.last_pushed_sql
+        assert "where o_orderkey <= 100" in pushed
+        assert "group by o_orderpriority" in pushed
+        rows = {r["o_orderpriority"]: (r["n"], r["total"]) for r in df.collect()}
+        # remote result is already reduced: few rows, not 100
+        assert 0 < len(rows) <= 5
+        proj = src.read("orders", columns=["o_orderkey"],
+                        predicate="o_orderkey <= 10")
+        assert proj.columns == ["o_orderkey"]
+        assert "select o_orderkey from orders" in src.last_pushed_sql
+    finally:
+        src.close()
