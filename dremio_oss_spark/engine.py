@@ -46,9 +46,14 @@ class Space:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(self, spark: SparkSession | None = None,
+                 register_functions: bool = False):
         self.spark = spark or build_spark()
-        register_all(self.spark)
+        # shim registration is ~30 sequential DDL round-trips (~3 s on a
+        # fresh session); defer it until a query actually references a
+        # shim so catalog-only statements stay cheap
+        if register_functions:
+            register_all(self.spark)
         self.spaces: dict[str, Space] = {}
         self._sources: dict[str, str] = {}
         self._current_space: str | None = None  # USE <space> context
@@ -332,6 +337,7 @@ class Engine:
 
     def show_functions(self) -> DataFrame:
         """SHOW FUNCTIONS: built-ins + registered shims (native)."""
+        register_all(self.spark)
         return self.spark.sql("show functions")
 
     def show_create_vds(self, space: str, name: str) -> DataFrame:
@@ -368,6 +374,15 @@ class Engine:
             )
         return qe.toString()
 
+    def _ensure_shims(self, query: str) -> None:
+        """Register the function shims iff the query references one
+        (register_all itself is idempotent per session)."""
+        from .functions.shims import _SQL_FUNCTIONS
+
+        q = query.lower()
+        if any(n in q for n in _SQL_FUNCTIONS) or "st_geohash" in q:
+            register_all(self.spark)
+
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
@@ -378,6 +393,7 @@ class Engine:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
         query = self._expand_tabular(query)
+        self._ensure_shims(query)
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
         # dotted VDS references: space.name -> space__name when registered
