@@ -200,6 +200,43 @@ class Engine:
             "name string, value string",
         )
 
+    # -- view acceleration (reflections defined ON a VDS) --------------------
+    def create_vds_reflection(
+        self, space: str, name: str, refl_name: str,
+        dims: list[str], measures, root: str,
+    ):
+        """ALTER VDS ... CREATE AGGREGATION REFLECTION: materialize an
+        aggregate of the view's RESULT.  This is the reference's view
+        acceleration (SubstitutionProvider.java matches the query tree
+        against the view's expanded tree): because the reflection is
+        keyed by the VDS identity, any aggregate over that VDS with a
+        dims/measures subset answers from the materialization — the
+        view's own join tree never re-executes."""
+        from .plans import ReflectionStore
+
+        store = getattr(self, "_refl_store", None)
+        if store is None or store.root != root:
+            store = self._refl_store = ReflectionStore(self.spark, root)
+        fq = f"{space}.{name}"
+        store.create_aggregation_reflection(
+            refl_name, self.table(fq), table=fq, dims=dims, measures=measures,
+        )
+        return store
+
+    def aggregate_vds(self, space: str, name: str, dims, measures,
+                      filters=()) -> tuple[DataFrame, bool]:
+        """Aggregate over a VDS, substituting a covering reflection.
+        Returns (DataFrame, substituted)."""
+        from .plans import AggQuery
+
+        fq = f"{space}.{name}"
+        q = AggQuery(table=fq, dims=tuple(dims), measures=tuple(measures),
+                     filters=tuple(filters))
+        store = getattr(self, "_refl_store", None)
+        if store is None:
+            raise ValueError("no reflections created on this engine")
+        return store.execute(q, self.table(fq))
+
     # -- tabular SQL UDFs (CREATE FUNCTION ... RETURNS TABLE) ----------------
     def create_tabular_udf(self, name: str, params: list[str], sql: str) -> None:
         """CREATE FUNCTION name(params) RETURNS TABLE RETURN <query>

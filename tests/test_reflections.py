@@ -198,3 +198,54 @@ def test_snowflake_reflection_covers_chained_dims(spark, oracle):
     """).fetchdf()
     problems = compare(df, expected, ordered=False)
     assert not problems, problems
+
+
+def test_vds_reflection_view_acceleration(spark, oracle, tmp_path):
+    """View acceleration: a reflection ON a VDS (whose definition is a
+    join) answers aggregates over the VDS from the materialization — the
+    view's join tree never re-executes (SubstitutionProvider.java view
+    matching, ReflectionServiceImpl.java ALTER VDS ... CREATE REFLECTION)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.plans import Measure
+    from .conftest import SF_SMALL
+    from .oracle import compare
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng.create_space("mart")
+    eng.create_vds(
+        "mart", "order_lines",
+        """
+        select o.o_orderpriority, l.l_returnflag, l.l_quantity
+        from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+        """,
+    )
+    eng.create_vds_reflection(
+        "mart", "order_lines", "ol_by_prio_flag",
+        dims=["o_orderpriority", "l_returnflag"],
+        measures=[Measure("sum", "l_quantity"), Measure("count", "*")],
+        root=str(tmp_path / "refl"),
+    )
+    df, substituted = eng.aggregate_vds(
+        "mart", "order_lines",
+        dims=("o_orderpriority",),
+        measures=(Measure("sum", "l_quantity"), Measure("count", "*")),
+        filters=("l_returnflag = 'R'",),
+    )
+    assert substituted
+    files = df.inputFiles()
+    assert files and all("ol_by_prio_flag" in f for f in files)
+    assert not any("lineitem.parquet" in f for f in files)  # join not re-run
+    df = df.withColumn("sum_l_quantity", F.col("sum_l_quantity").cast("double"))
+    expected = oracle.execute("""
+        select o_orderpriority,
+               cast(sum(cast(l_quantity as decimal(28,4))) as double) as sum_l_quantity,
+               count(*) as count_all
+        from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+        where l_returnflag = 'R'
+        group by o_orderpriority
+    """).fetchdf()
+    problems = compare(df, expected, ordered=False)
+    assert not problems, problems
