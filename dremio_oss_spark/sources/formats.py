@@ -74,18 +74,44 @@ class FormatRegistry:
         return _r
 
     def _read_excel(self, path: str, schema: str | None = None, **opts) -> DataFrame:
-        """Excel (ExcelRecordReader.java): pandas/openpyxl-backed — gated
-        on the library being present (not in this container)."""
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "xlsx/xls reads need openpyxl (or spark-excel on a real "
-                "cluster); not available in this environment"
-            ) from e
-        import pandas as pd
+        """Excel (ExcelRecordReader.java, `exec/store/easy/excel/`).
 
-        return self.spark.createDataFrame(pd.read_excel(path, **opts))
+        .xlsx is OOXML — a zip of XML parts — so the reader parses it
+        with the stdlib (zipfile + ElementTree): shared strings, the
+        first worksheet's rows, A1-style column refs, header row as
+        column names, numeric cells as doubles.  Legacy binary .xls
+        stays gated (needs a BIFF parser / openpyxl-style dependency).
+        """
+        if path.lower().endswith(".xls"):
+            try:
+                import openpyxl  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "legacy binary .xls needs a BIFF reader; only .xlsx "
+                    "is supported natively in this environment"
+                ) from e
+        rows = _parse_xlsx(path, sheet=opts.get("sheet"))
+        if not rows:
+            raise ValueError(f"empty worksheet in {path}")
+        header = [str(c) if c is not None else f"_c{i}"
+                  for i, c in enumerate(rows[0])]
+        width = len(header)
+        data = [
+            tuple((r + [None] * width)[:width]) for r in rows[1:]
+        ]
+        sdf = self.spark.createDataFrame(
+            [tuple(str(v) if v is not None else None for v in r) for r in data],
+            ", ".join(f"`{h}` string" for h in header),
+        )
+        if schema:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
+            target = StructType.fromDDL(schema)
+            sdf = sdf.select(
+                *[F.col(f.name).cast(f.dataType) for f in target.fields]
+            )
+        return sdf
 
     def _read_arrow(self, path: str, schema: str | None = None, **opts) -> DataFrame:
         import pyarrow as pa
@@ -98,3 +124,62 @@ class FormatRegistry:
                 src.seek(0)
                 table = ipc.open_stream(src).read_all()
         return self.spark.createDataFrame(table.to_pandas())
+
+
+def _parse_xlsx(path: str, sheet: str | None = None) -> list[list]:
+    """Minimal OOXML spreadsheet parser (ECMA-376): returns the rows of
+    one worksheet as python values (str for shared/inline strings,
+    float for numbers, bool for booleans, None for empty cells)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheet_files = sorted(
+            n for n in names
+            if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        target = sheet_files[0]
+        if sheet is not None:  # resolve by sheet name via workbook.xml
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            for i, sh in enumerate(wb.iter(f"{NS}sheet")):
+                if sh.get("name") == sheet:
+                    target = sheet_files[i]
+                    break
+        root = ET.fromstring(z.read(target))
+        out: list[list] = []
+        for row in root.iter(f"{NS}row"):
+            vals: list = []
+            for c in row.findall(f"{NS}c"):
+                ref = c.get("r") or ""
+                col_letters = "".join(ch for ch in ref if ch.isalpha())
+                idx = 0
+                for ch in col_letters:
+                    idx = idx * 26 + (ord(ch) - 64)
+                idx = max(idx - 1, len(vals))
+                while len(vals) < idx:
+                    vals.append(None)  # gap cells
+                t = c.get("t", "n")
+                v_el = c.find(f"{NS}v")
+                is_el = c.find(f"{NS}is")
+                if t == "s" and v_el is not None:
+                    vals.append(shared[int(v_el.text)])
+                elif t == "inlineStr" and is_el is not None:
+                    vals.append(
+                        "".join(x.text or "" for x in is_el.iter(f"{NS}t"))
+                    )
+                elif t == "b" and v_el is not None:
+                    vals.append(v_el.text == "1")
+                elif v_el is not None and v_el.text is not None:
+                    vals.append(float(v_el.text) if t in ("n", "str") else v_el.text)
+                else:
+                    vals.append(None)
+            out.append(vals)
+        return out

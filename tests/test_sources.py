@@ -49,18 +49,49 @@ def test_pipe_registry_ingest_dedup(spark):
     assert reg.pipes() == ["p1"]
 
 
-def test_excel_format_gated(spark):
+def test_excel_xlsx_roundtrip(spark, tmp_path):
+    """xlsx reads natively via the stdlib OOXML parser (zip + XML):
+    shared strings, numbers, gap cells, schema casting.  Legacy binary
+    .xls stays gated (BIFF needs a real dependency)."""
+    import zipfile
+
     import pytest as _pytest
 
     from dremio_oss_spark.sources.formats import FormatRegistry
 
+    p = str(tmp_path / "book.xlsx")
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+  <row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>10.5</v></c><c r="C2" t="b"><v>1</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>beta</t></is></c><c r="C3" t="b"><v>0</v></c></row>
+ </sheetData>
+</worksheet>"""
+    strings = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+ <si><t>name</t></si><si><t>amount</t></si><si><t>active</t></si><si><t>alpha</t></si>
+</sst>"""
+    workbook = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheets><sheet name="Sheet1" sheetId="1"/></sheets>
+</workbook>"""
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", strings)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
     reg = FormatRegistry(spark)
     assert "xlsx" in reg.formats()
+    df = reg.read(p, "xlsx", schema="name string, amount double, active boolean")
+    rows = {r["name"]: (r["amount"], r["active"]) for r in df.collect()}
+    assert rows == {"alpha": (10.5, True), "beta": (None, False)}  # gap cell -> null
+
     try:
         import openpyxl  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError):
-            reg.read("/nonexistent.xlsx", "xlsx")
+            reg.read("/nonexistent.xls", "xls")
 
 
 def test_copy_into_on_error_continue(spark):
