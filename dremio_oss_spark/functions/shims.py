@@ -146,37 +146,39 @@ _SQL_FUNCTIONS: dict[str, str] = {
 
 
 def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Series:
-    """Geohash base-32 encode (GeoFunctions.java st_geohash)."""
+    """Geohash base-32 encode (GeoFunctions.java st_geohash).
+
+    Closed form: the classic bisection over lat/lon equals interleaving
+    the bits of the floor-quantized coordinates (lon gets ceil(5p/2)
+    bits, lat the rest).  The quantization runs in the SAME double
+    expression the DuckDB oracle uses — `(coord+off)/span * 2^bits` —
+    so engine and oracle agree bit-for-bit even for coordinates within
+    one ulp of a cell boundary, where iterative bisection and the
+    quantized form can legitimately disagree on which side wins.
+    """
     b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
     def enc(la: float, lo: float, p: int) -> str | None:
         if la is None or lo is None or pd.isna(la) or pd.isna(lo):
             return None
-        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
-        bits, bit, even = 0, 0, True
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        lonq = min(int((lo + 180.0) / 360.0 * (1 << lon_bits)),
+                   (1 << lon_bits) - 1)
+        latq = min(int((la + 90.0) / 180.0 * (1 << lat_bits)),
+                   (1 << lat_bits) - 1)
         out = []
-        while len(out) < p:
-            if even:
-                mid = (lon_lo + lon_hi) / 2
-                if lo >= mid:
-                    bits = (bits << 1) | 1
-                    lon_lo = mid
+        for c in range(p):
+            idx = 0
+            for j in range(5):
+                g = 5 * c + j
+                if g % 2 == 0:
+                    bit = (lonq >> (lon_bits - 1 - g // 2)) & 1
                 else:
-                    bits <<= 1
-                    lon_hi = mid
-            else:
-                mid = (lat_lo + lat_hi) / 2
-                if la >= mid:
-                    bits = (bits << 1) | 1
-                    lat_lo = mid
-                else:
-                    bits <<= 1
-                    lat_hi = mid
-            even = not even
-            bit += 1
-            if bit == 5:
-                out.append(b32[bits])
-                bits, bit = 0, 0
+                    bit = (latq >> (lat_bits - 1 - (g - 1) // 2)) & 1
+                idx = idx * 2 + bit
+            out.append(b32[idx])
         return "".join(out)
 
     return pd.Series(

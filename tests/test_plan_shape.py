@@ -115,3 +115,26 @@ def test_embedding_neardup_plan_is_bucketed_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_ctas_prunes_partitions_on_read(spark, tmp_path):
+    """CTAS with PARTITION BY must yield reads where a partition-key
+    filter prunes directories (PartitionFilters in the scan) — the
+    reference's DmlUtils partition-pruning contract at 100 TB."""
+    from dremio_oss_spark.sources.writer import ctas
+
+    t = str(tmp_path / "orders_part")
+    ctas(
+        load(spark, SF_SMALL, "orders").where(F.col("o_orderkey") <= 5000),
+        t,
+        partition_by=["o_orderpriority"],
+    )
+    df = spark.read.parquet(t).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # and the filter is a partition filter, not a pushed data filter:
+    # the scan's data-filter list must NOT need o_orderpriority
+    pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan else ""
+    assert "o_orderpriority" not in pushed

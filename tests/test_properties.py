@@ -101,3 +101,102 @@ def test_oracle_gate_flags_every_dtype_drift_class():
     # non-scalar cells (breaks the driver's sort_values)
     lst = pd.DataFrame({"a": [[1, 2]]})
     assert dtype_problems(lst, lst)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.text(max_size=40),
+            st.one_of(st.none(), st.text(max_size=10)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                     max_size=6),
+            st.dictionaries(st.text(min_size=1, max_size=8),
+                            st.text(max_size=8), max_size=4),
+        ),
+        min_size=0, max_size=20,
+    )
+)
+def test_avro_codec_roundtrip_property(rows):
+    """Avro container codec: encode->decode is identity for any record
+    mix of 64-bit ints, unicode, optionals, doubles, arrays, maps."""
+    import os
+    import tempfile
+
+    from dremio_oss_spark.sources.avro_codec import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "o", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "a", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+    recs = [
+        {"i": i, "s": s, "o": o, "d": d, "a": a, "m": m}
+        for i, s, o, d, a, m in rows
+    ]
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    os.close(fd)
+    try:
+        write_avro_file(path, schema, recs)
+        assert read_avro_file(path) == recs
+    finally:
+        os.unlink(path)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(min_value=-89.99, max_value=89.99),
+    st.floats(min_value=-179.99, max_value=179.99),
+)
+def test_geohash_closed_form_equals_bisection(lat, lon):
+    """The engine's closed-form geohash (also the DuckDB oracle's
+    construction) must equal reference-style bisection for arbitrary
+    coordinates — this is what licenses the fn_st_geohash oracle.
+    Coordinates within ~1e-6 cells of a boundary are excluded: there the
+    two formulations legitimately disagree by one ulp of rounding."""
+    import pandas as pd
+    from hypothesis import assume
+
+    from dremio_oss_spark.functions.shims import _st_geohash
+
+    x = (lon + 180.0) / 360.0 * (1 << 23)
+    y = (lat + 90.0) / 180.0 * (1 << 22)
+    assume(abs(x - round(x)) > 1e-6 and abs(y - round(y)) > 1e-6)
+
+    engine = _st_geohash(pd.Series([lat]), pd.Series([lon]), pd.Series([9]))[0]
+
+    # independent reference: classic interval bisection (GeoFunctions.java)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, nbit, even, out = 0, 0, True, []
+    while len(out) < 9:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        nbit += 1
+        if nbit == 5:
+            out.append(b32[bits])
+            bits, nbit = 0, 0
+    assert engine == "".join(out), (lat, lon)
