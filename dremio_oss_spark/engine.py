@@ -33,7 +33,75 @@ _DIALECT_REWRITES: list[tuple[str, str]] = [
     (r"\bNDV\s*\(", "approx_count_distinct("),
     # MEDIAN(expr) -> median(expr) exists in Spark 4; keep for older dialects
     (r"\bTDIGEST_QUANTILE\s*\(", "percentile_approx("),
+    # FLATTEN(list_col) -> explode(...)          (SqlFlattenOperator.java)
+    (r"\bFLATTEN\s*\(", "explode("),
 ]
+
+_CONVERT_CODECS = {"UTF8", "BASE64", "INT_BE", "BIGINT_BE"}
+
+
+def _rewrite_convert(query: str) -> str:
+    """CONVERT_FROM/TO(x, '<codec>') -> the matching shim call
+    (exec/expr/fn/impl/conv/).  Paren-balanced, string-aware, recursive —
+    regex can't handle nested CONVERT calls."""
+    pat = re.compile(r"\bCONVERT_(FROM|TO)\s*\(", re.I)
+    m = pat.search(query)
+    if not m:
+        return query
+    open_i = m.end() - 1
+    depth, in_str, close_i = 0, False, -1
+    for j in range(open_i, len(query)):
+        ch = query[j]
+        if in_str:
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                close_i = j
+                break
+    if close_i < 0:
+        return query  # unbalanced: let Spark produce the parse error
+    inner = query[open_i + 1:close_i]
+    args, depth, in_str, cur = [], 0, False, ""
+    for ch in inner:
+        if in_str:
+            cur += ch
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+            cur += ch
+        elif ch == "(":
+            depth += 1
+            cur += ch
+        elif ch == ")":
+            depth -= 1
+            cur += ch
+        elif ch == "," and depth == 0:
+            args.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    args.append(cur)
+    codec = args[-1].strip().strip("'").upper() if len(args) >= 2 else ""
+    if codec not in _CONVERT_CODECS:
+        raise ValueError(
+            f"CONVERT_{m.group(1).upper()} codec {codec!r} not supported in "
+            f"SQL (known: {sorted(_CONVERT_CODECS)}; JSON goes through "
+            "convert_from_json with plan-time schema discovery)"
+        )
+    name = f"convert_{m.group(1).lower()}_{codec.lower()}"
+    rewritten_arg = _rewrite_convert(",".join(args[:-1]))
+    return (
+        query[:m.start()]
+        + f"{name}({rewritten_arg})"
+        + _rewrite_convert(query[close_i + 1:])
+    )
 
 
 class Space:
@@ -172,6 +240,24 @@ class Engine:
         return self.spark.createDataFrame(
             [(self.spark.version,)], "version string"
         )
+
+    def sys_reflections(self) -> DataFrame:
+        """sys.reflections: registered reflections + their shapes
+        (reference StatisticsService/AccelerationListManager tables)."""
+        store = getattr(self, "_refl_store", None)
+        rows = []
+        if store is not None:
+            for r in store._reflections.values():
+                rows.append((
+                    r.name, r.table, ",".join(r.dims),
+                    ",".join(m.name for m in r.measures),
+                    len(r.joins), str(r.watermark) if r.watermark else None,
+                ))
+        return self.spark.createDataFrame(
+            rows or [("", "", "", "", 0, None)],
+            "reflection_name string, dataset string, dims string, "
+            "measures string, n_join_edges int, watermark string",
+        ).where("reflection_name <> ''")
 
     def sys_jobs(self) -> DataFrame:
         """sys.jobs equivalent: active + recent Spark jobs from the
@@ -430,9 +516,10 @@ class Engine:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
         query = self._expand_tabular(query)
-        self._ensure_shims(query)
+        query = _rewrite_convert(query)
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
+        self._ensure_shims(query)  # after rewrites: they may introduce shims
         # dotted VDS references: space.name -> space__name when registered
         # (word-bounded so string literals / longer identifiers survive)
         for space in self.spaces.values():

@@ -198,3 +198,41 @@ def test_roles_explain_json_sys_jobs(spark):
     assert "class" in parsed[0]
 
     assert eng.sys_jobs().columns == ["job_id", "status", "n_stages"]
+
+
+def test_dialect_rewrites_and_sys_reflections(spark, tmp_path):
+    """Dremio dialect forms run unchanged through engine.sql:
+    NDV, FLATTEN, CONVERT_TO/FROM with codec literals; sys.reflections
+    lists registered materializations."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.plans import Measure
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+
+    r = eng.sql("select NDV(n_regionkey) as ndv from nation").collect()[0]
+    assert r["ndv"] == 5
+
+    r = eng.sql(
+        "select FLATTEN(array(1, 2, 3)) as x from (select 1)"
+    ).collect()
+    assert sorted(row["x"] for row in r) == [1, 2, 3]
+
+    r = eng.sql(
+        "select CONVERT_FROM(CONVERT_TO('abc', 'UTF8'), 'UTF8') as s, "
+        "CONVERT_FROM(CONVERT_TO(42, 'INT_BE'), 'INT_BE') as i, "
+        "CONVERT_TO('xy', 'BASE64') is not null as b"
+    ).collect()[0]
+    assert (r["s"], r["i"], r["b"]) == ("abc", 42, True)
+
+    assert eng.sys_reflections().count() == 0
+    eng.create_space("m2")
+    eng.create_vds("m2", "nk", "select n_nationkey, n_regionkey from nation")
+    eng.create_vds_reflection(
+        "m2", "nk", "nk_by_region",
+        dims=["n_regionkey"], measures=[Measure("count", "*")],
+        root=str(tmp_path / "refl"),
+    )
+    rows = eng.sys_reflections().collect()
+    assert len(rows) == 1 and rows[0]["reflection_name"] == "nk_by_region"
+    assert rows[0]["dataset"] == "m2.nk"
