@@ -443,6 +443,103 @@ order by n_regionkey
 """
 
 
+# --------------------------------------------------------------------------
+# Delta Lake write path (log-commit writer: CTAS / append / COW delete)
+def delta_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Exercise the full Delta WRITE path: partitioned CTAS overwrite,
+    INSERT INTO append, copy-on-write DELETE, then read the final state
+    back through the log reader plus a time-travel count at v1.
+    Reference write side: `exec/store/deltalake/DeltaLakeFormatPlugin.java`
+    (dremio-oss reads; the writer here follows delta.io PROTOCOL.md)."""
+    from ..sources.delta import delete_from_delta, read_delta, write_delta
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("delta_w", sf), "supplier_delta")
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    write_delta(spark, supp, t, mode="overwrite",
+                partition_by=["s_nationkey"])
+    extra = supp.withColumn("s_suppkey", F.col("s_suppkey") + 1000000)
+    write_delta(spark, extra, t, mode="append",
+                partition_by=["s_nationkey"])
+    delete_from_delta(spark, t, "s_acctbal < 0")
+    cur = read_delta(spark, t)
+    agg = (
+        cur.groupBy("s_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_suppliers"),
+             dsum(F.col("s_acctbal"), 2).alias("acctbal_sum"))
+    )
+    v1 = read_delta(spark, t, version=1).groupBy().agg(
+        F.count("*").cast("bigint").alias("n_before_delete"))
+    return agg.crossJoin(v1).orderBy("s_nationkey")
+
+
+DELTA_WRITE_SQL = """
+with w as (
+  select s_suppkey, s_nationkey, s_acctbal from supplier
+  union all
+  select s_suppkey + 1000000, s_nationkey, s_acctbal from supplier
+)
+select s_nationkey,
+       cast(count(*) as bigint) as n_suppliers,
+       cast(sum(cast(s_acctbal as decimal(18,2))) as double) as acctbal_sum,
+       (select cast(count(*) as bigint) from w) as n_before_delete
+from w
+where not (s_acctbal < 0)
+group by s_nationkey
+order by s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Iceberg write path (metadata-commit writer: CTAS / append / COW delete)
+def iceberg_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Exercise the full Iceberg WRITE path: partitioned CTAS, append
+    snapshot, copy-on-write DELETE snapshot; read HEAD back through the
+    metadata reader plus a time-travel count at the append snapshot.
+    Reference write side: `exec/store/iceberg/IcebergFormatPlugin.java`
+    manifest-writing path (layout per the public table spec)."""
+    from ..sources.iceberg import (delete_from_iceberg, read_iceberg,
+                                   write_iceberg)
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("iceberg_w", sf), "customer_iceberg")
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    write_iceberg(spark, cust, t, mode="overwrite",
+                  partition_by=["c_mktsegment"])
+    extra = cust.withColumn("c_custkey", F.col("c_custkey") + 1000000)
+    s2 = write_iceberg(spark, extra, t, mode="append",
+                       partition_by=["c_mktsegment"])
+    delete_from_iceberg(spark, t, "c_acctbal < 0")
+    cur = read_iceberg(spark, t)
+    agg = (
+        cur.groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             dsum(F.col("c_acctbal"), 2).alias("acctbal_sum"))
+    )
+    s2c = read_iceberg(spark, t, snapshot_id=s2).groupBy().agg(
+        F.count("*").cast("bigint").alias("n_at_append"))
+    return agg.crossJoin(s2c).orderBy("c_mktsegment")
+
+
+ICEBERG_WRITE_SQL = """
+with w as (
+  select c_custkey, c_mktsegment, c_acctbal from customer
+  union all
+  select c_custkey + 1000000, c_mktsegment, c_acctbal from customer
+)
+select c_mktsegment,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) as acctbal_sum,
+       (select cast(count(*) as bigint) from w) as n_at_append
+from w
+where not (c_acctbal < 0)
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -452,6 +549,8 @@ SOURCES_QUERIES = {
     "src_dml_cow": dml_cow,
     "src_delta_read": delta_read,
     "src_iceberg_read": iceberg_read,
+    "src_delta_write": delta_write,
+    "src_iceberg_write": iceberg_write,
 }
 
 SOURCES_ORACLE = {
@@ -463,4 +562,6 @@ SOURCES_ORACLE = {
     "src_dml_cow": DML_COW_SQL,
     "src_delta_read": DELTA_READ_SQL,
     "src_iceberg_read": ICEBERG_READ_SQL,
+    "src_delta_write": DELTA_WRITE_SQL,
+    "src_iceberg_write": ICEBERG_WRITE_SQL,
 }

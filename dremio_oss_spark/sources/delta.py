@@ -43,6 +43,8 @@ def _commit_files(path: str) -> list[tuple[int, str]]:
     """(version, path) of JSON commits, version order."""
     log = os.path.join(path, _LOG_DIR)
     out = []
+    if not os.path.isdir(log):
+        return out
     for fn in os.listdir(log):
         if fn.endswith(".json") and fn[:-5].isdigit():
             out.append((int(fn[:-5]), os.path.join(log, fn)))
@@ -169,6 +171,165 @@ def read_delta(spark: SparkSession, path: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _stage_files(spark: SparkSession, df: DataFrame, table: str,
+                 version: int, partition_by: list[str]) -> list[tuple[str, dict]]:
+    """Write df's parquet files into the table dir; return
+    (relative path, partitionValues) per file.
+
+    Partitioned writes go through Spark's partitionBy (one parquet job,
+    fully parallel); the hive-style `col=value` rel paths are kept and the
+    partition values recorded in the log, which is what Delta readers
+    trust (dir layout is advisory only).  File names are prefixed with the
+    commit version so concurrent snapshots never collide.
+    """
+    import glob
+    import shutil
+    import uuid
+
+    stage = os.path.join(table, f"_stage_{uuid.uuid4().hex[:8]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+
+    out: list[tuple[str, dict]] = []
+    i = 0
+    for p in sorted(
+        glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+    ):
+        rel_dir = os.path.relpath(os.path.dirname(p), stage)
+        pvals: dict[str, str] = {}
+        if rel_dir != ".":
+            for comp in rel_dir.split(os.sep):
+                k, _, v = comp.partition("=")
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        name = f"part-{version:05d}-{i:05d}.parquet"
+        rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+        os.makedirs(os.path.dirname(os.path.join(table, rel)), exist_ok=True)
+        os.replace(p, os.path.join(table, rel))
+        out.append((rel, pvals))
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _commit(table: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(table, _LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    p = os.path.join(log, f"{version:020d}.json")
+    with open(p, "w") as fh:
+        fh.write("".join(json.dumps(a) + "\n" for a in actions))
+
+
+def write_delta(spark: SparkSession, df: DataFrame, table: str,
+                mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> int:
+    """CTAS / INSERT INTO for a Delta table: stage parquet, append a
+    commit to the transaction log.  Returns the committed version.
+
+    Reference: dremio-oss treats Delta as a log-defined format
+    (`DeltaLakeFormatPlugin.java`); the write side follows the public
+    protocol (PROTOCOL.md): `overwrite` = remove all live files + add new,
+    `append` = add only.  metaData/protocol actions are (re)stated on
+    overwrite and on first commit, as delta-standalone does.
+    """
+    partition_by = list(partition_by or [])
+    commits = _commit_files(table)
+    version = (commits[-1][0] + 1) if commits else 0
+
+    data_df = df
+    staged = _stage_files(spark, data_df, table, version, partition_by)
+
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    if version == 0 or mode == "overwrite":
+        actions.append({"metaData": {
+            "id": os.path.basename(table.rstrip(os.sep)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by,
+            "configuration": {},
+        }})
+    actions.append({"commitInfo": {
+        "operation": "CREATE TABLE AS SELECT" if version == 0
+        else ("WRITE" if mode == "append" else "OVERWRITE"),
+        "timestamp": version,
+    }})
+    if mode == "overwrite" and version > 0:
+        prev = resolve_snapshot(spark, table)
+        actions.extend(
+            {"remove": {"path": rel, "deletionTimestamp": version,
+                        "dataChange": True}}
+            for rel in sorted(prev.files)
+        )
+    actions.extend(
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": version, "dataChange": True}}
+        for rel, pv in staged
+    )
+    _commit(table, version, actions)
+    return version
+
+
+def delete_from_delta(spark: SparkSession, table: str, predicate: str) -> int:
+    """DELETE FROM <delta table> WHERE <predicate> — copy-on-write.
+
+    Scale shape: ONE scan with `input_file_name()` finds the hit-file set
+    (file-level skipping — untouched files are never rewritten, the same
+    pruning `DeltaLakeScanPrel` relies on); only hit files are re-staged
+    without the matching rows.  The collect is bounded by file count
+    (metadata-sized), never by row count.
+    """
+    snap = resolve_snapshot(spark, table)
+    version = snap.version + 1
+    live = read_delta(spark, table)
+    hit_rel = sorted(
+        os.path.relpath(r[0], os.path.realpath(table))
+        for r in live.where(predicate)
+        .select(F.regexp_replace(
+            F.input_file_name(), F.lit("^file:/+"), F.lit("/")).alias("f"))
+        .distinct().collect()
+    )
+    if not hit_rel:
+        _commit(table, version, [
+            {"commitInfo": {"operation": "DELETE", "timestamp": version}}
+        ])
+        return version
+    hit_set = set(hit_rel)
+    part_cols = snap.partition_cols
+    survivors = None
+    for rel in hit_rel:
+        pv = snap.files[rel]
+        one = spark.read.parquet(os.path.join(table, rel))
+        for c in part_cols:
+            one = one.withColumn(c, F.lit(pv.get(c)))
+        keep = one.where(f"not ({predicate})")
+        survivors = keep if survivors is None else survivors.unionByName(keep)
+    staged = (
+        _stage_files(spark, survivors, table, version, part_cols)
+        if survivors is not None else []
+    )
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": version}}
+    ]
+    actions.extend(
+        {"remove": {"path": rel, "deletionTimestamp": version,
+                    "dataChange": True}}
+        for rel in hit_rel
+    )
+    actions.extend(
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": version, "dataChange": True}}
+        for rel, pv in staged
+        if rel not in hit_set
+    )
+    _commit(table, version, actions)
+    return version
 
 
 def delta_history(path: str) -> list[dict]:

@@ -204,6 +204,220 @@ def read_iceberg(spark: SparkSession, table: str,
     return out
 
 
+def _iceberg_type(dt: T.DataType):
+    """Spark type -> Iceberg schema type (inverse of _spark_type)."""
+    if isinstance(dt, T.StructType):
+        return {"type": "struct", "fields": [
+            {"id": 0, "name": f.name, "required": not f.nullable,
+             "type": _iceberg_type(f.dataType)} for f in dt.fields
+        ]}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element": _iceberg_type(dt.elementType)}
+    if isinstance(dt, T.MapType):
+        return {"type": "map", "key": _iceberg_type(dt.keyType),
+                "value": _iceberg_type(dt.valueType)}
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    simple = {
+        T.BooleanType: "boolean", T.ByteType: "int", T.ShortType: "int",
+        T.IntegerType: "int", T.LongType: "long", T.FloatType: "float",
+        T.DoubleType: "double", T.DateType: "date",
+        T.TimestampType: "timestamptz", T.TimestampNTZType: "timestamp",
+        T.StringType: "string", T.BinaryType: "binary",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    raise ValueError(f"unsupported spark type {dt!r}")
+
+
+def _entry_schema(partition_cols: list[str]) -> dict:
+    """Avro writer schema for manifest entries; the partition record's
+    fields mirror the spec's identity transforms (values carried as
+    nullable strings — the reader casts to the table schema's types)."""
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": [
+                            {"name": c, "type": ["null", "string"]}
+                            for c in partition_cols
+                        ]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+
+
+_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ]}
+
+
+def _commit_snapshot(table: str, meta: dict, operation: str,
+                     live: list[tuple[str, dict]],
+                     removed: list[tuple[str, dict]],
+                     partition_cols: list[str]) -> int:
+    """Write a fresh manifest (complete live listing + tombstones for
+    `removed`), its manifest list, the next vN.metadata.json, and move the
+    version hint.  Fresh-per-snapshot manifests are the spec's
+    rewrite-manifests form; metadata stays KB-scale and the reader never
+    replays history."""
+    from .avro_codec import write_avro_file
+
+    sid = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
+              default=0) + 1
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+
+    def _rec(status: int, rel: str, pv: dict) -> dict:
+        return {"status": status, "snapshot_id": sid,
+                "data_file": {
+                    "file_path": rel, "file_format": "PARQUET",
+                    "partition": {c: (None if pv.get(c) is None
+                                      else str(pv[c]))
+                                  for c in partition_cols},
+                    "record_count": 1, "file_size_in_bytes": 1}}
+
+    manifest = os.path.join(md, f"m{sid}.avro")
+    write_avro_file(manifest, _entry_schema(partition_cols),
+                    [_rec(1, rel, pv) for rel, pv in live]
+                    + [_rec(_STATUS_DELETED, rel, pv)
+                       for rel, pv in removed])
+    mlist = os.path.join(md, f"snap-{sid}.avro")
+    write_avro_file(mlist, _LIST_SCHEMA, [
+        {"manifest_path": manifest, "manifest_length": 1,
+         "partition_spec_id": 0, "added_snapshot_id": sid}])
+
+    meta.setdefault("snapshots", []).append(
+        {"snapshot-id": sid, "timestamp-ms": sid,
+         "summary": {"operation": operation}, "manifest-list": mlist})
+    meta["current-snapshot-id"] = sid
+    v = sid
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return sid
+
+
+def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
+                  mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> int:
+    """CTAS / INSERT INTO for an Iceberg table: stage parquet under
+    data/, commit a new snapshot (metadata json + Avro manifests).
+
+    Reference: dremio-oss's Iceberg writer commits through the same
+    metadata tree (`exec/store/iceberg/IcebergFormatPlugin.java`, the
+    manifest-writing path of `IcebergTableWriter`); layout follows the
+    public table spec.  `overwrite` tombstones all previous live files;
+    `append` carries them forward into the fresh manifest.
+    """
+    from .delta import _stage_files
+
+    partition_by = list(partition_by or [])
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    try:
+        prev = resolve_snapshot(table)
+        with open(_metadata_file(table)) as f:
+            meta = json.load(f)
+        prev_files = [
+            (os.path.relpath(p, table), pv) for p, pv in prev.files
+        ]
+        existed = True
+    except FileNotFoundError:
+        prev_files, existed = [], False
+        fields, fid = [], 0
+        for f in df.schema.fields:
+            fid += 1
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": _iceberg_type(f.dataType)})
+        meta = {
+            "format-version": 2,
+            "table-uuid": os.path.basename(table.rstrip(os.sep)),
+            "location": table, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": c, "transform": "identity",
+                 "source-id": next(fl["id"] for fl in fields
+                                   if fl["name"] == c)}
+                for c in partition_by
+            ]}],
+            "snapshots": [],
+        }
+    sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
+                   default=0) + 1
+    staged = _stage_files(spark, df, os.path.join(table, "data"),
+                          sid_next, partition_by)
+    staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    if mode == "append" and existed:
+        live = prev_files + staged
+        removed: list[tuple[str, dict]] = []
+    else:
+        live = staged
+        removed = prev_files
+    return _commit_snapshot(table, meta, "append" if mode == "append"
+                            else "overwrite", live, removed, partition_by)
+
+
+def delete_from_iceberg(spark: SparkSession, table: str,
+                        predicate: str) -> int:
+    """DELETE FROM <iceberg table> WHERE <predicate> — copy-on-write.
+    Same hit-file pruning as the Delta path: one input_file_name() scan
+    bounds the rewrite to files that actually contain matches."""
+    from .delta import _stage_files
+
+    snap = resolve_snapshot(table)
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    live = read_iceberg(spark, table)
+    hit_abs = {
+        r[0] for r in live.where(predicate)
+        .select(F.regexp_replace(
+            F.input_file_name(), F.lit("^file:/+"), F.lit("/")).alias("f"))
+        .distinct().collect()
+    }
+    table_real = os.path.realpath(table)
+    all_files = [(os.path.relpath(p, table), pv, os.path.realpath(p))
+                 for p, pv in snap.files]
+    keep = [(rel, pv) for rel, pv, rp in all_files if rp not in hit_abs]
+    hits = [(rel, pv) for rel, pv, rp in all_files if rp in hit_abs]
+    if not hits:
+        return _commit_snapshot(table, meta, "delete", keep, [],
+                                snap.partition_cols)
+    survivors = None
+    ptype = {f.name: f.dataType for f in snap.schema.fields}
+    data_schema = T.StructType([
+        f for f in snap.schema.fields
+        if f.name not in snap.partition_cols])
+    for rel, pv in hits:
+        one = spark.read.schema(data_schema).parquet(
+            os.path.join(table, rel))
+        for c in snap.partition_cols:
+            one = one.withColumn(c, F.lit(pv.get(c)).cast(ptype[c]))
+        kept = one.where(f"not ({predicate})")
+        survivors = kept if survivors is None else survivors.unionByName(kept)
+    sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
+                   default=0) + 1
+    staged = _stage_files(spark, survivors, os.path.join(table, "data"),
+                          sid_next, snap.partition_cols)
+    staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    return _commit_snapshot(table, meta, "delete", keep + staged, hits,
+                            snap.partition_cols)
+
+
 def iceberg_history(table: str) -> list[dict]:
     """Table history: one row per snapshot (id, timestamp, operation)."""
     with open(_metadata_file(table)) as f:

@@ -393,3 +393,99 @@ def test_iceberg_reader_partitions_snapshots_history(spark, tmp_path):
     hist = iceberg_history(t)
     assert [h["snapshot_id"] for h in hist] == [1, 2]
     assert hist[1]["operation"] == "delete"
+
+
+def test_delta_writer_roundtrip(spark, tmp_path):
+    """Delta write path (delta.io PROTOCOL.md writer): partitioned CTAS,
+    append, copy-on-write DELETE; read-your-writes + time travel +
+    hit-file pruning (untouched partitions keep their original files)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta,
+        delta_history,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k int, v double"
+    )
+    assert write_delta(spark, df, t, partition_by=["k"]) == 0
+    assert write_delta(
+        spark, df.withColumn("id", F.col("id") + 100), t,
+        mode="append", partition_by=["k"],
+    ) == 1
+    assert read_delta(spark, t).count() == 60
+
+    files_before = set(glob.glob(os.path.join(t, "**", "*.parquet"),
+                                 recursive=True))
+    assert delete_from_delta(spark, t, "k = 1 and id >= 100") == 2
+    cur = read_delta(spark, t)
+    assert cur.count() == 50
+    assert cur.where("k = 1 and id >= 100").count() == 0
+    # COW only rewrote k=1 files: k=0 / k=2 file sets are untouched
+    untouched = {p for p in files_before if "k=1" not in p}
+    assert untouched <= set(
+        glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+    )
+    # time travel and history
+    assert read_delta(spark, t, version=1).count() == 60
+    assert [h["operation"] for h in delta_history(t)] == [
+        "CREATE TABLE AS SELECT", "WRITE", "DELETE",
+    ]
+    # partition values survive the log round-trip with their types
+    assert dict(cur.dtypes)["k"] == "int"
+    # overwrite drops all prior data
+    write_delta(spark, df.limit(5), t, mode="overwrite")
+    assert read_delta(spark, t).count() == 5
+    assert read_delta(spark, t, version=1).count() == 60
+
+
+def test_iceberg_writer_roundtrip(spark, tmp_path):
+    """Iceberg write path (table-spec writer via the pure-Python Avro
+    codec): partitioned CTAS, append snapshot, COW delete snapshot;
+    read-your-writes + snapshot time travel + self-describing metadata
+    (a fresh resolve_snapshot sees the written schema/partitioning)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg,
+        iceberg_history,
+        read_iceberg,
+        resolve_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)],
+        "id long, k string, v double",
+    )
+    s1 = write_iceberg(spark, df, t, partition_by=["k"])
+    s2 = write_iceberg(
+        spark, df.withColumn("id", F.col("id") + 100), t,
+        mode="append", partition_by=["k"],
+    )
+    s3 = delete_from_iceberg(spark, t, "k = 'a' and id >= 100")
+    assert (s1, s2, s3) == (1, 2, 3)
+
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 30
+    assert cur.where("k = 'a' and id >= 100").count() == 0
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 40
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 20
+    assert [h["operation"] for h in iceberg_history(t)] == [
+        "overwrite", "append", "delete",
+    ]
+    snap = resolve_snapshot(t)
+    assert snap.partition_cols == ["k"]
+    assert {f.name for f in snap.schema.fields} == {"id", "k", "v"}
+    # values, not just counts
+    assert cur.agg(F.sum("id")).collect()[0][0] == sum(range(20)) + sum(
+        i + 100 for i in range(20) if i % 2 == 1
+    )
