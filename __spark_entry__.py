@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dremio_oss_spark.queries import (
+    connectors_q,
     extras_q,
     functions_q,
     llmops,
@@ -46,6 +47,7 @@ _FAMILIES = (
     semantic_q.SEMANTIC_QUERIES,
     types_q.TYPES_QUERIES,
     extras_q.EXTRAS_QUERIES,
+    connectors_q.CONNECTOR_QUERIES,
 )
 
 
@@ -81,4 +83,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(semantic_q.SEMANTIC_ORACLE)
     out.update(types_q.TYPES_ORACLE)
     out.update(extras_q.EXTRAS_ORACLE)
+    out.update(connectors_q.CONNECTOR_ORACLE)
     return out
