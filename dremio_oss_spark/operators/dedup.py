@@ -240,6 +240,74 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     return jaccard_verify(cands, sh, threshold)
 
 
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.5,
+                   max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    MinHash-LSH pair graph, with canonical-document election.
+
+    Pairs alone don't deduplicate a corpus — A~B and B~C must collapse
+    into one cluster {A,B,C} with a single survivor.  This runs
+    min-label propagation over the verified pair graph: every doc starts
+    labeled with its own id; each round a doc takes the min of its own
+    and its neighbors' labels; at fixpoint the label is the min doc_id
+    reachable in the component, which doubles as the cluster id and the
+    elected canonical member.
+
+    Scale shape: each round is one shuffle join of the (persisted) edge
+    list against the label table plus a groupBy — O(E) per round, and
+    rounds = component diameter, which for near-dup clusters is small
+    (dup clusters are dense).  Labels are localCheckpoint()ed per round
+    so the loop's lineage stays flat (on a real cluster, prefer
+    `checkpoint()` with a durable dir).  Convergence is detected by the
+    monotone label sum, one scalar agg per round — no row-wise diff
+    join.  For adversarially long chains, switch the body to the
+    alternating large-star/small-star rounds of Kiveris et al. —
+    O(log n) rounds on the same join primitive.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = minhash_lsh_dedup(df, text_col, id_col, threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"),
+                            F.col("id_a").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u").agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 SIMHASH_BITS = 16

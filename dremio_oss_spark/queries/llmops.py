@@ -131,7 +131,7 @@ _BAND_SELECTS = "\n  union all\n".join(
     for b in range(D.N_BANDS)
 )
 
-LLM_MINHASH_LSH_SQL = f"""
+_MINHASH_PAIRS_BASE_SQL = f"""
 with toks as (
   select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
 ), sh as (
@@ -166,8 +166,47 @@ from inter i
 join sizes na on na.doc_id = i.id_a
 join sizes nb on nb.doc_id = i.id_b
 where i.n_inter / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
-order by id_a, id_b
 """
+
+LLM_MINHASH_LSH_SQL = _MINHASH_PAIRS_BASE_SQL + "\norder by id_a, id_b\n"
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components + canonical election)
+def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs → clusters: min-label propagation over the MinHash-LSH pair
+    graph; cluster id = min reachable doc_id = elected canonical."""
+    return D.dedup_clusters(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+# Oracle: transitive closure by recursive CTE over the SAME verified pair
+# set, min reachable id per doc — exactly what label propagation fixes to.
+LLM_DEDUP_CLUSTERS_SQL = f"""
+with recursive pairs as ({_MINHASH_PAIRS_BASE_SQL}),
+edges as (
+  select id_a as u, id_b as v from pairs
+  union all
+  select id_b as u, id_a as v from pairs
+),
+reach(src, dst) as (
+  select doc_id, doc_id from documents
+  union
+  select r.src, e.v from reach r join edges e on e.u = r.dst
+),
+lab as (
+  select src as doc_id, min(dst) as cluster_id from reach group by src
+),
+sz as (
+  select cluster_id, cast(count(*) as bigint) as cluster_size
+  from lab group by cluster_id
+)
+select l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id as is_canonical
+from lab l
+join sz s on s.cluster_id = l.cluster_id
+order by l.doc_id
+"""
+
 
 
 # --------------------------------------------------------------------------
@@ -479,6 +518,7 @@ LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_minhash_lsh": llm_minhash_lsh,
+    "llm_dedup_clusters": llm_dedup_clusters,
     "llm_simhash": llm_simhash,
     "llm_simhash_pairs": llm_simhash_pairs,
     "llm_ngram_jaccard": llm_ngram_jaccard,
@@ -492,6 +532,7 @@ LLMOPS_ORACLE = {
     "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
     "llm_exact_dedup": LLM_EXACT_DEDUP_SQL,
     "llm_minhash_lsh": LLM_MINHASH_LSH_SQL,
+    "llm_dedup_clusters": LLM_DEDUP_CLUSTERS_SQL,
     "llm_simhash": LLM_SIMHASH_SQL,
     "llm_simhash_pairs": LLM_SIMHASH_PAIRS_SQL,
     "llm_ngram_jaccard": LLM_NGRAM_JACCARD_SQL,

@@ -75,3 +75,30 @@ def test_ngram_jaccard_df_cap(spark):
     assert base == hi_cap  # cap above every df: exact
     capped = ngram_jaccard_pairs(df, threshold=0.05, max_doc_freq=2).count()
     assert capped <= len(base)  # hot shingles ("the quick brown") pruned
+
+
+def test_dedup_clusters_transitivity(spark):
+    """Connected components over the pair graph: drifted copies collapse
+    into ONE cluster with the min doc_id elected canonical; singletons
+    keep their own id and size 1."""
+    from dremio_oss_spark.operators.dedup import dedup_clusters, minhash_lsh_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    drift1 = base.replace("gamma", "mu", 2)
+    drift2 = drift1.replace("kappa", "nu", 2)
+    docs = spark.createDataFrame(
+        [(1, base), (2, drift1), (3, drift2),
+         (4, "totally different words entirely unrelated content here now"),
+         (5, base)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 5) in pairs
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+           for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert got[1] == (1, 4, True)       # canonical of {1,2,3,5}
+    assert got[2] == (1, 4, False)
+    assert got[3] == (1, 4, False)      # reachable via 2
+    assert got[5] == (1, 4, False)      # exact dup of 1
+    assert got[4] == (4, 1, True)       # singleton
