@@ -514,6 +514,117 @@ with cent as (
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top terms + BM25 relevance (operators/ranking.py)
+def llm_tfidf_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top characteristic term (TF-IDF, ties by term asc) joined
+    with the doc's BM25 score against a fixed query term set."""
+    from ..operators import ranking as R
+
+    docs = load(spark, sf, "documents")
+    top = R.top_terms(docs, k=1).select(
+        "doc_id",
+        F.col("term").alias("top_term"),
+        F.col("tfidf").alias("top_tfidf"),
+    )
+    scores = R.bm25(docs, ["hash", "value", "table"])
+    return top.join(scores, "doc_id").orderBy("doc_id")
+
+
+# k1=1.2, b=0.75: tf*(k1+1) -> tf*2.2; k1*(1-b+b*dl/avgdl) with the same
+# association order as the Python-built column: 1.2*(0.25 + 0.75*dl/avgdl)
+LLM_TFIDF_BM25_SQL = """
+with toks as (
+  select doc_id, unnest(string_split_regex(lower(text), '\\s+')) as term
+  from documents
+), tf0 as (
+  select doc_id, term, cast(count(*) as bigint) as tf
+  from toks where term <> '' group by doc_id, term
+), nd as (
+  select cast(count(distinct doc_id) as double) as n_docs from tf0
+), dfreq as (
+  select term, cast(count(*) as double) as df from tf0 group by term
+), tfidf as (
+  select doc_id, term, tf,
+         round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) as tfidf
+  from tf0 join dfreq using (term) cross join nd
+), dl as (
+  select doc_id, cast(sum(tf) as double) as dl from tf0 group by doc_id
+), st as (
+  select cast(count(*) as double) as n_docs, avg(dl) as avgdl from dl
+), contrib as (
+  select doc_id,
+         cast(ln(1 + (st.n_docs - df + 0.5) / (df + 0.5))
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              as decimal(18,9)) as c
+  from tf0 join dfreq using (term) join dl using (doc_id) cross join st
+  where term in ('hash', 'value', 'table')
+), bm as (
+  select doc_id, round(cast(sum(c) as double), 6) as bm25
+  from contrib group by doc_id
+), top as (
+  select doc_id, term, tfidf
+  from tfidf
+  qualify row_number() over (partition by doc_id
+                             order by tfidf desc, term) = 1
+)
+select t.doc_id, t.term as top_term, t.tfidf as top_tfidf,
+       coalesce(bm.bm25, 0.0) as bm25
+from top t
+left join bm using (doc_id)
+order by t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified corpus split (train/val/test by content hash)
+def llm_corpus_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-based 80/10/10 split: bucket = md5('split:'||doc_id) % 100 —
+    stable under corpus growth (a doc's split never changes when other
+    docs are added/removed), the property shuffles/modulo-on-row-number
+    splits lack.  Output is the stratification report per (lang, split)."""
+    docs = load(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))), 1, 7),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("chars_sum"))
+        .orderBy("lang", "split")
+    )
+
+
+LLM_CORPUS_SPLIT_SQL = """
+with assigned as (
+  select lang, n_chars,
+         cast(concat('0x', substr(md5(concat('split:',
+              cast(doc_id as varchar))), 1, 7)) as bigint) % 100 as bucket
+  from documents
+)
+select lang,
+       case when bucket < 80 then 'train'
+            when bucket < 90 then 'val'
+            else 'test' end as split,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as chars_sum
+from assigned
+group by lang, split
+order by lang, split
+"""
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -526,6 +637,8 @@ LLMOPS_QUERIES = {
     "llm_lsh_ann": llm_lsh_ann,
     "llm_ivf_ann": llm_ivf_ann,
     "llm_embedding_neardup": llm_embedding_neardup,
+    "llm_tfidf_bm25": llm_tfidf_bm25,
+    "llm_corpus_split": llm_corpus_split,
 }
 
 LLMOPS_ORACLE = {
@@ -540,4 +653,6 @@ LLMOPS_ORACLE = {
     "llm_embedding_neardup": LLM_EMBEDDING_NEARDUP_SQL,
     "llm_lsh_ann": LLM_LSH_ANN_SQL,
     "llm_ivf_ann": LLM_IVF_ANN_SQL,
+    "llm_tfidf_bm25": LLM_TFIDF_BM25_SQL,
+    "llm_corpus_split": LLM_CORPUS_SPLIT_SQL,
 }

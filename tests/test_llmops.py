@@ -102,3 +102,41 @@ def test_dedup_clusters_transitivity(spark):
     assert got[3] == (1, 4, False)      # reachable via 2
     assert got[5] == (1, 4, False)      # exact dup of 1
     assert got[4] == (4, 1, True)       # singleton
+
+
+def test_bm25_and_split_properties(spark):
+    """BM25: docs containing more query terms score higher; absent terms
+    score 0. Split: hash-based assignment is stable under corpus growth."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.ranking import bm25, top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "hash table value hash join"), (2, "hash only once here yes"),
+         (3, "nothing relevant at all friend")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25(
+        docs, ["hash", "value", "table"]).collect()}
+    assert got[1] > got[2] > got[3] == 0.0
+    top = {r["doc_id"]: r["term"] for r in top_terms(docs, k=1).collect()}
+    assert top[1] == "hash"  # tf=2 beats every tf=1 term
+
+    # split stability: adding docs never moves an existing doc's split
+    def splits(n):
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                   F.col("id").cast("string"))), 1, 7), 16, 10)
+            .cast("bigint") % 100
+        )
+        df = spark.range(n).select(
+            "id",
+            F.when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").alias("split"),
+        )
+        return {r["id"]: r["split"] for r in df.collect()}
+
+    small, big = splits(200), splits(400)
+    assert all(big[k] == v for k, v in small.items())
+    frac = sum(1 for v in big.values() if v == "train") / 400
+    assert 0.7 < frac < 0.9
