@@ -108,12 +108,32 @@ order by user_id
 """
 
 
+def ss_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.joins import click_error_join
+
+    return click_error_join(spark, sf)
+
+
+# batch replica: error events within 10 min after a click, same user
+SS_JOIN_SQL = """
+select c.user_id, cast(count(*) as bigint) as n_pairs
+from events c
+join events e
+  on e.user_id = c.user_id
+ and e.ts >= c.ts and e.ts <= c.ts + interval '10 minutes'
+where c.event_type = 'click' and e.event_type = 'error'
+group by c.user_id
+order by c.user_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_tumbling_window": tumbling,
     "stream_sliding_window": sliding,
     "stream_session_window": session,
     "stream_dedup_pipe": dedup,
     "stream_stateful_totals": stateful,
+    "stream_stream_join": ss_join,
 }
 
 STREAMING_ORACLE = {
@@ -122,4 +142,5 @@ STREAMING_ORACLE = {
     "stream_session_window": SESSION_SQL,
     "stream_dedup_pipe": DEDUP_SQL,
     "stream_stateful_totals": STATEFUL_SQL,
+    "stream_stream_join": SS_JOIN_SQL,
 }
