@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 
@@ -81,6 +82,121 @@ class AggQuery:
     joins: tuple[JoinSpec, ...] = ()  # star edges off the fact table
 
 
+# -- filter subsumption (partial reflections) ------------------------------
+# A reflection built over `WHERE <pred>` may only answer queries whose own
+# filter IMPLIES that predicate (query rows ⊆ materialized rows).  The
+# reference's substitution handles this through Calcite's
+# SubstitutionVisitor filter-split (planner/acceleration/substitution/
+# SubstitutionProvider.java); here implication is decided structurally for
+# the conjunctive range/equality/IN fragment, and anything unparseable
+# soundly refuses to match.
+_PRED_RX = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(>=|<=|<>|!=|=|<|>|\bin\b)\s*(.+?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_value(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return None
+
+
+def parse_pred(s: str):
+    """'col op literal' | 'col in (v, ...)' -> (col, op, (values,)).
+    Returns None for anything outside the fragment (sound: no match)."""
+    m = _PRED_RX.match(s)
+    if not m:
+        return None
+    col, op, rhs = m.group(1), m.group(2).lower(), m.group(3)
+    if op == "in":
+        rhs = rhs.strip()
+        if not (rhs.startswith("(") and rhs.endswith(")")):
+            return None
+        vals = tuple(_parse_value(v) for v in rhs[1:-1].split(","))
+    elif op in ("<>", "!="):
+        return None  # exclusion predicates don't participate
+    else:
+        vals = (_parse_value(rhs),)
+    if any(v is None for v in vals):
+        return None
+    if len({type(v) is str for v in vals}) > 1:
+        return None
+    return (col, op, vals)
+
+
+def _cmp_ok(a, b) -> bool:
+    """Values comparable: both numeric or both strings (ISO dates sort)."""
+    return (isinstance(a, str) and isinstance(b, str)) or (
+        not isinstance(a, str) and not isinstance(b, str)
+    )
+
+
+def pred_implies(a, b) -> bool:
+    """Does predicate a (query) imply predicate b (reflection)?"""
+    ca, oa, va = a
+    cb, ob, vb = b
+    if ca != cb:
+        return False
+    if not all(_cmp_ok(x, y) for x in va for y in vb):
+        return False
+    if ob == ">=":
+        lo = vb[0]
+        if oa in (">=", ">"):
+            return va[0] >= lo
+        if oa == "=":
+            return va[0] >= lo
+        if oa == "in":
+            return all(v >= lo for v in va)
+    elif ob == ">":
+        lo = vb[0]
+        if oa == ">":
+            return va[0] >= lo
+        if oa == ">=":
+            return va[0] > lo
+        if oa == "=":
+            return va[0] > lo
+        if oa == "in":
+            return all(v > lo for v in va)
+    elif ob == "<=":
+        hi = vb[0]
+        if oa in ("<=", "<"):
+            return va[0] <= hi
+        if oa == "=":
+            return va[0] <= hi
+        if oa == "in":
+            return all(v <= hi for v in va)
+    elif ob == "<":
+        hi = vb[0]
+        if oa == "<":
+            return va[0] <= hi
+        if oa == "<=":
+            return va[0] < hi
+        if oa == "=":
+            return va[0] < hi
+        if oa == "in":
+            return all(v < hi for v in va)
+    elif ob == "=":
+        if oa == "=":
+            return va[0] == vb[0]
+        if oa == "in":
+            return set(va) == {vb[0]}
+    elif ob == "in":
+        allowed = set(vb)
+        if oa == "=":
+            return va[0] in allowed
+        if oa == "in":
+            return set(va) <= allowed
+    return False
+
+
 @dataclass
 class Reflection:
     name: str
@@ -91,10 +207,24 @@ class Reflection:
     watermark_col: str | None = None
     watermark: object = None
     joins: tuple[JoinSpec, ...] = ()
+    filters: tuple[str, ...] = ()  # partial reflection: built over WHERE
 
     def covers(self, q: AggQuery) -> bool:
         if q.table != self.table:
             return False
+        # partial reflection: every materialization predicate must be
+        # implied by some query predicate, else the reflection is missing
+        # rows the query needs
+        if self.filters:
+            r_preds = [parse_pred(f) for f in self.filters]
+            q_preds = [p for p in (parse_pred(f) for f in q.filters) if p]
+            if any(rp is None for rp in r_preds):
+                return False
+            if not all(
+                any(pred_implies(qp, rp) for qp in q_preds)
+                for rp in r_preds
+            ):
+                return False
         # join-tree matching (star case): every join edge the query needs
         # must be materialized; extra reflection edges are harmless under
         # the N:1 FK assumption (see JoinSpec)
@@ -153,19 +283,25 @@ class ReflectionStore:
         watermark_col: str | None = None,
         joins: list[JoinSpec] | None = None,
         dim_sources: dict[str, DataFrame] | None = None,
+        filters: list[str] | None = None,
     ) -> Reflection:
         """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent.
 
         With `joins`, the materialization is built over the star join of
         `source` (the fact) with each broadcast dim — dims/measures may
-        then reference dim-table columns."""
+        then reference dim-table columns.  With `filters`, the
+        materialization is PARTIAL (built over WHERE ∧filters) and only
+        substitutes for queries whose filter implies it (see covers)."""
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
         refl = Reflection(
             name, table, tuple(dims), tuple(measures), path, watermark_col,
-            joins=tuple(joins or ()),
+            joins=tuple(joins or ()), filters=tuple(filters or ()),
         )
-        self._full_refresh(refl, self._join_star(source, refl.joins, dim_sources))
+        src = self._join_star(source, refl.joins, dim_sources)
+        for f in refl.filters:
+            src = src.where(f)
+        self._full_refresh(refl, src)
         self._reflections[name] = refl
         return refl
 
@@ -250,6 +386,8 @@ class ReflectionStore:
         if not refl.watermark_col:
             raise ValueError("reflection has no watermark column")
         new_rows = source.where(F.col(refl.watermark_col) > F.lit(refl.watermark))
+        for f in refl.filters:
+            new_rows = new_rows.where(f)
         n_new = new_rows.count()
         if n_new == 0:
             return 0

@@ -161,14 +161,63 @@ order by s_nationkey
 """
 
 
+def filter_subsumption(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTIAL reflection (built over WHERE l_shipdate >= 1996) answers a
+    query whose filter IMPLIES the materialization predicate; a wider
+    query must fall back to the base table (negative control asserted)."""
+    from pyspark.sql import functions as F
+
+    store = _store(spark, sf)
+    li = load(spark, sf, "lineitem")
+    store.create_aggregation_reflection(
+        "li_recent",
+        li,
+        table="lineitem",
+        dims=["l_returnflag", "l_shipdate"],
+        measures=[Measure("sum", "l_quantity"), Measure("count", "*")],
+        filters=["l_shipdate >= '1996-01-01'"],
+    )
+    q = AggQuery(
+        table="lineitem",
+        dims=("l_returnflag",),
+        measures=(Measure("sum", "l_quantity"), Measure("count", "*")),
+        filters=("l_shipdate >= '1997-01-01'",),
+    )
+    df, substituted = store.execute(q, li)
+    assert substituted, "implied filter did not substitute"
+    wider = AggQuery(
+        table="lineitem",
+        dims=("l_returnflag",),
+        measures=(Measure("sum", "l_quantity"),),
+        filters=("l_shipdate >= '1995-01-01'",),
+    )
+    assert store.find_match(wider) is None, "uncovered filter substituted"
+    return df.withColumn(
+        "sum_l_quantity", F.col("sum_l_quantity").cast("double")
+    ).orderBy("l_returnflag")
+
+
+FILTER_SUBSUMPTION_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double) as sum_l_quantity,
+       count(*) as count_all
+from lineitem
+where l_shipdate >= '1997-01-01'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_agg_rollup": agg_rollup,
     "refl_incremental_refresh": incremental,
     "refl_join_rollup": join_rollup,
+    "refl_filter_subsumption": filter_subsumption,
 }
 
 REFLECTION_ORACLE = {
     "refl_agg_rollup": AGG_ROLLUP_SQL,
     "refl_incremental_refresh": INCREMENTAL_SQL,
     "refl_join_rollup": JOIN_ROLLUP_SQL,
+    "refl_filter_subsumption": FILTER_SUBSUMPTION_SQL,
 }

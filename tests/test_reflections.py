@@ -249,3 +249,72 @@ def test_vds_reflection_view_acceleration(spark, oracle, tmp_path):
     """).fetchdf()
     problems = compare(df, expected, ordered=False)
     assert not problems, problems
+
+
+def test_pred_implication_matrix():
+    """Structural implication for the conjunctive range/eq/IN fragment —
+    the soundness core of partial-reflection matching."""
+    from dremio_oss_spark.plans.reflections import parse_pred, pred_implies
+
+    P = parse_pred
+    # ranges
+    assert pred_implies(P("d >= '1997-01-01'"), P("d >= '1996-01-01'"))
+    assert not pred_implies(P("d >= '1995-01-01'"), P("d >= '1996-01-01'"))
+    assert pred_implies(P("x > 10"), P("x >= 10"))
+    assert not pred_implies(P("x >= 10"), P("x > 10"))
+    assert pred_implies(P("x >= 11"), P("x > 10"))
+    assert pred_implies(P("x < 5"), P("x <= 5"))
+    assert pred_implies(P("x = 7"), P("x >= 5"))
+    assert not pred_implies(P("x = 3"), P("x >= 5"))
+    # IN / equality
+    assert pred_implies(P("k = 'a'"), P("k in ('a', 'b')"))
+    assert pred_implies(P("k in ('a')"), P("k = 'a'"))
+    assert pred_implies(P("k in ('a', 'b')"), P("k in ('a', 'b', 'c')"))
+    assert not pred_implies(P("k in ('a', 'z')"), P("k in ('a', 'b')"))
+    assert pred_implies(P("x in (6, 8)"), P("x > 5"))
+    # different columns / incomparable types never imply
+    assert not pred_implies(P("y >= 10"), P("x >= 5"))
+    assert not pred_implies(P("x >= '10'"), P("x >= 5"))
+    # outside the fragment -> unparseable -> sound refusal
+    assert P("x + 1 >= 5 or y = 2") is None
+    assert P("x <> 3") is None
+
+
+def test_partial_reflection_requires_query_filter(spark, tmp_path):
+    """A filtered materialization must NOT answer an unfiltered query, a
+    disjoint-range query, or an unparseable-filter query."""
+    from dremio_oss_spark.plans.reflections import (
+        AggQuery,
+        Measure,
+        ReflectionStore,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(40)],
+        "id long, k string, v long",
+    )
+    store = ReflectionStore(spark, str(tmp_path))
+    store.create_aggregation_reflection(
+        "part", df, table="t", dims=["k", "id"],
+        measures=[Measure("sum", "v"), Measure("count", "*")],
+        filters=["id >= 20"],
+    )
+    meas = (Measure("sum", "v"), Measure("count", "*"))
+    assert store.find_match(
+        AggQuery("t", ("k",), meas, filters=("id >= 30",))) is not None
+    assert store.find_match(AggQuery("t", ("k",), meas)) is None
+    assert store.find_match(
+        AggQuery("t", ("k",), meas, filters=("id >= 10",))) is None
+    assert store.find_match(
+        AggQuery("t", ("k",), meas, filters=("id * 2 >= 60",))) is None
+    # substituted result equals base-table result for the covered query
+    q = AggQuery("t", ("k",), meas, filters=("id >= 30",))
+    got, sub = store.execute(q, df)
+    assert sub
+    base = {(r["k"], int(r["sum_v"]), r["count_all"])
+            for r in df.where("id >= 30").groupBy("k").agg(
+                __import__("pyspark.sql.functions", fromlist=["f"]).sum("v").alias("sum_v"),
+                __import__("pyspark.sql.functions", fromlist=["f"]).count("*").alias("count_all"),
+            ).collect()}
+    assert {(r["k"], int(r["sum_v"]), r["count_all"])
+            for r in got.collect()} == base
