@@ -631,6 +631,52 @@ order by l.l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time lookup: each click joined to the user's most recent
+    error at-or-before it (union+window as-of; see operators/asof.py for
+    the scale argument). The reference would plan this as a correlated
+    range subquery (`RangeConditionRewriteVisitor.java:67`); DuckDB's
+    native ASOF JOIN is the oracle."""
+    from ..catalog import load_events
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # one row per (user_id, ts) so the matched value is deterministic
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(clicks, errors, on=["user_id"], ts="ts",
+                    right_cols=["err_value"], direction="backward")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts_asof").alias("asof_ts"),
+        F.round("err_value_asof", 6).alias("asof_value"),
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_SQL = """
+with l as (
+  select user_id, ts, event_id from events where event_type = 'click'
+), r as (
+  select user_id, ts, max(value) as err_value
+  from events where event_type = 'error' group by user_id, ts
+)
+select l.user_id, l.event_id, l.ts,
+       r.ts as asof_ts, round(r.err_value, 6) as asof_value
+from l asof left join r
+  on l.user_id = r.user_id and l.ts >= r.ts
+order by l.event_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
@@ -649,6 +695,7 @@ RELATIONAL_QUERIES = {
     "op_applyinpandas_zscore": applyinpandas_zscore,
     "op_intersect_all": intersect_all,
     "op_skew_kurtosis": skew_kurtosis,
+    "op_asof_join": asof_join_events,
 }
 
 RELATIONAL_ORACLE = {
@@ -669,4 +716,5 @@ RELATIONAL_ORACLE = {
     "op_applyinpandas_zscore": ZSCORE_SQL,
     "op_intersect_all": INTERSECT_ALL_SQL,
     "op_skew_kurtosis": SKEW_KURTOSIS_SQL,
+    "op_asof_join": ASOF_JOIN_SQL,
 }

@@ -30,3 +30,35 @@ def test_ndv_within_tolerance(spark):
     assert rows
     for r in rows:
         assert r["ndv_within_5pct"], f"{r['l_returnflag']}: NDV outside 5%"
+
+
+def test_asof_join_directions(spark):
+    """Inclusive tie semantics both ways, and left-outer nulls."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (1, 30, "c")], "k int, ts int, v string"
+    )
+    back = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in asof_join(left, right, on=["k"], ts="ts").collect()
+    }
+    # equal ts matches (inclusive >=); no prior row -> null
+    assert back == {(1, 10): "a", (1, 20): "b", (2, 5): None}
+
+    fwd = {
+        (r["k"], r["ts"]): (r["v_asof"], r["ts_asof"])
+        for r in asof_join(
+            left, right, on=["k"], ts="ts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 10): ("a", 10), (1, 20): ("c", 30), (2, 5): (None, None)}
+
+    # result column count: left cols + value + matched ts
+    out = asof_join(left, right, on=["k"], ts="ts")
+    assert set(out.columns) == {"k", "ts", "v_asof", "ts_asof"}
