@@ -127,3 +127,60 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
         *quality_features(c),
         fingerprint(c).alias("fp"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    cap: int = 2048,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    rolling-hash document fingerprint used by MOSS-style plagiarism and
+    near-dup detection.  Hash every char k-gram of the normalized text,
+    slide a window of w consecutive k-gram hashes, keep each window's
+    minimum — the selected set is a position-robust fingerprint with a
+    guaranteed match on any shared substring of length >= k + w - 1.
+
+    Spark-first: explode positions (bounded by `cap` chars per doc, so the
+    blowup is a constant factor, not O(doc size)), hash inside codegen via
+    the md5-derived `h64` arithmetic shared with the DuckDB oracle, take
+    the window min per doc ordered by position (one shuffle on the doc
+    id), and aggregate the distinct-fingerprint summary per doc.  At 100
+    TB this is embarrassingly parallel: all work after the explode is
+    partition-local to the doc id, and docs >> executors.
+
+    Returns one row per doc with >= 1 complete window:
+    (id_col, n_fps, min_fp, max_fp).
+    """
+    from pyspark.sql import Window
+
+    s = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, cap
+    )
+    t = (
+        df.select(F.col(id_col), s.alias("s"))
+        .withColumn("m", F.length("s") - F.lit(k) + 1)  # number of k-grams
+        .where(F.col("m") >= w)  # need at least one complete window
+    )
+    pos = t.select(
+        id_col, "s", "m",
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("p"),
+    )
+    h = pos.select(
+        id_col, "m", "p",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr(s, p, {k})")), 1, 15), 16, 10
+        ).cast("bigint").alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    fps = h.select(
+        id_col, "p", "m", F.min("h").over(win).alias("fp")
+    ).where(F.col("p") <= F.col("m") - F.lit(w) + 1)
+    return fps.groupBy(id_col).agg(
+        F.countDistinct("fp").cast("bigint").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -625,6 +625,46 @@ order by lang, split
 """
 
 
+def llm_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints per document (MOSS-style;
+    operators/text.py winnow_fingerprints has the algorithm + scale
+    notes). The oracle replicates the k-gram md5 hash and window-min
+    selection arithmetically in SQL."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load(spark, sf, "documents").repartition(16, "doc_id")
+    return winnow_fingerprints(docs).orderBy("doc_id")
+
+
+LLM_WINNOWING_SQL = """
+with t as (
+  select doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 2048) as s
+  from documents
+), sized as (
+  select doc_id, s, length(s) - 8 + 1 as m from t
+  where length(s) - 8 + 1 >= 4
+), pos as (
+  select doc_id, s, m, unnest(generate_series(1, m)) as p from sized
+), h as (
+  select doc_id, m, p,
+         cast(concat('0x', substr(md5(substr(s, p, 8)), 1, 15)) as bigint) as h
+  from pos
+), fps as (
+  select doc_id, p, m,
+         min(h) over (partition by doc_id order by p
+                      rows between current row and 3 following) as fp
+  from h
+)
+select doc_id,
+       cast(count(distinct fp) as bigint) as n_fps,
+       min(fp) as min_fp, max(fp) as max_fp
+from fps where p <= m - 4 + 1
+group by doc_id
+order by doc_id
+"""
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -639,6 +679,7 @@ LLMOPS_QUERIES = {
     "llm_embedding_neardup": llm_embedding_neardup,
     "llm_tfidf_bm25": llm_tfidf_bm25,
     "llm_corpus_split": llm_corpus_split,
+    "llm_winnowing": llm_winnowing,
 }
 
 LLMOPS_ORACLE = {
@@ -655,4 +696,5 @@ LLMOPS_ORACLE = {
     "llm_ivf_ann": LLM_IVF_ANN_SQL,
     "llm_tfidf_bm25": LLM_TFIDF_BM25_SQL,
     "llm_corpus_split": LLM_CORPUS_SPLIT_SQL,
+    "llm_winnowing": LLM_WINNOWING_SQL,
 }
