@@ -184,3 +184,97 @@ def winnow_fingerprints(
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    duplicate-word ratio, top-word fraction, and duplicate word-k-gram
+    ratio per document, plus the keep/drop verdict.  Pretraining corpora
+    drop docs dominated by repeated boilerplate; these three signals are
+    the standard cheap detectors.
+
+    Plan: tokenize once, explode words and k-grams, two (doc, term)
+    count-aggregations folded back to per-doc stats — every shuffle is on
+    the doc id (or (doc, term), strictly finer), so the pipeline is
+    partition-local per document and scales with corpus size, not
+    vocabulary.  The token array is materialized before the transform
+    lambda (interpreted-HOF trap, see shingle_table).
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.repartition(n_part, id_col)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    )
+    wc = (
+        base.select(id_col, F.explode("_toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = wc.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.max("c").cast("bigint").alias("top_word_count"),
+    )
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri_stats = (
+        base.select(id_col, F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_kgrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_kgrams"),
+        )
+    )
+    dup_word = F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6)
+    top_frac = F.round(F.col("top_word_count") / F.col("n_words"), 6)
+    dup_gram = F.round(
+        F.coalesce(1 - F.col("n_distinct_kgrams") / F.col("n_kgrams"), F.lit(0.0)), 6
+    )
+    return word_stats.join(tri_stats, id_col, "left").select(
+        id_col,
+        "n_words",
+        dup_word.alias("dup_word_ratio"),
+        top_frac.alias("top_word_frac"),
+        dup_gram.alias("dup_kgram_ratio"),
+        (
+            (top_frac <= 0.2) & (dup_gram <= 0.5)
+        ).alias("keep"),
+    )
+
+
+# PII patterns — RE2/Java-regex common subset (no lookarounds/backrefs) so
+# Spark and the DuckDB oracle match byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{4}-[0-9]{4}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_redact(col: Column) -> list[Column]:
+    """Count and redact emails / phone numbers / IPv4s.  Pure JVM regex
+    column expressions (no UDFs): counting via regexp_count, redaction by
+    chained regexp_replace with disjoint placeholder tokens.  Email is
+    replaced first so its dotted domain can't be half-claimed by the IP
+    pattern."""
+    red = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    return [
+        F.regexp_count(col, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(col, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(col, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_fp"),
+    ]

@@ -665,6 +665,103 @@ order by doc_id
 """
 
 
+def llm_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality filter (operators/text.py
+    repetition_features): duplicate-word / top-word / duplicate-3-gram
+    ratios + keep verdict per document."""
+    from ..operators.text import repetition_features
+
+    return repetition_features(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+LLM_REPETITION_SQL = """
+with toks as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
+), wc as (
+  select doc_id, w, count(*) as c
+  from (select doc_id, unnest(t) as w from toks) group by doc_id, w
+), ws as (
+  select doc_id, cast(sum(c) as bigint) as n_words,
+         cast(count(*) as bigint) as n_distinct_words,
+         cast(max(c) as bigint) as top_word_count
+  from wc group by doc_id
+), tc as (
+  select doc_id, g, count(*) as c
+  from (select doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+                      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) as g
+        from toks where len(t) >= 3)
+  group by doc_id, g
+), ts as (
+  select doc_id, cast(sum(c) as bigint) as n_kgrams,
+         cast(count(*) as bigint) as n_distinct_kgrams
+  from tc group by doc_id
+)
+select ws.doc_id, ws.n_words,
+       round(1 - ws.n_distinct_words / ws.n_words, 6) as dup_word_ratio,
+       round(ws.top_word_count / ws.n_words, 6) as top_word_frac,
+       round(coalesce(1 - ts.n_distinct_kgrams / ts.n_kgrams, 0.0), 6)
+         as dup_kgram_ratio,
+       (round(ws.top_word_count / ws.n_words, 6) <= 0.2 and
+        round(coalesce(1 - ts.n_distinct_kgrams / ts.n_kgrams, 0.0), 6) <= 0.5)
+         as keep
+from ws left join ts on ws.doc_id = ts.doc_id
+order by ws.doc_id
+"""
+
+
+def llm_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over a deterministically PII-augmented text (the corpus
+    fixture has no emails/phones/IPs, so both engines append
+    doc_id-derived ones — the regex count+redact machinery is what's
+    value-checked, down to md5 of the redacted text)."""
+    from ..operators.text import pii_redact
+
+    docs = load(spark, sf, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select("doc_id", *pii_redact(synth)).orderBy("doc_id")
+
+
+from ..operators.text import PII_EMAIL, PII_IPV4, PII_PHONE  # noqa: E402
+
+LLM_PII_SQL = """
+with synth as (
+  select doc_id,
+         concat(text, ' contact user', cast(doc_id as varchar),
+                '@example.com or 555-',
+                lpad(cast(doc_id % 10000 as varchar), 4, '0'),
+                '-1234 from 10.0.', cast(doc_id % 256 as varchar), '.7') as s
+  from documents
+), red as (
+  select doc_id, s,
+         regexp_replace(regexp_replace(regexp_replace(s,
+             '__EMAIL__', '<EMAIL>', 'g'),
+             '__PHONE__', '<PHONE>', 'g'),
+             '__IPV4__', '<IP>', 'g') as r
+  from synth
+)
+select doc_id,
+       cast(len(regexp_extract_all(s, '__EMAIL__')) as bigint) as n_emails,
+       cast(len(regexp_extract_all(s, '__PHONE__')) as bigint) as n_phones,
+       cast(len(regexp_extract_all(s, '__IPV4__')) as bigint) as n_ips,
+       cast(length(r) as bigint) as redacted_len,
+       md5(r) as redacted_fp
+from red
+order by doc_id
+""".replace("__EMAIL__", PII_EMAIL).replace("__PHONE__", PII_PHONE).replace(
+    "__IPV4__", PII_IPV4
+)
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -680,6 +777,8 @@ LLMOPS_QUERIES = {
     "llm_tfidf_bm25": llm_tfidf_bm25,
     "llm_corpus_split": llm_corpus_split,
     "llm_winnowing": llm_winnowing,
+    "llm_repetition_filter": llm_repetition_filter,
+    "llm_pii_redaction": llm_pii_redaction,
 }
 
 LLMOPS_ORACLE = {
@@ -697,4 +796,6 @@ LLMOPS_ORACLE = {
     "llm_tfidf_bm25": LLM_TFIDF_BM25_SQL,
     "llm_corpus_split": LLM_CORPUS_SPLIT_SQL,
     "llm_winnowing": LLM_WINNOWING_SQL,
+    "llm_repetition_filter": LLM_REPETITION_SQL,
+    "llm_pii_redaction": LLM_PII_SQL,
 }
