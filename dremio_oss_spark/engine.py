@@ -111,6 +111,7 @@ class Space:
         self.engine = engine
         self.name = name
         self.vds: dict[str, str] = {}
+        self.folders: set[str] = set()  # dotted paths under this space
 
 
 class Engine:
@@ -134,6 +135,10 @@ class Engine:
         self._acl: dict[str, dict[str, set[str]]] = {}
         # principal -> roles directly granted to it (users/roles graph)
         self._roles: dict[str, set[str]] = {}
+        # execution-engine registry (SqlAlterEngine surface): name ->
+        # autoscaling bounds; purely declarative here (local[] has one
+        # "engine"), but the statement surface and sys view are real
+        self._engines: dict[str, dict] = {}
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -180,12 +185,38 @@ class Engine:
         sp = self.spaces.setdefault(name, Space(self, name))
         return sp
 
-    def create_vds(self, space: str, name: str, sql: str) -> None:
-        """CREATE VDS space.name AS <sql> (dataset.proto:60): the view is
-        stored as SQL and expanded at plan time — exactly a Spark temp
-        view.  The flat view name is `<space>__<name>` (temp views have a
-        flat namespace); `table()` resolves the dotted form."""
+    def create_folder(self, space: str, path: str) -> None:
+        """CREATE FOLDER space.a[.b…] (SqlCreateFolder, parserImpls.ftl):
+        nested namespace nodes under a space; a VDS may live at any
+        folder path (its dotted name)."""
         sp = self.create_space(space)
+        parts = path.split(".")
+        for i in range(1, len(parts) + 1):
+            sp.folders.add(".".join(parts[:i]))
+
+    def drop_folder(self, space: str, path: str) -> None:
+        """DROP FOLDER (SqlDropFolder): refuses to drop a non-empty folder
+        (same contract as the reference's namespace service)."""
+        sp = self.spaces[space]
+        prefix = path + "."
+        held = [v for v in sp.vds if v.startswith(prefix)]
+        if held:
+            raise ValueError(f"folder {space}.{path} not empty: {held}")
+        sp.folders = {
+            f for f in sp.folders if f != path and not f.startswith(prefix)
+        }
+
+    def create_vds(self, space: str, name: str, sql: str) -> None:
+        """CREATE VDS space[.folder…].name AS <sql> (dataset.proto:60):
+        the view is stored as SQL and expanded at plan time — exactly a
+        Spark temp view.  The flat view name is `<space>__<name>` with
+        folder dots flattened (temp views have a flat namespace);
+        `table()` resolves the dotted form."""
+        sp = self.create_space(space)
+        if "." in name:
+            folder = name.rsplit(".", 1)[0]
+            if folder not in sp.folders:
+                raise ValueError(f"no such folder: {space}.{folder}")
         sp.vds[name] = sql
         self.sql(sql).createOrReplaceTempView(self._flat(space, name))
 
@@ -195,7 +226,7 @@ class Engine:
 
     @staticmethod
     def _flat(space: str, name: str) -> str:
-        return f"{space}__{name}"
+        return f"{space}__{name}".replace(".", "__")
 
     def table(self, fqname: str, user: str | None = None) -> DataFrame:
         """Resolve `space.name` (VDS) or a bare table/view name; when a
@@ -203,6 +234,9 @@ class Engine:
         if user is not None and not self.check_access(user, "SELECT", fqname):
             raise PermissionError(f"{user} lacks SELECT on {fqname}")
         if "." in fqname:
+            first, rest = fqname.split(".", 1)
+            if first in self.spaces:  # space.folder….view resolves whole
+                return self.spark.table(self._flat(first, rest))
             space, name = fqname.rsplit(".", 1)
             return self.spark.table(self._flat(space, name))
         # USE <space> context: bare names resolve inside the current space
@@ -470,6 +504,84 @@ class Engine:
         ddl = f"CREATE VDS {space}.{name} AS {sql.strip()}"
         return self.spark.createDataFrame(
             [(f"{space}.{name}", ddl)], "view_name string, ddl string"
+        )
+
+    def show_table_properties(self, table_path: str) -> DataFrame:
+        """SHOW TBLPROPERTIES (SqlShowTableProperties, parserImpls.ftl):
+        format/location plus snapshot-store state (current snapshot,
+        branch/tag/history counts) when the path is a snapshot table."""
+        import os
+
+        from .sources import dml
+
+        props: list[tuple[str, str]] = [
+            ("format", "parquet"),
+            ("location", table_path),
+        ]
+        if dml.current_snapshot(table_path) is not None:
+            props += [
+                ("current_snapshot", dml.current_snapshot(table_path) or ""),
+                ("n_snapshots", str(len(dml.history(table_path)))),
+                ("branches", ",".join(sorted(dml.list_branches(table_path)))),
+                ("tags", ",".join(sorted(dml.list_tags(table_path)))),
+            ]
+        return self.spark.createDataFrame(
+            props, "property string, value string"
+        )
+
+    def describe_function(self, name: str) -> DataFrame:
+        """DESCRIBE FUNCTION (SqlDescribeFunction): a shim's SQL body, or
+        the native catalog description."""
+        from .functions.shims import _SQL_FUNCTIONS
+
+        if name in _SQL_FUNCTIONS:
+            return self.spark.createDataFrame(
+                [(name, "sql_shim", _SQL_FUNCTIONS[name])],
+                "function string, kind string, body string",
+            )
+        desc = " | ".join(
+            r[0] for r in self.spark.sql(f"describe function {name}").collect()
+        )
+        return self.spark.createDataFrame(
+            [(name, "native", desc)], "function string, kind string, body string"
+        )
+
+    def alter_engine(
+        self,
+        name: str,
+        min_replicas: int | None = None,
+        max_replicas: int | None = None,
+    ) -> None:
+        """ALTER ENGINE <name> SET MIN_REPLICAS/MAX_REPLICAS
+        (SqlAlterEngine, parserImpls.ftl): record autoscaling bounds for a
+        named execution engine.  Locally there's one JVM, so this is pure
+        registry state — but the bounds are validated and queryable via
+        sys_engines(), matching the reference's statement semantics."""
+        e = dict(
+            self._engines.get(
+                name, {"min_replicas": 0, "max_replicas": 1, "state": "RUNNING"}
+            )
+        )
+        if min_replicas is not None:
+            e["min_replicas"] = int(min_replicas)
+        if max_replicas is not None:
+            e["max_replicas"] = int(max_replicas)
+        if e["min_replicas"] > e["max_replicas"]:
+            raise ValueError(
+                f"engine {name}: min_replicas {e['min_replicas']} > "
+                f"max_replicas {e['max_replicas']}"
+            )
+        self._engines[name] = e
+
+    def sys_engines(self) -> DataFrame:
+        """sys.engines companion view for alter_engine state."""
+        rows = [
+            (n, e["min_replicas"], e["max_replicas"], e["state"])
+            for n, e in sorted(self._engines.items())
+        ] or [("default", 0, 1, "RUNNING")]
+        return self.spark.createDataFrame(
+            rows,
+            "engine string, min_replicas int, max_replicas int, state string",
         )
 
     def use(self, schema: str) -> None:

@@ -357,6 +357,44 @@ class ReflectionStore:
         if refl:
             shutil.rmtree(refl.path, ignore_errors=True)
 
+    # -- materialization maintenance ---------------------------------------
+    def _path_of(self, name: str) -> str:
+        refl = self._reflections.get(name) or self._raw.get(name)
+        if refl is None:
+            raise KeyError(f"no reflection named {name}")
+        return os.path.join(refl.path, "data")
+
+    def compact_materialization(self, name: str) -> tuple[int, int]:
+        """COMPACT MATERIALIZE[D] data files (SqlCompactMaterialization,
+        parserImpls.ftl): rewrite the materialization to fewer,
+        target-sized files — incremental refreshes append small partials,
+        and scan cost grows with file count.  Returns (files_before,
+        files_after).  Locally the target is one file; at scale this maps
+        to a `coalesce(bytes/target_size)` rewrite with identical rows."""
+        data = self._path_of(name)
+
+        def _files() -> list[str]:
+            return [
+                f for f in os.listdir(data)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+
+        before = len(_files())
+        df = self.spark.read.parquet(data)
+        tmp = data + ".compact"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data)
+        os.rename(tmp, data)
+        return before, len(_files())
+
+    def load_materialization(self, name: str) -> DataFrame:
+        """LOAD MATERIALIZATION (SqlLoadMaterialization): expose a
+        reflection's materialization as a queryable dataset (temp view
+        `mat_<name>`), the reference's debugging/inspection hook."""
+        df = self.spark.read.parquet(self._path_of(name))
+        df.createOrReplaceTempView(f"mat_{name}")
+        return df
+
     # -- refresh -----------------------------------------------------------
     def _aggregate(self, df: DataFrame, refl: Reflection) -> DataFrame:
         aggs = []
