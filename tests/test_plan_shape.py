@@ -138,3 +138,25 @@ def test_partitioned_ctas_prunes_partitions_on_read(spark, tmp_path):
     # the scan's data-filter list must NOT need o_orderpriority
     pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan else ""
     assert "o_orderpriority" not in pushed
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The as-of join must plan as union + window over one key exchange —
+    no BroadcastNestedLoop/Cartesian/SortMergeJoin range explosion."""
+    from dremio_oss_spark.queries.relational_q import asof_join_events
+
+    plan = _plan(asof_join_events(spark, SF_SMALL))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, f"{bad} in as-of plan"
+    assert "Window" in plan and "Union" in plan
+
+
+def test_winnowing_plan_stays_partition_local(spark):
+    """Winnowing = explode + window + agg, all keyed on doc_id; no joins."""
+    from dremio_oss_spark.queries.llmops import llm_winnowing
+
+    plan = _plan(llm_winnowing(spark, SF_SMALL))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"{bad} in winnowing plan"
+    assert "Window" in plan
