@@ -47,9 +47,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stage)
     # events.parquet stores TIMESTAMP(NANOS) -> long nanos under
-    # nanosAsLong (see catalog.load_events); normalize to timestamp
-    if dict(df.dtypes)["ts"] == "bigint":
+    # nanosAsLong (see catalog.load_events); normalize to timestamp.
+    # Depending on session conf (spark.sql.timestampType) the column may
+    # instead surface as timestamp_ntz, which withWatermark rejects
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — cast any non-LTZ variant.
+    # NB: cast to "timestamp_ltz" by name — under that same session conf
+    # the DDL string "timestamp" itself resolves to NTZ, so a plain
+    # cast("timestamp") would be a no-op.
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

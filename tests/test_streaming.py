@@ -87,3 +87,21 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     # late 00:30 row dropped: window 0 still counts exactly 1; the 07:00
     # event advanced the watermark to 06:00, closing windows 4 and 5
     assert final == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_stream_events_normalizes_ntz_sessions(spark):
+    """Regression (round-3 driver run): under a session with
+    spark.sql.timestampType=TIMESTAMP_NTZ the events parquet surfaces
+    `ts` as TIMESTAMP_NTZ, which withWatermark rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — and under that same conf the
+    DDL name "timestamp" ALSO resolves to NTZ, so the cast must name
+    timestamp_ltz explicitly.  stream_events must emit LTZ regardless of
+    session conf."""
+    from dremio_oss_spark.streaming.windows import stream_events
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    ev = stream_events(sess, SF_SMALL)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # must be watermarkable (this is what the driver run tripped on)
+    ev.withWatermark("ts", "1 hour")
