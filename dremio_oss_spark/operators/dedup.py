@@ -254,16 +254,21 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     reachable in the component, which doubles as the cluster id and the
     elected canonical member.
 
-    Scale shape: each round is one shuffle join of the (persisted) edge
-    list against the label table plus a groupBy — O(E) per round, and
-    rounds = component diameter, which for near-dup clusters is small
-    (dup clusters are dense).  Labels are localCheckpoint()ed per round
-    so the loop's lineage stays flat (on a real cluster, prefer
-    `checkpoint()` with a durable dir).  Convergence is detected by the
-    monotone label sum, one scalar agg per round — no row-wise diff
-    join.  For adversarially long chains, switch the body to the
-    alternating large-star/small-star rounds of Kiveris et al. —
-    O(log n) rounds on the same join primitive.
+    Scale shape: the loop runs ONLY over vertices that appear in the
+    pair graph — an isolated document can never change label, and at
+    corpus scale the pair graph is orders of magnitude smaller than the
+    corpus, so each round is a shuffle join over O(V_edges), not O(N).
+    Isolated docs are unioned back as their own singleton clusters at
+    the end (one left join, no iteration).  Each round is one shuffle
+    join of the (persisted) edge list against the label table plus a
+    groupBy — O(E) per round, and rounds = component diameter, which
+    for near-dup clusters is small (dup clusters are dense).  Labels
+    are localCheckpoint()ed per round so the loop's lineage stays flat
+    (on a real cluster, prefer `checkpoint()` with a durable dir).
+    Convergence is detected by the monotone label sum, one scalar agg
+    per round — no row-wise diff join.  For adversarially long chains,
+    switch the body to the alternating large-star/small-star rounds of
+    Kiveris et al. — O(log n) rounds on the same join primitive.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -274,8 +279,12 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
                             F.col("id_a").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).alias("label"))
+    # iterate only over vertices with at least one edge
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
     prev_sum = None
     for _ in range(max_iter):
         nbr = (
@@ -298,9 +307,15 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
             break
         prev_sum = s
     edges.unpersist()
-    sizes = labels.groupBy("label").agg(
+    # isolated docs rejoin as singleton clusters (label = own id)
+    all_labels = (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    sizes = all_labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    return all_labels.join(sizes, "label").select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         "cluster_size",

@@ -122,55 +122,72 @@ def read_delta(spark: SparkSession, path: str,
                version: int | None = None) -> DataFrame:
     """SELECT * FROM delta table [VERSION AS OF n].
 
-    One spark.read per distinct partition-value tuple (partition columns
-    live in the log, not the files), unioned by name; unpartitioned
-    tables are a single multi-file read.  Filters/projections push into
-    each parquet scan as usual.
+    ONE multi-path parquet scan regardless of file/partition count —
+    plan construction stays O(1) in both.  Partition columns live in the
+    log, not the files, so they are attached via a broadcast
+    file→partitionValues join (metadata-sized: one row per live file)
+    and cast to the declared types.  Filters/projections push into the
+    single parquet scan as usual; the broadcast join adds no shuffle.
     """
     snap = resolve_snapshot(spark, path, version)
     if not snap.files:
         if snap.schema is None:
             raise ValueError(f"Delta table {path} has no schema action")
         return spark.createDataFrame([], snap.schema)
+    return _scan_with_partition_values(
+        spark, path, snap.schema, snap.partition_cols, snap.files)
 
+
+def _scan_with_partition_values(
+    spark: SparkSession, table: str, schema: StructType | None,
+    part_cols: list[str], files: dict[str, dict]) -> DataFrame:
+    """Single parquet scan over `files` (rel→partitionValues) with the
+    log's partition values attached by broadcast join on
+    input_file_name().  The log — not directory layout — is the source
+    of truth for partition values (delta.io PROTOCOL.md), so this never
+    trusts hive-style paths.  The mapping is one row per file: bounded
+    by live-file count, i.e. the same metadata the driver already holds."""
     data_fields = [
-        f for f in (snap.schema.fields if snap.schema else [])
-        if f.name not in snap.partition_cols
+        f for f in (schema.fields if schema else [])
+        if f.name not in part_cols
     ]
-    data_schema = StructType(data_fields) if data_fields else None
-
-    if not snap.partition_cols:
-        paths = [os.path.join(path, p) for p in snap.files]
-        r = spark.read
-        if data_schema is not None:
-            r = r.schema(data_schema)
-        return r.parquet(*paths)
-
-    by_part: dict[tuple, list[str]] = {}
-    for rel, pv in snap.files.items():
-        key = tuple(pv.get(c) for c in snap.partition_cols)
-        by_part.setdefault(key, []).append(os.path.join(path, rel))
-    parts: list[DataFrame] = []
+    r = spark.read
+    if data_fields:
+        r = r.schema(StructType(data_fields))
+    df = r.parquet(*[os.path.join(table, rel) for rel in files])
+    if not part_cols:
+        return df
     ptypes = {
         f.name: f.dataType.simpleString()
-        for f in (snap.schema.fields if snap.schema else [])
+        for f in (schema.fields if schema else [])
     }
-    for key, paths in sorted(by_part.items()):
-        r = spark.read
-        if data_schema is not None:
-            r = r.schema(data_schema)
-        df = r.parquet(*paths)
-        for c, v in zip(snap.partition_cols, key):
-            # partitionValues are strings in the log; cast to the
-            # declared type (null encoded as missing/None)
-            df = df.withColumn(
-                c, F.lit(v).cast(ptypes.get(c, "string"))
-            )
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    rows = [
+        tuple([os.path.realpath(os.path.join(table, rel))]
+              + [pv.get(c) for c in part_cols])
+        for rel, pv in files.items()
+    ]
+    from pyspark.sql.types import StringType, StructField
+
+    pv_schema = StructType(
+        [StructField("__file", StringType())]
+        + [StructField(f"__pv_{c}", StringType()) for c in part_cols])
+    pv_df = spark.createDataFrame(rows, pv_schema)
+    df = (
+        df.withColumn(
+            "__file",
+            F.regexp_replace(
+                F.input_file_name(), F.lit("^file:/+"), F.lit("/")),
+        )
+        .join(F.broadcast(pv_df), "__file")
+        .drop("__file")
+    )
+    for c in part_cols:
+        # partitionValues are strings in the log; cast to the declared
+        # type (null encoded as missing/None)
+        df = df.withColumn(
+            c, F.col(f"__pv_{c}").cast(ptypes.get(c, "string"))
+        ).drop(f"__pv_{c}")
+    return df
 
 
 def _stage_files(spark: SparkSession, df: DataFrame, table: str,
@@ -183,13 +200,22 @@ def _stage_files(spark: SparkSession, df: DataFrame, table: str,
     partition values recorded in the log, which is what Delta readers
     trust (dir layout is advisory only).  File names are prefixed with the
     commit version so concurrent snapshots never collide.
+
+    File-count control: without it, partitionBy emits up to
+    (#shuffle tasks × #partition values) small files — the classic
+    small-file explosion.  Repartitioning by the partition columns first
+    routes each value to one task → one file per hive partition.  On a
+    real cluster with hot partitions, swap for
+    `repartition(N, cols..., salt)` or AQE rebalance to cap file size
+    instead of file count.
     """
     import glob
     import shutil
     import uuid
 
     stage = os.path.join(table, f"_stage_{uuid.uuid4().hex[:8]}")
-    w = df.write.mode("overwrite")
+    data_df = df.repartition(*partition_by) if partition_by else df
+    w = data_df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
@@ -302,18 +328,14 @@ def delete_from_delta(spark: SparkSession, table: str, predicate: str) -> int:
         return version
     hit_set = set(hit_rel)
     part_cols = snap.partition_cols
-    survivors = None
-    for rel in hit_rel:
-        pv = snap.files[rel]
-        one = spark.read.parquet(os.path.join(table, rel))
-        for c in part_cols:
-            one = one.withColumn(c, F.lit(pv.get(c)))
-        keep = one.where(f"not ({predicate})")
-        survivors = keep if survivors is None else survivors.unionByName(keep)
-    staged = (
-        _stage_files(spark, survivors, table, version, part_cols)
-        if survivors is not None else []
-    )
+    # ONE scan over all hit files (not a per-file driver loop — plan
+    # construction must stay O(1) in file count); partition values come
+    # from the log via the shared broadcast file→partitionValues join.
+    hits_df = _scan_with_partition_values(
+        spark, table, snap.schema, part_cols,
+        {rel: snap.files[rel] for rel in hit_rel})
+    survivors = hits_df.where(f"not ({predicate})")
+    staged = _stage_files(spark, survivors, table, version, part_cols)
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": version}}
     ]
