@@ -62,7 +62,17 @@ def _allow_nanos(spark: SparkSession) -> None:
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register the driver's testdata tables as temp views; return handles."""
+    """Register the driver's testdata tables as temp views; return handles.
+
+    Memoized on the session object: repeated calls in the same session
+    (every SQL-form query registers) would otherwise re-read 10 parquet
+    footers each — pure py4j/planning overhead.  A different sf_dir in
+    the same session re-registers and replaces the views; the cache dies
+    with the session object, so no cross-session staleness.
+    """
+    hit = getattr(spark, "_dremio_testdata_views", None)
+    if hit is not None and hit[0] == sf_dir:
+        return hit[1]
     _allow_nanos(spark)
     out: dict[str, DataFrame] = {}
     for t in TESTDATA_TABLES:
@@ -71,6 +81,7 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = spark.read.parquet(p)
             df.createOrReplaceTempView(t)
             out[t] = df
+    spark._dremio_testdata_views = (sf_dir, out)
     return out
 
 
