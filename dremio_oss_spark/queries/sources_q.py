@@ -540,6 +540,106 @@ order by c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Lakehouse DML: MERGE INTO on Delta, UPDATE + OPTIMIZE + VACUUM on Iceberg
+def delta_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO a partitioned Delta table: matched keys take the
+    source's acctbal (+100.00 exact decimal add — no rounding drift),
+    unmatched source rows insert.  Read the merged state back through
+    the log reader and aggregate.  Reference DML surface: dremio-oss
+    MERGE on Iceberg tables (`MergeHandler`); same semantics on Delta."""
+    from ..sources.delta import merge_into_delta, read_delta, write_delta
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("delta_m", sf), "customer_delta")
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    write_delta(spark, cust, t, mode="overwrite",
+                partition_by=["c_mktsegment"])
+    src = (
+        cust.where(F.col("c_custkey") % 97 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.00)
+        .unionByName(
+            cust.where(F.col("c_custkey") % 499 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 10000000))
+    )
+    merge_into_delta(spark, t, src, on=["c_custkey"])
+    return (
+        read_delta(spark, t)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             dsum(F.col("c_acctbal"), 2).alias("acctbal_sum"))
+        .orderBy("c_mktsegment")
+    )
+
+
+DELTA_MERGE_SQL = """
+with merged as (
+  select c_custkey, c_mktsegment,
+         case when c_custkey % 97 = 0 then c_acctbal + 100.00
+              else c_acctbal end as c_acctbal
+  from customer
+  union all
+  select c_custkey + 10000000, c_mktsegment, c_acctbal
+  from customer where c_custkey % 499 = 0
+)
+select c_mktsegment,
+       cast(count(*) as bigint) as n_customers,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) as acctbal_sum
+from merged
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
+def iceberg_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE on a partitioned Iceberg table, then OPTIMIZE (bin-pack)
+    and VACUUM (expire snapshots + delete orphaned files) — the read
+    after maintenance must still see exactly the updated rows, which is
+    what the oracle checks.  Reference: dremio-oss UPDATE/OPTIMIZE/
+    VACUUM TABLE on Iceberg (`UpdateHandler`, `OptimizeHandler`,
+    `VacuumTableHandler`)."""
+    from ..sources.iceberg import (expire_iceberg_snapshots,
+                                   optimize_iceberg, read_iceberg,
+                                   resolve_snapshot, update_iceberg,
+                                   write_iceberg)
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("iceberg_dml", sf), "part_iceberg")
+    part = load(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_retailprice")
+    write_iceberg(spark, part, t, mode="overwrite",
+                  partition_by=["p_brand"])
+    update_iceberg(spark, t, {"p_retailprice": "p_retailprice + 25.25"},
+                   "p_partkey % 7 = 0")
+    n_before = len(resolve_snapshot(t).files)
+    optimize_iceberg(spark, t)
+    removed = expire_iceberg_snapshots(t, keep_last=1)
+    return (
+        read_iceberg(spark, t)
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("bigint").alias("n_parts"),
+             dsum(F.col("p_retailprice"), 2).alias("price_sum"))
+        .withColumn("maintenance_ok",
+                    F.lit(bool(removed) and n_before > 0))
+        .orderBy("p_brand")
+    )
+
+
+ICEBERG_DML_SQL = """
+select p_brand,
+       cast(count(*) as bigint) as n_parts,
+       cast(sum(cast(case when p_partkey % 7 = 0
+                          then p_retailprice + 25.25
+                          else p_retailprice end as decimal(18,2)))
+            as double) as price_sum,
+       true as maintenance_ok
+from part
+group by p_brand
+order by p_brand
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -551,6 +651,8 @@ SOURCES_QUERIES = {
     "src_iceberg_read": iceberg_read,
     "src_delta_write": delta_write,
     "src_iceberg_write": iceberg_write,
+    "src_delta_merge": delta_merge,
+    "src_iceberg_dml": iceberg_dml,
 }
 
 SOURCES_ORACLE = {
@@ -564,4 +666,6 @@ SOURCES_ORACLE = {
     "src_iceberg_read": ICEBERG_READ_SQL,
     "src_delta_write": DELTA_WRITE_SQL,
     "src_iceberg_write": ICEBERG_WRITE_SQL,
+    "src_delta_merge": DELTA_MERGE_SQL,
+    "src_iceberg_dml": ICEBERG_DML_SQL,
 }

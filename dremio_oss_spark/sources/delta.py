@@ -140,7 +140,8 @@ def read_delta(spark: SparkSession, path: str,
 
 def _scan_with_partition_values(
     spark: SparkSession, table: str, schema: StructType | None,
-    part_cols: list[str], files: dict[str, dict]) -> DataFrame:
+    part_cols: list[str], files: dict[str, dict],
+    keep_file: bool = False) -> DataFrame:
     """Single parquet scan over `files` (rel→partitionValues) with the
     log's partition values attached by broadcast join on
     input_file_name().  The log — not directory layout — is the source
@@ -155,32 +156,52 @@ def _scan_with_partition_values(
     if data_fields:
         r = r.schema(StructType(data_fields))
     df = r.parquet(*[os.path.join(table, rel) for rel in files])
-    if not part_cols:
+    if not part_cols and not keep_file:
         return df
+    # Join key is the file BASENAME, not the full path:
+    # input_file_name() returns a percent-ENCODED URI, so partition dirs
+    # with URI-special chars (p_brand=Brand#13) would never equal the
+    # raw filesystem path.  Basenames are encoding-stable here (staged
+    # names are version+index+uuid, [a-z0-9-] only) and must be unique
+    # across the scanned set — guarded below.  The canonical decoded
+    # path (`__file`) and the partition values both come from the
+    # mapping side of the join.
+    from pyspark.sql.types import StringType, StructField
+
+    by_base: dict[str, str] = {}
+    for rel in files:
+        base = os.path.basename(rel)
+        if base in by_base:
+            raise ValueError(
+                f"duplicate data-file basename {base!r}; "
+                "cannot attach partition values by basename")
+        by_base[base] = rel
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in (schema.fields if schema else [])
     }
     rows = [
-        tuple([os.path.realpath(os.path.join(table, rel))]
-              + [pv.get(c) for c in part_cols])
+        tuple([os.path.basename(rel),
+               os.path.realpath(os.path.join(table, rel))]
+              + [None if pv.get(c) is None else str(pv.get(c))
+                 for c in part_cols])
         for rel, pv in files.items()
     ]
-    from pyspark.sql.types import StringType, StructField
-
     pv_schema = StructType(
-        [StructField("__file", StringType())]
+        [StructField("__base", StringType()),
+         StructField("__file", StringType())]
         + [StructField(f"__pv_{c}", StringType()) for c in part_cols])
     pv_df = spark.createDataFrame(rows, pv_schema)
     df = (
         df.withColumn(
-            "__file",
-            F.regexp_replace(
-                F.input_file_name(), F.lit("^file:/+"), F.lit("/")),
+            "__base",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
         )
-        .join(F.broadcast(pv_df), "__file")
-        .drop("__file")
+        .join(F.broadcast(pv_df), "__base")
+        .drop("__base")
     )
+    if not keep_file:
+        df = df.drop("__file")
     for c in part_cols:
         # partitionValues are strings in the log; cast to the declared
         # type (null encoded as missing/None)
@@ -188,6 +209,15 @@ def _scan_with_partition_values(
             c, F.col(f"__pv_{c}").cast(ptypes.get(c, "string"))
         ).drop(f"__pv_{c}")
     return df
+
+
+def _unescape_path_name(v: str) -> str:
+    """Inverse of Hive/Spark escapePathName: decode %xx sequences (only
+    — '+' is NOT a space in this scheme)."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v)
 
 
 def _stage_files(spark: SparkSession, df: DataFrame, table: str,
@@ -230,8 +260,13 @@ def _stage_files(spark: SparkSession, df: DataFrame, table: str,
         if rel_dir != ".":
             for comp in rel_dir.split(os.sep):
                 k, _, v = comp.partition("=")
-                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-        name = f"part-{version:05d}-{i:05d}.parquet"
+                # Spark hive-escapes special chars in the dir component
+                # (%xx, e.g. 'Brand#6' → 'Brand%236'); the LOG stores the
+                # logical value, so unescape — otherwise every re-staging
+                # re-escapes the '%' and the value compounds corrupt.
+                pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else _unescape_path_name(v))
+        name = f"part-{version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
         rel = name if rel_dir == "." else os.path.join(rel_dir, name)
         os.makedirs(os.path.dirname(os.path.join(table, rel)), exist_ok=True)
         os.replace(p, os.path.join(table, rel))
@@ -302,56 +337,187 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     return version
 
 
-def delete_from_delta(spark: SparkSession, table: str, predicate: str) -> int:
-    """DELETE FROM <delta table> WHERE <predicate> — copy-on-write.
+def _live_with_file(spark: SparkSession, table: str):
+    """Current-version scan carrying a `__file` column taken at the scan
+    (not via input_file_name() after joins, whose value is undefined)."""
+    snap = resolve_snapshot(spark, table)
+    return _scan_with_partition_values(
+        spark, table, snap.schema, snap.partition_cols, snap.files,
+        keep_file=True)
 
-    Scale shape: ONE scan with `input_file_name()` finds the hit-file set
-    (file-level skipping — untouched files are never rewritten, the same
-    pruning `DeltaLakeScanPrel` relies on); only hit files are re-staged
-    without the matching rows.  The collect is bounded by file count
-    (metadata-sized), never by row count.
+
+def _mark_hit_files(table: str, marked: DataFrame) -> list[str]:
+    """Distinct `__file`s behind `marked`'s rows, as table-relative
+    paths.  The collect is bounded by file count (metadata-sized),
+    never by row count."""
+    return sorted(
+        os.path.relpath(r[0], os.path.realpath(table))
+        for r in marked.select("__file").distinct().collect()
+    )
+
+
+def _cow_commit(spark: SparkSession, table: str, operation: str,
+                hit_rel: list[str], rewrite, inserts: DataFrame | None,
+                data_change: bool = True) -> int:
+    """Shared copy-on-write commit: re-stage `hit_rel` through
+    `rewrite(hits_df)`, optionally stage `inserts` as brand-new files,
+    and log removes+adds as one version.
+
+    Scale shape: ONE scan over the hit files (file-level skipping — the
+    same pruning `DeltaLakeScanPrel` relies on; untouched files are
+    never rewritten), plan construction O(1) in file count.
     """
     snap = resolve_snapshot(spark, table)
     version = snap.version + 1
-    live = read_delta(spark, table)
-    hit_rel = sorted(
-        os.path.relpath(r[0], os.path.realpath(table))
-        for r in live.where(predicate)
-        .select(F.regexp_replace(
-            F.input_file_name(), F.lit("^file:/+"), F.lit("/")).alias("f"))
-        .distinct().collect()
-    )
-    if not hit_rel:
-        _commit(table, version, [
-            {"commitInfo": {"operation": "DELETE", "timestamp": version}}
-        ])
-        return version
-    hit_set = set(hit_rel)
     part_cols = snap.partition_cols
-    # ONE scan over all hit files (not a per-file driver loop — plan
-    # construction must stay O(1) in file count); partition values come
-    # from the log via the shared broadcast file→partitionValues join.
-    hits_df = _scan_with_partition_values(
-        spark, table, snap.schema, part_cols,
-        {rel: snap.files[rel] for rel in hit_rel})
-    survivors = hits_df.where(f"not ({predicate})")
-    staged = _stage_files(spark, survivors, table, version, part_cols)
     actions: list[dict] = [
-        {"commitInfo": {"operation": "DELETE", "timestamp": version}}
+        {"commitInfo": {"operation": operation, "timestamp": version}}
     ]
-    actions.extend(
-        {"remove": {"path": rel, "deletionTimestamp": version,
-                    "dataChange": True}}
-        for rel in hit_rel
-    )
+    staged: list[tuple[str, dict]] = []
+    if hit_rel:
+        hits_df = _scan_with_partition_values(
+            spark, table, snap.schema, part_cols,
+            {rel: snap.files[rel] for rel in hit_rel})
+        staged += _stage_files(
+            spark, rewrite(hits_df), table, version, part_cols)
+        actions.extend(
+            {"remove": {"path": rel, "deletionTimestamp": version,
+                        "dataChange": data_change}}
+            for rel in hit_rel
+        )
+    if inserts is not None:
+        cols = [f.name for f in snap.schema.fields] if snap.schema else None
+        ins = inserts.select(*cols) if cols else inserts
+        staged += _stage_files(spark, ins, table, version, part_cols)
+    hit_set = set(hit_rel)
     actions.extend(
         {"add": {"path": rel, "partitionValues": pv, "size": 1,
-                 "modificationTime": version, "dataChange": True}}
+                 "modificationTime": version, "dataChange": data_change}}
         for rel, pv in staged
         if rel not in hit_set
     )
     _commit(table, version, actions)
     return version
+
+
+def delete_from_delta(spark: SparkSession, table: str, predicate: str) -> int:
+    """DELETE FROM <delta table> WHERE <predicate> — copy-on-write."""
+    live = _live_with_file(spark, table)
+    hit_rel = _mark_hit_files(table, live.where(predicate))
+    return _cow_commit(
+        spark, table, "DELETE", hit_rel,
+        lambda hits: hits.where(f"not ({predicate})"), None)
+
+
+def update_delta(spark: SparkSession, table: str,
+                 set_exprs: dict[str, str], predicate: str = "true") -> int:
+    """UPDATE <delta table> SET col = expr, ... [WHERE predicate] —
+    copy-on-write: only files containing matching rows are rewritten;
+    within them, non-matching rows pass through unchanged.
+    Reference DML surface: dremio-oss UPDATE on Iceberg tables
+    (`planner/sql/handlers/query/UpdateHandler.java`); same semantics
+    here on the Delta log."""
+    live = _live_with_file(spark, table)
+    hit_rel = _mark_hit_files(table, live.where(predicate))
+
+    def rewrite(hits: DataFrame) -> DataFrame:
+        out = hits
+        cond = F.expr(predicate)
+        for c, e in set_exprs.items():
+            typ = dict((f.name, f.dataType) for f in hits.schema.fields)[c]
+            out = out.withColumn(
+                c, F.when(cond, F.expr(e).cast(typ)).otherwise(F.col(c)))
+        return out
+
+    return _cow_commit(spark, table, "UPDATE", hit_rel, rewrite, None)
+
+
+def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
+                     on: list[str],
+                     update_set: dict[str, str] | None = None,
+                     insert_not_matched: bool = True) -> int:
+    """MERGE INTO <delta table> USING <source> ON <key equality> —
+    WHEN MATCHED THEN UPDATE [SET col = expr over s.*], WHEN NOT MATCHED
+    THEN INSERT *.  `source` must be unique on the key columns (the SQL
+    MERGE cardinality rule; violations would duplicate target rows).
+
+    Scale shape: hit files come from ONE semi join of the target scan
+    against the (broadcastable) source key set — file-level skipping
+    exactly as DELETE/UPDATE; the rewrite is a left join of only the hit
+    files against the source; inserts are an anti join of the source
+    against the live key set.  Reference: MERGE on Iceberg tables via
+    `MergeHandler` / dremio-oss DML plans.
+    """
+    keys = source.select(*on).distinct()
+    live = _live_with_file(spark, table)
+    hit_rel = _mark_hit_files(
+        table, live.join(F.broadcast(keys), on, "left_semi"))
+    src_cols = [c for c in source.columns]
+
+    def rewrite(hits: DataFrame) -> DataFrame:
+        tgt_fields = {f.name: f.dataType for f in hits.schema.fields}
+        s = source.select(
+            *[F.col(c).alias(c if c in on else f"__s_{c}")
+              for c in src_cols],
+            F.lit(True).alias("__s_matched"),
+        )
+        joined = hits.join(F.broadcast(s), on, "left")
+        matched = F.col("__s_matched").isNotNull()
+        out_cols = []
+        for c in hits.columns:
+            if update_set is not None:
+                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                       if c in update_set else None)
+            else:
+                val = (F.col(f"__s_{c}")
+                       if c not in on and f"__s_{c}" in joined.columns
+                       else None)
+            if val is None:
+                out_cols.append(F.col(c))
+            else:
+                out_cols.append(
+                    F.when(matched, val.cast(tgt_fields[c]))
+                    .otherwise(F.col(c)).alias(c))
+        return joined.select(*out_cols)
+
+    inserts = (
+        source.join(live.select(*on).distinct(), on, "left_anti")
+        if insert_not_matched else None
+    )
+    return _cow_commit(spark, table, "MERGE", hit_rel, rewrite, inserts)
+
+
+def optimize_delta(spark: SparkSession, table: str) -> int:
+    """OPTIMIZE <delta table>: bin-pack all live files into one file per
+    partition (dataChange=false — readers of this version see identical
+    rows, streams don't reprocess).  Reference: dremio-oss OPTIMIZE
+    TABLE (`parserImpls.ftl` OPTIMIZE, `OptimizeHandler.java`) rewrites
+    small Iceberg data files the same way."""
+    snap = resolve_snapshot(spark, table)
+    all_rel = sorted(snap.files)
+    return _cow_commit(
+        spark, table, "OPTIMIZE", all_rel, lambda hits: hits, None,
+        data_change=False)
+
+
+def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
+    """VACUUM <delta table>: physically delete data files no longer
+    referenced by the CURRENT version (tombstoned by earlier commits).
+    Returns the deleted table-relative paths.  Time travel to versions
+    needing those files stops working — delta.io VACUUM semantics."""
+    snap = resolve_snapshot(spark, table)
+    live = {os.path.realpath(os.path.join(table, rel))
+            for rel in snap.files}
+    removed: list[str] = []
+    for root, dirs, files in os.walk(table):
+        if _LOG_DIR in root:
+            continue
+        for fn in files:
+            p = os.path.join(root, fn)
+            if fn.endswith(".parquet") and os.path.realpath(p) not in live:
+                os.remove(p)
+                removed.append(os.path.relpath(p, table))
+    return sorted(removed)
 
 
 def delta_history(path: str) -> list[dict]:

@@ -178,30 +178,14 @@ def read_iceberg(spark: SparkSession, table: str,
     snap = resolve_snapshot(table, snapshot_id)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
-    data_fields = [
-        f for f in snap.schema.fields if f.name not in snap.partition_cols
-    ]
-    data_schema = T.StructType(data_fields)
-    if not snap.partition_cols:
-        return spark.read.schema(data_schema).parquet(
-            *[p for p, _ in snap.files]
-        )
-    by_part: dict[tuple, list[str]] = {}
-    for p, pv in snap.files:
-        by_part.setdefault(
-            tuple(pv.get(c) for c in snap.partition_cols), []
-        ).append(p)
-    ptype = {f.name: f.dataType for f in snap.schema.fields}
-    parts = []
-    for key, paths in sorted(by_part.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for c, v in zip(snap.partition_cols, key):
-            df = df.withColumn(c, F.lit(v).cast(ptype[c]))
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # one multi-path scan + broadcast file→partitionValues join — the
+    # same O(1)-in-file-count plan the Delta reader uses (manifests, not
+    # directory layout, are the partition-value source of truth)
+    from .delta import _scan_with_partition_values
+
+    return _scan_with_partition_values(
+        spark, table, snap.schema, snap.partition_cols,
+        {p: pv for p, pv in snap.files})
 
 
 def _iceberg_type(dt: T.DataType):
@@ -372,50 +356,177 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                             else "overwrite", live, removed, partition_by)
 
 
-def delete_from_iceberg(spark: SparkSession, table: str,
-                        predicate: str) -> int:
-    """DELETE FROM <iceberg table> WHERE <predicate> — copy-on-write.
-    Same hit-file pruning as the Delta path: one input_file_name() scan
-    bounds the rewrite to files that actually contain matches."""
-    from .delta import _stage_files
+def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
+                        hit_abs: set[str], rewrite,
+                        inserts: DataFrame | None = None) -> int:
+    """Shared copy-on-write snapshot commit: re-stage the hit files
+    through `rewrite(hits_df)`, optionally stage `inserts` as new files,
+    carry every untouched file forward, and commit one snapshot.
+
+    Scale shape mirrors the Delta path: ONE scan over the hit files
+    (file-level skipping), plan construction O(1) in file count; the
+    manifest rewrite is metadata-sized."""
+    from .delta import _scan_with_partition_values, _stage_files
 
     snap = resolve_snapshot(table)
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
-    live = read_iceberg(spark, table)
-    hit_abs = {
-        r[0] for r in live.where(predicate)
-        .select(F.regexp_replace(
-            F.input_file_name(), F.lit("^file:/+"), F.lit("/")).alias("f"))
-        .distinct().collect()
-    }
-    table_real = os.path.realpath(table)
     all_files = [(os.path.relpath(p, table), pv, os.path.realpath(p))
                  for p, pv in snap.files]
     keep = [(rel, pv) for rel, pv, rp in all_files if rp not in hit_abs]
     hits = [(rel, pv) for rel, pv, rp in all_files if rp in hit_abs]
-    if not hits:
-        return _commit_snapshot(table, meta, "delete", keep, [],
-                                snap.partition_cols)
-    survivors = None
-    ptype = {f.name: f.dataType for f in snap.schema.fields}
-    data_schema = T.StructType([
-        f for f in snap.schema.fields
-        if f.name not in snap.partition_cols])
-    for rel, pv in hits:
-        one = spark.read.schema(data_schema).parquet(
-            os.path.join(table, rel))
-        for c in snap.partition_cols:
-            one = one.withColumn(c, F.lit(pv.get(c)).cast(ptype[c]))
-        kept = one.where(f"not ({predicate})")
-        survivors = kept if survivors is None else survivors.unionByName(kept)
     sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
                    default=0) + 1
-    staged = _stage_files(spark, survivors, os.path.join(table, "data"),
-                          sid_next, snap.partition_cols)
+    staged: list[tuple[str, dict]] = []
+    if hits:
+        hits_df = _scan_with_partition_values(
+            spark, table, snap.schema, snap.partition_cols,
+            {os.path.join(table, rel): pv for rel, pv in hits})
+        staged += _stage_files(spark, rewrite(hits_df),
+                               os.path.join(table, "data"),
+                               sid_next, snap.partition_cols)
+    if inserts is not None:
+        cols = [f.name for f in snap.schema.fields]
+        staged += _stage_files(spark, inserts.select(*cols),
+                               os.path.join(table, "data"),
+                               sid_next, snap.partition_cols)
     staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
-    return _commit_snapshot(table, meta, "delete", keep + staged, hits,
+    return _commit_snapshot(table, meta, operation, keep + staged, hits,
                             snap.partition_cols)
+
+
+def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
+    from .delta import _scan_with_partition_values
+
+    snap = resolve_snapshot(table)
+    return _scan_with_partition_values(
+        spark, table, snap.schema, snap.partition_cols,
+        {p: pv for p, pv in snap.files}, keep_file=True)
+
+
+def delete_from_iceberg(spark: SparkSession, table: str,
+                        predicate: str) -> int:
+    """DELETE FROM <iceberg table> WHERE <predicate> — copy-on-write.
+    Same hit-file pruning as the Delta path: one scan carrying `__file`
+    bounds the rewrite to files that actually contain matches."""
+    live = _live_iceberg_with_file(spark, table)
+    hit_abs = {r[0] for r in
+               live.where(predicate).select("__file").distinct().collect()}
+    return _cow_commit_iceberg(
+        spark, table, "delete", hit_abs,
+        lambda hits: hits.where(f"not ({predicate})"))
+
+
+def update_iceberg(spark: SparkSession, table: str,
+                   set_exprs: dict[str, str],
+                   predicate: str = "true") -> int:
+    """UPDATE <iceberg table> SET col = expr [WHERE predicate] — COW.
+    Reference: dremio-oss UPDATE on Iceberg tables
+    (`planner/sql/handlers/query/UpdateHandler.java`)."""
+    live = _live_iceberg_with_file(spark, table)
+    hit_abs = {r[0] for r in
+               live.where(predicate).select("__file").distinct().collect()}
+
+    def rewrite(hits: DataFrame) -> DataFrame:
+        types = {f.name: f.dataType for f in hits.schema.fields}
+        out = hits
+        cond = F.expr(predicate)
+        for c, e in set_exprs.items():
+            out = out.withColumn(
+                c, F.when(cond, F.expr(e).cast(types[c]))
+                .otherwise(F.col(c)))
+        return out
+
+    return _cow_commit_iceberg(spark, table, "overwrite", hit_abs, rewrite)
+
+
+def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
+                       on: list[str],
+                       update_set: dict[str, str] | None = None,
+                       insert_not_matched: bool = True) -> int:
+    """MERGE INTO <iceberg table> USING <source> ON <key equality> —
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
+    must be unique on the keys (SQL MERGE cardinality rule).  Reference:
+    MERGE on Iceberg tables (dremio-oss `MergeHandler`)."""
+    keys = source.select(*on).distinct()
+    live = _live_iceberg_with_file(spark, table)
+    hit_abs = {r[0] for r in
+               live.join(F.broadcast(keys), on, "left_semi")
+               .select("__file").distinct().collect()}
+    src_cols = list(source.columns)
+
+    def rewrite(hits: DataFrame) -> DataFrame:
+        types = {f.name: f.dataType for f in hits.schema.fields}
+        s = source.select(
+            *[F.col(c).alias(c if c in on else f"__s_{c}")
+              for c in src_cols],
+            F.lit(True).alias("__s_matched"),
+        )
+        joined = hits.join(F.broadcast(s), on, "left")
+        matched = F.col("__s_matched").isNotNull()
+        out_cols = []
+        for c in hits.columns:
+            if update_set is not None:
+                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                       if c in update_set else None)
+            else:
+                val = (F.col(f"__s_{c}")
+                       if c not in on and f"__s_{c}" in joined.columns
+                       else None)
+            out_cols.append(
+                F.col(c) if val is None else
+                F.when(matched, val.cast(types[c]))
+                .otherwise(F.col(c)).alias(c))
+        return joined.select(*out_cols)
+
+    inserts = (
+        source.join(read_iceberg(spark, table).select(*on).distinct(),
+                    on, "left_anti")
+        if insert_not_matched else None
+    )
+    return _cow_commit_iceberg(spark, table, "overwrite", hit_abs,
+                               rewrite, inserts)
+
+
+def optimize_iceberg(spark: SparkSession, table: str) -> int:
+    """OPTIMIZE TABLE — bin-pack all data files into one per partition
+    (`replace` snapshot: same rows, fewer files).  Reference: dremio-oss
+    OPTIMIZE TABLE rewrites small Iceberg data files
+    (`OptimizeHandler.java`, `parserImpls.ftl` OPTIMIZE)."""
+    snap = resolve_snapshot(table)
+    hit_abs = {os.path.realpath(p) for p, _ in snap.files}
+    return _cow_commit_iceberg(
+        spark, table, "replace", hit_abs, lambda hits: hits)
+
+
+def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
+    """VACUUM TABLE EXPIRE SNAPSHOTS — retain the most recent
+    `keep_last` snapshots, then physically delete data files referenced
+    only by expired snapshots.  Returns deleted table-relative paths.
+    Reference: dremio-oss VACUUM TABLE ... EXPIRE SNAPSHOTS
+    (`VacuumTableHandler.java`)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    snaps = sorted(meta.get("snapshots") or [],
+                   key=lambda s: s["snapshot-id"])
+    retained = snaps[-keep_last:] if keep_last > 0 else snaps
+    referenced: set[str] = set()
+    for s in retained:
+        snap = resolve_snapshot(table, s["snapshot-id"])
+        referenced.update(os.path.realpath(p) for p, _ in snap.files)
+    removed: list[str] = []
+    data_dir = os.path.join(table, "data")
+    for root, _, files in os.walk(data_dir):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if fn.endswith(".parquet") and os.path.realpath(p) not in referenced:
+                os.remove(p)
+                removed.append(os.path.relpath(p, table))
+    meta["snapshots"] = retained
+    mf = _metadata_file(table)
+    with open(mf, "w") as f:
+        json.dump(meta, f)
+    return sorted(removed)
 
 
 def iceberg_history(table: str) -> list[dict]:

@@ -489,3 +489,101 @@ def test_iceberg_writer_roundtrip(spark, tmp_path):
     assert cur.agg(F.sum("id")).collect()[0][0] == sum(range(20)) + sum(
         i + 100 for i in range(20) if i % 2 == 1
     )
+
+
+def test_delta_update_merge_optimize_vacuum(spark, tmp_path):
+    """Full Delta DML surface: UPDATE (COW, file-pruned), MERGE INTO
+    (update matched + insert unmatched), OPTIMIZE (bin-pack,
+    dataChange=false), VACUUM (drop unreferenced files)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delta_history, merge_into_delta, optimize_delta, read_delta,
+        resolve_snapshot, update_delta, vacuum_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) * 10) for i in range(60)],
+        "k long, p long, v double",
+    )
+    write_delta(spark, df, t, partition_by=["p"])
+
+    update_delta(spark, t, {"v": "v + 1"}, "k < 6")
+    cur = read_delta(spark, t)
+    assert cur.where("k < 6").agg(F.sum("v")).collect()[0][0] == sum(
+        i * 10 + 1 for i in range(6))
+    assert cur.where("k >= 6").agg(F.sum("v")).collect()[0][0] == sum(
+        i * 10.0 for i in range(6, 60))
+
+    src = spark.createDataFrame(
+        [(0, 0, 999.0), (100, 1, 5.0)], "k long, p long, v double")
+    merge_into_delta(spark, t, src, on=["k"])
+    cur = read_delta(spark, t)
+    assert cur.count() == 61
+    got = {r["k"]: r["v"] for r in cur.where("k in (0, 100)").collect()}
+    assert got == {0: 999.0, 100: 5.0}
+
+    n_before = len(resolve_snapshot(spark, t).files)
+    optimize_delta(spark, t)
+    assert len(resolve_snapshot(spark, t).files) <= 3 < n_before
+    removed = vacuum_delta(spark, t)
+    assert removed and read_delta(spark, t).count() == 61
+    assert [h["operation"] for h in delta_history(t)] == [
+        "CREATE TABLE AS SELECT", "UPDATE", "MERGE", "OPTIMIZE"]
+
+
+def test_iceberg_update_merge_optimize_expire(spark, tmp_path):
+    """Iceberg DML surface incl. snapshot expiry (VACUUM TABLE)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        expire_iceberg_snapshots, merge_into_iceberg, optimize_iceberg,
+        read_iceberg, resolve_snapshot, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) * 10) for i in range(60)],
+        "k long, p long, v double",
+    )
+    write_iceberg(spark, df, t, partition_by=["p"])
+    update_iceberg(spark, t, {"v": "v * 2"}, "k >= 58")
+    src = spark.createDataFrame(
+        [(1, 1, -1.0), (200, 2, -2.0)], "k long, p long, v double")
+    merge_into_iceberg(spark, t, src, on=["k"])
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 61
+    got = {r["k"]: r["v"] for r in
+           cur.where("k in (1, 58, 59, 200)").collect()}
+    assert got == {1: -1.0, 58: 1160.0, 59: 1180.0, 200: -2.0}
+
+    optimize_iceberg(spark, t)
+    removed = expire_iceberg_snapshots(t, keep_last=1)
+    assert removed
+    after = read_iceberg(spark, t)
+    assert after.count() == 61
+    assert len(resolve_snapshot(t).files) <= 3
+
+
+def test_partition_values_with_uri_special_chars(spark, tmp_path):
+    """Regression: input_file_name() returns a percent-ENCODED URI and
+    Spark hive-escapes special chars in partition dir names, so string
+    partition values like 'Brand#6' used to (a) never match the
+    file->partitionValues broadcast join and (b) compound-escape on
+    every re-staging ('Brand#6' -> 'Brand%236' -> 'Brand%25236')."""
+    from dremio_oss_spark.sources.delta import (
+        read_delta, resolve_snapshot, update_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"Brand#{i % 2}", float(i)) for i in range(10)],
+        "k long, brand string, v double",
+    )
+    write_delta(spark, df, t, partition_by=["brand"])
+    assert read_delta(spark, t).count() == 10
+    update_delta(spark, t, {"v": "v + 1"}, "k < 5")  # re-stages hit files
+    cur = read_delta(spark, t)
+    assert sorted(r["brand"] for r in cur.select("brand").distinct()
+                  .collect()) == ["Brand#0", "Brand#1"]
+    assert {pv["brand"] for pv in
+            resolve_snapshot(spark, t).files.values()} == {
+        "Brand#0", "Brand#1"}
