@@ -640,6 +640,48 @@ order by p_brand
 """
 
 
+def iceberg_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden-partitioning round trip: write orders PARTITION BY
+    (bucket(4, o_custkey), year(o_orderdate)), then answer a
+    single-customer query through the manifest-pruned scan
+    (`plan_iceberg_scan`) — the bucket transform prunes to 1/4 of the
+    files with no o_custkey in any path.  Reference: Iceberg partition
+    transforms in dremio-oss CREATE TABLE (`parserImpls.ftl`,
+    `IcebergUtils.java` transform mapping).  The oracle recomputes from
+    raw orders; `pruned` asserts the scan really skipped files."""
+    from ..sources.iceberg import plan_iceberg_scan, write_iceberg
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("iceberg_tf", sf), "orders_iceberg")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    write_iceberg(spark, orders, t,
+                  partition_by=["bucket(4, o_custkey)",
+                                "year(o_orderdate)"])
+    k = orders.agg(F.min("o_custkey")).collect()[0][0]
+    df, total, scanned = plan_iceberg_scan(spark, t, {"o_custkey": k})
+    return (
+        df.where(F.col("o_custkey") == k)  # residual filter after prune
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             dsum(F.col("o_totalprice"), 2).alias("total_sum"))
+        .withColumn("pruned", F.lit(0 < scanned < total))
+        .orderBy("o_year")
+    )
+
+
+ICEBERG_TRANSFORMS_SQL = """
+select cast(year(o_orderdate) as bigint) as o_year,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_sum,
+       true as pruned
+from orders
+where o_custkey = (select min(o_custkey) from orders)
+group by 1
+order by 1
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -653,6 +695,7 @@ SOURCES_QUERIES = {
     "src_iceberg_write": iceberg_write,
     "src_delta_merge": delta_merge,
     "src_iceberg_dml": iceberg_dml,
+    "src_iceberg_transforms": iceberg_transforms,
 }
 
 SOURCES_ORACLE = {
@@ -668,4 +711,5 @@ SOURCES_ORACLE = {
     "src_iceberg_write": ICEBERG_WRITE_SQL,
     "src_delta_merge": DELTA_MERGE_SQL,
     "src_iceberg_dml": ICEBERG_DML_SQL,
+    "src_iceberg_transforms": ICEBERG_TRANSFORMS_SQL,
 }

@@ -114,11 +114,18 @@ def _spark_type(t) -> T.DataType:
 
 class IcebergSnapshot:
     def __init__(self, snapshot_id: int, schema: T.StructType,
-                 partition_cols: list[str], files: list[tuple[str, dict]]):
+                 partition_cols: list[str], files: list[tuple[str, dict]],
+                 spec_fields: list[dict] | None = None):
         self.snapshot_id = snapshot_id
         self.schema = schema
-        self.partition_cols = partition_cols
+        self.partition_cols = partition_cols  # identity-transform fields
         self.files = files  # (local data path, partition values)
+        # full default partition spec: [{name, transform, source}] —
+        # includes hidden (non-identity) transform fields
+        self.spec_fields = spec_fields or [
+            {"name": c, "transform": "identity", "source": c}
+            for c in partition_cols
+        ]
 
 
 def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnapshot:
@@ -148,16 +155,23 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
             for f in schema_json["fields"]
         ]
     )
-    # identity partition columns from the default spec
+    # partition spec: identity fields surface as table columns from the
+    # manifest partition values; non-identity transforms are HIDDEN
+    # partitioning (source column stays in the data files)
     part_cols: list[str] = []
+    spec_fields: list[dict] = []
     field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
     for spec in meta.get("partition-specs", []):
         if spec.get("spec-id") == meta.get("default-spec-id", 0):
             for pf in spec.get("fields", []):
+                source = field_names.get(pf.get("source-id"), pf["name"])
+                spec_fields.append({
+                    "name": pf["name"],
+                    "transform": pf.get("transform", "identity"),
+                    "source": source,
+                })
                 if pf.get("transform") == "identity":
-                    part_cols.append(
-                        field_names.get(pf.get("source-id"), pf["name"])
-                    )
+                    part_cols.append(source)
 
     files: list[tuple[str, dict]] = []
     for mf in read_avro_file(_local(snap["manifest-list"], table)):
@@ -169,7 +183,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
                 (_local(df_rec["file_path"], table),
                  df_rec.get("partition") or {})
             )
-    return IcebergSnapshot(sid, schema, part_cols, files)
+    return IcebergSnapshot(sid, schema, part_cols, files, spec_fields)
 
 
 def read_iceberg(spark: SparkSession, table: str,
@@ -294,6 +308,150 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
     return sid
 
 
+# --------------------------------------------------------------------------
+# Partition transforms (Iceberg hidden partitioning)
+#
+# Reference: dremio-oss CREATE TABLE ... PARTITION BY (bucket(n, col),
+# truncate(w, col), year/month/day(col)) on Iceberg tables
+# (`parserImpls.ftl` partition transform list, `IcebergUtils.java`
+# transform mapping).  Deviation, stated: bucket uses crc32(string(v)) %%
+# n instead of the spec's murmur3_x86_32 — computable identically on the
+# JVM side (F.crc32) and driver side (zlib.crc32) for pruning; tables
+# are self-describing through the stored spec and this engine reads its
+# own commits.
+
+def _parse_partition_spec(specs: list[str]) -> list[dict]:
+    """'bucket(8, col)' / 'truncate(3, col)' / 'year(col)' / 'month(col)'
+    / 'day(col)' / plain 'col' → [{name, transform, source}] using the
+    spec's transform spelling (bucket[8], truncate[3], year, ...)."""
+    out: list[dict] = []
+    for s in specs:
+        m = re.fullmatch(
+            r"\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", s)
+        if m:
+            fn, n, col = m.group(1), int(m.group(2)), m.group(3)
+            out.append({"name": f"{col}_{fn}",
+                        "transform": f"{fn}[{n}]", "source": col})
+            continue
+        m = re.fullmatch(r"\s*(year|month|day)\s*\(\s*(\w+)\s*\)\s*", s)
+        if m:
+            fn, col = m.group(1), m.group(2)
+            out.append({"name": f"{col}_{fn}", "transform": fn,
+                        "source": col})
+            continue
+        m = re.fullmatch(r"\s*(\w+)\s*", s)
+        if m:
+            out.append({"name": m.group(1), "transform": "identity",
+                        "source": m.group(1)})
+            continue
+        raise ValueError(f"unsupported partition transform {s!r}")
+    return out
+
+
+def _transform_column(pf: dict, dtype: T.DataType):
+    """Spark column computing the transform value of the source column."""
+    tf, src = pf["transform"], pf["source"]
+    if tf == "identity":
+        return F.col(src)
+    m = re.fullmatch(r"bucket\[(\d+)\]", tf)
+    if m:
+        return F.pmod(F.crc32(F.col(src).cast("string").cast("binary")),
+                      F.lit(int(m.group(1)))).cast("int")
+    m = re.fullmatch(r"truncate\[(\d+)\]", tf)
+    if m:
+        w = int(m.group(1))
+        if isinstance(dtype, T.StringType):
+            return F.substring(F.col(src), 1, w)
+        return (F.col(src) - F.pmod(F.col(src), F.lit(w))).cast(dtype)
+    if tf == "year":
+        return F.year(F.col(src))
+    if tf == "month":
+        # spec stores months-since-epoch; a readable yyyy-MM is
+        # equivalent for layout/pruning and self-describing
+        return F.date_format(F.col(src), "yyyy-MM")
+    if tf == "day":
+        return F.date_format(F.col(src), "yyyy-MM-dd")
+    raise ValueError(f"unsupported transform {tf!r}")
+
+
+def transform_value(pf: dict, value) -> str:
+    """Driver-side transform evaluation (for partition pruning): must
+    agree exactly with `_transform_column`'s JVM result, stringified the
+    way partition values are stored."""
+    import datetime as _dt
+    import zlib
+
+    tf = pf["transform"]
+    if tf == "identity":
+        return str(value)
+    m = re.fullmatch(r"bucket\[(\d+)\]", tf)
+    if m:
+        return str(zlib.crc32(str(value).encode()) % int(m.group(1)))
+    m = re.fullmatch(r"truncate\[(\d+)\]", tf)
+    if m:
+        w = int(m.group(1))
+        if isinstance(value, str):
+            return value[:w]
+        return str(value - value % w)
+    d = (value if isinstance(value, (_dt.date, _dt.datetime))
+         else _dt.date.fromisoformat(str(value)[:10]))
+    if tf == "year":
+        return str(d.year)
+    if tf == "month":
+        return f"{d.year:04d}-{d.month:02d}"
+    if tf == "day":
+        return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+    raise ValueError(f"unsupported transform {tf!r}")
+
+
+def _apply_transforms(df: DataFrame,
+                      spec_fields: list[dict]) -> tuple[DataFrame, list[str]]:
+    """Attach derived partition columns; return (df, partitionBy names).
+    Identity fields partition directly on the source column (partitionBy
+    drops it from the data files — the manifest carries it); transform
+    fields derive a hidden column, keeping the source in the data."""
+    names: list[str] = []
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for pf in spec_fields:
+        if pf["transform"] == "identity":
+            names.append(pf["source"])
+        else:
+            df = df.withColumn(
+                pf["name"], _transform_column(pf, types[pf["source"]]))
+            names.append(pf["name"])
+    return df, names
+
+
+def plan_iceberg_scan(spark: SparkSession, table: str,
+                      equality: dict[str, object],
+                      snapshot_id: int | None = None
+                      ) -> tuple[DataFrame, int, int]:
+    """Partition-pruned scan: apply `col → value` equality bindings to
+    every spec transform and keep only files whose manifest partition
+    values match — the manifest-level pruning `IcebergScanPrel` plans
+    (works for hidden transforms too: bucket/truncate/temporal of a
+    bound source column prunes without the column being in the path).
+    Returns (DataFrame, files_total, files_scanned); the caller still
+    applies the residual row filter."""
+    from .delta import _scan_with_partition_values
+
+    snap = resolve_snapshot(table, snapshot_id)
+    required: dict[str, str] = {}
+    for pf in snap.spec_fields:
+        if pf["source"] in equality:
+            required[pf["name"]] = transform_value(
+                pf, equality[pf["source"]])
+    files = [(p, pv) for p, pv in snap.files
+             if all(pv.get(k) == v for k, v in required.items())]
+    if not files:
+        df = spark.createDataFrame([], snap.schema)
+    else:
+        df = _scan_with_partition_values(
+            spark, table, snap.schema, snap.partition_cols,
+            {p: pv for p, pv in files})
+    return df, len(snap.files), len(files)
+
+
 def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> int:
@@ -308,7 +466,6 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     """
     from .delta import _stage_files
 
-    partition_by = list(partition_by or [])
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     try:
         prev = resolve_snapshot(table)
@@ -317,9 +474,12 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         prev_files = [
             (os.path.relpath(p, table), pv) for p, pv in prev.files
         ]
+        # the partition spec is a table property — later writes follow it
+        spec_fields = prev.spec_fields
         existed = True
     except FileNotFoundError:
         prev_files, existed = [], False
+        spec_fields = _parse_partition_spec(list(partition_by or []))
         fields, fid = [], 0
         for f in df.schema.fields:
             fid += 1
@@ -334,17 +494,18 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                          "fields": fields}],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": [
-                {"name": c, "transform": "identity",
+                {"name": pf["name"], "transform": pf["transform"],
                  "source-id": next(fl["id"] for fl in fields
-                                   if fl["name"] == c)}
-                for c in partition_by
+                                   if fl["name"] == pf["source"])}
+                for pf in spec_fields
             ]}],
             "snapshots": [],
         }
     sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
                    default=0) + 1
-    staged = _stage_files(spark, df, os.path.join(table, "data"),
-                          sid_next, partition_by)
+    staged_df, part_names = _apply_transforms(df, spec_fields)
+    staged = _stage_files(spark, staged_df, os.path.join(table, "data"),
+                          sid_next, part_names)
     staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
     if mode == "append" and existed:
         live = prev_files + staged
@@ -353,7 +514,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         live = staged
         removed = prev_files
     return _commit_snapshot(table, meta, "append" if mode == "append"
-                            else "overwrite", live, removed, partition_by)
+                            else "overwrite", live, removed, part_names)
 
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
@@ -378,21 +539,25 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
                    default=0) + 1
     staged: list[tuple[str, dict]] = []
+    part_names = [pf["source"] if pf["transform"] == "identity"
+                  else pf["name"] for pf in snap.spec_fields]
     if hits:
         hits_df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
             {os.path.join(table, rel): pv for rel, pv in hits})
-        staged += _stage_files(spark, rewrite(hits_df),
-                               os.path.join(table, "data"),
-                               sid_next, snap.partition_cols)
+        out, part_names = _apply_transforms(rewrite(hits_df),
+                                            snap.spec_fields)
+        staged += _stage_files(spark, out, os.path.join(table, "data"),
+                               sid_next, part_names)
     if inserts is not None:
         cols = [f.name for f in snap.schema.fields]
-        staged += _stage_files(spark, inserts.select(*cols),
-                               os.path.join(table, "data"),
-                               sid_next, snap.partition_cols)
+        out, part_names = _apply_transforms(inserts.select(*cols),
+                                            snap.spec_fields)
+        staged += _stage_files(spark, out, os.path.join(table, "data"),
+                               sid_next, part_names)
     staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
-                            snap.partition_cols)
+                            part_names)
 
 
 def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:

@@ -587,3 +587,49 @@ def test_partition_values_with_uri_special_chars(spark, tmp_path):
     assert {pv["brand"] for pv in
             resolve_snapshot(spark, t).files.values()} == {
         "Brand#0", "Brand#1"}
+
+
+def test_iceberg_partition_transforms_prune_and_dml(spark, tmp_path):
+    """bucket/truncate/year hidden partitioning: source columns stay in
+    the data files, manifests carry the transform values, equality
+    bindings prune at the manifest level, and COW DML re-derives the
+    layout."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        plan_iceberg_scan, read_iceberg, resolve_snapshot,
+        update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"cat{i % 7}", dt.date(2020 + i % 3, 1 + i % 12, 5),
+             float(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, cat string, d date, v double")
+    write_iceberg(spark, df, t, partition_by=[
+        "bucket(4, k)", "truncate(4, cat)", "year(d)"])
+
+    # full read: all columns incl. transform sources, exact rows
+    full = read_iceberg(spark, t)
+    assert full.count() == 120
+    assert set(full.columns) == {"k", "cat", "d", "v"}
+
+    snap = resolve_snapshot(t)
+    assert [pf["transform"] for pf in snap.spec_fields] == [
+        "bucket[4]", "truncate[4]", "year"]
+    assert all({"k_bucket", "cat_truncate", "d_year"} <= set(pv)
+               for _, pv in snap.files)
+
+    # pruning on the bucket source column
+    pruned, total, scanned = plan_iceberg_scan(spark, t, {"k": 17})
+    assert 0 < scanned < total
+    assert pruned.where("k = 17").count() == 1
+
+    # DML preserves hidden layout
+    update_iceberg(spark, t, {"v": "v + 100"}, "k = 17")
+    snap2 = resolve_snapshot(t)
+    assert all({"k_bucket", "cat_truncate", "d_year"} <= set(pv)
+               for _, pv in snap2.files)
+    _, _, scanned2 = plan_iceberg_scan(spark, t, {"k": 17})
+    assert scanned2 < total
+    assert read_iceberg(spark, t).where("k = 17").collect()[0]["v"] == 117.0
