@@ -682,6 +682,48 @@ order by 1
 """
 
 
+def schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS on a Delta table: write the first half of
+    part without the new column, evolve the schema (metadata-only),
+    append the second half WITH it, and aggregate across the null-filled
+    boundary.  Reference: dremio-oss ALTER TABLE ADD/DROP COLUMNS on
+    Iceberg tables (`SqlAlterTableAddColumns`)."""
+    from ..sources.delta import alter_delta, read_delta, write_delta
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("delta_ev", sf), "part_delta")
+    part = load(spark, sf, "part").select("p_partkey", "p_retailprice")
+    mid = part.agg(F.max("p_partkey")).collect()[0][0] // 2
+    write_delta(spark, part.where(F.col("p_partkey") <= mid), t)
+    alter_delta(spark, t, add={"price_band": "string"})
+    late = (
+        part.where(F.col("p_partkey") > mid)
+        .withColumn("price_band",
+                    F.when(F.col("p_retailprice") > 1500, "hi")
+                    .otherwise("lo"))
+    )
+    write_delta(spark, late, t, mode="append")
+    return (
+        read_delta(spark, t)
+        .groupBy(F.coalesce("price_band", F.lit("none")).alias("band"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"),
+             dsum(F.col("p_retailprice"), 2).alias("price_sum"))
+        .orderBy("band")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+with mid as (select max(p_partkey) // 2 as m from part)
+select case when p_partkey <= (select m from mid) then 'none'
+            when p_retailprice > 1500 then 'hi' else 'lo' end as band,
+       cast(count(*) as bigint) as n_parts,
+       cast(sum(cast(p_retailprice as decimal(18,2))) as double) as price_sum
+from part
+group by 1
+order by 1
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -696,6 +738,7 @@ SOURCES_QUERIES = {
     "src_delta_merge": delta_merge,
     "src_iceberg_dml": iceberg_dml,
     "src_iceberg_transforms": iceberg_transforms,
+    "src_schema_evolution": schema_evolution,
 }
 
 SOURCES_ORACLE = {
@@ -712,4 +755,5 @@ SOURCES_ORACLE = {
     "src_delta_merge": DELTA_MERGE_SQL,
     "src_iceberg_dml": ICEBERG_DML_SQL,
     "src_iceberg_transforms": ICEBERG_TRANSFORMS_SQL,
+    "src_schema_evolution": SCHEMA_EVOLUTION_SQL,
 }

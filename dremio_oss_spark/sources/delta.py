@@ -520,6 +520,49 @@ def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
     return sorted(removed)
 
 
+def alter_delta(spark: SparkSession, table: str,
+                add: dict[str, str] | None = None,
+                drop: list[str] | None = None) -> int:
+    """ALTER TABLE ADD COLUMNS (name → DDL type) / DROP COLUMN —
+    metadata-only commit (no data files touched).  Old files simply lack
+    added columns (the schema-first scan null-fills them) or still carry
+    dropped ones (the scan projects them away).  Time travel sees the
+    schema as of the requested version, because the log replay stops at
+    that version's metaData.  Reference: dremio-oss ALTER TABLE
+    ADD/DROP COLUMNS on Iceberg tables (`SqlAlterTableAddColumns`,
+    `SqlAlterTableDropColumn` in the parser surface)."""
+    from pyspark.sql.types import StructField
+
+    snap = resolve_snapshot(spark, table)
+    version = snap.version + 1
+    dropped = set(drop or [])
+    bad = dropped & set(snap.partition_cols)
+    if bad:
+        raise ValueError(f"cannot drop partition column(s) {sorted(bad)}")
+    fields = [f for f in snap.schema.fields if f.name not in dropped]
+    for name, ddl in (add or {}).items():
+        if any(f.name == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fields.append(StructField(name, _ddl_type(ddl), True))
+    new_schema = StructType(fields)
+    _commit(table, version, [
+        {"commitInfo": {"operation": "ALTER TABLE", "timestamp": version}},
+        {"metaData": {
+            "id": os.path.basename(table.rstrip(os.sep)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": new_schema.json(),
+            "partitionColumns": snap.partition_cols,
+            "configuration": {},
+        }},
+    ])
+    return version
+
+
+def _ddl_type(ddl: str):
+    """Parse a single DDL type string ('bigint', 'decimal(12,2)', ...)."""
+    return StructType.fromDDL(f"__c {ddl}").fields[0].dataType
+
+
 def delta_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per commit (version + commitInfo)."""
     out = []

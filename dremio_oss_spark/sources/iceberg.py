@@ -694,6 +694,50 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
     return sorted(removed)
 
 
+def alter_iceberg(table: str, add: dict[str, str] | None = None,
+                  drop: list[str] | None = None) -> int:
+    """ALTER TABLE ADD COLUMNS (name → DDL type) / DROP COLUMN on an
+    Iceberg table: append a new schema with a bumped schema-id and point
+    current-schema-id at it — pure metadata, no data files touched
+    (Iceberg schema evolution).  Old files null-fill added columns and
+    project away dropped ones at scan time.  Reference: dremio-oss
+    ALTER TABLE on Iceberg (`SqlAlterTableAddColumns` et al.)."""
+    from .delta import _ddl_type
+
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    cur_id = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    dropped = set(drop or [])
+    spec_sources = set()
+    for spec in meta.get("partition-specs", []):
+        if spec.get("spec-id") == meta.get("default-spec-id", 0):
+            ids = {f["id"]: f["name"] for f in cur["fields"]}
+            spec_sources = {ids.get(pf.get("source-id"))
+                            for pf in spec.get("fields", [])}
+    bad = dropped & spec_sources
+    if bad:
+        raise ValueError(
+            f"cannot drop partition source column(s) {sorted(bad)}")
+    fields = [dict(f) for f in cur["fields"] if f["name"] not in dropped]
+    next_fid = max((f["id"] for f in cur["fields"]), default=0) + 1
+    for name, ddl in (add or {}).items():
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fields.append({"id": next_fid, "name": name, "required": False,
+                       "type": _iceberg_type(_ddl_type(ddl))})
+        next_fid += 1
+    new_id = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"type": "struct", "schema-id": new_id,
+                    "fields": fields})
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_id
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return new_id
+
+
 def iceberg_history(table: str) -> list[dict]:
     """Table history: one row per snapshot (id, timestamp, operation)."""
     with open(_metadata_file(table)) as f:

@@ -633,3 +633,45 @@ def test_iceberg_partition_transforms_prune_and_dml(spark, tmp_path):
     _, _, scanned2 = plan_iceberg_scan(spark, t, {"k": 17})
     assert scanned2 < total
     assert read_iceberg(spark, t).where("k = 17").collect()[0]["v"] == 117.0
+
+
+def test_schema_evolution_add_drop(spark, tmp_path):
+    """ALTER TABLE ADD/DROP COLUMNS on Delta and Iceberg: metadata-only,
+    old files null-fill added columns, dropped columns project away,
+    Delta time travel sees the historical schema, partition (source)
+    columns refuse to drop."""
+    import pytest as _pytest
+    from decimal import Decimal
+
+    from dremio_oss_spark.sources.delta import (
+        alter_delta, read_delta, write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        alter_iceberg, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(10)], "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"])
+    alter_delta(spark, t, add={"w": "decimal(10,2)"})
+    cur = read_delta(spark, t)
+    assert set(cur.columns) == {"k", "p", "v", "w"}
+    assert cur.where("w is null").count() == 10
+    write_delta(spark, spark.createDataFrame(
+        [(100, 0, 1.0, Decimal("5.50"))],
+        "k long, p long, v double, w decimal(10,2)"),
+        t, mode="append", partition_by=["p"])
+    assert read_delta(spark, t).where("w is not null").count() == 1
+    assert set(read_delta(spark, t, version=0).columns) == {"k", "p", "v"}
+    with _pytest.raises(ValueError):
+        alter_delta(spark, t, drop=["p"])
+    alter_delta(spark, t, drop=["v"])
+    assert set(read_delta(spark, t).columns) == {"k", "p", "w"}
+
+    t2 = str(tmp_path / "i")
+    write_iceberg(spark, df, t2, partition_by=["p"])
+    alter_iceberg(t2, add={"tag": "string"})
+    assert read_iceberg(spark, t2).where("tag is null").count() == 10
+    with _pytest.raises(ValueError):
+        alter_iceberg(t2, drop=["p"])
+    alter_iceberg(t2, drop=["v"])
+    assert set(read_iceberg(spark, t2).columns) == {"k", "p", "tag"}
