@@ -40,6 +40,29 @@ _DIALECT_REWRITES: list[tuple[str, str]] = [
 _CONVERT_CODECS = {"UTF8", "BASE64", "INT_BE", "BIGINT_BE"}
 
 
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on `sep` outside parentheses and single quotes."""
+    out, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if ch == "'" and not in_str:
+            in_str = True
+        elif ch == "'" and in_str:
+            in_str = False
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _rewrite_convert(query: str) -> str:
     """CONVERT_FROM/TO(x, '<codec>') -> the matching shim call
     (exec/expr/fn/impl/conv/).  Paren-balanced, string-aware, recursive —
@@ -618,6 +641,126 @@ class Engine:
         if any(n in q for n in _SQL_FUNCTIONS) or "st_geohash" in q:
             register_all(self.spark)
 
+    # -- lakehouse DML statements (Delta / Iceberg table paths) ------------
+    def _lake_format(self, path: str) -> str | None:
+        import os
+
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return "delta"
+        if os.path.exists(os.path.join(path, "metadata",
+                                       "version-hint.text")):
+            return "iceberg"
+        return None
+
+    def _status(self, operation: str, detail) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(operation, str(detail))], "operation string, result string")
+
+    def _lake_statement(self, query: str) -> DataFrame | None:
+        """SQL forms of the lakehouse DML surface on quoted table paths:
+        DELETE FROM / UPDATE / MERGE INTO / OPTIMIZE TABLE /
+        VACUUM TABLE / ALTER TABLE ADD COLUMNS|DROP COLUMN.
+        Reference statement surface: dremio-oss DML on Iceberg tables
+        (`UpdateHandler`, `MergeHandler`, `OptimizeHandler`,
+        `VacuumTableHandler`, parser entries in `parserImpls.ftl`)."""
+        from .sources import delta as D
+        from .sources import iceberg as I
+
+        m = re.match(
+            r"\s*delete\s+from\s+'([^']+)'(?:\s+where\s+(.+?))?\s*$",
+            query, re.I | re.S)
+        if m:
+            path, pred = m.group(1), m.group(2) or "true"
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            fn = (D.delete_from_delta if fmt == "delta"
+                  else I.delete_from_iceberg)
+            return self._status("DELETE", fn(self.spark, path, pred))
+
+        m = re.match(
+            r"\s*update\s+'([^']+)'\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*$",
+            query, re.I | re.S)
+        if m:
+            path, sets, pred = m.group(1), m.group(2), m.group(3) or "true"
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            set_exprs: dict[str, str] = {}
+            for part in _split_top_level(sets, ","):
+                c, _, e = part.partition("=")
+                set_exprs[c.strip()] = e.strip()
+            fn = D.update_delta if fmt == "delta" else I.update_iceberg
+            return self._status(
+                "UPDATE", fn(self.spark, path, set_exprs, pred))
+
+        m = re.match(
+            r"\s*merge\s+into\s+'([^']+)'\s+using\s+(\w+)\s+"
+            r"on\s+(.+?)\s+when\s+matched\s+then\s+update\s+set\s+\*\s+"
+            r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+            query, re.I | re.S)
+        if m:
+            path, src_view, cond = m.group(1), m.group(2), m.group(3)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            keys = [k.strip().split(".")[-1]
+                    for k in re.split(r"\band\b", cond, flags=re.I)
+                    for k in [k.split("=")[0]]]
+            source = self.spark.table(src_view)
+            fn = (D.merge_into_delta if fmt == "delta"
+                  else I.merge_into_iceberg)
+            return self._status(
+                "MERGE", fn(self.spark, path, source, on=keys))
+
+        m = re.match(r"\s*optimize\s+table\s+'([^']+)'\s*$", query, re.I)
+        if m:
+            path = m.group(1)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            fn = D.optimize_delta if fmt == "delta" else I.optimize_iceberg
+            return self._status("OPTIMIZE", fn(self.spark, path))
+
+        m = re.match(r"\s*vacuum\s+table\s+'([^']+)'\s*$", query, re.I)
+        if m:
+            path = m.group(1)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.vacuum_delta(self.spark, path) if fmt == "delta"
+                   else I.expire_iceberg_snapshots(path))
+            return self._status("VACUUM", f"{len(out)} files removed")
+
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+add\s+columns\s*"
+            r"\((.+)\)\s*$", query, re.I | re.S)
+        if m:
+            path, cols = m.group(1), m.group(2)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            add: dict[str, str] = {}
+            for part in _split_top_level(cols, ","):
+                name, _, typ = part.strip().partition(" ")
+                add[name.strip()] = typ.strip()
+            out = (D.alter_delta(self.spark, path, add=add)
+                   if fmt == "delta" else I.alter_iceberg(path, add=add))
+            return self._status("ALTER TABLE ADD COLUMNS", out)
+
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+drop\s+column\s+(\w+)\s*$",
+            query, re.I)
+        if m:
+            path, col = m.group(1), m.group(2)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.alter_delta(self.spark, path, drop=[col])
+                   if fmt == "delta" else I.alter_iceberg(path, drop=[col]))
+            return self._status("ALTER TABLE DROP COLUMN", out)
+        return None
+
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
@@ -627,6 +770,9 @@ class Engine:
         if m:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
+        lake = self._lake_statement(query)
+        if lake is not None:
+            return lake
         query = self._expand_tabular(query)
         query = _rewrite_convert(query)
         for pat, rep in _DIALECT_REWRITES:

@@ -101,3 +101,52 @@ def test_compact_and_load_materialization(spark, tmp_path):
 
     with pytest.raises(KeyError):
         store.compact_materialization("nope")
+
+
+def test_lakehouse_sql_dml_statements(spark, tmp_path):
+    """SQL statement forms of the lakehouse DML surface dispatch to the
+    right format by table path: DELETE/UPDATE/MERGE INTO/OPTIMIZE/
+    VACUUM/ALTER TABLE on Delta and Iceberg tables (dremio-oss DML
+    statement surface re-expressed over quoted paths)."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+    from dremio_oss_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)],
+        "k long, p long, v double")
+
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t, partition_by=["p"])
+    assert eng.sql(f"DELETE FROM '{t}' WHERE k >= 18").collect()[0][
+        "operation"] == "DELETE"
+    assert read_delta(spark, t).count() == 18
+    eng.sql(f"UPDATE '{t}' SET v = v + 0.5 WHERE k = 0")
+    assert read_delta(spark, t).where("k=0").collect()[0]["v"] == 0.5
+    spark.createDataFrame(
+        [(0, 0, -1.0), (50, 0, 9.0)], "k long, p long, v double"
+    ).createOrReplaceTempView("mysrc")
+    eng.sql(f"MERGE INTO '{t}' USING mysrc ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    cur = read_delta(spark, t)
+    assert cur.count() == 19
+    assert cur.where("k=0").collect()[0]["v"] == -1.0
+    eng.sql(f"ALTER TABLE '{t}' ADD COLUMNS (tag string, w decimal(10,2))")
+    assert set(read_delta(spark, t).columns) == {"k", "p", "v", "tag", "w"}
+    eng.sql(f"ALTER TABLE '{t}' DROP COLUMN tag")
+    eng.sql(f"OPTIMIZE TABLE '{t}'")
+    out = eng.sql(f"VACUUM TABLE '{t}'").collect()[0]
+    assert out["operation"] == "VACUUM"
+    assert read_delta(spark, t).count() == 19
+
+    t2 = str(tmp_path / "i")
+    write_iceberg(spark, df, t2, partition_by=["p"])
+    eng.sql(f"DELETE FROM '{t2}' WHERE k >= 18")
+    eng.sql(f"UPDATE '{t2}' SET v = 7 WHERE k = 1")
+    eng.sql(f"OPTIMIZE TABLE '{t2}'")
+    eng.sql(f"VACUUM TABLE '{t2}'")
+    cur = read_iceberg(spark, t2)
+    assert cur.count() == 18
+    assert cur.where("k=1").collect()[0]["v"] == 7.0
