@@ -713,6 +713,18 @@ class Engine:
             return self._status(
                 "MERGE", fn(self.spark, path, source, on=keys))
 
+        m = re.match(
+            r"\s*rollback\s+table\s+'([^']+)'\s+to\s+snapshot\s+"
+            r"'?(\d+)'?\s*$", query, re.I)
+        if m:
+            path, snap = m.group(1), int(m.group(2))
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.rollback_delta(self.spark, path, snap)
+                   if fmt == "delta" else I.rollback_iceberg(path, snap))
+            return self._status("ROLLBACK", out)
+
         m = re.match(r"\s*optimize\s+table\s+'([^']+)'\s*$", query, re.I)
         if m:
             path = m.group(1)
@@ -761,6 +773,99 @@ class Engine:
             return self._status("ALTER TABLE DROP COLUMN", out)
         return None
 
+    # -- metadata table functions (ref MetadataFunctionsMacro.java:36) -----
+    def table_history(self, path: str) -> DataFrame:
+        """TABLE(table_history('<path>')): one row per commit/snapshot."""
+        from .sources.delta import delta_history
+        from .sources.iceberg import iceberg_history
+
+        fmt = self._lake_format(path)
+        if fmt == "delta":
+            rows = [(h["version"], h["operation"], str(h["timestamp"]))
+                    for h in delta_history(path)]
+        elif fmt == "iceberg":
+            rows = [(h["snapshot_id"], h["operation"],
+                     str(h["timestamp_ms"]))
+                    for h in iceberg_history(path)]
+        else:
+            raise ValueError(f"not a lakehouse table: {path}")
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, operation string, committed_at string")
+
+    def table_files(self, path: str) -> DataFrame:
+        """TABLE(table_files('<path>')): live data files of the current
+        snapshot with partition values and physical size."""
+        import json as _json
+        import os
+
+        files = self._snap_files(path)
+        rows = [
+            (rel, _json.dumps(pv, sort_keys=True),
+             os.path.getsize(os.path.join(path, rel))
+             if os.path.exists(os.path.join(path, rel)) else None)
+            for rel, pv in files
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, partition string, size_bytes long")
+
+    def table_snapshot(self, path: str) -> DataFrame:
+        """TABLE(table_snapshot('<path>')): current snapshot summary."""
+        fmt = self._lake_format(path)
+        if fmt == "delta":
+            from .sources.delta import resolve_snapshot
+            snap = resolve_snapshot(self.spark, path)
+            sid, n = snap.version, len(snap.files)
+        else:
+            from .sources.iceberg import resolve_snapshot
+            snap = resolve_snapshot(path)
+            sid, n = snap.snapshot_id, len(snap.files)
+        return self.spark.createDataFrame(
+            [(sid, fmt, n)],
+            "snapshot_id long, format string, n_files long")
+
+    def table_partitions(self, path: str) -> DataFrame:
+        """TABLE(table_partitions('<path>')): file/row layout per
+        partition tuple."""
+        import json as _json
+        from collections import Counter
+
+        files = self._snap_files(path)
+        counts = Counter(_json.dumps(pv, sort_keys=True)
+                         for _, pv in files)
+        return self.spark.createDataFrame(
+            sorted(counts.items()), "partition string, n_files long")
+
+    def _snap_files(self, path: str) -> list[tuple[str, dict]]:
+        import os
+
+        fmt = self._lake_format(path)
+        if fmt == "delta":
+            from .sources.delta import resolve_snapshot
+            return sorted(resolve_snapshot(self.spark, path).files.items())
+        if fmt == "iceberg":
+            from .sources.iceberg import resolve_snapshot
+            return sorted(
+                (os.path.relpath(p, path), pv)
+                for p, pv in resolve_snapshot(path).files)
+        raise ValueError(f"not a lakehouse table: {path}")
+
+    _META_FNS = ("table_history", "table_files", "table_snapshot",
+                 "table_partitions")
+
+    def _expand_metadata_fns(self, query: str) -> str:
+        """Rewrite TABLE(table_history('<path>')) et al. into temp views
+        (ref `MetadataFunctionsMacro.java:36` TABLE_HISTORY/FILES/...)."""
+        def repl(m: "re.Match[str]") -> str:
+            fn, path = m.group(1).lower(), m.group(2)
+            view = f"__meta_{fn}_{abs(hash(path)) % 10**8}"
+            getattr(self, fn)(path).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"table\(\s*(" + "|".join(self._META_FNS) + r")\s*\(\s*"
+            r"'([^']+)'\s*\)\s*\)",
+            repl, query, flags=re.I)
+
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
@@ -773,6 +878,7 @@ class Engine:
         lake = self._lake_statement(query)
         if lake is not None:
             return lake
+        query = self._expand_metadata_fns(query)
         query = self._expand_tabular(query)
         query = _rewrite_convert(query)
         for pat, rep in _DIALECT_REWRITES:

@@ -724,6 +724,46 @@ order by 1
 """
 
 
+def lake_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata table functions + ROLLBACK: build a Delta table from
+    nation, DELETE a region, inspect TABLE(table_history/snapshot/files)
+    through the engine SQL surface, then ROLLBACK TO SNAPSHOT 0 and
+    verify the restored row count.  Reference:
+    `MetadataFunctionsMacro.java:36` (table_history/table_files/...),
+    `parserImpls.ftl:1211` (ROLLBACK TABLE)."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    from ..sources.delta import read_delta, write_delta
+
+    t = os.path.join(_scratch("delta_meta", sf), "nation_delta")
+    write_delta(spark, load(spark, sf, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey"), t)
+    eng.sql(f"DELETE FROM '{t}' WHERE n_regionkey = 0")
+    n_commits = eng.sql(
+        f"select count(*) as c from table(table_history('{t}'))"
+    ).collect()[0]["c"]
+    n_after_delete = read_delta(spark, t).count()
+    eng.sql(f"ROLLBACK TABLE '{t}' TO SNAPSHOT '0'")
+    return (
+        read_delta(spark, t)
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_restored"))
+        .withColumn("n_commits", F.lit(n_commits).cast("bigint"))
+        .withColumn("n_after_delete",
+                    F.lit(n_after_delete).cast("bigint"))
+    )
+
+
+LAKE_METADATA_SQL = """
+select cast(count(*) as bigint) as n_restored,
+       cast(2 as bigint) as n_commits,
+       cast((select count(*) from nation where n_regionkey <> 0)
+            as bigint) as n_after_delete
+from nation
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -739,6 +779,7 @@ SOURCES_QUERIES = {
     "src_iceberg_dml": iceberg_dml,
     "src_iceberg_transforms": iceberg_transforms,
     "src_schema_evolution": schema_evolution,
+    "src_lake_metadata": lake_metadata,
 }
 
 SOURCES_ORACLE = {
@@ -756,4 +797,5 @@ SOURCES_ORACLE = {
     "src_iceberg_dml": ICEBERG_DML_SQL,
     "src_iceberg_transforms": ICEBERG_TRANSFORMS_SQL,
     "src_schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "src_lake_metadata": LAKE_METADATA_SQL,
 }

@@ -520,6 +520,40 @@ def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
     return sorted(removed)
 
 
+def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
+    """ROLLBACK TABLE ... TO SNAPSHOT: commit a new version whose live
+    file set (and schema) is exactly that of `version` — history is
+    preserved (roll-forward is itself a commit), no files are copied.
+    Reference: dremio-oss ROLLBACK TABLE (`parserImpls.ftl:1211`,
+    `SqlRollbackTable`)."""
+    target = resolve_snapshot(spark, table, version)
+    cur = resolve_snapshot(spark, table)
+    new_v = cur.version + 1
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "ROLLBACK", "timestamp": new_v}},
+        {"metaData": {
+            "id": os.path.basename(table.rstrip(os.sep)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": target.schema.json(),
+            "partitionColumns": target.partition_cols,
+            "configuration": {},
+        }},
+    ]
+    actions.extend(
+        {"remove": {"path": rel, "deletionTimestamp": new_v,
+                    "dataChange": True}}
+        for rel in sorted(set(cur.files) - set(target.files))
+    )
+    actions.extend(
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": new_v, "dataChange": True}}
+        for rel, pv in target.files.items()
+        if rel not in cur.files
+    )
+    _commit(table, new_v, actions)
+    return new_v
+
+
 def alter_delta(spark: SparkSession, table: str,
                 add: dict[str, str] | None = None,
                 drop: list[str] | None = None) -> int:

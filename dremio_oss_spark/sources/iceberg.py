@@ -694,6 +694,30 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
     return sorted(removed)
 
 
+def rollback_iceberg(table: str, snapshot_id: int) -> int:
+    """ROLLBACK TABLE ... TO SNAPSHOT: append a snapshot whose manifest
+    list IS the target's (metadata-only — no files move), and point
+    current-snapshot-id at it.  Reference: dremio-oss ROLLBACK TABLE on
+    Iceberg (`SqlRollbackTable`)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    target = next(s for s in meta.get("snapshots") or []
+                  if s["snapshot-id"] == snapshot_id)
+    sid = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    meta["snapshots"].append({
+        "snapshot-id": sid, "timestamp-ms": sid,
+        "summary": {"operation": "rollback"},
+        "manifest-list": target["manifest-list"],
+    })
+    meta["current-snapshot-id"] = sid
+    md = os.path.join(table, "metadata")
+    with open(os.path.join(md, f"v{sid}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(sid))
+    return sid
+
+
 def alter_iceberg(table: str, add: dict[str, str] | None = None,
                   drop: list[str] | None = None) -> int:
     """ALTER TABLE ADD COLUMNS (name → DDL type) / DROP COLUMN on an

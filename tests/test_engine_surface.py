@@ -150,3 +150,48 @@ def test_lakehouse_sql_dml_statements(spark, tmp_path):
     cur = read_iceberg(spark, t2)
     assert cur.count() == 18
     assert cur.where("k=1").collect()[0]["v"] == 7.0
+
+
+def test_metadata_table_functions_and_rollback(spark, tmp_path):
+    """TABLE(table_history/table_files/table_snapshot/table_partitions)
+    over lakehouse paths (ref MetadataFunctionsMacro.java:36) and
+    ROLLBACK TABLE ... TO SNAPSHOT (ref parserImpls.ftl:1211) for both
+    formats."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+    from dremio_oss_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "k long, p long, v double")
+
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t, partition_by=["p"])
+    eng.sql(f"DELETE FROM '{t}' WHERE k >= 25")
+    hist = eng.sql(
+        f"select * from table(table_history('{t}')) order by snapshot_id"
+    ).collect()
+    assert [h["operation"] for h in hist] == [
+        "CREATE TABLE AS SELECT", "DELETE"]
+    snap = eng.sql(f"select * from table(table_snapshot('{t}'))").collect()
+    assert snap[0]["format"] == "delta" and snap[0]["n_files"] == 3
+    parts = eng.sql(
+        f"select * from table(table_partitions('{t}')) order by partition"
+    ).collect()
+    assert len(parts) == 3 and all(r["n_files"] == 1 for r in parts)
+    files = eng.sql(
+        f"select * from table(table_files('{t}'))").collect()
+    assert len(files) == 3 and all(f["size_bytes"] > 0 for f in files)
+    eng.sql(f"ROLLBACK TABLE '{t}' TO SNAPSHOT '0'")
+    assert read_delta(spark, t).count() == 30
+
+    t2 = str(tmp_path / "i")
+    s1 = write_iceberg(spark, df, t2, partition_by=["p"])
+    eng.sql(f"DELETE FROM '{t2}' WHERE k >= 25")
+    assert read_iceberg(spark, t2).count() == 25
+    eng.sql(f"ROLLBACK TABLE '{t2}' TO SNAPSHOT '{s1}'")
+    assert read_iceberg(spark, t2).count() == 30
+    snap2 = eng.sql(
+        f"select * from table(table_snapshot('{t2}'))").collect()
+    assert snap2[0]["format"] == "iceberg"

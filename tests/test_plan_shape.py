@@ -160,3 +160,22 @@ def test_winnowing_plan_stays_partition_local(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan, f"{bad} in winnowing plan"
     assert "Window" in plan
+
+
+def test_lakehouse_scan_partition_join_broadcasts(spark, tmp_path):
+    """The Delta/Iceberg readers attach manifest partition values via a
+    broadcast hash join on the file basename — one parquet scan, no
+    shuffle, no per-file or per-partition plan branches (O(1) plan in
+    file count)."""
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"])
+    plan = _plan(read_delta(spark, t).where("p = 3"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" not in plan  # single scan, not per-partition branches
+    assert plan.count("FileScan parquet") == 1
