@@ -866,6 +866,34 @@ class Engine:
             r"'([^']+)'\s*\)\s*\)",
             repl, query, flags=re.I)
 
+    def _expand_lake_refs(self, query: str) -> str:
+        """Rewrite quoted lakehouse table refs in FROM/JOIN — with
+        optional time travel — into temp views:
+            SELECT ... FROM '<path>' [AT SNAPSHOT '<id>']
+        (ref: dremio-oss versioned table refs, `TimeTravelTableMacro`,
+        `TestTableVersionParsing`).  Non-lakehouse quoted paths are left
+        alone (Spark errors as before)."""
+        def repl(m: "re.Match[str]") -> str:
+            kw, path, snap = m.group(1), m.group(2), m.group(4)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return m.group(0)
+            version = int(snap) if snap is not None else None
+            if fmt == "delta":
+                from .sources.delta import read_delta
+                df = read_delta(self.spark, path, version=version)
+            else:
+                from .sources.iceberg import read_iceberg
+                df = read_iceberg(self.spark, path, snapshot_id=version)
+            view = f"__lake_{abs(hash((path, version))) % 10**8}"
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return re.sub(
+            r"\b(from|join)\s+'([^']+)'"
+            r"(\s+at\s+snapshot\s+'?(\d+)'?)?",
+            repl, query, flags=re.I)
+
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
@@ -879,6 +907,7 @@ class Engine:
         if lake is not None:
             return lake
         query = self._expand_metadata_fns(query)
+        query = self._expand_lake_refs(query)
         query = self._expand_tabular(query)
         query = _rewrite_convert(query)
         for pat, rep in _DIALECT_REWRITES:

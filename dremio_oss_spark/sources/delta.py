@@ -59,6 +59,61 @@ def _last_checkpoint(path: str) -> int | None:
         return int(json.load(f)["version"])
 
 
+_CHECKPOINT_INTERVAL = 10
+
+
+def checkpoint_delta(spark: SparkSession, table: str,
+                     version: int | None = None) -> int:
+    """Write a classic single-file parquet checkpoint at `version`
+    (default: current) + the `_last_checkpoint` pointer, so later reads
+    replay only commits AFTER it — log replay stays O(interval), not
+    O(history), exactly the protocol's compaction mechanism.  The
+    checkpoint is the resolved state re-encoded as actions: protocol +
+    metaData + one `add` per live file (metadata-sized; one file, as the
+    protocol expects)."""
+    snap = resolve_snapshot(spark, table, version)
+    v = snap.version
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": os.path.basename(table.rstrip(os.sep)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json() if snap.schema else None,
+            "partitionColumns": snap.partition_cols,
+            "configuration": {},
+        }},
+    ]
+    actions.extend(
+        {"add": {"path": rel, "partitionValues": pv, "size": 1,
+                 "modificationTime": v, "dataChange": True}}
+        for rel, pv in sorted(snap.files.items())
+    )
+    # schema must union across action kinds (protocol/metaData/add rows
+    # populate disjoint columns) — Spark's JSON reader does that; the
+    # single part file then moves into the protocol's checkpoint name
+    import glob
+    import shutil
+    import uuid
+
+    stage = os.path.join(table, _LOG_DIR,
+                         f"_cp_stage_{uuid.uuid4().hex[:8]}")
+    (spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(a) for a in actions], 1))
+     .coalesce(1).write.mode("overwrite").parquet(stage))
+    part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+    cp = os.path.join(table, _LOG_DIR, f"{v:020d}.checkpoint.parquet")
+    os.replace(part, cp)
+    shutil.rmtree(stage, ignore_errors=True)
+    with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": len(actions)}, f)
+    return v
+
+
+def _maybe_checkpoint(spark: SparkSession, table: str, version: int) -> None:
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        checkpoint_delta(spark, table, version)
+
+
 def _checkpoint_actions(spark: SparkSession, path: str, version: int) -> list[dict]:
     """Read a classic single-file checkpoint parquet into action dicts."""
     cp = os.path.join(
@@ -334,6 +389,7 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         for rel, pv in staged
     )
     _commit(table, version, actions)
+    _maybe_checkpoint(spark, table, version)
     return version
 
 
@@ -397,6 +453,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
         if rel not in hit_set
     )
     _commit(table, version, actions)
+    _maybe_checkpoint(spark, table, version)
     return version
 
 
@@ -551,6 +608,7 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
         if rel not in cur.files
     )
     _commit(table, new_v, actions)
+    _maybe_checkpoint(spark, table, new_v)
     return new_v
 
 

@@ -195,3 +195,39 @@ def test_metadata_table_functions_and_rollback(spark, tmp_path):
     snap2 = eng.sql(
         f"select * from table(table_snapshot('{t2}'))").collect()
     assert snap2[0]["format"] == "iceberg"
+
+
+def test_lake_path_select_and_time_travel(spark, tmp_path):
+    """SELECT ... FROM '<path>' [AT SNAPSHOT 'n'] resolves quoted
+    lakehouse paths (and joins against regular views) through the
+    engine's SQL entry — dremio-oss versioned table refs
+    (TimeTravelTableMacro)."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta, delete_from_delta
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "k long, p long, v double")
+
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t, partition_by=["p"])
+    delete_from_delta(spark, t, "k >= 20")
+    assert eng.sql(f"select count(*) as c from '{t}'").collect()[0]["c"] == 20
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at snapshot '0'"
+    ).collect()[0]["c"] == 30
+    # join a lake path against a temp view
+    spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")],
+                          "p long, name string").createOrReplaceTempView("pn")
+    rows = eng.sql(
+        f"select name, count(*) as n from '{t}' join pn using (p) "
+        "group by name order by name").collect()
+    assert sum(r["n"] for r in rows) == 20
+
+    t2 = str(tmp_path / "i")
+    s1 = write_iceberg(spark, df, t2, partition_by=["p"])
+    assert eng.sql(
+        f"select count(*) as c from '{t2}' at snapshot '{s1}'"
+    ).collect()[0]["c"] == 30

@@ -675,3 +675,37 @@ def test_schema_evolution_add_drop(spark, tmp_path):
         alter_iceberg(t2, drop=["p"])
     alter_iceberg(t2, drop=["v"])
     assert set(read_iceberg(spark, t2).columns) == {"k", "p", "tag"}
+
+
+def test_delta_checkpoint_write_and_aged_log(spark, tmp_path):
+    """Auto-checkpoint every 10 commits: a single-file parquet
+    checkpoint + _last_checkpoint pointer; reads replay checkpoint +
+    later commits only, so pre-checkpoint JSON commits can age out and
+    further commits stack on top (delta.io compaction mechanism)."""
+    import glob
+    import os
+
+    from dremio_oss_spark.sources.delta import (
+        _commit_files, delete_from_delta, read_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)],
+        "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"])
+    for j in range(10):
+        delete_from_delta(spark, t, f"k = {j}")
+
+    assert os.path.exists(os.path.join(t, "_delta_log", "_last_checkpoint"))
+    assert glob.glob(os.path.join(t, "_delta_log", "*.checkpoint.parquet"))
+    assert read_delta(spark, t).count() == 10
+
+    for v, fp in _commit_files(t):
+        if v < 10:
+            os.remove(fp)
+    cur = read_delta(spark, t)
+    assert cur.count() == 10
+    assert dict(cur.dtypes)["p"] == "bigint"  # schema from checkpoint
+    assert cur.where("p = 1").count() == 5
+    delete_from_delta(spark, t, "k = 10")
+    assert read_delta(spark, t).count() == 9
