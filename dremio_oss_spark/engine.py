@@ -667,6 +667,53 @@ class Engine:
         from .sources import iceberg as I
 
         m = re.match(
+            r"\s*create\s+table\s+'([^']+)'"
+            r"(?:\s+store\s+as\s*\(\s*type\s*=>\s*'(\w+)'\s*\))?"
+            r"(?:\s+partition\s+by\s*\((.*?)\))?"
+            r"\s+as\s+(.+)$",
+            query, re.I | re.S)
+        if m:
+            path, fmt, parts, select = (
+                m.group(1), (m.group(2) or "delta").lower(),
+                m.group(3), m.group(4))
+            part_by = ([p.strip() for p in _split_top_level(parts, ",")]
+                       if parts else None)
+            df = self.sql(select)
+            if fmt == "delta":
+                out = D.write_delta(self.spark, df, path,
+                                    mode="overwrite", partition_by=part_by)
+            elif fmt == "iceberg":
+                out = I.write_iceberg(self.spark, df, path,
+                                      mode="overwrite", partition_by=part_by)
+            else:
+                raise ValueError(f"unsupported table format {fmt!r}")
+            return self._status("CREATE TABLE AS SELECT", out)
+
+        m = re.match(
+            r"\s*insert\s+into\s+'([^']+)'\s+(select\s.+)$",
+            query, re.I | re.S)
+        if m:
+            path, select = m.group(1), m.group(2)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            df = self.sql(select)
+            # SQL INSERT semantics: columns align by position
+            if fmt == "delta":
+                cols = [f.name for f in
+                        D.resolve_snapshot(self.spark, path).schema.fields]
+            else:
+                cols = [f.name for f in
+                        I.resolve_snapshot(path).schema.fields]
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT arity {len(df.columns)} != table {len(cols)}")
+            df = df.toDF(*cols)
+            fn = D.write_delta if fmt == "delta" else I.write_iceberg
+            return self._status(
+                "INSERT INTO", fn(self.spark, df, path, mode="append"))
+
+        m = re.match(
             r"\s*delete\s+from\s+'([^']+)'(?:\s+where\s+(.+?))?\s*$",
             query, re.I | re.S)
         if m:

@@ -354,6 +354,10 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     partition_by = list(partition_by or [])
     commits = _commit_files(table)
     version = (commits[-1][0] + 1) if commits else 0
+    if version > 0 and mode == "append" and not partition_by:
+        # appends follow the table's existing partitioning (a caller
+        # passing none must not silently de-partition new files)
+        partition_by = resolve_snapshot(spark, table).partition_cols
 
     data_df = df
     staged = _stage_files(spark, data_df, table, version, partition_by)

@@ -231,3 +231,39 @@ def test_lake_path_select_and_time_travel(spark, tmp_path):
     assert eng.sql(
         f"select count(*) as c from '{t2}' at snapshot '{s1}'"
     ).collect()[0]["c"] == 30
+
+
+def test_lake_ctas_and_insert_statements(spark, tmp_path):
+    """CREATE TABLE '<path>' [STORE AS (type => 'iceberg')] [PARTITION BY
+    (...)] AS SELECT, and INSERT INTO '<path>' SELECT with positional
+    column alignment; appends inherit the table's partitioning."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, resolve_snapshot
+    from dremio_oss_spark.sources.iceberg import (
+        read_iceberg, resolve_snapshot as ice_snap)
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark)
+    register_testdata(spark, SF_SMALL)
+
+    t = str(tmp_path / "d")
+    eng.sql(f"CREATE TABLE '{t}' PARTITION BY (n_regionkey) AS "
+            "select n_nationkey, n_name, n_regionkey from nation")
+    assert read_delta(spark, t).count() == 25
+    assert resolve_snapshot(spark, t).partition_cols == ["n_regionkey"]
+    eng.sql(f"INSERT INTO '{t}' select n_nationkey + 100, n_name, "
+            "n_regionkey from nation where n_regionkey = 0")
+    cur = read_delta(spark, t)
+    assert cur.count() == 30
+    assert cur.where("n_regionkey is null").count() == 0
+
+    t2 = str(tmp_path / "i")
+    eng.sql(f"CREATE TABLE '{t2}' STORE AS (type => 'iceberg') "
+            "PARTITION BY (bucket(4, n_nationkey)) AS "
+            "select n_nationkey, n_name from nation")
+    assert read_iceberg(spark, t2).count() == 25
+    assert ice_snap(t2).spec_fields[0]["transform"] == "bucket[4]"
+    eng.sql(f"INSERT INTO '{t2}' select n_nationkey + 100, n_name from nation")
+    assert read_iceberg(spark, t2).count() == 50
