@@ -472,3 +472,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+def decontaminate(train: DataFrame, eval_set: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word k-gram with an evaluation set (the standard test-set-overlap
+    filter an LLM training pipeline runs before training; no reference
+    equivalent — LLM-pipeline extension per the build brief).
+
+    One row per CONTAMINATED training doc: distinct shared k-grams and
+    how many eval docs they touch.
+
+    Scale shape: both sides reuse the shingle explode; the join is a
+    shingle equi-join where the EVAL side is the small one (eval sets
+    are benchmark-sized) — broadcastable, so the training corpus is
+    never shuffled; the groupBy aggregates only the hit rows.  Hot
+    k-grams are rarer than at k=3 (stopword runs die out by k=5), and a
+    document-frequency cap on the eval side bounds worst-case skew the
+    same way ngram_jaccard's cap does.
+    """
+    train_sh = shingle_table(train, text_col, id_col, k)
+    eval_sh = (
+        shingle_table(eval_set, text_col, id_col, k)
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    hits = train_sh.join(F.broadcast(eval_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("shingle").cast("bigint").alias("n_shared_kgrams"),
+        F.count_distinct("eval_id").cast("bigint").alias("n_eval_docs"),
+    )

@@ -274,6 +274,44 @@ def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 == 0 stand in
+    for an eval set; every training doc sharing a word 5-gram with it is
+    flagged with the shared-gram and eval-doc counts (the test-set
+    overlap filter run before LLM training; LLM-pipeline extension, no
+    reference equivalent)."""
+    docs = load(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    return D.decontaminate(tr, ev, k=5).orderBy("doc_id")
+
+
+LLM_DECONTAMINATION_SQL = """
+with toks as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
+), sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(0, greatest(len(t)-4, 0)),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]))))
+           as shingle
+  from toks
+  where len(t) >= 5
+), ev as (
+  select doc_id as eval_id, shingle from sh where doc_id % 17 = 0
+), tr as (
+  select doc_id, shingle from sh where doc_id % 17 <> 0
+), hits as (
+  select tr.doc_id, tr.shingle, ev.eval_id from tr join ev using (shingle)
+)
+select doc_id,
+       cast(count(distinct shingle) as bigint) as n_shared_kgrams,
+       cast(count(distinct eval_id) as bigint) as n_eval_docs
+from hits
+group by doc_id
+order by doc_id
+"""
+
+
 LLM_NGRAM_JACCARD_SQL = """
 with toks as (
   select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
@@ -770,6 +808,7 @@ LLMOPS_QUERIES = {
     "llm_simhash": llm_simhash,
     "llm_simhash_pairs": llm_simhash_pairs,
     "llm_ngram_jaccard": llm_ngram_jaccard,
+    "llm_decontamination": llm_decontamination,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_lsh_ann": llm_lsh_ann,
     "llm_ivf_ann": llm_ivf_ann,
@@ -789,6 +828,7 @@ LLMOPS_ORACLE = {
     "llm_simhash": LLM_SIMHASH_SQL,
     "llm_simhash_pairs": LLM_SIMHASH_PAIRS_SQL,
     "llm_ngram_jaccard": LLM_NGRAM_JACCARD_SQL,
+    "llm_decontamination": LLM_DECONTAMINATION_SQL,
     "llm_cosine_topk": LLM_COSINE_TOPK_SQL,
     "llm_embedding_neardup": LLM_EMBEDDING_NEARDUP_SQL,
     "llm_lsh_ann": LLM_LSH_ANN_SQL,

@@ -140,3 +140,23 @@ def test_bm25_and_split_properties(spark):
     assert all(big[k] == v for k, v in small.items())
     frac = sum(1 for v in big.values() if v == "train") / 400
     assert 0.7 < frac < 0.9
+
+
+def test_decontamination_flags_overlap(spark):
+    """A training doc that shares a 5-gram with the eval set is flagged
+    with exact shared-gram and eval-doc counts; disjoint docs are not."""
+    from dremio_oss_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words appear here entirely unrelated"),
+         (3, "quick brown fox jumps over someone")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox jumps over fences daily"),
+         (101, "the quick brown fox jumps over the lazy dog indeed")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(train, ev, k=5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_eval_docs"] == 2   # overlaps both eval docs
+    assert out[3]["n_shared_kgrams"] == 1  # 'quick brown fox jumps over'
