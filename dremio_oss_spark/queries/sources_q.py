@@ -764,6 +764,39 @@ from nation
 """
 
 
+def delta_stats_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """File skipping from add.stats: write orders range-partitioned on
+    o_orderkey (contiguous key ranges per file), then answer a point
+    lookup through `plan_delta_scan` — min/max stats prune to one file
+    with no partition column involved.  Reference: Delta scan
+    file-skipping in `DeltaLakeScanPrel` (footer min/max pruning)."""
+    from ..sources.delta import plan_delta_scan, write_delta
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("delta_st", sf), "orders_delta")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    write_delta(spark, orders.repartitionByRange(8, "o_orderkey"), t)
+    k = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    df, total, scanned = plan_delta_scan(spark, t, {"o_orderkey": k})
+    return (
+        df.where(F.col("o_orderkey") == k)  # residual filter after skip
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             dsum(F.col("o_totalprice"), 2).alias("price_sum"))
+        .withColumn("skipped", F.lit(0 < scanned < total))
+    )
+
+
+DELTA_STATS_PRUNE_SQL = """
+select cast(count(*) as bigint) as n_rows,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as price_sum,
+       true as skipped
+from orders
+where o_orderkey = (select max(o_orderkey) from orders)
+"""
+
+
 SOURCES_QUERIES = {
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
@@ -780,6 +813,7 @@ SOURCES_QUERIES = {
     "src_iceberg_transforms": iceberg_transforms,
     "src_schema_evolution": schema_evolution,
     "src_lake_metadata": lake_metadata,
+    "src_delta_stats_prune": delta_stats_prune,
 }
 
 SOURCES_ORACLE = {
@@ -798,4 +832,5 @@ SOURCES_ORACLE = {
     "src_iceberg_transforms": ICEBERG_TRANSFORMS_SQL,
     "src_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "src_lake_metadata": LAKE_METADATA_SQL,
+    "src_delta_stats_prune": DELTA_STATS_PRUNE_SQL,
 }

@@ -84,8 +84,7 @@ def checkpoint_delta(spark: SparkSession, table: str,
         }},
     ]
     actions.extend(
-        {"add": {"path": rel, "partitionValues": pv, "size": 1,
-                 "modificationTime": v, "dataChange": True}}
+        _add_action(rel, pv, v, snap.stats)
         for rel, pv in sorted(snap.files.items())
     )
     # schema must union across action kinds (protocol/metaData/add rows
@@ -128,11 +127,13 @@ class DeltaSnapshot:
 
     def __init__(self, version: int, schema: StructType | None,
                  partition_cols: list[str],
-                 files: dict[str, dict]):
+                 files: dict[str, dict],
+                 stats: dict[str, dict] | None = None):
         self.version = version
         self.schema = schema
         self.partition_cols = partition_cols
         self.files = files  # rel path -> partitionValues dict
+        self.stats = stats or {}  # rel path -> add.stats dict (may be sparse)
 
 
 def resolve_snapshot(spark: SparkSession, path: str,
@@ -160,6 +161,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     schema: StructType | None = None
     partition_cols: list[str] = []
     files: dict[str, dict] = {}
+    stats: dict[str, dict] = {}
     for a in actions:
         if a.get("metaData"):
             md = a["metaData"]
@@ -168,9 +170,14 @@ def resolve_snapshot(spark: SparkSession, path: str,
         elif a.get("add"):
             ad = a["add"]
             files[ad["path"]] = ad.get("partitionValues") or {}
+            st = ad.get("stats")
+            if st:
+                stats[ad["path"]] = (json.loads(st)
+                                     if isinstance(st, str) else st)
         elif a.get("remove"):
             files.pop(a["remove"]["path"], None)
-    return DeltaSnapshot(max_v, schema, partition_cols, files)
+            stats.pop(a["remove"]["path"], None)
+    return DeltaSnapshot(max_v, schema, partition_cols, files, stats)
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -264,6 +271,106 @@ def _scan_with_partition_values(
             c, F.col(f"__pv_{c}").cast(ptypes.get(c, "string"))
         ).drop(f"__pv_{c}")
     return df
+
+
+_STATS_TYPES = ("byte", "short", "int", "bigint", "float", "double",
+                "string", "date", "timestamp")
+
+
+def _collect_stats(spark: SparkSession, table: str,
+                   staged: list[tuple[str, dict]],
+                   schema: StructType | None,
+                   part_cols: list[str]) -> dict[str, dict]:
+    """Per-staged-file column statistics (numRecords, minValues,
+    maxValues) for the add.stats field — ONE scan over only the
+    just-written files, grouped by basename.  This is the file-skipping
+    metadata every Delta writer embeds; the same min/max the reference
+    reads from parquet footers (`DeltaLakeScanPrel` row-group pruning).
+    Date/timestamp values serialize ISO (lexically ordered, so range
+    pruning on strings stays correct)."""
+    if not staged or schema is None:
+        return {}
+    cols = [f.name for f in schema.fields
+            if f.name not in part_cols
+            and f.dataType.simpleString() in _STATS_TYPES]
+    if not cols:
+        return {}
+    paths = [os.path.join(table, rel) for rel, _ in staged]
+    df = (
+        spark.read.parquet(*paths)
+        .withColumn("__base",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    by_base = {os.path.basename(rel): rel for rel, _ in staged}
+
+    def _j(v):
+        return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+    out: dict[str, dict] = {}
+    for r in df.groupBy("__base").agg(*aggs).collect():
+        rel = by_base.get(r["__base"])
+        if rel is None:
+            continue
+        out[rel] = {
+            "numRecords": r["__n"],
+            "minValues": {c: _j(r[f"__min_{c}"]) for c in cols},
+            "maxValues": {c: _j(r[f"__max_{c}"]) for c in cols},
+        }
+    return out
+
+
+def plan_delta_scan(spark: SparkSession, table: str,
+                    equality: dict[str, object],
+                    version: int | None = None
+                    ) -> tuple[DataFrame, int, int]:
+    """File-skipping scan: prune the live file set by partition values
+    AND per-file min/max stats for `col → value` equality bindings, then
+    scan only the survivors.  Returns (DataFrame, files_total,
+    files_scanned); the caller applies the residual row filter.
+    Mirrors the reference's Delta scan pruning (`DeltaLakeScanPrel`)."""
+    snap = resolve_snapshot(spark, table, version)
+
+    def keep(rel: str) -> bool:
+        pv = snap.files[rel]
+        for c, v in equality.items():
+            if c in snap.partition_cols:
+                if pv.get(c) != str(v):
+                    return False
+        st = snap.stats.get(rel)
+        if st:
+            for c, v in equality.items():
+                lo = (st.get("minValues") or {}).get(c)
+                hi = (st.get("maxValues") or {}).get(c)
+                if lo is not None and hi is not None:
+                    vv = str(v) if isinstance(lo, str) else v
+                    try:
+                        if not (lo <= vv <= hi):
+                            return False
+                    except TypeError:
+                        pass
+        return True
+
+    files = {rel: pv for rel, pv in snap.files.items() if keep(rel)}
+    if not files:
+        df = spark.createDataFrame([], snap.schema)
+    else:
+        df = _scan_with_partition_values(
+            spark, table, snap.schema, snap.partition_cols, files)
+    return df, len(snap.files), len(files)
+
+
+def _add_action(rel: str, pv: dict, version: int,
+                stats_map: dict[str, dict],
+                data_change: bool = True) -> dict:
+    a = {"path": rel, "partitionValues": pv, "size": 1,
+         "modificationTime": version, "dataChange": data_change}
+    st = stats_map.get(rel)
+    if st:
+        a["stats"] = json.dumps(st)
+    return {"add": a}
 
 
 def _unescape_path_name(v: str) -> str:
@@ -387,10 +494,10 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
                         "dataChange": True}}
             for rel in sorted(prev.files)
         )
+    stats_map = _collect_stats(spark, table, staged, df.schema,
+                               partition_by)
     actions.extend(
-        {"add": {"path": rel, "partitionValues": pv, "size": 1,
-                 "modificationTime": version, "dataChange": True}}
-        for rel, pv in staged
+        _add_action(rel, pv, version, stats_map) for rel, pv in staged
     )
     _commit(table, version, actions)
     _maybe_checkpoint(spark, table, version)
@@ -450,9 +557,10 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
         ins = inserts.select(*cols) if cols else inserts
         staged += _stage_files(spark, ins, table, version, part_cols)
     hit_set = set(hit_rel)
+    stats_map = _collect_stats(spark, table, staged, snap.schema,
+                               part_cols)
     actions.extend(
-        {"add": {"path": rel, "partitionValues": pv, "size": 1,
-                 "modificationTime": version, "dataChange": data_change}}
+        _add_action(rel, pv, version, stats_map, data_change)
         for rel, pv in staged
         if rel not in hit_set
     )
@@ -606,8 +714,7 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
         for rel in sorted(set(cur.files) - set(target.files))
     )
     actions.extend(
-        {"add": {"path": rel, "partitionValues": pv, "size": 1,
-                 "modificationTime": new_v, "dataChange": True}}
+        _add_action(rel, pv, new_v, target.stats)
         for rel, pv in target.files.items()
         if rel not in cur.files
     )

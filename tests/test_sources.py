@@ -709,3 +709,37 @@ def test_delta_checkpoint_write_and_aged_log(spark, tmp_path):
     assert cur.where("p = 1").count() == 5
     delete_from_delta(spark, t, "k = 10")
     assert read_delta(spark, t).count() == 9
+
+
+def test_delta_file_stats_skipping(spark, tmp_path):
+    """add.stats (numRecords/minValues/maxValues) are collected per
+    staged file, survive COW rewrites and checkpoints, and
+    plan_delta_scan skips files by both partition values and min/max
+    ranges."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        plan_delta_scan, resolve_snapshot, update_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 100).cast("long").alias("p"),
+        (F.col("id").cast("double") * 2).alias("v"))
+    write_delta(spark, df, t, partition_by=["p"])
+
+    snap = resolve_snapshot(spark, t)
+    assert len(snap.stats) == len(snap.files) == 10
+    st = next(iter(snap.stats.values()))
+    assert {"numRecords", "minValues", "maxValues"} <= set(st)
+
+    pruned, total, scanned = plan_delta_scan(spark, t, {"k": 137})
+    assert (total, scanned) == (10, 1)
+    assert pruned.where("k = 137").count() == 1
+
+    update_delta(spark, t, {"v": "v + 1"}, "k = 137")
+    snap2 = resolve_snapshot(spark, t)
+    assert len(snap2.stats) == len(snap2.files)  # rewrite re-collected
+    pruned2, _, s2 = plan_delta_scan(spark, t, {"k": 137})
+    assert s2 == 1
+    assert pruned2.where("k = 137").collect()[0]["v"] == 275.0
