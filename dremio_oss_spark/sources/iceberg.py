@@ -115,11 +115,13 @@ def _spark_type(t) -> T.DataType:
 class IcebergSnapshot:
     def __init__(self, snapshot_id: int, schema: T.StructType,
                  partition_cols: list[str], files: list[tuple[str, dict]],
-                 spec_fields: list[dict] | None = None):
+                 spec_fields: list[dict] | None = None,
+                 stats: dict[str, dict] | None = None):
         self.snapshot_id = snapshot_id
         self.schema = schema
         self.partition_cols = partition_cols  # identity-transform fields
         self.files = files  # (local data path, partition values)
+        self.stats = stats or {}  # local data path -> bounds dict
         # full default partition spec: [{name, transform, source}] —
         # includes hidden (non-identity) transform fields
         self.spec_fields = spec_fields or [
@@ -174,16 +176,19 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
                     part_cols.append(source)
 
     files: list[tuple[str, dict]] = []
+    stats: dict[str, dict] = {}
     for mf in read_avro_file(_local(snap["manifest-list"], table)):
         for entry in read_avro_file(_local(mf["manifest_path"], table)):
             if entry["status"] == _STATUS_DELETED:
                 continue
             df_rec = entry["data_file"]
-            files.append(
-                (_local(df_rec["file_path"], table),
-                 df_rec.get("partition") or {})
-            )
-    return IcebergSnapshot(sid, schema, part_cols, files, spec_fields)
+            p = _local(df_rec["file_path"], table)
+            files.append((p, df_rec.get("partition") or {}))
+            sj = df_rec.get("stats_json")
+            if sj:
+                stats[p] = json.loads(sj)
+    return IcebergSnapshot(sid, schema, part_cols, files, spec_fields,
+                           stats)
 
 
 def read_iceberg(spark: SparkSession, table: str,
@@ -248,6 +253,12 @@ def _entry_schema(partition_cols: list[str]) -> dict:
                         ]}},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # engine extension: column bounds as JSON (the spec
+                    # stores binary lower/upper_bounds maps keyed by
+                    # field-id; JSON keeps the same pruning power and
+                    # self-describes — readers of external manifests
+                    # simply see it absent)
+                    {"name": "stats_json", "type": ["null", "string"]},
                 ]}},
         ]}
 
@@ -264,7 +275,8 @@ _LIST_SCHEMA = {
 def _commit_snapshot(table: str, meta: dict, operation: str,
                      live: list[tuple[str, dict]],
                      removed: list[tuple[str, dict]],
-                     partition_cols: list[str]) -> int:
+                     partition_cols: list[str],
+                     stats: dict[str, dict] | None = None) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -277,14 +289,18 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
     md = os.path.join(table, "metadata")
     os.makedirs(md, exist_ok=True)
 
+    stats = stats or {}
+
     def _rec(status: int, rel: str, pv: dict) -> dict:
+        st = stats.get(rel)
         return {"status": status, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
                     "partition": {c: (None if pv.get(c) is None
                                       else str(pv[c]))
                                   for c in partition_cols},
-                    "record_count": 1, "file_size_in_bytes": 1}}
+                    "record_count": 1, "file_size_in_bytes": 1,
+                    "stats_json": json.dumps(st) if st else None}}
 
     manifest = os.path.join(md, f"m{sid}.avro")
     write_avro_file(manifest, _entry_schema(partition_cols),
@@ -441,8 +457,26 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
         if pf["source"] in equality:
             required[pf["name"]] = transform_value(
                 pf, equality[pf["source"]])
+
+    def _stats_keep(p: str) -> bool:
+        st = snap.stats.get(p)
+        if not st:
+            return True
+        for c, v in equality.items():
+            lo = (st.get("minValues") or {}).get(c)
+            hi = (st.get("maxValues") or {}).get(c)
+            if lo is not None and hi is not None:
+                vv = str(v) if isinstance(lo, str) else v
+                try:
+                    if not (lo <= vv <= hi):
+                        return False
+                except TypeError:
+                    pass
+        return True
+
     files = [(p, pv) for p, pv in snap.files
-             if all(pv.get(k) == v for k, v in required.items())]
+             if all(pv.get(k) == v for k, v in required.items())
+             and _stats_keep(p)]
     if not files:
         df = spark.createDataFrame([], snap.schema)
     else:
@@ -503,18 +537,26 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         }
     sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
                    default=0) + 1
+    from .delta import _collect_stats
+
     staged_df, part_names = _apply_transforms(df, spec_fields)
     staged = _stage_files(spark, staged_df, os.path.join(table, "data"),
                           sid_next, part_names)
     staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    stats = _collect_stats(spark, table, staged, df.schema,
+                           [pf["source"] for pf in spec_fields
+                            if pf["transform"] == "identity"])
     if mode == "append" and existed:
         live = prev_files + staged
         removed: list[tuple[str, dict]] = []
+        stats.update({os.path.relpath(p, table): st
+                      for p, st in prev.stats.items()})
     else:
         live = staged
         removed = prev_files
     return _commit_snapshot(table, meta, "append" if mode == "append"
-                            else "overwrite", live, removed, part_names)
+                            else "overwrite", live, removed, part_names,
+                            stats)
 
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
@@ -556,8 +598,15 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
         staged += _stage_files(spark, out, os.path.join(table, "data"),
                                sid_next, part_names)
     staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    from .delta import _collect_stats
+
+    stats = _collect_stats(spark, table, staged, snap.schema,
+                           snap.partition_cols)
+    stats.update({os.path.relpath(p, table): st
+                  for p, st in snap.stats.items()
+                  if os.path.realpath(p) not in hit_abs})
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
-                            part_names)
+                            part_names, stats)
 
 
 def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:

@@ -743,3 +743,33 @@ def test_delta_file_stats_skipping(spark, tmp_path):
     pruned2, _, s2 = plan_delta_scan(spark, t, {"k": 137})
     assert s2 == 1
     assert pruned2.where("k = 137").collect()[0]["v"] == 275.0
+
+
+def test_iceberg_manifest_stats_skipping(spark, tmp_path):
+    """Manifest column bounds (stats_json engine extension): collected
+    per staged file, carried through COW rewrites, and applied by
+    plan_iceberg_scan alongside partition-transform pruning."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        plan_iceberg_scan, resolve_snapshot, update_iceberg,
+        write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") * 2).alias("v"))
+    write_iceberg(spark, df.repartitionByRange(8, "k"), t)
+    snap = resolve_snapshot(t)
+    assert len(snap.stats) == len(snap.files) == 8
+
+    pruned, total, scanned = plan_iceberg_scan(spark, t, {"k": 137})
+    assert (total, scanned) == (8, 1)
+    assert pruned.where("k = 137").count() == 1
+
+    update_iceberg(spark, t, {"v": "v + 1"}, "k = 137")
+    snap2 = resolve_snapshot(t)
+    assert len(snap2.stats) == len(snap2.files)
+    pruned2, _, s2 = plan_iceberg_scan(spark, t, {"k": 137})
+    assert s2 == 1
+    assert pruned2.where("k = 137").collect()[0]["v"] == 275.0
