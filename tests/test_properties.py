@@ -200,3 +200,59 @@ def test_geohash_closed_form_equals_bisection(lat, lon):
             out.append(b32[bits])
             bits, nbit = 0, 0
     assert engine == "".join(out), (lat, lon)
+
+
+def test_delta_dml_model_based(spark, tmp_path):
+    """Model-based sequence test: a random-but-fixed program of
+    INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/ROLLBACK ops applied both to
+    the Delta table and to a driver-side dict model; after every op the
+    table must equal the model exactly.  (One deterministic program
+    rather than per-example Spark sessions — hypothesis-style state
+    machine economics don't fit JVM startup costs.)"""
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, merge_into_delta, optimize_delta, read_delta,
+        rollback_delta, update_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    model: dict[int, tuple[int, float]] = {
+        k: (k % 3, float(k)) for k in range(40)}
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in sorted(rows.items())],
+            "k long, p long, v double")
+
+    def check():
+        got = {r["k"]: (r["p"], r["v"])
+               for r in read_delta(spark, t).collect()}
+        assert got == model, (len(got), len(model))
+
+    write_delta(spark, to_df(model), t, partition_by=["p"])
+    check()
+
+    # program: (op, args) — deterministic, exercises every DML verb
+    delete_from_delta(spark, t, "k % 5 = 0")
+    model = {k: s for k, s in model.items() if k % 5 != 0}
+    check()
+
+    update_delta(spark, t, {"v": "v * 2"}, "p = 1")
+    model = {k: (p, v * 2 if p == 1 else v)
+             for k, (p, v) in model.items()}
+    check()
+
+    src_rows = {3: (0, -3.0), 100: (1, 100.0), 101: (2, 101.0)}
+    merge_into_delta(spark, t, to_df(src_rows), on=["k"])
+    for k, s in src_rows.items():
+        model[k] = s
+    check()
+
+    v_before = optimize_delta(spark, t) - 1  # version before OPTIMIZE
+    check()  # OPTIMIZE must not change rows
+
+    delete_from_delta(spark, t, "true")
+    model_empty: dict[int, tuple[int, float]] = {}
+    got = {r["k"] for r in read_delta(spark, t).collect()}
+    assert got == set(model_empty)
+
+    rollback_delta(spark, t, v_before)
+    check()  # restored to pre-OPTIMIZE state == current model
