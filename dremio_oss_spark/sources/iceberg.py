@@ -120,8 +120,9 @@ class IcebergSnapshot:
         self.snapshot_id = snapshot_id
         self.schema = schema
         self.partition_cols = partition_cols  # identity-transform fields
-        self.files = files  # (local data path, partition values)
+        self.files = files  # DATA files: (local path, partition values)
         self.stats = stats or {}  # local data path -> bounds dict
+        self.deletes: list[tuple[str, list[str]]] = []  # equality deletes
         # full default partition spec: [{name, transform, source}] —
         # includes hidden (non-identity) transform fields
         self.spec_fields = spec_fields or [
@@ -177,18 +178,24 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
 
     files: list[tuple[str, dict]] = []
     stats: dict[str, dict] = {}
+    deletes: list[tuple[str, list[str]]] = []
     for mf in read_avro_file(_local(snap["manifest-list"], table)):
         for entry in read_avro_file(_local(mf["manifest_path"], table)):
             if entry["status"] == _STATUS_DELETED:
                 continue
             df_rec = entry["data_file"]
             p = _local(df_rec["file_path"], table)
+            if (df_rec.get("content") or 0) == 2:
+                deletes.append((p, list(df_rec.get("equality_ids") or [])))
+                continue
             files.append((p, df_rec.get("partition") or {}))
             sj = df_rec.get("stats_json")
             if sj:
                 stats[p] = json.loads(sj)
-    return IcebergSnapshot(sid, schema, part_cols, files, spec_fields,
-                           stats)
+    out = IcebergSnapshot(sid, schema, part_cols, files, spec_fields,
+                          stats)
+    out.deletes = deletes
+    return out
 
 
 def read_iceberg(spark: SparkSession, table: str,
@@ -202,9 +209,27 @@ def read_iceberg(spark: SparkSession, table: str,
     # directory layout, are the partition-value source of truth)
     from .delta import _scan_with_partition_values
 
-    return _scan_with_partition_values(
+    df = _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols,
         {p: pv for p, pv in snap.files})
+    return _apply_equality_deletes(spark, df, snap)
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
+                            snap: "IcebergSnapshot") -> DataFrame:
+    """Merge-on-read: anti-join the data scan against each equality
+    delete file (spec content=2).  Delete files are key-only and tiny
+    relative to data, so each anti-join broadcasts.  NOTE (documented
+    deviation): without sequence numbers, deletes apply to ALL current
+    data files regardless of commit order — compact (OPTIMIZE) before
+    re-inserting a previously deleted key."""
+    by_cols: dict[tuple[str, ...], list[str]] = {}
+    for p, cols in snap.deletes:
+        by_cols.setdefault(tuple(cols), []).append(p)
+    for cols, paths in by_cols.items():
+        keys = spark.read.parquet(*paths).select(*cols).distinct()
+        df = df.join(F.broadcast(keys), list(cols), "left_anti")
+    return df
 
 
 def _iceberg_type(dt: T.DataType):
@@ -259,6 +284,13 @@ def _entry_schema(partition_cols: list[str]) -> dict:
                     # self-describes — readers of external manifests
                     # simply see it absent)
                     {"name": "stats_json", "type": ["null", "string"]},
+                    # spec content codes: 0=data, 2=equality deletes
+                    {"name": "content", "type": ["null", "int"]},
+                    # equality delete key columns (spec stores field ids;
+                    # names here, same deviation as partition records)
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array",
+                                       "items": "string"}]},
                 ]}},
         ]}
 
@@ -276,7 +308,9 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      live: list[tuple[str, dict]],
                      removed: list[tuple[str, dict]],
                      partition_cols: list[str],
-                     stats: dict[str, dict] | None = None) -> int:
+                     stats: dict[str, dict] | None = None,
+                     deletes: list[tuple[str, list[str]]] | None = None
+                     ) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -300,11 +334,23 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                                       else str(pv[c]))
                                   for c in partition_cols},
                     "record_count": 1, "file_size_in_bytes": 1,
-                    "stats_json": json.dumps(st) if st else None}}
+                    "stats_json": json.dumps(st) if st else None,
+                    "content": 0, "equality_ids": None}}
+
+    def _del_rec(rel: str, cols: list[str]) -> dict:
+        return {"status": 1, "snapshot_id": sid,
+                "data_file": {
+                    "file_path": rel, "file_format": "PARQUET",
+                    "partition": {c: None for c in partition_cols},
+                    "record_count": 1, "file_size_in_bytes": 1,
+                    "stats_json": None, "content": 2,
+                    "equality_ids": list(cols)}}
 
     manifest = os.path.join(md, f"m{sid}.avro")
     write_avro_file(manifest, _entry_schema(partition_cols),
                     [_rec(1, rel, pv) for rel, pv in live]
+                    + [_del_rec(rel, cols)
+                       for rel, cols in (deletes or [])]
                     + [_rec(_STATUS_DELETED, rel, pv)
                        for rel, pv in removed])
     mlist = os.path.join(md, f"snap-{sid}.avro")
@@ -483,6 +529,7 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
         df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
             {p: pv for p, pv in files})
+        df = _apply_equality_deletes(spark, df, snap)
     return df, len(snap.files), len(files)
 
 
@@ -546,17 +593,20 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     stats = _collect_stats(spark, table, staged, df.schema,
                            [pf["source"] for pf in spec_fields
                             if pf["transform"] == "identity"])
+    carried_deletes: list[tuple[str, list[str]]] = []
     if mode == "append" and existed:
         live = prev_files + staged
         removed: list[tuple[str, dict]] = []
         stats.update({os.path.relpath(p, table): st
                       for p, st in prev.stats.items()})
+        carried_deletes = [(os.path.relpath(p, table), cols)
+                           for p, cols in prev.deletes]
     else:
         live = staged
         removed = prev_files
     return _commit_snapshot(table, meta, "append" if mode == "append"
                             else "overwrite", live, removed, part_names,
-                            stats)
+                            stats, carried_deletes)
 
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
@@ -587,6 +637,7 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
         hits_df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
             {os.path.join(table, rel): pv for rel, pv in hits})
+        hits_df = _apply_equality_deletes(spark, hits_df, snap)
         out, part_names = _apply_transforms(rewrite(hits_df),
                                             snap.spec_fields)
         staged += _stage_files(spark, out, os.path.join(table, "data"),
@@ -605,8 +656,14 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     stats.update({os.path.relpath(p, table): st
                   for p, st in snap.stats.items()
                   if os.path.realpath(p) not in hit_abs})
+    # OPTIMIZE ("replace") rewrites every data file with deletes applied,
+    # so the delete files fold away; other COW ops carry them (equality
+    # deletes are idempotent on the already-rewritten hit files)
+    carried = ([] if operation == "replace" else
+               [(os.path.relpath(p, table), cols)
+                for p, cols in snap.deletes])
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
-                            part_names, stats)
+                            part_names, stats, carried)
 
 
 def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
@@ -619,10 +676,56 @@ def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
 
 
 def delete_from_iceberg(spark: SparkSession, table: str,
-                        predicate: str) -> int:
-    """DELETE FROM <iceberg table> WHERE <predicate> — copy-on-write.
-    Same hit-file pruning as the Delta path: one scan carrying `__file`
-    bounds the rewrite to files that actually contain matches."""
+                        predicate: str, mode: str = "copy-on-write",
+                        equality_cols: list[str] | None = None) -> int:
+    """DELETE FROM <iceberg table> WHERE <predicate>.
+
+    copy-on-write (default): one scan carrying `__file` bounds the
+    rewrite to files that actually contain matches — same hit-file
+    pruning as the Delta path.
+
+    merge-on-read: write an EQUALITY DELETE file (spec content=2) whose
+    rows are the distinct `equality_cols` keys of the matching rows — a
+    metadata-plus-keys commit, no data rewritten; readers anti-join it.
+    This is the reference's positional MOR plan
+    (`DmlPositionalMergeOnReadPlanGenerator.java`) re-expressed with the
+    spec's equality deletes, which fit Spark's scan model (no stable
+    row positions in a parallel scan).  OPTIMIZE compacts them away.
+    """
+    if mode == "merge-on-read":
+        if not equality_cols:
+            raise ValueError("merge-on-read delete needs equality_cols")
+        snap = resolve_snapshot(table)
+        with open(_metadata_file(table)) as f:
+            meta = json.load(f)
+        keys = (read_iceberg(spark, table)
+                .where(predicate).select(*equality_cols).distinct())
+        import glob
+        import shutil
+        import uuid
+
+        sid_next = max((s["snapshot-id"]
+                        for s in meta.get("snapshots") or []),
+                       default=0) + 1
+        stage = os.path.join(table, "data",
+                             f"_del_stage_{uuid.uuid4().hex[:8]}")
+        keys.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        rel = os.path.join(
+            "data", f"eq-delete-{sid_next:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        os.replace(part, os.path.join(table, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+        live = [(os.path.relpath(p, table), pv) for p, pv in snap.files]
+        part_names = [pf["source"] if pf["transform"] == "identity"
+                      else pf["name"] for pf in snap.spec_fields]
+        stats = {os.path.relpath(p, table): st
+                 for p, st in snap.stats.items()}
+        deletes = ([(os.path.relpath(p, table), cols)
+                    for p, cols in snap.deletes]
+                   + [(rel, list(equality_cols))])
+        return _commit_snapshot(table, meta, "delete", live, [],
+                                part_names, stats, deletes)
+
     live = _live_iceberg_with_file(spark, table)
     hit_abs = {r[0] for r in
                live.where(predicate).select("__file").distinct().collect()}

@@ -773,3 +773,45 @@ def test_iceberg_manifest_stats_skipping(spark, tmp_path):
     pruned2, _, s2 = plan_iceberg_scan(spark, t, {"k": 137})
     assert s2 == 1
     assert pruned2.where("k = 137").collect()[0]["v"] == 275.0
+
+
+def test_iceberg_merge_on_read_equality_deletes(spark, tmp_path):
+    """MOR DELETE writes an equality-delete file (spec content=2): no
+    data rewrite, readers anti-join, deletes stack, COW ops on the MOR
+    state stay correct, OPTIMIZE compacts the deletes away, and time
+    travel before the delete still sees all rows."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, optimize_iceberg, read_iceberg,
+        resolve_snapshot, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t, partition_by=["p"])
+
+    files_before = {p for p, _ in resolve_snapshot(t).files}
+    delete_from_iceberg(spark, t, "k >= 90", mode="merge-on-read",
+                        equality_cols=["k"])
+    snap = resolve_snapshot(t)
+    assert {p for p, _ in snap.files} == files_before  # no rewrite
+    assert len(snap.deletes) == 1
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 90
+    assert cur.where("k >= 90").count() == 0
+
+    delete_from_iceberg(spark, t, "k < 5", mode="merge-on-read",
+                        equality_cols=["k"])
+    assert read_iceberg(spark, t).count() == 85
+
+    update_iceberg(spark, t, {"v": "v + 1000"}, "k = 10")
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 85
+    assert cur.where("k = 10").collect()[0]["v"] == 1010.0
+
+    optimize_iceberg(spark, t)
+    assert resolve_snapshot(t).deletes == []
+    assert read_iceberg(spark, t).count() == 85
+    assert read_iceberg(spark, t, snapshot_id=1).count() == 100
