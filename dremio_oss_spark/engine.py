@@ -882,6 +882,39 @@ class Engine:
         return self.spark.createDataFrame(
             sorted(counts.items()), "partition string, n_files long")
 
+    def table_manifests(self, path: str) -> DataFrame:
+        """TABLE(table_manifests('<path>')): the metadata files behind
+        the current state — Iceberg manifest-list/manifests, Delta JSON
+        commits + checkpoints."""
+        import os
+
+        fmt = self._lake_format(path)
+        rows: list[tuple[str, str, int]] = []
+        if fmt == "iceberg":
+            md = os.path.join(path, "metadata")
+            for fn in sorted(os.listdir(md)):
+                kind = ("manifest_list" if fn.startswith("snap-")
+                        else "manifest" if fn.endswith(".avro")
+                        else "metadata" if fn.endswith(".json")
+                        else None)
+                if kind:
+                    p = os.path.join(md, fn)
+                    rows.append((fn, kind, os.path.getsize(p)))
+        elif fmt == "delta":
+            log = os.path.join(path, "_delta_log")
+            for fn in sorted(os.listdir(log)):
+                kind = ("commit" if fn.endswith(".json")
+                        and fn[:-5].isdigit()
+                        else "checkpoint" if fn.endswith(".parquet")
+                        else None)
+                if kind:
+                    p = os.path.join(log, fn)
+                    rows.append((fn, kind, os.path.getsize(p)))
+        else:
+            raise ValueError(f"not a lakehouse table: {path}")
+        return self.spark.createDataFrame(
+            rows, "file_name string, kind string, size_bytes long")
+
     def _snap_files(self, path: str) -> list[tuple[str, dict]]:
         import os
 
@@ -897,7 +930,7 @@ class Engine:
         raise ValueError(f"not a lakehouse table: {path}")
 
     _META_FNS = ("table_history", "table_files", "table_snapshot",
-                 "table_partitions")
+                 "table_partitions", "table_manifests")
 
     def _expand_metadata_fns(self, query: str) -> str:
         """Rewrite TABLE(table_history('<path>')) et al. into temp views

@@ -183,6 +183,10 @@ def test_metadata_table_functions_and_rollback(spark, tmp_path):
     files = eng.sql(
         f"select * from table(table_files('{t}'))").collect()
     assert len(files) == 3 and all(f["size_bytes"] > 0 for f in files)
+    mans = eng.sql(
+        f"select * from table(table_manifests('{t}'))").collect()
+    assert {m["kind"] for m in mans} == {"commit"}
+    assert len(mans) == 2  # CTAS + DELETE commits
     eng.sql(f"ROLLBACK TABLE '{t}' TO SNAPSHOT '0'")
     assert read_delta(spark, t).count() == 30
 
