@@ -16,11 +16,13 @@ transaction log rather than embedding delta-core
 
 Scale: the log is table *metadata* (MBs for PB-scale tables) and every
 Delta reader materializes it at plan time; the data files themselves are
-read by Spark's parquet source with the usual pushdown/pruning.
-Partition values are reconstructed per `add.partitionValues`, grouped so
-one `spark.read` happens per distinct partition tuple (Delta's
-dir-layout is not guaranteed hive-style, so basePath inference is not
-relied on).
+read by Spark's parquet source with the usual pushdown/pruning in ONE
+multi-path scan.  Partition values are reconstructed per
+`add.partitionValues` via a broadcast file→values join keyed on the file
+basename (Delta's dir-layout is not guaranteed hive-style, so basePath
+inference is never relied on).  Commits embed add.stats (min/max per
+column) for plan-time file skipping, and checkpoints are auto-written
+every 10 commits so log replay stays O(interval).
 """
 
 from __future__ import annotations

@@ -20,9 +20,11 @@ manifests.
 
 Scale: metadata is KBs-to-MBs at any table size and every Iceberg reader
 materializes it at plan time; data files go through Spark's normal
-pushdown-capable parquet source.  Partition values come from the
-manifest entries (identity transforms), grouped into one read per
-distinct partition tuple like the Delta reader.
+pushdown-capable parquet source in ONE multi-path scan.  Partition
+values come from the manifest entries (identity transforms) via a
+broadcast file→values join; hidden partition transforms
+(bucket/truncate/temporal) and per-file column bounds prune at the
+manifest level; equality-delete files (merge-on-read) anti-join at scan.
 """
 
 from __future__ import annotations
