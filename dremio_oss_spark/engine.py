@@ -946,25 +946,74 @@ class Engine:
             r"'([^']+)'\s*\)\s*\)",
             repl, query, flags=re.I)
 
+    def _safe_equality_bindings(self, query: str, path: str) -> dict:
+        """Extract `col = literal` bindings that are SAFE to prune the
+        lake table's file set with: only when the query references
+        exactly one table (this path — no JOIN, no second FROM source)
+        and the WHERE clause is a pure conjunction (no OR anywhere), so
+        every extracted conjunct must hold for every returned row.
+        Pruning only ever narrows the FILE set; the unchanged WHERE
+        still row-filters, so a missed binding costs nothing."""
+        if len(re.findall(r"\b(from|join)\b", query, re.I)) != 1:
+            return {}
+        m = re.search(
+            r"\bwhere\b(.*?)(\bgroup\s+by\b|\border\s+by\b|\blimit\b|$)",
+            query, re.I | re.S)
+        if not m or re.search(r"\bor\b", m.group(1), re.I):
+            return {}
+        out: dict[str, object] = {}
+        for part in re.split(r"\band\b", m.group(1), flags=re.I):
+            pm = re.fullmatch(
+                r"\s*(\w+)\s*=\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*",
+                part)
+            if pm:
+                col = pm.group(1)
+                out[col] = (pm.group(2) if pm.group(2) is not None
+                            else float(pm.group(3))
+                            if "." in pm.group(3) else int(pm.group(3)))
+        return out
+
     def _expand_lake_refs(self, query: str) -> str:
         """Rewrite quoted lakehouse table refs in FROM/JOIN — with
         optional time travel — into temp views:
             SELECT ... FROM '<path>' [AT SNAPSHOT '<id>']
         (ref: dremio-oss versioned table refs, `TimeTravelTableMacro`,
-        `TestTableVersionParsing`).  Non-lakehouse quoted paths are left
-        alone (Spark errors as before)."""
+        `TestTableVersionParsing`).  Single-table conjunctive WHERE
+        equality predicates additionally prune the file set through the
+        stats/partition-aware scan planners before Spark ever plans the
+        query.  Non-lakehouse quoted paths are left alone (Spark errors
+        as before)."""
         def repl(m: "re.Match[str]") -> str:
             kw, path, snap = m.group(1), m.group(2), m.group(4)
             fmt = self._lake_format(path)
             if fmt is None:
                 return m.group(0)
             version = int(snap) if snap is not None else None
+            bindings = self._safe_equality_bindings(query, path)
             if fmt == "delta":
-                from .sources.delta import read_delta
-                df = read_delta(self.spark, path, version=version)
+                from .sources.delta import plan_delta_scan, read_delta
+                if bindings:
+                    cols = set((read_delta(self.spark, path,
+                                           version=version)).columns)
+                    df, _, _ = plan_delta_scan(
+                        self.spark, path,
+                        {c: v for c, v in bindings.items() if c in cols},
+                        version=version)
+                else:
+                    df = read_delta(self.spark, path, version=version)
             else:
-                from .sources.iceberg import read_iceberg
-                df = read_iceberg(self.spark, path, snapshot_id=version)
+                from .sources.iceberg import (plan_iceberg_scan,
+                                              read_iceberg)
+                if bindings:
+                    cols = set(read_iceberg(self.spark, path,
+                                            snapshot_id=version).columns)
+                    df, _, _ = plan_iceberg_scan(
+                        self.spark, path,
+                        {c: v for c, v in bindings.items() if c in cols},
+                        snapshot_id=version)
+                else:
+                    df = read_iceberg(self.spark, path,
+                                      snapshot_id=version)
             view = f"__lake_{abs(hash((path, version))) % 10**8}"
             df.createOrReplaceTempView(view)
             return f"{kw} {view}"

@@ -324,6 +324,17 @@ def _collect_stats(spark: SparkSession, table: str,
     return out
 
 
+def _pv_eq(a, b) -> bool:
+    """Partition-value equality: numeric when both sides parse (dir
+    values are strings — '3' must equal a bound 3.0), else string."""
+    if a is None or b is None:
+        return a is None and b is None
+    try:
+        return float(a) == float(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+
+
 def plan_delta_scan(spark: SparkSession, table: str,
                     equality: dict[str, object],
                     version: int | None = None
@@ -339,7 +350,7 @@ def plan_delta_scan(spark: SparkSession, table: str,
         pv = snap.files[rel]
         for c, v in equality.items():
             if c in snap.partition_cols:
-                if pv.get(c) != str(v):
+                if not _pv_eq(pv.get(c), v):
                     return False
         st = snap.stats.get(rel)
         if st:

@@ -499,6 +499,8 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
     applies the residual row filter."""
     from .delta import _scan_with_partition_values
 
+    from .delta import _pv_eq
+
     snap = resolve_snapshot(table, snapshot_id)
     required: dict[str, str] = {}
     for pf in snap.spec_fields:
@@ -523,7 +525,7 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
         return True
 
     files = [(p, pv) for p, pv in snap.files
-             if all(pv.get(k) == v for k, v in required.items())
+             if all(_pv_eq(pv.get(k), v) for k, v in required.items())
              and _stats_keep(p)]
     if not files:
         df = spark.createDataFrame([], snap.schema)

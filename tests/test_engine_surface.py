@@ -271,3 +271,39 @@ def test_lake_ctas_and_insert_statements(spark, tmp_path):
     assert ice_snap(t2).spec_fields[0]["transform"] == "bucket[4]"
     eng.sql(f"INSERT INTO '{t2}' select n_nationkey + 100, n_name from nation")
     assert read_iceberg(spark, t2).count() == 50
+
+
+def test_lake_select_prunes_from_where_equality(spark, tmp_path):
+    """Single-table conjunctive WHERE equality predicates prune the
+    lakehouse file set through the stats/partition planners before
+    Spark plans the query; OR / JOIN queries skip pruning and stay
+    correct; float literals on int partition columns compare
+    numerically (not stringly)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+
+    eng = Engine(spark)
+    t = str(tmp_path / "d")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 100).cast("long").alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, df.repartitionByRange(8, "k"), t,
+                partition_by=["p"])
+
+    r = eng.sql(f"select count(*) as c, sum(v) as s from '{t}' "
+                "where k = 137").collect()[0]
+    assert (r["c"], r["s"]) == (1, 137.0)
+    # float literal on an int partition column — numeric pv compare
+    assert eng.sql(f"select count(*) as c from '{t}' "
+                   "where p = 3.0").collect()[0]["c"] == 100
+    # OR disables pruning; result still exact
+    assert eng.sql(f"select count(*) as c from '{t}' "
+                   "where k = 3 or k = 500").collect()[0]["c"] == 2
+    # JOIN disables pruning; result still exact
+    spark.createDataFrame([(0,), (1,)], "p long").createOrReplaceTempView(
+        "prune_ps")
+    assert eng.sql(f"select count(*) as c from '{t}' join prune_ps "
+                   "using (p) where v >= 0").collect()[0]["c"] == 200
