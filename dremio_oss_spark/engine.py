@@ -743,22 +743,30 @@ class Engine:
 
         m = re.match(
             r"\s*merge\s+into\s+'([^']+)'\s+using\s+(\w+)\s+"
-            r"on\s+(.+?)\s+when\s+matched\s+then\s+update\s+set\s+\*\s+"
+            r"on\s+(.+?)\s+when\s+matched\s+then\s+update\s+set\s+(.+?)\s+"
             r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
             query, re.I | re.S)
         if m:
-            path, src_view, cond = m.group(1), m.group(2), m.group(3)
+            path, src_view, cond, sets = (m.group(1), m.group(2),
+                                          m.group(3), m.group(4))
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
             keys = [k.strip().split(".")[-1]
                     for k in re.split(r"\band\b", cond, flags=re.I)
                     for k in [k.split("=")[0]]]
+            update_set = None  # SET * → take every source column
+            if sets.strip() != "*":
+                update_set = {}
+                for part in _split_top_level(sets, ","):
+                    c, _, e = part.partition("=")
+                    update_set[c.strip().split(".")[-1]] = e.strip()
             source = self.spark.table(src_view)
             fn = (D.merge_into_delta if fmt == "delta"
                   else I.merge_into_iceberg)
             return self._status(
-                "MERGE", fn(self.spark, path, source, on=keys))
+                "MERGE", fn(self.spark, path, source, on=keys,
+                            update_set=update_set))
 
         m = re.match(
             r"\s*rollback\s+table\s+'([^']+)'\s+to\s+snapshot\s+"

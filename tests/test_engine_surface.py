@@ -307,3 +307,36 @@ def test_lake_select_prunes_from_where_equality(spark, tmp_path):
         "prune_ps")
     assert eng.sql(f"select count(*) as c from '{t}' join prune_ps "
                    "using (p) where v >= 0").collect()[0]["c"] == 200
+
+
+def test_merge_statement_column_assignments(spark, tmp_path):
+    """MERGE INTO ... WHEN MATCHED THEN UPDATE SET <col = s.expr, ...>
+    updates only the named columns; SET * takes every source column."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    eng = Engine(spark)
+    t = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i), "x") for i in range(20)],
+        "k long, p long, v double, tag string")
+    write_delta(spark, df, t, partition_by=["p"])
+    spark.createDataFrame(
+        [(0, 0, -1.0, "NEW"), (50, 0, 9.0, "INS")],
+        "k long, p long, v double, tag string"
+    ).createOrReplaceTempView("msrc2")
+
+    eng.sql(f"MERGE INTO '{t}' USING msrc2 ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    cur = read_delta(spark, t)
+    r0 = cur.where("k = 0").collect()[0]
+    assert (r0["v"], r0["tag"]) == (-1.0, "x")  # tag untouched
+    r50 = cur.where("k = 50").collect()[0]
+    assert (r50["v"], r50["tag"]) == (9.0, "INS")
+
+    eng.sql(f"MERGE INTO '{t}' USING msrc2 ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    r0b = read_delta(spark, t).where("k = 0").collect()[0]
+    assert (r0b["v"], r0b["tag"]) == (-1.0, "NEW")
