@@ -179,3 +179,34 @@ def test_lakehouse_scan_partition_join_broadcasts(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     assert "Union" not in plan  # single scan, not per-partition branches
     assert plan.count("FileScan parquet") == 1
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The decontamination join must broadcast the (benchmark-sized)
+    eval shingle table — the training corpus is never shuffled."""
+    from dremio_oss_spark.operators.dedup import decontaminate
+
+    docs = load(spark, SF_SMALL, "documents")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    plan = _plan(decontaminate(tr, ev, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_hit_detection_broadcasts_keys(spark, tmp_path):
+    """MERGE hit-file detection semi-joins the target scan against the
+    broadcast source key set — no target shuffle for file marking."""
+    from dremio_oss_spark.sources.delta import (
+        _live_with_file, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"])
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    live = _live_with_file(spark, t)
+    plan = _plan(live.join(F.broadcast(keys), ["k"], "left_semi"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
