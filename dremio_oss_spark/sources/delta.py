@@ -205,7 +205,7 @@ def read_delta(spark: SparkSession, path: str,
 def _scan_with_partition_values(
     spark: SparkSession, table: str, schema: StructType | None,
     part_cols: list[str], files: dict[str, dict],
-    keep_file: bool = False) -> DataFrame:
+    keep_file: bool = False, keep_pos: bool = False) -> DataFrame:
     """Single parquet scan over `files` (rel→partitionValues) with the
     log's partition values attached by broadcast join on
     input_file_name().  The log — not directory layout — is the source
@@ -220,7 +220,11 @@ def _scan_with_partition_values(
     if data_fields:
         r = r.schema(StructType(data_fields))
     df = r.parquet(*[os.path.join(table, rel) for rel in files])
-    if not part_cols and not keep_file:
+    if keep_pos:
+        # stable row position within each physical parquet file — the
+        # Iceberg position-delete `pos` semantics (spec content=1)
+        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+    if not part_cols and not keep_file and not keep_pos:
         return df
     # Join key is the file BASENAME, not the full path:
     # input_file_name() returns a percent-ENCODED URI, so partition dirs

@@ -125,6 +125,7 @@ class IcebergSnapshot:
         self.files = files  # DATA files: (local path, partition values)
         self.stats = stats or {}  # local data path -> bounds dict
         self.deletes: list[tuple[str, list[str]]] = []  # equality deletes
+        self.pos_deletes: list[str] = []  # position deletes (content=1)
         # full default partition spec: [{name, transform, source}] —
         # includes hidden (non-identity) transform fields
         self.spec_fields = spec_fields or [
@@ -181,14 +182,19 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
     files: list[tuple[str, dict]] = []
     stats: dict[str, dict] = {}
     deletes: list[tuple[str, list[str]]] = []
+    pos_deletes: list[str] = []
     for mf in read_avro_file(_local(snap["manifest-list"], table)):
         for entry in read_avro_file(_local(mf["manifest_path"], table)):
             if entry["status"] == _STATUS_DELETED:
                 continue
             df_rec = entry["data_file"]
             p = _local(df_rec["file_path"], table)
-            if (df_rec.get("content") or 0) == 2:
+            content = df_rec.get("content") or 0
+            if content == 2:
                 deletes.append((p, list(df_rec.get("equality_ids") or [])))
+                continue
+            if content == 1:
+                pos_deletes.append(p)
                 continue
             files.append((p, df_rec.get("partition") or {}))
             sj = df_rec.get("stats_json")
@@ -197,6 +203,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
     out = IcebergSnapshot(sid, schema, part_cols, files, spec_fields,
                           stats)
     out.deletes = deletes
+    out.pos_deletes = pos_deletes
     return out
 
 
@@ -211,10 +218,37 @@ def read_iceberg(spark: SparkSession, table: str,
     # directory layout, are the partition-value source of truth)
     from .delta import _scan_with_partition_values
 
+    has_pos = bool(snap.pos_deletes)
     df = _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols,
-        {p: pv for p, pv in snap.files})
+        {p: pv for p, pv in snap.files},
+        keep_file=has_pos, keep_pos=has_pos)
+    df = _apply_position_deletes(spark, df, snap)
     return _apply_equality_deletes(spark, df, snap)
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame,
+                            snap: "IcebergSnapshot") -> DataFrame:
+    """Merge-on-read position deletes (spec content=1): the scan carries
+    (`__file`, `__pos`) identity via the parquet `_metadata.row_index`
+    column, and the tiny delete files anti-join it away by
+    (file basename, pos).  Basenames are unique across the live set
+    (guarded in `_scan_with_partition_values`), encoding-stable, and
+    path-prefix independent, so no realpath normalization is needed.
+    Reference: dremio-oss `DmlPositionalMergeOnReadPlanGenerator.java` —
+    the same filePath+rowIndex anti-join, here as a broadcast join."""
+    if not snap.pos_deletes:
+        return df
+    dels = (spark.read.parquet(*snap.pos_deletes)
+            .select(F.element_at(F.split("file_path", "/"), -1)
+                    .alias("__del_base"),
+                    F.col("pos").alias("__pos"))
+            .distinct())
+    out = (df.withColumn("__del_base",
+                         F.element_at(F.split("__file", "/"), -1))
+           .join(F.broadcast(dels), ["__del_base", "__pos"], "left_anti")
+           .drop("__del_base", "__file", "__pos"))
+    return out
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
@@ -286,7 +320,8 @@ def _entry_schema(partition_cols: list[str]) -> dict:
                     # self-describes — readers of external manifests
                     # simply see it absent)
                     {"name": "stats_json", "type": ["null", "string"]},
-                    # spec content codes: 0=data, 2=equality deletes
+                    # spec content codes: 0=data, 1=position deletes,
+                    # 2=equality deletes
                     {"name": "content", "type": ["null", "int"]},
                     # equality delete key columns (spec stores field ids;
                     # names here, same deviation as partition records)
@@ -339,14 +374,18 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                     "stats_json": json.dumps(st) if st else None,
                     "content": 0, "equality_ids": None}}
 
-    def _del_rec(rel: str, cols: list[str]) -> dict:
+    def _del_rec(rel: str, cols: list[str] | None) -> dict:
+        # cols=None → position delete file (content=1, rows are
+        # (file_path, pos)); cols → equality delete file (content=2)
         return {"status": 1, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
                     "partition": {c: None for c in partition_cols},
                     "record_count": 1, "file_size_in_bytes": 1,
-                    "stats_json": None, "content": 2,
-                    "equality_ids": list(cols)}}
+                    "stats_json": None,
+                    "content": 2 if cols is not None else 1,
+                    "equality_ids": (list(cols) if cols is not None
+                                     else None)}}
 
     manifest = os.path.join(md, f"m{sid}.avro")
     write_avro_file(manifest, _entry_schema(partition_cols),
@@ -530,9 +569,12 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
     if not files:
         df = spark.createDataFrame([], snap.schema)
     else:
+        has_pos = bool(snap.pos_deletes)
         df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
-            {p: pv for p, pv in files})
+            {p: pv for p, pv in files},
+            keep_file=has_pos, keep_pos=has_pos)
+        df = _apply_position_deletes(spark, df, snap)
         df = _apply_equality_deletes(spark, df, snap)
     return df, len(snap.files), len(files)
 
@@ -597,14 +639,17 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     stats = _collect_stats(spark, table, staged, df.schema,
                            [pf["source"] for pf in spec_fields
                             if pf["transform"] == "identity"])
-    carried_deletes: list[tuple[str, list[str]]] = []
+    carried_deletes: list[tuple[str, list[str] | None]] = []
     if mode == "append" and existed:
         live = prev_files + staged
         removed: list[tuple[str, dict]] = []
         stats.update({os.path.relpath(p, table): st
                       for p, st in prev.stats.items()})
-        carried_deletes = [(os.path.relpath(p, table), cols)
-                           for p, cols in prev.deletes]
+        carried_deletes = (
+            [(os.path.relpath(p, table), cols)
+             for p, cols in prev.deletes]
+            + [(os.path.relpath(p, table), None)
+               for p in prev.pos_deletes])
     else:
         live = staged
         removed = prev_files
@@ -638,9 +683,12 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     part_names = [pf["source"] if pf["transform"] == "identity"
                   else pf["name"] for pf in snap.spec_fields]
     if hits:
+        has_pos = bool(snap.pos_deletes)
         hits_df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
-            {os.path.join(table, rel): pv for rel, pv in hits})
+            {os.path.join(table, rel): pv for rel, pv in hits},
+            keep_file=has_pos, keep_pos=has_pos)
+        hits_df = _apply_position_deletes(spark, hits_df, snap)
         hits_df = _apply_equality_deletes(spark, hits_df, snap)
         out, part_names = _apply_transforms(rewrite(hits_df),
                                             snap.spec_fields)
@@ -662,21 +710,32 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
                   if os.path.realpath(p) not in hit_abs})
     # OPTIMIZE ("replace") rewrites every data file with deletes applied,
     # so the delete files fold away; other COW ops carry them (equality
-    # deletes are idempotent on the already-rewritten hit files)
+    # deletes are idempotent on the already-rewritten hit files;
+    # position-delete rows for rewritten files go inert — the staged
+    # files have fresh basenames)
     carried = ([] if operation == "replace" else
                [(os.path.relpath(p, table), cols)
-                for p, cols in snap.deletes])
+                for p, cols in snap.deletes]
+               + [(os.path.relpath(p, table), None)
+                  for p in snap.pos_deletes])
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
                             part_names, stats, carried)
 
 
-def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
+def _scan_with_partition_values_iceberg(
+        spark: SparkSession, table: str, snap: "IcebergSnapshot",
+        keep_file: bool = False, keep_pos: bool = False) -> DataFrame:
     from .delta import _scan_with_partition_values
 
-    snap = resolve_snapshot(table)
     return _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols,
-        {p: pv for p, pv in snap.files}, keep_file=True)
+        {p: pv for p, pv in snap.files},
+        keep_file=keep_file, keep_pos=keep_pos)
+
+
+def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
+    return _scan_with_partition_values_iceberg(
+        spark, table, resolve_snapshot(table), keep_file=True)
 
 
 def delete_from_iceberg(spark: SparkSession, table: str,
@@ -688,25 +747,46 @@ def delete_from_iceberg(spark: SparkSession, table: str,
     rewrite to files that actually contain matches — same hit-file
     pruning as the Delta path.
 
-    merge-on-read: write an EQUALITY DELETE file (spec content=2) whose
-    rows are the distinct `equality_cols` keys of the matching rows — a
-    metadata-plus-keys commit, no data rewritten; readers anti-join it.
-    This is the reference's positional MOR plan
-    (`DmlPositionalMergeOnReadPlanGenerator.java`) re-expressed with the
-    spec's equality deletes, which fit Spark's scan model (no stable
-    row positions in a parallel scan).  OPTIMIZE compacts them away.
+    merge-on-read: a metadata-plus-keys commit, no data rewritten;
+    readers anti-join the delete file away.  Two delete-file styles:
+
+    - POSITIONAL (default, `equality_cols=None`): write a POSITION
+      DELETE file (spec content=1) whose sorted rows are
+      (file_path, pos) of the matching rows, `pos` taken from the
+      parquet `_metadata.row_index` of the same scan the reader runs —
+      the reference's own MOR plan
+      (`DmlPositionalMergeOnReadPlanGenerator.java` emits filePath +
+      rowIndex tuples exactly like this).
+    - EQUALITY (`equality_cols=[...]`): write an EQUALITY DELETE file
+      (spec content=2) holding the distinct key tuples of the matching
+      rows; applies to all current files regardless of commit order.
+
+    OPTIMIZE compacts either style away.
     """
     if mode == "merge-on-read":
-        if not equality_cols:
-            raise ValueError("merge-on-read delete needs equality_cols")
         snap = resolve_snapshot(table)
         with open(_metadata_file(table)) as f:
             meta = json.load(f)
-        keys = (read_iceberg(spark, table)
-                .where(predicate).select(*equality_cols).distinct())
         import glob
         import shutil
         import uuid
+
+        if equality_cols:
+            keys = (read_iceberg(spark, table)
+                    .where(predicate).select(*equality_cols).distinct())
+            prefix, cols_entry = "eq-delete", list(equality_cols)
+        else:
+            live = _scan_with_partition_values_iceberg(
+                spark, table, snap, keep_file=True, keep_pos=True)
+            rel_of = spark.createDataFrame(
+                [(os.path.realpath(p), os.path.relpath(p, table))
+                 for p, _ in snap.files], "__file string, file_path string")
+            keys = (live.where(predicate)
+                    .select("__file", F.col("__pos").alias("pos"))
+                    .join(F.broadcast(rel_of), "__file")
+                    .select("file_path", "pos")
+                    .orderBy("file_path", "pos"))
+            prefix, cols_entry = "pos-delete", None
 
         sid_next = max((s["snapshot-id"]
                         for s in meta.get("snapshots") or []),
@@ -716,18 +796,22 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         keys.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "*.parquet"))[0]
         rel = os.path.join(
-            "data", f"eq-delete-{sid_next:05d}-{uuid.uuid4().hex[:8]}.parquet")
+            "data",
+            f"{prefix}-{sid_next:05d}-{uuid.uuid4().hex[:8]}.parquet")
         os.replace(part, os.path.join(table, rel))
         shutil.rmtree(stage, ignore_errors=True)
-        live = [(os.path.relpath(p, table), pv) for p, pv in snap.files]
+        live_entries = [(os.path.relpath(p, table), pv)
+                        for p, pv in snap.files]
         part_names = [pf["source"] if pf["transform"] == "identity"
                       else pf["name"] for pf in snap.spec_fields]
         stats = {os.path.relpath(p, table): st
                  for p, st in snap.stats.items()}
         deletes = ([(os.path.relpath(p, table), cols)
                     for p, cols in snap.deletes]
-                   + [(rel, list(equality_cols))])
-        return _commit_snapshot(table, meta, "delete", live, [],
+                   + [(os.path.relpath(p, table), None)
+                      for p in snap.pos_deletes]
+                   + [(rel, cols_entry)])
+        return _commit_snapshot(table, meta, "delete", live_entries, [],
                                 part_names, stats, deletes)
 
     live = _live_iceberg_with_file(spark, table)
@@ -835,6 +919,9 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
     for s in retained:
         snap = resolve_snapshot(table, s["snapshot-id"])
         referenced.update(os.path.realpath(p) for p, _ in snap.files)
+        # merge-on-read delete files are live references too
+        referenced.update(os.path.realpath(p) for p, _ in snap.deletes)
+        referenced.update(os.path.realpath(p) for p in snap.pos_deletes)
     removed: list[str] = []
     data_dir = os.path.join(table, "data")
     for root, _, files in os.walk(data_dir):

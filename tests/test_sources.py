@@ -815,3 +815,83 @@ def test_iceberg_merge_on_read_equality_deletes(spark, tmp_path):
     assert resolve_snapshot(t).deletes == []
     assert read_iceberg(spark, t).count() == 85
     assert read_iceberg(spark, t, snapshot_id=1).count() == 100
+
+
+def test_iceberg_merge_on_read_position_deletes(spark, tmp_path):
+    """Default MOR DELETE writes a POSITION delete file (spec content=1,
+    rows = (file_path, pos) from _metadata.row_index): no data rewrite,
+    readers anti-join by position, deletes stack across commits, a
+    re-inserted identical key is NOT re-deleted (positional semantics —
+    unlike equality deletes), COW ops on the MOR state stay correct,
+    OPTIMIZE folds the deletes away, and time travel still works."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, optimize_iceberg, read_iceberg,
+        resolve_snapshot, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t, partition_by=["p"])
+
+    files_before = {p for p, _ in resolve_snapshot(t).files}
+    delete_from_iceberg(spark, t, "k >= 90", mode="merge-on-read")
+    snap = resolve_snapshot(t)
+    assert {p for p, _ in snap.files} == files_before  # no rewrite
+    assert snap.deletes == [] and len(snap.pos_deletes) == 1
+    # the delete file itself holds sorted (file_path, pos) rows
+    dels = spark.read.parquet(*snap.pos_deletes)
+    assert set(dels.columns) == {"file_path", "pos"}
+    assert dels.count() == 10
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 90
+    assert cur.where("k >= 90").count() == 0
+
+    # deletes stack
+    delete_from_iceberg(spark, t, "k < 5", mode="merge-on-read")
+    assert len(resolve_snapshot(t).pos_deletes) == 2
+    assert read_iceberg(spark, t).count() == 85
+
+    # positional semantics: appending a row with a previously deleted key
+    # does NOT get swallowed by the old delete (new file, new positions)
+    re_add = spark.createDataFrame([(90, 0, 90.0)], "k long, p long, v double")
+    write_iceberg(spark, re_add, t, mode="append", partition_by=["p"])
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 86
+    assert cur.where("k = 90").count() == 1
+
+    # COW update over the MOR state applies position deletes first
+    update_iceberg(spark, t, {"v": "v + 1000"}, "k = 10")
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 86
+    assert cur.where("k = 10").collect()[0]["v"] == 1010.0
+    assert cur.where("k = 91").count() == 0  # still deleted post-rewrite
+
+    optimize_iceberg(spark, t)
+    snap = resolve_snapshot(t)
+    assert snap.pos_deletes == [] and snap.deletes == []
+    assert read_iceberg(spark, t).count() == 86
+    assert read_iceberg(spark, t, snapshot_id=1).count() == 100
+
+
+def test_iceberg_vacuum_keeps_live_delete_files(spark, tmp_path):
+    """expire_iceberg_snapshots must not orphan-delete MOR delete files
+    still referenced by a retained snapshot."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, expire_iceberg_snapshots, read_iceberg,
+        write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+    delete_from_iceberg(spark, t, "k >= 40", mode="merge-on-read")
+    delete_from_iceberg(spark, t, "k in (0, 1)", mode="merge-on-read",
+                        equality_cols=["k"])
+    removed = expire_iceberg_snapshots(t, keep_last=1)
+    assert removed == []  # everything is referenced by the live snapshot
+    assert read_iceberg(spark, t).count() == 38
