@@ -162,6 +162,11 @@ class Engine:
         # autoscaling bounds; purely declarative here (local[] has one
         # "engine"), but the statement surface and sys view are real
         self._engines: dict[str, dict] = {}
+        # promoted folder datasets (physical datasets): name -> {path,
+        # files} — the file listing is PINNED at promotion time the way
+        # the reference caches dataset metadata in the namespace KV
+        # store; only REFRESH DATASET re-lists the folder
+        self._datasets: dict[str, dict] = {}
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -406,10 +411,54 @@ class Engine:
 
         return re.sub(r"table\(\s*(\w+)\s*\(([^()]*)\)\s*\)", repl, query, flags=re.I)
 
-    def refresh_dataset(self, name: str) -> None:
-        """REFRESH DATASET (Parser.tdd): invalidate cached metadata/data
-        for a table or view so the next scan re-lists files."""
-        self.spark.catalog.refreshTable(name)
+    def promote_folder_dataset(self, name: str, path: str) -> int:
+        """Format a folder of parquet files as a named physical dataset
+        (the reference's folder auto-promotion: a dataset's metadata —
+        here the file listing — is captured once and served from the
+        namespace, NOT re-listed per query; `REFRESH DATASET` is the
+        only thing that picks up new/removed files).  Returns the number
+        of files pinned.  Scale note: per-query directory listing of a
+        100k-file dataset is exactly what the reference's metadata cache
+        avoids; pinning the listing also makes results stable while a
+        writer is mid-append."""
+        files = self._list_dataset_files(path)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        self._datasets[name] = {"path": path, "files": files}
+        self._register_dataset_view(name)
+        return len(files)
+
+    def _list_dataset_files(self, path: str) -> list[str]:
+        import os
+
+        if os.path.isfile(path):
+            return [path]
+        out = []
+        for root, _, fns in os.walk(path):
+            out.extend(os.path.join(root, fn) for fn in fns
+                       if fn.endswith(".parquet"))
+        return sorted(out)
+
+    def _register_dataset_view(self, name: str) -> None:
+        ds = self._datasets[name]
+        (self.spark.read.parquet(*ds["files"])
+         .createOrReplaceTempView(name))
+
+    def refresh_dataset(self, name: str) -> dict | None:
+        """REFRESH DATASET (Parser.tdd, `SqlRefreshDataset`): re-list a
+        promoted folder dataset's files and swap the pinned metadata —
+        returns {"added": n, "removed": n}.  For plain catalog tables,
+        falls back to invalidating Spark's cached file listing."""
+        ds = self._datasets.get(name)
+        if ds is None:
+            self.spark.catalog.refreshTable(name)
+            return None
+        fresh = self._list_dataset_files(ds["path"])
+        old = set(ds["files"])
+        ds["files"] = fresh
+        self._register_dataset_view(name)
+        return {"added": len(set(fresh) - old),
+                "removed": len(old - set(fresh))}
 
     # -- Hive UDF loading (plugins/hive-function-registry) ------------------
     def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
@@ -984,7 +1033,8 @@ class Engine:
     def _expand_lake_refs(self, query: str) -> str:
         """Rewrite quoted lakehouse table refs in FROM/JOIN — with
         optional time travel — into temp views:
-            SELECT ... FROM '<path>' [AT SNAPSHOT '<id>']
+            SELECT ... FROM '<path>'
+                [AT SNAPSHOT '<id>' | AT TIMESTAMP '<iso|epoch ms>']
         (ref: dremio-oss versioned table refs, `TimeTravelTableMacro`,
         `TestTableVersionParsing`).  Single-table conjunctive WHERE
         equality predicates additionally prune the file set through the
@@ -992,11 +1042,25 @@ class Engine:
         query.  Non-lakehouse quoted paths are left alone (Spark errors
         as before)."""
         def repl(m: "re.Match[str]") -> str:
-            kw, path, snap = m.group(1), m.group(2), m.group(4)
+            kw, path = m.group(1), m.group(2)
+            mode, arg = m.group(3), m.group(4) or m.group(5)
             fmt = self._lake_format(path)
             if fmt is None:
                 return m.group(0)
-            version = int(snap) if snap is not None else None
+            version = ts_ms = None
+            if mode is not None and mode.lower() == "snapshot":
+                version = int(arg)
+            elif mode is not None:  # AT TIMESTAMP '<iso datetime|epoch ms>'
+                from datetime import datetime
+
+                ts_ms = (int(arg) if arg.isdigit() else
+                         int(datetime.fromisoformat(arg).timestamp() * 1000))
+                from .sources.delta import resolve_version_at
+                from .sources.iceberg import resolve_snapshot_at
+
+                version = (resolve_version_at(path, ts_ms)
+                           if fmt == "delta"
+                           else resolve_snapshot_at(path, ts_ms))
             bindings = self._safe_equality_bindings(query, path)
             if fmt == "delta":
                 from .sources.delta import plan_delta_scan, read_delta
@@ -1028,7 +1092,7 @@ class Engine:
 
         return re.sub(
             r"\b(from|join)\s+'([^']+)'"
-            r"(\s+at\s+snapshot\s+'?(\d+)'?)?",
+            r"(?:\s+at\s+(snapshot|timestamp)\s+(?:'([^']+)'|(\d+)))?",
             repl, query, flags=re.I)
 
     # -- SQL entry ---------------------------------------------------------
@@ -1040,6 +1104,18 @@ class Engine:
         if m:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
+        # REFRESH DATASET <name> / ALTER TABLE <name> REFRESH METADATA
+        m = re.match(
+            r"\s*(?:refresh\s+dataset\s+(\w+)"
+            r"|alter\s+table\s+(\w+)\s+refresh\s+metadata)\s*$",
+            query, re.I)
+        if m:
+            name = m.group(1) or m.group(2)
+            delta = self.refresh_dataset(name)
+            return self._status(
+                "REFRESH DATASET",
+                "metadata cache invalidated" if delta is None else
+                f"added {delta['added']}, removed {delta['removed']}")
         lake = self._lake_statement(query)
         if lake is not None:
             return lake

@@ -37,6 +37,41 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 
 
+def _commit_ts() -> int:
+    """Wall-clock commit timestamp (epoch ms) for commitInfo — the value
+    AT TIMESTAMP time travel resolves against."""
+    import time
+
+    return int(time.time() * 1000)
+
+
+def resolve_version_at(path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF: the last version whose commit timestamp is
+    <= `timestamp_ms`.  Commit timestamps are normalized to be
+    nondecreasing (cumulative max) the way Delta readers do, so a
+    clock step between writers cannot make resolution non-monotonic.
+    Reference: dremio-oss `TimeTravelTableMacro` (AT TIMESTAMP) over
+    the Delta commit log."""
+    best, running = None, None
+    for v, fp in _commit_files(path):
+        ts = None
+        with open(fp) as f:
+            for ln in f:
+                a = json.loads(ln) if ln.strip() else {}
+                if a.get("commitInfo"):
+                    ts = a["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = running if running is not None else 0
+        running = ts if running is None else max(running, ts)
+        if running <= timestamp_ms:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no Delta version at or before timestamp {timestamp_ms} in {path}")
+    return best
+
+
 def is_delta_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, _LOG_DIR))
 
@@ -183,8 +218,9 @@ def resolve_snapshot(spark: SparkSession, path: str,
 
 
 def read_delta(spark: SparkSession, path: str,
-               version: int | None = None) -> DataFrame:
-    """SELECT * FROM delta table [VERSION AS OF n].
+               version: int | None = None,
+               timestamp_ms: int | None = None) -> DataFrame:
+    """SELECT * FROM delta table [VERSION AS OF n | TIMESTAMP AS OF t].
 
     ONE multi-path parquet scan regardless of file/partition count —
     plan construction stays O(1) in both.  Partition columns live in the
@@ -193,6 +229,10 @@ def read_delta(spark: SparkSession, path: str,
     and cast to the declared types.  Filters/projections push into the
     single parquet scan as usual; the broadcast join adds no shuffle.
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("give version OR timestamp_ms, not both")
+        version = resolve_version_at(path, timestamp_ms)
     snap = resolve_snapshot(spark, path, version)
     if not snap.files:
         if snap.schema is None:
@@ -502,7 +542,7 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     actions.append({"commitInfo": {
         "operation": "CREATE TABLE AS SELECT" if version == 0
         else ("WRITE" if mode == "append" else "OVERWRITE"),
-        "timestamp": version,
+        "timestamp": _commit_ts(),
     }})
     if mode == "overwrite" and version > 0:
         prev = resolve_snapshot(spark, table)
@@ -555,7 +595,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     version = snap.version + 1
     part_cols = snap.partition_cols
     actions: list[dict] = [
-        {"commitInfo": {"operation": operation, "timestamp": version}}
+        {"commitInfo": {"operation": operation, "timestamp": _commit_ts()}}
     ]
     staged: list[tuple[str, dict]] = []
     if hit_rel:
@@ -716,7 +756,7 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
     cur = resolve_snapshot(spark, table)
     new_v = cur.version + 1
     actions: list[dict] = [
-        {"commitInfo": {"operation": "ROLLBACK", "timestamp": new_v}},
+        {"commitInfo": {"operation": "ROLLBACK", "timestamp": _commit_ts()}},
         {"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},
@@ -766,7 +806,7 @@ def alter_delta(spark: SparkSession, table: str,
         fields.append(StructField(name, _ddl_type(ddl), True))
     new_schema = StructType(fields)
     _commit(table, version, [
-        {"commitInfo": {"operation": "ALTER TABLE", "timestamp": version}},
+        {"commitInfo": {"operation": "ALTER TABLE", "timestamp": _commit_ts()}},
         {"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},

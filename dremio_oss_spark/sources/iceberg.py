@@ -134,6 +134,35 @@ class IcebergSnapshot:
         ]
 
 
+def _snapshot_ts_ms(meta: dict) -> int:
+    """Wall-clock snapshot timestamp (epoch ms), kept strictly
+    increasing across the table's snapshot list so AT TIMESTAMP
+    resolution is monotonic even under clock steps."""
+    import time
+
+    prev = max((s.get("timestamp-ms") or 0
+                for s in meta.get("snapshots") or []), default=0)
+    return max(int(time.time() * 1000), prev + 1)
+
+
+def resolve_snapshot_at(table: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF: snapshot-id of the last snapshot whose
+    timestamp-ms is <= `timestamp_ms` (reference:
+    `TimeTravelTableMacro` AT TIMESTAMP over snapshot history)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    best, running = None, 0
+    for s in sorted(meta.get("snapshots") or [],
+                    key=lambda s: s["snapshot-id"]):
+        running = max(running, s.get("timestamp-ms") or 0)
+        if running <= timestamp_ms:
+            best = s["snapshot-id"]
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at or before timestamp {timestamp_ms} in {table}")
+    return best
+
+
 def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnapshot:
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
@@ -208,8 +237,13 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
 
 
 def read_iceberg(spark: SparkSession, table: str,
-                 snapshot_id: int | None = None) -> DataFrame:
-    """SELECT * FROM iceberg table [AT SNAPSHOT '<id>']."""
+                 snapshot_id: int | None = None,
+                 timestamp_ms: int | None = None) -> DataFrame:
+    """SELECT * FROM iceberg table [AT SNAPSHOT '<id>' | AT TIMESTAMP t]."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("give snapshot_id OR timestamp_ms, not both")
+        snapshot_id = resolve_snapshot_at(table, timestamp_ms)
     snap = resolve_snapshot(table, snapshot_id)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
@@ -400,7 +434,7 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
          "partition_spec_id": 0, "added_snapshot_id": sid}])
 
     meta.setdefault("snapshots", []).append(
-        {"snapshot-id": sid, "timestamp-ms": sid,
+        {"snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
          "summary": {"operation": operation}, "manifest-list": mlist})
     meta["current-snapshot-id"] = sid
     v = sid
@@ -948,7 +982,7 @@ def rollback_iceberg(table: str, snapshot_id: int) -> int:
                   if s["snapshot-id"] == snapshot_id)
     sid = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
     meta["snapshots"].append({
-        "snapshot-id": sid, "timestamp-ms": sid,
+        "snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
         "summary": {"operation": "rollback"},
         "manifest-list": target["manifest-list"],
     })

@@ -340,3 +340,99 @@ def test_merge_statement_column_assignments(spark, tmp_path):
             "WHEN NOT MATCHED THEN INSERT *")
     r0b = read_delta(spark, t).where("k = 0").collect()[0]
     assert (r0b["v"], r0b["tag"]) == (-1.0, "NEW")
+
+
+def test_lake_at_timestamp_time_travel(spark, tmp_path):
+    """AT TIMESTAMP '<iso|epoch ms>' resolves to the last commit/snapshot
+    at or before that wall-clock instant for both formats; commits carry
+    real, monotonic timestamps.  Reference: TimeTravelTableMacro's
+    AT TIMESTAMP branch."""
+    import time
+    from datetime import datetime
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, read_delta, resolve_version_at, write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, read_iceberg, resolve_snapshot_at,
+        write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double")
+
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t)
+    mid_ms = int(time.time() * 1000)
+    time.sleep(0.01)
+    delete_from_delta(spark, t, "k >= 10")
+
+    assert resolve_version_at(t, mid_ms) == 0
+    assert read_delta(spark, t, timestamp_ms=mid_ms).count() == 20
+    assert read_delta(spark, t).count() == 10
+    now_iso = datetime.now().isoformat(sep=" ", timespec="seconds")
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at timestamp '{mid_ms}'"
+    ).collect()[0]["c"] == 20
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at timestamp '{now_iso}'"
+    ).collect()[0]["c"] == 10
+
+    t2 = str(tmp_path / "i")
+    s1 = write_iceberg(spark, df, t2)
+    mid_ms = int(time.time() * 1000)
+    time.sleep(0.01)
+    delete_from_iceberg(spark, t2, "k >= 10")
+    assert resolve_snapshot_at(t2, mid_ms) == s1
+    assert read_iceberg(spark, t2, timestamp_ms=mid_ms).count() == 20
+    assert eng.sql(
+        f"select count(*) as c from '{t2}' at timestamp '{mid_ms}'"
+    ).collect()[0]["c"] == 20
+    # too-early timestamp errors
+    try:
+        resolve_snapshot_at(t2, 10_000)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def test_refresh_dataset_pins_and_refreshes_folder_listing(spark, tmp_path):
+    """Folder promotion pins the parquet file listing (new files are
+    invisible to queries — the reference serves dataset metadata from
+    its namespace store, not per-query directory listings); REFRESH
+    DATASET re-lists and reports the delta.  Reference:
+    `SqlRefreshDataset` / REFRESH DATASET in Parser.tdd."""
+    import os
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    d = str(tmp_path / "folder")
+    spark.range(10).toDF("k").coalesce(1).write.mode("overwrite").parquet(d)
+
+    n = eng.promote_folder_dataset("promoted_ds", d)
+    assert n >= 1
+    assert spark.table("promoted_ds").count() == 10
+
+    # a new file lands in the folder — pinned metadata doesn't see it
+    import glob
+    import shutil
+
+    src = glob.glob(os.path.join(d, "*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "extra-00000.parquet"))
+    assert spark.table("promoted_ds").count() == 10
+
+    out = eng.sql("REFRESH DATASET promoted_ds").collect()[0]
+    assert "added 1" in out["result"]
+    assert spark.table("promoted_ds").count() == 20
+
+    # removal is picked up the same way (via the ALTER TABLE alias)
+    os.remove(os.path.join(d, "extra-00000.parquet"))
+    out = eng.sql("ALTER TABLE promoted_ds REFRESH METADATA").collect()[0]
+    assert "removed 1" in out["result"]
+    assert spark.table("promoted_ds").count() == 10
+
+    # non-promoted names fall back to catalog cache invalidation
+    spark.range(3).toDF("x").createOrReplaceTempView("plain_view")
+    out = eng.sql("REFRESH DATASET plain_view").collect()[0]
+    assert out["result"] == "metadata cache invalidated"

@@ -210,3 +210,37 @@ def test_merge_hit_detection_broadcasts_keys(spark, tmp_path):
     plan = _plan(live.join(F.broadcast(keys), ["k"], "left_semi"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Runtime bloom filters: a selective filter on the build side of a
+    shuffle join gets turned into a bloom-filter semi-filter on the probe
+    side's scan — the Spark analogue of the reference's runtime filters
+    pushed from VectorizedHashJoin into upstream scans
+    (`sabot/op/join/vhash/VectorizedHashJoinOperator.java` runtime
+    bloom filters, `RuntimeFilterManager`).  Broadcast joins don't need
+    one (the small side ships whole), so the test pins a shuffle join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # let the tiny sf0.001 fixture qualify as a probe side
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_SMALL, "lineitem")
+        orders = load(spark, SF_SMALL, "orders").where(
+            "o_totalprice > 400000")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan  # build side aggregates a bloom
+        assert "might_contain" in plan  # probe side filters through it
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
