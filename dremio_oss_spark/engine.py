@@ -20,6 +20,7 @@ to execution is Spark; this facade only owns the catalog + surface.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -315,6 +316,9 @@ class Engine:
                     ",".join(m.name for m in r.measures),
                     len(r.joins), str(r.watermark) if r.watermark else None,
                 ))
+            for rr in store._raw.values():
+                rows.append((rr.name, rr.table,
+                             ",".join(rr.cols), "", 0, None))
         return self.spark.createDataFrame(
             rows or [("", "", "", "", 0, None)],
             "reflection_name string, dataset string, dims string, "
@@ -384,6 +388,96 @@ class Engine:
         if store is None:
             raise ValueError("no reflections created on this engine")
         return store.execute(q, self.table(fq))
+
+    # -- reflections DDL (SqlCreateReflection / SqlAccel parser surface) ----
+    def _resolve_table(self, name: str) -> DataFrame:
+        """Table ref for DDL: space.vds through the namespace, otherwise
+        a session view/table."""
+        if "." in name and name.split(".", 1)[0] in self.spaces:
+            return self.table(name)
+        return self.spark.table(name)
+
+    def _default_refl_store(self):
+        from .plans import ReflectionStore
+
+        store = getattr(self, "_refl_store", None)
+        if store is None:
+            root = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scratch", f"engine_refl_{os.getpid()}")
+            store = self._refl_store = ReflectionStore(self.spark, root)
+        return store
+
+    def _reflection_statement(self, query: str) -> DataFrame | None:
+        """SQL forms of the reflections DDL (reference grammar:
+        `parserImpls.ftl` SqlCreateReflection — ALTER TABLE/VDS ...
+        CREATE AGGREGATE|RAW REFLECTION, SqlDropReflection, and the
+        refresh job):
+
+            ALTER TABLE t CREATE AGGREGATE REFLECTION r
+                USING DIMENSIONS (a, b) MEASURES (x (SUM), y (COUNT))
+            ALTER TABLE t CREATE RAW REFLECTION r
+                USING DISPLAY (c1, c2) [LOCALSORT BY (c)]
+            ALTER TABLE t DROP REFLECTION r
+            REFRESH REFLECTION r
+        """
+        from .plans import Measure
+
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
+            r"aggregate\s+reflection\s+(\w+)\s+using\s+"
+            r"dimensions\s*\(([^)]*)\)\s*"
+            r"measures\s*\((.*)\)\s*$",
+            query, re.I | re.S)
+        if m:
+            t, name, dim_s, meas_s = m.groups()
+            dims = [d.strip() for d in dim_s.split(",") if d.strip()]
+            measures = []
+            for part in re.findall(r"(\w+)\s*\(([^)]*)\)", meas_s):
+                col, fns = part
+                for fn in fns.split(","):
+                    measures.append(Measure(fn.strip().lower(), col))
+            store = self._default_refl_store()
+            store.create_aggregation_reflection(
+                name, self._resolve_table(t), table=t, dims=dims,
+                measures=measures)
+            return self._status(
+                "CREATE AGGREGATE REFLECTION",
+                f"{name} on {t}: {len(dims)} dims, "
+                f"{len(measures)} measures")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
+            r"raw\s+reflection\s+(\w+)\s+using\s+display\s*\(([^)]*)\)"
+            r"(?:\s+localsort\s+by\s*\((\w+)\))?\s*$",
+            query, re.I)
+        if m:
+            t, name, cols_s, sort_col = m.groups()
+            cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+            store = self._default_refl_store()
+            store.create_raw_reflection(
+                name, self._resolve_table(t), table=t,
+                display_cols=cols, sort_col=sort_col)
+            return self._status("CREATE RAW REFLECTION",
+                                f"{name} on {t}: {len(cols)} columns")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|dataset)\s+[\w.]+\s+drop\s+"
+            r"reflection\s+(\w+)\s*$", query, re.I)
+        if m:
+            self._default_refl_store().drop(m.group(1))
+            return self._status("DROP REFLECTION", m.group(1))
+        m = re.match(r"\s*refresh\s+reflection\s+(\w+)\s*$", query, re.I)
+        if m:
+            name = m.group(1)
+            store = self._default_refl_store()
+            refl = store._reflections.get(name)
+            if refl is None:
+                raise ValueError(f"no reflection {name!r}")
+            store.create_aggregation_reflection(
+                name, self._resolve_table(refl.table), table=refl.table,
+                dims=list(refl.dims), measures=list(refl.measures),
+                filters=list(refl.filters))
+            return self._status("REFRESH REFLECTION", name)
+        return None
 
     # -- tabular SQL UDFs (CREATE FUNCTION ... RETURNS TABLE) ----------------
     def create_tabular_udf(self, name: str, params: list[str], sql: str) -> None:
@@ -1116,6 +1210,9 @@ class Engine:
                 "REFRESH DATASET",
                 "metadata cache invalidated" if delta is None else
                 f"added {delta['added']}, removed {delta['removed']}")
+        refl = self._reflection_statement(query)
+        if refl is not None:
+            return refl
         lake = self._lake_statement(query)
         if lake is not None:
             return lake

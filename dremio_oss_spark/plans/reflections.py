@@ -353,7 +353,8 @@ class ReflectionStore:
         return base.select(*cols), False
 
     def drop(self, name: str) -> None:
-        refl = self._reflections.pop(name, None)
+        refl = (self._reflections.pop(name, None)
+                or self._raw.pop(name, None))
         if refl:
             shutil.rmtree(refl.path, ignore_errors=True)
 

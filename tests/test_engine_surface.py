@@ -436,3 +436,58 @@ def test_refresh_dataset_pins_and_refreshes_folder_listing(spark, tmp_path):
     spark.range(3).toDF("x").createOrReplaceTempView("plain_view")
     out = eng.sql("REFRESH DATASET plain_view").collect()[0]
     assert out["result"] == "metadata cache invalidated"
+
+
+def test_reflection_ddl_sql_statements(spark):
+    """The reference's reflections DDL grammar through Engine.sql
+    (`parserImpls.ftl` SqlCreateReflection/SqlDropReflection): CREATE
+    AGGREGATE REFLECTION materializes and then answers a covering
+    rollup from the materialization; CREATE RAW REFLECTION narrows a
+    scan; REFRESH REFLECTION rebuilds; DROP removes."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.plans import AggQuery, Measure
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    out = eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION li_by_flag "
+        "USING DIMENSIONS (l_returnflag, l_linestatus) "
+        "MEASURES (l_quantity (SUM), l_extendedprice (SUM, MIN))"
+    ).collect()[0]
+    assert "li_by_flag" in out["result"] and "3 measures" in out["result"]
+
+    store = eng._default_refl_store()
+    q = AggQuery(table="lineitem", dims=("l_returnflag",),
+                 measures=(Measure("sum", "l_quantity"),))
+    df, substituted = store.execute(q, spark.table("lineitem"))
+    assert substituted
+    expect = (spark.table("lineitem").groupBy("l_returnflag")
+              .agg(F.sum("l_quantity").alias("s")))
+    got = {r["l_returnflag"]: float(r["sum_l_quantity"])
+           for r in df.collect()}
+    want = {r["l_returnflag"]: float(r["s"]) for r in expect.collect()}
+    assert got == pytest.approx(want)
+
+    assert "li_by_flag" in [
+        r["reflection_name"] for r in eng.sys_reflections().collect()]
+    eng.sql("REFRESH REFLECTION li_by_flag")
+    df2, sub2 = store.execute(q, spark.table("lineitem"))
+    assert sub2 and {r["l_returnflag"]: float(r["sum_l_quantity"])
+                     for r in df2.collect()} == pytest.approx(want)
+
+    out = eng.sql(
+        "ALTER TABLE orders CREATE RAW REFLECTION o_narrow "
+        "USING DISPLAY (o_orderkey, o_totalprice) LOCALSORT BY (o_orderkey)"
+    ).collect()[0]
+    assert "2 columns" in out["result"]
+    narrowed, raw_sub = store.scan(
+        "orders", ["o_orderkey"], spark.table("orders"))
+    assert raw_sub and narrowed.count() == spark.table("orders").count()
+
+    eng.sql("ALTER TABLE lineitem DROP REFLECTION li_by_flag")
+    eng.sql("ALTER TABLE orders DROP REFLECTION o_narrow")
+    _, sub3 = store.execute(q, spark.table("lineitem"))
+    assert not sub3
