@@ -346,11 +346,25 @@ class Engine:
             "spark.sql.shuffle.partitions",
             "spark.sql.session.timeZone",
             "spark.sql.cbo.enabled",
-        ]
+        ] + sorted(getattr(self, "_session_options", {}))
         return self.spark.createDataFrame(
-            [(k, self.spark.conf.get(k, None)) for k in keys],
+            [(k, self.spark.conf.get(k, None)) for k in dict.fromkeys(keys)],
             "name string, value string",
         )
+
+    def alter_session(self, key: str, value) -> None:
+        """ALTER SESSION SET "key" = value (reference `SqlSetOption` /
+        ALTER SESSION surface): session-scoped option writes.  Keys map
+        straight onto Spark SQL confs — the session conf IS the option
+        store; set options additionally surface in sys.options."""
+        self.spark.conf.set(key, str(value))
+        self._session_options = getattr(self, "_session_options", {})
+        self._session_options[key] = str(value)
+
+    def reset_session(self, key: str) -> None:
+        """ALTER SESSION RESET "key"."""
+        self.spark.conf.unset(key)
+        getattr(self, "_session_options", {}).pop(key, None)
 
     # -- view acceleration (reflections defined ON a VDS) --------------------
     def create_vds_reflection(
@@ -1210,6 +1224,19 @@ class Engine:
                 "REFRESH DATASET",
                 "metadata cache invalidated" if delta is None else
                 f"added {delta['added']}, removed {delta['removed']}")
+        # ALTER SESSION SET "key" = value | ALTER SESSION RESET "key"
+        m = re.match(
+            r"\s*alter\s+session\s+(?:set\s+\"?([\w.]+)\"?\s*=\s*"
+            r"(?:'([^']*)'|(\S+))|reset\s+\"?([\w.]+)\"?)\s*$",
+            query, re.I)
+        if m:
+            if m.group(4):
+                self.reset_session(m.group(4))
+                return self._status("ALTER SESSION RESET", m.group(4))
+            val = m.group(2) if m.group(2) is not None else m.group(3)
+            self.alter_session(m.group(1), val)
+            return self._status("ALTER SESSION SET",
+                                f"{m.group(1)} = {val}")
         refl = self._reflection_statement(query)
         if refl is not None:
             return refl

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
+    delta_sink_query,
     session_window_agg,
     sliding_window_agg,
     stream_dedup,
@@ -127,6 +128,19 @@ order by c.user_id
 """
 
 
+def delta_sink(spark: SparkSession, sf: str) -> DataFrame:
+    return delta_sink_query(spark, sf)
+
+
+DELTA_SINK_SQL = """
+select event_type, cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) as value_sum
+from events
+group by event_type
+order by event_type
+"""
+
+
 STREAMING_QUERIES = {
     "stream_tumbling_window": tumbling,
     "stream_sliding_window": sliding,
@@ -134,6 +148,7 @@ STREAMING_QUERIES = {
     "stream_dedup_pipe": dedup,
     "stream_stateful_totals": stateful,
     "stream_stream_join": ss_join,
+    "stream_delta_sink": delta_sink,
 }
 
 STREAMING_ORACLE = {
@@ -143,4 +158,5 @@ STREAMING_ORACLE = {
     "stream_dedup_pipe": DEDUP_SQL,
     "stream_stateful_totals": STATEFUL_SQL,
     "stream_stream_join": SS_JOIN_SQL,
+    "stream_delta_sink": DELTA_SINK_SQL,
 }

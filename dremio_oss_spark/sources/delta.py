@@ -124,6 +124,9 @@ def checkpoint_delta(spark: SparkSession, table: str,
         _add_action(rel, pv, v, snap.stats)
         for rel, pv in sorted(snap.files.items())
     )
+    # carry writer txn state (appId -> latest version) forward, as the
+    # protocol requires of checkpoints
+    actions.extend(_txn_states(spark, table, v))
     # schema must union across action kinds (protocol/metaData/add rows
     # populate disjoint columns) — Spark's JSON reader does that; the
     # single part file then moves into the protocol's checkpoint name
@@ -503,9 +506,65 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
         fh.write("".join(json.dumps(a) + "\n" for a in actions))
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Latest `txn` action version committed for `app_id` (protocol
+    `txn` / SetTransaction actions — the idempotent-writer handshake a
+    streaming sink uses for exactly-once appends).  Checkpoints carry
+    the txn state forward, so this survives aged-out JSON commits."""
+    best = None
+    cp_v = _last_checkpoint(path)
+    if cp_v is not None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(path, _LOG_DIR, f"{cp_v:020d}.checkpoint.parquet")
+        t = pq.read_table(cp)
+        if "txn" in t.column_names:
+            for rec in t.column("txn").to_pylist():
+                if rec and rec.get("appId") == app_id:
+                    best = max(best if best is not None else -1,
+                               int(rec["version"]))
+    for v, fp in _commit_files(path):
+        if cp_v is not None and v <= cp_v:
+            continue
+        with open(fp) as f:
+            for ln in f:
+                a = json.loads(ln) if ln.strip() else {}
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    best = max(best if best is not None else -1,
+                               int(t["version"]))
+    return best
+
+
+def _txn_states(spark: SparkSession, path: str, version: int) -> list[dict]:
+    """All latest-per-appId txn actions up to `version` (for checkpoint
+    carry-forward, as the protocol requires)."""
+    latest: dict[str, int] = {}
+    cp_v = _last_checkpoint(path)
+    if cp_v is not None and cp_v <= version:
+        for a in _checkpoint_actions(spark, path, cp_v):
+            t = a.get("txn")
+            if t and t.get("appId"):
+                latest[t["appId"]] = max(latest.get(t["appId"], -1),
+                                         int(t["version"]))
+    for v, fp in _commit_files(path):
+        if v > version or (cp_v is not None and v <= cp_v):
+            continue
+        with open(fp) as f:
+            for ln in f:
+                a = json.loads(ln) if ln.strip() else {}
+                t = a.get("txn")
+                if t and t.get("appId"):
+                    latest[t["appId"]] = max(latest.get(t["appId"], -1),
+                                             int(t["version"]))
+    return [{"txn": {"appId": k, "version": v}}
+            for k, v in sorted(latest.items())]
+
+
 def write_delta(spark: SparkSession, df: DataFrame, table: str,
                 mode: str = "overwrite",
-                partition_by: list[str] | None = None) -> int:
+                partition_by: list[str] | None = None,
+                txn: tuple[str, int] | None = None) -> int:
     """CTAS / INSERT INTO for a Delta table: stage parquet, append a
     commit to the transaction log.  Returns the committed version.
 
@@ -544,6 +603,8 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         else ("WRITE" if mode == "append" else "OVERWRITE"),
         "timestamp": _commit_ts(),
     }})
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     if mode == "overwrite" and version > 0:
         prev = resolve_snapshot(spark, table)
         actions.extend(

@@ -8,6 +8,7 @@ session windows with watermarks over the `events` fixture, plus
 pipe-style streaming dedup ingestion.
 """
 
+from .lakesink import delta_sink_query, stream_append_delta
 from .windows import (
     run_to_table,
     session_window_agg,
@@ -18,6 +19,8 @@ from .windows import (
 )
 
 __all__ = [
+    "delta_sink_query",
+    "stream_append_delta",
     "run_to_table",
     "session_window_agg",
     "sliding_window_agg",

@@ -1,0 +1,96 @@
+"""Streaming ingest into a Delta table with exactly-once appends.
+
+The reference's closest feature is auto-ingest pipes (CREATE PIPE ... AS
+COPY INTO, `sabot/grammar/.../ingestion.ftl:195`), which incrementally
+load new files into a table with duplicate protection.  Spark-first,
+that is Structured Streaming: `readStream` over the source directory,
+`foreachBatch` into the Delta transaction log, and the protocol's `txn`
+(SetTransaction) action for idempotence — each micro-batch commit
+records (appId, batchId); a batch replayed after a failure between the
+table commit and the stream checkpoint is detected (batchId <= last
+committed txn version for the appId) and skipped, so rows land exactly
+once no matter where the job dies.
+
+Scale notes:
+- The stream checkpoint (offset log) bounds re-reads; the txn handshake
+  bounds re-WRITES.  Both are required for exactly-once file ingest —
+  this is the same two-ledger design delta-spark's own streaming sink
+  uses (public PROTOCOL.md, "Transaction Identifiers").
+- `availableNow` drains the current backlog in bounded micro-batches
+  and stops: the incremental-job trigger for a growing lake directory.
+- Each micro-batch append is one parquet stage + one KB-scale log
+  commit; file-count control comes from the Delta writer's
+  repartition-by-partition-columns staging.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stream_append_delta(stream: DataFrame, table: str, app_id: str,
+                        checkpoint: str,
+                        partition_by: list[str] | None = None) -> int:
+    """Drain `stream` (availableNow) into Delta `table` via exactly-once
+    foreachBatch appends.  Returns the number of batches actually
+    committed (replays skip)."""
+    from ..sources.delta import last_txn_version, write_delta
+
+    spark = stream.sparkSession
+    committed = {"n": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already in the table
+        write_delta(spark, batch_df, table, mode="append",
+                    partition_by=partition_by, txn=(app_id, batch_id))
+        committed["n"] += 1
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return committed["n"]
+
+
+def delta_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked end-to-end: stream the events table into a Delta
+    table exactly-once, then aggregate the table — counts must equal a
+    batch aggregation of the source no matter how many times the drain
+    ran before (idempotent restarts)."""
+    from pyspark.sql import functions as F
+
+    import re
+
+    from ..queries.tpch import dsum
+    from ..sources.delta import read_delta
+    from .windows import stream_events
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(repo_root, ".scratch", f"delta_sink-{tag}")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # fresh run per invocation
+    table = os.path.join(base, "events_delta")
+    ckpt = os.path.join(base, "ckpt")
+    stream = stream_events(spark, sf_dir)
+    stream_append_delta(stream, table, app_id="events-ingest",
+                        checkpoint=ckpt)
+    # a second drain from the same checkpoint must be a no-op
+    stream_append_delta(stream_events(spark, sf_dir), table,
+                        app_id="events-ingest", checkpoint=ckpt)
+    return (read_delta(spark, table)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 dsum(F.col("value"), 6).alias("value_sum"))
+            .orderBy("event_type"))

@@ -491,3 +491,26 @@ def test_reflection_ddl_sql_statements(spark):
     eng.sql("ALTER TABLE orders DROP REFLECTION o_narrow")
     _, sub3 = store.execute(q, spark.table("lineitem"))
     assert not sub3
+
+
+def test_alter_session_set_reset(spark):
+    """ALTER SESSION SET/RESET maps session options onto Spark SQL confs
+    and surfaces them in sys.options (reference SqlSetOption / ALTER
+    SESSION)."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        out = eng.sql(
+            'ALTER SESSION SET "spark.sql.shuffle.partitions" = 7'
+        ).collect()[0]
+        assert "spark.sql.shuffle.partitions = 7" in out["result"]
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        opts = {r["name"]: r["value"] for r in eng.sys_options().collect()}
+        assert opts["spark.sql.shuffle.partitions"] == "7"
+        eng.sql('ALTER SESSION SET "spark.sql.ansi.enabled" = \'false\'')
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        eng.sql('ALTER SESSION RESET "spark.sql.ansi.enabled"')
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

