@@ -1,5 +1,7 @@
 """Plan-level services: reflections (materialized views + substitution)."""
 
 from .reflections import AggQuery, JoinSpec, Measure, Reflection, ReflectionStore
+from .workload import QueueDef, WorkloadManager
 
-__all__ = ["AggQuery", "JoinSpec", "Measure", "Reflection", "ReflectionStore"]
+__all__ = ["AggQuery", "JoinSpec", "Measure", "QueueDef", "Reflection",
+           "ReflectionStore", "WorkloadManager"]

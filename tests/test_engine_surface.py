@@ -514,3 +514,39 @@ def test_alter_session_set_reset(spark):
         eng.sql('ALTER SESSION RESET "spark.sql.ansi.enabled"')
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_workload_manager_routes_and_admits(spark):
+    """Cost-based queue routing (reference BasicResourceAllocator:
+    cost > threshold -> LARGE, reflection jobs ride their own pair) with
+    per-queue concurrency admission and scheduler-pool pinning."""
+    from dremio_oss_spark.plans import WorkloadManager
+
+    wm = WorkloadManager(spark, queue_threshold_bytes=1024)
+    tiny = spark.range(3).toDF("k")
+    big = load(spark, SF_SMALL, "lineitem")
+    assert wm.classify(tiny) == "SMALL"
+    assert wm.classify(big) == "LARGE"
+    assert wm.classify(big, reflection_job=True) == "REFLECTION_LARGE"
+    # filters reduce Catalyst's size estimate -> can demote to SMALL
+    assert wm.cost(big.select("l_orderkey")) < wm.cost(big)
+
+    sc = spark.sparkContext
+    with wm.admit(tiny) as qname:
+        assert qname == "SMALL"
+        assert sc.getLocalProperty("spark.scheduler.pool") == "wlm_small"
+        occ = {r["queue"]: r["active"] for r in wm.sys_queues().collect()}
+        assert occ["SMALL"] == 1
+        # the query actually runs inside the pool
+        assert tiny.count() == 3
+    assert sc.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+    # concurrency cap: a full queue rejects with timeout=0-ish
+    wm.queues["LARGE"].max_concurrency = 1
+    wm.queues["LARGE"].__post_init__()  # rebuild semaphore at new size
+    with wm.admit(big):
+        with pytest.raises(TimeoutError, match="LARGE full"):
+            with wm.admit(big, timeout=0.05):
+                pass
+    occ = {r["queue"]: r["active"] for r in wm.sys_queues().collect()}
+    assert occ["LARGE"] == 0
