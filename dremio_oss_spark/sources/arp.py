@@ -1,0 +1,113 @@
+"""ARP-style pushdown dialects: declarative per-source SQL rendering.
+
+Reference: dremio-oss `common/dialect/arp/` — each relational source
+ships a YAML descriptor declaring WHICH operations push down
+(projections, filters, aggregates, sort/limit, per-function support)
+and HOW each renders in that engine's SQL; the planner keeps
+unsupported subtrees in Dremio and ships the supported prefix through
+`common/rel2sql/DremioRelToSqlConverter.java`.
+
+Spark-first mapping: the dialect is a small Python object consulted by
+`ExternalSource.read()`.  A fully-supported subtree renders to one
+remote SQL; an unsupported aggregate degrades the pushdown to
+project+filter (the remote does the cheap row reduction, Spark does the
+aggregation) — exactly the ARP split, with the decision recorded so
+tests and EXPLAIN tooling can assert what shipped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ArpDialect:
+    """One source dialect: identifier quoting, limit syntax, and the
+    aggregate functions the source supports (the YAML's operation
+    list)."""
+
+    name: str = "generic"
+    # empty quotes = bare lowercase identifiers (duckdb/postgres default)
+    quote_open: str = ""
+    quote_close: str = ""
+    # LIMIT rendering: "limit" (postgres/duckdb) or "top" (t-sql)
+    limit_style: str = "limit"
+    supported_aggs: frozenset[str] = frozenset(
+        {"sum", "count", "min", "max", "avg"})
+    # function-name translation (rel2sql operator map)
+    function_map: dict[str, str] = field(default_factory=dict)
+
+    def ident(self, name: str) -> str:
+        return f"{self.quote_open}{name}{self.quote_close}"
+
+    def agg_supported(self, measures: dict[str, str]) -> bool:
+        """Every aggregate function appearing in the measures must be in
+        the dialect's supported set (ARP: unsupported op => subtree
+        stays local).  Scalar wrappers (cast etc.) don't disqualify."""
+        import re
+
+        for expr in measures.values():
+            fns = {m.lower()
+                   for m in re.findall(r"\b([A-Za-z_]\w*)\s*\(", expr)}
+            aggs = fns & _KNOWN_AGGS
+            if not aggs or not aggs <= self.supported_aggs:
+                return False
+        return True
+
+    def _fn(self, expr: str) -> str:
+        import re
+
+        return re.sub(
+            r"\b([A-Za-z_]\w*)\s*\(",
+            lambda m: self.function_map.get(
+                m.group(1).lower(), m.group(1)) + "(",
+            expr)
+
+    def render(self, table: str, columns: list[str] | None,
+               predicate: str | None,
+               aggregate: tuple[list[str], dict[str, str]] | None,
+               limit: int | None = None) -> str:
+        """rel2sql for the supported subtree."""
+        if aggregate is not None:
+            keys, measures = aggregate
+            sel = [self.ident(k) for k in keys] + [
+                f"{self._fn(expr)} as {self.ident(alias)}"
+                for alias, expr in measures.items()]
+        elif columns:
+            sel = [self.ident(c) for c in columns]
+        else:
+            sel = ["*"]
+        top = (f"top {limit} " if limit is not None
+               and self.limit_style == "top" else "")
+        sql = f"select {top}{', '.join(sel)} from {self.ident(table)}"
+        if predicate:
+            sql += f" where {predicate}"
+        if aggregate is not None and aggregate[0]:
+            sql += " group by " + ", ".join(
+                self.ident(k) for k in aggregate[0])
+        if limit is not None and self.limit_style == "limit":
+            sql += f" limit {limit}"
+        return sql
+
+
+# aggregate functions the pushdown splitter recognizes
+_KNOWN_AGGS = frozenset({"sum", "count", "min", "max", "avg", "stddev",
+                         "stddev_samp", "var_samp", "median",
+                         "approx_percentile"})
+
+
+DUCKDB_DIALECT = ArpDialect(
+    name="duckdb",
+    supported_aggs=frozenset(
+        {"sum", "count", "min", "max", "avg", "stddev", "median"}),
+)
+
+# a T-SQL-flavored descriptor: bracket quoting, TOP n, no MEDIAN —
+# exercises the unsupported-aggregate fallback path
+TSQL_DIALECT = ArpDialect(
+    name="tsql",
+    quote_open="[", quote_close="]",
+    limit_style="top",
+    supported_aggs=frozenset({"sum", "count", "min", "max", "avg"}),
+    function_map={"stddev": "stdev"},
+)

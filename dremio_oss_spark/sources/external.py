@@ -20,16 +20,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _expr_cols(expr: str) -> list[str]:
+    """Column identifiers referenced by a simple aggregate expression
+    ('sum(x)', 'median(v)') — enough for the degrade-to-scan projection."""
+    import re
+
+    out = []
+    for tok in re.findall(r"[A-Za-z_]\w*", expr):
+        if tok.lower() not in {"sum", "count", "min", "max", "avg",
+                               "stddev", "median", "distinct", "case",
+                               "when", "then", "else", "end", "and",
+                               "or", "not", "null", "as", "cast",
+                               "decimal", "double", "bigint", "int",
+                               "integer", "float", "varchar", "string",
+                               "date", "timestamp", "boolean"}:
+            out.append(tok)
+    return out
+
+
 class ExternalSource:
     """A named external engine reachable by SQL passthrough."""
 
-    def __init__(self, spark: SparkSession, name: str, attach: dict[str, str]):
+    def __init__(self, spark: SparkSession, name: str,
+                 attach: dict[str, str], dialect=None):
         """attach: table name -> parquet path registered in the external DB
-        (stands in for the remote catalog)."""
+        (stands in for the remote catalog).  `dialect` is the source's
+        ARP descriptor (defaults to the DuckDB dialect)."""
         import duckdb
+
+        from .arp import DUCKDB_DIALECT
 
         self.spark = spark
         self.name = name
+        self.dialect = dialect or DUCKDB_DIALECT
         self._con = duckdb.connect()
         for t, p in attach.items():
             self._con.execute(
@@ -51,20 +74,33 @@ class ExternalSource:
         crosses the wire — the whole point of federation at 100 TB.
 
         aggregate = (group_cols, {alias: "agg_expr"}) pushes a GROUP BY.
-        The generated SQL is recorded on `self.last_pushed_sql` so tests
-        (and EXPLAIN-style tooling) can assert what was shipped.
+        The generated SQL is rendered through the source's ARP dialect
+        (`sources/arp.py` — quoting, LIMIT style, function map) and
+        recorded on `self.last_pushed_sql` so tests (and EXPLAIN-style
+        tooling) can assert what was shipped.  An aggregate the dialect
+        does NOT support degrades the pushdown to project+filter and
+        Spark runs the aggregation locally (the ARP split:
+        `self.last_pushdown_level` records "aggregate" vs "scan").
         """
-        proj = ", ".join(columns) if columns else "*"
-        sql = f"select {proj} from {table}"
-        if aggregate is not None:
+        if (aggregate is not None
+                and not self.dialect.agg_supported(aggregate[1])):
             keys, measures = aggregate
-            sel = keys + [f"{expr} as {alias}" for alias, expr in measures.items()]
-            sql = f"select {', '.join(sel)} from {table}"
-        if predicate:
-            sql += f" where {predicate}"
-        if aggregate is not None and aggregate[0]:
-            sql += f" group by {', '.join(aggregate[0])}"
+            need = list(dict.fromkeys(
+                keys + [c for e in measures.values()
+                        for c in _expr_cols(e)]))
+            sql = self.dialect.render(table, need, predicate, None)
+            self.last_pushed_sql = sql
+            self.last_pushdown_level = "scan"
+            df = self.external_query(sql)
+            from pyspark.sql import functions as F
+
+            return df.groupBy(*keys).agg(*[
+                F.expr(expr).alias(alias)
+                for alias, expr in measures.items()])
+        sql = self.dialect.render(table, columns, predicate, aggregate)
         self.last_pushed_sql = sql
+        self.last_pushdown_level = (
+            "aggregate" if aggregate is not None else "scan")
         return self.external_query(sql)
 
     def close(self) -> None:

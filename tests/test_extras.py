@@ -191,3 +191,51 @@ def test_external_source_pushdown_sql(spark):
         assert "select o_orderkey from orders" in src.last_pushed_sql
     finally:
         src.close()
+
+
+def test_arp_dialect_rendering_and_degrade(spark):
+    """ARP dialect descriptors (common/dialect/arp): per-source quoting,
+    TOP-vs-LIMIT, function maps, and the unsupported-aggregate split —
+    a measure outside the dialect's supported set degrades the pushdown
+    to project+filter (remote does row reduction, Spark aggregates)."""
+    import os
+
+    from dremio_oss_spark.sources.arp import TSQL_DIALECT, ArpDialect
+    from dremio_oss_spark.sources.external import ExternalSource
+
+    # rendering differences are pure rel2sql — assert the text
+    sql = TSQL_DIALECT.render(
+        "orders", None, "o_orderkey <= 10",
+        (["o_orderpriority"], {"sd": "stddev(o_totalprice)"}), limit=5)
+    assert sql.startswith("select top 5 [o_orderpriority], "
+                          "stdev(o_totalprice) as [sd]")
+    assert "group by [o_orderpriority]" in sql
+
+    # duckdb-backed source with a dialect that doesn't support MEDIAN:
+    # the aggregate stays in Spark, the scan ships
+    narrow = ArpDialect(name="narrow",
+                        supported_aggs=frozenset({"sum", "count"}))
+    src = ExternalSource(
+        spark, "rdbms",
+        {"orders": os.path.join(SF_SMALL, "orders.parquet")},
+        dialect=narrow)
+    try:
+        df = src.read(
+            "orders", predicate="o_orderkey <= 100",
+            aggregate=(["o_orderpriority"],
+                       {"med": "median(o_totalprice)"}))
+        assert src.last_pushdown_level == "scan"
+        assert "median" not in src.last_pushed_sql
+        assert "where o_orderkey <= 100" in src.last_pushed_sql
+        assert set(df.columns) == {"o_orderpriority", "med"}
+        assert 0 < df.count() <= 5
+
+        # supported aggregate ships whole
+        df2 = src.read(
+            "orders", predicate="o_orderkey <= 100",
+            aggregate=(["o_orderpriority"], {"n": "count(*)"}))
+        assert src.last_pushdown_level == "aggregate"
+        assert "group by o_orderpriority" in src.last_pushed_sql
+        assert df2.count() <= 5
+    finally:
+        src.close()
