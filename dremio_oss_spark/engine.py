@@ -617,27 +617,45 @@ class Engine:
             name = self._flat(*name.split(".", 1))
         return self.spark.sql(f"describe table {name}")
 
+    def _iceberg_refs(self, table_path: str, kind: str) -> list[tuple]:
+        import json
+
+        from .sources.iceberg import _metadata_file
+
+        with open(_metadata_file(table_path)) as f:
+            refs = json.load(f).get("refs") or {}
+        return [(n, str(r["snapshot-id"])) for n, r in sorted(refs.items())
+                if r.get("type") == kind]
+
     def show_branches(self, table_path: str) -> DataFrame:
-        """SHOW BRANCHES IN '<table_path>' over the snapshot store."""
+        """SHOW BRANCHES IN '<table_path>' — Iceberg refs map for
+        Iceberg tables, the snapshot store otherwise."""
         import os
 
-        from .sources import dml
+        if self._lake_format(table_path) == "iceberg":
+            rows = self._iceberg_refs(table_path, "branch")
+        else:
+            from .sources import dml
 
-        rows = [
-            (b, os.path.basename(dml.current_snapshot(table_path, b) or ""))
-            for b in dml.list_branches(table_path)
-        ]
+            rows = [
+                (b, os.path.basename(
+                    dml.current_snapshot(table_path, b) or ""))
+                for b in dml.list_branches(table_path)
+            ]
         return self.spark.createDataFrame(
             rows, "branch_name string, snapshot_id string"
         )
 
     def show_tags(self, table_path: str) -> DataFrame:
-        from .sources import dml
+        if self._lake_format(table_path) == "iceberg":
+            rows = self._iceberg_refs(table_path, "tag")
+        else:
+            from .sources import dml
 
-        rows = []
-        for t in dml.list_tags(table_path):
-            with open(dml._tag_file(table_path, t)) as f:
-                rows.append((t, f.read().strip()))
+            rows = []
+            for t in dml.list_tags(table_path):
+                with open(dml._tag_file(table_path, t)) as f:
+                    rows.append((t, f.read().strip()))
         return self.spark.createDataFrame(
             rows or [("", "")], "tag_name string, snapshot_id string"
         ).where("tag_name <> ''")
@@ -1158,6 +1176,14 @@ class Engine:
             version = ts_ms = None
             if mode is not None and mode.lower() == "snapshot":
                 version = int(arg)
+            elif mode is not None and mode.lower() in ("branch", "tag"):
+                if fmt != "iceberg":
+                    raise ValueError(
+                        f"AT {mode.upper()} needs an Iceberg table "
+                        f"(refs live in its metadata): {path}")
+                from .sources.iceberg import resolve_ref
+
+                version = resolve_ref(path, arg)
             elif mode is not None:  # AT TIMESTAMP '<iso datetime|epoch ms>'
                 from datetime import datetime
 
@@ -1200,7 +1226,8 @@ class Engine:
 
         return re.sub(
             r"\b(from|join)\s+'([^']+)'"
-            r"(?:\s+at\s+(snapshot|timestamp)\s+(?:'([^']+)'|(\d+)))?",
+            r"(?:\s+at\s+(snapshot|timestamp|branch|tag)\s+"
+            r"(?:'([^']+)'|(\w+)))?",
             repl, query, flags=re.I)
 
     # -- SQL entry ---------------------------------------------------------
@@ -1237,6 +1264,32 @@ class Engine:
             self.alter_session(m.group(1), val)
             return self._status("ALTER SESSION SET",
                                 f"{m.group(1)} = {val}")
+        # branch/tag DDL on Iceberg paths (Nessie grammar,
+        # parserImpls.ftl:943, over the spec refs map)
+        m = re.match(
+            r"\s*(?:create\s+(branch|tag)\s+(\w+)"
+            r"(?:\s+at\s+snapshot\s+'?(\d+)'?)?"
+            r"|drop\s+(?:branch|tag)\s+(\w+)"
+            r"|merge\s+branch\s+(\w+)\s+into\s+(\w+))"
+            r"\s+in\s+'([^']+)'\s*$", query, re.I)
+        if m and self._lake_format(m.group(7)) == "iceberg":
+            from .sources.iceberg import (create_iceberg_ref,
+                                          drop_iceberg_ref,
+                                          merge_iceberg_branch)
+
+            path = m.group(7)
+            if m.group(1):
+                sid = create_iceberg_ref(
+                    path, m.group(2), m.group(1).lower(),
+                    int(m.group(3)) if m.group(3) else None)
+                return self._status(f"CREATE {m.group(1).upper()}",
+                                    f"{m.group(2)} @ {sid}")
+            if m.group(4):
+                drop_iceberg_ref(path, m.group(4))
+                return self._status("DROP REF", m.group(4))
+            sid = merge_iceberg_branch(path, m.group(5), m.group(6))
+            return self._status("MERGE BRANCH",
+                                f"{m.group(5)} -> {m.group(6)} @ {sid}")
         refl = self._reflection_statement(query)
         if refl is not None:
             return refl

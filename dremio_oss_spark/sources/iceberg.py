@@ -163,7 +163,24 @@ def resolve_snapshot_at(table: str, timestamp_ms: int) -> int:
     return best
 
 
-def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnapshot:
+def resolve_ref(table: str, ref: str) -> int:
+    """Snapshot id behind a named ref (spec `refs` map: branches and
+    tags).  Reference: Nessie-style AT BRANCH/AT TAG refs
+    (`parserImpls.ftl:943`) over the Iceberg refs map."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    r = (meta.get("refs") or {}).get(ref)
+    if r is None:
+        raise FileNotFoundError(f"no ref {ref!r} in {table}")
+    return int(r["snapshot-id"])
+
+
+def resolve_snapshot(table: str, snapshot_id: int | None = None,
+                     ref: str | None = None) -> IcebergSnapshot:
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("give snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(table, ref)
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
     snaps = meta.get("snapshots") or []
@@ -238,13 +255,15 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None) -> IcebergSnaps
 
 def read_iceberg(spark: SparkSession, table: str,
                  snapshot_id: int | None = None,
-                 timestamp_ms: int | None = None) -> DataFrame:
-    """SELECT * FROM iceberg table [AT SNAPSHOT '<id>' | AT TIMESTAMP t]."""
+                 timestamp_ms: int | None = None,
+                 ref: str | None = None) -> DataFrame:
+    """SELECT * FROM iceberg table
+    [AT SNAPSHOT '<id>' | AT TIMESTAMP t | AT BRANCH/TAG '<ref>']."""
     if timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError("give snapshot_id OR timestamp_ms, not both")
         snapshot_id = resolve_snapshot_at(table, timestamp_ms)
-    snap = resolve_snapshot(table, snapshot_id)
+    snap = resolve_snapshot(table, snapshot_id, ref=ref)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     # one multi-path scan + broadcast file→partitionValues join — the
@@ -380,8 +399,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      removed: list[tuple[str, dict]],
                      partition_cols: list[str],
                      stats: dict[str, dict] | None = None,
-                     deletes: list[tuple[str, list[str]]] | None = None
-                     ) -> int:
+                     deletes: list[tuple[str, list[str]]] | None = None,
+                     branch: str | None = None) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -436,7 +455,17 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
     meta.setdefault("snapshots", []).append(
         {"snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
          "summary": {"operation": operation}, "manifest-list": mlist})
-    meta["current-snapshot-id"] = sid
+    refs = meta.setdefault("refs", {})
+    if branch is not None and branch != "main":
+        # branch commit: only the branch ref advances; main untouched
+        refs[branch] = {"snapshot-id": sid, "type": "branch",
+                        **({"base-snapshot":
+                            refs[branch]["base-snapshot"]}
+                           if branch in refs
+                           and "base-snapshot" in refs[branch] else {})}
+    else:
+        meta["current-snapshot-id"] = sid
+        refs["main"] = {"snapshot-id": sid, "type": "branch"}
     v = sid
     with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
         json.dump(meta, fh)
@@ -613,9 +642,73 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
     return df, len(snap.files), len(files)
 
 
+def create_iceberg_ref(table: str, name: str, kind: str = "branch",
+                       snapshot_id: int | None = None) -> int:
+    """CREATE BRANCH/TAG (spec `refs` map; ref Nessie branch/tag DDL,
+    `parserImpls.ftl:943`).  Branches record their fork base so
+    MERGE BRANCH can check fast-forward safety; tags are immutable
+    pointers (and VACUUM retains whatever any ref points at)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    sid = (snapshot_id if snapshot_id is not None
+           else meta["current-snapshot-id"])
+    refs = meta.setdefault("refs", {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    entry = {"snapshot-id": sid, "type": kind}
+    if kind == "branch":
+        entry["base-snapshot"] = sid
+    refs[name] = entry
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return sid
+
+
+def drop_iceberg_ref(table: str, name: str) -> None:
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    if name == "main":
+        raise ValueError("cannot drop ref 'main'")
+    if (meta.get("refs") or {}).pop(name, None) is None:
+        raise FileNotFoundError(f"no ref {name!r} in {table}")
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+
+
+def merge_iceberg_branch(table: str, source: str,
+                         target: str = "main") -> int:
+    """MERGE BRANCH source INTO target — fast-forward only: allowed iff
+    the target has not moved since the source forked (otherwise the two
+    histories diverged and a rebase is required — same contract as the
+    engine's snapshot store and Nessie's fast-forward merge)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    refs = meta.setdefault("refs", {})
+    src = refs.get(source)
+    if src is None:
+        raise FileNotFoundError(f"no ref {source!r} in {table}")
+    base = src.get("base-snapshot")
+    tgt_head = (meta["current-snapshot-id"] if target == "main"
+                else refs[target]["snapshot-id"])
+    if base is not None and tgt_head != base:
+        raise ValueError(
+            f"branch {source!r} diverged from {target!r} "
+            f"(target moved {base} -> {tgt_head}); rebase required")
+    sid = int(src["snapshot-id"])
+    if target == "main":
+        meta["current-snapshot-id"] = sid
+        refs["main"] = {"snapshot-id": sid, "type": "branch"}
+    else:
+        refs[target]["snapshot-id"] = sid
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return sid
+
+
 def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   mode: str = "overwrite",
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  branch: str | None = None) -> int:
     """CTAS / INSERT INTO for an Iceberg table: stage parquet under
     data/, commit a new snapshot (metadata json + Avro manifests).
 
@@ -628,8 +721,16 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     from .delta import _stage_files
 
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    if branch is not None and branch != "main":
+        with open(_metadata_file(table)) as f:
+            r = (json.load(f).get("refs") or {}).get(branch)
+        if r is None:
+            raise FileNotFoundError(
+                f"no branch {branch!r} in {table}; CREATE BRANCH first")
+        if r.get("type") == "tag":
+            raise ValueError(f"{branch!r} is a tag; tags are read-only")
     try:
-        prev = resolve_snapshot(table)
+        prev = resolve_snapshot(table, ref=branch)
         with open(_metadata_file(table)) as f:
             meta = json.load(f)
         prev_files = [
@@ -689,7 +790,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         removed = prev_files
     return _commit_snapshot(table, meta, "append" if mode == "append"
                             else "overwrite", live, removed, part_names,
-                            stats, carried_deletes)
+                            stats, carried_deletes, branch=branch)
 
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
@@ -949,6 +1050,14 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: s["snapshot-id"])
     retained = snaps[-keep_last:] if keep_last > 0 else snaps
+    # any snapshot a ref (branch/tag) points at stays alive — tags pin
+    # history against expiry, the spec's retention contract
+    ref_sids = {int(r["snapshot-id"])
+                for r in (meta.get("refs") or {}).values()}
+    kept_ids = {s["snapshot-id"] for s in retained}
+    retained = retained + [s for s in snaps
+                           if s["snapshot-id"] in ref_sids - kept_ids]
+    retained.sort(key=lambda s: s["snapshot-id"])
     referenced: set[str] = set()
     for s in retained:
         snap = resolve_snapshot(table, s["snapshot-id"])

@@ -370,7 +370,10 @@ def test_lake_at_timestamp_time_travel(spark, tmp_path):
     assert resolve_version_at(t, mid_ms) == 0
     assert read_delta(spark, t, timestamp_ms=mid_ms).count() == 20
     assert read_delta(spark, t).count() == 10
-    now_iso = datetime.now().isoformat(sep=" ", timespec="seconds")
+    # +2s then floor to seconds: strictly after the delete commit even
+    # when the commit landed mid-second (second-resolution ISO floors)
+    now_iso = datetime.fromtimestamp(time.time() + 2).isoformat(
+        sep=" ", timespec="seconds")
     assert eng.sql(
         f"select count(*) as c from '{t}' at timestamp '{mid_ms}'"
     ).collect()[0]["c"] == 20

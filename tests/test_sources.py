@@ -895,3 +895,72 @@ def test_iceberg_vacuum_keeps_live_delete_files(spark, tmp_path):
     removed = expire_iceberg_snapshots(t, keep_last=1)
     assert removed == []  # everything is referenced by the live snapshot
     assert read_iceberg(spark, t).count() == 38
+
+
+def test_iceberg_refs_branches_tags_merge(spark, tmp_path):
+    """Iceberg refs (spec `refs` map): branch writes are isolated from
+    main, tags are immutable read pointers that pin snapshots against
+    expiry, fast-forward MERGE BRANCH advances main, divergence is
+    rejected, and the SQL surface (CREATE/DROP/MERGE ... IN '<path>',
+    AT BRANCH/TAG) drives it all.  Reference: Nessie branch/tag grammar
+    (`parserImpls.ftl:943`) over the Iceberg table format."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.iceberg import (
+        create_iceberg_ref, expire_iceberg_snapshots, merge_iceberg_branch,
+        read_iceberg, write_iceberg)
+
+    eng = Engine(spark)
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+
+    eng.sql(f"CREATE TAG v1 IN '{t}'")
+    eng.sql(f"CREATE BRANCH dev IN '{t}'")
+    extra = spark.createDataFrame([(100, 1.0)], "k long, v double")
+    write_iceberg(spark, extra, t, mode="append", branch="dev")
+
+    # isolation: dev sees 11, main still 10
+    assert read_iceberg(spark, t, ref="dev").count() == 11
+    assert read_iceberg(spark, t).count() == 10
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at branch dev"
+    ).collect()[0]["c"] == 11
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at tag 'v1'"
+    ).collect()[0]["c"] == 10
+    branches = {r["branch_name"] for r in
+                eng.sql(f"show branches in '{t}'").collect()}
+    assert {"main", "dev"} <= branches
+
+    # tags are read-only
+    try:
+        write_iceberg(spark, extra, t, mode="append", branch="v1")
+        raise AssertionError("expected tag write to fail")
+    except ValueError:
+        pass
+
+    # fast-forward merge: main advances to dev's head
+    eng.sql(f"MERGE BRANCH dev INTO main IN '{t}'")
+    assert read_iceberg(spark, t).count() == 11
+
+    # divergence: fork, move main, then merging the stale branch fails
+    create_iceberg_ref(t, "dev2", "branch")
+    write_iceberg(spark, extra.withColumn("k", F.lit(200)), t,
+                  mode="append", branch="dev2")
+    write_iceberg(spark, extra.withColumn("k", F.lit(300)), t,
+                  mode="append")  # main moves
+    try:
+        merge_iceberg_branch(t, "dev2")
+        raise AssertionError("expected divergence error")
+    except ValueError as e:
+        assert "diverged" in str(e)
+
+    # the v1 tag pins snapshot 1 against expiry
+    expire_iceberg_snapshots(t, keep_last=1)
+    assert read_iceberg(spark, t, ref="v1").count() == 10
+    eng.sql(f"DROP TAG v1 IN '{t}'")
+    tags = {r["tag_name"] for r in eng.sql(f"show tags in '{t}'").collect()}
+    assert "v1" not in tags
