@@ -1001,6 +1001,20 @@ class Engine:
             out = (D.alter_delta(self.spark, path, drop=[col])
                    if fmt == "delta" else I.alter_iceberg(path, drop=[col]))
             return self._status("ALTER TABLE DROP COLUMN", out)
+
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+rename\s+column\s+"
+            r"(\w+)\s+to\s+(\w+)\s*$", query, re.I)
+        if m:
+            path, old, new = m.groups()
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.rename_delta_column(self.spark, path, old, new)
+                   if fmt == "delta"
+                   else I.rename_iceberg_column(self.spark, path, old, new))
+            return self._status("ALTER TABLE RENAME COLUMN",
+                                f"{old} -> {new} @ {out}")
         return None
 
     # -- metadata table functions (ref MetadataFunctionsMacro.java:36) -----

@@ -898,3 +898,25 @@ def delta_history(path: str) -> list[dict]:
         out.append({"version": v, "operation": info.get("operation"),
                     "timestamp": info.get("timestamp")})
     return out
+
+
+def rename_delta_column(spark: SparkSession, table: str,
+                        old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN, as a copy-on-write rewrite.
+
+    Stated deviation: the protocol's metadata-only rename needs column
+    mapping (name -> physical id) which this name-based reader doesn't
+    implement; rewriting the data keeps every reader correct at the cost
+    of one full-table write — the tradeoff delta tables without
+    columnMapping make too.  Partition columns can't be renamed (their
+    values live in the log keyed by name across history)."""
+    snap = resolve_snapshot(spark, table)
+    if old in snap.partition_cols:
+        raise ValueError(f"cannot rename partition column {old!r}")
+    if old not in [f.name for f in snap.schema.fields]:
+        raise ValueError(f"no column {old!r}")
+    if new in [f.name for f in snap.schema.fields]:
+        raise ValueError(f"column {new!r} already exists")
+    df = read_delta(spark, table).withColumnRenamed(old, new)
+    return write_delta(spark, df, table, mode="overwrite",
+                       partition_by=snap.partition_cols)

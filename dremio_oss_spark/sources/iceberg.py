@@ -1160,3 +1160,40 @@ def iceberg_history(table: str) -> list[dict]:
         }
         for s in meta.get("snapshots") or []
     ]
+
+
+def rename_iceberg_column(spark: SparkSession, table: str,
+                          old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN on an Iceberg table, as a
+    copy-on-write rewrite (stated deviation: the spec's metadata-only
+    rename resolves columns by field-id, which this name-based reader
+    doesn't; rewriting keeps the reader correct).  Partition-spec source
+    columns can't be renamed."""
+    snap = resolve_snapshot(table)
+    if any(pf["source"] == old for pf in snap.spec_fields):
+        raise ValueError(f"cannot rename partition source column {old!r}")
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    df = read_iceberg(spark, table).withColumnRenamed(old, new)
+    # rewrite through the public writer (partitioning follows the stored
+    # spec), then point the metadata at a schema with the field renamed —
+    # field id preserved, as the spec's rename does
+    sid = write_iceberg(spark, df, table, mode="overwrite")
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    cur_id = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    fields = [({**fl, "name": new} if fl["name"] == old else dict(fl))
+              for fl in cur["fields"]]
+    new_id = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"type": "struct", "schema-id": new_id,
+                    "fields": fields})
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_id
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return sid

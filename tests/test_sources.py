@@ -964,3 +964,41 @@ def test_iceberg_refs_branches_tags_merge(spark, tmp_path):
     eng.sql(f"DROP TAG v1 IN '{t}'")
     tags = {r["tag_name"] for r in eng.sql(f"show tags in '{t}'").collect()}
     assert "v1" not in tags
+
+
+def test_rename_column_both_formats(spark, tmp_path):
+    """ALTER TABLE ... RENAME COLUMN (copy-on-write rewrite; stated
+    deviation from metadata-only rename, which needs field-id/column-
+    mapping resolution): data survives under the new name, old name is
+    gone, partition columns are protected, SQL statement form works."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+    from dremio_oss_spark.sources.iceberg import read_iceberg, write_iceberg
+
+    eng = Engine(spark)
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p"),
+        F.col("id").cast("double").alias("v"))
+
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t, partition_by=["p"])
+    eng.sql(f"ALTER TABLE '{t}' RENAME COLUMN v TO val")
+    cur = read_delta(spark, t)
+    assert "val" in cur.columns and "v" not in cur.columns
+    assert cur.agg(F.sum("val")).collect()[0][0] == sum(range(20))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition column"):
+        from dremio_oss_spark.sources.delta import rename_delta_column
+
+        rename_delta_column(spark, t, "p", "pp")
+
+    t2 = str(tmp_path / "i")
+    write_iceberg(spark, df, t2, partition_by=["p"])
+    eng.sql(f"ALTER TABLE '{t2}' RENAME COLUMN v TO val")
+    cur = read_iceberg(spark, t2)
+    assert "val" in cur.columns and "v" not in cur.columns
+    assert cur.agg(F.sum("val")).collect()[0][0] == sum(range(20))
+    assert cur.where("p = 1").count() == 10  # partitioning intact
