@@ -800,6 +800,90 @@ order by doc_id
 )
 
 
+def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data curation in ONE plan: language-ID gate
+    (keep predicted English) → quality gate (composite score ≥ 0.5) →
+    exact dedup (min-doc_id canonical survivor per fingerprint) →
+    hash-stable 80/10/10 split → per-split doc/token report.  The stages
+    are the individually-verified operators; this query value-checks
+    their COMPOSITION against a single closed-form SQL oracle.
+
+    Scale shape: everything up to the dedup is a pure column pipeline
+    over one scan (no shuffle); the dedup is one groupBy(fp) + semi join
+    (one shuffle each on the same key — co-partitioned); the split
+    report is a 3-group aggregate.  Nothing collects to the driver."""
+    docs = load(spark, sf, "documents")
+    ana = T.with_text_analysis(docs, "text")
+    kept = ana.where((F.col("lang_pred") == "en")
+                     & (F.col("quality_score") >= 0.5))
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(canon, ["fp", "doc_id"], "left_semi")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))), 1, 7),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split = (F.when(bucket < 80, "train").when(bucket < 90, "val")
+             .otherwise("test"))
+    return (
+        deduped.select(split.alias("split"), "n_tokens", "n_bpe_tokens")
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("tokens_sum"),
+             F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens_sum"))
+        .orderBy("split")
+    )
+
+
+LLM_CURATION_SQL = f"""
+with base as (
+  select *, cast(len(string_split_regex(lower(text), '\\s+')) as bigint) as n_tok
+  from documents
+), scored as (
+  select doc_id, text, n_tok,
+         n_tok as n_tokens,
+         cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) as bigint) as n_bpe_tokens,
+         greatest({_RAW_SCORE['en']}, {_RAW_SCORE['es']}, {_RAW_SCORE['fr']}, {_RAW_SCORE['de']}) as mscore,
+         round(
+           (case when n_tok between 10 and 100000 then 0.4 else 0.0 end)
+           + (case when (length(text) - n_tok + 1) / n_tok between 2 and 12 then 0.3 else 0.0 end)
+           + (case when len(regexp_extract_all(text, '[^\\w\\s]')) / length(text) < 0.2 then 0.1 else 0.0 end)
+           + (case when len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["en"]}')) / n_tok > 0.05 then 0.2 else 0.0 end)
+         , 6) as quality_score,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp
+  from base
+), flt as (
+  -- lang_pred = 'en' per the argmax tie-break order (fr, es, en, de)
+  select doc_id, n_tokens, n_bpe_tokens, fp from scored
+  where quality_score >= 0.5
+    and not (mscore is null or mscore = 0)
+    and {_RAW_SCORE['fr']} <> mscore
+    and {_RAW_SCORE['es']} <> mscore
+    and {_RAW_SCORE['en']} = mscore
+), dedup as (
+  select * from flt
+  qualify row_number() over (partition by fp order by doc_id) = 1
+), assigned as (
+  select n_tokens, n_bpe_tokens,
+         cast(concat('0x', substr(md5(concat('split:',
+              cast(doc_id as varchar))), 1, 7)) as bigint) % 100 as bucket
+  from dedup
+)
+select case when bucket < 80 then 'train'
+            when bucket < 90 then 'val'
+            else 'test' end as split,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tokens) as bigint) as tokens_sum,
+       cast(sum(n_bpe_tokens) as bigint) as bpe_tokens_sum
+from assigned
+group by 1
+order by split
+"""
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_exact_dedup": llm_exact_dedup,
@@ -818,6 +902,7 @@ LLMOPS_QUERIES = {
     "llm_winnowing": llm_winnowing,
     "llm_repetition_filter": llm_repetition_filter,
     "llm_pii_redaction": llm_pii_redaction,
+    "llm_curation_pipeline": llm_curation_pipeline,
 }
 
 LLMOPS_ORACLE = {
@@ -838,4 +923,5 @@ LLMOPS_ORACLE = {
     "llm_winnowing": LLM_WINNOWING_SQL,
     "llm_repetition_filter": LLM_REPETITION_SQL,
     "llm_pii_redaction": LLM_PII_SQL,
+    "llm_curation_pipeline": LLM_CURATION_SQL,
 }
