@@ -163,6 +163,9 @@ class Engine:
         # autoscaling bounds; purely declarative here (local[] has one
         # "engine"), but the statement surface and sys view are real
         self._engines: dict[str, dict] = {}
+        # attached external sources (ExternalQuery.java surface):
+        # name -> ExternalSource for table(<name>.external_query('...'))
+        self._ext_sources: dict[str, object] = {}
         # promoted folder datasets (physical datasets): name -> {path,
         # files} — the file listing is PINNED at promotion time the way
         # the reference caches dataset metadata in the namespace KV
@@ -324,6 +327,30 @@ class Engine:
             "reflection_name string, dataset string, dims string, "
             "measures string, n_join_edges int, watermark string",
         ).where("reflection_name <> ''")
+
+    def sys_materializations(self) -> DataFrame:
+        """sys.materializations (reference AccelerationListManager's
+        materialization table): one row per materialized reflection with
+        its storage footprint and refresh watermark."""
+        store = getattr(self, "_refl_store", None)
+        rows = []
+        if store is not None:
+            every = list(store._reflections.values()) + list(
+                store._raw.values())
+            for r in every:
+                data = os.path.join(r.path, "data")
+                n, size = 0, 0
+                for root, _, fns in os.walk(data):
+                    for fn in fns:
+                        if fn.endswith(".parquet"):
+                            n += 1
+                            size += os.path.getsize(os.path.join(root, fn))
+                rows.append((r.name, r.table, n, size,
+                             str(getattr(r, "watermark", None) or "")))
+        return self.spark.createDataFrame(
+            rows or [("", "", 0, 0, "")],
+            "materialization string, dataset string, n_files int, "
+            "bytes long, watermark string").where("materialization <> ''")
 
     def sys_jobs(self) -> DataFrame:
         """sys.jobs equivalent: active + recent Spark jobs from the
@@ -612,7 +639,27 @@ class Engine:
         return dbs.unionByName(spaces)
 
     def describe_table(self, name: str) -> DataFrame:
-        """DESCRIBE TABLE: column name/type/comment rows (native)."""
+        """DESCRIBE TABLE: column name/type/comment rows (native); lake
+        paths resolve through the format readers, with partition columns
+        noted in the comment field."""
+        fmt = self._lake_format(name) if os.sep in name else None
+        if fmt is not None:
+            if fmt == "delta":
+                from .sources.delta import resolve_snapshot as _rs
+
+                snap = _rs(self.spark, name)
+                fields, parts = snap.schema.fields, set(snap.partition_cols)
+            else:
+                from .sources.iceberg import resolve_snapshot as _ri
+
+                snap = _ri(name)
+                fields = snap.schema.fields
+                parts = {pf["source"] for pf in snap.spec_fields}
+            rows = [(f.name, f.dataType.simpleString(),
+                     "partition key" if f.name in parts else None)
+                    for f in fields]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string")
         if "." in name and name.split(".", 1)[0] in self.spaces:
             name = self._flat(*name.split(".", 1))
         return self.spark.sql(f"describe table {name}")
@@ -1129,6 +1176,30 @@ class Engine:
     _META_FNS = ("table_history", "table_files", "table_snapshot",
                  "table_partitions", "table_manifests")
 
+    def attach_external_source(self, name: str, source) -> None:
+        """Register an `ExternalSource` under a source name so SQL can
+        call table(<name>.external_query('<remote sql>'))."""
+        self._ext_sources[name] = source
+
+    def _expand_external_query(self, query: str) -> str:
+        """table(<src>.external_query('<sql>')) → temp view of the
+        remote result (ref `exec/tablefunctions/ExternalQuery.java`,
+        `ExternalQueryScanPrel.java:38` — the query text ships verbatim
+        to the source engine and only its result crosses the wire)."""
+        def repl(m: "re.Match[str]") -> str:
+            src, remote_sql = m.group(1), m.group(2)
+            s = self._ext_sources.get(src)
+            if s is None:
+                raise ValueError(f"no external source {src!r} attached")
+            view = f"__extq_{abs(hash((src, remote_sql))) % 10**8}"
+            s.external_query(remote_sql).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"table\(\s*(\w+)\s*\.\s*external_query\s*\(\s*"
+            r"'([^']*)'\s*\)\s*\)",
+            repl, query, flags=re.I | re.S)
+
     def _expand_metadata_fns(self, query: str) -> str:
         """Rewrite TABLE(table_history('<path>')) et al. into temp views
         (ref `MetadataFunctionsMacro.java:36` TABLE_HISTORY/FILES/...)."""
@@ -1310,6 +1381,7 @@ class Engine:
         lake = self._lake_statement(query)
         if lake is not None:
             return lake
+        query = self._expand_external_query(query)
         query = self._expand_metadata_fns(query)
         query = self._expand_lake_refs(query)
         query = self._expand_tabular(query)

@@ -208,6 +208,9 @@ class Reflection:
     watermark: object = None
     joins: tuple[JoinSpec, ...] = ()
     filters: tuple[str, ...] = ()  # partial reflection: built over WHERE
+    # lakehouse snapshot/version the materialization is current through
+    # (snapshot-based incremental refresh)
+    base_version: object = None
 
     def covers(self, q: AggQuery) -> bool:
         if q.table != self.table:
@@ -445,6 +448,71 @@ class ReflectionStore:
         os.replace(tmp, data_path)
         wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
         refl.watermark = wm
+        self._write_meta(refl)
+        return n_new
+
+    def snapshot_incremental_refresh(self, refl_name: str,
+                                     table_path: str) -> int:
+        """Snapshot-based incremental refresh over a LAKEHOUSE table:
+        aggregate only the files added since the reflection's recorded
+        snapshot/version (snapshot diff — `read_*_incremental`), merge
+        partials into the materialization, advance the recorded
+        snapshot.  This is the reference's Iceberg-based incremental
+        refresh method (`IncrementalUpdateServiceUtils.java:46`,
+        REFRESH_METHOD snapshot diff; append-only contract).  Returns
+        the number of new rows folded in."""
+        from ..sources.delta import is_delta_table
+        from ..sources.delta import read_delta_incremental, resolve_snapshot
+        from ..sources.iceberg import (read_iceberg_incremental,
+                                       resolve_snapshot as ice_resolve)
+
+        refl = self._reflections[refl_name]
+        if is_delta_table(table_path):
+            head = resolve_snapshot(self.spark, table_path).version
+            base = refl.base_version if refl.base_version is not None else -1
+            if head == base:
+                return 0
+            new_rows = read_delta_incremental(
+                self.spark, table_path,
+                from_version=base if base >= 0 else 0,
+                to_version=head) if base >= 0 else None
+        else:
+            head = ice_resolve(table_path).snapshot_id
+            base = refl.base_version
+            if head == base:
+                return 0
+            new_rows = (read_iceberg_incremental(
+                self.spark, table_path, from_snapshot=base,
+                to_snapshot=head) if base is not None else None)
+        if new_rows is None:
+            # first refresh: full build from the table head
+            from ..sources.delta import read_delta
+            from ..sources.iceberg import read_iceberg
+
+            src = (read_delta(self.spark, table_path)
+                   if is_delta_table(table_path)
+                   else read_iceberg(self.spark, table_path))
+            for f in refl.filters:
+                src = src.where(f)
+            self._full_refresh(refl, src)
+            refl.base_version = head
+            self._write_meta(refl)
+            return -1  # full build marker
+        for f in refl.filters:
+            new_rows = new_rows.where(f)
+        n_new = new_rows.count()
+        if n_new:
+            delta = self._aggregate(new_rows, refl)
+            data_path = os.path.join(refl.path, "data")
+            existing = self.spark.read.parquet(data_path)
+            merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
+                *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                  for m in refl.measures])
+            tmp = data_path + ".new"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(data_path)
+            os.replace(tmp, data_path)
+        refl.base_version = head
         self._write_meta(refl)
         return n_new
 

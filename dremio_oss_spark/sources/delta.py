@@ -920,3 +920,26 @@ def rename_delta_column(spark: SparkSession, table: str,
     df = read_delta(spark, table).withColumnRenamed(old, new)
     return write_delta(spark, df, table, mode="overwrite",
                        partition_by=snap.partition_cols)
+
+
+def read_delta_incremental(spark: SparkSession, table: str,
+                           from_version: int,
+                           to_version: int | None = None) -> DataFrame:
+    """Incremental scan: rows in files ADDED between two versions
+    (exclusive of `from_version`, inclusive of `to_version`).
+
+    This is the snapshot-diff primitive behind append-based incremental
+    reflection refresh (reference
+    `IncrementalUpdateServiceUtils.java:46`): for append-only history
+    the result is exactly the new rows; a COW rewrite surfaces the
+    rewritten files' rows (the refresh contract is append-only — same
+    as the reference's).  Plan cost is O(new files), never a rescan of
+    the table."""
+    before = set(resolve_snapshot(spark, table, from_version).files)
+    snap_to = resolve_snapshot(spark, table, to_version)
+    new_files = {rel: pv for rel, pv in snap_to.files.items()
+                 if rel not in before}
+    if not new_files:
+        return spark.createDataFrame([], snap_to.schema)
+    return _scan_with_partition_values(
+        spark, table, snap_to.schema, snap_to.partition_cols, new_files)

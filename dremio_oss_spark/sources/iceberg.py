@@ -1197,3 +1197,28 @@ def rename_iceberg_column(spark: SparkSession, table: str,
     with open(_metadata_file(table), "w") as f:
         json.dump(meta, f)
     return sid
+
+
+def read_iceberg_incremental(spark: SparkSession, table: str,
+                             from_snapshot: int,
+                             to_snapshot: int | None = None) -> DataFrame:
+    """Incremental scan between snapshots: rows in data files present at
+    `to_snapshot` but not at `from_snapshot` — the Iceberg
+    snapshot-diff the reference's incremental reflection refresh reads
+    (`IncrementalUpdateServiceUtils.java:46`; append-only contract).
+    O(new files) scan; current-snapshot deletes apply."""
+    before = {os.path.realpath(p)
+              for p, _ in resolve_snapshot(table, from_snapshot).files}
+    snap_to = resolve_snapshot(table, to_snapshot)
+    new_files = {p: pv for p, pv in snap_to.files
+                 if os.path.realpath(p) not in before}
+    if not new_files:
+        return spark.createDataFrame([], snap_to.schema)
+    from .delta import _scan_with_partition_values
+
+    has_pos = bool(snap_to.pos_deletes)
+    df = _scan_with_partition_values(
+        spark, table, snap_to.schema, snap_to.partition_cols, new_files,
+        keep_file=has_pos, keep_pos=has_pos)
+    df = _apply_position_deletes(spark, df, snap_to)
+    return _apply_equality_deletes(spark, df, snap_to)

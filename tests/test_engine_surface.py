@@ -553,3 +553,51 @@ def test_workload_manager_routes_and_admits(spark):
                 pass
     occ = {r["queue"]: r["active"] for r in wm.sys_queues().collect()}
     assert occ["LARGE"] == 0
+
+
+def test_external_query_sql_form_and_lake_describe(spark, tmp_path):
+    """table(<src>.external_query('<sql>')) through Engine.sql (ref
+    ExternalQuery.java — query text ships verbatim, only the result
+    crosses), DESCRIBE on lakehouse paths, and sys.materializations."""
+    import os
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+    from dremio_oss_spark.sources.external import ExternalSource
+
+    eng = Engine(spark)
+    src = ExternalSource(
+        spark, "rdbms",
+        {"nation": os.path.join(SF_SMALL, "nation.parquet")})
+    try:
+        eng.attach_external_source("rdbms", src)
+        rows = eng.sql(
+            "select n_regionkey, count(*) as n from "
+            "table(rdbms.external_query("
+            "'select n_nationkey, n_regionkey from nation')) "
+            "group by n_regionkey order by n_regionkey").collect()
+        assert sum(r["n"] for r in rows) == 25
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="no external source"):
+            eng.sql("select * from table(nope.external_query('select 1'))")
+    finally:
+        src.close()
+
+    t = str(tmp_path / "d")
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"])
+    desc = {r["col_name"]: (r["data_type"], r["comment"])
+            for r in eng.describe_table(t).collect()}
+    assert desc["k"][0] == "bigint"
+    assert desc["p"][1] == "partition key"
+
+    # sys.materializations reflects the reflection store's footprint
+    spark.range(50).selectExpr("id as k", "id * 2 as v") \
+        .createOrReplaceTempView("mat_src")
+    eng.sql("ALTER TABLE mat_src CREATE AGGREGATE REFLECTION mat_r "
+            "USING DIMENSIONS (k) MEASURES (v (SUM))")
+    mats = {r["materialization"]: r for r in
+            eng.sys_materializations().collect()}
+    assert mats["mat_r"]["n_files"] >= 1 and mats["mat_r"]["bytes"] > 0
+    eng.sql("ALTER TABLE mat_src DROP REFLECTION mat_r")

@@ -318,3 +318,60 @@ def test_partial_reflection_requires_query_filter(spark, tmp_path):
             ).collect()}
     assert {(r["k"], int(r["sum_v"]), r["count_all"])
             for r in got.collect()} == base
+
+
+def test_snapshot_incremental_refresh_lake_tables(spark, tmp_path):
+    """Snapshot-based incremental refresh (the reference's Iceberg
+    snapshot-diff refresh method): first call builds full, later calls
+    aggregate ONLY files added since the recorded snapshot and merge
+    partials; a no-change table refreshes for free."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import ReflectionStore
+    from dremio_oss_spark.sources.delta import (
+        read_delta_incremental, write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        read_iceberg_incremental, write_iceberg)
+
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    t = str(tmp_path / "d")
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t)
+
+    refl = store.create_aggregation_reflection(
+        "by_g", spark.read.parquet(*[]) if False else
+        spark.createDataFrame([], df.schema), "tbl", ["g"],
+        [Measure("sum", "v"), Measure("count", "*")])
+    assert store.snapshot_incremental_refresh("by_g", t) == -1  # full build
+    mat = store.load_materialization("by_g")
+    assert mat.agg(F.sum("count_all")).collect()[0][0] == 100
+
+    # append 50 rows -> only those fold in
+    extra = spark.range(100, 150).select(
+        (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, extra, t, mode="append")
+    assert read_delta_incremental(spark, t, from_version=0).count() == 50
+    assert store.snapshot_incremental_refresh("by_g", t) == 50
+    mat = store.load_materialization("by_g")
+    assert mat.agg(F.sum("count_all")).collect()[0][0] == 150
+    assert (mat.agg(F.sum("sum_v")).collect()[0][0]
+            == float(sum(range(150))))
+    # no new commits -> zero-cost refresh
+    assert store.snapshot_incremental_refresh("by_g", t) == 0
+
+    # iceberg side: incremental reader sees exactly the appended rows
+    t2 = str(tmp_path / "i")
+    s1 = write_iceberg(spark, df, t2)
+    write_iceberg(spark, extra, t2, mode="append")
+    inc = read_iceberg_incremental(spark, t2, from_snapshot=s1)
+    assert inc.count() == 50
+    refl2 = store.create_aggregation_reflection(
+        "by_g2", spark.createDataFrame([], df.schema), "tbl2", ["g"],
+        [Measure("count", "*")])
+    assert store.snapshot_incremental_refresh("by_g2", t2) == -1
+    write_iceberg(spark, extra, t2, mode="append")
+    assert store.snapshot_incremental_refresh("by_g2", t2) == 50
+    mat2 = store.load_materialization("by_g2")
+    assert mat2.agg(F.sum("count_all")).collect()[0][0] == 200
