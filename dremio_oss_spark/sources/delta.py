@@ -121,7 +121,7 @@ def checkpoint_delta(spark: SparkSession, table: str,
         }},
     ]
     actions.extend(
-        _add_action(rel, pv, v, snap.stats)
+        _add_action(rel, pv, v, snap.stats, dv=snap.dvs.get(rel))
         for rel, pv in sorted(snap.files.items())
     )
     # carry writer txn state (appId -> latest version) forward, as the
@@ -168,12 +168,15 @@ class DeltaSnapshot:
     def __init__(self, version: int, schema: StructType | None,
                  partition_cols: list[str],
                  files: dict[str, dict],
-                 stats: dict[str, dict] | None = None):
+                 stats: dict[str, dict] | None = None,
+                 dvs: dict[str, dict] | None = None):
         self.version = version
         self.schema = schema
         self.partition_cols = partition_cols
         self.files = files  # rel path -> partitionValues dict
         self.stats = stats or {}  # rel path -> add.stats dict (may be sparse)
+        # rel path -> deletionVector descriptor (merge-on-read deletes)
+        self.dvs = dvs or {}
 
 
 def resolve_snapshot(spark: SparkSession, path: str,
@@ -202,6 +205,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
     partition_cols: list[str] = []
     files: dict[str, dict] = {}
     stats: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     for a in actions:
         if a.get("metaData"):
             md = a["metaData"]
@@ -214,10 +218,17 @@ def resolve_snapshot(spark: SparkSession, path: str,
             if st:
                 stats[ad["path"]] = (json.loads(st)
                                      if isinstance(st, str) else st)
+            dv = ad.get("deletionVector")
+            if dv and not (isinstance(dv, dict)
+                           and all(v is None for v in dv.values())):
+                dvs[ad["path"]] = dv
+            else:
+                dvs.pop(ad["path"], None)
         elif a.get("remove"):
             files.pop(a["remove"]["path"], None)
             stats.pop(a["remove"]["path"], None)
-    return DeltaSnapshot(max_v, schema, partition_cols, files, stats)
+            dvs.pop(a["remove"]["path"], None)
+    return DeltaSnapshot(max_v, schema, partition_cols, files, stats, dvs)
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -241,8 +252,60 @@ def read_delta(spark: SparkSession, path: str,
         if snap.schema is None:
             raise ValueError(f"Delta table {path} has no schema action")
         return spark.createDataFrame([], snap.schema)
-    return _scan_with_partition_values(
-        spark, path, snap.schema, snap.partition_cols, snap.files)
+    has_dv = bool(snap.dvs)
+    df = _scan_with_partition_values(
+        spark, path, snap.schema, snap.partition_cols, snap.files,
+        keep_file=has_dv, keep_pos=has_dv)
+    return _apply_deletion_vectors(spark, df, path, snap)
+
+
+def _dv_positions(table: str, desc: dict) -> list[int]:
+    """Deleted row indexes from a deletionVector descriptor.
+
+    storageType "i": inline — pathOrInlineDv is base85 of the serialized
+    bitmap (stated deviation: stdlib b85 alphabet, not Z85).
+    storageType "p": pathOrInlineDv is the DV file path relative to the
+    table root (stated deviation: the spec stores an absolute URI);
+    `offset` points at the blob's 4-byte big-endian size, followed by
+    the bitmap bytes and a big-endian CRC32 (PROTOCOL.md DV file
+    layout)."""
+    import base64
+    import struct
+    import zlib
+
+    from .roaring import decode_rbm_array
+
+    if desc["storageType"] == "i":
+        return decode_rbm_array(base64.b85decode(desc["pathOrInlineDv"]))
+    with open(os.path.join(table, desc["pathOrInlineDv"]), "rb") as f:
+        raw = f.read()
+    off = desc.get("offset", 1)
+    (size,) = struct.unpack_from(">i", raw, off)
+    data = raw[off + 4: off + 4 + size]
+    (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+    if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise ValueError(f"deletion vector CRC mismatch in {desc}")
+    return decode_rbm_array(data)
+
+
+def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
+                            table: str, snap: "DeltaSnapshot",
+                            drop_identity: bool = True) -> DataFrame:
+    """Merge-on-read: anti-join (file basename, row_index) pairs decoded
+    from the snapshot's deletion vectors.  The pair set is bounded by
+    rows deleted since the last OPTIMIZE — the same in-memory bound
+    every DV reader carries per task; broadcast ships it once."""
+    if not snap.dvs:
+        return df
+    rows = [(os.path.basename(rel), pos)
+            for rel, desc in snap.dvs.items()
+            for pos in _dv_positions(table, desc)]
+    dels = spark.createDataFrame(rows, "__del_base string, __pos long")
+    out = (df.withColumn("__del_base",
+                         F.element_at(F.split("__file", "/"), -1))
+           .join(F.broadcast(dels), ["__del_base", "__pos"], "left_anti")
+           .drop("__del_base"))
+    return out.drop("__file", "__pos") if drop_identity else out
 
 
 def _scan_with_partition_values(
@@ -417,19 +480,25 @@ def plan_delta_scan(spark: SparkSession, table: str,
     if not files:
         df = spark.createDataFrame([], snap.schema)
     else:
+        has_dv = bool(snap.dvs)
         df = _scan_with_partition_values(
-            spark, table, snap.schema, snap.partition_cols, files)
+            spark, table, snap.schema, snap.partition_cols, files,
+            keep_file=has_dv, keep_pos=has_dv)
+        df = _apply_deletion_vectors(spark, df, table, snap)
     return df, len(snap.files), len(files)
 
 
 def _add_action(rel: str, pv: dict, version: int,
                 stats_map: dict[str, dict],
-                data_change: bool = True) -> dict:
+                data_change: bool = True,
+                dv: dict | None = None) -> dict:
     a = {"path": rel, "partitionValues": pv, "size": 1,
          "modificationTime": version, "dataChange": data_change}
     st = stats_map.get(rel)
     if st:
         a["stats"] = json.dumps(st)
+    if dv is not None:
+        a["deletionVector"] = dv
     return {"add": a}
 
 
@@ -660,9 +729,12 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     ]
     staged: list[tuple[str, dict]] = []
     if hit_rel:
+        has_dv = bool(snap.dvs)
         hits_df = _scan_with_partition_values(
             spark, table, snap.schema, part_cols,
-            {rel: snap.files[rel] for rel in hit_rel})
+            {rel: snap.files[rel] for rel in hit_rel},
+            keep_file=has_dv, keep_pos=has_dv)
+        hits_df = _apply_deletion_vectors(spark, hits_df, table, snap)
         staged += _stage_files(
             spark, rewrite(hits_df), table, version, part_cols)
         actions.extend(
@@ -687,13 +759,87 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     return version
 
 
-def delete_from_delta(spark: SparkSession, table: str, predicate: str) -> int:
-    """DELETE FROM <delta table> WHERE <predicate> — copy-on-write."""
+def delete_from_delta(spark: SparkSession, table: str, predicate: str,
+                      mode: str = "copy-on-write") -> int:
+    """DELETE FROM <delta table> WHERE <predicate>.
+
+    copy-on-write (default): rewrite only the files containing matches.
+
+    merge-on-read: DELETION VECTORS (PROTOCOL.md "Deletion Vectors") —
+    record the matching rows' indexes per file as roaring bitmaps in a
+    DV file and re-add the data files with deletionVector descriptors;
+    no data rewritten, readers anti-join the positions away, OPTIMIZE
+    (any COW rewrite of the file) folds them in.  The position gather
+    is driver-side and bounded by rows deleted this statement plus any
+    still-live DV positions (compaction resets the bound) — the same
+    in-memory budget every DV-aware reader already carries."""
+    if mode == "merge-on-read":
+        return _dv_delete(spark, table, predicate)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(table, live.where(predicate))
     return _cow_commit(
         spark, table, "DELETE", hit_rel,
         lambda hits: hits.where(f"not ({predicate})"), None)
+
+
+def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
+    import struct
+    import uuid
+    import zlib
+
+    from .roaring import encode_rbm_array
+
+    snap = resolve_snapshot(spark, table)
+    live = _scan_with_partition_values(
+        spark, table, snap.schema, snap.partition_cols, snap.files,
+        keep_file=True, keep_pos=True)
+    live = _apply_deletion_vectors(spark, live, table, snap,
+                                   drop_identity=False)
+    hits = (live.where(predicate)
+            .select(F.element_at(F.split("__file", "/"), -1).alias("base"),
+                    "__pos")
+            .collect())
+    by_base: dict[str, list[int]] = {}
+    for r in hits:
+        by_base.setdefault(r["base"], []).append(r["__pos"])
+    if not by_base:
+        return snap.version  # nothing matched; no commit
+    rel_of_base = {os.path.basename(rel): rel for rel in snap.files}
+    version = snap.version + 1
+    # merge with existing DV positions for the same files
+    blobs: dict[str, bytes] = {}
+    for base, poss in by_base.items():
+        rel = rel_of_base[base]
+        if rel in snap.dvs:
+            poss = sorted(set(poss) | set(_dv_positions(table, snap.dvs[rel])))
+        blobs[rel] = encode_rbm_array(sorted(set(poss)))
+    dv_rel = f"dv-{version:05d}-{uuid.uuid4().hex[:8]}.bin"
+    descs: dict[str, dict] = {}
+    buf = bytearray(b"\x01")  # DV file format version byte
+    for rel, data in sorted(blobs.items()):
+        off = len(buf)
+        buf += struct.pack(">i", len(data)) + data
+        buf += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs[rel] = {"storageType": "p", "pathOrInlineDv": dv_rel,
+                      "offset": off, "sizeInBytes": len(data),
+                      "cardinality": None}
+    with open(os.path.join(table, dv_rel), "wb") as f:
+        f.write(bytes(buf))
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": _commit_ts()}}
+    ]
+    for rel in sorted(blobs):
+        descs[rel]["cardinality"] = len(
+            set(by_base[os.path.basename(rel)])
+            | (set(_dv_positions(table, snap.dvs[rel]))
+               if rel in snap.dvs else set()))
+        actions.append({"remove": {"path": rel, "deletionTimestamp": version,
+                                   "dataChange": True}})
+        actions.append(_add_action(rel, snap.files[rel], version,
+                                   snap.stats, dv=descs[rel]))
+    _commit(table, version, actions)
+    _maybe_checkpoint(spark, table, version)
+    return version
 
 
 def update_delta(spark: SparkSession, table: str,
@@ -832,9 +978,10 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
         for rel in sorted(set(cur.files) - set(target.files))
     )
     actions.extend(
-        _add_action(rel, pv, new_v, target.stats)
+        _add_action(rel, pv, new_v, target.stats,
+                    dv=target.dvs.get(rel))
         for rel, pv in target.files.items()
-        if rel not in cur.files
+        if rel not in cur.files or target.dvs.get(rel) != cur.dvs.get(rel)
     )
     _commit(table, new_v, actions)
     _maybe_checkpoint(spark, table, new_v)

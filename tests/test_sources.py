@@ -1002,3 +1002,74 @@ def test_rename_column_both_formats(spark, tmp_path):
     assert "val" in cur.columns and "v" not in cur.columns
     assert cur.agg(F.sum("val")).collect()[0][0] == sum(range(20))
     assert cur.where("p = 1").count() == 10  # partitioning intact
+
+
+def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
+    """Delta MOR DELETE via deletion vectors (PROTOCOL.md "Deletion
+    Vectors", roaring-encoded row indexes): no data rewrite, readers
+    anti-join positions, DVs stack and merge per file, survive
+    checkpoints and appends, COW ops apply them before rewriting, and
+    OPTIMIZE folds them away."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, optimize_delta, read_delta, resolve_snapshot,
+        update_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t, partition_by=["p"])
+    files_before = set(resolve_snapshot(spark, t).files)
+
+    delete_from_delta(spark, t, "k >= 90", mode="merge-on-read")
+    snap = resolve_snapshot(spark, t)
+    assert set(snap.files) == files_before  # no data rewrite
+    assert snap.dvs and sum(
+        d["cardinality"] for d in snap.dvs.values()) == 10
+    cur = read_delta(spark, t)
+    assert cur.count() == 90 and cur.where("k >= 90").count() == 0
+
+    # stacking: second DV delete merges positions per file
+    delete_from_delta(spark, t, "k < 5", mode="merge-on-read")
+    assert read_delta(spark, t).count() == 85
+
+    # time travel: pre-delete version still sees everything
+    assert read_delta(spark, t, version=0).count() == 100
+
+    # appended rows are untouched by existing DVs
+    extra = spark.createDataFrame([(90, 0, 90.0)], "k long, p long, v double")
+    write_delta(spark, extra, t, mode="append")
+    cur = read_delta(spark, t)
+    assert cur.count() == 86 and cur.where("k = 90").count() == 1
+
+    # COW update applies DVs before rewriting (no resurrection)
+    update_delta(spark, t, {"v": "v + 1000"}, "k = 10")
+    cur = read_delta(spark, t)
+    assert cur.count() == 86
+    assert cur.where("k = 10").collect()[0]["v"] == 1010.0
+    assert cur.where("k = 91").count() == 0
+
+    # OPTIMIZE compacts the DVs away
+    optimize_delta(spark, t)
+    snap = resolve_snapshot(spark, t)
+    assert not snap.dvs
+    assert read_delta(spark, t).count() == 86
+
+
+def test_delta_dv_survives_checkpoint(spark, tmp_path):
+    """DV descriptors ride through parquet checkpoints (add actions are
+    re-encoded there) — a post-checkpoint read must still hide the
+    deleted rows."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        checkpoint_delta, delete_from_delta, read_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")), t)
+    delete_from_delta(spark, t, "k >= 40", mode="merge-on-read")
+    checkpoint_delta(spark, t)
+    assert read_delta(spark, t).count() == 40
