@@ -132,6 +132,7 @@ class IcebergSnapshot:
             {"name": c, "transform": "identity", "source": c}
             for c in partition_cols
         ]
+        self.default_spec_id = 0  # set by resolve_snapshot
 
 
 def _snapshot_ts_ms(meta: dict) -> int:
@@ -250,6 +251,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
                           stats)
     out.deletes = deletes
     out.pos_deletes = pos_deletes
+    out.default_spec_id = meta.get("default-spec-id", 0)
     return out
 
 
@@ -364,6 +366,14 @@ def _entry_schema(partition_cols: list[str]) -> dict:
                         "type": "record", "name": "r102", "fields": [
                             {"name": c, "type": ["null", "string"]}
                             for c in partition_cols
+                        ] + [
+                            # engine extension: spec-id the file was
+                            # written under (partition evolution) —
+                            # keeps the fresh-manifest-per-snapshot
+                            # model; external readers see one extra
+                            # nullable field
+                            {"name": "__spec_id",
+                             "type": ["null", "string"]},
                         ]}},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
@@ -420,9 +430,10 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
         return {"status": status, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
-                    "partition": {c: (None if pv.get(c) is None
-                                      else str(pv[c]))
-                                  for c in partition_cols},
+                    "partition": {**{c: (None if pv.get(c) is None
+                                         else str(pv[c]))
+                                     for c in partition_cols},
+                                  "__spec_id": pv.get("__spec_id")},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": json.dumps(st) if st else None,
                     "content": 0, "equality_ids": None}}
@@ -433,7 +444,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
         return {"status": 1, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
-                    "partition": {c: None for c in partition_cols},
+                    "partition": {**{c: None for c in partition_cols},
+                                  "__spec_id": None},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": None,
                     "content": 2 if cols is not None else 1,
@@ -626,9 +638,22 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
                     pass
         return True
 
+    def _spec_keep(pv: dict) -> bool:
+        # partition-spec evolution: hidden-transform values are only
+        # comparable for files written under the CURRENT default spec
+        # (e.g. bucket[8] vs bucket[16] share a field name; a missing
+        # stamp means the file predates the last evolution -> spec 0);
+        # identity values are invariant (evolution keeps identity
+        # fields), so older-spec files prune on identity fields only
+        if int(pv.get("__spec_id") or 0) == snap.default_spec_id:
+            return all(_pv_eq(pv.get(k), v) for k, v in required.items())
+        ident = {pf["name"] for pf in snap.spec_fields
+                 if pf["transform"] == "identity"}
+        return all(_pv_eq(pv.get(k), v) for k, v in required.items()
+                   if k in ident)
+
     files = [(p, pv) for p, pv in snap.files
-             if all(_pv_eq(pv.get(k), v) for k, v in required.items())
-             and _stats_keep(p)]
+             if _spec_keep(pv) and _stats_keep(p)]
     if not files:
         df = spark.createDataFrame([], snap.schema)
     else:
@@ -770,7 +795,9 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     staged_df, part_names = _apply_transforms(df, spec_fields)
     staged = _stage_files(spark, staged_df, os.path.join(table, "data"),
                           sid_next, part_names)
-    staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    cur_spec = str(meta.get("default-spec-id", 0))
+    staged = [(os.path.join("data", rel), {**pv, "__spec_id": cur_spec})
+              for rel, pv in staged]
     stats = _collect_stats(spark, table, staged, df.schema,
                            [pf["source"] for pf in spec_fields
                             if pf["transform"] == "identity"])
@@ -835,7 +862,9 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
                                             snap.spec_fields)
         staged += _stage_files(spark, out, os.path.join(table, "data"),
                                sid_next, part_names)
-    staged = [(os.path.join("data", rel), pv) for rel, pv in staged]
+    cur_spec = str(meta.get("default-spec-id", 0))
+    staged = [(os.path.join("data", rel), {**pv, "__spec_id": cur_spec})
+              for rel, pv in staged]
     from .delta import _collect_stats
 
     stats = _collect_stats(spark, table, staged, snap.schema,
@@ -1143,6 +1172,56 @@ def alter_iceberg(table: str, add: dict[str, str] | None = None,
                     "fields": fields})
     meta["schemas"] = schemas
     meta["current-schema-id"] = new_id
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return new_id
+
+
+def alter_iceberg_partition_spec(table: str, specs: list[str]) -> int:
+    """ALTER TABLE ... partition evolution: append a new partition spec
+    and make it the default — pure metadata, no files rewritten
+    (Iceberg's headline evolution: daily→hourly, re-bucketing).  Later
+    writes land under the new spec; files keep the spec-id they were
+    written under, and the scan planner only transform-prunes a file
+    under its own spec (identity pruning stays valid for all).
+
+    Restriction (stated): the IDENTITY fields must be unchanged —
+    identity values are baked into manifests per file and attach as
+    data columns, so changing them needs a rewrite, not an evolution.
+    Hidden (bucket/truncate/temporal) transforms evolve freely."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    new_fields = _parse_partition_spec(list(specs))
+    cur_id = meta.get("default-spec-id", 0)
+    schema_fields = next(
+        s for s in meta.get("schemas") or [meta["schema"]]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )["fields"]
+    by_name = {f["name"]: f["id"] for f in schema_fields}
+    for pf in new_fields:
+        if pf["source"] not in by_name:
+            raise ValueError(f"unknown partition source {pf['source']!r}")
+    cur_spec = next(sp for sp in meta.get("partition-specs", [])
+                    if sp.get("spec-id") == cur_id)
+    ids = {f["id"]: f["name"] for f in schema_fields}
+    cur_ident = {ids.get(f.get("source-id"))
+                 for f in cur_spec.get("fields", [])
+                 if f.get("transform") == "identity"}
+    new_ident = {pf["source"] for pf in new_fields
+                 if pf["transform"] == "identity"}
+    if cur_ident != new_ident:
+        raise ValueError(
+            f"partition evolution cannot change identity fields "
+            f"({sorted(x for x in cur_ident if x)} -> {sorted(new_ident)}); "
+            "rewrite the table instead")
+    new_id = max((sp.get("spec-id", 0)
+                  for sp in meta.get("partition-specs", [])), default=0) + 1
+    meta.setdefault("partition-specs", []).append({
+        "spec-id": new_id,
+        "fields": [{"name": pf["name"], "transform": pf["transform"],
+                    "source-id": by_name[pf["source"]]}
+                   for pf in new_fields]})
+    meta["default-spec-id"] = new_id
     with open(_metadata_file(table), "w") as f:
         json.dump(meta, f)
     return new_id

@@ -1073,3 +1073,57 @@ def test_delta_dv_survives_checkpoint(spark, tmp_path):
     delete_from_delta(spark, t, "k >= 40", mode="merge-on-read")
     checkpoint_delta(spark, t)
     assert read_delta(spark, t).count() == 40
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """Partition evolution (metadata-only): re-bucket bucket(4,k) ->
+    bucket(8,k); old files keep their spec id and are never
+    transform-pruned under the new spec's math (sound), new files prune
+    under the new spec, reads stay correct across the mix, and identity
+    fields cannot be changed by evolution."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        alter_iceberg_partition_spec, plan_iceberg_scan, read_iceberg,
+        resolve_snapshot, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(64).select(F.col("id").alias("k"),
+                                F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t, partition_by=["bucket(4, k)"])
+    n_old = len(resolve_snapshot(t).files)
+    assert n_old == 4
+    # pre-evolution: a point lookup prunes to one bucket
+    _, total, scanned = plan_iceberg_scan(spark, t, {"k": 7})
+    assert (total, scanned) == (4, 1)
+
+    alter_iceberg_partition_spec(t, ["bucket(8, k)"])
+    extra = spark.range(64, 128).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, extra, t, mode="append")
+    snap = resolve_snapshot(t)
+    assert snap.default_spec_id == 1
+    assert len(snap.files) == 4 + 8
+
+    # reads see everything
+    assert read_iceberg(spark, t).count() == 128
+
+    # new-spec point lookup outside the old files' key range: the old
+    # files fall to min/max STATS pruning (sound), and exactly 1 of the
+    # 8 new files survives its bucket[8] transform prune
+    df2, total, scanned = plan_iceberg_scan(spark, t, {"k": 100})
+    assert total == 12 and scanned == 1
+    assert df2.where("k = 100").count() == 1
+
+    # lookup INSIDE the old range: stats can't prune the old file that
+    # holds k=7 and the planner must NOT apply bucket[8] math to
+    # bucket[4]-era files — the row is found
+    df3, _, scanned3 = plan_iceberg_scan(spark, t, {"k": 7})
+    assert df3.where("k = 7").count() == 1
+    assert scanned3 >= 2  # ≥1 old file kept + the new-spec bucket file
+
+    # identity fields are frozen
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="identity"):
+        alter_iceberg_partition_spec(t, ["k"])
