@@ -1176,6 +1176,77 @@ class Engine:
     _META_FNS = ("table_history", "table_files", "table_snapshot",
                  "table_partitions", "table_manifests")
 
+    def _pipes(self):
+        from .streaming.pipes import PipeRegistry
+
+        reg = getattr(self, "_pipe_registry", None)
+        if reg is None:
+            reg = self._pipe_registry = PipeRegistry(self.spark)
+        return reg
+
+    def _admin_statement(self, query: str) -> DataFrame | None:
+        """Remaining small productions of the reference grammar
+        (Parser.tdd): CLEAR PLAN CACHE, user/role DDL, pipe statements,
+        DROP FUNCTION."""
+        m = re.match(
+            r"\s*alter\s+(?:session|system)\s+clear\s+plan\s+cache\s*$",
+            query, re.I)
+        if m:
+            # SqlAlterClearPlanCache: drop cached plans/relations so the
+            # next query replans from scratch
+            self.spark.catalog.clearCache()
+            return self._status("CLEAR PLAN CACHE", "ok")
+        m = re.match(
+            r"\s*(create|drop)\s+(user|role)\s+(\w+)\s*$", query, re.I)
+        if m:
+            verb, kind, name = (m.group(1).lower(), m.group(2).lower(),
+                                m.group(3))
+            # SqlCreateUser/Role: principals live in the roles graph; a
+            # user is a principal with no members, a role may have them
+            if verb == "create":
+                self._roles.setdefault(name, set())
+            else:
+                self._roles.pop(name, None)
+                for members in self._roles.values():
+                    members.discard(name)
+                for privs in self._acl.values():
+                    for grantees in privs.values():
+                        grantees.discard(name)
+            return self._status(f"{verb.upper()} {kind.upper()}", name)
+        m = re.match(
+            r"\s*create\s+pipe\s+(\w+)\s+as\s+copy\s+into\s+'([^']+)'"
+            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?\s*$",
+            query, re.I)
+        if m:
+            name, target, glob_, fmt = m.groups()
+            self._pipes().create_pipe(name, target, glob_,
+                                      fmt=(fmt or "parquet").lower())
+            return self._status("CREATE PIPE", name)
+        m = re.match(r"\s*trigger\s+pipe\s+(\w+)\s*$", query, re.I)
+        if m:
+            # SqlTriggerPipe: run one ingest pass now
+            n = self._pipes().run(m.group(1))
+            return self._status("TRIGGER PIPE", f"{n} rows loaded")
+        m = re.match(r"\s*describe\s+pipe\s+(\w+)\s*$", query, re.I)
+        if m:
+            p = self._pipes()._pipes.get(m.group(1))
+            if p is None:
+                raise ValueError(f"no pipe {m.group(1)!r}")
+            return self.spark.createDataFrame(
+                [(p.name, p.target, p.source_glob, p.fmt, p.dedup)],
+                "pipe_name string, target string, source string, "
+                "file_format string, dedupe boolean")
+        m = re.match(r"\s*drop\s+pipe\s+(\w+)\s*$", query, re.I)
+        if m:
+            self._pipes().drop_pipe(m.group(1))
+            return self._status("DROP PIPE", m.group(1))
+        m = re.match(r"\s*drop\s+function\s+(?:if\s+exists\s+)?(\w+)\s*$",
+                     query, re.I)
+        if m:
+            self.spark.sql(f"drop temporary function if exists {m.group(1)}")
+            return self._status("DROP FUNCTION", m.group(1))
+        return None
+
     def attach_external_source(self, name: str, source) -> None:
         """Register an `ExternalSource` under a source name so SQL can
         call table(<name>.external_query('<remote sql>'))."""
@@ -1349,6 +1420,9 @@ class Engine:
             self.alter_session(m.group(1), val)
             return self._status("ALTER SESSION SET",
                                 f"{m.group(1)} = {val}")
+        stmt = self._admin_statement(query)
+        if stmt is not None:
+            return stmt
         # branch/tag DDL on Iceberg paths (Nessie grammar,
         # parserImpls.ftl:943, over the spec refs map)
         m = re.match(

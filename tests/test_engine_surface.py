@@ -601,3 +601,48 @@ def test_external_query_sql_form_and_lake_describe(spark, tmp_path):
             eng.sys_materializations().collect()}
     assert mats["mat_r"]["n_files"] >= 1 and mats["mat_r"]["bytes"] > 0
     eng.sql("ALTER TABLE mat_src DROP REFLECTION mat_r")
+
+
+def test_admin_statement_surface(spark, tmp_path):
+    """The remaining small grammar productions (Parser.tdd): ALTER
+    SESSION CLEAR PLAN CACHE, CREATE/DROP USER/ROLE, pipe SQL statements
+    (CREATE/TRIGGER/DESCRIBE/DROP PIPE), DROP FUNCTION."""
+    import os
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    assert eng.sql("ALTER SESSION CLEAR PLAN CACHE").collect()[0][
+        "operation"] == "CLEAR PLAN CACHE"
+
+    eng.sql("CREATE ROLE analysts")
+    eng.sql("CREATE USER alice")
+    eng.grant_role("analysts", "alice")
+    eng.grant("SELECT", "secret.table", "analysts")
+    assert eng.check_access("alice", "SELECT", "secret.table")
+    eng.sql("DROP ROLE analysts")
+    assert not eng.check_access("alice", "SELECT", "secret.table")
+
+    # pipes: stage a source file, CREATE + TRIGGER loads it, a second
+    # trigger dedups to zero, DESCRIBE/DROP round out the surface
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(10).toDF("k").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "batch1"))
+    target = str(tmp_path / "tgt")
+    out = eng.sql(
+        f"CREATE PIPE p1 AS COPY INTO '{target}' "
+        f"FROM '{src}/batch1/*.parquet'").collect()[0]
+    assert out["result"] == "p1"
+    assert "10 rows" in eng.sql("TRIGGER PIPE p1").collect()[0]["result"]
+    assert "0 rows" in eng.sql("TRIGGER PIPE p1").collect()[0]["result"]
+    d = eng.sql("DESCRIBE PIPE p1").collect()[0]
+    assert d["pipe_name"] == "p1" and d["dedupe"]
+    eng.sql("DROP PIPE p1")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no pipe"):
+        eng.sql("DESCRIBE PIPE p1")
+
+    out = eng.sql("DROP FUNCTION IF EXISTS nonexistent_fn").collect()[0]
+    assert out["operation"] == "DROP FUNCTION"
