@@ -138,9 +138,9 @@ def decode_rbm_array(buf: bytes) -> list[int]:
 
 def encode_rbm_array(positions: list[int]) -> bytes:
     """Sorted (or not) 64-bit positions -> serialized RoaringBitmapArray."""
-    by_hi: dict[int, list[int]] = {}
+    by_hi: dict[int, set[int]] = {}
     for p in positions:
-        by_hi.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+        by_hi.setdefault(p >> 32, set()).add(p & 0xFFFFFFFF)
     n = (max(by_hi) + 1) if by_hi else 0
     parts = [struct.pack("<iq", MAGIC, n)]
     for i in range(n):

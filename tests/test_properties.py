@@ -256,3 +256,31 @@ def test_delta_dml_model_based(spark, tmp_path):
 
     rollback_delta(spark, t, v_before)
     check()  # restored to pre-OPTIMIZE state == current model
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=2**33),      # multi-bitmap range
+        st.integers(min_value=65530, max_value=65545),  # container boundary
+        st.integers(min_value=0, max_value=70000),      # dense-ish region
+    ),
+    max_size=300))
+def test_roaring_roundtrip(positions):
+    """encode→decode is the identity on any 64-bit position set
+    (container boundaries, multi-bitmap splits, duplicates)."""
+    from dremio_oss_spark.sources.roaring import (decode_rbm_array,
+                                                  encode_rbm_array)
+
+    want = sorted(set(positions))
+    assert decode_rbm_array(encode_rbm_array(positions)) == want
+
+
+def test_roaring_bitset_container_roundtrip():
+    """>4096 values in one 64K container forces the bitset encoding."""
+    from dremio_oss_spark.sources.roaring import (decode_rbm_array,
+                                                  encode_rbm_array)
+
+    vals = list(range(0, 65536, 13))  # 5042 values -> bitset container
+    assert len(vals) > 4096
+    assert decode_rbm_array(encode_rbm_array(vals)) == vals
