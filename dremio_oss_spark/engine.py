@@ -1247,6 +1247,71 @@ class Engine:
             return self._status("DROP FUNCTION", m.group(1))
         return None
 
+    def profile(self, query) -> DataFrame:
+        """EXPLAIN ANALYZE / job profile: execute the query and return
+        per-operator RUNTIME metrics (rows out, operator time, peak
+        memory, spill, full metric map as JSON) — the operator table of
+        the reference's job profile (query profiles with per-operator
+        metrics, `exec/work/foreman` profile plumbing).  Execution uses
+        the noop sink, so nothing is collected to the driver."""
+        import json as _json
+
+        df = query if isinstance(query, DataFrame) else self.sql(query)
+        # run THIS queryExecution's physical plan (a sink like noop would
+        # plan a separate execution whose metrics we couldn't read);
+        # count() over the internal-row RDD executes distributed with
+        # nothing shipped to the driver but the count
+        qe = df._jdf.queryExecution()
+        qe.toRdd().count()
+        wrappers = {"AdaptiveSparkPlan", "ResultQueryStage",
+                    "ShuffleQueryStage", "TableCacheQueryStage",
+                    "BroadcastQueryStage"}
+        rows: list[tuple] = []
+
+        def kids(node):
+            out = []
+            ch = node.children()
+            for i in range(ch.size()):
+                out.append(ch.apply(i))
+            if not out:
+                for attr in ("executedPlan", "plan", "finalPhysicalPlan"):
+                    if hasattr(node, attr):
+                        try:
+                            out = [getattr(node, attr)()]
+                            break
+                        except Exception:  # noqa: BLE001 — wrapper probing
+                            pass
+            return out
+
+        def walk(node, depth):
+            name = node.nodeName()
+            if name in wrappers:
+                for c in kids(node):
+                    walk(c, depth)
+                return
+            it = node.metrics().iterator()
+            m = {}
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            t = next((m[k] for k in
+                      ("aggTime", "time in aggregation build",
+                       "scanTime", "pipelineTime", "sortTime")
+                      if k in m), None)
+            rows.append((len(rows), depth, name,
+                         m.get("numOutputRows"), t,
+                         m.get("peakMemory"),
+                         m.get("spillSize"), _json.dumps(m)))
+            for c in kids(node):
+                walk(c, depth + 1)
+
+        walk(qe.executedPlan(), 0)
+        return self.spark.createDataFrame(
+            rows,
+            "op_id int, depth int, operator string, rows_out long, "
+            "time_ms long, peak_memory long, spill_bytes long, "
+            "metrics string")
+
     def attach_external_source(self, name: str, source) -> None:
         """Register an `ExternalSource` under a source name so SQL can
         call table(<name>.external_query('<remote sql>'))."""

@@ -646,3 +646,28 @@ def test_admin_statement_surface(spark, tmp_path):
 
     out = eng.sql("DROP FUNCTION IF EXISTS nonexistent_fn").collect()[0]
     assert out["operation"] == "DROP FUNCTION"
+
+
+def test_profile_returns_operator_metrics(spark):
+    """engine.profile executes through the noop sink and reports
+    per-operator runtime metrics (the reference's job-profile operator
+    table): rows flow bottom-up, aggregates report memory, the scan
+    reports its output rows."""
+    import json
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    li = load(spark, SF_SMALL, "lineitem")
+    prof = eng.profile(
+        li.groupBy("l_returnflag").count()).collect()
+    ops = [r["operator"] for r in prof]
+    assert any("HashAggregate" in o for o in ops)
+    assert any("Scan" in o or "FileScan" in o for o in ops)
+    aggs = [r for r in prof if "HashAggregate" in r["operator"]]
+    assert any((r["peak_memory"] or 0) > 0 for r in aggs)
+    agg = max(aggs, key=lambda r: r["depth"])
+    scan = [r for r in prof if "Scan" in r["operator"]]
+    assert scan and json.loads(scan[-1]["metrics"]).get("numOutputRows", 0) > 0
+    # deepest operators are upstream (scan below the aggregate)
+    assert max(r["depth"] for r in scan) >= agg["depth"]
