@@ -1247,6 +1247,82 @@ class Engine:
             return self._status("DROP FUNCTION", m.group(1))
         return None
 
+    def _try_accelerate(self, query: str) -> DataFrame | None:
+        """Transparent reflection substitution for plain SQL aggregates
+        (the reference's core acceleration UX: SubstitutionProvider
+        matches the user's query tree and answers from a materialization
+        without the user naming it).  Conservatively matches
+        `SELECT dims+aggs FROM t [WHERE conj] GROUP BY dims [ORDER BY]`;
+        anything outside the fragment — or with no covering reflection —
+        falls through to normal planning.  `last_plan_accelerated`
+        records the reflection used (None when not accelerated)."""
+        self.last_plan_accelerated = None
+        store = getattr(self, "_refl_store", None)
+        if store is None or not store._reflections:
+            return None
+        from .plans import AggQuery, Measure
+        from .plans.reflections import parse_pred
+
+        m = re.match(
+            r"\s*select\s+(.+?)\s+from\s+([\w.]+)"
+            r"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)"
+            r"(?:\s+order\s+by\s+([\w,\s]+?))?\s*;?\s*$",
+            query, re.I | re.S)
+        if not m:
+            return None
+        sel, table, where, gb, ob = m.groups()
+        dims = [d.strip() for d in gb.split(",")]
+        if not all(re.fullmatch(r"\w+", d) for d in dims):
+            return None
+        aliases: dict[str, str] = {}
+        measures: list[Measure] = []
+        out_cols: list[str] = []
+        for item in _split_top_level(sel, ","):
+            item = item.strip()
+            if re.fullmatch(r"\w+", item):
+                if item not in dims:
+                    return None
+                out_cols.append(item)
+                continue
+            am = re.fullmatch(
+                r"(sum|count|min|max)\s*\(\s*(\*|\w+)\s*\)"
+                r"(?:\s+as\s+(\w+))?", item, re.I)
+            if am is None:
+                return None
+            kind, col = am.group(1).lower(), am.group(2)
+            if col == "*" and kind != "count":
+                return None
+            meas = Measure(kind, col)
+            measures.append(meas)
+            alias = am.group(3) or item
+            aliases[meas.name] = alias
+            out_cols.append(alias)
+        filters: tuple[str, ...] = ()
+        if where:
+            parts = [p.strip()
+                     for p in re.split(r"\s+and\s+", where, flags=re.I)]
+            # each conjunct must be in the sound predicate fragment;
+            # covers() then checks the columns are reflection dims
+            if any(parse_pred(p) is None for p in parts):
+                return None
+            filters = tuple(parts)
+        q = AggQuery(table=table, dims=tuple(dims),
+                     measures=tuple(measures), filters=filters)
+        refl = store.find_match(q)
+        if refl is None:
+            return None
+        df, substituted = store.execute(q, base=None)
+        if not substituted:
+            return None
+        for mname, alias in aliases.items():
+            if alias != mname:
+                df = df.withColumnRenamed(mname, alias)
+        df = df.select(*out_cols)
+        if ob:
+            df = df.orderBy(*[c.strip() for c in ob.split(",")])
+        self.last_plan_accelerated = refl.name
+        return df
+
     def profile(self, query) -> DataFrame:
         """EXPLAIN ANALYZE / job profile: execute the query and return
         per-operator RUNTIME metrics (rows out, operator time, peak
@@ -1520,6 +1596,9 @@ class Engine:
         lake = self._lake_statement(query)
         if lake is not None:
             return lake
+        accelerated = self._try_accelerate(query)
+        if accelerated is not None:
+            return accelerated
         query = self._expand_external_query(query)
         query = self._expand_metadata_fns(query)
         query = self._expand_lake_refs(query)

@@ -671,3 +671,57 @@ def test_profile_returns_operator_metrics(spark):
     assert scan and json.loads(scan[-1]["metrics"]).get("numOutputRows", 0) > 0
     # deepest operators are upstream (scan below the aggregate)
     assert max(r["depth"] for r in scan) >= agg["depth"]
+
+
+def test_transparent_sql_acceleration(spark):
+    """The acceleration UX: after a reflection exists, a plain SQL
+    aggregate over the base table silently answers from the
+    materialization (SubstitutionProvider behavior); uncovered queries
+    fall through to normal planning with identical results."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION accel_r "
+            "USING DIMENSIONS (l_returnflag, l_linestatus) "
+            "MEASURES (l_quantity (SUM, MIN), l_orderkey (COUNT))")
+
+    got = eng.sql(
+        "select l_returnflag, sum(l_quantity) as sq, count(l_orderkey) as n "
+        "from lineitem group by l_returnflag order by l_returnflag"
+    ).collect()
+    assert eng.last_plan_accelerated == "accel_r"
+    want = (spark.table("lineitem").groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("sq"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag").collect())
+    assert [(r["l_returnflag"], float(r["sq"]), r["n"]) for r in got] == \
+           [(r["l_returnflag"], float(r["sq"]), r["n"]) for r in want]
+
+    # a filter over a dim rolls up from the materialization too
+    got2 = eng.sql(
+        "select l_returnflag, sum(l_quantity) as sq from lineitem "
+        "where l_linestatus = 'F' group by l_returnflag"
+    ).collect()
+    assert eng.last_plan_accelerated == "accel_r"
+    want2 = (spark.table("lineitem").where("l_linestatus = 'F'")
+             .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sq"))
+             .collect())
+    assert {r["l_returnflag"]: float(r["sq"]) for r in got2} == \
+           {r["l_returnflag"]: float(r["sq"]) for r in want2}
+
+    # uncovered: extra dim not in the reflection -> normal planning
+    out = eng.sql(
+        "select l_shipdate, count(*) as n from lineitem group by l_shipdate"
+    )
+    assert eng.last_plan_accelerated is None
+    assert out.count() > 0
+    # avg is not a rollup-able measure kind -> fall through, still correct
+    out2 = eng.sql(
+        "select l_returnflag, avg(l_quantity) as a from lineitem "
+        "group by l_returnflag")
+    assert eng.last_plan_accelerated is None and out2.count() == 3
+    eng.sql("ALTER TABLE lineitem DROP REFLECTION accel_r")
