@@ -208,7 +208,45 @@ order by l_returnflag
 """
 
 
+
+def transparent_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The acceleration UX end-to-end through Engine.sql: reflections
+    DDL creates the materialization, then a PLAIN SQL aggregate silently
+    answers from it (transparent substitution is asserted) — the
+    reference's SubstitutionProvider behavior as a user sees it."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_accel "
+        "USING DIMENSIONS (l_returnflag, l_linestatus) "
+        "MEASURES (l_quantity (SUM), l_orderkey (COUNT))")
+    df = eng.sql(
+        "select l_returnflag, sum(l_quantity) as qty_sum, "
+        "count(l_orderkey) as n from lineitem "
+        "where l_linestatus = 'O' group by l_returnflag "
+        "order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_accel", "substitution missed"
+    return df.withColumn("qty_sum", F.col("qty_sum").cast("double"))
+
+
+TRANSPARENT_SQL_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double) as qty_sum,
+       count(*) as n
+from lineitem
+where l_linestatus = 'O'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 REFLECTION_QUERIES = {
+    "refl_transparent_sql": transparent_sql,
     "refl_agg_rollup": agg_rollup,
     "refl_incremental_refresh": incremental,
     "refl_join_rollup": join_rollup,
@@ -216,6 +254,7 @@ REFLECTION_QUERIES = {
 }
 
 REFLECTION_ORACLE = {
+    "refl_transparent_sql": TRANSPARENT_SQL_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,
     "refl_incremental_refresh": INCREMENTAL_SQL,
     "refl_join_rollup": JOIN_ROLLUP_SQL,
