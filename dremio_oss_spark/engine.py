@@ -1174,7 +1174,43 @@ class Engine:
         raise ValueError(f"not a lakehouse table: {path}")
 
     _META_FNS = ("table_history", "table_files", "table_snapshot",
-                 "table_partitions", "table_manifests")
+                 "table_partitions", "table_manifests", "table_refs")
+
+    def table_refs(self, path: str) -> DataFrame:
+        """TABLE(table_refs('<path>')): branches and tags with their
+        snapshot pointers (Iceberg refs map; the snapshot store's
+        branches/tags otherwise)."""
+        fmt = self._lake_format(path)
+        if fmt == "iceberg":
+            rows = (
+                [(n, "branch", s) for n, s in
+                 self._iceberg_refs(path, "branch")]
+                + [(n, "tag", s) for n, s in self._iceberg_refs(path, "tag")]
+            )
+        else:
+            from .sources import dml
+
+            rows = [(b, "branch",
+                     os.path.basename(dml.current_snapshot(path, b) or ""))
+                    for b in dml.list_branches(path)]
+            for t in dml.list_tags(path):
+                with open(dml._tag_file(path, t)) as f:
+                    rows.append((t, "tag", f.read().strip()))
+        return self.spark.createDataFrame(
+            rows or [("", "", "")],
+            "ref_name string, type string, snapshot_id string"
+        ).where("ref_name <> ''")
+
+    def show_grants(self, on: str) -> DataFrame:
+        """SHOW GRANTS ON <object>: the ACL rows for one object
+        (reference GRANT surface / sys privileges)."""
+        rows = [(on, priv, grantee)
+                for priv, grantees in self._acl.get(on, {}).items()
+                for grantee in sorted(grantees)]
+        return self.spark.createDataFrame(
+            rows or [("", "", "")],
+            "object string, privilege string, grantee string"
+        ).where("object <> ''")
 
     def _pipes(self):
         from .streaming.pipes import PipeRegistry
@@ -1240,6 +1276,10 @@ class Engine:
         if m:
             self._pipes().drop_pipe(m.group(1))
             return self._status("DROP PIPE", m.group(1))
+        m = re.match(r"\s*show\s+grants\s+on\s+'?([\w.]+)'?\s*$",
+                     query, re.I)
+        if m:
+            return self.show_grants(m.group(1))
         m = re.match(r"\s*drop\s+function\s+(?:if\s+exists\s+)?(\w+)\s*$",
                      query, re.I)
         if m:

@@ -725,3 +725,27 @@ def test_transparent_sql_acceleration(spark):
         "group by l_returnflag")
     assert eng.last_plan_accelerated is None and out2.count() == 3
     eng.sql("ALTER TABLE lineitem DROP REFLECTION accel_r")
+
+
+def test_table_refs_and_show_grants(spark, tmp_path):
+    """TABLE(table_refs('<path>')) lists branches+tags for both table
+    kinds; SHOW GRANTS ON <obj> lists the ACL."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    eng = Engine(spark)
+    t = str(tmp_path / "i")
+    write_iceberg(spark, spark.range(5).toDF("k"), t)
+    eng.sql(f"CREATE BRANCH dev IN '{t}'")
+    eng.sql(f"CREATE TAG v1 IN '{t}'")
+    refs = {(r["ref_name"], r["type"]) for r in eng.sql(
+        f"select * from table(table_refs('{t}'))").collect()}
+    assert {("main", "branch"), ("dev", "branch"), ("v1", "tag")} <= refs
+
+    eng.grant("SELECT", "finance.revenue", "bob")
+    eng.grant("ALTER", "finance.revenue", "carol")
+    rows = {(r["privilege"], r["grantee"]) for r in
+            eng.sql("SHOW GRANTS ON finance.revenue").collect()}
+    assert rows == {("SELECT", "bob"), ("ALTER", "carol")}
