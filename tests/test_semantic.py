@@ -236,3 +236,66 @@ def test_dialect_rewrites_and_sys_reflections(spark, tmp_path):
     rows = eng.sys_reflections().collect()
     assert len(rows) == 1 and rows[0]["reflection_name"] == "nk_by_region"
     assert rows[0]["dataset"] == "m2.nk"
+
+
+def test_iceberg_dml_sequence_model(spark, tmp_path):
+    """Model-based sequence over the Iceberg surface: interleaved
+    appends, COW update, positional + equality MOR deletes, OPTIMIZE,
+    rollback, and a branch write — the table must equal a plain dict
+    model at every step (interaction coverage across features that were
+    each tested alone)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        create_iceberg_ref, delete_from_iceberg, optimize_iceberg,
+        read_iceberg, rollback_iceberg, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(rows.items())], "k long, v double")
+
+    def check(model):
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, t).collect()}
+        assert got == model, (len(got), len(model))
+
+    model = {i: float(i) for i in range(40)}
+    s0 = write_iceberg(spark, to_df(model), t)
+    check(model)
+
+    # positional MOR delete
+    delete_from_iceberg(spark, t, "k % 4 = 0", mode="merge-on-read")
+    model = {k: v for k, v in model.items() if k % 4 != 0}
+    check(model)
+
+    # append on top of live MOR deletes
+    model.update({100 + i: float(i) for i in range(10)})
+    write_iceberg(spark, to_df({100 + i: float(i) for i in range(10)}),
+                  t, mode="append")
+    check(model)
+
+    # equality MOR delete stacked on positional
+    delete_from_iceberg(spark, t, "k in (1, 101)", mode="merge-on-read",
+                        equality_cols=["k"])
+    model = {k: v for k, v in model.items() if k not in (1, 101)}
+    check(model)
+
+    # COW update applies both delete kinds before rewriting
+    update_iceberg(spark, t, {"v": "v + 1000"}, "k >= 100")
+    model = {k: (v + 1000 if k >= 100 else v) for k, v in model.items()}
+    check(model)
+
+    # compaction folds all deletes; rows unchanged
+    optimize_iceberg(spark, t)
+    check(model)
+
+    # branch write stays isolated; main unchanged
+    create_iceberg_ref(t, "exp", "branch")
+    write_iceberg(spark, to_df({999: 9.0}), t, mode="append", branch="exp")
+    check(model)
+    assert read_iceberg(spark, t, ref="exp").count() == len(model) + 1
+
+    # rollback to the very first snapshot restores the original rows
+    rollback_iceberg(t, s0)
+    check({i: float(i) for i in range(40)})
