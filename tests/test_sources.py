@@ -1127,3 +1127,25 @@ def test_iceberg_partition_spec_evolution(spark, tmp_path):
 
     with _pt.raises(ValueError, match="identity"):
         alter_iceberg_partition_spec(t, ["k"])
+
+
+def test_delta_dv_rollback_restores_pre_delete_state(spark, tmp_path):
+    """ROLLBACK to a pre-deletion-vector version must clear the DV on
+    files common to both versions (the re-add-on-dv-change path)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, read_delta, resolve_snapshot, rollback_delta,
+        write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(30).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")), t)
+    delete_from_delta(spark, t, "k >= 20", mode="merge-on-read")
+    assert read_delta(spark, t).count() == 20
+    rollback_delta(spark, t, 0)
+    assert not resolve_snapshot(spark, t).dvs
+    assert read_delta(spark, t).count() == 30
+    # and rolling forward to the DV version works too
+    rollback_delta(spark, t, 1)
+    assert read_delta(spark, t).count() == 20
