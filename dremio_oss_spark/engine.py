@@ -1002,14 +1002,16 @@ class Engine:
                    if fmt == "delta" else I.rollback_iceberg(path, snap))
             return self._status("ROLLBACK", out)
 
-        m = re.match(r"\s*optimize\s+table\s+'([^']+)'\s*$", query, re.I)
+        m = re.match(r"\s*optimize\s+table\s+'([^']+)'"
+                     r"(?:\s+for\s+partitions\s+(.+?))?\s*$", query, re.I)
         if m:
-            path = m.group(1)
+            path, where = m.group(1), m.group(2)
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
             fn = D.optimize_delta if fmt == "delta" else I.optimize_iceberg
-            return self._status("OPTIMIZE", fn(self.spark, path))
+            return self._status("OPTIMIZE", fn(self.spark, path,
+                                               where=where))
 
         m = re.match(r"\s*vacuum\s+table\s+'([^']+)'\s*$", query, re.I)
         if m:

@@ -633,7 +633,8 @@ def _txn_states(spark: SparkSession, path: str, version: int) -> list[dict]:
 def write_delta(spark: SparkSession, df: DataFrame, table: str,
                 mode: str = "overwrite",
                 partition_by: list[str] | None = None,
-                txn: tuple[str, int] | None = None) -> int:
+                txn: tuple[str, int] | None = None,
+                sort_by: list[str] | None = None) -> int:
     """CTAS / INSERT INTO for a Delta table: stage parquet, append a
     commit to the transaction log.  Returns the committed version.
 
@@ -642,8 +643,20 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     protocol (PROTOCOL.md): `overwrite` = remove all live files + add new,
     `append` = add only.  metaData/protocol actions are (re)stated on
     overwrite and on first commit, as delta-standalone does.
+
+    `sort_by` (the reference's LOCALSORT table layout): range-partition
+    then sort the staged data on those columns, so each file covers a
+    DISJOINT key range and the per-file min/max stats prune point/range
+    lookups to one file — the layout knob that turns stats skipping
+    from heuristic into surgical at 100 TB.
     """
     partition_by = list(partition_by or [])
+    if sort_by:
+        # explicit partition count: AQE coalescing respects a
+        # user-specified repartition, keeping one file per key range
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = (df.repartitionByRange(n_parts, *sort_by)
+              .sortWithinPartitions(*sort_by))
     commits = _commit_files(table)
     version = (commits[-1][0] + 1) if commits else 0
     if version > 0 and mode == "append" and not partition_by:
@@ -920,16 +933,23 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     return _cow_commit(spark, table, "MERGE", hit_rel, rewrite, inserts)
 
 
-def optimize_delta(spark: SparkSession, table: str) -> int:
-    """OPTIMIZE <delta table>: bin-pack all live files into one file per
-    partition (dataChange=false — readers of this version see identical
-    rows, streams don't reprocess).  Reference: dremio-oss OPTIMIZE
-    TABLE (`parserImpls.ftl` OPTIMIZE, `OptimizeHandler.java`) rewrites
-    small Iceberg data files the same way."""
+def optimize_delta(spark: SparkSession, table: str,
+                   where: str | None = None) -> int:
+    """OPTIMIZE <delta table> [FOR PARTITIONS <pred>]: bin-pack live
+    files into one file per partition (dataChange=false — readers of
+    this version see identical rows, streams don't reprocess).  With
+    `where`, only files containing matching rows compact (their
+    deletion vectors fold in; untouched files keep theirs).  Reference:
+    dremio-oss OPTIMIZE TABLE (`parserImpls.ftl` OPTIMIZE,
+    `OptimizeHandler.java`)."""
     snap = resolve_snapshot(spark, table)
-    all_rel = sorted(snap.files)
+    if where is None:
+        hit_rel = sorted(snap.files)
+    else:
+        live = _live_with_file(spark, table)
+        hit_rel = _mark_hit_files(table, live.where(where))
     return _cow_commit(
-        spark, table, "OPTIMIZE", all_rel, lambda hits: hits, None,
+        spark, table, "OPTIMIZE", hit_rel, lambda hits: hits, None,
         data_change=False)
 
 

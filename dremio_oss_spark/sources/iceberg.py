@@ -733,7 +733,8 @@ def merge_iceberg_branch(table: str, source: str,
 def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   mode: str = "overwrite",
                   partition_by: list[str] | None = None,
-                  branch: str | None = None) -> int:
+                  branch: str | None = None,
+                  sort_by: list[str] | None = None) -> int:
     """CTAS / INSERT INTO for an Iceberg table: stage parquet under
     data/, commit a new snapshot (metadata json + Avro manifests).
 
@@ -742,9 +743,19 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     manifest-writing path of `IcebergTableWriter`); layout follows the
     public table spec.  `overwrite` tombstones all previous live files;
     `append` carries them forward into the fresh manifest.
+
+    `sort_by` (LOCALSORT layout): range-partition + sort staged data so
+    files cover disjoint key ranges and the manifest column bounds
+    prune lookups to one file.
     """
     from .delta import _stage_files
 
+    if sort_by:
+        # explicit partition count: AQE coalescing respects a
+        # user-specified repartition, keeping one file per key range
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = (df.repartitionByRange(n_parts, *sort_by)
+              .sortWithinPartitions(*sort_by))
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     if branch is not None and branch != "main":
         with open(_metadata_file(table)) as f:
@@ -1057,15 +1068,27 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                                rewrite, inserts)
 
 
-def optimize_iceberg(spark: SparkSession, table: str) -> int:
-    """OPTIMIZE TABLE — bin-pack all data files into one per partition
-    (`replace` snapshot: same rows, fewer files).  Reference: dremio-oss
-    OPTIMIZE TABLE rewrites small Iceberg data files
-    (`OptimizeHandler.java`, `parserImpls.ftl` OPTIMIZE)."""
+def optimize_iceberg(spark: SparkSession, table: str,
+                     where: str | None = None) -> int:
+    """OPTIMIZE TABLE [FOR PARTITIONS <pred>] — bin-pack data files into
+    one per partition (`replace` snapshot: same rows, fewer files).
+    With `where`, only files containing matching rows compact
+    (partition-scoped maintenance: the 100 TB pattern is compacting the
+    hot recent partitions without touching cold history); delete files
+    are carried for the untouched remainder.  Reference: dremio-oss
+    OPTIMIZE TABLE (`OptimizeHandler.java`, `parserImpls.ftl` OPTIMIZE
+    with FOR PARTITIONS)."""
     snap = resolve_snapshot(table)
-    hit_abs = {os.path.realpath(p) for p, _ in snap.files}
+    if where is None:
+        hit_abs = {os.path.realpath(p) for p, _ in snap.files}
+        return _cow_commit_iceberg(
+            spark, table, "replace", hit_abs, lambda hits: hits)
+    live = _live_iceberg_with_file(spark, table)
+    hit_abs = {r[0] for r in
+               live.where(where).select("__file").distinct().collect()}
+    # not "replace": delete files must survive for the untouched files
     return _cow_commit_iceberg(
-        spark, table, "replace", hit_abs, lambda hits: hits)
+        spark, table, "replace-partial", hit_abs, lambda hits: hits)
 
 
 def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:

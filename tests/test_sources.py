@@ -1149,3 +1149,50 @@ def test_delta_dv_rollback_restores_pre_delete_state(spark, tmp_path):
     # and rolling forward to the DV version works too
     rollback_delta(spark, t, 1)
     assert read_delta(spark, t).count() == 20
+
+
+def test_sorted_layout_and_partition_scoped_optimize(spark, tmp_path):
+    """sort_by writes (LOCALSORT layout) give each file a disjoint key
+    range so stats prune point lookups to ONE file; OPTIMIZE ... FOR
+    PARTITIONS compacts only the matching slice and carries MOR deletes
+    for the untouched remainder."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (
+        plan_delta_scan, resolve_snapshot as d_snap, write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, optimize_iceberg, read_iceberg,
+        resolve_snapshot as i_snap, write_iceberg)
+
+    # sorted layout: 8 files, disjoint k ranges, point lookup scans 1
+    t = str(tmp_path / "d")
+    df = spark.range(8000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_delta(spark, df, t, sort_by=["k"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    _, total, scanned = plan_delta_scan(spark, t, {"k": 4321})
+    assert total >= 4 and scanned == 1
+
+    # partition-scoped optimize on iceberg: only partition p=0 compacts;
+    # a MOR delete over p=1 stays live for the untouched files
+    t2 = str(tmp_path / "i")
+    df2 = spark.range(60).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df2, t2, partition_by=["p"])
+    write_iceberg(spark, df2.where("p = 0"), t2, mode="append")  # extra files
+    delete_from_iceberg(spark, t2, "p = 1 and k < 10", mode="merge-on-read")
+    n_before = len(i_snap(t2).files)
+    eng = Engine(spark)
+    eng.sql(f"OPTIMIZE TABLE '{t2}' FOR PARTITIONS p = 0")
+    snap = i_snap(t2)
+    assert len(snap.files) < n_before  # p=0 slice compacted
+    assert snap.pos_deletes  # untouched partition's deletes survive
+    cur = read_iceberg(spark, t2)
+    assert cur.where("p = 0").count() == 40
+    assert cur.where("p = 1 and k < 10").count() == 0  # still deleted
+    assert cur.count() == 80 - 3  # ids 1,4,7 hit p=1 AND k<10
