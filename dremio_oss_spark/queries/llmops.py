@@ -809,15 +809,19 @@ def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     their COMPOSITION against a single closed-form SQL oracle.
 
     Scale shape: everything up to the dedup is a pure column pipeline
-    over one scan (no shuffle); the dedup is one groupBy(fp) + semi join
-    (one shuffle each on the same key — co-partitioned); the split
-    report is a 3-group aggregate.  Nothing collects to the driver."""
+    over ONE scan (no shuffle); the dedup is a row_number window over
+    fp (one shuffle, no second scan or join — the regex-heavy analysis
+    columns are computed exactly once per row); the split report is a
+    3-group aggregate.  Nothing collects to the driver."""
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf, "documents")
     ana = T.with_text_analysis(docs, "text")
     kept = ana.where((F.col("lang_pred") == "en")
                      & (F.col("quality_score") >= 0.5))
-    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = kept.join(canon, ["fp", "doc_id"], "left_semi")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (kept.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
     bucket = (
         F.conv(
             F.substring(
