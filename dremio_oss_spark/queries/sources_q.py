@@ -797,7 +797,148 @@ where o_orderkey = (select max(o_orderkey) from orders)
 """
 
 
+
+def delta_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta deletion vectors end-to-end: MOR DELETE records roaring
+    row-index bitmaps (no data rewrite — asserted), the reader hides
+    the rows, a second DV stacks, and time travel still sees the
+    original count.  Reference read side: delta PROTOCOL.md "Deletion
+    Vectors" as DeltaLakeFormatPlugin would consume them."""
+    from ..sources.delta import (delete_from_delta, read_delta,
+                                 resolve_snapshot, write_delta)
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("delta_dv", sf), "cust_delta")
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    write_delta(spark, cust, t)
+    files_before = set(resolve_snapshot(spark, t).files)
+    delete_from_delta(spark, t, "c_acctbal < 0", mode="merge-on-read")
+    delete_from_delta(spark, t, "c_mktsegment = 'BUILDING'",
+                      mode="merge-on-read")
+    snap = resolve_snapshot(spark, t)
+    assert set(snap.files) == files_before, "DV delete must not rewrite"
+    assert snap.dvs, "deletion vectors missing"
+    n_v0 = read_delta(spark, t, version=0).count()
+    return (
+        read_delta(spark, t)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_cust"),
+             dsum(F.col("c_acctbal"), 2).alias("acctbal_sum"))
+        .withColumn("n_before", F.lit(n_v0).cast("bigint"))
+        .orderBy("c_mktsegment")
+    )
+
+
+DELTA_DV_SQL = """
+select c_mktsegment,
+       cast(count(*) as bigint) as n_cust,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) as acctbal_sum,
+       (select cast(count(*) as bigint) from customer) as n_before
+from customer
+where not (c_acctbal < 0) and c_mktsegment <> 'BUILDING'
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
+def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg POSITIONAL merge-on-read deletes end-to-end: DELETE
+    writes (file_path, pos) delete files (no rewrite — asserted), an
+    append with previously-deleted keys is NOT swallowed (positional
+    semantics), OPTIMIZE folds the deletes, counts stay exact.
+    Reference: `DmlPositionalMergeOnReadPlanGenerator.java`."""
+    from ..sources.iceberg import (delete_from_iceberg, optimize_iceberg,
+                                   read_iceberg, resolve_snapshot,
+                                   write_iceberg)
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("ice_posdel", sf), "supp_ice")
+    supp = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal")
+    write_iceberg(spark, supp, t)
+    files_before = {p for p, _ in resolve_snapshot(t).files}
+    delete_from_iceberg(spark, t, "s_acctbal < 0", mode="merge-on-read")
+    snap = resolve_snapshot(t)
+    assert {p for p, _ in snap.files} == files_before, "no rewrite"
+    assert snap.pos_deletes, "position delete file missing"
+    # re-add the deleted rows with shifted keys: none may be swallowed
+    re_add = (load(spark, sf, "supplier").where("s_acctbal < 0")
+              .select((F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+                      "s_nationkey", "s_acctbal"))
+    write_iceberg(spark, re_add, t, mode="append")
+    optimize_iceberg(spark, t)
+    assert resolve_snapshot(t).pos_deletes == []
+    return (
+        read_iceberg(spark, t)
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.count(F.when(F.col("s_acctbal") < 0, 1))
+             .cast("bigint").alias("n_negative"),
+             dsum(F.col("s_acctbal"), 2).alias("acctbal_sum"))
+    )
+
+
+ICEBERG_POSDELETE_SQL = """
+with kept as (
+  select s_acctbal from supplier where not (s_acctbal < 0)
+  union all
+  select s_acctbal from supplier where s_acctbal < 0
+)
+select cast(count(*) as bigint) as n_rows,
+       cast(count(case when s_acctbal < 0 then 1 end) as bigint)
+         as n_negative,
+       cast(sum(cast(s_acctbal as decimal(18,2))) as double) as acctbal_sum
+from kept
+"""
+
+
+def partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec evolution end-to-end: bucket(4) table evolves to
+    bucket(8) with no rewrite; point lookups prune under each file's OWN
+    spec (old-spec files never mispruned — values verified), reads stay
+    exact across the mixed-spec file set."""
+    from ..sources.iceberg import (alter_iceberg_partition_spec,
+                                   plan_iceberg_scan, read_iceberg,
+                                   resolve_snapshot, write_iceberg)
+    from .tpch import dsum
+
+    t = os.path.join(_scratch("ice_evo", sf), "orders_ice")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    half = orders.where("o_orderkey % 2 = 0")
+    write_iceberg(spark, half, t, partition_by=["bucket(4, o_custkey)"])
+    alter_iceberg_partition_spec(t, ["bucket(8, o_custkey)"])
+    write_iceberg(spark, orders.where("o_orderkey % 2 = 1"), t,
+                  mode="append")
+    assert resolve_snapshot(t).default_spec_id == 1
+    k = orders.agg(F.min("o_custkey")).collect()[0][0]
+    pruned, total, scanned = plan_iceberg_scan(spark, t, {"o_custkey": k})
+    assert 0 < scanned < total
+    probe = (pruned.where(F.col("o_custkey") == k)
+             .agg(F.count("*").cast("bigint").alias("n_probe")))
+    return (
+        read_iceberg(spark, t)
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             dsum(F.col("o_totalprice"), 2).alias("price_sum"))
+        .crossJoin(probe)
+    )
+
+
+PARTITION_EVOLUTION_SQL = """
+select cast(count(*) as bigint) as n_rows,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as price_sum,
+       (select cast(count(*) as bigint) from orders
+        where o_custkey = (select min(o_custkey) from orders)) as n_probe
+from orders
+"""
+
+
 SOURCES_QUERIES = {
+    "src_delta_dv": delta_dv,
+    "src_iceberg_posdelete": iceberg_posdelete,
+    "src_partition_evolution": partition_evolution,
     "src_csv_roundtrip": csv_roundtrip,
     "src_json_roundtrip": json_roundtrip,
     "src_arrow_read": arrow_read,
@@ -817,6 +958,9 @@ SOURCES_QUERIES = {
 }
 
 SOURCES_ORACLE = {
+    "src_delta_dv": DELTA_DV_SQL,
+    "src_iceberg_posdelete": ICEBERG_POSDELETE_SQL,
+    "src_partition_evolution": PARTITION_EVOLUTION_SQL,
     "src_csv_roundtrip": CSV_ROUNDTRIP_SQL,
     "src_json_roundtrip": JSON_ROUNDTRIP_SQL,
     "src_arrow_read": ARROW_READ_SQL,
