@@ -1495,6 +1495,27 @@ class Engine:
                             if "." in pm.group(3) else int(pm.group(3)))
         return out
 
+    def _raw_path_df(self, path: str) -> DataFrame | None:
+        """DataFrame over a plain file/folder path, format by extension
+        (parquet dirs, .parquet/.csv/.tsv/.psv/.json files) — the
+        reference's query-the-filesystem-directly surface
+        (`FormatCreator.java` sniffing under a dfs source).  None when
+        the path isn't readable as a dataset."""
+        if not os.path.exists(path):
+            return None
+        if os.path.isdir(path):
+            has_parquet = any(
+                fn.endswith(".parquet")
+                for _, _, fns in os.walk(path) for fn in fns)
+            return (self.spark.read.parquet(path)
+                    if has_parquet else None)
+        from .sources.formats import FormatRegistry
+
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        if ext in ("parquet", "csv", "tsv", "psv", "json"):
+            return FormatRegistry(self.spark).read(path, ext)
+        return None
+
     def _expand_lake_refs(self, query: str) -> str:
         """Rewrite quoted lakehouse table refs in FROM/JOIN — with
         optional time travel — into temp views:
@@ -1511,7 +1532,16 @@ class Engine:
             mode, arg = m.group(3), m.group(4) or m.group(5)
             fmt = self._lake_format(path)
             if fmt is None:
-                return m.group(0)
+                # raw file/folder query (the reference's
+                # dfs."/path" direct promotion: SELECT over plain
+                # parquet dirs and csv/json/parquet files with format
+                # sniffed from the extension)
+                raw = self._raw_path_df(path)
+                if raw is None or mode is not None:
+                    return m.group(0)
+                view = f"__raw_{abs(hash(path)) % 10**8}"
+                raw.createOrReplaceTempView(view)
+                return f"{kw} {view}"
             version = ts_ms = None
             if mode is not None and mode.lower() == "snapshot":
                 version = int(arg)

@@ -749,3 +749,33 @@ def test_table_refs_and_show_grants(spark, tmp_path):
     rows = {(r["privilege"], r["grantee"]) for r in
             eng.sql("SHOW GRANTS ON finance.revenue").collect()}
     assert rows == {("SELECT", "bob"), ("ALTER", "carol")}
+
+
+def test_raw_path_sql_queries(spark, tmp_path):
+    """SELECT ... FROM '<plain path>' promotes raw parquet folders and
+    csv/json files on the fly (the reference's dfs."/path" direct
+    filesystem querying); lakehouse paths keep their own route."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    d = str(tmp_path / "folder")
+    spark.range(25).toDF("k").write.mode("overwrite").parquet(d)
+    assert eng.sql(
+        f"select count(*) as c from '{d}'").collect()[0]["c"] == 25
+    assert eng.sql(
+        f"select count(*) as c from '{d}' where k < 10"
+    ).collect()[0]["c"] == 10
+
+    f = str(tmp_path / "people.csv")
+    with open(f, "w") as fh:
+        fh.write("name,age\nana,31\nbo,22\n")
+    rows = eng.sql(
+        f"select name from '{f}' where age > 25").collect()
+    assert [r["name"] for r in rows] == ["ana"]
+
+    # joins between a raw folder and a view
+    spark.createDataFrame([(1, "one")], "k long, label string") \
+        .createOrReplaceTempView("lbl")
+    got = eng.sql(
+        f"select label from '{d}' join lbl using (k)").collect()
+    assert [r["label"] for r in got] == ["one"]
