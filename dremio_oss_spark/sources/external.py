@@ -103,5 +103,47 @@ class ExternalSource:
             "aggregate" if aggregate is not None else "scan")
         return self.external_query(sql)
 
+    def read_partitioned(self, table: str, partition_column: str,
+                         lower: int, upper: int, num_partitions: int,
+                         columns: list[str] | None = None,
+                         predicate: str | None = None) -> DataFrame:
+        """`spark.read.jdbc(partitionColumn, lowerBound, upperBound,
+        numPartitions)`-style parallel range read: the key range splits
+        into strides and each stride ships as its own remote query, so
+        no single resultset exceeds a slice — the pattern for LARGE
+        external tables (the single-query `read()` path is for
+        dimension-sized results).  Boundary semantics mirror Spark's
+        JDBC source: the first slice is unbounded below, the last
+        unbounded above, so rows outside [lower, upper] still arrive
+        exactly once.  The per-slice SQL ships through the ARP dialect
+        and is recorded on `last_partition_queries`."""
+        import math
+
+        num_partitions = max(1, num_partitions)
+        stride = math.ceil(max(1, upper - lower + 1) / num_partitions)
+        out = None
+        sqls: list[str] = []
+        for i in range(num_partitions):
+            lo = lower + i * stride
+            hi = lo + stride - 1
+            if num_partitions == 1:
+                pred = None
+            elif i == 0:
+                pred = (f"({partition_column} <= {hi} "
+                        f"or {partition_column} is null)")
+            elif i == num_partitions - 1:
+                pred = f"{partition_column} >= {lo}"
+            else:
+                pred = f"{partition_column} between {lo} and {hi}"
+            if predicate:
+                pred = (f"({predicate})" if pred is None
+                        else f"{pred} and ({predicate})")
+            sql = self.dialect.render(table, columns, pred, None)
+            sqls.append(sql)
+            part = self.external_query(sql)
+            out = part if out is None else out.unionByName(part)
+        self.last_partition_queries = sqls
+        return out
+
     def close(self) -> None:
         self._con.close()

@@ -239,3 +239,41 @@ def test_arp_dialect_rendering_and_degrade(spark):
         assert df2.count() <= 5
     finally:
         src.close()
+
+
+def test_external_partitioned_parallel_read(spark):
+    """read_partitioned splits the key range into per-slice remote
+    queries (spark.read.jdbc semantics: first slice unbounded below,
+    last unbounded above) and reassembles exactly-once."""
+    import os
+
+    from dremio_oss_spark.sources.external import ExternalSource
+
+    src = ExternalSource(
+        spark, "rdbms",
+        {"orders": os.path.join(SF_SMALL, "orders.parquet")})
+    try:
+        full = src.external_query("select count(*) as c from orders") \
+            .collect()[0]["c"]
+        bounds = src.external_query(
+            "select min(o_orderkey) as lo, max(o_orderkey) as hi "
+            "from orders").collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        df = src.read_partitioned(
+            "orders", "o_orderkey", int(lo), int(hi), 4,
+            columns=["o_orderkey", "o_totalprice"])
+        assert len(src.last_partition_queries) == 4
+        assert "<=" in src.last_partition_queries[0]
+        assert ">=" in src.last_partition_queries[-1]
+        assert df.count() == full
+        assert df.select("o_orderkey").distinct().count() == full
+        # a residual predicate rides along in every slice
+        df2 = src.read_partitioned(
+            "orders", "o_orderkey", int(lo), int(hi), 3,
+            predicate="o_totalprice > 100000")
+        want = src.external_query(
+            "select count(*) as c from orders where o_totalprice > 100000"
+        ).collect()[0]["c"]
+        assert df2.count() == want
+    finally:
+        src.close()
