@@ -634,7 +634,8 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
                 mode: str = "overwrite",
                 partition_by: list[str] | None = None,
                 txn: tuple[str, int] | None = None,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                merge_schema: bool = False) -> int:
     """CTAS / INSERT INTO for a Delta table: stage parquet, append a
     commit to the transaction log.  Returns the committed version.
 
@@ -659,10 +660,32 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
               .sortWithinPartitions(*sort_by))
     commits = _commit_files(table)
     version = (commits[-1][0] + 1) if commits else 0
-    if version > 0 and mode == "append" and not partition_by:
-        # appends follow the table's existing partitioning (a caller
-        # passing none must not silently de-partition new files)
-        partition_by = resolve_snapshot(spark, table).partition_cols
+    merged_schema = None
+    if version > 0 and mode == "append":
+        prev = resolve_snapshot(spark, table)
+        if not partition_by:
+            # appends follow the table's existing partitioning (a caller
+            # passing none must not silently de-partition new files)
+            partition_by = prev.partition_cols
+        if prev.schema is not None:
+            # schema ENFORCEMENT (Delta's default): appends may not add
+            # or retype columns silently; mergeSchema widens the table
+            have = {f.name: f.dataType for f in prev.schema.fields}
+            for f in df.schema.fields:
+                if f.name in have and have[f.name] != f.dataType:
+                    raise ValueError(
+                        f"append column {f.name!r} type "
+                        f"{f.dataType.simpleString()} != table's "
+                        f"{have[f.name].simpleString()}")
+            extra = [f for f in df.schema.fields if f.name not in have]
+            if extra and not merge_schema:
+                raise ValueError(
+                    f"append adds column(s) "
+                    f"{[f.name for f in extra]}; pass merge_schema=True "
+                    "to evolve the table schema")
+            if extra:
+                merged_schema = StructType(
+                    list(prev.schema.fields) + extra)
 
     data_df = df
     staged = _stage_files(spark, data_df, table, version, partition_by)
@@ -672,11 +695,11 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
-    if version == 0 or mode == "overwrite":
+    if version == 0 or mode == "overwrite" or merged_schema is not None:
         actions.append({"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": (merged_schema or df.schema).json(),
             "partitionColumns": partition_by,
             "configuration": {},
         }})

@@ -1196,3 +1196,34 @@ def test_sorted_layout_and_partition_scoped_optimize(spark, tmp_path):
     assert cur.where("p = 0").count() == 40
     assert cur.where("p = 1 and k < 10").count() == 0  # still deleted
     assert cur.count() == 80 - 3  # ids 1,4,7 hit p=1 AND k<10
+
+
+def test_delta_append_schema_enforcement_and_merge(spark, tmp_path):
+    """Appends enforce the table schema (extra columns and retyped
+    columns are rejected) unless merge_schema=True, which widens the
+    table; old files read the new column as null — delta mergeSchema
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")), t)
+
+    import pytest as _pt
+
+    extra = spark.createDataFrame([(50, 1.0, "x")],
+                                  "k long, v double, tag string")
+    with _pt.raises(ValueError, match="merge_schema"):
+        write_delta(spark, extra, t, mode="append")
+    retyped = spark.createDataFrame([(51, 2)], "k long, v int")
+    with _pt.raises(ValueError, match="type"):
+        write_delta(spark, retyped, t, mode="append")
+
+    write_delta(spark, extra, t, mode="append", merge_schema=True)
+    cur = read_delta(spark, t)
+    assert set(cur.columns) == {"k", "v", "tag"}
+    assert cur.count() == 11
+    assert cur.where("tag is null").count() == 10  # old rows null-fill
+    assert cur.where("tag = 'x'").count() == 1
