@@ -670,9 +670,12 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         if prev.schema is not None:
             # schema ENFORCEMENT (Delta's default): appends may not add
             # or retype columns silently; mergeSchema widens the table
+            from .iceberg import _append_type_ok
+
             have = {f.name: f.dataType for f in prev.schema.fields}
             for f in df.schema.fields:
-                if f.name in have and have[f.name] != f.dataType:
+                if (f.name in have
+                        and not _append_type_ok(f.dataType, have[f.name])):
                     raise ValueError(
                         f"append column {f.name!r} type "
                         f"{f.dataType.simpleString()} != table's "

@@ -730,6 +730,19 @@ def merge_iceberg_branch(table: str, source: str,
     return sid
 
 
+def _append_type_ok(src, dst) -> bool:
+    """Append column type compatibility: exact match or a safe widening
+    the parquet reader upcasts natively (int->long, float->double) —
+    Iceberg's type-promotion rules."""
+    if src == dst:
+        return True
+    import pyspark.sql.types as _T
+
+    return ((isinstance(src, _T.IntegerType) and isinstance(dst, _T.LongType))
+            or (isinstance(src, _T.FloatType)
+                and isinstance(dst, _T.DoubleType)))
+
+
 def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   mode: str = "overwrite",
                   partition_by: list[str] | None = None,
@@ -775,6 +788,24 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         # the partition spec is a table property — later writes follow it
         spec_fields = prev.spec_fields
         existed = True
+        if mode == "append":
+            # schema enforcement (same contract as the Delta writer):
+            # appends may not add or retype columns silently; evolve
+            # with ALTER TABLE ADD COLUMNS first
+            have = {f.name: f.dataType for f in prev.schema.fields}
+            for f in df.schema.fields:
+                if (f.name in have
+                        and not _append_type_ok(f.dataType, have[f.name])):
+                    raise ValueError(
+                        f"append column {f.name!r} type "
+                        f"{f.dataType.simpleString()} != table's "
+                        f"{have[f.name].simpleString()}")
+            extra = [f.name for f in df.schema.fields
+                     if f.name not in have]
+            if extra:
+                raise ValueError(
+                    f"append adds column(s) {extra}; run ALTER TABLE "
+                    "ADD COLUMNS first (Iceberg schema evolution)")
     except FileNotFoundError:
         prev_files, existed = [], False
         spec_fields = _parse_partition_spec(list(partition_by or []))

@@ -1227,3 +1227,34 @@ def test_delta_append_schema_enforcement_and_merge(spark, tmp_path):
     assert cur.count() == 11
     assert cur.where("tag is null").count() == 10  # old rows null-fill
     assert cur.where("tag = 'x'").count() == 1
+
+
+def test_iceberg_append_schema_enforcement(spark, tmp_path):
+    """Iceberg appends enforce the table schema; evolution goes through
+    ALTER TABLE ADD COLUMNS, after which the append lands and old files
+    null-fill."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        alter_iceberg, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark, spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")), t)
+
+    import pytest as _pt
+
+    extra = spark.createDataFrame([(50, 1.0, "x")],
+                                  "k long, v double, tag string")
+    with _pt.raises(ValueError, match="ADD COLUMNS"):
+        write_iceberg(spark, extra, t, mode="append")
+    with _pt.raises(ValueError, match="type"):
+        write_iceberg(spark, spark.createDataFrame([(51, 2)],
+                      "k long, v int"), t, mode="append")
+
+    alter_iceberg(t, add={"tag": "string"})
+    write_iceberg(spark, extra, t, mode="append")
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 11
+    assert cur.where("tag is null").count() == 10
+    assert cur.where("tag = 'x'").count() == 1
