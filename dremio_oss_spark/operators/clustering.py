@@ -1,0 +1,209 @@
+"""Distributed k-means clustering + SemDeDup-style semantic dedup.
+
+Dremio OSS has no clustering operator — this is part of the added
+training-data-pipeline surface (like dedup.py / similarity.py): semantic
+clustering of an embedding column is the front half of semantic
+deduplication (SemDeDup, Abbas et al. 2023) and of IVF index builds
+(`similarity.ivf_topk` notes its first-N quantizer stands in for exactly
+this k-means).
+
+Scale design (Lloyd's algorithm on a 1000-executor cluster):
+- Centroids are a plan-time constant (K x dim doubles): each iteration
+  broadcasts them in a pandas-UDF closure; the corpus is scanned once per
+  iteration with ONE numpy matmul per Arrow batch — never an N x K join.
+- The only shuffles are the K*dim-sized centroid re-aggregations
+  (posexplode -> partial-agg per (cluster, dim)); map-side combine makes
+  the exchange rows = partitions * K * dim, independent of corpus size.
+- Driver-side state is K x dim floats per iteration — bounded, documented.
+
+Cross-engine determinism (same two-stage trick as similarity._exact_topk):
+assignment preselects the top-2 nearest centroids with fast double math,
+then decimal(28,12)-exact distances pick the winner, so Spark and the
+DuckDB oracle agree bit-for-bit even when two centroids are nearly
+equidistant. New centroid means are computed as
+cast(decimal_exact_sum as double) / count — double division of identical
+doubles — so iteration t+1 starts from identical centroids in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import DEC
+
+
+def _dist_dec_to_literal(vec, cent_vals: list[float]):
+    """Exact squared-L2 distance from a float-array column to a constant
+    centroid: per-dim double subtraction/square, decimal-exact sum."""
+    comps = F.array(*[F.lit(float(c)).cast("double") for c in cent_vals])
+    sq = F.zip_with(
+        vec,
+        comps,
+        lambda x, c: ((x.cast("double") - c) * (x.cast("double") - c)).cast(DEC),
+    )
+    return F.aggregate(
+        sq, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)
+    ).cast("double")
+
+
+def _init_centroids(corpus: DataFrame, k: int, id_col: str, vec_col: str):
+    """Deterministic seed: the first k vectors by id (k-means++ on a
+    sample at production scale; the iteration structure is identical)."""
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _assign(corpus: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
+    """One Lloyd's assignment pass: vec_id -> (cluster, exact dist).
+
+    Stage 1 ranks all K centroids per row with one numpy matmul per Arrow
+    batch (double math); stage 2 re-scores only the 2 nearest with
+    decimal-exact arithmetic and keeps the true argmin (ties on cluster id).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = cents  # (K, dim) float64, plan-time constant
+
+    def _top2(vs):
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin ignores ||x||^2
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)
+        top = np.argsort(d, axis=1)[:, :2].astype(np.int32)
+        return pd.Series(list(top))
+
+    top2 = pandas_udf(_top2, ArrayType(IntegerType()))
+    cand = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(top2(F.col(vec_col))).alias("cid"),
+    )
+    # decimal-exact distance to each of the 2 candidates via a constant
+    # per-cluster expression (K is small; the CASE stays in codegen)
+    dist = F.lit(None).cast("double")
+    for cid in range(len(c)):
+        d = _dist_dec_to_literal(F.col("vec"), list(c[cid]))
+        dist = F.when(F.col("cid") == cid, d).otherwise(dist)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        cand.withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "vec", "cid", "dist")
+    )
+
+
+def _recompute(assigned: DataFrame, prev, k: int, dim: int):
+    """New centroid matrix: per-(cluster, dim) decimal-exact mean.
+
+    posexplode -> two-phase agg; the exchange carries at most
+    partitions * K * dim partial rows. The K x dim result is the only
+    thing collected. A cluster that lost all members keeps its previous
+    centroid (same rule replicated in the SQL oracle)."""
+    rows = (
+        assigned.select("cid", F.posexplode("vec").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(DEC)).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .collect()
+    )
+    out = prev.copy()
+    for r in rows:
+        out[r["cid"], r["i"]] = r["m"]
+    return out
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column; returns one row per
+    vector: (vec_id, cluster, dist, cluster_n) after `n_iters` rounds.
+
+    Fixed iteration count keeps the job a bounded DAG (production runs
+    add a convergence scalar check like dedup.py's cluster loop)."""
+    cents = _init_centroids(corpus, k, id_col, vec_col)
+    assigned = _assign(corpus, cents, id_col, vec_col)
+    for _ in range(n_iters - 1):
+        cents = _recompute(assigned, cents, k, dim)
+        assigned = _assign(corpus, cents, id_col, vec_col)
+    wc = Window.partitionBy("cid")
+    return assigned.select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster"),
+        F.round("dist", 6).alias("dist"),
+        F.count("*").over(wc).cast("bigint").alias("cluster_n"),
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning: k-means cluster the
+    corpus, then compare pairs ONLY within a cluster; a vector is dropped
+    when a lower-id cluster-mate has cosine similarity above `threshold`.
+
+    The pair join is an equi-join on cluster id — never all-pairs: at 100
+    TB you scale K with the corpus so per-cluster membership stays
+    bounded, which is exactly the SemDeDup recipe (cluster with k-means,
+    dedup inside cells). Returns (vec_id, cluster, keep, dup_of)."""
+    from .similarity import cosine, cosine_dbl
+
+    assigned = kmeans(corpus, k, n_iters, dim, id_col, vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    members = assigned.select("vec_id", "cluster").join(vecs, "vec_id")
+    a = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    # double-math prefilter keeps the decimal-exact rescore off the
+    # non-candidates (same preselect/rescore split as similarity.py);
+    # the 1e-9 guard band admits any pair whose double cosine could
+    # round-trip across the threshold.
+    near = (
+        pairs.where(cosine_dbl(F.col("vec_a"), F.col("vec_b")) > threshold - 1e-9)
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cos") > threshold)
+    )
+    dup_of = near.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

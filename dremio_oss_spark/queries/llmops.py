@@ -888,8 +888,126 @@ order by split
 """
 
 
+# --------------------------------------------------------------------------
+# Semantic clustering (k-means) + SemDeDup semantic dedup.
+# Deterministic Lloyd's: first-K init, 2 unrolled iterations, decimal-exact
+# assignment — the ENTIRE algorithm (both iterations, centroid means,
+# empty-cluster carry-over) is replicated in the DuckDB oracle, so cluster
+# assignments are value-checked, not just counted.
+def llm_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import clustering as C
+
+    emb = load(spark, sf, "embeddings")
+    return C.kmeans(emb, k=8, n_iters=2).orderBy("vec_id")
+
+
+# shared CTE block: 2 Lloyd's iterations over `embeddings`, ending in a1 =
+# (vec_id, cid, dist).  Arithmetic mirrors clustering.py exactly: float32
+# dims cast to double, per-dim squared differences rounded into
+# decimal(28,12), exact sums cast back to double; means are
+# exact-decimal-sum doubles divided by bigint counts; a cluster with no
+# members keeps its previous centroid (coalesce against the c0 grid).
+_KMEANS_CTES = """
+with v as (
+  select vec_id, embedding as ev from embeddings
+), c0 as (
+  select cast(row_number() over (order by vec_id) - 1 as integer) as cid,
+         embedding as cv
+  from (select * from embeddings order by vec_id limit 8)
+), f0 as (
+  select v.vec_id, c0.cid,
+         cast(sum(cast((cast(v.ev[u.i] as double) - cast(c0.cv[u.i] as double))
+                     * (cast(v.ev[u.i] as double) - cast(c0.cv[u.i] as double))
+                       as decimal(28,12))) as double) as dist
+  from v, c0, unnest(range(1, 65)) as u(i)
+  group by v.vec_id, c0.cid
+), a0 as (
+  select vec_id, cid from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by dist, cid) as rk
+    from f0
+  ) where rk = 1
+), mean1 as (
+  select a0.cid, u.i,
+         cast(sum(cast(cast(v.ev[u.i] as double) as decimal(28,12))) as double)
+           / count(*) as m
+  from a0 join v using (vec_id), unnest(range(1, 65)) as u(i)
+  group by a0.cid, u.i
+), grid as (
+  select c0.cid, u.i, cast(c0.cv[u.i] as double) as c0val
+  from c0, unnest(range(1, 65)) as u(i)
+), c1 as (
+  select g.cid, g.i, coalesce(m.m, g.c0val) as cval
+  from grid g left join mean1 m on m.cid = g.cid and m.i = g.i
+), f1 as (
+  select v.vec_id, c1.cid,
+         cast(sum(cast((cast(v.ev[c1.i] as double) - c1.cval)
+                     * (cast(v.ev[c1.i] as double) - c1.cval)
+                       as decimal(28,12))) as double) as dist
+  from v, c1
+  group by v.vec_id, c1.cid
+), a1 as (
+  select vec_id, cid, dist from (
+    select vec_id, cid, dist,
+           row_number() over (partition by vec_id order by dist, cid) as rk
+    from f1
+  ) where rk = 1
+)
+"""
+
+LLM_KMEANS_SQL = (
+    _KMEANS_CTES
+    + """
+select vec_id, cast(cid as bigint) as cluster, round(dist, 6) as dist,
+       cast(count(*) over (partition by cid) as bigint) as cluster_n
+from a1
+order by vec_id
+"""
+)
+
+
+def llm_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import clustering as C
+
+    emb = load(spark, sf, "embeddings")
+    return C.semdedup(emb, k=8, n_iters=2, threshold=0.5).orderBy("vec_id")
+
+
+LLM_SEMDEDUP_SQL = (
+    _KMEANS_CTES
+    + """
+, pairs as (
+  select x.vec_id as id_a, y.vec_id as id_b
+  from a1 x join a1 y on x.cid = y.cid and x.vec_id < y.vec_id
+), cosp as (
+  select p.id_a, p.id_b,
+         cast(sum(cast(cast(va.ev[u.i] as double) * cast(vb.ev[u.i] as double)
+                       as decimal(28,12))) as double) as d,
+         cast(sum(cast(cast(va.ev[u.i] as double) * cast(va.ev[u.i] as double)
+                       as decimal(28,12))) as double) as na,
+         cast(sum(cast(cast(vb.ev[u.i] as double) * cast(vb.ev[u.i] as double)
+                       as decimal(28,12))) as double) as nb
+  from pairs p
+  join v va on va.vec_id = p.id_a
+  join v vb on vb.vec_id = p.id_b, unnest(range(1, 65)) as u(i)
+  group by p.id_a, p.id_b
+), near as (
+  select id_b as vec_id, min(id_a) as dup_of
+  from cosp where d / (sqrt(na) * sqrt(nb)) > 0.5
+  group by id_b
+)
+select a1.vec_id, cast(a1.cid as bigint) as cluster,
+       near.dup_of is null as keep, near.dup_of
+from a1 left join near on near.vec_id = a1.vec_id
+order by a1.vec_id
+"""
+)
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
+    "llm_kmeans": llm_kmeans,
+    "llm_semdedup": llm_semdedup,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_dedup_clusters": llm_dedup_clusters,
@@ -911,6 +1029,8 @@ LLMOPS_QUERIES = {
 
 LLMOPS_ORACLE = {
     "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
+    "llm_kmeans": LLM_KMEANS_SQL,
+    "llm_semdedup": LLM_SEMDEDUP_SQL,
     "llm_exact_dedup": LLM_EXACT_DEDUP_SQL,
     "llm_minhash_lsh": LLM_MINHASH_LSH_SQL,
     "llm_dedup_clusters": LLM_DEDUP_CLUSTERS_SQL,

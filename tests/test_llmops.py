@@ -160,3 +160,36 @@ def test_decontamination_flags_overlap(spark):
     assert set(out) == {1, 3}
     assert out[1]["n_eval_docs"] == 2   # overlaps both eval docs
     assert out[3]["n_shared_kgrams"] == 1  # 'quick brown fox jumps over'
+
+
+def test_kmeans_iterations_tighten_clusters(spark):
+    """Lloyd's step must not increase total inertia: 2-iteration
+    assignment distances sum <= 1-iteration (init-centroid) distances."""
+    from dremio_oss_spark.operators.clustering import kmeans
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    one = kmeans(emb, k=8, n_iters=1).agg(F.sum("dist")).first()[0]
+    two = kmeans(emb, k=8, n_iters=2).agg(F.sum("dist")).first()[0]
+    assert two <= one
+
+
+def test_semdedup_drops_are_within_cluster_neardups(spark):
+    """Every dropped vector must name a lower-id cluster-mate with exact
+    cosine above the threshold; every keeper must have none."""
+    from dremio_oss_spark.operators.clustering import semdedup
+    from dremio_oss_spark.operators.similarity import cosine
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    # 0.3 (below the registered query's 0.5) so the small fixture yields
+    # a non-empty drop set to validate against
+    out = semdedup(emb, k=8, n_iters=2, threshold=0.3)
+    dropped = out.where(~F.col("keep"))
+    v = emb.select("vec_id", F.col("embedding").alias("vec"))
+    checked = (
+        dropped.join(v.withColumnRenamed("vec_id", "dup_of").withColumnRenamed("vec", "vec_a"), "dup_of")
+        .join(v.withColumnRenamed("vec", "vec_b"), "vec_id")
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+    )
+    rows = checked.collect()
+    assert rows, "fixture should contain at least one semantic near-dup"
+    assert all(r["cos"] > 0.3 and r["dup_of"] < r["vec_id"] for r in rows)
