@@ -677,7 +677,84 @@ order by l.event_id
 """
 
 
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    a user's inter-event gap exceeds 12 h; per-session rollup.
+
+    The batch twin of the streaming `session_window` query — the classic
+    lag + running-sum-of-flags rewrite, all inside two window passes over
+    ONE shuffle on user_id (both windows and the final groupBy share the
+    user_id partitioning, so Catalyst reuses the exchange)."""
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_events
+
+    # microsecond-integer gap arithmetic: DuckDB's epoch() is fractional
+    # and Spark's cast-to-long floors, so second-granularity comparisons
+    # could disagree within ~1 s of the boundary; unix_micros/epoch_us are
+    # exact integers in both engines
+    gap_us = 12 * 3600 * 1_000_000
+    ev = load_events(spark, sf)
+    # under spark.sql.timestampType=TIMESTAMP_NTZ the column arrives NTZ,
+    # which unix_micros rejects; the LTZ cast (by name — "timestamp"
+    # itself resolves to NTZ under that conf) shifts by a constant session
+    # offset, which cancels in the inter-event difference
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ts_us).over(w)
+    is_new = (prev.isNull() | ((ts_us - prev) > gap_us)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("session_id", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_sum",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+with marked as (
+  select user_id, ts, event_id, value,
+         case when lag(epoch_us(ts)) over w is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w > 43200000000
+              then 1 else 0 end as is_new
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), sess as (
+  select user_id, ts, value,
+         sum(is_new) over (partition by user_id order by ts, event_id
+                           rows unbounded preceding) as session_id
+  from marked
+)
+select user_id, cast(session_id as bigint) as session_id,
+       min(ts) as session_start, max(ts) as session_end,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(18,4))) as double) as value_sum
+from sess
+group by user_id, session_id
+order by user_id, session_id
+"""
+
+
 RELATIONAL_QUERIES = {
+    "op_sessionize": sessionize,
     "op_semi_anti_join": semi_anti_join,
     "op_exists_in_subquery": exists_in_subquery,
     "op_scalar_subquery": scalar_subquery,
@@ -699,6 +776,7 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLE = {
+    "op_sessionize": SESSIONIZE_SQL,
     "op_semi_anti_join": SEMI_ANTI_JOIN_SQL,
     "op_exists_in_subquery": EXISTS_IN_SUBQUERY_SQL,
     "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
