@@ -171,6 +171,12 @@ class Engine:
         # the reference caches dataset metadata in the namespace KV
         # store; only REFRESH DATASET re-lists the folder
         self._datasets: dict[str, dict] = {}
+        # context-function state (ContextFunctions.java IS_MEMBER /
+        # LAST_QUERY_ID): the session principal for role checks, and the
+        # id of the most recently planned statement
+        self.session_user: str = "$dremio$"
+        self._query_seq = 0
+        self._last_query_id: str | None = None
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -1678,6 +1684,7 @@ class Engine:
         query = _rewrite_convert(query)
         for pat, rep in _DIALECT_REWRITES:
             query = re.sub(pat, rep, query, flags=re.IGNORECASE)
+        query = self._expand_context_fns(query)
         self._ensure_shims(query)  # after rewrites: they may introduce shims
         # dotted VDS references: space.name -> space__name when registered
         # (word-bounded so string literals / longer identifiers survive)
@@ -1688,4 +1695,30 @@ class Engine:
                     self._flat(space.name, name),
                     query,
                 )
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        self._query_seq += 1
+        self._last_query_id = f"q-{self._query_seq}"
+        return df
+
+    def _expand_context_fns(self, query: str) -> str:
+        """Coordinator-side context functions (ContextFunctions.java,
+        DremioSqlOperatorTable IS_MEMBER / LAST_QUERY_ID): both depend on
+        engine session state Spark can't see, so they fold to literals at
+        plan time — exactly where the reference evaluates them."""
+        import re as _re
+
+        def _member(m: "_re.Match[str]") -> str:
+            role = m.group(1)
+            return (
+                "true" if role in self._principals(self.session_user)
+                else "false"
+            )
+
+        query = _re.sub(
+            r"\bis_member\s*\(\s*'([^']*)'\s*\)", _member, query, flags=_re.I
+        )
+        last = f"'{self._last_query_id}'" if self._last_query_id else \
+            "cast(null as string)"
+        return _re.sub(
+            r"\blast_query_id\s*\(\s*\)", last, query, flags=_re.I
+        )

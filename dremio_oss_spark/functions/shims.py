@@ -142,6 +142,141 @@ _SQL_FUNCTIONS: dict[str, str] = {
     "dremio_split_part": (
         "(s STRING, d STRING, n INT) RETURNS STRING RETURN split_part(s, d, n)"
     ),
+    # ---- DremioSqlOperatorTable name-level parity shims ------------------
+    # SQL UDFs can't overload, so each takes one representative type — the
+    # reference generates these per-type from codegen templates too
+    # (exec/expr/fn/impl/array/, ArrayFunctions.java:37).
+    "array_avg": (
+        "(a ARRAY<BIGINT>) RETURNS DOUBLE RETURN "
+        "aggregate(a, cast(0 as bigint), (acc, x) -> acc + x)"
+        " / cast(size(a) as double)"
+    ),
+    "array_sum": (
+        "(a ARRAY<BIGINT>) RETURNS BIGINT RETURN "
+        "aggregate(a, cast(0 as bigint), (acc, x) -> acc + x)"
+    ),
+    "array_cat": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> "
+        "RETURN concat(a, b)"
+    ),
+    "array_concat": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> "
+        "RETURN concat(a, b)"
+    ),
+    # value -> occurrence count (ArrayFrequency impl)
+    "array_frequency": (
+        "(a ARRAY<STRING>) RETURNS MAP<STRING, INT> RETURN "
+        "map_from_entries(transform(array_distinct(a), "
+        "v -> struct(v, cast(size(filter(a, x -> x <=> v)) as int))))"
+    ),
+    # exclusive stop like the reference; sequence() would count DOWN for
+    # start >= stop, hence the guard
+    "array_generate_range": (
+        "(start BIGINT, stop BIGINT) RETURNS ARRAY<BIGINT> RETURN "
+        "if(start >= stop, array(), sequence(start, stop - 1))"
+    ),
+    "array_intersection": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> "
+        "RETURN array_intersect(a, b)"
+    ),
+    "array_length": "(a ARRAY<BIGINT>) RETURNS INT RETURN size(a)",
+    # 0-based index like the reference's ARRAY_REMOVE_AT
+    "array_remove_at": (
+        "(a ARRAY<BIGINT>, i INT) RETURNS ARRAY<BIGINT> RETURN "
+        "concat(slice(a, 1, i), "
+        "slice(a, i + 2, greatest(size(a) - i - 1, 0)))"
+    ),
+    # 0-based from, exclusive to
+    "array_slice": (
+        "(a ARRAY<BIGINT>, f INT, t INT) RETURNS ARRAY<BIGINT> RETURN "
+        "slice(a, f + 1, greatest(t - f, 0))"
+    ),
+    "array_to_string": (
+        "(a ARRAY<BIGINT>, d STRING) RETURNS STRING RETURN "
+        "array_join(transform(a, x -> cast(x as string)), d)"
+    ),
+    "list_to_delimited_string": (
+        "(a ARRAY<STRING>, d STRING) RETURNS STRING RETURN array_join(a, d)"
+    ),
+    # SUBLIST(list, offset, length), 1-based like the reference
+    "sublist": (
+        "(a ARRAY<BIGINT>, f INT, c INT) RETURNS ARRAY<BIGINT> "
+        "RETURN slice(a, f, c)"
+    ),
+    "set_union": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> "
+        "RETURN array_union(a, b)"
+    ),
+    "empty_array": "() RETURNS ARRAY<BIGINT> RETURN array()",
+    "bitwise_and": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "regexp_col_like": (
+        "(s STRING, pat STRING) RETURNS BOOLEAN RETURN s rlike pat"
+    ),
+    "regexp_split": (
+        "(s STRING, pat STRING) RETURNS ARRAY<STRING> RETURN split(s, pat)"
+    ),
+    # MaskTransformers.java names without the HIVE_ prefix (same bodies)
+    "mask_first_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(mask(substring(s, 1, n)), coalesce(substring(s, n + 1), ''))"
+    ),
+    "mask_last_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(coalesce(substring(s, 1, length(s) - n), ''), "
+        "mask(substring(s, greatest(length(s) - n + 1, 1))))"
+    ),
+    "mask_show_first_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(substring(s, 1, n), coalesce(mask(substring(s, n + 1)), ''))"
+    ),
+    "mask_show_last_n": (
+        "(s STRING, n INT) RETURNS STRING RETURN "
+        "concat(coalesce(mask(substring(s, 1, length(s) - n)), ''), "
+        "substring(s, greatest(length(s) - n + 1, 1)))"
+    ),
+    "mask_hash": "(s STRING) RETURNS STRING RETURN sha2(s, 256)",
+    # *_UTC context family — the session is pinned to UTC (session.py),
+    # so the plain current_* functions ARE the UTC variants; TIME has no
+    # Spark type and follows the repo's TIME-as-millis policy (SURVEY
+    # §7.2): millis since midnight UTC
+    "current_date_utc": "() RETURNS DATE RETURN current_date()",
+    "current_timestamp_utc": (
+        "() RETURNS TIMESTAMP RETURN current_timestamp()"
+    ),
+    "current_time_utc": (
+        "() RETURNS BIGINT RETURN "
+        "unix_micros(current_timestamp()) % 86400000000 div 1000"
+    ),
+    "statement_timestamp": "() RETURNS TIMESTAMP RETURN current_timestamp()",
+    "transaction_timestamp": (
+        "() RETURNS TIMESTAMP RETURN current_timestamp()"
+    ),
+    "timeofday": (
+        "() RETURNS STRING RETURN "
+        "date_format(current_timestamp(), "
+        "'EEE MMM dd HH:mm:ss.SSSSSS yyyy zzz')"
+    ),
+    "system_user": "() RETURNS STRING RETURN current_user()",
+    "identity": "(x BIGINT) RETURNS BIGINT RETURN x",
+    # numeric TRUNCATE(x, scale): toward zero (MathFunctions.java trunc)
+    "truncate": (
+        "(x DOUBLE, n INT) RETURNS DOUBLE RETURN "
+        "if(x >= 0, floor(x * pow(10, n)) / pow(10, n), "
+        "ceil(x * pow(10, n)) / pow(10, n))"
+    ),
+    "map_construct": (
+        "(k STRING, v STRING) RETURNS MAP<STRING, STRING> RETURN map(k, v)"
+    ),
+    # KVGEN/MAPPIFY SQL-name forms (Mappify.java:36); the generic Column
+    # helper is functions.shims.kvgen
+    "kvgen": (
+        "(m MAP<STRING, STRING>) RETURNS "
+        "ARRAY<STRUCT<key: STRING, value: STRING>> RETURN map_entries(m)"
+    ),
+    "mappify": (
+        "(m MAP<STRING, STRING>) RETURNS "
+        "ARRAY<STRUCT<key: STRING, value: STRING>> RETURN map_entries(m)"
+    ),
 }
 
 
