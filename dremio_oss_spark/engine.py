@@ -861,13 +861,17 @@ class Engine:
         return qe.toString()
 
     def _ensure_shims(self, query: str) -> None:
-        """Register the function shims iff the query references one
-        (register_all itself is idempotent per session)."""
+        """Register exactly the shims the statement references — the full
+        table is ~65 sequential DDL round-trips (~4 s on a fresh
+        session); a typical statement needs 0-3 of them."""
         from .functions.shims import _SQL_FUNCTIONS
 
         q = query.lower()
-        if any(n in q for n in _SQL_FUNCTIONS) or "st_geohash" in q:
-            register_all(self.spark)
+        found = {n for n in _SQL_FUNCTIONS if n in q}
+        if "st_geohash" in q:
+            found.add("st_geohash")
+        if found:
+            register_all(self.spark, names=found)
 
     # -- lakehouse DML statements (Delta / Iceberg table paths) ------------
     def _lake_format(self, path: str) -> str | None:

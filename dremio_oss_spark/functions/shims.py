@@ -321,23 +321,30 @@ def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Seri
     )
 
 
-_REGISTERED: set[int] = set()
+_REGISTERED: dict[int, set[str]] = {}
 
 
-def register_all(spark: SparkSession) -> None:
-    """Register every shim in the session's function registry.
+def register_all(spark: SparkSession, names=None) -> None:
+    """Register shims in the session's function registry.
 
-    Idempotent per session: ~30 sequential DDL round-trips cost ~3 s, so
-    repeat calls (every query fn calls this defensively) short-circuit.
+    Each CREATE FUNCTION is a sequential py4j DDL round-trip (~60 ms), so
+    the full ~65-entry table costs ~4 s per fresh session — `names` lets
+    Engine._ensure_shims register only the functions a statement actually
+    references. Idempotent per (session, name): repeat calls (every query
+    fn calls this defensively) re-issue nothing.
     """
-    if id(spark) in _REGISTERED:
-        return
-    _REGISTERED.add(id(spark))
-    for name, body in _SQL_FUNCTIONS.items():
-        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
-    from pyspark.sql.types import StringType
+    done = _REGISTERED.setdefault(id(spark), set())
+    want = set(_SQL_FUNCTIONS) if names is None else (
+        {n for n in names if n in _SQL_FUNCTIONS}
+    )
+    for name in want - done:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{_SQL_FUNCTIONS[name]}")
+    done.update(want)
+    if "st_geohash" not in done and (names is None or "st_geohash" in names):
+        from pyspark.sql.types import StringType
 
-    spark.udf.register("st_geohash", pandas_udf(_st_geohash, StringType()))
+        spark.udf.register("st_geohash", pandas_udf(_st_geohash, StringType()))
+        done.add("st_geohash")
 
 
 # --- Column helpers (plan-time compositions) ------------------------------

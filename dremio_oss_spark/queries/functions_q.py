@@ -19,7 +19,8 @@ from ..functions.shims import register_all
 # CONCAT null-as-empty + HIVE_MASK family
 # (reference: StringFunctions.java:39 concat; MaskingFunctions.java)
 def concat_masking(spark: SparkSession, sf: str) -> DataFrame:
-    register_all(spark)
+    register_all(spark, names=["hive_mask", "hive_mask_first_n",
+                               "hive_mask_show_first_n", "hive_mask_hash"])
     return (
         load(spark, sf, "customer")
         .where(F.col("c_custkey") <= 500)
@@ -61,7 +62,7 @@ order by c_custkey
 # --------------------------------------------------------------------------
 # Geo functions (reference: GeoFunctions.java geo_distance/nearby/beyond)
 def geo_functions(spark: SparkSession, sf: str) -> DataFrame:
-    register_all(spark)
+    register_all(spark, names=["geo_distance", "geo_nearby", "geo_beyond"])
     return (
         load(spark, sf, "supplier")
         .select(
@@ -152,7 +153,10 @@ order by o.o_orderkey
 # --------------------------------------------------------------------------
 # CONVERT_FROM/CONVERT_TO codecs (exec/expr/fn/impl/conv/)
 def convert_codecs(spark: SparkSession, sf: str) -> DataFrame:
-    register_all(spark)
+    register_all(spark, names=[
+        "convert_from_int_be", "convert_to_int_be", "convert_from_bigint_be",
+        "convert_to_bigint_be", "convert_from_utf8", "convert_to_utf8",
+        "convert_to_base64", "convert_from_base64", "hashsha256"])
     return (
         load(spark, sf, "part")
         .where(F.col("p_partkey") <= 500)
@@ -337,7 +341,7 @@ order by s_suppkey
 
 
 def st_geohash_q(spark: SparkSession, sf: str) -> DataFrame:
-    register_all(spark)
+    register_all(spark, names=["st_geohash"])
     return (
         load(spark, sf, "supplier")
         .select(
