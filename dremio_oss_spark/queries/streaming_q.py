@@ -132,6 +132,12 @@ def delta_sink(spark: SparkSession, sf: str) -> DataFrame:
     return delta_sink_query(spark, sf)
 
 
+def iceberg_sink(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.lakesink import iceberg_sink_query
+
+    return iceberg_sink_query(spark, sf)
+
+
 DELTA_SINK_SQL = """
 select event_type, cast(count(*) as bigint) as n_events,
        cast(sum(cast(value as decimal(18,6))) as double) as value_sum
@@ -149,6 +155,7 @@ STREAMING_QUERIES = {
     "stream_stateful_totals": stateful,
     "stream_stream_join": ss_join,
     "stream_delta_sink": delta_sink,
+    "stream_iceberg_sink": iceberg_sink,
 }
 
 STREAMING_ORACLE = {
@@ -159,4 +166,5 @@ STREAMING_ORACLE = {
     "stream_stateful_totals": STATEFUL_SQL,
     "stream_stream_join": SS_JOIN_SQL,
     "stream_delta_sink": DELTA_SINK_SQL,
+    "stream_iceberg_sink": DELTA_SINK_SQL,  # same source-side aggregate
 }

@@ -410,7 +410,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      partition_cols: list[str],
                      stats: dict[str, dict] | None = None,
                      deletes: list[tuple[str, list[str]]] | None = None,
-                     branch: str | None = None) -> int:
+                     branch: str | None = None,
+                     summary_extra: dict | None = None) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -466,7 +467,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
 
     meta.setdefault("snapshots", []).append(
         {"snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
-         "summary": {"operation": operation}, "manifest-list": mlist})
+         "summary": {"operation": operation, **(summary_extra or {})},
+         "manifest-list": mlist})
     refs = meta.setdefault("refs", {})
     if branch is not None and branch != "main":
         # branch commit: only the branch ref advances; main untouched
@@ -747,7 +749,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   mode: str = "overwrite",
                   partition_by: list[str] | None = None,
                   branch: str | None = None,
-                  sort_by: list[str] | None = None) -> int:
+                  sort_by: list[str] | None = None,
+                  txn: tuple[str, int] | None = None) -> int:
     """CTAS / INSERT INTO for an Iceberg table: stage parquet under
     data/, commit a new snapshot (metadata json + Avro manifests).
 
@@ -857,9 +860,34 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     else:
         live = staged
         removed = prev_files
+    # `txn` stamps the snapshot summary with streaming ingest identifiers
+    # (the dedup key real Iceberg streaming sinks store per commit) so a
+    # replayed micro-batch is detectable via last_iceberg_txn_version
+    extra = ({"streaming-app-id": txn[0],
+              "streaming-batch-id": str(txn[1])} if txn else None)
     return _commit_snapshot(table, meta, "append" if mode == "append"
                             else "overwrite", live, removed, part_names,
-                            stats, carried_deletes, branch=branch)
+                            stats, carried_deletes, branch=branch,
+                            summary_extra=extra)
+
+
+def last_iceberg_txn_version(table: str, app_id: str) -> int | None:
+    """Highest streaming-batch-id committed for `app_id`, from snapshot
+    summaries (the Iceberg analogue of Delta's SetTransaction ledger;
+    expiring every stamped snapshot forfeits replay protection — the same
+    contract as Iceberg's own streaming dedup)."""
+    try:
+        with open(_metadata_file(table)) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return None
+    best = None
+    for s in meta.get("snapshots") or []:
+        summ = s.get("summary") or {}
+        if summ.get("streaming-app-id") == app_id:
+            bid = int(summ["streaming-batch-id"])
+            best = bid if best is None or bid > best else best
+    return best
 
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,

@@ -62,6 +62,72 @@ def stream_append_delta(stream: DataFrame, table: str, app_id: str,
     return committed["n"]
 
 
+def stream_append_iceberg(stream: DataFrame, table: str, app_id: str,
+                          checkpoint: str,
+                          partition_by: list[str] | None = None) -> int:
+    """Exactly-once streaming appends into an Iceberg table: same
+    two-ledger design as the Delta sink, with the (appId, batchId) dedup
+    key stamped into each snapshot's summary — where Iceberg's own
+    streaming sinks record it — instead of a `txn` log action."""
+    from ..sources.iceberg import last_iceberg_txn_version, write_iceberg
+
+    spark = stream.sparkSession
+    committed = {"n": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_iceberg_txn_version(table, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already committed
+        mode = "append" if os.path.isdir(
+            os.path.join(table, "metadata")) else "overwrite"
+        write_iceberg(spark, batch_df, table, mode=mode,
+                      partition_by=partition_by,
+                      txn=(app_id, batch_id))
+        committed["n"] += 1
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return committed["n"]
+
+
+def iceberg_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg twin of delta_sink_query: exactly-once stream ingest, then
+    aggregate the table; a replayed drain must not change the counts."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..queries.tpch import dsum
+    from ..sources.iceberg import read_iceberg
+    from .windows import stream_events
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    base = os.path.join(repo_root, ".scratch", f"iceberg_sink-{tag}")
+    shutil.rmtree(base, ignore_errors=True)  # fresh run per invocation
+    table = os.path.join(base, "events_iceberg")
+    ckpt = os.path.join(base, "ckpt")
+    stream_append_iceberg(stream_events(spark, sf_dir), table,
+                          app_id="events-ingest", checkpoint=ckpt)
+    # a second drain from the same checkpoint must be a no-op
+    stream_append_iceberg(stream_events(spark, sf_dir), table,
+                          app_id="events-ingest", checkpoint=ckpt)
+    return (read_iceberg(spark, table)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 dsum(F.col("value"), 6).alias("value_sum"))
+            .orderBy("event_type"))
+
+
 def delta_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked end-to-end: stream the events table into a Delta
     table exactly-once, then aggregate the table — counts must equal a

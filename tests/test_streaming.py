@@ -163,3 +163,49 @@ def test_delta_sink_exactly_once_across_restarts(spark, tmp_path):
     assert last_txn_version(table, "app1") == 1
     # independent writer id starts its own sequence
     assert last_txn_version(table, "other") is None
+
+
+def test_iceberg_sink_exactly_once_across_restarts(spark, tmp_path):
+    """Iceberg twin of the Delta sink test: the (appId, batchId) dedup
+    key lives in snapshot summaries instead of txn log actions."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        last_iceberg_txn_version,
+        read_iceberg,
+    )
+    from dremio_oss_spark.streaming.lakesink import stream_append_iceberg
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_src(name, n0, n1):
+        (spark.range(n0, n1).select(F.col("id").alias("k"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / "stage")))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+        shutil.move(part, str(src / name))
+
+    def stream():
+        return spark.readStream.schema("k long").parquet(str(src))
+
+    write_src("a.parquet", 0, 100)
+    assert stream_append_iceberg(stream(), table, "app1", ckpt) == 1
+    assert read_iceberg(spark, table).count() == 100
+    assert last_iceberg_txn_version(table, "app1") == 0
+
+    # drain again, no new data: no batch, no growth
+    assert stream_append_iceberg(stream(), table, "app1", ckpt) == 0
+    assert read_iceberg(spark, table).count() == 100
+
+    # new file -> only the delta appends; the ledger advances
+    write_src("b.parquet", 100, 150)
+    assert stream_append_iceberg(stream(), table, "app1", ckpt) == 1
+    assert read_iceberg(spark, table).count() == 150
+    assert last_iceberg_txn_version(table, "app1") == 1
+    assert last_iceberg_txn_version(table, "other") is None
