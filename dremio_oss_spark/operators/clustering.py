@@ -34,13 +34,12 @@ from pyspark.sql.window import Window
 from .similarity import DEC
 
 
-def _dist_dec_to_literal(vec, cent_vals: list[float]):
-    """Exact squared-L2 distance from a float-array column to a constant
-    centroid: per-dim double subtraction/square, decimal-exact sum."""
-    comps = F.array(*[F.lit(float(c)).cast("double") for c in cent_vals])
+def _dist_dec(vec, cvec):
+    """Exact squared-L2 distance between two double-array columns:
+    per-dim double subtraction/square, decimal-exact sum."""
     sq = F.zip_with(
         vec,
-        comps,
+        cvec,
         lambda x, c: ((x.cast("double") - c) * (x.cast("double") - c)).cast(DEC),
     )
     return F.aggregate(
@@ -84,15 +83,19 @@ def _assign(corpus: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
         F.col(vec_col).alias("vec"),
         F.explode(top2(F.col(vec_col))).alias("cid"),
     )
-    # decimal-exact distance to each of the 2 candidates via a constant
-    # per-cluster expression (K is small; the CASE stays in codegen)
-    dist = F.lit(None).cast("double")
-    for cid in range(len(c)):
-        d = _dist_dec_to_literal(F.col("vec"), list(c[cid]))
-        dist = F.when(F.col("cid") == cid, d).otherwise(dist)
+    # decimal-exact distance to each of the 2 candidates via a broadcast
+    # join with the K-row centroid table (a literal CASE over K inlined
+    # centroid arrays costs Catalyst a K x dim expression tree to
+    # analyze — planning time, not row time)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c[i]]) for i in range(len(c))],
+        "cid int, cvec array<double>",
+    )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
     return (
-        cand.withColumn("dist", dist)
+        cand.join(F.broadcast(cent_df), "cid")
+        .withColumn("dist", _dist_dec(F.col("vec"), F.col("cvec")))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "vec", "cid", "dist")
@@ -167,30 +170,47 @@ def semdedup(
     TB you scale K with the corpus so per-cluster membership stays
     bounded, which is exactly the SemDeDup recipe (cluster with k-means,
     dedup inside cells). Returns (vec_id, cluster, keep, dup_of)."""
-    from .similarity import cosine, cosine_dbl
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import cosine
 
     assigned = kmeans(corpus, k, n_iters, dim, id_col, vec_col)
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
     members = assigned.select("vec_id", "cluster").join(vecs, "vec_id")
-    a = members.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
+
+    # candidate pairs per cluster as ONE normalized numpy gram matrix per
+    # cell (a pair equi-join + interpreted array-HOF cosine costs ~50x at
+    # |cell|^2 rows); the 1e-9 guard admits any pair whose float64 cosine
+    # could sit on the other side of the threshold, and the decimal-exact
+    # rescore below makes the final verdict engine-identical. applyInPandas
+    # holds one cell in memory — bounded by the SemDeDup contract of
+    # scaling K with the corpus.
+    guard = float(threshold) - 1e-9
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        sims = xn @ xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] > guard
+        return pd.DataFrame({"id_a": ids[ia[hit]], "id_b": ids[ib[hit]]})
+
+    cand = members.groupBy("cluster").applyInPandas(
+        _cell_pairs, "id_a long, id_b long"
     )
-    b = members.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-    )
-    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-    # double-math prefilter keeps the decimal-exact rescore off the
-    # non-candidates (same preselect/rescore split as similarity.py);
-    # the 1e-9 guard band admits any pair whose double cosine could
-    # round-trip across the threshold.
+    # decimal-exact rescore of the (few) survivors via broadcast re-joins
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
     near = (
-        pairs.where(cosine_dbl(F.col("vec_a"), F.col("vec_b")) > threshold - 1e-9)
+        a.join(F.broadcast(cand), "id_a")
+        .join(b, "id_b")
         .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("cos") > threshold)
     )
