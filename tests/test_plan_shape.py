@@ -263,3 +263,42 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     d = spark.read.parquet(str(tmp_path / "dim")).where("grp = 0")
     plan = _plan(f.join(d, "pk"))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_sessionize_shares_one_user_shuffle(spark):
+    """Both window passes and the per-session rollup must reuse a single
+    hashpartitioning(user_id) exchange (the final orderBy adds only a
+    rangepartitioning for presentation)."""
+    import re
+
+    from dremio_oss_spark.queries.relational_q import sessionize
+
+    p = _plan(sessionize(spark, SF_SMALL))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "user_id" in next(
+        line for line in p.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Exact-distance rescore joins the K-row centroid table broadcast —
+    never a shuffled or nested-loop join against the corpus."""
+    from dremio_oss_spark.queries.llmops import llm_kmeans
+
+    p = _plan(llm_kmeans(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_plan_has_no_pair_join(spark):
+    """Candidate pairs come from per-cluster gram matrices
+    (applyInPandas), so the plan must contain no cartesian or
+    nested-loop pair join."""
+    from dremio_oss_spark.queries.llmops import llm_semdedup
+
+    p = _plan(llm_semdedup(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p
