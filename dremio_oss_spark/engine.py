@@ -177,6 +177,14 @@ class Engine:
         self.session_user: str = "$dremio$"
         self._query_seq = 0
         self._last_query_id: str | None = None
+        # USE BRANCH|TAG|REF|COMMIT session version context
+        # (versionSupport.ftl SqlUseVersion): global default + per-path
+        # (USE ... IN '<path>') overrides; explicit AT clauses win
+        self._use_version: tuple[str, str] | None = None
+        self._use_version_in: dict[str, tuple[str, str]] = {}
+        # ALTER USER ... SET PASSWORD surface (SqlAlterUser): principals
+        # carry an optional salted credential; no authn happens locally
+        self._passwords: dict[str, str] = {}
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -1270,6 +1278,45 @@ class Engine:
             self._pipes().create_pipe(name, target, glob_,
                                       fmt=(fmt or "parquet").lower())
             return self._status("CREATE PIPE", name)
+        # ALTER PIPE <name> SET PIPE_EXECUTION_RUNNING|PAUSED, or full
+        # redefinition ALTER PIPE <name> AS COPY INTO ... (ingestion.ftl
+        # SqlAlterPipe / SqlAlterPipeStatus)
+        m = re.match(
+            r"\s*alter\s+pipe\s+(\w+)\s+set\s+"
+            r"pipe_execution_(running|paused)\s*$", query, re.I)
+        if m:
+            p = self._pipes()._pipes.get(m.group(1))
+            if p is None:
+                raise ValueError(f"no pipe {m.group(1)!r}")
+            p.status = m.group(2).upper()
+            return self._status("ALTER PIPE", f"{p.name} {p.status}")
+        m = re.match(
+            r"\s*alter\s+pipe\s+(\w+)\s+as\s+copy\s+into\s+'([^']+)'"
+            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?\s*$",
+            query, re.I)
+        if m:
+            name, target, glob_, fmt = m.groups()
+            reg = self._pipes()
+            if name not in reg._pipes:
+                raise ValueError(f"no pipe {name!r}")
+            status = reg._pipes[name].status
+            reg.create_pipe(name, target, glob_,
+                            fmt=(fmt or "parquet").lower())
+            reg._pipes[name].status = status  # redefinition keeps state
+            return self._status("ALTER PIPE", name)
+        # ALTER USER <name> SET PASSWORD '<pw>' (SqlAlterUser): store a
+        # salted hash on the principal; no local authn consumes it
+        m = re.match(
+            r"\s*alter\s+user\s+(\w+)\s+set\s+password\s+'([^']*)'\s*$",
+            query, re.I)
+        if m:
+            import hashlib
+
+            name = m.group(1)
+            self._roles.setdefault(name, set())
+            self._passwords[name] = hashlib.sha256(
+                f"{name}:{m.group(2)}".encode()).hexdigest()
+            return self._status("ALTER USER", name)
         m = re.match(r"\s*trigger\s+pipe\s+(\w+)\s*$", query, re.I)
         if m:
             # SqlTriggerPipe: run one ingest pass now
@@ -1281,9 +1328,10 @@ class Engine:
             if p is None:
                 raise ValueError(f"no pipe {m.group(1)!r}")
             return self.spark.createDataFrame(
-                [(p.name, p.target, p.source_glob, p.fmt, p.dedup)],
+                [(p.name, p.target, p.source_glob, p.fmt, p.dedup,
+                  p.status)],
                 "pipe_name string, target string, source string, "
-                "file_format string, dedupe boolean")
+                "file_format string, dedupe boolean, status string")
         m = re.match(r"\s*drop\s+pipe\s+(\w+)\s*$", query, re.I)
         if m:
             self._pipes().drop_pipe(m.group(1))
@@ -1553,6 +1601,27 @@ class Engine:
                 raw.createOrReplaceTempView(view)
                 return f"{kw} {view}"
             version = ts_ms = None
+            if mode is None:
+                # no explicit AT clause: the USE BRANCH/TAG/COMMIT session
+                # context applies.  The IN-form override is authoritative
+                # (errors if the ref is gone); the global form resolves
+                # per-table and falls back to the current snapshot for
+                # tables that don't carry the ref — our refs live
+                # per-table rather than in a catalog-level Nessie, so a
+                # global USE must not break unversioned tables (stated
+                # deviation).
+                use = self._use_version_in.get(path) or self._use_version
+                if use is not None and fmt == "iceberg":
+                    kind, name = use
+                    if kind == "commit":
+                        version = int(name) if name.isdigit() else None
+                    else:
+                        from .sources.iceberg import resolve_ref
+                        try:
+                            version = resolve_ref(path, name)
+                        except FileNotFoundError:
+                            if self._use_version_in.get(path):
+                                raise
             if mode is not None and mode.lower() == "snapshot":
                 version = int(arg)
             elif mode is not None and mode.lower() in ("branch", "tag"):
@@ -1618,6 +1687,30 @@ class Engine:
         if m:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
+        # USE REF|BRANCH|TAG|COMMIT <name> [IN '<path>']
+        # (versionSupport.ftl SqlUseVersion): session default version
+        # context; per-path IN form pins one table, the global form
+        # applies to every versioned table carrying that ref
+        m = re.match(
+            r"\s*use\s+(ref|reference|branch|tag|commit)\s+(\w+)"
+            r"(?:\s+in\s+'([^']+)')?\s*$", query, re.I)
+        if m:
+            kind = {"reference": "ref"}.get(
+                m.group(1).lower(), m.group(1).lower())
+            name, path = m.group(2), m.group(3)
+            if path:
+                from .sources.iceberg import resolve_ref
+                if kind != "commit":
+                    resolve_ref(path, name)  # fail fast on unknown refs
+                self._use_version_in[path] = (kind, name)
+            else:
+                # the latest USE wins everywhere: a global USE replaces
+                # any per-path overrides from earlier IN-form statements
+                self._use_version_in.clear()
+                self._use_version = (kind, name)
+            return self._status(
+                "USE VERSION",
+                f"{kind} {name}" + (f" in {path}" if path else ""))
         # REFRESH DATASET <name> / ALTER TABLE <name> REFRESH METADATA
         m = re.match(
             r"\s*(?:refresh\s+dataset\s+(\w+)"

@@ -27,9 +27,13 @@ class Pipe:
     source_glob: str
     fmt: str = "parquet"
     dedup: bool = True
+    status: str = "RUNNING"  # ALTER PIPE ... SET PIPE_EXECUTION_PAUSED
 
     def run(self, spark: SparkSession) -> int:
-        """One ingest pass; returns rows loaded (0 if nothing new)."""
+        """One ingest pass; returns rows loaded (0 if nothing new).
+        A paused pipe ingests nothing (SqlAlterPipeStatus semantics)."""
+        if self.status == "PAUSED":
+            return 0
         return copy_into(
             spark, self.target, self.source_glob, fmt=self.fmt, dedup=self.dedup
         )

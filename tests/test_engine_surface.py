@@ -779,3 +779,35 @@ def test_raw_path_sql_queries(spark, tmp_path):
     got = eng.sql(
         f"select label from '{d}' join lbl using (k)").collect()
     assert [r["label"] for r in got] == ["one"]
+
+
+def test_alter_pipe_and_alter_user(spark, tmp_path):
+    """ALTER PIPE SET PIPE_EXECUTION_PAUSED stops ingest until resumed,
+    ALTER PIPE AS redefines the copy while keeping status, and ALTER
+    USER SET PASSWORD stores a credential on the principal
+    (ingestion.ftl SqlAlterPipe/SqlAlterPipeStatus, SqlAlterUser)."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.range(10).toDF("k").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "batch1"))
+    tgt = str(tmp_path / "tgt")
+    eng.sql(f"CREATE PIPE p1 AS COPY INTO '{tgt}' FROM '{src}/*'")
+
+    eng.sql("ALTER PIPE p1 SET PIPE_EXECUTION_PAUSED")
+    assert eng.sql("DESCRIBE PIPE p1").first()["status"] == "PAUSED"
+    assert "0 rows" in eng.sql("TRIGGER PIPE p1").first()["result"]
+
+    eng.sql("ALTER PIPE p1 SET PIPE_EXECUTION_RUNNING")
+    assert "10 rows" in eng.sql("TRIGGER PIPE p1").first()["result"]
+
+    # redefinition keeps the execution status
+    eng.sql("ALTER PIPE p1 SET PIPE_EXECUTION_PAUSED")
+    eng.sql(f"ALTER PIPE p1 AS COPY INTO '{tgt}' FROM '{src}/*'")
+    assert eng.sql("DESCRIBE PIPE p1").first()["status"] == "PAUSED"
+
+    eng.sql("ALTER USER bob SET PASSWORD 's3cret'")
+    assert eng._passwords["bob"]
+    assert "s3cret" not in eng._passwords["bob"]  # hashed, not stored raw

@@ -1258,3 +1258,45 @@ def test_iceberg_append_schema_enforcement(spark, tmp_path):
     assert cur.count() == 11
     assert cur.where("tag is null").count() == 10
     assert cur.where("tag = 'x'").count() == 1
+
+
+def test_use_version_session_context(spark, tmp_path):
+    """USE BRANCH/TAG (versionSupport.ftl SqlUseVersion): subsequent
+    SELECTs without AT resolve at the session ref; the IN form pins one
+    table and errors on unknown refs; USE BRANCH main restores; the
+    global form skips tables that don't carry the ref."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    eng = Engine(spark)
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg(spark, df, t)
+    eng.sql(f"CREATE BRANCH dev IN '{t}'")
+    write_iceberg(spark, spark.createDataFrame([(100,)], "k long"), t,
+                  mode="append", branch="dev")
+
+    q = f"select count(*) as c from '{t}'"
+    assert eng.sql(q).first()["c"] == 10
+    eng.sql(f"USE BRANCH dev IN '{t}'")
+    assert eng.sql(q).first()["c"] == 11
+    # explicit AT wins over the session context
+    assert eng.sql(
+        f"select count(*) as c from '{t}' at snapshot '1'"
+    ).first()["c"] == 10
+    eng.sql(f"USE BRANCH main IN '{t}'")
+    assert eng.sql(q).first()["c"] == 10
+    with pytest.raises(FileNotFoundError):
+        eng.sql(f"USE BRANCH nope IN '{t}'")
+
+    # global form: applies where the ref exists, skips where it doesn't
+    t2 = str(tmp_path / "t2")
+    write_iceberg(spark, df, t2)  # no dev branch here
+    eng.sql("USE BRANCH dev")
+    assert eng.sql(q).first()["c"] == 11
+    assert eng.sql(f"select count(*) as c from '{t2}'").first()["c"] == 10
+    eng.sql("USE BRANCH main")
+    assert eng.sql(q).first()["c"] == 10
