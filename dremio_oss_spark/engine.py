@@ -185,6 +185,9 @@ class Engine:
         # ALTER USER ... SET PASSWORD surface (SqlAlterUser): principals
         # carry an optional salted credential; no authn happens locally
         self._passwords: dict[str, str] = {}
+        # path of the last COUNT(*) answered from commit metadata
+        # (CountOnScanToValuesRule shortcut); None when a real scan ran
+        self.last_count_from_metadata: str | None = None
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -1680,6 +1683,7 @@ class Engine:
 
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
+        self.last_count_from_metadata = None
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
         m = re.match(
             r"\s*show\s+(branches|tags|logs)\s+in\s+'([^']+)'\s*$", query, re.I
@@ -1765,6 +1769,23 @@ class Engine:
             sid = merge_iceberg_branch(path, m.group(5), m.group(6))
             return self._status("MERGE BRANCH",
                                 f"{m.group(5)} -> {m.group(6)} @ {sid}")
+        # bare SELECT COUNT(*) FROM '<lake path>': answer from commit
+        # metadata (Delta add.stats numRecords / Iceberg file stats) with
+        # no scan — the reference's CountOnScanToValuesRule
+        # (PlannerPhase.java:337).  Conservative: falls through whenever
+        # any live file lacks stats or merge-on-read deletes exist, or a
+        # USE version context could shift the snapshot.
+        m = re.match(
+            r"\s*select\s+count\s*\(\s*\*\s*\)(?:\s+as\s+(\w+))?"
+            r"\s+from\s+'([^']+)'\s*$", query, re.I)
+        if (m and self._lake_format(m.group(2))
+                and not self._use_version
+                and m.group(2) not in self._use_version_in):
+            n = self._count_from_metadata(m.group(2))
+            if n is not None:
+                self.last_count_from_metadata = m.group(2)
+                alias = m.group(1) or "count(1)"
+                return self.spark.createDataFrame([(n,)], f"`{alias}` long")
         refl = self._reflection_statement(query)
         if refl is not None:
             return refl
@@ -1796,6 +1817,33 @@ class Engine:
         self._query_seq += 1
         self._last_query_id = f"q-{self._query_seq}"
         return df
+
+    def _count_from_metadata(self, path: str) -> int | None:
+        """Exact row count from commit metadata, or None when any live
+        file lacks a numRecords stat or merge-on-read deletes make the
+        metadata count unsound (equality deletes can't be counted
+        without scanning)."""
+        fmt = self._lake_format(path)
+        if fmt == "delta":
+            from .sources.delta import resolve_snapshot
+
+            snap = resolve_snapshot(self.spark, path)
+            if snap.dvs:
+                return None
+            entries = [(rel, snap.stats.get(rel)) for rel in snap.files]
+        else:
+            from .sources.iceberg import resolve_snapshot
+
+            snap = resolve_snapshot(path)
+            if snap.deletes or snap.pos_deletes:
+                return None
+            entries = [(p, snap.stats.get(p)) for p, _ in snap.files]
+        total = 0
+        for _, st in entries:
+            if not st or "numRecords" not in st:
+                return None
+            total += int(st["numRecords"])
+        return total
 
     def _expand_context_fns(self, query: str) -> str:
         """Coordinator-side context functions (ContextFunctions.java,

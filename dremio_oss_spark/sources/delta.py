@@ -431,6 +431,12 @@ def _collect_stats(spark: SparkSession, table: str,
             "minValues": {c: _j(r[f"__min_{c}"]) for c in cols},
             "maxValues": {c: _j(r[f"__max_{c}"]) for c in cols},
         }
+    # empty part files never form a scan group: record them explicitly
+    # (numRecords=0, no bounds) so stats stay complete per live file —
+    # metadata-only COUNT(*) needs every file accounted for
+    for rel, _ in staged:
+        out.setdefault(rel, {"numRecords": 0,
+                             "minValues": {}, "maxValues": {}})
     return out
 
 

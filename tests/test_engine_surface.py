@@ -811,3 +811,39 @@ def test_alter_pipe_and_alter_user(spark, tmp_path):
     eng.sql("ALTER USER bob SET PASSWORD 's3cret'")
     assert eng._passwords["bob"]
     assert "s3cret" not in eng._passwords["bob"]  # hashed, not stored raw
+
+
+def test_count_star_answers_from_metadata(spark, tmp_path):
+    """SELECT COUNT(*) FROM '<lake path>' folds to the stats-recorded
+    row count with no scan (CountOnScanToValuesRule,
+    PlannerPhase.java:337) — and falls back to a real scan once
+    merge-on-read deletes make the metadata count unsound."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import delete_from_delta, write_delta
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    eng = Engine(spark)
+    dt = str(tmp_path / "d")
+    write_delta(spark, spark.range(50).select(F.col("id").alias("k")), dt)
+    write_delta(spark, spark.range(7).select(F.col("id").alias("k")), dt,
+                mode="append")
+    assert eng.sql(f"select count(*) as n from '{dt}'").first()["n"] == 57
+    assert eng.last_count_from_metadata == dt
+
+    it = str(tmp_path / "i")
+    write_iceberg(spark, spark.range(30).select(F.col("id").alias("k")), it)
+    eng.last_count_from_metadata = None
+    assert eng.sql(f"select count(*) as n from '{it}'").first()["n"] == 30
+    assert eng.last_count_from_metadata == it
+
+    # deletion vectors invalidate the metadata count -> real scan
+    delete_from_delta(spark, dt, "k >= 45", mode="merge-on-read")
+    assert eng.sql(f"select count(*) as n from '{dt}'").first()["n"] == 52
+    assert eng.last_count_from_metadata is None
+
+    # a WHERE clause never takes the shortcut
+    assert eng.sql(
+        f"select count(*) as n from '{it}' where k < 10").first()["n"] == 10
+    assert eng.last_count_from_metadata is None
