@@ -1769,6 +1769,14 @@ class Engine:
             sid = merge_iceberg_branch(path, m.group(5), m.group(6))
             return self._status("MERGE BRANCH",
                                 f"{m.group(5)} -> {m.group(6)} @ {sid}")
+        # EXPLAIN PLAN FOR <query or DML> (parserImpls.ftl:1726
+        # SqlExplainQueryDML): dry-run — for lake DML, describe the
+        # planned action and the scan that would find the hit rows,
+        # committing nothing; for queries, the Spark plan text
+        m = re.match(r"\s*explain\s+plan\s+for\s+(.+)$", query,
+                     re.I | re.S)
+        if m:
+            return self._explain_statement(m.group(1).strip())
         # bare SELECT COUNT(*) FROM '<lake path>': answer from commit
         # metadata (Delta add.stats numRecords / Iceberg file stats) with
         # no scan — the reference's CountOnScanToValuesRule
@@ -1817,6 +1825,43 @@ class Engine:
         self._query_seq += 1
         self._last_query_id = f"q-{self._query_seq}"
         return df
+
+    def _explain_statement(self, stmt: str) -> DataFrame:
+        """EXPLAIN PLAN FOR body: one row per plan aspect.  Lake DML
+        explains as (action, target, format, predicate, scan plan of the
+        hit-row read) without executing; anything else explains as a
+        query through Spark."""
+        m = re.match(
+            r"(delete)\s+from\s+'([^']+)'(?:\s+where\s+(.+))?$"
+            r"|(update)\s+'([^']+)'\s+set\s+(.+?)(?:\s+where\s+(.+))?$"
+            r"|(merge)\s+into\s+'([^']+)'\s",
+            stmt, re.I | re.S)
+        if m:
+            if m.group(1):
+                action, path, pred = "DELETE", m.group(2), m.group(3)
+            elif m.group(4):
+                action, path, pred = "UPDATE", m.group(5), m.group(7)
+            else:
+                action, path, pred = "MERGE", m.group(9), None
+            fmt = self._lake_format(path)
+            if fmt is not None:
+                df = self.sql(f"select * from '{path}'")
+                if pred:
+                    df = df.where(pred)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                rows = [
+                    ("action", f"{action} (copy-on-write rewrite of hit "
+                               "files; merge-on-read commits delete "
+                               "metadata instead)"),
+                    ("target", path),
+                    ("format", fmt),
+                    ("predicate", pred or ""),
+                    ("hit_scan_plan", plan[:4000]),
+                ]
+                return self.spark.createDataFrame(
+                    rows, "aspect string, detail string")
+        return self.spark.createDataFrame(
+            [("plan", self.explain(stmt))], "aspect string, detail string")
 
     def _count_from_metadata(self, path: str) -> int | None:
         """Exact row count from commit metadata, or None when any live

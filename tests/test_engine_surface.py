@@ -847,3 +847,27 @@ def test_count_star_answers_from_metadata(spark, tmp_path):
     assert eng.sql(
         f"select count(*) as n from '{it}' where k < 10").first()["n"] == 10
     assert eng.last_count_from_metadata is None
+
+
+def test_explain_plan_for_dml_is_dry_run(spark, tmp_path):
+    """EXPLAIN PLAN FOR <DML> (parserImpls.ftl SqlExplainQueryDML)
+    describes the planned rewrite and hit-row scan without committing
+    anything; EXPLAIN PLAN FOR <query> returns the Spark plan."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    eng = Engine(spark)
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(20).select(F.col("id").alias("k")), t)
+
+    out = {r["aspect"]: r["detail"] for r in eng.sql(
+        f"EXPLAIN PLAN FOR DELETE FROM '{t}' WHERE k < 5").collect()}
+    assert out["format"] == "delta" and "DELETE" in out["action"]
+    assert "k < 5" in out["predicate"]
+    assert "Scan" in out["hit_scan_plan"] or "FileScan" in out["hit_scan_plan"]
+    assert read_delta(spark, t).count() == 20  # nothing executed
+
+    q = eng.sql("EXPLAIN PLAN FOR select 1 as x").first()
+    assert q["aspect"] == "plan" and "Project" in q["detail"]
