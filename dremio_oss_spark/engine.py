@@ -396,6 +396,114 @@ class Engine:
             "name string, value string",
         )
 
+    def sys_nodes(self) -> DataFrame:
+        """sys.nodes (SystemTable.NODES): one row per executor from the
+        status tracker — on a cluster this is the coordinator/executor
+        fleet the reference lists."""
+        infos = (self.spark.sparkContext._jsc.sc()
+                 .statusTracker().getExecutorInfos())
+        rows = [(i.host(), i.port(), i.numRunningTasks()) for i in infos]
+        return self.spark.createDataFrame(
+            rows or [("", 0, 0)],
+            "host string, port int, n_running_tasks int",
+        ).where("host <> ''")
+
+    def sys_memory(self) -> DataFrame:
+        """sys.memory (SystemTable.MEMORY): per-executor storage-memory
+        accounting from the status tracker."""
+        infos = (self.spark.sparkContext._jsc.sc()
+                 .statusTracker().getExecutorInfos())
+        rows = [(i.host(), int(i.usedOnHeapStorageMemory()),
+                 int(i.totalOnHeapStorageMemory()),
+                 int(i.usedOffHeapStorageMemory()),
+                 int(i.totalOffHeapStorageMemory())) for i in infos]
+        return self.spark.createDataFrame(
+            rows or [("", 0, 0, 0, 0)],
+            "host string, used_onheap long, total_onheap long, "
+            "used_offheap long, total_offheap long",
+        ).where("host <> ''")
+
+    def sys_roles(self) -> DataFrame:
+        """sys.roles: every principal that appears as a grantable role."""
+        roles = sorted({r for rs in self._roles.values() for r in rs}
+                       | set(self._roles))
+        return self.spark.createDataFrame(
+            [(r,) for r in roles] or [("",)], "role_name string"
+        ).where("role_name <> ''")
+
+    def sys_membership(self) -> DataFrame:
+        """sys.membership: direct (member -> role) edges of the grants
+        graph (transitive closure applies at check time)."""
+        rows = [(m, r) for m, rs in self._roles.items() for r in sorted(rs)]
+        return self.spark.createDataFrame(
+            rows or [("", "")], "member string, role_name string"
+        ).where("member <> ''")
+
+    def sys_privileges(self) -> DataFrame:
+        """sys.privileges: flattened ACL (object, privilege, grantee)."""
+        rows = [(obj, priv, g)
+                for obj, privs in self._acl.items()
+                for priv, gs in privs.items()
+                for g in sorted(gs)]
+        return self.spark.createDataFrame(
+            rows or [("", "", "")],
+            "object string, privilege string, grantee string",
+        ).where("object <> ''")
+
+    def sys_timezone_names(self) -> DataFrame:
+        """sys.timezone_names (SystemTable.TIMEZONE_NAMES)."""
+        import zoneinfo
+
+        return self.spark.createDataFrame(
+            [(z,) for z in sorted(zoneinfo.available_timezones())],
+            "timezone_name string")
+
+    def sys_user_defined_functions(self) -> DataFrame:
+        """sys.user_defined_functions: SQL shims + tabular UDFs
+        (SystemTable.USER_DEFINED_FUNCTIONS)."""
+        from .functions.shims import _SQL_FUNCTIONS
+
+        rows = ([(n, "scalar_sql") for n in sorted(_SQL_FUNCTIONS)]
+                + [(n, "tabular_sql") for n in sorted(self._tabular)])
+        return self.spark.createDataFrame(
+            rows, "function_name string, kind string")
+
+    def sys_dependencies(self) -> DataFrame:
+        """sys.dependencies: reflection -> base dataset edges (the
+        acceleration dependency graph the refresh scheduler walks)."""
+        store = getattr(self, "_refl_store", None)
+        rows = []
+        if store is not None:
+            rows = ([(r.name, r.table) for r in store._reflections.values()]
+                    + [(r.name, r.table) for r in store._raw.values()])
+        return self.spark.createDataFrame(
+            rows or [("", "")],
+            "reflection_name string, depends_on string",
+        ).where("reflection_name <> ''")
+
+    # sys.* names addressable from SQL (method suffix == table name)
+    _SYS_SQL = frozenset({
+        "version", "nodes", "memory", "roles", "membership", "privileges",
+        "timezone_names", "user_defined_functions", "dependencies",
+        "reflections", "materializations", "jobs", "options", "engines",
+    })
+
+    def _expand_sys_tables(self, query: str) -> str:
+        """Make `sys.<name>` table refs queryable in engine SQL by
+        materializing the corresponding sys view as a temp view."""
+        def repl(m: "re.Match[str]") -> str:
+            name = m.group(1).lower()
+            if name not in self._SYS_SQL:
+                return m.group(0)
+            fn = getattr(self, f"sys_{name}", None)
+            if fn is None:
+                return m.group(0)
+            view = f"__sys_{name}"
+            fn().createOrReplaceTempView(view)
+            return view
+
+        return re.sub(r"\bsys\.(\w+)\b", repl, query, flags=re.I)
+
     def alter_session(self, key: str, value) -> None:
         """ALTER SESSION SET "key" = value (reference `SqlSetOption` /
         ALTER SESSION surface): session-scoped option writes.  Keys map
@@ -1804,6 +1912,7 @@ class Engine:
         if accelerated is not None:
             return accelerated
         query = self._expand_external_query(query)
+        query = self._expand_sys_tables(query)
         query = self._expand_metadata_fns(query)
         query = self._expand_lake_refs(query)
         query = self._expand_tabular(query)

@@ -871,3 +871,32 @@ def test_explain_plan_for_dml_is_dry_run(spark, tmp_path):
 
     q = eng.sql("EXPLAIN PLAN FOR select 1 as x").first()
     assert q["aspect"] == "plan" and "Project" in q["detail"]
+
+
+def test_sys_tables_sql_addressable(spark):
+    """The sys.* registry (SystemTable.java enum: NODES/MEMORY/ROLES/
+    MEMBERSHIP/PRIVILEGES/TIMEZONE_NAMES/USER_DEFINED_FUNCTIONS/
+    DEPENDENCIES + the existing views) resolves directly in engine SQL."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.grant_role("admins", "carol")
+    eng.grant("SELECT", "secret.t", "admins")
+
+    assert eng.sql("select * from sys.nodes").count() >= 1
+    mem = eng.sql("select * from sys.memory").first()
+    assert mem["total_onheap"] > 0
+    assert eng.sql(
+        "select * from sys.membership where member = 'carol'"
+    ).first()["role_name"] == "admins"
+    assert eng.sql(
+        "select * from sys.privileges where object = 'secret.t'"
+    ).first()["grantee"] == "admins"
+    assert eng.sql(
+        "select * from sys.timezone_names where timezone_name = 'UTC'"
+    ).count() == 1
+    udfs = eng.sql(
+        "select count(*) as n from sys.user_defined_functions"
+    ).first()["n"]
+    assert udfs > 50
+    assert "version" in eng.sql("select * from sys.version").columns
