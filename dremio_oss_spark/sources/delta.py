@@ -573,12 +573,40 @@ def _stage_files(spark: SparkSession, df: DataFrame, table: str,
     return out
 
 
-def _commit(table: str, version: int, actions: list[dict]) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """A competing writer committed first and the losing transaction's
+    read snapshot is stale (Delta's ConcurrentModificationException)."""
+
+
+def _commit(table: str, version: int, actions: list[dict]) -> int:
+    """Optimistic-concurrency commit: atomically claim `<version>.json`
+    with O_CREAT|O_EXCL — exactly the putIfAbsent the Delta protocol
+    requires of its log store.  On a lost race, a blind append (adds
+    only, no removes / metaData / protocol) rebases onto the next
+    version and retries — its staged files carry unique names, so no
+    re-stage is needed; anything that read table state (overwrite, COW
+    DML, OPTIMIZE) raises ConcurrentWriteError for the caller to re-plan
+    against the new snapshot.  Returns the version actually committed."""
     log = os.path.join(table, _LOG_DIR)
     os.makedirs(log, exist_ok=True)
-    p = os.path.join(log, f"{version:020d}.json")
-    with open(p, "w") as fh:
-        fh.write("".join(json.dumps(a) + "\n" for a in actions))
+    blind_append = all(
+        set(a) <= {"add", "txn", "commitInfo"} for a in actions
+    )
+    payload = "".join(json.dumps(a) + "\n" for a in actions)
+    while True:
+        p = os.path.join(log, f"{version:020d}.json")
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if not blind_append:
+                raise ConcurrentWriteError(
+                    f"version {version} of {table} was committed by a "
+                    "concurrent writer; re-read the table and retry")
+            version += 1
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return version
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
@@ -731,7 +759,7 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     actions.extend(
         _add_action(rel, pv, version, stats_map) for rel, pv in staged
     )
-    _commit(table, version, actions)
+    version = _commit(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
 
@@ -799,7 +827,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
         for rel, pv in staged
         if rel not in hit_set
     )
-    _commit(table, version, actions)
+    version = _commit(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
 
@@ -882,7 +910,7 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
                                    "dataChange": True}})
         actions.append(_add_action(rel, snap.files[rel], version,
                                    snap.stats, dv=descs[rel]))
-    _commit(table, version, actions)
+    version = _commit(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
 
@@ -1035,7 +1063,7 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
         for rel, pv in target.files.items()
         if rel not in cur.files or target.dvs.get(rel) != cur.dvs.get(rel)
     )
-    _commit(table, new_v, actions)
+    new_v = _commit(table, new_v, actions)
     _maybe_checkpoint(spark, table, new_v)
     return new_v
 

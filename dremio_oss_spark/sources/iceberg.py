@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .avro_codec import read_avro_file
+from .delta import ConcurrentWriteError
 
 _STATUS_DELETED = 2
 
@@ -481,7 +482,21 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
         meta["current-snapshot-id"] = sid
         refs["main"] = {"snapshot-id": sid, "type": "branch"}
     v = sid
-    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+    # optimistic concurrency: atomically claim vN.metadata.json
+    # (O_CREAT|O_EXCL) — the file-catalog equivalent of Iceberg's
+    # compare-and-swap on the catalog pointer.  Every commit here carries
+    # the full live listing read from the PREVIOUS snapshot, so a lost
+    # race means stale state: the loser errors and must re-plan against
+    # the winner's snapshot (exactly Iceberg's CommitFailedException
+    # retry contract).
+    try:
+        fd = os.open(os.path.join(md, f"v{v}.metadata.json"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"snapshot {v} of {table} was committed by a concurrent "
+            "writer; re-read the table and retry") from None
+    with os.fdopen(fd, "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write(str(v))

@@ -1300,3 +1300,73 @@ def test_use_version_session_context(spark, tmp_path):
     assert eng.sql(f"select count(*) as c from '{t2}'").first()["c"] == 10
     eng.sql("USE BRANCH main")
     assert eng.sql(q).first()["c"] == 10
+
+
+def test_optimistic_concurrency_commits(spark, tmp_path):
+    """Racing writers: concurrent Delta blind appends BOTH land (the
+    loser rebases onto the next version); state-reading commits
+    (overwrite, Iceberg snapshots) fail with ConcurrentWriteError when
+    they lose the claim on their target version."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        ConcurrentWriteError,
+        read_delta,
+        resolve_snapshot,
+        write_delta,
+    )
+    from dremio_oss_spark.sources import iceberg as I
+
+    t = str(tmp_path / "d")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t)
+
+    # stage two appends, then race the log-claim by pre-creating the
+    # version both writers would target: the appends must rebase past it
+    base_v = resolve_snapshot(spark, t).version
+    import os
+    blocker = os.path.join(t, "_delta_log", f"{base_v + 1:020d}.json")
+    with open(blocker, "w") as fh:
+        fh.write('{"commitInfo": {"operation": "NOOP", "timestamp": 1}}\n')
+    errs: list[Exception] = []
+
+    def append(n0):
+        try:
+            write_delta(spark,
+                        spark.range(n0, n0 + 5).select(F.col("id").alias("k")),
+                        t, mode="append")
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    th = [threading.Thread(target=append, args=(100,)),
+          threading.Thread(target=append, args=(200,))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert read_delta(spark, t).count() == 20  # 10 + 5 + 5, none lost
+
+    # a state-reading commit (carries removes) must error when its
+    # target version was claimed first — _commit is the claim point
+    from dremio_oss_spark.sources.delta import _commit
+
+    nxt = resolve_snapshot(spark, t).version + 1
+    with open(os.path.join(t, "_delta_log", f"{nxt:020d}.json"), "w") as fh:
+        fh.write('{"commitInfo": {"operation": "NOOP", "timestamp": 1}}\n')
+    with pytest.raises(ConcurrentWriteError):
+        _commit(t, nxt, [{"remove": {"path": "x", "dataChange": True}}])
+
+    # iceberg: claim the next metadata version -> loser errors
+    it = str(tmp_path / "i")
+    I.write_iceberg(spark, spark.range(5).select(F.col("id").alias("k")), it)
+    import json as J
+    md = os.path.join(it, "metadata")
+    cur = max(int(f[1:].split(".")[0]) for f in os.listdir(md)
+              if f.startswith("v") and f.endswith(".metadata.json"))
+    with open(os.path.join(md, f"v{cur + 1}.metadata.json"), "w") as fh:
+        J.dump({}, fh)
+    with pytest.raises(ConcurrentWriteError):
+        I.write_iceberg(spark, spark.range(2).select(F.col("id").alias("k")),
+                        it, mode="append")
