@@ -36,9 +36,27 @@ _DIALECT_REWRITES: list[tuple[str, str]] = [
     (r"\bTDIGEST_QUANTILE\s*\(", "percentile_approx("),
     # FLATTEN(list_col) -> explode(...)          (SqlFlattenOperator.java)
     (r"\bFLATTEN\s*\(", "explode("),
+    # HLL sketch family (HyperLogLog.java HLL/HLL_MERGE/HLL_DECODE) ->
+    # Spark's datasketches HLL aggregates (sketch wire formats differ;
+    # estimate semantics match)
+    (r"\bHLL_MERGE\s*\(", "hll_union_agg("),
+    (r"\bHLL_DECODE\s*\(", "hll_sketch_estimate("),
+    (r"\bHLL\s*\(", "hll_sketch_agg("),
+    # CONVERT_TOJSON / TOSIMPLEJSON / TOCOMPACTJSON / TOEXTENDEDJSON
+    # operator names all render via to_json
+    (r"\bCONVERT_TO(?:SIMPLE|COMPACT|EXTENDED)?JSON\s*\(", "to_json("),
 ]
 
-_CONVERT_CODECS = {"UTF8", "BASE64", "INT_BE", "BIGINT_BE"}
+_CONVERT_CODECS = {
+    "UTF8", "BASE64", "INT", "INT_BE", "INT_HADOOPV",
+    "BIGINT", "BIGINT_BE", "BIGINT_HADOOPV", "BOOLEAN_BYTE",
+    "DATE_EPOCH", "DATE_EPOCH_BE", "TIME_EPOCH", "TIME_EPOCH_BE",
+    "TIMESTAMP_EPOCH", "TIMESTAMP_EPOCH_BE", "DOUBLE", "DOUBLE_BE",
+    "FLOAT", "FLOAT_BE", "TIMESTAMP_IMPALA",
+    "TIMESTAMP_IMPALA_LOCALTIMEZONE",
+}
+# CONVERT_TO JSON renderings all map onto Spark's to_json
+_JSON_TO_CODECS = {"JSON", "SIMPLEJSON", "COMPACTJSON", "EXTENDEDJSON"}
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
@@ -113,6 +131,13 @@ def _rewrite_convert(query: str) -> str:
             cur += ch
     args.append(cur)
     codec = args[-1].strip().strip("'").upper() if len(args) >= 2 else ""
+    if codec in _JSON_TO_CODECS and m.group(1).upper() == "TO":
+        rewritten_arg = _rewrite_convert(",".join(args[:-1]))
+        return (
+            query[:m.start()]
+            + f"to_json({rewritten_arg})"
+            + _rewrite_convert(query[close_i + 1:])
+        )
     if codec not in _CONVERT_CODECS:
         raise ValueError(
             f"CONVERT_{m.group(1).upper()} codec {codec!r} not supported in "
@@ -983,12 +1008,11 @@ class Engine:
         """Register exactly the shims the statement references — the full
         table is ~65 sequential DDL round-trips (~4 s on a fresh
         session); a typical statement needs 0-3 of them."""
-        from .functions.shims import _SQL_FUNCTIONS
+        from .functions.shims import _PANDAS_SHIMS, _SQL_FUNCTIONS
 
         q = query.lower()
         found = {n for n in _SQL_FUNCTIONS if n in q}
-        if "st_geohash" in q:
-            found.add("st_geohash")
+        found |= {n for n in _PANDAS_SHIMS if n in q}
         if found:
             register_all(self.spark, names=found)
 

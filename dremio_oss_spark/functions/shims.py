@@ -277,7 +277,161 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "(m MAP<STRING, STRING>) RETURNS "
         "ARRAY<STRUCT<key: STRING, value: STRING>> RETURN map_entries(m)"
     ),
+    # decode with replacement of malformed sequences (ConvertReplaceUTF8):
+    # Spark's decode already substitutes U+FFFD for invalid bytes
+    "convert_replaceutf8": (
+        "(b BINARY, r STRING) RETURNS STRING RETURN "
+        "replace(decode(b, 'UTF-8'), '\\uFFFD', r)"
+    ),
+    "convert_from_boolean_byte": (
+        "(b BINARY) RETURNS BOOLEAN RETURN if(length(b) = 1, "
+        "hex(b) <> '00', cast(raise_error('convert_from_boolean_byte: "
+        "buffer must be exactly 1 byte') as boolean))"
+    ),
+    "convert_to_boolean_byte": (
+        "(x BOOLEAN) RETURNS BINARY RETURN unhex(if(x, '01', '00'))"
+    ),
+    # MapFunctions.java last_matching_map_entry_for_key: the entry for a
+    # key, as the (key, value) struct the reference yields, null if absent
+    "last_matching_map_entry_for_key": (
+        "(m MAP<STRING, STRING>, k STRING) RETURNS "
+        "STRUCT<key: STRING, value: STRING> RETURN "
+        "if(map_contains_key(m, k), "
+        "named_struct('key', k, 'value', element_at(m, k)), "
+        "cast(null as struct<key: string, value: string>))"
+    ),
 }
+
+
+# ---- typed CONVERT_FROM/TO codec family (exec/expr/fn/impl/conv/) --------
+# The reference registers one operator per (direction, type, byte order):
+# CONVERT_FROMBIGINT, CONVERT_FROMBIGINT_BE, CONVERT_FROMDOUBLE, ... —
+# generated here the same way its codegen templates generate them.
+# Plain names are little-endian (Drill heritage); _BE big-endian.
+
+def _hex_of(nbytes: int) -> str:
+    return f"lpad(hex(b), {2 * nbytes}, '0')"
+
+
+def _rev_pairs(nbytes: int, hexpr: str) -> str:
+    """Byte-reverse a 2*nbytes hex string (LE <-> BE)."""
+    parts = ", ".join(
+        f"substring({hexpr}, {2 * i + 1}, 2)" for i in reversed(range(nbytes))
+    )
+    return f"concat({parts})"
+
+
+def _signed32(hex_sql: str) -> str:
+    u = f"cast(conv({hex_sql}, 16, 10) as bigint)"
+    return f"({u} - if({u} >= 2147483648, 4294967296, 0))"
+
+
+def _signed64(hex_sql: str) -> str:
+    hi = f"cast(conv(substring({hex_sql}, 1, 8), 16, 10) as bigint)"
+    lo = f"cast(conv(substring({hex_sql}, 9, 8), 16, 10) as bigint)"
+    return (f"(({hi} - if({hi} >= 2147483648, 4294967296, 0)) "
+            f"* 4294967296 + {lo})")
+
+
+def _guard(nbytes: int, expr: str, rettype: str, fname: str) -> str:
+    return (f"(b BINARY) RETURNS {rettype} RETURN if(length(b) = {nbytes}, "
+            f"{expr}, cast(raise_error('{fname}: buffer must be exactly "
+            f"{nbytes} bytes') as {rettype}))")
+
+
+def _int_like_codecs() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for be in (False, True):
+        sfx = "_be" if be else ""
+        h4 = _hex_of(4) if be else _rev_pairs(4, _hex_of(4))
+        h8 = _hex_of(8) if be else _rev_pairs(8, _hex_of(8))
+        s32, s64 = _signed32(h4), _signed64(h8)
+        # raw ints (the existing *_be 4/8 byte pair stays authoritative
+        # for BE; LE is the unsuffixed reference default)
+        if not be:
+            out["convert_from_int"] = _guard(
+                4, f"cast({s32} as int)", "INT", "convert_from_int")
+            out["convert_from_bigint"] = _guard(
+                8, s64, "BIGINT", "convert_from_bigint")
+            to4 = _rev_pairs(4, "lpad(hex(i & 4294967295), 8, '0')")
+            to8 = _rev_pairs(8, "lpad(hex(i), 16, '0')")
+            out["convert_to_int"] = (
+                f"(i INT) RETURNS BINARY RETURN unhex({to4})")
+            out["convert_to_bigint"] = (
+                f"(i BIGINT) RETURNS BINARY RETURN unhex({to8})")
+        # epoch-encoded temporals: 8-byte millis
+        out[f"convert_from_timestamp_epoch{sfx}"] = _guard(
+            8, f"timestamp_millis({s64})", "TIMESTAMP",
+            f"convert_from_timestamp_epoch{sfx}")
+        out[f"convert_from_date_epoch{sfx}"] = _guard(
+            8, f"cast(timestamp_millis({s64}) as date)", "DATE",
+            f"convert_from_date_epoch{sfx}")
+        # TIME has no Spark type: millis-of-day (repo TIME-as-millis policy)
+        out[f"convert_from_time_epoch{sfx}"] = _guard(
+            8, s64, "BIGINT", f"convert_from_time_epoch{sfx}")
+        to8ts = "lpad(hex(unix_millis(t)), 16, '0')"
+        to8d = "lpad(hex(cast(unix_date(d) as bigint) * 86400000), 16, '0')"
+        to8t = "lpad(hex(t), 16, '0')"
+        if be:
+            out["convert_to_timestamp_epoch_be"] = (
+                f"(t TIMESTAMP) RETURNS BINARY RETURN unhex({to8ts})")
+            out["convert_to_date_epoch_be"] = (
+                f"(d DATE) RETURNS BINARY RETURN unhex({to8d})")
+            out["convert_to_time_epoch_be"] = (
+                f"(t BIGINT) RETURNS BINARY RETURN unhex({to8t})")
+        else:
+            out["convert_to_timestamp_epoch"] = (
+                "(t TIMESTAMP) RETURNS BINARY RETURN "
+                f"unhex({_rev_pairs(8, to8ts)})")
+            out["convert_to_date_epoch"] = (
+                "(d DATE) RETURNS BINARY RETURN "
+                f"unhex({_rev_pairs(8, to8d)})")
+            out["convert_to_time_epoch"] = (
+                "(t BIGINT) RETURNS BINARY RETURN "
+                f"unhex({_rev_pairs(8, to8t)})")
+        # IEEE 754 floats via JVM bit reinterpretation (reflect round-trips
+        # exactly: Double.toString/parse is lossless for any double)
+        out[f"convert_from_double{sfx}"] = _guard(
+            8, "cast(reflect('java.lang.Double', 'longBitsToDouble', "
+               f"{s64}) as double)", "DOUBLE", f"convert_from_double{sfx}")
+        out[f"convert_from_float{sfx}"] = _guard(
+            4, "cast(reflect('java.lang.Float', 'intBitsToFloat', "
+               f"cast({s32} as int)) as float)", "FLOAT",
+            f"convert_from_float{sfx}")
+        dbits = ("lpad(hex(cast(reflect('java.lang.Double', "
+                 "'doubleToRawLongBits', x) as bigint)), 16, '0')")
+        fbits = ("lpad(hex(cast(reflect('java.lang.Float', "
+                 "'floatToRawIntBits', x) as bigint) & 4294967295), "
+                 "8, '0')")
+        out[f"convert_to_double{sfx}"] = (
+            "(x DOUBLE) RETURNS BINARY RETURN unhex("
+            + (dbits if be else _rev_pairs(8, dbits)) + ")")
+        out[f"convert_to_float{sfx}"] = (
+            "(x FLOAT) RETURNS BINARY RETURN unhex("
+            + (fbits if be else _rev_pairs(4, fbits)) + ")")
+    # Impala/parquet INT96 timestamps: 8-byte LE nanos-of-day + 4-byte LE
+    # julian day.  _LOCALTIMEZONE differs only by session-zone rendering —
+    # identical under this repo's pinned-UTC sessions (documented).
+    nanos = _signed64(_rev_pairs(8, "lpad(hex(substring(b, 1, 8)), 16, '0')"))
+    jday = _signed32(_rev_pairs(4, "lpad(hex(substring(b, 9, 4)), 8, '0')"))
+    impala = (f"timestamp_micros(({jday} - 2440588) * 86400000000 "
+              f"+ {nanos} div 1000)")
+    for nm in ("convert_from_timestamp_impala",
+               "convert_from_timestamp_impala_localtimezone"):
+        out[nm] = _guard(12, impala, "TIMESTAMP", nm)
+    return out
+
+
+_SQL_FUNCTIONS.update(_int_like_codecs())
+
+# reference-exact concatenated operator names (CONVERT_FROMBIGINT_BE etc.)
+# alias the canonical convert_from_* shims
+_SQL_FUNCTIONS.update({
+    name.replace("convert_from_", "convert_from").replace(
+        "convert_to_", "convert_to"): body
+    for name, body in list(_SQL_FUNCTIONS.items())
+    if name.startswith(("convert_from_", "convert_to_"))
+})
 
 
 def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Series:
@@ -321,6 +475,64 @@ def _st_geohash(lat: pd.Series, lon: pd.Series, precision: pd.Series) -> pd.Seri
     )
 
 
+def _vlong_encode(v: int) -> bytes:
+    """Hadoop WritableUtils.writeVLong wire format (conv/ *_HADOOPV)."""
+    if -112 <= v <= 127:
+        return bytes([v & 0xFF])
+    ln = -112
+    u = v
+    if v < 0:
+        u = ~v
+        ln = -120
+    tmp = u
+    while tmp != 0:
+        tmp >>= 8
+        ln -= 1
+    n = -(ln + 112) if ln >= -120 else -(ln + 120)
+    return bytes([ln & 0xFF]) + u.to_bytes(n, "big")
+
+
+def _vlong_decode(b: bytes) -> int:
+    first = b[0] if b[0] < 128 else b[0] - 256
+    if first >= -112:
+        return first
+    neg = first < -120
+    n = -(first + 120) if neg else -(first + 112)
+    u = int.from_bytes(b[1:1 + n], "big")
+    return ~u if neg else u
+
+
+def _hadoopv_udfs():
+    """convert_{from,to}_{int,bigint}_hadoopv as Arrow-batched pandas
+    UDFs (the format is iterative — no closed-form SQL expression)."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType
+
+    def dec(vs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _vlong_decode(bytes(v)) for v in vs]
+        )
+
+    def enc(vs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if pd.isna(v) else _vlong_encode(int(v)) for v in vs]
+        )
+
+    return {
+        "convert_from_int_hadoopv": pandas_udf(dec, IntegerType()),
+        "convert_from_bigint_hadoopv": pandas_udf(dec, LongType()),
+        "convert_to_int_hadoopv": pandas_udf(enc, BinaryType()),
+        "convert_to_bigint_hadoopv": pandas_udf(enc, BinaryType()),
+    }
+
+
+# pandas-udf-backed shim names (registered on demand like st_geohash)
+_PANDAS_SHIMS = frozenset(
+    {"st_geohash"}
+    | set(_hadoopv_udfs())
+    | {n.replace("_from_", "_from").replace("_to_", "_to")
+       for n in _hadoopv_udfs()}
+)
+
 _REGISTERED: dict[int, set[str]] = {}
 
 
@@ -340,11 +552,18 @@ def register_all(spark: SparkSession, names=None) -> None:
     for name in want - done:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{_SQL_FUNCTIONS[name]}")
     done.update(want)
-    if "st_geohash" not in done and (names is None or "st_geohash" in names):
+    pandas_want = (_PANDAS_SHIMS if names is None
+                   else _PANDAS_SHIMS & set(names)) - done
+    if pandas_want:
         from pyspark.sql.types import StringType
 
-        spark.udf.register("st_geohash", pandas_udf(_st_geohash, StringType()))
-        done.add("st_geohash")
+        udfs = _hadoopv_udfs()
+        udfs.update({n.replace("_from_", "_from").replace("_to_", "_to"): u
+                     for n, u in _hadoopv_udfs().items()})
+        udfs["st_geohash"] = pandas_udf(_st_geohash, StringType())
+        for n in pandas_want:
+            spark.udf.register(n, udfs[n])
+        done.update(pandas_want)
 
 
 # --- Column helpers (plan-time compositions) ------------------------------
