@@ -277,3 +277,35 @@ def test_external_partitioned_parallel_read(spark):
         assert df2.count() == want
     finally:
         src.close()
+
+
+def test_huge_expression_expansion_plans_bounded(spark):
+    """Mirror of the reference's huge_exp_expansion.sql stress test
+    (sabot/kernel/src/test/resources/queries/huge_exp_expansion.sql):
+    deeply layered CTEs whose CASE expressions each reference the
+    previous layer several times must plan and execute without
+    exponential expression blowup."""
+    import time
+
+    layers = [
+        "my_table as (select * from values ('1','1'),('2','2'),('3','3')"
+        " as t(c1, c2))",
+        "layer_0 as (select c1, c2, case when c1 <> 'x' and "
+        "nullif(c2 in ('a','b'), false) then 'p' "
+        "when position('q' in c2) > 0 then 'r' else c2 end as v "
+        "from my_table)",
+    ]
+    for i in range(1, 13):
+        layers.append(
+            f"layer_{i} as (select c1, c2, "
+            "case when position('z' in v) > 0 then upper(v) "
+            "when char_length(v) > 1 then substring(v || v, 1, 2) "
+            f"else lower(v) || v end as v from layer_{i - 1})")
+    sql = ("with " + ",\n".join(layers)
+           + " select c1, v from layer_12 order by c1")
+    t = time.time()
+    rows = spark.sql(sql).collect()
+    assert [r["c1"] for r in rows] == ["1", "2", "3"]
+    # each layer doubles-ish the value length via v || v, capped at 2
+    assert all(len(r["v"]) == 2 for r in rows)
+    assert time.time() - t < 60, "expression expansion blew up"
