@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..operators import dedup as D
@@ -1004,8 +1005,51 @@ order by a1.vec_id
 )
 
 
+# --------------------------------------------------------------------------
+# Vocabulary builder: corpus token frequencies (tokenizer-training prep).
+# One explode + one groupBy (single shuffle on the token key); top-k via
+# a rank over the global ordering — Spark's TakeOrderedAndProject keeps
+# the driver set k-bounded at any corpus size.
+def llm_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    total = toks.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "token",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("rank")
+    )
+
+
+LLM_VOCAB_SQL = """
+with toks as (
+  select unnest(string_split_regex(lower(text), '\\s+')) as token
+  from documents
+), counts as (
+  select token, cast(count(*) as bigint) as n_occurrences
+  from toks where token <> ''
+  group by token
+)
+select cast(row_number() over (order by n_occurrences desc, token) as bigint)
+         as rank,
+       token, n_occurrences
+from counts
+order by rank
+limit 50
+"""
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
+    "llm_vocab": llm_vocab,
     "llm_kmeans": llm_kmeans,
     "llm_semdedup": llm_semdedup,
     "llm_exact_dedup": llm_exact_dedup,
@@ -1029,6 +1073,7 @@ LLMOPS_QUERIES = {
 
 LLMOPS_ORACLE = {
     "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
+    "llm_vocab": LLM_VOCAB_SQL,
     "llm_kmeans": LLM_KMEANS_SQL,
     "llm_semdedup": LLM_SEMDEDUP_SQL,
     "llm_exact_dedup": LLM_EXACT_DEDUP_SQL,
