@@ -349,7 +349,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     sh = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        # bit 63 is the two's-complement sign bit: its weight is -2^63
+        # (2^63 itself overflows bigint) — required for the bits=64
+        # production configuration (see SCALE.md banding math)
+        weight = -(2**63) if j == 63 else 2**j
+        term = F.when(F.col(f"s{j}") > 0, F.lit(weight)).otherwise(F.lit(0))
         sh = term if sh is None else sh + term
     return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
 
