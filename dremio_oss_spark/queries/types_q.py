@@ -127,13 +127,48 @@ from mixed group by val_type order by val_type
 """
 
 
+def implicit_coercion(spark: SparkSession, sf: str) -> DataFrame:
+    """Implicit comparison coercions (TypeCastRules.java): string-vs-int
+    equality, double-vs-int-literal ranges, timestamp-vs-string-literal
+    ordering, decimal-vs-double equality, bigint IN over a string list —
+    each as a per-row boolean pinned against the oracle."""
+    o = load(spark, sf, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_custkey").cast("string") == F.col("o_custkey"))
+        .alias("str_eq_int"),
+        (F.col("o_totalprice") > 100000).alias("dbl_gt_intlit"),
+        (F.col("o_orderdate") < "1996-01-01").alias("ts_lt_strlit"),
+        (F.col("o_totalprice").cast("decimal(18,2)")
+         == F.col("o_totalprice").cast("decimal(18,2)").cast("double"))
+        .alias("dec_eq_dbl"),
+        F.col("o_orderkey").isin("1", "2", "300").alias("int_in_strlist"),
+    ).orderBy("o_orderkey")
+
+
+IMPLICIT_COERCION_SQL = """
+select o_orderkey,
+       cast(o_custkey as varchar) = o_custkey as str_eq_int,
+       o_totalprice > 100000 as dbl_gt_intlit,
+       o_orderdate < '1996-01-01' as ts_lt_strlit,
+       cast(o_totalprice as decimal(18,2))
+         = cast(cast(o_totalprice as decimal(18,2)) as double) as dec_eq_dbl,
+       o_orderkey in ('1', '2', '300') as int_in_strlist
+from orders
+where o_orderkey <= 500
+order by o_orderkey
+"""
+
+
 TYPES_QUERIES = {
+    "type_implicit_coercion": implicit_coercion,
     "type_cast_matrix": cast_matrix,
     "type_try_cast_coercion": try_cast_coercion,
     "type_union_promotion": union_type_promotion,
 }
 
 TYPES_ORACLE = {
+    "type_implicit_coercion": IMPLICIT_COERCION_SQL,
     "type_cast_matrix": CAST_MATRIX_SQL,
     "type_try_cast_coercion": TRY_CAST_SQL,
     "type_union_promotion": UNION_TYPE_SQL,
