@@ -87,6 +87,8 @@ class ArpDialect:
                 self.ident(k) for k in aggregate[0])
         if limit is not None and self.limit_style == "limit":
             sql += f" limit {limit}"
+        elif limit is not None and self.limit_style == "fetch":
+            sql += f" fetch first {limit} rows only"
         return sql
 
 
@@ -110,4 +112,26 @@ TSQL_DIALECT = ArpDialect(
     limit_style="top",
     supported_aggs=frozenset({"sum", "count", "min", "max", "avg"}),
     function_map={"stddev": "stdev"},
+)
+
+# Oracle-flavored descriptor: double-quote idents, ANSI FETCH FIRST
+# rows syntax, coalesce/substring rendered through NVL/SUBSTR (the kind
+# of operation mapping the reference's ARP YAMLs declare per source)
+ORACLE_DIALECT = ArpDialect(
+    name="oracle",
+    quote_open='"', quote_close='"',
+    limit_style="fetch",
+    supported_aggs=frozenset(
+        {"sum", "count", "min", "max", "avg", "stddev", "median"}),
+    function_map={"coalesce": "nvl", "substring": "substr"},
+)
+
+# MySQL-flavored descriptor: backtick idents, STD for stddev, no MEDIAN
+# (exercises the degrade path for median rollups)
+MYSQL_DIALECT = ArpDialect(
+    name="mysql",
+    quote_open="`", quote_close="`",
+    supported_aggs=frozenset({"sum", "count", "min", "max", "avg",
+                              "stddev"}),
+    function_map={"stddev": "std"},
 )

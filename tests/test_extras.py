@@ -309,3 +309,21 @@ def test_huge_expression_expansion_plans_bounded(spark):
     # each layer doubles-ish the value length via v || v, capped at 2
     assert all(len(r["v"]) == 2 for r in rows)
     assert time.time() - t < 60, "expression expansion blew up"
+
+
+def test_arp_oracle_mysql_dialect_rendering():
+    """The Oracle and MySQL ARP descriptors render their dialect's
+    quoting, limit syntax, and function maps; MySQL degrades MEDIAN."""
+    from dremio_oss_spark.sources.arp import MYSQL_DIALECT, ORACLE_DIALECT
+
+    sql = ORACLE_DIALECT.render(
+        "t", None, "x > 1",
+        (["k"], {"m": "median(v)", "c": "coalesce(v, 0)"}), limit=5)
+    assert '"t"' in sql and "fetch first 5 rows only" in sql
+    assert "nvl(v, 0)" in sql and "median(v)" in sql
+
+    assert MYSQL_DIALECT.ident("k") == "`k`"
+    assert not MYSQL_DIALECT.agg_supported({"m": "median(v)"})
+    assert MYSQL_DIALECT.agg_supported({"m": "stddev(v)"})
+    assert "std(v)" in MYSQL_DIALECT.render(
+        "t", None, None, ([], {"m": "stddev(v)"}))
