@@ -618,10 +618,12 @@ class Engine:
             r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
             r"aggregate\s+reflection\s+(\w+)\s+using\s+"
             r"dimensions\s*\(([^)]*)\)\s*"
-            r"measures\s*\((.*)\)\s*$",
+            r"measures\s*\((.*?)\)\s*"
+            r"(?:partition\s+by\s*\(([^)]*)\)\s*)?"
+            r"(?:localsort\s+by\s*\(([^)]*)\)\s*)?$",
             query, re.I | re.S)
         if m:
-            t, name, dim_s, meas_s = m.groups()
+            t, name, dim_s, meas_s, part_s, sort_s = m.groups()
             dims = [d.strip() for d in dim_s.split(",") if d.strip()]
             measures = []
             for part in re.findall(r"(\w+)\s*\(([^)]*)\)", meas_s):
@@ -631,7 +633,11 @@ class Engine:
             store = self._default_refl_store()
             store.create_aggregation_reflection(
                 name, self._resolve_table(t), table=t, dims=dims,
-                measures=measures)
+                measures=measures,
+                partition_by=[c.strip() for c in part_s.split(",")
+                              if c.strip()] if part_s else None,
+                sort_by=[c.strip() for c in sort_s.split(",")
+                         if c.strip()] if sort_s else None)
             return self._status(
                 "CREATE AGGREGATE REFLECTION",
                 f"{name} on {t}: {len(dims)} dims, "

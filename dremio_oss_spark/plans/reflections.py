@@ -208,6 +208,13 @@ class Reflection:
     watermark: object = None
     joins: tuple[JoinSpec, ...] = ()
     filters: tuple[str, ...] = ()  # partial reflection: built over WHERE
+    # materialization layout (SqlCreateReflection PARTITION BY /
+    # LOCALSORT BY fields): partition dims write hive dirs keyed by a
+    # __p_<dim> copy (the copy keeps the real column in the data files,
+    # so reads never depend on partition-column type inference);
+    # sort dims range-partition + sort for min/max row-group pruning
+    partition_by: tuple[str, ...] = ()
+    sort_by: tuple[str, ...] = ()
     # lakehouse snapshot/version the materialization is current through
     # (snapshot-based incremental refresh)
     base_version: object = None
@@ -287,6 +294,8 @@ class ReflectionStore:
         joins: list[JoinSpec] | None = None,
         dim_sources: dict[str, DataFrame] | None = None,
         filters: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> Reflection:
         """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent.
 
@@ -300,6 +309,8 @@ class ReflectionStore:
         refl = Reflection(
             name, table, tuple(dims), tuple(measures), path, watermark_col,
             joins=tuple(joins or ()), filters=tuple(filters or ()),
+            partition_by=tuple(partition_by or ()),
+            sort_by=tuple(sort_by or ()),
         )
         src = self._join_star(source, refl.joins, dim_sources)
         for f in refl.filters:
@@ -351,7 +362,7 @@ class ReflectionStore:
         scan the narrow materialization instead of the base table."""
         for refl in self._raw.values():
             if refl.table == table and set(cols) <= set(refl.cols):
-                mat = self.spark.read.parquet(os.path.join(refl.path, "data"))
+                mat = self._read_data(os.path.join(refl.path, "data"))
                 return mat.select(*cols), True
         return base.select(*cols), False
 
@@ -378,15 +389,23 @@ class ReflectionStore:
         data = self._path_of(name)
 
         def _files() -> list[str]:
-            return [
-                f for f in os.listdir(data)
-                if f.endswith(".parquet") and not f.startswith(".")
-            ]
+            out = []
+            for root, _, fns in os.walk(data):
+                out += [f for f in fns
+                        if f.endswith(".parquet") and not f.startswith(".")]
+            return out
 
+        refl = self._reflections.get(name) or self._raw.get(name)
         before = len(_files())
-        df = self.spark.read.parquet(data)
+        df = self._read_data(data)
         tmp = data + ".compact"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part_by = tuple(getattr(refl, "partition_by", ()) or ())
+        if part_by:
+            # layout-preserving: one file PER partition dir
+            df = df.repartition(*[F.col(c) for c in part_by])
+            self._write_data(refl, df, tmp)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(data)
         os.rename(tmp, data)
         return before, len(_files())
@@ -395,7 +414,7 @@ class ReflectionStore:
         """LOAD MATERIALIZATION (SqlLoadMaterialization): expose a
         reflection's materialization as a queryable dataset (temp view
         `mat_<name>`), the reference's debugging/inspection hook."""
-        df = self.spark.read.parquet(self._path_of(name))
+        df = self._read_data(self._path_of(name))
         df.createOrReplaceTempView(f"mat_{name}")
         return df
 
@@ -412,9 +431,32 @@ class ReflectionStore:
                 aggs.append(getattr(F, m.kind)(col).alias(m.name))
         return df.groupBy(*refl.dims).agg(*aggs)
 
+    def _write_data(self, refl: Reflection, df: DataFrame,
+                    path: str) -> None:
+        """Materialization write honoring the reflection's declared
+        layout (PARTITION BY hive dirs via __p_ copies + LOCALSORT BY
+        range/sort)."""
+        if refl.sort_by:
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            df = (df.repartitionByRange(n, *refl.sort_by)
+                  .sortWithinPartitions(*refl.sort_by))
+        if refl.partition_by:
+            for c in refl.partition_by:
+                df = df.withColumn(f"__p_{c}", F.col(c))
+            (df.write.mode("overwrite")
+             .partitionBy(*[f"__p_{c}" for c in refl.partition_by])
+             .parquet(path))
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def _read_data(self, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        helpers = [c for c in df.columns if c.startswith("__p_")]
+        return df.drop(*helpers) if helpers else df
+
     def _full_refresh(self, refl: Reflection, source: DataFrame) -> None:
         agg = self._aggregate(source, refl)
-        agg.write.mode("overwrite").parquet(os.path.join(refl.path, "data"))
+        self._write_data(refl, agg, os.path.join(refl.path, "data"))
         if refl.watermark_col:
             wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
             refl.watermark = wm
@@ -435,7 +477,7 @@ class ReflectionStore:
             return 0
         delta = self._aggregate(new_rows, refl)
         data_path = os.path.join(refl.path, "data")
-        existing = self.spark.read.parquet(data_path)
+        existing = self._read_data(data_path)
         merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
             *[
                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
@@ -443,7 +485,7 @@ class ReflectionStore:
             ]
         )
         tmp = data_path + ".new"
-        merged.write.mode("overwrite").parquet(tmp)
+        self._write_data(refl, merged, tmp)
         shutil.rmtree(data_path)
         os.replace(tmp, data_path)
         wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
@@ -504,12 +546,12 @@ class ReflectionStore:
         if n_new:
             delta = self._aggregate(new_rows, refl)
             data_path = os.path.join(refl.path, "data")
-            existing = self.spark.read.parquet(data_path)
+            existing = self._read_data(data_path)
             merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
                 *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
                   for m in refl.measures])
             tmp = data_path + ".new"
-            merged.write.mode("overwrite").parquet(tmp)
+            self._write_data(refl, merged, tmp)
             shutil.rmtree(data_path)
             os.replace(tmp, data_path)
         refl.base_version = head
@@ -555,7 +597,7 @@ class ReflectionStore:
                     aggs.append(getattr(F, m.kind)(col).alias(m.name))
             return df.groupBy(*q.dims).agg(*aggs), False
 
-        mat = self.spark.read.parquet(os.path.join(refl.path, "data"))
+        mat = self._read_data(os.path.join(refl.path, "data"))
         for f in q.filters:
             mat = mat.where(f)
         rolled = mat.groupBy(*q.dims).agg(

@@ -900,3 +900,42 @@ def test_sys_tables_sql_addressable(spark):
     ).first()["n"]
     assert udfs > 50
     assert "version" in eng.sql("select * from sys.version").columns
+
+
+def test_aggregate_reflection_layout_fields(spark, tmp_path):
+    """SqlCreateReflection PARTITION BY / LOCALSORT BY fields: the
+    materialization writes hive partition dirs (via __p_ copies, so the
+    dim column survives in the data files), substitution still answers
+    correctly, incremental compaction preserves the layout, and the
+    helper columns never leak into results."""
+    import os
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng._refl_root = str(tmp_path / "refl")
+
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION li_part "
+        "USING DIMENSIONS (l_returnflag) MEASURES (l_quantity (SUM)) "
+        "PARTITION BY (l_returnflag) LOCALSORT BY (l_returnflag)")
+    store = eng._default_refl_store()
+    data = os.path.join(store._reflections["li_part"].path, "data")
+    assert any(d.startswith("__p_l_returnflag=") for d in os.listdir(data))
+
+    mat = store.load_materialization("li_part")
+    assert "__p_l_returnflag" not in mat.columns
+    got = {r["l_returnflag"]: float(r["sum_l_quantity"])
+           for r in mat.collect()}
+    li = load(spark, SF_SMALL, "lineitem")
+    expect = {r["l_returnflag"]: float(r["s"]) for r in
+              li.groupBy("l_returnflag").agg(
+                  __import__("pyspark.sql.functions", fromlist=["sum"])
+                  .sum("l_quantity").alias("s")).collect()}
+    assert got == expect
+
+    before, after = store.compact_materialization("li_part")
+    assert after == len(expect)  # one file per partition dir
+    assert any(d.startswith("__p_l_returnflag=") for d in os.listdir(data))
