@@ -597,9 +597,22 @@ class ReflectionStore:
                     aggs.append(getattr(F, m.kind)(col).alias(m.name))
             return df.groupBy(*q.dims).agg(*aggs), False
 
-        mat = self._read_data(os.path.join(refl.path, "data"))
+        raw = self.spark.read.parquet(os.path.join(refl.path, "data"))
+        helpers = [c for c in raw.columns if c.startswith("__p_")]
+        mat = raw
         for f in q.filters:
             mat = mat.where(f)
+            # PARTITION BY payoff: an equality filter on a partitioned
+            # dim re-applies against the __p_ partition column, so the
+            # substituted scan prunes whole directories (PartitionFilters
+            # in the plan), not just row groups
+            for c in getattr(refl, "partition_by", ()):
+                m2 = re.match(rf"\s*{re.escape(c)}\s*=\s*(.+)$", f.strip())
+                if m2 and f"__p_{c}" in helpers:
+                    mat = mat.where(
+                        F.col(f"__p_{c}") == F.expr(m2.group(1)))
+        if helpers:
+            mat = mat.drop(*helpers)
         rolled = mat.groupBy(*q.dims).agg(
             *[
                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name)

@@ -302,3 +302,32 @@ def test_semdedup_plan_has_no_pair_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_partitioned_reflection_substitution_prunes_dirs(spark, tmp_path):
+    """A dim-equality rollup answered from a PARTITION BY reflection must
+    show a PartitionFilters entry on the materialization scan (whole
+    directories pruned), and still produce the right values."""
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import AggQuery, ReflectionStore
+
+    li = load(spark, SF_SMALL, "lineitem")
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    store.create_aggregation_reflection(
+        "li_p", li, "lineitem", ["l_returnflag"],
+        [Measure("sum", "l_quantity")], partition_by=["l_returnflag"])
+    q = AggQuery("lineitem", ("l_returnflag",),
+                 (Measure("sum", "l_quantity"),),
+                 filters=("l_returnflag = 'A'",))
+    df, substituted = store.execute(q, li)
+    assert substituted
+    plan = _plan(df)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "__p_l_returnflag" in pf.group(1)
+    rows = df.collect()
+    base = li.where("l_returnflag = 'A'").groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s")).collect()
+    assert len(rows) == 1
+    assert abs(float(rows[0]["sum_l_quantity"]) - float(base[0]["s"])) < 1e-6
