@@ -24,6 +24,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import register_testdata
 from .functions.shims import register_all
@@ -514,8 +515,9 @@ class Engine:
     })
 
     def _expand_sys_tables(self, query: str) -> str:
-        """Make `sys.<name>` table refs queryable in engine SQL by
-        materializing the corresponding sys view as a temp view."""
+        """Make `sys.<name>` and `INFORMATION_SCHEMA.<view>` table refs
+        queryable in engine SQL by materializing the corresponding
+        catalog view as a temp view."""
         def repl(m: "re.Match[str]") -> str:
             name = m.group(1).lower()
             if name not in self._SYS_SQL:
@@ -527,7 +529,25 @@ class Engine:
             fn().createOrReplaceTempView(view)
             return view
 
-        return re.sub(r"\bsys\.(\w+)\b", repl, query, flags=re.I)
+        query = re.sub(r"\bsys\.(\w+)\b", repl, query, flags=re.I)
+
+        def repl_is(m: "re.Match[str]") -> str:
+            kind = m.group(1).lower().strip('"')
+            src = self.information_schema_tables()
+            if kind == "views":
+                src = src.where("table_type = 'VIEW'")
+            elif kind == "schemata":
+                src = (src.select(F.col("table_schema")
+                                  .alias("schema_name")).distinct())
+            elif kind != "tables":
+                return m.group(0)
+            view = f"__is_{kind}"
+            src.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"\binformation_schema\.(\"?\w+\"?)", repl_is, query, flags=re.I
+        )
 
     def alter_session(self, key: str, value) -> None:
         """ALTER SESSION SET "key" = value (reference `SqlSetOption` /

@@ -299,3 +299,20 @@ def test_iceberg_dml_sequence_model(spark, tmp_path):
     # rollback to the very first snapshot restores the original rows
     rollback_iceberg(t, s0)
     check({i: float(i) for i in range(40)})
+
+
+def test_information_schema_sql_addressable(spark):
+    """INFORMATION_SCHEMA.TABLES/VIEWS/SCHEMATA resolve directly in
+    engine SQL (InfoSchemaStoragePlugin surface)."""
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    names = {r["table_name"] for r in eng.sql(
+        "select table_name from information_schema.tables").collect()}
+    assert {"lineitem", "orders"} <= names
+    eng.create_space("isdemo")
+    eng.create_vds("isdemo", "v1", "select 1 as x")
+    views = {r["table_name"] for r in eng.sql(
+        "select table_name from information_schema.views").collect()}
+    assert "isdemo__v1" in views
+    assert eng.sql(
+        "select * from information_schema.schemata").count() >= 1
