@@ -345,6 +345,27 @@ class Engine:
             views.select("table_name"), "table_name", "left_anti"
         ).unionByName(views)
 
+    def information_schema_columns(self) -> DataFrame:
+        """INFORMATION_SCHEMA."COLUMNS": one row per (table, column) with
+        ordinal + data type, from the session catalog.  Per-table schema
+        fetch is a py4j round trip; bounded by the catalog size (the
+        reference's InfoSchema scans its namespace KV store likewise)."""
+        rows = []
+        for t in self.information_schema_tables().collect():
+            name = t["table_name"]
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                continue
+            for i, f_ in enumerate(schema.fields, start=1):
+                rows.append((name, f_.name, i,
+                             f_.dataType.simpleString(), f_.nullable))
+        return self.spark.createDataFrame(
+            rows or [("", "", 0, "", True)],
+            "table_name string, column_name string, ordinal_position int, "
+            "data_type string, is_nullable boolean",
+        ).where("table_name <> ''")
+
     def sys_version(self) -> DataFrame:
         return self.spark.createDataFrame(
             [(self.spark.version,)], "version string"
@@ -539,6 +560,8 @@ class Engine:
             elif kind == "schemata":
                 src = (src.select(F.col("table_schema")
                                   .alias("schema_name")).distinct())
+            elif kind == "columns":
+                src = self.information_schema_columns()
             elif kind != "tables":
                 return m.group(0)
             view = f"__is_{kind}"

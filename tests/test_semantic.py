@@ -316,3 +316,7 @@ def test_information_schema_sql_addressable(spark):
     assert "isdemo__v1" in views
     assert eng.sql(
         "select * from information_schema.schemata").count() >= 1
+    cols = {r["column_name"] for r in eng.sql(
+        "select * from information_schema.columns "
+        "where table_name = 'region'").collect()}
+    assert cols == {"r_regionkey", "r_name"}
