@@ -843,6 +843,59 @@ def llm_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def llm_incremental_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus maintenance: curate a base corpus, then fold
+    in a NEW batch by deduplicating (a) within the batch and (b) against
+    the base survivors' fingerprint ledger (anti-join on fp) — never
+    re-processing the base documents.  Because base doc_ids precede the
+    batch's, first-occurrence-wins dedup is preserved exactly, so the
+    incremental result MUST equal a from-scratch batch curation — the
+    oracle is the batch pipeline's closed-form SQL, which makes the
+    maintenance identity itself the thing value-checked.
+
+    Scale shape: the new batch is one column pipeline + one fp shuffle;
+    the ledger anti-join shuffles on fp (the ledger is a table at corpus
+    scale, not a broadcast); base results re-aggregate without a rescan
+    in a real deployment (here both sides derive from the same fixture
+    scan)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]  # plan-time scalar
+    cut = int(mx * 3 // 5)
+
+    def curate(df: DataFrame) -> DataFrame:
+        ana = T.with_text_analysis(df, "text")
+        kept = ana.where((F.col("lang_pred") == "en")
+                         & (F.col("quality_score") >= 0.5))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (kept.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
+
+    base = curate(docs.where(F.col("doc_id") <= cut))
+    fresh = (curate(docs.where(F.col("doc_id") > cut))
+             .join(base.select("fp"), "fp", "left_anti"))
+    merged = base.unionByName(fresh)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))), 1, 7),
+            16, 10,
+        ).cast("bigint") % 100
+    )
+    split = (F.when(bucket < 80, "train").when(bucket < 90, "val")
+             .otherwise("test"))
+    return (
+        merged.select(split.alias("split"), "n_tokens", "n_bpe_tokens")
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("tokens_sum"),
+             F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens_sum"))
+        .orderBy("split")
+    )
+
+
 LLM_CURATION_SQL = f"""
 with base as (
   select *, cast(len(string_split_regex(lower(text), '\\s+')) as bigint) as n_tok
@@ -1069,6 +1122,7 @@ LLMOPS_QUERIES = {
     "llm_repetition_filter": llm_repetition_filter,
     "llm_pii_redaction": llm_pii_redaction,
     "llm_curation_pipeline": llm_curation_pipeline,
+    "llm_incremental_curation": llm_incremental_curation,
 }
 
 LLMOPS_ORACLE = {
@@ -1093,4 +1147,5 @@ LLMOPS_ORACLE = {
     "llm_repetition_filter": LLM_REPETITION_SQL,
     "llm_pii_redaction": LLM_PII_SQL,
     "llm_curation_pipeline": LLM_CURATION_SQL,
+    "llm_incremental_curation": LLM_CURATION_SQL,  # identity: incremental == batch
 }
