@@ -291,6 +291,35 @@ _SQL_FUNCTIONS: dict[str, str] = {
     "convert_to_boolean_byte": (
         "(x BOOLEAN) RETURNS BINARY RETURN unhex(if(x, '01', '00'))"
     ),
+    # ---- remaining @FunctionTemplate names (impl/ leaf functions) --------
+    # StringFunctions.java translate3 == SQL TRANSLATE's 3-arg form
+    "translate3": (
+        "(s STRING, f STRING, t STRING) RETURNS STRING "
+        "RETURN translate(s, f, t)"
+    ),
+    # similar(s, pat) — same semantics as the SIMILAR TO shim
+    "similar": (
+        "(s STRING, pat STRING) RETURNS BOOLEAN RETURN "
+        "s rlike concat('^', replace(replace(pat, '%', '.*'), '_', '.'), '$')"
+    ),
+    "strpos": (
+        "(s STRING, sub STRING) RETURNS INT RETURN locate(sub, s)"
+    ),
+    # toascii(in, charset): reinterpret bytes of `in` under `charset`
+    "toascii": (
+        "(s STRING, enc STRING) RETURNS STRING "
+        "RETURN decode(encode(s, 'UTF-8'), enc)"
+    ),
+    # MathFunctions.java
+    "bitwise_not": "(a BIGINT) RETURNS BIGINT RETURN ~a",
+    # DateTypeFunctions.java
+    "isdate": (
+        "(s STRING) RETURNS BOOLEAN RETURN try_cast(s as timestamp) "
+        "is not null"
+    ),
+    "yearweek": (
+        "(d DATE) RETURNS INT RETURN year(d) * 100 + weekofyear(d)"
+    ),
     # MapFunctions.java last_matching_map_entry_for_key: the entry for a
     # key, as the (key, value) struct the reference yields, null if absent
     "last_matching_map_entry_for_key": (
@@ -525,9 +554,25 @@ def _hadoopv_udfs():
     }
 
 
+def _normalize_string_udf():
+    """StringFunctions.java normalize_string: Unicode NFC normalization
+    (no Spark native; unicodedata is the exact library impl)."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    def f(vs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else unicodedata.normalize("NFC", v)
+             for v in vs]
+        )
+
+    return pandas_udf(f, StringType())
+
+
 # pandas-udf-backed shim names (registered on demand like st_geohash)
 _PANDAS_SHIMS = frozenset(
-    {"st_geohash"}
+    {"st_geohash", "normalize_string"}
     | set(_hadoopv_udfs())
     | {n.replace("_from_", "_from").replace("_to_", "_to")
        for n in _hadoopv_udfs()}
@@ -561,6 +606,7 @@ def register_all(spark: SparkSession, names=None) -> None:
         udfs.update({n.replace("_from_", "_from").replace("_to_", "_to"): u
                      for n, u in _hadoopv_udfs().items()})
         udfs["st_geohash"] = pandas_udf(_st_geohash, StringType())
+        udfs["normalize_string"] = _normalize_string_udf()
         for n in pandas_want:
             spark.udf.register(n, udfs[n])
         done.update(pandas_want)
