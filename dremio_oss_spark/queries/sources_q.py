@@ -935,7 +935,74 @@ from orders
 """
 
 
+def count_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only COUNT(*) under driver conditions: build a Delta
+    table from a lineitem slice, count it through Engine.sql (answered
+    from add.stats with no scan — CountOnScanToValuesRule), and emit the
+    count alongside a filtered count that MUST take the scan path."""
+    from ..engine import Engine
+    from ..sources.delta import write_delta
+
+    d = _scratch("cntmeta", sf)
+    t = os.path.join(d, "li")
+    li = load(spark, sf, "lineitem").where(F.col("l_orderkey") <= 2000)
+    write_delta(spark, li, t)
+    eng = Engine(spark)
+    meta_n = eng.sql(f"select count(*) as n from '{t}'").first()["n"]
+    from_metadata = eng.last_count_from_metadata == t
+    scan_n = eng.sql(
+        f"select count(*) as n from '{t}' where l_quantity < 10"
+    ).first()["n"]
+    return spark.createDataFrame(
+        [(int(meta_n), bool(from_metadata), int(scan_n))],
+        "n_rows long, from_metadata boolean, n_small long",
+    )
+
+
+COUNT_METADATA_SQL = """
+select cast(count(*) as bigint) as n_rows,
+       true as from_metadata,
+       cast(count(*) filter (where l_quantity < 10) as bigint) as n_small
+from lineitem
+where l_orderkey <= 2000
+"""
+
+
+def use_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """USE BRANCH session context under driver conditions: an Iceberg
+    table from nation, a branch write adding one row, then the same
+    un-AT-ed SELECT counted at dev and back at main."""
+    from ..engine import Engine
+    from ..sources.iceberg import write_iceberg
+
+    d = _scratch("usebranch", sf)
+    t = os.path.join(d, "nat")
+    write_iceberg(spark, load(spark, sf, "nation"), t)
+    eng = Engine(spark)
+    eng.sql(f"CREATE BRANCH dev IN '{t}'")
+    nat = load(spark, sf, "nation")
+    extra = spark.createDataFrame([(999, "ZZZ", 0)], nat.schema)
+    write_iceberg(spark, extra, t, mode="append", branch="dev")
+    q = f"select count(*) as n from '{t}'"
+    eng.sql(f"USE BRANCH dev IN '{t}'")
+    dev_n = eng.sql(q).first()["n"]
+    eng.sql(f"USE BRANCH main IN '{t}'")
+    main_n = eng.sql(q).first()["n"]
+    return spark.createDataFrame(
+        [(int(main_n), int(dev_n))], "main_n long, dev_n long"
+    )
+
+
+USE_BRANCH_SQL = """
+select cast(count(*) as bigint) as main_n,
+       cast(count(*) + 1 as bigint) as dev_n
+from nation
+"""
+
+
 SOURCES_QUERIES = {
+    "src_count_metadata": count_metadata,
+    "src_use_branch": use_branch,
     "src_delta_dv": delta_dv,
     "src_iceberg_posdelete": iceberg_posdelete,
     "src_partition_evolution": partition_evolution,
@@ -958,6 +1025,8 @@ SOURCES_QUERIES = {
 }
 
 SOURCES_ORACLE = {
+    "src_count_metadata": COUNT_METADATA_SQL,
+    "src_use_branch": USE_BRANCH_SQL,
     "src_delta_dv": DELTA_DV_SQL,
     "src_iceberg_posdelete": ICEBERG_POSDELETE_SQL,
     "src_partition_evolution": PARTITION_EVOLUTION_SQL,
