@@ -98,6 +98,50 @@ def stream_append_iceberg(stream: DataFrame, table: str, app_id: str,
     return committed["n"]
 
 
+def stream_upsert_delta(stream: DataFrame, table: str, keys: list[str],
+                        checkpoint: str) -> int:
+    """Streaming UPSERT sink: foreachBatch MERGE INTO the Delta table on
+    `keys` (the CDC-style structured-streaming upsert pattern).
+
+    Replay safety comes from MERGE's idempotence rather than a txn
+    ledger: re-merging an already-applied batch matches every key and
+    rewrites identical values, so a crash between table-commit and
+    stream-checkpoint costs a redundant rewrite, never a duplicate row
+    (contrast stream_append_delta, where blind appends NEED the
+    (appId, batchId) dedup).  Batches are key-deduped first — MERGE's
+    cardinality rule requires a unique source."""
+    from pyspark.sql import functions as F
+
+    from ..sources.delta import is_delta_table, merge_into_delta, write_delta
+
+    spark = stream.sparkSession
+    n_batches = {"n": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(*keys)
+        uniq = (batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
+        if is_delta_table(table):
+            merge_into_delta(spark, table, uniq, on=keys)
+        else:
+            write_delta(spark, uniq, table)
+        n_batches["n"] += 1
+
+    from pyspark.sql.window import Window
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return n_batches["n"]
+
+
 def iceberg_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg twin of delta_sink_query: exactly-once stream ingest, then
     aggregate the table; a replayed drain must not change the counts."""

@@ -209,3 +209,50 @@ def test_iceberg_sink_exactly_once_across_restarts(spark, tmp_path):
     assert read_iceberg(spark, table).count() == 150
     assert last_iceberg_txn_version(table, "app1") == 1
     assert last_iceberg_txn_version(table, "other") is None
+
+
+def test_delta_upsert_sink_idempotent_merge(spark, tmp_path):
+    """Streaming upsert via foreachBatch MERGE: duplicate key deliveries
+    collapse, a replayed batch rewrites identical state (no dup rows),
+    and a later batch updates matched keys in place."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import read_delta
+    from dremio_oss_spark.streaming.lakesink import stream_upsert_delta
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_src(name, rows):
+        import glob
+        import shutil
+
+        (spark.createDataFrame(rows, "k long, v string").coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp_path / "stage")))
+        part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+        shutil.move(part, str(src / name))
+
+    def stream():
+        return spark.readStream.schema("k long, v string").parquet(str(src))
+
+    # duplicate keys inside one batch collapse to one row
+    write_src("a.parquet", [(1, "x"), (2, "y"), (1, "x")])
+    assert stream_upsert_delta(stream(), table, ["k"], ckpt) == 1
+    assert read_delta(spark, table).count() == 2
+
+    # replay the same data manually (simulated crash-replay): idempotent
+    from dremio_oss_spark.sources.delta import merge_into_delta
+
+    merge_into_delta(
+        spark, table,
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"),
+        on=["k"])
+    assert read_delta(spark, table).count() == 2
+
+    # a later batch updates k=2 and inserts k=3
+    write_src("b.parquet", [(2, "y2"), (3, "z")])
+    assert stream_upsert_delta(stream(), table, ["k"], ckpt) == 1
+    cur = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
+    assert cur == {1: "x", 2: "y2", 3: "z"}
