@@ -1205,12 +1205,21 @@ class Engine:
             return self._status("ROLLBACK", out)
 
         m = re.match(r"\s*optimize\s+table\s+'([^']+)'"
-                     r"(?:\s+for\s+partitions\s+(.+?))?\s*$", query, re.I)
+                     r"(?:\s+for\s+partitions\s+(.+?))?"
+                     r"(?:\s+zorder\s+by\s*\(([^)]+)\))?\s*$", query, re.I)
         if m:
-            path, where = m.group(1), m.group(2)
+            path, where, zcols = m.group(1), m.group(2), m.group(3)
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
+            if zcols:
+                if fmt != "delta":
+                    raise ValueError(
+                        "ZORDER BY is implemented for Delta tables")
+                out = D.optimize_delta(
+                    self.spark, path, where=where,
+                    zorder_by=[c.strip() for c in zcols.split(",")])
+                return self._status("OPTIMIZE ZORDER", out)
             fn = D.optimize_delta if fmt == "delta" else I.optimize_iceberg
             return self._status("OPTIMIZE", fn(self.spark, path,
                                                where=where))

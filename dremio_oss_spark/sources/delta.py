@@ -993,23 +993,68 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     return _cow_commit(spark, table, "MERGE", hit_rel, rewrite, inserts)
 
 
+def _zorder_rewrite(zorder_by: list[str], n_files: int, bits: int = 16):
+    """Rewrite hook clustering rows along a Z-curve over `zorder_by`.
+
+    Each column linearly quantizes to `bits` levels between its min and
+    max (two driver scalars per column — no global-ordering window, so
+    nothing funnels through one partition at 100 TB); the z-value
+    interleaves the columns' bits, and a range repartition + sort on it
+    yields `n_files` files whose min/max stats are tight on EVERY
+    z-ordered column — multidimensional file skipping, where a linear
+    sort only serves its leading column."""
+    def rw(hits: DataFrame) -> DataFrame:
+        lo_hi = hits.agg(*[f(c) for c in zorder_by
+                           for f in (F.min, F.max)]).first()
+        df = hits
+        for i, c in enumerate(zorder_by):
+            lo = float(lo_hi[2 * i] or 0)
+            hi = float(lo_hi[2 * i + 1] or 0)
+            span = (hi - lo) or 1.0
+            q = F.least(
+                F.floor((F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span) * (1 << bits)),
+                F.lit((1 << bits) - 1),
+            ).cast("bigint")
+            df = df.withColumn(f"__q_{i}", F.greatest(q, F.lit(0)))
+        z = None
+        for k in range(bits):
+            for i in range(len(zorder_by)):
+                bit = (F.shiftright(F.col(f"__q_{i}"), k)
+                       .bitwiseAND(F.lit(1)))
+                term = bit * F.lit(2 ** (k * len(zorder_by) + i))
+                z = term if z is None else z + term
+        return (df.withColumn("__z", z.cast("bigint"))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", *[f"__q_{i}" for i in range(len(zorder_by))]))
+
+    return rw
+
+
 def optimize_delta(spark: SparkSession, table: str,
-                   where: str | None = None) -> int:
-    """OPTIMIZE <delta table> [FOR PARTITIONS <pred>]: bin-pack live
-    files into one file per partition (dataChange=false — readers of
-    this version see identical rows, streams don't reprocess).  With
-    `where`, only files containing matching rows compact (their
-    deletion vectors fold in; untouched files keep theirs).  Reference:
-    dremio-oss OPTIMIZE TABLE (`parserImpls.ftl` OPTIMIZE,
-    `OptimizeHandler.java`)."""
+                   where: str | None = None,
+                   zorder_by: list[str] | None = None,
+                   zorder_files: int = 8) -> int:
+    """OPTIMIZE <delta table> [FOR PARTITIONS <pred>] [ZORDER BY cols]:
+    bin-pack live files (dataChange=false — readers of this version see
+    identical rows, streams don't reprocess).  With `where`, only files
+    containing matching rows compact (their deletion vectors fold in;
+    untouched files keep theirs).  With `zorder_by`, rewritten rows
+    cluster along a Z-curve so min/max file skipping works on every
+    listed column.  Reference: dremio-oss OPTIMIZE TABLE
+    (`parserImpls.ftl` OPTIMIZE, `OptimizeHandler.java`); Z-curve layout
+    follows the public Delta OPTIMIZE ZORDER design."""
     snap = resolve_snapshot(spark, table)
     if where is None:
         hit_rel = sorted(snap.files)
     else:
         live = _live_with_file(spark, table)
         hit_rel = _mark_hit_files(table, live.where(where))
+    rewrite = (_zorder_rewrite(zorder_by, zorder_files)
+               if zorder_by else (lambda hits: hits))
     return _cow_commit(
-        spark, table, "OPTIMIZE", hit_rel, lambda hits: hits, None,
+        spark, table, "OPTIMIZE", hit_rel, rewrite, None,
         data_change=False)
 
 

@@ -1370,3 +1370,44 @@ def test_optimistic_concurrency_commits(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         I.write_iceberg(spark, spark.range(2).select(F.col("id").alias("k")),
                         it, mode="append")
+
+
+def test_optimize_zorder_multidimensional_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the rewrite, point lookups on
+    EITHER column stats-prune most files; a linear sort on x only serves
+    x. Row set identical before/after (dataChange=false)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        optimize_delta,
+        plan_delta_scan,
+        read_delta,
+        write_delta,
+    )
+
+    # 64x64 independent grid: worst case for a single-column sort
+    grid = (spark.range(64).select(F.col("id").alias("x"))
+            .crossJoin(spark.range(64).select(F.col("id").alias("y")))
+            .withColumn("v", F.col("x") * 100 + F.col("y")))
+
+    zt = str(tmp_path / "z")
+    write_delta(spark, grid, zt)
+    before = {(r["x"], r["y"]) for r in read_delta(spark, zt).collect()}
+    optimize_delta(spark, zt, zorder_by=["x", "y"], zorder_files=16)
+    after = {(r["x"], r["y"]) for r in read_delta(spark, zt).collect()}
+    assert after == before  # dataChange=false: identical rows
+
+    _, total_x, scanned_x = plan_delta_scan(spark, zt, {"x": 7})
+    _, total_y, scanned_y = plan_delta_scan(spark, zt, {"y": 7})
+    assert total_x == 16
+    # a z-order over two 16-file dims should prune ~3/4 on each axis
+    assert scanned_x <= total_x // 2
+    assert scanned_y <= total_y // 2
+
+    # contrast: linear sort layout serves x but not y
+    lt = str(tmp_path / "lin")
+    write_delta(spark, grid, lt, sort_by=["x"])
+    _, lt_total, lt_x = plan_delta_scan(spark, lt, {"x": 7})
+    _, _, lt_y = plan_delta_scan(spark, lt, {"y": 7})
+    assert lt_x <= lt_total // 2      # leading column prunes
+    assert lt_y == lt_total           # non-leading column cannot
