@@ -846,6 +846,20 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                                    if fl["name"] == pf["source"])}
                 for pf in spec_fields
             ]}],
+            # declared write sort order (spec `sort-orders`): order id 0
+            # is the spec's unsorted sentinel; a LOCALSORT layout
+            # registers order 1 so readers/planners can see it
+            "default-sort-order-id": 1 if sort_by else 0,
+            "sort-orders": [{"order-id": 0, "fields": []}] + ([{
+                "order-id": 1,
+                "fields": [
+                    {"transform": "identity",
+                     "source-id": next(fl["id"] for fl in fields
+                                       if fl["name"] == c),
+                     "direction": "asc", "null-order": "nulls-first"}
+                    for c in sort_by
+                ],
+            }] if sort_by else []),
             "snapshots": [],
         }
     sid_next = max((s["snapshot-id"] for s in meta.get("snapshots") or []),

@@ -1411,3 +1411,33 @@ def test_optimize_zorder_multidimensional_skipping(spark, tmp_path):
     _, _, lt_y = plan_delta_scan(spark, lt, {"y": 7})
     assert lt_x <= lt_total // 2      # leading column prunes
     assert lt_y == lt_total           # non-leading column cannot
+
+
+def test_iceberg_sort_order_metadata_recorded(spark, tmp_path):
+    """write_iceberg(sort_by=...) records the spec's sort-orders entry
+    (order 0 = unsorted sentinel, order 1 = the declared LOCALSORT) and
+    sets default-sort-order-id; unsorted tables keep order 0."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") % 7).alias("g"))
+    t1 = str(tmp_path / "sorted")
+    write_iceberg(spark, df, t1, sort_by=["k"])
+    md = os.path.join(t1, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    assert meta["default-sort-order-id"] == 1
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+    assert [f["transform"] for f in order["fields"]] == ["identity"]
+
+    t2 = str(tmp_path / "plain")
+    write_iceberg(spark, df, t2)
+    md2 = os.path.join(t2, "metadata")
+    v2 = int(open(os.path.join(md2, "version-hint.text")).read())
+    meta2 = json.load(open(os.path.join(md2, f"v{v2}.metadata.json")))
+    assert meta2["default-sort-order-id"] == 0
