@@ -564,10 +564,21 @@ class ReflectionStore:
 
     # -- substitution ------------------------------------------------------
     def find_match(self, q: AggQuery) -> Reflection | None:
-        for refl in self._reflections.values():
-            if refl.covers(q):
-                return refl
-        return None
+        """Cheapest covering reflection, not the first registered: fewer
+        dimensions means a smaller materialization to rescan (the
+        reference's substitution costing compares materialization row
+        counts the same way — DremioCost over the substituted tree);
+        materialized byte size breaks ties when both shapes cover."""
+        def cost(r: Reflection) -> tuple[int, int]:
+            size = 0
+            data = os.path.join(r.path, "data")
+            for root, _, fns in os.walk(data):
+                size += sum(os.path.getsize(os.path.join(root, f))
+                            for f in fns if f.endswith(".parquet"))
+            return (len(r.dims), size)
+
+        covering = [r for r in self._reflections.values() if r.covers(q)]
+        return min(covering, key=cost) if covering else None
 
     def execute(
         self,

@@ -375,3 +375,29 @@ def test_snapshot_incremental_refresh_lake_tables(spark, tmp_path):
     assert store.snapshot_incremental_refresh("by_g2", t2) == 50
     mat2 = store.load_materialization("by_g2")
     assert mat2.agg(F.sum("count_all")).collect()[0][0] == 200
+
+
+def test_find_match_prefers_cheapest_covering(spark, tmp_path):
+    """With two covering reflections, substitution picks the one with
+    fewer dimensions (smaller materialization to rescan)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import AggQuery, ReflectionStore
+
+    from .conftest import SF_SMALL
+
+    li = load(spark, SF_SMALL, "lineitem")
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    store.create_aggregation_reflection(
+        "wide", li, "lineitem", ["l_returnflag", "l_linestatus"],
+        [Measure("sum", "l_quantity")])
+    store.create_aggregation_reflection(
+        "narrow", li, "lineitem", ["l_returnflag"],
+        [Measure("sum", "l_quantity")])
+    q = AggQuery("lineitem", ("l_returnflag",),
+                 (Measure("sum", "l_quantity"),))
+    assert store.find_match(q).name == "narrow"
+    # a query needing both dims can only use the wide one
+    q2 = AggQuery("lineitem", ("l_returnflag", "l_linestatus"),
+                  (Measure("sum", "l_quantity"),))
+    assert store.find_match(q2).name == "wide"
