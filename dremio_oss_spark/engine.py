@@ -1714,10 +1714,28 @@ class Engine:
             getattr(self, fn)(path).createOrReplaceTempView(view)
             return view
 
-        return re.sub(
+        query = re.sub(
             r"table\(\s*(" + "|".join(self._META_FNS) + r")\s*\(\s*"
             r"'([^']+)'\s*\)\s*\)",
             repl, query, flags=re.I)
+
+        # TABLE(table_changes('<path>', start [, end])) — Delta CDF TVF
+        # (delta-spark's table_changes; protocol "Change Data Files")
+        def repl_cdf(m: "re.Match[str]") -> str:
+            from .sources.delta import read_delta_cdf
+
+            path, start = m.group(1), int(m.group(2))
+            end = int(m.group(3)) if m.group(3) else None
+            h = abs(hash((path, start, end))) % 10**8
+            view = f"__meta_changes_{h}"
+            read_delta_cdf(self.spark, path, start,
+                           end).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"table\(\s*table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\s*\)\s*\)",
+            repl_cdf, query, flags=re.I)
 
     def _safe_equality_bindings(self, query: str, path: str) -> dict:
         """Extract `col = literal` bindings that are SAFE to prune the

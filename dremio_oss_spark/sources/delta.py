@@ -117,7 +117,7 @@ def checkpoint_delta(spark: SparkSession, table: str,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": snap.schema.json() if snap.schema else None,
             "partitionColumns": snap.partition_cols,
-            "configuration": {},
+            "configuration": snap.config,
         }},
     ]
     actions.extend(
@@ -169,7 +169,8 @@ class DeltaSnapshot:
                  partition_cols: list[str],
                  files: dict[str, dict],
                  stats: dict[str, dict] | None = None,
-                 dvs: dict[str, dict] | None = None):
+                 dvs: dict[str, dict] | None = None,
+                 config: dict | None = None):
         self.version = version
         self.schema = schema
         self.partition_cols = partition_cols
@@ -177,6 +178,8 @@ class DeltaSnapshot:
         self.stats = stats or {}  # rel path -> add.stats dict (may be sparse)
         # rel path -> deletionVector descriptor (merge-on-read deletes)
         self.dvs = dvs or {}
+        # metaData.configuration (table properties, e.g. CDF enablement)
+        self.config = config or {}
 
 
 def resolve_snapshot(spark: SparkSession, path: str,
@@ -206,11 +209,13 @@ def resolve_snapshot(spark: SparkSession, path: str,
     files: dict[str, dict] = {}
     stats: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    config: dict = {}
     for a in actions:
         if a.get("metaData"):
             md = a["metaData"]
             schema = StructType.fromJson(json.loads(md["schemaString"]))
             partition_cols = list(md.get("partitionColumns") or [])
+            config = dict(md.get("configuration") or {})
         elif a.get("add"):
             ad = a["add"]
             files[ad["path"]] = ad.get("partitionValues") or {}
@@ -228,7 +233,8 @@ def resolve_snapshot(spark: SparkSession, path: str,
             files.pop(a["remove"]["path"], None)
             stats.pop(a["remove"]["path"], None)
             dvs.pop(a["remove"]["path"], None)
-    return DeltaSnapshot(max_v, schema, partition_cols, files, stats, dvs)
+    return DeltaSnapshot(max_v, schema, partition_cols, files, stats, dvs,
+                         config)
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -669,7 +675,8 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
                 partition_by: list[str] | None = None,
                 txn: tuple[str, int] | None = None,
                 sort_by: list[str] | None = None,
-                merge_schema: bool = False) -> int:
+                merge_schema: bool = False,
+                enable_cdf: bool = False) -> int:
     """CTAS / INSERT INTO for a Delta table: stage parquet, append a
     commit to the transaction log.  Returns the committed version.
 
@@ -733,12 +740,20 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
     if version == 0 or mode == "overwrite" or merged_schema is not None:
+        # table configuration persists across metaData restatements;
+        # enable_cdf sets the protocol's CDF property
+        # (delta.enableChangeDataFeed) the way delta-spark does
+        config: dict = {}
+        if version > 0:
+            config = dict(resolve_snapshot(spark, table).config)
+        if enable_cdf:
+            config["delta.enableChangeDataFeed"] = "true"
         actions.append({"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": (merged_schema or df.schema).json(),
             "partitionColumns": partition_by,
-            "configuration": {},
+            "configuration": config,
         }})
     actions.append({"commitInfo": {
         "operation": "CREATE TABLE AS SELECT" if version == 0
@@ -783,9 +798,41 @@ def _mark_hit_files(table: str, marked: DataFrame) -> list[str]:
     )
 
 
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    return snap.config.get("delta.enableChangeDataFeed") == "true"
+
+
+def _stage_cdc(spark: SparkSession, changes: DataFrame, table: str,
+               version: int) -> list[dict]:
+    """Stage CDF rows (schema = table schema + `_change_type`) under
+    `_change_data/` and return the protocol's `cdc` actions — per
+    PROTOCOL.md "Add CDC File", readers of a commit holding ANY cdc
+    action take change rows from these files only."""
+    import glob
+    import shutil
+    import uuid
+
+    stage = os.path.join(table, "_change_data",
+                         f"_stage_{uuid.uuid4().hex[:8]}")
+    changes.write.mode("overwrite").parquet(stage)
+    out: list[dict] = []
+    for i, part in enumerate(sorted(glob.glob(
+            os.path.join(stage, "*.parquet")))):
+        rel = os.path.join(
+            "_change_data", f"cdc-{version:020d}-{i:05d}.parquet")
+        os.replace(part, os.path.join(table, rel))
+        out.append({"cdc": {"path": rel, "partitionValues": {},
+                            "size": os.path.getsize(
+                                os.path.join(table, rel)),
+                            "dataChange": False}})
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def _cow_commit(spark: SparkSession, table: str, operation: str,
                 hit_rel: list[str], rewrite, inserts: DataFrame | None,
-                data_change: bool = True) -> int:
+                data_change: bool = True,
+                changes: DataFrame | None = None) -> int:
     """Shared copy-on-write commit: re-stage `hit_rel` through
     `rewrite(hits_df)`, optionally stage `inserts` as brand-new files,
     and log removes+adds as one version.
@@ -827,6 +874,8 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
         for rel, pv in staged
         if rel not in hit_set
     )
+    if changes is not None:
+        actions.extend(_stage_cdc(spark, changes, table, version))
     version = _commit(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
@@ -848,11 +897,17 @@ def delete_from_delta(spark: SparkSession, table: str, predicate: str,
     in-memory budget every DV-aware reader already carries."""
     if mode == "merge-on-read":
         return _dv_delete(spark, table, predicate)
+    snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(table, live.where(predicate))
+    changes = None
+    if _cdf_enabled(snap):
+        changes = (live.where(predicate).drop("__file")
+                   .withColumn("_change_type", F.lit("delete")))
     return _cow_commit(
         spark, table, "DELETE", hit_rel,
-        lambda hits: hits.where(f"not ({predicate})"), None)
+        lambda hits: hits.where(f"not ({predicate})"), None,
+        changes=changes)
 
 
 def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
@@ -923,6 +978,7 @@ def update_delta(spark: SparkSession, table: str,
     Reference DML surface: dremio-oss UPDATE on Iceberg tables
     (`planner/sql/handlers/query/UpdateHandler.java`); same semantics
     here on the Delta log."""
+    snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(table, live.where(predicate))
 
@@ -935,7 +991,21 @@ def update_delta(spark: SparkSession, table: str,
                 c, F.when(cond, F.expr(e).cast(typ)).otherwise(F.col(c)))
         return out
 
-    return _cow_commit(spark, table, "UPDATE", hit_rel, rewrite, None)
+    changes = None
+    if _cdf_enabled(snap):
+        pre = live.where(predicate).drop("__file")
+        post = pre
+        types = {f.name: f.dataType for f in pre.schema.fields
+                 if f.name != "_change_type"}
+        for c, e in set_exprs.items():
+            post = post.withColumn(c, F.expr(e).cast(types[c]))
+        changes = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type",
+                                F.lit("update_postimage"))))
+    return _cow_commit(spark, table, "UPDATE", hit_rel, rewrite, None,
+                       changes=changes)
 
 
 def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
@@ -955,12 +1025,15 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     `MergeHandler` / dremio-oss DML plans.
     """
     keys = source.select(*on).distinct()
+    snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(
         table, live.join(F.broadcast(keys), on, "left_semi"))
     src_cols = [c for c in source.columns]
 
-    def rewrite(hits: DataFrame) -> DataFrame:
+    def _apply_source(hits: DataFrame) -> tuple[DataFrame, "Column"]:
+        """hits left-joined to the aliased source + the matched flag;
+        shared by the rewrite and the CDF postimage capture."""
         tgt_fields = {f.name: f.dataType for f in hits.schema.fields}
         s = source.select(
             *[F.col(c).alias(c if c in on else f"__s_{c}")
@@ -984,13 +1057,31 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
                 out_cols.append(
                     F.when(matched, val.cast(tgt_fields[c]))
                     .otherwise(F.col(c)).alias(c))
-        return joined.select(*out_cols)
+        return joined.select(*out_cols), joined, matched
+
+    def rewrite(hits: DataFrame) -> DataFrame:
+        return _apply_source(hits)[0]
 
     inserts = (
         source.join(live.select(*on).distinct(), on, "left_anti")
         if insert_not_matched else None
     )
-    return _cow_commit(spark, table, "MERGE", hit_rel, rewrite, inserts)
+    changes = None
+    if _cdf_enabled(snap):
+        pre = (live.join(F.broadcast(keys), on, "left_semi")
+               .drop("__file"))
+        post = _apply_source(pre)[0]
+        changes = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(post.withColumn(
+                "_change_type", F.lit("update_postimage"))))
+        if inserts is not None:
+            cols = [f.name for f in snap.schema.fields]
+            changes = changes.unionByName(
+                inserts.select(*cols)
+                .withColumn("_change_type", F.lit("insert")))
+    return _cow_commit(spark, table, "MERGE", hit_rel, rewrite, inserts,
+                       changes=changes)
 
 
 def _zorder_rewrite(zorder_by: list[str], n_files: int, bits: int = 16):
@@ -1076,6 +1167,74 @@ def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
                 os.remove(p)
                 removed.append(os.path.relpath(p, table))
     return sorted(removed)
+
+
+def read_delta_cdf(spark: SparkSession, table: str, start_version: int,
+                   end_version: int | None = None) -> DataFrame:
+    """Change Data Feed read (PROTOCOL.md "Change Data Files" /
+    delta-spark's table_changes): row-level changes between versions,
+    with `_change_type` and `_commit_version` columns.
+
+    Per the spec: a commit holding ANY `cdc` action yields its changes
+    from those files ONLY; a commit with no cdc action derives inserts
+    from its dataChange adds (pure appends).  DML commits written before
+    CDF was enabled carry no cdc files and cannot be reconstructed —
+    they error, exactly as delta-spark refuses CDF reads across ranges
+    where the feature was off.
+
+    Scale: the cdc/add file listing is log metadata; the changes
+    themselves read through the normal multi-path parquet scan."""
+    commits = dict(_commit_files(table))
+    if end_version is None:
+        end_version = max(commits) if commits else start_version
+    snap = resolve_snapshot(spark, table)
+    if not _cdf_enabled(snap):
+        raise ValueError(
+            f"delta.enableChangeDataFeed is not set on {table}; "
+            "write with enable_cdf=True first")
+    cdc_parts: list[tuple[str, int]] = []   # (path, version)
+    add_parts: list[tuple[str, int]] = []
+    for v in range(start_version, end_version + 1):
+        fp = commits.get(v)
+        if fp is None:
+            continue
+        with open(fp) as f:
+            actions = [json.loads(ln) for ln in f if ln.strip()]
+        cdc = [a["cdc"]["path"] for a in actions if a.get("cdc")]
+        if cdc:
+            cdc_parts += [(os.path.join(table, rel), v) for rel in cdc]
+            continue
+        adds = [a["add"]["path"] for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)]
+        removes = [a for a in actions
+                   if a.get("remove")
+                   and a["remove"].get("dataChange", True)]
+        if removes:
+            raise ValueError(
+                f"version {v} of {table} rewrote data without cdc files "
+                "(committed before CDF was enabled); narrow the range")
+        add_parts += [(os.path.join(table, rel), v) for rel in adds]
+
+    frames = []
+    for parts, ctype in ((cdc_parts, None), (add_parts, "insert")):
+        by_v: dict[int, list[str]] = {}
+        for path, v in parts:
+            by_v.setdefault(v, []).append(path)
+        for v, paths in by_v.items():
+            df = spark.read.parquet(*paths)
+            if ctype is not None:
+                df = df.withColumn("_change_type", F.lit(ctype))
+            frames.append(
+                df.withColumn("_commit_version",
+                              F.lit(v).cast("bigint")))
+    if not frames:
+        schema = (snap.schema.add("_change_type", "string")
+                  .add("_commit_version", "long") if snap.schema else None)
+        return spark.createDataFrame([], schema)
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
 
 
 def rollback_delta(spark: SparkSession, table: str, version: int) -> int:

@@ -1441,3 +1441,67 @@ def test_iceberg_sort_order_metadata_recorded(spark, tmp_path):
     v2 = int(open(os.path.join(md2, "version-hint.text")).read())
     meta2 = json.load(open(os.path.join(md2, f"v{v2}.metadata.json")))
     assert meta2["default-sort-order-id"] == 0
+
+
+def test_delta_change_data_feed(spark, tmp_path):
+    """Change Data Feed (PROTOCOL.md change data files): DML on a
+    CDF-enabled table emits cdc files with delete / update pre+post /
+    insert rows; appends derive as inserts; the table_changes TVF reads
+    a version range; pre-CDF rewrites in range error."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta,
+        merge_into_delta,
+        read_delta_cdf,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark,
+                spark.range(10).select(F.col("id").alias("k"),
+                                       (F.col("id") * 1.0).alias("v")),
+                t, enable_cdf=True)
+    write_delta(spark, spark.createDataFrame([(100, 1.0)],
+                                             "k long, v double"),
+                t, mode="append")
+    delete_from_delta(spark, t, "k >= 8 and k < 100")
+    update_delta(spark, t, {"v": "v + 0.5"}, "k < 2")
+    merge_into_delta(
+        spark, t,
+        spark.createDataFrame([(0, 9.9), (500, 5.0)], "k long, v double"),
+        on=["k"])
+
+    rows = read_delta_cdf(spark, t, 1).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["_commit_version"], r["_change_type"]), set()).add(
+            r["k"])
+    assert by[(1, "insert")] == {100}
+    assert by[(2, "delete")] == {8, 9}
+    assert by[(3, "update_preimage")] == {0, 1}
+    assert by[(3, "update_postimage")] == {0, 1}
+    assert by[(4, "insert")] == {500}
+    assert by[(4, "update_preimage")] == {0}
+    # post image carries the merged value
+    post = [r for r in rows if r["_commit_version"] == 4
+            and r["_change_type"] == "update_postimage"]
+    assert post[0]["v"] == 9.9
+
+    # range narrowing via the TVF through engine SQL
+    eng = Engine(spark)
+    n = eng.sql(
+        f"select count(*) as n from table(table_changes('{t}', 2, 2))"
+    ).first()["n"]
+    assert n == 2  # the two deletes
+
+    # a pre-CDF table errors
+    t2 = str(tmp_path / "nocdf")
+    write_delta(spark, spark.range(3).toDF("k"), t2)
+    delete_from_delta(spark, t2, "k = 1")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_cdf(spark, t2, 0)
