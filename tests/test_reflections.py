@@ -401,3 +401,67 @@ def test_find_match_prefers_cheapest_covering(spark, tmp_path):
     q2 = AggQuery("lineitem", ("l_returnflag", "l_linestatus"),
                   (Measure("sum", "l_quantity"),))
     assert store.find_match(q2).name == "wide"
+
+
+def test_cdf_incremental_refresh_handles_deletes_and_updates(spark, tmp_path):
+    """CDC-driven reflection maintenance: after DELETE/UPDATE/MERGE on a
+    CDF-enabled base table, folding signed change partials reproduces a
+    from-scratch aggregation exactly; emptied groups disappear; min/max
+    measures and count-less shapes are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import ReflectionStore
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta,
+        merge_into_delta,
+        read_delta,
+        resolve_snapshot,
+        update_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "base")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)], "k long, g long, v double")
+    write_delta(spark, df, t, enable_cdf=True)
+
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    refl = store.create_aggregation_reflection(
+        "agg", read_delta(spark, t), "base", ["g"],
+        [Measure("sum", "v"), Measure("count", "*")])
+    refl.base_version = resolve_snapshot(spark, t).version
+
+    delete_from_delta(spark, t, "g = 3")                 # empty group 3
+    update_delta(spark, t, {"v": "v + 100"}, "g = 0")
+    merge_into_delta(
+        spark, t,
+        spark.createDataFrame([(1, 1, 7.0), (900, 2, 50.0)],
+                              "k long, g long, v double"), on=["k"])
+    n = store.cdf_incremental_refresh("agg", t)
+    assert n > 0
+
+    got = {r["g"]: (float(r["sum_v"]), int(r["count_all"]))
+           for r in store.load_materialization("agg").collect()}
+    expect = {r["g"]: (float(r["s"]), int(r["c"])) for r in
+              read_delta(spark, t).groupBy("g").agg(
+                  F.sum("v").alias("s"), F.count("*").alias("c")).collect()}
+    assert got == expect
+    assert 3 not in got  # emptied group dropped
+
+    # idempotent when no new commits
+    assert store.cdf_incremental_refresh("agg", t) == 0
+
+    # contract errors
+    bad = store.create_aggregation_reflection(
+        "mm", read_delta(spark, t), "base", ["g"], [Measure("min", "v"),
+                                                    Measure("count", "*")])
+    bad.base_version = 0
+    with pytest.raises(ValueError, match="min/max"):
+        store.cdf_incremental_refresh("mm", t)
+    nocount = store.create_aggregation_reflection(
+        "nc", read_delta(spark, t), "base", ["g"], [Measure("sum", "v")])
+    nocount.base_version = 0
+    with pytest.raises(ValueError, match="COUNT"):
+        store.cdf_incremental_refresh("nc", t)
