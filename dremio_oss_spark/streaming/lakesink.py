@@ -98,6 +98,29 @@ def stream_append_iceberg(stream: DataFrame, table: str, app_id: str,
     return committed["n"]
 
 
+def stream_delta_cdf(spark: SparkSession, table: str) -> DataFrame:
+    """Streaming Change Data Feed source: tail the table's cdc files as
+    they land (delta-spark's readChangeFeed in streaming mode).
+
+    The file source checkpoints which cdc files it has consumed, so a
+    downstream CDC pipeline (the natural feed for cdf_incremental_refresh
+    or an upsert sink on another table) resumes exactly where it left
+    off.  Pure appends emit no cdc files — an append-heavy CDC consumer
+    pairs this with the add-derived inserts of batch read_delta_cdf."""
+    from ..sources.delta import resolve_snapshot
+
+    snap = resolve_snapshot(spark, table)
+    if snap.config.get("delta.enableChangeDataFeed") != "true":
+        raise ValueError(
+            f"delta.enableChangeDataFeed is not set on {table}")
+    cdc_dir = os.path.join(table, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    schema = snap.schema.add("_change_type", "string")
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "cdc-*.parquet")
+            .parquet(cdc_dir))
+
+
 def stream_upsert_delta(stream: DataFrame, table: str, keys: list[str],
                         checkpoint: str) -> int:
     """Streaming UPSERT sink: foreachBatch MERGE INTO the Delta table on

@@ -256,3 +256,52 @@ def test_delta_upsert_sink_idempotent_merge(spark, tmp_path):
     assert stream_upsert_delta(stream(), table, ["k"], ckpt) == 1
     cur = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
     assert cur == {1: "x", 2: "y2", 3: "z"}
+
+
+def test_stream_delta_cdf_tails_changes(spark, tmp_path):
+    """Streaming CDF source: each drain picks up exactly the cdc rows
+    committed since the last checkpointed offset."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+    from dremio_oss_spark.streaming.lakesink import stream_delta_cdf
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(spark,
+                spark.range(10).select(F.col("id").alias("k"),
+                                       (F.col("id") * 1.0).alias("v")),
+                t, enable_cdf=True)
+
+    def drain():
+        got: list = []
+
+        def sink(batch_df, _bid):
+            got.extend(batch_df.collect())
+
+        q = (stream_delta_cdf(spark, t).writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return got
+
+    delete_from_delta(spark, t, "k >= 8")
+    out1 = drain()
+    assert {r["_change_type"] for r in out1} == {"delete"}
+    assert len(out1) == 2
+
+    update_delta(spark, t, {"v": "v + 1"}, "k = 0")
+    out2 = drain()  # same checkpoint: only the NEW cdc rows
+    assert sorted(r["_change_type"] for r in out2) == [
+        "update_postimage", "update_preimage"]
+
+    import pytest
+
+    t2 = str(tmp_path / "plain")
+    write_delta(spark, spark.range(3).toDF("k"), t2)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        stream_delta_cdf(spark, t2)
