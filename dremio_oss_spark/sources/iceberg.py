@@ -283,6 +283,88 @@ def read_iceberg(spark: SparkSession, table: str,
     return _apply_equality_deletes(spark, df, snap)
 
 
+def read_iceberg_changes(spark: SparkSession, table: str,
+                         from_snapshot: int,
+                         to_snapshot: int | None = None) -> DataFrame:
+    """Row-level changelog between snapshots (Iceberg's changelog scan,
+    derived from the snapshot diff + delete files): appends emit
+    `insert` rows; merge-on-read positional/equality delete files added
+    in the range emit `delete` rows with the deleted values recovered
+    (positions join back through `_metadata.row_index`; equality keys
+    semi-join the range-start snapshot); copy-on-write rewrites emit
+    the removed files as deletes and the added files as inserts
+    (carryover rows appear on both sides — the documented behavior of
+    changelog scans without row-lineage tracking).
+
+    Scale: everything reads through normal multi-path parquet scans of
+    ONLY the files that changed in the range; delete files broadcast."""
+    from .delta import _scan_with_partition_values
+
+    sfrom = resolve_snapshot(table, from_snapshot)
+    sto = resolve_snapshot(table, to_snapshot)
+    rp = os.path.realpath
+    before = {rp(p) for p, _ in sfrom.files}
+    after = {rp(p) for p, _ in sto.files}
+    new_files = {p: pv for p, pv in sto.files if rp(p) not in before}
+    removed = {p: pv for p, pv in sfrom.files if rp(p) not in after}
+
+    def _tag(df: DataFrame, ctype: str) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(ctype))
+
+    frames: list[DataFrame] = []
+    if new_files:
+        frames.append(_tag(_scan_with_partition_values(
+            spark, table, sto.schema, sto.partition_cols, new_files),
+            "insert"))
+    if removed:
+        # rows live at range start inside files a COW rewrite dropped
+        has_pos = bool(sfrom.pos_deletes)
+        dd = _scan_with_partition_values(
+            spark, table, sfrom.schema, sfrom.partition_cols, removed,
+            keep_file=has_pos, keep_pos=has_pos)
+        dd = _apply_position_deletes(spark, dd, sfrom)
+        dd = _apply_equality_deletes(spark, dd, sfrom)
+        frames.append(_tag(dd, "delete"))
+    new_pos = [p for p in sto.pos_deletes
+               if rp(p) not in {rp(q) for q in sfrom.pos_deletes}]
+    if new_pos:
+        dels = (spark.read.parquet(*new_pos)
+                .select(F.element_at(F.split("file_path", "/"), -1)
+                        .alias("__del_base"),
+                        F.col("pos").alias("__pos")).distinct())
+        hit_bases = {r["__del_base"] for r in dels.select("__del_base")
+                     .distinct().collect()}
+        target = {p: pv for p, pv in sto.files
+                  if os.path.basename(p) in hit_bases}
+        if target:
+            rows = _scan_with_partition_values(
+                spark, table, sto.schema, sto.partition_cols, target,
+                keep_file=True, keep_pos=True)
+            rows = (rows.withColumn(
+                        "__del_base",
+                        F.element_at(F.split("__file", "/"), -1))
+                    .join(F.broadcast(dels), ["__del_base", "__pos"],
+                          "left_semi")
+                    .drop("__del_base", "__file", "__pos"))
+            frames.append(_tag(rows, "delete"))
+    old_eq = {rp(p) for p, _ in sfrom.deletes}
+    new_eq = [(p, cols) for p, cols in sto.deletes if rp(p) not in old_eq]
+    if new_eq:
+        prior = read_iceberg(spark, table, snapshot_id=sfrom.snapshot_id)
+        for p, cols in new_eq:
+            keys = spark.read.parquet(p).select(*cols).distinct()
+            frames.append(_tag(
+                prior.join(F.broadcast(keys), list(cols), "left_semi"),
+                "delete"))
+    if not frames:
+        return spark.createDataFrame(
+            [], sto.schema.add("_change_type", "string"))
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
+
+
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
                             snap: "IcebergSnapshot") -> DataFrame:
     """Merge-on-read position deletes (spec content=1): the scan carries

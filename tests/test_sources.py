@@ -1505,3 +1505,49 @@ def test_delta_change_data_feed(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="enableChangeDataFeed"):
         read_delta_cdf(spark, t2, 0)
+
+
+def test_iceberg_changelog_between_snapshots(spark, tmp_path):
+    """read_iceberg_changes: appends emit inserts; MOR positional and
+    equality deletes emit delete rows with recovered values; COW
+    rewrites emit removed-file deletes + added-file inserts."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg,
+        read_iceberg_changes,
+        resolve_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark,
+                  spark.range(10).select(F.col("id").alias("k"),
+                                         (F.col("id") * 1.0).alias("v")),
+                  t)
+    s0 = resolve_snapshot(t).snapshot_id
+
+    write_iceberg(spark, spark.createDataFrame([(100, 1.0)],
+                                               "k long, v double"),
+                  t, mode="append")
+    s1 = resolve_snapshot(t).snapshot_id
+    ch1 = read_iceberg_changes(spark, t, s0, s1).collect()
+    assert {r["_change_type"] for r in ch1} == {"insert"}
+    assert {r["k"] for r in ch1} == {100}
+
+    delete_from_iceberg(spark, t, "k >= 8 and k < 100",
+                        mode="merge-on-read")
+    s2 = resolve_snapshot(t).snapshot_id
+    ch2 = read_iceberg_changes(spark, t, s1, s2).collect()
+    dels = {r["k"] for r in ch2 if r["_change_type"] == "delete"}
+    assert dels == {8, 9}
+
+    # COW delete rewrites hit files: removed rows show as deletes and
+    # surviving rewritten rows appear on both sides (carryover contract)
+    delete_from_iceberg(spark, t, "k = 0")
+    s3 = resolve_snapshot(t).snapshot_id
+    ch3 = read_iceberg_changes(spark, t, s2, s3).collect()
+    deleted = {r["k"] for r in ch3 if r["_change_type"] == "delete"}
+    inserted = {r["k"] for r in ch3 if r["_change_type"] == "insert"}
+    assert 0 in deleted
+    assert 0 not in inserted  # the dropped row never reappears
