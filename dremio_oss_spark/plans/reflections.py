@@ -513,6 +513,37 @@ class ReflectionStore:
         from ..sources.delta import read_delta_cdf, resolve_snapshot
 
         refl = self._reflections[refl_name]
+        self._check_signable(refl)
+        head = resolve_snapshot(self.spark, table_path).version
+        start = int(refl.base_version or 0) + 1
+        if start > head:
+            return 0
+        ch = read_delta_cdf(self.spark, table_path, start, head)
+        return self._fold_signed_changes(refl, ch, head)
+
+    def changelog_incremental_refresh(self, refl_name: str,
+                                      table_path: str) -> int:
+        """Iceberg twin of cdf_incremental_refresh, fed by the
+        changelog scan: inserts add, deletes subtract.  COW carryover
+        rows (the same row emitted as delete AND insert) cancel exactly
+        in the signed fold, so the maintenance stays correct without
+        row lineage.  Same SUM/COUNT-only contract."""
+        from ..sources.iceberg import read_iceberg_changes, resolve_snapshot
+
+        refl = self._reflections[refl_name]
+        self._check_signable(refl)
+        head = resolve_snapshot(table_path).snapshot_id
+        start = refl.base_version
+        if start is None:
+            raise ValueError("set refl.base_version to the snapshot the "
+                             "materialization was built at")
+        if int(start) == head:
+            return 0
+        ch = read_iceberg_changes(self.spark, table_path, int(start), head)
+        return self._fold_signed_changes(refl, ch, head)
+
+    @staticmethod
+    def _check_signable(refl: Reflection) -> None:
         kinds = {m.kind for m in refl.measures}
         if kinds & {"min", "max"}:
             raise ValueError(
@@ -523,11 +554,9 @@ class ReflectionStore:
             raise ValueError(
                 "CDF refresh needs a COUNT measure to detect groups "
                 "whose rows were all deleted")
-        head = resolve_snapshot(self.spark, table_path).version
-        start = int(refl.base_version or 0) + 1
-        if start > head:
-            return 0
-        ch = read_delta_cdf(self.spark, table_path, start, head)
+
+    def _fold_signed_changes(self, refl: Reflection, ch: DataFrame,
+                             head) -> int:
         for f in refl.filters:
             ch = ch.where(f)
         n_changes = ch.count()

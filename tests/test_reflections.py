@@ -465,3 +465,47 @@ def test_cdf_incremental_refresh_handles_deletes_and_updates(spark, tmp_path):
     nocount.base_version = 0
     with pytest.raises(ValueError, match="COUNT"):
         store.cdf_incremental_refresh("nc", t)
+
+
+def test_changelog_incremental_refresh_iceberg(spark, tmp_path):
+    """Iceberg CDC maintenance: the signed fold over the changelog scan
+    reproduces a from-scratch aggregate after MOR and COW deletes —
+    carryover delete+insert pairs from COW rewrites cancel exactly."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import ReflectionStore
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg,
+        read_iceberg,
+        resolve_snapshot,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "base")
+    write_iceberg(spark,
+                  spark.createDataFrame(
+                      [(i, i % 4, float(i)) for i in range(40)],
+                      "k long, g long, v double"), t)
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    refl = store.create_aggregation_reflection(
+        "agg", read_iceberg(spark, t), "base", ["g"],
+        [Measure("sum", "v"), Measure("count", "*")])
+    refl.base_version = resolve_snapshot(t).snapshot_id
+
+    write_iceberg(spark, spark.createDataFrame([(900, 2, 50.0)],
+                                               "k long, g long, v double"),
+                  t, mode="append")
+    delete_from_iceberg(spark, t, "g = 3", mode="merge-on-read")
+    delete_from_iceberg(spark, t, "k = 0")  # COW rewrite with carryovers
+
+    n = store.changelog_incremental_refresh("agg", t)
+    assert n > 0
+    got = {r["g"]: (float(r["sum_v"]), int(r["count_all"]))
+           for r in store.load_materialization("agg").collect()}
+    expect = {r["g"]: (float(r["s"]), int(r["c"])) for r in
+              read_iceberg(spark, t).groupBy("g").agg(
+                  F.sum("v").alias("s"), F.count("*").alias("c")).collect()}
+    assert got == expect
+    assert 3 not in got
+    assert store.changelog_incremental_refresh("agg", t) == 0
