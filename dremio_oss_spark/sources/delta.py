@@ -736,9 +736,17 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
 
     actions: list[dict] = []
     if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        # protocol versions/feature flags per PROTOCOL.md: CDF needs
+        # writer v4 (changeDataFeed table feature under v7 semantics);
+        # plain tables stay at the classic 1/2 floor
+        if enable_cdf:
+            actions.append({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 4}})
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}}
+            )
     if version == 0 or mode == "overwrite" or merged_schema is not None:
         # table configuration persists across metaData restatements;
         # enable_cdf sets the protocol's CDF property
@@ -918,6 +926,12 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
     from .roaring import encode_rbm_array
 
     snap = resolve_snapshot(spark, table)
+    protocol_bump = ([] if snap.dvs else [{
+        # first DV on this table: declare the deletionVectors table
+        # feature (PROTOCOL.md reader v3 / writer v7 feature lists)
+        "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["deletionVectors"],
+                     "writerFeatures": ["deletionVectors"]}}])
     live = _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols, snap.files,
         keep_file=True, keep_pos=True)
@@ -953,7 +967,7 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
                       "cardinality": None}
     with open(os.path.join(table, dv_rel), "wb") as f:
         f.write(bytes(buf))
-    actions: list[dict] = [
+    actions: list[dict] = protocol_bump + [
         {"commitInfo": {"operation": "DELETE", "timestamp": _commit_ts()}}
     ]
     for rel in sorted(blobs):

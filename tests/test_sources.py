@@ -1551,3 +1551,41 @@ def test_iceberg_changelog_between_snapshots(spark, tmp_path):
     inserted = {r["k"] for r in ch3 if r["_change_type"] == "insert"}
     assert 0 in deleted
     assert 0 not in inserted  # the dropped row never reappears
+
+
+def test_delta_protocol_feature_flags(spark, tmp_path):
+    """PROTOCOL.md versions: CDF tables declare writer v4; the first
+    deletion vector bumps to reader 3 / writer 7 with the
+    deletionVectors feature lists."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import delete_from_delta, write_delta
+
+    def protocols(t):
+        out = []
+        log = os.path.join(t, "_delta_log")
+        for fn in sorted(os.listdir(log)):
+            if fn.endswith(".json"):
+                for ln in open(os.path.join(log, fn)):
+                    a = json.loads(ln) if ln.strip() else {}
+                    if a.get("protocol"):
+                        out.append(a["protocol"])
+        return out
+
+    t = str(tmp_path / "cdf")
+    write_delta(spark, spark.range(5).toDF("k"), t, enable_cdf=True)
+    assert protocols(t)[0]["minWriterVersion"] == 4
+
+    t2 = str(tmp_path / "dv")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t2)
+    assert protocols(t2)[0]["minWriterVersion"] == 2
+    delete_from_delta(spark, t2, "k < 2", mode="merge-on-read")
+    last = protocols(t2)[-1]
+    assert last["minReaderVersion"] == 3
+    assert "deletionVectors" in last["readerFeatures"]
+    # a second DV commit does not restate the protocol
+    delete_from_delta(spark, t2, "k = 5", mode="merge-on-read")
+    assert len(protocols(t2)) == 2
