@@ -1173,7 +1173,10 @@ def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
             for rel in snap.files}
     removed: list[str] = []
     for root, dirs, files in os.walk(table):
-        if _LOG_DIR in root:
+        # never vacuum the log or the change feed: cdc files are not
+        # live DATA files but ARE the CDF history (delta-spark retains
+        # them on the same retention clock as the log, not the live set)
+        if _LOG_DIR in root or "_change_data" in root:
             continue
         for fn in files:
             p = os.path.join(root, fn)

@@ -1589,3 +1589,26 @@ def test_delta_protocol_feature_flags(spark, tmp_path):
     # a second DV commit does not restate the protocol
     delete_from_delta(spark, t2, "k = 5", mode="merge-on-read")
     assert len(protocols(t2)) == 2
+
+
+def test_vacuum_preserves_change_feed(spark, tmp_path):
+    """VACUUM removes unreferenced data files but never the change
+    feed: cdc files are CDF history, not live-set members."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta,
+        read_delta_cdf,
+        vacuum_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t,
+                enable_cdf=True)
+    delete_from_delta(spark, t, "k >= 8")  # COW rewrite + cdc file
+    removed = vacuum_delta(spark, t)
+    assert removed  # the rewritten originals went away
+    assert not any("_change_data" in r for r in removed)
+    # the feed still reads after vacuum
+    assert {r["k"] for r in read_delta_cdf(spark, t, 1).collect()} == {8, 9}
