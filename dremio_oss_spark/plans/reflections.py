@@ -515,7 +515,13 @@ class ReflectionStore:
         refl = self._reflections[refl_name]
         self._check_signable(refl)
         head = resolve_snapshot(self.spark, table_path).version
-        start = int(refl.base_version or 0) + 1
+        if refl.base_version is None:
+            # Folding from version 0 would re-apply the table's entire
+            # change history on top of an already-built materialization,
+            # double-counting every group (same guard as the Iceberg twin).
+            raise ValueError("set refl.base_version to the Delta version the "
+                             "materialization was built at")
+        start = int(refl.base_version) + 1
         if start > head:
             return 0
         ch = read_delta_cdf(self.spark, table_path, start, head)
@@ -717,7 +723,13 @@ class ReflectionStore:
             # substituted scan prunes whole directories (PartitionFilters
             # in the plan), not just row groups
             for c in getattr(refl, "partition_by", ()):
-                m2 = re.match(rf"\s*{re.escape(c)}\s*=\s*(.+)$", f.strip())
+                # Only re-filter when the WHOLE predicate is a single
+                # equality against a literal/identifier — a greedy match on
+                # a compound filter ("region = 'EU' AND x > 3") would hand
+                # F.expr a non-expression and fail analysis (or mis-prune).
+                m2 = re.match(
+                    rf"\s*{re.escape(c)}\s*=\s*('[^']*'|[\w.]+)\s*$",
+                    f.strip())
                 if m2 and f"__p_{c}" in helpers:
                     mat = mat.where(
                         F.col(f"__p_{c}") == F.expr(m2.group(1)))

@@ -111,7 +111,12 @@ def checkpoint_delta(spark: SparkSession, table: str,
     snap = resolve_snapshot(spark, table, version)
     v = snap.version
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        # re-emit the table's ACTUAL protocol (tracked through replay) —
+        # a hardcoded 1/2 floor would downgrade CDF (writer 4) and
+        # deletionVectors (3/7 + feature lists) tables at the first
+        # checkpoint while the adds still carry DV descriptors, an
+        # inconsistent state per PROTOCOL.md
+        {"protocol": dict(snap.protocol)},
         {"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},
@@ -170,7 +175,8 @@ class DeltaSnapshot:
                  files: dict[str, dict],
                  stats: dict[str, dict] | None = None,
                  dvs: dict[str, dict] | None = None,
-                 config: dict | None = None):
+                 config: dict | None = None,
+                 protocol: dict | None = None):
         self.version = version
         self.schema = schema
         self.partition_cols = partition_cols
@@ -180,6 +186,10 @@ class DeltaSnapshot:
         self.dvs = dvs or {}
         # metaData.configuration (table properties, e.g. CDF enablement)
         self.config = config or {}
+        # latest protocol action (reader/writer versions + feature lists);
+        # the classic floor when the log predates protocol tracking
+        self.protocol = protocol or {"minReaderVersion": 1,
+                                     "minWriterVersion": 2}
 
 
 def resolve_snapshot(spark: SparkSession, path: str,
@@ -210,7 +220,11 @@ def resolve_snapshot(spark: SparkSession, path: str,
     stats: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     config: dict = {}
+    protocol: dict | None = None
     for a in actions:
+        if a.get("protocol"):
+            protocol = {k: v for k, v in a["protocol"].items()
+                        if v is not None}
         if a.get("metaData"):
             md = a["metaData"]
             schema = StructType.fromJson(json.loads(md["schemaString"]))
@@ -234,7 +248,7 @@ def resolve_snapshot(spark: SparkSession, path: str,
             stats.pop(a["remove"]["path"], None)
             dvs.pop(a["remove"]["path"], None)
     return DeltaSnapshot(max_v, schema, partition_cols, files, stats, dvs,
-                         config)
+                         config, protocol)
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -588,11 +602,15 @@ def _commit(table: str, version: int, actions: list[dict]) -> int:
     """Optimistic-concurrency commit: atomically claim `<version>.json`
     with O_CREAT|O_EXCL — exactly the putIfAbsent the Delta protocol
     requires of its log store.  On a lost race, a blind append (adds
-    only, no removes / metaData / protocol) rebases onto the next
-    version and retries — its staged files carry unique names, so no
-    re-stage is needed; anything that read table state (overwrite, COW
-    DML, OPTIMIZE) raises ConcurrentWriteError for the caller to re-plan
-    against the new snapshot.  Returns the version actually committed."""
+    only, no removes / metaData / protocol) inspects the winning
+    commit(s) first: if any restated metaData or protocol, the append's
+    staged parquet may carry a stale schema, so it raises (Delta's
+    ConcurrentMetadataChangedException) instead of rebasing; otherwise
+    it rebases onto the next version and retries — its staged files
+    carry unique names, so no re-stage is needed.  Anything that read
+    table state (overwrite, COW DML, OPTIMIZE) raises
+    ConcurrentWriteError for the caller to re-plan against the new
+    snapshot.  Returns the version actually committed."""
     log = os.path.join(table, _LOG_DIR)
     os.makedirs(log, exist_ok=True)
     blind_append = all(
@@ -608,11 +626,36 @@ def _commit(table: str, version: int, actions: list[dict]) -> int:
                 raise ConcurrentWriteError(
                     f"version {version} of {table} was committed by a "
                     "concurrent writer; re-read the table and retry")
+            with open(p) as fh:
+                winner = [json.loads(ln) for ln in fh if ln.strip()]
+            if any(a.get("metaData") or a.get("protocol") for a in winner):
+                raise ConcurrentWriteError(
+                    f"version {version} of {table} changed table metadata "
+                    "or protocol; the append's staged files may carry a "
+                    "stale schema — re-read the table and retry")
             version += 1
             continue
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
         return version
+
+
+def _commit_with_cdc_cleanup(table: str, version: int,
+                             actions: list[dict]) -> int:
+    """_commit, but on a lost race delete any cdc files this transaction
+    staged under `_change_data/` — a failed commit must not leave change
+    files for `stream_delta_cdf` to serve as never-committed changes."""
+    try:
+        return _commit(table, version, actions)
+    except ConcurrentWriteError:
+        for a in actions:
+            cdc = a.get("cdc")
+            if cdc:
+                try:
+                    os.remove(os.path.join(table, cdc["path"]))
+                except OSError:
+                    pass
+        raise
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
@@ -884,7 +927,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     )
     if changes is not None:
         actions.extend(_stage_cdc(spark, changes, table, version))
-    version = _commit(table, version, actions)
+    version = _commit_with_cdc_cleanup(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
 
@@ -926,12 +969,19 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
     from .roaring import encode_rbm_array
 
     snap = resolve_snapshot(spark, table)
+    # first DV on this table: declare the deletionVectors table feature
+    # (PROTOCOL.md reader v3 / writer v7 feature lists).  The v7 feature
+    # list must carry EVERY feature in use, so a CDF-enabled table keeps
+    # its changeDataFeed declaration through the bump.
+    writer_feats = ["deletionVectors"]
+    prev_feats = set(snap.protocol.get("writerFeatures") or [])
+    if _cdf_enabled(snap) or "changeDataFeed" in prev_feats:
+        writer_feats.append("changeDataFeed")
     protocol_bump = ([] if snap.dvs else [{
-        # first DV on this table: declare the deletionVectors table
-        # feature (PROTOCOL.md reader v3 / writer v7 feature lists)
         "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                      "readerFeatures": ["deletionVectors"],
-                     "writerFeatures": ["deletionVectors"]}}])
+                     "writerFeatures": sorted(set(writer_feats)
+                                              | prev_feats)}}])
     live = _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols, snap.files,
         keep_file=True, keep_pos=True)
@@ -979,7 +1029,15 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
                                    "dataChange": True}})
         actions.append(_add_action(rel, snap.files[rel], version,
                                    snap.stats, dv=descs[rel]))
-    version = _commit(table, version, actions)
+    if _cdf_enabled(snap):
+        # a MOR delete is still a data change: stage the deleted rows as
+        # cdc files (delta-spark does the same), else any CDF read over
+        # this commit raises and CDC consumers are broken for the range
+        table_cols = [f.name for f in snap.schema.fields]
+        changes = (live.where(predicate).select(*table_cols)
+                   .withColumn("_change_type", F.lit("delete")))
+        actions.extend(_stage_cdc(spark, changes, table, version))
+    version = _commit_with_cdc_cleanup(table, version, actions)
     _maybe_checkpoint(spark, table, version)
     return version
 

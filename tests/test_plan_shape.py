@@ -331,3 +331,22 @@ def test_partitioned_reflection_substitution_prunes_dirs(spark, tmp_path):
         F.sum("l_quantity").alias("s")).collect()
     assert len(rows) == 1
     assert abs(float(rows[0]["sum_l_quantity"]) - float(base[0]["s"])) < 1e-6
+
+    # A compound filter whose first conjunct is a partitioned-dim equality
+    # must not be fed to the __p_ re-filter (greedy capture would produce
+    # F.expr("'A' AND l_linestatus = 'F'") and fail analysis) — it still
+    # runs and returns the right values, just without directory pruning.
+    store.create_aggregation_reflection(
+        "li_p2", li, "lineitem", ["l_returnflag", "l_linestatus"],
+        [Measure("sum", "l_quantity")], partition_by=["l_returnflag"])
+    q2 = AggQuery("lineitem", ("l_returnflag",),
+                  (Measure("sum", "l_quantity"),),
+                  filters=("l_returnflag = 'A' AND l_linestatus = 'F'",))
+    df2, sub2 = store.execute(q2, li)
+    assert sub2
+    rows2 = df2.collect()
+    base2 = li.where("l_returnflag = 'A' AND l_linestatus = 'F'").groupBy(
+        "l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    assert len(rows2) == 1
+    assert abs(float(rows2[0]["sum_l_quantity"]) -
+               float(base2[0]["s"])) < 1e-6

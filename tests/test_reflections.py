@@ -453,6 +453,14 @@ def test_cdf_incremental_refresh_handles_deletes_and_updates(spark, tmp_path):
     # idempotent when no new commits
     assert store.cdf_incremental_refresh("agg", t) == 0
 
+    # unset base_version must raise, not silently re-fold history from v0
+    unset = store.create_aggregation_reflection(
+        "unset", read_delta(spark, t), "base", ["g"],
+        [Measure("sum", "v"), Measure("count", "*")])
+    assert unset.base_version is None
+    with pytest.raises(ValueError, match="base_version"):
+        store.cdf_incremental_refresh("unset", t)
+
     # contract errors
     bad = store.create_aggregation_reflection(
         "mm", read_delta(spark, t), "base", ["g"], [Measure("min", "v"),

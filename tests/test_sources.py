@@ -1612,3 +1612,147 @@ def test_vacuum_preserves_change_feed(spark, tmp_path):
     assert not any("_change_data" in r for r in removed)
     # the feed still reads after vacuum
     assert {r["k"] for r in read_delta_cdf(spark, t, 1).collect()} == {8, 9}
+
+
+def test_delta_dv_delete_emits_cdc_on_cdf_table(spark, tmp_path):
+    """A merge-on-read DELETE on a CDF-enabled table must stage the
+    deleted rows as cdc files (delta-spark does) so the change feed
+    stays readable over that commit, and its protocol bump to (3,7)
+    must keep the changeDataFeed writer feature."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, read_delta, read_delta_cdf, resolve_snapshot,
+        write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")), t,
+        enable_cdf=True)
+    v = delete_from_delta(spark, t, "k >= 15", mode="merge-on-read")
+    assert read_delta(spark, t).count() == 15
+
+    ch = read_delta_cdf(spark, t, v, v)
+    got = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(k, "delete") for k in range(15, 20)}
+
+    proto = resolve_snapshot(spark, t).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert "changeDataFeed" in proto["writerFeatures"]
+
+    # the cdc action is in the same commit as the DV re-add
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    assert any(a.get("cdc") for a in acts)
+
+
+def test_delta_checkpoint_preserves_protocol(spark, tmp_path):
+    """checkpoint_delta must re-emit the table's actual protocol, not a
+    hardcoded 1/2 floor — otherwise the first checkpoint downgrades CDF
+    and deletion-vector feature declarations while its add actions still
+    carry DV descriptors."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        checkpoint_delta, delete_from_delta, read_delta, resolve_snapshot,
+        write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")), t,
+        enable_cdf=True)
+    delete_from_delta(spark, t, "k >= 25", mode="merge-on-read")
+    checkpoint_delta(spark, t)
+
+    # post-checkpoint replay starts FROM the checkpoint: the protocol it
+    # resolves is whatever the checkpoint recorded
+    snap = resolve_snapshot(spark, t)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert snap.protocol["minWriterVersion"] == 7
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert "changeDataFeed" in snap.protocol["writerFeatures"]
+    assert read_delta(spark, t).count() == 25  # DVs still applied
+
+    # plain CDF table (no DVs): writer v4 survives the checkpoint
+    t2 = str(tmp_path / "t2")
+    write_delta(spark, spark.range(5).toDF("k"), t2, enable_cdf=True)
+    checkpoint_delta(spark, t2)
+    assert resolve_snapshot(spark, t2).protocol["minWriterVersion"] == 4
+
+
+def test_delta_append_race_metadata_change_raises(spark, tmp_path):
+    """A blind append that loses its commit race must inspect the
+    winning commit: if it restated metaData or protocol the append's
+    staged files may carry a stale schema — raise instead of rebasing.
+    A race against a plain add commit still rebases."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        ConcurrentWriteError, _commit, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t)
+    log = os.path.join(t, "_delta_log")
+
+    # winner at v1 restates metaData (schema-changing overwrite)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"metaData": {"schemaString": "{}"}}) + "\n")
+    blind = [{"add": {"path": "x.parquet", "partitionValues": {},
+                      "dataChange": True}},
+             {"commitInfo": {"operation": "WRITE", "timestamp": 0}}]
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        _commit(t, 1, blind)
+
+    # plain-add winner: the blind append rebases past it
+    t2 = str(tmp_path / "t2")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t2)
+    log2 = os.path.join(t2, "_delta_log")
+    with open(os.path.join(log2, f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"add": {"path": "w.parquet",
+                                     "partitionValues": {},
+                                     "dataChange": True}}) + "\n")
+    assert _commit(t2, 1, blind) == 2
+
+
+def test_delta_lost_race_cleans_staged_cdc(spark, tmp_path):
+    """A transaction that staged cdc files and then loses its commit
+    race must delete them — orphaned change files would be served by
+    the CDF tail as never-committed changes."""
+    import json as _json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        ConcurrentWriteError, _commit_with_cdc_cleanup, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t,
+                enable_cdf=True)
+    # stage a fake cdc file the way a losing COW DELETE would have
+    os.makedirs(os.path.join(t, "_change_data"), exist_ok=True)
+    cdc_rel = os.path.join("_change_data", "cdc-00000000000000000001-0.parquet")
+    with open(os.path.join(t, cdc_rel), "wb") as f:
+        f.write(b"stub")
+    # occupy v1 so the (non-blind: carries a remove) commit loses
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(_json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    actions = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": 0}},
+        {"remove": {"path": "gone.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"cdc": {"path": cdc_rel, "partitionValues": {}, "size": 4,
+                 "dataChange": False}},
+    ]
+    with pytest.raises(ConcurrentWriteError):
+        _commit_with_cdc_cleanup(t, 1, actions)
+    assert not os.path.exists(os.path.join(t, cdc_rel))
