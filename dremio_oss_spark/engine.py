@@ -662,21 +662,36 @@ class Engine:
             r"aggregate\s+reflection\s+(\w+)\s+using\s+"
             r"dimensions\s*\(([^)]*)\)\s*"
             r"measures\s*\((.*?)\)\s*"
+            r"(?:joins\s*\(([^)]*)\)\s*)?"
             r"(?:partition\s+by\s*\(([^)]*)\)\s*)?"
             r"(?:localsort\s+by\s*\(([^)]*)\)\s*)?$",
             query, re.I | re.S)
         if m:
-            t, name, dim_s, meas_s, part_s, sort_s = m.groups()
+            t, name, dim_s, meas_s, join_s, part_s, sort_s = m.groups()
             dims = [d.strip() for d in dim_s.split(",") if d.strip()]
             measures = []
             for part in re.findall(r"(\w+)\s*\(([^)]*)\)", meas_s):
                 col, fns = part
                 for fn in fns.split(","):
                     measures.append(Measure(fn.strip().lower(), col))
+            # star edges: JOINS (dim_table ON fact_key = dim_key, ...) —
+            # the DDL form of the star reflection the API accepts, so a
+            # SQL-only user can materialize fact ⋈ dim rollups
+            joins = None
+            dim_sources = None
+            if join_s:
+                from .plans import JoinSpec
+
+                joins, dim_sources = [], {}
+                for jm in re.finditer(
+                        r"([\w.]+)\s+on\s+(\w+)\s*=\s*(\w+)", join_s, re.I):
+                    dim_t, fk, dk = jm.groups()
+                    joins.append(JoinSpec(dim_t, fk, dk))
+                    dim_sources[dim_t] = self._resolve_table(dim_t)
             store = self._default_refl_store()
             store.create_aggregation_reflection(
                 name, self._resolve_table(t), table=t, dims=dims,
-                measures=measures,
+                measures=measures, joins=joins, dim_sources=dim_sources,
                 partition_by=[c.strip() for c in part_s.split(",")
                               if c.strip()] if part_s else None,
                 sort_by=[c.strip() for c in sort_s.split(",")
@@ -684,7 +699,8 @@ class Engine:
             return self._status(
                 "CREATE AGGREGATE REFLECTION",
                 f"{name} on {t}: {len(dims)} dims, "
-                f"{len(measures)} measures")
+                f"{len(measures)} measures"
+                + (f", {len(joins)} star edges" if joins else ""))
         m = re.match(
             r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
             r"raw\s+reflection\s+(\w+)\s+using\s+display\s*\(([^)]*)\)"
@@ -1541,18 +1557,31 @@ class Engine:
         return None
 
     def _try_accelerate(self, query: str) -> DataFrame | None:
-        """Transparent reflection substitution for plain SQL aggregates
-        (the reference's core acceleration UX: SubstitutionProvider
-        matches the user's query tree and answers from a materialization
-        without the user naming it).  Conservatively matches
-        `SELECT dims+aggs FROM t [WHERE conj] GROUP BY dims [ORDER BY]`;
-        anything outside the fragment — or with no covering reflection —
-        falls through to normal planning.  `last_plan_accelerated`
-        records the reflection used (None when not accelerated)."""
+        """Transparent reflection substitution for plain SQL (the
+        reference's core acceleration UX: SubstitutionProvider matches
+        the user's query tree and answers from a materialization without
+        the user naming it).  Two matchers run in order:
+
+        1. **Plan-tree** (`plans/substitution.py`): the query's ANALYZED
+           Spark logical plan — views already expanded — is canonicalized
+           to the AggQuery IR, so join queries and VDS-over-join queries
+           substitute (the reference's tree-level
+           `SubstitutionProvider.java:40` with normalization per
+           `PlannerPhase.java:145-169`).
+        2. **Regex fragment** fallback for single-table aggregates whose
+           FROM target isn't Spark-resolvable (reflection-only names).
+
+        Anything outside both fragments — or with no covering
+        reflection — falls through to normal planning.
+        `last_plan_accelerated` records the reflection used (None when
+        not accelerated)."""
         self.last_plan_accelerated = None
         store = getattr(self, "_refl_store", None)
         if store is None or not store._reflections:
             return None
+        df = self._plan_tree_accelerate(query)
+        if df is not None:
+            return df
         from .plans import AggQuery, Measure
         from .plans.reflections import parse_pred
 
@@ -1614,6 +1643,38 @@ class Engine:
         if ob:
             df = df.orderBy(*[c.strip() for c in ob.split(",")])
         self.last_plan_accelerated = refl.name
+        return df
+
+    def _plan_tree_accelerate(self, query: str) -> DataFrame | None:
+        """Tree-level substitution: analyze the SQL through Spark (views
+        expand here, exactly the reference's pre-substitution
+        normalization), canonicalize the logical plan, and answer from a
+        covering reflection.  Only SELECT/WITH statements are analyzed —
+        Spark executes commands (INSERT/CTAS) eagerly on `sql()`, and a
+        probe must never have side effects."""
+        if not re.match(r"\s*(select|with)\b", query, re.I):
+            return None
+        from .plans.substitution import extract_agg_query, match_and_execute
+
+        q = query
+        for space in self.spaces.values():
+            for name in space.vds:
+                q = re.sub(
+                    rf"\b{re.escape(space.name)}\.{re.escape(name)}\b",
+                    self._flat(space.name, name), q)
+        try:
+            analyzed = (self.spark.sql(q)._jdf.queryExecution()
+                        .analyzed().toJSON())
+        except Exception:  # noqa: BLE001 — dialect SQL Spark can't parse
+            return None
+        ex = extract_agg_query(analyzed)
+        if ex is None:
+            return None
+        got = match_and_execute(self._refl_store, ex)
+        if got is None:
+            return None
+        df, name = got
+        self.last_plan_accelerated = name
         return df
 
     def profile(self, query) -> DataFrame:

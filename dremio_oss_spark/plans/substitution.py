@@ -1,0 +1,449 @@
+"""Plan-tree reflection matching: canonicalize a query's ANALYZED logical
+plan and match it against registered reflections.
+
+Reference: dremio-oss substitutes materializations into arbitrary query
+trees — `planner/acceleration/substitution/SubstitutionProvider.java:40`
+(Calcite SubstitutionVisitor over a canonicalized tree) with the
+normalization phases of `PlannerPhase.java:145-169`.  The round-4 engine
+only matched a regex fragment (`SELECT dims+aggs FROM one_table ...`), so
+join queries and VDS-over-join queries never accelerated through plain
+SQL.  This module does the tree-level equivalent, Spark-first:
+
+- Spark ANALYZES the SQL (views expand, names resolve, types settle) —
+  the analyzed LogicalPlan *is* the canonical tree, serialized to JSON
+  (`TreeNode.toJSON`), no JVM-walking py4j traffic beyond one call.
+- The tree is reduced to a declarative `AggQuery` IR: leaf tables, inner
+  equi-join edges, conjunctive filters, group-by dims, rollup-able
+  measures.  Every construct outside that fragment soundly refuses
+  (returns None) and the query plans normally.
+- `ReflectionStore.covers()` then decides substitution exactly as for
+  API-built queries: join edges ⊆ reflection star, dims ⊆ dims,
+  measures ⊆ measures, filters implied + dim-only.
+
+Because matching happens AFTER view expansion, a VDS defined as a star
+join accelerates the same way the reference accelerates queries over a
+virtual dataset: the user's `SELECT ... FROM vds GROUP BY ...` analyzes
+into the same join subtree the reflection materialized.
+
+Scale: extraction is pure plan metadata (a few KB of JSON per query);
+the win is the substituted scan — a few-MB rollup materialization
+instead of the 100 TB fact join.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from dataclasses import dataclass
+
+from .reflections import AggQuery, JoinSpec, Measure
+
+_PLANS = {
+    "Sort", "Project", "Aggregate", "Filter", "Join", "SubqueryAlias",
+    "View", "LogicalRelation",
+}
+_AGG_FNS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count"}
+_CMP = {
+    "EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
+    "LessThan": "<", "LessThanOrEqual": "<=",
+}
+_FLIP = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "="}
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+def _tree(arr: list[dict]):
+    """Rebuild the pre-order (node, children) tree TreeNode.toJSON emits."""
+    pos = 0
+
+    def rec():
+        nonlocal pos
+        node = arr[pos]
+        pos += 1
+        kids = [rec() for _ in range(node.get("num-children", 0))]
+        return (node, kids)
+
+    root = rec()
+    if pos != len(arr):  # pragma: no cover — malformed serialization
+        raise ValueError("dangling plan nodes")
+    return root
+
+
+def _expr(field) -> tuple[dict, list]:
+    """An expression field is its own pre-order array."""
+    return _tree(field)
+
+
+def _attr_id(node: dict) -> int:
+    return int(node["exprId"]["id"])
+
+
+class _Unsupported(Exception):
+    """Plan shape outside the matchable fragment (sound: no substitution)."""
+
+
+@dataclass
+class ExtractedAgg:
+    """Canonical form of one matchable aggregate query."""
+
+    tables: frozenset[str]
+    edges: list[tuple[tuple[str, str], tuple[str, str]]]  # ((t,c),(t,c))
+    dims: list[str]                      # resolved base column names
+    filters: tuple[str, ...]             # rendered `col op literal` strings
+    # output order: (out_name, kind, payload) — kind 'dim' -> base col,
+    # kind 'measure' -> Measure
+    outputs: list[tuple[str, str, object]]
+    order_by: list[tuple[str, bool]]     # (out_name, ascending)
+
+    @property
+    def measures(self) -> tuple[Measure, ...]:
+        return tuple(p for _, k, p in self.outputs if k == "measure")
+
+
+class _Extractor:
+    def __init__(self, root):
+        self.env: dict[int, tuple[str | None, str] | None] = {}
+        self.tables: list[str] = []
+        self.filter_exprs: list = []
+        self.edges: list = []
+        self.root = root
+
+    # -- bottom half: leaves/joins/filters under the Aggregate -------------
+    def _walk_source(self, node, kids):
+        c = _cls(node)
+        if c == "LogicalRelation":
+            ids = []
+            for out in node["output"]:
+                attr, _ = _expr(out)
+                self.env[_attr_id(attr)] = (None, attr["name"])
+                ids.append(_attr_id(attr))
+            return set(ids)
+        if c == "View":
+            return self._walk_source(*kids[0])
+        if c == "SubqueryAlias":
+            pending = self._walk_source(*kids[0])
+            if pending:
+                name = node["identifier"]["name"]
+                self.tables.append(name)
+                for i in pending:
+                    self.env[i] = (name, self.env[i][1])
+            return set()
+        if c == "Project":
+            pending = self._walk_source(*kids[0])
+            for item in node["projectList"]:
+                top, tkids = _expr(item)
+                if _cls(top) == "AttributeReference":
+                    continue  # passes through, already in env
+                if _cls(top) == "Alias":
+                    child, _ = tkids[0]
+                    if _cls(child) == "AttributeReference":
+                        self.env[_attr_id(top)] = self.env.get(
+                            _attr_id(child))
+                    else:
+                        # computed column: resolvable only if never used
+                        self.env[_attr_id(top)] = None
+                    continue
+                raise _Unsupported("project item")
+            return pending
+        if c == "Filter":
+            self.filter_exprs.append(_expr(node["condition"]))
+            return self._walk_source(*kids[0])
+        if c == "Join":
+            jt = node.get("joinType", {})
+            if jt.get("object", "").rsplit(".", 1)[-1] != "Inner$":
+                raise _Unsupported("non-inner join")
+            pend = self._walk_source(*kids[0]) | self._walk_source(*kids[1])
+            cond = node.get("condition")
+            if not cond:
+                raise _Unsupported("cross join")
+            self.edges.append(_expr(cond))
+            return pend
+        raise _Unsupported(f"plan node {c}")
+
+    def _resolve(self, attr_node) -> tuple[str, str]:
+        got = self.env.get(_attr_id(attr_node))
+        if not got or got[0] is None:
+            raise _Unsupported(f"unresolvable column {attr_node.get('name')}")
+        return got
+
+    # -- literals ----------------------------------------------------------
+    @staticmethod
+    def _strip_cast(node, kids):
+        while _cls(node) == "Cast":
+            node, kids = kids[0]
+        return node, kids
+
+    @staticmethod
+    def _render_literal(node) -> str:
+        if _cls(node) != "Literal":
+            raise _Unsupported("non-literal operand")
+        v, dt = node.get("value"), node.get("dataType")
+        if v is None:
+            raise _Unsupported("null literal")
+        if dt == "string":
+            if "'" in str(v):
+                raise _Unsupported("quoted literal")
+            return f"'{v}'"
+        if dt == "date":
+            if isinstance(v, int):
+                d = datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+                return f"'{d.isoformat()}'"
+            return f"'{v}'"
+        if dt in ("integer", "long", "short", "byte", "double", "float") \
+                or str(dt).startswith("decimal"):
+            return str(v)
+        raise _Unsupported(f"literal type {dt}")
+
+    # -- predicates --------------------------------------------------------
+    def _conjuncts(self, expr_root, out: list):
+        node, kids = expr_root
+        if _cls(node) == "And":
+            self._conjuncts(kids[0], out)
+            self._conjuncts(kids[1], out)
+        else:
+            out.append((node, kids))
+
+    def _render_pred(self, node, kids) -> str:
+        c = _cls(node)
+        if c in _CMP:
+            (ln, lk), (rn, rk) = kids
+            ln, lk = self._strip_cast(ln, lk)
+            rn, rk = self._strip_cast(rn, rk)
+            op = _CMP[c]
+            if _cls(ln) == "AttributeReference":
+                _, col = self._resolve(ln)
+                return f"{col} {op} {self._render_literal(rn)}"
+            if _cls(rn) == "AttributeReference":
+                _, col = self._resolve(rn)
+                return f"{col} {_FLIP[op]} {self._render_literal(ln)}"
+            raise _Unsupported("predicate without column side")
+        if c == "In":
+            (vn, vk), *items = kids
+            vn, vk = self._strip_cast(vn, vk)
+            if _cls(vn) != "AttributeReference":
+                raise _Unsupported("IN without column")
+            _, col = self._resolve(vn)
+            vals = [self._render_literal(self._strip_cast(n, k)[0])
+                    for n, k in items]
+            return f"{col} in ({', '.join(vals)})"
+        raise _Unsupported(f"predicate {c}")
+
+    def _edge(self, expr_root, out: list):
+        """Join condition: conjunction of column equalities only."""
+        for node, kids in self._iter_conj(expr_root):
+            if _cls(node) != "EqualTo":
+                raise _Unsupported("non-equi join condition")
+            (ln, lk), (rn, rk) = kids
+            ln, _ = self._strip_cast(ln, lk)
+            rn, _ = self._strip_cast(rn, rk)
+            if (_cls(ln) != "AttributeReference"
+                    or _cls(rn) != "AttributeReference"):
+                raise _Unsupported("join condition on expressions")
+            out.append((self._resolve(ln), self._resolve(rn)))
+
+    def _iter_conj(self, expr_root):
+        out: list = []
+        self._conjuncts(expr_root, out)
+        return out
+
+    # -- top half ----------------------------------------------------------
+    def extract(self) -> ExtractedAgg:
+        node, kids = self.root
+        order_raw = None
+        renames: list[tuple[str, int]] | None = None  # (out_name, exprId)
+        # peel [Project?] [Sort?] [Project?] down to the Aggregate
+        for _ in range(3):
+            c = _cls(node)
+            if c == "Sort" and order_raw is None:
+                order_raw = node["order"]
+                node, kids = kids[0]
+            elif c == "Project" and renames is None:
+                renames = []
+                for item in node["projectList"]:
+                    top, tkids = _expr(item)
+                    if _cls(top) == "AttributeReference":
+                        renames.append((top["name"], _attr_id(top)))
+                    elif (_cls(top) == "Alias"
+                          and _cls(tkids[0][0]) == "AttributeReference"):
+                        renames.append((top["name"],
+                                        _attr_id(tkids[0][0])))
+                    else:
+                        raise _Unsupported("top-level computed column")
+                node, kids = kids[0]
+            else:
+                break
+        if _cls(node) != "Aggregate":
+            raise _Unsupported("no aggregate")
+        agg = node
+        self._walk_source(*kids[0])
+        if len(self.tables) != len(set(self.tables)):
+            raise _Unsupported("self-join")
+
+        # group-by dims: plain columns only
+        dims: list[str] = []
+        for g in agg["groupingExpressions"]:
+            gn, gk = _expr(g)
+            if _cls(gn) != "AttributeReference":
+                raise _Unsupported("computed group key")
+            dims.append(self._resolve(gn)[1])
+
+        # aggregate output list
+        outputs: list[tuple[str, str, object, int]] = []
+        for item in agg["aggregateExpressions"]:
+            top, tkids = _expr(item)
+            if _cls(top) == "AttributeReference":
+                outputs.append((top["name"], "dim",
+                                self._resolve(top)[1], _attr_id(top)))
+                continue
+            if _cls(top) != "Alias":
+                raise _Unsupported("unaliased output")
+            child, ckids = tkids[0]
+            if _cls(child) == "AttributeReference":
+                outputs.append((top["name"], "dim",
+                                self._resolve(child)[1], _attr_id(top)))
+                continue
+            if _cls(child) != "AggregateExpression":
+                raise _Unsupported("computed output")
+            if child.get("isDistinct"):
+                raise _Unsupported("distinct aggregate")
+            fn, fkids = ckids[0]
+            kind = _AGG_FNS.get(_cls(fn))
+            if kind is None:
+                raise _Unsupported(f"aggregate {_cls(fn)}")
+            if not fkids:
+                raise _Unsupported("zero-arg aggregate")
+            an, ak = self._strip_cast(*fkids[0])
+            if _cls(an) == "Literal" and kind == "count":
+                meas = Measure("count", "*")
+            elif _cls(an) == "AttributeReference":
+                meas = Measure(kind, self._resolve(an)[1])
+            else:
+                raise _Unsupported("aggregate over expression")
+            outputs.append((top["name"], "measure", meas, _attr_id(top)))
+
+        for _, k, payload, _i in outputs:
+            if k == "dim" and payload not in dims:
+                raise _Unsupported("non-grouped output column")
+
+        # filters
+        filt: list[str] = []
+        for fe in self.filter_exprs:
+            for node2, kids2 in self._iter_conj(fe):
+                filt.append(self._render_pred(node2, kids2))
+
+        # join edges
+        edges: list = []
+        for e in self.edges:
+            self._edge(e, edges)
+
+        # top projection renames output names / restricts columns
+        by_id = {i: (n, k, p) for n, k, p, i in outputs}
+        if renames is not None:
+            final = []
+            for out_name, eid in renames:
+                if eid not in by_id:
+                    raise _Unsupported("projection of non-output column")
+                _, k, p = by_id[eid]
+                final.append((out_name, k, p, eid))
+            outputs = final
+
+        # ORDER BY: sort keys must be output columns
+        order: list[tuple[str, bool]] = []
+        if order_raw is not None:
+            name_of = {i: n for n, _k, _p, i in outputs}
+            for o in order_raw:
+                on, okids = _expr(o)
+                asc = (on["direction"]["object"].rsplit(".", 1)[-1]
+                       == "Ascending$")
+                child, _ck = okids[0]
+                if (_cls(child) != "AttributeReference"
+                        or _attr_id(child) not in name_of):
+                    raise _Unsupported("order by non-output expression")
+                order.append((name_of[_attr_id(child)], asc))
+
+        return ExtractedAgg(
+            tables=frozenset(self.tables),
+            edges=edges,
+            dims=dims,
+            filters=tuple(filt),
+            outputs=[(n, k, p) for n, k, p, _i in outputs],
+            order_by=order,
+        )
+
+
+def extract_agg_query(analyzed_json: str) -> ExtractedAgg | None:
+    """Parse `analyzed().toJSON()` into the canonical aggregate form, or
+    None when the plan is outside the matchable fragment."""
+    try:
+        root = _tree(json.loads(analyzed_json))
+        return _Extractor(root).extract()
+    except (_Unsupported, KeyError, ValueError, TypeError, IndexError):
+        return None
+
+
+def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
+    """Orient `ex`'s join edges away from `fact` (BFS over the join
+    graph), producing the JoinSpec form the store matches: star edges
+    AND snowflake chains (dim keyed off another dim, e.g. lineitem →
+    supplier → nation) — each edge becomes
+    JoinSpec(child_table, parent_col, child_col).  None when the edges
+    don't form a tree spanning every table from the fact."""
+    adj: dict[str, list[tuple[str, str, str]]] = {}
+    for (ta, ca), (tb, cb) in ex.edges:
+        adj.setdefault(ta, []).append((tb, ca, cb))
+        adj.setdefault(tb, []).append((ta, cb, ca))
+    if len(ex.edges) != len(ex.tables) - 1:
+        return None  # cycle or disconnected: not a join tree
+    specs: list[JoinSpec] = []
+    seen = {fact}
+    frontier = [fact]
+    while frontier:
+        t = frontier.pop(0)
+        for other, my_col, their_col in adj.get(t, ()):
+            if other in seen:
+                continue
+            specs.append(JoinSpec(other, my_col, their_col))
+            seen.add(other)
+            frontier.append(other)
+    if seen != set(ex.tables):
+        return None
+    return AggQuery(
+        table=fact, dims=tuple(ex.dims), measures=ex.measures,
+        filters=ex.filters, joins=tuple(specs))
+
+
+def match_and_execute(store, ex: ExtractedAgg):
+    """Try every fact orientation against the store; return
+    (DataFrame, reflection_name) answered from a materialization, or
+    None.  The rollup result is re-shaped to the query's output names,
+    order, and ORDER BY."""
+    facts = {r.table for r in store._reflections.values()} & ex.tables
+    best = None
+    for fact in sorted(facts):
+        q = to_agg_query(ex, fact)
+        if q is None:
+            continue
+        refl = store.find_match(q)
+        if refl is not None:
+            best = (q, refl)
+            break
+    if best is None:
+        return None
+    q, refl = best
+    df, substituted = store.execute(q, base=None)
+    if not substituted:  # pragma: no cover — find_match already agreed
+        return None
+    cols = []
+    from pyspark.sql import functions as F
+
+    for out_name, kind, payload in ex.outputs:
+        internal = payload if kind == "dim" else payload.name
+        cols.append(F.col(internal).alias(out_name))
+    df = df.select(*cols)
+    if ex.order_by:
+        df = df.orderBy(*[
+            F.col(n).asc() if asc else F.col(n).desc()
+            for n, asc in ex.order_by])
+    return df, refl.name

@@ -245,8 +245,96 @@ order by l_returnflag
 """
 
 
+def transparent_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Plan-tree substitution for a JOIN query in plain SQL: a star
+    reflection (lineitem ⋈ supplier) declared entirely through DDL
+    (JOINS clause), then a user join query silently answers from the
+    materialization — the tree-level matching of
+    SubstitutionProvider.java:40 that the regex fragment could never
+    reach.  Substitution AND the materialization scan are asserted."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_star "
+        "USING DIMENSIONS (s_nationkey, l_returnflag) "
+        "MEASURES (l_extendedprice (SUM), l_orderkey (COUNT)) "
+        "JOINS (supplier ON l_suppkey = s_suppkey)")
+    df = eng.sql(
+        "select s_nationkey, sum(l_extendedprice) as rev, "
+        "count(l_orderkey) as n "
+        "from lineitem join supplier on l_suppkey = s_suppkey "
+        "where l_returnflag = 'R' group by s_nationkey "
+        "order by s_nationkey")
+    assert eng.last_plan_accelerated == "t_star", "join substitution missed"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "t_star" in plan, "not scanning the materialization"
+    return df.withColumn("rev", F.col("rev").cast("double"))
+
+
+TRANSPARENT_JOIN_SQL = """
+select s_nationkey,
+       cast(sum(cast(l_extendedprice as decimal(28,4))) as double) as rev,
+       count(*) as n
+from lineitem join supplier on l_suppkey = s_suppkey
+where l_returnflag = 'R'
+group by s_nationkey
+order by s_nationkey
+"""
+
+
+def transparent_vds(spark: SparkSession, sf: str) -> DataFrame:
+    """Plan-tree substitution THROUGH a view: the user queries a VDS
+    defined as the star join; analysis expands the view, the expanded
+    tree matches the reflection, and the VDS's join never re-executes —
+    the reference's view-acceleration UX (reflections anchored on
+    virtual datasets)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE orders CREATE AGGREGATE REFLECTION o_cust "
+        "USING DIMENSIONS (c_mktsegment, o_orderpriority) "
+        "MEASURES (o_totalprice (SUM), o_orderkey (COUNT)) "
+        "JOINS (customer ON o_custkey = c_custkey)")
+    spark.sql(
+        "select c_mktsegment as segment, o_orderpriority as prio, "
+        "o_totalprice as price, o_orderkey as okey "
+        "from orders join customer on o_custkey = c_custkey"
+    ).createOrReplaceTempView("order_facts_vds")
+    df = eng.sql(
+        "select segment, sum(price) as total, count(okey) as n "
+        "from order_facts_vds where prio = '1-URGENT' "
+        "group by segment order by segment")
+    assert eng.last_plan_accelerated == "o_cust", "VDS substitution missed"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_cust" in plan, "not scanning the materialization"
+    return df.withColumn("total", F.col("total").cast("double"))
+
+
+TRANSPARENT_VDS_SQL = """
+select c_mktsegment as segment,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as total,
+       count(*) as n
+from orders join customer on o_custkey = c_custkey
+where o_orderpriority = '1-URGENT'
+group by c_mktsegment
+order by segment
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
+    "refl_transparent_join": transparent_join,
+    "refl_transparent_vds": transparent_vds,
     "refl_agg_rollup": agg_rollup,
     "refl_incremental_refresh": incremental,
     "refl_join_rollup": join_rollup,
@@ -255,6 +343,8 @@ REFLECTION_QUERIES = {
 
 REFLECTION_ORACLE = {
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
+    "refl_transparent_join": TRANSPARENT_JOIN_SQL,
+    "refl_transparent_vds": TRANSPARENT_VDS_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,
     "refl_incremental_refresh": INCREMENTAL_SQL,
     "refl_join_rollup": JOIN_ROLLUP_SQL,

@@ -517,3 +517,58 @@ def test_changelog_incremental_refresh_iceberg(spark, tmp_path):
     assert got == expect
     assert 3 not in got
     assert store.changelog_incremental_refresh("agg", t) == 0
+
+
+def test_plan_tree_substitution_soundness(spark):
+    """The plan-tree matcher substitutes only inside its sound fragment:
+    join + VDS queries accelerate; non-dim filters, outer joins,
+    non-rollupable aggregates, and uncovered join edges fall through to
+    normal planning with correct results."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.plans import JoinSpec, Measure
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    store = eng._default_refl_store()
+    li, supp = spark.table("lineitem"), spark.table("supplier")
+    store.create_aggregation_reflection(
+        "li_nat_sound", li, table="lineitem",
+        dims=["s_nationkey", "l_returnflag"],
+        measures=[Measure("sum", "l_extendedprice"), Measure("count", "*")],
+        joins=[JoinSpec("supplier", "l_suppkey", "s_suppkey")],
+        dim_sources={"supplier": supp})
+
+    base_sql = ("select s_nationkey, count(*) as n from lineitem "
+                "join supplier on l_suppkey = s_suppkey ")
+
+    # positive: sub-star (fact-only) and full-star both substitute
+    df = eng.sql(base_sql + "where l_returnflag = 'R' group by s_nationkey")
+    assert eng.last_plan_accelerated == "li_nat_sound"
+    df2 = eng.sql("select l_returnflag, count(*) as n from lineitem "
+                  "group by l_returnflag")
+    assert eng.last_plan_accelerated == "li_nat_sound"
+    exp = {(r[0], r[1]) for r in spark.sql(
+        "select l_returnflag, count(*) from lineitem "
+        "group by l_returnflag").collect()}
+    assert {(r[0], r[1]) for r in df2.collect()} == exp
+
+    # negative controls: each falls through (no substitution), still runs
+    for sql in (
+        base_sql + "where l_quantity > 30 group by s_nationkey",
+        "select s_nationkey, count(*) as n from supplier left join "
+        "lineitem on l_suppkey = s_suppkey group by s_nationkey",
+        "select s_nationkey, avg(l_extendedprice) as a from lineitem "
+        "join supplier on l_suppkey = s_suppkey group by s_nationkey",
+        base_sql + "join orders on l_orderkey = o_orderkey "
+        "group by s_nationkey",
+        "select s_nationkey, count(distinct l_orderkey) as n from lineitem "
+        "join supplier on l_suppkey = s_suppkey group by s_nationkey",
+    ):
+        res = eng.sql(sql)
+        assert eng.last_plan_accelerated is None, sql
+        assert res.count() > 0
+
+    # probes never execute statements (INSERT guard)
+    assert eng._plan_tree_accelerate("insert into x select 1") is None
+    store.drop("li_nat_sound")
