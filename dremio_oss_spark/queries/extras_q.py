@@ -208,8 +208,45 @@ from customer
 """
 
 
+def jdbc_gate_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """ARP pushdown through the capability-gated JDBC execution path:
+    the source is configured with a JDBC endpoint + driver class; when
+    the driver resolves in the JVM the rendered SQL ships over real
+    `spark.read.format('jdbc')`, otherwise the emulated engine runs the
+    same statement — values are identical either way and the chosen
+    path is recorded (asserted non-None) exactly as the reference's
+    JDBC plugin is inert without its driver jar."""
+    src = ExternalSource(
+        spark, "ext_jdbc",
+        {"orders": os.path.join(sf, "orders.parquet")},
+        jdbc_url="jdbc:duckdb:", jdbc_driver="org.duckdb.DuckDBDriver")
+    df = src.read(
+        "orders",
+        predicate="o_orderkey <= 1000",
+        aggregate=(["o_orderpriority"],
+                   {"n": "count(*)",
+                    "total": ("cast(sum(cast(o_totalprice as "
+                              "decimal(18,2))) as double)")}),
+    )
+    assert src.last_execution_path in ("jdbc", "emulated:driver-missing"), \
+        src.last_execution_path
+    assert "group by o_orderpriority" in src.last_pushed_sql
+    return df.orderBy("o_orderpriority")
+
+
+JDBC_GATE_SQL = """
+select o_orderpriority, count(*) as n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total
+from orders
+where o_orderkey <= 1000
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 EXTRAS_QUERIES = {
     "ext_external_query": external_query,
+    "ext_jdbc_pushdown": jdbc_gate_pushdown,
     "src_time_travel": time_travel,
     "stats_analyze": analyze_stats,
     "op_listagg_group": listagg_group,
@@ -218,6 +255,7 @@ EXTRAS_QUERIES = {
 
 EXTRAS_ORACLE = {
     "ext_external_query": EXTERNAL_QUERY_SQL,
+    "ext_jdbc_pushdown": JDBC_GATE_SQL,
     "src_time_travel": TIME_TRAVEL_SQL,
     "stats_analyze": ANALYZE_STATS_SQL,
     "op_listagg_group": LISTAGG_GROUP_SQL,

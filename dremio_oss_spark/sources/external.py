@@ -39,13 +39,34 @@ def _expr_cols(expr: str) -> list[str]:
 
 
 class ExternalSource:
-    """A named external engine reachable by SQL passthrough."""
+    """A named external engine reachable by SQL passthrough.
+
+    Execution path is capability-gated (the reference's JDBC storage
+    plugin only activates when its driver is present): when `jdbc_url`
+    is given AND the driver class loads in the Spark JVM, every rendered
+    query ships over **real JDBC** (`spark.read.format('jdbc')` with the
+    `query` pushdown option — Spark executes the statement remotely and
+    streams the resultset); otherwise execution degrades to the
+    in-process DuckDB emulation.  `last_execution_path` records which
+    path ran ("jdbc" or "emulated[:reason]") so tests and EXPLAIN-style
+    tooling can assert the wiring, mirroring how `last_pushed_sql`
+    records what was shipped."""
 
     def __init__(self, spark: SparkSession, name: str,
-                 attach: dict[str, str], dialect=None):
+                 attach: dict[str, str], dialect=None,
+                 jdbc_url: str | None = None,
+                 jdbc_driver: str | None = None,
+                 jdbc_table_map: dict[str, str] | None = None):
         """attach: table name -> parquet path registered in the external DB
         (stands in for the remote catalog).  `dialect` is the source's
-        ARP descriptor (defaults to the DuckDB dialect)."""
+        ARP descriptor (defaults to the DuckDB dialect).
+
+        jdbc_url/jdbc_driver: remote endpoint + driver class; the real
+        path activates only if the class resolves in the JVM.
+        jdbc_table_map: SQL fragment substituted for each attached table
+        name in shipped statements (a remote engine has its own catalog;
+        for a DuckDB endpoint the attached parquet becomes
+        `read_parquet('<path>')` automatically)."""
         import duckdb
 
         from .arp import DUCKDB_DIALECT
@@ -53,15 +74,61 @@ class ExternalSource:
         self.spark = spark
         self.name = name
         self.dialect = dialect or DUCKDB_DIALECT
+        self.jdbc_url = jdbc_url
+        self.jdbc_driver = jdbc_driver
+        self.last_execution_path: str | None = None
+        if jdbc_table_map is None and jdbc_url \
+                and jdbc_url.startswith("jdbc:duckdb"):
+            jdbc_table_map = {
+                t: f"read_parquet('{p}')" for t, p in attach.items()}
+        self._jdbc_table_map = jdbc_table_map or {}
+        self._jdbc_ok = False
+        if jdbc_url:
+            if not jdbc_driver:
+                self._gate_reason = "no-driver-class"
+            else:
+                try:
+                    # Spark's Utils.classForName resolves through the
+                    # session's mutable classloader (spark.jars /
+                    # --jars), which plain java.lang.Class.forName over
+                    # py4j does not see
+                    spark._jvm.org.apache.spark.util.Utils.classForName(
+                        jdbc_driver, True, False)
+                    self._jdbc_ok = True
+                    self._gate_reason = None
+                except Exception:  # noqa: BLE001 — class not on classpath
+                    self._gate_reason = "driver-missing"
+        else:
+            self._gate_reason = "no-url"
         self._con = duckdb.connect()
         for t, p in attach.items():
             self._con.execute(
                 f"create view {t} as select * from read_parquet('{p}')"
             )
 
+    def _remote_sql(self, sql: str) -> str:
+        """Rewrite attached table names to the remote catalog's form."""
+        import re
+
+        for t, frag in self._jdbc_table_map.items():
+            sql = re.sub(rf'(?<![\w./]){re.escape(t)}(?![\w.])|"{re.escape(t)}"',
+                         frag, sql)
+        return sql
+
     def external_query(self, sql: str) -> DataFrame:
         """table(<source>.external_query('<sql>')): run remotely, scan the
-        result.  Arrow end-to-end: DuckDB -> Arrow table -> Spark."""
+        result.  Real JDBC when the driver gate passed; emulated
+        otherwise (DuckDB -> Arrow table -> Spark)."""
+        if self._jdbc_ok:
+            self.last_execution_path = "jdbc"
+            return (self.spark.read.format("jdbc")
+                    .option("url", self.jdbc_url)
+                    .option("driver", self.jdbc_driver)
+                    .option("query", self._remote_sql(sql))
+                    .load())
+        self.last_execution_path = (
+            "emulated" if self._gate_reason in (None, "no-url")
+            else f"emulated:{self._gate_reason}")
         arrow = self._con.execute(sql).fetch_arrow_table()
         return self.spark.createDataFrame(arrow.to_pandas())
 
@@ -116,10 +183,28 @@ class ExternalSource:
         JDBC source: the first slice is unbounded below, the last
         unbounded above, so rows outside [lower, upper] still arrive
         exactly once.  The per-slice SQL ships through the ARP dialect
-        and is recorded on `last_partition_queries`."""
+        and is recorded on `last_partition_queries`.
+
+        On the real-JDBC path this maps to Spark's native partitioned
+        JDBC scan (partitionColumn/lowerBound/upperBound/numPartitions —
+        one remote connection PER SLICE, fully parallel executors, the
+        same unbounded-first/last-slice semantics)."""
         import math
 
         num_partitions = max(1, num_partitions)
+        if self._jdbc_ok:
+            base = self.dialect.render(table, columns, predicate, None)
+            self.last_execution_path = "jdbc"
+            self.last_partition_queries = [base]
+            return (self.spark.read.format("jdbc")
+                    .option("url", self.jdbc_url)
+                    .option("driver", self.jdbc_driver)
+                    .option("dbtable", f"({self._remote_sql(base)}) arp_sub")
+                    .option("partitionColumn", partition_column)
+                    .option("lowerBound", str(lower))
+                    .option("upperBound", str(upper))
+                    .option("numPartitions", str(num_partitions))
+                    .load())
         stride = math.ceil(max(1, upper - lower + 1) / num_partitions)
         out = None
         sqls: list[str] = []

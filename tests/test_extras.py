@@ -327,3 +327,101 @@ def test_arp_oracle_mysql_dialect_rendering():
     assert MYSQL_DIALECT.agg_supported({"m": "stddev(v)"})
     assert "std(v)" in MYSQL_DIALECT.render(
         "t", None, None, ([], {"m": "stddev(v)"}))
+
+
+def _find_duckdb_jdbc_jar():
+    """Locate a DuckDB JDBC driver jar (public Maven artifact
+    org.duckdb:duckdb_jdbc) in conventional local caches."""
+    import glob
+    import os
+
+    for root in ("~/.cache", "~/.m2", "~/.ivy2"):
+        hits = glob.glob(os.path.expanduser(
+            os.path.join(root, "**", "duckdb_jdbc*.jar")), recursive=True)
+        if hits:
+            return hits[0]
+    return None
+
+
+def test_external_source_jdbc_gate_falls_back(spark):
+    """Capability gate: a jdbc_url whose driver class is NOT on the JVM
+    classpath must fall back to the emulated path and record why —
+    never fail the query (the reference's JDBC plugin is likewise
+    inert without its driver)."""
+    import os
+
+    from dremio_oss_spark.sources.external import ExternalSource
+
+    src = ExternalSource(
+        spark, "rdbms",
+        {"orders": os.path.join(SF_SMALL, "orders.parquet")},
+        jdbc_url="jdbc:nosuchdb:",
+        jdbc_driver="org.example.NoSuchDriver")
+    try:
+        df = src.read("orders", columns=["o_orderkey"],
+                      predicate="o_orderkey <= 10")
+        assert df.count() > 0
+        assert src.last_execution_path == "emulated:driver-missing"
+        # no URL at all: plain emulated, no reason suffix
+        src2 = ExternalSource(
+            spark, "rdbms2",
+            {"orders": os.path.join(SF_SMALL, "orders.parquet")})
+        src2.external_query("select 1 as one")
+        assert src2.last_execution_path == "emulated"
+        src2.close()
+    finally:
+        src.close()
+
+
+def test_external_source_real_jdbc_path(tmp_path):
+    """With the driver jar on the session classpath, rendered ARP SQL
+    ships over REAL JDBC (spark.read.format('jdbc') executes the
+    statement remotely).  Runs in a subprocess with its own
+    SparkSession because spark.jars only applies at JVM launch."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    jar = _find_duckdb_jdbc_jar()
+    if jar is None:
+        pytest.skip("no duckdb_jdbc jar available")
+    script = f"""
+import os
+from pyspark.sql import SparkSession
+from dremio_oss_spark.sources.external import ExternalSource
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.jars", {jar!r})
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+src = ExternalSource(
+    spark, "rdbms",
+    {{"orders": os.path.join({SF_SMALL!r}, "orders.parquet")}},
+    jdbc_url="jdbc:duckdb:", jdbc_driver="org.duckdb.DuckDBDriver")
+# pushdown aggregate ships whole and runs remotely
+df = src.read("orders", predicate="o_orderkey <= 100",
+              aggregate=(["o_orderpriority"], {{"n": "count(*)"}}))
+assert src.last_execution_path == "jdbc", src.last_execution_path
+assert src.last_pushdown_level == "aggregate"
+jdbc_rows = {{r["o_orderpriority"]: r["n"] for r in df.collect()}}
+# emulated twin produces identical values
+src2 = ExternalSource(
+    spark, "emu", {{"orders": os.path.join({SF_SMALL!r}, "orders.parquet")}})
+df2 = src2.read("orders", predicate="o_orderkey <= 100",
+                aggregate=(["o_orderpriority"], {{"n": "count(*)"}}))
+emu_rows = {{r["o_orderpriority"]: r["n"] for r in df2.collect()}}
+assert jdbc_rows == emu_rows, (jdbc_rows, emu_rows)
+# parallel partitioned scan through Spark's native JDBC partitioning
+pdf = src.read_partitioned("orders", "o_orderkey", 1, 60000, 4,
+                           columns=["o_orderkey", "o_totalprice"])
+assert src.last_execution_path == "jdbc"
+assert pdf.rdd.getNumPartitions() == 4
+n = pdf.count()
+full = src2.external_query("select count(*) as c from orders").collect()[0]["c"]
+assert n == full, (n, full)
+print("REAL-JDBC-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd="/root/repo", timeout=420)
+    assert "REAL-JDBC-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
