@@ -214,6 +214,14 @@ class Engine:
         # path of the last COUNT(*) answered from commit metadata
         # (CountOnScanToValuesRule shortcut); None when a real scan ran
         self.last_count_from_metadata: str | None = None
+        # row-access + column-masking policies (reference grammar
+        # parserImpls.ftl:298,631; SqlAlterTableAddRowAccessPolicy.java):
+        # table -> {"row": [(fn, expr)...], "mask": {col: (fn, expr)}}.
+        # Enforced by shadowing the table's view with a rewritten read
+        # (_rebuild_policy_view); rebuilt when session_user changes so
+        # user-dependent policies stay live per query.
+        self._policies: dict[str, dict] = {}
+        self._policy_built_for: dict[str, str] = {}
 
     # -- access control (GRANT/REVOKE, users + roles) -----------------------
     def grant(self, privilege: str, on: str, to: str) -> None:
@@ -249,6 +257,86 @@ class Engine:
         if grants is None:
             return True
         return bool(grants & self._principals(user))
+
+    # -- row-access / masking policies --------------------------------------
+    # Reference: ALTER TABLE ... ADD ROW ACCESS POLICY fn(cols) and
+    # MODIFY COLUMN c SET MASKING POLICY fn(cols)
+    # (`parserImpls.ftl:298,631`, `SqlAlterTableAddRowAccessPolicy.java`).
+    # The policy body is a scalar SQL UDF (CREATE FUNCTION); reads of a
+    # policied table are rewritten to `SELECT mask(c) AS c, ... WHERE
+    # row_policy(cols)` over a snapshot of the original view, so BOTH
+    # Engine.sql and Engine.table enforce without the caller naming the
+    # policy — composed with (not replacing) the GRANT/REVOKE ACL.
+    def _pol(self, table: str) -> dict:
+        return self._policies.setdefault(table, {"row": [], "mask": {}})
+
+    def add_row_access_policy(self, table: str, fn: str, args: str) -> None:
+        self._policy_snapshot_base(table)
+        self._pol(table)["row"].append((fn, f"{fn}({args})"))
+        self._rebuild_policy_view(table)
+
+    def drop_row_access_policy(self, table: str, fn: str) -> None:
+        pol = self._pol(table)
+        pol["row"] = [(f, e) for f, e in pol["row"] if f != fn]
+        self._rebuild_policy_view(table)
+
+    def set_masking_policy(self, table: str, col: str, fn: str,
+                           args: str) -> None:
+        self._policy_snapshot_base(table)
+        self._pol(table)["mask"][col] = (fn, f"{fn}({args})")
+        self._rebuild_policy_view(table)
+
+    def unset_masking_policy(self, table: str, col: str) -> None:
+        self._pol(table)["mask"].pop(col, None)
+        self._rebuild_policy_view(table)
+
+    def _policy_snapshot_base(self, table: str) -> None:
+        """Preserve the unpolicied read under `__base_<t>` the first time
+        a policy attaches (the enforced view then shadows the name)."""
+        base = f"__base_{table}"
+        try:
+            self.spark.table(base)
+        except Exception:  # noqa: BLE001 — not snapshotted yet
+            self.spark.table(table).createOrReplaceTempView(base)
+
+    def _fold_policy_user(self, expr: str) -> str:
+        """Policies are user-dependent through context functions; fold
+        the ENGINE session principal in (Spark's current_user is the OS
+        user, not the engine session) — the view is rebuilt whenever
+        session_user changes, so the fold stays current per query."""
+        expr = self._expand_context_fns(expr)
+        return re.sub(r"\b(?:query_user|session_user|user)\s*\(\s*\)",
+                      f"'{self.session_user}'", expr, flags=re.I)
+
+    def _rebuild_policy_view(self, table: str) -> None:
+        pol = self._policies.get(table)
+        base = f"__base_{table}"
+        if pol is not None and not pol["row"] and not pol["mask"]:
+            # all policies dropped: restore the original read
+            self.spark.table(base).createOrReplaceTempView(table)
+            self._policy_built_for.pop(table, None)
+            return
+        self._ensure_shims(" ".join(
+            e for _, e in pol["row"]) + " ".join(
+            e for _, e in pol["mask"].values()))
+        cols = self.spark.table(base).columns
+        sel = ", ".join(
+            f"{self._fold_policy_user(pol['mask'][c][1])} as {c}"
+            if c in pol["mask"] else c
+            for c in cols)
+        where = " and ".join(
+            f"({self._fold_policy_user(e)})" for _, e in pol["row"]) \
+            or "true"
+        self.spark.sql(
+            f"select {sel} from {base} where {where}"
+        ).createOrReplaceTempView(table)
+        self._policy_built_for[table] = self.session_user
+
+    def _ensure_policy_views(self) -> None:
+        """Re-render enforced views whose folded user went stale."""
+        for t, built_for in list(self._policy_built_for.items()):
+            if built_for != self.session_user:
+                self._rebuild_policy_view(t)
 
     # -- sources -----------------------------------------------------------
     def add_testdata_source(self, sf_dir: str) -> None:
@@ -305,9 +393,13 @@ class Engine:
 
     def table(self, fqname: str, user: str | None = None) -> DataFrame:
         """Resolve `space.name` (VDS) or a bare table/view name; when a
-        user is given, SELECT access is enforced against the ACL."""
+        user is given, SELECT access is enforced against the ACL.
+        Row-access/masking policies enforce through the shadowing view
+        the name now resolves to."""
         if user is not None and not self.check_access(user, "SELECT", fqname):
             raise PermissionError(f"{user} lacks SELECT on {fqname}")
+        if self._policy_built_for:
+            self._ensure_policy_views()
         if "." in fqname:
             first, rest = fqname.split(".", 1)
             if first in self.spaces:  # space.folder….view resolves whole
@@ -1554,6 +1646,38 @@ class Engine:
         if m:
             self.spark.sql(f"drop temporary function if exists {m.group(1)}")
             return self._status("DROP FUNCTION", m.group(1))
+        # row-access / masking policy DDL (parserImpls.ftl:298,631)
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|view)\s+([\w.]+)\s+add\s+row\s+access\s+"
+            r"policy\s+(\w+)\s*\((.*)\)\s*$", query, re.I | re.S)
+        if m:
+            self.add_row_access_policy(m.group(1), m.group(2), m.group(3))
+            return self._status("ADD ROW ACCESS POLICY",
+                                f"{m.group(2)} on {m.group(1)}")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|view)\s+([\w.]+)\s+drop\s+row\s+access\s+"
+            r"policy\s+(\w+)\s*(?:\([^)]*\))?\s*$", query, re.I)
+        if m:
+            self.drop_row_access_policy(m.group(1), m.group(2))
+            return self._status("DROP ROW ACCESS POLICY",
+                                f"{m.group(2)} on {m.group(1)}")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|view)\s+([\w.]+)\s+modify\s+column\s+"
+            r"(\w+)\s+set\s+masking\s+policy\s+(\w+)\s*\((.*)\)\s*$",
+            query, re.I | re.S)
+        if m:
+            self.set_masking_policy(m.group(1), m.group(2), m.group(3),
+                                    m.group(4))
+            return self._status(
+                "SET MASKING POLICY",
+                f"{m.group(3)} on {m.group(1)}.{m.group(2)}")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|view)\s+([\w.]+)\s+modify\s+column\s+"
+            r"(\w+)\s+unset\s+masking\s+policy\s*(?:\w+)?\s*$", query, re.I)
+        if m:
+            self.unset_masking_policy(m.group(1), m.group(2))
+            return self._status("UNSET MASKING POLICY",
+                                f"{m.group(1)}.{m.group(2)}")
         return None
 
     def _try_accelerate(self, query: str) -> DataFrame | None:
@@ -1953,6 +2077,8 @@ class Engine:
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         self.last_count_from_metadata = None
+        if self._policy_built_for:
+            self._ensure_policy_views()
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'
         m = re.match(
             r"\s*show\s+(branches|tags|logs)\s+in\s+'([^']+)'\s*$", query, re.I

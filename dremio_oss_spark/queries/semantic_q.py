@@ -71,12 +71,47 @@ order by table_name
 """
 
 
+def policy_enforcement(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-access + column-masking policies enforced on read
+    (parserImpls.ftl:298,631 / SqlAlterTableAddRowAccessPolicy): a
+    policied SELECT returns only the rows the row policy admits, with
+    the masked column rewritten through the masking UDF — the user's
+    query never names either policy.  The oracle replicates both policy
+    bodies inline."""
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pol_mask_name(v STRING) "
+        "RETURNS STRING RETURN concat(substr(v, 1, 9), '#********')")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pol_building_only(s STRING) "
+        "RETURNS BOOLEAN RETURN s = 'BUILDING'")
+    eng.sql("ALTER TABLE customer ADD ROW ACCESS POLICY "
+            "pol_building_only (c_mktsegment)")
+    eng.sql("ALTER TABLE customer MODIFY COLUMN c_name "
+            "SET MASKING POLICY pol_mask_name (c_name)")
+    return eng.sql(
+        "select c_mktsegment, c_name, c_acctbal from customer "
+        "order by c_custkey limit 20")
+
+
+POLICY_ENFORCEMENT_SQL = """
+select c_mktsegment, substr(c_name, 1, 9) || '#********' as c_name,
+       c_acctbal
+from customer
+where c_mktsegment = 'BUILDING'
+order by c_custkey limit 20
+"""
+
+
 SEMANTIC_QUERIES = {
     "cat_vds_query": vds_query,
     "cat_information_schema": info_schema,
+    "cat_policy_enforcement": policy_enforcement,
 }
 
 SEMANTIC_ORACLE = {
     "cat_vds_query": VDS_QUERY_SQL,
     "cat_information_schema": INFO_SCHEMA_SQL,
+    "cat_policy_enforcement": POLICY_ENFORCEMENT_SQL,
 }

@@ -939,3 +939,66 @@ def test_aggregate_reflection_layout_fields(spark, tmp_path):
     before, after = store.compact_materialization("li_part")
     assert after == len(expect)  # one file per partition dir
     assert any(d.startswith("__p_l_returnflag=") for d in os.listdir(data))
+
+
+def test_row_access_and_masking_policies(spark):
+    """Policy DDL (ALTER TABLE ADD ROW ACCESS POLICY / MODIFY COLUMN SET
+    MASKING POLICY, ref parserImpls.ftl:298,631): reads through both
+    Engine.sql and Engine.table are rewritten without the query naming
+    the policy; policies compose with the ACL, are user-dependent
+    through folded context functions (re-rendered when session_user
+    changes), and drop cleanly."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION t_mask(v STRING) "
+              "RETURNS STRING RETURN '***'")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION t_seg(s STRING) "
+              "RETURNS BOOLEAN RETURN s = 'BUILDING'")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION t_user_mask"
+              "(v STRING, u STRING) RETURNS STRING "
+              "RETURN CASE WHEN u = 'admin' THEN v ELSE '***' END")
+
+    n_all = eng.sql("select count(*) c from customer").collect()[0][0]
+    eng.sql("ALTER TABLE customer ADD ROW ACCESS POLICY t_seg (c_mktsegment)")
+    n_pol = eng.sql("select count(*) c from customer").collect()[0][0]
+    exp = spark.table("__base_customer").where(
+        "c_mktsegment = 'BUILDING'").count()
+    assert n_pol == exp < n_all
+    # table() path enforced too
+    assert eng.table("customer").count() == n_pol
+
+    # masking with user-dependent args: folded per session_user
+    eng.sql("ALTER TABLE customer MODIFY COLUMN c_name SET MASKING "
+            "POLICY t_user_mask (c_name, query_user())")
+    assert eng.sql("select c_name from customer limit 1") \
+        .collect()[0][0] == "***"
+    eng.session_user = "admin"
+    assert eng.sql("select c_name from customer limit 1") \
+        .collect()[0][0].startswith("Customer#")
+    eng.session_user = "bob"
+    assert eng.sql("select c_name from customer limit 1") \
+        .collect()[0][0] == "***"
+
+    # schema is unchanged by masking (same name, same column set)
+    assert eng.table("customer").columns == \
+        spark.table("__base_customer").columns
+
+    # composition with the ACL: policies never widen access
+    eng.grant("SELECT", "customer", "admin")
+    try:
+        eng.table("customer", user="bob")
+        raise AssertionError("ACL should have denied bob")
+    except PermissionError:
+        pass
+
+    # drop restores the original read
+    eng.sql("ALTER TABLE customer MODIFY COLUMN c_name UNSET MASKING POLICY")
+    eng.sql("ALTER TABLE customer DROP ROW ACCESS POLICY t_seg")
+    assert eng.sql("select count(*) c from customer").collect()[0][0] == n_all
+    assert eng.sql("select c_name from customer limit 1") \
+        .collect()[0][0].startswith("Customer#")
