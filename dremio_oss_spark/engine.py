@@ -1342,6 +1342,19 @@ class Engine:
                    else I.expire_iceberg_snapshots(path))
             return self._status("VACUUM", f"{len(out)} files removed")
 
+        # VACUUM CATALOG '<root>' [RETAIN <n> SNAPSHOTS]: catalog-wide
+        # snapshot expiry + orphan removal over every versioned table
+        # under the source root in ONE statement (the reference's
+        # VacuumCatalogHandler.java:63 over a Nessie source).  Branch/
+        # tag-pinned Iceberg snapshots are protected by the per-table
+        # expiry's ref check.
+        m = re.match(
+            r"\s*vacuum\s+catalog\s+'([^']+)'"
+            r"(?:\s+retain\s+(\d+)\s+snapshots?)?\s*$", query, re.I)
+        if m:
+            return self.vacuum_catalog(
+                m.group(1), keep_last=int(m.group(2) or 1))
+
         m = re.match(
             r"\s*alter\s+table\s+'([^']+)'\s+add\s+columns\s*"
             r"\((.+)\)\s*$", query, re.I | re.S)
@@ -1386,6 +1399,40 @@ class Engine:
         return None
 
     # -- metadata table functions (ref MetadataFunctionsMacro.java:36) -----
+    def vacuum_catalog(self, root: str, keep_last: int = 1) -> DataFrame:
+        """Walk `root` for versioned tables (Delta logs / Iceberg
+        metadata dirs) and expire each in one pass — snapshot expiry for
+        Iceberg (retaining `keep_last` + every branch/tag-pinned
+        snapshot), unreferenced-file vacuum for Delta.  Returns one row
+        per table: (table_path, format, files_removed).
+
+        Reference: VACUUM CATALOG over a versioned source
+        (`exec/planner/sql/handlers/query/VacuumCatalogHandler.java:63`)
+        — the catalog-wide form of VACUUM TABLE.  Discovery is a
+        directory walk here; against a real catalog service this is the
+        table-listing API, and per-table expiry is embarrassingly
+        parallel (independent tables, metadata-sized work each)."""
+        from .sources import delta as D
+        from .sources import iceberg as I
+
+        rows: list[tuple[str, str, int]] = []
+        for dirpath, dirnames, _ in os.walk(root):
+            if os.path.basename(dirpath).startswith(
+                    ("_delta_log", "metadata", "_change_data")):
+                dirnames[:] = []
+                continue
+            fmt = self._lake_format(dirpath)
+            if fmt is None:
+                continue
+            dirnames[:] = []  # a table is a leaf; don't recurse inside
+            removed = (D.vacuum_delta(self.spark, dirpath)
+                       if fmt == "delta"
+                       else I.expire_iceberg_snapshots(
+                           dirpath, keep_last=keep_last))
+            rows.append((dirpath, fmt, len(removed)))
+        return self.spark.createDataFrame(
+            rows, "table_path string, format string, files_removed int")
+
     def table_history(self, path: str) -> DataFrame:
         """TABLE(table_history('<path>')): one row per commit/snapshot."""
         from .sources.delta import delta_history

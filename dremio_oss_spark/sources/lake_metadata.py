@@ -1,0 +1,234 @@
+"""Distributed lake-metadata planning: replay Delta logs and scan
+Iceberg manifests as DataFrames instead of driver-side Python loops.
+
+Reference: dremio-oss plans big-table metadata DISTRIBUTED — manifest
+reads run as a table function inside the plan
+(`sabot/op/tablefunction/TableFunctionOperator.java:42`, Iceberg
+manifest-scan tasks), never as a coordinator loop.  The pure-Python
+resolvers in `sources/delta.py` / `sources/iceberg.py` are fine for
+thousands of files, but at millions of files single-threaded JSON/Avro
+parsing on the driver becomes the bottleneck — this module is the scale
+path, kept result-identical to the Python one (asserted by tests and
+`scale_smoke.py`).
+
+Shapes:
+- Delta: checkpoint parquet + tail JSON commits read by Spark (one text
+  scan, `from_json` with an explicit action schema — no inference pass),
+  live set = latest action per path (window), adds only.  O(actions)
+  work fully parallel, O(live files) result.
+- Iceberg: the manifest LIST (one row per manifest, small) reads on the
+  driver; manifest FILES parse in parallel via `mapPartitions` over the
+  manifest paths with the same Avro codec the Python path uses.
+- Pruning (partition values + min/max stats) is expressed as DataFrame
+  filters over the metadata rows, so a 10M-file table prunes with zero
+  driver-side per-file Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .delta import _LOG_DIR, _commit_files, _last_checkpoint
+
+_DV_TYPE = ("struct<storageType:string,pathOrInlineDv:string,"
+            "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
+_ACTION_SCHEMA = (
+    f"struct<add:struct<path:string,partitionValues:map<string,string>,"
+    f"stats:string,dataChange:boolean,deletionVector:{_DV_TYPE}>,"
+    f"remove:struct<path:string>>"
+)
+
+
+def delta_live_files_df(spark: SparkSession, table: str,
+                        version: int | None = None) -> DataFrame:
+    """The live file set at `version` as a DataFrame
+    (path, pv map, stats json string, dv struct) — the distributed
+    equivalent of `resolve_snapshot(...).files`.  Same replay semantics:
+    checkpoint state plus tail commits, latest action per path wins,
+    an add and remove of the same path in one commit resolves to the
+    add (the DV re-add case)."""
+    from pyspark.sql import Window
+
+    commits = _commit_files(table)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table: {table}")
+    max_v = commits[-1][0] if version is None else version
+    cp_v = _last_checkpoint(table)
+    frames: list[DataFrame] = []
+    start = 0
+    if cp_v is not None and cp_v <= max_v:
+        cp = os.path.join(table, _LOG_DIR,
+                          f"{cp_v:020d}.checkpoint.parquet")
+        cdf = spark.read.parquet(cp)
+        add = cdf.where("add is not null").select("add.*")
+        cols = add.columns
+        pv = (F.from_json(F.to_json(F.col("partitionValues")),
+                          "map<string,string>")
+              if "partitionValues" in cols
+              else F.lit(None).cast("map<string,string>"))
+        dv = (F.from_json(F.to_json(F.col("deletionVector")), _DV_TYPE)
+              if "deletionVector" in cols
+              else F.lit(None).cast(_DV_TYPE))
+        st = (F.col("stats") if "stats" in cols
+              else F.lit(None).cast("string"))
+        frames.append(add.select(
+            F.col("path"), pv.alias("pv"), st.alias("stats"),
+            dv.alias("dv"), F.lit(cp_v).alias("_v"),
+            F.lit("add").alias("_kind")))
+        start = cp_v + 1
+    tail = [fp for v, fp in commits if start <= v <= max_v]
+    if tail:
+        txt = (spark.read.text(tail)
+               .withColumn("_v", F.regexp_extract(
+                   F.input_file_name(), r"(\d{20})\.json", 1)
+                   .cast("long"))
+               .where(F.length("value") > 0)
+               .select(F.from_json("value", _ACTION_SCHEMA).alias("a"),
+                       "_v"))
+        frames.append(txt.where("a.add is not null").select(
+            F.col("a.add.path").alias("path"),
+            F.col("a.add.partitionValues").alias("pv"),
+            F.col("a.add.stats").alias("stats"),
+            F.col("a.add.deletionVector").alias("dv"),
+            "_v", F.lit("add").alias("_kind")))
+        frames.append(txt.where("a.remove is not null").select(
+            F.col("a.remove.path").alias("path"),
+            F.lit(None).cast("map<string,string>").alias("pv"),
+            F.lit(None).cast("string").alias("stats"),
+            F.lit(None).cast(_DV_TYPE).alias("dv"),
+            "_v", F.lit("remove").alias("_kind")))
+    allf = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("path").orderBy(
+        F.col("_v").desc(), F.col("_kind").asc())
+    return (allf.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1 and _kind = 'add'")
+            .drop("_rn", "_kind", "_v"))
+
+
+def _bound_ok(stat_col, v, lower: bool):
+    """Null-safe min/max stats check matching the Python planner: keep
+    when the bound is missing; numeric compare when the query value is
+    numeric, string (lexical — ISO dates sort) otherwise."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        col, val = stat_col, F.lit(str(v))
+    else:
+        col, val = stat_col.cast("double"), F.lit(float(v))
+    cmp = (col <= val) if lower else (col >= val)
+    return stat_col.isNull() | cmp
+
+
+def delta_plan_files_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        partition_cols: list[str] | None = None,
+        version: int | None = None) -> DataFrame:
+    """Distributed twin of `plan_delta_scan`'s pruning: partition-value
+    and min/max-stats filters applied to the live-file DataFrame.
+    Returns the surviving (path, pv, stats, dv) rows; the caller builds
+    the multi-path scan from them (file-list-sized, like the
+    reference's split generation)."""
+    if partition_cols is None:
+        partition_cols = _delta_partition_cols(table)
+    df = delta_live_files_df(spark, table, version)
+    for c, v in equality.items():
+        if c in partition_cols:
+            pv = F.col("pv").getItem(c)
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                df = df.where(pv == F.lit(str(v)))
+            else:
+                df = df.where(pv.cast("double") == F.lit(float(v)))
+        mn = F.get_json_object("stats", f"$.minValues.{c}")
+        mx = F.get_json_object("stats", f"$.maxValues.{c}")
+        df = df.where(_bound_ok(mn, v, lower=True)
+                      & _bound_ok(mx, v, lower=False))
+    return df
+
+
+def _delta_partition_cols(table: str) -> list[str]:
+    """Partition columns from the latest metaData action — a cheap
+    driver-side lookup (substring-gated line scan of tail commits, one
+    parquet row from the checkpoint), NOT an O(files) replay."""
+    cols: list[str] = []
+    cp_v = _last_checkpoint(table)
+    if cp_v is not None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(table, _LOG_DIR,
+                          f"{cp_v:020d}.checkpoint.parquet")
+        t = pq.read_table(cp, columns=["metaData"])
+        for rec in t.column("metaData").to_pylist():
+            if rec and rec.get("partitionColumns") is not None:
+                cols = list(rec["partitionColumns"])
+    for v, fp in _commit_files(table):
+        if cp_v is not None and v <= cp_v:
+            continue
+        with open(fp) as f:
+            for ln in f:
+                if '"metaData"' not in ln:
+                    continue
+                md = json.loads(ln).get("metaData")
+                if md:
+                    cols = list(md.get("partitionColumns") or [])
+    return cols
+
+
+def iceberg_manifest_entries_df(spark: SparkSession, table: str,
+                                snapshot_id: int | None = None
+                                ) -> DataFrame:
+    """All manifest entries of a snapshot as a DataFrame
+    (manifest_path, status, file_path, content, partition json,
+    stats json) — manifests parse in PARALLEL on executors
+    (mapPartitions over manifest paths), the reference's distributed
+    manifest-scan table function.  The manifest list itself is one row
+    per manifest and stays on the driver."""
+    from .avro_codec import read_avro_file
+    from .iceberg import _local, _metadata_file
+
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    sid = (snapshot_id if snapshot_id is not None
+           else meta["current-snapshot-id"])
+    snap = next(s for s in meta.get("snapshots") or []
+                if s["snapshot-id"] == sid)
+    manifests = [_local(mf["manifest_path"], table)
+                 for mf in read_avro_file(_local(snap["manifest-list"],
+                                                 table))]
+    if not manifests:
+        return spark.createDataFrame(
+            [], "manifest_path string, status int, file_path string, "
+                "content int, partition string, stats string")
+    n_slices = min(len(manifests), 64)
+
+    def parse(paths):
+        from dremio_oss_spark.sources.avro_codec import (
+            read_avro_file as rd)
+
+        for p in paths:
+            for e in rd(p):
+                d = e["data_file"]
+                yield (p, int(e["status"]), d["file_path"],
+                       int(d.get("content") or 0),
+                       json.dumps(d.get("partition") or {}),
+                       d.get("stats_json"))
+
+    rdd = spark.sparkContext.parallelize(manifests, n_slices) \
+        .mapPartitions(parse)
+    return spark.createDataFrame(
+        rdd, "manifest_path string, status int, file_path string, "
+             "content int, partition string, stats string")
+
+
+def iceberg_live_files_df(spark: SparkSession, table: str,
+                          snapshot_id: int | None = None) -> DataFrame:
+    """Live DATA files of a snapshot (existing/added entries, content=0)
+    — distributed twin of `resolve_snapshot(...).files`."""
+    from .iceberg import _STATUS_DELETED
+
+    df = iceberg_manifest_entries_df(spark, table, snapshot_id)
+    return (df.where(F.col("status") != F.lit(int(_STATUS_DELETED)))
+            .where(F.col("content") == 0)
+            .select("file_path", "partition", "stats"))

@@ -1002,3 +1002,51 @@ def test_row_access_and_masking_policies(spark):
     assert eng.sql("select count(*) c from customer").collect()[0][0] == n_all
     assert eng.sql("select c_name from customer limit 1") \
         .collect()[0][0].startswith("Customer#")
+
+
+def test_vacuum_catalog(spark, tmp_path):
+    """VACUUM CATALOG over a source root expires every versioned table
+    in one statement (VacuumCatalogHandler.java:63): Delta tables drop
+    unreferenced files, Iceberg tables expire old snapshots — but
+    branch/tag-pinned snapshots survive and stay readable."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+    from dremio_oss_spark.sources.iceberg import (
+        create_iceberg_ref, read_iceberg, resolve_ref, resolve_snapshot,
+        write_iceberg)
+
+    root = str(tmp_path / "cat")
+    d1 = f"{root}/sales/delta_t"
+    ice = f"{root}/ice_t"
+    df = spark.range(20).select(F.col("id").alias("k"),
+                                (F.col("id") * 1.0).alias("v"))
+    write_delta(spark, df, d1)
+    write_delta(spark, df.where("k < 5"), d1, mode="overwrite")  # orphans
+
+    s1 = write_iceberg(spark, df, ice)
+    create_iceberg_ref(ice, "pin", "tag", s1)   # pin snapshot 1
+    write_iceberg(spark, df.where("k >= 10"), ice, mode="overwrite")
+    write_iceberg(spark, df.where("k < 3"), ice, mode="overwrite")
+
+    eng = Engine(spark)
+    out = {r["table_path"]: (r["format"], r["files_removed"])
+           for r in eng.sql(f"VACUUM CATALOG '{root}'").collect()}
+    assert out[d1][0] == "delta" and out[d1][1] > 0
+    assert out[ice][0] == "iceberg"
+
+    # current reads fine; the tag-pinned snapshot survived expiry
+    from dremio_oss_spark.sources.delta import read_delta
+    assert read_delta(spark, d1).count() == 5
+    assert read_iceberg(spark, ice).count() == 3
+    pinned = resolve_ref(ice, "pin")
+    assert pinned == s1
+    assert read_iceberg(spark, ice, snapshot_id=pinned).count() == 20
+    # the middle (unpinned, non-current) snapshot is gone
+    import json as _json
+    import glob as _glob
+    import os as _os
+    mf = sorted(_glob.glob(_os.path.join(ice, "metadata", "v*.metadata.json")))[-1]
+    snaps = {s["snapshot-id"] for s in _json.load(open(mf)).get("snapshots", [])}
+    assert s1 in snaps and len(snaps) == 2  # current + pinned only

@@ -52,7 +52,8 @@ def test_pipe_registry_ingest_dedup(spark):
 def test_excel_xlsx_roundtrip(spark, tmp_path):
     """xlsx reads natively via the stdlib OOXML parser (zip + XML):
     shared strings, numbers, gap cells, schema casting.  Legacy binary
-    .xls stays gated (BIFF needs a real dependency)."""
+    .xls reads via the pure-python BIFF8 parser (test_extras
+    test_excel_xls_biff8_roundtrip)."""
     import zipfile
 
     import pytest as _pytest
@@ -87,11 +88,9 @@ def test_excel_xlsx_roundtrip(spark, tmp_path):
     rows = {r["name"]: (r["amount"], r["active"]) for r in df.collect()}
     assert rows == {"alpha": (10.5, True), "beta": (None, False)}  # gap cell -> null
 
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with _pytest.raises(NotImplementedError):
-            reg.read("/nonexistent.xls", "xls")
+    # .xls routes to the BIFF8 reader: a missing file errors cleanly
+    with _pytest.raises(FileNotFoundError):
+        reg.read("/nonexistent.xls", "xls")
 
 
 def test_copy_into_on_error_continue(spark):
@@ -1756,3 +1755,61 @@ def test_delta_lost_race_cleans_staged_cdc(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         _commit_with_cdc_cleanup(t, 1, actions)
     assert not os.path.exists(os.path.join(t, cdc_rel))
+
+
+def test_distributed_lake_metadata_matches_python_path(spark, tmp_path):
+    """The distributed metadata planners (Spark log replay / parallel
+    manifest scan) must produce EXACTLY the live sets and pruning
+    survivors of the pure-Python resolvers — same replay semantics
+    including overwrites, DV re-adds, and checkpoints."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        checkpoint_delta, delete_from_delta, plan_delta_scan,
+        resolve_snapshot, write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        resolve_snapshot as ice_resolve, write_iceberg)
+    from dremio_oss_spark.sources.lake_metadata import (
+        delta_live_files_df, delta_plan_files_distributed,
+        iceberg_live_files_df)
+
+    t = str(tmp_path / "d")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        (F.col("id") * 1.0).alias("v"))
+    write_delta(spark, df, t, partition_by=["p"])
+    write_delta(spark, df.where("k >= 100"), t, mode="append")  # no-op add
+    checkpoint_delta(spark, t)
+    write_delta(spark, df.where("k < 50"), t, mode="overwrite",
+                partition_by=["p"])
+    delete_from_delta(spark, t, "k < 5", mode="merge-on-read")  # DV re-add
+
+    snap = resolve_snapshot(spark, t)
+    py_live = set(snap.files)
+    dist = delta_live_files_df(spark, t)
+    dist_live = {r["path"] for r in dist.collect()}
+    assert dist_live == py_live
+    # DV descriptors survive the distributed replay
+    dist_dvs = {r["path"] for r in dist.where("dv is not null").collect()}
+    assert dist_dvs == set(snap.dvs)
+
+    # pruning parity: partition equality + stats bounds
+    for eq in ({"p": 2}, {"k": 30}, {"p": 1, "k": 30}, {"k": 10_000}):
+        _, total, kept = plan_delta_scan(spark, t, eq)
+        dist_kept = delta_plan_files_distributed(spark, t, eq).count()
+        assert dist_kept == kept, (eq, dist_kept, kept)
+
+    # Iceberg: parallel manifest scan equals the Python resolver
+    it = str(tmp_path / "i")
+    write_iceberg(spark, df, it, partition_by=["p"])
+    write_iceberg(spark, df.where("k < 20"), it, mode="append")
+    isnap = ice_resolve(it)
+    py_files = {os.path.realpath(p) for p, _ in isnap.files}
+    dist_files = {
+        os.path.realpath(
+            r["file_path"] if os.path.isabs(r["file_path"])
+            else os.path.join(it, r["file_path"]))
+        for r in iceberg_live_files_df(spark, it).collect()}
+    assert dist_files == py_files
