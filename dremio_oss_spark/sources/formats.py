@@ -80,17 +80,16 @@ class FormatRegistry:
         with the stdlib (zipfile + ElementTree): shared strings, the
         first worksheet's rows, A1-style column refs, header row as
         column names, numeric cells as doubles.  Legacy binary .xls
-        stays gated (needs a BIFF parser / openpyxl-style dependency).
+        parses through the pure-python BIFF8 reader (`xls_biff.py`,
+        [MS-CFB] + [MS-XLS]) — both formats, like the reference's
+        ExcelRecordReader.
         """
         if path.lower().endswith(".xls"):
-            try:
-                import openpyxl  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "legacy binary .xls needs a BIFF reader; only .xlsx "
-                    "is supported natively in this environment"
-                ) from e
-        rows = _parse_xlsx(path, sheet=opts.get("sheet"))
+            from .xls_biff import read_xls_rows
+
+            rows = read_xls_rows(path, sheet=opts.get("sheet"))
+        else:
+            rows = _parse_xlsx(path, sheet=opts.get("sheet"))
         if not rows:
             raise ValueError(f"empty worksheet in {path}")
         header = [str(c) if c is not None else f"_c{i}"

@@ -425,3 +425,40 @@ print("REAL-JDBC-OK")
         [sys.executable, "-c", script], capture_output=True, text=True,
         cwd="/root/repo", timeout=420)
     assert "REAL-JDBC-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_excel_xls_biff8_roundtrip(spark, tmp_path):
+    """Legacy .xls (BIFF8 in an OLE2 compound file): the pure-python
+    reader handles SST-shared strings, RK/NUMBER numerics, and booleans
+    through the same engine surface as .xlsx — both Excel formats, like
+    the reference's ExcelRecordReader."""
+    from dremio_oss_spark.sources.formats import FormatRegistry
+
+    from .xls_fixture import write_xls
+
+    p = str(tmp_path / "t.xls")
+    rows = [
+        ["name", "qty", "price", "active"],
+        ["widget", 3, 19.75, True],
+        ["gadget", 40000, 0.5, False],
+        ["naïve ünïcode", -7, 123456.789, True],
+    ]
+    write_xls(p, rows)
+
+    df = FormatRegistry(spark).read(p, "xls")
+    assert df.columns == ["name", "qty", "price", "active"]
+    got = [tuple(r) for r in df.orderBy("name").collect()]
+    assert got == [
+        ("gadget", "40000", "0.5", "False"),
+        ("naïve ünïcode", "-7", "123456.789", "True"),
+        ("widget", "3", "19.75", "True"),
+    ]
+
+    # typed read through an explicit schema
+    df2 = FormatRegistry(spark).read(
+        p, "xls",
+        schema="name string, qty int, price double, active boolean")
+    r = {x["name"]: x for x in df2.collect()}
+    assert r["widget"]["qty"] == 3 and abs(
+        r["widget"]["price"] - 19.75) < 1e-9
+    assert r["gadget"]["active"] is False
