@@ -22,6 +22,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem")
+
+
+def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
+    """Materialize an sf1-scale TPC-H corpus (~6M lineitem) by
+    FK-consistent upsampling of the driver's sf0.1 fixture: each of the
+    `copies` replicas shifts every key space by copy_index * max_key, so
+    copy i's lineitem joins copy i's orders/part/supplier and join
+    fan-outs scale linearly.  Dims (region/nation) stay as-is.
+    Distributed end-to-end (union of projected scans → parquet); the
+    driver never holds a row.  Idempotent: skipped when dst exists."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    done = os.path.join(dst, "_DONE")
+    if os.path.exists(done):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+
+    def rd(name):
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    maxes = {
+        "ck": rd("customer").agg(F.max("c_custkey")).collect()[0][0] + 1,
+        "sk": rd("supplier").agg(F.max("s_suppkey")).collect()[0][0] + 1,
+        "pk": rd("part").agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "ok": rd("orders").agg(F.max("o_orderkey")).collect()[0][0] + 1,
+    }
+    shifts = {  # table -> {col: keyspace}
+        "customer": {"c_custkey": "ck"},
+        "supplier": {"s_suppkey": "sk"},
+        "part": {"p_partkey": "pk"},
+        "orders": {"o_orderkey": "ok", "o_custkey": "ck"},
+        "lineitem": {"l_orderkey": "ok", "l_partkey": "pk",
+                     "l_suppkey": "sk"},
+    }
+    for t in _TPCH_TABLES:
+        base = rd(t)
+        if t in ("region", "nation"):
+            out = base
+        else:
+            parts = []
+            for i in range(copies):
+                c = base
+                for col, space in shifts[t].items():
+                    c = c.withColumn(
+                        col, F.col(col) + F.lit(i * maxes[space]))
+                parts.append(c)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dst
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dremio_oss_spark.session import build_spark
@@ -50,6 +111,23 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # one more decade: the 22 TPC-H queries at sf1 (~6M lineitem),
+    # upsampled once into .scratch/sf1 — validates the scaling claims
+    # beyond the driver's sf0.1 fixture.  Opt out with SPARK_GRAFT_SF1=0.
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        try:
+            here0 = os.path.dirname(os.path.abspath(__file__))
+            sf1_dir = ensure_sf1(
+                spark, sf_dir, os.path.join(here0, ".scratch", "sf1"))
+            for name in sorted(q for q in queries if q.startswith("tpch_")):
+                t0 = time.perf_counter()
+                queries[name](spark, sf1_dir).count()
+                sf1_timings[f"sf1_{name}"] = round(
+                    time.perf_counter() - t0, 3)
+        except Exception as e:  # sf1 is additive; never kill the bench
+            errors["sf1"] = f"{type(e).__name__}: {e}"[:200]
+
     # full per-query detail to a sidecar file; the printed line must stay
     # small enough to survive the driver's stdout-tail buffer (the r01 line
     # with 114 entries overflowed it and recorded parsed=null)
@@ -57,7 +135,7 @@ def main() -> None:
         "metric": "suite_total_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **sf1_timings},
         "sf": float(sf) if sf else sf_dir,
         "n_queries": len(timings),
         **({"errors": errors} if errors else {}),
@@ -81,6 +159,9 @@ def main() -> None:
     compact["tpch_total"] = round(
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
+    if sf1_timings:
+        compact["sf1_tpch_total"] = round(sum(sf1_timings.values()), 2)
+        compact["sf1_tpch_max"] = round(max(sf1_timings.values()), 2)
     line = {
         "metric": "suite_total_wall_clock",
         "value": total,
