@@ -1762,11 +1762,13 @@ class Engine:
         not accelerated)."""
         self.last_plan_accelerated = None
         store = getattr(self, "_refl_store", None)
-        if store is None or not store._reflections:
+        if store is None or not (store._reflections or store._raw):
             return None
         df = self._plan_tree_accelerate(query)
         if df is not None:
             return df
+        if not store._reflections:
+            return None  # raw-only store: nothing for the regex fragment
         from .plans import AggQuery, Measure
         from .plans.reflections import parse_pred
 
@@ -1839,7 +1841,10 @@ class Engine:
         probe must never have side effects."""
         if not re.match(r"\s*(select|with)\b", query, re.I):
             return None
-        from .plans.substitution import extract_agg_query, match_and_execute
+        from .plans.substitution import (extract_agg_query,
+                                         extract_scan_query,
+                                         match_and_execute,
+                                         match_and_execute_raw)
 
         q = query
         for space in self.spaces.values():
@@ -1853,14 +1858,23 @@ class Engine:
         except Exception:  # noqa: BLE001 — dialect SQL Spark can't parse
             return None
         ex = extract_agg_query(analyzed)
-        if ex is None:
-            return None
-        got = match_and_execute(self._refl_store, ex)
-        if got is None:
-            return None
-        df, name = got
-        self.last_plan_accelerated = name
-        return df
+        if ex is not None:
+            got = match_and_execute(self._refl_store, ex)
+            if got is not None:
+                df, name = got
+                self.last_plan_accelerated = name
+                return df
+        # non-aggregate scan: a covering RAW reflection swaps the scan
+        # (narrow sorted files) — the reference's raw-reflection role
+        if self._refl_store._raw:
+            exs = extract_scan_query(analyzed)
+            if exs is not None:
+                got = match_and_execute_raw(self._refl_store, exs)
+                if got is not None:
+                    df, name = got
+                    self.last_plan_accelerated = name
+                    return df
+        return None
 
     def profile(self, query) -> DataFrame:
         """EXPLAIN ANALYZE / job profile: execute the query and return

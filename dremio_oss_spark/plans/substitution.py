@@ -447,3 +447,136 @@ def match_and_execute(store, ex: ExtractedAgg):
             F.col(n).asc() if asc else F.col(n).desc()
             for n, asc in ex.order_by])
     return df, refl.name
+
+
+@dataclass
+class ExtractedScan:
+    """Canonical form of a matchable non-aggregate scan query (for RAW
+    reflection substitution: the reference swaps the SCAN of arbitrary
+    queries for a raw materialization when the projected + filtered
+    columns are covered)."""
+
+    table: str
+    filters: tuple[str, ...]
+    outputs: list[tuple[str, str]]       # (out_name, base column)
+    order_by: list[tuple[str, bool]]     # (base column, ascending)
+    limit: int | None
+
+    @property
+    def needed_cols(self) -> set[str]:
+        import re as _re
+
+        cols = {c for _, c in self.outputs}
+        cols |= {c for c, _ in self.order_by}
+        for f in self.filters:
+            m = _re.match(r"\s*([A-Za-z_]\w*)", f)
+            if m:
+                cols.add(m.group(1))
+        return cols
+
+
+class _ScanExtractor(_Extractor):
+    def extract_scan(self) -> ExtractedScan:
+        node, kids = self.root
+        limit = None
+        order_raw = None
+        proj_items = None
+        # peel Limit / Sort / top Project in whatever order the analyzer
+        # arranged them (ORDER BY on an output alias puts Sort above the
+        # Project; on a base column, below it)
+        while True:
+            c = _cls(node)
+            if c == "GlobalLimit" and limit is None:
+                le, _lk = _expr(node["limitExpr"])
+                if _cls(le) != "Literal":
+                    raise _Unsupported("non-literal limit")
+                limit = int(le["value"])
+            elif c == "LocalLimit":
+                pass
+            elif c == "Sort" and order_raw is None:
+                order_raw = node["order"]
+            elif c == "Project" and proj_items is None:
+                proj_items = node["projectList"]
+            else:
+                break
+            node, kids = kids[0]
+        if _cls(node) == "Aggregate":
+            raise _Unsupported("aggregate (use extract_agg_query)")
+        if proj_items is None:
+            raise _Unsupported("select-star scan (no projection to cover)")
+        self._walk_source(node, kids)
+        if len(self.tables) != 1:
+            raise _Unsupported("raw substitution is single-table")
+        if self.edges:
+            raise _Unsupported("joins")
+
+        # resolve the projection AFTER the walk built the env; alias
+        # exprIds register too so ORDER BY on an output alias resolves
+        outputs: list[tuple[str, str]] = []
+        for item in proj_items:
+            pn, pkids = _expr(item)
+            if _cls(pn) == "AttributeReference":
+                outputs.append((pn["name"], self._resolve(pn)[1]))
+            elif (_cls(pn) == "Alias"
+                  and _cls(pkids[0][0]) == "AttributeReference"):
+                base = self._resolve(pkids[0][0])
+                outputs.append((pn["name"], base[1]))
+                self.env[_attr_id(pn)] = base
+            else:
+                raise _Unsupported("computed projection")
+
+        filt: list[str] = []
+        for fe in self.filter_exprs:
+            for n2, k2 in self._iter_conj(fe):
+                filt.append(self._render_pred(n2, k2))
+
+        order: list[tuple[str, bool]] = []
+        if order_raw is not None:
+            for o in order_raw:
+                on, okids = _expr(o)
+                asc = (on["direction"]["object"].rsplit(".", 1)[-1]
+                       == "Ascending$")
+                child, _ck = okids[0]
+                if _cls(child) != "AttributeReference":
+                    raise _Unsupported("order by expression")
+                order.append((self._resolve(child)[1], asc))
+
+        return ExtractedScan(
+            table=self.tables[0], filters=tuple(filt), outputs=outputs,
+            order_by=order, limit=limit)
+
+
+def extract_scan_query(analyzed_json: str) -> ExtractedScan | None:
+    try:
+        root = _tree(json.loads(analyzed_json))
+        return _ScanExtractor(root).extract_scan()
+    except (_Unsupported, KeyError, ValueError, TypeError, IndexError):
+        return None
+
+
+def match_and_execute_raw(store, ex: ExtractedScan):
+    """Answer a scan query from a covering RAW reflection: the
+    materialization carries the base columns, so filters/sorts re-apply
+    directly and only the narrow sorted files scan."""
+    from pyspark.sql import functions as F
+
+    need = ex.needed_cols
+    for refl in store._raw.values():
+        if refl.table == ex.table and need <= set(refl.cols):
+            import os
+
+            mat = store._read_data(os.path.join(refl.path, "data"))
+            df = mat
+            for f in ex.filters:
+                df = df.where(f)
+            if ex.order_by:
+                # sort on BASE columns before the projection — the sort
+                # key may be a column the final SELECT drops
+                df = df.orderBy(*[
+                    F.col(c).asc() if asc else F.col(c).desc()
+                    for c, asc in ex.order_by])
+            df = df.select(*[F.col(c).alias(n) for n, c in ex.outputs])
+            if ex.limit is not None:
+                df = df.limit(ex.limit)
+            return df, refl.name
+    return None

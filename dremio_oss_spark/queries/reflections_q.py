@@ -331,8 +331,42 @@ order by segment
 """
 
 
+def transparent_raw(spark: SparkSession, sf: str) -> DataFrame:
+    """RAW reflection substitution through plain SQL: a narrow sorted
+    copy (DISPLAY columns + LOCALSORT) answers a non-aggregate
+    projection+filter query — the scan swap of the reference's raw
+    reflections (ReflectionServiceImpl.java), now matched on the plan
+    tree instead of requiring the store API."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE RAW REFLECTION t_raw "
+        "USING DISPLAY (l_orderkey, l_quantity, l_shipdate) "
+        "LOCALSORT BY (l_shipdate)")
+    df = eng.sql(
+        "select l_orderkey, l_quantity as qty from lineitem "
+        "where l_shipdate >= '1998-06-01' "
+        "order by l_orderkey, l_quantity")
+    assert eng.last_plan_accelerated == "t_raw", "raw substitution missed"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "t_raw" in plan, "not scanning the raw materialization"
+    return df
+
+
+TRANSPARENT_RAW_SQL = """
+select l_orderkey, l_quantity as qty
+from lineitem
+where l_shipdate >= '1998-06-01'
+order by l_orderkey, l_quantity
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
+    "refl_transparent_raw": transparent_raw,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
     "refl_agg_rollup": agg_rollup,
@@ -343,6 +377,7 @@ REFLECTION_QUERIES = {
 
 REFLECTION_ORACLE = {
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
+    "refl_transparent_raw": TRANSPARENT_RAW_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,

@@ -572,3 +572,35 @@ def test_plan_tree_substitution_soundness(spark):
     # probes never execute statements (INSERT guard)
     assert eng._plan_tree_accelerate("insert into x select 1") is None
     store.drop("li_nat_sound")
+
+
+def test_raw_reflection_plan_tree_substitution(spark):
+    """Raw reflections substitute through plain SQL via the plan tree:
+    covered projection+filter+order+limit queries scan the narrow
+    materialization; an uncovered column falls through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE RAW REFLECTION raw_pt "
+            "USING DISPLAY (l_orderkey, l_quantity, l_shipdate) "
+            "LOCALSORT BY (l_shipdate)")
+
+    q = ("select l_orderkey, l_quantity as q from lineitem "
+         "where l_shipdate >= '1997-06-01' "
+         "order by l_orderkey, l_quantity limit 10")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "raw_pt"
+    got = [(r[0], float(r[1])) for r in df.collect()]
+    exp = [(r[0], float(r[1])) for r in spark.sql(q).collect()]
+    assert got == exp
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "raw_pt" in plan and "lineitem.parquet" not in plan
+
+    # uncovered column: no substitution, correct result
+    df2 = eng.sql("select l_orderkey, l_extendedprice from lineitem "
+                  "where l_shipdate >= '1998-01-01'")
+    assert eng.last_plan_accelerated is None
+    assert df2.count() > 0
+    eng._default_refl_store().drop("raw_pt")
