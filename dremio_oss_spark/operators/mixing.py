@@ -1,0 +1,104 @@
+"""Training-data mixture + sequence packing: the two operators that sit
+between a curated corpus and a pretraining dataloader.
+
+Not reference-derived (dremio-oss stops at SQL); designed Spark-first
+for the 100 TB training-data pipeline the repo extends toward:
+
+- `weighted_mixture`: deterministic per-source up/down-sampling.  Each
+  document's copy count is a pure function of (id, weight) — integer
+  copies plus an md5-hash Bernoulli for the fraction — so mixtures are
+  reproducible run-over-run and stable under corpus growth (adding docs
+  never changes another doc's fate, the property rand()-based sampling
+  lacks).  Row-local: no shuffle; upsampling is a per-row explode.
+
+- `pack_sequences`: concat-and-chunk packing (the standard pretraining
+  layout: documents concatenated in a deterministic order, the token
+  stream cut every `context_len` tokens).  Needs a GLOBAL prefix sum of
+  token counts, which is the classic distributed-scan trap: a bare
+  `Window.orderBy` without partitioning collapses to ONE task.  The
+  implementation is the two-phase parallel prefix sum instead —
+  range-partition by the order key, per-partition window cumsum, then
+  add per-partition offsets (a numPartitions-sized driver collect)
+  broadcast back.  O(n log n) fully parallel; the only driver state is
+  one row per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 16^7: the md5-prefix bucket space used across the repo's deterministic
+# hash-based operators (corpus split, curation ledger)
+_HASH_SPACE = 268_435_456
+
+
+def _unit_hash(tag: str, id_col) -> "F.Column":
+    """Deterministic u in [0, 1): md5-prefix of 'tag:id', base-16."""
+    return (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{tag}:"), id_col.cast("string"))),
+            1, 7), 16, 10).cast("bigint") / F.lit(float(_HASH_SPACE))
+    )
+
+
+def weighted_mixture(df: DataFrame, source_col: str, id_col: str,
+                     weights: dict[str, float],
+                     default_weight: float = 1.0) -> DataFrame:
+    """Resample `df` so each source appears with its target weight:
+    weight 0.25 keeps a deterministic quarter of that source, weight
+    2.5 emits two copies of every doc plus a deterministic half for the
+    third.  Adds `copy_idx` (0-based) per emitted copy."""
+    w = F.lit(float(default_weight))
+    for name, wt in weights.items():
+        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
+    u = _unit_hash("mix", F.col(id_col))
+    n_copies = (F.floor(w) + (u < (w - F.floor(w))).cast("bigint")) \
+        .cast("int")
+    return (df.withColumn("__n_copies", n_copies)
+            .where(F.col("__n_copies") > 0)
+            .withColumn("copy_idx", F.explode(
+                F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+            .drop("__n_copies"))
+
+
+def pack_sequences(df: DataFrame, token_col: str, order_col: str,
+                   context_len: int, num_partitions: int = 32) -> DataFrame:
+    """Concat-and-chunk packing: documents ordered by `order_col` form
+    one token stream cut every `context_len` tokens.  Adds per doc:
+    `cum_before` (tokens before it in the stream), `start_chunk`,
+    `end_chunk` (chunks it touches — a doc may straddle a boundary),
+    `offset_in_chunk`."""
+    from pyspark.sql import Window
+
+    part = (df.repartitionByRange(num_partitions, F.col(order_col))
+            .withColumn("__pid", F.spark_partition_id()))
+    # phase 1: per-partition exclusive running sum
+    w = (Window.partitionBy("__pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    part = part.withColumn(
+        "__local_before", F.coalesce(F.sum(token_col).over(w), F.lit(0)))
+    # phase 2: partition offsets — numPartitions rows to the driver
+    totals = {r["__pid"]: r["t"] for r in
+              part.groupBy("__pid").agg(
+                  F.sum(token_col).alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.lit(0)
+    for pid, o in offsets.items():
+        off = F.when(F.col("__pid") == pid, F.lit(int(o))).otherwise(off)
+    cum_before = (F.col("__local_before") + off).cast("bigint")
+    L = F.lit(int(context_len))
+    return (part
+            .withColumn("cum_before", cum_before)
+            .withColumn("start_chunk",
+                        F.floor(F.col("cum_before") / L).cast("bigint"))
+            .withColumn(
+                "end_chunk",
+                F.floor((F.col("cum_before") + F.col(token_col) - 1) / L)
+                .cast("bigint"))
+            .withColumn("offset_in_chunk",
+                        (F.col("cum_before") % L).cast("bigint"))
+            .drop("__pid", "__local_before"))

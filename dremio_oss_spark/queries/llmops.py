@@ -1100,6 +1100,111 @@ limit 50
 """
 
 
+def llm_data_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-data mixture: per-source up/down-sampling
+    with hash-Bernoulli fractional copies (operators/mixing.py) — the
+    data-mixing step of a pretraining pipeline, reproducible
+    run-over-run and stable under corpus growth.  Output: per-source
+    in/out counts + the realized copy total."""
+    from ..operators.mixing import weighted_mixture
+
+    docs = load(spark, sf, "documents")
+    mixed = weighted_mixture(
+        docs, "source", "doc_id",
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0}, default_weight=1.0)
+    return (
+        docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_in"))
+        .join(mixed.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_out"),
+            F.sum(F.col("copy_idx") + 1).cast("bigint")
+            .alias("copy_sum")), "source", "left")
+        .select("source",
+                "n_in",
+                F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+                F.coalesce("copy_sum", F.lit(0)).cast("bigint")
+                .alias("copy_sum"))
+        .orderBy("source")
+    )
+
+
+LLM_DATA_MIXTURE_SQL = """
+with w as (
+  select source,
+         case source when 'src0' then 2.5 when 'src1' then 0.5
+                     when 'src2' then 0.0 else 1.0 end as wt,
+         cast(concat('0x', substr(md5(concat('mix:',
+              cast(doc_id as varchar))), 1, 7)) as bigint)
+             / 268435456.0 as u
+  from documents
+), copies as (
+  select source,
+         cast(floor(wt) as bigint)
+         + case when u < wt - floor(wt) then 1 else 0 end as n_copies
+  from w
+)
+select source,
+       cast(count(*) as bigint) as n_in,
+       cast(sum(n_copies) as bigint) as n_out,
+       cast(sum(n_copies * (n_copies + 1) / 2) as bigint) as copy_sum
+from copies
+group by source
+order by source
+"""
+
+
+def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    layout): documents ordered by doc_id form one token stream cut
+    every 512 tokens.  The distributed two-phase prefix sum
+    (operators/mixing.py pack_sequences) computes each doc's global
+    offset without a single-task window.  Output: per-chunk doc count
+    and straddle count — value-checked against the oracle's global
+    cumulative sum."""
+    from ..operators.mixing import pack_sequences
+    from ..operators.text import token_count
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(docs, "n_tok", "doc_id", context_len=512,
+                            num_partitions=8)
+    return (
+        packed.groupBy("start_chunk").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("end_chunk") > F.col("start_chunk"))
+                  .cast("int")).cast("bigint").alias("n_straddling"),
+            F.min("offset_in_chunk").cast("bigint").alias("first_offset"))
+        .orderBy("start_chunk")
+        .withColumnRenamed("start_chunk", "chunk")
+    )
+
+
+LLM_SEQUENCE_PACKING_SQL = """
+with toks as (
+  select doc_id,
+         cast(len(string_split_regex(lower(text), '\\s+')) as bigint)
+             as n_tok
+  from documents
+), pos as (
+  select doc_id, n_tok,
+         coalesce(sum(n_tok) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0)
+             as cum_before
+  from toks
+)
+select cast(floor(cum_before / 512) as bigint) as chunk,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when floor((cum_before + n_tok - 1) / 512)
+                     > floor(cum_before / 512) then 1 else 0 end)
+            as bigint) as n_straddling,
+       cast(min(cum_before % 512) as bigint) as first_offset
+from pos
+group by 1
+order by 1
+"""
+
+
+
 LLMOPS_QUERIES = {
     "llm_text_analysis": llm_text_analysis,
     "llm_vocab": llm_vocab,
@@ -1123,6 +1228,8 @@ LLMOPS_QUERIES = {
     "llm_pii_redaction": llm_pii_redaction,
     "llm_curation_pipeline": llm_curation_pipeline,
     "llm_incremental_curation": llm_incremental_curation,
+    "llm_data_mixture": llm_data_mixture,
+    "llm_sequence_packing": llm_sequence_packing,
 }
 
 LLMOPS_ORACLE = {
@@ -1148,4 +1255,6 @@ LLMOPS_ORACLE = {
     "llm_pii_redaction": LLM_PII_SQL,
     "llm_curation_pipeline": LLM_CURATION_SQL,
     "llm_incremental_curation": LLM_CURATION_SQL,  # identity: incremental == batch
+    "llm_data_mixture": LLM_DATA_MIXTURE_SQL,
+    "llm_sequence_packing": LLM_SEQUENCE_PACKING_SQL,
 }

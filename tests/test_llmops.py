@@ -193,3 +193,70 @@ def test_semdedup_drops_are_within_cluster_neardups(spark):
     rows = checked.collect()
     assert rows, "fixture should contain at least one semantic near-dup"
     assert all(r["cos"] > 0.3 and r["dup_of"] < r["vec_id"] for r in rows)
+
+
+def test_weighted_mixture_deterministic_and_stable(spark):
+    """Mixture resampling: copy counts are a pure function of (id,
+    weight) — identical run-over-run, and a doc's fate is unchanged by
+    OTHER rows entering the corpus (the stability property rand()
+    sampling lacks).  Weight semantics: 0 drops, fractional keeps that
+    share in expectation, >1 up-samples with integer copies."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.operators.mixing import weighted_mixture
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    weights = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    m1 = weighted_mixture(docs, "source", "doc_id", weights)
+    m2 = weighted_mixture(docs, "source", "doc_id", weights)
+    r1 = sorted((r["doc_id"], r["copy_idx"]) for r in m1.collect())
+    assert r1 == sorted((r["doc_id"], r["copy_idx"]) for r in m2.collect())
+
+    by_src = {r["source"]: r["n"] for r in m1.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    n0 = docs.where("source = 'src0'").count()
+    assert "src2" not in by_src                       # weight 0 drops
+    assert by_src["src0"] >= 2 * n0                   # >=2 copies each
+    assert 0 < by_src["src1"] < docs.where("source = 'src1'").count()
+
+    # stability: restricting the corpus doesn't change survivors' fate
+    sub = weighted_mixture(docs.where("doc_id < 100"), "source",
+                           "doc_id", weights)
+    keep = {d for d, _ in r1 if d < 100}
+    assert {r["doc_id"] for r in sub.collect()} == keep
+
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    """The two-phase distributed prefix sum equals a serial cumsum, and
+    the packing plan contains no un-partitioned window (the single-task
+    scan trap)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.operators.mixing import pack_sequences
+    from dremio_oss_spark.operators.text import token_count
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(docs, "n_tok", "doc_id", context_len=256,
+                            num_partitions=5)
+    rows = {r["doc_id"]: (r["cum_before"], r["start_chunk"],
+                          r["end_chunk"], r["offset_in_chunk"])
+            for r in packed.collect()}
+    cum = 0
+    for r in sorted(docs.collect(), key=lambda x: x["doc_id"]):
+        exp = (cum, cum // 256, (cum + r["n_tok"] - 1) // 256, cum % 256)
+        assert rows[r["doc_id"]] == exp, (r["doc_id"], rows[r["doc_id"]], exp)
+        cum += r["n_tok"]
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "partitionBy" not in m.group(1) or "__pid" in plan
+    assert "SinglePartition" not in plan
