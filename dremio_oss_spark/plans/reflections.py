@@ -702,6 +702,8 @@ class ReflectionStore:
             df = self._join_star(base, q.joins, dim_sources)
             for f in q.filters:
                 df = df.where(f)
+            if not q.measures:  # pure GROUP BY / DISTINCT over dims
+                return df.select(*q.dims).distinct(), False
             aggs = []
             for m in q.measures:
                 if m.kind == "count":
@@ -735,6 +737,8 @@ class ReflectionStore:
                         F.col(f"__p_{c}") == F.expr(m2.group(1)))
         if helpers:
             mat = mat.drop(*helpers)
+        if not q.measures:  # pure GROUP BY / DISTINCT: dims roll up alone
+            return mat.select(*q.dims).distinct(), True
         rolled = mat.groupBy(*q.dims).agg(
             *[
                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name)

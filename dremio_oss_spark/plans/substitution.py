@@ -274,7 +274,29 @@ class _Extractor:
                 node, kids = kids[0]
             else:
                 break
-        if _cls(node) != "Aggregate":
+        if _cls(node) == "Distinct":
+            # SELECT DISTINCT a, b ≡ GROUP BY a, b with no measures —
+            # synthesize the Aggregate shape from the child projection
+            inner, ikids = kids[0]
+            if _cls(inner) != "Project":
+                raise _Unsupported("distinct without projection")
+            grouping = []
+            for it in inner["projectList"]:
+                top = it[0]
+                if _cls(top) == "AttributeReference":
+                    grouping.append(it)
+                elif _cls(top) == "Alias" and len(it) == 2 \
+                        and _cls(it[1]) == "AttributeReference":
+                    grouping.append(it[1:])  # the aliased attr itself
+                else:
+                    raise _Unsupported("distinct over expression")
+            node = {
+                "class": "synthetic.Aggregate",
+                "groupingExpressions": grouping,
+                "aggregateExpressions": inner["projectList"],
+            }
+            kids = [ikids[0]]
+        elif _cls(node) != "Aggregate":
             raise _Unsupported("no aggregate")
         agg = node
         self._walk_source(*kids[0])

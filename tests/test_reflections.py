@@ -604,3 +604,37 @@ def test_raw_reflection_plan_tree_substitution(spark):
     assert eng.last_plan_accelerated is None
     assert df2.count() > 0
     eng._default_refl_store().drop("raw_pt")
+
+
+def test_distinct_and_groupby_only_substitution(spark):
+    """Measure-less shapes — SELECT DISTINCT dims and GROUP BY with no
+    aggregates — answer from a reflection as dim-distinct scans (this
+    crashed with an empty agg() before), and uncovered columns fall
+    through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION dflag "
+            "USING DIMENSIONS (l_returnflag, l_linestatus) "
+            "MEASURES (l_quantity (SUM))")
+
+    df = eng.sql("select distinct l_returnflag from lineitem")
+    assert eng.last_plan_accelerated == "dflag"
+    assert sorted(r[0] for r in df.collect()) == ["A", "N", "R"]
+
+    df = eng.sql("select l_returnflag from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated == "dflag"
+    assert sorted(r[0] for r in df.collect()) == ["A", "N", "R"]
+
+    df = eng.sql("select distinct l_returnflag as f, l_linestatus "
+                 "from lineitem where l_returnflag = 'A'")
+    assert eng.last_plan_accelerated == "dflag"
+    assert sorted(tuple(r) for r in df.collect()) == [("A", "F"),
+                                                      ("A", "O")]
+
+    df = eng.sql("select distinct l_tax from lineitem")
+    assert eng.last_plan_accelerated is None
+    assert df.count() > 0
+    eng._default_refl_store().drop("dflag")
