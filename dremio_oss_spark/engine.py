@@ -270,23 +270,36 @@ class Engine:
     def _pol(self, table: str) -> dict:
         return self._policies.setdefault(table, {"row": [], "mask": {}})
 
+    def _policy_target(self, name: str) -> str:
+        """Policies on a VDS attach to its FLAT session-view name (the
+        name queries rewrite dotted references to)."""
+        if "." in name:
+            first, rest = name.split(".", 1)
+            if first in self.spaces:
+                return self._flat(first, rest)
+        return name
+
     def add_row_access_policy(self, table: str, fn: str, args: str) -> None:
+        table = self._policy_target(table)
         self._policy_snapshot_base(table)
         self._pol(table)["row"].append((fn, f"{fn}({args})"))
         self._rebuild_policy_view(table)
 
     def drop_row_access_policy(self, table: str, fn: str) -> None:
+        table = self._policy_target(table)
         pol = self._pol(table)
         pol["row"] = [(f, e) for f, e in pol["row"] if f != fn]
         self._rebuild_policy_view(table)
 
     def set_masking_policy(self, table: str, col: str, fn: str,
                            args: str) -> None:
+        table = self._policy_target(table)
         self._policy_snapshot_base(table)
         self._pol(table)["mask"][col] = (fn, f"{fn}({args})")
         self._rebuild_policy_view(table)
 
     def unset_masking_policy(self, table: str, col: str) -> None:
+        table = self._policy_target(table)
         self._pol(table)["mask"].pop(col, None)
         self._rebuild_policy_view(table)
 

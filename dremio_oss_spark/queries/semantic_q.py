@@ -90,9 +90,18 @@ def policy_enforcement(spark: SparkSession, sf: str) -> DataFrame:
             "pol_building_only (c_mktsegment)")
     eng.sql("ALTER TABLE customer MODIFY COLUMN c_name "
             "SET MASKING POLICY pol_mask_name (c_name)")
-    return eng.sql(
+    df = eng.sql(
         "select c_mktsegment, c_name, c_acctbal from customer "
         "order by c_custkey limit 20")
+    # the returned plan is already bound to the policied read; restore
+    # the session's `customer` view so later queries in a SHARED session
+    # see the unpolicied table (the driver runs per-query fresh
+    # sessions, pytest does not)
+    eng.sql("ALTER TABLE customer MODIFY COLUMN c_name "
+            "UNSET MASKING POLICY")
+    eng.sql("ALTER TABLE customer DROP ROW ACCESS POLICY "
+            "pol_building_only")
+    return df
 
 
 POLICY_ENFORCEMENT_SQL = """

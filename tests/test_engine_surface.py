@@ -1050,3 +1050,31 @@ def test_vacuum_catalog(spark, tmp_path):
     mf = sorted(_glob.glob(_os.path.join(ice, "metadata", "v*.metadata.json")))[-1]
     snaps = {s["snapshot-id"] for s in _json.load(open(mf)).get("snapshots", [])}
     assert s1 in snaps and len(snaps) == 2  # current + pinned only
+
+
+def test_policy_on_vds(spark):
+    """Policies attach to virtual datasets too (ALTER VDS ... per the
+    reference grammar): enforcement shadows the VDS's flat session view,
+    the underlying table is untouched, and drop restores."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.create_space("mktp")
+    eng.create_vds("mktp", "custview",
+                   "select c_custkey, c_name, c_mktsegment from customer")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION vds_segonly(s STRING) "
+              "RETURNS BOOLEAN RETURN s = 'BUILDING'")
+    n0 = eng.sql("select count(*) c from mktp.custview").collect()[0][0]
+    eng.sql("ALTER VDS mktp.custview ADD ROW ACCESS POLICY "
+            "vds_segonly (c_mktsegment)")
+    n = eng.sql("select count(*) c from mktp.custview").collect()[0][0]
+    assert 0 < n < n0
+    assert eng.sql("select count(*) c from customer") \
+        .collect()[0][0] == n0  # base table untouched
+    eng.sql("ALTER VDS mktp.custview DROP ROW ACCESS POLICY vds_segonly")
+    assert eng.sql("select count(*) c from mktp.custview") \
+        .collect()[0][0] == n0
