@@ -1828,6 +1828,11 @@ class Engine:
             if any(parse_pred(p) is None for p in parts):
                 return None
             filters = tuple(parts)
+        pol = self._policies.get(self._policy_target(table))
+        if pol and (pol["row"] or pol["mask"]):
+            # policied tables never accelerate (a materialization built
+            # before the policy would leak unmasked/unfiltered rows)
+            return None
         q = AggQuery(table=table, dims=tuple(dims),
                      measures=tuple(measures), filters=filters)
         refl = store.find_match(q)
@@ -1870,8 +1875,18 @@ class Engine:
                         .analyzed().toJSON())
         except Exception:  # noqa: BLE001 — dialect SQL Spark can't parse
             return None
+        def policied(tables) -> bool:
+            # a materialization built before a policy attached would
+            # serve unmasked/unfiltered rows — reflections never answer
+            # queries over policy-governed tables (the reference
+            # likewise excludes secured datasets from acceleration)
+            return any(
+                self._policies.get(t) and (
+                    self._policies[t]["row"] or self._policies[t]["mask"])
+                for t in tables)
+
         ex = extract_agg_query(analyzed)
-        if ex is not None:
+        if ex is not None and not policied(ex.tables):
             got = match_and_execute(self._refl_store, ex)
             if got is not None:
                 df, name = got
@@ -1881,7 +1896,7 @@ class Engine:
         # (narrow sorted files) — the reference's raw-reflection role
         if self._refl_store._raw:
             exs = extract_scan_query(analyzed)
-            if exs is not None:
+            if exs is not None and not policied([exs.table]):
                 got = match_and_execute_raw(self._refl_store, exs)
                 if got is not None:
                     df, name = got

@@ -1078,3 +1078,39 @@ def test_policy_on_vds(spark):
     eng.sql("ALTER VDS mktp.custview DROP ROW ACCESS POLICY vds_segonly")
     assert eng.sql("select count(*) c from mktp.custview") \
         .collect()[0][0] == n0
+
+
+def test_policied_tables_never_accelerate(spark):
+    """A reflection materialized BEFORE a policy attaches must not
+    answer queries once the policy is live — acceleration would leak
+    unfiltered rows. Queries still run (through the policied view) and
+    return the governed result."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE customer CREATE AGGREGATE REFLECTION cust_seg "
+            "USING DIMENSIONS (c_mktsegment) MEASURES (c_custkey (COUNT))")
+    q = ("select c_mktsegment, count(c_custkey) as n from customer "
+         "group by c_mktsegment")
+    all_rows = {r[0]: r[1] for r in eng.sql(q).collect()}
+    assert eng.last_plan_accelerated == "cust_seg"
+
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION acc_guard(s STRING) "
+              "RETURNS BOOLEAN RETURN s = 'BUILDING'")
+    eng.sql("ALTER TABLE customer ADD ROW ACCESS POLICY "
+            "acc_guard (c_mktsegment)")
+    got = {r[0]: r[1] for r in eng.sql(q).collect()}
+    assert eng.last_plan_accelerated is None  # no acceleration under policy
+    assert set(got) == {"BUILDING"}
+    assert got["BUILDING"] == all_rows["BUILDING"]
+
+    # dropping the policy re-enables acceleration
+    eng.sql("ALTER TABLE customer DROP ROW ACCESS POLICY acc_guard")
+    again = {r[0]: r[1] for r in eng.sql(q).collect()}
+    assert eng.last_plan_accelerated == "cust_seg"
+    assert again == all_rows
+    eng._default_refl_store().drop("cust_seg")
