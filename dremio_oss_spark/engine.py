@@ -440,7 +440,7 @@ class Engine:
             F.col("namespace").alias("table_schema"),
             F.col("viewName").alias("table_name"),
             F.lit("VIEW").alias("table_type"),
-        )
+        ).where(~F.col("table_name").startswith("__base_"))  # policy internals
         tables = self.spark.sql("show tables").select(
             F.col("namespace").alias("table_schema"),
             F.col("tableName").alias("table_name"),
