@@ -96,10 +96,20 @@ class ExtractedAgg:
     # kind 'measure' -> Measure
     outputs: list[tuple[str, str, object]]
     order_by: list[tuple[str, bool]]     # (out_name, ascending)
+    # HAVING conjuncts rendered against INTERNAL rollup column names
+    # (measure.name / dim column), applied post-rollup pre-projection
+    havings: tuple[str, ...] = ()
+    # EVERY aggregate-output measure, including ones the final
+    # projection drops (a HAVING-only measure must still roll up —
+    # filtering a dim-distinct frame on a dropped measure name would
+    # resolve against per-cell PARTIALS via Spark's missing-reference
+    # rule and return garbage)
+    all_measures: tuple[Measure, ...] = ()
 
     @property
     def measures(self) -> tuple[Measure, ...]:
-        return tuple(p for _, k, p in self.outputs if k == "measure")
+        return self.all_measures or tuple(
+            p for _, k, p in self.outputs if k == "measure")
 
 
 class _Extractor:
@@ -205,7 +215,11 @@ class _Extractor:
         else:
             out.append((node, kids))
 
-    def _render_pred(self, node, kids) -> str:
+    def _render_pred(self, node, kids, name_of=None) -> str:
+        """Render a conjunct to `col op literal` SQL.  `name_of` maps an
+        attribute node to the name to emit (default: the resolved base
+        column; HAVING passes a map into the rollup's output names)."""
+        res = name_of or (lambda a: self._resolve(a)[1])
         c = _cls(node)
         if c in _CMP:
             (ln, lk), (rn, rk) = kids
@@ -213,21 +227,18 @@ class _Extractor:
             rn, rk = self._strip_cast(rn, rk)
             op = _CMP[c]
             if _cls(ln) == "AttributeReference":
-                _, col = self._resolve(ln)
-                return f"{col} {op} {self._render_literal(rn)}"
+                return f"{res(ln)} {op} {self._render_literal(rn)}"
             if _cls(rn) == "AttributeReference":
-                _, col = self._resolve(rn)
-                return f"{col} {_FLIP[op]} {self._render_literal(ln)}"
+                return f"{res(rn)} {_FLIP[op]} {self._render_literal(ln)}"
             raise _Unsupported("predicate without column side")
         if c == "In":
             (vn, vk), *items = kids
             vn, vk = self._strip_cast(vn, vk)
             if _cls(vn) != "AttributeReference":
                 raise _Unsupported("IN without column")
-            _, col = self._resolve(vn)
             vals = [self._render_literal(self._strip_cast(n, k)[0])
                     for n, k in items]
-            return f"{col} in ({', '.join(vals)})"
+            return f"{res(vn)} in ({', '.join(vals)})"
         raise _Unsupported(f"predicate {c}")
 
     def _edge(self, expr_root, out: list):
@@ -253,8 +264,9 @@ class _Extractor:
         node, kids = self.root
         order_raw = None
         renames: list[tuple[str, int]] | None = None  # (out_name, exprId)
-        # peel [Project?] [Sort?] [Project?] down to the Aggregate
-        for _ in range(3):
+        post_agg_filters: list = []  # HAVING: Filter(s) above the Aggregate
+        # peel [Project?] [Sort?] [Filter?(HAVING)] down to the Aggregate
+        while True:
             c = _cls(node)
             if c == "Sort" and order_raw is None:
                 order_raw = node["order"]
@@ -271,6 +283,10 @@ class _Extractor:
                                         _attr_id(tkids[0][0])))
                     else:
                         raise _Unsupported("top-level computed column")
+                node, kids = kids[0]
+            elif c == "Filter" and _cls(kids[0][0]) in ("Aggregate",
+                                                        "Distinct"):
+                post_agg_filters.append(_expr(node["condition"]))
                 node, kids = kids[0]
             else:
                 break
@@ -362,6 +378,22 @@ class _Extractor:
 
         # top projection renames output names / restricts columns
         by_id = {i: (n, k, p) for n, k, p, i in outputs}
+
+        # HAVING: conjuncts over aggregate outputs, rendered against the
+        # INTERNAL rollup names (re-applied post-rollup on substitution)
+        def having_name(attr):
+            got = by_id.get(_attr_id(attr))
+            if got is None:
+                raise _Unsupported("having on non-output expression")
+            _n, k, p = got
+            return p if k == "dim" else p.name
+
+        havings: list[str] = []
+        for fe in post_agg_filters:
+            for n2, k2 in self._iter_conj(fe):
+                havings.append(self._render_pred(n2, k2,
+                                                 name_of=having_name))
+
         if renames is not None:
             final = []
             for out_name, eid in renames:
@@ -392,6 +424,9 @@ class _Extractor:
             filters=tuple(filt),
             outputs=[(n, k, p) for n, k, p, _i in outputs],
             order_by=order,
+            havings=tuple(havings),
+            all_measures=tuple(p for _n, k, p in by_id.values()
+                               if k == "measure"),
         )
 
 
@@ -460,6 +495,8 @@ def match_and_execute(store, ex: ExtractedAgg):
     cols = []
     from pyspark.sql import functions as F
 
+    for h in ex.havings:  # HAVING re-applies on the rolled-up names
+        df = df.where(h)
     for out_name, kind, payload in ex.outputs:
         internal = payload if kind == "dim" else payload.name
         cols.append(F.col(internal).alias(out_name))

@@ -638,3 +638,45 @@ def test_distinct_and_groupby_only_substitution(spark):
     assert eng.last_plan_accelerated is None
     assert df.count() > 0
     eng._default_refl_store().drop("dflag")
+
+
+def test_having_substitution(spark):
+    """HAVING over rollup-able measures substitutes (the conjuncts
+    re-apply post-rollup on the materialization), including measures the
+    SELECT list doesn't expose; non-rollupable HAVING falls through."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rh "
+            "USING DIMENSIONS (l_returnflag, l_linestatus) "
+            "MEASURES (l_quantity (SUM), l_orderkey (COUNT))")
+
+    q = ("select l_returnflag, sum(l_quantity) as s from lineitem "
+         "group by l_returnflag having sum(l_quantity) > 20000 "
+         "order by l_returnflag")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "rh"
+    got = [(r[0], float(r[1])) for r in df.collect()]
+    exp = [(r[0], float(r[1])) for r in spark.sql(q).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert all(abs(g[1] - e[1]) < 1e-6 for g, e in zip(got, exp))
+
+    # HAVING on a measure the SELECT doesn't expose
+    q2 = ("select l_returnflag from lineitem group by l_returnflag "
+          "having count(l_orderkey) > 1000")
+    df2 = eng.sql(q2)
+    assert eng.last_plan_accelerated == "rh"
+    assert sorted(r[0] for r in df2.collect()) == sorted(
+        r[0] for r in spark.sql(q2).collect())
+
+    # non-rollupable HAVING (avg) falls through, still correct
+    q3 = ("select l_returnflag from lineitem group by l_returnflag "
+          "having avg(l_quantity) > 25")
+    df3 = eng.sql(q3)
+    assert eng.last_plan_accelerated is None
+    assert df3.count() == spark.sql(q3).count()
+    eng._default_refl_store().drop("rh")
