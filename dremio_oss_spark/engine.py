@@ -325,9 +325,14 @@ class Engine:
         pol = self._policies.get(table)
         base = f"__base_{table}"
         if pol is not None and not pol["row"] and not pol["mask"]:
-            # all policies dropped: restore the original read
-            self.spark.table(base).createOrReplaceTempView(table)
+            # all policies dropped: restore the original read; dropping
+            # a policy that never existed is a no-op (no snapshot taken)
             self._policy_built_for.pop(table, None)
+            try:
+                orig = self.spark.table(base)
+            except Exception:  # noqa: BLE001 — never policied
+                return
+            orig.createOrReplaceTempView(table)
             return
         self._ensure_shims(" ".join(
             e for _, e in pol["row"]) + " ".join(
@@ -1452,7 +1457,8 @@ class Engine:
             if fmt is None:
                 continue
             dirnames[:] = []  # a table is a leaf; don't recurse inside
-            removed = (D.vacuum_delta(self.spark, dirpath)
+            removed = (D.vacuum_delta(self.spark, dirpath,
+                                      keep_last=keep_last)
                        if fmt == "delta"
                        else I.expire_iceberg_snapshots(
                            dirpath, keep_last=keep_last))
@@ -1885,23 +1891,29 @@ class Engine:
                     self._policies[t]["row"] or self._policies[t]["mask"])
                 for t in tables)
 
-        ex = extract_agg_query(analyzed)
-        if ex is not None and not policied(ex.tables):
-            got = match_and_execute(self._refl_store, ex)
-            if got is not None:
-                df, name = got
-                self.last_plan_accelerated = name
-                return df
-        # non-aggregate scan: a covering RAW reflection swaps the scan
-        # (narrow sorted files) — the reference's raw-reflection role
-        if self._refl_store._raw:
-            exs = extract_scan_query(analyzed)
-            if exs is not None and not policied([exs.table]):
-                got = match_and_execute_raw(self._refl_store, exs)
+        # Fail-safe: acceleration must NEVER break a query that would
+        # plan normally — any unexpected error in matching/execution
+        # falls through to the unaccelerated path.
+        try:
+            ex = extract_agg_query(analyzed)
+            if ex is not None and not policied(ex.tables):
+                got = match_and_execute(self._refl_store, ex)
                 if got is not None:
                     df, name = got
                     self.last_plan_accelerated = name
                     return df
+            # non-aggregate scan: a covering RAW reflection swaps the
+            # scan (narrow sorted files) — the raw-reflection role
+            if self._refl_store._raw:
+                exs = extract_scan_query(analyzed)
+                if exs is not None and not policied([exs.table]):
+                    got = match_and_execute_raw(self._refl_store, exs)
+                    if got is not None:
+                        df, name = got
+                        self.last_plan_accelerated = name
+                        return df
+        except Exception:  # noqa: BLE001 — fall through, plan normally
+            self.last_plan_accelerated = None
         return None
 
     def profile(self, query) -> DataFrame:

@@ -73,12 +73,18 @@ def pack_sequences(df: DataFrame, token_col: str, order_col: str,
 
     part = (df.repartitionByRange(num_partitions, F.col(order_col))
             .withColumn("__pid", F.spark_partition_id()))
+    # PIN the partition assignment: RangePartitioner samples bounds with
+    # a per-job seed, so without persistence the offsets collect and the
+    # final job could place rows in DIFFERENT partitions — offsets would
+    # then be added to the wrong local cumsums
+    part = part.persist()
     # phase 1: per-partition exclusive running sum
     w = (Window.partitionBy("__pid").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     part = part.withColumn(
         "__local_before", F.coalesce(F.sum(token_col).over(w), F.lit(0)))
     # phase 2: partition offsets — numPartitions rows to the driver
+    # (this action also materializes the pinned partitioning)
     totals = {r["__pid"]: r["t"] for r in
               part.groupBy("__pid").agg(
                   F.sum(token_col).alias("t")).collect()}

@@ -38,10 +38,6 @@ from dataclasses import dataclass
 
 from .reflections import AggQuery, JoinSpec, Measure
 
-_PLANS = {
-    "Sort", "Project", "Aggregate", "Filter", "Join", "SubqueryAlias",
-    "View", "LogicalRelation",
-}
 _AGG_FNS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count"}
 _CMP = {
     "EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
@@ -84,6 +80,22 @@ class _Unsupported(Exception):
     """Plan shape outside the matchable fragment (sound: no substitution)."""
 
 
+def _sort_flags(sort_order_node: dict) -> tuple[bool, bool]:
+    """(ascending, nulls_first) from a SortOrder node — NULLS FIRST/LAST
+    must survive substitution or accelerated runs reorder rows."""
+    asc = (sort_order_node["direction"]["object"].rsplit(".", 1)[-1]
+           == "Ascending$")
+    nf = (sort_order_node["nullOrdering"]["object"].rsplit(".", 1)[-1]
+          == "NullsFirst$")
+    return asc, nf
+
+
+def _sort_col(col, asc: bool, nulls_first: bool):
+    if asc:
+        return col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+    return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+
+
 @dataclass
 class ExtractedAgg:
     """Canonical form of one matchable aggregate query."""
@@ -95,7 +107,7 @@ class ExtractedAgg:
     # output order: (out_name, kind, payload) — kind 'dim' -> base col,
     # kind 'measure' -> Measure
     outputs: list[tuple[str, str, object]]
-    order_by: list[tuple[str, bool]]     # (out_name, ascending)
+    order_by: list[tuple[str, bool, bool]]  # (out_name, asc, nulls_first)
     # HAVING conjuncts rendered against INTERNAL rollup column names
     # (measure.name / dim column), applied post-rollup pre-projection
     havings: tuple[str, ...] = ()
@@ -108,8 +120,12 @@ class ExtractedAgg:
 
     @property
     def measures(self) -> tuple[Measure, ...]:
-        return self.all_measures or tuple(
+        ms = self.all_measures or tuple(
             p for _, k, p in self.outputs if k == "measure")
+        # dedupe: `sum(x) AS a, sum(x) AS b` is ONE rollup column
+        # referenced twice — duplicate Measure entries would alias two
+        # agg columns to the same internal name and break the select
+        return tuple(dict.fromkeys(ms))
 
 
 class _Extractor:
@@ -404,18 +420,17 @@ class _Extractor:
             outputs = final
 
         # ORDER BY: sort keys must be output columns
-        order: list[tuple[str, bool]] = []
+        order: list[tuple[str, bool, bool]] = []
         if order_raw is not None:
             name_of = {i: n for n, _k, _p, i in outputs}
             for o in order_raw:
                 on, okids = _expr(o)
-                asc = (on["direction"]["object"].rsplit(".", 1)[-1]
-                       == "Ascending$")
+                asc, nf = _sort_flags(on)
                 child, _ck = okids[0]
                 if (_cls(child) != "AttributeReference"
                         or _attr_id(child) not in name_of):
                     raise _Unsupported("order by non-output expression")
-                order.append((name_of[_attr_id(child)], asc))
+                order.append((name_of[_attr_id(child)], asc, nf))
 
         return ExtractedAgg(
             tables=frozenset(self.tables),
@@ -502,9 +517,8 @@ def match_and_execute(store, ex: ExtractedAgg):
         cols.append(F.col(internal).alias(out_name))
     df = df.select(*cols)
     if ex.order_by:
-        df = df.orderBy(*[
-            F.col(n).asc() if asc else F.col(n).desc()
-            for n, asc in ex.order_by])
+        df = df.orderBy(*[_sort_col(F.col(n), asc, nf)
+                          for n, asc, nf in ex.order_by])
     return df, refl.name
 
 
@@ -518,7 +532,7 @@ class ExtractedScan:
     table: str
     filters: tuple[str, ...]
     outputs: list[tuple[str, str]]       # (out_name, base column)
-    order_by: list[tuple[str, bool]]     # (base column, ascending)
+    order_by: list[tuple[str, bool, bool]]  # (base col, asc, nulls_first)
     limit: int | None
 
     @property
@@ -526,7 +540,7 @@ class ExtractedScan:
         import re as _re
 
         cols = {c for _, c in self.outputs}
-        cols |= {c for c, _ in self.order_by}
+        cols |= {c for c, _a, _n in self.order_by}
         for f in self.filters:
             m = _re.match(r"\s*([A-Za-z_]\w*)", f)
             if m:
@@ -589,16 +603,15 @@ class _ScanExtractor(_Extractor):
             for n2, k2 in self._iter_conj(fe):
                 filt.append(self._render_pred(n2, k2))
 
-        order: list[tuple[str, bool]] = []
+        order: list[tuple[str, bool, bool]] = []
         if order_raw is not None:
             for o in order_raw:
                 on, okids = _expr(o)
-                asc = (on["direction"]["object"].rsplit(".", 1)[-1]
-                       == "Ascending$")
+                asc, nf = _sort_flags(on)
                 child, _ck = okids[0]
                 if _cls(child) != "AttributeReference":
                     raise _Unsupported("order by expression")
-                order.append((self._resolve(child)[1], asc))
+                order.append((self._resolve(child)[1], asc, nf))
 
         return ExtractedScan(
             table=self.tables[0], filters=tuple(filt), outputs=outputs,
@@ -631,9 +644,8 @@ def match_and_execute_raw(store, ex: ExtractedScan):
             if ex.order_by:
                 # sort on BASE columns before the projection — the sort
                 # key may be a column the final SELECT drops
-                df = df.orderBy(*[
-                    F.col(c).asc() if asc else F.col(c).desc()
-                    for c, asc in ex.order_by])
+                df = df.orderBy(*[_sort_col(F.col(c), asc, nf)
+                                  for c, asc, nf in ex.order_by])
             df = df.select(*[F.col(c).alias(n) for n, c in ex.outputs])
             if ex.limit is not None:
                 df = df.limit(ex.limit)

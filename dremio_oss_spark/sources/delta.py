@@ -626,8 +626,17 @@ def _commit(table: str, version: int, actions: list[dict]) -> int:
                 raise ConcurrentWriteError(
                     f"version {version} of {table} was committed by a "
                     "concurrent writer; re-read the table and retry")
-            with open(p) as fh:
-                winner = [json.loads(ln) for ln in fh if ln.strip()]
+            try:
+                with open(p) as fh:
+                    winner = [json.loads(ln) for ln in fh if ln.strip()]
+            except (OSError, ValueError):
+                winner = None  # winner still writing: can't inspect
+            if winner is None or not winner:
+                # an empty/partial winner can't be proven metadata-free —
+                # refuse rather than rebase past a possible schema change
+                raise ConcurrentWriteError(
+                    f"version {version} of {table} is being committed by "
+                    "a concurrent writer; re-read the table and retry")
             if any(a.get("metaData") or a.get("protocol") for a in winner):
                 raise ConcurrentWriteError(
                     f"version {version} of {table} changed table metadata "
@@ -1221,14 +1230,20 @@ def optimize_delta(spark: SparkSession, table: str,
         data_change=False)
 
 
-def vacuum_delta(spark: SparkSession, table: str) -> list[str]:
+def vacuum_delta(spark: SparkSession, table: str,
+                 keep_last: int = 1) -> list[str]:
     """VACUUM <delta table>: physically delete data files no longer
-    referenced by the CURRENT version (tombstoned by earlier commits).
-    Returns the deleted table-relative paths.  Time travel to versions
-    needing those files stops working — delta.io VACUUM semantics."""
-    snap = resolve_snapshot(spark, table)
-    live = {os.path.realpath(os.path.join(table, rel))
-            for rel in snap.files}
+    referenced by the last `keep_last` versions (default: current only
+    — delta.io VACUUM semantics; RETAIN n keeps time travel to the
+    last n versions working).  Returns deleted table-relative paths."""
+    commits = [v for v, _ in _commit_files(table)]
+    keep_versions = commits[-max(1, keep_last):]
+    live: set[str] = set()
+    snap = None
+    for v in keep_versions:
+        snap = resolve_snapshot(spark, table, v)
+        live |= {os.path.realpath(os.path.join(table, rel))
+                 for rel in snap.files}
     removed: list[str] = []
     for root, dirs, files in os.walk(table):
         # never vacuum the log or the change feed: cdc files are not

@@ -79,8 +79,12 @@ class ExternalSource:
         self.last_execution_path: str | None = None
         if jdbc_table_map is None and jdbc_url \
                 and jdbc_url.startswith("jdbc:duckdb"):
+            # alias each substitution back to the table name so
+            # table-qualified column references (orders.o_custkey)
+            # still resolve on the remote side
             jdbc_table_map = {
-                t: f"read_parquet('{p}')" for t, p in attach.items()}
+                t: f"read_parquet('{p}') as {t}"
+                for t, p in attach.items()}
         self._jdbc_table_map = jdbc_table_map or {}
         self._jdbc_ok = False
         if jdbc_url:
@@ -107,13 +111,24 @@ class ExternalSource:
             )
 
     def _remote_sql(self, sql: str) -> str:
-        """Rewrite attached table names to the remote catalog's form."""
+        """Rewrite attached table names to the remote catalog's form.
+        String literals are protected (a WHERE value that happens to
+        equal a table name must not be rewritten), and qualified column
+        references (t.col) are left alone — the substitution fragment
+        aliases itself back to the table name so they still resolve."""
         import re
 
-        for t, frag in self._jdbc_table_map.items():
-            sql = re.sub(rf'(?<![\w./]){re.escape(t)}(?![\w.])|"{re.escape(t)}"',
-                         frag, sql)
-        return sql
+        parts = re.split(r"('(?:[^']|'')*')", sql)  # literal-aware split
+        for i, seg in enumerate(parts):
+            if i % 2 == 1:  # inside a quoted literal
+                continue
+            for t, frag in self._jdbc_table_map.items():
+                seg = re.sub(
+                    rf'(?<![\w./]){re.escape(t)}(?![\w.])'
+                    rf'|"{re.escape(t)}"',
+                    lambda _m, f=frag: f, seg)
+            parts[i] = seg
+        return "".join(parts)
 
     def external_query(self, sql: str) -> DataFrame:
         """table(<source>.external_query('<sql>')): run remotely, scan the
@@ -193,18 +208,27 @@ class ExternalSource:
 
         num_partitions = max(1, num_partitions)
         if self._jdbc_ok:
-            base = self.dialect.render(table, columns, predicate, None)
+            # Spark's partitioned JDBC scan needs the partition column
+            # in the subquery's schema; add it when the projection
+            # doesn't carry it and drop it again after the load
+            cols = columns
+            added_part_col = (columns is not None
+                              and partition_column not in columns)
+            if added_part_col:
+                cols = list(columns) + [partition_column]
+            base = self.dialect.render(table, cols, predicate, None)
             self.last_execution_path = "jdbc"
             self.last_partition_queries = [base]
-            return (self.spark.read.format("jdbc")
-                    .option("url", self.jdbc_url)
-                    .option("driver", self.jdbc_driver)
-                    .option("dbtable", f"({self._remote_sql(base)}) arp_sub")
-                    .option("partitionColumn", partition_column)
-                    .option("lowerBound", str(lower))
-                    .option("upperBound", str(upper))
-                    .option("numPartitions", str(num_partitions))
-                    .load())
+            df = (self.spark.read.format("jdbc")
+                  .option("url", self.jdbc_url)
+                  .option("driver", self.jdbc_driver)
+                  .option("dbtable", f"({self._remote_sql(base)}) arp_sub")
+                  .option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower))
+                  .option("upperBound", str(upper))
+                  .option("numPartitions", str(num_partitions))
+                  .load())
+            return df.drop(partition_column) if added_part_col else df
         stride = math.ceil(max(1, upper - lower + 1) / num_partitions)
         out = None
         sqls: list[str] = []

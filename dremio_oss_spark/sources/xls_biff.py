@@ -150,13 +150,15 @@ def _read_unicode_str(buf: bytes, off: int,
         off += 1
     grbit = buf[off]
     off += 1
-    rich = 4 if grbit & 0x08 else 0
+    # [MS-XLS] header after grbit: [cRun:2 if fRichSt][cbExtRst:4 if fExtSt]
+    crun = 0
     ext = 0
+    if grbit & 0x08:
+        crun = struct.unpack_from("<H", buf, off)[0]
+        off += 2
     if grbit & 0x04:
-        ext = struct.unpack_from("<I", buf, off + rich)[0]
-    crun = struct.unpack_from("<H", buf, off)[0] if grbit & 0x08 else 0
-    skip_hdr = (2 if grbit & 0x08 else 0) + (4 if grbit & 0x04 else 0)
-    off += skip_hdr
+        ext = struct.unpack_from("<I", buf, off)[0]
+        off += 4
     if grbit & 0x01:
         text = buf[off:off + 2 * cch].decode("utf-16-le", "replace")
         off += 2 * cch

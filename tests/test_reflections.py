@@ -680,3 +680,52 @@ def test_having_substitution(spark):
     assert eng.last_plan_accelerated is None
     assert df3.count() == spark.sql(q3).count()
     eng._default_refl_store().drop("rh")
+
+
+def test_substitution_review_regressions(spark):
+    """Regression pack from review findings: duplicate aggregate
+    outputs must not crash substitution, NULLS FIRST/LAST survives the
+    substituted sort, and acceleration never errors a query that plans
+    normally."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rr "
+            "USING DIMENSIONS (l_returnflag) MEASURES (l_quantity (SUM))")
+
+    # duplicate aggregate outputs: one rollup column aliased twice
+    q = ("select l_returnflag, sum(l_quantity) as a, sum(l_quantity) as b "
+         "from lineitem group by l_returnflag")
+    df = eng.sql(q)
+    rows = {r[0]: (float(r[1]), float(r[2])) for r in df.collect()}
+    exp = {r[0]: float(r[1]) for r in spark.sql(
+        "select l_returnflag, sum(l_quantity) from lineitem "
+        "group by l_returnflag").collect()}
+    for k, (a, b) in rows.items():
+        assert a == b and abs(a - exp[k]) < 1e-6
+
+    # NULLS FIRST on a desc sort is preserved through substitution
+    q2 = ("select l_returnflag, sum(l_quantity) as s from lineitem "
+          "group by l_returnflag order by l_returnflag desc nulls first")
+    got = [r[0] for r in eng.sql(q2).collect()]
+    assert eng.last_plan_accelerated == "rr"
+    assert got == [r[0] for r in spark.sql(q2).collect()]
+    eng._default_refl_store().drop("rr")
+
+
+def test_policy_drop_without_add_is_noop(spark):
+    """Dropping/unsetting a policy that was never attached must be a
+    clean no-op, not a missing-view error."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    from .conftest import SF_SMALL as _SF
+
+    register_testdata(spark, _SF)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders DROP ROW ACCESS POLICY never_added")
+    eng.sql("ALTER TABLE orders MODIFY COLUMN o_orderpriority "
+            "UNSET MASKING POLICY")
+    assert eng.sql("select count(*) c from orders").collect()[0][0] > 0

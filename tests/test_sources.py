@@ -1813,3 +1813,32 @@ def test_distributed_lake_metadata_matches_python_path(spark, tmp_path):
             else os.path.join(it, r["file_path"]))
         for r in iceberg_live_files_df(spark, it).collect()}
     assert dist_files == py_files
+
+
+def test_vacuum_delta_retain_versions(spark, tmp_path):
+    """VACUUM ... RETAIN n keeps files referenced by the last n
+    versions, so time travel inside the retention window survives."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        read_delta, resolve_snapshot, vacuum_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_delta(spark, df, t)                          # v0
+    write_delta(spark, df.where("k < 5"), t, mode="overwrite")   # v1
+    write_delta(spark, df.where("k < 2"), t, mode="overwrite")   # v2
+
+    removed = vacuum_delta(spark, t, keep_last=2)
+    # v1's files survive (retained), v0's are gone
+    assert removed
+    assert read_delta(spark, t).count() == 2
+    v1 = resolve_snapshot(spark, t, 1)
+    import os
+    assert all(os.path.exists(os.path.join(t, rel)) for rel in v1.files)
+
+    # default: current-version only
+    removed2 = vacuum_delta(spark, t)
+    assert read_delta(spark, t).count() == 2
+    assert not any(
+        os.path.exists(os.path.join(t, r)) for r in removed2)
