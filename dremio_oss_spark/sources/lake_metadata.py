@@ -232,3 +232,51 @@ def iceberg_live_files_df(spark: SparkSession, table: str,
     return (df.where(F.col("status") != F.lit(int(_STATUS_DELETED)))
             .where(F.col("content") == 0)
             .select("file_path", "partition", "stats"))
+
+
+def iceberg_plan_files_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        snapshot_id: int | None = None) -> DataFrame:
+    """Distributed twin of `plan_iceberg_scan`'s pruning: the same
+    transform/spec-evolution/stats rules applied as DataFrame filters
+    over the parallel manifest scan.  Returns surviving
+    (file_path, partition, stats) rows."""
+    from .iceberg import resolve_snapshot, transform_value
+
+    snap = resolve_snapshot(table, snapshot_id)
+    required: dict[str, object] = {}
+    for pf in snap.spec_fields:
+        if pf["source"] in equality:
+            required[pf["name"]] = transform_value(
+                pf, equality[pf["source"]])
+    ident = {pf["name"] for pf in snap.spec_fields
+             if pf["transform"] == "identity"}
+
+    df = iceberg_live_files_df(spark, table, snapshot_id)
+    pv = F.from_json("partition", "map<string,string>")
+    df = df.withColumn("__pv", pv)
+
+    def pv_eq(key: str, v) -> "F.Column":
+        col = F.col("__pv").getItem(key)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return col == F.lit(str(v))
+        return col.cast("double") == F.lit(float(v))
+
+    is_current = (F.coalesce(F.col("__pv").getItem("__spec_id"),
+                             F.lit("0")).cast("int")
+                  == F.lit(int(snap.default_spec_id)))
+    for k, v in required.items():
+        # current-spec files prune on every transformed field; files
+        # written under an OLDER spec only on identity fields (their
+        # hidden-transform math differs — same soundness rule as the
+        # Python planner)
+        cond = pv_eq(k, v)
+        if k not in ident:
+            cond = (~is_current) | cond
+        df = df.where(cond)
+    for c, v in equality.items():
+        mn = F.get_json_object("stats", f"$.minValues.{c}")
+        mx = F.get_json_object("stats", f"$.maxValues.{c}")
+        df = df.where(_bound_ok(mn, v, lower=True)
+                      & _bound_ok(mx, v, lower=False))
+    return df.drop("__pv")

@@ -1842,3 +1842,28 @@ def test_vacuum_delta_retain_versions(spark, tmp_path):
     assert read_delta(spark, t).count() == 2
     assert not any(
         os.path.exists(os.path.join(t, r)) for r in removed2)
+
+
+def test_iceberg_distributed_pruning_matches_python(spark, tmp_path):
+    """The distributed Iceberg pruning (parallel manifest scan +
+    DataFrame filters) keeps exactly the files the Python planner keeps,
+    including hidden bucket transforms and spec evolution."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        alter_iceberg_partition_spec, plan_iceberg_scan, write_iceberg)
+    from dremio_oss_spark.sources.lake_metadata import (
+        iceberg_plan_files_distributed)
+
+    t = str(tmp_path / "i")
+    df = spark.range(128).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        (F.col("id") * 1.0).alias("v"))
+    write_iceberg(spark, df, t, partition_by=["p", "bucket(4, k)"])
+    alter_iceberg_partition_spec(t, ["p", "bucket(8, k)"])
+    write_iceberg(spark, df.where("k >= 100"), t, mode="append")
+
+    for eq in ({"p": 2}, {"k": 7}, {"p": 1, "k": 33}, {"k": 110}):
+        _, total, kept = plan_iceberg_scan(spark, t, eq)
+        dist = iceberg_plan_files_distributed(spark, t, eq).count()
+        assert dist == kept, (eq, dist, kept)
