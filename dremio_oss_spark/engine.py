@@ -1183,15 +1183,21 @@ class Engine:
         reference's EXPLAIN JSON output."""
         df = self.sql(query)
         qe = df._jdf.queryExecution()
+        # the reference's job profile names the reflection a query was
+        # accelerated by; surface the same fact on the plan text
+        accel = ""
+        if getattr(self, "last_plan_accelerated", None):
+            accel = (f"-- accelerated by reflection: "
+                     f"{self.last_plan_accelerated}\n")
         if mode == "json":
             return qe.optimizedPlan().toJSON()
         if mode == "formatted":
-            return qe.explainString(
+            return accel + qe.explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
-        return qe.toString()
+        return accel + qe.toString()
 
     def _ensure_shims(self, query: str) -> None:
         """Register exactly the shims the statement references — the full
