@@ -1,3 +1,4 @@
-"""Server endpoints: the Arrow Flight SQL surface."""
+"""Server endpoints: Arrow Flight SQL + REST SQL surfaces."""
 
 from .flight import EngineFlightServer, flight_query  # noqa: F401
+from .rest import serve_rest_background  # noqa: F401

@@ -79,3 +79,88 @@ def test_flight_bearer_auth(spark):
         assert tab.column("one").to_pylist() == [1]
     finally:
         server.shutdown()
+
+
+def test_rest_sql_endpoint(spark):
+    """REST SQL API (SQLResource.java shape): POST a statement, get
+    JSON rows + schema + acceleration info; errors come back as the
+    error envelope; catalog and health routes respond; bearer auth
+    gates when configured."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def post(body, token=None, expect_ok=True):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/sql",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {token}"}
+                        if token else {})})
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, out = post({"sql": "select l_returnflag, count(*) as n "
+                                 "from lineitem group by l_returnflag"})
+        assert code == 200 and out["rowCount"] == 3
+        assert {c["name"] for c in out["schema"]} == {"l_returnflag", "n"}
+        got = {r["l_returnflag"]: r["n"] for r in out["rows"]}
+        exp = {r[0]: r[1] for r in spark.sql(
+            "select l_returnflag, count(*) from lineitem "
+            "group by l_returnflag").collect()}
+        assert got == exp
+
+        # result cap (DAC-style limit)
+        code, out = post({"sql": "select l_orderkey from lineitem",
+                          "limit": 7})
+        assert code == 200 and out["rowCount"] == 7
+
+        # error envelope
+        code, out = post({"sql": "select * from no_such"})
+        assert code == 400 and "errorMessage" in out
+        code, out = post({"nosql": 1})
+        assert code == 400
+
+        # catalog + health
+        with rq.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert _json.loads(r.read())["status"] == "ok"
+        with rq.urlopen(f"http://127.0.0.1:{port}/api/v3/catalog") as r:
+            names = {x["name"] for x in _json.loads(r.read())["data"]}
+        assert "lineitem" in names
+    finally:
+        server.shutdown()
+
+    # token-gated instance
+    server2, _t2 = serve_rest_background(eng, token="tkn")
+    port2 = server2.server_address[1]
+    try:
+        def post2(body, token=None):
+            req = rq.Request(
+                f"http://127.0.0.1:{port2}/api/v3/sql",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json",
+                         **({"Authorization": f"Bearer {token}"}
+                            if token else {})})
+            try:
+                with rq.urlopen(req) as r:
+                    return r.status
+            except rq.HTTPError as e:
+                return e.code
+        assert post2({"sql": "select 1"}) == 401
+        assert post2({"sql": "select 1"}, token="tkn") == 200
+    finally:
+        server2.shutdown()
