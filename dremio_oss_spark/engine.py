@@ -2198,6 +2198,10 @@ class Engine:
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         self.last_count_from_metadata = None
+        # reset HERE, not only inside _try_accelerate: statements that
+        # return from earlier handlers (DDL, lake DML, SHOW ...) must
+        # not inherit the previous query's acceleration marker
+        self.last_plan_accelerated = None
         if self._policy_built_for:
             self._ensure_policy_views()
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'

@@ -42,8 +42,16 @@ class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
         self._token = token
 
     def start_call(self, info, headers):
-        auth = headers.get("authorization") or headers.get("Authorization")
-        if not auth or f"Bearer {self._token}" not in auth:
+        vals = (headers.get("authorization")
+                or headers.get("Authorization") or [])
+        if isinstance(vals, (str, bytes)):
+            vals = [vals]
+        want = f"Bearer {self._token}"
+        # EXACT match — substring checks would accept any token that
+        # merely contains the real one
+        ok = any((v.decode() if isinstance(v, bytes) else v) == want
+                 for v in vals)
+        if not ok:
             raise flight.FlightUnauthenticatedError("missing/bad token")
         return _BearerMiddleware()
 
@@ -59,6 +67,12 @@ class EngineFlightServer(flight.FlightServerBase):
         super().__init__(location, middleware=middleware)
         self.engine = engine
         self._location = location
+        # engine state (shim registration, policy views, acceleration
+        # markers) is not thread-safe; serialize engine interactions
+        self._lock = threading.Lock()
+        # GetFlightInfo -> DoGet must execute a statement ONCE: cache
+        # the planned frame keyed by the ticket bytes (bounded FIFO)
+        self._planned: dict[bytes, object] = {}
 
     # -- read path ---------------------------------------------------------
     def _run(self, sql: str):
@@ -70,17 +84,26 @@ class EngineFlightServer(flight.FlightServerBase):
 
     def get_flight_info(self, context, descriptor):
         sql = descriptor.command.decode()
-        df = self._run(sql)
-        # schema-only probe: limit(0) plans without executing
-        schema = df.limit(0).toArrow().schema
+        with self._lock:
+            df = self._run(sql)
+            # cache the PLANNED frame so DoGet streams this statement's
+            # result instead of running engine.sql again (DML executes
+            # eagerly inside sql() — a second call would apply it twice)
+            self._planned[descriptor.command] = df
+            while len(self._planned) > 32:  # bounded: drop oldest
+                self._planned.pop(next(iter(self._planned)))
+            schema = df.limit(0).toArrow().schema
         endpoint = flight.FlightEndpoint(
             flight.Ticket(descriptor.command),
             [flight.Location.for_grpc_tcp("127.0.0.1", self.port)])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     def do_get(self, context, ticket):
-        sql = ticket.ticket.decode()
-        table = self._run(sql).toArrow()
+        with self._lock:
+            df = self._planned.pop(ticket.ticket, None)
+            if df is None:  # direct DoGet without GetFlightInfo
+                df = self._run(ticket.ticket.decode())
+            table = df.toArrow()
         return flight.RecordBatchStream(table)
 
     def list_actions(self, context):

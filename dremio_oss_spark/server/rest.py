@@ -26,6 +26,10 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+# engine state (shims, policy views, acceleration markers) is not
+# thread-safe; ThreadingHTTPServer handlers serialize engine access
+_ENGINE_LOCK = threading.Lock()
+
 
 def _json_cell(v):
     """JSON-safe cell: dates/decimals/bytes stringify."""
@@ -40,7 +44,14 @@ def _json_cell(v):
         import base64
 
         return base64.b64encode(bytes(v)).decode()
-    if isinstance(v, list):
+    try:
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):  # struct cell: keep field names
+            return {k: _json_cell(x) for k, x in v.asDict().items()}
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, (list, tuple)):
         return [_json_cell(x) for x in v]
     if isinstance(v, dict):
         return {k: _json_cell(x) for k, x in v.items()}
@@ -74,12 +85,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(401, {"errorMessage": "unauthorized"})
         if self.path == "/health":
             return self._send(200, {"status": "ok"})
-        if self.path.startswith("/api/v3/catalog"):
-            rows = [
-                {"name": r["table_name"], "schema": r["table_schema"],
-                 "type": r["table_type"]}
-                for r in
-                self.engine.information_schema_tables().collect()]
+        if self.path.rstrip("/") == "/api/v3/catalog":
+            try:
+                with _ENGINE_LOCK:
+                    rows = [
+                        {"name": r["table_name"],
+                         "schema": r["table_schema"],
+                         "type": r["table_type"]}
+                        for r in
+                        self.engine.information_schema_tables().collect()]
+            except Exception as e:  # error envelope, like the POST path
+                return self._send(500, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
             return self._send(200, {"data": rows})
         return self._send(404, {"errorMessage": f"no route {self.path}"})
 
@@ -91,14 +108,25 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length") or 0)
             req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("not an object")
             sql = req["sql"]
-        except (ValueError, KeyError):
+            # limit=0 is a legitimate schema-only probe — only None
+            # falls back to the DAC-style default
+            raw_limit = req.get("limit")
+            limit = (self.default_limit if raw_limit is None
+                     else int(raw_limit))
+        except (ValueError, KeyError, TypeError):
             return self._send(400, {"errorMessage": "body must be "
                                                     '{"sql": "..."}'})
-        limit = int(req.get("limit") or self.default_limit)
         try:
-            df = self.engine.sql(sql)
-            rows = df.limit(limit).collect()
+            with _ENGINE_LOCK:
+                # the lock also makes accelerated_by read THIS query's
+                # marker, not a concurrent request's
+                df = self.engine.sql(sql)
+                accelerated = getattr(
+                    self.engine, "last_plan_accelerated", None)
+                rows = df.limit(limit).collect()
             payload = {
                 "schema": [{"name": f.name,
                             "type": f.dataType.simpleString()}
@@ -106,8 +134,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "rows": [{k: _json_cell(v) for k, v in r.asDict().items()}
                          for r in rows],
                 "rowCount": len(rows),
-                "accelerated_by": getattr(
-                    self.engine, "last_plan_accelerated", None),
+                "accelerated_by": accelerated,
             }
             return self._send(200, payload)
         except Exception as e:  # planner/execution error envelope

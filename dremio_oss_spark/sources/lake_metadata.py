@@ -110,16 +110,25 @@ def delta_live_files_df(spark: SparkSession, table: str,
             .drop("_rn", "_kind", "_v"))
 
 
-def _bound_ok(stat_col, v, lower: bool):
-    """Null-safe min/max stats check matching the Python planner: keep
-    when the bound is missing; numeric compare when the query value is
-    numeric, string (lexical — ISO dates sort) otherwise."""
+def _stats_keep_col(mn, mx, v):
+    """Min/max stats check replicating the Python planners exactly:
+    prune ONLY when BOTH bounds exist; numeric compare when the stats
+    parse as numbers (matching the JSON-type dispatch of the Python
+    side), lexical otherwise; a numeric-vs-string type mismatch keeps
+    the file (the Python TypeError branch)."""
+    both = mn.isNotNull() & mx.isNotNull()
+    mn_d, mx_d = mn.cast("double"), mx.cast("double")
+    numeric_stats = mn_d.isNotNull() & mx_d.isNotNull()
     if isinstance(v, bool) or not isinstance(v, (int, float)):
-        col, val = stat_col, F.lit(str(v))
+        # string value: numeric stats can't compare -> keep (TypeError)
+        in_range = F.when(numeric_stats, F.lit(True)).otherwise(
+            (mn <= F.lit(str(v))) & (mx >= F.lit(str(v))))
     else:
-        col, val = stat_col.cast("double"), F.lit(float(v))
-    cmp = (col <= val) if lower else (col >= val)
-    return stat_col.isNull() | cmp
+        in_range = F.when(
+            numeric_stats,
+            (mn_d <= F.lit(float(v))) & (mx_d >= F.lit(float(v)))
+        ).otherwise((mn <= F.lit(str(v))) & (mx >= F.lit(str(v))))
+    return (~both) | in_range
 
 
 def delta_plan_files_distributed(
@@ -143,8 +152,7 @@ def delta_plan_files_distributed(
                 df = df.where(pv.cast("double") == F.lit(float(v)))
         mn = F.get_json_object("stats", f"$.minValues.{c}")
         mx = F.get_json_object("stats", f"$.maxValues.{c}")
-        df = df.where(_bound_ok(mn, v, lower=True)
-                      & _bound_ok(mx, v, lower=False))
+        df = df.where(_stats_keep_col(mn, mx, v))
     return df
 
 
@@ -257,10 +265,15 @@ def iceberg_plan_files_distributed(
     df = df.withColumn("__pv", pv)
 
     def pv_eq(key: str, v) -> "F.Column":
+        # numeric-tolerant like _pv_eq: compare as doubles when BOTH
+        # sides parse ('2' matches '2.0'), else string-exact
         col = F.col("__pv").getItem(key)
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            return col == F.lit(str(v))
-        return col.cast("double") == F.lit(float(v))
+        lit = F.lit(str(v))
+        both_num = (col.cast("double").isNotNull()
+                    & lit.cast("double").isNotNull())
+        return F.when(both_num,
+                      col.cast("double") == lit.cast("double")
+                      ).otherwise(col == lit)
 
     is_current = (F.coalesce(F.col("__pv").getItem("__spec_id"),
                              F.lit("0")).cast("int")
@@ -277,6 +290,5 @@ def iceberg_plan_files_distributed(
     for c, v in equality.items():
         mn = F.get_json_object("stats", f"$.minValues.{c}")
         mx = F.get_json_object("stats", f"$.maxValues.{c}")
-        df = df.where(_bound_ok(mn, v, lower=True)
-                      & _bound_ok(mx, v, lower=False))
+        df = df.where(_stats_keep_col(mn, mx, v))
     return df.drop("__pv")

@@ -164,3 +164,87 @@ def test_rest_sql_endpoint(spark):
         assert post2({"sql": "select 1"}, token="tkn") == 200
     finally:
         server2.shutdown()
+
+
+def test_flight_auth_rejects_prefixed_token(spark):
+    """Auth must be exact-match: a forged token that merely CONTAINS the
+    real one is rejected."""
+    import pyarrow.flight as fl
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.flight import (flight_query,
+                                                serve_background)
+
+    eng = Engine(spark)
+    server, _t = serve_background(eng, token="tkn")
+    try:
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            flight_query(server.port, "select 1 as one", token="tkn-evil")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            flight_query(server.port, "select 1 as one", token="xtkn")
+        assert flight_query(server.port, "select 1 as one",
+                            token="tkn").num_rows == 1
+    finally:
+        server.shutdown()
+
+
+def test_flight_statement_executes_once(flight_setup, spark, tmp_path):
+    """The GetFlightInfo -> DoGet two-step must execute a statement
+    ONCE — DML sent over Flight previously applied twice."""
+    from dremio_oss_spark.server.flight import flight_query
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    from pyspark.sql import functions as F
+
+    _eng, server = flight_setup
+    t = str(tmp_path / "d")
+    write_delta(spark, spark.range(5).select(F.col("id").alias("k")), t)
+    tab = flight_query(
+        server.port,
+        f"insert into '{t}' select id + 100 as k from range(3)")
+    assert tab.num_rows >= 0  # status frame
+    assert read_delta(spark, t).count() == 8  # 5 + 3, NOT 5 + 6
+
+
+def test_rest_accelerated_by_not_stale(spark, tmp_path):
+    """A statement served after an accelerated one must not inherit its
+    acceleration marker."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION rest_acc "
+            "USING DIMENSIONS (n_regionkey) MEASURES (n_nationkey (COUNT))")
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def post(body):
+        req = rq.Request(f"http://127.0.0.1:{port}/api/v3/sql",
+                         data=_json.dumps(body).encode(),
+                         headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    try:
+        out = post({"sql": "select n_regionkey, count(n_nationkey) as n "
+                           "from nation group by n_regionkey"})
+        assert out["accelerated_by"] == "rest_acc"
+        out2 = post({"sql": "select 1 as one"})
+        assert out2["accelerated_by"] is None
+        # limit=0 is honored as a schema-only probe
+        out3 = post({"sql": "select n_name from nation", "limit": 0})
+        assert out3["rowCount"] == 0 and out3["schema"]
+        # struct cells keep field names and serialize temporal fields
+        out4 = post({"sql": "select named_struct('d', current_date(), "
+                            "'x', 1) as s"})
+        assert "d" in out4["rows"][0]["s"]
+    finally:
+        server.shutdown()
+        eng._default_refl_store().drop("rest_acc")

@@ -1867,3 +1867,35 @@ def test_iceberg_distributed_pruning_matches_python(spark, tmp_path):
         _, total, kept = plan_iceberg_scan(spark, t, eq)
         dist = iceberg_plan_files_distributed(spark, t, eq).count()
         assert dist == kept, (eq, dist, kept)
+
+
+def test_distributed_stats_pruning_single_bound_keeps(spark, tmp_path):
+    """Parity edge: a file whose stats carry only ONE bound must be
+    KEPT (the Python planners prune only when both bounds exist)."""
+    import json as _json
+    import os
+
+    from dremio_oss_spark.sources.delta import write_delta
+    from dremio_oss_spark.sources.lake_metadata import (
+        delta_plan_files_distributed)
+
+    t = str(tmp_path / "t")
+    from pyspark.sql import functions as F
+    write_delta(spark, spark.range(10).select(F.col("id").alias("k")), t)
+    # rewrite the log's stats to drop maxValues (single-bound case)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = []
+    with open(log) as f:
+        for ln in f:
+            a = _json.loads(ln)
+            if a.get("add") and a["add"].get("stats"):
+                st = _json.loads(a["add"]["stats"])
+                st.pop("maxValues", None)
+                a["add"]["stats"] = _json.dumps(st)
+            lines.append(_json.dumps(a))
+    with open(log, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    kept = delta_plan_files_distributed(spark, t, {"k": 10_000}).count()
+    live = delta_plan_files_distributed(spark, t, {}).count()
+    assert kept == live  # nothing pruned on a single bound
