@@ -167,6 +167,27 @@ def metadata_scale_case(spark, n_files: int) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _mixture(docs):
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.mixing import weighted_mixture
+
+    tagged = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string")))
+    return weighted_mixture(tagged, "source", "doc_id",
+                            {"s0": 2.5, "s1": 0.5, "s2": 0.0})
+
+
+def _packing(docs):
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.mixing import pack_sequences
+    from dremio_oss_spark.operators.text import token_count
+
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(toks, "n_tok", "doc_id", context_len=2048)
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
@@ -197,6 +218,8 @@ def main() -> None:
             .groupBy("tok").count().orderBy(F.desc("count")).limit(50)
         ),
         "kmeans_2iter": lambda d, v: kmeans(v, k=8, n_iters=2),
+        "weighted_mixture": lambda d, v: _mixture(d),
+        "sequence_packing": lambda d, v: _packing(d),
     }
 
     def force(df) -> float:
