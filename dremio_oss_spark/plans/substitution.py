@@ -111,12 +111,22 @@ class ExtractedAgg:
     # HAVING conjuncts rendered against INTERNAL rollup column names
     # (measure.name / dim column), applied post-rollup pre-projection
     havings: tuple[str, ...] = ()
+    # out_name -> Spark type string for outputs the query wrapped in a
+    # CAST (re-applied on substitution so result dtypes match the
+    # unaccelerated run exactly)
+    casts: dict | None = None
     # EVERY aggregate-output measure, including ones the final
     # projection drops (a HAVING-only measure must still roll up —
     # filtering a dim-distinct frame on a dropped measure name would
     # resolve against per-cell PARTIALS via Spark's missing-reference
     # rule and return garbage)
     all_measures: tuple[Measure, ...] = ()
+
+    @property
+    def cdistincts(self) -> tuple[str, ...]:
+        """Columns under COUNT(DISTINCT ...) — matched as extra dims."""
+        return tuple(dict.fromkeys(
+            p for _, k, p in self.outputs if k == "cdistinct"))
 
     @property
     def measures(self) -> tuple[Measure, ...]:
@@ -345,6 +355,7 @@ class _Extractor:
 
         # aggregate output list
         outputs: list[tuple[str, str, object, int]] = []
+        casts_map: dict[str, str] = {}
         for item in agg["aggregateExpressions"]:
             top, tkids = _expr(item)
             if _cls(top) == "AttributeReference":
@@ -354,14 +365,18 @@ class _Extractor:
             if _cls(top) != "Alias":
                 raise _Unsupported("unaliased output")
             child, ckids = tkids[0]
+            cast_to = None  # outermost CAST around the output, if any
+            while _cls(child) == "Cast":
+                cast_to = cast_to or child.get("dataType")
+                child, ckids = ckids[0]
+            if cast_to is not None:
+                casts_map[top["name"]] = cast_to
             if _cls(child) == "AttributeReference":
                 outputs.append((top["name"], "dim",
                                 self._resolve(child)[1], _attr_id(top)))
                 continue
             if _cls(child) != "AggregateExpression":
                 raise _Unsupported("computed output")
-            if child.get("isDistinct"):
-                raise _Unsupported("distinct aggregate")
             fn, fkids = ckids[0]
             kind = _AGG_FNS.get(_cls(fn))
             if kind is None:
@@ -369,6 +384,16 @@ class _Extractor:
             if not fkids:
                 raise _Unsupported("zero-arg aggregate")
             an, ak = self._strip_cast(*fkids[0])
+            if child.get("isDistinct"):
+                # COUNT(DISTINCT col): answerable from a reflection
+                # carrying col at DIM grain (distinct-count of dim
+                # values inside each group) — other distinct aggs and
+                # expressions refuse
+                if kind != "count" or _cls(an) != "AttributeReference"                         or len(fkids) != 1:
+                    raise _Unsupported("distinct aggregate")
+                outputs.append((top["name"], "cdistinct",
+                                self._resolve(an)[1], _attr_id(top)))
+                continue
             if _cls(an) == "Literal" and kind == "count":
                 meas = Measure("count", "*")
             elif _cls(an) == "AttributeReference":
@@ -402,6 +427,8 @@ class _Extractor:
             if got is None:
                 raise _Unsupported("having on non-output expression")
             _n, k, p = got
+            if k == "cdistinct":
+                raise _Unsupported("having on count-distinct")
             return p if k == "dim" else p.name
 
         havings: list[str] = []
@@ -412,12 +439,16 @@ class _Extractor:
 
         if renames is not None:
             final = []
+            new_casts: dict[str, str] = {}
             for out_name, eid in renames:
                 if eid not in by_id:
                     raise _Unsupported("projection of non-output column")
-                _, k, p = by_id[eid]
+                orig, k, p = by_id[eid]
+                if orig in casts_map:
+                    new_casts[out_name] = casts_map[orig]
                 final.append((out_name, k, p, eid))
             outputs = final
+            casts_map = new_casts
 
         # ORDER BY: sort keys must be output columns
         order: list[tuple[str, bool, bool]] = []
@@ -442,6 +473,7 @@ class _Extractor:
             havings=tuple(havings),
             all_measures=tuple(p for _n, k, p in by_id.values()
                                if k == "measure"),
+            casts=casts_map,
         )
 
 
@@ -482,7 +514,11 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
     if seen != set(ex.tables):
         return None
     return AggQuery(
-        table=fact, dims=tuple(ex.dims), measures=ex.measures,
+        table=fact,
+        # COUNT(DISTINCT col) needs col at the materialization's grain:
+        # match it as an extra dimension
+        dims=tuple(dict.fromkeys(list(ex.dims) + list(ex.cdistincts))),
+        measures=ex.measures,
         filters=ex.filters, joins=tuple(specs))
 
 
@@ -510,11 +546,29 @@ def match_and_execute(store, ex: ExtractedAgg):
     cols = []
     from pyspark.sql import functions as F
 
+    if ex.cdistincts:
+        # store.execute rolled to (query dims + distinct cols) grain;
+        # finish with the user's grouping: distinct-count the extra dims
+        # and re-roll the regular measures (sums of sums, min of mins)
+        from .reflections import _ROLLUP
+
+        aggs = [F.countDistinct(c).alias(f"__cd_{c}")
+                for c in ex.cdistincts]
+        aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                 for m in ex.measures]
+        df = df.groupBy(*ex.dims).agg(*aggs)
     for h in ex.havings:  # HAVING re-applies on the rolled-up names
         df = df.where(h)
     for out_name, kind, payload in ex.outputs:
-        internal = payload if kind == "dim" else payload.name
-        cols.append(F.col(internal).alias(out_name))
+        if kind == "cdistinct":
+            internal = f"__cd_{payload}"
+        else:
+            internal = payload if kind == "dim" else payload.name
+        col = F.col(internal)
+        cast_to = (ex.casts or {}).get(out_name)
+        if cast_to:
+            col = col.cast(cast_to)  # match the unaccelerated dtype
+        cols.append(col.alias(out_name))
     df = df.select(*cols)
     if ex.order_by:
         df = df.orderBy(*[_sort_col(F.col(n), asc, nf)

@@ -729,3 +729,44 @@ def test_policy_drop_without_add_is_noop(spark):
     eng.sql("ALTER TABLE orders MODIFY COLUMN o_orderpriority "
             "UNSET MASKING POLICY")
     assert eng.sql("select count(*) c from orders").collect()[0][0] > 0
+
+
+def test_count_distinct_dim_substitution(spark):
+    """COUNT(DISTINCT dim) answers from a reflection carrying that
+    column at dim grain — the distinct-count is computed over the
+    materialization's finer grain, regular measures re-roll beside it;
+    count-distinct over a non-dim column falls through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rcd "
+            "USING DIMENSIONS (l_returnflag, l_linestatus, l_shipdate) "
+            "MEASURES (l_quantity (SUM))")
+
+    def canon(df):
+        return sorted(
+            tuple(float(x) if isinstance(x, (int, float)) else
+                  (float(x) if hasattr(x, "as_integer_ratio") else x)
+                  for x in r)
+            for r in df.collect())
+
+    for q in (
+        "select l_returnflag, count(distinct l_shipdate) as nd, "
+        "cast(sum(l_quantity) as double) as s from lineitem "
+        "group by l_returnflag order by l_returnflag",
+        "select count(distinct l_shipdate) as nd from lineitem",
+        "select l_returnflag, count(distinct l_linestatus) as nd "
+        "from lineitem where l_shipdate >= '1997-01-01' "
+        "group by l_returnflag",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "rcd", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    df = eng.sql("select count(distinct l_orderkey) as nd from lineitem")
+    assert eng.last_plan_accelerated is None
+    assert df.collect()[0][0] == spark.sql(
+        "select count(distinct l_orderkey) from lineitem").collect()[0][0]
+    eng._default_refl_store().drop("rcd")
