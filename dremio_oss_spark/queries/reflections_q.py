@@ -364,9 +364,44 @@ order by l_orderkey, l_quantity
 """
 
 
+def transparent_cdistinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT dim) through transparent substitution: the
+    reflection carries the column at dim grain, so the distinct count
+    computes from the materialization — with a rollup measure beside it
+    and the output cast preserved for dtype parity."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE orders CREATE AGGREGATE REFLECTION t_cd "
+        "USING DIMENSIONS (o_orderpriority, o_orderdate) "
+        "MEASURES (o_totalprice (SUM), o_orderkey (COUNT))")
+    df = eng.sql(
+        "select o_orderpriority, count(distinct o_orderdate) as n_days, "
+        "count(o_orderkey) as n, "
+        "cast(sum(o_totalprice) as double) as total "
+        "from orders group by o_orderpriority order by o_orderpriority")
+    assert eng.last_plan_accelerated == "t_cd", "cdistinct subst missed"
+    return df
+
+
+TRANSPARENT_CDISTINCT_SQL = """
+select o_orderpriority,
+       count(distinct o_orderdate) as n_days,
+       count(*) as n,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as total
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
+    "refl_transparent_cdistinct": transparent_cdistinct,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
     "refl_agg_rollup": agg_rollup,
@@ -378,6 +413,7 @@ REFLECTION_QUERIES = {
 REFLECTION_ORACLE = {
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
     "refl_transparent_raw": TRANSPARENT_RAW_SQL,
+    "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,
