@@ -416,6 +416,11 @@ class Engine:
         the name now resolves to."""
         if user is not None and not self.check_access(user, "SELECT", fqname):
             raise PermissionError(f"{user} lacks SELECT on {fqname}")
+        if "__base_" in fqname:
+            # the pre-policy snapshot view is an ENGINE INTERNAL: resolving
+            # it would hand any caller (incl. REST/Flight clients) the
+            # unmasked, unfiltered rows behind a policied table
+            raise PermissionError(f"{fqname}: reserved internal name")
         if self._policy_built_for:
             self._ensure_policy_views()
         if "." in fqname:
@@ -506,14 +511,17 @@ class Engine:
                     r.name, r.table, ",".join(r.dims),
                     ",".join(m.name for m in r.measures),
                     len(r.joins), str(r.watermark) if r.watermark else None,
+                    "STALE" if r.stale else "CAN_ACCELERATE",
                 ))
             for rr in store._raw.values():
                 rows.append((rr.name, rr.table,
-                             ",".join(rr.cols), "", 0, None))
+                             ",".join(rr.cols), "", 0, None,
+                             "STALE" if rr.stale else "CAN_ACCELERATE"))
         return self.spark.createDataFrame(
-            rows or [("", "", "", "", 0, None)],
+            rows or [("", "", "", "", 0, None, "")],
             "reflection_name string, dataset string, dims string, "
-            "measures string, n_join_edges int, watermark string",
+            "measures string, n_join_edges int, watermark string, "
+            "status string",
         ).where("reflection_name <> ''")
 
     def sys_materializations(self) -> DataFrame:
@@ -849,13 +857,12 @@ class Engine:
         if m:
             name = m.group(1)
             store = self._default_refl_store()
-            refl = store._reflections.get(name)
+            refl = store._reflections.get(name) or store._raw.get(name)
             if refl is None:
                 raise ValueError(f"no reflection {name!r}")
-            store.create_aggregation_reflection(
-                name, self._resolve_table(refl.table), table=refl.table,
-                dims=list(refl.dims), measures=list(refl.measures),
-                filters=list(refl.filters))
+            # shape-preserving rebuild (joins/layout/filters kept) —
+            # the earlier re-create dropped the star edges
+            self._refresh_stale_reflection(refl)
             return self._status("REFRESH REFLECTION", name)
         return None
 
@@ -931,8 +938,73 @@ class Engine:
         old = set(ds["files"])
         ds["files"] = fresh
         self._register_dataset_view(name)
+        if fresh != sorted(old):
+            # base-table commit: dependents go stale and auto-refresh
+            # before the next substitution (ReflectionServiceImpl's
+            # dependency-driven refresh)
+            self._mark_reflections_stale(name)
         return {"added": len(set(fresh) - old),
                 "removed": len(old - set(fresh))}
+
+    # -- reflection freshness (dependency-driven refresh) --------------------
+    # Reference: ReflectionServiceImpl tracks dataset->reflection
+    # dependencies (sys.dependencies here) and refreshes dependents when
+    # the base dataset commits.  The engine mirrors that: any commit
+    # signal on a named dataset marks every reflection whose star
+    # touches it stale; stale reflections refresh (watermark-incremental
+    # when declared, full rebuild otherwise) before the next
+    # substitution attempt.  ALTER SESSION SET
+    # "spark.dremio.reflections.autoRefresh" = false keeps serving the
+    # stale materialization (the reference's TTL-tolerant mode) and
+    # surfaces STALE in sys.reflections instead.
+    _AUTO_REFRESH_KEY = "spark.dremio.reflections.autoRefresh"
+
+    def _mark_reflections_stale(self, dataset: str) -> int:
+        store = getattr(self, "_refl_store", None)
+        if store is None:
+            return 0
+        n = 0
+        for refl in store._reflections.values():
+            if refl.table == dataset or any(
+                    js.dim_table == dataset for js in refl.joins):
+                refl.stale = True
+                n += 1
+        for rr in store._raw.values():
+            if rr.table == dataset:
+                rr.stale = True
+                n += 1
+        return n
+
+    def _auto_refresh_enabled(self) -> bool:
+        try:
+            return self.spark.conf.get(
+                self._AUTO_REFRESH_KEY, "true").lower() != "false"
+        except Exception:  # noqa: BLE001 — conf access never fatal
+            return True
+
+    def _refresh_stale_reflection(self, refl) -> None:
+        store = self._default_refl_store()
+        base = self._resolve_table(refl.table)
+        joins = getattr(refl, "joins", ())
+        dims = {js.dim_table: self._resolve_table(js.dim_table)
+                for js in joins} or None
+        if getattr(refl, "watermark_col", None):
+            # the existing incremental machinery: only rows past the
+            # watermark re-aggregate and merge into the partials
+            src = store._join_star(base, joins, dims)
+            store.incremental_refresh(refl.name, src)
+            refl.stale = False
+        else:
+            store.rebuild(refl.name, base, dims)
+
+    def _refresh_stale_reflections(self) -> None:
+        store = getattr(self, "_refl_store", None)
+        if store is None or not self._auto_refresh_enabled():
+            return
+        for refl in list(store._reflections.values()) + list(
+                store._raw.values()):
+            if getattr(refl, "stale", False):
+                self._refresh_stale_reflection(refl)
 
     # -- Hive UDF loading (plugins/hive-function-registry) ------------------
     def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
@@ -1789,6 +1861,9 @@ class Engine:
         store = getattr(self, "_refl_store", None)
         if store is None or not (store._reflections or store._raw):
             return None
+        # dependency-driven freshness: stale dependents refresh BEFORE
+        # matching, so an accelerated answer reflects the latest commit
+        self._refresh_stale_reflections()
         df = self._plan_tree_accelerate(query)
         if df is not None:
             return df
@@ -1883,10 +1958,24 @@ class Engine:
                     rf"\b{re.escape(space.name)}\.{re.escape(name)}\b",
                     self._flat(space.name, name), q)
         try:
-            analyzed = (self.spark.sql(q)._jdf.queryExecution()
+            probe = self.spark.sql(q)
+            analyzed = (probe._jdf.queryExecution()
                         .analyzed().toJSON())
         except Exception:  # noqa: BLE001 — dialect SQL Spark can't parse
             return None
+
+        def conform(df):
+            # Acceleration must be invisible in the result SCHEMA too:
+            # reflection partials are decimal(28,4), so a substituted
+            # sum(double_col) would surface as decimal without this.
+            # Cast every output to the ANALYZED (unaccelerated) dtype;
+            # a name mismatch means the rewrite drifted — refuse.
+            want = probe.schema.fields
+            if [f.name for f in want] != list(df.columns):
+                return None
+            return df.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in want])
         def policied(tables) -> bool:
             # a materialization built before a policy attached would
             # serve unmasked/unfiltered rows — reflections never answer
@@ -1905,9 +1994,10 @@ class Engine:
             if ex is not None and not policied(ex.tables):
                 got = match_and_execute(self._refl_store, ex)
                 if got is not None:
-                    df, name = got
-                    self.last_plan_accelerated = name
-                    return df
+                    df = conform(got[0])
+                    if df is not None:
+                        self.last_plan_accelerated = got[1]
+                        return df
             # non-aggregate scan: a covering RAW reflection swaps the
             # scan (narrow sorted files) — the raw-reflection role
             if self._refl_store._raw:
@@ -1915,9 +2005,10 @@ class Engine:
                 if exs is not None and not policied([exs.table]):
                     got = match_and_execute_raw(self._refl_store, exs)
                     if got is not None:
-                        df, name = got
-                        self.last_plan_accelerated = name
-                        return df
+                        df = conform(got[0])
+                        if df is not None:
+                            self.last_plan_accelerated = got[1]
+                            return df
         except Exception:  # noqa: BLE001 — fall through, plan normally
             self.last_plan_accelerated = None
         return None
@@ -2161,30 +2252,35 @@ class Engine:
                            if fmt == "delta"
                            else resolve_snapshot_at(path, ts_ms))
             bindings = self._safe_equality_bindings(query, path)
+            # column names come from the TABLE METADATA (one metaData
+            # action / metadata.json read), never from a snapshot
+            # resolve — at millions of files, replaying the log just to
+            # list columns is the driver bottleneck the distributed
+            # planner exists to avoid.  The (possibly empty) binding set
+            # then goes through plan_*_scan, which switches to the
+            # DataFrame metadata path above the file-count threshold.
             if fmt == "delta":
-                from .sources.delta import plan_delta_scan, read_delta
-                if bindings:
-                    cols = set((read_delta(self.spark, path,
-                                           version=version)).columns)
-                    df, _, _ = plan_delta_scan(
-                        self.spark, path,
-                        {c: v for c, v in bindings.items() if c in cols},
-                        version=version)
-                else:
-                    df = read_delta(self.spark, path, version=version)
+                import json as _json
+
+                from .sources.delta import (_latest_metadata_action,
+                                            plan_delta_scan)
+                md = _latest_metadata_action(path)
+                cols = ({f["name"] for f in _json.loads(
+                    md["schemaString"])["fields"]}
+                    if md.get("schemaString") else set())
+                df, _, _ = plan_delta_scan(
+                    self.spark, path,
+                    {c: v for c, v in bindings.items() if c in cols},
+                    version=version)
             else:
-                from .sources.iceberg import (plan_iceberg_scan,
-                                              read_iceberg)
-                if bindings:
-                    cols = set(read_iceberg(self.spark, path,
-                                            snapshot_id=version).columns)
-                    df, _, _ = plan_iceberg_scan(
-                        self.spark, path,
-                        {c: v for c, v in bindings.items() if c in cols},
-                        snapshot_id=version)
-                else:
-                    df = read_iceberg(self.spark, path,
-                                      snapshot_id=version)
+                from .sources.iceberg import (_snapshot_meta,
+                                              plan_iceberg_scan)
+                cols = set(_snapshot_meta(
+                    path, version).schema.fieldNames())
+                df, _, _ = plan_iceberg_scan(
+                    self.spark, path,
+                    {c: v for c, v in bindings.items() if c in cols},
+                    snapshot_id=version)
             view = f"__lake_{abs(hash((path, version))) % 10**8}"
             df.createOrReplaceTempView(view)
             return f"{kw} {view}"
@@ -2197,6 +2293,13 @@ class Engine:
 
     # -- SQL entry ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
+        if re.search(r"\b__base_\w+", query):
+            # `__base_<t>` temp views hold the PRE-POLICY snapshot of
+            # policied tables; they are engine internals — naming one in
+            # SQL (library, REST, or Flight) would bypass row-access and
+            # masking policies entirely
+            raise PermissionError(
+                "__base_* names are reserved engine internals")
         self.last_count_from_metadata = None
         # reset HERE, not only inside _try_accelerate: statements that
         # return from earlier handlers (DDL, lake DML, SHOW ...) must

@@ -45,14 +45,22 @@ _ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 @dataclass(frozen=True)
 class Measure:
-    """One declared measure: kind in {sum,count,min,max}, over a column."""
+    """One declared measure: kind in {sum,count,min,max}, over a column.
+
+    COUNT comes in two distinct shapes — `count(*)` (col == "*", rows per
+    group) and null-aware `count(col)` (non-null values per group).  They
+    materialize under different names (`count_all` vs `count_<col>`) and
+    are matched separately: conflating them silently returned count(*)
+    for `count(nullable_col)` — wrong whenever the column has NULLs."""
 
     kind: str
-    col: str  # ignored for count
+    col: str  # "*" for count(*)
 
     @property
     def name(self) -> str:
-        return f"{self.kind}_{self.col}" if self.kind != "count" else "count_all"
+        if self.kind == "count":
+            return "count_all" if self.col == "*" else f"count_{self.col}"
+        return f"{self.kind}_{self.col}"
 
 
 @dataclass(frozen=True)
@@ -218,6 +226,19 @@ class Reflection:
     # lakehouse snapshot/version the materialization is current through
     # (snapshot-based incremental refresh)
     base_version: object = None
+    # set when a base-table commit lands (ReflectionServiceImpl's
+    # dependency-driven refresh): the engine refreshes stale reflections
+    # before the next substitution (auto-refresh) or surfaces STALE in
+    # sys.reflections when auto-refresh is off
+    stale: bool = False
+    # bare column name -> owning table across the reflection's star
+    # (None value = the name exists in 2+ star tables, i.e. ambiguous).
+    # Plan-tree substitution matches QUALIFIED columns against this map:
+    # a query column that name-collides with a same-named column from a
+    # different star table must refuse, or the rollup silently
+    # aggregates the wrong column.  dict-None (legacy/API reflections)
+    # keeps the caller-responsible bare-name behavior.
+    col_owner: dict | None = None
 
     def covers(self, q: AggQuery) -> bool:
         if q.table != self.table:
@@ -270,6 +291,8 @@ class RawReflection:
     table: str
     cols: tuple[str, ...]
     path: str
+    sort_col: str | None = None  # LOCALSORT layout, kept for rebuilds
+    stale: bool = False
 
 
 class ReflectionStore:
@@ -306,11 +329,17 @@ class ReflectionStore:
         substitutes for queries whose filter implies it (see covers)."""
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
+        # bare-name -> owning-table map over the star (collision -> None)
+        owner: dict[str, str | None] = {c: table for c in source.columns}
+        for js in (joins or ()):
+            for c in dim_sources[js.dim_table].columns:
+                owner[c] = None if c in owner else js.dim_table
         refl = Reflection(
             name, table, tuple(dims), tuple(measures), path, watermark_col,
             joins=tuple(joins or ()), filters=tuple(filters or ()),
             partition_by=tuple(partition_by or ()),
             sort_by=tuple(sort_by or ()),
+            col_owner=owner,
         )
         src = self._join_star(source, refl.joins, dim_sources)
         for f in refl.filters:
@@ -353,9 +382,36 @@ class ReflectionStore:
         if sort_col:
             proj = proj.sortWithinPartitions(sort_col)
         proj.write.mode("overwrite").parquet(os.path.join(path, "data"))
-        refl = RawReflection(name, table, tuple(display_cols), path)
+        refl = RawReflection(name, table, tuple(display_cols), path,
+                             sort_col=sort_col)
         self._raw[name] = refl
         return refl
+
+    def rebuild(self, name: str, source: DataFrame,
+                dim_sources: dict[str, DataFrame] | None = None) -> None:
+        """Re-materialize a reflection PRESERVING its declared shape
+        (dims/measures/joins/filters/layout) from fresh base data — the
+        refresh step of the reference's dependency-driven refresh
+        (ReflectionServiceImpl): a base-table commit marks dependents
+        stale, this brings them current."""
+        refl = self._reflections.get(name)
+        if refl is not None:
+            src = self._join_star(source, refl.joins, dim_sources)
+            for f in refl.filters:
+                src = src.where(f)
+            self._full_refresh(refl, src)
+            refl.stale = False
+            return
+        rr = self._raw[name]
+        proj = source.select(*rr.cols)
+        if rr.sort_col:
+            proj = proj.sortWithinPartitions(rr.sort_col)
+        tmp = os.path.join(rr.path, "data.new")
+        proj.write.mode("overwrite").parquet(tmp)
+        data = os.path.join(rr.path, "data")
+        shutil.rmtree(data, ignore_errors=True)
+        os.replace(tmp, data)
+        rr.stale = False
 
     def scan(self, table: str, cols: list[str], base: DataFrame) -> tuple[DataFrame, bool]:
         """Column-level substitution: if a raw reflection covers `cols`,
@@ -423,7 +479,11 @@ class ReflectionStore:
         aggs = []
         for m in refl.measures:
             if m.kind == "count":
-                aggs.append(F.count("*").alias(m.name))
+                # count(*) counts rows; count(col) counts NON-NULL values
+                # — the partial must be null-aware or the rollup answers
+                # count(nullable_col) with count(*)
+                aggs.append((F.count("*") if m.col == "*"
+                             else F.count(F.col(m.col))).alias(m.name))
             else:
                 col = F.col(m.col)
                 if m.kind == "sum":
@@ -556,9 +616,12 @@ class ReflectionStore:
                 "min/max measures cannot be maintained under deletes; "
                 "use snapshot_incremental_refresh (append-only) or a "
                 "full refresh")
-        if "count" not in kinds:
+        # specifically count(*): count(col) can legitimately be 0 while
+        # rows remain, so it cannot detect fully-emptied groups
+        if not any(m.kind == "count" and m.col == "*"
+                   for m in refl.measures):
             raise ValueError(
-                "CDF refresh needs a COUNT measure to detect groups "
+                "CDF refresh needs a COUNT(*) measure to detect groups "
                 "whose rows were all deleted")
 
     def _fold_signed_changes(self, refl: Reflection, ch: DataFrame,
@@ -577,8 +640,13 @@ class ReflectionStore:
         count_name = None
         for m in refl.measures:
             if m.kind == "count":
-                count_name = m.name
-                aggs.append(F.sum(sign).alias(m.name))
+                if m.col == "*":
+                    count_name = m.name
+                    aggs.append(F.sum(sign).alias(m.name))
+                else:  # null-aware: only non-null values carry a delta
+                    aggs.append(F.sum(
+                        sign * F.col(m.col).isNotNull().cast("long"))
+                        .alias(m.name))
             else:  # sum
                 aggs.append(
                     F.sum(F.col(m.col).cast("decimal(28,4)") * sign)
@@ -668,12 +736,13 @@ class ReflectionStore:
             json.dump({"watermark": str(refl.watermark)}, f)
 
     # -- substitution ------------------------------------------------------
-    def find_match(self, q: AggQuery) -> Reflection | None:
+    def find_match(self, q: AggQuery, accept=None) -> Reflection | None:
         """Cheapest covering reflection, not the first registered: fewer
         dimensions means a smaller materialization to rescan (the
         reference's substitution costing compares materialization row
         counts the same way — DremioCost over the substituted tree);
-        materialized byte size breaks ties when both shapes cover."""
+        materialized byte size breaks ties when both shapes cover.
+        `accept` adds a caller-side veto (e.g. qualified-name checks)."""
         def cost(r: Reflection) -> tuple[int, int]:
             size = 0
             data = os.path.join(r.path, "data")
@@ -682,8 +751,37 @@ class ReflectionStore:
                             for f in fns if f.endswith(".parquet"))
             return (len(r.dims), size)
 
-        covering = [r for r in self._reflections.values() if r.covers(q)]
+        covering = [r for r in self._reflections.values()
+                    if r.covers(q) and (accept is None or accept(r))]
         return min(covering, key=cost) if covering else None
+
+    def scan_materialization(self, refl: Reflection,
+                             filters: tuple[str, ...]) -> DataFrame:
+        """The materialization scan with query filters applied, including
+        partition-directory pruning through the __p_ helper columns."""
+        raw = self.spark.read.parquet(os.path.join(refl.path, "data"))
+        helpers = [c for c in raw.columns if c.startswith("__p_")]
+        mat = raw
+        for f in filters:
+            mat = mat.where(f)
+            # PARTITION BY payoff: an equality filter on a partitioned
+            # dim re-applies against the __p_ partition column, so the
+            # substituted scan prunes whole directories (PartitionFilters
+            # in the plan), not just row groups
+            for c in getattr(refl, "partition_by", ()):
+                # Only re-filter when the WHOLE predicate is a single
+                # equality against a literal/identifier — a greedy match on
+                # a compound filter ("region = 'EU' AND x > 3") would hand
+                # F.expr a non-expression and fail analysis (or mis-prune).
+                m2 = re.match(
+                    rf"\s*{re.escape(c)}\s*=\s*('[^']*'|[\w.]+)\s*$",
+                    f.strip())
+                if m2 and f"__p_{c}" in helpers:
+                    mat = mat.where(
+                        F.col(f"__p_{c}") == F.expr(m2.group(1)))
+        if helpers:
+            mat = mat.drop(*helpers)
+        return mat
 
     def execute(
         self,
@@ -707,7 +805,8 @@ class ReflectionStore:
             aggs = []
             for m in q.measures:
                 if m.kind == "count":
-                    aggs.append(F.count("*").alias(m.name))
+                    aggs.append((F.count("*") if m.col == "*"
+                                 else F.count(F.col(m.col))).alias(m.name))
                 else:
                     col = F.col(m.col)
                     if m.kind == "sum":
@@ -715,28 +814,7 @@ class ReflectionStore:
                     aggs.append(getattr(F, m.kind)(col).alias(m.name))
             return df.groupBy(*q.dims).agg(*aggs), False
 
-        raw = self.spark.read.parquet(os.path.join(refl.path, "data"))
-        helpers = [c for c in raw.columns if c.startswith("__p_")]
-        mat = raw
-        for f in q.filters:
-            mat = mat.where(f)
-            # PARTITION BY payoff: an equality filter on a partitioned
-            # dim re-applies against the __p_ partition column, so the
-            # substituted scan prunes whole directories (PartitionFilters
-            # in the plan), not just row groups
-            for c in getattr(refl, "partition_by", ()):
-                # Only re-filter when the WHOLE predicate is a single
-                # equality against a literal/identifier — a greedy match on
-                # a compound filter ("region = 'EU' AND x > 3") would hand
-                # F.expr a non-expression and fail analysis (or mis-prune).
-                m2 = re.match(
-                    rf"\s*{re.escape(c)}\s*=\s*('[^']*'|[\w.]+)\s*$",
-                    f.strip())
-                if m2 and f"__p_{c}" in helpers:
-                    mat = mat.where(
-                        F.col(f"__p_{c}") == F.expr(m2.group(1)))
-        if helpers:
-            mat = mat.drop(*helpers)
+        mat = self.scan_materialization(refl, q.filters)
         if not q.measures:  # pure GROUP BY / DISTINCT: dims roll up alone
             return mat.select(*q.dims).distinct(), True
         rolled = mat.groupBy(*q.dims).agg(

@@ -38,7 +38,11 @@ from dataclasses import dataclass
 
 from .reflections import AggQuery, JoinSpec, Measure
 
-_AGG_FNS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count"}
+# Average is REDUCED to sum/count before matching, mirroring the
+# reference's DremioAggregateReduceFunctionsRule (PlannerPhase.java:624):
+# avg(x) answers from a reflection carrying SUM(x) and COUNT(x).
+_AGG_FNS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count",
+            "Average": "avg"}
 _CMP = {
     "EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
     "LessThan": "<", "LessThanOrEqual": "<=",
@@ -96,16 +100,44 @@ def _sort_col(col, asc: bool, nulls_first: bool):
     return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
 
 
+# A DimKey canonicalizes one group-by key over a resolved base column:
+#   ("col", table, col)            — the column itself
+#   ("year"|"month"|"quarter", table, col)
+#   ("trunc", fmt, table, col)     — trunc(col, fmt)       (TruncDate)
+#   ("dtrunc", fmt, table, col)    — date_trunc(fmt, col)  (TruncTimestamp)
+# Expression keys are matched against a reflection carrying the BASE
+# column at its stored (day-or-finer) grain and re-applied over the
+# materialization at rollup — the expression-dim normalization of the
+# reference's MaterializationExpander (PlannerPhase.java:145-169).
+def _dim_base(k: tuple) -> str:
+    return k[-1]
+
+
+def _dim_col(k: tuple):
+    from pyspark.sql import functions as F
+
+    base = F.col(k[-1])
+    if k[0] == "col":
+        return base
+    if k[0] in ("year", "month", "quarter"):
+        return getattr(F, k[0])(base)
+    if k[0] == "trunc":
+        return F.trunc(base, k[1])
+    if k[0] == "dtrunc":
+        return F.date_trunc(k[1], base)
+    raise ValueError(f"unknown dim key {k!r}")  # pragma: no cover
+
+
 @dataclass
 class ExtractedAgg:
     """Canonical form of one matchable aggregate query."""
 
     tables: frozenset[str]
     edges: list[tuple[tuple[str, str], tuple[str, str]]]  # ((t,c),(t,c))
-    dims: list[str]                      # resolved base column names
+    dims: list[tuple]                    # DimKeys (see above)
     filters: tuple[str, ...]             # rendered `col op literal` strings
-    # output order: (out_name, kind, payload) — kind 'dim' -> base col,
-    # kind 'measure' -> Measure
+    # output order: (out_name, kind, payload) — kind 'dim' -> DimKey,
+    # kind 'measure' -> Measure, kind 'avg'/'cdistinct' -> base col
     outputs: list[tuple[str, str, object]]
     order_by: list[tuple[str, bool, bool]]  # (out_name, asc, nulls_first)
     # HAVING conjuncts rendered against INTERNAL rollup column names
@@ -121,12 +153,21 @@ class ExtractedAgg:
     # resolve against per-cell PARTIALS via Spark's missing-reference
     # rule and return garbage)
     all_measures: tuple[Measure, ...] = ()
+    # bare column name -> the QUERY table it resolved from, for every
+    # column the query touches; matched against Reflection.col_owner so
+    # a name that collides with a same-named column from a different
+    # star table refuses instead of rolling up the wrong column
+    qualified: dict | None = None
 
     @property
     def cdistincts(self) -> tuple[str, ...]:
         """Columns under COUNT(DISTINCT ...) — matched as extra dims."""
         return tuple(dict.fromkeys(
             p for _, k, p in self.outputs if k == "cdistinct"))
+
+    @property
+    def base_dims(self) -> tuple[str, ...]:
+        return tuple(dict.fromkeys(_dim_base(k) for k in self.dims))
 
     @property
     def measures(self) -> tuple[Measure, ...]:
@@ -145,11 +186,17 @@ class _Extractor:
         self.filter_exprs: list = []
         self.edges: list = []
         self.root = root
+        # bare name -> query table, recorded on every resolution; two
+        # query tables exposing the same bare name makes the bare-name
+        # IR ambiguous -> the whole query refuses (sound)
+        self.qualified: dict[str, str] = {}
 
     # -- bottom half: leaves/joins/filters under the Aggregate -------------
     def _walk_source(self, node, kids):
         c = _cls(node)
-        if c == "LogicalRelation":
+        if c in ("LogicalRelation", "LogicalRDD"):
+            # file relation or an in-memory frame behind a temp view —
+            # either way a leaf whose outputs the enclosing alias names
             ids = []
             for out in node["output"]:
                 attr, _ = _expr(out)
@@ -202,7 +249,36 @@ class _Extractor:
         got = self.env.get(_attr_id(attr_node))
         if not got or got[0] is None:
             raise _Unsupported(f"unresolvable column {attr_node.get('name')}")
+        t, c = got
+        prev = self.qualified.setdefault(c, t)
+        if prev != t:
+            raise _Unsupported(f"ambiguous bare name {c}")
         return got
+
+    def _dim_key(self, node, kids) -> tuple:
+        """Canonicalize one group-by key (see DimKey above); anything
+        outside the fragment refuses."""
+        node, kids = self._strip_cast(node, kids)
+        c = _cls(node)
+        if c == "AttributeReference":
+            return ("col",) + self._resolve(node)
+        if c in ("Year", "Month", "Quarter") and kids:
+            an, _ak = self._strip_cast(*kids[0])
+            if _cls(an) != "AttributeReference":
+                raise _Unsupported("temporal fn over expression")
+            return (c.lower(),) + self._resolve(an)
+        if c in ("TruncDate", "TruncTimestamp") and len(kids) == 2:
+            # TruncDate(date, fmt) vs TruncTimestamp(fmt, ts)
+            val, fmt = (kids[0], kids[1]) if c == "TruncDate" \
+                else (kids[1], kids[0])
+            an, _ak = self._strip_cast(*val)
+            fn, _fk = fmt
+            if _cls(an) != "AttributeReference" or _cls(fn) != "Literal" \
+                    or fn.get("dataType") != "string":
+                raise _Unsupported("trunc outside column+literal form")
+            kind = "trunc" if c == "TruncDate" else "dtrunc"
+            return (kind, str(fn["value"]).lower()) + self._resolve(an)
+        raise _Unsupported("computed group key")
 
     # -- literals ----------------------------------------------------------
     @staticmethod
@@ -345,13 +421,10 @@ class _Extractor:
         if len(self.tables) != len(set(self.tables)):
             raise _Unsupported("self-join")
 
-        # group-by dims: plain columns only
-        dims: list[str] = []
+        # group-by dims: plain columns + whitelisted temporal expressions
+        dims: list[tuple] = []
         for g in agg["groupingExpressions"]:
-            gn, gk = _expr(g)
-            if _cls(gn) != "AttributeReference":
-                raise _Unsupported("computed group key")
-            dims.append(self._resolve(gn)[1])
+            dims.append(self._dim_key(*_expr(g)))
 
         # aggregate output list
         outputs: list[tuple[str, str, object, int]] = []
@@ -360,7 +433,8 @@ class _Extractor:
             top, tkids = _expr(item)
             if _cls(top) == "AttributeReference":
                 outputs.append((top["name"], "dim",
-                                self._resolve(top)[1], _attr_id(top)))
+                                ("col",) + self._resolve(top),
+                                _attr_id(top)))
                 continue
             if _cls(top) != "Alias":
                 raise _Unsupported("unaliased output")
@@ -371,12 +445,13 @@ class _Extractor:
                 child, ckids = ckids[0]
             if cast_to is not None:
                 casts_map[top["name"]] = cast_to
-            if _cls(child) == "AttributeReference":
-                outputs.append((top["name"], "dim",
-                                self._resolve(child)[1], _attr_id(top)))
-                continue
             if _cls(child) != "AggregateExpression":
-                raise _Unsupported("computed output")
+                # a group-by key (plain column or the same temporal
+                # expression the grouping used) projected as an output
+                outputs.append((top["name"], "dim",
+                                self._dim_key(child, ckids),
+                                _attr_id(top)))
+                continue
             fn, fkids = ckids[0]
             kind = _AGG_FNS.get(_cls(fn))
             if kind is None:
@@ -394,9 +469,26 @@ class _Extractor:
                 outputs.append((top["name"], "cdistinct",
                                 self._resolve(an)[1], _attr_id(top)))
                 continue
+            if kind == "avg":
+                # reduce avg(x) -> sum(x)/count(x); decimal inputs
+                # refuse (the materialized decimal(28,4) sum divided
+                # back would round differently than native decimal avg)
+                if (_cls(an) != "AttributeReference" or len(fkids) != 1
+                        or str(an.get("dataType", "")).startswith(
+                            "decimal")):
+                    raise _Unsupported("avg outside plain-column form")
+                outputs.append((top["name"], "avg",
+                                self._resolve(an)[1], _attr_id(top)))
+                continue
             if _cls(an) == "Literal" and kind == "count":
+                if an.get("value") is None:
+                    raise _Unsupported("count(null)")
                 meas = Measure("count", "*")
-            elif _cls(an) == "AttributeReference":
+            elif _cls(an) == "AttributeReference" and (
+                    kind != "count" or len(fkids) == 1):
+                # count(col) is NULL-AWARE: it matches a per-column
+                # count measure (count_<col>), never count(*); the
+                # multi-arg count(a,b) form refuses
                 meas = Measure(kind, self._resolve(an)[1])
             else:
                 raise _Unsupported("aggregate over expression")
@@ -427,9 +519,11 @@ class _Extractor:
             if got is None:
                 raise _Unsupported("having on non-output expression")
             _n, k, p = got
-            if k == "cdistinct":
-                raise _Unsupported("having on count-distinct")
-            return p if k == "dim" else p.name
+            if k == "measure":
+                return p.name
+            if k == "dim" and p[0] == "col":
+                return _dim_base(p)
+            raise _Unsupported("having on count-distinct/avg/expr dim")
 
         havings: list[str] = []
         for fe in post_agg_filters:
@@ -463,6 +557,12 @@ class _Extractor:
                     raise _Unsupported("order by non-output expression")
                 order.append((name_of[_attr_id(child)], asc, nf))
 
+        all_ms: list[Measure] = []
+        for _n, k, p in by_id.values():
+            if k == "measure":
+                all_ms.append(p)
+            elif k == "avg":  # reduced form: needs both partials
+                all_ms += [Measure("sum", p), Measure("count", p)]
         return ExtractedAgg(
             tables=frozenset(self.tables),
             edges=edges,
@@ -471,9 +571,9 @@ class _Extractor:
             outputs=[(n, k, p) for n, k, p, _i in outputs],
             order_by=order,
             havings=tuple(havings),
-            all_measures=tuple(p for _n, k, p in by_id.values()
-                               if k == "measure"),
+            all_measures=tuple(all_ms),
             casts=casts_map,
+            qualified=dict(self.qualified),
         )
 
 
@@ -515,56 +615,79 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
         return None
     return AggQuery(
         table=fact,
-        # COUNT(DISTINCT col) needs col at the materialization's grain:
-        # match it as an extra dimension
-        dims=tuple(dict.fromkeys(list(ex.dims) + list(ex.cdistincts))),
+        # expression dims match on their BASE column (the reflection
+        # must carry it at day-or-finer grain); COUNT(DISTINCT col)
+        # needs col at the materialization's grain: extra dimension
+        dims=tuple(dict.fromkeys(
+            list(ex.base_dims) + list(ex.cdistincts))),
         measures=ex.measures,
         filters=ex.filters, joins=tuple(specs))
+
+
+def _owner_ok(refl, ex: ExtractedAgg) -> bool:
+    """Qualified-name check: every bare column the query touches must be
+    owned by the SAME table inside the reflection's star (col_owner maps
+    name -> owner, None for names duplicated across star tables).  A
+    legacy reflection without the map keeps bare-name matching."""
+    owner = getattr(refl, "col_owner", None)
+    if owner is None or ex.qualified is None:
+        return True
+    return all(owner.get(n) == t for n, t in ex.qualified.items())
 
 
 def match_and_execute(store, ex: ExtractedAgg):
     """Try every fact orientation against the store; return
     (DataFrame, reflection_name) answered from a materialization, or
-    None.  The rollup result is re-shaped to the query's output names,
-    order, and ORDER BY."""
-    facts = {r.table for r in store._reflections.values()} & ex.tables
-    best = None
-    for fact in sorted(facts):
+    None.  The rollup groups the materialization by the query's own
+    keys (including temporal expressions over stored dims), re-rolls
+    the partials, and re-shapes to the query's output names/ORDER BY."""
+    from pyspark.sql import functions as F
+
+    from .reflections import _ROLLUP
+
+    refl = None
+    for fact in sorted(
+            {r.table for r in store._reflections.values()} & ex.tables):
         q = to_agg_query(ex, fact)
         if q is None:
             continue
-        refl = store.find_match(q)
+        refl = store.find_match(q, accept=lambda r: _owner_ok(r, ex))
         if refl is not None:
-            best = (q, refl)
             break
-    if best is None:
+    if refl is None:
         return None
-    q, refl = best
-    df, substituted = store.execute(q, base=None)
-    if not substituted:  # pragma: no cover — find_match already agreed
-        return None
-    cols = []
-    from pyspark.sql import functions as F
+    mat = store.scan_materialization(refl, ex.filters)
 
-    if ex.cdistincts:
-        # store.execute rolled to (query dims + distinct cols) grain;
-        # finish with the user's grouping: distinct-count the extra dims
-        # and re-roll the regular measures (sums of sums, min of mins)
-        from .reflections import _ROLLUP
-
-        aggs = [F.countDistinct(c).alias(f"__cd_{c}")
-                for c in ex.cdistincts]
-        aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
-                 for m in ex.measures]
-        df = df.groupBy(*ex.dims).agg(*aggs)
+    # one rollup shuffle: group by the query keys directly — the
+    # materialization rows are at the reflection's (finer) grain, so
+    # partial sums/counts re-roll and countDistinct sees full dim values
+    internal: dict[tuple, str] = {}
+    group_cols = []
+    for i, k in enumerate(ex.dims):
+        nm = _dim_base(k) if k[0] == "col" else f"__e{i}"
+        if k not in internal:
+            internal[k] = nm
+            group_cols.append(_dim_col(k).alias(nm))
+    aggs = [F.countDistinct(c).alias(f"__cd_{c}") for c in ex.cdistincts]
+    aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+             for m in ex.measures]
+    if aggs:
+        df = mat.groupBy(*group_cols).agg(*aggs)
+    else:  # pure GROUP BY / DISTINCT over dims
+        df = mat.select(*group_cols).distinct()
     for h in ex.havings:  # HAVING re-applies on the rolled-up names
         df = df.where(h)
+    cols = []
     for out_name, kind, payload in ex.outputs:
         if kind == "cdistinct":
-            internal = f"__cd_{payload}"
+            col = F.col(f"__cd_{payload}")
+        elif kind == "dim":
+            col = F.col(internal[payload])
+        elif kind == "avg":  # sum/count reduction, double arithmetic
+            col = (F.col(Measure("sum", payload).name).cast("double")
+                   / F.col(Measure("count", payload).name))
         else:
-            internal = payload if kind == "dim" else payload.name
-        col = F.col(internal)
+            col = F.col(payload.name)
         cast_to = (ex.casts or {}).get(out_name)
         if cast_to:
             col = col.cast(cast_to)  # match the unaccelerated dtype

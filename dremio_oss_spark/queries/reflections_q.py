@@ -398,10 +398,99 @@ order by o_orderpriority
 """
 
 
+def transparent_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """AVG through transparent substitution: the matcher REDUCES avg(x)
+    to sum(x)/count(x) before matching (the reference's
+    DremioAggregateReduceFunctionsRule, PlannerPhase.java:624), so the
+    canonical `avg(measure) by dim` rollup answers from a reflection
+    carrying SUM+COUNT partials.  count(x) is null-aware per-column.
+    Soundness: avg over a measure the reflection lacks falls through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_avg "
+        "USING DIMENSIONS (l_returnflag, l_linestatus) "
+        "MEASURES (l_quantity (SUM, COUNT))")
+    df = eng.sql(
+        "select l_returnflag, avg(l_quantity) as avg_qty, "
+        "count(l_quantity) as n from lineitem "
+        "where l_linestatus = 'F' group by l_returnflag "
+        "order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_avg", "avg substitution missed"
+    eng.sql(  # negative control: no count(l_extendedprice) partial
+        "select l_returnflag, avg(l_extendedprice) as a "
+        "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None, "unsound avg substitution"
+    return df
+
+
+# the oracle mirrors the materialization arithmetic exactly: decimal-
+# exact sum cast to double, divided by the null-aware count (identical
+# IEEE operands on both engines)
+TRANSPARENT_AVG_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double)
+         / count(l_quantity) as avg_qty,
+       count(l_quantity) as n
+from lineitem
+where l_linestatus = 'F'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+def transparent_exprdim(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-expression group keys through transparent substitution:
+    `group by year(o_orderdate)` answers from a reflection carrying the
+    date at DAY grain — the matcher re-applies the expression over the
+    materialization at rollup (the reference's expression-dim
+    normalization, MaterializationExpander / PlannerPhase.java:145-169).
+    Soundness: a filter column outside the reflection falls through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE orders CREATE AGGREGATE REFLECTION t_exprdim "
+        "USING DIMENSIONS (o_orderdate, o_orderpriority) "
+        "MEASURES (o_totalprice (SUM), o_orderkey (COUNT))")
+    df = eng.sql(
+        "select year(o_orderdate) as yr, "
+        "cast(sum(o_totalprice) as double) as total, "
+        "count(o_orderkey) as n "
+        "from orders where o_orderpriority = '1-URGENT' "
+        "group by year(o_orderdate) order by yr")
+    assert eng.last_plan_accelerated == "t_exprdim", \
+        "expression-dim substitution missed"
+    eng.sql(  # negative control: o_orderstatus is not a reflection dim
+        "select year(o_orderdate) as yr, count(o_orderkey) as n "
+        "from orders where o_orderstatus = 'F' "
+        "group by year(o_orderdate)")
+    assert eng.last_plan_accelerated is None, "unsound expr-dim subst"
+    return df
+
+
+TRANSPARENT_EXPRDIM_SQL = """
+select year(o_orderdate) as yr,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as total,
+       count(o_orderkey) as n
+from orders
+where o_orderpriority = '1-URGENT'
+group by year(o_orderdate)
+order by yr
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
     "refl_transparent_cdistinct": transparent_cdistinct,
+    "refl_transparent_avg": transparent_avg,
+    "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
     "refl_agg_rollup": agg_rollup,
@@ -414,6 +503,8 @@ REFLECTION_ORACLE = {
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
     "refl_transparent_raw": TRANSPARENT_RAW_SQL,
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
+    "refl_transparent_avg": TRANSPARENT_AVG_SQL,
+    "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,

@@ -10,10 +10,14 @@ over `Engine.sql` — every dialect rewrite, policy, and reflection the
 library surface applies holds for network clients too, because the
 server IS the library surface.
 
-Scope: the read path (GetFlightInfo + DoGet) plus a health action, with
-optional bearer-token auth — the endpoints a SQL client needs.  DoPut /
-prepared statements are out of scope (the reference's writer path goes
-through SQL DML here).
+Scope: the read path (GetFlightInfo + DoGet), PREPARED STATEMENTS with
+parameter binding (CreatePreparedStatement / DoPut(parameters) / DoGet,
+the flow `DremioFlightProducer.java` serves FlightSQL clients), and a
+health action, with optional bearer-token auth.  Stated deviation: the
+prepared-statement flow rides generic Flight actions/descriptors rather
+than the FlightSQL protobuf envelope (pyarrow ships no FlightSQL
+bindings); the wire SHAPE — opaque statement handle, Arrow-batch
+parameter upload, one-shot execution tickets — matches.
 
 Scale note: results materialize driver-side as one Arrow table per
 request (`DataFrame.toArrow`), so the endpoint is for RESULT-SET-sized
@@ -70,9 +74,17 @@ class EngineFlightServer(flight.FlightServerBase):
         # engine state (shim registration, policy views, acceleration
         # markers) is not thread-safe; serialize engine interactions
         self._lock = threading.Lock()
-        # GetFlightInfo -> DoGet must execute a statement ONCE: cache
-        # the planned frame keyed by the ticket bytes (bounded FIFO)
+        # GetFlightInfo -> DoGet must execute a statement ONCE: each
+        # GetFlightInfo issues a UNIQUE opaque ticket (uuid) and caches
+        # the planned frame under it — keying by statement text would
+        # let two clients running the same SQL overwrite each other,
+        # re-running engine.sql (and re-applying DML) on the loser's
+        # DoGet (bounded FIFO)
         self._planned: dict[bytes, object] = {}
+        # prepared statements: opaque handle -> {"sql", "params"}
+        # (CreatePreparedStatement / DoPut(parameters) / execute via
+        # GetFlightInfo(handle), the DremioFlightProducer.java flow)
+        self._prepared: dict[bytes, dict] = {}
 
     # -- read path ---------------------------------------------------------
     def _run(self, sql: str):
@@ -82,39 +94,136 @@ class EngineFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(
                 f"{type(e).__name__}: {e}") from e
 
+    # -- prepared statements ----------------------------------------------
+    @staticmethod
+    def _render_param(v) -> str:
+        """One bound parameter as a SQL literal — values only, never
+        identifiers, with string quoting escaped."""
+        import datetime as _dt
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    @classmethod
+    def _bind(cls, sql: str, params: list) -> str:
+        """Substitute positional `?` placeholders, skipping any inside
+        single-quoted string literals."""
+        out, i, p = [], 0, 0
+        in_str = False
+        while i < len(sql):
+            ch = sql[i]
+            if ch == "'":
+                in_str = not in_str
+                out.append(ch)
+            elif ch == "?" and not in_str:
+                if p >= len(params):
+                    raise flight.FlightServerError(
+                        f"statement has more placeholders than the "
+                        f"{len(params)} bound parameters")
+                out.append(cls._render_param(params[p]))
+                p += 1
+            else:
+                out.append(ch)
+            i += 1
+        if p != len(params):
+            raise flight.FlightServerError(
+                f"{len(params)} parameters bound but only {p} "
+                "placeholders in the statement")
+        return "".join(out)
+
+    def do_put(self, context, descriptor, reader, writer):
+        """Parameter upload for a prepared statement: the descriptor
+        carries the handle, the stream carries ONE record batch whose
+        row binds the positional parameters (FlightSQL
+        DoPutPreparedStatementQuery shape)."""
+        with self._lock:
+            st = self._prepared.get(descriptor.command)
+        if st is None:
+            raise flight.FlightServerError(
+                "DoPut without a prepared-statement handle")
+        table = reader.read_all()
+        if table.num_rows != 1:
+            raise flight.FlightServerError(
+                "parameter batch must have exactly one row")
+        with self._lock:
+            st["params"] = [c[0].as_py() for c in table.columns]
+
     def get_flight_info(self, context, descriptor):
-        sql = descriptor.command.decode()
+        import uuid
+
+        with self._lock:
+            st = self._prepared.get(descriptor.command)
+        if st is not None:
+            sql = self._bind(st["sql"], st["params"] or [])
+        else:
+            sql = descriptor.command.decode()
+        ticket = f"q:{uuid.uuid4().hex}".encode()
         with self._lock:
             df = self._run(sql)
-            # cache the PLANNED frame so DoGet streams this statement's
-            # result instead of running engine.sql again (DML executes
-            # eagerly inside sql() — a second call would apply it twice)
-            self._planned[descriptor.command] = df
+            # cache the PLANNED frame under a fresh opaque ticket so
+            # DoGet streams this statement's result instead of running
+            # engine.sql again (DML executes eagerly inside sql() — a
+            # second call would apply it twice)
+            self._planned[ticket] = df
             while len(self._planned) > 32:  # bounded: drop oldest
                 self._planned.pop(next(iter(self._planned)))
             schema = df.limit(0).toArrow().schema
         endpoint = flight.FlightEndpoint(
-            flight.Ticket(descriptor.command),
+            flight.Ticket(ticket),
             [flight.Location.for_grpc_tcp("127.0.0.1", self.port)])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     def do_get(self, context, ticket):
         with self._lock:
             df = self._planned.pop(ticket.ticket, None)
-            if df is None:  # direct DoGet without GetFlightInfo
+            if df is None:
+                if ticket.ticket.startswith(b"q:"):
+                    # an issued ticket must redeem EXACTLY once — running
+                    # the (unknown) statement again is not an option
+                    raise flight.FlightServerError(
+                        "ticket already redeemed or expired")
+                # direct DoGet with plain SQL: a read-only convenience
                 df = self._run(ticket.ticket.decode())
             table = df.toArrow()
         return flight.RecordBatchStream(table)
 
     def list_actions(self, context):
         return [("ping", "health check"),
-                ("version", "engine + spark version")]
+                ("version", "engine + spark version"),
+                ("CreatePreparedStatement",
+                 "body: SQL with ? placeholders -> handle"),
+                ("ClosePreparedStatement", "body: handle")]
 
     def do_action(self, context, action):
+        import uuid
+
         if action.type == "ping":
             return [b"pong"]
         if action.type == "version":
             return [self.engine.spark.version.encode()]
+        if action.type == "CreatePreparedStatement":
+            handle = f"ps:{uuid.uuid4().hex}".encode()
+            with self._lock:
+                self._prepared[handle] = {
+                    "sql": action.body.to_pybytes().decode(),
+                    "params": None}
+                while len(self._prepared) > 64:  # bounded
+                    self._prepared.pop(next(iter(self._prepared)))
+            return [handle]
+        if action.type == "ClosePreparedStatement":
+            with self._lock:
+                self._prepared.pop(action.body.to_pybytes(), None)
+            return [b"ok"]
         raise flight.FlightServerError(f"unknown action {action.type!r}")
 
 
@@ -126,6 +235,34 @@ def serve_background(engine, token: str | None = None
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server, t
+
+
+def flight_prepared_query(port: int, sql: str, params: list,
+                          token: str | None = None) -> pa.Table:
+    """Client helper for the prepared-statement flow:
+    CreatePreparedStatement -> DoPut(parameter batch) ->
+    GetFlightInfo(handle) -> DoGet."""
+    opts = None
+    if token:
+        opts = flight.FlightCallOptions(
+            headers=[(b"authorization", f"Bearer {token}".encode())])
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        res = list(client.do_action(
+            flight.Action("CreatePreparedStatement", sql.encode()), opts))
+        handle = res[0].body.to_pybytes()
+        desc = flight.FlightDescriptor.for_command(handle)
+        batch = pa.table({f"p{i}": [v] for i, v in enumerate(params)})
+        w, _ = client.do_put(desc, batch.schema, opts)
+        w.write_table(batch)
+        w.close()
+        info = client.get_flight_info(desc, opts)
+        out = client.do_get(info.endpoints[0].ticket, opts).read_all()
+        client.do_action(
+            flight.Action("ClosePreparedStatement", handle), opts)
+        return out
+    finally:
+        client.close()
 
 
 def flight_query(port: int, sql: str,

@@ -471,6 +471,132 @@ def _pv_eq(a, b) -> bool:
         return str(a) == str(b)
 
 
+# Above this many (estimated) live files, scan planning switches from
+# the driver-side Python log replay to the DataFrame metadata path
+# (sources/lake_metadata.py) — the reference ALWAYS plans big-table
+# metadata distributed (TableFunctionOperator.java:42 manifest scans);
+# here the measured crossover (SCALE.md) is ~100k files, below which
+# JVM job overhead loses to single-pass Python.  Session-overridable:
+#   ALTER SESSION SET "spark.dremio.lake.metadata.distributedFileThreshold" = 50000
+_DISTRIBUTED_THRESHOLD_KEY = \
+    "spark.dremio.lake.metadata.distributedFileThreshold"
+_DISTRIBUTED_THRESHOLD_DEFAULT = 100_000
+
+
+def _distributed_threshold(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get(_DISTRIBUTED_THRESHOLD_KEY,
+                                  str(_DISTRIBUTED_THRESHOLD_DEFAULT)))
+    except (TypeError, ValueError):
+        return _DISTRIBUTED_THRESHOLD_DEFAULT
+
+
+def _estimate_delta_file_count(table: str) -> int:
+    """O(log-listing) estimate of the live-file count WITHOUT replaying
+    the log: checkpoint parquet footer row count (one footer read) plus
+    tail-commit bytes over a conservative ~256 B/action.  Only used to
+    pick the planning strategy, so over-estimation merely switches to
+    the distributed path early."""
+    est = 0
+    cp_v = _last_checkpoint(table)
+    if cp_v is not None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(table, _LOG_DIR,
+                          f"{cp_v:020d}.checkpoint.parquet")
+        try:
+            est += pq.ParquetFile(cp).metadata.num_rows
+        except (OSError, ValueError):  # pragma: no cover — corrupt cp
+            pass
+    for v, fp in _commit_files(table):
+        if cp_v is not None and v <= cp_v:
+            continue
+        try:
+            est += max(1, os.path.getsize(fp) // 256)
+        except OSError:  # pragma: no cover
+            pass
+    return est
+
+
+def _latest_metadata_action(table: str) -> dict:
+    """The latest metaData action (schemaString, partitionColumns,
+    configuration) via a cheap driver-side lookup: one checkpoint
+    column + substring-gated line scan of tail commits — O(commits),
+    never O(files)."""
+    md: dict = {}
+    cp_v = _last_checkpoint(table)
+    if cp_v is not None:
+        import pyarrow.parquet as pq
+
+        cp = os.path.join(table, _LOG_DIR,
+                          f"{cp_v:020d}.checkpoint.parquet")
+        t = pq.read_table(cp, columns=["metaData"])
+        for rec in t.column("metaData").to_pylist():
+            if rec and rec.get("schemaString"):
+                md = dict(rec)
+    for v, fp in _commit_files(table):
+        if cp_v is not None and v <= cp_v:
+            continue
+        with open(fp) as f:
+            for ln in f:
+                if '"metaData"' not in ln:
+                    continue
+                got = json.loads(ln).get("metaData")
+                if got:
+                    md = dict(got)
+    return md
+
+
+def _plan_delta_scan_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        version: int | None) -> tuple[DataFrame, int, int]:
+    """plan_delta_scan via the DataFrame metadata path: log replay and
+    partition/stats pruning run as Spark jobs (lake_metadata.py);
+    only the SURVIVING file list (split-generation-sized, like the
+    reference's manifest-scan output) returns to the driver to build
+    the multi-path scan."""
+    from .lake_metadata import delta_live_files_df, _stats_keep_col
+
+    md = _latest_metadata_action(table)
+    schema = (StructType.fromJson(json.loads(md["schemaString"]))
+              if md.get("schemaString") else None)
+    pcols = list(md.get("partitionColumns") or [])
+
+    live = delta_live_files_df(spark, table, version)
+    live.persist()
+    try:
+        total = live.count()
+        pruned = live
+        for c, v in equality.items():
+            if c in pcols:
+                pv = F.col("pv").getItem(c)
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    pruned = pruned.where(pv == F.lit(str(v)))
+                else:
+                    pruned = pruned.where(
+                        pv.cast("double") == F.lit(float(v)))
+            mn = F.get_json_object("stats", f"$.minValues.{c}")
+            mx = F.get_json_object("stats", f"$.maxValues.{c}")
+            pruned = pruned.where(_stats_keep_col(mn, mx, v))
+        rows = pruned.select("path", "pv", "dv").collect()
+    finally:
+        live.unpersist()
+    files = {r["path"]: dict(r["pv"] or {}) for r in rows}
+    dvs = {r["path"]: r["dv"].asDict() for r in rows
+           if r["dv"] is not None and r["dv"]["storageType"] is not None}
+    if not files:
+        return spark.createDataFrame([], schema), total, 0
+    has_dv = bool(dvs)
+    df = _scan_with_partition_values(
+        spark, table, schema, pcols, files,
+        keep_file=has_dv, keep_pos=has_dv)
+    if has_dv:
+        snap_like = DeltaSnapshot(version if version is not None else -1,
+                                  schema, pcols, files, {}, dvs)
+        df = _apply_deletion_vectors(spark, df, table, snap_like)
+    return df, total, len(files)
+
+
 def plan_delta_scan(spark: SparkSession, table: str,
                     equality: dict[str, object],
                     version: int | None = None
@@ -479,7 +605,15 @@ def plan_delta_scan(spark: SparkSession, table: str,
     AND per-file min/max stats for `col → value` equality bindings, then
     scan only the survivors.  Returns (DataFrame, files_total,
     files_scanned); the caller applies the residual row filter.
-    Mirrors the reference's Delta scan pruning (`DeltaLakeScanPrel`)."""
+    Mirrors the reference's Delta scan pruning (`DeltaLakeScanPrel`).
+
+    Strategy switch: above `_DISTRIBUTED_THRESHOLD_KEY` estimated live
+    files, pruning runs DISTRIBUTED over the log as DataFrames
+    (result-identical, see lake_metadata.py) instead of the driver-side
+    Python replay below — a million-file table must not plan on one
+    Python core (reference: TableFunctionOperator.java:42)."""
+    if _estimate_delta_file_count(table) >= _distributed_threshold(spark):
+        return _plan_delta_scan_distributed(spark, table, equality, version)
     snap = resolve_snapshot(spark, table, version)
 
     def keep(rel: str) -> bool:

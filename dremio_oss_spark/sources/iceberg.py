@@ -177,8 +177,25 @@ def resolve_ref(table: str, ref: str) -> int:
     return int(r["snapshot-id"])
 
 
-def resolve_snapshot(table: str, snapshot_id: int | None = None,
-                     ref: str | None = None) -> IcebergSnapshot:
+class _SnapshotMeta:
+    """Metadata-JSON-sized snapshot context: everything resolve_snapshot
+    derives WITHOUT touching a manifest — schema, partition spec,
+    default-spec-id, the snapshot record.  The distributed planner uses
+    this so a million-file table never replays manifests on the driver."""
+
+    def __init__(self, sid, schema, part_cols, spec_fields,
+                 default_spec_id, snap_rec, meta):
+        self.sid = sid
+        self.schema = schema
+        self.part_cols = part_cols
+        self.spec_fields = spec_fields
+        self.default_spec_id = default_spec_id
+        self.snap_rec = snap_rec
+        self.meta = meta
+
+
+def _snapshot_meta(table: str, snapshot_id: int | None = None,
+                   ref: str | None = None) -> _SnapshotMeta:
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("give snapshot_id OR ref, not both")
@@ -226,6 +243,16 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
                 })
                 if pf.get("transform") == "identity":
                     part_cols.append(source)
+    return _SnapshotMeta(sid, schema, part_cols, spec_fields,
+                         meta.get("default-spec-id", 0), snap, meta)
+
+
+def resolve_snapshot(table: str, snapshot_id: int | None = None,
+                     ref: str | None = None) -> IcebergSnapshot:
+    sm = _snapshot_meta(table, snapshot_id, ref)
+    sid, schema = sm.sid, sm.schema
+    part_cols, spec_fields = sm.part_cols, sm.spec_fields
+    snap = sm.snap_rec
 
     files: list[tuple[str, dict]] = []
     stats: dict[str, dict] = {}
@@ -252,7 +279,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
                           stats)
     out.deletes = deletes
     out.pos_deletes = pos_deletes
-    out.default_spec_id = meta.get("default-spec-id", 0)
+    out.default_spec_id = sm.default_spec_id
     return out
 
 
@@ -699,6 +726,81 @@ def _apply_transforms(df: DataFrame,
     return df, names
 
 
+def _estimate_iceberg_file_count(table: str,
+                                 snapshot_id: int | None = None) -> int:
+    """O(manifest-count) estimate of the snapshot's entry count: sum of
+    manifest avro byte sizes over a conservative ~128 B/entry — one
+    manifest-LIST read, zero manifest parsing.  Over-estimation merely
+    switches to the distributed planner early."""
+    from .avro_codec import read_avro_file
+
+    try:
+        sm = _snapshot_meta(table, snapshot_id)
+        est = 0
+        for mf in read_avro_file(_local(sm.snap_rec["manifest-list"],
+                                        table)):
+            try:
+                est += max(1, os.path.getsize(
+                    _local(mf["manifest_path"], table)) // 128)
+            except OSError:  # pragma: no cover
+                est += 1
+        return est
+    except (FileNotFoundError, KeyError, StopIteration):
+        return 0
+
+
+def _plan_iceberg_scan_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        snapshot_id: int | None) -> tuple[DataFrame, int, int]:
+    """plan_iceberg_scan via the DataFrame metadata path: manifests
+    parse in PARALLEL on executors (lake_metadata.py) and the
+    spec/stats pruning runs as DataFrame filters; only surviving data
+    files and the (MOR-backlog-sized) delete-file list come back to the
+    driver to assemble the scan — the reference's distributed
+    manifest-scan table function (TableFunctionOperator.java:42)."""
+    from .lake_metadata import _prune_iceberg_entries, \
+        iceberg_manifest_entries_df
+
+    sm = _snapshot_meta(table, snapshot_id)
+    entries = iceberg_manifest_entries_df(spark, table, sm.sid)
+    entries.persist()
+    try:
+        live = entries.where(F.col("status") != F.lit(int(_STATUS_DELETED)))
+        data = live.where(F.col("content") == 0)
+        total = data.count()
+        pruned = _prune_iceberg_entries(
+            data.select("file_path", "partition", "stats"),
+            sm.spec_fields, sm.default_spec_id, equality)
+        rows = pruned.select("file_path", "partition").collect()
+        del_rows = (live.where(F.col("content") != 0)
+                    .select("file_path", "content", "equality_ids")
+                    .collect())
+    finally:
+        entries.unpersist()
+    files = {_local(r["file_path"], table): json.loads(r["partition"])
+             for r in rows}
+    if not files:
+        return spark.createDataFrame([], sm.schema), total, 0
+    snap_like = IcebergSnapshot(sm.sid, sm.schema, sm.part_cols,
+                                list(files.items()), sm.spec_fields)
+    snap_like.default_spec_id = sm.default_spec_id
+    snap_like.pos_deletes = [_local(r["file_path"], table)
+                             for r in del_rows if r["content"] == 1]
+    snap_like.deletes = [
+        (_local(r["file_path"], table),
+         list(json.loads(r["equality_ids"] or "[]")))
+        for r in del_rows if r["content"] == 2]
+    from .delta import _scan_with_partition_values
+
+    has_pos = bool(snap_like.pos_deletes)
+    df = _scan_with_partition_values(
+        spark, table, sm.schema, sm.part_cols, files,
+        keep_file=has_pos, keep_pos=has_pos)
+    df = _apply_position_deletes(spark, df, snap_like)
+    df = _apply_equality_deletes(spark, df, snap_like)
+    return df, total, len(files)
+
+
 def plan_iceberg_scan(spark: SparkSession, table: str,
                       equality: dict[str, object],
                       snapshot_id: int | None = None
@@ -709,7 +811,18 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
     (works for hidden transforms too: bucket/truncate/temporal of a
     bound source column prunes without the column being in the path).
     Returns (DataFrame, files_total, files_scanned); the caller still
-    applies the residual row filter."""
+    applies the residual row filter.
+
+    Strategy switch: above the session threshold (see delta.py
+    `_DISTRIBUTED_THRESHOLD_KEY`) estimated entries, pruning runs
+    DISTRIBUTED over the manifests (result-identical) instead of the
+    driver-side Python replay below."""
+    from .delta import _distributed_threshold
+
+    if (_estimate_iceberg_file_count(table, snapshot_id)
+            >= _distributed_threshold(spark)):
+        return _plan_iceberg_scan_distributed(
+            spark, table, equality, snapshot_id)
     from .delta import _scan_with_partition_values
 
     from .delta import _pv_eq

@@ -131,18 +131,11 @@ def _stats_keep_col(mn, mx, v):
     return (~both) | in_range
 
 
-def delta_plan_files_distributed(
-        spark: SparkSession, table: str, equality: dict[str, object],
-        partition_cols: list[str] | None = None,
-        version: int | None = None) -> DataFrame:
-    """Distributed twin of `plan_delta_scan`'s pruning: partition-value
-    and min/max-stats filters applied to the live-file DataFrame.
-    Returns the surviving (path, pv, stats, dv) rows; the caller builds
-    the multi-path scan from them (file-list-sized, like the
-    reference's split generation)."""
-    if partition_cols is None:
-        partition_cols = _delta_partition_cols(table)
-    df = delta_live_files_df(spark, table, version)
+def _prune_delta_files(df: DataFrame, partition_cols: list[str],
+                       equality: dict[str, object]) -> DataFrame:
+    """plan_delta_scan's partition-value + min/max-stats pruning as
+    DataFrame filters — shared by the standalone distributed planner
+    and the engine's in-scan switch."""
     for c, v in equality.items():
         if c in partition_cols:
             pv = F.col("pv").getItem(c)
@@ -156,32 +149,29 @@ def delta_plan_files_distributed(
     return df
 
 
+def delta_plan_files_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        partition_cols: list[str] | None = None,
+        version: int | None = None) -> DataFrame:
+    """Distributed twin of `plan_delta_scan`'s pruning: partition-value
+    and min/max-stats filters applied to the live-file DataFrame.
+    Returns the surviving (path, pv, stats, dv) rows; the caller builds
+    the multi-path scan from them (file-list-sized, like the
+    reference's split generation)."""
+    if partition_cols is None:
+        partition_cols = _delta_partition_cols(table)
+    df = delta_live_files_df(spark, table, version)
+    return _prune_delta_files(df, partition_cols, equality)
+
+
 def _delta_partition_cols(table: str) -> list[str]:
     """Partition columns from the latest metaData action — a cheap
     driver-side lookup (substring-gated line scan of tail commits, one
-    parquet row from the checkpoint), NOT an O(files) replay."""
-    cols: list[str] = []
-    cp_v = _last_checkpoint(table)
-    if cp_v is not None:
-        import pyarrow.parquet as pq
+    parquet column from the checkpoint), NOT an O(files) replay."""
+    from .delta import _latest_metadata_action
 
-        cp = os.path.join(table, _LOG_DIR,
-                          f"{cp_v:020d}.checkpoint.parquet")
-        t = pq.read_table(cp, columns=["metaData"])
-        for rec in t.column("metaData").to_pylist():
-            if rec and rec.get("partitionColumns") is not None:
-                cols = list(rec["partitionColumns"])
-    for v, fp in _commit_files(table):
-        if cp_v is not None and v <= cp_v:
-            continue
-        with open(fp) as f:
-            for ln in f:
-                if '"metaData"' not in ln:
-                    continue
-                md = json.loads(ln).get("metaData")
-                if md:
-                    cols = list(md.get("partitionColumns") or [])
-    return cols
+    return list(_latest_metadata_action(table).get("partitionColumns")
+                or [])
 
 
 def iceberg_manifest_entries_df(spark: SparkSession, table: str,
@@ -205,10 +195,11 @@ def iceberg_manifest_entries_df(spark: SparkSession, table: str,
     manifests = [_local(mf["manifest_path"], table)
                  for mf in read_avro_file(_local(snap["manifest-list"],
                                                  table))]
+    schema_s = ("manifest_path string, status int, file_path string, "
+                "content int, partition string, stats string, "
+                "equality_ids string")
     if not manifests:
-        return spark.createDataFrame(
-            [], "manifest_path string, status int, file_path string, "
-                "content int, partition string, stats string")
+        return spark.createDataFrame([], schema_s)
     n_slices = min(len(manifests), 64)
 
     def parse(paths):
@@ -218,16 +209,16 @@ def iceberg_manifest_entries_df(spark: SparkSession, table: str,
         for p in paths:
             for e in rd(p):
                 d = e["data_file"]
+                eq = d.get("equality_ids")
                 yield (p, int(e["status"]), d["file_path"],
                        int(d.get("content") or 0),
                        json.dumps(d.get("partition") or {}),
-                       d.get("stats_json"))
+                       d.get("stats_json"),
+                       json.dumps(list(eq)) if eq is not None else None)
 
     rdd = spark.sparkContext.parallelize(manifests, n_slices) \
         .mapPartitions(parse)
-    return spark.createDataFrame(
-        rdd, "manifest_path string, status int, file_path string, "
-             "content int, partition string, stats string")
+    return spark.createDataFrame(rdd, schema_s)
 
 
 def iceberg_live_files_df(spark: SparkSession, table: str,
@@ -242,25 +233,22 @@ def iceberg_live_files_df(spark: SparkSession, table: str,
             .select("file_path", "partition", "stats"))
 
 
-def iceberg_plan_files_distributed(
-        spark: SparkSession, table: str, equality: dict[str, object],
-        snapshot_id: int | None = None) -> DataFrame:
-    """Distributed twin of `plan_iceberg_scan`'s pruning: the same
-    transform/spec-evolution/stats rules applied as DataFrame filters
-    over the parallel manifest scan.  Returns surviving
-    (file_path, partition, stats) rows."""
-    from .iceberg import resolve_snapshot, transform_value
+def _prune_iceberg_entries(df: DataFrame, spec_fields: list[dict],
+                           default_spec_id: int,
+                           equality: dict[str, object]) -> DataFrame:
+    """The transform/spec-evolution/stats pruning rules as DataFrame
+    filters over (file_path, partition, stats) rows — shared by the
+    standalone distributed planner and the engine's in-scan switch."""
+    from .iceberg import transform_value
 
-    snap = resolve_snapshot(table, snapshot_id)
     required: dict[str, object] = {}
-    for pf in snap.spec_fields:
+    for pf in spec_fields:
         if pf["source"] in equality:
             required[pf["name"]] = transform_value(
                 pf, equality[pf["source"]])
-    ident = {pf["name"] for pf in snap.spec_fields
+    ident = {pf["name"] for pf in spec_fields
              if pf["transform"] == "identity"}
 
-    df = iceberg_live_files_df(spark, table, snapshot_id)
     pv = F.from_json("partition", "map<string,string>")
     df = df.withColumn("__pv", pv)
 
@@ -277,7 +265,7 @@ def iceberg_plan_files_distributed(
 
     is_current = (F.coalesce(F.col("__pv").getItem("__spec_id"),
                              F.lit("0")).cast("int")
-                  == F.lit(int(snap.default_spec_id)))
+                  == F.lit(int(default_spec_id)))
     for k, v in required.items():
         # current-spec files prune on every transformed field; files
         # written under an OLDER spec only on identity fields (their
@@ -292,3 +280,20 @@ def iceberg_plan_files_distributed(
         mx = F.get_json_object("stats", f"$.maxValues.{c}")
         df = df.where(_stats_keep_col(mn, mx, v))
     return df.drop("__pv")
+
+
+def iceberg_plan_files_distributed(
+        spark: SparkSession, table: str, equality: dict[str, object],
+        snapshot_id: int | None = None) -> DataFrame:
+    """Distributed twin of `plan_iceberg_scan`'s pruning: the same
+    transform/spec-evolution/stats rules applied as DataFrame filters
+    over the parallel manifest scan.  Returns surviving
+    (file_path, partition, stats) rows.  Spec context comes from the
+    metadata JSON only (`_snapshot_meta`) — no driver-side manifest
+    replay anywhere on this path."""
+    from .iceberg import _snapshot_meta
+
+    sm = _snapshot_meta(table, snapshot_id)
+    df = iceberg_live_files_df(spark, table, sm.sid)
+    return _prune_iceberg_entries(df, sm.spec_fields,
+                                  sm.default_spec_id, equality)

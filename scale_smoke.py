@@ -167,6 +167,61 @@ def metadata_scale_case(spark, n_files: int) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def engine_distributed_plan_case(spark, n_files: int = 120_000) -> None:
+    """Round-6 'done' case: `engine.sql` over a 120k-file Delta table
+    plans via the DISTRIBUTED metadata path — the Python resolver is
+    poisoned to PROVE the path taken — prunes to the same single
+    survivor the Python planner would keep ({"p": 1, "k": 150} covers
+    exactly one file), and the scan executes end-to-end over that one
+    (real) data file."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources import delta as d_mod
+
+    d = tempfile.mkdtemp(prefix="meta_scale_eng_")
+    t = os.path.join(d, "synth")
+    try:
+        synth_delta_log(t, n_files)
+        # materialize ONLY the file the pruner should keep (the scan
+        # never opens pruned files, so 1 real file suffices for 120k
+        # metadata entries — the point of metadata-first planning)
+        tmpp = os.path.join(d, "one")
+        spark.range(100, 200).selectExpr("id as k") \
+            .coalesce(1).write.parquet(tmpp)
+        dest = os.path.join(t, "p=1", "part-00000-0000001.parquet")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copy(glob.glob(os.path.join(tmpp, "*.parquet"))[0], dest)
+
+        est = d_mod._estimate_delta_file_count(t)
+        assert est >= d_mod._DISTRIBUTED_THRESHOLD_DEFAULT, \
+            f"estimate {est} under default threshold"
+        real_resolve = d_mod.resolve_snapshot
+
+        def boom(*a, **kw):
+            raise AssertionError(
+                "driver-side Python resolver called above threshold")
+
+        t0 = time.perf_counter()
+        d_mod.resolve_snapshot = boom
+        try:
+            rows = Engine(spark).sql(
+                f"select k from '{t}' where p = 1 and k = 150").collect()
+        finally:
+            d_mod.resolve_snapshot = real_resolve
+        dt = time.perf_counter() - t0
+        assert [r.k for r in rows] == [150], rows
+        print(json.dumps({
+            "op": "engine_distributed_metadata_plan", "n_files": n_files,
+            "pruned_to": 1, "t_s": round(dt, 2),
+            "python_resolver_called": False,
+        }))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _mixture(docs):
     from pyspark.sql import functions as F
 
@@ -202,6 +257,7 @@ def main() -> None:
     spark = build_spark(app_name="scale-smoke")
 
     metadata_scale_case(spark, n_files=12_000)
+    engine_distributed_plan_case(spark, n_files=120_000)
 
     ops = {
         "exact_dedup": lambda d, v: D.exact_dedup(d),

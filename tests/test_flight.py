@@ -248,3 +248,80 @@ def test_rest_accelerated_by_not_stale(spark, tmp_path):
     finally:
         server.shutdown()
         eng._default_refl_store().drop("rest_acc")
+
+
+def test_flight_tickets_unique_per_request(flight_setup):
+    """ADVICE r5 (low): two clients issuing the SAME statement must get
+    DISTINCT tickets, each redeemable once — keying the planned-frame
+    cache by statement text let one overwrite the other, and the loser's
+    DoGet re-ran engine.sql (re-applying DML)."""
+    import pyarrow.flight as fl
+
+    _eng, server = flight_setup
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        sql = b"select count(*) as n from nation"
+        desc = fl.FlightDescriptor.for_command(sql)
+        info1 = client.get_flight_info(desc)
+        info2 = client.get_flight_info(desc)
+        t1 = info1.endpoints[0].ticket
+        t2 = info2.endpoints[0].ticket
+        assert t1.ticket != t2.ticket  # unique opaque tickets
+        # both redeem independently (order swapped vs issuance)
+        n2 = client.do_get(t2).read_all().column("n").to_pylist()[0]
+        n1 = client.do_get(t1).read_all().column("n").to_pylist()[0]
+        assert n1 == n2 == 25
+        # an issued ticket redeems exactly once
+        with pytest.raises(fl.FlightServerError):
+            client.do_get(t1)
+    finally:
+        client.close()
+
+
+def test_flight_prepared_statement_roundtrip(flight_setup, spark):
+    """Prepared statements with parameter binding over Flight — the
+    CreatePreparedStatement / DoPut(parameters) / DoGet flow BI clients
+    issue (DremioFlightProducer.java).  String params are escaped as
+    literals; rebinding the same handle re-executes with new values."""
+    import pyarrow.flight as fl
+
+    from dremio_oss_spark.server.flight import flight_prepared_query
+
+    _eng, server = flight_setup
+    sql = ("select n_name from nation "
+           "where n_regionkey = ? and n_name > ? order by n_name")
+    tab = flight_prepared_query(server.port, sql, [2, "I"])
+    exp = [r[0] for r in spark.sql(
+        "select n_name from nation where n_regionkey = 2 "
+        "and n_name > 'I' order by n_name").collect()]
+    assert tab.column("n_name").to_pylist() == exp
+
+    # rebinding: same statement, different parameters
+    tab2 = flight_prepared_query(server.port, sql, [0, ""])
+    exp2 = [r[0] for r in spark.sql(
+        "select n_name from nation where n_regionkey = 0 "
+        "order by n_name").collect()]
+    assert tab2.column("n_name").to_pylist() == exp2
+
+    # a quote in a string parameter binds as a VALUE, not as SQL
+    tab3 = flight_prepared_query(
+        server.port, "select ? as s from nation limit 1", ["O'Brien"])
+    assert tab3.column("s").to_pylist() == ["O'Brien"]
+
+    # arity mismatches error cleanly
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        res = list(client.do_action(fl.Action(
+            "CreatePreparedStatement",
+            b"select 1 as x from nation where n_regionkey = ?")))
+        handle = res[0].body.to_pybytes()
+        desc = fl.FlightDescriptor.for_command(handle)
+        import pyarrow as pa
+        batch = pa.table({"p0": [1], "p1": [2]})
+        w, _ = client.do_put(desc, batch.schema)
+        w.write_table(batch)
+        w.close()
+        with pytest.raises(fl.FlightServerError):
+            client.get_flight_info(desc)
+    finally:
+        client.close()

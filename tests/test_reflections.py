@@ -770,3 +770,207 @@ def test_count_distinct_dim_substitution(spark):
     assert df.collect()[0][0] == spark.sql(
         "select count(distinct l_orderkey) from lineitem").collect()[0][0]
     eng._default_refl_store().drop("rcd")
+
+
+def test_count_col_null_aware_substitution(spark):
+    """ADVICE r5 (high): count(nullable_col) must NOT be answered by a
+    count(*) partial.  Per-column counts materialize null-aware
+    (F.count(col)) under `count_<col>`, match separately from
+    count_all, and a count(col) query against a reflection that only
+    carries count(*) falls through."""
+    from pyspark.sql import Row
+
+    from dremio_oss_spark.engine import Engine
+
+    rows = [Row(g="a", v=1.0), Row(g="a", v=None), Row(g="b", v=2.0),
+            Row(g="b", v=None), Row(g="b", v=3.0), Row(g="c", v=None)]
+    spark.createDataFrame(rows).createOrReplaceTempView("nulltab")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE nulltab CREATE AGGREGATE REFLECTION rnull "
+            "USING DIMENSIONS (g) MEASURES (v (COUNT, SUM))")
+    df = eng.sql("select g, count(v) as nv from nulltab "
+                 "group by g order by g")
+    assert eng.last_plan_accelerated == "rnull"
+    assert [(r.g, r.nv) for r in df.collect()] == [
+        ("a", 1), ("b", 2), ("c", 0)]
+    # avg over the same partials: sum/count with the null-aware count
+    df2 = eng.sql("select g, avg(v) as av from nulltab "
+                  "group by g order by g")
+    assert eng.last_plan_accelerated == "rnull"
+    got = [(r.g, r.av) for r in df2.collect()]
+    assert got[0] == ("a", 1.0) and got[1] == ("b", 2.5)
+    assert got[2] == ("c", None)  # all-null group: count 0 -> NULL avg
+    # count(*) needs a count_all partial; this reflection lacks one
+    eng.sql("select g, count(*) as n from nulltab group by g")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("rnull")
+
+
+def test_qualified_name_collision_refuses(spark):
+    """ADVICE r5 (medium): a query column whose bare name is owned by a
+    DIFFERENT table in the reflection's star (or duplicated across star
+    tables) must refuse substitution instead of rolling up the wrong
+    column."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.plans.substitution import (_owner_ok,
+                                                     extract_agg_query)
+
+    register_testdata(spark, SF_SMALL)
+    analyzed = (spark.sql(
+        "select l_returnflag, sum(l_quantity) as s from lineitem "
+        "group by l_returnflag")._jdf.queryExecution().analyzed().toJSON())
+    ex = extract_agg_query(analyzed)
+    assert ex is not None and ex.qualified["l_quantity"] == "lineitem"
+
+    class _R:  # minimal reflection stand-ins
+        def __init__(self, owner):
+            self.col_owner = owner
+
+    ok = {"l_returnflag": "lineitem", "l_quantity": "lineitem"}
+    assert _owner_ok(_R(ok), ex)
+    assert _owner_ok(_R(None), ex)  # legacy store: bare-name behavior
+    # l_quantity owned by another star table -> refuse
+    assert not _owner_ok(_R({**ok, "l_quantity": "dim_other"}), ex)
+    # duplicated across star tables (owner None) -> refuse
+    assert not _owner_ok(_R({**ok, "l_quantity": None}), ex)
+
+
+def test_substituted_dtype_matches_unaccelerated(spark):
+    """ADVICE r5 (low): acceleration must be invisible in the result
+    SCHEMA — a substituted sum(double_col) with no explicit cast must
+    come back as double, not the reflection's decimal(28,4) partial."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rdt "
+            "USING DIMENSIONS (l_returnflag) "
+            "MEASURES (l_quantity (SUM, COUNT))")
+    q = ("select l_returnflag, sum(l_quantity) as s, avg(l_quantity) as a "
+         "from lineitem group by l_returnflag")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "rdt"
+    assert df.schema == spark.sql(q).schema  # dtype-identical
+    eng._default_refl_store().drop("rdt")
+
+
+def test_base_snapshot_views_are_unreachable(spark):
+    """ADVICE r5 (medium): the pre-policy `__base_<t>` snapshot must not
+    be readable through Engine.sql or Engine.table — otherwise any SQL
+    client (REST/Flight included) bypasses row-access/masking policies."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("create function only_urgent(p string) returns boolean "
+            "return p = '1-URGENT'")
+    eng.sql("alter table orders add row access policy "
+            "only_urgent(o_orderpriority)")
+    try:
+        n_policied = eng.sql("select count(*) c from orders").collect()[0][0]
+        n_all = spark.table("__base_orders").count()  # raw spark CAN see it
+        assert 0 < n_policied < n_all
+        with _pytest.raises(PermissionError):
+            eng.sql("select * from __base_orders")
+        with _pytest.raises(PermissionError):
+            eng.table("__base_orders")
+    finally:
+        eng.sql("alter table orders drop row access policy only_urgent")
+
+
+def test_cdf_refresh_requires_count_star(spark, tmp_path):
+    """CDF/changelog refresh needs count(*) specifically: a null-aware
+    count(col) can be 0 while rows remain, so it cannot detect
+    fully-emptied groups."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.plans import Measure, ReflectionStore
+    from dremio_oss_spark.plans.reflections import Reflection
+
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    bad = Reflection("b", "t", ("g",),
+                     (Measure("sum", "v"), Measure("count", "v")),
+                     str(tmp_path / "b"))
+    with _pytest.raises(ValueError, match="COUNT"):
+        store._check_signable(bad)
+    good = Reflection("g", "t", ("g",),
+                      (Measure("count", "*"), Measure("count", "v")),
+                      str(tmp_path / "g"))
+    store._check_signable(good)  # count(*) present: fine
+
+
+def test_reflection_auto_refresh_on_commit(spark, tmp_path):
+    """Dependency-driven freshness (ReflectionServiceImpl shape): a
+    commit on the base dataset marks dependent reflections STALE and
+    they auto-refresh before the next substitution — the query returns
+    the NEW data, still accelerated, with no manual refresh call.  With
+    auto-refresh off, the stale materialization keeps serving (TTL
+    mode) until REFRESH REFLECTION."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    folder = str(tmp_path / "ds")
+    spark.range(10).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    ).write.parquet(folder)
+    eng = Engine(spark)
+    eng.promote_folder_dataset("autoref", folder)
+    eng.sql("ALTER TABLE autoref CREATE AGGREGATE REFLECTION r_auto "
+            "USING DIMENSIONS (g) MEASURES (v (SUM, COUNT))")
+    q = ("select g, cast(sum(v) as double) as s from autoref "
+         "group by g order by g")
+    try:
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "r_auto"
+        v1 = [(r.g, r.s) for r in df.collect()]
+
+        # out-of-band commit + REFRESH DATASET = the engine's commit signal
+        spark.range(100, 104).select(
+            (F.col("id") % 2).alias("g"),
+            F.col("id").cast("double").alias("v")
+        ).write.parquet(folder + "/extra")
+        eng.sql("refresh dataset autoref")
+        st = {r.reflection_name: r.status
+              for r in eng.sys_reflections().collect()}
+        assert st["r_auto"] == "STALE"
+
+        df2 = eng.sql(q)
+        assert eng.last_plan_accelerated == "r_auto"
+        v2 = [(r.g, r.s) for r in df2.collect()]
+        assert v2 != v1  # refreshed: the committed rows are in
+        exp = [(r.g, r.s) for r in spark.sql(
+            "select g, cast(sum(v) as double) as s from autoref "
+            "group by g order by g").collect()]
+        assert v2 == exp
+        st = {r.reflection_name: r.status
+              for r in eng.sys_reflections().collect()}
+        assert st["r_auto"] == "CAN_ACCELERATE"
+
+        # TTL mode: auto-refresh off -> stale materialization keeps
+        # serving until an explicit REFRESH REFLECTION
+        eng.sql('alter session set '
+                '"spark.dremio.reflections.autoRefresh" = false')
+        spark.range(200, 202).select(
+            (F.col("id") % 2).alias("g"),
+            F.col("id").cast("double").alias("v")
+        ).write.parquet(folder + "/extra2")
+        eng.sql("refresh dataset autoref")
+        df3 = eng.sql(q)
+        assert eng.last_plan_accelerated == "r_auto"
+        assert [(r.g, r.s) for r in df3.collect()] == v2  # still old
+        eng.sql("refresh reflection r_auto")
+        df4 = eng.sql(q)
+        assert [(r.g, r.s) for r in df4.collect()] == [
+            (r.g, r.s) for r in spark.sql(
+                "select g, cast(sum(v) as double) as s from autoref "
+                "group by g order by g").collect()]
+    finally:
+        eng.sql('alter session reset '
+                '"spark.dremio.reflections.autoRefresh"')
+        eng._default_refl_store().drop("r_auto")
+        spark.catalog.dropTempView("autoref")

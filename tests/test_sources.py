@@ -1899,3 +1899,60 @@ def test_distributed_stats_pruning_single_bound_keeps(spark, tmp_path):
     kept = delta_plan_files_distributed(spark, t, {"k": 10_000}).count()
     live = delta_plan_files_distributed(spark, t, {}).count()
     assert kept == live  # nothing pruned on a single bound
+
+
+def test_plan_scan_threshold_switches_to_distributed(spark, tmp_path,
+                                                     monkeypatch):
+    """plan_delta_scan / plan_iceberg_scan (and therefore engine SQL on
+    lake paths) switch to the DISTRIBUTED metadata planner above the
+    session file-count threshold, with results identical to the Python
+    path.  Proof of path: the Python resolvers are monkeypatched to
+    explode — above-threshold planning must never call them."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources import delta as d_mod
+    from dremio_oss_spark.sources import iceberg as i_mod
+    from dremio_oss_spark.sources.delta import (
+        _DISTRIBUTED_THRESHOLD_KEY, plan_delta_scan, write_delta)
+    from dremio_oss_spark.sources.iceberg import (plan_iceberg_scan,
+                                                  write_iceberg)
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.0).alias("v"))
+    t = str(tmp_path / "d")
+    write_delta(spark, df, t, partition_by=["p"])
+    it = str(tmp_path / "i")
+    write_iceberg(spark, df, it, partition_by=["p"])
+
+    # baseline: the Python path's answers
+    base_d, total_d, kept_d = plan_delta_scan(spark, t, {"p": 1})
+    rows_d = sorted((r.k, r.p, r.v) for r in base_d.collect())
+    base_i, total_i, kept_i = plan_iceberg_scan(spark, it, {"p": 1})
+    rows_i = sorted((r.k, r.p, r.v) for r in base_i.collect())
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-side Python resolver called on the "
+                             "distributed planning path")
+
+    spark.conf.set(_DISTRIBUTED_THRESHOLD_KEY, "1")
+    monkeypatch.setattr(d_mod, "resolve_snapshot", boom)
+    monkeypatch.setattr(i_mod, "resolve_snapshot", boom)
+    try:
+        got_d, gtotal_d, gkept_d = plan_delta_scan(spark, t, {"p": 1})
+        assert (gtotal_d, gkept_d) == (total_d, kept_d)
+        assert sorted((r.k, r.p, r.v) for r in got_d.collect()) == rows_d
+        got_i, gtotal_i, gkept_i = plan_iceberg_scan(spark, it, {"p": 1})
+        assert (gtotal_i, gkept_i) == (total_i, kept_i)
+        assert sorted((r.k, r.p, r.v) for r in got_i.collect()) == rows_i
+
+        # the engine SQL path rides the same switch (pruning + residual)
+        eng = Engine(spark)
+        out = eng.sql(f"select k, v from '{t}' where p = 1 and k < 10 "
+                      "order by k")
+        assert [r.k for r in out.collect()] == [1, 4, 7]
+        out_i = eng.sql(f"select count(*) as n from '{it}' where p = 2")
+        assert out_i.collect()[0].n == 20
+    finally:
+        spark.conf.unset(_DISTRIBUTED_THRESHOLD_KEY)
