@@ -39,8 +39,11 @@ def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
     from pyspark.sql import functions as F
 
     done = os.path.join(dst, "_DONE")
+    marker = "v4-docs-vocabshift"  # corpus layout version; bump to rebuild
     if os.path.exists(done):
-        return dst
+        with open(done) as f:
+            if f.read().strip() == marker:
+                return dst
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
 
@@ -78,8 +81,53 @@ def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
                 out = out.unionByName(p)
         out.write.mode("overwrite").parquet(
             os.path.join(dst, f"{t}.parquet"))
+
+    # LLM-pipeline corpus, one decade up: documents (doc_id shifted;
+    # for copies > 0 every WORD gets a copy-index suffix — a per-copy
+    # VOCABULARY RENAMING, i.e. an isomorphism of the corpus: token
+    # counts, doc lengths, and the within-copy duplicate/near-duplicate
+    # structure are preserved EXACTLY, while word n-gram shingle sets
+    # are disjoint across copies, so replicas are not artificial
+    # near-duplicates of each other and the dedup families scale like
+    # 10x organic data) and embeddings (vec_id shifted, vectors reused
+    # — ANN/clustering cost scales with row count, not value diversity)
+    docs = rd("documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dparts = []
+    for i in range(copies):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+        if i > 0:
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "),
+                                lambda w: F.concat(w, F.lit(f"_{i}"))),
+                    " "))
+        dparts.append(c)
+    out = dparts[0]
+    for p in dparts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet"))
+
+    vecs = rd("embeddings")
+    max_vec = vecs.agg(F.max("vec_id")).collect()[0][0] + 1
+    vparts = [vecs.withColumn("vec_id",
+                              F.col("vec_id") + F.lit(i * max_vec))
+              for i in range(copies)]
+    out = vparts[0]
+    for p in vparts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet"))
+
+    # events pass through for any query that needs the table present
+    ev = os.path.join(src, "events.parquet")
+    if os.path.exists(ev):
+        rd("events").write.mode("overwrite").parquet(
+            os.path.join(dst, "events.parquet"))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(marker)
     return dst
 
 
@@ -120,11 +168,23 @@ def main() -> None:
             here0 = os.path.dirname(os.path.abspath(__file__))
             sf1_dir = ensure_sf1(
                 spark, sf_dir, os.path.join(here0, ".scratch", "sf1"))
-            for name in sorted(q for q in queries if q.startswith("tpch_")):
+            # two fixtures pin their ORACLE-scale knobs (16-bit simhash
+            # bands = 16 buckets; small shingle-DF caps) that are
+            # documented small-corpus configs — at 50k docs they go
+            # quadratic by construction.  Their PRODUCTION configs
+            # (64-bit bands, DF caps) are measured at 300k docs in
+            # scale_smoke.py (alpha ~0.5); skip the fixture forms here.
+            sf1_skip = {"llm_simhash_pairs", "llm_ngram_jaccard"}
+            for name in sorted(q for q in queries
+                               if q.startswith(("tpch_", "llm_"))
+                               and q not in sf1_skip):
                 t0 = time.perf_counter()
-                queries[name](spark, sf1_dir).count()
-                sf1_timings[f"sf1_{name}"] = round(
-                    time.perf_counter() - t0, 3)
+                try:
+                    queries[name](spark, sf1_dir).count()
+                    sf1_timings[f"sf1_{name}"] = round(
+                        time.perf_counter() - t0, 3)
+                except Exception as e:  # per-query: additive, tolerant
+                    errors[f"sf1_{name}"] = f"{type(e).__name__}: {e}"[:200]
         except Exception as e:  # sf1 is additive; never kill the bench
             errors["sf1"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -160,8 +220,12 @@ def main() -> None:
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
     if sf1_timings:
-        compact["sf1_tpch_total"] = round(sum(sf1_timings.values()), 2)
-        compact["sf1_tpch_max"] = round(max(sf1_timings.values()), 2)
+        for fam in ("tpch", "llm"):
+            fam_t = [t for n, t in sf1_timings.items()
+                     if n.startswith(f"sf1_{fam}_")]
+            if fam_t:
+                compact[f"sf1_{fam}_total"] = round(sum(fam_t), 2)
+                compact[f"sf1_{fam}_max"] = round(max(fam_t), 2)
     line = {
         "metric": "suite_total_wall_clock",
         "value": total,

@@ -789,6 +789,17 @@ class Engine:
         """
         from .plans import Measure
 
+        # path-anchored reflections (the reference's normal case —
+        # reflections on PHYSICAL lake datasets): ALTER TABLE '<path>'
+        # rewrites to a deterministic __plake_<digest> view over the
+        # table so every downstream regex, the plan-tree matcher, and
+        # col_owner all see one canonical name for the dataset
+        m = re.match(
+            r"(\s*alter\s+(?:table|vds|dataset)\s+)'([^']+)'(\s+.*)$",
+            query, re.I | re.S)
+        if m and self._lake_format(m.group(2)):
+            view = self._register_path_reflection_view(m.group(2))
+            query = m.group(1) + view + m.group(3)
         m = re.match(
             r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
             r"aggregate\s+reflection\s+(\w+)\s+using\s+"
@@ -821,13 +832,28 @@ class Engine:
                     joins.append(JoinSpec(dim_t, fk, dk))
                     dim_sources[dim_t] = self._resolve_table(dim_t)
             store = self._default_refl_store()
-            store.create_aggregation_reflection(
+            is_path = t in getattr(self, "_refl_view_paths", {})
+            if is_path and not any(
+                    mm.kind == "count" and mm.col == "*"
+                    for mm in measures):
+                # path-anchored reflections maintain under DML via the
+                # SIGNED change-feed fold, which needs a COUNT(*) to
+                # detect fully-emptied groups — record one alongside the
+                # declared measures (the reference's reflections always
+                # carry a record count)
+                measures.append(Measure("count", "*"))
+            refl = store.create_aggregation_reflection(
                 name, self._resolve_table(t), table=t, dims=dims,
                 measures=measures, joins=joins, dim_sources=dim_sources,
                 partition_by=[c.strip() for c in part_s.split(",")
                               if c.strip()] if part_s else None,
                 sort_by=[c.strip() for c in sort_s.split(",")
                          if c.strip()] if sort_s else None)
+            # path-anchored: record the built-at version so commit-driven
+            # refreshes can fold only the CHANGE FEED since this point
+            p = getattr(self, "_refl_view_paths", {}).get(t)
+            if p is not None:
+                refl.base_version = self._lake_head_version(p)
             return self._status(
                 "CREATE AGGREGATE REFLECTION",
                 f"{name} on {t}: {len(dims)} dims, "
@@ -959,6 +985,41 @@ class Engine:
     # surfaces STALE in sys.reflections instead.
     _AUTO_REFRESH_KEY = "spark.dremio.reflections.autoRefresh"
 
+    def _register_path_reflection_view(self, path: str) -> str:
+        """Canonical `__plake_<digest>` temp view over a lake path, for
+        reflections anchored on PHYSICAL datasets.  The view snapshot is
+        only read at reflection build/refresh time (re-registered fresh
+        then) and during acceleration probes for its SCHEMA — serving an
+        unaccelerated query still goes through `_expand_lake_refs`."""
+        import hashlib
+
+        p = os.path.normpath(path)
+        view = f"__plake_{hashlib.md5(p.encode()).hexdigest()[:10]}"
+        fmt = self._lake_format(p)
+        if fmt == "delta":
+            from .sources.delta import read_delta
+
+            df = read_delta(self.spark, p)
+        else:
+            from .sources.iceberg import read_iceberg
+
+            df = read_iceberg(self.spark, p)
+        df.createOrReplaceTempView(view)
+        self._path_refl_views = getattr(self, "_path_refl_views", {})
+        self._refl_view_paths = getattr(self, "_refl_view_paths", {})
+        self._path_refl_views[p] = view
+        self._refl_view_paths[view] = p
+        return view
+
+    def _lake_head_version(self, path: str):
+        if self._lake_format(path) == "delta":
+            from .sources.delta import resolve_snapshot
+
+            return resolve_snapshot(self.spark, path).version
+        from .sources.iceberg import resolve_snapshot
+
+        return resolve_snapshot(path).snapshot_id
+
     def _mark_reflections_stale(self, dataset: str) -> int:
         store = getattr(self, "_refl_store", None)
         if store is None:
@@ -984,6 +1045,9 @@ class Engine:
 
     def _refresh_stale_reflection(self, refl) -> None:
         store = self._default_refl_store()
+        p = getattr(self, "_refl_view_paths", {}).get(refl.table)
+        if p is not None:
+            return self._refresh_path_reflection(store, refl, p)
         base = self._resolve_table(refl.table)
         joins = getattr(refl, "joins", ())
         dims = {js.dim_table: self._resolve_table(js.dim_table)
@@ -996,6 +1060,39 @@ class Engine:
             refl.stale = False
         else:
             store.rebuild(refl.name, base, dims)
+
+    def _refresh_path_reflection(self, store, refl, path: str) -> None:
+        """Commit-driven refresh of a path-anchored reflection: fold the
+        CHANGE FEED since base_version when the measure set is signable
+        (SUM/COUNT(*) — the CDC-maintained materialization path), else a
+        shape-preserving full rebuild from the table head.  Any
+        incremental failure (CDF not enabled, pruned history, ...)
+        degrades to the rebuild — freshness never depends on the fast
+        path being available."""
+        signable = (
+            not getattr(refl, "joins", ())
+            and hasattr(refl, "measures")
+            and not {m.kind for m in refl.measures} & {"min", "max"}
+            and any(m.kind == "count" and m.col == "*"
+                    for m in refl.measures)
+            and refl.base_version is not None)
+        if signable:
+            try:
+                if self._lake_format(path) == "delta":
+                    store.cdf_incremental_refresh(refl.name, path)
+                else:
+                    store.changelog_incremental_refresh(refl.name, path)
+                refl.stale = False
+                return
+            except Exception:  # noqa: BLE001 — degrade to full rebuild
+                pass
+        self._register_path_reflection_view(path)  # fresh file list
+        joins = getattr(refl, "joins", ())
+        dims = {js.dim_table: self._resolve_table(js.dim_table)
+                for js in joins} or None
+        store.rebuild(refl.name, self.spark.table(refl.table), dims)
+        refl.base_version = self._lake_head_version(path)
+        refl.stale = False
 
     def _refresh_stale_reflections(self) -> None:
         store = getattr(self, "_refl_store", None)
@@ -1957,6 +2054,24 @@ class Engine:
                 q = re.sub(
                     rf"\b{re.escape(space.name)}\.{re.escape(name)}\b",
                     self._flat(space.name, name), q)
+        # path-anchored reflections: a quoted lake path with a
+        # registered reflection rewrites to its canonical __plake_ view
+        # so the analyzed tree matches refl.table.  Time-travel suffixes
+        # and USE version contexts are left untouched (the quoted form
+        # then fails Spark analysis and the probe soundly falls through
+        # to normal planning — a versioned read must never answer from a
+        # current-state materialization).
+        if getattr(self, "_path_refl_views", None) and not self._use_version:
+            pinned = {os.path.normpath(k) for k in self._use_version_in}
+
+            def _plake(m):
+                p = os.path.normpath(m.group(2))
+                v = self._path_refl_views.get(p)
+                if v is None or p in pinned:
+                    return m.group(0)
+                return f"{m.group(1)} {v}"
+            q = re.sub(r"\b(from|join)\s+'([^']+)'(?!\s+at\b)", _plake,
+                       q, flags=re.I)
         try:
             probe = self.spark.sql(q)
             analyzed = (probe._jdf.queryExecution()
@@ -2422,6 +2537,18 @@ class Engine:
             return refl
         lake = self._lake_statement(query)
         if lake is not None:
+            # lake DML is a BASE-TABLE COMMIT: dependents of a
+            # path-anchored reflection go stale (OPTIMIZE/VACUUM are
+            # row-preserving and excluded)
+            m = re.match(
+                r"\s*(?:create\s+table|insert\s+into|delete\s+from|"
+                r"update|merge\s+into|rollback\s+table|copy\s+into)"
+                r"[^']*'([^']+)'", query, re.I | re.S)
+            if m:
+                view = getattr(self, "_path_refl_views", {}).get(
+                    os.path.normpath(m.group(1)))
+                if view:
+                    self._mark_reflections_stale(view)
             return lake
         accelerated = self._try_accelerate(query)
         if accelerated is not None:

@@ -521,9 +521,11 @@ class _Extractor:
             _n, k, p = got
             if k == "measure":
                 return p.name
+            if k == "avg":  # reduced form spliced as an expression
+                return f"(cast(sum_{p} as double) / count_{p})"
             if k == "dim" and p[0] == "col":
                 return _dim_base(p)
-            raise _Unsupported("having on count-distinct/avg/expr dim")
+            raise _Unsupported("having on count-distinct/expr dim")
 
         havings: list[str] = []
         for fe in post_agg_filters:

@@ -485,12 +485,59 @@ order by yr
 """
 
 
+def path_anchored(spark: SparkSession, sf: str) -> DataFrame:
+    """Reflection anchored on a PHYSICAL Delta table (the reference's
+    primary acceleration case): `ALTER TABLE '<path>' ...` DDL, plain
+    SQL over the quoted path answers from the materialization, and an
+    engine DML commit marks it stale and auto-refreshes via the SIGNED
+    change-feed fold — the post-DELETE query is fresh AND accelerated."""
+    import shutil
+
+    from ..catalog import load
+    from ..engine import Engine
+    from ..sources.delta import write_delta
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
+    t = os.path.join(_REPO, ".scratch", f"refl_path_{tag}")
+    shutil.rmtree(t, ignore_errors=True)
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity")
+    write_delta(spark, li, t, enable_cdf=True)
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE '{t}' CREATE AGGREGATE REFLECTION p_li "
+            "USING DIMENSIONS (l_returnflag, l_linestatus) "
+            "MEASURES (l_quantity (SUM, COUNT))")
+    q = (f"select l_returnflag, "
+         "cast(sum(l_quantity) as double) as s, "
+         f"count(l_quantity) as n from '{t}' "
+         "group by l_returnflag order by l_returnflag")
+    eng.sql(q)
+    assert eng.last_plan_accelerated == "p_li", "path substitution missed"
+    eng.sql(f"delete from '{t}' where l_quantity > 45")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "p_li", \
+        "post-commit substitution missed (freshness path broken)"
+    return df
+
+
+PATH_ANCHORED_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_quantity as decimal(28,4))) as double) as s,
+       count(l_quantity) as n
+from lineitem
+where l_quantity <= 45
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
     "refl_transparent_cdistinct": transparent_cdistinct,
     "refl_transparent_avg": transparent_avg,
     "refl_transparent_exprdim": transparent_exprdim,
+    "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
     "refl_agg_rollup": agg_rollup,
@@ -505,6 +552,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
     "refl_transparent_avg": TRANSPARENT_AVG_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
+    "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,
     "refl_agg_rollup": AGG_ROLLUP_SQL,

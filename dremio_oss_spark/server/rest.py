@@ -1,24 +1,34 @@
-"""REST SQL endpoint: POST a statement, get JSON rows back.
+"""REST SQL endpoint: POST a statement, get JSON rows back — with the
+reference's async job store + result paging.
 
 Reference: dremio-oss's primary entry point is the REST SQL API
 (`dac/backend/.../dac/resource/SQLResource.java:53`, v3 API
-`dac/api/SQLResource.java:47`) — a POST with `{"sql": "..."}` submits
-the job and results page back as JSON.  Here the job service is
-`Engine.sql` directly (no async job store: the engine is in-process),
-so the response carries rowCount + rows, and errors return as
-`{"errorMessage": ...}` with a 4xx/5xx status, like the DAC's error
-envelope.
+`dac/api/SQLResource.java:47`) — a POST with `{"sql": "..."}` submits a
+JOB; `GET /api/v3/job/{id}` polls its state and
+`GET /api/v3/job/{id}/results?offset=&limit=` pages the result set
+(the JobsService flow).  Both shapes are served here:
 
-Endpoints:
-- POST /api/v3/sql       {"sql": "..."} → {"schema": [...], "rows": [...],
-                          "rowCount": n, "accelerated_by": name|null}
+- POST /api/v3/sql       {"sql": "..."} → the DAC-style immediate
+                         response {"id", "schema", "rows", "rowCount",
+                         "accelerated_by"}; with {"async": true} the
+                         POST returns {"id"} at submit time and the
+                         statement runs in a worker thread
+- GET  /api/v3/job/{id}          {"jobState": RUNNING|COMPLETED|FAILED,
+                                  "rowCount", "errorMessage"?}
+- GET  /api/v3/job/{id}/results  ?offset=&limit= pages stored rows
 - GET  /api/v3/catalog   table/view listing (INFORMATION_SCHEMA shape)
 - GET  /health           liveness probe
 
 Same scale contract as the Flight endpoint: results materialize
 driver-side per request — result-set-sized reads only (the reference's
 REST API likewise caps returned rows; `limit` defaults to 500 as the
-DAC does)."""
+DAC does, and a job stores at most `_Handler.max_stored` rows).
+
+Concurrency note: all engine interactions serialize behind one lock —
+engine session state (shims, policy views, acceleration markers) is not
+thread-safe, and this endpoint's role is result-set-sized reads, not
+concurrent analytics; concurrent workloads go through the library API
+with their own sessions."""
 
 from __future__ import annotations
 
@@ -58,10 +68,45 @@ def _json_cell(v):
     return v
 
 
+class _Jobs:
+    """Bounded in-memory job store (the reference's JobsService role at
+    result-set scale): submitted statements record state + up to
+    `max_stored` rows for paging; oldest finished jobs evict first."""
+
+    def __init__(self, cap: int = 64):
+        self._jobs: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._cap = cap
+
+    def create(self) -> str:
+        import uuid
+
+        jid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self._jobs[jid] = {"state": "RUNNING", "rows": [],
+                               "schema": [], "error": None,
+                               "accelerated_by": None}
+            done = [j for j, st in self._jobs.items()
+                    if st["state"] != "RUNNING"]
+            while len(self._jobs) > self._cap and done:
+                self._jobs.pop(done.pop(0))
+        return jid
+
+    def finish(self, jid: str, **fields) -> None:
+        with self._lock:
+            self._jobs[jid].update(fields)
+
+    def get(self, jid: str) -> dict | None:
+        with self._lock:
+            return self._jobs.get(jid)
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine = None          # set by serve_rest_background
     default_limit = 500    # DAC-style result cap
+    max_stored = 10_000    # per-job stored-row cap for paging
     token: str | None = None
+    jobs: _Jobs = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -98,7 +143,63 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(500, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
             return self._send(200, {"data": rows})
+        if self.path.startswith("/api/v3/job/"):
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            parts = u.path.rstrip("/").split("/")
+            jid = parts[4] if len(parts) > 4 else ""
+            job = self.jobs.get(jid)
+            if job is None:
+                return self._send(404, {"errorMessage": f"no job {jid}"})
+            if len(parts) == 5:  # GET /api/v3/job/{id}: state poll
+                out = {"id": jid, "jobState": job["state"],
+                       "rowCount": len(job["rows"]),
+                       "accelerated_by": job["accelerated_by"]}
+                if job["error"]:
+                    out["errorMessage"] = job["error"]
+                return self._send(200, out)
+            if len(parts) == 6 and parts[5] == "results":
+                if job["state"] == "RUNNING":
+                    return self._send(400, {"errorMessage":
+                                            "job still running"})
+                if job["state"] == "FAILED":
+                    return self._send(400, {"errorMessage": job["error"]})
+                q = parse_qs(u.query)
+                try:
+                    offset = int(q.get("offset", ["0"])[0])
+                    limit = int(q.get("limit",
+                                      [str(self.default_limit)])[0])
+                except ValueError:
+                    return self._send(400, {"errorMessage":
+                                            "bad offset/limit"})
+                page = job["rows"][offset:offset + limit]
+                return self._send(200, {
+                    "schema": job["schema"], "rows": page,
+                    "rowCount": len(job["rows"]),
+                    "offset": offset, "returned": len(page)})
         return self._send(404, {"errorMessage": f"no route {self.path}"})
+
+    def _run_job(self, jid: str, sql: str) -> None:
+        """Execute a statement into the job store (worker thread for
+        async submits; inline for synchronous POSTs)."""
+        try:
+            with _ENGINE_LOCK:
+                df = self.engine.sql(sql)
+                accelerated = getattr(
+                    self.engine, "last_plan_accelerated", None)
+                rows = df.limit(self.max_stored).collect()
+            self.jobs.finish(
+                jid, state="COMPLETED",
+                schema=[{"name": f.name,
+                         "type": f.dataType.simpleString()}
+                        for f in df.schema.fields],
+                rows=[{k: _json_cell(v) for k, v in r.asDict().items()}
+                      for r in rows],
+                accelerated_by=accelerated)
+        except Exception as e:  # noqa: BLE001 — recorded on the job
+            self.jobs.finish(jid, state="FAILED",
+                             error=f"{type(e).__name__}: {e}")
 
     def do_POST(self):
         if not self._authed():
@@ -119,6 +220,13 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, KeyError, TypeError):
             return self._send(400, {"errorMessage": "body must be "
                                                     '{"sql": "..."}'})
+        if req.get("async"):
+            # reference JobsService flow: submit returns the job id,
+            # the statement executes in a worker, GET /job/{id} polls
+            jid = self.jobs.create()
+            threading.Thread(target=self._run_job, args=(jid, sql),
+                             daemon=True).start()
+            return self._send(200, {"id": jid, "jobState": "RUNNING"})
         try:
             with _ENGINE_LOCK:
                 # the lock also makes accelerated_by read THIS query's
@@ -126,14 +234,22 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-                rows = df.limit(limit).collect()
+                rows = df.limit(max(limit, self.max_stored)
+                                if limit else limit).collect()
+            jid = self.jobs.create()
+            json_rows = [{k: _json_cell(v) for k, v in r.asDict().items()}
+                         for r in rows]
+            schema = [{"name": f.name, "type": f.dataType.simpleString()}
+                      for f in df.schema.fields]
+            # synchronous POSTs also land in the job store so clients
+            # can re-page the full stored result set afterwards
+            self.jobs.finish(jid, state="COMPLETED", schema=schema,
+                             rows=json_rows, accelerated_by=accelerated)
             payload = {
-                "schema": [{"name": f.name,
-                            "type": f.dataType.simpleString()}
-                           for f in df.schema.fields],
-                "rows": [{k: _json_cell(v) for k, v in r.asDict().items()}
-                         for r in rows],
-                "rowCount": len(rows),
+                "id": jid,
+                "schema": schema,
+                "rows": json_rows[:limit],
+                "rowCount": len(json_rows[:limit]),
                 "accelerated_by": accelerated,
             }
             return self._send(200, payload)
@@ -149,7 +265,7 @@ def serve_rest_background(engine, port: int = 0,
     `server.server_address[1]` is the bound port, `server.shutdown()`
     stops it."""
     handler = type("BoundHandler", (_Handler,),
-                   {"engine": engine, "token": token})
+                   {"engine": engine, "token": token, "jobs": _Jobs()})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -325,3 +325,79 @@ def test_flight_prepared_statement_roundtrip(flight_setup, spark):
             client.get_flight_info(desc)
     finally:
         client.close()
+
+
+def test_rest_async_jobs_and_result_paging(spark):
+    """The reference's jobs flow over REST: async submit returns a job
+    id, state polls to COMPLETED, and results page with offset/limit;
+    synchronous POSTs also store their full result for re-paging; a
+    failing statement lands FAILED with the error recorded."""
+    import json as _json
+    import time as _time
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def post(body):
+        req = rq.Request(f"http://127.0.0.1:{port}/api/v3/sql",
+                         data=_json.dumps(body).encode(),
+                         headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    def get(path):
+        try:
+            with rq.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        out = post({"sql": "select n_nationkey, n_name from nation "
+                           "order by n_nationkey", "async": True})
+        jid = out["id"]
+        assert out["jobState"] == "RUNNING"
+        for _ in range(100):
+            code, st = get(f"/api/v3/job/{jid}")
+            assert code == 200
+            if st["jobState"] != "RUNNING":
+                break
+            _time.sleep(0.1)
+        assert st["jobState"] == "COMPLETED" and st["rowCount"] == 25
+
+        code, page = get(f"/api/v3/job/{jid}/results?offset=10&limit=5")
+        assert code == 200 and page["rowCount"] == 25
+        assert [r["n_nationkey"] for r in page["rows"]] == [10, 11, 12, 13, 14]
+        code, page2 = get(f"/api/v3/job/{jid}/results?offset=24&limit=5")
+        assert page2["returned"] == 1
+
+        # synchronous POST: capped rows in the response, FULL result pages
+        out = post({"sql": "select l_orderkey from lineitem "
+                           "order by l_orderkey", "limit": 3})
+        assert out["rowCount"] == 3
+        code, pg = get(f"/api/v3/job/{out['id']}/results?offset=100&limit=2")
+        assert code == 200 and pg["returned"] == 2 and pg["rowCount"] > 100
+
+        # failure lands on the job
+        out = post({"sql": "select * from nope_nope", "async": True})
+        for _ in range(100):
+            code, st = get(f"/api/v3/job/{out['id']}")
+            if st["jobState"] != "RUNNING":
+                break
+            _time.sleep(0.1)
+        assert st["jobState"] == "FAILED" and "errorMessage" in st
+        code, _pg = get(f"/api/v3/job/{out['id']}/results")
+        assert code == 400
+        code, _pg = get("/api/v3/job/doesnotexist")
+        assert code == 404
+    finally:
+        server.shutdown()

@@ -974,3 +974,103 @@ def test_reflection_auto_refresh_on_commit(spark, tmp_path):
                 '"spark.dremio.reflections.autoRefresh"')
         eng._default_refl_store().drop("r_auto")
         spark.catalog.dropTempView("autoref")
+
+
+def test_avg_having_substitution(spark):
+    """HAVING over an avg output substitutes (the predicate re-renders
+    against the sum/count partials) and matches the unaccelerated run."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rah "
+            "USING DIMENSIONS (l_returnflag) "
+            "MEASURES (l_quantity (SUM, COUNT))")
+    q = ("select l_returnflag, avg(l_quantity) as aq from lineitem "
+         "group by l_returnflag having avg(l_quantity) > 25 "
+         "order by l_returnflag")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "rah"
+    assert [(r.l_returnflag, r.aq) for r in df.collect()] == \
+        [(r.l_returnflag, r.aq) for r in spark.sql(q).collect()]
+    eng._default_refl_store().drop("rah")
+
+
+def test_path_anchored_reflection_lifecycle(spark, tmp_path):
+    """Reflections on PHYSICAL lake datasets — the reference's primary
+    acceleration anchor: `ALTER TABLE '<path>' CREATE AGGREGATE
+    REFLECTION`, plain SQL over the quoted path answers from the
+    materialization, engine lake DML marks it stale, and the refresh is
+    CHANGE-FEED-driven (signed CDC fold) with a full-rebuild fallback —
+    queries after INSERT *and* after DELETE are fresh and accelerated.
+    Time travel over the same path must never answer from the
+    current-state materialization."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+
+    t = str(tmp_path / "sales")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t, enable_cdf=True)
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE '{t}' CREATE AGGREGATE REFLECTION p_sales "
+            "USING DIMENSIONS (g) MEASURES (v (SUM, COUNT))")
+    store = eng._default_refl_store()
+    refl = store._reflections["p_sales"]
+    # path-anchored reflections auto-carry count(*) so the SIGNED
+    # change-feed fold maintains them under DML; prove the refreshes
+    # below actually take the CDC path by poisoning the rebuild fallback
+    from dremio_oss_spark.plans import Measure
+    assert Measure("sum", "v") in refl.measures
+    assert Measure("count", "*") in refl.measures
+    real_rebuild = store.rebuild
+
+    def no_rebuild(*a, **kw):
+        raise AssertionError("full rebuild used where CDC fold expected")
+
+    store.rebuild = no_rebuild
+
+    q = (f"select g, cast(sum(v) as double) as s from '{t}' "
+         "group by g order by g")
+
+    def direct():
+        return [(r.g, r.s) for r in spark.sql(
+            "select g, cast(sum(v) as double) as s from "
+            f"delta_direct group by g order by g").collect()]
+
+    try:
+        out = eng.sql(q)
+        assert eng.last_plan_accelerated == "p_sales", "path subst missed"
+        v1 = [(r.g, r.s) for r in out.collect()]
+
+        # INSERT through the engine -> stale -> fresh on next query
+        eng.sql(f"insert into '{t}' select id % 4 as g, "
+                "cast(id as double) as v from range(100, 120)")
+        st = {r.reflection_name: r.status
+              for r in eng.sys_reflections().collect()}
+        assert st["p_sales"] == "STALE"
+        out2 = eng.sql(q)
+        assert eng.last_plan_accelerated == "p_sales"
+        v2 = [(r.g, r.s) for r in out2.collect()]
+        from dremio_oss_spark.sources.delta import read_delta
+        read_delta(spark, t).createOrReplaceTempView("delta_direct")
+        assert v2 == direct() and v2 != v1
+
+        # DELETE -> the signed fold (or rebuild fallback) stays correct
+        eng.sql(f"delete from '{t}' where v >= 110")
+        out3 = eng.sql(q)
+        assert eng.last_plan_accelerated == "p_sales"
+        read_delta(spark, t).createOrReplaceTempView("delta_direct")
+        assert [(r.g, r.s) for r in out3.collect()] == direct()
+
+        # time travel must NOT answer from the current-state reflection
+        df_tt = eng.sql(f"select g, sum(v) as s from '{t}' at snapshot "
+                        "'0' group by g order by g")
+        assert eng.last_plan_accelerated is None
+        assert df_tt.count() == 4
+    finally:
+        store.rebuild = real_rebuild
+        store.drop("p_sales")
