@@ -511,11 +511,13 @@ class Engine:
                     r.name, r.table, ",".join(r.dims),
                     ",".join(m.name for m in r.measures),
                     len(r.joins), str(r.watermark) if r.watermark else None,
+                    "INVALID" if r.invalid else
                     "STALE" if r.stale else "CAN_ACCELERATE",
                 ))
             for rr in store._raw.values():
                 rows.append((rr.name, rr.table,
                              ",".join(rr.cols), "", 0, None,
+                             "INVALID" if rr.invalid else
                              "STALE" if rr.stale else "CAN_ACCELERATE"))
         return self.spark.createDataFrame(
             rows or [("", "", "", "", 0, None, "")],
@@ -889,6 +891,7 @@ class Engine:
             # shape-preserving rebuild (joins/layout/filters kept) —
             # the earlier re-create dropped the star edges
             self._refresh_stale_reflection(refl)
+            refl.invalid = False  # a successful refresh ends quarantine
             return self._status("REFRESH REFLECTION", name)
         return None
 
@@ -1095,13 +1098,24 @@ class Engine:
         refl.stale = False
 
     def _refresh_stale_reflections(self) -> None:
+        """Fail-safe contract: a broken refresh must never break a
+        query.  A reflection whose refresh RAISES (base path deleted,
+        dim view dropped, column dropped from under it, ...) is marked
+        INVALID — it stops matching entirely, so queries plan normally
+        (and surface the real error, e.g. 'column not found') instead of
+        serving the stale materialization.  REFRESH REFLECTION or a
+        successful later auto-refresh clears the quarantine."""
         store = getattr(self, "_refl_store", None)
         if store is None or not self._auto_refresh_enabled():
             return
         for refl in list(store._reflections.values()) + list(
                 store._raw.values()):
             if getattr(refl, "stale", False):
-                self._refresh_stale_reflection(refl)
+                try:
+                    self._refresh_stale_reflection(refl)
+                    refl.invalid = False
+                except Exception:  # noqa: BLE001 — quarantine, don't raise
+                    refl.invalid = True
 
     # -- Hive UDF loading (plugins/hive-function-registry) ------------------
     def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
@@ -2379,7 +2393,7 @@ class Engine:
 
                 from .sources.delta import (_latest_metadata_action,
                                             plan_delta_scan)
-                md = _latest_metadata_action(path)
+                md = _latest_metadata_action(path, version)
                 cols = ({f["name"] for f in _json.loads(
                     md["schemaString"])["fields"]}
                     if md.get("schemaString") else set())
@@ -2542,7 +2556,8 @@ class Engine:
             # row-preserving and excluded)
             m = re.match(
                 r"\s*(?:create\s+table|insert\s+into|delete\s+from|"
-                r"update|merge\s+into|rollback\s+table|copy\s+into)"
+                r"update|merge\s+into|rollback\s+table|copy\s+into|"
+                r"alter\s+table)"  # schema changes invalidate too
                 r"[^']*'([^']+)'", query, re.I | re.S)
             if m:
                 view = getattr(self, "_path_refl_views", {}).get(

@@ -231,6 +231,10 @@ class Reflection:
     # before the next substitution (auto-refresh) or surfaces STALE in
     # sys.reflections when auto-refresh is off
     stale: bool = False
+    # quarantined after a FAILED refresh (base gone, column dropped,
+    # ...): an invalid reflection never matches, so queries plan
+    # normally and surface the real error instead of stale data
+    invalid: bool = False
     # bare column name -> owning table across the reflection's star
     # (None value = the name exists in 2+ star tables, i.e. ambiguous).
     # Plan-tree substitution matches QUALIFIED columns against this map:
@@ -241,7 +245,7 @@ class Reflection:
     col_owner: dict | None = None
 
     def covers(self, q: AggQuery) -> bool:
-        if q.table != self.table:
+        if self.invalid or q.table != self.table:
             return False
         # partial reflection: every materialization predicate must be
         # implied by some query predicate, else the reflection is missing
@@ -293,6 +297,7 @@ class RawReflection:
     path: str
     sort_col: str | None = None  # LOCALSORT layout, kept for rebuilds
     stale: bool = False
+    invalid: bool = False  # quarantined after a failed refresh
 
 
 class ReflectionStore:
@@ -417,7 +422,8 @@ class ReflectionStore:
         """Column-level substitution: if a raw reflection covers `cols`,
         scan the narrow materialization instead of the base table."""
         for refl in self._raw.values():
-            if refl.table == table and set(cols) <= set(refl.cols):
+            if (not refl.invalid and refl.table == table
+                    and set(cols) <= set(refl.cols)):
                 mat = self._read_data(os.path.join(refl.path, "data"))
                 return mat.select(*cols), True
         return base.select(*cols), False

@@ -813,7 +813,8 @@ def match_and_execute_raw(store, ex: ExtractedScan):
 
     need = ex.needed_cols
     for refl in store._raw.values():
-        if refl.table == ex.table and need <= set(refl.cols):
+        if (not getattr(refl, "invalid", False)
+                and refl.table == ex.table and need <= set(refl.cols)):
             import os
 
             mat = store._read_data(os.path.join(refl.path, "data"))

@@ -252,10 +252,11 @@ def flight_prepared_query(port: int, sql: str, params: list,
             flight.Action("CreatePreparedStatement", sql.encode()), opts))
         handle = res[0].body.to_pybytes()
         desc = flight.FlightDescriptor.for_command(handle)
-        batch = pa.table({f"p{i}": [v] for i, v in enumerate(params)})
-        w, _ = client.do_put(desc, batch.schema, opts)
-        w.write_table(batch)
-        w.close()
+        if params:  # zero-param statements skip the parameter upload
+            batch = pa.table({f"p{i}": [v] for i, v in enumerate(params)})
+            w, _ = client.do_put(desc, batch.schema, opts)
+            w.write_table(batch)
+            w.close()
         info = client.get_flight_info(desc, opts)
         out = client.do_get(info.endpoints[0].ticket, opts).read_all()
         client.do_action(

@@ -94,7 +94,13 @@ class _Jobs:
 
     def finish(self, jid: str, **fields) -> None:
         with self._lock:
+            # state flips LAST: readers poll job["state"] without this
+            # lock, so rows/schema must be in place before COMPLETED is
+            # observable (dict.update applies kwargs in caller order)
+            state = fields.pop("state", None)
             self._jobs[jid].update(fields)
+            if state is not None:
+                self._jobs[jid]["state"] = state
 
     def get(self, jid: str) -> dict | None:
         with self._lock:
@@ -217,6 +223,8 @@ class _Handler(BaseHTTPRequestHandler):
             raw_limit = req.get("limit")
             limit = (self.default_limit if raw_limit is None
                      else int(raw_limit))
+            if limit < 0:
+                raise ValueError("negative limit")
         except (ValueError, KeyError, TypeError):
             return self._send(400, {"errorMessage": "body must be "
                                                     '{"sql": "..."}'})
@@ -228,21 +236,26 @@ class _Handler(BaseHTTPRequestHandler):
                              daemon=True).start()
             return self._send(200, {"id": jid, "jobState": "RUNNING"})
         try:
+            # {"store": true} widens the collect to max_stored rows so
+            # the job can be re-paged beyond `limit` afterwards; the
+            # default sync hot path collects exactly `limit` rows, as
+            # before the job store existed
+            n_collect = (max(limit, self.max_stored)
+                         if req.get("store") and limit else limit)
             with _ENGINE_LOCK:
                 # the lock also makes accelerated_by read THIS query's
                 # marker, not a concurrent request's
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-                rows = df.limit(max(limit, self.max_stored)
-                                if limit else limit).collect()
+                rows = df.limit(n_collect).collect()
             jid = self.jobs.create()
             json_rows = [{k: _json_cell(v) for k, v in r.asDict().items()}
                          for r in rows]
             schema = [{"name": f.name, "type": f.dataType.simpleString()}
                       for f in df.schema.fields]
             # synchronous POSTs also land in the job store so clients
-            # can re-page the full stored result set afterwards
+            # can re-page what was collected
             self.jobs.finish(jid, state="COMPLETED", schema=schema,
                              rows=json_rows, accelerated_by=accelerated)
             payload = {

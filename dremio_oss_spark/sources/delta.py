@@ -518,14 +518,20 @@ def _estimate_delta_file_count(table: str) -> int:
     return est
 
 
-def _latest_metadata_action(table: str) -> dict:
-    """The latest metaData action (schemaString, partitionColumns,
-    configuration) via a cheap driver-side lookup: one checkpoint
-    column + substring-gated line scan of tail commits — O(commits),
-    never O(files)."""
+def _latest_metadata_action(table: str,
+                            version: int | None = None) -> dict:
+    """The metaData action in effect AT `version` (default: head) via a
+    cheap driver-side lookup: one checkpoint column + substring-gated
+    line scan of commits — O(commits), never O(files).  Version
+    awareness matters: a time-traveled read must see the schema and
+    partition columns of ITS snapshot, not the head's (an overwrite can
+    change both)."""
     md: dict = {}
     cp_v = _last_checkpoint(table)
-    if cp_v is not None:
+    # a checkpoint AFTER the target version reflects later state — fall
+    # back to replaying the (cheap, metaData-only) commit line scan
+    use_cp = cp_v is not None and (version is None or cp_v <= version)
+    if use_cp:
         import pyarrow.parquet as pq
 
         cp = os.path.join(table, _LOG_DIR,
@@ -535,7 +541,9 @@ def _latest_metadata_action(table: str) -> dict:
             if rec and rec.get("schemaString"):
                 md = dict(rec)
     for v, fp in _commit_files(table):
-        if cp_v is not None and v <= cp_v:
+        if use_cp and v <= cp_v:
+            continue
+        if version is not None and v > version:
             continue
         with open(fp) as f:
             for ln in f:
@@ -555,9 +563,9 @@ def _plan_delta_scan_distributed(
     only the SURVIVING file list (split-generation-sized, like the
     reference's manifest-scan output) returns to the driver to build
     the multi-path scan."""
-    from .lake_metadata import delta_live_files_df, _stats_keep_col
+    from .lake_metadata import _prune_delta_files, delta_live_files_df
 
-    md = _latest_metadata_action(table)
+    md = _latest_metadata_action(table, version)
     schema = (StructType.fromJson(json.loads(md["schemaString"]))
               if md.get("schemaString") else None)
     pcols = list(md.get("partitionColumns") or [])
@@ -566,18 +574,7 @@ def _plan_delta_scan_distributed(
     live.persist()
     try:
         total = live.count()
-        pruned = live
-        for c, v in equality.items():
-            if c in pcols:
-                pv = F.col("pv").getItem(c)
-                if isinstance(v, bool) or not isinstance(v, (int, float)):
-                    pruned = pruned.where(pv == F.lit(str(v)))
-                else:
-                    pruned = pruned.where(
-                        pv.cast("double") == F.lit(float(v)))
-            mn = F.get_json_object("stats", f"$.minValues.{c}")
-            mx = F.get_json_object("stats", f"$.maxValues.{c}")
-            pruned = pruned.where(_stats_keep_col(mn, mx, v))
+        pruned = _prune_delta_files(live, pcols, equality)
         rows = pruned.select("path", "pv", "dv").collect()
     finally:
         live.unpersist()

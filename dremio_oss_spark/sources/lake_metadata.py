@@ -159,19 +159,21 @@ def delta_plan_files_distributed(
     the multi-path scan from them (file-list-sized, like the
     reference's split generation)."""
     if partition_cols is None:
-        partition_cols = _delta_partition_cols(table)
+        partition_cols = _delta_partition_cols(table, version)
     df = delta_live_files_df(spark, table, version)
     return _prune_delta_files(df, partition_cols, equality)
 
 
-def _delta_partition_cols(table: str) -> list[str]:
-    """Partition columns from the latest metaData action — a cheap
-    driver-side lookup (substring-gated line scan of tail commits, one
-    parquet column from the checkpoint), NOT an O(files) replay."""
+def _delta_partition_cols(table: str,
+                          version: int | None = None) -> list[str]:
+    """Partition columns from the metaData action at `version` (default
+    head) — a cheap driver-side lookup (substring-gated line scan of
+    commits, one parquet column from the checkpoint), NOT an O(files)
+    replay."""
     from .delta import _latest_metadata_action
 
-    return list(_latest_metadata_action(table).get("partitionColumns")
-                or [])
+    return list(_latest_metadata_action(table, version)
+                .get("partitionColumns") or [])
 
 
 def iceberg_manifest_entries_df(spark: SparkSession, table: str,

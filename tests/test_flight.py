@@ -308,6 +308,11 @@ def test_flight_prepared_statement_roundtrip(flight_setup, spark):
         server.port, "select ? as s from nation limit 1", ["O'Brien"])
     assert tab3.column("s").to_pylist() == ["O'Brien"]
 
+    # zero-parameter prepared statements execute without a DoPut
+    tab4 = flight_prepared_query(
+        server.port, "select count(*) as n from region", [])
+    assert tab4.column("n").to_pylist() == [5]
+
     # arity mismatches error cleanly
     client = fl.connect(f"grpc://127.0.0.1:{server.port}")
     try:
@@ -380,12 +385,26 @@ def test_rest_async_jobs_and_result_paging(spark):
         code, page2 = get(f"/api/v3/job/{jid}/results?offset=24&limit=5")
         assert page2["returned"] == 1
 
-        # synchronous POST: capped rows in the response, FULL result pages
+        # synchronous POST with {"store": true}: capped rows in the
+        # response, FULL result pages afterwards
         out = post({"sql": "select l_orderkey from lineitem "
-                           "order by l_orderkey", "limit": 3})
+                           "order by l_orderkey", "limit": 3,
+                    "store": True})
         assert out["rowCount"] == 3
         code, pg = get(f"/api/v3/job/{out['id']}/results?offset=100&limit=2")
         assert code == 200 and pg["returned"] == 2 and pg["rowCount"] > 100
+
+        # default sync POST stores only what it collected (hot path
+        # stays `limit`-sized) and a negative limit errors cleanly
+        out = post({"sql": "select l_orderkey from lineitem", "limit": 3})
+        code, pg = get(f"/api/v3/job/{out['id']}/results?offset=0&limit=10")
+        assert code == 200 and pg["rowCount"] == 3
+        import urllib.error as _ue
+        try:
+            post({"sql": "select 1 as x", "limit": -3})
+            raise AssertionError("negative limit accepted")
+        except _ue.HTTPError as e:
+            assert e.code == 400
 
         # failure lands on the job
         out = post({"sql": "select * from nope_nope", "async": True})

@@ -1074,3 +1074,90 @@ def test_path_anchored_reflection_lifecycle(spark, tmp_path):
     finally:
         store.rebuild = real_rebuild
         store.drop("p_sales")
+
+
+def test_failed_refresh_quarantines_reflection(spark, tmp_path):
+    """Review r6: a refresh that RAISES (column dropped from under the
+    reflection) must never break unrelated queries — the reflection is
+    quarantined INVALID, stops matching, and queries plan normally
+    (surfacing the real error for queries that need the gone column)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+
+    t = str(tmp_path / "tq")
+    write_delta(spark, spark.range(40).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("v")), t)
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE '{t}' CREATE AGGREGATE REFLECTION q_tq "
+            "USING DIMENSIONS (g) MEASURES (v (SUM))")
+    store = eng._default_refl_store()
+    try:
+        eng.sql(f"select g, count(*) as n from '{t}' group by g")
+        assert eng.last_plan_accelerated == "q_tq"
+
+        eng.sql(f"alter table '{t}' drop column v")  # schema commit
+        assert store._reflections["q_tq"].stale
+
+        # unrelated query: refresh fails inside, query still works
+        df = eng.sql(f"select g, count(*) as n from '{t}' "
+                     "group by g order by g")
+        assert eng.last_plan_accelerated is None  # quarantined, no match
+        assert [r.n for r in df.collect()] == [20, 20]
+        st = {r.reflection_name: r.status
+              for r in eng.sys_reflections().collect()}
+        assert st["q_tq"] == "INVALID"
+
+        # a query needing the dropped column surfaces the REAL error
+        with _pytest.raises(Exception):
+            eng.sql(f"select g, sum(v) as s from '{t}' group by g")
+    finally:
+        store.drop("q_tq")
+
+
+def test_distributed_plan_time_travel_metadata(spark, tmp_path,
+                                               monkeypatch):
+    """Review r6: the distributed Delta planner must use the schema and
+    partition columns of the TIME-TRAVELED version, not the head's — an
+    overwrite that changes partitioning would otherwise mis-prune every
+    historical file."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources import delta as d_mod
+    from dremio_oss_spark.sources.delta import (
+        _DISTRIBUTED_THRESHOLD_KEY, plan_delta_scan, write_delta)
+
+    t = str(tmp_path / "tt")
+    v0 = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, v0, t, partition_by=["p"])          # version 0
+    v1 = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("q"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, v1, t, mode="overwrite",
+                partition_by=["q"])                        # version 1
+
+    base, total0, kept0 = plan_delta_scan(spark, t, {"p": 1}, version=0)
+    rows0 = sorted((r.k, r.p, r.v) for r in base.collect())
+    assert kept0 > 0
+
+    spark.conf.set(_DISTRIBUTED_THRESHOLD_KEY, "1")
+    real = d_mod.resolve_snapshot
+    monkeypatch.setattr(
+        d_mod, "resolve_snapshot",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("py path")))
+    try:
+        got, gtotal, gkept = plan_delta_scan(spark, t, {"p": 1},
+                                             version=0)
+        assert (gtotal, gkept) == (total0, kept0)
+        assert sorted((r.k, r.p, r.v) for r in got.collect()) == rows0
+        # head query prunes on the NEW partition column
+        got1, _, gk1 = plan_delta_scan(spark, t, {"q": 1})
+        assert gk1 >= 1 and got1.where("q <> 1").count() == 0
+    finally:
+        monkeypatch.setattr(d_mod, "resolve_snapshot", real)
+        spark.conf.unset(_DISTRIBUTED_THRESHOLD_KEY)
