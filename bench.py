@@ -175,8 +175,15 @@ def main() -> None:
             # (64-bit bands, DF caps) are measured at 300k docs in
             # scale_smoke.py (alpha ~0.5); skip the fixture forms here.
             sf1_skip = {"llm_simhash_pairs", "llm_ngram_jaccard"}
+            # write-path decade: the heaviest lake writers/DML re-run
+            # against the 10x corpus (staging + commit protocol under
+            # ~600k-row inputs)
+            sf1_src = {"src_delta_write", "src_iceberg_write",
+                       "src_delta_merge", "src_iceberg_dml",
+                       "src_delta_dv", "src_ctas_insert"}
             for name in sorted(q for q in queries
-                               if q.startswith(("tpch_", "llm_"))
+                               if (q.startswith(("tpch_", "llm_"))
+                                   or q in sf1_src)
                                and q not in sf1_skip):
                 t0 = time.perf_counter()
                 try:
@@ -220,7 +227,7 @@ def main() -> None:
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
     if sf1_timings:
-        for fam in ("tpch", "llm"):
+        for fam in ("tpch", "llm", "src"):
             fam_t = [t for n, t in sf1_timings.items()
                      if n.startswith(f"sf1_{fam}_")]
             if fam_t:

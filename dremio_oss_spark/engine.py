@@ -815,10 +815,34 @@ class Engine:
             t, name, dim_s, meas_s, join_s, part_s, sort_s = m.groups()
             dims = [d.strip() for d in dim_s.split(",") if d.strip()]
             measures = []
-            for part in re.findall(r"(\w+)\s*\(([^)]*)\)", meas_s):
-                col, fns = part
+            for item in _split_top_level(meas_s, ","):
+                item = item.strip()
+                if not item:
+                    continue
+                im = re.fullmatch(r"(.+?)\s*\(([\w\s,]*)\)", item, re.S)
+                if im is None:
+                    raise ValueError(f"bad measure item {item!r}")
+                target, fns = im.group(1).strip(), im.group(2)
+                if target.startswith("(") and target.endswith(")"):
+                    # expression measure (e.g. the TPC-H revenue
+                    # `(l_extendedprice * (1 - l_discount)) (SUM)`):
+                    # canonicalize through the SAME walker the query
+                    # matcher uses, so matching is exact-by-construction
+                    from .plans.substitution import (
+                        canonical_expr_from_projection)
+
+                    probe = self.spark.sql(
+                        f"select {target} as __m from {t}")
+                    target = canonical_expr_from_projection(
+                        probe._jdf.queryExecution().analyzed().toJSON())
+                    if target is None:
+                        raise ValueError(
+                            f"measure expression outside the matchable "
+                            f"fragment: {item!r}")
                 for fn in fns.split(","):
-                    measures.append(Measure(fn.strip().lower(), col))
+                    if fn.strip():
+                        measures.append(Measure(fn.strip().lower(),
+                                                target))
             # star edges: JOINS (dim_table ON fact_key = dim_key, ...) —
             # the DDL form of the star reflection the API accepts, so a
             # SQL-only user can materialize fact ⋈ dim rollups

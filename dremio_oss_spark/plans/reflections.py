@@ -54,13 +54,33 @@ class Measure:
     for `count(nullable_col)` — wrong whenever the column has NULLs."""
 
     kind: str
-    col: str  # "*" for count(*)
+    col: str  # "*" for count(*); may be a CANONICAL arithmetic
+    # expression (see substitution._canon_arith), e.g. the TPC-H
+    # revenue "(l_extendedprice * (1 - l_discount))"
+
+    @property
+    def is_expr(self) -> bool:
+        return not re.fullmatch(r"\w+|\*", self.col)
+
+    @property
+    def _tag(self) -> str:
+        if self.is_expr:
+            import hashlib
+
+            return "e" + hashlib.md5(self.col.encode()).hexdigest()[:8]
+        return self.col
 
     @property
     def name(self) -> str:
         if self.kind == "count":
-            return "count_all" if self.col == "*" else f"count_{self.col}"
-        return f"{self.kind}_{self.col}"
+            return "count_all" if self.col == "*" else f"count_{self._tag}"
+        return f"{self.kind}_{self._tag}"
+
+    @property
+    def column(self):
+        """The measure input as a Spark Column (F.expr for expression
+        measures — the canonical form is valid SQL)."""
+        return F.expr(self.col) if self.is_expr else F.col(self.col)
 
 
 @dataclass(frozen=True)
@@ -489,9 +509,9 @@ class ReflectionStore:
                 # — the partial must be null-aware or the rollup answers
                 # count(nullable_col) with count(*)
                 aggs.append((F.count("*") if m.col == "*"
-                             else F.count(F.col(m.col))).alias(m.name))
+                             else F.count(m.column)).alias(m.name))
             else:
-                col = F.col(m.col)
+                col = m.column
                 if m.kind == "sum":
                     col = col.cast("decimal(28,4)")
                 aggs.append(getattr(F, m.kind)(col).alias(m.name))
@@ -651,11 +671,11 @@ class ReflectionStore:
                     aggs.append(F.sum(sign).alias(m.name))
                 else:  # null-aware: only non-null values carry a delta
                     aggs.append(F.sum(
-                        sign * F.col(m.col).isNotNull().cast("long"))
+                        sign * m.column.isNotNull().cast("long"))
                         .alias(m.name))
             else:  # sum
                 aggs.append(
-                    F.sum(F.col(m.col).cast("decimal(28,4)") * sign)
+                    F.sum(m.column.cast("decimal(28,4)") * sign)
                     .alias(m.name))
         delta = ch.groupBy(*refl.dims).agg(*aggs)
         data_path = os.path.join(refl.path, "data")
@@ -812,9 +832,9 @@ class ReflectionStore:
             for m in q.measures:
                 if m.kind == "count":
                     aggs.append((F.count("*") if m.col == "*"
-                                 else F.count(F.col(m.col))).alias(m.name))
+                                 else F.count(m.column)).alias(m.name))
                 else:
-                    col = F.col(m.col)
+                    col = m.column
                     if m.kind == "sum":
                         col = col.cast("decimal(28,4)")
                     aggs.append(getattr(F, m.kind)(col).alias(m.name))

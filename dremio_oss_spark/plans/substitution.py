@@ -84,6 +84,71 @@ class _Unsupported(Exception):
     """Plan shape outside the matchable fragment (sound: no substitution)."""
 
 
+# -- measure-expression canonicalization ------------------------------------
+# `sum(l_extendedprice * (1 - l_discount))` — the TPC-H revenue shape —
+# matches a reflection that declared the SAME expression measure.  Both
+# sides (the query's analyzed tree and the DDL's probe-analyzed tree)
+# canonicalize through this walker, so Spark's inserted coercion casts
+# and literal renderings normalize identically.  The fragment is
+# +,-,*,/ over resolved columns and numeric literals; anything else
+# refuses (sound).
+_ARITH_OPS = {"Add": "+", "Subtract": "-", "Multiply": "*", "Divide": "/"}
+_NUM_DTYPES = ("integer", "long", "short", "byte", "double", "float",
+               "decimal")
+
+
+def _is_numeric_dtype(dt) -> bool:
+    return isinstance(dt, str) and dt.startswith(_NUM_DTYPES)
+
+
+def _strip_numeric_casts(node, kids):
+    """Drop numeric-widening casts (the coercions analysis inserts);
+    casts to non-numeric targets stay and refuse downstream."""
+    while (_cls(node) == "Cast"
+           and _is_numeric_dtype(node.get("dataType"))):
+        node, kids = kids[0]
+    return node, kids
+
+
+def _canon_lit(node) -> str:
+    v, dt = node.get("value"), node.get("dataType")
+    if v is None or not _is_numeric_dtype(dt):
+        raise _Unsupported("non-numeric literal in measure expression")
+    s = str(v)
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _canon_arith(node, kids, resolve) -> str:
+    node, kids = _strip_numeric_casts(node, kids)
+    c = _cls(node)
+    if c == "AttributeReference":
+        return resolve(node)
+    if c == "Literal":
+        return _canon_lit(node)
+    op = _ARITH_OPS.get(c)
+    if op is not None and len(kids) == 2:
+        return (f"({_canon_arith(*kids[0], resolve)} {op} "
+                f"{_canon_arith(*kids[1], resolve)})")
+    raise _Unsupported(f"measure expression node {c}")
+
+
+def canonical_expr_from_projection(analyzed_json: str) -> str | None:
+    """Canonical form of a single-projection probe
+    (`SELECT <expr> AS __m FROM t` analyzed) — the DDL side of
+    expression-measure matching.  None when outside the fragment."""
+    try:
+        root = _tree(json.loads(analyzed_json))
+        node, kids = root
+        while _cls(node) != "Project":
+            node, kids = kids[0]
+        top, tkids = _expr(node["projectList"][0])
+        if _cls(top) != "Alias":
+            raise _Unsupported("unaliased probe projection")
+        return _canon_arith(*tkids[0], lambda a: a["name"])
+    except (_Unsupported, KeyError, ValueError, TypeError, IndexError):
+        return None
+
+
 def _sort_flags(sort_order_node: dict) -> tuple[bool, bool]:
     """(ascending, nulls_first) from a SortOrder node — NULLS FIRST/LAST
     must survive substitution or accelerated runs reorder rows."""
@@ -490,6 +555,12 @@ class _Extractor:
                 # count measure (count_<col>), never count(*); the
                 # multi-arg count(a,b) form refuses
                 meas = Measure(kind, self._resolve(an)[1])
+            elif len(fkids) == 1:
+                # arithmetic measure expression (e.g. the TPC-H revenue
+                # sum(price * (1 - disc))): matches a reflection that
+                # declared the identical canonical expression
+                meas = Measure(kind, _canon_arith(
+                    an, ak, lambda a: self._resolve(a)[1]))
             else:
                 raise _Unsupported("aggregate over expression")
             outputs.append((top["name"], "measure", meas, _attr_id(top)))

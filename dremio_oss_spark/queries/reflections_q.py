@@ -485,6 +485,50 @@ order by yr
 """
 
 
+def transparent_exprmeasure(spark: SparkSession, sf: str) -> DataFrame:
+    """EXPRESSION measures: a reflection declaring the TPC-H revenue
+    expression `(l_extendedprice * (1 - l_discount)) (SUM)` answers
+    `sum(l_extendedprice * (1 - l_discount))` transparently — both
+    sides canonicalize through the same analyzed-tree walker, so
+    coercion casts and literal renderings match by construction.
+    Soundness: a query over a DIFFERENT expression falls through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_rev "
+        "USING DIMENSIONS (l_returnflag, l_linestatus) "
+        "MEASURES ((l_extendedprice * (1 - l_discount)) (SUM), "
+        "l_orderkey (COUNT))")
+    df = eng.sql(
+        "select l_returnflag, "
+        "cast(sum(l_extendedprice * (1 - l_discount)) as double) "
+        "as revenue, count(l_orderkey) as n "
+        "from lineitem where l_linestatus = 'F' "
+        "group by l_returnflag order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_rev", \
+        "expression-measure substitution missed"
+    eng.sql(  # negative control: (1 + disc) is a different expression
+        "select l_returnflag, sum(l_extendedprice * (1 + l_discount)) "
+        "as x from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None, "unsound expr-measure subst"
+    return df
+
+
+TRANSPARENT_EXPRMEASURE_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_extendedprice * (1 - l_discount)
+                     as decimal(28,4))) as double) as revenue,
+       count(l_orderkey) as n
+from lineitem
+where l_linestatus = 'F'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 def path_anchored(spark: SparkSession, sf: str) -> DataFrame:
     """Reflection anchored on a PHYSICAL Delta table (the reference's
     primary acceleration case): `ALTER TABLE '<path>' ...` DDL, plain
@@ -537,6 +581,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_cdistinct": transparent_cdistinct,
     "refl_transparent_avg": transparent_avg,
     "refl_transparent_exprdim": transparent_exprdim,
+    "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
@@ -552,6 +597,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
     "refl_transparent_avg": TRANSPARENT_AVG_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
+    "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,

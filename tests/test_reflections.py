@@ -1161,3 +1161,57 @@ def test_distributed_plan_time_travel_metadata(spark, tmp_path,
     finally:
         monkeypatch.setattr(d_mod, "resolve_snapshot", real)
         spark.conf.unset(_DISTRIBUTED_THRESHOLD_KEY)
+
+
+def test_expression_measure_incremental_and_cdc(spark, tmp_path):
+    """Expression measures survive BOTH refresh paths: the watermark
+    incremental merge and the signed CDF fold (the per-row expression
+    re-evaluates over new/changed rows only)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.plans import Measure, ReflectionStore
+    from dremio_oss_spark.sources.delta import (delete_from_delta,
+                                                read_delta, write_delta)
+
+    expr = "(price * (1 - disc))"
+    rows = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        (F.col("id") * 1.0).alias("price"),
+        (F.lit(0.1)).alias("disc"))
+
+    # watermark incremental
+    store = ReflectionStore(spark, str(tmp_path / "r"))
+    store.create_aggregation_reflection(
+        "em", rows.where("k < 60"), table="t", dims=["g"],
+        measures=[Measure("sum", expr), Measure("count", "*")],
+        watermark_col="k")
+    assert store.incremental_refresh("em", rows) > 0
+    from dremio_oss_spark.plans import AggQuery
+    q = AggQuery(table="t", dims=("g",),
+                 measures=(Measure("sum", expr), Measure("count", "*")))
+    df, sub = store.execute(q, rows)
+    assert sub
+    got = {r["g"]: float(r[Measure("sum", expr).name]) for r in df.collect()}
+    exp = {r["g"]: r["e"] for r in rows.groupBy("g").agg(
+        F.sum(F.expr(expr)).alias("e")).collect()}
+    assert all(abs(got[g] - exp[g]) < 1e-6 for g in exp)
+
+    # signed CDF fold under DELETE
+    t = str(tmp_path / "d")
+    write_delta(spark, rows, t, enable_cdf=True)
+    store2 = ReflectionStore(spark, str(tmp_path / "r2"))
+    refl = store2.create_aggregation_reflection(
+        "em2", read_delta(spark, t), table="t2", dims=["g"],
+        measures=[Measure("sum", expr), Measure("count", "*")])
+    refl.base_version = 0
+    delete_from_delta(spark, t, "k >= 80")
+    assert store2.cdf_incremental_refresh("em2", t) > 0
+    df2, sub2 = store2.execute(
+        AggQuery(table="t2", dims=("g",),
+                 measures=(Measure("sum", expr),)), None)
+    assert sub2
+    got2 = {r["g"]: float(r[Measure("sum", expr).name])
+            for r in df2.collect()}
+    exp2 = {r["g"]: r["e"] for r in rows.where("k < 80").groupBy("g").agg(
+        F.sum(F.expr(expr)).alias("e")).collect()}
+    assert all(abs(got2[g] - exp2[g]) < 1e-6 for g in exp2)
