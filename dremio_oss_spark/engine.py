@@ -814,38 +814,8 @@ class Engine:
         if m:
             t, name, dim_s, meas_s, join_s, part_s, sort_s = m.groups()
             dims = [d.strip() for d in dim_s.split(",") if d.strip()]
-            measures = []
-            for item in _split_top_level(meas_s, ","):
-                item = item.strip()
-                if not item:
-                    continue
-                im = re.fullmatch(r"(.+?)\s*\(([\w\s,]*)\)", item, re.S)
-                if im is None:
-                    raise ValueError(f"bad measure item {item!r}")
-                target, fns = im.group(1).strip(), im.group(2)
-                if target.startswith("(") and target.endswith(")"):
-                    # expression measure (e.g. the TPC-H revenue
-                    # `(l_extendedprice * (1 - l_discount)) (SUM)`):
-                    # canonicalize through the SAME walker the query
-                    # matcher uses, so matching is exact-by-construction
-                    from .plans.substitution import (
-                        canonical_expr_from_projection)
-
-                    probe = self.spark.sql(
-                        f"select {target} as __m from {t}")
-                    target = canonical_expr_from_projection(
-                        probe._jdf.queryExecution().analyzed().toJSON())
-                    if target is None:
-                        raise ValueError(
-                            f"measure expression outside the matchable "
-                            f"fragment: {item!r}")
-                for fn in fns.split(","):
-                    if fn.strip():
-                        measures.append(Measure(fn.strip().lower(),
-                                                target))
-            # star edges: JOINS (dim_table ON fact_key = dim_key, ...) —
-            # the DDL form of the star reflection the API accepts, so a
-            # SQL-only user can materialize fact ⋈ dim rollups
+            # star edges FIRST: expression measures may reference dim
+            # columns, so their canonical probe must see the whole star
             joins = None
             dim_sources = None
             if join_s:
@@ -858,6 +828,41 @@ class Engine:
                     joins.append(JoinSpec(dim_t, fk, dk))
                     dim_sources[dim_t] = self._resolve_table(dim_t)
             store = self._default_refl_store()
+            measures = []
+            star_df = None
+            for item in _split_top_level(meas_s, ","):
+                item = item.strip()
+                if not item:
+                    continue
+                im = re.fullmatch(r"(.+?)\s*\(([\w\s,]*)\)", item, re.S)
+                if im is None:
+                    raise ValueError(f"bad measure item {item!r}")
+                target, fns = im.group(1).strip(), im.group(2)
+                if target.startswith("(") and target.endswith(")"):
+                    # expression measure (e.g. the TPC-H revenue
+                    # `(l_extendedprice * (1 - l_discount)) (SUM)`):
+                    # canonicalize through the SAME walker the query
+                    # matcher uses, so matching is exact-by-construction.
+                    # The probe analyzes over the STAR (vds-resolved
+                    # fact ⋈ dims), so dim-column expressions resolve.
+                    from .plans.substitution import (
+                        canonical_expr_from_projection)
+
+                    if star_df is None:
+                        star_df = store._join_star(
+                            self._resolve_table(t), tuple(joins or ()),
+                            dim_sources)
+                    probe = star_df.selectExpr(f"{target} as __m")
+                    target = canonical_expr_from_projection(
+                        probe._jdf.queryExecution().analyzed().toJSON())
+                    if target is None:
+                        raise ValueError(
+                            f"measure expression outside the matchable "
+                            f"fragment: {item!r}")
+                for fn in fns.split(","):
+                    if fn.strip():
+                        measures.append(Measure(fn.strip().lower(),
+                                                target))
             is_path = t in getattr(self, "_refl_view_paths", {})
             if is_path and not any(
                     mm.kind == "count" and mm.col == "*"

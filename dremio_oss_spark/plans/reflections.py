@@ -60,7 +60,9 @@ class Measure:
 
     @property
     def is_expr(self) -> bool:
-        return not re.fullmatch(r"\w+|\*", self.col)
+        # identifier-shaped or "*" only — a literal-only canonical like
+        # "1" must take the F.expr path, not F.col("1")
+        return not re.fullmatch(r"[A-Za-z_]\w*|\*", self.col)
 
     @property
     def _tag(self) -> str:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import re
 from dataclasses import dataclass
 
 from .reflections import AggQuery, JoinSpec, Measure
@@ -88,10 +89,21 @@ class _Unsupported(Exception):
 # `sum(l_extendedprice * (1 - l_discount))` — the TPC-H revenue shape —
 # matches a reflection that declared the SAME expression measure.  Both
 # sides (the query's analyzed tree and the DDL's probe-analyzed tree)
-# canonicalize through this walker, so Spark's inserted coercion casts
-# and literal renderings normalize identically.  The fragment is
-# +,-,*,/ over resolved columns and numeric literals; anything else
-# refuses (sound).
+# canonicalize through this walker.
+#
+# Soundness contract: the canonical string must RE-ANALYZE (over the
+# same base table) to a tree computing exactly what the query's tree
+# computes.  That holds only for casts ANALYSIS inserts — which wrap
+# literal/column operands of arithmetic, never user intent — so the
+# walker strips exactly one cast shape: a numeric coercion cast around
+# a numeric LITERAL (re-analysis re-coerces the literal identically in
+# the same operand position).  Every other cast — user-written
+# narrowing, column widenings, non-numeric targets — REFUSES: stripping
+# them would match expressions with different arithmetic (a review
+# finding: `cast(price as int) * q` must not answer from a reflection
+# over `price * q`).  Literal rendering preserves the literal's TYPE
+# CLASS (integral `3` vs fractional `3.0` vs double `2.5e0`) so
+# integer- and decimal-arithmetic variants never cross-match.
 _ARITH_OPS = {"Add": "+", "Subtract": "-", "Multiply": "*", "Divide": "/"}
 _NUM_DTYPES = ("integer", "long", "short", "byte", "double", "float",
                "decimal")
@@ -101,26 +113,30 @@ def _is_numeric_dtype(dt) -> bool:
     return isinstance(dt, str) and dt.startswith(_NUM_DTYPES)
 
 
-def _strip_numeric_casts(node, kids):
-    """Drop numeric-widening casts (the coercions analysis inserts);
-    casts to non-numeric targets stay and refuse downstream."""
-    while (_cls(node) == "Cast"
-           and _is_numeric_dtype(node.get("dataType"))):
-        node, kids = kids[0]
-    return node, kids
-
-
 def _canon_lit(node) -> str:
     v, dt = node.get("value"), node.get("dataType")
     if v is None or not _is_numeric_dtype(dt):
         raise _Unsupported("non-numeric literal in measure expression")
     s = str(v)
-    return s[:-2] if s.endswith(".0") else s
+    if dt in ("integer", "long", "short", "byte"):
+        return s
+    if dt in ("double", "float"):
+        # a dotted SQL literal parses as DECIMAL; E-notation round-trips
+        # to double, preserving this literal's arithmetic class
+        return s if ("e" in s.lower()) else f"{float(s)!r}e0"
+    # decimal: keep a decimal point so re-analysis stays decimal-typed
+    return s if "." in s else s + ".0"
 
 
 def _canon_arith(node, kids, resolve) -> str:
-    node, kids = _strip_numeric_casts(node, kids)
     c = _cls(node)
+    if c == "Cast":
+        child, _ckids = kids[0]
+        if (_cls(child) == "Literal"
+                and _is_numeric_dtype(node.get("dataType"))
+                and _is_numeric_dtype(child.get("dataType"))):
+            return _canon_lit(child)  # analysis-inserted literal coercion
+        raise _Unsupported("cast in measure expression")
     if c == "AttributeReference":
         return resolve(node)
     if c == "Literal":
@@ -320,15 +336,27 @@ class _Extractor:
             raise _Unsupported(f"ambiguous bare name {c}")
         return got
 
+    @staticmethod
+    def _strip_temporal_cast(node, kids):
+        """Inside year/month/quarter/trunc, analysis wraps the column in
+        date/timestamp coercion casts — value-equivalent for those
+        extractors.  Other cast targets (a user's value-changing cast)
+        stay and refuse."""
+        while (_cls(node) == "Cast" and node.get("dataType")
+               in ("date", "timestamp", "timestamp_ntz", "timestamp_ltz")):
+            node, kids = kids[0]
+        return node, kids
+
     def _dim_key(self, node, kids) -> tuple:
         """Canonicalize one group-by key (see DimKey above); anything
-        outside the fragment refuses."""
-        node, kids = self._strip_cast(node, kids)
+        outside the fragment refuses — including a CAST group key, which
+        is non-injective in general (grouping by cast(x as int) is not
+        grouping by x)."""
         c = _cls(node)
         if c == "AttributeReference":
             return ("col",) + self._resolve(node)
         if c in ("Year", "Month", "Quarter") and kids:
-            an, _ak = self._strip_cast(*kids[0])
+            an, _ak = self._strip_temporal_cast(*kids[0])
             if _cls(an) != "AttributeReference":
                 raise _Unsupported("temporal fn over expression")
             return (c.lower(),) + self._resolve(an)
@@ -336,7 +364,7 @@ class _Extractor:
             # TruncDate(date, fmt) vs TruncTimestamp(fmt, ts)
             val, fmt = (kids[0], kids[1]) if c == "TruncDate" \
                 else (kids[1], kids[0])
-            an, _ak = self._strip_cast(*val)
+            an, _ak = self._strip_temporal_cast(*val)
             fn, _fk = fmt
             if _cls(an) != "AttributeReference" or _cls(fn) != "Literal" \
                     or fn.get("dataType") != "string":
@@ -350,6 +378,49 @@ class _Extractor:
     def _strip_cast(node, kids):
         while _cls(node) == "Cast":
             node, kids = kids[0]
+        return node, kids
+
+    _NUM_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3,
+                 "decimal": 4, "float": 5, "double": 6}
+
+    @classmethod
+    def _strip_col_cast(cls, node, kids):
+        """Strip casts that are WIDENING (the direction analysis
+        coercion goes): re-rendering the bare column re-introduces the
+        same coercion against the literal, so the re-applied filter
+        matches the query's rows exactly.  Narrowing casts (value
+        truncation before comparison) stay put and refuse."""
+        def rank(dt):
+            if not isinstance(dt, str):
+                return None
+            return cls._NUM_RANK.get(dt.split("(", 1)[0])
+
+        def dec(dt):
+            m = re.match(r"decimal\((\d+),\s*(-?\d+)\)", dt or "")
+            return (int(m.group(1)), int(m.group(2))) if m else None
+
+        while _cls(node) == "Cast":
+            tgt = node.get("dataType")
+            child, ckids = kids[0]
+            src = child.get("dataType")
+            rt, rs = rank(tgt), rank(src)
+            ok = False
+            if rt is not None and rs is not None:
+                if rt > rs:
+                    ok = True
+                elif rt == rs == cls._NUM_RANK["decimal"]:
+                    dt_, ds_ = dec(tgt), dec(src)
+                    ok = (dt_ is not None and ds_ is not None
+                          and dt_[1] >= ds_[1]
+                          and dt_[0] - dt_[1] >= ds_[0] - ds_[1])
+            elif src == "date" and tgt in ("timestamp", "timestamp_ntz",
+                                           "timestamp_ltz"):
+                ok = True  # midnight-widening, injective
+            elif _cls(child) == "Literal":
+                ok = True  # literal coercions always re-render
+            if not ok:
+                break
+            node, kids = child, ckids
         return node, kids
 
     @staticmethod
@@ -388,10 +459,15 @@ class _Extractor:
         column; HAVING passes a map into the rollup's output names)."""
         res = name_of or (lambda a: self._resolve(a)[1])
         c = _cls(node)
+        # literal-side casts are analysis coercions and strip; a cast on
+        # the COLUMN side is only stripped when it cannot change which
+        # rows match (temporal widenings) — `cast(x as int) = 5` must
+        # NOT render as `x = 5` (truncation semantics would be lost on
+        # the re-applied filter)
         if c in _CMP:
             (ln, lk), (rn, rk) = kids
-            ln, lk = self._strip_cast(ln, lk)
-            rn, rk = self._strip_cast(rn, rk)
+            ln, lk = self._strip_col_cast(ln, lk)
+            rn, rk = self._strip_col_cast(rn, rk)
             op = _CMP[c]
             if _cls(ln) == "AttributeReference":
                 return f"{res(ln)} {op} {self._render_literal(rn)}"
@@ -400,7 +476,7 @@ class _Extractor:
             raise _Unsupported("predicate without column side")
         if c == "In":
             (vn, vk), *items = kids
-            vn, vk = self._strip_cast(vn, vk)
+            vn, vk = self._strip_col_cast(vn, vk)
             if _cls(vn) != "AttributeReference":
                 raise _Unsupported("IN without column")
             vals = [self._render_literal(self._strip_cast(n, k)[0])
@@ -523,7 +599,13 @@ class _Extractor:
                 raise _Unsupported(f"aggregate {_cls(fn)}")
             if not fkids:
                 raise _Unsupported("zero-arg aggregate")
-            an, ak = self._strip_cast(*fkids[0])
+            # the agg ARGUMENT is taken verbatim — analysis inserts no
+            # casts directly under aggregate functions (verified against
+            # sum/avg/min over every numeric width), so a Cast here is
+            # USER-WRITTEN and value-changing (min(cast(x as string)) is
+            # a lexicographic min); it routes to the expression walker,
+            # which refuses non-literal casts
+            an, ak = fkids[0]
             if child.get("isDistinct"):
                 # COUNT(DISTINCT col): answerable from a reflection
                 # carrying col at DIM grain (distinct-count of dim

@@ -1215,3 +1215,53 @@ def test_expression_measure_incremental_and_cdc(spark, tmp_path):
     exp2 = {r["g"]: r["e"] for r in rows.where("k < 80").groupBy("g").agg(
         F.sum(F.expr(expr)).alias("e")).collect()}
     assert all(abs(got2[g] - exp2[g]) < 1e-6 for g in exp2)
+
+
+def test_cast_soundness_refusals(spark):
+    """Review r6 pack: value-changing casts must REFUSE substitution —
+    min(cast(x as string)) is a lexicographic min, sum over a truncating
+    cast differs per-row, cast group keys are non-injective, and
+    integer- vs decimal-literal arithmetic must not cross-match."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rc "
+            "USING DIMENSIONS (l_returnflag, l_quantity) "
+            "MEASURES (l_extendedprice (SUM, MIN), "
+            "((l_extendedprice * 2)) (SUM))")
+    store = eng._default_refl_store()
+    try:
+        # sanity: the plain and expression forms DO accelerate
+        eng.sql("select l_returnflag, min(l_extendedprice) as m "
+                "from lineitem group by l_returnflag")
+        assert eng.last_plan_accelerated == "rc"
+        eng.sql("select l_returnflag, "
+                "cast(sum(l_extendedprice * 2) as double) as s "
+                "from lineitem group by l_returnflag")
+        assert eng.last_plan_accelerated == "rc"
+
+        unsound = (
+            # lexicographic vs numeric min
+            "select l_returnflag, min(cast(l_extendedprice as string)) "
+            "as m from lineitem group by l_returnflag",
+            # truncating cast inside the sum argument
+            "select l_returnflag, sum(cast(l_extendedprice as int) * 2) "
+            "as s from lineitem group by l_returnflag",
+            # bare user cast directly under the aggregate
+            "select l_returnflag, sum(cast(l_extendedprice as "
+            "decimal(6,0))) as s from lineitem group by l_returnflag",
+            # non-injective cast group key
+            "select cast(l_quantity as int) as q, count(*) as n "
+            "from lineitem group by cast(l_quantity as int)",
+            # integer-literal arithmetic must not match the 2.0 shape
+            "select l_returnflag, sum(l_extendedprice * 2.0) as s "
+            "from lineitem group by l_returnflag",
+        )
+        for q in unsound:
+            df = eng.sql(q)
+            assert eng.last_plan_accelerated is None, q
+            assert df.count() > 0, q
+    finally:
+        store.drop("rc")
