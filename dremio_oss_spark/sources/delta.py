@@ -462,9 +462,14 @@ def _collect_stats(spark: SparkSession, table: str,
 
 def _pv_eq(a, b) -> bool:
     """Partition-value equality: numeric when both sides parse (dir
-    values are strings — '3' must equal a bound 3.0), else string."""
+    values are strings — '3' must equal a bound 3.0), boolean-insensitive
+    ('true' must equal Python True, whose str() is 'True'), else
+    string."""
     if a is None or b is None:
         return a is None and b is None
+    sa, sb = str(a).lower(), str(b).lower()
+    if sa in ("true", "false") and sb in ("true", "false"):
+        return sa == sb
     try:
         return float(a) == float(b)
     except (TypeError, ValueError):
@@ -885,8 +890,10 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     commits = _commit_files(table)
     version = (commits[-1][0] + 1) if commits else 0
     merged_schema = None
+    # ONE log replay per commit: the append checks, the configuration
+    # carry-forward, and the overwrite remove-list all reuse this
+    prev = resolve_snapshot(spark, table) if version > 0 else None
     if version > 0 and mode == "append":
-        prev = resolve_snapshot(spark, table)
         if not partition_by:
             # appends follow the table's existing partitioning (a caller
             # passing none must not silently de-partition new files)
@@ -935,8 +942,8 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         # enable_cdf sets the protocol's CDF property
         # (delta.enableChangeDataFeed) the way delta-spark does
         config: dict = {}
-        if version > 0:
-            config = dict(resolve_snapshot(spark, table).config)
+        if prev is not None:
+            config = dict(prev.config)
         if enable_cdf:
             config["delta.enableChangeDataFeed"] = "true"
         actions.append({"metaData": {
@@ -954,7 +961,6 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     if mode == "overwrite" and version > 0:
-        prev = resolve_snapshot(spark, table)
         actions.extend(
             {"remove": {"path": rel, "deletionTimestamp": version,
                         "dataChange": True}}
@@ -1474,7 +1480,9 @@ def rollback_delta(spark: SparkSession, table: str, version: int) -> int:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": target.schema.json(),
             "partitionColumns": target.partition_cols,
-            "configuration": {},
+            # restatements must CARRY table properties forward — an
+            # empty map here silently disabled CDF after a rollback
+            "configuration": target.config,
         }},
     ]
     actions.extend(
@@ -1525,7 +1533,8 @@ def alter_delta(spark: SparkSession, table: str,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": new_schema.json(),
             "partitionColumns": snap.partition_cols,
-            "configuration": {},
+            # carry table properties (CDF enablement etc.) forward
+            "configuration": snap.config,
         }},
     ])
     return version

@@ -57,6 +57,10 @@ def delta_live_files_df(spark: SparkSession, table: str,
     commits = _commit_files(table)
     if not commits:
         raise FileNotFoundError(f"not a Delta table: {table}")
+    if version is not None and version not in {v for v, _ in commits}:
+        # same contract as resolve_snapshot: a nonexistent version must
+        # error, not silently plan the head snapshot
+        raise FileNotFoundError(f"no Delta version {version} in {table}")
     max_v = commits[-1][0] if version is None else version
     cp_v = _last_checkpoint(table)
     frames: list[DataFrame] = []
@@ -102,6 +106,12 @@ def delta_live_files_df(spark: SparkSession, table: str,
             F.lit(None).cast("string").alias("stats"),
             F.lit(None).cast(_DV_TYPE).alias("dv"),
             "_v", F.lit("remove").alias("_kind")))
+    if not frames:
+        # a version older than the earliest usable state (checkpoint
+        # after it, pre-checkpoint commits aged out) must error clearly
+        raise FileNotFoundError(
+            f"log history for version {max_v} of {table} is not "
+            f"replayable (checkpoint at {cp_v} supersedes it)")
     allf = reduce(lambda a, b: a.unionByName(b), frames)
     w = Window.partitionBy("path").orderBy(
         F.col("_v").desc(), F.col("_kind").asc())
@@ -110,42 +120,69 @@ def delta_live_files_df(spark: SparkSession, table: str,
             .drop("_rn", "_kind", "_v"))
 
 
-def _stats_keep_col(mn, mx, v):
+def _stats_keep_col(mn, mx, v, str_bound=None):
     """Min/max stats check replicating the Python planners exactly:
-    prune ONLY when BOTH bounds exist; numeric compare when the stats
-    parse as numbers (matching the JSON-type dispatch of the Python
-    side), lexical otherwise; a numeric-vs-string type mismatch keeps
-    the file (the Python TypeError branch)."""
+    prune ONLY when BOTH bounds exist; the Python side dispatches on
+    the JSON TYPE of the stored bound (string bounds compare lexically
+    against str(v), numeric bounds numerically, and a numeric-bound vs
+    string-value mismatch KEEPS the file — the TypeError branch).
+    `str_bound` is a Column telling whether the stored bound is a JSON
+    string (get_json_object erases the quoting, so callers derive it
+    from the raw minValues object); None falls back to parse-based
+    detection (numeric when both bounds parse)."""
     both = mn.isNotNull() & mx.isNotNull()
-    mn_d, mx_d = mn.cast("double"), mx.cast("double")
+    mn_d, mx_d = mn.try_cast("double"), mx.try_cast("double")
     numeric_stats = mn_d.isNotNull() & mx_d.isNotNull()
+    if str_bound is not None:
+        numeric_stats = (~str_bound) & numeric_stats
+    lex = (mn <= F.lit(str(v))) & (mx >= F.lit(str(v)))
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         # string value: numeric stats can't compare -> keep (TypeError)
-        in_range = F.when(numeric_stats, F.lit(True)).otherwise(
-            (mn <= F.lit(str(v))) & (mx >= F.lit(str(v))))
+        in_range = F.when(numeric_stats, F.lit(True)).otherwise(lex)
     else:
         in_range = F.when(
             numeric_stats,
             (mn_d <= F.lit(float(v))) & (mx_d >= F.lit(float(v)))
-        ).otherwise((mn <= F.lit(str(v))) & (mx >= F.lit(str(v))))
+        ).otherwise(lex)
     return (~both) | in_range
+
+
+def _str_bound_col(stats_col, c: str):
+    """Whether column `c`'s stored min bound is a JSON STRING — decided
+    on the raw minValues object text (quoting survives there), matching
+    the Python planners' isinstance(lo, str) dispatch."""
+    import re as _re
+
+    obj = F.get_json_object(stats_col, "$.minValues")
+    return obj.rlike(f'"{_re.escape(c)}"\\s*:\\s*"')
 
 
 def _prune_delta_files(df: DataFrame, partition_cols: list[str],
                        equality: dict[str, object]) -> DataFrame:
     """plan_delta_scan's partition-value + min/max-stats pruning as
     DataFrame filters — shared by the standalone distributed planner
-    and the engine's in-scan switch."""
+    and the engine's in-scan switch, replicating `_pv_eq`'s semantics
+    exactly: numeric-tolerant ('2' matches '2.0'), boolean-insensitive
+    ('true' matches Python True), string-exact otherwise."""
     for c, v in equality.items():
         if c in partition_cols:
             pv = F.col("pv").getItem(c)
-            if isinstance(v, bool) or not isinstance(v, (int, float)):
-                df = df.where(pv == F.lit(str(v)))
-            else:
+            sv = str(v).lower() if isinstance(v, bool) else str(v)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
                 df = df.where(pv.cast("double") == F.lit(float(v)))
+            else:
+                both_num = (pv.try_cast("double").isNotNull()
+                            & F.lit(sv).try_cast("double").isNotNull())
+                df = df.where(F.when(
+                    both_num,
+                    pv.try_cast("double") == F.lit(sv).try_cast("double")
+                ).otherwise(F.lower(pv) == F.lit(sv)
+                            if isinstance(v, bool)
+                            else pv == F.lit(sv)))
         mn = F.get_json_object("stats", f"$.minValues.{c}")
         mx = F.get_json_object("stats", f"$.maxValues.{c}")
-        df = df.where(_stats_keep_col(mn, mx, v))
+        df = df.where(_stats_keep_col(mn, mx, v,
+                                      _str_bound_col(F.col("stats"), c)))
     return df
 
 
@@ -186,14 +223,11 @@ def iceberg_manifest_entries_df(spark: SparkSession, table: str,
     manifest-scan table function.  The manifest list itself is one row
     per manifest and stays on the driver."""
     from .avro_codec import read_avro_file
-    from .iceberg import _local, _metadata_file
+    from .iceberg import _local, _snapshot_meta
 
-    with open(_metadata_file(table)) as f:
-        meta = json.load(f)
-    sid = (snapshot_id if snapshot_id is not None
-           else meta["current-snapshot-id"])
-    snap = next(s for s in meta.get("snapshots") or []
-                if s["snapshot-id"] == sid)
+    # _snapshot_meta owns snapshot resolution (and its error contract:
+    # FileNotFoundError for unknown snapshots, not a bare StopIteration)
+    snap = _snapshot_meta(table, snapshot_id).snap_rec
     manifests = [_local(mf["manifest_path"], table)
                  for mf in read_avro_file(_local(snap["manifest-list"],
                                                  table))]
@@ -259,10 +293,10 @@ def _prune_iceberg_entries(df: DataFrame, spec_fields: list[dict],
         # sides parse ('2' matches '2.0'), else string-exact
         col = F.col("__pv").getItem(key)
         lit = F.lit(str(v))
-        both_num = (col.cast("double").isNotNull()
-                    & lit.cast("double").isNotNull())
+        both_num = (col.try_cast("double").isNotNull()
+                    & lit.try_cast("double").isNotNull())
         return F.when(both_num,
-                      col.cast("double") == lit.cast("double")
+                      col.try_cast("double") == lit.try_cast("double")
                       ).otherwise(col == lit)
 
     is_current = (F.coalesce(F.col("__pv").getItem("__spec_id"),
@@ -280,7 +314,8 @@ def _prune_iceberg_entries(df: DataFrame, spec_fields: list[dict],
     for c, v in equality.items():
         mn = F.get_json_object("stats", f"$.minValues.{c}")
         mx = F.get_json_object("stats", f"$.maxValues.{c}")
-        df = df.where(_stats_keep_col(mn, mx, v))
+        df = df.where(_stats_keep_col(mn, mx, v,
+                                      _str_bound_col(F.col("stats"), c)))
     return df.drop("__pv")
 
 
