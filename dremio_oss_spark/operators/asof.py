@@ -53,21 +53,28 @@ def asof_join(
         raise ValueError(f"asof_join: bad direction {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in on + [ts]]
 
-    carried = [F.col(c).alias(f"{c}{suffix}") for c in right_cols] + [
-        F.col(ts).alias(f"{ts}{suffix}")
-    ]
     out_asof = [f"{c}{suffix}" for c in right_cols] + [f"{ts}{suffix}"]
+    # the matched right row travels as ONE struct: per-column
+    # last(ignorenulls) would back-fill a legitimately-NULL right value
+    # from an OLDER right row, pairing the matched timestamp with a
+    # stale value (a torn row — DuckDB ASOF returns the matched row's
+    # NULL).  The struct itself is non-null on every right row, so the
+    # fill picks the whole matched row atomically.
+    carried = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts).alias(f"{ts}{suffix}"))
     # backward: right first at equal ts so CURRENT ROW sees it (>=);
     # forward: left first so the following-frame scan sees an equal-ts right.
     rtag, ltag = (0, 1) if direction == "backward" else (1, 0)
     r = right.select(
-        *on, F.col(ts), F.lit(rtag).alias("_tag"), *carried,
+        *on, F.col(ts), F.lit(rtag).alias("_tag"),
+        carried.alias("__asof"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on + [ts]],
     )
     l = left.select(
         *on, F.col(ts), F.lit(ltag).alias("_tag"),
-        *[F.lit(None).cast(r.schema[a].dataType).alias(a) for a in out_asof],
+        F.lit(None).cast(r.schema["__asof"].dataType).alias("__asof"),
         *[F.col(c) for c in left.columns if c not in on + [ts]],
     )
     u = r.unionByName(l)
@@ -75,14 +82,17 @@ def asof_join(
     w = Window.partitionBy(*on).orderBy(ts, "_tag")
     if direction == "backward":
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        fill = lambda c: F.last(c, ignorenulls=True).over(frame)  # noqa: E731
+        fill = F.last("__asof", ignorenulls=True).over(frame)
     else:
         frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        fill = lambda c: F.first(c, ignorenulls=True).over(frame)  # noqa: E731
+        fill = F.first("__asof", ignorenulls=True).over(frame)
 
     filled = u.select(
         *on, ts, "_tag",
         *[c for c in left.columns if c not in on + [ts]],
-        *[fill(a).alias(a) for a in out_asof],
+        fill.alias("__asof"),
     )
-    return filled.where(F.col("_tag") == ltag).drop("_tag")
+    return (filled.where(F.col("_tag") == ltag)
+            .select(*on, ts,
+                    *[c for c in left.columns if c not in on + [ts]],
+                    *[F.col(f"__asof.{a}").alias(a) for a in out_asof]))

@@ -79,28 +79,16 @@ def lane_sql(hexpr: str, i: int) -> str:
     return f"(({hexpr}) * {a} + {b}) % {_P_LANE}"
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams of lowercased whitespace tokens.
-
-    Guarded for short docs: Spark's sequence(0, n) produces a *descending*
-    sequence when n < 0, so docs with < k tokens must short-circuit to [].
-    """
-    toks = F.split(F.lower(text), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= k, F.array_distinct(grams)).otherwise(empty)
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: hash-groupBy on normalized content; keeps the min id as
     the canonical representative (one shuffle on the content hash —
-    scales linearly, no skew for natural text)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    scales linearly, no skew for natural text).  The fingerprint IS
+    text.fingerprint — one definition, so a doc's `fp` from
+    with_text_analysis always joins against these groups."""
+    from .text import fingerprint
+
     return (
-        df.withColumn("_fp", F.md5(norm))
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
         .groupBy("_fp")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -332,6 +320,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit_j = sign of Σ ±1 where the
     sign is bit j of the token hash. One explode + one groupBy."""
+    if bits > 60:
+        # _h64 is 15 hex chars = 60 informative bits; asking for more
+        # would silently make the top bits constant-zero, hollowing out
+        # the top band's key space (a review finding: the old bits=64
+        # config had a 12-bit band masquerading as 16)
+        raise ValueError("simhash: bits must be <= 60 (_h64 width)")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -348,12 +342,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ]
     )
     sh = None
-    for j in range(bits):
-        # bit 63 is the two's-complement sign bit: its weight is -2^63
-        # (2^63 itself overflows bigint) — required for the bits=64
-        # production configuration (see SCALE.md banding math)
-        weight = -(2**63) if j == 63 else 2**j
-        term = F.when(F.col(f"s{j}") > 0, F.lit(weight)).otherwise(F.lit(0))
+    for j in range(bits):  # bits <= 60: every weight fits in bigint
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sh = term if sh is None else sh + term
     return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
 

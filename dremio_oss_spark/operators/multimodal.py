@@ -133,13 +133,19 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64,
     """Frame sampling: one row per sampled offset (video → frames model).
     Pure Catalyst (sequence + explode + substring on binary) — the 100 TB
     path keeps frame extraction distributed and prunes via max_frames."""
+    # CEIL, not floor+1: an exact multiple of every_n_bytes must not
+    # emit a trailing empty phantom frame, and zero-length media emits
+    # zero frames
     n_frames = F.least(
         F.lit(max_frames),
-        (F.length("media") / every_n_bytes).cast("int") + 1,
+        F.ceil(F.length("media") / F.lit(every_n_bytes)).cast("int"),
     )
+    seq = F.when(n_frames > 0,
+                 F.sequence(F.lit(0), n_frames - 1)
+                 ).otherwise(F.array().cast("array<int>"))
     return df.select(
         "doc_id",
-        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_i"),
+        F.posexplode(seq).alias("frame_no", "_i"),
         F.col("media"),
     ).select(
         "doc_id",

@@ -126,7 +126,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     pre = corpus.repartition(n_part).mapInPandas(
         _score_batches, "qid long, nid long, cos_fast double"
-    )
+    ).where(F.col("qid") != F.col("nid"))
+    # explicit self-exclusion: the -inf penalty alone leaks the query
+    # row back into the top-k when a batch has fewer than k+buffer
+    # other candidates (tiny corpora) — the oracle's `qid <> nid`
     wf = Window.partitionBy("qid").orderBy(F.desc("cos_fast"), F.asc("nid"))
     survivors = (
         pre.withColumn("rk0", F.row_number().over(wf))
@@ -153,25 +156,6 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def _plane_component(plane: int, i: int) -> Column:
     """Deterministic pseudo-random plane component in [-1000, 1000]."""
     return (_h64(F.lit(f"p{plane}:{i}"), 7) % 2001 - 1000).cast("double")
-
-
-def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int = 64) -> Column:
-    """Bucket id for one hash table: sign bits of dot(vec, plane_j)."""
-    # double accumulation: bucket assignment has no cross-engine oracle
-    # (recall is measured against brute force), so fp order is fine and
-    # the fold stays inside whole-stage codegen
-    bucket = F.lit(0).cast("bigint")
-    for j in range(n_planes):
-        comps = F.array(
-            *[_plane_component(table * n_planes + j, i) for i in range(dim)]
-        )
-        d = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bucket
 
 
 def _plane_matrix(n_tables: int, n_planes: int, dim: int):

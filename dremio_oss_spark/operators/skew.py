@@ -39,7 +39,12 @@ def salted_agg(
     phase1_aggs = []
     for out, (kind, col) in measures.items():
         if kind == "count":
-            phase1_aggs.append(F.count(F.lit(1)).alias(out))
+            # count('*') counts rows; count(col) is NULL-AWARE — the
+            # partial must honor the named column or count(nullable)
+            # silently becomes count(*)
+            phase1_aggs.append(
+                (F.count(F.lit(1)) if col in ("*", None)
+                 else F.count(F.col(col))).alias(out))
         else:
             phase1_aggs.append(getattr(F, kind)(col).alias(out))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_aggs)

@@ -24,8 +24,11 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (lowercased)."""
-    return F.split(F.lower(col), r"\s+")
+    """Whitespace tokenization (lowercased).  Trims first: split() emits
+    EMPTY tokens for leading/trailing whitespace, which would inflate
+    every token-count-derived metric (mean word length, stopword ratio,
+    language score) for whitespace-padded docs."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
 
 
 def token_count(col: Column) -> Column:
@@ -250,7 +253,9 @@ def repetition_features(
         top_frac.alias("top_word_frac"),
         dup_gram.alias("dup_kgram_ratio"),
         (
-            (top_frac <= 0.2) & (dup_gram <= 0.5)
+            # all three Gopher-style repetition signals gate the verdict
+            # (a review finding: dup_word_ratio was computed but ignored)
+            (dup_word <= 0.7) & (top_frac <= 0.2) & (dup_gram <= 0.5)
         ).alias("keep"),
     )
 
@@ -267,7 +272,11 @@ def pii_redact(col: Column) -> list[Column]:
     column expressions (no UDFs): counting via regexp_count, redaction by
     chained regexp_replace with disjoint placeholder tokens.  Email is
     replaced first so its dotted domain can't be half-claimed by the IP
-    pattern."""
+    pattern.  Counts are DETECTIONS ON THE RAW TEXT (each pattern counted
+    independently); redaction is sequential, so a phone/IP-shaped
+    substring INSIDE an email counts once under both patterns but is
+    redacted once as <EMAIL> — the counts answer "what did we find",
+    not "how many placeholders are in the output"."""
     red = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
     red = F.regexp_replace(red, PII_IPV4, "<IP>")

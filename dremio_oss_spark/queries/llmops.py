@@ -741,7 +741,8 @@ select ws.doc_id, ws.n_words,
        round(ws.top_word_count / ws.n_words, 6) as top_word_frac,
        round(coalesce(1 - ts.n_distinct_kgrams / ts.n_kgrams, 0.0), 6)
          as dup_kgram_ratio,
-       (round(ws.top_word_count / ws.n_words, 6) <= 0.2 and
+       (round(1 - ws.n_distinct_words / ws.n_words, 6) <= 0.7 and
+        round(ws.top_word_count / ws.n_words, 6) <= 0.2 and
         round(coalesce(1 - ts.n_distinct_kgrams / ts.n_kgrams, 0.0), 6) <= 0.5)
          as keep
 from ws left join ts on ws.doc_id = ts.doc_id

@@ -90,7 +90,7 @@ with m as (
   select doc_id, octet_length(encode(text)) as n from documents
   where doc_id <= 500
 ), fr as (
-  select doc_id, n, unnest(range(0, least(8, n // 64 + 1))) as frame_no
+  select doc_id, n, unnest(range(0, least(8, (n + 63) // 64))) as frame_no
   from m
 )
 select doc_id,
@@ -147,7 +147,7 @@ with m as (
 ), f2 as (
   select doc_id, frame_no, cast(frame_no * 40 as bigint) as ts
   from (select doc_id,
-               unnest(range(0, least(8, n // 64 + 1))) as frame_no
+               unnest(range(0, least(8, (n + 63) // 64))) as frame_no
         from m)
 ), s2 as (
   select doc_id, seg_no, cast(seg_no * 100 as bigint) as ts

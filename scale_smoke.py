@@ -262,12 +262,12 @@ def main() -> None:
     ops = {
         "exact_dedup": lambda d, v: D.exact_dedup(d),
         "minhash_lsh": lambda d, v: D.minhash_lsh_dedup(d),
-        # production banding config: 64-bit signatures give 16-bit band
+        # production banding config: 60-bit signatures give 15-bit band
         # keys at max_hamming=3 (the fixture queries use the oracle's
         # 16-bit config, whose 2^4..2^6-key bands only suit small
         # corpora — SCALE.md documents the knob)
-        "simhash_pairs_64bit": lambda d, v: D.simhash_near_pairs(
-            D.simhash(d, bits=64), max_hamming=3, bits=64),
+        "simhash_pairs_60bit": lambda d, v: D.simhash_near_pairs(
+            D.simhash(d, bits=60), max_hamming=3, bits=60),
         "text_analysis": lambda d, v: T.with_text_analysis(d, "text"),
         "vocab_top50": lambda d, v: (
             d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
