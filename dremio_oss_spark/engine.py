@@ -399,7 +399,16 @@ class Engine:
             if folder not in sp.folders:
                 raise ValueError(f"no such folder: {space}.{folder}")
         sp.vds[name] = sql
-        self.sql(sql).createOrReplaceTempView(self._flat(space, name))
+        # plan the view definition WITHOUT acceleration: a substituted
+        # result would pin the temp view to the reflection's CURRENT
+        # materialization files, which the next refresh deletes from
+        # under it (views store SQL, not materialization snapshots)
+        self._accel_disabled = getattr(self, "_accel_disabled", 0) + 1
+        try:
+            df = self.sql(sql)
+        finally:
+            self._accel_disabled -= 1
+        df.createOrReplaceTempView(self._flat(space, name))
 
     def drop_vds(self, space: str, name: str) -> None:
         self.spaces[space].vds.pop(name, None)
@@ -428,7 +437,13 @@ class Engine:
             if first in self.spaces:  # space.folder….view resolves whole
                 return self.spark.table(self._flat(first, rest))
             space, name = fqname.rsplit(".", 1)
-            return self.spark.table(self._flat(space, name))
+            try:
+                return self.spark.table(self._flat(space, name))
+            except Exception:  # noqa: BLE001 — not a flattened VDS name
+                # a CATALOG-qualified name (db.tbl) resolves natively;
+                # mangling it to db__tbl made Hive/catalog tables
+                # unreachable through the facade
+                return self.spark.table(fqname)
         # USE <space> context: bare names resolve inside the current space
         if (
             self._current_space
@@ -944,8 +959,18 @@ class Engine:
                 raise ValueError(
                     f"{name} expects {len(params)} args, got {len(args)}"
                 )
+            # two-phase substitution: parameters first swap to opaque
+            # placeholders, THEN placeholders swap to arguments — a
+            # sequential pass re-substituted an argument that happened
+            # to equal a LATER parameter name (f(y, 2) with params
+            # (x, y) clobbered the y argument).  Lambda replacements
+            # keep backslashes in arguments literal.
+            ph = {p: f"\x00tparam{i}\x00" for i, p in enumerate(params)}
+            for p in params:
+                body = re.sub(rf"\b{re.escape(p)}\b",
+                              lambda _m, t=ph[p]: t, body)
             for p, a in zip(params, args):
-                body = re.sub(rf"\b{re.escape(p)}\b", a, body)
+                body = body.replace(ph[p], a)
             return f"({body})"
 
         return re.sub(r"table\(\s*(\w+)\s*\(([^()]*)\)\s*\)", repl, query, flags=re.I)
@@ -1386,6 +1411,9 @@ class Engine:
         if schema in self.spaces:
             self._current_space = schema
             return
+        # switching to a NATIVE database leaves the space context —
+        # stale space VDSs must not keep shadowing bare names
+        self._current_space = None
         self.spark.catalog.setCurrentDatabase(schema)
 
     def explain(self, query: str, mode: str = "formatted") -> str:
@@ -1998,6 +2026,8 @@ class Engine:
         `last_plan_accelerated` records the reflection used (None when
         not accelerated)."""
         self.last_plan_accelerated = None
+        if getattr(self, "_accel_disabled", 0):
+            return None  # view-definition planning must not substitute
         store = getattr(self, "_refl_store", None)
         if store is None or not (store._reflections or store._raw):
             return None
@@ -2023,15 +2053,14 @@ class Engine:
         dims = [d.strip() for d in gb.split(",")]
         if not all(re.fullmatch(r"\w+", d) for d in dims):
             return None
-        aliases: dict[str, str] = {}
         measures: list[Measure] = []
-        out_cols: list[str] = []
+        out_specs: list[tuple] = []  # ('dim', col) | ('measure', m, alias)
         for item in _split_top_level(sel, ","):
             item = item.strip()
             if re.fullmatch(r"\w+", item):
                 if item not in dims:
                     return None
-                out_cols.append(item)
+                out_specs.append(("dim", item))
                 continue
             am = re.fullmatch(
                 r"(sum|count|min|max)\s*\(\s*(\*|\w+)\s*\)"
@@ -2043,9 +2072,7 @@ class Engine:
                 return None
             meas = Measure(kind, col)
             measures.append(meas)
-            alias = am.group(3) or item
-            aliases[meas.name] = alias
-            out_cols.append(alias)
+            out_specs.append(("measure", meas, am.group(3) or item))
         filters: tuple[str, ...] = ()
         if where:
             parts = [p.strip()
@@ -2060,22 +2087,30 @@ class Engine:
             # policied tables never accelerate (a materialization built
             # before the policy would leak unmasked/unfiltered rows)
             return None
-        q = AggQuery(table=table, dims=tuple(dims),
-                     measures=tuple(measures), filters=filters)
-        refl = store.find_match(q)
-        if refl is None:
+        # fail-safe like the plan-tree path: any unexpected matching or
+        # execution error falls through to normal planning
+        try:
+            q = AggQuery(table=table, dims=tuple(dims),
+                         measures=tuple(measures), filters=filters)
+            refl = store.find_match(q)
+            if refl is None:
+                return None
+            df, substituted = store.execute(q, base=None)
+            if not substituted:
+                return None
+            # select by SPEC, not by rename: `sum(x) as a, sum(x) as b`
+            # is one rollup column projected twice — renames collide
+            df = df.select(*[
+                F.col(s[1]) if s[0] == "dim"
+                else F.col(s[1].name).alias(s[2])
+                for s in out_specs])
+            if ob:
+                df = df.orderBy(*[c.strip() for c in ob.split(",")])
+            self.last_plan_accelerated = refl.name
+            return df
+        except Exception:  # noqa: BLE001 — plan normally instead
+            self.last_plan_accelerated = None
             return None
-        df, substituted = store.execute(q, base=None)
-        if not substituted:
-            return None
-        for mname, alias in aliases.items():
-            if alias != mname:
-                df = df.withColumnRenamed(mname, alias)
-        df = df.select(*out_cols)
-        if ob:
-            df = df.orderBy(*[c.strip() for c in ob.split(",")])
-        self.last_plan_accelerated = refl.name
-        return df
 
     def _plan_tree_accelerate(self, query: str) -> DataFrame | None:
         """Tree-level substitution: analyze the SQL through Spark (views
@@ -2085,6 +2120,15 @@ class Engine:
         Spark executes commands (INSERT/CTAS) eagerly on `sql()`, and a
         probe must never have side effects."""
         if not re.match(r"\s*(select|with)\b", query, re.I):
+            return None
+        if re.search(r"\b(insert\s+into|create\s+(or\s+replace\s+)?table|"
+                     r"replace\s+table|merge\s+into|delete\s+from)\b",
+                     query, re.I):
+            # WITH ... INSERT INTO is a COMMAND: spark.sql() executes it
+            # eagerly at probe time, so analyzing it here would apply
+            # the DML twice.  Skipping acceleration for any query whose
+            # text contains a command keyword is sound (it just plans
+            # normally) — a probe must never have side effects.
             return None
         from .plans.substitution import (extract_agg_query,
                                          extract_scan_query,
@@ -2439,7 +2483,14 @@ class Engine:
                     self.spark, path,
                     {c: v for c, v in bindings.items() if c in cols},
                     snapshot_id=version)
-            view = f"__lake_{abs(hash((path, version))) % 10**8}"
+            # the view embeds a file set PRUNED for THIS query's
+            # bindings — keying the name by (path, version) alone let a
+            # concurrent query's re-registration swap a differently
+            # pruned set under this one (REST/Flight serve concurrently)
+            view = "__lake_" + str(abs(hash(
+                (path, version,
+                 tuple(sorted((k, str(v))
+                       for k, v in bindings.items()))))) % 10**8)
             df.createOrReplaceTempView(view)
             return f"{kw} {view}"
 
@@ -2655,6 +2706,32 @@ class Engine:
                 ]
                 return self.spark.createDataFrame(
                     rows, "aspect string, detail string")
+        # other MUTATING statements: describe without EXECUTING — the
+        # fallback explain() runs self.sql(), which applies DML/DDL for
+        # real (a review finding: EXPLAIN PLAN FOR INSERT inserted)
+        m = re.match(
+            r"\s*(insert\s+into|create\s+table|copy\s+into|"
+            r"rollback\s+table|optimize\s+table|vacuum)\b"
+            r"[^']*'([^']+)'(.*)$", stmt, re.I | re.S)
+        if m:
+            verb, path = m.group(1).upper().split()[0], m.group(2)
+            rows = [("action", f"{verb} (dry-run: nothing committed)"),
+                    ("target", path),
+                    ("format", self._lake_format(path) or "path")]
+            sel = re.search(r"\b(select\b.+)$", stmt, re.I | re.S)
+            if sel:  # the data-producing half plans read-only
+                rows.append(("source_plan",
+                             self.explain(sel.group(1))[:4000]))
+            return self.spark.createDataFrame(
+                rows, "aspect string, detail string")
+        if re.match(r"\s*(insert|create|drop|alter|merge|delete|update|"
+                    r"copy|rollback|optimize|vacuum|grant|revoke)\b",
+                    stmt, re.I):
+            return self.spark.createDataFrame(
+                [("action", "dry-run: statement recognized as DDL/DML; "
+                            "nothing committed"),
+                 ("statement", stmt[:4000])],
+                "aspect string, detail string")
         return self.spark.createDataFrame(
             [("plan", self.explain(stmt))], "aspect string, detail string")
 

@@ -141,7 +141,15 @@ def stream_upsert_delta(stream: DataFrame, table: str, keys: list[str],
     n_batches = {"n": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(*keys).orderBy(*keys)
+        # DETERMINISTIC survivor per key: ordering by the keys alone
+        # ties every row in the group, so a crash-replayed batch could
+        # elect a DIFFERENT row and re-merge different values.  Ordering
+        # by the serialized remainder of the row breaks ties stably
+        # (same rows -> same survivor on every execution).
+        rest = [c for c in batch_df.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(
+            *([F.to_json(F.struct(*rest)).desc()] if rest else
+              [F.lit(1)]))
         uniq = (batch_df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1).drop("__rn"))
         if is_delta_table(table):

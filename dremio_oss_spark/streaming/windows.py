@@ -38,11 +38,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _allow_nanos(spark)  # events stores TIMESTAMP(NANOS); runtime conf
     path = os.path.join(sf_dir, "events.parquet")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # tag by the FULL absolute path, not the basename: /a/sf1 and /b/sf1
+    # must not share a staging dir (the second caller would silently
+    # stream the first's data)
+    import hashlib
+
+    ap = os.path.abspath(sf_dir)
+    tag = (re.sub(r"\W", "_", os.path.basename(ap))
+           + "-" + hashlib.md5(ap.encode()).hexdigest()[:8])
     stage = os.path.join(repo_root, ".scratch", f"events_stream-{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists: a DANGLING symlink fails os.path.exists and then
+    # os.symlink raises FileExistsError; also re-point a stale link
+    if os.path.lexists(link) and os.path.realpath(link) != \
+            os.path.realpath(path):
+        os.remove(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stage)

@@ -1114,3 +1114,104 @@ def test_policied_tables_never_accelerate(spark):
     assert eng.last_plan_accelerated == "cust_seg"
     assert again == all_rows
     eng._default_refl_store().drop("cust_seg")
+
+
+def test_probe_never_executes_with_insert(spark, tmp_path):
+    """Review r6: a WITH...INSERT command must execute exactly ONCE —
+    the acceleration probe used to spark.sql() it eagerly (commands run
+    at sql() time), double-inserting."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    eng = Engine(spark)
+    # a registered reflection is what arms the probe
+    spark.range(5).selectExpr("id as g", "id * 1.0 as v") \
+        .createOrReplaceTempView("probe_tab")
+    eng.sql("ALTER TABLE probe_tab CREATE AGGREGATE REFLECTION r_probe "
+            "USING DIMENSIONS (g) MEASURES (v (SUM))")
+    spark.sql("drop table if exists probe_sink")
+    spark.range(3).selectExpr("id as k").write.saveAsTable("probe_sink")
+    try:
+        eng.sql("with s as (select 100 + id as k from range(2)) "
+                "insert into probe_sink select k from s")
+        assert spark.table("probe_sink").count() == 5  # 3+2, not 3+4
+    finally:
+        eng._default_refl_store().drop("r_probe")
+        spark.sql("drop table if exists probe_sink")
+
+
+def test_explain_plan_for_is_dry_run(spark, tmp_path):
+    """Review r6: EXPLAIN PLAN FOR INSERT/CTAS/ROLLBACK must commit
+    NOTHING (it used to execute the statement through the fallback)."""
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                resolve_snapshot,
+                                                write_delta)
+
+    eng = Engine(spark)
+    t = str(tmp_path / "d")
+    write_delta(spark, spark.range(4).selectExpr("id as k"), t)
+    v0 = resolve_snapshot(spark, t).version
+    out = eng.sql(f"explain plan for insert into '{t}' "
+                  "select id as k from range(10)")
+    aspects = {r.aspect: r.detail for r in out.collect()}
+    assert "dry-run" in aspects["action"].lower()
+    assert resolve_snapshot(spark, t).version == v0  # nothing committed
+    assert read_delta(spark, t).count() == 4
+    out2 = eng.sql(f"explain plan for rollback table '{t}' "
+                   "to snapshot '0'")
+    assert resolve_snapshot(spark, t).version == v0
+
+
+def test_table_resolves_catalog_qualified_names(spark):
+    """Review r6: db.tbl for a NATIVE database must resolve through the
+    facade instead of being mangled to db__tbl."""
+    from dremio_oss_spark.engine import Engine
+
+    spark.sql("create database if not exists facade_db")
+    spark.range(3).write.mode("overwrite").saveAsTable("facade_db.t3")
+    try:
+        eng = Engine(spark)
+        assert eng.table("facade_db.t3").count() == 3
+    finally:
+        spark.sql("drop table if exists facade_db.t3")
+        spark.sql("drop database if exists facade_db")
+
+
+def test_tabular_udf_arg_matching_later_param(spark):
+    """Review r6: an argument equal to a LATER parameter name must not
+    be re-substituted (f(y, 2) with params (x, y))."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.range(3).selectExpr("id as y").createOrReplaceTempView("tt_y")
+    eng.create_tabular_udf("addxy", ["x", "y"],
+                           "select x + y as s from tt_y")
+    got = sorted(r.s for r in eng.sql(
+        "select s from table(addxy(y, 2))").collect())
+    assert got == [2, 3, 4]  # column y + literal 2, NOT 2 + 2
+
+
+def test_regex_accel_duplicate_aliases(spark):
+    """Review r6: the regex fallback must survive `sum(x) as a,
+    sum(x) as b` (one rollup column projected twice) without erroring
+    the query."""
+    from dremio_oss_spark.engine import Engine
+
+    spark.range(20).selectExpr("id % 3 as g", "id * 1.0 as v") \
+        .createOrReplaceTempView("dup_tab")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE dup_tab CREATE AGGREGATE REFLECTION r_dup "
+            "USING DIMENSIONS (g) MEASURES (v (SUM))")
+    try:
+        df = eng.sql("select g, sum(v) as a, sum(v) as b from dup_tab "
+                     "group by g")
+        rows = {r.g: (float(r.a), float(r.b)) for r in df.collect()}
+        exp = {r.g: float(r.s) for r in spark.sql(
+            "select g, sum(v) as s from dup_tab group by g").collect()}
+        for g, (a, b) in rows.items():
+            assert a == b == exp[g]
+    finally:
+        eng._default_refl_store().drop("r_dup")
