@@ -128,9 +128,14 @@ class ElasticSource:
         hits = [d for d in self._indexes.get(index, [])
                 if self._matches(d, query)]
         if sort:
+            # elasticsearch's default is missing: "_last" for BOTH
+            # directions — the old tuple key put nulls first descending
             for field, direction in reversed(sort):
-                hits.sort(key=lambda d, f=field: (d.get(f) is None, d.get(f)),
-                          reverse=direction == "desc")
+                nulls = [d for d in hits if d.get(field) is None]
+                nn = [d for d in hits if d.get(field) is not None]
+                nn.sort(key=lambda d, f=field: d.get(f),
+                        reverse=direction == "desc")
+                hits = nn + nulls
         if size is not None:
             hits = hits[:size]
         if source:
@@ -215,9 +220,13 @@ def parse_lucene(q: str) -> dict:
         return tokens[pos - 1]
 
     def parse_or() -> dict:
+        # bare adjacent terms are IMPLICIT OR — query_string's default
+        # operator (treating adjacency as AND silently dropped matches
+        # relative to the elasticsearch behavior being mirrored)
         parts = [parse_and()]
-        while peek() == "OR":
-            take()
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                take()
             parts.append(parse_and())
         if len(parts) == 1:
             return parts[0]
@@ -225,9 +234,8 @@ def parse_lucene(q: str) -> dict:
 
     def parse_and() -> dict:
         parts = [parse_not()]
-        while peek() is not None and peek() not in ("OR", ")"):
-            if peek() == "AND":
-                take()
+        while peek() == "AND":
+            take()
             parts.append(parse_not())
         if len(parts) == 1:
             return parts[0]

@@ -22,9 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _expr_cols(expr: str) -> list[str]:
     """Column identifiers referenced by a simple aggregate expression
-    ('sum(x)', 'median(v)') — enough for the degrade-to-scan projection."""
+    ('sum(x)', 'median(v)') — enough for the degrade-to-scan projection.
+    String literals are stripped first so their CONTENTS are never
+    mistaken for columns (`case when status = 'F' ...` must not
+    project a column named F)."""
     import re
 
+    expr = re.sub(r"'(?:[^']|'')*'", " ", expr)
     out = []
     for tok in re.findall(r"[A-Za-z_]\w*", expr):
         if tok.lower() not in {"sum", "count", "min", "max", "avg",
@@ -118,15 +122,36 @@ class ExternalSource:
         aliases itself back to the table name so they still resolve."""
         import re
 
+        kw = {"where", "group", "order", "join", "on", "left", "right",
+              "inner", "cross", "full", "union", "limit", "having",
+              "as", "using", "and", "or", "when", "then", "select",
+              "from", "natural", "except", "intersect", "window"}
         parts = re.split(r"('(?:[^']|'')*')", sql)  # literal-aware split
         for i, seg in enumerate(parts):
             if i % 2 == 1:  # inside a quoted literal
                 continue
             for t, frag in self._jdbc_table_map.items():
+                # a user alias after the table ref (`from orders o`)
+                # must SUPPRESS the fragment's self-alias — emitting
+                # `... as orders o` double-aliases and every RDBMS
+                # rejects it.  The fragment's trailing `as <t>` is
+                # recognized and dropped when the query supplies one.
+                m_self = re.fullmatch(
+                    rf"(.*?)\s+as\s+{re.escape(t)}", frag, re.I | re.S)
+                base = m_self.group(1) if m_self else frag
+
+                def repl(m, f=frag, b=base):
+                    tail = m.group("alias")
+                    if tail and tail.lower() not in kw:
+                        return f"{b} {m.group('full_alias')}"
+                    return f + (m.group("full_alias") or "")
+
                 seg = re.sub(
-                    rf'(?<![\w./]){re.escape(t)}(?![\w.])'
-                    rf'|"{re.escape(t)}"',
-                    lambda _m, f=frag: f, seg)
+                    rf'(?:(?<![\w./]){re.escape(t)}|"{re.escape(t)}")'
+                    rf'(?![\w."])'
+                    rf'(?P<full_alias>\s+(?:as\s+)?'
+                    rf'(?P<alias>[A-Za-z_]\w*))?',
+                    repl, seg)
             parts[i] = seg
         return "".join(parts)
 

@@ -80,7 +80,16 @@ def read_hive_table(spark: SparkSession, ms: HiveMetastore, name: str,
         return spark.read.parquet(t["location"])
     kept = ms.prune(name, partition_filter)
     if not kept:
-        raise ValueError(f"no partitions of {name} survive the filter")
+        # zero surviving partitions is a normal query outcome: an EMPTY
+        # frame with the table's schema, not an error
+        any_loc = t["partitions"][0][1] if t["partitions"] else None
+        if any_loc is None:
+            raise ValueError(f"{name} has no partitions to infer a "
+                             "schema from")
+        probe = spark.read.parquet(any_loc)
+        for c in t["partition_cols"]:
+            probe = probe.withColumn(c, F.lit(None).cast("string"))
+        return probe.limit(0)
     parts: list[DataFrame] = []
     for values, location in sorted(kept, key=lambda kv: str(kv[0])):
         df = spark.read.parquet(location)

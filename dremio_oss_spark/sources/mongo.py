@@ -149,16 +149,32 @@ class MongoSource:
                 for d in docs:
                     for item in _get_path(d, path) or []:
                         nd = dict(d)
-                        nd[path] = item
+                        # set along the NESTED path (deep-copied per
+                        # level) — storing under the literal dotted key
+                        # left _get_path reading the pre-unwind list
+                        segs = path.split(".")
+                        cur = nd
+                        for sgm in segs[:-1]:
+                            cur[sgm] = dict(cur.get(sgm) or {})
+                            cur = cur[sgm]
+                        cur[segs[-1]] = item
                         nxt.append(nd)
                 docs = nxt
             elif op == "$project":
-                docs = [
-                    {k: (_get_path(d, v.lstrip("$")) if isinstance(v, str)
-                         and v.startswith("$") else _get_path(d, k))
-                     for k, v in arg.items() if v}
-                    for d in docs
-                ]
+                if all(not v for v in arg.values()):
+                    # EXCLUSION form ({'_id': 0, ...}): keep every other
+                    # field — the inclusion comprehension returned {}
+                    drop = set(arg)
+                    docs = [{k: v for k, v in d.items() if k not in drop}
+                            for d in docs]
+                else:
+                    docs = [
+                        {k: (_get_path(d, v.lstrip("$"))
+                             if isinstance(v, str) and v.startswith("$")
+                             else _get_path(d, k))
+                         for k, v in arg.items() if v}
+                        for d in docs
+                    ]
             elif op == "$group":
                 groups: dict[Any, dict] = {}
                 key_expr = arg["_id"]
@@ -208,10 +224,15 @@ class MongoSource:
                     out.append(row)
                 docs = out
             elif op == "$sort":
+                # Mongo sorts null/missing LOWEST (first ascending, last
+                # descending); the old (is None, v) key inverted that.
+                # Variable-length tuples keep None out of comparisons.
                 for field, direction in reversed(list(arg.items())):
-                    docs.sort(key=lambda d, f=field: (_get_path(d, f) is None,
-                                                      _get_path(d, f)),
-                              reverse=direction < 0)
+                    docs.sort(
+                        key=lambda d, f=field: (
+                            ((0,) if _get_path(d, f) is None
+                             else (1, _get_path(d, f)))),
+                        reverse=direction < 0)
             elif op == "$limit":
                 docs = docs[:arg]
             else:

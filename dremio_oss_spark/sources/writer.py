@@ -81,11 +81,17 @@ def copy_into(
             mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
         )
     src = FormatRegistry(spark).read(source_glob, fmt, schema=schema, **reader_opts)
+    # _src_file must attach BEFORE any cache(): input_file_name() over an
+    # InMemoryRelation returns '' — with dedup on, that poisoned the
+    # ledger with a single '' entry and every later COPY INTO anti-joined
+    # ALL rows away (silent data loss on the continue path)
+    src = src.withColumn("_src_file", F.input_file_name())
+    cached = None
     if continue_mode:
         # Spark disallows querying only the corrupt-record column of a raw
         # CSV/JSON scan; cache materializes the parse once (documented
         # workaround) — and the load reads the same cache, so no re-parse
-        src = src.cache()
+        cached = src = src.cache()
         rejects = src.where(F.col(corrupt_col).isNotNull()).select(
             F.col(corrupt_col).alias("raw_record")
         )
@@ -93,7 +99,6 @@ def copy_into(
         if n_rej:
             rejects.write.mode("append").parquet(os.path.join(target, "_rejects"))
         src = src.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    src = src.withColumn("_src_file", F.input_file_name())
 
     ledger_path = os.path.join(target, LEDGER_DIR)
     if dedup and os.path.exists(ledger_path):
@@ -104,16 +109,24 @@ def copy_into(
             "left_anti",
         )
 
-    files = [r[0] for r in src.select("_src_file").distinct().collect()]
-    if not files:
-        return 0
-    rows = src.drop("_src_file")
-    n = rows.count()
-    rows.write.mode("append").parquet(target)
-    spark.createDataFrame([(f,) for f in files], "file_name string").write.mode(
-        "append"
-    ).parquet(ledger_path)
-    return n
+    try:
+        files = [r[0] for r in src.select("_src_file").distinct().collect()]
+        if not files:
+            return 0
+        rows = src.drop("_src_file")
+        if cached is None:
+            # count + write would scan/parse the source twice; one
+            # materialized pass serves both
+            cached = rows = rows.cache()
+        n = rows.count()
+        rows.write.mode("append").parquet(target)
+        spark.createDataFrame(
+            [(f,) for f in files], "file_name string"
+        ).write.mode("append").parquet(ledger_path)
+        return n
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -85,9 +85,10 @@ def test_lucene_parser_to_dsl():
     got = parse_lucene("NOT lang:fr AND lang:en")
     assert got["bool"]["must"][0] == {
         "bool": {"must_not": [{"match": {"lang": "fr"}}]}}
-    # implicit AND between adjacent clauses, parens grouping
+    # implicit OR between adjacent clauses (query_string's default
+    # operator), parens grouping
     got = parse_lucene("(a:1 OR a:2) b:3")
-    assert got == {"bool": {"must": [
+    assert got == {"bool": {"should": [
         {"bool": {"should": [{"match": {"a": "1"}}, {"match": {"a": "2"}}]}},
         {"match": {"b": "3"}},
     ]}}
@@ -148,5 +149,8 @@ def test_hive_metastore_pruning(spark, tmp_path):
                            partition_filter=lambda pv: pv["k"] == "a")
     assert (ms.last_scanned, ms.last_pruned) == (1, 2)
     assert {r["k"] for r in df_a.collect()} == {"a"}
-    with pytest.raises(ValueError):
-        read_hive_table(spark, ms, "t", partition_filter=lambda pv: False)
+    # zero surviving partitions is a normal outcome: EMPTY frame with
+    # the table's schema (a filter matching nothing must not error)
+    df_none = read_hive_table(spark, ms, "t",
+                              partition_filter=lambda pv: False)
+    assert df_none.count() == 0 and "k" in df_none.columns
