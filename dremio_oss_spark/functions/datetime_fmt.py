@@ -67,12 +67,11 @@ def dremio_to_spark_format(fmt: str) -> str:
                     matched = True
                     break
             if not matched:
-                # unrecognized letter run -> literal
-                j = i
-                while j < n and fmt[j].isalpha():
-                    j += 1
-                out.append("'" + fmt[i:j] + "'")
-                i = j
+                # single unrecognized LETTER -> literal (Dremio resumes
+                # token matching on the next char; swallowing the whole
+                # run ate valid tokens, e.g. the HH24 in ...DDTHH24:MI)
+                out.append("'" + ch + "'")
+                i += 1
             continue
         out.append(ch)
         i += 1

@@ -318,7 +318,10 @@ _SQL_FUNCTIONS: dict[str, str] = {
         "is not null"
     ),
     "yearweek": (
-        "(d DATE) RETURNS INT RETURN year(d) * 100 + weekofyear(d)"
+        # the ISO WEEK pairs with the ISO week-YEAR: Jan 1 2021 is week
+        # 53 OF 2020, so year(d)*100 + week gave 202153 (no such week)
+        "(d DATE) RETURNS INT RETURN "
+        "extract(YEAROFWEEK FROM d) * 100 + weekofyear(d)"
     ),
     # MapFunctions.java last_matching_map_entry_for_key: the entry for a
     # key, as the (key, value) struct the reference yields, null if absent
@@ -590,7 +593,12 @@ def register_all(spark: SparkSession, names=None) -> None:
     references. Idempotent per (session, name): repeat calls (every query
     fn calls this defensively) re-issue nothing.
     """
-    done = _REGISTERED.setdefault(id(spark), set())
+    # keyed ON the session object (id() of a GC'd session can be
+    # recycled for a new one, silently skipping registration there)
+    try:
+        done = spark.__dict__.setdefault("_dremio_shims_done", set())
+    except (AttributeError, TypeError):  # pragma: no cover — frozen obj
+        done = _REGISTERED.setdefault(id(spark), set())
     want = set(_SQL_FUNCTIONS) if names is None else (
         {n for n in names if n in _SQL_FUNCTIONS}
     )

@@ -31,7 +31,7 @@ class FormatRegistry:
             "csv": self._read_delimited(","),
             "tsv": self._read_delimited("\t"),
             "psv": self._read_delimited("|"),
-            "txt": self._read_delimited("\n"),
+            "txt": self._read_text,
             "orc": self._read_spark("orc"),
             "arrow": self._read_arrow,
             "xlsx": self._read_excel,
@@ -73,6 +73,22 @@ class FormatRegistry:
 
         return _r
 
+    def _read_text(self, path: str, schema: str | None = None,
+                   **opts) -> DataFrame:
+        """Line-per-row text: EVERY line is a row (the reference's txt
+        format) — the delimited reader's header=true default silently
+        consumed the first line as a column name."""
+        df = self.spark.read.options(**opts).text(path)
+        if schema:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import StructType
+
+            target = StructType.fromDDL(schema)
+            df = df.select(*[
+                F.col("value").cast(f.dataType).alias(f.name)
+                for f in target.fields[:1]])
+        return df
+
     def _read_excel(self, path: str, schema: str | None = None, **opts) -> DataFrame:
         """Excel (ExcelRecordReader.java, `exec/store/easy/excel/`).
 
@@ -98,8 +114,17 @@ class FormatRegistry:
         data = [
             tuple((r + [None] * width)[:width]) for r in rows[1:]
         ]
+        def _cell(v):
+            if v is None:
+                return None
+            if isinstance(v, float) and v.is_integer():
+                # "1.0" fails cast(... as int) under ANSI; integral
+                # numerics render as integers so user schemas cast
+                return str(int(v))
+            return str(v)
+
         sdf = self.spark.createDataFrame(
-            [tuple(str(v) if v is not None else None for v in r) for r in data],
+            [tuple(_cell(v) for v in r) for r in data],
             ", ".join(f"`{h}` string" for h in header),
         )
         if schema:
@@ -145,13 +170,35 @@ def _parse_xlsx(path: str, sheet: str | None = None) -> list[list]:
             n for n in names
             if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
         )
+        # resolve through the r:id RELATIONSHIPS (the spec's mapping):
+        # sorting filenames breaks at 10+ sheets (sheet10 < sheet2) and
+        # whenever sheets were reordered/deleted in Excel
+        RNS = ("{http://schemas.openxmlformats.org/officeDocument/"
+               "2006/relationships}")
+        rid_to_file: dict[str, str] = {}
+        rels_name = "xl/_rels/workbook.xml.rels"
+        if rels_name in names:
+            for rel in ET.fromstring(z.read(rels_name)):
+                tgt = rel.get("Target") or ""
+                rid_to_file[rel.get("Id")] = (
+                    "xl/" + tgt.lstrip("/") if not tgt.startswith("xl/")
+                    else tgt)
         target = sheet_files[0]
-        if sheet is not None:  # resolve by sheet name via workbook.xml
-            wb = ET.fromstring(z.read("xl/workbook.xml"))
-            for i, sh in enumerate(wb.iter(f"{NS}sheet")):
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        ordered = list(wb.iter(f"{NS}sheet"))
+        if ordered:
+            first = rid_to_file.get(ordered[0].get(f"{RNS}id"))
+            if first in names:
+                target = first
+        if sheet is not None:  # resolve by sheet name
+            for i, sh in enumerate(ordered):
                 if sh.get("name") == sheet:
-                    target = sheet_files[i]
+                    cand = rid_to_file.get(sh.get(f"{RNS}id"))
+                    target = (cand if cand in names
+                              else sheet_files[i])
                     break
+            else:
+                raise ValueError(f"no sheet named {sheet!r} in {path}")
         root = ET.fromstring(z.read(target))
         out: list[list] = []
         for row in root.iter(f"{NS}row"):
@@ -177,7 +224,11 @@ def _parse_xlsx(path: str, sheet: str | None = None) -> list[list]:
                 elif t == "b" and v_el is not None:
                     vals.append(v_el.text == "1")
                 elif v_el is not None and v_el.text is not None:
-                    vals.append(float(v_el.text) if t in ("n", "str") else v_el.text)
+                    # t="str" is the CACHED STRING FORMULA RESULT type
+                    # (OOXML 18.18.11) — float()ing it crashed on any
+                    # text-producing formula
+                    vals.append(float(v_el.text) if t == "n"
+                                else v_el.text)
                 else:
                     vals.append(None)
             out.append(vals)

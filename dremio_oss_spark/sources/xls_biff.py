@@ -58,7 +58,7 @@ def _read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     difat = list(struct.unpack_from("<109I", data, 76))
     s = difat_start
     for _ in range(n_difat):
-        pos = 512 + s * sect_size
+        pos = (s + 1) * sect_size  # v3 and v4 sector addressing
         entries = struct.unpack_from(f"<{sect_size // 4}I", data, pos)
         difat += entries[:-1]
         s = entries[-1]
@@ -66,10 +66,10 @@ def _read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
     for fs in difat:
         if fs in (_FREESECT, _ENDOFCHAIN):
             continue
-        pos = 512 + fs * sect_size
+        pos = (fs + 1) * sect_size
         fat += struct.unpack_from(f"<{sect_size // 4}I", data, pos)
 
-    directory = _chain(data, fat, dir_start, sect_size, 512)
+    directory = _chain(data, fat, dir_start, sect_size, sect_size)
     root_start = root_size = None
     target = None
     for off in range(0, len(directory), 128):
@@ -90,18 +90,22 @@ def _read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
         raise ValueError(f"no stream named {names} in compound file")
     start, size = target
     if size >= mini_cutoff:
-        return _chain(data, fat, start, sect_size, 512)[:size]
+        return _chain(data, fat, start, sect_size, sect_size)[:size]
     # small stream: bytes live in the ROOT entry's mini-stream,
     # chained through the miniFAT in 64-byte mini sectors
-    minifat_raw = _chain(data, fat, minifat_start, sect_size, 512)
+    minifat_raw = _chain(data, fat, minifat_start, sect_size, sect_size)
     minifat = list(struct.unpack_from(
         f"<{len(minifat_raw) // 4}I", minifat_raw))
-    container = _chain(data, fat, root_start, sect_size, 512)[:root_size]
+    container = _chain(data, fat, root_start, sect_size, sect_size)[:root_size]
     out = bytearray()
     s = start
+    seen = 0
     while s != _ENDOFCHAIN and s != _FREESECT:
         out += container[s * mini_size:(s + 1) * mini_size]
         s = minifat[s]
+        seen += 1
+        if seen > len(minifat) + 1:  # corrupt/crafted miniFAT
+            raise ValueError("cyclic miniFAT chain")
     return bytes(out[:size])
 
 
@@ -258,7 +262,9 @@ def read_xls_rows(path: str, sheet: str | None = None) -> list[list]:
         raise ValueError(f"no worksheets in {path}")
     target = sheets[0]
     if sheet is not None:
-        target = next((s for s in sheets if s[1] == sheet), None) or target
+        target = next((s for s in sheets if s[1] == sheet), None)
+        if target is None:  # silent first-sheet fallback hid typos
+            raise ValueError(f"no sheet named {sheet!r} in {path}")
 
     cells: dict[tuple[int, int], object] = {}
     for op, rec in _Records(wb, target[0]):

@@ -143,3 +143,21 @@ def test_convert_from_be_length_guard(spark):
         spark.sql(
             "select convert_from_bigint_be(unhex('0000002A'))"
         ).collect()
+
+
+def test_datetime_fmt_and_yearweek_review_fixes(spark):
+    """Review r6: an unrecognized literal letter must not swallow the
+    following tokens (DDTHH24 keeps its hour token), and YEARWEEK pairs
+    the ISO week with the ISO week-YEAR at year boundaries."""
+    from dremio_oss_spark.functions.datetime_fmt import (
+        dremio_to_spark_format)
+    from dremio_oss_spark.functions.shims import register_all
+
+    assert dremio_to_spark_format("YYYY-MM-DDTHH24:MI:SS") == \
+        "yyyy-MM-dd'T'HH:mm:ss"
+    register_all(spark, names=["yearweek"])
+    got = spark.sql(
+        "select yearweek(date'2021-01-01') as a, "
+        "yearweek(date'2019-12-30') as b, "
+        "yearweek(date'2021-06-15') as c").collect()[0]
+    assert (got.a, got.b, got.c) == (202053, 202001, 202124)
