@@ -308,22 +308,53 @@ def _dv_positions(table: str, desc: dict) -> list[int]:
     return decode_rbm_array(data)
 
 
+def _dv_rows_df(spark: SparkSession, table: str,
+                dvs: dict[str, dict]) -> DataFrame:
+    """Distributed decode of deletion vectors → (__del_base, __pos).
+
+    The driver ships only the DV *descriptors* (one small JSON row per
+    file — the same metadata the log replay already holds); each
+    executor task decodes its descriptors' roaring bitmaps into row
+    positions via mapInPandas.  On a heavily-deleted 100 TB table the
+    union of DV positions is billions of rows — decoding them into a
+    driver-side Python list (the previous shape) would OOM the driver
+    long before the join ran."""
+    import pandas as pd
+
+    desc_rows = [(os.path.basename(rel), json.dumps(desc))
+                 for rel, desc in dvs.items()]
+    desc_df = spark.createDataFrame(
+        desc_rows, "__del_base string, __desc string")
+    n_parts = min(len(desc_rows), spark.sparkContext.defaultParallelism)
+    desc_df = desc_df.repartition(max(n_parts, 1))
+
+    def decode(batches):
+        for pdf in batches:
+            for base, dj in zip(pdf["__del_base"], pdf["__desc"]):
+                pos = _dv_positions(table, json.loads(dj))
+                yield pd.DataFrame(
+                    {"__del_base": base,
+                     "__pos": pd.array(pos, dtype="int64")})
+
+    return desc_df.mapInPandas(decode, "__del_base string, __pos long")
+
+
 def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
                             table: str, snap: "DeltaSnapshot",
                             drop_identity: bool = True) -> DataFrame:
     """Merge-on-read: anti-join (file basename, row_index) pairs decoded
-    from the snapshot's deletion vectors.  The pair set is bounded by
-    rows deleted since the last OPTIMIZE — the same in-memory bound
-    every DV reader carries per task; broadcast ships it once."""
+    from the snapshot's deletion vectors.  The decode runs executor-side
+    (`_dv_rows_df`) and the anti-join carries NO broadcast hint: AQE
+    broadcasts the delete set when it is genuinely small and shuffles
+    when it is not, mirroring the reference's costed join strategy
+    (`HashJoinPrule.DIST_INSTANCE` vs `BROADCAST_INSTANCE` — a forced
+    broadcast of an unbounded side never appears there)."""
     if not snap.dvs:
         return df
-    rows = [(os.path.basename(rel), pos)
-            for rel, desc in snap.dvs.items()
-            for pos in _dv_positions(table, desc)]
-    dels = spark.createDataFrame(rows, "__del_base string, __pos long")
+    dels = _dv_rows_df(spark, table, snap.dvs)
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
-           .join(F.broadcast(dels), ["__del_base", "__pos"], "left_anti")
+           .join(dels, ["__del_base", "__pos"], "left_anti")
            .drop("__del_base"))
     return out.drop("__file", "__pos") if drop_identity else out
 
@@ -1094,6 +1125,9 @@ def delete_from_delta(spark: SparkSession, table: str, predicate: str,
     in-memory budget every DV-aware reader already carries."""
     if mode == "merge-on-read":
         return _dv_delete(spark, table, predicate)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown DELETE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(table, live.where(predicate))
@@ -1226,6 +1260,13 @@ def update_delta(spark: SparkSession, table: str,
                        changes=changes)
 
 
+# Plan-shape probe: the last MERGE rewrite join, kept so tests can
+# assert its physical strategy (broadcast only when the source is
+# small) without re-plumbing the commit path.  A bare reference — no
+# extra computation.
+_last_merge_join: DataFrame | None = None
+
+
 def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
                      on: list[str],
                      update_set: dict[str, str] | None = None,
@@ -1236,17 +1277,21 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     MERGE cardinality rule; violations would duplicate target rows).
 
     Scale shape: hit files come from ONE semi join of the target scan
-    against the (broadcastable) source key set — file-level skipping
-    exactly as DELETE/UPDATE; the rewrite is a left join of only the hit
-    files against the source; inserts are an anti join of the source
-    against the live key set.  Reference: MERGE on Iceberg tables via
-    `MergeHandler` / dremio-oss DML plans.
+    against the source key set — file-level skipping exactly as
+    DELETE/UPDATE; the rewrite is a left join of only the hit files
+    against the source; inserts are an anti join of the source against
+    the live key set.  None of the source-side joins carry a broadcast
+    hint: a small CDC batch still broadcasts (AQE costs the build side)
+    while a multi-GB backfill source shuffles instead of OOMing every
+    executor — the reference likewise costs DIST vs BROADCAST join
+    instances and never forces one (`HashJoinPrule`,
+    `PlannerPhase.java:719-725`).  Reference: MERGE on Iceberg tables
+    via `MergeHandler` / dremio-oss DML plans.
     """
     keys = source.select(*on).distinct()
     snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
-    hit_rel = _mark_hit_files(
-        table, live.join(F.broadcast(keys), on, "left_semi"))
+    hit_rel = _mark_hit_files(table, live.join(keys, on, "left_semi"))
     src_cols = [c for c in source.columns]
 
     def _apply_source(hits: DataFrame) -> tuple[DataFrame, "Column"]:
@@ -1258,7 +1303,9 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
               for c in src_cols],
             F.lit(True).alias("__s_matched"),
         )
-        joined = hits.join(F.broadcast(s), on, "left")
+        joined = hits.join(s, on, "left")
+        global _last_merge_join
+        _last_merge_join = joined
         matched = F.col("__s_matched").isNotNull()
         out_cols = []
         for c in hits.columns:
@@ -1286,7 +1333,7 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     )
     changes = None
     if _cdf_enabled(snap):
-        pre = (live.join(F.broadcast(keys), on, "left_semi")
+        pre = (live.join(keys, on, "left_semi")
                .drop("__file"))
         post = _apply_source(pre)[0]
         changes = (

@@ -370,8 +370,7 @@ def read_iceberg_changes(spark: SparkSession, table: str,
             rows = (rows.withColumn(
                         "__del_base",
                         F.element_at(F.split("__file", "/"), -1))
-                    .join(F.broadcast(dels), ["__del_base", "__pos"],
-                          "left_semi")
+                    .join(dels, ["__del_base", "__pos"], "left_semi")
                     .drop("__del_base", "__file", "__pos"))
             frames.append(_tag(rows, "delete"))
     old_eq = {rp(p) for p, _ in sfrom.deletes}
@@ -381,7 +380,7 @@ def read_iceberg_changes(spark: SparkSession, table: str,
         for p, cols in new_eq:
             keys = spark.read.parquet(p).select(*cols).distinct()
             frames.append(_tag(
-                prior.join(F.broadcast(keys), list(cols), "left_semi"),
+                prior.join(keys, list(cols), "left_semi"),
                 "delete"))
     if not frames:
         return spark.createDataFrame(
@@ -400,8 +399,13 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     (file basename, pos).  Basenames are unique across the live set
     (guarded in `_scan_with_partition_values`), encoding-stable, and
     path-prefix independent, so no realpath normalization is needed.
-    Reference: dremio-oss `DmlPositionalMergeOnReadPlanGenerator.java` —
-    the same filePath+rowIndex anti-join, here as a broadcast join."""
+    No broadcast hint on the anti-join: on a heavily-deleted 100 TB
+    table the union of position-delete rows is billions of rows, so AQE
+    must be free to shuffle it; when the delete set IS tiny AQE still
+    broadcasts.  Reference: dremio-oss
+    `DmlPositionalMergeOnReadPlanGenerator.java` — the same
+    filePath+rowIndex anti-join, with join strategy costed
+    (`HashJoinPrule` DIST vs BROADCAST), never forced."""
     if not snap.pos_deletes:
         return df
     dels = (spark.read.parquet(*snap.pos_deletes)
@@ -411,7 +415,7 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
             .distinct())
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
-           .join(F.broadcast(dels), ["__del_base", "__pos"], "left_anti")
+           .join(dels, ["__del_base", "__pos"], "left_anti")
            .drop("__del_base", "__file", "__pos"))
     return out
 
@@ -419,17 +423,19 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
                             snap: "IcebergSnapshot") -> DataFrame:
     """Merge-on-read: anti-join the data scan against each equality
-    delete file (spec content=2).  Delete files are key-only and tiny
-    relative to data, so each anti-join broadcasts.  NOTE (documented
-    deviation): without sequence numbers, deletes apply to ALL current
-    data files regardless of commit order — compact (OPTIMIZE) before
-    re-inserting a previously deleted key."""
+    delete file (spec content=2).  Delete files are key-only and
+    usually tiny relative to data — but their union is unbounded on a
+    long-lived table, so the anti-join carries no broadcast hint and
+    AQE picks broadcast only while the key set genuinely fits.  NOTE
+    (documented deviation): without sequence numbers, deletes apply to
+    ALL current data files regardless of commit order — compact
+    (OPTIMIZE) before re-inserting a previously deleted key."""
     by_cols: dict[tuple[str, ...], list[str]] = {}
     for p, cols in snap.deletes:
         by_cols.setdefault(tuple(cols), []).append(p)
     for cols, paths in by_cols.items():
         keys = spark.read.parquet(*paths).select(*cols).distinct()
-        df = df.join(F.broadcast(keys), list(cols), "left_anti")
+        df = df.join(keys, list(cols), "left_anti")
     return df
 
 
@@ -1272,6 +1278,9 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         return _commit_snapshot(table, meta, "delete", live_entries, [],
                                 part_names, stats, deletes)
 
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown DELETE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     live = _live_iceberg_with_file(spark, table)
     hit_abs = {r[0] for r in
                live.where(predicate).select("__file").distinct().collect()}
@@ -1303,18 +1312,27 @@ def update_iceberg(spark: SparkSession, table: str,
     return _cow_commit_iceberg(spark, table, "overwrite", hit_abs, rewrite)
 
 
+# Plan-shape probe: last MERGE rewrite join (see delta._last_merge_join).
+_last_merge_join: DataFrame | None = None
+
+
 def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                        on: list[str],
                        update_set: dict[str, str] | None = None,
                        insert_not_matched: bool = True) -> int:
     """MERGE INTO <iceberg table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
-    must be unique on the keys (SQL MERGE cardinality rule).  Reference:
-    MERGE on Iceberg tables (dremio-oss `MergeHandler`)."""
+    must be unique on the keys (SQL MERGE cardinality rule).  The
+    source-side joins carry no broadcast hint — AQE broadcasts a small
+    CDC batch and shuffles a multi-GB backfill, matching the reference's
+    costed DIST/BROADCAST join instances (`HashJoinPrule`,
+    `PlannerPhase.java:719-725`; a forced broadcast never appears
+    there).  Reference: MERGE on Iceberg tables (dremio-oss
+    `MergeHandler`)."""
     keys = source.select(*on).distinct()
     live = _live_iceberg_with_file(spark, table)
     hit_abs = {r[0] for r in
-               live.join(F.broadcast(keys), on, "left_semi")
+               live.join(keys, on, "left_semi")
                .select("__file").distinct().collect()}
     src_cols = list(source.columns)
 
@@ -1325,7 +1343,9 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
               for c in src_cols],
             F.lit(True).alias("__s_matched"),
         )
-        joined = hits.join(F.broadcast(s), on, "left")
+        joined = hits.join(s, on, "left")
+        global _last_merge_join
+        _last_merge_join = joined
         matched = F.col("__s_matched").isNotNull()
         out_cols = []
         for c in hits.columns:

@@ -350,3 +350,81 @@ def test_partitioned_reflection_substitution_prunes_dirs(spark, tmp_path):
     assert len(rows2) == 1
     assert abs(float(rows2[0]["sum_l_quantity"]) -
                float(base2[0]["s"])) < 1e-6
+
+
+def test_merge_source_join_is_costed_not_forced(spark, tmp_path):
+    """The MERGE rewrite join must not force-broadcast the user-supplied
+    source: a 100x CDC backfill source under a forced F.broadcast OOMs
+    every executor.  With the hint gone, Spark costs the build side —
+    a small source still plans BroadcastHashJoin, while with broadcast
+    disabled (the stand-in for "too big to broadcast") the same MERGE
+    plans a shuffle join.  Reference: join strategy is costed
+    (HashJoinPrule.DIST_INSTANCE vs BROADCAST_INSTANCE,
+    PlannerPhase.java:719-725), never forced."""
+    import inspect
+
+    from dremio_oss_spark.sources import delta as D
+    from dremio_oss_spark.sources import iceberg as I
+
+    # source-level guard: no forced broadcast anywhere in the MERGE or
+    # MOR-delete paths of either lake format
+    for fn in (D.merge_into_delta, D._apply_deletion_vectors,
+               I.merge_into_iceberg, I._apply_position_deletes,
+               I._apply_equality_deletes):
+        assert "F.broadcast" not in inspect.getsource(fn), fn.__name__
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double")
+    D.write_delta(spark, df, t)
+    src = spark.createDataFrame([(1, -1.0), (200, -2.0)],
+                                "k long, v double")
+
+    D.merge_into_delta(spark, t, src, on=["k"])
+    D._last_merge_join.collect()  # finalize the adaptive plan
+    small_plan = (D._last_merge_join._jdf.queryExecution()
+                  .executedPlan().toString())
+    assert "BroadcastHashJoin" in small_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        src2 = spark.createDataFrame([(2, -3.0), (300, -4.0)],
+                                     "k long, v double")
+        D.merge_into_delta(spark, t, src2, on=["k"])
+        D._last_merge_join.collect()
+        big_plan = (D._last_merge_join._jdf.queryExecution()
+                    .executedPlan().toString())
+        assert "BroadcastHashJoin" not in big_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    got = {r["k"]: r["v"] for r in
+           D.read_delta(spark, t).where("k in (1,2,200,300)").collect()}
+    assert got == {1: -1.0, 2: -3.0, 200: -2.0, 300: -4.0}
+
+
+def test_deletion_vector_decode_is_distributed(spark, tmp_path):
+    """Delta DV application must not materialize deleted positions on
+    the driver: the decode runs executor-side (mapInPandas over DV
+    descriptors) and the anti-join is unhinted so AQE costs it."""
+    import inspect
+
+    from dremio_oss_spark.sources import delta as D
+
+    src = inspect.getsource(D._apply_deletion_vectors)
+    assert "_dv_rows_df" in src and "F.broadcast" not in src
+    assert "mapInPandas" in inspect.getsource(D._dv_rows_df)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double")
+    D.write_delta(spark, df, t)
+    D.delete_from_delta(spark, t, "k % 10 = 3", mode="merge-on-read")
+    snap = D.resolve_snapshot(spark, t)
+    assert snap.dvs, "expected a merge-on-read deletion vector"
+    dels = D._dv_rows_df(spark, t, snap.dvs)
+    assert dels.count() == 5
+    cur = D.read_delta(spark, t)
+    assert cur.count() == 45
+    assert cur.where("k % 10 = 3").count() == 0
