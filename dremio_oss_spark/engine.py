@@ -838,9 +838,12 @@ class Engine:
 
                 joins, dim_sources = [], {}
                 for jm in re.finditer(
-                        r"([\w.]+)\s+on\s+(\w+)\s*=\s*(\w+)", join_s, re.I):
-                    dim_t, fk, dk = jm.groups()
-                    joins.append(JoinSpec(dim_t, fk, dk))
+                        r"(?:(left|inner)\s+)?([\w.]+)\s+on\s+"
+                        r"(\w+)\s*=\s*(\w+)", join_s, re.I):
+                    jt, dim_t, fk, dk = jm.groups()
+                    joins.append(JoinSpec(
+                        dim_t, fk, dk,
+                        join_type=(jt or "inner").lower()))
                     dim_sources[dim_t] = self._resolve_table(dim_t)
             store = self._default_refl_store()
             measures = []

@@ -94,11 +94,20 @@ class JoinSpec:
     Calcite matches a query join subtree against the materialized one).
     Soundness assumption, as in star-schema FK matching: the dim key is
     unique and every fact key matches (N:1 lossless), so extra dim edges
-    in the reflection never change fact-row multiplicity."""
+    in the reflection never change fact-row multiplicity.
+
+    join_type "left" declares a LEFT OUTER star edge (fact rows with no
+    dim match survive, dim columns null-extended) — the outer-join
+    materialization case of the reference's substitution
+    (SubstitutionProvider.java:40 with the outer-join normalization of
+    PlannerPhase.java:145-169).  The join type participates in edge
+    equality, so an inner query edge never matches a left reflection
+    edge or vice versa."""
 
     dim_table: str
     fact_key: str
     dim_key: str
+    join_type: str = "inner"
 
 
 @dataclass(frozen=True)
@@ -387,7 +396,9 @@ class ReflectionStore:
         df = fact
         for js in joins:
             dim = dim_sources[js.dim_table]
-            df = df.join(F.broadcast(dim), F.col(js.fact_key) == F.col(js.dim_key))
+            df = df.join(F.broadcast(dim),
+                         F.col(js.fact_key) == F.col(js.dim_key),
+                         js.join_type)
         return df
 
     def create_raw_reflection(

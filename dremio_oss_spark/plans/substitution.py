@@ -214,7 +214,8 @@ class ExtractedAgg:
     """Canonical form of one matchable aggregate query."""
 
     tables: frozenset[str]
-    edges: list[tuple[tuple[str, str], tuple[str, str]]]  # ((t,c),(t,c))
+    # (join_type, (t,c), (t,c)) — join_type "inner" | "left"
+    edges: list[tuple[str, tuple[str, str], tuple[str, str]]]
     dims: list[tuple]                    # DimKeys (see above)
     filters: tuple[str, ...]             # rendered `col op literal` strings
     # output order: (out_name, kind, payload) — kind 'dim' -> DimKey,
@@ -239,6 +240,9 @@ class ExtractedAgg:
     # a name that collides with a same-named column from a different
     # star table refuses instead of rolling up the wrong column
     qualified: dict | None = None
+    # tables null-extended by a LEFT OUTER edge — orientation must keep
+    # them on the dim (child) side of their edge
+    nullable: frozenset = frozenset()
 
     @property
     def cdistincts(self) -> tuple[str, ...]:
@@ -265,7 +269,12 @@ class _Extractor:
         self.env: dict[int, tuple[str | None, str] | None] = {}
         self.tables: list[str] = []
         self.filter_exprs: list = []
+        # (join_type, condition expr, tables on the null-extended side)
         self.edges: list = []
+        # tables null-extended by some LEFT OUTER edge — filters and
+        # further join conditions over their columns refuse (a WHERE on
+        # a nullable dim column silently turns the outer join inner)
+        self.nullable: set[str] = set()
         self.root = root
         # bare name -> query table, recorded on every resolution; two
         # query tables exposing the same bare name makes the bare-name
@@ -315,15 +324,29 @@ class _Extractor:
             self.filter_exprs.append(_expr(node["condition"]))
             return self._walk_source(*kids[0])
         if c == "Join":
-            jt = node.get("joinType", {})
-            if jt.get("object", "").rsplit(".", 1)[-1] != "Inner$":
+            jt_obj = node.get("joinType", {}).get("object", "")
+            jt = {"Inner$": "inner",
+                  "LeftOuter$": "left"}.get(jt_obj.rsplit(".", 1)[-1])
+            if jt is None:
+                # RIGHT/FULL outer refuse: the reference's substitution
+                # likewise normalizes only left-preserving stars
                 raise _Unsupported("non-inner join")
-            pend = self._walk_source(*kids[0]) | self._walk_source(*kids[1])
+            pend_l = self._walk_source(*kids[0])
+            n_mid = len(self.tables)
+            pend_r = self._walk_source(*kids[1])
+            right_tables = frozenset(self.tables[n_mid:])
+            if jt == "left":
+                if len(right_tables) != 1:
+                    # only leaf dims on the nullable side: a multi-table
+                    # nullable subtree makes edge order significant and
+                    # the unordered JoinSpec set can't express it
+                    raise _Unsupported("left join of a join subtree")
+                self.nullable |= right_tables
             cond = node.get("condition")
             if not cond:
                 raise _Unsupported("cross join")
-            self.edges.append(_expr(cond))
-            return pend
+            self.edges.append((jt, _expr(cond), right_tables))
+            return pend_l | pend_r
         raise _Unsupported(f"plan node {c}")
 
     def _resolve(self, attr_node) -> tuple[str, str]:
@@ -484,8 +507,14 @@ class _Extractor:
             return f"{res(vn)} in ({', '.join(vals)})"
         raise _Unsupported(f"predicate {c}")
 
-    def _edge(self, expr_root, out: list):
-        """Join condition: conjunction of column equalities only."""
+    def _edge(self, jt: str, expr_root, right_tables: frozenset,
+              out: list):
+        """Join condition: conjunction of column equalities only.  For a
+        LEFT edge, exactly one endpoint must live on the null-extended
+        (right) table and the other on a non-nullable table; inner-join
+        conditions over nullable columns refuse (they would implicitly
+        drop null-extended rows, which the unordered edge set cannot
+        express)."""
         for node, kids in self._iter_conj(expr_root):
             if _cls(node) != "EqualTo":
                 raise _Unsupported("non-equi join condition")
@@ -495,7 +524,18 @@ class _Extractor:
             if (_cls(ln) != "AttributeReference"
                     or _cls(rn) != "AttributeReference"):
                 raise _Unsupported("join condition on expressions")
-            out.append((self._resolve(ln), self._resolve(rn)))
+            a, b = self._resolve(ln), self._resolve(rn)
+            if jt == "left":
+                in_right = (a[0] in right_tables, b[0] in right_tables)
+                if in_right == (True, True) or in_right == (False, False):
+                    raise _Unsupported("left-join condition sides")
+                preserved = a if in_right[1] else b
+                if preserved[0] in self.nullable:
+                    raise _Unsupported("left join keyed off nullable dim")
+            else:
+                if a[0] in self.nullable or b[0] in self.nullable:
+                    raise _Unsupported("inner join over nullable dim")
+            out.append((jt, a, b))
 
     def _iter_conj(self, expr_root):
         out: list = []
@@ -651,16 +691,28 @@ class _Extractor:
             if k == "dim" and payload not in dims:
                 raise _Unsupported("non-grouped output column")
 
-        # filters
+        # filters — a predicate over a null-extended dim's columns
+        # refuses: applied post-rollup it would drop null-extended
+        # groups, but applied inside the query's own left-join subtree
+        # it would NOT drop unmatched fact rows, so the two disagree
+        def _refs(n, ks):
+            if _cls(n) == "AttributeReference":
+                yield self._resolve(n)
+            for kk in ks:
+                yield from _refs(*kk)
+
         filt: list[str] = []
         for fe in self.filter_exprs:
             for node2, kids2 in self._iter_conj(fe):
+                if any(t in self.nullable
+                       for t, _c in _refs(node2, kids2)):
+                    raise _Unsupported("filter on nullable-side column")
                 filt.append(self._render_pred(node2, kids2))
 
         # join edges
         edges: list = []
-        for e in self.edges:
-            self._edge(e, edges)
+        for jt, e, rset in self.edges:
+            self._edge(jt, e, rset, edges)
 
         # top projection renames output names / restricts columns
         by_id = {i: (n, k, p) for n, k, p, i in outputs}
@@ -721,6 +773,7 @@ class _Extractor:
         return ExtractedAgg(
             tables=frozenset(self.tables),
             edges=edges,
+            nullable=frozenset(self.nullable),
             dims=dims,
             filters=tuple(filt),
             outputs=[(n, k, p) for n, k, p, _i in outputs],
@@ -749,21 +802,26 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
     supplier → nation) — each edge becomes
     JoinSpec(child_table, parent_col, child_col).  None when the edges
     don't form a tree spanning every table from the fact."""
-    adj: dict[str, list[tuple[str, str, str]]] = {}
-    for (ta, ca), (tb, cb) in ex.edges:
-        adj.setdefault(ta, []).append((tb, ca, cb))
-        adj.setdefault(tb, []).append((ta, cb, ca))
+    adj: dict[str, list[tuple[str, str, str, str]]] = {}
+    for jt, (ta, ca), (tb, cb) in ex.edges:
+        adj.setdefault(ta, []).append((tb, ca, cb, jt))
+        adj.setdefault(tb, []).append((ta, cb, ca, jt))
     if len(ex.edges) != len(ex.tables) - 1:
         return None  # cycle or disconnected: not a join tree
+    if fact in ex.nullable:
+        return None  # a null-extended table cannot be the fact
     specs: list[JoinSpec] = []
     seen = {fact}
     frontier = [fact]
     while frontier:
         t = frontier.pop(0)
-        for other, my_col, their_col in adj.get(t, ()):
+        for other, my_col, their_col, jt in adj.get(t, ()):
             if other in seen:
                 continue
-            specs.append(JoinSpec(other, my_col, their_col))
+            if jt == "left" and other not in ex.nullable:
+                return None  # left edge oriented against preservation
+            specs.append(JoinSpec(other, my_col, their_col,
+                                  join_type=jt))
             seen.add(other)
             frontier.append(other)
     if seen != set(ex.tables):

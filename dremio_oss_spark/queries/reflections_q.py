@@ -442,6 +442,67 @@ order by l_returnflag
 """
 
 
+def transparent_leftjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER star substitution: a reflection declaring a LEFT join
+    edge (JOINS (LEFT dim ON ...)) accelerates the canonical
+    `fact LEFT JOIN dim` BI rollup — null-extended dim rows group like
+    any other dim value, so the rollup algebra is unchanged.  Mirrors
+    the reference's outer-join materialization matching
+    (SubstitutionProvider.java:40, normalization
+    PlannerPhase.java:145-169).  Soundness controls: (a) a WHERE on a
+    nullable-side column falls through (post-rollup it would drop
+    null-extended groups the query's own left join keeps); (b) an INNER
+    query join never matches the LEFT reflection edge."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE orders CREATE AGGREGATE REFLECTION t_lj "
+        "USING DIMENSIONS (c_mktsegment, o_orderpriority) "
+        "MEASURES (o_totalprice (SUM), o_orderkey (COUNT)) "
+        "JOINS (LEFT customer ON o_custkey = c_custkey)")
+    df = eng.sql(
+        "select c_mktsegment, sum(o_totalprice) as rev, "
+        "count(o_orderkey) as n "
+        "from orders left join customer on o_custkey = c_custkey "
+        "where o_orderpriority = '1-URGENT' group by c_mktsegment "
+        "order by c_mktsegment")
+    assert eng.last_plan_accelerated == "t_lj", \
+        "left-join substitution missed"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "t_lj" in plan, "not scanning the materialization"
+    # control (a): WHERE on the nullable dim side must fall through
+    eng.sql(
+        "select o_orderpriority, sum(o_totalprice) as rev "
+        "from orders left join customer on o_custkey = c_custkey "
+        "where c_mktsegment = 'BUILDING' group by o_orderpriority")
+    assert eng.last_plan_accelerated is None, \
+        "unsound left-join substitution (nullable-side filter)"
+    # control (b): an inner query join must not match the LEFT edge
+    eng.sql(
+        "select c_mktsegment, sum(o_totalprice) as rev "
+        "from orders join customer on o_custkey = c_custkey "
+        "group by c_mktsegment")
+    assert eng.last_plan_accelerated is None, \
+        "unsound left-join substitution (inner vs left edge)"
+    return df.withColumn("rev", F.col("rev").cast("double"))
+
+
+TRANSPARENT_LEFTJOIN_SQL = """
+select c_mktsegment,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as rev,
+       count(o_orderkey) as n
+from orders left join customer on o_custkey = c_custkey
+where o_orderpriority = '1-URGENT'
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
 def transparent_exprdim(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal-expression group keys through transparent substitution:
     `group by year(o_orderdate)` answers from a reflection carrying the
@@ -580,6 +641,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_raw": transparent_raw,
     "refl_transparent_cdistinct": transparent_cdistinct,
     "refl_transparent_avg": transparent_avg,
+    "refl_transparent_leftjoin": transparent_leftjoin,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
@@ -596,6 +658,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_raw": TRANSPARENT_RAW_SQL,
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
     "refl_transparent_avg": TRANSPARENT_AVG_SQL,
+    "refl_transparent_leftjoin": TRANSPARENT_LEFTJOIN_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,

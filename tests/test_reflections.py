@@ -1265,3 +1265,55 @@ def test_cast_soundness_refusals(spark):
             assert df.count() > 0, q
     finally:
         store.drop("rc")
+
+
+def test_leftjoin_star_substitution_null_extension(spark, tmp_path):
+    """LEFT OUTER star edges: a reflection declaring JOINS (LEFT dim ...)
+    must answer the fact-LEFT-JOIN-dim rollup INCLUDING the null-extended
+    group (fact keys with no dim match), and the matcher must refuse the
+    unsound variants.  Reference: outer-join materialization matching,
+    SubstitutionProvider.java:40 / PlannerPhase.java:145-169."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    fact = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(100)],
+        "fk long, dimk long, m double")           # dimk 0..6
+    dim = spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in range(5)],      # dim keys 0..4 only
+        "dk long, grp string")                     # -> dimk 5,6 unmatched
+    fact.createOrReplaceTempView("lj_fact")
+    dim.createOrReplaceTempView("lj_dim")
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lj_fact CREATE AGGREGATE REFLECTION t_ljn "
+        "USING DIMENSIONS (grp) MEASURES (m (SUM), fk (COUNT)) "
+        "JOINS (LEFT lj_dim ON dimk = dk)")
+    df = eng.sql(
+        "select grp, sum(m) as s, count(fk) as n "
+        "from lj_fact left join lj_dim on dimk = dk group by grp")
+    assert eng.last_plan_accelerated == "t_ljn"
+    got = {r["grp"]: (float(r["s"]), r["n"]) for r in df.collect()}
+    exp_df = (fact.join(dim, F.col("dimk") == F.col("dk"), "left")
+              .groupBy("grp")
+              .agg(F.sum("m").alias("s"), F.count("fk").alias("n")))
+    exp = {r["grp"]: (float(r["s"]), r["n"]) for r in exp_df.collect()}
+    assert got == exp
+    assert None in got, "null-extended group missing from the rollup"
+
+    # inner query edge must NOT match the LEFT reflection edge
+    eng.sql("select grp, sum(m) as s from lj_fact "
+            "join lj_dim on dimk = dk group by grp")
+    assert eng.last_plan_accelerated is None
+    # filter on the nullable side must fall through (and stay correct)
+    df2 = eng.sql("select grp, sum(m) as s from lj_fact "
+                  "left join lj_dim on dimk = dk "
+                  "where grp = 'g1' group by grp")
+    assert eng.last_plan_accelerated is None
+    assert df2.count() == 1
+    # RIGHT outer refuses entirely
+    eng.sql("select grp, sum(m) as s from lj_fact "
+            "right join lj_dim on dimk = dk group by grp")
+    assert eng.last_plan_accelerated is None
+    eng.sql("ALTER TABLE lj_fact DROP REFLECTION t_ljn")
