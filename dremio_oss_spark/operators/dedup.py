@@ -163,6 +163,12 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS,
     banded = signatures.select(
         "doc_id", F.explode(bands).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize the banded table once: both sides of the self-join
+    # would otherwise re-run the full signature aggregation (the
+    # expensive pass over the exploded shingle table).  The banded
+    # table is docs x n_bands rows — corpus-metadata sized, far
+    # smaller than the shingle index it derives from.
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -181,7 +187,18 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS,
 
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame,
                    threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard on candidate pairs via the inverted shingle index."""
+    """Exact Jaccard on candidate pairs via the inverted shingle index.
+
+    The index is semi-join pruned to docs that actually appear in a
+    candidate pair BEFORE the intersection join: LSH candidates are a
+    tiny fraction of the corpus, so this turns a shuffle of the full
+    corpus-sized index into a shuffle of the candidates' shingles only
+    (the semi join broadcasts the candidate-id set).  Verification cost
+    scales with candidate volume, not corpus size."""
+    cand_docs = (pairs.select(F.col("id_a").alias("doc_id"))
+                 .union(pairs.select(F.col("id_b").alias("doc_id")))
+                 .distinct())
+    shingles = shingles.join(cand_docs, "doc_id", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # join on a 64-bit hash of the shingle, not the string: same pairs
     # (collision-free at any realistic corpus), much narrower shuffle
@@ -242,6 +259,16 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     reachable in the component, which doubles as the cluster id and the
     elected canonical member.
 
+    Two execution strategies behind a session-overridable threshold
+    (`spark.dremio.dedup.clusters.driverMaxEdges`, default 2M — the
+    same switch pattern as the lake-metadata planner): below it the
+    verified pair list collects to the driver and an exact union-find
+    with path compression resolves components with zero distributed
+    rounds (the pair graph is convergence-state sized, orders of
+    magnitude smaller than the corpus); above it the distributed
+    label-propagation loop below runs, so a pair graph of billions of
+    edges never funnels through the driver.
+
     Scale shape: the loop runs ONLY over vertices that appear in the
     pair graph — an isolated document can never change label, and at
     corpus scale the pair graph is orders of magnitude smaller than the
@@ -254,13 +281,62 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     are localCheckpoint()ed per round so the loop's lineage stays flat
     (on a real cluster, prefer `checkpoint()` with a durable dir).
     Convergence is detected by the monotone label sum, one scalar agg
-    per round — no row-wise diff join.  For adversarially long chains,
-    switch the body to the alternating large-star/small-star rounds of
-    Kiveris et al. — O(log n) rounds on the same join primitive.
+    per round — no row-wise diff join.
+
+    Each round combines the neighbor-min gather with POINTER JUMPING
+    (label <- label of my label's vertex — the classic PRAM
+    shortcutting step, the same doubling that gives Kiveris et al.'s
+    large-star/small-star its O(log n) bound): remaining chain lengths
+    halve every round, so rounds = O(log diameter) instead of
+    O(diameter), and the round count — hence wall-clock — is stable
+    run-to-run.  The jump is one extra self-join of the (edge-vertex
+    sized) label table; the invariant that a vertex's label is always
+    an id inside its own component is preserved, so the fixpoint is
+    unchanged: labels constant across every edge ⇒ component minimum.
     """
     from pyspark.storagelevel import StorageLevel
 
-    pairs = minhash_lsh_dedup(df, text_col, id_col, threshold)
+    spark = df.sparkSession
+    pairs = (minhash_lsh_dedup(df, text_col, id_col, threshold)
+             .select("id_a", "id_b")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_pairs = pairs.count()
+    # Threshold switch (same pattern as the lake-metadata planner's
+    # distributedFileThreshold): a pair graph is usually orders of
+    # magnitude smaller than the corpus, and below the threshold an
+    # exact driver-side union-find with path compression resolves the
+    # components in O(E α) with ZERO distributed rounds — the collect
+    # is convergence-state sized, not corpus sized.  Above it, the
+    # distributed label-propagation loop below runs unchanged, so a
+    # 100 TB corpus whose pair graph is billions of edges never
+    # funnels through the driver.
+    driver_max = int(spark.conf.get(
+        "spark.dremio.dedup.clusters.driverMaxEdges", "2000000"))
+    if n_pairs <= driver_max:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:   # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.toLocalIterator():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # union by min: smaller id becomes the root, so the
+                # component label is the min member id — identical to
+                # the propagation fixpoint
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(i, find(i)) for i in parent]
+        pairs.unpersist()
+        idt = df.schema[id_col].dataType.simpleString()
+        labels = spark.createDataFrame(rows, f"id {idt}, label {idt}")
+        return _attach_cluster_output(df, labels, id_col)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"),
@@ -274,12 +350,13 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u").agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr, labels.id == nbr.u, "left")
             .select(
                 "id",
@@ -288,14 +365,43 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
                     F.coalesce("nbr_label", F.col("label")),
                 ).alias("label"),
             )
+        )
+        # pointer jump: adopt my label's own label (chain shortcutting)
+        parents = stepped.select(F.col("id").alias("pid"),
+                                 F.col("label").alias("plabel"))
+        labels = (
+            stepped.join(parents, stepped.label == parents.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("plabel", F.col("label")),
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         s = labels.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # max_iter is a backstop, not a tuning knob: with pointer
+        # jumping, hitting it means a component deeper than 2^max_iter
+        # — returning partially-merged clusters would silently under-
+        # deduplicate, so fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds")
     edges.unpersist()
-    # isolated docs rejoin as singleton clusters (label = own id)
+    pairs.unpersist()
+    return _attach_cluster_output(df, labels, id_col)
+
+
+def _attach_cluster_output(df: DataFrame, labels: DataFrame,
+                           id_col: str) -> DataFrame:
+    """Join resolved component labels back to the corpus: isolated docs
+    rejoin as singleton clusters (label = own id), sizes and canonical
+    election derive from the label table."""
     all_labels = (
         df.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

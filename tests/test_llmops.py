@@ -104,6 +104,45 @@ def test_dedup_clusters_transitivity(spark):
     assert got[4] == (4, 1, True)       # singleton
 
 
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    """The threshold switch (driverMaxEdges) must be a pure execution
+    choice: union-find on the collected pair list and the distributed
+    label-propagation loop must produce identical clusters.  A 12-doc
+    chain a0~a1~...~a5 (diameter 5) exercises multi-round convergence
+    on the distributed side and transitivity on both."""
+    from dremio_oss_spark.operators.dedup import dedup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3).split()
+    texts = [" ".join(base)]
+    for i in range(5):  # each drifts a bit more: chain, not clique
+        nxt = list(texts[-1].split())
+        for j in range(i * 4, i * 4 + 4):
+            nxt[j] = f"w{i}_{j}"
+        texts.append(" ".join(nxt))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(100 + i, f"unique content island {i} " * 10)
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["cluster_size"],
+             r["is_canonical"])
+            for r in dedup_clusters(docs, threshold=0.3).collect())
+
+    key = "spark.dremio.dedup.clusters.driverMaxEdges"
+    via_driver = run()                       # default: driver union-find
+    spark.conf.set(key, "0")                 # force distributed loop
+    try:
+        via_distributed = run()
+    finally:
+        spark.conf.unset(key)
+    assert via_driver == via_distributed
+    clusters = {c for _, c, s, _ in via_driver if s > 1}
+    assert clusters == {0}, "chain must collapse into one cluster"
+
+
 def test_bm25_and_split_properties(spark):
     """BM25: docs containing more query terms score higher; absent terms
     score 0. Split: hash-based assignment is stable under corpus growth."""
