@@ -219,7 +219,8 @@ class ExtractedAgg:
     dims: list[tuple]                    # DimKeys (see above)
     filters: tuple[str, ...]             # rendered `col op literal` strings
     # output order: (out_name, kind, payload) — kind 'dim' -> DimKey,
-    # kind 'measure' -> Measure, kind 'avg'/'cdistinct' -> base col
+    # kind 'measure' -> Measure, kind 'avg' -> base col, kind
+    # 'cdistinct' -> (agg kind 'count'|'sum', DimKey)
     outputs: list[tuple[str, str, object]]
     order_by: list[tuple[str, bool, bool]]  # (out_name, asc, nulls_first)
     # HAVING conjuncts rendered against INTERNAL rollup column names
@@ -245,10 +246,17 @@ class ExtractedAgg:
     nullable: frozenset = frozenset()
 
     @property
-    def cdistincts(self) -> tuple[str, ...]:
-        """Columns under COUNT(DISTINCT ...) — matched as extra dims."""
+    def cdistincts(self) -> tuple[tuple, ...]:
+        """(agg kind, DimKey) pairs under COUNT/SUM(DISTINCT ...) —
+        their base columns are matched as extra dims."""
         return tuple(dict.fromkeys(
             p for _, k, p in self.outputs if k == "cdistinct"))
+
+    @property
+    def cdistinct_base_cols(self) -> tuple[str, ...]:
+        """Base columns the reflection must carry at dim grain."""
+        return tuple(dict.fromkeys(
+            _dim_base(key) for _kind, key in self.cdistincts))
 
     @property
     def base_dims(self) -> tuple[str, ...]:
@@ -647,14 +655,21 @@ class _Extractor:
             # which refuses non-literal casts
             an, ak = fkids[0]
             if child.get("isDistinct"):
-                # COUNT(DISTINCT col): answerable from a reflection
-                # carrying col at DIM grain (distinct-count of dim
-                # values inside each group) — other distinct aggs and
-                # expressions refuse
-                if kind != "count" or _cls(an) != "AttributeReference"                         or len(fkids) != 1:
+                # COUNT(DISTINCT x) / SUM(DISTINCT x): answerable from a
+                # reflection carrying x's BASE column at DIM grain — the
+                # distinct value set inside each query group is exactly
+                # the distinct dim values of the matching rollup cells.
+                # x may be a plain column or a whitelisted temporal
+                # expression over one (count(distinct year(d)) computes
+                # from a day-grain d); other distinct aggs (AVG) and
+                # arbitrary expressions refuse.
+                if kind not in ("count", "sum") or len(fkids) != 1:
                     raise _Unsupported("distinct aggregate")
+                key = (("col",) + self._resolve(an)
+                       if _cls(an) == "AttributeReference"
+                       else self._dim_key(an, ak))
                 outputs.append((top["name"], "cdistinct",
-                                self._resolve(an)[1], _attr_id(top)))
+                                (kind, key), _attr_id(top)))
                 continue
             if kind == "avg":
                 # reduce avg(x) -> sum(x)/count(x); decimal inputs
@@ -829,10 +844,11 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
     return AggQuery(
         table=fact,
         # expression dims match on their BASE column (the reflection
-        # must carry it at day-or-finer grain); COUNT(DISTINCT col)
-        # needs col at the materialization's grain: extra dimension
+        # must carry it at day-or-finer grain); COUNT/SUM(DISTINCT x)
+        # needs x's base column at the materialization's grain: extra
+        # dimension
         dims=tuple(dict.fromkeys(
-            list(ex.base_dims) + list(ex.cdistincts))),
+            list(ex.base_dims) + list(ex.cdistinct_base_cols))),
         measures=ex.measures,
         filters=ex.filters, joins=tuple(specs))
 
@@ -881,7 +897,17 @@ def match_and_execute(store, ex: ExtractedAgg):
         if k not in internal:
             internal[k] = nm
             group_cols.append(_dim_col(k).alias(nm))
-    aggs = [F.countDistinct(c).alias(f"__cd_{c}") for c in ex.cdistincts]
+    # distinct aggs re-derive from stored dim values: COUNT(DISTINCT)
+    # via countDistinct, SUM(DISTINCT) via sum_distinct — both over the
+    # dim expression (plain column or temporal fn over a finer-grain
+    # stored column), exactly the values the base query would see
+    dd_name: dict[tuple, str] = {}
+    aggs = []
+    for j, (dkind, key) in enumerate(dict.fromkeys(ex.cdistincts)):
+        nm = f"__dd_{j}"
+        dd_name[(dkind, key)] = nm
+        fn = F.countDistinct if dkind == "count" else F.sum_distinct
+        aggs.append(fn(_dim_col(key)).alias(nm))
     aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
              for m in ex.measures]
     if aggs:
@@ -893,7 +919,7 @@ def match_and_execute(store, ex: ExtractedAgg):
     cols = []
     for out_name, kind, payload in ex.outputs:
         if kind == "cdistinct":
-            col = F.col(f"__cd_{payload}")
+            col = F.col(dd_name[payload])
         elif kind == "dim":
             col = F.col(internal[payload])
         elif kind == "avg":  # sum/count reduction, double arithmetic

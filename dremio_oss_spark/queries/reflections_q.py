@@ -442,6 +442,56 @@ order by l_returnflag
 """
 
 
+def transparent_sumdistinct(spark: SparkSession, sf: str) -> DataFrame:
+    """SUM(DISTINCT col) and COUNT(DISTINCT <temporal expr>) through
+    transparent substitution: both re-derive from a reflection storing
+    the base column at DIM grain — the distinct value set inside each
+    query group equals the distinct dim values of the matching rollup
+    cells, so sum_distinct/countDistinct over the materialization is
+    exact.  count(distinct year(d)) computes from day-grain d the same
+    way expression dims do.  Soundness controls: a distinct agg whose
+    base column the reflection lacks falls through; AVG(DISTINCT)
+    always falls through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_sd "
+        "USING DIMENSIONS (l_returnflag, l_quantity, l_shipdate) "
+        "MEASURES (l_orderkey (COUNT))")
+    df = eng.sql(
+        "select l_returnflag, sum(distinct l_quantity) as sdq, "
+        "count(distinct year(l_shipdate)) as ny, "
+        "count(l_orderkey) as n from lineitem "
+        "group by l_returnflag order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_sd", \
+        "sum-distinct substitution missed"
+    # control: base column not a reflection dim -> fall through
+    eng.sql("select l_returnflag, sum(distinct l_extendedprice) as s "
+            "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None, \
+        "unsound distinct substitution (missing dim)"
+    # control: AVG(DISTINCT) refuses
+    eng.sql("select l_returnflag, avg(distinct l_quantity) as a "
+            "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None, \
+        "unsound distinct substitution (avg distinct)"
+    return df
+
+
+TRANSPARENT_SUMDISTINCT_SQL = """
+select l_returnflag,
+       sum(distinct l_quantity) as sdq,
+       count(distinct year(l_shipdate)) as ny,
+       count(l_orderkey) as n
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 def transparent_leftjoin(spark: SparkSession, sf: str) -> DataFrame:
     """LEFT OUTER star substitution: a reflection declaring a LEFT join
     edge (JOINS (LEFT dim ON ...)) accelerates the canonical
@@ -642,6 +692,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_cdistinct": transparent_cdistinct,
     "refl_transparent_avg": transparent_avg,
     "refl_transparent_leftjoin": transparent_leftjoin,
+    "refl_transparent_sumdistinct": transparent_sumdistinct,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
@@ -659,6 +710,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,
     "refl_transparent_avg": TRANSPARENT_AVG_SQL,
     "refl_transparent_leftjoin": TRANSPARENT_LEFTJOIN_SQL,
+    "refl_transparent_sumdistinct": TRANSPARENT_SUMDISTINCT_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
