@@ -244,9 +244,53 @@ order by o_orderpriority
 """
 
 
+def jdbc_postgres_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Federated pushdown through the POSTGRES ARP dialect (the
+    reference's most common RDBMS target; declarative descriptor per
+    common/dialect/arp/ + DremioRelToSqlConverter.java): the aggregate
+    ships whole with double-quoted identifiers and stddev rendered as
+    stddev_samp, while MEDIAN — absent from PostgreSQL's plain
+    aggregates — degrades the pushdown to scan + local aggregation."""
+    from ..sources.arp import POSTGRES_DIALECT
+
+    src = ExternalSource(
+        spark, "ext_pg",
+        {"orders": os.path.join(sf, "orders.parquet")},
+        dialect=POSTGRES_DIALECT)
+    df = src.read(
+        "orders",
+        predicate="o_orderkey <= 1000",
+        aggregate=(["o_orderpriority"],
+                   {"n": "count(*)",
+                    "sd": ("cast(stddev(cast(o_totalprice as "
+                           "decimal(18,2))) as double)")}))
+    assert src.last_pushdown_level == "aggregate", src.last_pushdown_level
+    assert 'group by "o_orderpriority"' in src.last_pushed_sql
+    assert "stddev_samp(" in src.last_pushed_sql
+    # degrade control: MEDIAN stays local, scan ships
+    src.read("orders", predicate="o_orderkey <= 1000",
+             aggregate=(["o_orderpriority"],
+                        {"med": "median(o_totalprice)"}))
+    assert src.last_pushdown_level == "scan", src.last_pushdown_level
+    assert "median" not in src.last_pushed_sql
+    return df.orderBy("o_orderpriority")
+
+
+JDBC_POSTGRES_SQL = """
+select o_orderpriority, count(*) as n,
+       cast(stddev_samp(cast(o_totalprice as decimal(18,2))) as double)
+         as sd
+from orders
+where o_orderkey <= 1000
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 EXTRAS_QUERIES = {
     "ext_external_query": external_query,
     "ext_jdbc_pushdown": jdbc_gate_pushdown,
+    "ext_jdbc_postgres": jdbc_postgres_pushdown,
     "src_time_travel": time_travel,
     "stats_analyze": analyze_stats,
     "op_listagg_group": listagg_group,
@@ -256,6 +300,7 @@ EXTRAS_QUERIES = {
 EXTRAS_ORACLE = {
     "ext_external_query": EXTERNAL_QUERY_SQL,
     "ext_jdbc_pushdown": JDBC_GATE_SQL,
+    "ext_jdbc_postgres": JDBC_POSTGRES_SQL,
     "src_time_travel": TIME_TRAVEL_SQL,
     "stats_analyze": ANALYZE_STATS_SQL,
     "op_listagg_group": LISTAGG_GROUP_SQL,

@@ -135,3 +135,29 @@ MYSQL_DIALECT = ArpDialect(
                               "stddev"}),
     function_map={"stddev": "std"},
 )
+
+# PostgreSQL descriptor — the most common RDBMS federation target.
+# Double-quoted (case-preserving) identifiers, LIMIT n, sample-variance
+# family spelled *_samp; MEDIAN does not exist as a plain aggregate
+# (PostgreSQL only offers percentile_cont WITHIN GROUP), so median
+# rollups degrade to the scan+local-aggregate split.  Declarative shape
+# mirrors the reference's per-source ARP YAML consumed by
+# common/dialect/arp/ + DremioRelToSqlConverter.java.
+POSTGRES_DIALECT = ArpDialect(
+    name="postgres",
+    quote_open='"', quote_close='"',
+    supported_aggs=frozenset({"sum", "count", "min", "max", "avg",
+                              "stddev", "stddev_samp", "var_samp"}),
+    function_map={"stddev": "stddev_samp"},
+)
+
+# Redshift descriptor: Postgres-derived SQL surface, but MEDIAN exists
+# as a native aggregate, so median rollups ship whole.
+REDSHIFT_DIALECT = ArpDialect(
+    name="redshift",
+    quote_open='"', quote_close='"',
+    supported_aggs=frozenset({"sum", "count", "min", "max", "avg",
+                              "stddev", "stddev_samp", "var_samp",
+                              "median"}),
+    function_map={"stddev": "stddev_samp"},
+)

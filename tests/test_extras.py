@@ -329,6 +329,27 @@ def test_arp_oracle_mysql_dialect_rendering():
         "t", None, None, ([], {"m": "stddev(v)"}))
 
 
+def test_arp_postgres_redshift_dialect_rendering():
+    """Postgres: quoted idents, LIMIT, stddev->stddev_samp, MEDIAN
+    degrades (no plain-aggregate median in PostgreSQL).  Redshift:
+    same surface but MEDIAN is native and ships."""
+    from dremio_oss_spark.sources.arp import (
+        POSTGRES_DIALECT, REDSHIFT_DIALECT)
+
+    sql = POSTGRES_DIALECT.render(
+        "t", None, "x > 1",
+        (["k"], {"sd": "stddev(v)"}), limit=7)
+    assert sql == ('select "k", stddev_samp(v) as "sd" from "t" '
+                   'where x > 1 group by "k" limit 7')
+    assert not POSTGRES_DIALECT.agg_supported({"m": "median(v)"})
+    assert POSTGRES_DIALECT.agg_supported({"m": "var_samp(v)"})
+
+    assert REDSHIFT_DIALECT.agg_supported({"m": "median(v)"})
+    r = REDSHIFT_DIALECT.render("t", None, None,
+                                ([], {"m": "median(v)"}))
+    assert 'median(v) as "m"' in r
+
+
 def _find_duckdb_jdbc_jar():
     """Locate a DuckDB JDBC driver jar (public Maven artifact
     org.duckdb:duckdb_jdbc) in conventional local caches."""
