@@ -194,7 +194,12 @@ class EngineFlightServer(flight.FlightServerBase):
                         "ticket already redeemed or expired")
                 # direct DoGet with plain SQL: a read-only convenience
                 df = self._run(ticket.ticket.decode())
-            table = df.toArrow()
+        # materialization runs OUTSIDE the engine lock: the frame is
+        # already analyzed, so concurrent DoGets interleave at the
+        # Spark scheduler (reference: concurrent jobs execution,
+        # ForemenWorkManager.java:715); only statement planning — and
+        # thereby every mutating commit — serializes
+        table = df.toArrow()
         return flight.RecordBatchStream(table)
 
     def list_actions(self, context):

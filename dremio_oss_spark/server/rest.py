@@ -24,11 +24,14 @@ driver-side per request — result-set-sized reads only (the reference's
 REST API likewise caps returned rows; `limit` defaults to 500 as the
 DAC does, and a job stores at most `_Handler.max_stored` rows).
 
-Concurrency note: all engine interactions serialize behind one lock —
+Concurrency note: statement PLANNING serializes behind one lock —
 engine session state (shims, policy views, acceleration markers) is not
-thread-safe, and this endpoint's role is result-set-sized reads, not
-concurrent analytics; concurrent workloads go through the library API
-with their own sessions."""
+thread-safe — but EXECUTION (the collect) runs outside it: engine.sql
+returns a fully-analyzed DataFrame, so overlapping reads interleave at
+the Spark scheduler exactly like the reference's concurrent jobs
+service (`ForemenWorkManager.java:715` — many foremen, one coordinator
+planning queue).  Mutating statements commit inside engine.sql and so
+remain fully serialized."""
 
 from __future__ import annotations
 
@@ -194,7 +197,14 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-                rows = df.limit(self.max_stored).collect()
+            # execution runs OUTSIDE the engine lock: engine.sql already
+            # analyzed the plan (views expanded, policies applied, state
+            # restored), so concurrent jobs interleave at the Spark
+            # scheduler — the reference's concurrent jobs service shape
+            # (ForemenWorkManager.java:715) with only statement PLANNING
+            # serialized.  For a mutating statement engine.sql executes
+            # the commit itself, so DML/DDL stays fully serialized.
+            rows = df.limit(self.max_stored).collect()
             self.jobs.finish(
                 jid, state="COMPLETED",
                 schema=[{"name": f.name,
@@ -248,7 +258,8 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-                rows = df.limit(n_collect).collect()
+            # collect outside the lock (see _run_job): reads interleave
+            rows = df.limit(n_collect).collect()
             jid = self.jobs.create()
             json_rows = [{k: _json_cell(v) for k, v in r.asDict().items()}
                          for r in rows]

@@ -420,3 +420,65 @@ def test_rest_async_jobs_and_result_paging(spark):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_rest_concurrent_reads_interleave(spark):
+    """Two overlapping REST reads must interleave: an async heavy read
+    holds the Spark scheduler while a second, fast read completes —
+    proving statement execution is no longer serialized behind the
+    engine lock (reference: concurrent jobs execution,
+    ForemenWorkManager.java:715).  Planning stays serialized, so the
+    fast read's wall-clock bounds the planning critical section."""
+    import json as _json
+    import time as _time
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def post(body):
+        req = rq.Request(f"http://127.0.0.1:{port}/api/v3/sql",
+                         data=_json.dumps(body).encode(),
+                         headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    def get(path):
+        with rq.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return _json.loads(r.read())
+
+    try:
+        # a deliberately heavy read: O(|lineitem|^2 / |orders|) join
+        # aggregation -- several seconds of executor work at SF_SMALL
+        heavy = ("select count(*) as n from lineitem a "
+                 "join lineitem b on a.l_orderkey = b.l_orderkey")
+        out = post({"sql": heavy, "async": True})
+        jid = out["id"]
+        t0 = _time.time()
+        fast = post({"sql": "select count(*) as n from region"})
+        fast_wall = _time.time() - t0
+        heavy_state = get(f"/api/v3/job/{jid}")["jobState"]
+        assert fast and fast["rows"][0]["n"] == 5
+        # the fast read returned while the heavy one was still running
+        assert heavy_state == "RUNNING", (
+            "heavy job finished before the fast read returned -- "
+            "cannot prove interleaving (enlarge the heavy query?)")
+        assert fast_wall < 5, f"fast read blocked {fast_wall:.1f}s"
+        for _ in range(300):
+            st = get(f"/api/v3/job/{jid}")
+            if st["jobState"] != "RUNNING":
+                break
+            _time.sleep(0.1)
+        assert st["jobState"] == "COMPLETED"
+        rows = get(f"/api/v3/job/{jid}/results?limit=1")["rows"]
+        assert rows[0]["n"] > 0
+    finally:
+        server.shutdown()
