@@ -417,12 +417,19 @@ def _scan_with_partition_values(
          StructField("__file", StringType())]
         + [StructField(f"__pv_{c}", StringType()) for c in part_cols])
     pv_df = spark.createDataFrame(rows, pv_schema)
+    # one row per file: broadcast below the distributed-metadata
+    # threshold (the usual case — file-count-bounded, MBs); above it
+    # the hint is dropped so AQE costs the join, because force-shipping
+    # a multi-million-file mapping to every executor is the same
+    # failure mode as any other forced broadcast of an unbounded side
+    if len(files) < _distributed_threshold(spark):
+        pv_df = F.broadcast(pv_df)
     df = (
         df.withColumn(
             "__base",
             F.element_at(F.split(F.input_file_name(), "/"), -1),
         )
-        .join(F.broadcast(pv_df), "__base")
+        .join(pv_df, "__base")
         .drop("__base")
     )
     if not keep_file:

@@ -1242,12 +1242,16 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         else:
             live = _scan_with_partition_values_iceberg(
                 spark, table, snap, keep_file=True, keep_pos=True)
+            from .delta import _distributed_threshold
+
             rel_of = spark.createDataFrame(
                 [(os.path.realpath(p), os.path.relpath(p, table))
                  for p, _ in snap.files], "__file string, file_path string")
+            if len(snap.files) < _distributed_threshold(spark):
+                rel_of = F.broadcast(rel_of)  # file-count bounded
             keys = (live.where(predicate)
                     .select("__file", F.col("__pos").alias("pos"))
-                    .join(F.broadcast(rel_of), "__file")
+                    .join(rel_of, "__file")
                     .select("file_path", "pos")
                     .orderBy("file_path", "pos"))
             prefix, cols_entry = "pos-delete", None
