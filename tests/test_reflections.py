@@ -1317,3 +1317,46 @@ def test_leftjoin_star_substitution_null_extension(spark, tmp_path):
             "right join lj_dim on dimk = dk group by grp")
     assert eng.last_plan_accelerated is None
     eng.sql("ALTER TABLE lj_fact DROP REFLECTION t_ljn")
+
+
+def test_selfjoin_vds_reflection_accelerates(spark):
+    """Self-join stars accelerate through VDS anchoring: the reflection
+    keys on the VDS identity, so a rollup over the view substitutes
+    without ever walking the view's internal self-join (which the
+    plan-tree IR refuses — see COVERAGE.md deviations).  This is the
+    reference's view-acceleration UX for the same shape
+    (SubstitutionProvider.java matches the query tree against the view
+    tree; anchoring on the view sidesteps per-occurrence bindings)."""
+    from dremio_oss_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(i, (i // 5) if i >= 5 else None, float(i)) for i in range(50)],
+        "emp_id long, mgr_id long, sal double")
+    df.createOrReplaceTempView("emp_sj")
+    eng = Engine(spark)
+    eng.create_space("hr")
+    eng.create_vds(
+        "hr", "empmgr",
+        "select e.emp_id as emp_id, e.sal as sal, m.emp_id as mgr "
+        "from emp_sj e join emp_sj m on e.mgr_id = m.emp_id")
+    eng.sql("ALTER VDS hr.empmgr CREATE AGGREGATE REFLECTION t_self "
+            "USING DIMENSIONS (mgr) MEASURES (sal (SUM, COUNT))")
+    out = eng.sql("select mgr, sum(sal) as s, count(sal) as n "
+                  "from hr.empmgr group by mgr order by mgr")
+    assert eng.last_plan_accelerated == "t_self"
+    got = [(r["mgr"], float(r["s"]), r["n"]) for r in out.collect()]
+    base = spark.sql(
+        "select m.emp_id as mgr, sum(e.sal) as s, count(e.sal) as n "
+        "from emp_sj e join emp_sj m on e.mgr_id = m.emp_id "
+        "group by m.emp_id order by mgr").collect()
+    assert got == [(r["mgr"], float(r["s"]), r["n"]) for r in base]
+
+    # INLINE self-join (no VDS anchor) must fall through, and still
+    # compute correctly through normal planning
+    out2 = eng.sql(
+        "select m.emp_id as mgr2, sum(e.sal) as s "
+        "from emp_sj e join emp_sj m on e.mgr_id = m.emp_id "
+        "group by m.emp_id order by mgr2")
+    assert eng.last_plan_accelerated is None
+    assert out2.count() == len(got)
+    eng.sql("ALTER TABLE hr.empmgr DROP REFLECTION t_self")
