@@ -222,6 +222,34 @@ def engine_distributed_plan_case(spark, n_files: int = 120_000) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def dv_decode_scale_case(spark, n_files: int = 20_000,
+                         per_file: int = 50) -> None:
+    """Round-7 case: deletion-vector decode is DISTRIBUTED — the driver
+    ships only the (file, descriptor-JSON) rows and executors decode
+    the roaring bitmaps via mapInPandas.  20k DVs x 50 positions = 1M
+    deleted rows that, under the previous driver-side shape, would all
+    have materialized in a Python list before the anti-join."""
+    import base64
+
+    from dremio_oss_spark.sources.delta import _dv_rows_df
+    from dremio_oss_spark.sources.roaring import encode_rbm_array
+
+    blob = base64.b85encode(
+        encode_rbm_array(list(range(0, per_file * 7, 7)))).decode()
+    dvs = {f"part-{i:07d}.parquet":
+           {"storageType": "i", "pathOrInlineDv": blob}
+           for i in range(n_files)}
+    t0 = time.perf_counter()
+    n = _dv_rows_df(spark, "/unused-for-inline-dvs", dvs).count()
+    dt = time.perf_counter() - t0
+    assert n == n_files * per_file, n
+    print(json.dumps({
+        "op": "distributed_dv_decode", "n_dvs": n_files,
+        "positions": n, "t_s": round(dt, 2),
+        "driver_side_positions": 0,
+    }))
+
+
 def _mixture(docs):
     from pyspark.sql import functions as F
 
@@ -258,6 +286,7 @@ def main() -> None:
 
     metadata_scale_case(spark, n_files=12_000)
     engine_distributed_plan_case(spark, n_files=120_000)
+    dv_decode_scale_case(spark, n_files=20_000)
 
     ops = {
         "exact_dedup": lambda d, v: D.exact_dedup(d),

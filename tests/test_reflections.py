@@ -1360,3 +1360,37 @@ def test_selfjoin_vds_reflection_accelerates(spark):
     assert eng.last_plan_accelerated is None
     assert out2.count() == len(got)
     eng.sql("ALTER TABLE hr.empmgr DROP REFLECTION t_self")
+
+
+def test_leftjoin_with_distinct_agg_over_nullable_dim(spark):
+    """Interaction of the two round-7 features: COUNT(DISTINCT x) where
+    x lives on the LEFT join's null-extended side — countDistinct over
+    the materialization ignores the null-extended NULLs exactly as the
+    base query's distinct count does, so the rollup is exact."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    fact = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(100)],
+        "fk long, dimk long, m double")
+    dim = spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in range(5)], "dk long, grp string")
+    fact.createOrReplaceTempView("ljf2")
+    dim.createOrReplaceTempView("ljd2")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE ljf2 CREATE AGGREGATE REFLECTION t_ljcd "
+            "USING DIMENSIONS (grp, dimk) MEASURES (m (SUM)) "
+            "JOINS (LEFT ljd2 ON dimk = dk)")
+    out = eng.sql("select dimk, count(distinct grp) as ng, sum(m) as s "
+                  "from ljf2 left join ljd2 on dimk = dk "
+                  "group by dimk order by dimk")
+    assert eng.last_plan_accelerated == "t_ljcd"
+    got = [(r["dimk"], r["ng"], float(r["s"])) for r in out.collect()]
+    base = (fact.join(dim, F.col("dimk") == F.col("dk"), "left")
+            .groupBy("dimk")
+            .agg(F.countDistinct("grp").alias("ng"),
+                 F.sum("m").alias("s"))
+            .orderBy("dimk").collect())
+    assert got == [(r["dimk"], r["ng"], float(r["s"])) for r in base]
+    eng.sql("ALTER TABLE ljf2 DROP REFLECTION t_ljcd")
