@@ -551,7 +551,7 @@ class Engine:
             every = list(store._reflections.values()) + list(
                 store._raw.values())
             for r in every:
-                data = os.path.join(r.path, "data")
+                data = store._data_dir(r)
                 n, size = 0, 0
                 for root, _, fns in os.walk(data):
                     for fn in fns:

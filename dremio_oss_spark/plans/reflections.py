@@ -257,6 +257,12 @@ class Reflection:
     # lakehouse snapshot/version the materialization is current through
     # (snapshot-based incremental refresh)
     base_version: object = None
+    # materialization GENERATION: each refresh publishes a new data dir
+    # (data / data-g1 / data-g2 ...) and retires the PREVIOUS-previous
+    # one, so an in-flight reader of an already-analyzed plan never
+    # loses its files mid-scan (the reference's per-refresh
+    # materialization ids, ReflectionServiceImpl)
+    generation: int = 0
     # set when a base-table commit lands (ReflectionServiceImpl's
     # dependency-driven refresh): the engine refreshes stale reflections
     # before the next substitution (auto-refresh) or surfaces STALE in
@@ -329,6 +335,7 @@ class RawReflection:
     sort_col: str | None = None  # LOCALSORT layout, kept for rebuilds
     stale: bool = False
     invalid: bool = False  # quarantined after a failed refresh
+    generation: int = 0    # see Reflection.generation
 
 
 class ReflectionStore:
@@ -444,11 +451,8 @@ class ReflectionStore:
         proj = source.select(*rr.cols)
         if rr.sort_col:
             proj = proj.sortWithinPartitions(rr.sort_col)
-        tmp = os.path.join(rr.path, "data.new")
-        proj.write.mode("overwrite").parquet(tmp)
-        data = os.path.join(rr.path, "data")
-        shutil.rmtree(data, ignore_errors=True)
-        os.replace(tmp, data)
+        self._publish_data(
+            rr, lambda p: proj.write.mode("overwrite").parquet(p))
         rr.stale = False
 
     def scan(self, table: str, cols: list[str], base: DataFrame) -> tuple[DataFrame, bool]:
@@ -457,7 +461,7 @@ class ReflectionStore:
         for refl in self._raw.values():
             if (not refl.invalid and refl.table == table
                     and set(cols) <= set(refl.cols)):
-                mat = self._read_data(os.path.join(refl.path, "data"))
+                mat = self._read_data(self._data_dir(refl))
                 return mat.select(*cols), True
         return base.select(*cols), False
 
@@ -468,11 +472,46 @@ class ReflectionStore:
             shutil.rmtree(refl.path, ignore_errors=True)
 
     # -- materialization maintenance ---------------------------------------
+    @staticmethod
+    def _data_dir(refl) -> str:
+        """Current materialization directory for `refl`'s generation."""
+        g = getattr(refl, "generation", 0)
+        return os.path.join(refl.path, "data" if g == 0 else f"data-g{g}")
+
+    def _publish_data(self, refl, writer) -> None:
+        """Write the NEXT materialization generation and flip to it.
+
+        `writer(path)` materializes the new data at `path`.  The
+        just-superseded generation stays on disk until the refresh
+        after this one, so a reader whose plan was analyzed against it
+        finishes its scan; only generations at least two refreshes old
+        are removed.  This is what lets server execution run outside
+        the engine lock without a refresh deleting files under an
+        in-flight accelerated read (reference: every refresh creates a
+        new materialization id, ReflectionServiceImpl)."""
+        old_g = getattr(refl, "generation", 0)
+        new_dir = os.path.join(refl.path, f"data-g{old_g + 1}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        writer(new_dir)
+        refl.generation = old_g + 1
+        for d in os.listdir(refl.path):
+            g = None
+            if d == "data":
+                g = 0
+            elif d.startswith("data-g"):
+                try:
+                    g = int(d[len("data-g"):])
+                except ValueError:
+                    continue
+            if g is not None and g < old_g:
+                shutil.rmtree(os.path.join(refl.path, d),
+                              ignore_errors=True)
+
     def _path_of(self, name: str) -> str:
         refl = self._reflections.get(name) or self._raw.get(name)
         if refl is None:
             raise KeyError(f"no reflection named {name}")
-        return os.path.join(refl.path, "data")
+        return self._data_dir(refl)
 
     def compact_materialization(self, name: str) -> tuple[int, int]:
         """COMPACT MATERIALIZE[D] data files (SqlCompactMaterialization,
@@ -481,9 +520,7 @@ class ReflectionStore:
         and scan cost grows with file count.  Returns (files_before,
         files_after).  Locally the target is one file; at scale this maps
         to a `coalesce(bytes/target_size)` rewrite with identical rows."""
-        data = self._path_of(name)
-
-        def _files() -> list[str]:
+        def _files(data: str) -> list[str]:
             out = []
             for root, _, fns in os.walk(data):
                 out += [f for f in fns
@@ -491,19 +528,20 @@ class ReflectionStore:
             return out
 
         refl = self._reflections.get(name) or self._raw.get(name)
-        before = len(_files())
-        df = self._read_data(data)
-        tmp = data + ".compact"
+        before = len(_files(self._data_dir(refl)))
+        df = self._read_data(self._data_dir(refl))
         part_by = tuple(getattr(refl, "partition_by", ()) or ())
-        if part_by:
-            # layout-preserving: one file PER partition dir
-            df = df.repartition(*[F.col(c) for c in part_by])
-            self._write_data(refl, df, tmp)
-        else:
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(data)
-        os.rename(tmp, data)
-        return before, len(_files())
+
+        def writer(p: str) -> None:
+            if part_by:
+                # layout-preserving: one file PER partition dir
+                self._write_data(
+                    refl, df.repartition(*[F.col(c) for c in part_by]), p)
+            else:
+                df.coalesce(1).write.mode("overwrite").parquet(p)
+
+        self._publish_data(refl, writer)
+        return before, len(_files(self._data_dir(refl)))
 
     def load_materialization(self, name: str) -> DataFrame:
         """LOAD MATERIALIZATION (SqlLoadMaterialization): expose a
@@ -555,7 +593,7 @@ class ReflectionStore:
 
     def _full_refresh(self, refl: Reflection, source: DataFrame) -> None:
         agg = self._aggregate(source, refl)
-        self._write_data(refl, agg, os.path.join(refl.path, "data"))
+        self._publish_data(refl, lambda p: self._write_data(refl, agg, p))
         if refl.watermark_col:
             wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
             refl.watermark = wm
@@ -575,18 +613,15 @@ class ReflectionStore:
         if n_new == 0:
             return 0
         delta = self._aggregate(new_rows, refl)
-        data_path = os.path.join(refl.path, "data")
-        existing = self._read_data(data_path)
+        existing = self._read_data(self._data_dir(refl))
         merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
             *[
                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
                 for m in refl.measures
             ]
         )
-        tmp = data_path + ".new"
-        self._write_data(refl, merged, tmp)
-        shutil.rmtree(data_path)
-        os.replace(tmp, data_path)
+        self._publish_data(
+            refl, lambda p: self._write_data(refl, merged, p))
         wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
         refl.watermark = wm
         self._write_meta(refl)
@@ -691,16 +726,13 @@ class ReflectionStore:
                     F.sum(m.column.cast("decimal(28,4)") * sign)
                     .alias(m.name))
         delta = ch.groupBy(*refl.dims).agg(*aggs)
-        data_path = os.path.join(refl.path, "data")
-        existing = self._read_data(data_path)
+        existing = self._read_data(self._data_dir(refl))
         merged = (existing.unionByName(delta).groupBy(*refl.dims).agg(
             *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
               for m in refl.measures])
             .where(F.col(count_name) > 0))
-        tmp = data_path + ".new"
-        self._write_data(refl, merged, tmp)
-        shutil.rmtree(data_path)
-        os.replace(tmp, data_path)
+        self._publish_data(
+            refl, lambda p: self._write_data(refl, merged, p))
         refl.base_version = head
         self._write_meta(refl)
         return n_changes
@@ -757,15 +789,12 @@ class ReflectionStore:
         n_new = new_rows.count()
         if n_new:
             delta = self._aggregate(new_rows, refl)
-            data_path = os.path.join(refl.path, "data")
-            existing = self._read_data(data_path)
+            existing = self._read_data(self._data_dir(refl))
             merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
                 *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
                   for m in refl.measures])
-            tmp = data_path + ".new"
-            self._write_data(refl, merged, tmp)
-            shutil.rmtree(data_path)
-            os.replace(tmp, data_path)
+            self._publish_data(
+                refl, lambda p: self._write_data(refl, merged, p))
         refl.base_version = head
         self._write_meta(refl)
         return n_new
@@ -798,7 +827,7 @@ class ReflectionStore:
                              filters: tuple[str, ...]) -> DataFrame:
         """The materialization scan with query filters applied, including
         partition-directory pruning through the __p_ helper columns."""
-        raw = self.spark.read.parquet(os.path.join(refl.path, "data"))
+        raw = self.spark.read.parquet(self._data_dir(refl))
         helpers = [c for c in raw.columns if c.startswith("__p_")]
         mat = raw
         for f in filters:

@@ -1052,9 +1052,7 @@ def match_and_execute_raw(store, ex: ExtractedScan):
     for refl in store._raw.values():
         if (not getattr(refl, "invalid", False)
                 and refl.table == ex.table and need <= set(refl.cols)):
-            import os
-
-            mat = store._read_data(os.path.join(refl.path, "data"))
+            mat = store._read_data(store._data_dir(refl))
             df = mat
             for f in ex.filters:
                 df = df.where(f)

@@ -1394,3 +1394,73 @@ def test_leftjoin_with_distinct_agg_over_nullable_dim(spark):
             .orderBy("dimk").collect())
     assert got == [(r["dimk"], r["ng"], float(r["s"])) for r in base]
     eng.sql("ALTER TABLE ljf2 DROP REFLECTION t_ljcd")
+
+
+def test_leftjoin_star_substitutes_through_vds(spark):
+    """The LEFT-star matcher composes with view expansion: a VDS
+    defined as fact LEFT JOIN dim, aliased columns and all, answers
+    from a reflection declaring the same left edge — values checked
+    against the unaccelerated plan."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.create_space("mk7")
+    eng.create_vds(
+        "mk7", "ordseg",
+        "select o.o_orderpriority as prio, c.c_mktsegment as seg, "
+        "o.o_totalprice as price from orders o "
+        "left join customer c on o.o_custkey = c.c_custkey")
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_vlj "
+            "USING DIMENSIONS (c_mktsegment, o_orderpriority) "
+            "MEASURES (o_totalprice (SUM)) "
+            "JOINS (LEFT customer ON o_custkey = c_custkey)")
+    out = eng.sql("select seg, sum(price) as s from mk7.ordseg "
+                  "group by seg order by seg")
+    assert eng.last_plan_accelerated == "t_vlj"
+    got = [(r["seg"], round(float(r["s"]), 2)) for r in out.collect()]
+    base = spark.sql(
+        "select c.c_mktsegment as seg, sum(o.o_totalprice) as s "
+        "from orders o left join customer c on o.o_custkey = c.c_custkey "
+        "group by seg order by seg").collect()
+    assert got == [(r["seg"], round(float(r["s"]), 2)) for r in base]
+    eng.sql("ALTER TABLE orders DROP REFLECTION t_vlj")
+
+
+def test_refresh_preserves_previous_generation_for_inflight_reads(spark):
+    """Materialization refreshes publish a NEW generation directory and
+    keep the just-superseded one, so a DataFrame analyzed against the
+    old generation still collects after a refresh lands — the guarantee
+    that lets server execution run outside the engine lock (reference:
+    per-refresh materialization ids)."""
+    import os
+
+    from dremio_oss_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(40)], "k long, v double")
+    df.createOrReplaceTempView("gen_t")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE gen_t CREATE AGGREGATE REFLECTION t_gen "
+            "USING DIMENSIONS (k) MEASURES (v (SUM))")
+    store = eng._refl_store
+    refl = store._reflections["t_gen"]
+    g1 = store._data_dir(refl)
+    old_df = eng.sql("select k, sum(v) as s from gen_t group by k")
+    assert eng.last_plan_accelerated == "t_gen"
+
+    store.rebuild("t_gen", spark.table("gen_t"))   # publishes gen+1
+    g2 = store._data_dir(refl)
+    assert g2 != g1 and os.path.isdir(g2)
+    assert os.path.isdir(g1), "previous generation must survive one refresh"
+    # the pre-refresh plan still scans its (retained) generation
+    assert old_df.count() == 4
+
+    store.rebuild("t_gen", spark.table("gen_t"))   # second refresh
+    assert not os.path.isdir(g1), "two-refresh-old generation must be GC'd"
+    new_df = eng.sql("select k, sum(v) as s from gen_t group by k")
+    assert eng.last_plan_accelerated == "t_gen" and new_df.count() == 4
+    eng.sql("ALTER TABLE gen_t DROP REFLECTION t_gen")
