@@ -285,10 +285,11 @@ def delete_where_mor(spark: SparkSession, table: str, cond: Column,
 
 def read_mor(spark: SparkSession, table: str, key_cols: list[str],
              branch: str = "main") -> DataFrame:
-    """Read with merge-on-read delete files applied (anti-join on keys;
-    delete sets are small -> broadcast)."""
-    from pyspark.sql import functions as F
-
+    """Read with merge-on-read delete files applied (anti-join on keys).
+    No broadcast hint: the accumulated delete-key set is unbounded on a
+    long-lived branch, so AQE costs the join — broadcasting only while
+    the set genuinely fits (the same fix as the lake formats' MOR
+    paths)."""
     snap = current_snapshot(table, branch)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot in {table} [{branch}]")
@@ -296,7 +297,7 @@ def read_mor(spark: SparkSession, table: str, key_cols: list[str],
     del_path = os.path.join(snap, "_deletes")
     if os.path.exists(del_path):
         dels = spark.read.parquet(del_path).distinct()
-        data = data.join(F.broadcast(dels), key_cols, "left_anti")
+        data = data.join(dels, key_cols, "left_anti")
     return data
 
 

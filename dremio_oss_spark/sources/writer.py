@@ -102,9 +102,12 @@ def copy_into(
 
     ledger_path = os.path.join(target, LEDGER_DIR)
     if dedup and os.path.exists(ledger_path):
+        # no broadcast hint: the loaded-files ledger grows with every
+        # COPY INTO ever run against the table — AQE broadcasts while
+        # it is genuinely small and shuffles once it isn't
         loaded = spark.read.parquet(ledger_path)
         src = src.join(
-            F.broadcast(loaded),
+            loaded,
             src["_src_file"] == loaded["file_name"],
             "left_anti",
         )
