@@ -1174,44 +1174,63 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
         keep_file=True, keep_pos=True)
     live = _apply_deletion_vectors(spark, live, table, snap,
                                    drop_identity=False)
-    hits = (live.where(predicate)
-            .select(F.element_at(F.split("__file", "/"), -1).alias("base"),
-                    "__pos")
-            .collect())
-    by_base: dict[str, list[int]] = {}
-    for r in hits:
-        by_base.setdefault(r["base"], []).append(r["__pos"])
-    if not by_base:
+    hits_df = (live.where(predicate)
+               .select(F.element_at(F.split("__file", "/"), -1)
+                       .alias("base"), "__pos"))
+    # Distributed bitmap encode: positions group per file on the
+    # executors, merge with that file's EXISTING DV (descriptor shipped
+    # as JSON, decoded in the task), and come back as one row per hit
+    # file holding the compressed roaring blob + cardinality.  The
+    # driver never materializes raw positions — a predicate matching
+    # billions of rows collects only per-file bitmaps, which is the
+    # same data it must write into the DV file anyway.
+    import pandas as pd
+
+    desc_rows = [(os.path.basename(rel), json.dumps(desc))
+                 for rel, desc in snap.dvs.items()]
+    if desc_rows:
+        desc_df = spark.createDataFrame(desc_rows,
+                                        "base string, __desc string")
+        hits_df = hits_df.join(desc_df, "base", "left")
+    else:
+        hits_df = hits_df.withColumn(
+            "__desc", F.lit(None).cast("string"))
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        base = pdf["base"].iloc[0]
+        poss = {int(x) for x in pdf["__pos"]}
+        dj = pdf["__desc"].iloc[0]
+        if isinstance(dj, str) and dj:
+            poss |= set(_dv_positions(table, json.loads(dj)))
+        blob = encode_rbm_array(sorted(poss))
+        return pd.DataFrame({"base": [base], "blob": [blob],
+                             "card": [len(poss)]})
+
+    enc_rows = (hits_df.groupBy("base")
+                .applyInPandas(enc, "base string, blob binary, card long")
+                .collect())
+    if not enc_rows:
         return snap.version  # nothing matched; no commit
     rel_of_base = {os.path.basename(rel): rel for rel in snap.files}
     version = snap.version + 1
-    # merge with existing DV positions for the same files
-    blobs: dict[str, bytes] = {}
-    for base, poss in by_base.items():
-        rel = rel_of_base[base]
-        if rel in snap.dvs:
-            poss = sorted(set(poss) | set(_dv_positions(table, snap.dvs[rel])))
-        blobs[rel] = encode_rbm_array(sorted(set(poss)))
+    blobs = {rel_of_base[r["base"]]: (bytes(r["blob"]), r["card"])
+             for r in enc_rows}
     dv_rel = f"dv-{version:05d}-{uuid.uuid4().hex[:8]}.bin"
     descs: dict[str, dict] = {}
     buf = bytearray(b"\x01")  # DV file format version byte
-    for rel, data in sorted(blobs.items()):
+    for rel, (data, card) in sorted(blobs.items()):
         off = len(buf)
         buf += struct.pack(">i", len(data)) + data
         buf += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
         descs[rel] = {"storageType": "p", "pathOrInlineDv": dv_rel,
                       "offset": off, "sizeInBytes": len(data),
-                      "cardinality": None}
+                      "cardinality": card}
     with open(os.path.join(table, dv_rel), "wb") as f:
         f.write(bytes(buf))
     actions: list[dict] = protocol_bump + [
         {"commitInfo": {"operation": "DELETE", "timestamp": _commit_ts()}}
     ]
     for rel in sorted(blobs):
-        descs[rel]["cardinality"] = len(
-            set(by_base[os.path.basename(rel)])
-            | (set(_dv_positions(table, snap.dvs[rel]))
-               if rel in snap.dvs else set()))
         actions.append({"remove": {"path": rel, "deletionTimestamp": version,
                                    "dataChange": True}})
         actions.append(_add_action(rel, snap.files[rel], version,
