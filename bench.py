@@ -181,9 +181,15 @@ def main() -> None:
             sf1_src = {"src_delta_write", "src_iceberg_write",
                        "src_delta_merge", "src_iceberg_dml",
                        "src_delta_dv", "src_ctas_insert"}
+            # acceleration decade: reflection build (one pass over the
+            # 10x fact) + transparent rollup answers — shows the
+            # build-once/rollup-many economics hold as data grows
+            sf1_refl = {"refl_transparent_sql", "refl_transparent_join",
+                        "refl_transparent_leftjoin",
+                        "refl_transparent_sumdistinct"}
             for name in sorted(q for q in queries
                                if (q.startswith(("tpch_", "llm_"))
-                                   or q in sf1_src)
+                                   or q in sf1_src or q in sf1_refl)
                                and q not in sf1_skip):
                 t0 = time.perf_counter()
                 try:
@@ -241,7 +247,7 @@ def main() -> None:
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
     if sf1_timings:
-        for fam in ("tpch", "llm", "src"):
+        for fam in ("tpch", "llm", "src", "refl"):
             fam_t = [t for n, t in sf1_timings.items()
                      if n.startswith(f"sf1_{fam}_")]
             if fam_t:

@@ -528,6 +528,8 @@ class ReflectionStore:
             return out
 
         refl = self._reflections.get(name) or self._raw.get(name)
+        if refl is None:
+            raise KeyError(f"no reflection named {name}")
         before = len(_files(self._data_dir(refl)))
         df = self._read_data(self._data_dir(refl))
         part_by = tuple(getattr(refl, "partition_by", ()) or ())

@@ -922,7 +922,7 @@ def test_aggregate_reflection_layout_fields(spark, tmp_path):
         "USING DIMENSIONS (l_returnflag) MEASURES (l_quantity (SUM)) "
         "PARTITION BY (l_returnflag) LOCALSORT BY (l_returnflag)")
     store = eng._default_refl_store()
-    data = os.path.join(store._reflections["li_part"].path, "data")
+    data = store._data_dir(store._reflections["li_part"])
     assert any(d.startswith("__p_l_returnflag=") for d in os.listdir(data))
 
     mat = store.load_materialization("li_part")
