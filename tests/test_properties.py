@@ -399,3 +399,63 @@ def _property_engine(spark):
             "l_discount (MIN, MAX))")
         spark._prop_engine = eng
     return spark._prop_engine
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(["sum", "min", "max", "count", "avg"]),
+             min_size=1, max_size=3),
+    st.sampled_from([None, "d1 = 'x0'", "m1 > 50", "d1 in ('x0','x1')"]),
+    st.booleans(),
+)
+def test_substitution_equals_unaccelerated(spark, kinds, flt, left_join):
+    """Equivalence property over the transparent substituter: for random
+    measure sets, filters, and join types, the accelerated answer must
+    equal the unaccelerated plan bit-for-bit (same grouping, same
+    nulls).  Exercises the round-7 LEFT-star and AVG/count paths."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    fact = spark.createDataFrame(
+        [(i, f"x{i % 3}", i % 11, float(i % 97),
+          None if i % 7 == 0 else float(i))
+         for i in range(300)],
+        "fk long, d1 string, dimk long, m1 double, m2 double")
+    dim = spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in range(8)], "dk long, grp string")
+    fact.createOrReplaceTempView("pb_fact")
+    dim.createOrReplaceTempView("pb_dim")
+
+    meas_sql, agg_cols = [], []
+    for j, k in enumerate(sorted(set(kinds))):
+        col = "m2" if k in ("count", "avg") else "m1"  # m2 has NULLs
+        meas_sql.append(f"{k}({col}) as a{j}")
+        agg_cols.append(getattr(F, k if k != "avg" else "avg")(col)
+                        .alias(f"a{j}"))
+    ddl_meas = "m1 (SUM, MIN, MAX, COUNT), m2 (SUM, COUNT)"
+    join_sql = (" left join pb_dim on dimk = dk" if left_join else "")
+    ddl_join = (" JOINS (LEFT pb_dim ON dimk = dk)" if left_join else "")
+    group = "d1, grp" if left_join else "d1"
+
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE pb_fact CREATE AGGREGATE REFLECTION pb_r "
+            f"USING DIMENSIONS (d1, dimk{', grp' if left_join else ''}) "
+            f"MEASURES ({ddl_meas}){ddl_join}")
+    try:
+        where = f" where {flt}" if flt and "m1" not in flt else ""
+        q = (f"select {group}, {', '.join(meas_sql)} from pb_fact"
+             f"{join_sql}{where} group by {group}")
+        got = eng.sql(q)
+        accel = eng.last_plan_accelerated
+        base = spark.sql(q.replace("pb_fact", "pb_fact"))  # same SQL,
+        # but force the unaccelerated plan through a bare spark.sql
+        def key(t):  # None-safe sort (null-extended group keys)
+            return tuple((v is None, v) for v in t)
+
+        g = sorted(map(tuple, got.collect()), key=key)
+        b = sorted(map(tuple, base.collect()), key=key)
+        assert g == b, (q, accel, g[:3], b[:3])
+        assert accel == "pb_r", (q, "expected substitution")
+    finally:
+        eng.sql("ALTER TABLE pb_fact DROP REFLECTION pb_r")
