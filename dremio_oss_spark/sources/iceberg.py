@@ -1261,12 +1261,28 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                        default=0) + 1
         stage = os.path.join(table, "data",
                              f"_del_stage_{uuid.uuid4().hex[:8]}")
-        keys.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
-        rel = os.path.join(
-            "data",
-            f"{prefix}-{sid_next:05d}-{uuid.uuid4().hex[:8]}.parquet")
-        os.replace(part, os.path.join(table, rel))
+        # The delete file set may be written by MANY tasks: a billion-row
+        # positional delete must not funnel through one task's global
+        # sort.  Spec requirement is sorted-within-file (file_path, pos),
+        # which repartitionByRange + sortWithinPartitions satisfies; a
+        # range partitioning also keeps each file's span disjoint, and
+        # the commit records every part as its own delete file.  Small
+        # deletes still collapse to one file via AQE coalescing.
+        if prefix == "pos-delete":
+            keys = (keys.repartitionByRange("file_path", "pos")
+                    .sortWithinPartitions("file_path", "pos"))
+        else:  # equality deletes: key-only and small, one file
+            keys = keys.coalesce(1)
+        keys.write.mode("overwrite").parquet(stage)
+        new_delete_rels: list[str] = []
+        for i, part in enumerate(
+                sorted(glob.glob(os.path.join(stage, "*.parquet")))):
+            rel = os.path.join(
+                "data",
+                f"{prefix}-{sid_next:05d}-{i:04d}-"
+                f"{uuid.uuid4().hex[:8]}.parquet")
+            os.replace(part, os.path.join(table, rel))
+            new_delete_rels.append(rel)
         shutil.rmtree(stage, ignore_errors=True)
         live_entries = [(os.path.relpath(p, table), pv)
                         for p, pv in snap.files]
@@ -1278,7 +1294,7 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                     for p, cols in snap.deletes]
                    + [(os.path.relpath(p, table), None)
                       for p in snap.pos_deletes]
-                   + [(rel, cols_entry)])
+                   + [(rel, cols_entry) for rel in new_delete_rels])
         return _commit_snapshot(table, meta, "delete", live_entries, [],
                                 part_names, stats, deletes)
 
