@@ -287,3 +287,33 @@ def pii_redact(col: Column) -> list[Column]:
         F.length(red).cast("bigint").alias("redacted_len"),
         F.md5(red).alias("redacted_fp"),
     ]
+
+
+def boilerplate_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                      df_threshold: int = 25):
+    """Cross-corpus BOILERPLATE detection: word 3-gram shingles whose
+    document frequency exceeds `df_threshold` are boilerplate (repeated
+    headers/footers/navigation in web corpora — the C4/RefinedWeb-style
+    global line/most-common-ngram filter, expressed delimiter-free);
+    returns per-doc shingle counts and the boilerplate ratio.
+
+    Scale shape: ONE explode into the inverted shingle index, one
+    groupBy for global document frequency, one equi-join back — the
+    same banded-index economics as the dedup family, no all-pairs
+    anywhere.  The boilerplate set join is unhinted (its size depends
+    on corpus redundancy; AQE broadcasts it only while small)."""
+    from .dedup import shingle_table
+
+    sh = shingle_table(df, text_col, id_col)  # distinct 3-grams per doc
+    boiler = (sh.groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("doc_freq"))
+              .where(F.col("doc_freq") > df_threshold)
+              .select("shingle", F.lit(True).alias("is_boiler")))
+    return (sh.join(boiler, "shingle", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.col("is_boiler").isNotNull().cast("bigint"))
+                 .alias("n_boiler"))
+            .withColumn("boilerplate_ratio",
+                        F.round(F.col("n_boiler") / F.col("n_shingles"),
+                                6)))

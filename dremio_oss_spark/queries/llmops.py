@@ -1206,7 +1206,42 @@ order by 1
 
 
 
+
+def llm_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus boilerplate detection: 3-gram shingles whose doc
+    frequency exceeds the threshold are boilerplate; per-doc ratio.
+    One inverted-index groupBy + join back — no all-pairs."""
+    return (T.boilerplate_stats(load(spark, sf, "documents"),
+                                df_threshold=25)
+            .orderBy("doc_id"))
+
+
+LLM_BOILERPLATE_SQL = """
+with toks as (
+  select doc_id, string_split_regex(lower(text), '\\s+') as t from documents
+), sh as (
+  select doc_id,
+         unnest(list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) as shingle
+  from toks
+  where len(t) >= 3
+), freq as (
+  select shingle, count(*) as doc_freq from sh group by shingle
+), boiler as (
+  select shingle from freq where doc_freq > 25
+)
+select s.doc_id,
+       count(*) as n_shingles,
+       count(b.shingle) as n_boiler,
+       round(count(b.shingle) / count(*), 6) as boilerplate_ratio
+from sh s left join boiler b on s.shingle = b.shingle
+group by s.doc_id
+order by s.doc_id
+"""
+
+
 LLMOPS_QUERIES = {
+    "llm_boilerplate": llm_boilerplate,
     "llm_text_analysis": llm_text_analysis,
     "llm_vocab": llm_vocab,
     "llm_kmeans": llm_kmeans,
@@ -1234,6 +1269,7 @@ LLMOPS_QUERIES = {
 }
 
 LLMOPS_ORACLE = {
+    "llm_boilerplate": LLM_BOILERPLATE_SQL,
     "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
     "llm_vocab": LLM_VOCAB_SQL,
     "llm_kmeans": LLM_KMEANS_SQL,

@@ -299,3 +299,19 @@ def test_pack_sequences_matches_serial_prefix_sum(spark):
     for m in re.finditer(r"Window \[(.*?)\]", plan):
         assert "partitionBy" not in m.group(1) or "__pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_boilerplate_stats_flags_global_repeats(spark):
+    """Shingles repeated across > threshold docs count as boilerplate;
+    unique content scores ratio 0."""
+    from dremio_oss_spark.operators.text import boilerplate_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, boiler + f" unique tail {i} a b c") for i in range(10)]
+    rows += [(100, "entirely novel content with no repeats at all x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_boiler"], float(r["boilerplate_ratio"]))
+           for r in boilerplate_stats(docs, df_threshold=5).collect()}
+    # the 7 shingles fully inside the shared prefix repeat in 10 docs
+    assert all(out[i][0] >= 7 for i in range(10))
+    assert out[100] == (0, 0.0)
