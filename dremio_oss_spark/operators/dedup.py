@@ -323,7 +323,9 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
                 parent[x], x = r, parent[x]
             return r
 
-        for row in pairs.toLocalIterator():
+        # one job, not toLocalIterator's sequential per-partition jobs:
+        # the threshold already bounds this at driver_max edges
+        for row in pairs.collect():
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # union by min: smaller id becomes the root, so the

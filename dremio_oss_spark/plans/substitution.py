@@ -194,6 +194,19 @@ def _dim_base(k: tuple) -> str:
     return k[-1]
 
 
+def _dd_name(payload: tuple) -> str:
+    """Stable internal column name for a distinct-agg rollup output.
+
+    Derived from a digest of the (agg kind, DimKey) payload — NOT an
+    enumeration index — so the name HAVING renders at extraction time
+    still resolves at match time even when the top projection dropped
+    some distinct-agg outputs and changed their relative order."""
+    import hashlib
+
+    return "__dd_" + hashlib.md5(
+        repr(payload).encode()).hexdigest()[:10]
+
+
 def _dim_col(k: tuple):
     from pyspark.sql import functions as F
 
@@ -220,7 +233,7 @@ class ExtractedAgg:
     filters: tuple[str, ...]             # rendered `col op literal` strings
     # output order: (out_name, kind, payload) — kind 'dim' -> DimKey,
     # kind 'measure' -> Measure, kind 'avg' -> base col, kind
-    # 'cdistinct' -> (agg kind 'count'|'sum', DimKey)
+    # 'cdistinct' -> (agg kind 'count'|'sum'|'avg', DimKey)
     outputs: list[tuple[str, str, object]]
     order_by: list[tuple[str, bool, bool]]  # (out_name, asc, nulls_first)
     # HAVING conjuncts rendered against INTERNAL rollup column names
@@ -244,13 +257,19 @@ class ExtractedAgg:
     # tables null-extended by a LEFT OUTER edge — orientation must keep
     # them on the dim (child) side of their edge
     nullable: frozenset = frozenset()
+    # distinct-agg payloads referenced ONLY by HAVING (the top
+    # projection dropped their output) — they must still be computed in
+    # the rollup, same reason as all_measures above
+    extra_cdistincts: tuple = ()
 
     @property
     def cdistincts(self) -> tuple[tuple, ...]:
-        """(agg kind, DimKey) pairs under COUNT/SUM(DISTINCT ...) —
-        their base columns are matched as extra dims."""
+        """(agg kind, DimKey) pairs under COUNT/SUM/AVG(DISTINCT ...) —
+        their base columns are matched as extra dims.  Includes
+        HAVING-only payloads so the rollup computes them."""
         return tuple(dict.fromkeys(
-            p for _, k, p in self.outputs if k == "cdistinct"))
+            tuple(p for _, k, p in self.outputs if k == "cdistinct")
+            + tuple(self.extra_cdistincts)))
 
     @property
     def cdistinct_base_cols(self) -> tuple[str, ...]:
@@ -655,16 +674,23 @@ class _Extractor:
             # which refuses non-literal casts
             an, ak = fkids[0]
             if child.get("isDistinct"):
-                # COUNT(DISTINCT x) / SUM(DISTINCT x): answerable from a
+                # COUNT/SUM/AVG(DISTINCT x): answerable from a
                 # reflection carrying x's BASE column at DIM grain — the
                 # distinct value set inside each query group is exactly
                 # the distinct dim values of the matching rollup cells.
-                # x may be a plain column or a whitelisted temporal
-                # expression over one (count(distinct year(d)) computes
-                # from a day-grain d); other distinct aggs (AVG) and
-                # arbitrary expressions refuse.
-                if kind not in ("count", "sum") or len(fkids) != 1:
+                # AVG(DISTINCT x) re-derives as sum_distinct/
+                # countDistinct over that set (both partials computed in
+                # the same rollup).  x may be a plain column or a
+                # whitelisted temporal expression over one
+                # (count(distinct year(d)) computes from a day-grain d);
+                # other distinct aggs and arbitrary expressions refuse.
+                if kind not in ("count", "sum", "avg") or len(fkids) != 1:
                     raise _Unsupported("distinct aggregate")
+                if kind == "avg" and str(
+                        an.get("dataType", "")).startswith("decimal"):
+                    # same refusal as plain AVG: double re-division
+                    # rounds differently than native decimal avg
+                    raise _Unsupported("avg(distinct) over decimal")
                 key = (("col",) + self._resolve(an)
                        if _cls(an) == "AttributeReference"
                        else self._dim_key(an, ak))
@@ -733,7 +759,12 @@ class _Extractor:
         by_id = {i: (n, k, p) for n, k, p, i in outputs}
 
         # HAVING: conjuncts over aggregate outputs, rendered against the
-        # INTERNAL rollup names (re-applied post-rollup on substitution)
+        # INTERNAL rollup names (re-applied post-rollup on substitution).
+        # Distinct-agg outputs render via their digest-stable __dd_
+        # names; every payload HAVING touches is recorded so the rollup
+        # still computes it when the top projection drops its output
+        having_dd: list[tuple] = []
+
         def having_name(attr):
             got = by_id.get(_attr_id(attr))
             if got is None:
@@ -743,9 +774,16 @@ class _Extractor:
                 return p.name
             if k == "avg":  # reduced form spliced as an expression
                 return f"(cast(sum_{p} as double) / count_{p})"
+            if k == "cdistinct":
+                dkind, key = p
+                having_dd.append(p)
+                if dkind == "avg":
+                    return (f"(cast({_dd_name(('sum', key))} as double)"
+                            f" / {_dd_name(('count', key))})")
+                return _dd_name(p)
             if k == "dim" and p[0] == "col":
                 return _dim_base(p)
-            raise _Unsupported("having on count-distinct/expr dim")
+            raise _Unsupported("having on expr dim")
 
         havings: list[str] = []
         for fe in post_agg_filters:
@@ -795,6 +833,7 @@ class _Extractor:
             order_by=order,
             havings=tuple(havings),
             all_measures=tuple(all_ms),
+            extra_cdistincts=tuple(dict.fromkeys(having_dd)),
             casts=casts_map,
             qualified=dict(self.qualified),
         )
@@ -898,16 +937,22 @@ def match_and_execute(store, ex: ExtractedAgg):
             internal[k] = nm
             group_cols.append(_dim_col(k).alias(nm))
     # distinct aggs re-derive from stored dim values: COUNT(DISTINCT)
-    # via countDistinct, SUM(DISTINCT) via sum_distinct — both over the
-    # dim expression (plain column or temporal fn over a finer-grain
-    # stored column), exactly the values the base query would see
-    dd_name: dict[tuple, str] = {}
+    # via countDistinct, SUM(DISTINCT) via sum_distinct, AVG(DISTINCT)
+    # as both partials re-divided — all over the dim expression (plain
+    # column or temporal fn over a finer-grain stored column), exactly
+    # the values the base query would see.  Names are digest-stable
+    # (`_dd_name`) so extraction-time HAVING strings resolve here.
+    dd_parts: dict[tuple, None] = {}
+    for dkind, key in dict.fromkeys(ex.cdistincts):
+        if dkind == "avg":
+            dd_parts[("sum", key)] = None
+            dd_parts[("count", key)] = None
+        else:
+            dd_parts[(dkind, key)] = None
     aggs = []
-    for j, (dkind, key) in enumerate(dict.fromkeys(ex.cdistincts)):
-        nm = f"__dd_{j}"
-        dd_name[(dkind, key)] = nm
+    for dkind, key in dd_parts:
         fn = F.countDistinct if dkind == "count" else F.sum_distinct
-        aggs.append(fn(_dim_col(key)).alias(nm))
+        aggs.append(fn(_dim_col(key)).alias(_dd_name((dkind, key))))
     aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
              for m in ex.measures]
     if aggs:
@@ -919,7 +964,12 @@ def match_and_execute(store, ex: ExtractedAgg):
     cols = []
     for out_name, kind, payload in ex.outputs:
         if kind == "cdistinct":
-            col = F.col(dd_name[payload])
+            dkind, key = payload
+            if dkind == "avg":
+                col = (F.col(_dd_name(("sum", key))).cast("double")
+                       / F.col(_dd_name(("count", key))))
+            else:
+                col = F.col(_dd_name(payload))
         elif kind == "dim":
             col = F.col(internal[payload])
         elif kind == "avg":  # sum/count reduction, double arithmetic

@@ -443,15 +443,18 @@ order by l_returnflag
 
 
 def transparent_sumdistinct(spark: SparkSession, sf: str) -> DataFrame:
-    """SUM(DISTINCT col) and COUNT(DISTINCT <temporal expr>) through
-    transparent substitution: both re-derive from a reflection storing
-    the base column at DIM grain — the distinct value set inside each
-    query group equals the distinct dim values of the matching rollup
-    cells, so sum_distinct/countDistinct over the materialization is
-    exact.  count(distinct year(d)) computes from day-grain d the same
-    way expression dims do.  Soundness controls: a distinct agg whose
-    base column the reflection lacks falls through; AVG(DISTINCT)
-    always falls through."""
+    """SUM/AVG(DISTINCT col) and COUNT(DISTINCT <temporal expr>)
+    through transparent substitution, plus HAVING over a distinct agg:
+    all re-derive from a reflection storing the base column at DIM
+    grain — the distinct value set inside each query group equals the
+    distinct dim values of the matching rollup cells, so sum_distinct/
+    countDistinct (and their ratio for AVG(DISTINCT)) over the
+    materialization is exact, and the HAVING conjunct re-applies
+    post-rollup against the same recomputed value.  count(distinct
+    year(d)) computes from day-grain d the same way expression dims do.
+    Soundness controls: a distinct agg whose base column the reflection
+    lacks falls through; a non-temporal expression under DISTINCT
+    falls through."""
     from ..catalog import register_testdata
     from ..engine import Engine
 
@@ -463,9 +466,12 @@ def transparent_sumdistinct(spark: SparkSession, sf: str) -> DataFrame:
         "MEASURES (l_orderkey (COUNT))")
     df = eng.sql(
         "select l_returnflag, sum(distinct l_quantity) as sdq, "
+        "avg(distinct l_quantity) as adq, "
         "count(distinct year(l_shipdate)) as ny, "
         "count(l_orderkey) as n from lineitem "
-        "group by l_returnflag order by l_returnflag")
+        "group by l_returnflag "
+        "having count(distinct year(l_shipdate)) >= 1 "
+        "order by l_returnflag")
     assert eng.last_plan_accelerated == "t_sd", \
         "sum-distinct substitution missed"
     # control: base column not a reflection dim -> fall through
@@ -473,21 +479,23 @@ def transparent_sumdistinct(spark: SparkSession, sf: str) -> DataFrame:
             "from lineitem group by l_returnflag")
     assert eng.last_plan_accelerated is None, \
         "unsound distinct substitution (missing dim)"
-    # control: AVG(DISTINCT) refuses
-    eng.sql("select l_returnflag, avg(distinct l_quantity) as a "
+    # control: non-temporal expression under DISTINCT refuses
+    eng.sql("select l_returnflag, sum(distinct l_quantity + 1) as s "
             "from lineitem group by l_returnflag")
     assert eng.last_plan_accelerated is None, \
-        "unsound distinct substitution (avg distinct)"
+        "unsound distinct substitution (expression arg)"
     return df
 
 
 TRANSPARENT_SUMDISTINCT_SQL = """
 select l_returnflag,
        sum(distinct l_quantity) as sdq,
+       avg(distinct l_quantity) as adq,
        count(distinct year(l_shipdate)) as ny,
        count(l_orderkey) as n
 from lineitem
 group by l_returnflag
+having count(distinct year(l_shipdate)) >= 1
 order by l_returnflag
 """
 

@@ -1249,11 +1249,14 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                  for p, _ in snap.files], "__file string, file_path string")
             if len(snap.files) < _distributed_threshold(spark):
                 rel_of = F.broadcast(rel_of)  # file-count bounded
+            # no orderBy here: the pos-delete branch below imposes the
+            # spec's sorted-within-file order via repartitionByRange +
+            # sortWithinPartitions — a global sort first would be a
+            # second, redundant range shuffle
             keys = (live.where(predicate)
                     .select("__file", F.col("__pos").alias("pos"))
                     .join(rel_of, "__file")
-                    .select("file_path", "pos")
-                    .orderBy("file_path", "pos"))
+                    .select("file_path", "pos"))
             prefix, cols_entry = "pos-delete", None
 
         sid_next = max((s["snapshot-id"]

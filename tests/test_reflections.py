@@ -1464,3 +1464,58 @@ def test_refresh_preserves_previous_generation_for_inflight_reads(spark):
     new_df = eng.sql("select k, sum(v) as s from gen_t group by k")
     assert eng.last_plan_accelerated == "t_gen" and new_df.count() == 4
     eng.sql("ALTER TABLE gen_t DROP REFLECTION t_gen")
+
+
+def test_avg_distinct_and_having_distinct_substitution(spark):
+    """AVG(DISTINCT x) substitutes as sum_distinct/countDistinct over
+    the stored dim grain, and a HAVING over a distinct agg re-applies
+    post-rollup — including the HAVING-ONLY case where the top
+    projection drops the distinct agg's output (the rollup must still
+    compute it; resolving the dropped name against per-cell partials
+    would return garbage).  Controls: AVG(DISTINCT <expression>) and a
+    HAVING over a distinct agg whose base column the reflection lacks
+    both fall through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rad "
+            "USING DIMENSIONS (l_returnflag, l_quantity, l_shipdate) "
+            "MEASURES (l_orderkey (COUNT))")
+
+    def canon(df):
+        return sorted(
+            tuple(round(float(x), 9) if isinstance(x, (int, float)) else x
+                  for x in r)
+            for r in df.collect())
+
+    for q in (
+        # avg(distinct) as an output
+        "select l_returnflag, avg(distinct l_quantity) as a "
+        "from lineitem group by l_returnflag order by l_returnflag",
+        # having over a distinct agg that IS an output
+        "select l_returnflag, count(distinct l_shipdate) as nd "
+        "from lineitem group by l_returnflag "
+        "having count(distinct l_shipdate) > 10",
+        # HAVING-ONLY: projection drops the distinct agg's output
+        "select l_returnflag, count(l_orderkey) as n "
+        "from lineitem group by l_returnflag "
+        "having sum(distinct l_quantity) > 100",
+        # HAVING-only avg(distinct)
+        "select l_returnflag from lineitem group by l_returnflag "
+        "having avg(distinct l_quantity) > 1",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "rad", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: expression argument under DISTINCT falls through
+    eng.sql("select l_returnflag, avg(distinct l_quantity * 2) as a "
+            "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None
+    # control: HAVING over a distinct agg on a non-dim column
+    eng.sql("select l_returnflag from lineitem group by l_returnflag "
+            "having count(distinct l_orderkey) > 0")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("rad")
