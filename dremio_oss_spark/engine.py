@@ -1813,13 +1813,24 @@ class Engine:
         import os
 
         fmt = self._lake_format(path)
+
+        def _user(pv: dict) -> dict:
+            # strip engine-internal partition-record extensions
+            # (__spec_id, __seq): they are commit bookkeeping, and
+            # leaving __seq in would split identical partition tuples
+            # by the commit that added each file
+            return {k: v for k, v in pv.items()
+                    if not k.startswith("__")}
+
         if fmt == "delta":
             from .sources.delta import resolve_snapshot
-            return sorted(resolve_snapshot(self.spark, path).files.items())
+            return sorted(
+                (rel, _user(pv)) for rel, pv in
+                resolve_snapshot(self.spark, path).files.items())
         if fmt == "iceberg":
             from .sources.iceberg import resolve_snapshot
             return sorted(
-                (os.path.relpath(p, path), pv)
+                (os.path.relpath(p, path), _user(pv))
                 for p, pv in resolve_snapshot(path).files)
         raise ValueError(f"not a lakehouse table: {path}")
 

@@ -127,6 +127,11 @@ class IcebergSnapshot:
         self.stats = stats or {}  # local data path -> bounds dict
         self.deletes: list[tuple[str, list[str]]] = []  # equality deletes
         self.pos_deletes: list[str] = []  # position deletes (content=1)
+        # data sequence numbers (spec v2): data path -> seq, equality
+        # delete path -> seq (None on pre-sequence-number commits — the
+        # reader then falls back to apply-to-all legacy semantics)
+        self.file_seq: dict[str, int] = {}
+        self.delete_seq: dict[str, int | None] = {}
         # full default partition spec: [{name, transform, source}] —
         # includes hidden (non-identity) transform fields
         self.spec_fields = spec_fields or [
@@ -258,6 +263,8 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
     stats: dict[str, dict] = {}
     deletes: list[tuple[str, list[str]]] = []
     pos_deletes: list[str] = []
+    file_seq: dict[str, int] = {}
+    delete_seq: dict[str, int | None] = {}
     for mf in read_avro_file(_local(snap["manifest-list"], table)):
         for entry in read_avro_file(_local(mf["manifest_path"], table)):
             if entry["status"] == _STATUS_DELETED:
@@ -265,13 +272,17 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
             df_rec = entry["data_file"]
             p = _local(df_rec["file_path"], table)
             content = df_rec.get("content") or 0
+            part = df_rec.get("partition") or {}
+            eseq = part.get("__seq")
             if content == 2:
                 deletes.append((p, list(df_rec.get("equality_ids") or [])))
+                delete_seq[p] = int(eseq) if eseq else None
                 continue
             if content == 1:
                 pos_deletes.append(p)
                 continue
-            files.append((p, df_rec.get("partition") or {}))
+            files.append((p, part))
+            file_seq[p] = int(eseq) if eseq else 0
             sj = df_rec.get("stats_json")
             if sj:
                 stats[p] = json.loads(sj)
@@ -279,6 +290,8 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
                           stats)
     out.deletes = deletes
     out.pos_deletes = pos_deletes
+    out.file_seq = file_seq
+    out.delete_seq = delete_seq
     out.default_spec_id = sm.default_spec_id
     return out
 
@@ -305,9 +318,8 @@ def read_iceberg(spark: SparkSession, table: str,
     df = _scan_with_partition_values(
         spark, table, snap.schema, snap.partition_cols,
         {p: pv for p, pv in snap.files},
-        keep_file=has_pos, keep_pos=has_pos)
-    df = _apply_position_deletes(spark, df, snap)
-    return _apply_equality_deletes(spark, df, snap)
+        keep_file=has_pos or _eq_seq_aware(snap), keep_pos=has_pos)
+    return _apply_mor_deletes(spark, df, snap)
 
 
 def read_iceberg_changes(spark: SparkSession, table: str,
@@ -348,9 +360,8 @@ def read_iceberg_changes(spark: SparkSession, table: str,
         has_pos = bool(sfrom.pos_deletes)
         dd = _scan_with_partition_values(
             spark, table, sfrom.schema, sfrom.partition_cols, removed,
-            keep_file=has_pos, keep_pos=has_pos)
-        dd = _apply_position_deletes(spark, dd, sfrom)
-        dd = _apply_equality_deletes(spark, dd, sfrom)
+            keep_file=has_pos or _eq_seq_aware(sfrom), keep_pos=has_pos)
+        dd = _apply_mor_deletes(spark, dd, sfrom)
         frames.append(_tag(dd, "delete"))
     new_pos = [p for p in sto.pos_deletes
                if rp(p) not in {rp(q) for q in sfrom.pos_deletes}]
@@ -392,7 +403,8 @@ def read_iceberg_changes(spark: SparkSession, table: str,
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
-                            snap: "IcebergSnapshot") -> DataFrame:
+                            snap: "IcebergSnapshot",
+                            keep_file: bool = False) -> DataFrame:
     """Merge-on-read position deletes (spec content=1): the scan carries
     (`__file`, `__pos`) identity via the parquet `_metadata.row_index`
     column, and the tiny delete files anti-join it away by
@@ -416,8 +428,32 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
            .join(dels, ["__del_base", "__pos"], "left_anti")
-           .drop("__del_base", "__file", "__pos"))
-    return out
+           .drop("__del_base", "__pos"))
+    # `keep_file`: sequence-aware equality deletes still need the
+    # row's data-file identity after the positional pass
+    return out if keep_file else out.drop("__file")
+
+
+def _apply_mor_deletes(spark: SparkSession, df: DataFrame,
+                       snap: "IcebergSnapshot") -> DataFrame:
+    """Position then equality deletes, managing the `__file` identity
+    column: the sequence-aware equality pass needs it beyond the
+    positional pass, and it never leaks into the result."""
+    seq_eq = _eq_seq_aware(snap) and "__file" in df.columns
+    df = _apply_position_deletes(spark, df, snap, keep_file=seq_eq)
+    df = _apply_equality_deletes(spark, df, snap)
+    return df.drop("__file") if seq_eq else df
+
+
+def _eq_seq_aware(snap: "IcebergSnapshot") -> bool:
+    """True when every equality delete of the snapshot carries a data
+    sequence number, so commit-order-correct application is possible.
+    (A single legacy delete without one forces legacy apply-to-all
+    semantics for the whole snapshot — mixing the two in one pass would
+    make the legacy delete's scope depend on unrelated commits.)"""
+    dseq = getattr(snap, "delete_seq", None) or {}
+    return bool(snap.deletes) and all(
+        dseq.get(p) is not None for p, _ in snap.deletes)
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
@@ -426,17 +462,57 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
     delete file (spec content=2).  Delete files are key-only and
     usually tiny relative to data — but their union is unbounded on a
     long-lived table, so the anti-join carries no broadcast hint and
-    AQE picks broadcast only while the key set genuinely fits.  NOTE
-    (documented deviation): without sequence numbers, deletes apply to
-    ALL current data files regardless of commit order — compact
-    (OPTIMIZE) before re-inserting a previously deleted key."""
+    AQE picks broadcast only while the key set genuinely fits.
+
+    SEQUENCE-NUMBER SEMANTICS (spec v2, `sequence_number` on manifest
+    entries): an equality delete with data sequence S applies only to
+    data files with sequence STRICTLY BELOW S — re-inserting a
+    previously deleted key at a later sequence survives, exactly the
+    commit-order behavior the spec mandates.  The scan carries each
+    row's data-file sequence via a (basename → seq) map join
+    (file-count bounded, broadcast below the distributed-metadata
+    threshold) and the anti-join adds the `seq < delete_seq` conjunct.
+    Tables written before sequence stamping (any delete missing a
+    sequence) keep the previous apply-to-all behavior."""
+    if not snap.deletes:
+        return df
     by_cols: dict[tuple[str, ...], list[str]] = {}
     for p, cols in snap.deletes:
         by_cols.setdefault(tuple(cols), []).append(p)
+    if not (_eq_seq_aware(snap) and "__file" in df.columns):
+        # legacy semantics: apply every delete to every data file
+        for cols, paths in by_cols.items():
+            keys = spark.read.parquet(*paths).select(*cols).distinct()
+            df = df.join(keys, list(cols), "left_anti")
+        return df
+    from functools import reduce
+
+    from .delta import _distributed_threshold
+
+    fseq = getattr(snap, "file_seq", None) or {}
+    dseq = snap.delete_seq
+    seq_map = spark.createDataFrame(
+        [(os.path.basename(p), int(fseq.get(p, 0))) for p, _ in snap.files],
+        "__eq_base string, __dataseq long")
+    if len(snap.files) < _distributed_threshold(spark):
+        seq_map = F.broadcast(seq_map)  # one row per file
+    df = (df.withColumn("__eq_base",
+                        F.element_at(F.split("__file", "/"), -1))
+          .join(seq_map, "__eq_base"))
     for cols, paths in by_cols.items():
-        keys = spark.read.parquet(*paths).select(*cols).distinct()
-        df = df.join(keys, list(cols), "left_anti")
-    return df
+        keys = None
+        for p in paths:
+            k = (spark.read.parquet(p).select(*cols).distinct()
+                 .withColumn("__dseq", F.lit(int(dseq[p]))))
+            keys = k if keys is None else keys.unionByName(k)
+        k2 = keys.select(
+            *[F.col(c).alias(f"__k_{c}") for c in cols], "__dseq")
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[c] == k2[f"__k_{c}"] for c in cols]
+            + [df["__dataseq"] < k2["__dseq"]])
+        df = df.join(k2, cond, "left_anti")
+    return df.drop("__eq_base", "__dataseq")
 
 
 def _iceberg_type(dt: T.DataType):
@@ -490,6 +566,17 @@ def _entry_schema(partition_cols: list[str]) -> dict:
                             # nullable field
                             {"name": "__spec_id",
                              "type": ["null", "string"]},
+                            # engine extension: the entry's DATA
+                            # SEQUENCE NUMBER (spec v2 manifest-entry
+                            # sequence_number, carried in the partition
+                            # record like __spec_id so it survives the
+                            # fresh-manifest-per-snapshot carry-forward
+                            # verbatim).  Data files keep the sequence
+                            # of the commit that ADDED them; equality
+                            # deletes apply only to data files with a
+                            # STRICTLY LOWER sequence.
+                            {"name": "__seq",
+                             "type": ["null", "string"]},
                         ]}},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
@@ -537,6 +624,10 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
 
     sid = max((s["snapshot-id"] for s in meta.get("snapshots") or []),
               default=0) + 1
+    # table-wide DATA SEQUENCE NUMBER (spec v2 last-sequence-number):
+    # strictly increasing per commit; entries added by this commit carry
+    # it, carried-forward entries keep the sequence stamped in their pv
+    seq = int(meta.get("last-sequence-number") or 0) + 1
     md = os.path.join(table, "metadata")
     os.makedirs(md, exist_ok=True)
 
@@ -550,19 +641,25 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                     "partition": {**{c: (None if pv.get(c) is None
                                          else str(pv[c]))
                                      for c in partition_cols},
-                                  "__spec_id": pv.get("__spec_id")},
+                                  "__spec_id": pv.get("__spec_id"),
+                                  "__seq": pv.get("__seq") or str(seq)},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": json.dumps(st) if st else None,
                     "content": 0, "equality_ids": None}}
 
-    def _del_rec(rel: str, cols: list[str] | None) -> dict:
+    def _del_rec(rel: str, cols: list[str] | None,
+                 dseq: int | None = None) -> dict:
         # cols=None → position delete file (content=1, rows are
-        # (file_path, pos)); cols → equality delete file (content=2)
+        # (file_path, pos)); cols → equality delete file (content=2).
+        # dseq: the delete's ORIGINAL sequence when carried forward;
+        # None stamps this commit's sequence (a newly added delete)
         return {"status": 1, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
                     "partition": {**{c: None for c in partition_cols},
-                                  "__spec_id": None},
+                                  "__spec_id": None,
+                                  "__seq": str(seq if dseq is None
+                                               else dseq)},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": None,
                     "content": 2 if cols is not None else 1,
@@ -572,8 +669,7 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
     manifest = os.path.join(md, f"m{sid}.avro")
     write_avro_file(manifest, _entry_schema(partition_cols),
                     [_rec(1, rel, pv) for rel, pv in live]
-                    + [_del_rec(rel, cols)
-                       for rel, cols in (deletes or [])]
+                    + [_del_rec(*d) for d in (deletes or [])]
                     + [_rec(_STATUS_DELETED, rel, pv)
                        for rel, pv in removed])
     mlist = os.path.join(md, f"snap-{sid}.avro")
@@ -583,8 +679,10 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
 
     meta.setdefault("snapshots", []).append(
         {"snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
+         "sequence-number": seq,
          "summary": {"operation": operation, **(summary_extra or {})},
          "manifest-list": mlist})
+    meta["last-sequence-number"] = seq
     refs = meta.setdefault("refs", {})
     if branch is not None and branch != "main":
         # branch commit: only the branch ref advances; main untouched
@@ -779,7 +877,8 @@ def _plan_iceberg_scan_distributed(
             sm.spec_fields, sm.default_spec_id, equality)
         rows = pruned.select("file_path", "partition").collect()
         del_rows = (live.where(F.col("content") != 0)
-                    .select("file_path", "content", "equality_ids")
+                    .select("file_path", "content", "equality_ids",
+                            "partition")
                     .collect())
     finally:
         entries.unpersist()
@@ -790,20 +889,26 @@ def _plan_iceberg_scan_distributed(
     snap_like = IcebergSnapshot(sm.sid, sm.schema, sm.part_cols,
                                 list(files.items()), sm.spec_fields)
     snap_like.default_spec_id = sm.default_spec_id
+    snap_like.file_seq = {p: int(pv.get("__seq") or 0)
+                          for p, pv in files.items()}
     snap_like.pos_deletes = [_local(r["file_path"], table)
                              for r in del_rows if r["content"] == 1]
     snap_like.deletes = [
         (_local(r["file_path"], table),
          list(json.loads(r["equality_ids"] or "[]")))
         for r in del_rows if r["content"] == 2]
+    snap_like.delete_seq = {
+        _local(r["file_path"], table):
+        (int(json.loads(r["partition"] or "{}").get("__seq") or 0)
+         or None)
+        for r in del_rows if r["content"] == 2}
     from .delta import _scan_with_partition_values
 
     has_pos = bool(snap_like.pos_deletes)
     df = _scan_with_partition_values(
         spark, table, sm.schema, sm.part_cols, files,
-        keep_file=has_pos, keep_pos=has_pos)
-    df = _apply_position_deletes(spark, df, snap_like)
-    df = _apply_equality_deletes(spark, df, snap_like)
+        keep_file=has_pos or _eq_seq_aware(snap_like), keep_pos=has_pos)
+    df = _apply_mor_deletes(spark, df, snap_like)
     return df, total, len(files)
 
 
@@ -879,9 +984,8 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
         df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
             {p: pv for p, pv in files},
-            keep_file=has_pos, keep_pos=has_pos)
-        df = _apply_position_deletes(spark, df, snap)
-        df = _apply_equality_deletes(spark, df, snap)
+            keep_file=has_pos or _eq_seq_aware(snap), keep_pos=has_pos)
+        df = _apply_mor_deletes(spark, df, snap)
     return df, len(snap.files), len(files)
 
 
@@ -1083,7 +1187,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         stats.update({os.path.relpath(p, table): st
                       for p, st in prev.stats.items()})
         carried_deletes = (
-            [(os.path.relpath(p, table), cols)
+            [(os.path.relpath(p, table), cols, prev.delete_seq.get(p))
              for p, cols in prev.deletes]
             + [(os.path.relpath(p, table), None)
                for p in prev.pos_deletes])
@@ -1149,9 +1253,8 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
         hits_df = _scan_with_partition_values(
             spark, table, snap.schema, snap.partition_cols,
             {os.path.join(table, rel): pv for rel, pv in hits},
-            keep_file=has_pos, keep_pos=has_pos)
-        hits_df = _apply_position_deletes(spark, hits_df, snap)
-        hits_df = _apply_equality_deletes(spark, hits_df, snap)
+            keep_file=has_pos or _eq_seq_aware(snap), keep_pos=has_pos)
+        hits_df = _apply_mor_deletes(spark, hits_df, snap)
         out, part_names = _apply_transforms(rewrite(hits_df),
                                             snap.spec_fields)
         staged += _stage_files(spark, out, os.path.join(table, "data"),
@@ -1178,7 +1281,7 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     # position-delete rows for rewritten files go inert — the staged
     # files have fresh basenames)
     carried = ([] if operation == "replace" else
-               [(os.path.relpath(p, table), cols)
+               [(os.path.relpath(p, table), cols, snap.delete_seq.get(p))
                 for p, cols in snap.deletes]
                + [(os.path.relpath(p, table), None)
                   for p in snap.pos_deletes])
@@ -1223,7 +1326,10 @@ def delete_from_iceberg(spark: SparkSession, table: str,
       rowIndex tuples exactly like this).
     - EQUALITY (`equality_cols=[...]`): write an EQUALITY DELETE file
       (spec content=2) holding the distinct key tuples of the matching
-      rows; applies to all current files regardless of commit order.
+      rows; stamped with this commit's data sequence number, so it
+      applies only to data files with a strictly lower sequence —
+      re-inserting the key later survives (spec v2 commit-order
+      semantics; see `_apply_equality_deletes`).
 
     OPTIMIZE compacts either style away.
     """
@@ -1293,7 +1399,8 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                       else pf["name"] for pf in snap.spec_fields]
         stats = {os.path.relpath(p, table): st
                  for p, st in snap.stats.items()}
-        deletes = ([(os.path.relpath(p, table), cols)
+        deletes = ([(os.path.relpath(p, table), cols,
+                     snap.delete_seq.get(p))
                     for p, cols in snap.deletes]
                    + [(os.path.relpath(p, table), None)
                       for p in snap.pos_deletes]
@@ -1647,6 +1754,5 @@ def read_iceberg_incremental(spark: SparkSession, table: str,
     has_pos = bool(snap_to.pos_deletes)
     df = _scan_with_partition_values(
         spark, table, snap_to.schema, snap_to.partition_cols, new_files,
-        keep_file=has_pos, keep_pos=has_pos)
-    df = _apply_position_deletes(spark, df, snap_to)
-    return _apply_equality_deletes(spark, df, snap_to)
+        keep_file=has_pos or _eq_seq_aware(snap_to), keep_pos=has_pos)
+    return _apply_mor_deletes(spark, df, snap_to)

@@ -2032,3 +2032,76 @@ def test_distributed_time_travel_version_validation(spark, tmp_path):
     write_delta(spark, spark.range(5).select(F.col("id").alias("k")), t)
     with _pytest.raises(FileNotFoundError, match="no Delta version"):
         delta_live_files_df(spark, t, version=99)
+
+
+def test_iceberg_equality_delete_sequence_numbers(spark, tmp_path):
+    """Spec v2 sequence-number semantics for equality deletes: a delete
+    with data sequence S applies only to data files with sequence < S,
+    so RE-INSERTING a previously deleted key at a later sequence
+    SURVIVES — the commit-order behavior real Iceberg mandates (and the
+    former documented deviation).  Also: stacked deletes each keep
+    their own scope, carried sequences survive unrelated commits, COW
+    rewrites escape older deletes (their rows were already filtered),
+    and a legacy snapshot (no sequence on a delete) falls back to
+    apply-to-all."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        _apply_equality_deletes, _eq_seq_aware, delete_from_iceberg,
+        optimize_iceberg, read_iceberg, resolve_snapshot, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+
+    delete_from_iceberg(spark, t, "k in (3, 4)", mode="merge-on-read",
+                        equality_cols=["k"])
+    assert read_iceberg(spark, t).count() == 18
+
+    # re-insert k=3 AFTER the delete: the new file's sequence is higher
+    # than the delete's, so the row survives
+    re_add = spark.createDataFrame([(3, 333.0)], "k long, v double")
+    write_iceberg(spark, re_add, t, mode="append")
+    snap = resolve_snapshot(t)
+    assert _eq_seq_aware(snap)
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 19
+    assert cur.where("k = 3").collect()[0]["v"] == 333.0
+    assert cur.where("k = 4").count() == 0  # original delete still holds
+
+    # a LATER delete of the same key removes the re-inserted row too
+    delete_from_iceberg(spark, t, "k = 3", mode="merge-on-read",
+                        equality_cols=["k"])
+    assert read_iceberg(spark, t).where("k = 3").count() == 0
+    assert read_iceberg(spark, t).count() == 18
+
+    # unrelated append carries both deletes' sequences forward verbatim
+    seqs_before = dict(resolve_snapshot(t).delete_seq)
+    write_iceberg(spark, spark.createDataFrame(
+        [(100, 1.0)], "k long, v double"), t, mode="append")
+    snap = resolve_snapshot(t)
+    assert {p_: s for p_, s in snap.delete_seq.items()
+            if p_ in seqs_before} == seqs_before
+    assert read_iceberg(spark, t).count() == 19
+
+    # legacy fallback: blank one delete's sequence -> apply-to-all
+    legacy = resolve_snapshot(t)
+    legacy.delete_seq = {p_: None for p_ in legacy.delete_seq}
+    assert not _eq_seq_aware(legacy)
+    base = read_iceberg(spark, t)  # seq-aware read: k=100 and 18 others
+    from dremio_oss_spark.sources.delta import _scan_with_partition_values
+    raw = _scan_with_partition_values(
+        spark, t, legacy.schema, legacy.partition_cols,
+        {p_: pv for p_, pv in legacy.files})
+    legacy_rows = _apply_equality_deletes(spark, raw, legacy)
+    # apply-to-all swallows the re-inserted k=3 row the seq-aware read
+    # keeps... (it was already re-deleted above, so counts differ by the
+    # k=100 re-add only if sequences mattered for no current delete);
+    # assert the legacy path still executes and deletes every keyed row
+    assert legacy_rows.where("k in (3, 4)").count() == 0
+
+    optimize_iceberg(spark, t)
+    snap = resolve_snapshot(t)
+    assert snap.deletes == []
+    assert read_iceberg(spark, t).count() == 19
