@@ -353,11 +353,19 @@ class _Extractor:
         if c == "Join":
             jt_obj = node.get("joinType", {}).get("object", "")
             jt = {"Inner$": "inner",
-                  "LeftOuter$": "left"}.get(jt_obj.rsplit(".", 1)[-1])
+                  "LeftOuter$": "left",
+                  "RightOuter$": "right"}.get(jt_obj.rsplit(".", 1)[-1])
             if jt is None:
-                # RIGHT/FULL outer refuse: the reference's substitution
-                # likewise normalizes only left-preserving stars
+                # FULL outer refuses: the reference's substitution
+                # likewise normalizes only side-preserving stars
                 raise _Unsupported("non-inner join")
+            if jt == "right":
+                # `dim RIGHT JOIN fact` IS `fact LEFT JOIN dim`: swap
+                # children and reuse the whole left-preserving path —
+                # the edge/nullable bookkeeping below is side-agnostic
+                # (it resolves columns by attribute, not position)
+                kids = [kids[1], kids[0]]
+                jt = "left"
             pend_l = self._walk_source(*kids[0])
             n_mid = len(self.tables)
             pend_r = self._walk_source(*kids[1])

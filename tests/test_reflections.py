@@ -1519,3 +1519,39 @@ def test_avg_distinct_and_having_distinct_substitution(spark):
             "having count(distinct l_orderkey) > 0")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("rad")
+
+
+def test_rightjoin_star_normalizes_to_left(spark):
+    """`dim RIGHT JOIN fact` substitutes against a reflection declaring
+    the equivalent LEFT edge — the extractor swaps children and reuses
+    the left-preserving path.  FULL OUTER still falls through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE orders CREATE AGGREGATE REFLECTION t_rj "
+        "USING DIMENSIONS (c_mktsegment, o_orderpriority) "
+        "MEASURES (o_totalprice (SUM), o_orderkey (COUNT)) "
+        "JOINS (LEFT customer ON o_custkey = c_custkey)")
+    q = ("select c_mktsegment, sum(o_totalprice) as rev, "
+         "count(o_orderkey) as n "
+         "from customer right join orders on o_custkey = c_custkey "
+         "group by c_mktsegment order by c_mktsegment")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "t_rj", \
+        "right-join normalization missed"
+
+    def canon(d):
+        return sorted(tuple(round(float(x), 6)
+                            if isinstance(x, (int, float)) else x
+                            for x in r) for r in d.collect())
+
+    assert canon(df) == canon(spark.sql(q))
+    # FULL OUTER control: falls through
+    eng.sql("select c_mktsegment, sum(o_totalprice) as rev "
+            "from customer full join orders on o_custkey = c_custkey "
+            "group by c_mktsegment")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("t_rj")
