@@ -161,3 +161,81 @@ REDSHIFT_DIALECT = ArpDialect(
                               "median"}),
     function_map={"stddev": "stddev_samp"},
 )
+
+
+def dialect_from_arp_yaml(text: str) -> ArpDialect:
+    """Load a dialect from a declarative ARP descriptor (YAML).
+
+    This consumes the reference framework's per-plugin descriptor shape
+    (`common/dialect/arp/` reads one YAML per source; the public ARP
+    connector format documents the structure):
+
+        metadata:
+          name: POSTGRES          # -> dialect name (lowercased)
+        syntax:
+          identifier_quote: '"'   # both sides; '[' means [ ] (T-SQL)
+          limit_style: limit      # engine extension: limit|top|fetch
+        expressions:
+          aggregation:
+            functions:
+              - names: [sum, count, min, max, avg]
+              - names: [stddev]
+                rewrite: 'STDDEV_SAMP({0})'   # rename-only templates
+          operators:
+            - names: [coalesce]
+              rewrite: 'NVL({0}, {1})'
+
+    Supported subset, honestly scoped: per-function support lists and
+    RENAME-ONLY rewrite templates (`NAME({0}, ...)` with the arguments
+    in order).  A rewrite that reorders, drops, or wraps arguments is
+    beyond this renderer's function_map and raises — unsupported
+    declarations must fail loudly rather than render wrong SQL."""
+    import re as _re
+
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    meta = doc.get("metadata") or {}
+    syntax = doc.get("syntax") or {}
+    exprs = doc.get("expressions") or {}
+
+    q = syntax.get("identifier_quote", "")
+    pairs = {"[": "]", "(": ")", "{": "}"}
+    quote_open, quote_close = q, pairs.get(q, q)
+
+    def _rename_of(entry: dict, names: list[str]) -> dict[str, str]:
+        rw = entry.get("rewrite")
+        if not rw:
+            return {}
+        m = _re.fullmatch(
+            r"\s*([A-Za-z_]\w*)\s*\(\s*\{\d+\}"
+            r"(?:\s*,\s*\{\d+\})*\s*\)\s*", rw)
+        if not m:
+            raise ValueError(
+                f"unsupported ARP rewrite template {rw!r}: only "
+                "rename-style NAME({0}, {1}, ...) templates render here")
+        args = _re.findall(r"\{(\d+)\}", rw)
+        if args != [str(i) for i in range(len(args))]:
+            raise ValueError(
+                f"unsupported ARP rewrite template {rw!r}: argument "
+                "reordering is not expressible as a function rename")
+        return {n.lower(): m.group(1).lower() for n in names}
+
+    supported: set[str] = set()
+    fmap: dict[str, str] = {}
+    for entry in ((exprs.get("aggregation") or {}).get("functions")
+                  or []):
+        names = [n.lower() for n in (entry.get("names") or [])]
+        supported.update(names)
+        fmap.update(_rename_of(entry, names))
+    for entry in (exprs.get("operators") or []):
+        names = [n.lower() for n in (entry.get("names") or [])]
+        fmap.update(_rename_of(entry, names))
+
+    return ArpDialect(
+        name=str(meta.get("name", "generic")).lower(),
+        quote_open=quote_open, quote_close=quote_close,
+        limit_style=syntax.get("limit_style", "limit"),
+        supported_aggs=frozenset(supported) or ArpDialect.supported_aggs,
+        function_map=fmap,
+    )

@@ -508,3 +508,56 @@ def test_doc_query_counts_pinned_to_registry():
     m = re.search(r"Every registered query \((\d+)/(\d+)\)", cov)
     assert m and (int(m.group(1)), int(m.group(2))) == (n_oracled, n), \
         f"COVERAGE claims {m and m.groups()}, registry has {n_oracled}/{n}"
+
+
+def test_arp_yaml_descriptor_loader():
+    """Declarative ARP descriptor loading (the reference framework's
+    per-plugin YAML, common/dialect/arp): metadata/syntax/expressions
+    map to a dialect; rename-style rewrite templates become the
+    function map; templates beyond a rename (argument reordering,
+    wrapping) raise instead of rendering wrong SQL."""
+    import pytest
+
+    from dremio_oss_spark.sources.arp import (POSTGRES_DIALECT,
+                                              dialect_from_arp_yaml)
+
+    y = """
+metadata:
+  name: POSTGRES
+syntax:
+  identifier_quote: '"'
+expressions:
+  aggregation:
+    functions:
+      - names: [sum, count, min, max, avg]
+      - names: [stddev]
+        rewrite: 'STDDEV_SAMP({0})'
+      - names: [stddev_samp, var_samp]
+  operators:
+    - names: [coalesce]
+      rewrite: 'COALESCE({0}, {1})'
+"""
+    d = dialect_from_arp_yaml(y)
+    assert d.name == "postgres"
+    assert d.supported_aggs == POSTGRES_DIALECT.supported_aggs
+    assert d.function_map["stddev"] == "stddev_samp"
+    sql = d.render("orders", None, "o_orderkey <= 10",
+                   (["p"], {"sd": "stddev(x)"}))
+    assert 'group by "p"' in sql and "stddev_samp(x)" in sql
+
+    # T-SQL bracket quoting auto-pairs
+    d2 = dialect_from_arp_yaml(
+        "metadata: {name: TSQL}\n"
+        "syntax: {identifier_quote: '[', limit_style: top}\n")
+    assert d2.render("t", ["a"], None, None, limit=3).startswith(
+        "select top 3 [a] from [t]")
+
+    # reordering template must fail loudly, not render wrong SQL
+    with pytest.raises(ValueError, match="reordering"):
+        dialect_from_arp_yaml(
+            "expressions:\n  operators:\n"
+            "    - names: [locate]\n      rewrite: 'INSTR({1}, {0})'\n")
+    with pytest.raises(ValueError, match="rename-style"):
+        dialect_from_arp_yaml(
+            "expressions:\n  operators:\n"
+            "    - names: [log]\n      rewrite: 'LN({0}) / LN(2)'\n")
