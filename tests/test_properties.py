@@ -459,3 +459,82 @@ def test_substitution_equals_unaccelerated(spark, kinds, flt, left_join):
         assert accel == "pb_r", (q, "expected substitution")
     finally:
         eng.sql("ALTER TABLE pb_fact DROP REFLECTION pb_r")
+
+
+def test_iceberg_eq_delete_sequence_model_based(spark, tmp_path):
+    """Model-based program over Iceberg MOR equality deletes with
+    sequence numbers: appends and key-deletes interleave (including
+    re-inserting previously deleted keys, deleting re-inserted keys
+    again, COW updates, and OPTIMIZE); after every op the table equals
+    a driver-side dict model applying the ops in commit order.  The
+    model is exactly the spec's semantics — a delete removes the keys
+    that exist AT DELETE TIME; later inserts of the same key survive —
+    so any sequence-scoping bug (delete leaking forward or failing to
+    reach backward) diverges immediately."""
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, optimize_iceberg, read_iceberg,
+        update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    model: dict[int, float] = {}
+
+    def to_df(rows: dict[int, float]):
+        return spark.createDataFrame(
+            sorted(rows.items()), "k long, v double")
+
+    def check():
+        got = {r["k"]: r["v"] for r in read_iceberg(spark, t).collect()}
+        assert got == model, (sorted(got.items())[:5],
+                              sorted(model.items())[:5],
+                              len(got), len(model))
+
+    import random
+
+    rng = random.Random(42)
+    # bootstrap
+    first = {k: float(k) for k in range(25)}
+    write_iceberg(spark, to_df(first), t)
+    model.update(first)
+    check()
+
+    next_k = 25
+    for step in range(8):
+        op = rng.choice(["append", "reinsert", "eq_delete", "update"])
+        if op == "append":
+            rows = {next_k + i: float(next_k + i) for i in range(4)}
+            next_k += 4
+            write_iceberg(spark, to_df(rows), t, mode="append")
+            model.update(rows)
+        elif op == "reinsert":
+            # resurrect up to 3 previously deleted keys with new values
+            dead = sorted(set(range(next_k)) - set(model))[:3]
+            if not dead:
+                continue
+            rows = {k: float(k) + 0.5 for k in dead}
+            write_iceberg(spark, to_df(rows), t, mode="append")
+            model.update(rows)
+        elif op == "eq_delete":
+            ks = rng.sample(sorted(model), min(5, len(model)))
+            pred = f"k in ({', '.join(map(str, ks))})"
+            delete_from_iceberg(spark, t, pred, mode="merge-on-read",
+                                equality_cols=["k"])
+            for k in ks:
+                model.pop(k, None)
+        else:  # COW update over the MOR state
+            update_iceberg(spark, t, {"v": "v + 1000"}, "k % 7 = 0")
+            model = {k: (v + 1000 if k % 7 == 0 else v)
+                     for k, v in model.items()}
+        check()
+
+    optimize_iceberg(spark, t)
+    check()
+    # post-OPTIMIZE the cycle restarts cleanly: delete then re-insert
+    if model:
+        k0 = sorted(model)[0]
+        delete_from_iceberg(spark, t, f"k = {k0}", mode="merge-on-read",
+                            equality_cols=["k"])
+        model.pop(k0)
+        check()
+        write_iceberg(spark, to_df({k0: 7.25}), t, mode="append")
+        model[k0] = 7.25
+        check()
