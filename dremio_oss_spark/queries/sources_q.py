@@ -800,12 +800,15 @@ where o_orderkey = (select max(o_orderkey) from orders)
 
 def delta_dv(spark: SparkSession, sf: str) -> DataFrame:
     """Delta deletion vectors end-to-end: MOR DELETE records roaring
-    row-index bitmaps (no data rewrite — asserted), the reader hides
-    the rows, a second DV stacks, and time travel still sees the
-    original count.  Reference read side: delta PROTOCOL.md "Deletion
-    Vectors" as DeltaLakeFormatPlugin would consume them."""
+    row-index bitmaps (no data rewrite — asserted), MOR UPDATE DV-marks
+    and re-appends post-image rows (delta-spark\'s DV update; original
+    files all stay live — asserted), the reader hides dead rows, DVs
+    stack, and time travel still sees the original count.  Reference
+    read side: delta PROTOCOL.md "Deletion Vectors" as
+    DeltaLakeFormatPlugin would consume them."""
     from ..sources.delta import (delete_from_delta, read_delta,
-                                 resolve_snapshot, write_delta)
+                                 resolve_snapshot, update_delta,
+                                 write_delta)
     from .tpch import dsum
 
     t = os.path.join(_scratch("delta_dv", sf), "cust_delta")
@@ -814,11 +817,17 @@ def delta_dv(spark: SparkSession, sf: str) -> DataFrame:
     write_delta(spark, cust, t)
     files_before = set(resolve_snapshot(spark, t).files)
     delete_from_delta(spark, t, "c_acctbal < 0", mode="merge-on-read")
-    delete_from_delta(spark, t, "c_mktsegment = 'BUILDING'",
+    delete_from_delta(spark, t, "c_mktsegment = \'BUILDING\'",
                       mode="merge-on-read")
     snap = resolve_snapshot(spark, t)
     assert set(snap.files) == files_before, "DV delete must not rewrite"
     assert snap.dvs, "deletion vectors missing"
+    # MOR UPDATE: DV-mark + append post rows; originals all stay live
+    update_delta(spark, t, {"c_acctbal": "c_acctbal + 10"},
+                 "c_mktsegment = \'MACHINERY\'", mode="merge-on-read")
+    snap = resolve_snapshot(spark, t)
+    assert files_before <= set(snap.files), "MOR update must not rewrite"
+    assert len(set(snap.files)) > len(files_before), "post rows missing"
     n_v0 = read_delta(spark, t, version=0).count()
     return (
         read_delta(spark, t)
@@ -831,12 +840,18 @@ def delta_dv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DELTA_DV_SQL = """
+with live as (
+  select c_custkey, c_mktsegment,
+         case when c_mktsegment = 'MACHINERY'
+              then c_acctbal + 10 else c_acctbal end as c_acctbal
+  from customer
+  where not (c_acctbal < 0) and c_mktsegment <> 'BUILDING'
+)
 select c_mktsegment,
        cast(count(*) as bigint) as n_cust,
        cast(sum(cast(c_acctbal as decimal(18,2))) as double) as acctbal_sum,
        (select cast(count(*) as bigint) from customer) as n_before
-from customer
-where not (c_acctbal < 0) and c_mktsegment <> 'BUILDING'
+from live
 group by c_mktsegment
 order by c_mktsegment
 """

@@ -1149,12 +1149,26 @@ def delete_from_delta(spark: SparkSession, table: str, predicate: str,
 
 
 def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
+    return _dv_mark(spark, table, predicate, set_exprs=None)
+
+
+def _dv_mark(spark: SparkSession, table: str, predicate: str,
+             set_exprs: dict[str, str] | None) -> int:
+    """Shared merge-on-read core: DV-mark the rows matching `predicate`.
+
+    set_exprs=None is MOR DELETE (mark only).  A dict is MOR UPDATE —
+    delta-spark's deletion-vector update shape: the matching rows are
+    DV-marked in their original files AND re-appended as new files with
+    the SET expressions applied, so no existing data file is rewritten
+    (PROTOCOL.md Deletion Vectors; the COW `update_delta` remains the
+    compacting path)."""
     import struct
     import uuid
     import zlib
 
     from .roaring import encode_rbm_array
 
+    operation = "DELETE" if set_exprs is None else "UPDATE"
     snap = resolve_snapshot(spark, table)
     # first DV on this table: declare the deletionVectors table feature
     # (PROTOCOL.md reader v3 / writer v7 feature lists).  The v7 feature
@@ -1228,20 +1242,41 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
     with open(os.path.join(table, dv_rel), "wb") as f:
         f.write(bytes(buf))
     actions: list[dict] = protocol_bump + [
-        {"commitInfo": {"operation": "DELETE", "timestamp": _commit_ts()}}
+        {"commitInfo": {"operation": operation,
+                        "timestamp": _commit_ts()}}
     ]
     for rel in sorted(blobs):
         actions.append({"remove": {"path": rel, "deletionTimestamp": version,
                                    "dataChange": True}})
         actions.append(_add_action(rel, snap.files[rel], version,
                                    snap.stats, dv=descs[rel]))
+    table_cols = [f.name for f in snap.schema.fields]
+    post = None
+    if set_exprs is not None:
+        # MOR UPDATE: append the post-image of the marked rows as new
+        # files (their old copies are DV-dead above)
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        post = live.where(predicate).select(*table_cols)
+        for c, e in set_exprs.items():
+            post = post.withColumn(c, F.expr(e).cast(types[c]))
+        staged = _stage_files(spark, post, table, version,
+                              snap.partition_cols)
+        stats_map = _collect_stats(spark, table, staged, snap.schema,
+                                   snap.partition_cols)
+        actions.extend(_add_action(rel, pv, version, stats_map)
+                       for rel, pv in staged)
     if _cdf_enabled(snap):
-        # a MOR delete is still a data change: stage the deleted rows as
+        # a MOR mark is still a data change: stage the changed rows as
         # cdc files (delta-spark does the same), else any CDF read over
         # this commit raises and CDC consumers are broken for the range
-        table_cols = [f.name for f in snap.schema.fields]
-        changes = (live.where(predicate).select(*table_cols)
-                   .withColumn("_change_type", F.lit("delete")))
+        pre = live.where(predicate).select(*table_cols)
+        if set_exprs is None:
+            changes = pre.withColumn("_change_type", F.lit("delete"))
+        else:
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(post.withColumn(
+                    "_change_type", F.lit("update_postimage"))))
         actions.extend(_stage_cdc(spark, changes, table, version))
     version = _commit_with_cdc_cleanup(table, version, actions)
     _maybe_checkpoint(spark, table, version)
@@ -1249,13 +1284,26 @@ def _dv_delete(spark: SparkSession, table: str, predicate: str) -> int:
 
 
 def update_delta(spark: SparkSession, table: str,
-                 set_exprs: dict[str, str], predicate: str = "true") -> int:
-    """UPDATE <delta table> SET col = expr, ... [WHERE predicate] —
-    copy-on-write: only files containing matching rows are rewritten;
-    within them, non-matching rows pass through unchanged.
+                 set_exprs: dict[str, str], predicate: str = "true",
+                 mode: str = "copy-on-write") -> int:
+    """UPDATE <delta table> SET col = expr, ... [WHERE predicate].
+
+    copy-on-write (default): only files containing matching rows are
+    rewritten; within them, non-matching rows pass through unchanged.
+
+    merge-on-read: deletion-vector update (delta-spark's DV-enabled
+    UPDATE): matching rows are DV-marked dead in place and re-appended
+    with the SET expressions applied — no existing file rewritten; any
+    later COW op or OPTIMIZE folds the DVs in.
+
     Reference DML surface: dremio-oss UPDATE on Iceberg tables
     (`planner/sql/handlers/query/UpdateHandler.java`); same semantics
     here on the Delta log."""
+    if mode == "merge-on-read":
+        return _dv_mark(spark, table, predicate, set_exprs=set_exprs)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown UPDATE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)
     hit_rel = _mark_hit_files(table, live.where(predicate))

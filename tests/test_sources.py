@@ -2105,3 +2105,65 @@ def test_iceberg_equality_delete_sequence_numbers(spark, tmp_path):
     snap = resolve_snapshot(t)
     assert snap.deletes == []
     assert read_iceberg(spark, t).count() == 19
+
+
+def test_delta_merge_on_read_update_dv(spark, tmp_path):
+    """Delta MOR UPDATE (delta-spark's deletion-vector update): matching
+    rows are DV-marked dead in their original files and re-appended
+    with the SET expressions applied — no existing data file rewritten.
+    Stacks with MOR DELETE, emits update_preimage/postimage CDC on CDF
+    tables, survives time travel, and OPTIMIZE folds everything in."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, optimize_delta, read_delta, read_delta_cdf,
+        resolve_snapshot, update_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t, partition_by=["p"], enable_cdf=True)
+    files_before = set(resolve_snapshot(spark, t).files)
+
+    v_upd = update_delta(spark, t, {"v": "v + 0.5"}, "k < 10",
+                         mode="merge-on-read")
+    snap = resolve_snapshot(spark, t)
+    # original files all still live (DV-marked), plus appended post rows
+    assert files_before <= set(snap.files)
+    assert len(set(snap.files)) > len(files_before)
+    assert snap.dvs and sum(
+        d["cardinality"] for d in snap.dvs.values()) == 10
+    cur = read_delta(spark, t)
+    assert cur.count() == 60
+    assert cur.where("k < 10 and v = k + 0.5").count() == 10
+    assert cur.where("k >= 10 and v = k").count() == 50
+
+    # CDF emitted pre/post images for the update
+    ch = read_delta_cdf(spark, t, v_upd, v_upd)
+    pre = ch.where("_change_type = 'update_preimage'")
+    post = ch.where("_change_type = 'update_postimage'")
+    assert pre.count() == 10 and post.count() == 10
+    assert post.where("v = k + 0.5").count() == 10
+
+    # stacks with MOR DELETE over the updated state
+    delete_from_delta(spark, t, "k in (0, 20)", mode="merge-on-read")
+    cur = read_delta(spark, t)
+    assert cur.count() == 58 and cur.where("k in (0, 20)").count() == 0
+    # the updated copy of k=0 is gone too (DV on the appended file)
+    assert cur.where("v = 0.5").count() == 0
+
+    # time travel: before the update everything was v = k
+    assert read_delta(spark, t, version=0).where("v = k").count() == 60
+
+    # second MOR update touches the APPENDED post rows of the first
+    update_delta(spark, t, {"v": "v * -1"}, "k = 3",
+                 mode="merge-on-read")
+    assert read_delta(spark, t).where("k = 3").collect()[0]["v"] == -3.5
+
+    optimize_delta(spark, t)
+    snap = resolve_snapshot(spark, t)
+    assert not snap.dvs
+    cur = read_delta(spark, t)
+    assert cur.count() == 58
+    assert cur.where("k = 3").collect()[0]["v"] == -3.5
