@@ -858,14 +858,15 @@ order by c_mktsegment
 
 
 def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
-    """Iceberg POSITIONAL merge-on-read deletes end-to-end: DELETE
-    writes (file_path, pos) delete files (no rewrite — asserted), an
-    append with previously-deleted keys is NOT swallowed (positional
-    semantics), OPTIMIZE folds the deletes, counts stay exact.
-    Reference: `DmlPositionalMergeOnReadPlanGenerator.java`."""
+    """Iceberg POSITIONAL merge-on-read DML end-to-end: DELETE writes
+    (file_path, pos) delete files (no rewrite — asserted), an append
+    with previously-deleted keys is NOT swallowed (positional
+    semantics), MOR UPDATE position-deletes + appends post-image rows
+    (no rewrite — asserted), OPTIMIZE folds the delete files, values
+    stay exact.  Reference: `DmlPositionalMergeOnReadPlanGenerator.java`."""
     from ..sources.iceberg import (delete_from_iceberg, optimize_iceberg,
                                    read_iceberg, resolve_snapshot,
-                                   write_iceberg)
+                                   update_iceberg, write_iceberg)
     from .tpch import dsum
 
     t = os.path.join(_scratch("ice_posdel", sf), "supp_ice")
@@ -882,6 +883,14 @@ def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
               .select((F.col("s_suppkey") + 1000000).alias("s_suppkey"),
                       "s_nationkey", "s_acctbal"))
     write_iceberg(spark, re_add, t, mode="append")
+    # MOR UPDATE (the reference\'s DmlPositionalMergeOnReadPlanGenerator
+    # shape): position-delete + append post-image, no rewrite of the
+    # pre-existing data files
+    files_pre_upd = {p for p, _ in resolve_snapshot(t).files}
+    update_iceberg(spark, t, {"s_acctbal": "s_acctbal - 5"},
+                   "s_nationkey = 0", mode="merge-on-read")
+    snap = resolve_snapshot(t)
+    assert files_pre_upd <= {p for p, _ in snap.files}, "no rewrite"
     optimize_iceberg(spark, t)
     assert resolve_snapshot(t).pos_deletes == []
     return (
@@ -896,15 +905,19 @@ def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
 
 ICEBERG_POSDELETE_SQL = """
 with kept as (
-  select s_acctbal from supplier where not (s_acctbal < 0)
+  select s_nationkey, s_acctbal from supplier where not (s_acctbal < 0)
   union all
-  select s_acctbal from supplier where s_acctbal < 0
+  select s_nationkey, s_acctbal from supplier where s_acctbal < 0
+), updated as (
+  select case when s_nationkey = 0 then s_acctbal - 5
+              else s_acctbal end as s_acctbal
+  from kept
 )
 select cast(count(*) as bigint) as n_rows,
        cast(count(case when s_acctbal < 0 then 1 end) as bigint)
          as n_negative,
        cast(sum(cast(s_acctbal as decimal(18,2))) as double) as acctbal_sum
-from kept
+from updated
 """
 
 

@@ -1337,10 +1337,6 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         snap = resolve_snapshot(table)
         with open(_metadata_file(table)) as f:
             meta = json.load(f)
-        import glob
-        import shutil
-        import uuid
-
         if equality_cols:
             keys = (read_iceberg(spark, table)
                     .where(predicate).select(*equality_cols).distinct())
@@ -1368,31 +1364,8 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         sid_next = max((s["snapshot-id"]
                         for s in meta.get("snapshots") or []),
                        default=0) + 1
-        stage = os.path.join(table, "data",
-                             f"_del_stage_{uuid.uuid4().hex[:8]}")
-        # The delete file set may be written by MANY tasks: a billion-row
-        # positional delete must not funnel through one task's global
-        # sort.  Spec requirement is sorted-within-file (file_path, pos),
-        # which repartitionByRange + sortWithinPartitions satisfies; a
-        # range partitioning also keeps each file's span disjoint, and
-        # the commit records every part as its own delete file.  Small
-        # deletes still collapse to one file via AQE coalescing.
-        if prefix == "pos-delete":
-            keys = (keys.repartitionByRange("file_path", "pos")
-                    .sortWithinPartitions("file_path", "pos"))
-        else:  # equality deletes: key-only and small, one file
-            keys = keys.coalesce(1)
-        keys.write.mode("overwrite").parquet(stage)
-        new_delete_rels: list[str] = []
-        for i, part in enumerate(
-                sorted(glob.glob(os.path.join(stage, "*.parquet")))):
-            rel = os.path.join(
-                "data",
-                f"{prefix}-{sid_next:05d}-{i:04d}-"
-                f"{uuid.uuid4().hex[:8]}.parquet")
-            os.replace(part, os.path.join(table, rel))
-            new_delete_rels.append(rel)
-        shutil.rmtree(stage, ignore_errors=True)
+        new_delete_rels = _write_delete_files(
+            spark, table, keys, sid_next, prefix)
         live_entries = [(os.path.relpath(p, table), pv)
                         for p, pv in snap.files]
         part_names = [pf["source"] if pf["transform"] == "identity"
@@ -1419,12 +1392,143 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         lambda hits: hits.where(f"not ({predicate})"))
 
 
+def _write_delete_files(spark: SparkSession, table: str,
+                        keys: DataFrame, sid_next: int,
+                        prefix: str) -> list[str]:
+    """Write MOR delete files and return their table-relative paths.
+
+    The delete file set may be written by MANY tasks: a billion-row
+    positional delete must not funnel through one task's global sort.
+    Spec requirement is sorted-within-file (file_path, pos), which
+    repartitionByRange + sortWithinPartitions satisfies; a range
+    partitioning also keeps each file's span disjoint, and the commit
+    records every part as its own delete file.  Small deletes still
+    collapse to one file via AQE coalescing."""
+    import glob
+    import shutil
+    import uuid
+
+    stage = os.path.join(table, "data",
+                         f"_del_stage_{uuid.uuid4().hex[:8]}")
+    if prefix == "pos-delete":
+        keys = (keys.repartitionByRange("file_path", "pos")
+                .sortWithinPartitions("file_path", "pos"))
+    else:  # equality deletes: key-only and small, one file
+        keys = keys.coalesce(1)
+    keys.write.mode("overwrite").parquet(stage)
+    rels: list[str] = []
+    for i, part in enumerate(
+            sorted(glob.glob(os.path.join(stage, "*.parquet")))):
+        rel = os.path.join(
+            "data",
+            f"{prefix}-{sid_next:05d}-{i:04d}-"
+            f"{uuid.uuid4().hex[:8]}.parquet")
+        os.replace(part, os.path.join(table, rel))
+        rels.append(rel)
+    shutil.rmtree(stage, ignore_errors=True)
+    return rels
+
+
+def _mor_update_iceberg(spark: SparkSession, table: str,
+                        set_exprs: dict[str, str],
+                        predicate: str) -> int:
+    """Merge-on-read UPDATE: position-delete the matching rows and
+    append their post-image as new data files — the reference's own
+    Iceberg UPDATE plan (`DmlPositionalMergeOnReadPlanGenerator.java`
+    emits exactly this filePath+rowIndex delete + insert pair).  No
+    existing data file is rewritten; OPTIMIZE compacts later.
+
+    Existing MOR deletes are applied BEFORE the post-image is computed,
+    so an already-dead row can never be resurrected as an updated copy.
+    New data files take this commit's sequence number, so older
+    sequence-stamped equality deletes do not swallow them."""
+    from .delta import (_collect_stats, _distributed_threshold,
+                        _stage_files)
+
+    snap = resolve_snapshot(table)
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    live = _scan_with_partition_values_iceberg(
+        spark, table, snap, keep_file=True, keep_pos=True)
+    # apply existing deletes KEEPING (__file, __pos) identity
+    if snap.pos_deletes:
+        dels = (spark.read.parquet(*snap.pos_deletes)
+                .select(F.element_at(F.split("file_path", "/"), -1)
+                        .alias("__del_base"),
+                        F.col("pos").alias("__pos"))
+                .distinct())
+        live = (live.withColumn(
+                    "__del_base",
+                    F.element_at(F.split("__file", "/"), -1))
+                .join(dels, ["__del_base", "__pos"], "left_anti")
+                .drop("__del_base"))
+    live = _apply_equality_deletes(spark, live, snap)
+    hits = live.where(predicate).persist()
+    try:
+        sid_next = max((s["snapshot-id"]
+                        for s in meta.get("snapshots") or []),
+                       default=0) + 1
+        rel_of = spark.createDataFrame(
+            [(os.path.realpath(p), os.path.relpath(p, table))
+             for p, _ in snap.files], "__file string, file_path string")
+        if len(snap.files) < _distributed_threshold(spark):
+            rel_of = F.broadcast(rel_of)  # file-count bounded
+        keys = (hits.select("__file", F.col("__pos").alias("pos"))
+                .join(rel_of, "__file")
+                .select("file_path", "pos"))
+        new_delete_rels = _write_delete_files(
+            spark, table, keys, sid_next, "pos-delete")
+        if not new_delete_rels:
+            hits.unpersist()
+            return snap.snapshot_id  # nothing matched; no commit
+
+        table_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        post = hits.select(*table_cols)
+        for c, e in set_exprs.items():
+            post = post.withColumn(c, F.expr(e).cast(types[c]))
+        out, part_names = _apply_transforms(post, snap.spec_fields)
+        staged = _stage_files(spark, out, os.path.join(table, "data"),
+                              sid_next, part_names)
+        cur_spec = str(meta.get("default-spec-id", 0))
+        staged = [(os.path.join("data", rel), {**pv, "__spec_id": cur_spec})
+                  for rel, pv in staged]
+        stats = _collect_stats(spark, table, staged, snap.schema,
+                               snap.partition_cols)
+        stats.update({os.path.relpath(p, table): st
+                      for p, st in snap.stats.items()})
+        live_entries = ([(os.path.relpath(p, table), pv)
+                         for p, pv in snap.files] + staged)
+        deletes = ([(os.path.relpath(p, table), cols,
+                     snap.delete_seq.get(p))
+                    for p, cols in snap.deletes]
+                   + [(os.path.relpath(p, table), None)
+                      for p in snap.pos_deletes]
+                   + [(rel, None) for rel in new_delete_rels])
+        return _commit_snapshot(table, meta, "overwrite", live_entries,
+                                [], part_names, stats, deletes)
+    finally:
+        hits.unpersist()
+
+
 def update_iceberg(spark: SparkSession, table: str,
                    set_exprs: dict[str, str],
-                   predicate: str = "true") -> int:
-    """UPDATE <iceberg table> SET col = expr [WHERE predicate] — COW.
+                   predicate: str = "true",
+                   mode: str = "copy-on-write") -> int:
+    """UPDATE <iceberg table> SET col = expr [WHERE predicate].
+
+    copy-on-write (default): rewrite only the files containing matches.
+    merge-on-read: position-delete the matching rows + append their
+    post-image (`_mor_update_iceberg` — the reference's MOR UPDATE
+    plan, `DmlPositionalMergeOnReadPlanGenerator.java`).
+
     Reference: dremio-oss UPDATE on Iceberg tables
     (`planner/sql/handlers/query/UpdateHandler.java`)."""
+    if mode == "merge-on-read":
+        return _mor_update_iceberg(spark, table, set_exprs, predicate)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown UPDATE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     live = _live_iceberg_with_file(spark, table)
     hit_abs = {r[0] for r in
                live.where(predicate).select("__file").distinct().collect()}

@@ -2167,3 +2167,57 @@ def test_delta_merge_on_read_update_dv(spark, tmp_path):
     cur = read_delta(spark, t)
     assert cur.count() == 58
     assert cur.where("k = 3").collect()[0]["v"] == -3.5
+
+
+def test_iceberg_merge_on_read_update(spark, tmp_path):
+    """Iceberg MOR UPDATE (the reference's
+    DmlPositionalMergeOnReadPlanGenerator shape): matching rows are
+    position-deleted and their post-image appended as new files — no
+    existing data file rewritten.  Composes with prior MOR deletes
+    (dead rows are never resurrected as updated copies), with
+    sequence-stamped equality deletes (new post rows survive older
+    deletes), and OPTIMIZE folds everything in."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, optimize_iceberg, read_iceberg,
+        resolve_snapshot, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t, partition_by=["p"])
+    files_before = {p for p, _ in resolve_snapshot(t).files}
+
+    # prior MOR deletes of both styles
+    delete_from_iceberg(spark, t, "k >= 45", mode="merge-on-read")
+    delete_from_iceberg(spark, t, "k in (0, 1)", mode="merge-on-read",
+                        equality_cols=["k"])
+    assert read_iceberg(spark, t).count() == 43
+
+    update_iceberg(spark, t, {"v": "v + 100"}, "k < 10",
+                   mode="merge-on-read")
+    snap = resolve_snapshot(t)
+    data_files = {p for p, _ in snap.files}
+    assert files_before <= data_files, "MOR update must not rewrite"
+    assert len(data_files) > len(files_before), "post rows missing"
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 43
+    # k in (0,1) were dead before the update: NOT resurrected
+    assert cur.where("k in (0, 1)").count() == 0
+    assert cur.where("k >= 2 and k < 10 and v = k + 100").count() == 8
+    assert cur.where("k >= 10 and v = k").count() == 35
+
+    # second MOR update compounds on the appended post rows
+    update_iceberg(spark, t, {"v": "v * 2"}, "k = 5",
+                   mode="merge-on-read")
+    assert read_iceberg(spark, t).where("k = 5").collect()[0]["v"] == 210.0
+
+    # changelog between head-1 and head reflects the update
+    optimize_iceberg(spark, t)
+    snap = resolve_snapshot(t)
+    assert snap.deletes == [] and snap.pos_deletes == []
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 43
+    assert cur.where("k = 5").collect()[0]["v"] == 210.0
