@@ -1162,14 +1162,64 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
     the SET expressions applied, so no existing data file is rewritten
     (PROTOCOL.md Deletion Vectors; the COW `update_delta` remains the
     compacting path)."""
+    operation = "DELETE" if set_exprs is None else "UPDATE"
+    snap = resolve_snapshot(spark, table)
+    live = _live_dv_with_identity(spark, table, snap)
+    marked = live.where(predicate)
+    table_cols = [f.name for f in snap.schema.fields]
+    post = None
+    if set_exprs is not None:
+        # MOR UPDATE: append the post-image of the marked rows as new
+        # files (their old copies become DV-dead)
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        post = marked.select(*table_cols)
+        for c, e in set_exprs.items():
+            post = post.withColumn(c, F.expr(e).cast(types[c]))
+    changes = None
+    if _cdf_enabled(snap):
+        # a MOR mark is still a data change: stage the changed rows as
+        # cdc files (delta-spark does the same), else any CDF read over
+        # this commit raises and CDC consumers are broken for the range
+        pre = marked.select(*table_cols)
+        if set_exprs is None:
+            changes = pre.withColumn("_change_type", F.lit("delete"))
+        else:
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(post.withColumn(
+                    "_change_type", F.lit("update_postimage"))))
+    return _dv_commit_marked(spark, table, snap, marked, operation,
+                             post, changes)
+
+
+def _live_dv_with_identity(spark: SparkSession, table: str,
+                           snap: DeltaSnapshot) -> DataFrame:
+    """Current live rows with existing DVs applied, KEEPING the
+    (__file, __pos) identity columns — the input every DV write plan
+    needs (mark exactly the rows it touches, never resurrect rows an
+    earlier DV killed)."""
+    live = _scan_with_partition_values(
+        spark, table, snap.schema, snap.partition_cols, snap.files,
+        keep_file=True, keep_pos=True)
+    return _apply_deletion_vectors(spark, live, table, snap,
+                                   drop_identity=False)
+
+
+def _dv_commit_marked(spark: SparkSession, table: str,
+                      snap: DeltaSnapshot, marked: DataFrame,
+                      operation: str, post: DataFrame | None,
+                      changes: DataFrame | None) -> int:
+    """Commit a merge-on-read write: DV-mark `marked`'s (file, pos)
+    rows dead, optionally append `post` rows as new files and `changes`
+    as CDC.  Shared by MOR DELETE / UPDATE / MERGE."""
     import struct
     import uuid
     import zlib
 
+    import pandas as pd
+
     from .roaring import encode_rbm_array
 
-    operation = "DELETE" if set_exprs is None else "UPDATE"
-    snap = resolve_snapshot(spark, table)
     # first DV on this table: declare the deletionVectors table feature
     # (PROTOCOL.md reader v3 / writer v7 feature lists).  The v7 feature
     # list must carry EVERY feature in use, so a CDF-enabled table keeps
@@ -1183,14 +1233,8 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
                      "readerFeatures": ["deletionVectors"],
                      "writerFeatures": sorted(set(writer_feats)
                                               | prev_feats)}}])
-    live = _scan_with_partition_values(
-        spark, table, snap.schema, snap.partition_cols, snap.files,
-        keep_file=True, keep_pos=True)
-    live = _apply_deletion_vectors(spark, live, table, snap,
-                                   drop_identity=False)
-    hits_df = (live.where(predicate)
-               .select(F.element_at(F.split("__file", "/"), -1)
-                       .alias("base"), "__pos"))
+    hits_df = marked.select(
+        F.element_at(F.split("__file", "/"), -1).alias("base"), "__pos")
     # Distributed bitmap encode: positions group per file on the
     # executors, merge with that file's EXISTING DV (descriptor shipped
     # as JSON, decoded in the task), and come back as one row per hit
@@ -1198,8 +1242,6 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
     # driver never materializes raw positions — a predicate matching
     # billions of rows collects only per-file bitmaps, which is the
     # same data it must write into the DV file anyway.
-    import pandas as pd
-
     desc_rows = [(os.path.basename(rel), json.dumps(desc))
                  for rel, desc in snap.dvs.items()]
     if desc_rows:
@@ -1223,60 +1265,43 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
     enc_rows = (hits_df.groupBy("base")
                 .applyInPandas(enc, "base string, blob binary, card long")
                 .collect())
-    if not enc_rows:
-        return snap.version  # nothing matched; no commit
+    if not enc_rows and (post is None or post.isEmpty()):
+        return snap.version  # nothing matched, nothing to add; no commit
     rel_of_base = {os.path.basename(rel): rel for rel in snap.files}
     version = snap.version + 1
     blobs = {rel_of_base[r["base"]]: (bytes(r["blob"]), r["card"])
              for r in enc_rows}
-    dv_rel = f"dv-{version:05d}-{uuid.uuid4().hex[:8]}.bin"
-    descs: dict[str, dict] = {}
-    buf = bytearray(b"\x01")  # DV file format version byte
-    for rel, (data, card) in sorted(blobs.items()):
-        off = len(buf)
-        buf += struct.pack(">i", len(data)) + data
-        buf += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-        descs[rel] = {"storageType": "p", "pathOrInlineDv": dv_rel,
-                      "offset": off, "sizeInBytes": len(data),
-                      "cardinality": card}
-    with open(os.path.join(table, dv_rel), "wb") as f:
-        f.write(bytes(buf))
     actions: list[dict] = protocol_bump + [
         {"commitInfo": {"operation": operation,
                         "timestamp": _commit_ts()}}
     ]
-    for rel in sorted(blobs):
-        actions.append({"remove": {"path": rel, "deletionTimestamp": version,
-                                   "dataChange": True}})
-        actions.append(_add_action(rel, snap.files[rel], version,
-                                   snap.stats, dv=descs[rel]))
-    table_cols = [f.name for f in snap.schema.fields]
-    post = None
-    if set_exprs is not None:
-        # MOR UPDATE: append the post-image of the marked rows as new
-        # files (their old copies are DV-dead above)
-        types = {f.name: f.dataType for f in snap.schema.fields}
-        post = live.where(predicate).select(*table_cols)
-        for c, e in set_exprs.items():
-            post = post.withColumn(c, F.expr(e).cast(types[c]))
+    if blobs:
+        dv_rel = f"dv-{version:05d}-{uuid.uuid4().hex[:8]}.bin"
+        descs: dict[str, dict] = {}
+        buf = bytearray(b"\x01")  # DV file format version byte
+        for rel, (data, card) in sorted(blobs.items()):
+            off = len(buf)
+            buf += struct.pack(">i", len(data)) + data
+            buf += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+            descs[rel] = {"storageType": "p", "pathOrInlineDv": dv_rel,
+                          "offset": off, "sizeInBytes": len(data),
+                          "cardinality": card}
+        with open(os.path.join(table, dv_rel), "wb") as f:
+            f.write(bytes(buf))
+        for rel in sorted(blobs):
+            actions.append({"remove": {"path": rel,
+                                       "deletionTimestamp": version,
+                                       "dataChange": True}})
+            actions.append(_add_action(rel, snap.files[rel], version,
+                                       snap.stats, dv=descs[rel]))
+    if post is not None:
         staged = _stage_files(spark, post, table, version,
                               snap.partition_cols)
         stats_map = _collect_stats(spark, table, staged, snap.schema,
                                    snap.partition_cols)
         actions.extend(_add_action(rel, pv, version, stats_map)
                        for rel, pv in staged)
-    if _cdf_enabled(snap):
-        # a MOR mark is still a data change: stage the changed rows as
-        # cdc files (delta-spark does the same), else any CDF read over
-        # this commit raises and CDC consumers are broken for the range
-        pre = live.where(predicate).select(*table_cols)
-        if set_exprs is None:
-            changes = pre.withColumn("_change_type", F.lit("delete"))
-        else:
-            changes = (
-                pre.withColumn("_change_type", F.lit("update_preimage"))
-                .unionByName(post.withColumn(
-                    "_change_type", F.lit("update_postimage"))))
+    if changes is not None:
         actions.extend(_stage_cdc(spark, changes, table, version))
     version = _commit_with_cdc_cleanup(table, version, actions)
     _maybe_checkpoint(spark, table, version)
@@ -1341,14 +1366,63 @@ def update_delta(spark: SparkSession, table: str,
 _last_merge_join: DataFrame | None = None
 
 
+def _mor_merge_delta(spark: SparkSession, table: str, source: DataFrame,
+                     on: list[str], update_set: dict[str, str] | None,
+                     insert_not_matched: bool) -> int:
+    """Merge-on-read MERGE: DV-mark the MATCHED target rows dead and
+    append their post-image together with the not-matched inserts —
+    delta-spark's DV-enabled MERGE shape; no existing data file
+    rewritten.  Source-side joins stay unhinted (AQE costs them)."""
+    snap = resolve_snapshot(spark, table)
+    live = _live_dv_with_identity(spark, table, snap)
+    src_cols = list(source.columns)
+    s = source.select(
+        *[F.col(c).alias(c if c in on else f"__s_{c}") for c in src_cols])
+    matched = live.join(s, on, "inner")
+    table_cols = [f.name for f in snap.schema.fields]
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    out_cols = []
+    for c in table_cols:
+        if update_set is not None:
+            val = (F.expr(update_set[c].replace("s.", "__s_"))
+                   if c in update_set else None)
+        else:
+            val = (F.col(f"__s_{c}")
+                   if c not in on and f"__s_{c}" in matched.columns
+                   else None)
+        out_cols.append(F.col(c) if val is None
+                        else val.cast(types[c]).alias(c))
+    post = matched.select(*out_cols)
+    if insert_not_matched:
+        ins = (source.join(live.select(*on).distinct(), on, "left_anti")
+               .select(*[F.col(c).cast(types[c]).alias(c)
+                         for c in table_cols]))
+        post = post.unionByName(ins)
+    changes = None
+    if _cdf_enabled(snap):
+        pre = matched.select(*table_cols)
+        changes = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(matched.select(*out_cols).withColumn(
+                "_change_type", F.lit("update_postimage"))))
+        if insert_not_matched:
+            changes = changes.unionByName(
+                ins.withColumn("_change_type", F.lit("insert")))
+    return _dv_commit_marked(spark, table, snap, matched, "MERGE",
+                             post, changes)
+
+
 def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
                      on: list[str],
                      update_set: dict[str, str] | None = None,
-                     insert_not_matched: bool = True) -> int:
+                     insert_not_matched: bool = True,
+                     mode: str = "copy-on-write") -> int:
     """MERGE INTO <delta table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE [SET col = expr over s.*], WHEN NOT MATCHED
     THEN INSERT *.  `source` must be unique on the key columns (the SQL
     MERGE cardinality rule; violations would duplicate target rows).
+    mode="merge-on-read" routes to `_mor_merge_delta` (DV-mark matched
+    rows + append post-image and inserts, no file rewrite).
 
     Scale shape: hit files come from ONE semi join of the target scan
     against the source key set — file-level skipping exactly as
@@ -1362,6 +1436,12 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     `PlannerPhase.java:719-725`).  Reference: MERGE on Iceberg tables
     via `MergeHandler` / dremio-oss DML plans.
     """
+    if mode == "merge-on-read":
+        return _mor_merge_delta(spark, table, source, on, update_set,
+                                insert_not_matched)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown MERGE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     keys = source.select(*on).distinct()
     snap = resolve_snapshot(spark, table)
     live = _live_with_file(spark, table)

@@ -1429,6 +1429,28 @@ def _write_delete_files(spark: SparkSession, table: str,
     return rels
 
 
+def _live_mor_with_identity(spark: SparkSession, table: str,
+                            snap: "IcebergSnapshot") -> DataFrame:
+    """Current live rows with existing MOR deletes applied, KEEPING the
+    (__file, __pos) identity columns — the input every MOR write plan
+    needs (position-delete the rows it touches, never resurrect rows an
+    earlier delete killed)."""
+    live = _scan_with_partition_values_iceberg(
+        spark, table, snap, keep_file=True, keep_pos=True)
+    if snap.pos_deletes:
+        dels = (spark.read.parquet(*snap.pos_deletes)
+                .select(F.element_at(F.split("file_path", "/"), -1)
+                        .alias("__del_base"),
+                        F.col("pos").alias("__pos"))
+                .distinct())
+        live = (live.withColumn(
+                    "__del_base",
+                    F.element_at(F.split("__file", "/"), -1))
+                .join(dels, ["__del_base", "__pos"], "left_anti")
+                .drop("__del_base"))
+    return _apply_equality_deletes(spark, live, snap)
+
+
 def _mor_update_iceberg(spark: SparkSession, table: str,
                         set_exprs: dict[str, str],
                         predicate: str) -> int:
@@ -1448,21 +1470,7 @@ def _mor_update_iceberg(spark: SparkSession, table: str,
     snap = resolve_snapshot(table)
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
-    live = _scan_with_partition_values_iceberg(
-        spark, table, snap, keep_file=True, keep_pos=True)
-    # apply existing deletes KEEPING (__file, __pos) identity
-    if snap.pos_deletes:
-        dels = (spark.read.parquet(*snap.pos_deletes)
-                .select(F.element_at(F.split("file_path", "/"), -1)
-                        .alias("__del_base"),
-                        F.col("pos").alias("__pos"))
-                .distinct())
-        live = (live.withColumn(
-                    "__del_base",
-                    F.element_at(F.split("__file", "/"), -1))
-                .join(dels, ["__del_base", "__pos"], "left_anti")
-                .drop("__del_base"))
-    live = _apply_equality_deletes(spark, live, snap)
+    live = _live_mor_with_identity(spark, table, snap)
     hits = live.where(predicate).persist()
     try:
         sid_next = max((s["snapshot-id"]
@@ -1553,16 +1561,25 @@ _last_merge_join: DataFrame | None = None
 def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                        on: list[str],
                        update_set: dict[str, str] | None = None,
-                       insert_not_matched: bool = True) -> int:
+                       insert_not_matched: bool = True,
+                       mode: str = "copy-on-write") -> int:
     """MERGE INTO <iceberg table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
-    must be unique on the keys (SQL MERGE cardinality rule).  The
+    must be unique on the keys (SQL MERGE cardinality rule).
+    mode="merge-on-read" routes to `_mor_merge_iceberg` (position-delete
+    matched rows + append post-image and inserts, no file rewrite).  The
     source-side joins carry no broadcast hint — AQE broadcasts a small
     CDC batch and shuffles a multi-GB backfill, matching the reference's
     costed DIST/BROADCAST join instances (`HashJoinPrule`,
     `PlannerPhase.java:719-725`; a forced broadcast never appears
     there).  Reference: MERGE on Iceberg tables (dremio-oss
     `MergeHandler`)."""
+    if mode == "merge-on-read":
+        return _mor_merge_iceberg(spark, table, source, on, update_set,
+                                  insert_not_matched)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown MERGE mode {mode!r}; "
+                         "use 'copy-on-write' or 'merge-on-read'")
     keys = source.select(*on).distinct()
     live = _live_iceberg_with_file(spark, table)
     hit_abs = {r[0] for r in
@@ -1603,6 +1620,87 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
     )
     return _cow_commit_iceberg(spark, table, "overwrite", hit_abs,
                                rewrite, inserts)
+
+
+def _mor_merge_iceberg(spark: SparkSession, table: str,
+                       source: DataFrame, on: list[str],
+                       update_set: dict[str, str] | None,
+                       insert_not_matched: bool) -> int:
+    """Merge-on-read MERGE: position-delete the MATCHED target rows and
+    append their post-image together with the not-matched inserts — the
+    reference's MOR MERGE plan (the same
+    `DmlPositionalMergeOnReadPlanGenerator.java` filePath+rowIndex
+    delete + insert pair as UPDATE).  No existing data file rewritten.
+    Source-side joins stay unhinted (AQE costs broadcast vs shuffle)."""
+    from .delta import (_collect_stats, _distributed_threshold,
+                        _stage_files)
+
+    snap = resolve_snapshot(table)
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    live = _live_mor_with_identity(spark, table, snap)
+    src_cols = list(source.columns)
+    s = source.select(
+        *[F.col(c).alias(c if c in on else f"__s_{c}") for c in src_cols])
+    matched = live.join(s, on, "inner").persist()
+    try:
+        sid_next = max((s2["snapshot-id"]
+                        for s2 in meta.get("snapshots") or []),
+                       default=0) + 1
+        rel_of = spark.createDataFrame(
+            [(os.path.realpath(p), os.path.relpath(p, table))
+             for p, _ in snap.files], "__file string, file_path string")
+        if len(snap.files) < _distributed_threshold(spark):
+            rel_of = F.broadcast(rel_of)  # file-count bounded
+        keys = (matched.select("__file", F.col("__pos").alias("pos"))
+                .join(rel_of, "__file")
+                .select("file_path", "pos"))
+        new_delete_rels = _write_delete_files(
+            spark, table, keys, sid_next, "pos-delete")
+
+        table_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        out_cols = []
+        for c in table_cols:
+            if update_set is not None:
+                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                       if c in update_set else None)
+            else:
+                val = (F.col(f"__s_{c}")
+                       if c not in on and f"__s_{c}" in matched.columns
+                       else None)
+            out_cols.append(F.col(c) if val is None
+                            else val.cast(types[c]).alias(c))
+        post = matched.select(*out_cols)
+        if insert_not_matched:
+            live_keys = live.select(*on).distinct()
+            ins = (source.join(live_keys, on, "left_anti")
+                   .select(*[F.col(c).cast(types[c]).alias(c)
+                             for c in table_cols]))
+            post = post.unionByName(ins)
+        out, part_names = _apply_transforms(post, snap.spec_fields)
+        staged = _stage_files(spark, out, os.path.join(table, "data"),
+                              sid_next, part_names)
+        cur_spec = str(meta.get("default-spec-id", 0))
+        staged = [(os.path.join("data", rel),
+                   {**pv, "__spec_id": cur_spec})
+                  for rel, pv in staged]
+        stats = _collect_stats(spark, table, staged, snap.schema,
+                               snap.partition_cols)
+        stats.update({os.path.relpath(p, table): st
+                      for p, st in snap.stats.items()})
+        live_entries = ([(os.path.relpath(p, table), pv)
+                         for p, pv in snap.files] + staged)
+        deletes = ([(os.path.relpath(p, table), cols,
+                     snap.delete_seq.get(p))
+                    for p, cols in snap.deletes]
+                   + [(os.path.relpath(p, table), None)
+                      for p in snap.pos_deletes]
+                   + [(rel, None) for rel in new_delete_rels])
+        return _commit_snapshot(table, meta, "overwrite", live_entries,
+                                [], part_names, stats, deletes)
+    finally:
+        matched.unpersist()
 
 
 def optimize_iceberg(spark: SparkSession, table: str,

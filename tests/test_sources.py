@@ -2221,3 +2221,106 @@ def test_iceberg_merge_on_read_update(spark, tmp_path):
     cur = read_iceberg(spark, t)
     assert cur.count() == 43
     assert cur.where("k = 5").collect()[0]["v"] == 210.0
+
+
+def test_iceberg_merge_on_read_merge(spark, tmp_path):
+    """Iceberg MOR MERGE: matched target rows are position-deleted and
+    re-appended with source values (or SET exprs), not-matched source
+    rows insert — no existing data file rewritten.  Composes with prior
+    MOR deletes; OPTIMIZE folds."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, merge_into_iceberg, optimize_iceberg,
+        read_iceberg, resolve_snapshot, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+    delete_from_iceberg(spark, t, "k >= 25", mode="merge-on-read")
+    files_before = {p for p, _ in resolve_snapshot(t).files}
+
+    src = spark.createDataFrame(
+        [(3, 300.0), (27, 270.0), (100, 100.0)], "k long, v double")
+    merge_into_iceberg(spark, t, src, on=["k"], mode="merge-on-read")
+    snap = resolve_snapshot(t)
+    assert files_before <= {p for p, _ in snap.files}, "no rewrite"
+    cur = read_iceberg(spark, t)
+    # 25 live originals: k=3 updated in place-count; k=27 was DEAD ->
+    # it is NOT matched (not live), so it INSERTS; k=100 inserts
+    assert cur.count() == 27
+    assert cur.where("k = 3").collect()[0]["v"] == 300.0
+    assert cur.where("k = 27").collect()[0]["v"] == 270.0
+    assert cur.where("k = 100").collect()[0]["v"] == 100.0
+    assert cur.where("k = 26").count() == 0  # still deleted
+
+    # update_set form with s.-prefixed exprs, no inserts
+    src2 = spark.createDataFrame([(3, 1.0), (999, 9.0)],
+                                 "k long, v double")
+    merge_into_iceberg(spark, t, src2, on=["k"],
+                       update_set={"v": "v + s.v"},
+                       insert_not_matched=False, mode="merge-on-read")
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 27
+    assert cur.where("k = 3").collect()[0]["v"] == 301.0
+    assert cur.where("k = 999").count() == 0
+
+    optimize_iceberg(spark, t)
+    cur = read_iceberg(spark, t)
+    assert cur.count() == 27
+    assert cur.where("k = 3").collect()[0]["v"] == 301.0
+
+
+def test_delta_merge_on_read_merge_dv(spark, tmp_path):
+    """Delta MOR MERGE via deletion vectors: matched rows DV-marked,
+    post-image + inserts appended, no existing file rewritten; CDC
+    emits update pre/post images and insert rows; dead rows never
+    match (no resurrection)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, merge_into_delta, optimize_delta, read_delta,
+        read_delta_cdf, resolve_snapshot, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t, enable_cdf=True)
+    delete_from_delta(spark, t, "k >= 25", mode="merge-on-read")
+    files_before = set(resolve_snapshot(spark, t).files)
+
+    src = spark.createDataFrame(
+        [(3, 300.0), (27, 270.0), (100, 100.0)], "k long, v double")
+    v = merge_into_delta(spark, t, src, on=["k"], mode="merge-on-read")
+    snap = resolve_snapshot(spark, t)
+    assert files_before <= set(snap.files), "MOR merge must not rewrite"
+    cur = read_delta(spark, t)
+    # k=3 updated; k=27 was dead -> INSERTS; k=100 inserts: 25+2 = 27
+    assert cur.count() == 27
+    assert cur.where("k = 3").collect()[0]["v"] == 300.0
+    assert cur.where("k = 27").collect()[0]["v"] == 270.0
+    assert cur.where("k = 100").collect()[0]["v"] == 100.0
+    assert cur.where("k = 26").count() == 0
+
+    ch = read_delta_cdf(spark, t, v, v)
+    assert ch.where("_change_type = 'update_preimage'").count() == 1
+    assert ch.where("_change_type = 'update_postimage' and v = 300.0"
+                    ).count() == 1
+    assert ch.where("_change_type = 'insert'").count() == 2
+
+    # update_set form, no inserts
+    src2 = spark.createDataFrame([(3, 1.0), (999, 9.0)],
+                                 "k long, v double")
+    merge_into_delta(spark, t, src2, on=["k"],
+                     update_set={"v": "v + s.v"},
+                     insert_not_matched=False, mode="merge-on-read")
+    cur = read_delta(spark, t)
+    assert cur.count() == 27
+    assert cur.where("k = 3").collect()[0]["v"] == 301.0
+    assert cur.where("k = 999").count() == 0
+
+    optimize_delta(spark, t)
+    cur = read_delta(spark, t)
+    assert not resolve_snapshot(spark, t).dvs
+    assert cur.count() == 27 and cur.where("k = 3").collect()[0]["v"] == 301.0
