@@ -1342,6 +1342,13 @@ class Engine:
             ("format", "parquet"),
             ("location", table_path),
         ]
+        fmt = self._lake_format(table_path)
+        if fmt == "delta":
+            from .sources.delta import resolve_snapshot as _rs
+            props += sorted(_rs(self.spark, table_path).config.items())
+        elif fmt == "iceberg":
+            from .sources.iceberg import resolve_snapshot as _ri
+            props += sorted(_ri(table_path).properties.items())
         if dml.current_snapshot(table_path) is not None:
             props += [
                 ("current_snapshot", dml.current_snapshot(table_path) or ""),
@@ -1677,6 +1684,46 @@ class Engine:
                    else I.rename_iceberg_column(self.spark, path, old, new))
             return self._status("ALTER TABLE RENAME COLUMN",
                                 f"{old} -> {new} @ {out}")
+
+        # SET/UNSET TBLPROPERTIES (SqlAlterTableProperties): the spec's
+        # properties map; write.delete/update/merge.mode (Iceberg) and
+        # delta.enableDeletionVectors (Delta) route later DML to the
+        # merge-on-read paths
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+set\s+tblproperties\s*"
+            r"\((.+)\)\s*$", query, re.I | re.S)
+        if m:
+            path, body = m.groups()
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            props: dict[str, str] = {}
+            for part in _split_top_level(body, ","):
+                k, _, v = part.partition("=")
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            if fmt == "delta":
+                D.set_delta_properties(self.spark, path, props)
+            else:
+                I.set_iceberg_properties(path, props)
+            return self._status("ALTER TABLE SET TBLPROPERTIES",
+                                ", ".join(sorted(props)))
+
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+unset\s+tblproperties\s*"
+            r"\((.+)\)\s*$", query, re.I | re.S)
+        if m:
+            path, body = m.groups()
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            unset = {part.strip().strip("'\""): None
+                     for part in _split_top_level(body, ",")}
+            if fmt == "delta":
+                D.set_delta_properties(self.spark, path, unset)
+            else:
+                I.set_iceberg_properties(path, unset)
+            return self._status("ALTER TABLE UNSET TBLPROPERTIES",
+                                ", ".join(sorted(unset)))
         return None
 
     # -- metadata table functions (ref MetadataFunctionsMacro.java:36) -----
@@ -2537,6 +2584,11 @@ class Engine:
         if m:
             kind, path = m.group(1).lower(), m.group(2)
             return getattr(self, f"show_{kind}")(path)
+        # SHOW TBLPROPERTIES '<path>' (SqlShowTableProperties)
+        m = re.match(r"\s*show\s+tblproperties\s+'([^']+)'\s*$",
+                     query, re.I)
+        if m:
+            return self.show_table_properties(m.group(1))
         # USE REF|BRANCH|TAG|COMMIT <name> [IN '<path>']
         # (versionSupport.ftl SqlUseVersion): session default version
         # context; per-path IN form pins one table, the global form

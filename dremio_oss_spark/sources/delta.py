@@ -902,7 +902,8 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
                 txn: tuple[str, int] | None = None,
                 sort_by: list[str] | None = None,
                 merge_schema: bool = False,
-                enable_cdf: bool = False) -> int:
+                enable_cdf: bool = False,
+                config: dict[str, str] | None = None) -> int:
     """CTAS / INSERT INTO for a Delta table: stage parquet, append a
     commit to the transaction log.  Returns the committed version.
 
@@ -979,17 +980,18 @@ def write_delta(spark: SparkSession, df: DataFrame, table: str,
         # table configuration persists across metaData restatements;
         # enable_cdf sets the protocol's CDF property
         # (delta.enableChangeDataFeed) the way delta-spark does
-        config: dict = {}
+        cfg: dict = {}
         if prev is not None:
-            config = dict(prev.config)
+            cfg = dict(prev.config)
         if enable_cdf:
-            config["delta.enableChangeDataFeed"] = "true"
+            cfg["delta.enableChangeDataFeed"] = "true"
+        cfg.update(config or {})
         actions.append({"metaData": {
             "id": os.path.basename(table.rstrip(os.sep)),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": (merged_schema or df.schema).json(),
             "partitionColumns": partition_by,
-            "configuration": config,
+            "configuration": cfg,
         }})
     actions.append({"commitInfo": {
         "operation": "CREATE TABLE AS SELECT" if version == 0
@@ -1116,8 +1118,53 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     return version
 
 
+def set_delta_properties(spark: SparkSession, table: str,
+                         props: dict[str, str | None]) -> int:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES on a Delta table: one
+    metadata-only commit restating metaData with the merged
+    configuration (None values unset).  `delta.enableDeletionVectors`
+    here routes later DML to the merge-on-read paths, exactly
+    delta-spark\'s property."""
+    snap = resolve_snapshot(spark, table)
+    version = snap.version + 1
+    cfg = dict(snap.config)
+    for k, v in props.items():
+        if v is None:
+            cfg.pop(k, None)
+        else:
+            cfg[k] = str(v)
+    _commit(table, version, [
+        {"commitInfo": {"operation": "SET TBLPROPERTIES",
+                        "timestamp": _commit_ts()}},
+        {"metaData": {
+            "id": os.path.basename(table.rstrip(os.sep)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": snap.partition_cols,
+            "configuration": cfg,
+        }},
+    ])
+    return version
+
+
+def _delta_dml_mode(spark: SparkSession, table: str,
+                    mode: str | None) -> str:
+    """Explicit mode wins; else `delta.enableDeletionVectors = true`
+    routes DML merge-on-read (delta-spark\'s own property); default
+    copy-on-write."""
+    if mode is not None:
+        return mode
+    try:
+        snap = resolve_snapshot(spark, table)
+    except FileNotFoundError:
+        return "copy-on-write"
+    return ("merge-on-read"
+            if snap.config.get("delta.enableDeletionVectors") == "true"
+            else "copy-on-write")
+
+
 def delete_from_delta(spark: SparkSession, table: str, predicate: str,
-                      mode: str = "copy-on-write") -> int:
+                      mode: str | None = None) -> int:
     """DELETE FROM <delta table> WHERE <predicate>.
 
     copy-on-write (default): rewrite only the files containing matches.
@@ -1129,7 +1176,9 @@ def delete_from_delta(spark: SparkSession, table: str, predicate: str,
     (any COW rewrite of the file) folds them in.  The position gather
     is driver-side and bounded by rows deleted this statement plus any
     still-live DV positions (compaction resets the bound) — the same
-    in-memory budget every DV-aware reader already carries."""
+    in-memory budget every DV-aware reader already carries.  mode=None
+    reads `delta.enableDeletionVectors`."""
+    mode = _delta_dml_mode(spark, table, mode)
     if mode == "merge-on-read":
         return _dv_delete(spark, table, predicate)
     if mode != "copy-on-write":
@@ -1310,7 +1359,7 @@ def _dv_commit_marked(spark: SparkSession, table: str,
 
 def update_delta(spark: SparkSession, table: str,
                  set_exprs: dict[str, str], predicate: str = "true",
-                 mode: str = "copy-on-write") -> int:
+                 mode: str | None = None) -> int:
     """UPDATE <delta table> SET col = expr, ... [WHERE predicate].
 
     copy-on-write (default): only files containing matching rows are
@@ -1323,7 +1372,9 @@ def update_delta(spark: SparkSession, table: str,
 
     Reference DML surface: dremio-oss UPDATE on Iceberg tables
     (`planner/sql/handlers/query/UpdateHandler.java`); same semantics
-    here on the Delta log."""
+    here on the Delta log.  mode=None reads
+    `delta.enableDeletionVectors`."""
+    mode = _delta_dml_mode(spark, table, mode)
     if mode == "merge-on-read":
         return _dv_mark(spark, table, predicate, set_exprs=set_exprs)
     if mode != "copy-on-write":
@@ -1416,7 +1467,7 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
                      on: list[str],
                      update_set: dict[str, str] | None = None,
                      insert_not_matched: bool = True,
-                     mode: str = "copy-on-write") -> int:
+                     mode: str | None = None) -> int:
     """MERGE INTO <delta table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE [SET col = expr over s.*], WHEN NOT MATCHED
     THEN INSERT *.  `source` must be unique on the key columns (the SQL
@@ -1434,8 +1485,10 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     executor — the reference likewise costs DIST vs BROADCAST join
     instances and never forces one (`HashJoinPrule`,
     `PlannerPhase.java:719-725`).  Reference: MERGE on Iceberg tables
-    via `MergeHandler` / dremio-oss DML plans.
+    via `MergeHandler` / dremio-oss DML plans.  mode=None reads
+    `delta.enableDeletionVectors`.
     """
+    mode = _delta_dml_mode(spark, table, mode)
     if mode == "merge-on-read":
         return _mor_merge_delta(spark, table, source, on, update_set,
                                 insert_not_matched)

@@ -132,6 +132,9 @@ class IcebergSnapshot:
         # reader then falls back to apply-to-all legacy semantics)
         self.file_seq: dict[str, int] = {}
         self.delete_seq: dict[str, int | None] = {}
+        # table properties (spec metadata `properties` map): governs
+        # write.delete/update/merge.mode DML routing among others
+        self.properties: dict[str, str] = {}
         # full default partition spec: [{name, transform, source}] —
         # includes hidden (non-identity) transform fields
         self.spec_fields = spec_fields or [
@@ -293,6 +296,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
     out.file_seq = file_seq
     out.delete_seq = delete_seq
     out.default_spec_id = sm.default_spec_id
+    out.properties = sm.meta.get("properties") or {}
     return out
 
 
@@ -1070,7 +1074,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   partition_by: list[str] | None = None,
                   branch: str | None = None,
                   sort_by: list[str] | None = None,
-                  txn: tuple[str, int] | None = None) -> int:
+                  txn: tuple[str, int] | None = None,
+                  properties: dict[str, str] | None = None) -> int:
     """CTAS / INSERT INTO for an Iceberg table: stage parquet under
     data/, commit a new snapshot (metadata json + Avro manifests).
 
@@ -1141,6 +1146,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         meta = {
             "format-version": 2,
             "table-uuid": os.path.basename(table.rstrip(os.sep)),
+            "properties": dict(properties or {}),
             "location": table, "current-schema-id": 0,
             "schemas": [{"type": "struct", "schema-id": 0,
                          "fields": fields}],
@@ -1306,9 +1312,11 @@ def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
 
 
 def delete_from_iceberg(spark: SparkSession, table: str,
-                        predicate: str, mode: str = "copy-on-write",
+                        predicate: str, mode: str | None = None,
                         equality_cols: list[str] | None = None) -> int:
-    """DELETE FROM <iceberg table> WHERE <predicate>.
+    """DELETE FROM <iceberg table> WHERE <predicate>.  mode=None reads
+    the table's `write.delete.mode` property (spec default:
+    copy-on-write).
 
     copy-on-write (default): one scan carrying `__file` bounds the
     rewrite to files that actually contain matches — same hit-file
@@ -1333,6 +1341,7 @@ def delete_from_iceberg(spark: SparkSession, table: str,
 
     OPTIMIZE compacts either style away.
     """
+    mode = _dml_mode(table, "delete", mode)
     if mode == "merge-on-read":
         snap = resolve_snapshot(table)
         with open(_metadata_file(table)) as f:
@@ -1429,6 +1438,41 @@ def _write_delete_files(spark: SparkSession, table: str,
     return rels
 
 
+def set_iceberg_properties(table: str,
+                           props: dict[str, str | None]) -> dict:
+    """ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only update of the
+    spec's `properties` map (a None value unsets the key).  Returns the
+    resulting map.  `write.delete.mode` / `write.update.mode` /
+    `write.merge.mode` here govern the DML routing the spec defines
+    (copy-on-write | merge-on-read)."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    cur = dict(meta.get("properties") or {})
+    for k, v in props.items():
+        if v is None:
+            cur.pop(k, None)
+        else:
+            cur[k] = str(v)
+    meta["properties"] = cur
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return cur
+
+
+def _dml_mode(table: str, verb: str, mode: str | None) -> str:
+    """Resolve a DML mode: an explicit argument wins; otherwise the
+    spec's `write.<verb>.mode` table property; default copy-on-write
+    (the spec's own default)."""
+    if mode is not None:
+        return mode
+    try:
+        with open(_metadata_file(table)) as f:
+            props = json.load(f).get("properties") or {}
+    except FileNotFoundError:
+        return "copy-on-write"
+    return props.get(f"write.{verb}.mode", "copy-on-write")
+
+
 def _live_mor_with_identity(spark: SparkSession, table: str,
                             snap: "IcebergSnapshot") -> DataFrame:
     """Current live rows with existing MOR deletes applied, KEEPING the
@@ -1522,7 +1566,7 @@ def _mor_update_iceberg(spark: SparkSession, table: str,
 def update_iceberg(spark: SparkSession, table: str,
                    set_exprs: dict[str, str],
                    predicate: str = "true",
-                   mode: str = "copy-on-write") -> int:
+                   mode: str | None = None) -> int:
     """UPDATE <iceberg table> SET col = expr [WHERE predicate].
 
     copy-on-write (default): rewrite only the files containing matches.
@@ -1531,7 +1575,9 @@ def update_iceberg(spark: SparkSession, table: str,
     plan, `DmlPositionalMergeOnReadPlanGenerator.java`).
 
     Reference: dremio-oss UPDATE on Iceberg tables
-    (`planner/sql/handlers/query/UpdateHandler.java`)."""
+    (`planner/sql/handlers/query/UpdateHandler.java`); mode=None reads
+    the table\'s `write.update.mode` property."""
+    mode = _dml_mode(table, "update", mode)
     if mode == "merge-on-read":
         return _mor_update_iceberg(spark, table, set_exprs, predicate)
     if mode != "copy-on-write":
@@ -1562,7 +1608,7 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                        on: list[str],
                        update_set: dict[str, str] | None = None,
                        insert_not_matched: bool = True,
-                       mode: str = "copy-on-write") -> int:
+                       mode: str | None = None) -> int:
     """MERGE INTO <iceberg table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
     must be unique on the keys (SQL MERGE cardinality rule).
@@ -1573,7 +1619,9 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
     costed DIST/BROADCAST join instances (`HashJoinPrule`,
     `PlannerPhase.java:719-725`; a forced broadcast never appears
     there).  Reference: MERGE on Iceberg tables (dremio-oss
-    `MergeHandler`)."""
+    `MergeHandler`); mode=None reads the table\'s `write.merge.mode`
+    property."""
+    mode = _dml_mode(table, "merge", mode)
     if mode == "merge-on-read":
         return _mor_merge_iceberg(spark, table, source, on, update_set,
                                   insert_not_matched)

@@ -1215,3 +1215,63 @@ def test_regex_accel_duplicate_aliases(spark):
             assert a == b == exp[g]
     finally:
         eng._default_refl_store().drop("r_dup")
+
+
+def test_tblproperties_route_dml_modes(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES routes later DML: Iceberg's
+    write.<verb>.mode properties and Delta's
+    delta.enableDeletionVectors switch the default DML execution to
+    merge-on-read (no file rewrite — asserted via file-set inclusion);
+    UNSET restores copy-on-write; SHOW TBLPROPERTIES surfaces the map."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                resolve_snapshot as rs_d,
+                                                write_delta)
+    from dremio_oss_spark.sources.iceberg import (read_iceberg,
+                                                  resolve_snapshot as rs_i,
+                                                  write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+
+    # Iceberg: property-routed MOR delete + update
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df, ti)
+    eng.sql(f"ALTER TABLE '{ti}' SET TBLPROPERTIES ("
+            "'write.delete.mode' = 'merge-on-read', "
+            "'write.update.mode' = 'merge-on-read')")
+    files0 = {p for p, _ in rs_i(ti).files}
+    eng.sql(f"DELETE FROM '{ti}' WHERE k >= 35")
+    snap = rs_i(ti)
+    assert {p for p, _ in snap.files} == files0, "property-routed MOR"
+    assert snap.pos_deletes
+    eng.sql(f"UPDATE '{ti}' SET v = v + 1 WHERE k = 0")
+    assert files0 <= {p for p, _ in rs_i(ti).files}
+    cur = read_iceberg(spark, ti)
+    assert cur.count() == 35 and cur.where("k = 0").collect()[0]["v"] == 1.0
+    shown = {r["property"]: r["value"] for r in eng.sql(
+        f"SHOW TBLPROPERTIES '{ti}'").collect()}
+    assert shown.get("write.delete.mode") == "merge-on-read"
+    # UNSET restores COW
+    eng.sql(f"ALTER TABLE '{ti}' UNSET TBLPROPERTIES "
+            "('write.delete.mode')")
+    eng.sql(f"DELETE FROM '{ti}' WHERE k = 1")
+    assert {p for p, _ in rs_i(ti).files} != files0  # rewrote a file
+    assert read_iceberg(spark, ti).count() == 34
+
+    # Delta: delta.enableDeletionVectors routes every DML verb
+    td = str(tmp_path / "d")
+    write_delta(spark, df, td)
+    eng.sql(f"ALTER TABLE '{td}' SET TBLPROPERTIES "
+            "('delta.enableDeletionVectors' = 'true')")
+    files0 = set(rs_d(spark, td).files)
+    eng.sql(f"DELETE FROM '{td}' WHERE k >= 35")
+    snap = rs_d(spark, td)
+    assert set(snap.files) == files0 and snap.dvs
+    eng.sql(f"UPDATE '{td}' SET v = v + 1 WHERE k = 0")
+    assert files0 <= set(rs_d(spark, td).files)
+    cur = read_delta(spark, td)
+    assert cur.count() == 35 and cur.where("k = 0").collect()[0]["v"] == 1.0
