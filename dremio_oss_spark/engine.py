@@ -1561,12 +1561,17 @@ class Engine:
             return self._status(
                 "UPDATE", fn(self.spark, path, set_exprs, pred))
 
+        # the grammar's three clause shapes (SqlMergeIntoTable:
+        # updateCall [+ insertCall] | insertCall alone): matched-only,
+        # insert-only, or both
         m = re.match(
             r"\s*merge\s+into\s+'([^']+)'\s+using\s+(\w+)\s+"
-            r"on\s+(.+?)\s+when\s+matched\s+then\s+update\s+set\s+(.+?)\s+"
-            r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+            r"on\s+(.+?)\s+"
+            r"(?:when\s+matched\s+then\s+update\s+set\s+(.+?))?"
+            r"(?:\s*when\s+not\s+matched\s+then\s+insert\s+\*)?\s*$",
             query, re.I | re.S)
-        if m:
+        if m and (m.group(4) is not None
+                  or re.search(r"when\s+not\s+matched", query, re.I)):
             path, src_view, cond, sets = (m.group(1), m.group(2),
                                           m.group(3), m.group(4))
             fmt = self._lake_format(path)
@@ -1575,8 +1580,10 @@ class Engine:
             keys = [k.strip().split(".")[-1]
                     for k in re.split(r"\band\b", cond, flags=re.I)
                     for k in [k.split("=")[0]]]
+            insert_nm = bool(re.search(r"when\s+not\s+matched", query,
+                                       re.I))
             update_set = None  # SET * → take every source column
-            if sets.strip() != "*":
+            if sets is not None and sets.strip() != "*":
                 update_set = {}
                 for part in _split_top_level(sets, ","):
                     c, _, e = part.partition("=")
@@ -1586,7 +1593,9 @@ class Engine:
                   else I.merge_into_iceberg)
             return self._status(
                 "MERGE", fn(self.spark, path, source, on=keys,
-                            update_set=update_set))
+                            update_set=update_set,
+                            insert_not_matched=insert_nm,
+                            update_matched=sets is not None))
 
         m = re.match(
             r"\s*rollback\s+table\s+'([^']+)'\s+to\s+snapshot\s+"

@@ -1467,7 +1467,8 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
                      on: list[str],
                      update_set: dict[str, str] | None = None,
                      insert_not_matched: bool = True,
-                     mode: str | None = None) -> int:
+                     mode: str | None = None,
+                     update_matched: bool = True) -> int:
     """MERGE INTO <delta table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE [SET col = expr over s.*], WHEN NOT MATCHED
     THEN INSERT *.  `source` must be unique on the key columns (the SQL
@@ -1488,6 +1489,21 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
     via `MergeHandler` / dremio-oss DML plans.  mode=None reads
     `delta.enableDeletionVectors`.
     """
+    if not update_matched:
+        # INSERT-ONLY MERGE (the grammar\'s WhenNotMatched-only form,
+        # SqlMergeIntoTable with insertCall alone): matched target rows
+        # are untouched, so NO file is rewritten or marked in either
+        # mode — one anti-join append commit
+        snap = resolve_snapshot(spark, table)
+        live_keys = read_delta(spark, table).select(*on).distinct()
+        inserts = source.join(live_keys, on, "left_anti")
+        changes = None
+        if _cdf_enabled(snap):
+            cols = [f.name for f in snap.schema.fields]
+            changes = (inserts.select(*cols)
+                       .withColumn("_change_type", F.lit("insert")))
+        return _cow_commit(spark, table, "MERGE", [], lambda h: h,
+                           inserts, changes=changes)
     mode = _delta_dml_mode(spark, table, mode)
     if mode == "merge-on-read":
         return _mor_merge_delta(spark, table, source, on, update_set,

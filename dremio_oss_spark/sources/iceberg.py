@@ -1608,7 +1608,8 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                        on: list[str],
                        update_set: dict[str, str] | None = None,
                        insert_not_matched: bool = True,
-                       mode: str | None = None) -> int:
+                       mode: str | None = None,
+                       update_matched: bool = True) -> int:
     """MERGE INTO <iceberg table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
     must be unique on the keys (SQL MERGE cardinality rule).
@@ -1621,6 +1622,13 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
     there).  Reference: MERGE on Iceberg tables (dremio-oss
     `MergeHandler`); mode=None reads the table\'s `write.merge.mode`
     property."""
+    if not update_matched:
+        # INSERT-ONLY MERGE: matched rows untouched — one anti-join
+        # append snapshot, no rewrite/marking in either mode
+        live_keys = read_iceberg(spark, table).select(*on).distinct()
+        inserts = source.join(live_keys, on, "left_anti")
+        return _cow_commit_iceberg(spark, table, "overwrite", set(),
+                                   lambda h: h, inserts)
     mode = _dml_mode(table, "merge", mode)
     if mode == "merge-on-read":
         return _mor_merge_iceberg(spark, table, source, on, update_set,

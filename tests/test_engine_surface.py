@@ -1275,3 +1275,59 @@ def test_tblproperties_route_dml_modes(spark, tmp_path):
     assert files0 <= set(rs_d(spark, td).files)
     cur = read_delta(spark, td)
     assert cur.count() == 35 and cur.where("k = 0").collect()[0]["v"] == 1.0
+
+
+def test_merge_clause_variants_sql(spark, tmp_path):
+    """The grammar's three MERGE clause shapes (SqlMergeIntoTable:
+    update-only, insert-only, both) through the SQL surface.
+    Insert-only must not rewrite or mark any existing file; update-only
+    must not insert."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                resolve_snapshot,
+                                                write_delta)
+
+    eng = Engine(spark)
+    t = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t)
+
+    src = spark.createDataFrame([(3, 333.0), (50, 500.0)],
+                                "k long, v double")
+    src.createOrReplaceTempView("m_src")
+
+    # update-only: matched row updates, not-matched source row ignored
+    eng.sql(f"MERGE INTO '{t}' USING m_src ON k = k "
+            "WHEN MATCHED THEN UPDATE SET *")
+    cur = read_delta(spark, t)
+    assert cur.count() == 20
+    assert cur.where("k = 3").collect()[0]["v"] == 333.0
+    assert cur.where("k = 50").count() == 0
+
+    # insert-only: no file rewritten, unmatched row appended
+    files0 = set(resolve_snapshot(spark, t).files)
+    eng.sql(f"MERGE INTO '{t}' USING m_src ON k = k "
+            "WHEN NOT MATCHED THEN INSERT *")
+    snap = resolve_snapshot(spark, t)
+    assert files0 <= set(snap.files), "insert-only must not rewrite"
+    cur = read_delta(spark, t)
+    assert cur.count() == 21
+    assert cur.where("k = 50").collect()[0]["v"] == 500.0
+    assert cur.where("k = 3").collect()[0]["v"] == 333.0  # untouched
+
+    # both clauses still work
+    src2 = spark.createDataFrame([(3, 1.0), (60, 600.0)],
+                                 "k long, v double")
+    src2.createOrReplaceTempView("m_src2")
+    eng.sql(f"MERGE INTO '{t}' USING m_src2 ON k = k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    cur = read_delta(spark, t)
+    assert cur.count() == 22
+    assert cur.where("k = 3").collect()[0]["v"] == 1.0
+    assert cur.where("k = 60").count() == 1
+    spark.catalog.dropTempView("m_src")
+    spark.catalog.dropTempView("m_src2")
