@@ -1563,17 +1563,20 @@ class Engine:
 
         # the grammar's three clause shapes (SqlMergeIntoTable:
         # updateCall [+ insertCall] | insertCall alone): matched-only,
-        # insert-only, or both
+        # insert-only, or both.  USING accepts any TableRef: a view
+        # name, a quoted lake path, or a parenthesized subquery
         m = re.match(
-            r"\s*merge\s+into\s+'([^']+)'\s+using\s+(\w+)\s+"
-            r"on\s+(.+?)\s+"
-            r"(?:when\s+matched\s+then\s+update\s+set\s+(.+?))?"
+            r"\s*merge\s+into\s+'([^']+)'\s+using\s+"
+            r"(?:'(?P<spath>[^']+)'|\((?P<subq>.+?)\)(?:\s+(?:as\s+)?\w+)?"
+            r"|(?P<sview>\w+))\s+"
+            r"on\s+(?P<cond>.+?)\s+"
+            r"(?:when\s+matched\s+then\s+update\s+set\s+(?P<sets>.+?))?"
             r"(?:\s*when\s+not\s+matched\s+then\s+insert\s+\*)?\s*$",
             query, re.I | re.S)
-        if m and (m.group(4) is not None
+        if m and (m.group("sets") is not None
                   or re.search(r"when\s+not\s+matched", query, re.I)):
-            path, src_view, cond, sets = (m.group(1), m.group(2),
-                                          m.group(3), m.group(4))
+            path, cond, sets = (m.group(1), m.group("cond"),
+                                m.group("sets"))
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
@@ -1588,7 +1591,19 @@ class Engine:
                 for part in _split_top_level(sets, ","):
                     c, _, e = part.partition("=")
                     update_set[c.strip().split(".")[-1]] = e.strip()
-            source = self.spark.table(src_view)
+            if m.group("spath") is not None:
+                spath = m.group("spath")
+                sfmt = self._lake_format(spath)
+                if sfmt == "delta":
+                    source = D.read_delta(self.spark, spath)
+                elif sfmt == "iceberg":
+                    source = I.read_iceberg(self.spark, spath)
+                else:  # a plain parquet dir/file source
+                    source = self.spark.read.parquet(spath)
+            elif m.group("subq") is not None:
+                source = self.sql(m.group("subq"))
+            else:
+                source = self.spark.table(m.group("sview"))
             fn = (D.merge_into_delta if fmt == "delta"
                   else I.merge_into_iceberg)
             return self._status(

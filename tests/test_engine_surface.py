@@ -1331,3 +1331,39 @@ def test_merge_clause_variants_sql(spark, tmp_path):
     assert cur.where("k = 60").count() == 1
     spark.catalog.dropTempView("m_src")
     spark.catalog.dropTempView("m_src2")
+
+
+def test_merge_using_path_and_subquery(spark, tmp_path):
+    """MERGE's USING accepts any TableRef (the grammar's TableRef
+    production): a quoted lake path and a parenthesized subquery, not
+    just a registered view name."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+
+    eng = Engine(spark)
+    t = str(tmp_path / "t")
+    s = str(tmp_path / "s")
+    write_delta(spark, spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")), t)
+    write_delta(spark, spark.createDataFrame(
+        [(2, 22.0), (50, 500.0)], "k long, v double"), s)
+
+    # USING '<path>'
+    eng.sql(f"MERGE INTO '{t}' USING '{s}' ON k = k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    cur = read_delta(spark, t)
+    assert cur.count() == 11
+    assert cur.where("k = 2").collect()[0]["v"] == 22.0
+    assert cur.where("k = 50").count() == 1
+
+    # USING (subquery)
+    eng.sql(f"MERGE INTO '{t}' USING "
+            f"(select k, v * 10 as v from '{s}') src ON k = k "
+            "WHEN MATCHED THEN UPDATE SET *")
+    cur = read_delta(spark, t)
+    assert cur.count() == 11
+    assert cur.where("k = 2").collect()[0]["v"] == 220.0
+    assert cur.where("k = 50").collect()[0]["v"] == 5000.0
