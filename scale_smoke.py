@@ -250,6 +250,73 @@ def dv_decode_scale_case(spark, n_files: int = 20_000,
     }))
 
 
+def eq_delete_seq_scale_case(spark, n_files: int = 20_000,
+                             n_rows: int = 200_000) -> None:
+    """Round-7 case: sequence-aware equality deletes at high file count.
+    The row→sequence attachment is a (basename → seq) map join over a
+    20k-entry synthetic snapshot — driven with the threshold forced to
+    0 so the map join runs UNHINTED (the distributed path AQE must
+    cost), proving correctness without the broadcast crutch; the delete
+    anti-join carries the seq < delete_seq conjunct.  Old files
+    (seq 1 < 2) lose their deleted keys; files stamped at the delete's
+    own sequence keep theirs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dremio_oss_spark.sources.iceberg import (IcebergSnapshot,
+                                                  _apply_equality_deletes)
+
+    tmp = tempfile.mkdtemp()
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    files = [(f"{tmp}/part-{i:07d}.parquet", {}) for i in range(n_files)]
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit(f"{tmp}/part-"),
+                 F.format_string("%07d", (F.col("id") % n_files)
+                                 .cast("int")),
+                 F.lit(".parquet")).alias("__file"))
+    snap = IcebergSnapshot(1, schema, [], files)
+    # half the files carry the delete's own sequence: their rows must
+    # SURVIVE (seq not strictly lower)
+    snap.file_seq = {p: (2 if i % 2 else 1)
+                     for i, (p, _) in enumerate(files)}
+    dpath = os.path.join(tmp, "eq-del.parquet")
+    # stride 5: deleted keys land half in even-index (seq 1, die) and
+    # half in odd-index (seq 2, SURVIVE) files, so both sides of the
+    # sequence gate are exercised
+    spark.range(0, n_rows, 5).select(
+        F.col("id").alias("k")).coalesce(1).write.parquet(dpath)
+    snap.deletes = [(dpath, ["k"])]
+    snap.delete_seq = {dpath: 2}
+    prev = spark.conf.get("spark.dremio.lake.metadata.distributedFileThreshold",
+                          None)
+    spark.conf.set("spark.dremio.lake.metadata.distributedFileThreshold", "0")
+    t0 = time.perf_counter()
+    try:
+        out = _apply_equality_deletes(spark, df, snap)
+        n = out.count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.dremio.lake.metadata.distributedFileThreshold")
+        else:
+            spark.conf.set(
+                "spark.dremio.lake.metadata.distributedFileThreshold", prev)
+    # deleted keys: k % 5 == 0; survive when their file has seq 2
+    # (file index = k % n_files, odd index -> seq 2)
+    expect = n_rows - sum(1 for k in range(0, n_rows, 5)
+                          if (k % n_files) % 2 == 0)
+    assert expect != n_rows - (n_rows // 5), "no survivor case"
+    assert n == expect, (n, expect)
+    print(json.dumps({
+        "op": "seq_aware_eq_delete", "n_files": n_files,
+        "n_rows": n_rows, "survivors": n,
+        "t_s": round(time.perf_counter() - t0, 2),
+        "map_join": "unhinted (threshold forced 0)",
+    }))
+
+
 def _mixture(docs):
     from pyspark.sql import functions as F
 
@@ -287,6 +354,7 @@ def main() -> None:
     metadata_scale_case(spark, n_files=12_000)
     engine_distributed_plan_case(spark, n_files=120_000)
     dv_decode_scale_case(spark, n_files=20_000)
+    eq_delete_seq_scale_case(spark, n_files=20_000)
 
     ops = {
         "exact_dedup": lambda d, v: D.exact_dedup(d),
