@@ -180,7 +180,8 @@ def main() -> None:
             # ~600k-row inputs)
             sf1_src = {"src_delta_write", "src_iceberg_write",
                        "src_delta_merge", "src_iceberg_dml",
-                       "src_delta_dv", "src_ctas_insert"}
+                       "src_delta_dv", "src_ctas_insert",
+                       "src_mor_dml"}
             # acceleration decade: reflection build (one pass over the
             # 10x fact) + transparent rollup answers — shows the
             # build-once/rollup-many economics hold as data grows

@@ -1028,10 +1028,102 @@ from nation
 """
 
 
+
+
+def mor_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DML end-to-end on BOTH formats, routed by the
+    formats' own table properties (never an explicit mode argument):
+    `write.update.mode`/`write.merge.mode` on Iceberg and
+    `delta.enableDeletionVectors` on Delta send UPDATE and MERGE to the
+    mark-dead + append-post-image paths — no pre-existing data file is
+    rewritten (asserted on both tables).  The reference's MOR DML plans
+    (`DmlPositionalMergeOnReadPlanGenerator.java`) / delta-spark's DV
+    DML.  Final states of both tables must agree with one closed-form
+    oracle."""
+    from ..sources.delta import (read_delta, resolve_snapshot as rs_d,
+                                 set_delta_properties, write_delta)
+    from ..sources.iceberg import (merge_into_iceberg, read_iceberg,
+                                   resolve_snapshot as rs_i,
+                                   set_iceberg_properties,
+                                   update_iceberg, write_iceberg)
+    from ..sources.delta import merge_into_delta, update_delta
+    from .tpch import dsum
+
+    base = _scratch("mor_dml", sf)
+    nat = load(spark, sf, "nation").select(
+        "n_nationkey", "n_regionkey")
+    src = (load(spark, sf, "nation")
+           .where("n_nationkey < 5")
+           .select("n_nationkey",
+                   (F.col("n_regionkey") + 100).alias("n_regionkey"))
+           .unionByName(spark.createDataFrame(
+               [(900, 9), (901, 9)],
+               "n_nationkey long, n_regionkey long")
+               .select(F.col("n_nationkey").cast("long"),
+                       F.col("n_regionkey").cast("long"))))
+
+    td = os.path.join(base, "d")
+    write_delta(spark, nat, td,
+                config={"delta.enableDeletionVectors": "true"})
+    files_d = set(rs_d(spark, td).files)
+    update_delta(spark, td, {"n_regionkey": "n_regionkey + 10"},
+                 "n_nationkey >= 20")          # property-routed MOR
+    merge_into_delta(spark, td, src, on=["n_nationkey"])
+    assert files_d <= set(rs_d(spark, td).files), "delta MOR rewrote"
+
+    ti = os.path.join(base, "i")
+    write_iceberg(spark, nat, ti, properties={
+        "write.update.mode": "merge-on-read",
+        "write.merge.mode": "merge-on-read"})
+    files_i = {p for p, _ in rs_i(ti).files}
+    update_iceberg(spark, ti, {"n_regionkey": "n_regionkey + 10"},
+                   "n_nationkey >= 20")        # property-routed MOR
+    merge_into_iceberg(spark, ti, src, on=["n_nationkey"])
+    assert files_i <= {p for p, _ in rs_i(ti).files}, "iceberg MOR rewrote"
+
+    def agg(df, tag):
+        return (df.groupBy()
+                .agg(F.count("*").cast("bigint").alias("n_rows"),
+                     dsum(F.col("n_regionkey").cast("double"), 2)
+                     .alias("region_sum"))
+                .withColumn("fmt", F.lit(tag)))
+
+    return (agg(read_delta(spark, td), "delta")
+            .unionByName(agg(read_iceberg(spark, ti), "iceberg"))
+            .orderBy("fmt"))
+
+
+MOR_DML_SQL = """
+with upd as (
+  select n_nationkey,
+         case when n_nationkey >= 20 then n_regionkey + 10
+              else n_regionkey end as n_regionkey
+  from nation
+), merged as (
+  select u.n_nationkey,
+         case when u.n_nationkey < 5 then u0.n_regionkey + 100
+              else u.n_regionkey end as n_regionkey
+  from upd u join nation u0 on u.n_nationkey = u0.n_nationkey
+  union all
+  select * from (values (900, 9), (901, 9)) v(n_nationkey, n_regionkey)
+), one as (
+  select cast(count(*) as bigint) as n_rows,
+         cast(sum(cast(cast(n_regionkey as double) as decimal(18,2)))
+              as double) as region_sum
+  from merged
+)
+select n_rows, region_sum, 'delta' as fmt from one
+union all
+select n_rows, region_sum, 'iceberg' as fmt from one
+order by fmt
+"""
+
+
 SOURCES_QUERIES = {
     "src_count_metadata": count_metadata,
     "src_use_branch": use_branch,
     "src_delta_dv": delta_dv,
+    "src_mor_dml": mor_dml,
     "src_iceberg_posdelete": iceberg_posdelete,
     "src_partition_evolution": partition_evolution,
     "src_csv_roundtrip": csv_roundtrip,
@@ -1056,6 +1148,7 @@ SOURCES_ORACLE = {
     "src_count_metadata": COUNT_METADATA_SQL,
     "src_use_branch": USE_BRANCH_SQL,
     "src_delta_dv": DELTA_DV_SQL,
+    "src_mor_dml": MOR_DML_SQL,
     "src_iceberg_posdelete": ICEBERG_POSDELETE_SQL,
     "src_partition_evolution": PARTITION_EVOLUTION_SQL,
     "src_csv_roundtrip": CSV_ROUNDTRIP_SQL,
