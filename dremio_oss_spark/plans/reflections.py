@@ -815,7 +815,10 @@ class ReflectionStore:
         `accept` adds a caller-side veto (e.g. qualified-name checks)."""
         def cost(r: Reflection) -> tuple[int, int]:
             size = 0
-            data = os.path.join(r.path, "data")
+            # current generation dir, not the original "data": after two
+            # refreshes "data" is gone and sizing it would zero out the
+            # tiebreak for every refreshed reflection
+            data = self._data_dir(r)
             for root, _, fns in os.walk(data):
                 size += sum(os.path.getsize(os.path.join(root, f))
                             for f in fns if f.endswith(".parquet"))

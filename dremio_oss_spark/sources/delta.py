@@ -1025,6 +1025,17 @@ def _live_with_file(spark: SparkSession, table: str):
         keep_file=True)
 
 
+def _src_expr(expr: str) -> str:
+    """Rewrite `s.`-qualified source references in a MERGE SET
+    expression to the joined plan's `__s_` aliases.  Word-boundary
+    anchored so a column whose name merely ends in `s` followed by a
+    dotted reference (`prices.amount`) is left alone — a plain
+    substring replace corrupted it to `price__s_amount`."""
+    import re as _re
+
+    return _re.sub(r"\bs\.", "__s_", expr)
+
+
 def _mark_hit_files(table: str, marked: DataFrame) -> list[str]:
     """Distinct `__file`s behind `marked`'s rows, as table-relative
     paths.  The collect is bounded by file count (metadata-sized),
@@ -1435,7 +1446,7 @@ def _mor_merge_delta(spark: SparkSession, table: str, source: DataFrame,
     out_cols = []
     for c in table_cols:
         if update_set is not None:
-            val = (F.expr(update_set[c].replace("s.", "__s_"))
+            val = (F.expr(_src_expr(update_set[c]))
                    if c in update_set else None)
         else:
             val = (F.col(f"__s_{c}")
@@ -1533,7 +1544,7 @@ def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
         out_cols = []
         for c in hits.columns:
             if update_set is not None:
-                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                val = (F.expr(_src_expr(update_set[c]))
                        if c in update_set else None)
             else:
                 val = (F.col(f"__s_{c}")

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .avro_codec import read_avro_file
-from .delta import ConcurrentWriteError
+from .delta import ConcurrentWriteError, _src_expr
 
 _STATUS_DELETED = 2
 
@@ -1657,7 +1657,7 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
         out_cols = []
         for c in hits.columns:
             if update_set is not None:
-                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                val = (F.expr(_src_expr(update_set[c]))
                        if c in update_set else None)
             else:
                 val = (F.col(f"__s_{c}")
@@ -1719,7 +1719,7 @@ def _mor_merge_iceberg(spark: SparkSession, table: str,
         out_cols = []
         for c in table_cols:
             if update_set is not None:
-                val = (F.expr(update_set[c].replace("s.", "__s_"))
+                val = (F.expr(_src_expr(update_set[c]))
                        if c in update_set else None)
             else:
                 val = (F.col(f"__s_{c}")

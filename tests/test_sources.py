@@ -2324,3 +2324,24 @@ def test_delta_merge_on_read_merge_dv(spark, tmp_path):
     cur = read_delta(spark, t)
     assert not resolve_snapshot(spark, t).dvs
     assert cur.count() == 27 and cur.where("k = 3").collect()[0]["v"] == 301.0
+
+
+def test_merge_set_expr_literal_with_s_dot_untouched(spark, tmp_path):
+    """A MERGE SET expression whose string literal contains "s." (a
+    hostname, a sentence) must pass through verbatim: the source-alias
+    rewrite is word-boundary anchored, not a substring replace (the old
+    replace corrupted 'docs.example.com' to 'doc__s_example.com')."""
+    from dremio_oss_spark.sources.delta import (merge_into_delta,
+                                                read_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "old", 0.0), (2, "old", 0.0)], "k long, url string, v double")
+    write_delta(spark, df, t)
+    src = spark.createDataFrame([(1, 7.0)], "k long, amount double")
+    merge_into_delta(
+        spark, t, src, on=["k"],
+        update_set={"url": "'docs.example.com'", "v": "s.amount * 2"},
+        insert_not_matched=False)
+    got = {r["k"]: (r["url"], r["v"]) for r in read_delta(spark, t).collect()}
+    assert got == {1: ("docs.example.com", 14.0), 2: ("old", 0.0)}
