@@ -186,10 +186,16 @@ def _sort_col(col, asc: bool, nulls_first: bool):
 #   ("year"|"month"|"quarter", table, col)
 #   ("trunc", fmt, table, col)     — trunc(col, fmt)       (TruncDate)
 #   ("dtrunc", fmt, table, col)    — date_trunc(fmt, col)  (TruncTimestamp)
+#   ("upper"|"lower"|"trim"|"length"|"abs"|"floor"|"ceil", table, col)
+#   ("substr", pos, len, table, col) — substring(col, pos, len)
 # Expression keys are matched against a reflection carrying the BASE
-# column at its stored (day-or-finer) grain and re-applied over the
+# column at its stored (finer) grain and re-applied over the
 # materialization at rollup — the expression-dim normalization of the
 # reference's MaterializationExpander (PlannerPhase.java:145-169).
+# Every non-"col" kind is a DETERMINISTIC pure function of one stored
+# column, which is the whole soundness condition: re-grouping the
+# rollup cells by f(col) merges exactly the cells the base query's
+# groups would merge, and every measure kind re-aggregates.
 def _dim_base(k: tuple) -> str:
     return k[-1]
 
@@ -219,7 +225,20 @@ def _dim_col(k: tuple):
         return F.trunc(base, k[1])
     if k[0] == "dtrunc":
         return F.date_trunc(k[1], base)
+    if k[0] in _PURE_FNS:
+        return getattr(F, k[0])(base)
+    if k[0] == "substr":
+        return F.substring(base, int(k[1]), int(k[2]))
     raise ValueError(f"unknown dim key {k!r}")  # pragma: no cover
+
+
+# Pure unary scalar functions accepted as expression dims: IR class ->
+# (DimKey kind == pyspark.sql.functions name).  Deterministic, one
+# column argument, no analyzer-inserted casts in the bare-column form.
+_PURE_FN_CLASSES = {"Upper": "upper", "Lower": "lower",
+                    "StringTrim": "trim", "Length": "length",
+                    "Abs": "abs", "Floor": "floor", "Ceil": "ceil"}
+_PURE_FNS = frozenset(_PURE_FN_CLASSES.values())
 
 
 @dataclass
@@ -236,6 +255,9 @@ class ExtractedAgg:
     # 'cdistinct' -> (agg kind 'count'|'sum'|'avg', DimKey)
     outputs: list[tuple[str, str, object]]
     order_by: list[tuple[str, bool, bool]]  # (out_name, asc, nulls_first)
+    # ORDER BY ... LIMIT n (the BI top-N shape): re-applied after the
+    # rollup's own sort; None when the query has no limit
+    limit: int | None = None
     # HAVING conjuncts rendered against INTERNAL rollup column names
     # (measure.name / dim column), applied post-rollup pre-projection
     havings: tuple[str, ...] = ()
@@ -429,6 +451,25 @@ class _Extractor:
                 raise _Unsupported("trunc outside column+literal form")
             kind = "trunc" if c == "TruncDate" else "dtrunc"
             return (kind, str(fn["value"]).lower()) + self._resolve(an)
+        if c in _PURE_FN_CLASSES and len(kids) == 1:
+            # pure unary fn over a BARE column only: an implicit cast
+            # under the fn (upper(int_col)) means the analyzer coerced
+            # the argument, and re-applying the fn over the stored
+            # column would coerce differently — refuse those
+            an, _ak = kids[0]
+            if _cls(an) != "AttributeReference":
+                raise _Unsupported(f"{c} over expression")
+            return (_PURE_FN_CLASSES[c],) + self._resolve(an)
+        if c == "Substring" and len(kids) == 3:
+            an, _ak = kids[0]
+            pos_n, _pk = kids[1]
+            len_n, _lk = kids[2]
+            if (_cls(an) != "AttributeReference"
+                    or _cls(pos_n) != "Literal"
+                    or _cls(len_n) != "Literal"):
+                raise _Unsupported("substring outside column+literals")
+            return (("substr", int(pos_n["value"]), int(len_n["value"]))
+                    + self._resolve(an))
         raise _Unsupported("computed group key")
 
     # -- literals ----------------------------------------------------------
@@ -581,12 +622,24 @@ class _Extractor:
     def extract(self) -> ExtractedAgg:
         node, kids = self.root
         order_raw = None
+        limit = None
         renames: list[tuple[str, int]] | None = None  # (out_name, exprId)
         post_agg_filters: list = []  # HAVING: Filter(s) above the Aggregate
-        # peel [Project?] [Sort?] [Filter?(HAVING)] down to the Aggregate
+        # peel [Limit?] [Project?] [Sort?] [Filter?(HAVING)] down to the
+        # Aggregate
         while True:
             c = _cls(node)
-            if c == "Sort" and order_raw is None:
+            if c in ("GlobalLimit", "LocalLimit") and order_raw is None:
+                # GlobalLimit(LocalLimit(Sort(...))): both carry the
+                # same literal; capture once, peel both
+                le, _lk = _expr(node["limitExpr"])
+                if _cls(le) != "Literal":
+                    raise _Unsupported("non-literal limit")
+                if limit is not None and limit != int(le["value"]):
+                    raise _Unsupported("mismatched limit pair")
+                limit = int(le["value"])
+                node, kids = kids[0]
+            elif c == "Sort" and order_raw is None:
                 order_raw = node["order"]
                 node, kids = kids[0]
             elif c == "Project" and renames is None:
@@ -702,6 +755,14 @@ class _Extractor:
                 key = (("col",) + self._resolve(an)
                        if _cls(an) == "AttributeReference"
                        else self._dim_key(an, ak))
+                if kind == "avg" and key[0] not in (
+                        "col", "year", "month", "quarter"):
+                    # fn nodes carry no dataType in the IR, so the
+                    # decimal guard above can't see e.g. abs(decimal);
+                    # temporal fns are provably integer-valued, other
+                    # expression keys refuse for avg only (count/sum
+                    # distinct keep the expression's native dtype)
+                    raise _Unsupported("avg(distinct) over expression")
                 outputs.append((top["name"], "cdistinct",
                                 (kind, key), _attr_id(top)))
                 continue
@@ -791,7 +852,13 @@ class _Extractor:
                 return _dd_name(p)
             if k == "dim" and p[0] == "col":
                 return _dim_base(p)
-            raise _Unsupported("having on expr dim")
+            if k == "dim":
+                # expression dim: its rollup alias is position-derived
+                # (`__e{i}` over ex.dims) — dims are fully extracted
+                # before HAVING, and match-time aliasing enumerates the
+                # same list, so the name is stable by construction
+                return f"__e{dims.index(p)}"
+            raise _Unsupported("having on expr dim")  # pragma: no cover
 
         havings: list[str] = []
         for fe in post_agg_filters:
@@ -831,6 +898,11 @@ class _Extractor:
                 all_ms.append(p)
             elif k == "avg":  # reduced form: needs both partials
                 all_ms += [Measure("sum", p), Measure("count", p)]
+        if limit is not None and not order:
+            # LIMIT without a total ORDER is row-arbitrary; substituting
+            # would be technically allowed but trivially surprising —
+            # keep it a sound fall-through
+            raise _Unsupported("limit without order by")
         return ExtractedAgg(
             tables=frozenset(self.tables),
             edges=edges,
@@ -839,6 +911,7 @@ class _Extractor:
             filters=tuple(filt),
             outputs=[(n, k, p) for n, k, p, _i in outputs],
             order_by=order,
+            limit=limit,
             havings=tuple(havings),
             all_measures=tuple(all_ms),
             extra_cdistincts=tuple(dict.fromkeys(having_dd)),
@@ -993,6 +1066,10 @@ def match_and_execute(store, ex: ExtractedAgg):
     if ex.order_by:
         df = df.orderBy(*[_sort_col(F.col(n), asc, nf)
                           for n, asc, nf in ex.order_by])
+    if ex.limit is not None:
+        # sort+limit plans as TakeOrderedAndProject over the rollup —
+        # the same top-N short-circuit the unaccelerated plan gets
+        df = df.limit(ex.limit)
     return df, refl.name
 
 

@@ -694,6 +694,65 @@ order by l_returnflag
 """
 
 
+def transparent_purefn(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure-function expression dims + ORDER BY/LIMIT substitution: a
+    whitelisted deterministic scalar function (substring/upper/lower/
+    trim/length/abs/floor/ceil) over a stored dim column re-applies
+    over the materialization — re-grouping rollup cells by f(col)
+    merges exactly the base query's groups.  Also exercises
+    COUNT/SUM(DISTINCT f(col)) over the same stored grain, HAVING on an
+    expression dim (rendered against its position-stable `__e{i}`
+    rollup alias), and LIMIT after ORDER BY (the BI top-N shape, which
+    previously fell through unconditionally).  Mirrors the expression
+    normalization of the reference's MaterializationExpander
+    (PlannerPhase.java:145-169).  Controls: a nested expression under
+    the fn and AVG(DISTINCT f(col)) both fall through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE customer CREATE AGGREGATE REFLECTION t_pf "
+        "USING DIMENSIONS (c_mktsegment, c_name, c_acctbal) "
+        "MEASURES (c_custkey (COUNT))")
+    df = eng.sql(
+        "select substring(c_name, 1, 12) as pref, "
+        "count(distinct floor(c_acctbal)) as nfb, "
+        "cast(sum(distinct length(c_name)) as bigint) as sl, "
+        "count(c_custkey) as n from customer "
+        "group by substring(c_name, 1, 12) "
+        "having substring(c_name, 1, 12) >= 'Customer#000' "
+        "order by pref limit 10")
+    assert eng.last_plan_accelerated == "t_pf", \
+        "pure-fn expression dim substitution missed"
+    # control: nested expression under the fn refuses
+    eng.sql("select upper(substring(c_name, 1, 3)) as p, "
+            "count(c_custkey) as n from customer "
+            "group by upper(substring(c_name, 1, 3))")
+    assert eng.last_plan_accelerated is None, \
+        "unsound nested expression dim substitution"
+    # control: avg(distinct f(col)) refuses (fn dtype unknowable)
+    eng.sql("select c_mktsegment, avg(distinct abs(c_acctbal)) as a "
+            "from customer group by c_mktsegment")
+    assert eng.last_plan_accelerated is None, \
+        "unsound avg(distinct expression) substitution"
+    return df
+
+
+TRANSPARENT_PUREFN_SQL = """
+select substring(c_name, 1, 12) as pref,
+       count(distinct floor(c_acctbal)) as nfb,
+       cast(sum(distinct length(c_name)) as bigint) as sl,
+       count(c_custkey) as n
+from customer
+group by substring(c_name, 1, 12)
+having substring(c_name, 1, 12) >= 'Customer#000'
+order by pref
+limit 10
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -701,6 +760,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_avg": transparent_avg,
     "refl_transparent_leftjoin": transparent_leftjoin,
     "refl_transparent_sumdistinct": transparent_sumdistinct,
+    "refl_transparent_purefn": transparent_purefn,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
@@ -719,6 +779,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_avg": TRANSPARENT_AVG_SQL,
     "refl_transparent_leftjoin": TRANSPARENT_LEFTJOIN_SQL,
     "refl_transparent_sumdistinct": TRANSPARENT_SUMDISTINCT_SQL,
+    "refl_transparent_purefn": TRANSPARENT_PUREFN_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,

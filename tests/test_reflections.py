@@ -1555,3 +1555,93 @@ def test_rightjoin_star_normalizes_to_left(spark):
             "group by c_mktsegment")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("t_rj")
+
+
+def test_pure_fn_expression_dims_substitute(spark):
+    """Pure scalar functions (upper/lower/trim/length/abs/floor/ceil/
+    substring) over a stored dim column substitute as expression dims:
+    the rollup re-groups the materialization cells by f(col), which
+    merges exactly the base query's groups since f is a deterministic
+    function of the stored key.  Covers group keys, COUNT/SUM(DISTINCT
+    f(col)), and HAVING over an expression dim — including the case
+    where the projection keeps the expr dim but HAVING filters on it.
+    Controls: a nested expression argument and AVG(DISTINCT f(col))
+    both fall through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE customer CREATE AGGREGATE REFLECTION pfd "
+            "USING DIMENSIONS (c_mktsegment, c_name, c_acctbal) "
+            "MEASURES (c_custkey (COUNT))")
+
+    def canon(df):
+        return sorted(
+            tuple(round(float(x), 9) if isinstance(x, (int, float)) else x
+                  for x in r)
+            for r in df.collect())
+
+    for q in (
+        # string fn group key
+        "select lower(c_mktsegment) as seg, count(c_custkey) as n "
+        "from customer group by lower(c_mktsegment) order by seg",
+        # substring group key + numeric fn distinct agg
+        "select substring(c_name, 1, 12) as pref, "
+        "count(distinct floor(c_acctbal)) as nf "
+        "from customer group by substring(c_name, 1, 12) "
+        "order by pref limit 5",
+        # sum(distinct f(col)) + having over the expression dim
+        "select upper(c_mktsegment) as seg, "
+        "sum(distinct length(c_name)) as sl "
+        "from customer group by upper(c_mktsegment) "
+        "having upper(c_mktsegment) > 'A' order by seg",
+        # having over an expr dim whose output the projection DROPS
+        "select count(c_custkey) as n from customer "
+        "group by abs(c_acctbal) having abs(c_acctbal) > 9000",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "pfd", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: nested expression under the fn falls through
+    eng.sql("select upper(substring(c_name, 1, 3)) as p, "
+            "count(c_custkey) as n from customer "
+            "group by upper(substring(c_name, 1, 3))")
+    assert eng.last_plan_accelerated is None
+    # control: avg(distinct f(col)) falls through (dtype unknowable
+    # from the IR fn node; decimal re-division would drift)
+    eng.sql("select c_mktsegment, avg(distinct abs(c_acctbal)) as a "
+            "from customer group by c_mktsegment")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("pfd")
+
+
+def test_order_by_limit_substitutes_topn(spark):
+    """ORDER BY ... LIMIT n (the canonical BI top-N) substitutes: the
+    limit re-applies after the rollup's sort, so the accelerated plan
+    gets the same TakeOrderedAndProject short-circuit.  Control: LIMIT
+    without ORDER BY is row-arbitrary and falls through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION topn "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM))")
+    q = ("select o_orderpriority, sum(o_totalprice) as rev from orders "
+         "group by o_orderpriority order by rev desc limit 3")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "topn"
+
+    def canon(frame):
+        return [tuple(round(float(x), 3) if isinstance(x, float) else x
+                      for x in r) for r in frame.collect()]
+
+    assert canon(df) == canon(spark.sql(q))
+
+    eng.sql("select o_orderpriority, sum(o_totalprice) as rev "
+            "from orders group by o_orderpriority limit 3")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("topn")
