@@ -108,3 +108,81 @@ def pack_sequences(df: DataFrame, token_col: str, order_col: str,
             .withColumn("offset_in_chunk",
                         (F.col("cum_before") % L).cast("bigint"))
             .drop("__pid", "__local_before"))
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str],
+                      id_col: str, k: int,
+                      safety: float = 4.0) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample: for every combination
+    of `strata_cols`, keep exactly min(k, stratum size) rows — the rows
+    with the k smallest md5 ranks of `id_col` — plus their
+    `sample_rank` (1-based).  Fixed-size per-stratum samples are the
+    eval-set / ablation-split primitive a mixture weight (a FRACTION,
+    `weighted_mixture`) cannot express.
+
+    Determinism: the rank is md5('strat:' || id), a pure function of
+    the row — reproducible run-over-run, stable under corpus growth
+    (new rows displace at most the largest ranks), and independent of
+    partitioning.
+
+    Scale shape — the naive plan (row_number over every stratum) sorts
+    WHOLE strata, one task per stratum: with 20 language buckets on
+    100 TB that is 20 tasks sorting 5 TB each.  Instead, two phases:
+
+    1. PREFILTER row-locally on a hash cutoff derived from per-stratum
+       counts (one metadata-sized groupBy): cutoff ≈ safety*k/n keeps
+       ~safety*k candidate rows per stratum — survivor volume scales
+       with strata*k, not corpus size.
+    2. Window row_number over the SURVIVORS only (k-scale sorts), then
+       keep rank <= k.
+
+    The cutoff is probabilistic, so phase 2 VERIFIES coverage: any
+    stratum whose survivor count is below min(k, n) (the k-th smallest
+    rank landed above the cutoff) gets its cutoff doubled and re-runs —
+    the loop is exact-by-assertion, not exact-in-expectation.  At
+    safety=4 the first pass covers all strata with overwhelming
+    probability (Chernoff: P[Binomial(n, 4k/n) < k] < exp(-k))."""
+    from pyspark.sql import Window
+
+    strat = F.concat_ws("\x1f", *[F.col(c) for c in strata_cols])
+    rank_hex = F.md5(F.concat(F.lit("strat:"), strat, F.lit(":"),
+                              F.col(id_col).cast("string")))
+    base = df.withColumn("__rank_hex", rank_hex)
+    counts = (base.groupBy(*strata_cols)
+              .agg(F.count(F.lit(1)).alias("__n")))
+
+    mult = float(safety)
+    while True:
+        # per-stratum cutoff as an md5-prefix threshold: u < mult*k/n
+        cut = (counts.withColumn(
+            "__cut", F.least(F.lit(1.0),
+                             F.lit(mult) * F.lit(float(k)) / F.col("__n"))))
+        u = (F.conv(F.substring("__rank_hex", 1, 7), 16, 10)
+             .cast("bigint") / F.lit(float(_HASH_SPACE)))
+        survivors = (base.join(F.broadcast(cut), strata_cols)
+                     .where(u < F.col("__cut")))
+        w = Window.partitionBy(*strata_cols).orderBy("__rank_hex")
+        ranked = (survivors
+                  .withColumn("sample_rank", F.row_number().over(w))
+                  .persist())
+        # coverage check: every stratum must retain min(k, n) rows —
+        # strata-count sized, never corpus sized.  Anchored on `counts`
+        # with a LEFT join so a stratum whose cutoff kept ZERO rows
+        # (absent from `ranked` entirely) still reads as short instead
+        # of silently vanishing from an inner join
+        short = (counts.join(
+                     ranked.groupBy(*strata_cols)
+                     .agg(F.count(F.lit(1)).alias("__kept")),
+                     strata_cols, "left")
+                 .where(F.coalesce("__kept", F.lit(0))
+                        < F.least(F.lit(k), F.col("__n")))
+                 .count())
+        if short == 0:
+            out = (ranked.where(F.col("sample_rank") <= k)
+                   .drop("__rank_hex", "__cut", "__n"))
+            # materialize while persisted lineage is valid, then free
+            out = out.localCheckpoint()
+            ranked.unpersist()
+            return out
+        ranked.unpersist()
+        mult *= 2.0

@@ -1154,6 +1154,47 @@ order by source
 """
 
 
+def llm_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic EXACT-k stratified sampling: per (lang, source)
+    stratum keep exactly min(3, n) docs — the 3 smallest md5 ranks —
+    via the two-phase prefilter-then-rank plan in operators/mixing.py
+    (survivor volume scales with strata*k, never corpus size; coverage
+    is verified, so the result is exact, not exact-in-expectation).
+    Output: per-stratum kept count, max rank, and the sampled doc-id
+    checksum — all arithmetically replicated in the DuckDB oracle, so
+    the SELECTION ITSELF is value-checked."""
+    from ..operators.mixing import stratified_sample
+
+    docs = load(spark, sf, "documents")
+    samp = stratified_sample(docs, ["lang", "source"], "doc_id", k=3)
+    return (samp.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.max("sample_rank").cast("bigint").alias("max_rank"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"))
+            .orderBy("lang", "source"))
+
+
+LLM_STRATIFIED_SAMPLE_SQL = """
+with ranked as (
+  select lang, source, doc_id,
+         row_number() over (
+           partition by lang, source
+           order by md5('strat:' || lang || chr(31) || source || ':'
+                        || cast(doc_id as varchar))
+         ) as rnk
+  from documents
+)
+select lang, source,
+       cast(count(*) as bigint) as n_kept,
+       cast(max(rnk) as bigint) as max_rank,
+       cast(sum(doc_id) as bigint) as id_sum
+from ranked
+where rnk <= 3
+group by lang, source
+order by lang, source
+"""
+
+
 def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard pretraining
     layout): documents ordered by doc_id form one token stream cut
@@ -1265,6 +1306,7 @@ LLMOPS_QUERIES = {
     "llm_curation_pipeline": llm_curation_pipeline,
     "llm_incremental_curation": llm_incremental_curation,
     "llm_data_mixture": llm_data_mixture,
+    "llm_stratified_sample": llm_stratified_sample,
     "llm_sequence_packing": llm_sequence_packing,
 }
 
@@ -1293,5 +1335,6 @@ LLMOPS_ORACLE = {
     "llm_curation_pipeline": LLM_CURATION_SQL,
     "llm_incremental_curation": LLM_CURATION_SQL,  # identity: incremental == batch
     "llm_data_mixture": LLM_DATA_MIXTURE_SQL,
+    "llm_stratified_sample": LLM_STRATIFIED_SAMPLE_SQL,
     "llm_sequence_packing": LLM_SEQUENCE_PACKING_SQL,
 }

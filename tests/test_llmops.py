@@ -315,3 +315,50 @@ def test_boilerplate_stats_flags_global_repeats(spark):
     # the 7 shingles fully inside the shared prefix repeat in 10 docs
     assert all(out[i][0] >= 7 for i in range(10))
     assert out[100] == (0, 0.0)
+
+
+def test_stratified_sample_exact_k_and_widening_loop(spark):
+    """stratified_sample returns EXACTLY the k smallest md5 ranks per
+    stratum.  safety=0.01 forces the prefilter cutoff far below
+    coverage, so the verified-coverage loop must widen (double) until
+    the true top-k are all survivors — proving exactness is enforced by
+    the assertion, not by luck of the initial cutoff.  A stratum
+    smaller than k is kept whole."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.mixing import stratified_sample
+
+    rows = ([("en", i) for i in range(400)]
+            + [("de", i) for i in range(400, 430)]
+            + [("fr", 9999)])  # stratum smaller than k
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+
+    got = stratified_sample(df, ["lang"], "doc_id", k=5, safety=0.01)
+    by_lang = {r["lang"]: r for r in
+               got.groupBy("lang").agg(
+                   F.count(F.lit(1)).alias("n"),
+                   F.max("sample_rank").alias("mx")).collect()}
+    assert by_lang["en"]["n"] == 5 and by_lang["en"]["mx"] == 5
+    assert by_lang["de"]["n"] == 5
+    assert by_lang["fr"]["n"] == 1 and by_lang["fr"]["mx"] == 1
+
+    # exactness: the kept ids ARE the 5 smallest md5 ranks (reference
+    # computed with a plain full-stratum window — the naive plan)
+    from pyspark.sql import Window
+    ref = (df.withColumn(
+               "__h", F.md5(F.concat(F.lit("strat:"), F.col("lang"),
+                                     F.lit(":"),
+                                     F.col("doc_id").cast("string"))))
+           .withColumn("r", F.row_number().over(
+               Window.partitionBy("lang").orderBy("__h")))
+           .where(F.col("r") <= 5))
+    want = {(r["lang"], r["doc_id"]) for r in ref.collect()}
+    have = {(r["lang"], r["doc_id"]) for r in got.collect()}
+    assert have == want
+
+    # determinism run-over-run
+    again = stratified_sample(df, ["lang"], "doc_id", k=5, safety=0.01)
+    assert {(r["lang"], r["doc_id"], r["sample_rank"])
+            for r in again.collect()} == \
+           {(r["lang"], r["doc_id"], r["sample_rank"])
+            for r in got.collect()}
