@@ -1,5 +1,7 @@
-"""Training-data mixture + sequence packing: the two operators that sit
-between a curated corpus and a pretraining dataloader.
+"""Training-data mixture, sampling, and sequence packing: the operators
+that sit between a curated corpus and a pretraining dataloader
+(weighted_mixture, temperature_mixture, stratified_sample,
+pack_sequences).
 
 Not reference-derived (dremio-oss stops at SQL); designed Spark-first
 for the 100 TB training-data pipeline the repo extends toward:
@@ -186,3 +188,50 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
             return out
         ranked.unpersist()
         mult *= 2.0
+
+
+def temperature_mixture(df: DataFrame, stratum_col: str, id_col: str,
+                        temperature: float) -> DataFrame:
+    """Temperature-based domain rebalancing (the standard multilingual/
+    domain sampling policy: sample stratum i with probability
+    proportional to n_i^T, T in (0, 1] — T=1 is natural sampling, T→0
+    approaches uniform over strata).  The corpus total is preserved in
+    expectation: stratum i's resampling weight is
+
+        w_i = (n_i^T / sum_j n_j^T) * N / n_i
+
+    and each row emits floor(w_i) copies plus an md5-Bernoulli for the
+    fraction — the same deterministic, row-local scheme as
+    `weighted_mixture`, so results are reproducible and adding a doc
+    never changes another doc's fate.  Adds `copy_idx` and the realized
+    `mix_weight`.
+
+    Scale shape: ONE metadata-sized groupBy for counts; the weight
+    table is strata-bounded and broadcast; copy emission is row-local
+    explode (no shuffle of the corpus).  Weights round to 6 decimals so
+    the fraction threshold is reproducible across engines (the oracle
+    recomputes the same closed form)."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__tot"),
+        F.sum(F.pow(F.col("__n").cast("double"),
+                    F.lit(float(temperature)))).alias("__Z"))
+    w = (counts.crossJoin(F.broadcast(tot))
+         .select(stratum_col,
+                 F.round(
+                     F.pow(F.col("__n").cast("double"),
+                           F.lit(float(temperature)))
+                     / F.col("__Z")
+                     * F.col("__tot") / F.col("__n").cast("double"),
+                     6).alias("mix_weight")))
+    u = _unit_hash("temp", F.col(id_col))
+    wf = F.col("mix_weight")
+    n_copies = (F.floor(wf)
+                + (u < F.round(wf - F.floor(wf), 6)).cast("bigint")) \
+        .cast("int")
+    return (df.join(F.broadcast(w), stratum_col)
+            .withColumn("__n_copies", n_copies)
+            .where(F.col("__n_copies") > 0)
+            .withColumn("copy_idx", F.explode(
+                F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+            .drop("__n_copies"))

@@ -1195,6 +1195,59 @@ order by lang, source
 """
 
 
+def llm_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based domain rebalancing (sample stratum i with
+    probability proportional to n_i^T — the standard multilingual
+    rebalancing policy; T=0.5 here): per-language weights derive from
+    one count pass, copies emit row-locally via the md5-Bernoulli
+    scheme, corpus total preserved in expectation.  Output: per-lang
+    in/out counts + the applied weight — the whole closed form
+    (pow/round/md5 threshold) replicated in the DuckDB oracle, so the
+    REALIZED resampling is value-checked."""
+    from ..operators.mixing import temperature_mixture
+
+    docs = load(spark, sf, "documents")
+    mixed = temperature_mixture(docs, "lang", "doc_id", temperature=0.5)
+    return (
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in"))
+        .join(mixed.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_out"),
+            F.max("mix_weight").alias("wt")), "lang", "left")
+        .select("lang", "n_in",
+                F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+                F.coalesce("wt", F.lit(0.0)).cast("double").alias("wt"))
+        .orderBy("lang"))
+
+
+LLM_TEMPERATURE_MIXTURE_SQL = """
+with c as (
+  select lang, count(*) as n from documents group by lang
+), t as (
+  select sum(n) as big_n, sum(pow(n, 0.5)) as z from c
+), w as (
+  select lang, n,
+         round(pow(n, 0.5) / z * big_n / n, 6) as wt
+  from c cross join t
+), d as (
+  select doc_id, d0.lang, w.wt,
+         cast(concat('0x', substr(md5(concat('temp:',
+              cast(doc_id as varchar))), 1, 7)) as bigint)
+             / 268435456.0 as u
+  from documents d0 join w on d0.lang = w.lang
+)
+select lang,
+       cast(count(*) as bigint) as n_in,
+       cast(sum(cast(floor(wt) as bigint)
+                + case when u < round(wt - floor(wt), 6)
+                       then 1 else 0 end) as bigint) as n_out,
+       cast(max(wt) as double) as wt
+from d
+group by lang
+order by lang
+"""
+
+
 def llm_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard pretraining
     layout): documents ordered by doc_id form one token stream cut
@@ -1307,6 +1360,7 @@ LLMOPS_QUERIES = {
     "llm_incremental_curation": llm_incremental_curation,
     "llm_data_mixture": llm_data_mixture,
     "llm_stratified_sample": llm_stratified_sample,
+    "llm_temperature_mixture": llm_temperature_mixture,
     "llm_sequence_packing": llm_sequence_packing,
 }
 
@@ -1336,5 +1390,6 @@ LLMOPS_ORACLE = {
     "llm_incremental_curation": LLM_CURATION_SQL,  # identity: incremental == batch
     "llm_data_mixture": LLM_DATA_MIXTURE_SQL,
     "llm_stratified_sample": LLM_STRATIFIED_SAMPLE_SQL,
+    "llm_temperature_mixture": LLM_TEMPERATURE_MIXTURE_SQL,
     "llm_sequence_packing": LLM_SEQUENCE_PACKING_SQL,
 }

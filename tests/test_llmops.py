@@ -362,3 +362,47 @@ def test_stratified_sample_exact_k_and_widening_loop(spark):
             for r in again.collect()} == \
            {(r["lang"], r["doc_id"], r["sample_rank"])
             for r in got.collect()}
+
+
+def test_temperature_mixture_flattens_strata(spark):
+    """Temperature semantics: T=1 is natural sampling (every weight 1,
+    corpus unchanged); T=0.5 upsamples rare strata and downsamples
+    dominant ones while preserving the corpus total in expectation
+    (sum of n_i * w_i = N by construction, up to the 1e-6 weight
+    rounding); deterministic run-over-run."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.operators.mixing import temperature_mixture
+
+    rows = ([("en", i) for i in range(900)]
+            + [("yo", 10_000 + i) for i in range(9)])
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+
+    nat = temperature_mixture(df, "lang", "doc_id", temperature=1.0)
+    assert nat.count() == 909
+    assert nat.agg(F.min("mix_weight"), F.max("mix_weight")) \
+        .collect()[0] == (1.0, 1.0)
+
+    t5 = temperature_mixture(df, "lang", "doc_id", temperature=0.5)
+    w = {r["lang"]: r["wt"] for r in
+         t5.select("lang", F.col("mix_weight").alias("wt"))
+         .distinct().collect()}
+    assert w["yo"] > 1.0 > w["en"], w          # rare up, dominant down
+    # expected total preserved: sum n_i * w_i == N (weight rounding
+    # moves it by < strata * 1e-6 * n)
+    assert abs(900 * w["en"] + 9 * w["yo"] - 909) < 0.01
+    # realized counts near expectation: the fractional part is a
+    # per-row hash-Bernoulli, so the realized sum deviates O(sqrt(n))
+    # — allow 4 sigma
+    import math
+
+    got = {r["lang"]: r["n"] for r in
+           t5.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in (("en", 900), ("yo", 9)):
+        frac = w[lang] - math.floor(w[lang])
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got[lang] - n * w[lang]) <= 4 * sigma + 1, (lang, got)
+    # determinism
+    again = temperature_mixture(df, "lang", "doc_id", temperature=0.5)
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+           sorted(r["doc_id"] for r in t5.collect())
