@@ -315,6 +315,12 @@ class Reflection:
             "and", "or", "not", "in", "is", "null", "true", "false",
             "between", "like", "cast", "as", "case", "when", "then",
             "else", "end", "date", "timestamp", "interval",
+            # whitelisted dim-expression functions (substitution.py
+            # _dim_key): function NAMES, never column references — the
+            # column they wrap must itself be a reflection dim
+            "year", "month", "quarter", "trunc", "date_trunc",
+            "upper", "lower", "trim", "length", "abs", "floor", "ceil",
+            "substring",
         }
         allowed = set(self.dims) | {m.name for m in self.measures} | keywords
         for f in q.filters:

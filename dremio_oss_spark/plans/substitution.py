@@ -213,6 +213,27 @@ def _dd_name(payload: tuple) -> str:
         repr(payload).encode()).hexdigest()[:10]
 
 
+def _dim_sql(k: tuple) -> str:
+    """Render a DimKey as a SQL expression over its base column —
+    exactly what `_dim_col` builds as a Column.  Used to re-apply
+    WHERE predicates over whitelisted expression dims on the
+    materialization scan (`year(l_shipdate) = 1995` filters rollup
+    cells by a pure function of the stored dim, so the surviving
+    groups are identical to the base query's)."""
+    base = k[-1]
+    if k[0] == "col":
+        return base
+    if k[0] in ("year", "month", "quarter") or k[0] in _PURE_FNS:
+        return f"{k[0]}({base})"
+    if k[0] == "trunc":
+        return f"trunc({base}, '{k[1]}')"
+    if k[0] == "dtrunc":
+        return f"date_trunc('{k[1]}', {base})"
+    if k[0] == "substr":
+        return f"substring({base}, {int(k[1])}, {int(k[2])})"
+    raise ValueError(f"unknown dim key {k!r}")  # pragma: no cover
+
+
 def _dim_col(k: tuple):
     from pyspark.sql import functions as F
 
@@ -563,24 +584,36 @@ class _Extractor:
         # rows match (temporal widenings) — `cast(x as int) = 5` must
         # NOT render as `x = 5` (truncation semantics would be lost on
         # the re-applied filter)
+        def col_side(n, k):
+            """SQL for the column side: a bare attribute via `res`, or —
+            only in the default (WHERE) context — a whitelisted dim
+            expression over one (`year(d)`, `substring(c, 1, 3)`),
+            rendered against the base column.  HAVING keeps its own
+            output-name resolution (`name_of`), where an inner attr id
+            never resolves, so expression sides refuse there."""
+            if _cls(n) == "AttributeReference":
+                return res(n)
+            if name_of is None:
+                return _dim_sql(self._dim_key(n, k))
+            raise _Unsupported("predicate without column side")
+
         if c in _CMP:
             (ln, lk), (rn, rk) = kids
             ln, lk = self._strip_col_cast(ln, lk)
             rn, rk = self._strip_col_cast(rn, rk)
             op = _CMP[c]
-            if _cls(ln) == "AttributeReference":
-                return f"{res(ln)} {op} {self._render_literal(rn)}"
-            if _cls(rn) == "AttributeReference":
-                return f"{res(rn)} {_FLIP[op]} {self._render_literal(ln)}"
-            raise _Unsupported("predicate without column side")
+            if _cls(rn) == "Literal":
+                return f"{col_side(ln, lk)} {op} {self._render_literal(rn)}"
+            if _cls(ln) == "Literal":
+                return (f"{col_side(rn, rk)} {_FLIP[op]} "
+                        f"{self._render_literal(ln)}")
+            raise _Unsupported("predicate without literal side")
         if c == "In":
             (vn, vk), *items = kids
             vn, vk = self._strip_col_cast(vn, vk)
-            if _cls(vn) != "AttributeReference":
-                raise _Unsupported("IN without column")
             vals = [self._render_literal(self._strip_cast(n, k)[0])
                     for n, k in items]
-            return f"{res(vn)} in ({', '.join(vals)})"
+            return f"{col_side(vn, vk)} in ({', '.join(vals)})"
         raise _Unsupported(f"predicate {c}")
 
     def _edge(self, jt: str, expr_root, right_tables: frozenset,

@@ -1645,3 +1645,58 @@ def test_order_by_limit_substitutes_topn(spark):
             "from orders group by o_orderpriority limit 3")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("topn")
+
+
+def test_expression_dim_filters_substitute(spark):
+    """WHERE over a whitelisted dim expression (year(d) = 1995,
+    substring(c, 1, n) = '...', IN over month(d)) substitutes: the
+    predicate re-applies over the materialization's stored dim column,
+    filtering exactly the base query's groups.  Controls: an expression
+    over a NON-dim column refuses, and a PARTIAL reflection is never
+    matched through an expression filter (conservative implication)."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION efd "
+            "USING DIMENSIONS (l_returnflag, l_shipdate) "
+            "MEASURES (l_orderkey (COUNT))")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for q in (
+        "select l_returnflag, count(l_orderkey) as n from lineitem "
+        "where year(l_shipdate) = 1995 group by l_returnflag",
+        "select l_returnflag, count(l_orderkey) as n from lineitem "
+        "where month(l_shipdate) in (1, 2, 3) group by l_returnflag",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "efd", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: expression over a NON-dim column refuses
+    eng.sql("select l_returnflag, count(l_orderkey) as n from lineitem "
+            "where abs(l_extendedprice) > 0 group by l_returnflag")
+    assert eng.last_plan_accelerated is None
+
+    # control: a PARTIAL reflection never matches via an expr filter
+    # (the implication check is conservative), even though
+    # year(d) = 1997 implies d >= 1996-01-01 semantically
+    from dremio_oss_spark.plans import AggQuery, Measure
+
+    store = eng._default_refl_store()
+    store.drop("efd")
+    li = spark.table("lineitem")
+    store.create_aggregation_reflection(
+        "efd_part", li, table="lineitem",
+        dims=["l_returnflag", "l_shipdate"],
+        measures=[Measure("count", "l_orderkey")],
+        filters=["l_shipdate >= '1996-01-01'"])
+    q = AggQuery(table="lineitem", dims=("l_returnflag",),
+                 measures=(Measure("count", "l_orderkey"),),
+                 filters=("year(l_shipdate) = 1997",))
+    assert store.find_match(q) is None, \
+        "partial reflection matched through an expression filter"
+    store.drop("efd_part")
