@@ -1121,14 +1121,28 @@ class ExtractedScan:
 
     @property
     def needed_cols(self) -> set[str]:
+        """Base columns the raw materialization must carry: outputs,
+        sort keys, and every identifier a filter references — minus
+        keywords and the whitelisted dim-expression FUNCTION names
+        (`year(l_shipdate) = 1995` needs l_shipdate, not "year";
+        raw reflections store rows verbatim, so any rendered filter
+        over covered columns re-applies soundly)."""
         import re as _re
 
+        non_cols = {
+            "and", "or", "not", "in", "is", "null", "true", "false",
+            "between", "like", "date", "timestamp",
+            "year", "month", "quarter", "trunc", "date_trunc",
+            "upper", "lower", "trim", "length", "abs", "floor",
+            "ceil", "substring",
+        }
         cols = {c for _, c in self.outputs}
         cols |= {c for c, _a, _n in self.order_by}
         for f in self.filters:
-            m = _re.match(r"\s*([A-Za-z_]\w*)", f)
-            if m:
-                cols.add(m.group(1))
+            stripped = _re.sub(r"'[^']*'", "", f)
+            for ident in _re.findall(r"[A-Za-z_]\w*", stripped):
+                if ident.lower() not in non_cols:
+                    cols.add(ident)
         return cols
 
 

@@ -1700,3 +1700,30 @@ def test_expression_dim_filters_substitute(spark):
     assert store.find_match(q) is None, \
         "partial reflection matched through an expression filter"
     store.drop("efd_part")
+
+
+def test_raw_reflection_expression_filter_substitutes(spark):
+    """A raw-reflection scan query with an expression filter
+    (year(d) = 1995) substitutes: raw materializations store rows
+    verbatim, so the rendered predicate re-applies directly; the
+    needed-columns gate counts the WRAPPED column, not the function
+    name.  Control: the expression's base column missing from the
+    reflection refuses."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE RAW REFLECTION rawefd "
+            "USING DISPLAY (l_orderkey, l_shipdate, l_returnflag)")
+    q = ("select l_orderkey, l_returnflag from lineitem "
+         "where year(l_shipdate) = 1995 order by l_orderkey limit 20")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "rawefd"
+    assert [tuple(r) for r in df.collect()] == \
+           [tuple(r) for r in spark.sql(q).collect()]
+    # control: expression over a column the reflection lacks
+    eng.sql("select l_orderkey from lineitem "
+            "where abs(l_discount) > 0")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("rawefd")
