@@ -614,6 +614,18 @@ class _Extractor:
             vals = [self._render_literal(self._strip_cast(n, k)[0])
                     for n, k in items]
             return f"{col_side(vn, vk)} in ({', '.join(vals)})"
+        if c in ("IsNull", "IsNotNull"):
+            vn, vk = self._strip_col_cast(*kids[0])
+            suffix = "is null" if c == "IsNull" else "is not null"
+            return f"{col_side(vn, vk)} {suffix}"
+        if c == "Like":
+            # default escape only: a custom ESCAPE char changes which
+            # rows match and the rendered form would drop it
+            if str(node.get("escapeChar", "\\")) not in ("\\", "None"):
+                raise _Unsupported("LIKE with custom escape")
+            (vn, vk), (pn, _pk) = kids
+            vn, vk = self._strip_col_cast(vn, vk)
+            return f"{col_side(vn, vk)} like {self._render_literal(pn)}"
         raise _Unsupported(f"predicate {c}")
 
     def _edge(self, jt: str, expr_root, right_tables: frozenset,

@@ -1671,6 +1671,9 @@ def test_expression_dim_filters_substitute(spark):
         "where year(l_shipdate) = 1995 group by l_returnflag",
         "select l_returnflag, count(l_orderkey) as n from lineitem "
         "where month(l_shipdate) in (1, 2, 3) group by l_returnflag",
+        "select l_returnflag, count(l_orderkey) as n from lineitem "
+        "where l_returnflag like 'A%' and l_shipdate is not null "
+        "group by l_returnflag",
     ):
         df = eng.sql(q)
         assert eng.last_plan_accelerated == "efd", q
