@@ -614,6 +614,18 @@ class _Extractor:
             vals = [self._render_literal(self._strip_cast(n, k)[0])
                     for n, k in items]
             return f"{col_side(vn, vk)} in ({', '.join(vals)})"
+        if c == "Or":
+            (ln2, lk2), (rn2, rk2) = kids
+            return (f"({self._render_pred(ln2, lk2, name_of)} or "
+                    f"{self._render_pred(rn2, rk2, name_of)})")
+        if c == "Not":
+            return f"(not {self._render_pred(*kids[0], name_of)})"
+        if c == "And":
+            # nested AND under an OR/NOT (top-level ANDs were already
+            # split into separate conjuncts by _iter_conj)
+            (ln2, lk2), (rn2, rk2) = kids
+            return (f"({self._render_pred(ln2, lk2, name_of)} and "
+                    f"{self._render_pred(rn2, rk2, name_of)})")
         if c in ("IsNull", "IsNotNull"):
             vn, vk = self._strip_col_cast(*kids[0])
             suffix = "is null" if c == "IsNull" else "is not null"

@@ -1674,6 +1674,9 @@ def test_expression_dim_filters_substitute(spark):
         "select l_returnflag, count(l_orderkey) as n from lineitem "
         "where l_returnflag like 'A%' and l_shipdate is not null "
         "group by l_returnflag",
+        "select l_returnflag, count(l_orderkey) as n from lineitem "
+        "where l_returnflag = 'R' or (year(l_shipdate) = 1995 "
+        "and not l_returnflag = 'A') group by l_returnflag",
     ):
         df = eng.sql(q)
         assert eng.last_plan_accelerated == "efd", q
