@@ -802,6 +802,14 @@ class _Extractor:
                 # whitelisted temporal expression over one
                 # (count(distinct year(d)) computes from a day-grain d);
                 # other distinct aggs and arbitrary expressions refuse.
+                if kind in ("min", "max") and len(fkids) == 1 \
+                        and _cls(an) == "AttributeReference":
+                    # MIN/MAX(DISTINCT x) IS MIN/MAX(x): dedup cannot
+                    # change an extremum — route to the plain measure
+                    outputs.append((top["name"], "measure",
+                                    Measure(kind, self._resolve(an)[1]),
+                                    _attr_id(top)))
+                    continue
                 if kind not in ("count", "sum", "avg") or len(fkids) != 1:
                     raise _Unsupported("distinct aggregate")
                 if kind == "avg" and str(

@@ -1733,3 +1733,24 @@ def test_raw_reflection_expression_filter_substitutes(spark):
             "where abs(l_discount) > 0")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("rawefd")
+
+
+def test_min_max_distinct_substitute_as_plain_measures(spark):
+    """MIN/MAX(DISTINCT x) is MIN/MAX(x) — dedup cannot change an
+    extremum — so both substitute through the plain measure partials."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION mmd "
+            "USING DIMENSIONS (l_returnflag) "
+            "MEASURES (l_quantity (MIN, MAX), l_orderkey (COUNT))")
+    q = ("select l_returnflag, min(distinct l_quantity) as mn, "
+         "max(distinct l_quantity) as mx from lineitem "
+         "group by l_returnflag order by l_returnflag")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "mmd"
+    assert [tuple(r) for r in df.collect()] == \
+           [tuple(r) for r in spark.sql(q).collect()]
+    eng._default_refl_store().drop("mmd")
