@@ -279,6 +279,11 @@ class ExtractedAgg:
     # ORDER BY ... LIMIT n (the BI top-N shape): re-applied after the
     # rollup's own sort; None when the query has no limit
     limit: int | None = None
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS: (grouping_id, presence mask
+    # aligned with `dims`) per set; None for a plain GROUP BY.  Each set
+    # substitutes as its own rollup of the materialization; the frames
+    # union.
+    grouping_sets: tuple | None = None
     # HAVING conjuncts rendered against INTERNAL rollup column names
     # (measure.name / dim column), applied post-rollup pre-projection
     havings: tuple[str, ...] = ()
@@ -426,6 +431,59 @@ class _Extractor:
             self.edges.append((jt, _expr(cond), right_tables))
             return pend_l | pend_r
         raise _Unsupported(f"plan node {c}")
+
+    def _walk_expand(self, node, kids) -> list[tuple[int, tuple]]:
+        """Parse a grouping-sets Expand: walk the real source below it,
+        then alias each grouping output attr to its base column (taken
+        from any projection row where that position carries the
+        attribute rather than a null literal) and read each row's
+        presence mask + grouping-id literal.  The synthetic
+        spark_grouping_id attr maps to None, so any output or HAVING
+        referencing it (grouping()/grouping_id() calls) refuses."""
+        self._walk_source(*kids[0])
+        out_exprs = [_expr(o) for o in node["output"]]
+        rows = node["projections"]
+        if not rows or not out_exprs:
+            raise _Unsupported("empty expand")
+        gid_attr, _gk = out_exprs[-1]
+        if gid_attr.get("name") != "spark_grouping_id":
+            raise _Unsupported("expand without grouping id")
+        # positions: [passthrough child cols][n_g grouping attrs][gid];
+        # grouping attrs are BRAND-NEW ids minted by Expand (absent from
+        # the env the child walk built), passthrough cols are known ids
+        n_g = 0
+        for a, _k in reversed(out_exprs[:-1]):
+            if _attr_id(a) not in self.env:
+                n_g += 1
+            else:
+                break
+        if not n_g:
+            raise _Unsupported("expand with no grouping columns")
+        prefix = len(out_exprs) - 1 - n_g
+        for j in range(n_g):
+            gattr, _k2 = out_exprs[prefix + j]
+            src = None
+            for row in rows:
+                rn, _rk = _expr(row[prefix + j])
+                if _cls(rn) == "AttributeReference":
+                    src = rn
+                    break
+            if src is None:
+                raise _Unsupported("grouping column absent from all sets")
+            self.env[_attr_id(gattr)] = self.env.get(_attr_id(src))
+        self.env[_attr_id(gid_attr)] = None  # refuse via _resolve
+        sets: list[tuple[int, tuple]] = []
+        for row in rows:
+            if len(row) != len(out_exprs):
+                raise _Unsupported("ragged expand projection")
+            lit, _lk = _expr(row[-1])
+            if _cls(lit) != "Literal":
+                raise _Unsupported("non-literal grouping id")
+            mask = tuple(
+                _cls(_expr(row[prefix + j])[0]) == "AttributeReference"
+                for j in range(n_g))
+            sets.append((int(lit["value"]), mask))
+        return sets
 
     def _resolve(self, attr_node) -> tuple[str, str]:
         got = self.env.get(_attr_id(attr_node))
@@ -743,14 +801,35 @@ class _Extractor:
         elif _cls(node) != "Aggregate":
             raise _Unsupported("no aggregate")
         agg = node
-        self._walk_source(*kids[0])
+        grouping_sets = None
+        if _cls(kids[0][0]) == "Expand":
+            # GROUP BY ROLLUP / CUBE / GROUPING SETS: the analyzer plans
+            # Aggregate(dims..., spark_grouping_id) over Expand, whose
+            # projections replicate each input row once per grouping
+            # set with absent dims nulled and a grouping-id literal
+            # appended.  Extract the sets as (gid, presence mask);
+            # substitution computes each set as its own rollup of the
+            # materialization and unions — the per-set algebra is
+            # exactly the single-group-by case (mirrors the reference's
+            # MaterializationExpander handling of rollup queries).
+            grouping_sets = self._walk_expand(*kids[0])
+        else:
+            self._walk_source(*kids[0])
         if len(self.tables) != len(set(self.tables)):
             raise _Unsupported("self-join")
 
         # group-by dims: plain columns + whitelisted temporal expressions
         dims: list[tuple] = []
         for g in agg["groupingExpressions"]:
-            dims.append(self._dim_key(*_expr(g)))
+            gn, gk = _expr(g)
+            if (grouping_sets is not None
+                    and _cls(gn) == "AttributeReference"
+                    and gn.get("name") == "spark_grouping_id"):
+                continue  # synthetic set discriminator, not a dim
+            dims.append(self._dim_key(gn, gk))
+        if grouping_sets is not None and any(
+                len(m) != len(dims) for _g, m in grouping_sets):
+            raise _Unsupported("grouping-set arity mismatch")
 
         # aggregate output list
         outputs: list[tuple[str, str, object, int]] = []
@@ -977,6 +1056,8 @@ class _Extractor:
             outputs=[(n, k, p) for n, k, p, _i in outputs],
             order_by=order,
             limit=limit,
+            grouping_sets=(tuple(grouping_sets)
+                           if grouping_sets is not None else None),
             havings=tuple(havings),
             all_measures=tuple(all_ms),
             extra_cdistincts=tuple(dict.fromkeys(having_dd)),
@@ -1101,7 +1182,37 @@ def match_and_execute(store, ex: ExtractedAgg):
         aggs.append(fn(_dim_col(key)).alias(_dd_name((dkind, key))))
     aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
              for m in ex.measures]
-    if aggs:
+    if ex.grouping_sets is not None:
+        # ROLLUP/CUBE/GROUPING SETS: one rollup of the materialization
+        # PER SET (absent dims null-extended with the set's own dtype),
+        # frames unioned — per-set algebra is exactly the plain case.
+        # The grand-total set groups by a constant instead of groupBy()
+        # so an EMPTY materialization yields zero rows, matching the
+        # base plan (Expand of nothing aggregates to nothing).
+        if not aggs or len(set(ex.dims)) != len(ex.dims):
+            raise _Unsupported("grouping sets without aggregates")
+        from functools import reduce as _reduce
+
+        probe = mat.select(*group_cols)
+        dtypes = {f.name: f.dataType for f in probe.schema.fields}
+        names = [internal[k] for k in dict.fromkeys(ex.dims)]
+        agg_names = ([_dd_name(p) for p in dd_parts]
+                     + [m.name for m in ex.measures])
+        frames = []
+        for _gid, mask in ex.grouping_sets:
+            g_cols = [_dim_col(k).alias(internal[k])
+                      for k, m in zip(ex.dims, mask) if m]
+            if not g_cols:
+                g_cols = [F.lit(1).alias("__gs_all")]
+            fset = mat.groupBy(*g_cols).agg(*aggs)
+            for k, m in zip(ex.dims, mask):
+                if not m:
+                    fset = fset.withColumn(
+                        internal[k],
+                        F.lit(None).cast(dtypes[internal[k]]))
+            frames.append(fset.select(*names, *agg_names))
+        df = _reduce(lambda a, b: a.unionByName(b), frames)
+    elif aggs:
         df = mat.groupBy(*group_cols).agg(*aggs)
     else:  # pure GROUP BY / DISTINCT over dims
         df = mat.select(*group_cols).distinct()

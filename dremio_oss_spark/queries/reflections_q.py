@@ -683,6 +683,58 @@ def path_anchored(spark: SparkSession, sf: str) -> DataFrame:
     return df
 
 
+def transparent_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP through transparent substitution: the analyzer's
+    Expand/grouping-id plan is canonicalized to (grouping set, presence
+    mask) pairs and each set answers as its own rollup of the
+    materialization, unioned — subtotal and grand-total rows included
+    (the rollup handling of the reference's MaterializationExpander,
+    PlannerPhase.java:145-169).  Controls: a grouping() indicator
+    output and a rollup over a non-dim column both fall through."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_gs "
+        "USING DIMENSIONS (l_returnflag, l_linestatus) "
+        "MEASURES (l_quantity (SUM), l_orderkey (COUNT))")
+    df = eng.sql(
+        "select l_returnflag, l_linestatus, "
+        "sum(l_quantity) as s, count(l_orderkey) as n "
+        "from lineitem group by rollup(l_returnflag, l_linestatus)")
+    assert eng.last_plan_accelerated == "t_gs", \
+        "rollup substitution missed"
+    # control: grouping() indicator refuses
+    eng.sql("select l_returnflag, grouping(l_returnflag) as g, "
+            "count(l_orderkey) as n from lineitem "
+            "group by rollup(l_returnflag)")
+    assert eng.last_plan_accelerated is None, \
+        "unsound grouping() substitution"
+    # control: non-dim rollup column refuses
+    eng.sql("select l_shipdate, count(l_orderkey) as n from lineitem "
+            "group by rollup(l_shipdate)")
+    assert eng.last_plan_accelerated is None, \
+        "unsound non-dim rollup substitution"
+    # decimal-exact emitted sum for the cross-engine hash
+    return df.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("s").cast("double"), 2).alias("s"), "n")
+
+
+TRANSPARENT_ROLLUP_SQL = """
+select l_returnflag, l_linestatus,
+       round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2)
+         as s,
+       count(l_orderkey) as n
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+"""
+
+
 PATH_ANCHORED_SQL = """
 select l_returnflag,
        cast(sum(cast(l_quantity as decimal(28,4))) as double) as s,
@@ -761,6 +813,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_leftjoin": transparent_leftjoin,
     "refl_transparent_sumdistinct": transparent_sumdistinct,
     "refl_transparent_purefn": transparent_purefn,
+    "refl_transparent_rollup": transparent_rollup,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
@@ -780,6 +833,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_leftjoin": TRANSPARENT_LEFTJOIN_SQL,
     "refl_transparent_sumdistinct": TRANSPARENT_SUMDISTINCT_SQL,
     "refl_transparent_purefn": TRANSPARENT_PUREFN_SQL,
+    "refl_transparent_rollup": TRANSPARENT_ROLLUP_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,

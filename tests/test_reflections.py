@@ -1754,3 +1754,57 @@ def test_min_max_distinct_substitute_as_plain_measures(spark):
     assert [tuple(r) for r in df.collect()] == \
            [tuple(r) for r in spark.sql(q).collect()]
     eng._default_refl_store().drop("mmd")
+
+
+def test_rollup_cube_grouping_sets_substitute(spark):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS substitutes: each
+    grouping set computes as its own rollup of the materialization and
+    the frames union — subtotal and grand-total rows match the base
+    plan exactly (including null-extended dim columns and HAVING over
+    a measure).  Controls: a query projecting grouping()/grouping_id()
+    falls through (the synthetic discriminator refuses), as does a
+    rollup over a non-dim column."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION gsr "
+            "USING DIMENSIONS (l_returnflag, l_linestatus) "
+            "MEASURES (l_quantity (SUM), l_orderkey (COUNT))")
+
+    def canon(df):
+        rows = [tuple(round(float(x), 6) if isinstance(x, float) else x
+                      for x in r)
+                for r in df.collect()]
+        return sorted(rows, key=lambda r: tuple(
+            (v is None, str(v)) for v in r))
+
+    for q in (
+        "select l_returnflag, l_linestatus, sum(l_quantity) as s, "
+        "count(l_orderkey) as n from lineitem "
+        "group by rollup(l_returnflag, l_linestatus)",
+        "select l_returnflag, l_linestatus, count(l_orderkey) as n "
+        "from lineitem group by cube(l_returnflag, l_linestatus)",
+        "select l_returnflag, l_linestatus, count(l_orderkey) as n "
+        "from lineitem group by grouping sets "
+        "((l_returnflag), (l_linestatus))",
+        # HAVING over a measure across subtotal rows
+        "select l_returnflag, l_linestatus, count(l_orderkey) as n "
+        "from lineitem group by rollup(l_returnflag, l_linestatus) "
+        "having count(l_orderkey) > 100",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "gsr", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: grouping() indicator output falls through
+    eng.sql("select l_returnflag, grouping(l_returnflag) as g, "
+            "count(l_orderkey) as n from lineitem "
+            "group by rollup(l_returnflag)")
+    assert eng.last_plan_accelerated is None
+    # control: rollup over a non-dim column falls through
+    eng.sql("select l_shipdate, count(l_orderkey) as n from lineitem "
+            "group by rollup(l_shipdate)")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("gsr")
