@@ -1189,8 +1189,12 @@ def match_and_execute(store, ex: ExtractedAgg):
         # The grand-total set groups by a constant instead of groupBy()
         # so an EMPTY materialization yields zero rows, matching the
         # base plan (Expand of nothing aggregates to nothing).
-        if not aggs or len(set(ex.dims)) != len(ex.dims):
+        if not aggs:
             raise _Unsupported("grouping sets without aggregates")
+        if len(set(ex.dims)) != len(ex.dims):
+            # masks are positional; duplicate dim keys would collapse
+            # to one rollup alias and mis-null a position
+            raise _Unsupported("duplicate dims under grouping sets")
         from functools import reduce as _reduce
 
         probe = mat.select(*group_cols)
