@@ -355,6 +355,12 @@ class _Extractor:
         # query tables exposing the same bare name makes the bare-name
         # IR ambiguous -> the whole query refuses (sound)
         self.qualified: dict[str, str] = {}
+        # attr id -> DimKey for projection aliases that compute a
+        # WHITELISTED dim expression over a base column
+        # (`select year(d) as y from t` ... `group by y`): the alias
+        # participates anywhere a dim expression can — group keys,
+        # distinct-agg args, filters — resolved to its base column
+        self.expr_alias: dict[int, tuple] = {}
 
     # -- bottom half: leaves/joins/filters under the Aggregate -------------
     def _walk_source(self, node, kids):
@@ -389,9 +395,19 @@ class _Extractor:
                     if _cls(child) == "AttributeReference":
                         self.env[_attr_id(top)] = self.env.get(
                             _attr_id(child))
+                        if _attr_id(child) in self.expr_alias:
+                            # re-alias of an expression alias: the new
+                            # id inherits the recorded expression
+                            self.expr_alias[_attr_id(top)] = \
+                                self.expr_alias[_attr_id(child)]
                     else:
-                        # computed column: resolvable only if never used
+                        # computed column: record the RAW expression so
+                        # a later _dim_key use can canonicalize it
+                        # lazily (table names are only assigned after
+                        # this walk returns); non-whitelisted shapes
+                        # refuse at use, so plain env stays None
                         self.env[_attr_id(top)] = None
+                        self.expr_alias[_attr_id(top)] = tkids[0]
                     continue
                 raise _Unsupported("project item")
             return pending
@@ -471,6 +487,11 @@ class _Extractor:
             if src is None:
                 raise _Unsupported("grouping column absent from all sets")
             self.env[_attr_id(gattr)] = self.env.get(_attr_id(src))
+            if _attr_id(src) in self.expr_alias:
+                # rollup over a projected dim expression: the grouping
+                # attr inherits the alias's recorded expression
+                self.expr_alias[_attr_id(gattr)] = \
+                    self.expr_alias[_attr_id(src)]
         self.env[_attr_id(gid_attr)] = None  # refuse via _resolve
         sets: list[tuple[int, tuple]] = []
         for row in rows:
@@ -513,6 +534,11 @@ class _Extractor:
         grouping by x)."""
         c = _cls(node)
         if c == "AttributeReference":
+            aliased = self.expr_alias.get(_attr_id(node))
+            if aliased is not None:
+                # a projection alias of a dim expression: canonicalize
+                # the recorded expression (lazy — env is complete now)
+                return self._dim_key(*aliased)
             return ("col",) + self._resolve(node)
         if c in ("Year", "Month", "Quarter") and kids:
             an, _ak = self._strip_temporal_cast(*kids[0])
@@ -650,6 +676,9 @@ class _Extractor:
             output-name resolution (`name_of`), where an inner attr id
             never resolves, so expression sides refuse there."""
             if _cls(n) == "AttributeReference":
+                if (name_of is None
+                        and _attr_id(n) in self.expr_alias):
+                    return _dim_sql(self._dim_key(n, k))
                 return res(n)
             if name_of is None:
                 return _dim_sql(self._dim_key(n, k))
@@ -838,7 +867,7 @@ class _Extractor:
             top, tkids = _expr(item)
             if _cls(top) == "AttributeReference":
                 outputs.append((top["name"], "dim",
-                                ("col",) + self._resolve(top),
+                                self._dim_key(top, []),
                                 _attr_id(top)))
                 continue
             if _cls(top) != "Alias":
@@ -896,9 +925,7 @@ class _Extractor:
                     # same refusal as plain AVG: double re-division
                     # rounds differently than native decimal avg
                     raise _Unsupported("avg(distinct) over decimal")
-                key = (("col",) + self._resolve(an)
-                       if _cls(an) == "AttributeReference"
-                       else self._dim_key(an, ak))
+                key = self._dim_key(an, ak)
                 if kind == "avg" and key[0] not in (
                         "col", "year", "month", "quarter"):
                     # fn nodes carry no dataType in the IR, so the
@@ -951,7 +978,11 @@ class _Extractor:
         # it would NOT drop unmatched fact rows, so the two disagree
         def _refs(n, ks):
             if _cls(n) == "AttributeReference":
-                yield self._resolve(n)
+                if _attr_id(n) in self.expr_alias:
+                    k = self._dim_key(n, ks)
+                    yield (k[-2], k[-1])  # (table, base col) of the key
+                else:
+                    yield self._resolve(n)
             for kk in ks:
                 yield from _refs(*kk)
 

@@ -1808,3 +1808,50 @@ def test_rollup_cube_grouping_sets_substitute(spark):
             "group by rollup(l_shipdate)")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("gsr")
+
+
+def test_expression_alias_through_projection_substitutes(spark):
+    """A projection alias of a whitelisted dim expression participates
+    everywhere a dim expression can: `select year(d) as y ... group by
+    y` (through a subquery), filters on the alias, COUNT(DISTINCT
+    alias), and ROLLUP over the alias all substitute — the alias
+    resolves lazily to its base column.  Control: an alias of a
+    non-whitelisted expression falls through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION eal "
+            "USING DIMENSIONS (l_returnflag, l_shipdate) "
+            "MEASURES (l_orderkey (COUNT))")
+
+    def canon(df):
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(rows, key=lambda r: tuple(
+            (v is None, str(v)) for v in r))
+
+    for q in (
+        "select y, count(l_orderkey) as n from "
+        "(select year(l_shipdate) as y, l_orderkey from lineitem) "
+        "group by y",
+        "select l_returnflag, count(distinct y) as nd from "
+        "(select l_returnflag, year(l_shipdate) as y, l_orderkey "
+        "from lineitem) group by l_returnflag",
+        "select y, count(l_orderkey) as n from "
+        "(select year(l_shipdate) as y, l_orderkey from lineitem) "
+        "where y >= 1995 group by y",
+        "select y, count(l_orderkey) as n from "
+        "(select year(l_shipdate) as y, l_orderkey from lineitem) "
+        "group by rollup(y)",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "eal", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: non-whitelisted computed alias falls through
+    eng.sql("select y, count(l_orderkey) as n from "
+            "(select l_shipdate || 'x' as y, l_orderkey from lineitem) "
+            "group by y")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("eal")
