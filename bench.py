@@ -187,7 +187,9 @@ def main() -> None:
             # build-once/rollup-many economics hold as data grows
             sf1_refl = {"refl_transparent_sql", "refl_transparent_join",
                         "refl_transparent_leftjoin",
-                        "refl_transparent_sumdistinct"}
+                        "refl_transparent_sumdistinct",
+                        "refl_transparent_rollup",
+                        "refl_transparent_purefn"}
             for name in sorted(q for q in queries
                                if (q.startswith(("tpch_", "llm_"))
                                    or q in sf1_src or q in sf1_refl)

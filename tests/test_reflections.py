@@ -1855,3 +1855,36 @@ def test_expression_alias_through_projection_substitutes(spark):
             "group by y")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("eal")
+
+
+def test_rollup_having_dim_and_inline_expression(spark):
+    """Composition cases: HAVING on a dim applies across ROLLUP
+    subtotal rows exactly as the base plan (null-dim subtotal rows drop
+    under an equality having), and ROLLUP over an INLINE expression
+    (group by rollup(year(d))) substitutes through the expression-alias
+    machinery the analyzer's pre-Expand projection creates."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION rcomp "
+            "USING DIMENSIONS (l_returnflag, l_linestatus, l_shipdate) "
+            "MEASURES (l_orderkey (COUNT))")
+
+    def canon(df):
+        rows = [tuple(r) for r in df.collect()]
+        return sorted(rows, key=lambda r: tuple(
+            (v is None, str(v)) for v in r))
+
+    for q in (
+        "select l_returnflag, l_linestatus, count(l_orderkey) as n "
+        "from lineitem group by rollup(l_returnflag, l_linestatus) "
+        "having l_returnflag = 'R'",
+        "select year(l_shipdate) as y, count(l_orderkey) as n "
+        "from lineitem group by rollup(year(l_shipdate))",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "rcomp", q
+        assert canon(df) == canon(spark.sql(q)), q
+    eng._default_refl_store().drop("rcomp")
