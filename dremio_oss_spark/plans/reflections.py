@@ -378,6 +378,13 @@ class ReflectionStore:
         substitutes for queries whose filter implies it (see covers)."""
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
+        # every aggregation reflection maintains a ROW-COUNT partial:
+        # count(*) rollups are the most common BI query and the partial
+        # is one bigint per cell (the reference's aggregation
+        # reflections likewise always carry a count measure so AVG and
+        # COUNT(*) answer from any of them)
+        if not any(m.kind == "count" and m.col == "*" for m in measures):
+            measures = list(measures) + [Measure("count", "*")]
         # bare-name -> owning-table map over the star (collision -> None)
         owner: dict[str, str | None] = {c: table for c in source.columns}
         for js in (joins or ()):

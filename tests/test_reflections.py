@@ -468,11 +468,15 @@ def test_cdf_incremental_refresh_handles_deletes_and_updates(spark, tmp_path):
     bad.base_version = 0
     with pytest.raises(ValueError, match="min/max"):
         store.cdf_incremental_refresh("mm", t)
+    # a COUNT partial is no longer omittable: creation ALWAYS adds the
+    # implicit count(*) measure, so the signed CDF fold can elect
+    # emptied groups on any reflection
     nocount = store.create_aggregation_reflection(
         "nc", read_delta(spark, t), "base", ["g"], [Measure("sum", "v")])
+    assert any(m.kind == "count" and m.col == "*"
+               for m in nocount.measures)
     nocount.base_version = 0
-    with pytest.raises(ValueError, match="COUNT"):
-        store.cdf_incremental_refresh("nc", t)
+    store.cdf_incremental_refresh("nc", t)  # folds cleanly
 
 
 def test_changelog_incremental_refresh_iceberg(spark, tmp_path):
@@ -800,9 +804,10 @@ def test_count_col_null_aware_substitution(spark):
     got = [(r.g, r.av) for r in df2.collect()]
     assert got[0] == ("a", 1.0) and got[1] == ("b", 2.5)
     assert got[2] == ("c", None)  # all-null group: count 0 -> NULL avg
-    # count(*) needs a count_all partial; this reflection lacks one
+    # count(*) answers from the IMPLICIT row-count partial every
+    # aggregation reflection now carries
     eng.sql("select g, count(*) as n from nulltab group by g")
-    assert eng.last_plan_accelerated is None
+    assert eng.last_plan_accelerated == "rnull"
     eng._default_refl_store().drop("rnull")
 
 
@@ -1888,3 +1893,26 @@ def test_rollup_having_dim_and_inline_expression(spark):
         assert eng.last_plan_accelerated == "rcomp", q
         assert canon(df) == canon(spark.sql(q)), q
     eng._default_refl_store().drop("rcomp")
+
+
+def test_aggregate_reflection_always_carries_count_star(spark):
+    """Every aggregation reflection maintains a row-count partial, so
+    plain `select dim, count(*)` rollups answer from ANY DDL-created
+    reflection (the DDL grammar declares per-column measures only, so
+    without the implicit partial no DDL reflection could ever serve
+    count(*))."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION cstar "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM))")
+    q = ("select o_orderpriority, count(*) as n from orders "
+         "group by o_orderpriority order by o_orderpriority")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "cstar"
+    assert [tuple(r) for r in df.collect()] == \
+           [tuple(r) for r in spark.sql(q).collect()]
+    eng._default_refl_store().drop("cstar")
