@@ -448,6 +448,113 @@ class _Extractor:
             return pend_l | pend_r
         raise _Unsupported(f"plan node {c}")
 
+    def _classify_agg(self, child, ckids) -> tuple[str, object]:
+        """Canonicalize one AggregateExpression: ('measure', Measure) |
+        ('avg', base col — reduced to sum/count partials) |
+        ('cdistinct', (agg kind, DimKey)).  Shared by top-level outputs
+        and post-aggregation arithmetic leaves."""
+        fn, fkids = ckids[0]
+        kind = _AGG_FNS.get(_cls(fn))
+        if kind is None:
+            raise _Unsupported(f"aggregate {_cls(fn)}")
+        if not fkids:
+            raise _Unsupported("zero-arg aggregate")
+        # the agg ARGUMENT is taken verbatim — analysis inserts no
+        # casts directly under aggregate functions (verified against
+        # sum/avg/min over every numeric width), so a Cast here is
+        # USER-WRITTEN and value-changing (min(cast(x as string)) is
+        # a lexicographic min); it routes to the expression walker,
+        # which refuses non-literal casts
+        an, ak = fkids[0]
+        if child.get("isDistinct"):
+            # COUNT/SUM/AVG(DISTINCT x): answerable from a reflection
+            # carrying x's BASE column at DIM grain — the distinct value
+            # set inside each query group is exactly the distinct dim
+            # values of the matching rollup cells.  AVG(DISTINCT x)
+            # re-derives as sum_distinct/countDistinct over that set.
+            # x may be a plain column or a whitelisted expression over
+            # one; other distinct aggs and arbitrary expressions refuse.
+            if kind in ("min", "max") and len(fkids) == 1 \
+                    and _cls(an) == "AttributeReference":
+                # MIN/MAX(DISTINCT x) IS MIN/MAX(x): dedup cannot
+                # change an extremum — route to the plain measure
+                return ("measure", Measure(kind, self._resolve(an)[1]))
+            if kind not in ("count", "sum", "avg") or len(fkids) != 1:
+                raise _Unsupported("distinct aggregate")
+            if kind == "avg" and str(
+                    an.get("dataType", "")).startswith("decimal"):
+                # same refusal as plain AVG: double re-division
+                # rounds differently than native decimal avg
+                raise _Unsupported("avg(distinct) over decimal")
+            key = self._dim_key(an, ak)
+            if kind == "avg" and key[0] not in (
+                    "col", "year", "month", "quarter"):
+                # fn nodes carry no dataType in the IR, so the decimal
+                # guard above can't see e.g. abs(decimal); temporal fns
+                # are provably integer-valued, other expression keys
+                # refuse for avg only (count/sum distinct keep the
+                # expression's native dtype)
+                raise _Unsupported("avg(distinct) over expression")
+            return ("cdistinct", (kind, key))
+        if kind == "avg":
+            # reduce avg(x) -> sum(x)/count(x); decimal inputs refuse
+            # (the materialized decimal(28,4) sum divided back would
+            # round differently than native decimal avg)
+            if (_cls(an) != "AttributeReference" or len(fkids) != 1
+                    or str(an.get("dataType", "")).startswith(
+                        "decimal")):
+                raise _Unsupported("avg outside plain-column form")
+            return ("avg", self._resolve(an)[1])
+        if _cls(an) == "Literal" and kind == "count":
+            if an.get("value") is None:
+                raise _Unsupported("count(null)")
+            return ("measure", Measure("count", "*"))
+        if _cls(an) == "AttributeReference" and (
+                kind != "count" or len(fkids) == 1):
+            # count(col) is NULL-AWARE: it matches a per-column count
+            # measure (count_<col>), never count(*); the multi-arg
+            # count(a,b) form refuses
+            return ("measure", Measure(kind, self._resolve(an)[1]))
+        if len(fkids) == 1:
+            # arithmetic measure expression (e.g. the TPC-H revenue
+            # sum(price * (1 - disc))): matches a reflection that
+            # declared the identical canonical expression
+            return ("measure", Measure(kind, _canon_arith(
+                an, ak, lambda a: self._resolve(a)[1])))
+        raise _Unsupported("aggregate over expression")
+
+    _POST_BIN = {"Add": "+", "Subtract": "-", "Multiply": "*",
+                 "Divide": "/"}
+    _POST_LIT = {"integer", "long", "short", "byte", "double", "float"}
+
+    def _post_expr(self, node, kids) -> tuple:
+        """Canonicalize a POST-AGGREGATION arithmetic expression
+        (sum(a)/sum(b), 100*count(x)/count(*), sum(x)+g): a tree of
+        +,-,*,/ and casts whose leaves are aggregate expressions,
+        grouped dims, or numeric literals.  Re-applied over the
+        rollup's re-aggregated partials at substitution."""
+        c = _cls(node)
+        if c == "Cast":
+            return ("cast", str(node.get("dataType")),
+                    self._post_expr(*kids[0]))
+        if c in self._POST_BIN:
+            return ("bin", self._POST_BIN[c],
+                    self._post_expr(*kids[0]),
+                    self._post_expr(*kids[1]))
+        if c == "UnaryMinus":
+            return ("neg", self._post_expr(*kids[0]))
+        if c == "Literal":
+            v, dt = node.get("value"), node.get("dataType")
+            if v is None or not (dt in self._POST_LIT
+                                 or str(dt).startswith("decimal")):
+                raise _Unsupported("non-numeric post-agg literal")
+            return ("lit", str(v), str(dt))
+        if c == "AggregateExpression":
+            return ("agg",) + self._classify_agg(node, kids)
+        # a group dim: plain column, whitelisted expression, or a
+        # projection alias of one — anything else refuses inside
+        return ("dim", self._dim_key(node, kids))
+
     def _walk_expand(self, node, kids) -> list[tuple[int, tuple]]:
         """Parse a grouping-sets Expand: walk the real source below it,
         then alias each grouping output attr to its base column (taken
@@ -682,7 +789,27 @@ class _Extractor:
                 return res(n)
             if name_of is None:
                 return _dim_sql(self._dim_key(n, k))
-            raise _Unsupported("predicate without column side")
+            # HAVING context: arithmetic over aggregate OUTPUTS (the
+            # analyzer hoists each aggregate sub-expression into a
+            # hidden output and leaves `attr / attr > lit` in the
+            # Filter) — render the tree over the resolved output names
+            return hav_expr(n, k)
+
+        def hav_expr(n, k) -> str:
+            c2 = _cls(n)
+            if c2 == "AttributeReference":
+                return res(n)
+            if c2 in self._POST_BIN:
+                return (f"({hav_expr(*k[0])} {self._POST_BIN[c2]} "
+                        f"{hav_expr(*k[1])})")
+            if c2 == "UnaryMinus":
+                return f"(- {hav_expr(*k[0])})"
+            if c2 == "Cast":
+                return (f"cast({hav_expr(*k[0])} as "
+                        f"{n.get('dataType')})")
+            if c2 == "Literal":
+                return self._render_literal(n)
+            raise _Unsupported("having expression")
 
         if c in _CMP:
             (ln, lk), (rn, rk) = kids
@@ -880,97 +1007,41 @@ class _Extractor:
             if cast_to is not None:
                 casts_map[top["name"]] = cast_to
             if _cls(child) != "AggregateExpression":
-                # a group-by key (plain column or the same temporal
-                # expression the grouping used) projected as an output
-                outputs.append((top["name"], "dim",
-                                self._dim_key(child, ckids),
-                                _attr_id(top)))
-                continue
-            fn, fkids = ckids[0]
-            kind = _AGG_FNS.get(_cls(fn))
-            if kind is None:
-                raise _Unsupported(f"aggregate {_cls(fn)}")
-            if not fkids:
-                raise _Unsupported("zero-arg aggregate")
-            # the agg ARGUMENT is taken verbatim — analysis inserts no
-            # casts directly under aggregate functions (verified against
-            # sum/avg/min over every numeric width), so a Cast here is
-            # USER-WRITTEN and value-changing (min(cast(x as string)) is
-            # a lexicographic min); it routes to the expression walker,
-            # which refuses non-literal casts
-            an, ak = fkids[0]
-            if child.get("isDistinct"):
-                # COUNT/SUM/AVG(DISTINCT x): answerable from a
-                # reflection carrying x's BASE column at DIM grain — the
-                # distinct value set inside each query group is exactly
-                # the distinct dim values of the matching rollup cells.
-                # AVG(DISTINCT x) re-derives as sum_distinct/
-                # countDistinct over that set (both partials computed in
-                # the same rollup).  x may be a plain column or a
-                # whitelisted temporal expression over one
-                # (count(distinct year(d)) computes from a day-grain d);
-                # other distinct aggs and arbitrary expressions refuse.
-                if kind in ("min", "max") and len(fkids) == 1 \
-                        and _cls(an) == "AttributeReference":
-                    # MIN/MAX(DISTINCT x) IS MIN/MAX(x): dedup cannot
-                    # change an extremum — route to the plain measure
-                    outputs.append((top["name"], "measure",
-                                    Measure(kind, self._resolve(an)[1]),
+                try:
+                    # a group-by key (plain column or the same temporal
+                    # expression the grouping used) projected as output
+                    outputs.append((top["name"], "dim",
+                                    self._dim_key(child, ckids),
                                     _attr_id(top)))
-                    continue
-                if kind not in ("count", "sum", "avg") or len(fkids) != 1:
-                    raise _Unsupported("distinct aggregate")
-                if kind == "avg" and str(
-                        an.get("dataType", "")).startswith("decimal"):
-                    # same refusal as plain AVG: double re-division
-                    # rounds differently than native decimal avg
-                    raise _Unsupported("avg(distinct) over decimal")
-                key = self._dim_key(an, ak)
-                if kind == "avg" and key[0] not in (
-                        "col", "year", "month", "quarter"):
-                    # fn nodes carry no dataType in the IR, so the
-                    # decimal guard above can't see e.g. abs(decimal);
-                    # temporal fns are provably integer-valued, other
-                    # expression keys refuse for avg only (count/sum
-                    # distinct keep the expression's native dtype)
-                    raise _Unsupported("avg(distinct) over expression")
-                outputs.append((top["name"], "cdistinct",
-                                (kind, key), _attr_id(top)))
+                except _Unsupported:
+                    # post-aggregation arithmetic (sum(a)/sum(b),
+                    # 100*count(x)/count(*)): re-applies over the
+                    # rollup's re-aggregated partials
+                    outputs.append((top["name"], "postexpr",
+                                    self._post_expr(child, ckids),
+                                    _attr_id(top)))
                 continue
-            if kind == "avg":
-                # reduce avg(x) -> sum(x)/count(x); decimal inputs
-                # refuse (the materialized decimal(28,4) sum divided
-                # back would round differently than native decimal avg)
-                if (_cls(an) != "AttributeReference" or len(fkids) != 1
-                        or str(an.get("dataType", "")).startswith(
-                            "decimal")):
-                    raise _Unsupported("avg outside plain-column form")
-                outputs.append((top["name"], "avg",
-                                self._resolve(an)[1], _attr_id(top)))
-                continue
-            if _cls(an) == "Literal" and kind == "count":
-                if an.get("value") is None:
-                    raise _Unsupported("count(null)")
-                meas = Measure("count", "*")
-            elif _cls(an) == "AttributeReference" and (
-                    kind != "count" or len(fkids) == 1):
-                # count(col) is NULL-AWARE: it matches a per-column
-                # count measure (count_<col>), never count(*); the
-                # multi-arg count(a,b) form refuses
-                meas = Measure(kind, self._resolve(an)[1])
-            elif len(fkids) == 1:
-                # arithmetic measure expression (e.g. the TPC-H revenue
-                # sum(price * (1 - disc))): matches a reflection that
-                # declared the identical canonical expression
-                meas = Measure(kind, _canon_arith(
-                    an, ak, lambda a: self._resolve(a)[1]))
+            k2, p2 = self._classify_agg(child, ckids)
+            outputs.append((top["name"], k2, p2, _attr_id(top)))
+
+        def _post_leaves(p):
+            t = p[0]
+            if t == "bin":
+                yield from _post_leaves(p[2])
+                yield from _post_leaves(p[3])
+            elif t in ("neg", "cast"):
+                yield from _post_leaves(p[-1])
             else:
-                raise _Unsupported("aggregate over expression")
-            outputs.append((top["name"], "measure", meas, _attr_id(top)))
+                yield p
 
         for _, k, payload, _i in outputs:
             if k == "dim" and payload not in dims:
                 raise _Unsupported("non-grouped output column")
+            if k == "postexpr":
+                for leaf in _post_leaves(payload):
+                    if leaf[0] == "dim" and leaf[1] not in dims:
+                        raise _Unsupported(
+                            "non-grouped column in post-agg expression")
 
         # filters — a predicate over a null-extended dim's columns
         # refuses: applied post-rollup it would drop null-extended
@@ -1033,7 +1104,36 @@ class _Extractor:
                 # before HAVING, and match-time aliasing enumerates the
                 # same list, so the name is stable by construction
                 return f"__e{dims.index(p)}"
+            if k == "postexpr":
+                return _post_sql(p)
             raise _Unsupported("having on expr dim")  # pragma: no cover
+
+        def _post_sql(p) -> str:
+            """SQL rendering of a post-agg payload against INTERNAL
+            rollup names (the HAVING side of `_post_col`)."""
+            t = p[0]
+            if t == "bin":
+                return f"({_post_sql(p[2])} {p[1]} {_post_sql(p[3])})"
+            if t == "neg":
+                return f"(- {_post_sql(p[1])})"
+            if t == "cast":
+                return f"cast({_post_sql(p[2])} as {p[1]})"
+            if t == "lit":
+                return f"cast('{p[1]}' as {p[2]})"
+            if t == "dim":
+                return (_dim_base(p[1]) if p[1][0] == "col"
+                        else f"__e{dims.index(p[1])}")
+            k3, p3 = p[1], p[2]
+            if k3 == "measure":
+                return p3.name
+            if k3 == "avg":
+                return f"(cast(sum_{p3} as double) / count_{p3})"
+            having_dd.append(p3)
+            dkind, key = p3
+            if dkind == "avg":
+                return (f"(cast({_dd_name(('sum', key))} as double)"
+                        f" / {_dd_name(('count', key))})")
+            return _dd_name(p3)
 
         havings: list[str] = []
         for fe in post_agg_filters:
@@ -1073,6 +1173,20 @@ class _Extractor:
                 all_ms.append(p)
             elif k == "avg":  # reduced form: needs both partials
                 all_ms += [Measure("sum", p), Measure("count", p)]
+            elif k == "postexpr":
+                # every aggregate leaf must roll up; distinct-agg
+                # leaves ride the extra_cdistincts channel
+                for leaf in _post_leaves(p):
+                    if leaf[0] != "agg":
+                        continue
+                    k3, p3 = leaf[1], leaf[2]
+                    if k3 == "measure":
+                        all_ms.append(p3)
+                    elif k3 == "avg":
+                        all_ms += [Measure("sum", p3),
+                                   Measure("count", p3)]
+                    else:
+                        having_dd.append(p3)
         if limit is not None and not order:
             # LIMIT without a total ORDER is row-arbitrary; substituting
             # would be technically allowed but trivially surprising —
@@ -1253,6 +1367,35 @@ def match_and_execute(store, ex: ExtractedAgg):
         df = mat.select(*group_cols).distinct()
     for h in ex.havings:  # HAVING re-applies on the rolled-up names
         df = df.where(h)
+    def _post_col(p):
+        """Column rendering of a post-agg payload over the rollup."""
+        import operator as _op
+
+        t = p[0]
+        if t == "bin":
+            fn = {"+": _op.add, "-": _op.sub,
+                  "*": _op.mul, "/": _op.truediv}[p[1]]
+            return fn(_post_col(p[2]), _post_col(p[3]))
+        if t == "neg":
+            return -_post_col(p[1])
+        if t == "cast":
+            return _post_col(p[2]).cast(p[1])
+        if t == "lit":
+            return F.expr(f"cast('{p[1]}' as {p[2]})")
+        if t == "dim":
+            return F.col(internal[p[1]])
+        k3, p3 = p[1], p[2]
+        if k3 == "measure":
+            return F.col(p3.name)
+        if k3 == "avg":
+            return (F.col(Measure("sum", p3).name).cast("double")
+                    / F.col(Measure("count", p3).name))
+        dkind, key = p3
+        if dkind == "avg":
+            return (F.col(_dd_name(("sum", key))).cast("double")
+                    / F.col(_dd_name(("count", key))))
+        return F.col(_dd_name(p3))
+
     cols = []
     for out_name, kind, payload in ex.outputs:
         if kind == "cdistinct":
@@ -1267,6 +1410,8 @@ def match_and_execute(store, ex: ExtractedAgg):
         elif kind == "avg":  # sum/count reduction, double arithmetic
             col = (F.col(Measure("sum", payload).name).cast("double")
                    / F.col(Measure("count", payload).name))
+        elif kind == "postexpr":
+            col = _post_col(payload)
         else:
             col = F.col(payload.name)
         cast_to = (ex.casts or {}).get(out_name)

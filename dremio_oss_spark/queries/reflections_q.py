@@ -735,6 +735,54 @@ group by rollup(l_returnflag, l_linestatus)
 """
 
 
+def transparent_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """POST-AGGREGATION ARITHMETIC through transparent substitution:
+    ratio-of-sums and literal-scaled counts (the BI KPI shape —
+    sum(a)/sum(b), 100*count(x)) re-apply over the rollup's
+    re-aggregated partials; every aggregate leaf rolls up even when the
+    expression is the only place it appears.  The reflection's sum
+    partials are decimal-exact, so the emitted double ratio matches the
+    oracle's decimal arithmetic bit-for-bit.  Control: a CASE WHEN
+    inside the expression falls through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_ratio "
+        "USING DIMENSIONS (l_returnflag) "
+        "MEASURES (l_quantity (SUM), l_extendedprice (SUM), "
+        "l_orderkey (COUNT))")
+    df = eng.sql(
+        "select l_returnflag, "
+        "cast(sum(l_extendedprice) as double) "
+        "/ cast(sum(l_quantity) as double) as ratio, "
+        "100 * count(l_orderkey) as pct from lineitem "
+        "group by l_returnflag order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_ratio", \
+        "post-aggregation arithmetic substitution missed"
+    # control: CASE WHEN inside the expression refuses
+    eng.sql("select l_returnflag, sum(l_extendedprice) * "
+            "(case when count(*) > 0 then 1 else 0 end) as x "
+            "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None, \
+        "unsound CASE substitution"
+    return df
+
+
+TRANSPARENT_RATIO_SQL = """
+select l_returnflag,
+       cast(sum(cast(l_extendedprice as decimal(28,4))) as double)
+         / cast(sum(cast(l_quantity as decimal(28,4))) as double)
+         as ratio,
+       cast(100 * count(l_orderkey) as bigint) as pct
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 PATH_ANCHORED_SQL = """
 select l_returnflag,
        cast(sum(cast(l_quantity as decimal(28,4))) as double) as s,
@@ -814,6 +862,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_sumdistinct": transparent_sumdistinct,
     "refl_transparent_purefn": transparent_purefn,
     "refl_transparent_rollup": transparent_rollup,
+    "refl_transparent_ratio": transparent_ratio,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_path_anchored": path_anchored,
@@ -834,6 +883,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_sumdistinct": TRANSPARENT_SUMDISTINCT_SQL,
     "refl_transparent_purefn": TRANSPARENT_PUREFN_SQL,
     "refl_transparent_rollup": TRANSPARENT_ROLLUP_SQL,
+    "refl_transparent_ratio": TRANSPARENT_RATIO_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,

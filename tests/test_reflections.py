@@ -1916,3 +1916,63 @@ def test_aggregate_reflection_always_carries_count_star(spark):
     assert [tuple(r) for r in df.collect()] == \
            [tuple(r) for r in spark.sql(q).collect()]
     eng._default_refl_store().drop("cstar")
+
+
+def test_post_aggregation_arithmetic_substitutes(spark):
+    """Post-aggregation arithmetic outputs substitute: ratios and
+    scalings over aggregate results (sum(a)/sum(b), 100*count(x)/
+    count(*), dim + measure mixes, avg and count-distinct leaves)
+    re-apply over the rollup's re-aggregated partials, and a HAVING
+    over such an expression renders against the same internal names.
+    Controls: a non-grouped column inside the expression and a
+    CASE WHEN both fall through."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION pae "
+            "USING DIMENSIONS (l_returnflag, l_quantity) "
+            "MEASURES (l_quantity (SUM, COUNT), l_extendedprice (SUM), "
+            "l_orderkey (COUNT))")
+
+    def canon(df):
+        return sorted(
+            tuple(round(float(x), 6) if isinstance(x, float) else x
+                  for x in r)
+            for r in df.collect())
+
+    for q in (
+        # ratio of sums + literal scaling
+        "select l_returnflag, sum(l_extendedprice) / sum(l_quantity) "
+        "as ratio, 100 * count(l_orderkey) as pct "
+        "from lineitem group by l_returnflag",
+        # avg leaf and count(*) leaf inside arithmetic
+        "select l_returnflag, avg(l_quantity) * 2 as a2, "
+        "count(l_orderkey) / count(*) as frac "
+        "from lineitem group by l_returnflag",
+        # distinct-agg leaf and dim leaf in the expression
+        "select l_quantity, count(distinct l_returnflag) + l_quantity "
+        "as mix from lineitem group by l_quantity",
+        # HAVING over a post-agg ratio
+        "select l_returnflag, count(l_orderkey) as n from lineitem "
+        "group by l_returnflag "
+        "having sum(l_extendedprice) / sum(l_quantity) > 1000",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "pae", q
+        assert canon(df) == canon(spark.sql(q)), q
+
+    # control: non-grouped column inside the arithmetic
+    eng.sql("select l_returnflag, sum(l_extendedprice) + l_quantity "
+            "as x from lineitem group by l_returnflag, l_quantity")
+    # (grouped here, so it accelerates — now the true control:)
+    eng.sql("select l_returnflag, max(l_quantity) + l_orderkey as x "
+            "from lineitem group by l_returnflag, l_orderkey")
+    assert eng.last_plan_accelerated is None  # l_orderkey not a dim
+    # control: CASE WHEN inside refuses
+    eng.sql("select l_returnflag, sum(l_extendedprice) * "
+            "(case when count(*) > 0 then 1 else 0 end) as x "
+            "from lineitem group by l_returnflag")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("pae")
