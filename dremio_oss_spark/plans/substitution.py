@@ -1154,18 +1154,27 @@ class _Extractor:
             outputs = final
             casts_map = new_casts
 
-        # ORDER BY: sort keys must be output columns
-        order: list[tuple[str, bool, bool]] = []
+        # ORDER BY: sort keys are output columns, or HIDDEN aggregate
+        # outputs (ORDER BY sum(x) with the sum not projected — the
+        # analyzer hoists it into the Aggregate and the top Project
+        # drops it; the rollup sorts on a temp column dropped after)
+        order: list[tuple] = []
         if order_raw is not None:
             name_of = {i: n for n, _k, _p, i in outputs}
             for o in order_raw:
                 on, okids = _expr(o)
                 asc, nf = _sort_flags(on)
                 child, _ck = okids[0]
-                if (_cls(child) != "AttributeReference"
-                        or _attr_id(child) not in name_of):
+                if _cls(child) != "AttributeReference":
                     raise _Unsupported("order by non-output expression")
-                order.append((name_of[_attr_id(child)], asc, nf))
+                aid = _attr_id(child)
+                if aid in name_of:
+                    order.append((name_of[aid], asc, nf))
+                    continue
+                got = by_id.get(aid)
+                if got is None or got[1] not in ("measure", "avg"):
+                    raise _Unsupported("order by non-output expression")
+                order.append((None, asc, nf, (got[1], got[2])))
 
         all_ms: list[Measure] = []
         for _n, k, p in by_id.values():
@@ -1418,10 +1427,28 @@ def match_and_execute(store, ex: ExtractedAgg):
         if cast_to:
             col = col.cast(cast_to)  # match the unaccelerated dtype
         cols.append(col.alias(out_name))
+    # hidden aggregate sort keys ride the select as temp columns and
+    # drop after the sort (select-after-orderBy preserves row order)
+    extra: list[str] = []
+    sort_keys = []
+    for ent in ex.order_by or ():
+        n, asc, nf = ent[0], ent[1], ent[2]
+        if n is not None:
+            sort_keys.append(_sort_col(F.col(n), asc, nf))
+            continue
+        k3, p3 = ent[3]
+        hcol = (F.col(p3.name) if k3 == "measure"
+                else F.col(Measure("sum", p3).name).cast("double")
+                / F.col(Measure("count", p3).name))
+        nm = f"__ord{len(extra)}"
+        extra.append(nm)
+        cols.append(hcol.alias(nm))
+        sort_keys.append(_sort_col(F.col(nm), asc, nf))
     df = df.select(*cols)
-    if ex.order_by:
-        df = df.orderBy(*[_sort_col(F.col(n), asc, nf)
-                          for n, asc, nf in ex.order_by])
+    if sort_keys:
+        df = df.orderBy(*sort_keys)
+    if extra:
+        df = df.drop(*extra)
     if ex.limit is not None:
         # sort+limit plans as TakeOrderedAndProject over the rollup —
         # the same top-N short-circuit the unaccelerated plan gets

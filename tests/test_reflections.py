@@ -1976,3 +1976,30 @@ def test_post_aggregation_arithmetic_substitutes(spark):
             "from lineitem group by l_returnflag")
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("pae")
+
+
+def test_order_by_unprojected_aggregate_substitutes(spark):
+    """ORDER BY over an aggregate the projection drops (the 'top N by
+    revenue, names only' shape) substitutes: the hidden measure rolls
+    up, rides the final select as a temp column, sorts, and drops —
+    ordering identical to the base plan, including with LIMIT."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION obh "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    for q in (
+        "select o_orderpriority from orders group by o_orderpriority "
+        "order by sum(o_totalprice) desc limit 3",
+        "select o_orderpriority from orders group by o_orderpriority "
+        "order by avg(o_totalprice)",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "obh", q
+        assert [r[0] for r in df.collect()] == \
+               [r[0] for r in spark.sql(q).collect()], q
+        assert df.columns == ["o_orderpriority"], q
+    eng._default_refl_store().drop("obh")
