@@ -229,7 +229,13 @@ def temperature_mixture(df: DataFrame, stratum_col: str, id_col: str,
     n_copies = (F.floor(wf)
                 + (u < F.round(wf - F.floor(wf), 6)).cast("bigint")) \
         .cast("int")
-    return (df.join(F.broadcast(w), stratum_col)
+    # NULL-SAFE weight attach: groupBy emits a null-stratum group, but
+    # a plain equi-join would drop its rows (null != null) — a corpus
+    # with unlabeled documents must not silently lose them
+    w = w.withColumnRenamed(stratum_col, "__strat")
+    return (df.join(F.broadcast(w),
+                    F.col(stratum_col).eqNullSafe(F.col("__strat")))
+            .drop("__strat")
             .withColumn("__n_copies", n_copies)
             .where(F.col("__n_copies") > 0)
             .withColumn("copy_idx", F.explode(

@@ -406,3 +406,12 @@ def test_temperature_mixture_flattens_strata(spark):
     again = temperature_mixture(df, "lang", "doc_id", temperature=0.5)
     assert sorted(r["doc_id"] for r in again.collect()) == \
            sorted(r["doc_id"] for r in t5.collect())
+
+    # a NULL stratum is a real group, never silently dropped (the
+    # weight attach is null-safe)
+    withnull = df.union(spark.createDataFrame(
+        [(None, 77_000 + i) for i in range(10)],
+        "lang string, doc_id long"))
+    mixed = temperature_mixture(withnull, "lang", "doc_id",
+                                temperature=1.0)
+    assert mixed.where("lang is null").count() == 10
