@@ -153,6 +153,21 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
     counts = (base.groupBy(*strata_cols)
               .agg(F.count(F.lit(1)).alias("__n")))
 
+    def _ns_join(left, right, how="inner"):
+        """NULL-SAFE strata join: groupBy emits a null-stratum group,
+        but a plain equi-join drops its rows (null != null) — here
+        that would widen the cutoff FOREVER (zero survivors can never
+        satisfy coverage for a stratum the join cannot reach)."""
+        r2 = right
+        for i, c in enumerate(strata_cols):
+            r2 = r2.withColumnRenamed(c, f"__s{i}")
+        cond = None
+        for i, c in enumerate(strata_cols):
+            e = left[c].eqNullSafe(r2[f"__s{i}"])
+            cond = e if cond is None else (cond & e)
+        return (left.join(F.broadcast(r2), cond, how)
+                .drop(*[f"__s{i}" for i in range(len(strata_cols))]))
+
     mult = float(safety)
     while True:
         # per-stratum cutoff as an md5-prefix threshold: u < mult*k/n
@@ -161,8 +176,7 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
                              F.lit(mult) * F.lit(float(k)) / F.col("__n"))))
         u = (F.conv(F.substring("__rank_hex", 1, 7), 16, 10)
              .cast("bigint") / F.lit(float(_HASH_SPACE)))
-        survivors = (base.join(F.broadcast(cut), strata_cols)
-                     .where(u < F.col("__cut")))
+        survivors = _ns_join(base, cut).where(u < F.col("__cut"))
         w = Window.partitionBy(*strata_cols).orderBy("__rank_hex")
         ranked = (survivors
                   .withColumn("sample_rank", F.row_number().over(w))
@@ -172,10 +186,10 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
         # with a LEFT join so a stratum whose cutoff kept ZERO rows
         # (absent from `ranked` entirely) still reads as short instead
         # of silently vanishing from an inner join
-        short = (counts.join(
-                     ranked.groupBy(*strata_cols)
-                     .agg(F.count(F.lit(1)).alias("__kept")),
-                     strata_cols, "left")
+        short = (_ns_join(counts,
+                          ranked.groupBy(*strata_cols)
+                          .agg(F.count(F.lit(1)).alias("__kept")),
+                          how="left")
                  .where(F.coalesce("__kept", F.lit(0))
                         < F.least(F.lit(k), F.col("__n")))
                  .count())

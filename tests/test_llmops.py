@@ -363,6 +363,14 @@ def test_stratified_sample_exact_k_and_widening_loop(spark):
            {(r["lang"], r["doc_id"], r["sample_rank"])
             for r in got.collect()}
 
+    # a NULL stratum samples like any other (the strata joins are
+    # null-safe; a plain equi-join would starve it and widen forever)
+    withnull = df.union(spark.createDataFrame(
+        [(None, 50_000 + i) for i in range(20)],
+        "lang string, doc_id long"))
+    ns = stratified_sample(withnull, ["lang"], "doc_id", k=5)
+    assert ns.where("lang is null").count() == 5
+
 
 def test_temperature_mixture_flattens_strata(spark):
     """Temperature semantics: T=1 is natural sampling (every weight 1,
