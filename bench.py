@@ -219,20 +219,23 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    # Stage our own outputs (and any driver-written round artifacts
-    # already on disk) so bench results always land in the tree that
-    # produced them. Best-effort: never fail the bench over git state.
-    try:
-        import glob as _glob
-        import subprocess
+    # Optionally stage round artifacts so bench results land in the tree
+    # that produced them.  Opt-in via SPARK_GRAFT_STAGE_ARTIFACTS=1: a
+    # measurement script mutating the git index by default is surprising
+    # and can stage stale artifacts from an unrelated run — the normal
+    # commit workflow owns `git add`.
+    if os.environ.get("SPARK_GRAFT_STAGE_ARTIFACTS") == "1":
+        try:
+            import glob as _glob
+            import subprocess
 
-        arts = [os.path.join(here, "BENCH_DETAIL.json")]
-        for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
-            arts += _glob.glob(os.path.join(here, pat))
-        subprocess.run(["git", "-C", here, "add", "--"] + arts,
-                       check=False, capture_output=True, timeout=30)
-    except Exception:
-        pass
+            arts = [os.path.join(here, "BENCH_DETAIL.json")]
+            for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+                arts += _glob.glob(os.path.join(here, pat))
+            subprocess.run(["git", "-C", here, "add", "--"] + arts,
+                           check=False, capture_output=True, timeout=30)
+        except Exception:
+            pass
 
     # compact line: every TPC-H query individually (BASELINE.md's per-query
     # and suite bounds) + rollups for the other families

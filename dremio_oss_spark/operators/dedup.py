@@ -345,57 +345,63 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
                             F.col("id_a").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # iterate only over vertices with at least one edge
-    labels = (
-        edges.select(F.col("u").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy("u").agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(nbr, labels.id == nbr.u, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_label", F.col("label")),
-                ).alias("label"),
-            )
-        )
-        # pointer jump: adopt my label's own label (chain shortcutting)
-        parents = stepped.select(F.col("id").alias("pid"),
-                                 F.col("label").alias("plabel"))
+    try:
+        # iterate only over vertices with at least one edge
         labels = (
-            stepped.join(parents, stepped.label == parents.pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("plabel", F.col("label")),
-                ).alias("label"),
-            )
+            edges.select(F.col("u").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev_sum:
-            converged = True
-            break
-        prev_sum = s
-    if not converged:
-        # max_iter is a backstop, not a tuning knob: with pointer
-        # jumping, hitting it means a component deeper than 2^max_iter
-        # — returning partially-merged clusters would silently under-
-        # deduplicate, so fail loudly instead
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds")
-    edges.unpersist()
-    pairs.unpersist()
+        prev_sum = None
+        converged = False
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.v == labels.id)
+                .groupBy("u").agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = (
+                labels.join(nbr, labels.id == nbr.u, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_label", F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            # pointer jump: adopt my label's own label (chain
+            # shortcutting)
+            parents = stepped.select(F.col("id").alias("pid"),
+                                     F.col("label").alias("plabel"))
+            labels = (
+                stepped.join(parents, stepped.label == parents.pid,
+                             "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("plabel", F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            s = labels.agg(F.sum("label")).collect()[0][0]
+            if s == prev_sum:
+                converged = True
+                break
+            prev_sum = s
+        if not converged:
+            # max_iter is a backstop, not a tuning knob: with pointer
+            # jumping, hitting it means a component deeper than
+            # 2^max_iter — returning partially-merged clusters would
+            # silently under-deduplicate, so fail loudly instead
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} rounds")
+    finally:
+        # unpersist on every exit (including the non-converged raise):
+        # persisted RDD blocks would otherwise leak for the session
+        edges.unpersist()
+        pairs.unpersist()
     return _attach_cluster_output(df, labels, id_col)
 
 

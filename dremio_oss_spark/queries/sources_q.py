@@ -874,12 +874,16 @@ def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey", "s_nationkey", "s_acctbal")
     write_iceberg(spark, supp, t)
     files_before = {p for p, _ in resolve_snapshot(t).files}
-    delete_from_iceberg(spark, t, "s_acctbal < 0", mode="merge-on-read")
+    # key-mod predicate: matches rows at EVERY scale factor (a value
+    # predicate like s_acctbal < 0 matches nothing at sf0.001, and a
+    # zero-match MOR DELETE correctly commits no snapshot at all)
+    delete_from_iceberg(spark, t, "s_suppkey % 3 = 0",
+                        mode="merge-on-read")
     snap = resolve_snapshot(t)
     assert {p for p, _ in snap.files} == files_before, "no rewrite"
     assert snap.pos_deletes, "position delete file missing"
     # re-add the deleted rows with shifted keys: none may be swallowed
-    re_add = (load(spark, sf, "supplier").where("s_acctbal < 0")
+    re_add = (load(spark, sf, "supplier").where("s_suppkey % 3 = 0")
               .select((F.col("s_suppkey") + 1000000).alias("s_suppkey"),
                       "s_nationkey", "s_acctbal"))
     write_iceberg(spark, re_add, t, mode="append")
@@ -905,9 +909,9 @@ def iceberg_posdelete(spark: SparkSession, sf: str) -> DataFrame:
 
 ICEBERG_POSDELETE_SQL = """
 with kept as (
-  select s_nationkey, s_acctbal from supplier where not (s_acctbal < 0)
+  select s_nationkey, s_acctbal from supplier where not (s_suppkey % 3 = 0)
   union all
-  select s_nationkey, s_acctbal from supplier where s_acctbal < 0
+  select s_nationkey, s_acctbal from supplier where s_suppkey % 3 = 0
 ), updated as (
   select case when s_nationkey = 0 then s_acctbal - 5
               else s_acctbal end as s_acctbal

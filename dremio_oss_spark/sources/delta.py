@@ -741,11 +741,19 @@ def _stage_files(spark: SparkSession, df: DataFrame, table: str,
         w = w.partitionBy(*partition_by)
     w.parquet(stage)
 
+    import pyarrow.parquet as pq
+
     out: list[tuple[str, dict]] = []
     i = 0
     for p in sorted(
         glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
     ):
+        # Spark writes one empty part file for an empty DataFrame; an
+        # empty staged file would defeat callers' no-op detection (a
+        # zero-match MERGE/UPDATE must not commit) and add junk data
+        # files to the log.  Footer-only check, no data read.
+        if pq.ParquetFile(p).metadata.num_rows == 0:
+            continue
         rel_dir = os.path.relpath(os.path.dirname(p), stage)
         pvals: dict[str, str] = {}
         if rel_dir != ".":

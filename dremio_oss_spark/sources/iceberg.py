@@ -611,6 +611,14 @@ _LIST_SCHEMA = {
     ]}
 
 
+# Sentinel for _del_rec: "this delete file was ADDED by the current
+# commit" (stamp the commit's sequence).  Distinct from None, which means
+# "carried forward WITHOUT a sequence" — a legacy delete predating
+# sequence stamping must stay unstamped so _eq_seq_aware keeps choosing
+# legacy apply-to-all semantics for it.
+_SEQ_NEW = object()
+
+
 def _commit_snapshot(table: str, meta: dict, operation: str,
                      live: list[tuple[str, dict]],
                      removed: list[tuple[str, dict]],
@@ -618,7 +626,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      stats: dict[str, dict] | None = None,
                      deletes: list[tuple[str, list[str]]] | None = None,
                      branch: str | None = None,
-                     summary_extra: dict | None = None) -> int:
+                     summary_extra: dict | None = None,
+                     added: set[str] | None = None) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -637,6 +646,15 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
 
     stats = stats or {}
 
+    # Entries ADDED by this commit stamp its sequence; carried-forward
+    # entries keep the sequence already in their pv — INCLUDING ABSENCE.
+    # A legacy data file (written before sequence stamping) must stay
+    # unstamped: the read side treats a missing data __seq as 0, and
+    # restamping it with the CURRENT sequence would put it at-or-above
+    # every existing equality delete's sequence, turning those deletes
+    # inert and resurrecting previously-deleted rows.
+    added = added if added is not None else {rel for rel, _ in live}
+
     def _rec(status: int, rel: str, pv: dict) -> dict:
         st = stats.get(rel)
         return {"status": status, "snapshot_id": sid,
@@ -646,24 +664,31 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                                          else str(pv[c]))
                                      for c in partition_cols},
                                   "__spec_id": pv.get("__spec_id"),
-                                  "__seq": pv.get("__seq") or str(seq)},
+                                  "__seq": (pv.get("__seq")
+                                            or (str(seq) if rel in added
+                                                else None))},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": json.dumps(st) if st else None,
                     "content": 0, "equality_ids": None}}
 
     def _del_rec(rel: str, cols: list[str] | None,
-                 dseq: int | None = None) -> dict:
+                 dseq=_SEQ_NEW) -> dict:
         # cols=None → position delete file (content=1, rows are
         # (file_path, pos)); cols → equality delete file (content=2).
-        # dseq: the delete's ORIGINAL sequence when carried forward;
-        # None stamps this commit's sequence (a newly added delete)
+        # dseq: _SEQ_NEW (default) stamps this commit's sequence (a
+        # newly added delete); an int is the delete's ORIGINAL sequence
+        # carried forward; None is a carried LEGACY delete that never
+        # had one — it must stay unstamped so the read side keeps
+        # apply-to-all semantics (_eq_seq_aware) instead of silently
+        # upgrading it to this commit's sequence
         return {"status": 1, "snapshot_id": sid,
                 "data_file": {
                     "file_path": rel, "file_format": "PARQUET",
                     "partition": {**{c: None for c in partition_cols},
                                   "__spec_id": None,
-                                  "__seq": str(seq if dseq is None
-                                               else dseq)},
+                                  "__seq": (str(seq) if dseq is _SEQ_NEW
+                                            else (None if dseq is None
+                                                  else str(dseq)))},
                     "record_count": 1, "file_size_in_bytes": 1,
                     "stats_json": None,
                     "content": 2 if cols is not None else 1,
@@ -1195,7 +1220,7 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         carried_deletes = (
             [(os.path.relpath(p, table), cols, prev.delete_seq.get(p))
              for p, cols in prev.deletes]
-            + [(os.path.relpath(p, table), None)
+            + [(os.path.relpath(p, table), None, None)
                for p in prev.pos_deletes])
     else:
         live = staged
@@ -1208,7 +1233,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     return _commit_snapshot(table, meta, "append" if mode == "append"
                             else "overwrite", live, removed, part_names,
                             stats, carried_deletes, branch=branch,
-                            summary_extra=extra)
+                            summary_extra=extra,
+                            added={rel for rel, _ in staged})
 
 
 def last_iceberg_txn_version(table: str, app_id: str) -> int | None:
@@ -1289,10 +1315,11 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     carried = ([] if operation == "replace" else
                [(os.path.relpath(p, table), cols, snap.delete_seq.get(p))
                 for p, cols in snap.deletes]
-               + [(os.path.relpath(p, table), None)
+               + [(os.path.relpath(p, table), None, None)
                   for p in snap.pos_deletes])
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
-                            part_names, stats, carried)
+                            part_names, stats, carried,
+                            added={rel for rel, _ in staged})
 
 
 def _scan_with_partition_values_iceberg(
@@ -1375,6 +1402,8 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                        default=0) + 1
         new_delete_rels = _write_delete_files(
             spark, table, keys, sid_next, prefix)
+        if not new_delete_rels:
+            return snap.snapshot_id  # nothing matched; no commit
         live_entries = [(os.path.relpath(p, table), pv)
                         for p, pv in snap.files]
         part_names = [pf["source"] if pf["transform"] == "identity"
@@ -1384,11 +1413,11 @@ def delete_from_iceberg(spark: SparkSession, table: str,
         deletes = ([(os.path.relpath(p, table), cols,
                      snap.delete_seq.get(p))
                     for p, cols in snap.deletes]
-                   + [(os.path.relpath(p, table), None)
+                   + [(os.path.relpath(p, table), None, None)
                       for p in snap.pos_deletes]
                    + [(rel, cols_entry) for rel in new_delete_rels])
         return _commit_snapshot(table, meta, "delete", live_entries, [],
-                                part_names, stats, deletes)
+                                part_names, stats, deletes, added=set())
 
     if mode != "copy-on-write":
         raise ValueError(f"unknown DELETE mode {mode!r}; "
@@ -1425,9 +1454,17 @@ def _write_delete_files(spark: SparkSession, table: str,
     else:  # equality deletes: key-only and small, one file
         keys = keys.coalesce(1)
     keys.write.mode("overwrite").parquet(stage)
+    import pyarrow.parquet as pq
+
     rels: list[str] = []
     for i, part in enumerate(
             sorted(glob.glob(os.path.join(stage, "*.parquet")))):
+        # Spark writes one empty part file for an empty DataFrame —
+        # skip zero-row parts (footer-only check) so a no-match DML
+        # sees an empty rel list and never commits a junk snapshot
+        # carrying an empty delete file
+        if pq.ParquetFile(part).metadata.num_rows == 0:
+            continue
         rel = os.path.join(
             "data",
             f"{prefix}-{sid_next:05d}-{i:04d}-"
@@ -1554,11 +1591,12 @@ def _mor_update_iceberg(spark: SparkSession, table: str,
         deletes = ([(os.path.relpath(p, table), cols,
                      snap.delete_seq.get(p))
                     for p, cols in snap.deletes]
-                   + [(os.path.relpath(p, table), None)
+                   + [(os.path.relpath(p, table), None, None)
                       for p in snap.pos_deletes]
                    + [(rel, None) for rel in new_delete_rels])
         return _commit_snapshot(table, meta, "overwrite", live_entries,
-                                [], part_names, stats, deletes)
+                                [], part_names, stats, deletes,
+                                added={rel for rel, _ in staged})
     finally:
         hits.unpersist()
 
@@ -1745,16 +1783,22 @@ def _mor_merge_iceberg(spark: SparkSession, table: str,
                                snap.partition_cols)
         stats.update({os.path.relpath(p, table): st
                       for p, st in snap.stats.items()})
+        if not new_delete_rels and not staged:
+            # no matched rows AND no inserts: a commit here would be a
+            # pure no-op snapshot (Delta's _dv_commit_marked early-
+            # returns the same way)
+            return snap.snapshot_id
         live_entries = ([(os.path.relpath(p, table), pv)
                          for p, pv in snap.files] + staged)
         deletes = ([(os.path.relpath(p, table), cols,
                      snap.delete_seq.get(p))
                     for p, cols in snap.deletes]
-                   + [(os.path.relpath(p, table), None)
+                   + [(os.path.relpath(p, table), None, None)
                       for p in snap.pos_deletes]
                    + [(rel, None) for rel in new_delete_rels])
         return _commit_snapshot(table, meta, "overwrite", live_entries,
-                                [], part_names, stats, deletes)
+                                [], part_names, stats, deletes,
+                                added={rel for rel, _ in staged})
     finally:
         matched.unpersist()
 

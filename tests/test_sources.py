@@ -2345,3 +2345,108 @@ def test_merge_set_expr_literal_with_s_dot_untouched(spark, tmp_path):
         insert_not_matched=False)
     got = {r["k"]: (r["url"], r["v"]) for r in read_delta(spark, t).collect()}
     assert got == {1: ("docs.example.com", 14.0), 2: ("old", 0.0)}
+
+
+def test_iceberg_legacy_table_seq_preserved_through_carry_forward(
+        spark, tmp_path):
+    """A table written BEFORE sequence stamping (no __seq anywhere) must
+    keep its legacy apply-to-all equality-delete semantics across later
+    commits: carry-forward preserves the ABSENCE of a sequence instead
+    of restamping old entries with the current commit's sequence —
+    restamping would put every old data file at-or-above the delete's
+    sequence, turn the delete inert, and resurrect deleted rows."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.avro_codec import (read_avro_file,
+                                                     write_avro_file)
+    from dremio_oss_spark.sources.iceberg import (
+        _entry_schema, _eq_seq_aware, delete_from_iceberg, read_iceberg,
+        resolve_snapshot, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+    delete_from_iceberg(spark, t, "k in (2, 5)", mode="merge-on-read",
+                        equality_cols=["k"])
+    assert read_iceberg(spark, t).count() == 8
+
+    # simulate a legacy (pre-sequence-stamping) table: strip __seq from
+    # every manifest entry of the current snapshot
+    with open(_os.path.join(t, "metadata", "version-hint.text")) as f:
+        v = f.read().strip()
+    with open(_os.path.join(t, "metadata",
+                            f"v{v}.metadata.json")) as f:
+        meta = _json.load(f)
+    snap_rec = [s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+    for mf in read_avro_file(snap_rec["manifest-list"]):
+        entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            part = e["data_file"].get("partition") or {}
+            part["__seq"] = None
+        write_avro_file(mf["manifest_path"], _entry_schema([]), entries)
+
+    legacy = resolve_snapshot(t)
+    assert not _eq_seq_aware(legacy)
+    assert read_iceberg(spark, t).count() == 8  # legacy apply-to-all
+
+    # append fresh keys: the commit carries old entries forward
+    write_iceberg(spark, spark.createDataFrame(
+        [(100, 1.0), (101, 2.0)], "k long, v double"), t, mode="append")
+
+    after = resolve_snapshot(t)
+    # the carried legacy delete must STAY unstamped (legacy semantics)
+    assert not _eq_seq_aware(after)
+    cur = read_iceberg(spark, t)
+    assert cur.where("k in (2, 5)").count() == 0  # no resurrection
+    assert cur.where("k >= 100").count() == 2
+    assert cur.count() == 10
+
+    # carried legacy data files remain unstamped; only this commit's
+    # files carry its sequence
+    stamped = {p for p, s in after.file_seq.items() if s != 0}
+    assert 0 < len(stamped) < len(after.file_seq)
+
+
+def test_iceberg_mor_dml_no_match_no_commit(spark, tmp_path):
+    """A MOR UPDATE/MERGE/DELETE matching zero rows must not commit a
+    snapshot (Spark writes one empty part file for an empty DataFrame;
+    the zero-row part must not count as a delete file)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, merge_into_iceberg, read_iceberg,
+        resolve_snapshot, update_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_iceberg(spark, df, t)
+    sid0 = resolve_snapshot(t).snapshot_id
+
+    assert update_iceberg(spark, t, {"v": "v + 1"}, "k > 1000",
+                          mode="merge-on-read") == sid0
+    assert resolve_snapshot(t).snapshot_id == sid0
+
+    empty_src = spark.createDataFrame([], "k long, v double")
+    assert merge_into_iceberg(spark, t, empty_src, ["k"],
+                              mode="merge-on-read") == sid0
+    assert resolve_snapshot(t).snapshot_id == sid0
+
+    assert delete_from_iceberg(spark, t, "k > 1000",
+                               mode="merge-on-read") == sid0
+    assert delete_from_iceberg(spark, t, "k > 1000",
+                               mode="merge-on-read",
+                               equality_cols=["k"]) == sid0
+    assert resolve_snapshot(t).snapshot_id == sid0
+    assert read_iceberg(spark, t).count() == 10
+
+    # a matching MOR update still commits normally
+    update_iceberg(spark, t, {"v": "v + 1"}, "k = 1",
+                   mode="merge-on-read")
+    assert resolve_snapshot(t).snapshot_id != sid0
+    assert read_iceberg(spark, t).where("k = 1").collect()[0]["v"] == 2.0
