@@ -42,6 +42,13 @@ from pyspark.sql import functions as F
 # measure kinds we can roll up (associative re-aggregation)
 _ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
+# Whitelisted dim-expression function names (substitution.py _dim_key).
+# Only an APPLICATION (`year(...)`) is a function; the bare name may be a
+# real column (a table can legitimately have a column named year/length).
+_DIM_FN_CALL_RE = re.compile(
+    r"\b(?:year|month|quarter|trunc|date_trunc|upper|lower|trim|length"
+    r"|abs|floor|ceil|substring)\s*\(", re.IGNORECASE)
+
 
 @dataclass(frozen=True)
 class Measure:
@@ -315,16 +322,16 @@ class Reflection:
             "and", "or", "not", "in", "is", "null", "true", "false",
             "between", "like", "cast", "as", "case", "when", "then",
             "else", "end", "date", "timestamp", "interval",
-            # whitelisted dim-expression functions (substitution.py
-            # _dim_key): function NAMES, never column references — the
-            # column they wrap must itself be a reflection dim
-            "year", "month", "quarter", "trunc", "date_trunc",
-            "upper", "lower", "trim", "length", "abs", "floor", "ceil",
-            "substring",
         }
         allowed = set(self.dims) | {m.name for m in self.measures} | keywords
         for f in q.filters:
             stripped = re.sub(r"'[^']*'", "", f)
+            # whitelisted dim-expression functions (substitution.py
+            # _dim_key) are identifiers only when APPLIED — `year(d)`
+            # strips to `(d`; a bare `year` is a column reference (a
+            # real column may be named year/length/...) and must be a
+            # dim like any other
+            stripped = re.sub(_DIM_FN_CALL_RE, "(", stripped)
             idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped))
             idents = {i for i in idents if not i.isdigit()}
             if not all(i.lower() in allowed or i in allowed for i in idents):

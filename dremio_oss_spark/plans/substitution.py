@@ -1473,23 +1473,25 @@ class ExtractedScan:
     def needed_cols(self) -> set[str]:
         """Base columns the raw materialization must carry: outputs,
         sort keys, and every identifier a filter references — minus
-        keywords and the whitelisted dim-expression FUNCTION names
-        (`year(l_shipdate) = 1995` needs l_shipdate, not "year";
-        raw reflections store rows verbatim, so any rendered filter
-        over covered columns re-applies soundly)."""
+        keywords and the whitelisted dim-expression functions WHEN
+        APPLIED (`year(l_shipdate) = 1995` needs l_shipdate, not
+        "year", but a bare `year = 1995` references a COLUMN named
+        year and the materialization must carry it; raw reflections
+        store rows verbatim, so any rendered filter over covered
+        columns re-applies soundly)."""
         import re as _re
+
+        from .reflections import _DIM_FN_CALL_RE
 
         non_cols = {
             "and", "or", "not", "in", "is", "null", "true", "false",
             "between", "like", "date", "timestamp",
-            "year", "month", "quarter", "trunc", "date_trunc",
-            "upper", "lower", "trim", "length", "abs", "floor",
-            "ceil", "substring",
         }
         cols = {c for _, c in self.outputs}
         cols |= {c for c, _a, _n in self.order_by}
         for f in self.filters:
             stripped = _re.sub(r"'[^']*'", "", f)
+            stripped = _DIM_FN_CALL_RE.sub("(", stripped)
             for ident in _re.findall(r"[A-Za-z_]\w*", stripped):
                 if ident.lower() not in non_cols:
                     cols.add(ident)

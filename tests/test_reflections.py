@@ -2003,3 +2003,46 @@ def test_order_by_unprojected_aggregate_substitutes(spark):
                [r[0] for r in spark.sql(q).collect()], q
         assert df.columns == ["o_orderpriority"], q
     eng._default_refl_store().drop("obh")
+
+
+def test_fn_named_column_not_treated_as_function():
+    """A column literally named `length` (or year/abs/...) in a filter is
+    a COLUMN reference, not a whitelisted dim-expression function: a
+    reflection that doesn't carry it must refuse covers() (silently
+    matching would fail analysis at substitution time and drop
+    acceleration), and one that carries it as a dim matches.  Function
+    APPLICATIONS (`length(name) = 5`) keep matching through the wrapped
+    dim."""
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import AggQuery, Reflection
+
+    no_len = Reflection("r1", "t", ("g",), (Measure("sum", "v"),), "/x")
+    with_len = Reflection("r2", "t", ("g", "length"),
+                          (Measure("sum", "v"),), "/x")
+    q_bare = AggQuery("t", ("g",), (Measure("sum", "v"),),
+                      filters=("length = 5",))
+    assert not no_len.covers(q_bare)
+    assert with_len.covers(q_bare)
+    # applied form: the wrapped column must be a dim; the fn name itself
+    # never needs to be one
+    q_fn = AggQuery("t", ("g",), (Measure("sum", "v"),),
+                    filters=("length(g) = 5",))
+    assert no_len.covers(q_fn)
+    # year as a plain column name, same shape
+    q_year = AggQuery("t", ("g",), (Measure("sum", "v"),),
+                      filters=("year = 1995",))
+    assert not no_len.covers(q_year)
+
+
+def test_needed_cols_keeps_fn_named_columns():
+    """ExtractedScan.needed_cols: `year = 1995` references a column named
+    year (the raw materialization must carry it); `year(d) = 1995` needs
+    d, not year."""
+    from dremio_oss_spark.plans.substitution import ExtractedScan
+
+    bare = ExtractedScan("t", ("year = 1995",), [("a", "a")], [], None)
+    assert "year" in bare.needed_cols and "a" in bare.needed_cols
+    applied = ExtractedScan("t", ("year(d) = 1995",), [("a", "a")],
+                            [], None)
+    assert "d" in applied.needed_cols
+    assert "year" not in applied.needed_cols
