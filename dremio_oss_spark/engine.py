@@ -879,8 +879,16 @@ class Engine:
                             f"fragment: {item!r}")
                 for fn in fns.split(","):
                     if fn.strip():
-                        measures.append(Measure(fn.strip().lower(),
-                                                target))
+                        # the reference's measure-type keywords
+                        # (grammar alter.ftl:516-530): MIN MAX COUNT
+                        # SUM and (APPROXIMATE|APPROX) COUNT DISTINCT
+                        # (MeasureType.APPROX_COUNT_DISTINCT) — the
+                        # latter materializes as an HLL sketch partial
+                        kind = re.sub(r"\s+", " ", fn.strip().lower())
+                        kind = {"approximate count distinct": "ndv",
+                                "approx count distinct": "ndv",
+                                "ndv": "ndv"}.get(kind, kind)
+                        measures.append(Measure(kind, target))
             is_path = t in getattr(self, "_refl_view_paths", {})
             if is_path and not any(
                     mm.kind == "count" and mm.col == "*"
@@ -1132,7 +1140,8 @@ class Engine:
         signable = (
             not getattr(refl, "joins", ())
             and hasattr(refl, "measures")
-            and not {m.kind for m in refl.measures} & {"min", "max"}
+            and not {m.kind for m in refl.measures} & {"min", "max",
+                                                       "ndv"}
             and any(m.kind == "count" and m.col == "*"
                     for m in refl.measures)
             and refl.base_version is not None)
@@ -2116,6 +2125,13 @@ class Engine:
         store = getattr(self, "_refl_store", None)
         if store is None or not (store._reflections or store._raw):
             return None
+        # the probe analyzes through Spark, so dialect names must be
+        # rewritten FIRST (NDV( -> approx_count_distinct( etc.) or the
+        # probe's analysis fails and acceleration silently falls
+        # through; Engine.sql re-applies the same rewrites later —
+        # idempotent, rewritten names never re-match a pattern
+        for pat, rep in _DIALECT_REWRITES:
+            query = re.sub(pat, rep, query, flags=re.IGNORECASE)
         # dependency-driven freshness: stale dependents refresh BEFORE
         # matching, so an accelerated answer reflects the latest commit
         self._refresh_stale_reflections()

@@ -39,8 +39,23 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# measure kinds we can roll up (associative re-aggregation)
-_ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+# Partial-merge per measure kind: how two materialized cells of the
+# same (coarser) group combine.  "ndv" partials are DataSketches HLL
+# binaries (F.hll_sketch_agg) and merge by sketch union — the ESTIMATE
+# is only taken at query time (substitution), exactly the reference's
+# NDV reflections (HyperLogLog.java:28 NDV_FUNCTION; measure type
+# APPROX_COUNT_DISTINCT, SqlCreateReflection.java:316).
+_ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+           "ndv": F.hll_union_agg}
+
+# DataSketches HLL accepts int/bigint/string/binary inputs only; any
+# other dtype casts to string first — an injective cast, so the distinct
+# set (hence the sketch) is unchanged.
+_HLL_NATIVE = {"int", "bigint", "string", "binary"}
+
+
+def _hll_input(col: F.Column, dtype: str | None) -> F.Column:
+    return col if dtype in _HLL_NATIVE else col.cast("string")
 
 # Whitelisted dim-expression function names (substitution.py _dim_key).
 # Only an APPLICATION (`year(...)`) is a function; the bare name may be a
@@ -52,7 +67,11 @@ _DIM_FN_CALL_RE = re.compile(
 
 @dataclass(frozen=True)
 class Measure:
-    """One declared measure: kind in {sum,count,min,max}, over a column.
+    """One declared measure: kind in {sum,count,min,max,ndv}, over a
+    column.  "ndv" is the reference's APPROXIMATE COUNT DISTINCT
+    measure (grammar alter.ftl:528, MeasureType.APPROX_COUNT_DISTINCT,
+    SqlCreateReflection.java:316): materialized as a mergeable HLL
+    sketch, estimated only at query time.
 
     COUNT comes in two distinct shapes — `count(*)` (col == "*", rows per
     group) and null-aware `count(col)` (non-null values per group).  They
@@ -312,7 +331,16 @@ class Reflection:
         if not set(q.dims) <= set(self.dims):
             return False
         if not set(q.measures) <= set(self.measures):
-            return False
+            # NDV over a STORED DIM answers from the dim grain even
+            # without a declared sketch measure: an HLL estimate
+            # depends only on the distinct value SET, and the rollup
+            # cells carry exactly the distinct dim values of each query
+            # group — so approx_count_distinct over the materialization
+            # equals the base plan's value bit-for-bit
+            missing = set(q.measures) - set(self.measures)
+            if not all(m.kind == "ndv" and m.col in self.dims
+                       for m in missing):
+                return False
         # filters must reference reflection dims only (pushable post-rollup):
         # any column-looking identifier that is NOT a dim, a measure output,
         # a SQL keyword, or a quoted literal disqualifies the match
@@ -576,6 +604,7 @@ class ReflectionStore:
     # -- refresh -----------------------------------------------------------
     def _aggregate(self, df: DataFrame, refl: Reflection) -> DataFrame:
         aggs = []
+        dtypes = dict(df.dtypes)
         for m in refl.measures:
             if m.kind == "count":
                 # count(*) counts rows; count(col) counts NON-NULL values
@@ -583,6 +612,16 @@ class ReflectionStore:
                 # count(nullable_col) with count(*)
                 aggs.append((F.count("*") if m.col == "*"
                              else F.count(m.column)).alias(m.name))
+            elif m.kind == "ndv":
+                # APPROXIMATE COUNT DISTINCT measure: the partial is a
+                # DataSketches HLL binary (mergeable at any coarser
+                # grain via hll_union_agg; the reference stores HLL
+                # partials the same way — HyperLogLog.java:28,
+                # AccelCreateReflectionHandler measure type
+                # APPROX_COUNT_DISTINCT)
+                aggs.append(F.hll_sketch_agg(
+                    _hll_input(m.column, dtypes.get(m.col)))
+                    .alias(m.name))
             else:
                 col = m.column
                 if m.kind == "sum":
@@ -707,10 +746,11 @@ class ReflectionStore:
     @staticmethod
     def _check_signable(refl: Reflection) -> None:
         kinds = {m.kind for m in refl.measures}
-        if kinds & {"min", "max"}:
+        if kinds & {"min", "max", "ndv"}:
             raise ValueError(
-                "min/max measures cannot be maintained under deletes; "
-                "use snapshot_incremental_refresh (append-only) or a "
+                "min/max/ndv measures cannot be maintained under "
+                "deletes (an HLL sketch has no subtraction); use "
+                "snapshot_incremental_refresh (append-only) or a "
                 "full refresh")
         # specifically count(*): count(col) can legitimately be 0 while
         # rows remain, so it cannot detect fully-emptied groups
@@ -900,6 +940,9 @@ class ReflectionStore:
                 if m.kind == "count":
                     aggs.append((F.count("*") if m.col == "*"
                                  else F.count(m.column)).alias(m.name))
+                elif m.kind == "ndv":
+                    aggs.append(
+                        F.approx_count_distinct(m.column).alias(m.name))
                 else:
                     col = m.column
                     if m.kind == "sum":
@@ -912,7 +955,14 @@ class ReflectionStore:
             return mat.select(*q.dims).distinct(), True
         rolled = mat.groupBy(*q.dims).agg(
             *[
-                _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                # ndv: estimate the unioned sketch (or compute from the
+                # stored dim when covers() admitted a dim-grain answer)
+                (F.hll_sketch_estimate(F.hll_union_agg(F.col(m.name)))
+                 .alias(m.name) if m.kind == "ndv"
+                 and m.name in mat.columns else
+                 F.approx_count_distinct(m.column).alias(m.name)
+                 if m.kind == "ndv" else
+                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name))
                 for m in q.measures
             ]
         )

@@ -43,7 +43,12 @@ from .reflections import AggQuery, JoinSpec, Measure
 # reference's DremioAggregateReduceFunctionsRule (PlannerPhase.java:624):
 # avg(x) answers from a reflection carrying SUM(x) and COUNT(x).
 _AGG_FNS = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count",
-            "Average": "avg"}
+            "Average": "avg",
+            # approx_count_distinct / NDV(): answered from a reflection's
+            # HLL sketch measure (APPROXIMATE COUNT DISTINCT,
+            # SqlCreateReflection.java:316) or, exactly, from a stored
+            # dim's distinct values
+            "HyperLogLogPlusPlus": "ndv"}
 _CMP = {
     "EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
     "LessThan": "<", "LessThanOrEqual": "<=",
@@ -459,6 +464,14 @@ class _Extractor:
             raise _Unsupported(f"aggregate {_cls(fn)}")
         if not fkids:
             raise _Unsupported("zero-arg aggregate")
+        if kind == "ndv":
+            # a non-default relativeSD changes HLL++'s precision; the
+            # substituted answer (sketch estimate, or HLL++ at default
+            # rsd over the dim grain) can't honor it — sound refusal
+            rsd = fn.get("relativeSD")
+            if rsd is not None and abs(float(rsd) - 0.05) > 1e-12:
+                raise _Unsupported("approx_count_distinct with "
+                                   "non-default rsd")
         # the agg ARGUMENT is taken verbatim — analysis inserts no
         # casts directly under aggregate functions (verified against
         # sum/avg/min over every numeric width), so a Cast here is
@@ -1334,8 +1347,23 @@ def match_and_execute(store, ex: ExtractedAgg):
     for dkind, key in dd_parts:
         fn = F.countDistinct if dkind == "count" else F.sum_distinct
         aggs.append(fn(_dim_col(key)).alias(_dd_name((dkind, key))))
-    aggs += [_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
-             for m in ex.measures]
+
+    def _measure_rollup(m):
+        if m.kind != "ndv":
+            return _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+        if m.name in mat.columns:
+            # declared APPROX COUNT DISTINCT measure: union the HLL
+            # sketch partials, estimate once at the query grain (the
+            # reference's NDV-from-reflection rewrite,
+            # HyperLogLog.java:28)
+            return F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(m.name))).alias(m.name)
+        # ndv over a STORED DIM (covers() admitted it): HLL++ over the
+        # rollup cells sees the same distinct set as the base plan at
+        # the same default rsd — bit-identical estimate
+        return F.approx_count_distinct(m.column).alias(m.name)
+
+    aggs += [_measure_rollup(m) for m in ex.measures]
     if ex.grouping_sets is not None:
         # ROLLUP/CUBE/GROUPING SETS: one rollup of the materialization
         # PER SET (absent dims null-extended with the set's own dtype),

@@ -853,6 +853,77 @@ limit 10
 """
 
 
+def transparent_ndv(spark: SparkSession, sf: str) -> DataFrame:
+    """NDV()/approx_count_distinct acceleration from an APPROXIMATE
+    COUNT DISTINCT reflection measure — the reference's HLL-partial
+    reflections (measure grammar `(APPROXIMATE|APPROX) COUNT DISTINCT`,
+    alter.ftl:528; MeasureType.APPROX_COUNT_DISTINCT,
+    SqlCreateReflection.java:316; NDV rewrite HyperLogLog.java:28).
+    The materialization stores a mergeable DataSketches HLL binary per
+    cell; the substituted plan unions sketches to the query grain and
+    estimates once.  At this column's cardinality (25 nations) the
+    sketch is in its exact range, so the value equals exact
+    COUNT(DISTINCT) — the oracle below.  Second shape: NDV over a
+    STORED DIM answers from the dim grain (identical distinct set ⇒
+    bit-identical HLL++ estimate to the unaccelerated plan — asserted).
+    Soundness controls: NDV over an uncovered column and a non-default
+    relativeSD both fall through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE customer CREATE AGGREGATE REFLECTION t_ndv "
+        "USING DIMENSIONS (c_mktsegment) "
+        "MEASURES (c_nationkey (APPROXIMATE COUNT DISTINCT), "
+        "c_acctbal (SUM, COUNT))")
+    df = eng.sql(
+        "select c_mktsegment, ndv(c_nationkey) as ndv_nation, "
+        "count(*) as n from customer group by c_mktsegment "
+        "order by c_mktsegment")
+    assert eng.last_plan_accelerated == "t_ndv", \
+        "ndv sketch substitution missed"
+    # dim-grain shape: no sketch measure, ndv column is a stored dim —
+    # the HLL++ estimate over the rollup cells is bit-identical to the
+    # unaccelerated plan (same distinct set, same default rsd)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_ndv_dim "
+            "USING DIMENSIONS (o_orderpriority, o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    d2 = eng.sql("select o_orderpriority, ndv(o_orderstatus) as ndv_st "
+                 "from orders group by o_orderpriority "
+                 "order by o_orderpriority")
+    assert eng.last_plan_accelerated == "t_ndv_dim", \
+        "ndv dim-grain substitution missed"
+    base2 = spark.sql(
+        "select o_orderpriority, approx_count_distinct(o_orderstatus) "
+        "as ndv_st from orders group by o_orderpriority "
+        "order by o_orderpriority")
+    assert d2.collect() == base2.collect(), \
+        "dim-grain ndv differs from the unaccelerated plan"
+    # control: uncovered column falls through
+    eng.sql("select c_mktsegment, ndv(c_custkey) as x from customer "
+            "group by c_mktsegment")
+    assert eng.last_plan_accelerated is None, \
+        "unsound ndv substitution (uncovered column)"
+    # control: non-default rsd changes precision -> sound fall-through
+    eng.sql("select c_mktsegment, approx_count_distinct(c_nationkey, "
+            "0.01) as x from customer group by c_mktsegment")
+    assert eng.last_plan_accelerated is None, \
+        "unsound ndv substitution (custom rsd)"
+    return df
+
+
+TRANSPARENT_NDV_SQL = """
+select c_mktsegment,
+       cast(count(distinct c_nationkey) as bigint) as ndv_nation,
+       cast(count(*) as bigint) as n
+from customer
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -865,6 +936,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_ratio": transparent_ratio,
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
+    "refl_transparent_ndv": transparent_ndv,
     "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
@@ -886,6 +958,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_ratio": TRANSPARENT_RATIO_SQL,
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
+    "refl_transparent_ndv": TRANSPARENT_NDV_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,

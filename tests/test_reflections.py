@@ -2046,3 +2046,60 @@ def test_needed_cols_keeps_fn_named_columns():
                             [], None)
     assert "d" in applied.needed_cols
     assert "year" not in applied.needed_cols
+
+
+def test_ndv_measure_sketch_lifecycle(spark, tmp_path):
+    """APPROXIMATE COUNT DISTINCT measures: the materialization stores a
+    mergeable HLL sketch binary per cell; rollups union sketches and
+    estimate at the query grain; the watermark incremental refresh
+    merges new-row sketches into existing cells; the signed CDF fold
+    refuses (a sketch has no subtraction); estimates stay within the
+    sketch's error bound at high cardinality."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from dremio_oss_spark.plans import AggQuery, Measure, ReflectionStore
+
+    rows = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g"),
+        # u: ~5000 distinct per group (beyond the sketch-exact range),
+        # v: 7 distinct per group (inside it)
+        (F.col("id")).alias("u"), (F.col("id") % 7).alias("v"))
+
+    store = ReflectionStore(spark, str(tmp_path / "r"))
+    refl = store.create_aggregation_reflection(
+        "nd", rows.where("k < 12000"), table="t", dims=["g"],
+        measures=[Measure("ndv", "u"), Measure("ndv", "v"),
+                  Measure("count", "*")],
+        watermark_col="k")
+    mat = store.scan_materialization(refl, ())
+    assert isinstance(mat.schema[Measure("ndv", "u").name].dataType,
+                      BinaryType)
+
+    # watermark incremental merge: sketches of the appended rows union
+    # into the existing cells
+    assert store.incremental_refresh("nd", rows) > 0
+    q = AggQuery(table="t", dims=("g",),
+                 measures=(Measure("ndv", "u"), Measure("ndv", "v"),
+                           Measure("count", "*")))
+    df, sub = store.execute(q, rows)
+    assert sub
+    got = {r["g"]: (r[Measure("ndv", "u").name],
+                    r[Measure("ndv", "v").name]) for r in df.collect()}
+    for g in range(4):
+        assert got[g][1] == 7  # sketch-exact range: exact
+        assert abs(got[g][0] - 5000) <= 5000 * 0.03  # within rsd bound
+
+    # rollup to a COARSER grain (no dims): one estimate over the union
+    # of every cell's sketch — never a sum of per-cell estimates
+    q_all = AggQuery(table="t", dims=(),
+                     measures=(Measure("ndv", "u"),))
+    df_all, sub_all = store.execute(q_all, rows)
+    assert sub_all
+    est = df_all.collect()[0][Measure("ndv", "u").name]
+    assert abs(est - 20000) <= 20000 * 0.03
+
+    # the signed CDF fold must refuse ndv measures
+    with _pytest.raises(ValueError, match="ndv"):
+        store._check_signable(refl)
