@@ -447,6 +447,63 @@ _STATS_TYPES = ("byte", "short", "int", "bigint", "float", "double",
                 "string", "date", "timestamp")
 
 
+def _footer_stats(table: str, staged: list[tuple[str, dict]],
+                  cols: list[str]) -> dict[str, dict] | None:
+    """Driver-side stats from the just-written parquet FOOTERS — the
+    same numRecords/min/max the Spark scan would compute, with zero
+    Spark jobs.  Small-commit fast path only (the caller gates on file
+    count): a 100k-file backfill must use the distributed scan, not a
+    serial footer loop.  Returns None on ANY irregularity (missing or
+    inexact statistics on a non-all-null column) so the caller falls
+    back to the exact scan — stats feed file skipping, and an
+    untrusted bound could mis-prune."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel, _pv in staged:
+        try:
+            md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        except Exception:
+            return None
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                name = col.path_in_schema
+                if name not in cols:
+                    continue
+                st = col.statistics
+                if st is None:
+                    return None
+                if not st.has_min_max:
+                    # sound only when the chunk is ALL-NULL (writers
+                    # also omit min/max for NaN floats etc., where the
+                    # true extremum is unknown — fall back)
+                    if st.null_count != grp.num_rows:
+                        return None
+                    continue
+                exact_min = getattr(st, "is_min_value_exact", True)
+                exact_max = getattr(st, "is_max_value_exact", True)
+                if exact_min is False or exact_max is False:
+                    return None  # truncated bound: not the true extremum
+                v_min, v_max = st.min, st.max
+                if name not in mins or v_min < mins[name]:
+                    mins[name] = v_min
+                if name not in maxs or v_max > maxs[name]:
+                    maxs[name] = v_max
+        def _j(v):
+            return (v if isinstance(v, (int, float, str, type(None)))
+                    else str(v))
+        out[rel] = {
+            "numRecords": md.num_rows,
+            "minValues": {c: _j(mins.get(c)) for c in cols},
+            "maxValues": {c: _j(maxs.get(c)) for c in cols},
+        }
+    return out
+
+
 def _collect_stats(spark: SparkSession, table: str,
                    staged: list[tuple[str, dict]],
                    schema: StructType | None,
@@ -457,7 +514,14 @@ def _collect_stats(spark: SparkSession, table: str,
     metadata every Delta writer embeds; the same min/max the reference
     reads from parquet footers (`DeltaLakeScanPrel` row-group pruning).
     Date/timestamp values serialize ISO (lexically ordered, so range
-    pruning on strings stays correct)."""
+    pruning on strings stays correct).
+
+    Small commits (≤ `spark.dremio.stats.footerMaxFiles` files, default
+    64) read the footers directly on the driver — zero Spark jobs, the
+    dominant fixed cost of metadata-sized DML.  Timestamp columns and
+    any irregular footer fall back to the scan (session-timezone
+    rendering and NaN/truncation handling stay identical by
+    construction there)."""
     if not staged or schema is None:
         return {}
     cols = [f.name for f in schema.fields
@@ -465,6 +529,17 @@ def _collect_stats(spark: SparkSession, table: str,
             and f.dataType.simpleString() in _STATS_TYPES]
     if not cols:
         return {}
+    try:
+        footer_max = int(spark.conf.get(
+            "spark.dremio.stats.footerMaxFiles", "64"))
+    except (TypeError, ValueError):
+        footer_max = 64
+    if len(staged) <= footer_max and not any(
+            f.dataType.simpleString() == "timestamp"
+            for f in schema.fields if f.name in cols):
+        got = _footer_stats(table, staged, cols)
+        if got is not None:
+            return got
     paths = [os.path.join(table, rel) for rel, _ in staged]
     df = (
         spark.read.parquet(*paths)
@@ -1233,31 +1308,41 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
     operation = "DELETE" if set_exprs is None else "UPDATE"
     snap = resolve_snapshot(spark, table)
     live = _live_dv_with_identity(spark, table, snap)
-    marked = live.where(predicate)
-    table_cols = [f.name for f in snap.schema.fields]
-    post = None
-    if set_exprs is not None:
-        # MOR UPDATE: append the post-image of the marked rows as new
-        # files (their old copies become DV-dead)
-        types = {f.name: f.dataType for f in snap.schema.fields}
-        post = marked.select(*table_cols)
-        for c, e in set_exprs.items():
-            post = post.withColumn(c, F.expr(e).cast(types[c]))
-    changes = None
-    if _cdf_enabled(snap):
-        # a MOR mark is still a data change: stage the changed rows as
-        # cdc files (delta-spark does the same), else any CDF read over
-        # this commit raises and CDC consumers are broken for the range
-        pre = marked.select(*table_cols)
-        if set_exprs is None:
-            changes = pre.withColumn("_change_type", F.lit("delete"))
-        else:
-            changes = (
-                pre.withColumn("_change_type", F.lit("update_preimage"))
-                .unionByName(post.withColumn(
-                    "_change_type", F.lit("update_postimage"))))
-    return _dv_commit_marked(spark, table, snap, marked, operation,
-                             post, changes)
+    # persist: the marked set feeds the bitmap encode, the post-image
+    # staging, and the CDC staging — without it each action re-runs the
+    # scan + DV anti-join lineage (the iceberg MOR paths persist the
+    # same way)
+    marked = live.where(predicate).persist()
+    try:
+        table_cols = [f.name for f in snap.schema.fields]
+        post = None
+        if set_exprs is not None:
+            # MOR UPDATE: append the post-image of the marked rows as
+            # new files (their old copies become DV-dead)
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            post = marked.select(*table_cols)
+            for c, e in set_exprs.items():
+                post = post.withColumn(c, F.expr(e).cast(types[c]))
+        changes = None
+        if _cdf_enabled(snap):
+            # a MOR mark is still a data change: stage the changed rows
+            # as cdc files (delta-spark does the same), else any CDF
+            # read over this commit raises and CDC consumers are broken
+            # for the range
+            pre = marked.select(*table_cols)
+            if set_exprs is None:
+                changes = pre.withColumn("_change_type",
+                                         F.lit("delete"))
+            else:
+                changes = (
+                    pre.withColumn("_change_type",
+                                   F.lit("update_preimage"))
+                    .unionByName(post.withColumn(
+                        "_change_type", F.lit("update_postimage"))))
+        return _dv_commit_marked(spark, table, snap, marked, operation,
+                                 post, changes)
+    finally:
+        marked.unpersist()
 
 
 def _live_dv_with_identity(spark: SparkSession, table: str,
@@ -1448,38 +1533,46 @@ def _mor_merge_delta(spark: SparkSession, table: str, source: DataFrame,
     src_cols = list(source.columns)
     s = source.select(
         *[F.col(c).alias(c if c in on else f"__s_{c}") for c in src_cols])
-    matched = live.join(s, on, "inner")
-    table_cols = [f.name for f in snap.schema.fields]
-    types = {f.name: f.dataType for f in snap.schema.fields}
-    out_cols = []
-    for c in table_cols:
-        if update_set is not None:
-            val = (F.expr(_src_expr(update_set[c]))
-                   if c in update_set else None)
-        else:
-            val = (F.col(f"__s_{c}")
-                   if c not in on and f"__s_{c}" in matched.columns
-                   else None)
-        out_cols.append(F.col(c) if val is None
-                        else val.cast(types[c]).alias(c))
-    post = matched.select(*out_cols)
-    if insert_not_matched:
-        ins = (source.join(live.select(*on).distinct(), on, "left_anti")
-               .select(*[F.col(c).cast(types[c]).alias(c)
-                         for c in table_cols]))
-        post = post.unionByName(ins)
-    changes = None
-    if _cdf_enabled(snap):
-        pre = matched.select(*table_cols)
-        changes = (
-            pre.withColumn("_change_type", F.lit("update_preimage"))
-            .unionByName(matched.select(*out_cols).withColumn(
-                "_change_type", F.lit("update_postimage"))))
+    # persist: matched feeds the bitmap encode, the post-image staging,
+    # and the CDC staging — without it each action re-runs the
+    # scan + DV anti-join + source join (the iceberg MOR merge persists
+    # the same way)
+    matched = live.join(s, on, "inner").persist()
+    try:
+        table_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        out_cols = []
+        for c in table_cols:
+            if update_set is not None:
+                val = (F.expr(_src_expr(update_set[c]))
+                       if c in update_set else None)
+            else:
+                val = (F.col(f"__s_{c}")
+                       if c not in on and f"__s_{c}" in matched.columns
+                       else None)
+            out_cols.append(F.col(c) if val is None
+                            else val.cast(types[c]).alias(c))
+        post = matched.select(*out_cols)
         if insert_not_matched:
-            changes = changes.unionByName(
-                ins.withColumn("_change_type", F.lit("insert")))
-    return _dv_commit_marked(spark, table, snap, matched, "MERGE",
-                             post, changes)
+            ins = (source.join(live.select(*on).distinct(), on,
+                               "left_anti")
+                   .select(*[F.col(c).cast(types[c]).alias(c)
+                             for c in table_cols]))
+            post = post.unionByName(ins)
+        changes = None
+        if _cdf_enabled(snap):
+            pre = matched.select(*table_cols)
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(matched.select(*out_cols).withColumn(
+                    "_change_type", F.lit("update_postimage"))))
+            if insert_not_matched:
+                changes = changes.unionByName(
+                    ins.withColumn("_change_type", F.lit("insert")))
+        return _dv_commit_marked(spark, table, snap, matched, "MERGE",
+                                 post, changes)
+    finally:
+        matched.unpersist()
 
 
 def merge_into_delta(spark: SparkSession, table: str, source: DataFrame,
