@@ -534,6 +534,11 @@ class Engine:
                              ",".join(rr.cols), "", 0, None,
                              "INVALID" if rr.invalid else
                              "STALE" if rr.stale else "CAN_ACCELERATE"))
+            for ee in getattr(store, "_external", {}).values():
+                rows.append((ee.name, ee.table,
+                             f"external:{ee.target}", "", 0, None,
+                             "OUT_OF_SYNC" if ee.invalid
+                             else "CAN_ACCELERATE"))
         return self.spark.createDataFrame(
             rows or [("", "", "", "", 0, None, "")],
             "reflection_name string, dataset string, dims string, "
@@ -930,6 +935,19 @@ class Engine:
                 display_cols=cols, sort_col=sort_col)
             return self._status("CREATE RAW REFLECTION",
                                 f"{name} on {t}: {len(cols)} columns")
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
+            r"external\s+reflection\s+(\w+)\s+using\s+([\w.]+)\s*$",
+            query, re.I)
+        if m:
+            t, name, target = m.groups()
+            store = self._default_refl_store()
+            store.create_external_reflection(
+                name, t, target, self._resolve_table(t),
+                self._resolve_table(target))
+            return self._status(
+                "CREATE EXTERNAL REFLECTION",
+                f"{name}: {t} answered by {target}")
         m = re.match(
             r"\s*alter\s+(?:table|vds|dataset)\s+[\w.]+\s+drop\s+"
             r"reflection\s+(\w+)\s*$", query, re.I)
@@ -2123,7 +2141,8 @@ class Engine:
         if getattr(self, "_accel_disabled", 0):
             return None  # view-definition planning must not substitute
         store = getattr(self, "_refl_store", None)
-        if store is None or not (store._reflections or store._raw):
+        if store is None or not (store._reflections or store._raw
+                                 or getattr(store, "_external", None)):
             return None
         # the probe analyzes through Spark, so dialect names must be
         # rewritten FIRST (NDV( -> approx_count_distinct( etc.) or the
@@ -2135,6 +2154,9 @@ class Engine:
         # dependency-driven freshness: stale dependents refresh BEFORE
         # matching, so an accelerated answer reflects the latest commit
         self._refresh_stale_reflections()
+        df = self._external_accelerate(query)
+        if df is not None:
+            return df
         df = self._plan_tree_accelerate(query)
         if df is not None:
             return df
@@ -2212,6 +2234,97 @@ class Engine:
         except Exception:  # noqa: BLE001 — plan normally instead
             self.last_plan_accelerated = None
             return None
+
+    def _external_accelerate(self, query: str) -> DataFrame | None:
+        """External-reflection substitution (reference
+        `ReflectionServiceImpl.createExternalReflection:586`): when the
+        query references a dataset with a registered EXTERNAL
+        reflection, re-plan it with that dataset bound to the
+        user-maintained target — the whole query (any shape: joins,
+        aggregates, windows) answers from the target, exactly the
+        reference's descriptor substitution of the dataset expansion.
+        Freshness gate: either side's row type drifting from the
+        creation-time fingerprint marks the reflection OUT_OF_SYNC
+        (invalid) and it stops matching."""
+        store = self._refl_store
+        ext = [e for e in getattr(store, "_external", {}).values()
+               if not e.invalid]
+        if not ext:
+            return None
+        if not re.match(r"\s*(select|with)\b", query, re.I):
+            return None
+        if re.search(r"\b(insert\s+into|create\s+(or\s+replace\s+)?"
+                     r"table|replace\s+table|merge\s+into|"
+                     r"delete\s+from)\b", query, re.I):
+            return None  # a probe must never execute a command
+        q = query
+        for space in self.spaces.values():
+            for name in space.vds:
+                q = re.sub(
+                    rf"\b{re.escape(space.name)}\.{re.escape(name)}\b",
+                    self._flat(space.name, name), q)
+        # which datasets does the query actually reference?  Walk the
+        # ANALYZED plan's identifier fields — matching on raw query
+        # text would false-hit string literals and comments.
+        import json
+
+        try:
+            analyzed = json.loads(
+                self.spark.sql(q)._jdf.queryExecution().analyzed()
+                .toJSON())
+        except Exception:
+            return None
+        names: set[str] = set()
+
+        def _walk(n):
+            if isinstance(n, dict):
+                for k in ("identifier", "name", "alias"):
+                    v = n.get(k)
+                    if isinstance(v, str):
+                        names.add(v.split(".")[-1].lower())
+                for v in n.values():
+                    _walk(v)
+            elif isinstance(n, list):
+                for v in n:
+                    _walk(v)
+
+        _walk(analyzed)
+        hits = []
+        for e in ext:
+            flat = (self._flat(*e.table.split(".", 1))
+                    if "." in e.table else e.table)
+            if flat.split(".")[-1].lower() not in names:
+                continue
+            from .plans.reflections import _schema_fp
+            try:
+                cur_d = _schema_fp(self._resolve_table(e.table))
+                cur_t = _schema_fp(self._resolve_table(e.target))
+            except Exception:
+                cur_d = cur_t = "<unresolvable>"
+            if cur_d != e.dataset_fp or cur_t != e.target_fp:
+                e.invalid = True  # OUT_OF_SYNC (ExternalReflectionStatus)
+                continue
+            hits.append((e, flat))
+        if not hits:
+            return None
+        originals = {}
+        try:
+            for e, flat in hits:
+                originals[flat] = self.spark.table(flat)
+                self._resolve_table(e.target).createOrReplaceTempView(
+                    flat)
+            try:
+                df = self.spark.sql(q)
+                df.schema  # force analysis against the swapped binding
+            except Exception:
+                return None  # sound fall-through: plan normally
+            self.last_plan_accelerated = hits[0][0].name
+            return df
+        finally:
+            # restore the session bindings no matter what — a leaked
+            # swap would silently redirect every later query
+            for flat, odf in originals.items():
+                odf.createOrReplaceTempView(flat)
 
     def _plan_tree_accelerate(self, query: str) -> DataFrame | None:
         """Tree-level substitution: analyze the SQL through Spark (views

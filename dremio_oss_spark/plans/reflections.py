@@ -367,6 +367,31 @@ class Reflection:
         return True
 
 
+def _schema_fp(df: DataFrame) -> str:
+    """Order-insensitive (name, dtype) fingerprint of a DataFrame's row
+    type — the analog of the reference's computeDatasetHash
+    (ReflectionServiceImpl.java:612), used to validate an external
+    reflection's target at creation and to detect OUT_OF_SYNC later."""
+    return ",".join(sorted(f"{n.lower()}:{t}" for n, t in df.dtypes))
+
+
+@dataclass
+class ExternalReflection:
+    """User-maintained materialization mapping: queries over `table`
+    may answer from `target` (reference `ExternalReflection` proto +
+    `ReflectionServiceImpl.createExternalReflection:586`; DDL
+    alter.ftl:611).  No engine-managed refresh — freshness is the
+    user's contract; the stored fingerprints gate use (OUT_OF_SYNC
+    when either side's row type drifts, ExternalReflectionStatus)."""
+
+    name: str
+    table: str       # dataset name as referenced in queries
+    target: str      # target dataset holding the same rows
+    dataset_fp: str  # _schema_fp of the dataset at creation
+    target_fp: str   # _schema_fp of the target at creation
+    invalid: bool = False  # OUT_OF_SYNC: definition drifted
+
+
 @dataclass
 class RawReflection:
     name: str
@@ -388,6 +413,7 @@ class ReflectionStore:
         os.makedirs(root, exist_ok=True)
         self._reflections: dict[str, Reflection] = {}
         self._raw: dict[str, RawReflection] = {}
+        self._external: dict[str, ExternalReflection] = {}
 
     # -- DDL ---------------------------------------------------------------
     def create_aggregation_reflection(
@@ -513,7 +539,34 @@ class ReflectionStore:
                 return mat.select(*cols), True
         return base.select(*cols), False
 
+    def create_external_reflection(self, name: str, table: str,
+                                   target: str, dataset_df: DataFrame,
+                                   target_df: DataFrame
+                                   ) -> "ExternalReflection":
+        """ALTER TABLE <dataset> CREATE EXTERNAL REFLECTION <name>
+        USING <target> (reference grammar alter.ftl:611;
+        `ReflectionServiceImpl.createExternalReflection:586`): the user
+        asserts <target> holds the same rows as <dataset>, and any
+        query over the dataset may answer from the target instead.
+        Validation mirrors the reference's materialization-descriptor
+        check: the target's row type must match the dataset's (same
+        column names and dtypes, order-insensitive).  Both schemas are
+        fingerprinted (the reference's computeDatasetHash) so a later
+        definition change surfaces as OUT_OF_SYNC instead of silently
+        serving a mismatched shape."""
+        dfp, tfp = _schema_fp(dataset_df), _schema_fp(target_df)
+        if dfp != tfp:
+            raise ValueError(
+                f"external reflection {name!r}: target {target!r} row "
+                f"type does not match dataset {table!r} "
+                f"({tfp} vs {dfp})")
+        ext = ExternalReflection(name, table, target, dfp, tfp)
+        self._external[name] = ext
+        return ext
+
     def drop(self, name: str) -> None:
+        if self._external.pop(name, None) is not None:
+            return  # no managed materialization to delete
         refl = (self._reflections.pop(name, None)
                 or self._raw.pop(name, None))
         if refl:

@@ -924,6 +924,74 @@ order by c_mktsegment
 """
 
 
+def external_reflection(spark: SparkSession, sf: str) -> DataFrame:
+    """EXTERNAL reflections (`ALTER VDS ... CREATE EXTERNAL REFLECTION
+    <name> USING <target>`, reference grammar alter.ftl:611;
+    `ReflectionServiceImpl.createExternalReflection:586`): the user
+    maintains the materialization themselves and asserts it holds the
+    dataset's rows; the engine re-plans any query over the dataset —
+    including aggregates the declared-reflection matcher wouldn't
+    cover — against the target, and gates use on the creation-time
+    schema fingerprints (OUT_OF_SYNC on drift, asserted below).  The
+    oracle below is the same aggregate over the base tables: the
+    target holds identical rows, so values match exactly."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import register_testdata
+    from ..engine import Engine
+    from .tpch import dsum
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.create_space("sales")
+    eng.create_vds(
+        "sales", "ord_ext",
+        "select o_orderpriority, o_totalprice, o_custkey from orders")
+    # the user-maintained materialization: physically separate dataset
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
+    tgt_path = os.path.join(_REPO, ".scratch", f"ext_refl_tgt-{tag}")
+    spark.sql("select o_orderpriority, o_totalprice, o_custkey "
+              "from orders").write.mode("overwrite").parquet(tgt_path)
+    spark.read.parquet(tgt_path).createOrReplaceTempView("ord_ext_mat")
+    eng.sql("ALTER VDS sales.ord_ext CREATE EXTERNAL REFLECTION "
+            "r_ext USING ord_ext_mat")
+    df = eng.sql(
+        "select o_orderpriority, count(*) as n, "
+        "cast(sum(cast(o_totalprice as decimal(18,2))) as double) "
+        "as revenue from sales.ord_ext group by o_orderpriority "
+        "order by o_orderpriority")
+    assert eng.last_plan_accelerated == "r_ext", \
+        "external reflection substitution missed"
+    assert "ord_ext_mat" in \
+        df._jdf.queryExecution().analyzed().toString(), \
+        "accelerated plan does not scan the external target"
+    # a query NOT touching the dataset never claims acceleration
+    eng.sql("select count(*) as n from orders")
+    assert eng.last_plan_accelerated is None
+    # schema drift on the target -> OUT_OF_SYNC, sound fall-through
+    spark.sql("select o_orderpriority from orders") \
+        .createOrReplaceTempView("ord_ext_mat")
+    d2 = eng.sql("select count(*) as n from sales.ord_ext")
+    assert eng.last_plan_accelerated is None
+    assert d2.collect()[0][0] > 0  # planned normally from the base
+    status = (eng.sql("select status from sys.reflections")
+              .where("status = 'OUT_OF_SYNC'").count())
+    assert status == 1, "drifted external reflection not OUT_OF_SYNC"
+    eng._default_refl_store().drop("r_ext")
+    return df
+
+
+EXTERNAL_REFLECTION_SQL = """
+select o_orderpriority,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+         as revenue
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -937,6 +1005,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_exprdim": transparent_exprdim,
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_transparent_ndv": transparent_ndv,
+    "refl_external": external_reflection,
     "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
@@ -959,6 +1028,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_exprdim": TRANSPARENT_EXPRDIM_SQL,
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_transparent_ndv": TRANSPARENT_NDV_SQL,
+    "refl_external": EXTERNAL_REFLECTION_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,

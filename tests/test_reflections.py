@@ -2103,3 +2103,44 @@ def test_ndv_measure_sketch_lifecycle(spark, tmp_path):
     # the signed CDF fold must refuse ndv measures
     with _pytest.raises(ValueError, match="ndv"):
         store._check_signable(refl)
+
+
+def test_external_reflection_validation_and_restore(spark):
+    """External reflections: creation validates the target's row type
+    against the dataset (same names + dtypes, order-insensitive —
+    the reference's materialization-descriptor check); the session
+    binding is restored after every accelerated query AND after a
+    failed swap; DROP REFLECTION removes it."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+
+    # row-type mismatch refuses at creation
+    spark.sql("select n_nationkey from nation") \
+        .createOrReplaceTempView("bad_tgt")
+    with _pytest.raises(ValueError, match="row type"):
+        eng.sql("ALTER TABLE nation CREATE EXTERNAL REFLECTION xbad "
+                "USING bad_tgt")
+
+    # column ORDER may differ (order-insensitive row type)
+    cols = spark.table("nation").columns
+    spark.sql(f"select {', '.join(reversed(cols))} from nation") \
+        .createOrReplaceTempView("good_tgt")
+    eng.sql("ALTER TABLE nation CREATE EXTERNAL REFLECTION xok "
+            "USING good_tgt")
+    n = eng.sql("select count(*) as n from nation").collect()[0][0]
+    assert eng.last_plan_accelerated == "xok"
+    assert n == spark.table("good_tgt").count()
+    # binding restored: raw spark still sees the original nation
+    assert spark.table("nation").columns == cols
+
+    eng.sql("ALTER TABLE nation DROP REFLECTION xok")
+    eng.sql("select count(*) from nation")
+    assert eng.last_plan_accelerated is None
+    assert eng.sql("select * from sys.reflections")
+    assert (eng.sql("select * from sys.reflections")
+            .where("reflection_name = 'xok'").count() == 0)
