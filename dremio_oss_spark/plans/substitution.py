@@ -218,6 +218,71 @@ def _dd_name(payload: tuple) -> str:
         repr(payload).encode()).hexdigest()[:10]
 
 
+def _ca_name(payload: tuple) -> str:
+    """Digest-stable internal name for a CONDITIONAL-aggregate rollup
+    output (same contract as _dd_name)."""
+    import hashlib
+
+    return "__ca_" + hashlib.md5(
+        repr(payload).encode()).hexdigest()[:10]
+
+
+def _ca_val_sql(kind: str, val: tuple) -> str:
+    """Per-CELL partial for one CASE branch value.  The branch predicate
+    references only dims, so it is CONSTANT within a rollup cell and the
+    branch value's contribution reduces to that cell's partials:
+    a column v -> the v partial of `kind`; a literal ℓ -> ℓ·count(*)
+    for SUM (every row contributes ℓ), count(*) for COUNT (ℓ is
+    non-null on every row), ℓ itself for MIN/MAX (cells are non-empty);
+    NULL -> no contribution (0 rows for COUNT, NULL otherwise)."""
+    t = val[0]
+    if t == "col":
+        return Measure("count" if kind == "count" else kind,
+                       val[1]).name
+    if t == "scale":  # ℓ·v: ℓ·Σv / count(v) / ℓ·min(v) / ℓ·max(v)
+        if kind == "count":
+            return Measure("count", val[2]).name
+        return f"({val[1]} * {Measure(kind, val[2]).name})"
+    if t == "lit":
+        if kind == "sum":
+            return f"({val[1]} * count_all)"
+        if kind == "count":
+            return "count_all"
+        return val[1]
+    return "0" if kind == "count" else "null"
+
+
+def _ca_sql(payload: tuple) -> str:
+    """Rollup SQL for a conditional aggregate over the materialization:
+    `sum(case when p1 then <cell partial> ... end)` — the CASE cascade
+    evaluates per cell with first-match-wins order preserved.  COUNT
+    coalesces to 0 (a group with no matching cells counts zero rows,
+    while the partial sum of all-NULLs would be NULL)."""
+    kind, branches, els = payload
+    whens = " ".join(f"when {pr} then {_ca_val_sql(kind, v)}"
+                     for pr, v in branches)
+    outer = "sum" if kind in ("sum", "count") else kind
+    expr = f"{outer}(case {whens} else {_ca_val_sql(kind, els)} end)"
+    return f"coalesce({expr}, 0)" if kind == "count" else expr
+
+
+def _ca_measures(payload: tuple) -> list[Measure]:
+    """Partial measures a conditional aggregate needs from the
+    reflection (drives covers() and the rollup computation)."""
+    kind, branches, els = payload
+    out: list[Measure] = []
+    for _pr, val in list(branches) + [(None, els)]:
+        if val[0] == "col":
+            out.append(Measure("count" if kind == "count" else kind,
+                               val[1]))
+        elif val[0] == "scale":
+            out.append(Measure("count" if kind == "count" else kind,
+                               val[2]))
+        elif val[0] == "lit" and kind in ("sum", "count"):
+            out.append(Measure("count", "*"))
+    return out
+
+
 def _dim_sql(k: tuple) -> str:
     """Render a DimKey as a SQL expression over its base column —
     exactly what `_dim_col` builds as a Column.  Used to re-apply
@@ -314,6 +379,11 @@ class ExtractedAgg:
     # projection dropped their output) — they must still be computed in
     # the rollup, same reason as all_measures above
     extra_cdistincts: tuple = ()
+    # conditional-aggregate payloads referenced only by HAVING
+    extra_condaggs: tuple = ()
+    # base columns conditional-agg CASE predicates reference — matched
+    # as extra dims (the cell-constant reduction needs them stored)
+    condagg_cols: tuple = ()
 
     @property
     def cdistincts(self) -> tuple[tuple, ...]:
@@ -329,6 +399,14 @@ class ExtractedAgg:
         """Base columns the reflection must carry at dim grain."""
         return tuple(dict.fromkeys(
             _dim_base(key) for _kind, key in self.cdistincts))
+
+    @property
+    def condaggs(self) -> tuple[tuple, ...]:
+        """Conditional-aggregate payloads the rollup must compute —
+        projected outputs plus HAVING-only ones."""
+        return tuple(dict.fromkeys(
+            tuple(p for _, k, p in self.outputs if k == "condagg")
+            + tuple(self.extra_condaggs)))
 
     @property
     def base_dims(self) -> tuple[str, ...]:
@@ -366,6 +444,9 @@ class _Extractor:
         # participates anywhere a dim expression can — group keys,
         # distinct-agg args, filters — resolved to its base column
         self.expr_alias: dict[int, tuple] = {}
+        # base columns referenced by conditional-aggregate CASE
+        # predicates (must be stored dims; ride AggQuery.dims)
+        self.condagg_cols: list[str] = []
 
     # -- bottom half: leaves/joins/filters under the Aggregate -------------
     def _walk_source(self, node, kids):
@@ -522,6 +603,17 @@ class _Extractor:
             if an.get("value") is None:
                 raise _Unsupported("count(null)")
             return ("measure", Measure("count", "*"))
+        if _cls(an) == "CaseWhen" and kind in ("sum", "min", "max",
+                                               "count"):
+            # CONDITIONAL aggregation (the pivot/BI shape:
+            # sum(case when d = 'x' then v else 0 end)): when every
+            # branch predicate references only stored dims, the
+            # predicate is CONSTANT within each rollup cell and the
+            # aggregate reduces exactly to a CASE over cell partials —
+            # see _ca_sql.  The reference's substitution covers this
+            # through Calcite's SubstitutionVisitor expression
+            # unification (SubstitutionProvider.java:40).
+            return ("condagg", self._condagg(kind, an, ak))
         if _cls(an) == "AttributeReference" and (
                 kind != "count" or len(fkids) == 1):
             # count(col) is NULL-AWARE: it matches a per-column count
@@ -535,6 +627,76 @@ class _Extractor:
             return ("measure", Measure(kind, _canon_arith(
                 an, ak, lambda a: self._resolve(a)[1])))
         raise _Unsupported("aggregate over expression")
+
+    def _condagg(self, kind: str, node, kids) -> tuple:
+        """Canonicalize sum/min/max/count over a CaseWhen whose branch
+        predicates reference only (stored-dim) columns.  Payload:
+        (kind, ((pred_sql, val), ...), else_val) with val one of
+        ("col", base_col) | ("lit", sql) | ("null",).  Every column a
+        predicate touches is recorded in self.condagg_cols — it rides
+        AggQuery.dims so covers() requires it stored at dim grain."""
+        pairs = list(kids)
+        els = pairs.pop() if len(pairs) % 2 == 1 else None
+        branches = []
+        for i in range(0, len(pairs), 2):
+            cn, ck = pairs[i]
+            pred = self._render_pred(cn, ck)
+            self._collect_pred_cols(cn, ck)
+            branches.append((pred, self._condagg_val(kind, *pairs[i + 1])))
+        else_val = (self._condagg_val(kind, *els) if els is not None
+                    else ("null",))
+        return (kind, tuple(branches), else_val)
+
+    def _condagg_val(self, kind: str, node, kids) -> tuple:
+        """One CASE branch value: a plain column (numeric-widening casts
+        strip — the partial re-aggregation commutes with them), a
+        renderable literal (numeric-only for SUM/COUNT, whose cell form
+        multiplies/counts rows), or NULL."""
+        node, kids = self._strip_col_cast(node, kids)
+        if _cls(node) == "AttributeReference":
+            return ("col", self._resolve(node)[1])
+        if _cls(node) == "Literal":
+            if node.get("value") is None:
+                return ("null",)
+            if kind in ("sum", "count") and not (
+                    str(node.get("dataType")) in self._POST_LIT
+                    or str(node.get("dataType")).startswith("decimal")):
+                raise _Unsupported("non-numeric conditional-agg literal")
+            return ("lit", self._render_literal(node))
+        if _cls(node) == "Multiply":
+            # scaled column (`0.5 * v`): SUM commutes with the scale
+            # (ℓ·Σv), COUNT ignores it (ℓ·v is null iff v is), MIN/MAX
+            # commute only for a POSITIVE scale (negative flips the
+            # extremum — refuse)
+            (a, ak2), (b, bk2) = kids
+            a, ak2 = self._strip_col_cast(a, ak2)
+            b, bk2 = self._strip_col_cast(b, bk2)
+            if _cls(a) == "Literal":
+                lit, (cn, ckk) = a, (b, bk2)
+            elif _cls(b) == "Literal":
+                lit, (cn, ckk) = b, (a, ak2)
+            else:
+                raise _Unsupported("conditional-agg branch value")
+            if _cls(cn) != "AttributeReference":
+                raise _Unsupported("conditional-agg branch value")
+            lit_sql = self._render_literal(lit)
+            if kind in ("min", "max") and float(lit_sql) <= 0:
+                raise _Unsupported("non-positive scale under min/max")
+            return ("scale", lit_sql, self._resolve(cn)[1])
+        raise _Unsupported("conditional-agg branch value")
+
+    def _collect_pred_cols(self, node, kids) -> None:
+        """Record every base column a CASE predicate references (they
+        must be stored reflection dims for the cell-constant reduction
+        to hold)."""
+        if _cls(node) == "AttributeReference":
+            if _attr_id(node) in self.expr_alias:
+                self.condagg_cols.append(
+                    _dim_base(self._dim_key(node, kids)))
+            else:
+                self.condagg_cols.append(self._resolve(node)[1])
+        for kk in kids:
+            self._collect_pred_cols(*kk)
 
     _POST_BIN = {"Add": "+", "Subtract": "-", "Multiply": "*",
                  "Divide": "/"}
@@ -563,7 +725,13 @@ class _Extractor:
                 raise _Unsupported("non-numeric post-agg literal")
             return ("lit", str(v), str(dt))
         if c == "AggregateExpression":
-            return ("agg",) + self._classify_agg(node, kids)
+            got = self._classify_agg(node, kids)
+            if got[0] == "condagg":
+                # post-agg arithmetic over conditional aggregates is a
+                # sound fall-through for now (the _post_col renderer
+                # only splices measure/avg/cdistinct leaves)
+                raise _Unsupported("conditional agg in post-agg expr")
+            return ("agg",) + got
         # a group dim: plain column, whitelisted expression, or a
         # projection alias of one — anything else refuses inside
         return ("dim", self._dim_key(node, kids))
@@ -1092,12 +1260,16 @@ class _Extractor:
         # names; every payload HAVING touches is recorded so the rollup
         # still computes it when the top projection drops its output
         having_dd: list[tuple] = []
+        having_ca: list[tuple] = []
 
         def having_name(attr):
             got = by_id.get(_attr_id(attr))
             if got is None:
                 raise _Unsupported("having on non-output expression")
             _n, k, p = got
+            if k == "condagg":
+                having_ca.append(p)
+                return _ca_name(p)
             if k == "measure":
                 return p.name
             if k == "avg":  # reduced form spliced as an expression
@@ -1195,6 +1367,8 @@ class _Extractor:
                 all_ms.append(p)
             elif k == "avg":  # reduced form: needs both partials
                 all_ms += [Measure("sum", p), Measure("count", p)]
+            elif k == "condagg":
+                all_ms += _ca_measures(p)
             elif k == "postexpr":
                 # every aggregate leaf must roll up; distinct-agg
                 # leaves ride the extra_cdistincts channel
@@ -1228,6 +1402,8 @@ class _Extractor:
             havings=tuple(havings),
             all_measures=tuple(all_ms),
             extra_cdistincts=tuple(dict.fromkeys(having_dd)),
+            extra_condaggs=tuple(dict.fromkeys(having_ca)),
+            condagg_cols=tuple(dict.fromkeys(self.condagg_cols)),
             casts=casts_map,
             qualified=dict(self.qualified),
         )
@@ -1279,9 +1455,11 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
         # expression dims match on their BASE column (the reflection
         # must carry it at day-or-finer grain); COUNT/SUM(DISTINCT x)
         # needs x's base column at the materialization's grain: extra
-        # dimension
+        # dimension; conditional-agg CASE predicates likewise need
+        # every referenced column stored (cell-constant reduction)
         dims=tuple(dict.fromkeys(
-            list(ex.base_dims) + list(ex.cdistinct_base_cols))),
+            list(ex.base_dims) + list(ex.cdistinct_base_cols)
+            + list(ex.condagg_cols))),
         measures=ex.measures,
         filters=ex.filters, joins=tuple(specs))
 
@@ -1347,6 +1525,10 @@ def match_and_execute(store, ex: ExtractedAgg):
     for dkind, key in dd_parts:
         fn = F.countDistinct if dkind == "count" else F.sum_distinct
         aggs.append(fn(_dim_col(key)).alias(_dd_name((dkind, key))))
+    # conditional aggregates: CASE over cell partials (predicates are
+    # dim-constant within a cell; see _ca_sql)
+    for p_ca in ex.condaggs:
+        aggs.append(F.expr(_ca_sql(p_ca)).alias(_ca_name(p_ca)))
 
     def _measure_rollup(m):
         if m.kind != "ndv":
@@ -1383,6 +1565,7 @@ def match_and_execute(store, ex: ExtractedAgg):
         dtypes = {f.name: f.dataType for f in probe.schema.fields}
         names = [internal[k] for k in dict.fromkeys(ex.dims)]
         agg_names = ([_dd_name(p) for p in dd_parts]
+                     + [_ca_name(p) for p in ex.condaggs]
                      + [m.name for m in ex.measures])
         frames = []
         for _gid, mask in ex.grouping_sets:
@@ -1449,6 +1632,8 @@ def match_and_execute(store, ex: ExtractedAgg):
                    / F.col(Measure("count", payload).name))
         elif kind == "postexpr":
             col = _post_col(payload)
+        elif kind == "condagg":
+            col = F.col(_ca_name(payload))
         else:
             col = F.col(payload.name)
         cast_to = (ex.casts or {}).get(out_name)

@@ -992,6 +992,76 @@ order by o_orderpriority
 """
 
 
+def transparent_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """CONDITIONAL aggregation through transparent substitution — the
+    pivot/BI shape `sum(case when <dim predicate> then <col> else 0
+    end)`.  The CASE predicate references only stored dims, so it is
+    CONSTANT within each rollup cell and the aggregate reduces exactly
+    to a CASE over cell partials: column branches read the column's
+    partial, literal branches multiply/count the cell's row count,
+    scaled branches (`0.5 * v`) scale the partial (the reference's
+    Calcite SubstitutionVisitor unifies these expressions the same
+    way, SubstitutionProvider.java:40).  COUNT/MIN/MAX forms and
+    missing-else (NULL) semantics asserted in pytest; here the
+    oracle-checked pivot uses integer-valued quantities so decimal
+    partials and double accumulation agree bit-for-bit.  Soundness
+    controls: a predicate over a non-dim column and a branch value
+    without its partial both fall through."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql(
+        "ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_pv "
+        "USING DIMENSIONS (l_returnflag, l_linestatus, l_shipdate) "
+        "MEASURES (l_quantity (SUM, COUNT))")
+    df = eng.sql(
+        "select l_returnflag, "
+        "sum(case when l_linestatus = 'O' then l_quantity else 0 end) "
+        "as qty_open, "
+        "sum(case when l_linestatus = 'F' then l_quantity else 0 end) "
+        "as qty_filled, "
+        "sum(case when year(l_shipdate) = 1996 then 0.5 * l_quantity "
+        "else 0 end) as half_96, "
+        "count(case when l_linestatus = 'O' then l_quantity end) "
+        "as n_open, "
+        "count(*) as n "
+        "from lineitem group by l_returnflag order by l_returnflag")
+    assert eng.last_plan_accelerated == "t_pv", \
+        "conditional-agg substitution missed"
+    # control: predicate over a column the reflection doesn't store
+    eng.sql("select l_returnflag, sum(case when l_partkey = 1 then "
+            "l_quantity else 0 end) as x from lineitem "
+            "group by l_returnflag")
+    assert eng.last_plan_accelerated is None, \
+        "unsound conditional-agg substitution (non-dim predicate)"
+    # control: branch value without a declared partial
+    eng.sql("select l_returnflag, sum(case when l_linestatus = 'O' "
+            "then l_discount else 0 end) as x from lineitem "
+            "group by l_returnflag")
+    assert eng.last_plan_accelerated is None, \
+        "unsound conditional-agg substitution (missing measure)"
+    return df
+
+
+TRANSPARENT_PIVOT_SQL = """
+select l_returnflag,
+       sum(case when l_linestatus = 'O' then l_quantity else 0 end)
+         as qty_open,
+       sum(case when l_linestatus = 'F' then l_quantity else 0 end)
+         as qty_filled,
+       sum(case when year(l_shipdate) = 1996 then 0.5 * l_quantity
+           else 0 end) as half_96,
+       cast(count(case when l_linestatus = 'O' then l_quantity end)
+            as bigint) as n_open,
+       cast(count(*) as bigint) as n
+from lineitem
+group by l_returnflag
+order by l_returnflag
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -1006,6 +1076,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_exprmeasure": transparent_exprmeasure,
     "refl_transparent_ndv": transparent_ndv,
     "refl_external": external_reflection,
+    "refl_transparent_pivot": transparent_pivot,
     "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
@@ -1029,6 +1100,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_exprmeasure": TRANSPARENT_EXPRMEASURE_SQL,
     "refl_transparent_ndv": TRANSPARENT_NDV_SQL,
     "refl_external": EXTERNAL_REFLECTION_SQL,
+    "refl_transparent_pivot": TRANSPARENT_PIVOT_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,

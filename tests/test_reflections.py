@@ -2144,3 +2144,71 @@ def test_external_reflection_validation_and_restore(spark):
     assert eng.sql("select * from sys.reflections")
     assert (eng.sql("select * from sys.reflections")
             .where("reflection_name = 'xok'").count() == 0)
+
+
+def test_conditional_agg_substitution_forms(spark):
+    """Conditional aggregation (sum/count/min/max over CASE WHEN with
+    dim-only predicates) substitutes exactly: column, literal, scaled
+    (positive ℓ·v) and NULL branch values; missing-else NULL semantics
+    (a group with no matching rows sums to NULL, counts to 0); HAVING
+    over a dropped conditional aggregate; and the soundness refusals
+    (non-dim predicate, missing partial, negative scale under MIN,
+    conditional agg inside post-agg arithmetic)."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_cag "
+            "USING DIMENSIONS (l_returnflag, l_linestatus, l_shipdate) "
+            "MEASURES (l_quantity (SUM, COUNT, MIN, MAX))")
+    accelerated = [
+        # column / literal / scaled / implicit-NULL else branches
+        "select l_returnflag, "
+        "sum(case when l_linestatus = 'O' then l_quantity else 0 end) a, "
+        "sum(case when l_linestatus = 'O' then 2 else 0 end) b, "
+        "sum(case when l_linestatus = 'O' then 2 * l_quantity end) c, "
+        "count(case when l_linestatus = 'O' then l_quantity end) d, "
+        "min(case when l_linestatus = 'O' then l_quantity end) e, "
+        "max(case when l_linestatus = 'O' then 3 * l_quantity end) f "
+        "from lineitem group by l_returnflag order by l_returnflag",
+        # no-match group: sum -> NULL, count -> 0 (never NULL)
+        "select l_returnflag, "
+        "sum(case when l_linestatus = 'Z' then l_quantity end) s, "
+        "count(case when l_linestatus = 'Z' then l_quantity end) c "
+        "from lineitem group by l_returnflag order by l_returnflag",
+        # multi-branch first-match-wins + expression-dim predicate
+        "select l_returnflag, "
+        "sum(case when year(l_shipdate) = 1995 then l_quantity "
+        "when l_linestatus = 'O' then 2 * l_quantity else 0 end) s "
+        "from lineitem group by l_returnflag order by l_returnflag",
+        # HAVING over a conditional aggregate the projection drops
+        "select l_returnflag from lineitem group by l_returnflag "
+        "having sum(case when l_linestatus = 'O' then l_quantity "
+        "else 0 end) > 0 order by l_returnflag",
+    ]
+    for q in accelerated:
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "t_cag", q
+        assert df.collect() == spark.sql(q).collect(), q
+        assert df.dtypes == spark.sql(q).dtypes, q
+    refusals = [
+        # predicate over a non-dim column
+        "select l_returnflag, sum(case when l_partkey = 1 then "
+        "l_quantity else 0 end) x from lineitem group by l_returnflag",
+        # branch value without a declared partial
+        "select l_returnflag, sum(case when l_linestatus = 'O' then "
+        "l_discount else 0 end) x from lineitem group by l_returnflag",
+        # negative scale flips MIN — refuse
+        "select l_returnflag, min(case when l_linestatus = 'O' then "
+        "-2 * l_quantity end) x from lineitem group by l_returnflag",
+        # conditional agg inside post-agg arithmetic — refuse (v1)
+        "select l_returnflag, sum(case when l_linestatus = 'O' then "
+        "l_quantity else 0 end) / count(*) x from lineitem "
+        "group by l_returnflag",
+    ]
+    for q in refusals:
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated is None, q
+        assert df.collect() == spark.sql(q).collect(), q
+    eng._default_refl_store().drop("t_cag")
