@@ -219,23 +219,25 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    # Optionally stage round artifacts so bench results land in the tree
-    # that produced them.  Opt-in via SPARK_GRAFT_STAGE_ARTIFACTS=1: a
-    # measurement script mutating the git index by default is surprising
-    # and can stage stale artifacts from an unrelated run — the normal
-    # commit workflow owns `git add`.
-    if os.environ.get("SPARK_GRAFT_STAGE_ARTIFACTS") == "1":
-        try:
-            import glob as _glob
-            import subprocess
+    # Stage the file THIS run just wrote (BENCH_DETAIL.json) so bench
+    # results land in the tree that produced them.  Staging the round
+    # artifacts other processes wrote (BENCH_r*/CORRECTNESS_r*) is
+    # opt-in via SPARK_GRAFT_STAGE_ARTIFACTS=1 — a measurement script
+    # mutating the index with files from unrelated runs is surprising;
+    # the normal commit workflow owns those.
+    try:
+        import subprocess
 
-            arts = [os.path.join(here, "BENCH_DETAIL.json")]
+        arts = [os.path.join(here, "BENCH_DETAIL.json")]
+        if os.environ.get("SPARK_GRAFT_STAGE_ARTIFACTS") == "1":
+            import glob as _glob
+
             for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
                 arts += _glob.glob(os.path.join(here, pat))
-            subprocess.run(["git", "-C", here, "add", "--"] + arts,
-                           check=False, capture_output=True, timeout=30)
-        except Exception:
-            pass
+        subprocess.run(["git", "-C", here, "add", "--"] + arts,
+                       check=False, capture_output=True, timeout=30)
+    except Exception:
+        pass
 
     # compact line: every TPC-H query individually (BASELINE.md's per-query
     # and suite bounds) + rollups for the other families

@@ -2295,6 +2295,13 @@ class Engine:
                     if "." in e.table else e.table)
             if flat.split(".")[-1].lower() not in names:
                 continue
+            # policy-governed datasets never accelerate (the target
+            # holds raw rows — serving it would bypass row/mask
+            # policies, same exclusion as declared reflections)
+            pol = (self._policies.get(self._policy_target(e.table))
+                   or self._policies.get(flat))
+            if pol and (pol["row"] or pol["mask"]):
+                continue
             from .plans.reflections import _schema_fp
             try:
                 cur_d = _schema_fp(self._resolve_table(e.table))

@@ -266,6 +266,26 @@ def _ca_sql(payload: tuple) -> str:
     return f"coalesce({expr}, 0)" if kind == "count" else expr
 
 
+def _ae_name(key: tuple) -> str:
+    """Digest-stable internal name for an avg-over-expression-dim
+    rollup output (same contract as _dd_name)."""
+    import hashlib
+
+    return "__ae_" + hashlib.md5(repr(key).encode()).hexdigest()[:10]
+
+
+def _ae_sql(key: tuple) -> str:
+    """Count-weighted AVG of an integer-valued expression dim over the
+    materialization cells.  f(dim) is NULL exactly when dim is NULL, so
+    both sums restrict to non-null-f cells — the denominator must
+    exclude null cells or a NULL dim group would inflate it (base AVG
+    counts only non-null inputs)."""
+    f = _dim_sql(key)
+    return (f"(cast(sum(case when {f} is not null then "
+            f"({f} * count_all) end) as double) / "
+            f"sum(case when {f} is not null then count_all end))")
+
+
 def _ca_measures(payload: tuple) -> list[Measure]:
     """Partial measures a conditional aggregate needs from the
     reflection (drives covers() and the rollup computation)."""
@@ -591,6 +611,19 @@ class _Extractor:
                 raise _Unsupported("avg(distinct) over expression")
             return ("cdistinct", (kind, key))
         if kind == "avg":
+            if (_cls(an) != "AttributeReference" and len(fkids) == 1):
+                # AVG over a whitelisted PROVABLY-INTEGER expression dim
+                # (`avg(year(d))`, `avg(length(c))`): count-weighting
+                # over the dim grain is exact — Σ f(cell)·count(cell) /
+                # Σ count(cell) over non-null-f cells equals the base
+                # double division bit-for-bit (integer f, exact sums).
+                # Dtype-blind fns (abs/floor/ceil could be decimal) and
+                # string fns refuse.
+                key = self._dim_key(an, ak)
+                if key[0] not in ("year", "month", "quarter", "length"):
+                    raise _Unsupported("avg over expression")
+                self.condagg_cols.append(_dim_base(key))
+                return ("avgexpr", key)
             # reduce avg(x) -> sum(x)/count(x); decimal inputs refuse
             # (the materialized decimal(28,4) sum divided back would
             # round differently than native decimal avg)
@@ -637,6 +670,8 @@ class _Extractor:
         AggQuery.dims so covers() requires it stored at dim grain."""
         pairs = list(kids)
         els = pairs.pop() if len(pairs) % 2 == 1 else None
+        if not pairs:
+            raise _Unsupported("CASE without branches")
         branches = []
         for i in range(0, len(pairs), 2):
             cn, ck = pairs[i]
@@ -726,10 +761,10 @@ class _Extractor:
             return ("lit", str(v), str(dt))
         if c == "AggregateExpression":
             got = self._classify_agg(node, kids)
-            if got[0] == "condagg":
-                # post-agg arithmetic over conditional aggregates is a
-                # sound fall-through for now (the _post_col renderer
-                # only splices measure/avg/cdistinct leaves)
+            if got[0] in ("condagg", "avgexpr"):
+                # post-agg arithmetic over these is a sound fall-through
+                # for now (the _post_col renderer only splices
+                # measure/avg/cdistinct leaves)
                 raise _Unsupported("conditional agg in post-agg expr")
             return ("agg",) + got
         # a group dim: plain column, whitelisted expression, or a
@@ -1369,6 +1404,8 @@ class _Extractor:
                 all_ms += [Measure("sum", p), Measure("count", p)]
             elif k == "condagg":
                 all_ms += _ca_measures(p)
+            elif k == "avgexpr":  # count-weighting needs count(*)
+                all_ms.append(Measure("count", "*"))
             elif k == "postexpr":
                 # every aggregate leaf must roll up; distinct-agg
                 # leaves ride the extra_cdistincts channel
@@ -1529,6 +1566,11 @@ def match_and_execute(store, ex: ExtractedAgg):
     # dim-constant within a cell; see _ca_sql)
     for p_ca in ex.condaggs:
         aggs.append(F.expr(_ca_sql(p_ca)).alias(_ca_name(p_ca)))
+    # avg over integer expression dims: count-weighted (see _ae_sql)
+    ae_keys = tuple(dict.fromkeys(
+        p for _, k, p in ex.outputs if k == "avgexpr"))
+    for key_ae in ae_keys:
+        aggs.append(F.expr(_ae_sql(key_ae)).alias(_ae_name(key_ae)))
 
     def _measure_rollup(m):
         if m.kind != "ndv":
@@ -1566,6 +1608,7 @@ def match_and_execute(store, ex: ExtractedAgg):
         names = [internal[k] for k in dict.fromkeys(ex.dims)]
         agg_names = ([_dd_name(p) for p in dd_parts]
                      + [_ca_name(p) for p in ex.condaggs]
+                     + [_ae_name(k) for k in ae_keys]
                      + [m.name for m in ex.measures])
         frames = []
         for _gid, mask in ex.grouping_sets:
@@ -1634,6 +1677,8 @@ def match_and_execute(store, ex: ExtractedAgg):
             col = _post_col(payload)
         elif kind == "condagg":
             col = F.col(_ca_name(payload))
+        elif kind == "avgexpr":
+            col = F.col(_ae_name(payload))
         else:
             col = F.col(payload.name)
         cast_to = (ex.casts or {}).get(out_name)

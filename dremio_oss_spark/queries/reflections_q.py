@@ -1062,6 +1062,47 @@ order by l_returnflag
 """
 
 
+def transparent_avgexpr(spark: SparkSession, sf: str) -> DataFrame:
+    """AVG over a whitelisted PROVABLY-INTEGER expression dim
+    (avg(year(d)), avg(month(d))) substitutes by count-weighting the
+    materialization's dim grain: Σ f(cell)·count(cell) / Σ count(cell)
+    over non-null-f cells — exact for integer f, so the value equals
+    the unaccelerated double division bit-for-bit.  Dtype-blind
+    functions (abs/floor/ceil could be decimal-typed) refuse, mirroring
+    the plain-AVG decimal guard."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_aex "
+            "USING DIMENSIONS (o_orderpriority, o_orderdate) "
+            "MEASURES (o_totalprice (SUM))")
+    df = eng.sql(
+        "select o_orderpriority, avg(year(o_orderdate)) as avg_year, "
+        "avg(month(o_orderdate)) as avg_month, count(*) as n "
+        "from orders group by o_orderpriority order by o_orderpriority")
+    assert eng.last_plan_accelerated == "t_aex", \
+        "avg-over-expression-dim substitution missed"
+    # control: dtype-blind fn refuses
+    eng.sql("select o_orderpriority, avg(abs(o_totalprice)) as x "
+            "from orders group by o_orderpriority")
+    assert eng.last_plan_accelerated is None, \
+        "unsound avg substitution (dtype-blind fn)"
+    return df
+
+
+TRANSPARENT_AVGEXPR_SQL = """
+select o_orderpriority,
+       avg(cast(year(o_orderdate) as bigint)) as avg_year,
+       avg(cast(month(o_orderdate) as bigint)) as avg_month,
+       cast(count(*) as bigint) as n
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 REFLECTION_QUERIES = {
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -1077,6 +1118,7 @@ REFLECTION_QUERIES = {
     "refl_transparent_ndv": transparent_ndv,
     "refl_external": external_reflection,
     "refl_transparent_pivot": transparent_pivot,
+    "refl_transparent_avgexpr": transparent_avgexpr,
     "refl_path_anchored": path_anchored,
     "refl_transparent_join": transparent_join,
     "refl_transparent_vds": transparent_vds,
@@ -1101,6 +1143,7 @@ REFLECTION_ORACLE = {
     "refl_transparent_ndv": TRANSPARENT_NDV_SQL,
     "refl_external": EXTERNAL_REFLECTION_SQL,
     "refl_transparent_pivot": TRANSPARENT_PIVOT_SQL,
+    "refl_transparent_avgexpr": TRANSPARENT_AVGEXPR_SQL,
     "refl_path_anchored": PATH_ANCHORED_SQL,
     "refl_transparent_join": TRANSPARENT_JOIN_SQL,
     "refl_transparent_vds": TRANSPARENT_VDS_SQL,

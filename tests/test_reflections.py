@@ -2212,3 +2212,64 @@ def test_conditional_agg_substitution_forms(spark):
         assert eng.last_plan_accelerated is None, q
         assert df.collect() == spark.sql(q).collect(), q
     eng._default_refl_store().drop("t_cag")
+
+
+def test_avg_over_expression_dim_substitutes(spark):
+    """AVG over a whitelisted provably-integer expression dim
+    (avg(year(d)), avg(length(c))) substitutes by count-weighting the
+    dim grain: sum(f(cell)·count)/sum(count) over non-null-f cells —
+    exact for integer f.  NULL dims stay excluded from the denominator
+    (base AVG counts only non-null inputs).  Dtype-blind fns
+    (abs/floor/ceil) and post-agg arithmetic over the form refuse."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_ae "
+            "USING DIMENSIONS (o_orderpriority, o_orderdate) "
+            "MEASURES (o_totalprice (SUM))")
+    for q in (
+        "select o_orderpriority, avg(year(o_orderdate)) as ay "
+        "from orders group by o_orderpriority order by o_orderpriority",
+        "select o_orderpriority, avg(month(o_orderdate)) as am, "
+        "count(*) as n from orders group by o_orderpriority "
+        "order by o_orderpriority",
+    ):
+        df = eng.sql(q)
+        assert eng.last_plan_accelerated == "t_ae", q
+        assert df.collect() == spark.sql(q).collect(), q
+        assert df.dtypes == spark.sql(q).dtypes, q
+    # NULL dims excluded from the denominator: build a table with nulls
+    # (parquet-backed — the plan-tree matcher substitutes relation
+    # scans, not in-memory Range sources)
+    import tempfile
+
+    rows = spark.range(100).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 5 != 0,
+               F.expr("date_add(date'2020-01-01', cast(id as int))"))
+        .alias("d"))
+    tdir = tempfile.mkdtemp(prefix="t_ae_nulls")
+    rows.write.mode("overwrite").parquet(tdir)
+    spark.read.parquet(tdir).createOrReplaceTempView("t_ae_nulls")
+    eng2 = Engine(spark)
+    eng2.sql("ALTER TABLE t_ae_nulls CREATE AGGREGATE REFLECTION t_aen "
+             "USING DIMENSIONS (g, d) MEASURES (g (COUNT))")
+    q = ("select g, avg(month(d)) as am from t_ae_nulls group by g "
+         "order by g")
+    df = eng2.sql(q)
+    assert eng2.last_plan_accelerated == "t_aen"
+    assert df.collect() == spark.sql(q).collect()
+    # dtype-blind fn refuses
+    eng.sql("select o_orderpriority, avg(abs(o_totalprice)) as x "
+            "from orders group by o_orderpriority")
+    assert eng.last_plan_accelerated is None
+    # post-agg arithmetic over the form refuses
+    eng.sql("select o_orderpriority, avg(year(o_orderdate)) + 1 as x "
+            "from orders group by o_orderpriority")
+    assert eng.last_plan_accelerated is None
+    eng._default_refl_store().drop("t_ae")
+    eng2._default_refl_store().drop("t_aen")
