@@ -2273,3 +2273,33 @@ def test_avg_over_expression_dim_substitutes(spark):
     assert eng.last_plan_accelerated is None
     eng._default_refl_store().drop("t_ae")
     eng2._default_refl_store().drop("t_aen")
+
+
+def test_external_reflection_respects_policies(spark):
+    """A row-access policy on the dataset excludes its external
+    reflection from acceleration (the target holds raw rows — serving
+    it would bypass the policy), and the policied query still returns
+    the filtered rows."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    spark.table("nation").createOrReplaceTempView("nat_ext_tgt")
+    eng.sql("ALTER TABLE nation CREATE EXTERNAL REFLECTION xpol "
+            "USING nat_ext_tgt")
+    n_all = eng.sql("select count(*) as n from nation").collect()[0][0]
+    assert eng.last_plan_accelerated == "xpol"
+    eng.sql("create function only_zero(r bigint) returns boolean "
+            "return r = 0")
+    eng.sql("alter table nation add row access policy "
+            "only_zero(n_regionkey)")
+    try:
+        n_pol = eng.sql("select count(*) as n from nation") \
+            .collect()[0][0]
+        assert eng.last_plan_accelerated is None, \
+            "external reflection bypassed a row policy"
+        assert 0 < n_pol < n_all
+    finally:
+        eng.sql("alter table nation drop row access policy only_zero")
+        eng._default_refl_store().drop("xpol")
