@@ -167,6 +167,58 @@ def metadata_scale_case(spark, n_files: int) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def footer_stats_threshold_case(spark, n_files: int = 200) -> None:
+    """Write-path stats collection: small commits read the just-written
+    parquet FOOTERS on the driver (zero Spark jobs), while a commit
+    above `spark.dremio.stats.footerMaxFiles` (default 64) takes the
+    distributed one-scan path — driver time must not grow with commit
+    size.  Proves the switch by instrumenting the footer fn, and value-
+    checks the two paths against each other on the same files."""
+    import shutil
+    import tempfile
+
+    from dremio_oss_spark.sources import delta as D
+
+    d = tempfile.mkdtemp(prefix="footer_stats_")
+    t = os.path.join(d, "t")
+    try:
+        df = spark.range(n_files * 10).selectExpr(
+            "id as k", "cast(id as double) as v")
+        D.write_delta(spark, df.repartition(n_files), t)
+        snap = D.resolve_snapshot(spark, t)
+        staged = list(snap.files.items())
+        assert len(staged) > 64, len(staged)
+        calls = {"n": 0}
+        orig = D._footer_stats
+
+        def probe(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        D._footer_stats = probe
+        try:
+            t0 = time.perf_counter()
+            big = D._collect_stats(spark, t, staged, df.schema, [])
+            t_big = time.perf_counter() - t0
+            assert calls["n"] == 0, "large commit took the driver path"
+            t0 = time.perf_counter()
+            small = D._collect_stats(spark, t, staged[:8], df.schema, [])
+            t_small = time.perf_counter() - t0
+            assert calls["n"] == 1, "small commit missed the footer path"
+        finally:
+            D._footer_stats = orig
+        for rel in small:
+            assert small[rel] == big[rel], (rel, small[rel], big[rel])
+        print(json.dumps({
+            "op": "footer_stats_threshold", "n_files": len(staged),
+            "t_distributed_s": round(t_big, 2),
+            "t_footer_8_files_s": round(t_small, 3),
+            "paths_agree": True,
+        }))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def engine_distributed_plan_case(spark, n_files: int = 120_000) -> None:
     """Round-6 'done' case: `engine.sql` over a 120k-file Delta table
     plans via the DISTRIBUTED metadata path — the Python resolver is
@@ -352,6 +404,7 @@ def main() -> None:
     spark = build_spark(app_name="scale-smoke")
 
     metadata_scale_case(spark, n_files=12_000)
+    footer_stats_threshold_case(spark, n_files=200)
     engine_distributed_plan_case(spark, n_files=120_000)
     dv_decode_scale_case(spark, n_files=20_000)
     eq_delete_seq_scale_case(spark, n_files=20_000)
