@@ -266,9 +266,11 @@ class _Handler(BaseHTTPRequestHandler):
             schema = [{"name": f.name, "type": f.dataType.simpleString()}
                       for f in df.schema.fields]
             # synchronous POSTs also land in the job store so clients
-            # can re-page what was collected
+            # can re-page what was collected (the store honors its
+            # max_stored cap even when the client's limit exceeds it)
             self.jobs.finish(jid, state="COMPLETED", schema=schema,
-                             rows=json_rows, accelerated_by=accelerated)
+                             rows=json_rows[:self.max_stored],
+                             accelerated_by=accelerated)
             payload = {
                 "id": jid,
                 "schema": schema,
