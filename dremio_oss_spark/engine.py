@@ -1933,7 +1933,18 @@ class Engine:
         raise ValueError(f"not a lakehouse table: {path}")
 
     _META_FNS = ("table_history", "table_files", "table_snapshot",
-                 "table_partitions", "table_manifests", "table_refs")
+                 "table_partitions", "table_manifests", "table_refs",
+                 "copy_errors")
+
+    def copy_errors(self, path: str) -> DataFrame:
+        """TABLE(copy_errors('<target>')): COPY INTO error history —
+        one row per rejected record with (job_id, file_name,
+        raw_record, reason).  The reference's copy_errors table
+        function (CopyErrorsMacro.java) over the copy-into errors
+        store."""
+        from .sources.writer import read_copy_errors
+
+        return read_copy_errors(self.spark, path)
 
     def table_refs(self, path: str) -> DataFrame:
         """TABLE(table_refs('<path>')): branches and tags with their

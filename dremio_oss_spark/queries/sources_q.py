@@ -170,6 +170,93 @@ select count(*) as n_rows, count(distinct c_custkey) as n_keys from customer
 """
 
 
+def copy_errors_modes(spark: SparkSession, sf: str) -> DataFrame:
+    """COPY INTO error handling end-to-end, both reference modes
+    (ON_ERROR grammar ingestion.ftl:160; OnErrorAction
+    SqlCopyIntoTable.java:709): 'skip_file' skips a file containing ANY
+    malformed record WHOLE (good rows of that file do not load; the
+    file is recorded consumed so a re-run never retries), 'continue'
+    loads the good rows and diverts the bad records.  Both append
+    diagnostics queryable via TABLE(copy_errors('<target>')) — the
+    reference's copy_errors table function (CopyErrorsMacro.java).
+    Re-running the skip_file load returns 0 and duplicates nothing."""
+    from ..engine import Engine
+    from ..sources.writer import copy_into
+
+    d = _scratch("copy_errors", sf)
+    nat = sorted((r["n_nationkey"], r["n_name"]) for r in
+                 load(spark, sf, "nation")
+                 .where("n_nationkey < 20")
+                 .select("n_nationkey", "n_name").collect())
+    srcdir = os.path.join(d, "src")
+    os.makedirs(srcdir, exist_ok=True)
+
+    def _write_csv(name, rows, bad=0):
+        with open(os.path.join(srcdir, name), "w") as f:
+            f.write("n_nationkey,n_name\n")  # reader default: header
+            for k, nm in rows:
+                f.write(f"{k},{nm}\n")
+            for i in range(bad):
+                # non-numeric key + an extra column -> malformed under
+                # the declared schema
+                f.write(f"not_a_number,junk{i},extra\n")
+
+    _write_csv("a.csv", [r for r in nat if r[0] < 10])
+    _write_csv("b.csv", [r for r in nat if 10 <= r[0] < 15], bad=2)
+    _write_csv("c.csv", [r for r in nat if r[0] >= 15])
+    schema = "n_nationkey bigint, n_name string"
+    glob_ = os.path.join(srcdir, "*.csv")
+
+    t_skip = os.path.join(d, "t_skip")
+    n_skip = copy_into(spark, t_skip, glob_, fmt="csv", schema=schema,
+                       on_error="skip_file", job_id="job-skip")
+    # re-run: every file (including the skipped one) is consumed — no
+    # rows load, no duplicate error records
+    assert copy_into(spark, t_skip, glob_, fmt="csv", schema=schema,
+                     on_error="skip_file", job_id="job-skip2") == 0
+    t_cont = os.path.join(d, "t_cont")
+    n_cont = copy_into(spark, t_cont, glob_, fmt="csv", schema=schema,
+                       on_error="continue", job_id="job-cont")
+    assert n_cont == n_skip + 5, (n_cont, n_skip)
+
+    eng = Engine(spark)
+    err_skip = eng.sql(
+        f"select count(*) as c from table(copy_errors('{t_skip}'))"
+    ).collect()[0][0]
+    err_cont = eng.sql(
+        f"select count(*) as c from table(copy_errors('{t_cont}'))"
+    ).collect()[0][0]
+
+    def one(mode, tbl, n_err):
+        return (spark.read.parquet(tbl).groupBy()
+                .agg(F.count("*").cast("bigint").alias("n_rows"),
+                     F.sum("n_nationkey").cast("bigint").alias("key_sum"))
+                .withColumn("mode", F.lit(mode))
+                .withColumn("n_errors", F.lit(n_err).cast("bigint"))
+                .select("mode", "n_rows", "key_sum", "n_errors"))
+
+    return (one("continue", t_cont, err_cont)
+            .unionByName(one("skip_file", t_skip, err_skip))
+            .orderBy("mode"))
+
+
+COPY_ERRORS_SQL = """
+with base as (select n_nationkey from nation where n_nationkey < 20)
+select 'continue' as mode,
+       cast(count(*) as bigint) as n_rows,
+       cast(sum(n_nationkey) as bigint) as key_sum,
+       cast(2 as bigint) as n_errors
+from base
+union all
+select 'skip_file',
+       cast(count(*) as bigint),
+       cast(sum(n_nationkey) as bigint),
+       cast(2 as bigint)
+from base where n_nationkey not between 10 and 14
+order by mode
+"""
+
+
 # --------------------------------------------------------------------------
 # Copy-on-write DML: DELETE + UPDATE + MERGE
 # (DmlCopyOnWritePlanGenerator.java, Parser.tdd:624-685)
@@ -1135,6 +1222,7 @@ SOURCES_QUERIES = {
     "src_arrow_read": arrow_read,
     "src_ctas_insert": ctas_insert,
     "src_copy_into_dedup": copy_into_dedup,
+    "src_copy_errors": copy_errors_modes,
     "src_dml_cow": dml_cow,
     "src_delta_read": delta_read,
     "src_iceberg_read": iceberg_read,
@@ -1160,6 +1248,7 @@ SOURCES_ORACLE = {
     "src_arrow_read": ARROW_READ_SQL,
     "src_ctas_insert": CTAS_INSERT_SQL,
     "src_copy_into_dedup": COPY_INTO_SQL,
+    "src_copy_errors": COPY_ERRORS_SQL,
     "src_dml_cow": DML_COW_SQL,
     "src_delta_read": DELTA_READ_SQL,
     "src_iceberg_read": ICEBERG_READ_SQL,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LEDGER_DIR = "_loaded_files"
+ERRORS_DIR = "_copy_errors"
 
 
 def ctas(
@@ -54,6 +55,7 @@ def copy_into(
     schema: str | None = None,
     dedup: bool = True,
     on_error: str = "abort",
+    job_id: str | None = None,
     **read_opts,
 ) -> int:
     """COPY INTO target FROM source — returns rows loaded.
@@ -63,19 +65,39 @@ def copy_into(
     per loaded file), so the skip-join is a broadcast, not a shuffle.
 
     on_error='continue' (reference `COPY INTO ... ON_ERROR ('continue')`,
-    CopyIntoPlanBuilder + ON_ERROR grammar): malformed CSV/JSON rows are
-    diverted to `<target>/_rejects` (parquet of raw lines) instead of
-    failing the load — Spark's PERMISSIVE corrupt-record column does the
-    classification distributed, no extra pass.
+    CopyIntoPlanBuilder + the ON_ERROR grammar, ingestion.ftl:160):
+    malformed CSV/JSON rows are diverted instead of failing the load —
+    Spark's PERMISSIVE corrupt-record column does the classification
+    distributed, no extra pass.  Good rows of a bad file still load.
+
+    on_error='skip_file' (`OnErrorAction.SKIP_FILE`,
+    SqlCopyIntoTable.java:709 — the only mode auto-ingest PIPEs accept,
+    SqlManagePipe.java:84): a file containing ANY malformed record is
+    skipped WHOLE — its good rows do not load — and with dedup the file
+    is recorded consumed, so a later run never retries it (a corrected
+    file arrives under a new name: the pipe contract).
+
+    Both error modes append per-record diagnostics (job_id, file name,
+    raw record, reason) to `<target>/_copy_errors`, queryable via
+    `TABLE(copy_errors('<target>'))` — the reference's copy_errors
+    table function over its copy-into error history
+    (CopyErrorsMacro.java, copy_errors() validation mode).  Error
+    classification runs AFTER the ledger anti-join, so re-running the
+    same COPY INTO never duplicates error records.
     """
     from .formats import FormatRegistry
 
     reader_opts = dict(read_opts)
     corrupt_col = "_corrupt"
-    continue_mode = on_error == "continue" and fmt in ("csv", "json", "tsv", "psv")
-    if continue_mode:
+    if on_error not in ("abort", "continue", "skip_file"):
+        raise ValueError(
+            "on_error must be 'abort', 'continue' or 'skip_file'")
+    error_mode = (on_error in ("continue", "skip_file")
+                  and fmt in ("csv", "json", "tsv", "psv"))
+    if error_mode:
         if not schema:
-            raise ValueError("on_error='continue' requires an explicit schema")
+            raise ValueError(
+                f"on_error={on_error!r} requires an explicit schema")
         schema = f"{schema}, {corrupt_col} string"
         reader_opts.update(
             mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
@@ -87,18 +109,11 @@ def copy_into(
     # ALL rows away (silent data loss on the continue path)
     src = src.withColumn("_src_file", F.input_file_name())
     cached = None
-    if continue_mode:
+    if error_mode:
         # Spark disallows querying only the corrupt-record column of a raw
         # CSV/JSON scan; cache materializes the parse once (documented
         # workaround) — and the load reads the same cache, so no re-parse
         cached = src = src.cache()
-        rejects = src.where(F.col(corrupt_col).isNotNull()).select(
-            F.col(corrupt_col).alias("raw_record")
-        )
-        n_rej = rejects.count()
-        if n_rej:
-            rejects.write.mode("append").parquet(os.path.join(target, "_rejects"))
-        src = src.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
 
     ledger_path = os.path.join(target, LEDGER_DIR)
     if dedup and os.path.exists(ledger_path):
@@ -112,9 +127,37 @@ def copy_into(
             "left_anti",
         )
 
+    consumed_extra: list[str] = []  # skip_file: bad files marked consumed
+    if error_mode:
+        bad = src.where(F.col(corrupt_col).isNotNull())
+        errors = bad.select(
+            F.lit(job_id or _new_job_id()).alias("job_id"),
+            F.element_at(F.split("_src_file", "/"), -1)
+            .alias("file_name"),
+            F.col(corrupt_col).alias("raw_record"),
+            F.lit("malformed record").alias("reason"),
+        )
+        n_err = errors.count()
+        if n_err:
+            errors.write.mode("append").parquet(
+                os.path.join(target, ERRORS_DIR))
+            # back-compat raw-lines sink for the continue mode
+            if on_error == "continue":
+                (bad.select(F.col(corrupt_col).alias("raw_record"))
+                 .write.mode("append")
+                 .parquet(os.path.join(target, "_rejects")))
+        if on_error == "skip_file" and n_err:
+            bad_files = [r[0] for r in
+                         bad.select("_src_file").distinct().collect()]
+            consumed_extra = bad_files
+            src = src.where(~F.col("_src_file").isin(bad_files))
+        else:
+            src = src.where(F.col(corrupt_col).isNull())
+        src = src.drop(corrupt_col)
+
     try:
         files = [r[0] for r in src.select("_src_file").distinct().collect()]
-        if not files:
+        if not files and not consumed_extra:
             return 0
         rows = src.drop("_src_file")
         if cached is None:
@@ -122,14 +165,41 @@ def copy_into(
             # materialized pass serves both
             cached = rows = rows.cache()
         n = rows.count()
-        rows.write.mode("append").parquet(target)
-        spark.createDataFrame(
-            [(f,) for f in files], "file_name string"
-        ).write.mode("append").parquet(ledger_path)
+        if files:
+            rows.write.mode("append").parquet(target)
+        if files or consumed_extra:
+            spark.createDataFrame(
+                [(f,) for f in files + consumed_extra],
+                "file_name string"
+            ).write.mode("append").parquet(ledger_path)
         return n
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def _new_job_id() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:16]
+
+
+def read_copy_errors(spark: SparkSession, target: str) -> DataFrame:
+    """TABLE(copy_errors('<target>')): per-record load diagnostics from
+    every error-mode COPY INTO against the target (the reference's
+    copy_errors table function, CopyErrorsMacro.java)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = os.path.join(target, ERRORS_DIR)
+    schema = StructType([
+        StructField("job_id", StringType()),
+        StructField("file_name", StringType()),
+        StructField("raw_record", StringType()),
+        StructField("reason", StringType()),
+    ])
+    if not os.path.exists(p):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(p)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -2450,3 +2450,53 @@ def test_iceberg_mor_dml_no_match_no_commit(spark, tmp_path):
                    mode="merge-on-read")
     assert resolve_snapshot(t).snapshot_id != sid0
     assert read_iceberg(spark, t).where("k = 1").collect()[0]["v"] == 2.0
+
+
+def test_copy_into_skip_file_and_copy_errors(spark, tmp_path):
+    """ON_ERROR 'skip_file' (OnErrorAction.SKIP_FILE,
+    SqlCopyIntoTable.java:709 — the mode auto-ingest pipes require):
+    a file with ANY malformed record is skipped whole, recorded
+    consumed (a re-run retries nothing and duplicates no error rows),
+    and the diagnostics surface through TABLE(copy_errors('<t>'))."""
+    import os
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.writer import copy_into, read_table
+
+    register_testdata(spark, SF_SMALL)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "good.csv"), "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    with open(os.path.join(src, "mixed.csv"), "w") as f:
+        f.write("a,b\n3,z\nboom,junk,extra\n4,w\n")
+    tgt = str(tmp_path / "tgt")
+    n = copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
+                  schema="a int, b string", on_error="skip_file",
+                  header="true", job_id="js")
+    # mixed.csv skipped WHOLE: its good rows 3 and 4 must not load
+    assert n == 2
+    assert sorted(r["a"] for r in read_table(spark, tgt).collect()) \
+        == [1, 2]
+    eng = Engine(spark)
+    errs = eng.sql(
+        f"select file_name, reason from table(copy_errors('{tgt}'))"
+    ).collect()
+    assert len(errs) == 1
+    assert errs[0]["file_name"].endswith("mixed.csv")
+    assert errs[0]["reason"] == "malformed record"
+    # re-run: the skipped file was consumed; nothing loads, no
+    # duplicate error records
+    assert copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
+                     schema="a int, b string", on_error="skip_file",
+                     header="true", job_id="js2") == 0
+    assert eng.sql(
+        f"select count(*) c from table(copy_errors('{tgt}'))"
+    ).collect()[0][0] == 1
+    # unknown mode refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="on_error"):
+        copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
+                  schema="a int, b string", on_error="bogus")
