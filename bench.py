@@ -190,9 +190,17 @@ def main() -> None:
                         "refl_transparent_sumdistinct",
                         "refl_transparent_rollup",
                         "refl_transparent_purefn"}
+            # relational-operator decade: window functions, grouping
+            # sets, distinct-agg expansion, pivot, outer joins over the
+            # 10x fact tables — the shuffle-heavy §2.1 shapes
+            sf1_op = {"op_window_ranking", "op_grouping_sets",
+                      "op_rollup_cube", "op_distinct_aggregates",
+                      "op_pivot", "op_limit_offset",
+                      "op_full_outer_join"}
             for name in sorted(q for q in queries
                                if (q.startswith(("tpch_", "llm_"))
-                                   or q in sf1_src or q in sf1_refl)
+                                   or q in sf1_src or q in sf1_refl
+                                   or q in sf1_op)
                                and q not in sf1_skip):
                 t0 = time.perf_counter()
                 try:
@@ -255,7 +263,7 @@ def main() -> None:
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
     if sf1_timings:
-        for fam in ("tpch", "llm", "src", "refl"):
+        for fam in ("tpch", "llm", "src", "refl", "op"):
             fam_t = [t for n, t in sf1_timings.items()
                      if n.startswith(f"sf1_{fam}_")]
             if fam_t:
