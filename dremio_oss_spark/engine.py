@@ -2021,12 +2021,14 @@ class Engine:
             return self._status(f"{verb.upper()} {kind.upper()}", name)
         m = re.match(
             r"\s*create\s+pipe\s+(\w+)\s+as\s+copy\s+into\s+'([^']+)'"
-            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?\s*$",
+            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?"
+            r"(?:\s+on_error\s+'(\w+)')?\s*$",
             query, re.I)
         if m:
-            name, target, glob_, fmt = m.groups()
-            self._pipes().create_pipe(name, target, glob_,
-                                      fmt=(fmt or "parquet").lower())
+            name, target, glob_, fmt, onerr = m.groups()
+            self._pipes().create_pipe(
+                name, target, glob_, fmt=(fmt or "parquet").lower(),
+                on_error=(onerr or "abort").lower())
             return self._status("CREATE PIPE", name)
         # ALTER PIPE <name> SET PIPE_EXECUTION_RUNNING|PAUSED, or full
         # redefinition ALTER PIPE <name> AS COPY INTO ... (ingestion.ftl
@@ -2165,7 +2167,13 @@ class Engine:
         # dependency-driven freshness: stale dependents refresh BEFORE
         # matching, so an accelerated answer reflects the latest commit
         self._refresh_stale_reflections()
-        df = self._external_accelerate(query)
+        # fail-safe, same contract as the plan-tree path: acceleration
+        # must never break a query that would plan normally
+        try:
+            df = self._external_accelerate(query)
+        except Exception:  # noqa: BLE001 — fall through, plan normally
+            df = None
+            self.last_plan_accelerated = None
         if df is not None:
             return df
         df = self._plan_tree_accelerate(query)

@@ -28,14 +28,39 @@ class Pipe:
     fmt: str = "parquet"
     dedup: bool = True
     status: str = "RUNNING"  # ALTER PIPE ... SET PIPE_EXECUTION_PAUSED
+    # the reference's pipes accept ONLY skip_file as an explicit
+    # ON_ERROR (SqlManagePipe.java:84): a file with any malformed
+    # record is consumed-but-skipped, so ingest never wedges on it and
+    # never retries it (a corrected file arrives under a new name)
+    on_error: str = "abort"
+
+    def __post_init__(self):
+        if self.on_error not in ("abort", "skip_file"):
+            raise ValueError(
+                "pipes accept ON_ERROR 'skip_file' only "
+                "(SqlManagePipe semantics)")
 
     def run(self, spark: SparkSession) -> int:
         """One ingest pass; returns rows loaded (0 if nothing new).
         A paused pipe ingests nothing (SqlAlterPipeStatus semantics)."""
         if self.status == "PAUSED":
             return 0
+        kw = {}
+        if self.on_error == "skip_file" and self.fmt in (
+                "csv", "json", "tsv", "psv"):
+            # COPY INTO validates records against the TARGET table's
+            # schema (the reference resolves it from the catalog); the
+            # pipe's target must exist for error-classified ingest
+            from ..sources.writer import read_table
+
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in read_table(spark, self.target).schema.fields)
+            kw = {"on_error": "skip_file", "schema": schema,
+                  "header": "true", "job_id": f"pipe-{self.name}"}
         return copy_into(
-            spark, self.target, self.source_glob, fmt=self.fmt, dedup=self.dedup
+            spark, self.target, self.source_glob, fmt=self.fmt,
+            dedup=self.dedup, **kw
         )
 
 
@@ -47,8 +72,10 @@ class PipeRegistry:
         self._pipes: dict[str, Pipe] = {}
 
     def create_pipe(self, name: str, target: str, source_glob: str,
-                    fmt: str = "parquet", dedup: bool = True) -> Pipe:
-        p = Pipe(name, target, source_glob, fmt, dedup)
+                    fmt: str = "parquet", dedup: bool = True,
+                    on_error: str = "abort") -> Pipe:
+        p = Pipe(name, target, source_glob, fmt, dedup,
+                 on_error=on_error)
         self._pipes[name] = p
         return p
 

@@ -305,3 +305,43 @@ def test_stream_delta_cdf_tails_changes(spark, tmp_path):
     write_delta(spark, spark.range(3).toDF("k"), t2)
     with pytest.raises(ValueError, match="enableChangeDataFeed"):
         stream_delta_cdf(spark, t2)
+
+
+def test_pipe_on_error_skip_file(spark, tmp_path):
+    """Pipes accept ON_ERROR 'skip_file' only (SqlManagePipe.java:84):
+    a malformed file is consumed-but-skipped so the pipe never wedges
+    on it and never retries it; errors land in copy_errors."""
+    import os
+
+    import pytest as _pytest
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.writer import read_copy_errors, read_table
+
+    spark.createDataFrame([(1, "x")], "a int, b string") \
+        .write.parquet(str(tmp_path / "tgt"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "ok.csv"), "w") as f:
+        f.write("a,b\n2,y\n")
+    with open(os.path.join(src, "bad.csv"), "w") as f:
+        f.write("a,b\n3,z\nboom,junk,extra\n")
+
+    eng = Engine(spark)
+    eng.sql(f"create pipe perr as copy into '{tmp_path / 'tgt'}' "
+            f"from '{os.path.join(src, '*.csv')}' "
+            "file_format 'csv' on_error 'skip_file'")
+    n = eng._pipes().run("perr")
+    assert n == 1  # ok.csv only; bad.csv skipped whole
+    assert sorted(r["a"] for r in
+                  read_table(spark, str(tmp_path / "tgt")).collect()) \
+        == [1, 2]
+    assert read_copy_errors(spark, str(tmp_path / "tgt")).count() == 1
+    # second trigger: nothing new, the bad file is not retried
+    assert eng._pipes().run("perr") == 0
+    assert read_copy_errors(spark, str(tmp_path / "tgt")).count() == 1
+    # non-skip_file explicit mode refuses at creation
+    with _pytest.raises(ValueError, match="skip_file"):
+        eng.sql(f"create pipe pbad as copy into '{tmp_path / 'tgt'}' "
+                f"from '{os.path.join(src, '*.csv')}' "
+                "file_format 'csv' on_error 'continue'")
