@@ -761,11 +761,10 @@ class _Extractor:
             return ("lit", str(v), str(dt))
         if c == "AggregateExpression":
             got = self._classify_agg(node, kids)
-            if got[0] in ("condagg", "avgexpr"):
-                # post-agg arithmetic over these is a sound fall-through
-                # for now (the _post_col renderer only splices
-                # measure/avg/cdistinct leaves)
-                raise _Unsupported("conditional agg in post-agg expr")
+            if got[0] == "avgexpr":
+                # count-weighted avg inside post-agg arithmetic is a
+                # sound fall-through for now
+                raise _Unsupported("avg expression in post-agg expr")
             return ("agg",) + got
         # a group dim: plain column, whitelisted expression, or a
         # projection alias of one — anything else refuses inside
@@ -1348,6 +1347,11 @@ class _Extractor:
                 return p3.name
             if k3 == "avg":
                 return f"(cast(sum_{p3} as double) / count_{p3})"
+            if k3 == "condagg":
+                having_ca.append(p3)
+                # double arithmetic for SUM-kind decimals (see _post_col)
+                return (f"cast({_ca_name(p3)} as double)"
+                        if p3[0] == "sum" else _ca_name(p3))
             having_dd.append(p3)
             dkind, key = p3
             if dkind == "avg":
@@ -1418,6 +1422,11 @@ class _Extractor:
                     elif k3 == "avg":
                         all_ms += [Measure("sum", p3),
                                    Measure("count", p3)]
+                    elif k3 == "condagg":
+                        # the rollup must compute the __ca_ column and
+                        # its underlying partials
+                        having_ca.append(p3)
+                        all_ms += _ca_measures(p3)
                     else:
                         having_dd.append(p3)
         if limit is not None and not order:
@@ -1653,6 +1662,12 @@ def match_and_execute(store, ex: ExtractedAgg):
         if k3 == "avg":
             return (F.col(Measure("sum", p3).name).cast("double")
                     / F.col(Measure("count", p3).name))
+        if k3 == "condagg":  # computed in the rollup under its __ca_
+            # SUM-kind partials are decimal(28,4); arithmetic over them
+            # must run in double like the base plan (decimal division
+            # truncates the result scale)
+            col = F.col(_ca_name(p3))
+            return col.cast("double") if p3[0] == "sum" else col
         dkind, key = p3
         if dkind == "avg":
             return (F.col(_dd_name(("sum", key))).cast("double")

@@ -2186,6 +2186,19 @@ def test_conditional_agg_substitution_forms(spark):
         "select l_returnflag from lineitem group by l_returnflag "
         "having sum(case when l_linestatus = 'O' then l_quantity "
         "else 0 end) > 0 order by l_returnflag",
+        # POST-AGG ARITHMETIC over conditional aggregates (conversion
+        # rates): ratio to count(*), ratio of two conditional sums,
+        # and HAVING over the arithmetic form
+        "select l_returnflag, 100 * count(case when l_linestatus = 'O' "
+        "then 1 end) / count(*) as pct from lineitem "
+        "group by l_returnflag order by l_returnflag",
+        "select l_returnflag, "
+        "sum(case when l_linestatus = 'O' then l_quantity else 0 end) /"
+        " sum(case when l_linestatus = 'F' then l_quantity else 0 end) "
+        "as r from lineitem group by l_returnflag order by l_returnflag",
+        "select l_returnflag from lineitem group by l_returnflag "
+        "having sum(case when l_linestatus = 'O' then l_quantity "
+        "else 0 end) / count(*) > 25 order by l_returnflag",
     ]
     for q in accelerated:
         df = eng.sql(q)
@@ -2202,8 +2215,9 @@ def test_conditional_agg_substitution_forms(spark):
         # negative scale flips MIN — refuse
         "select l_returnflag, min(case when l_linestatus = 'O' then "
         "-2 * l_quantity end) x from lineitem group by l_returnflag",
-        # conditional agg inside post-agg arithmetic — refuse (v1)
-        "select l_returnflag, sum(case when l_linestatus = 'O' then "
+        # a post-agg condagg whose PREDICATE column isn't stored still
+        # refuses soundly
+        "select l_returnflag, sum(case when l_partkey = 1 then "
         "l_quantity else 0 end) / count(*) x from lineitem "
         "group by l_returnflag",
     ]
