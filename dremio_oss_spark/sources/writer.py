@@ -82,8 +82,9 @@ def copy_into(
     `TABLE(copy_errors('<target>'))` — the reference's copy_errors
     table function over its copy-into error history
     (CopyErrorsMacro.java, copy_errors() validation mode).  Error
-    classification runs AFTER the ledger anti-join, so re-running the
-    same COPY INTO never duplicates error records.
+    classification runs AFTER the ledger anti-join, and a file whose
+    rows were ALL rejected is still recorded consumed, so re-running
+    the same COPY INTO never duplicates error records.
     """
     from .formats import FormatRegistry
 
@@ -146,11 +147,27 @@ def copy_into(
                 (bad.select(F.col(corrupt_col).alias("raw_record"))
                  .write.mode("append")
                  .parquet(os.path.join(target, "_rejects")))
-        if on_error == "skip_file" and n_err:
+        if n_err:
             bad_files = [r[0] for r in
                          bad.select("_src_file").distinct().collect()]
-            consumed_extra = bad_files
-            src = src.where(~F.col("_src_file").isin(bad_files))
+            if on_error == "skip_file":
+                # a file with ANY malformed record skips WHOLE and is
+                # consumed (never retried; corrected files arrive under
+                # a new name — the pipe contract)
+                consumed_extra = bad_files
+                src = src.where(~F.col("_src_file").isin(bad_files))
+            else:
+                # continue: good rows of a bad file load, so the file
+                # lands in `files` below — EXCEPT an all-corrupt file,
+                # which contributes no good rows and would otherwise
+                # never reach the ledger: each re-run would re-classify
+                # it and append duplicate _copy_errors records forever
+                src = src.where(F.col(corrupt_col).isNull())
+                good_files = {r[0] for r in
+                              src.select("_src_file").distinct()
+                              .collect()}
+                consumed_extra = [f for f in bad_files
+                                  if f not in good_files]
         else:
             src = src.where(F.col(corrupt_col).isNull())
         src = src.drop(corrupt_col)

@@ -2500,3 +2500,39 @@ def test_copy_into_skip_file_and_copy_errors(spark, tmp_path):
     with _pytest.raises(ValueError, match="on_error"):
         copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
                   schema="a int, b string", on_error="bogus")
+
+
+def test_copy_into_continue_consumes_all_corrupt_file(spark, tmp_path):
+    """ON_ERROR 'continue' with an ALL-corrupt file: the file yields no
+    good rows, so it never lands in the good-file ledger entries — it
+    must still be recorded consumed, or every re-run re-classifies it
+    and appends duplicate _copy_errors records forever."""
+    import os
+
+    from dremio_oss_spark.sources.writer import (copy_into,
+                                                 read_copy_errors,
+                                                 read_table)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "good.csv"), "w") as f:
+        f.write("a,b\n1,x\n")
+    with open(os.path.join(src, "allbad.csv"), "w") as f:
+        f.write("a,b\nboom,junk,extra\nalso,bad,row\n")
+    with open(os.path.join(src, "partial.csv"), "w") as f:
+        f.write("a,b\n2,y\nnope,zip,zap\n")
+    tgt = str(tmp_path / "tgt")
+    n = copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
+                  schema="a int, b string", on_error="continue",
+                  header="true", job_id="jc")
+    # continue: good rows of partial.csv load; allbad.csv loads nothing
+    assert n == 2
+    assert read_copy_errors(spark, tgt).count() == 3
+    # re-run: every file (including the all-corrupt one) is consumed —
+    # nothing loads, NO duplicate error records
+    assert copy_into(spark, tgt, os.path.join(src, "*.csv"), fmt="csv",
+                     schema="a int, b string", on_error="continue",
+                     header="true", job_id="jc2") == 0
+    assert read_copy_errors(spark, tgt).count() == 3
+    assert sorted(r["a"] for r in read_table(spark, tgt).collect()) \
+        == [1, 2]
