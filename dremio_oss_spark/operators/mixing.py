@@ -255,3 +255,95 @@ def temperature_mixture(df: DataFrame, stratum_col: str, id_col: str,
             .withColumn("copy_idx", F.explode(
                 F.sequence(F.lit(0), F.col("__n_copies") - 1)))
             .drop("__n_copies"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context
+    pretraining prep step: each document becomes sliding windows of
+    `chunk_tokens` whitespace tokens advancing by `stride`).  Distinct
+    from `pack_sequences` (which concatenates ACROSS documents and cuts
+    a global stream): chunking is per-document, preserves provenance
+    (`doc_id`, `chunk_idx`), and overlaps windows so no boundary
+    context is lost.
+
+    Window rule (the standard overflowing-tokens contract): windows
+    start at 0, stride, 2*stride, ... and the LAST window is the first
+    one reaching the end — n_chunks = ceil(max(n - chunk_tokens, 0) /
+    stride) + 1.  A document shorter than one window emits exactly one
+    (short) chunk; no window is ever fully contained in its
+    predecessor.
+
+    Scale shape: ROW-LOCAL — split, explode, slice, join are all JVM
+    expressions inside whole-stage codegen; zero shuffles, zero Python.
+    Output grows by the overlap factor chunk_tokens/stride (bounded,
+    chosen by the caller)."""
+    if chunk_tokens <= 0 or stride <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+        / F.lit(float(stride))) + 1).cast("int")
+    ctoks = F.slice(F.col("__toks"),
+                    F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return (df
+            .withColumn("__toks", toks)
+            .withColumn("n_doc_tokens", n.cast("bigint"))
+            .withColumn("chunk_idx", F.explode(
+                F.sequence(F.lit(0), n_chunks - 1)))
+            .withColumn("chunk_text", F.array_join(ctoks, " "))
+            .withColumn("chunk_tokens",
+                        F.size(ctoks).cast("bigint"))
+            .drop("__toks", text_col))
+
+
+def global_shuffle(df: DataFrame, id_col: str, seed: str = "0",
+                   shard_size: int = 1024,
+                   num_partitions: int = 32) -> DataFrame:
+    """Deterministic global shuffle + shard assignment (the dataloader
+    handoff: pretraining wants documents in a reproducible pseudo-random
+    order, cut into fixed-size shards).  The order key is
+    md5('shuf<seed>:' || id) — a pure function of (seed, id), so the
+    permutation is reproducible run-over-run and changes wholesale with
+    the seed.  Adds `shuffle_rank` (0-based global position) and
+    `shard` (= rank // shard_size).
+
+    Scale shape: the global rank is the same two-phase distributed
+    prefix count as `pack_sequences` — range-partition by the hash key,
+    per-partition row_number, add broadcast per-partition offsets.  No
+    single-task window; driver state is one row per partition.  The
+    hash key is near-uniform, so range partitions are balanced with no
+    sampling skew."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"shuf{seed}:"),
+                         F.col(id_col).cast("string")))
+    part = (df.withColumn("__k", key)
+            .repartitionByRange(num_partitions, F.col("__k"))
+            .withColumn("__pid", F.spark_partition_id()))
+    # PIN the partition assignment (RangePartitioner samples bounds per
+    # job — same trap as pack_sequences): persist before the offsets
+    # collect so the final job reads the identical placement
+    part = part.persist()
+    w = Window.partitionBy("__pid").orderBy("__k")
+    part = part.withColumn("__local_rank",
+                           F.row_number().over(w) - F.lit(1))
+    counts = {r["__pid"]: r["c"] for r in
+              part.groupBy("__pid").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.lit(0)
+    for pid, o in offsets.items():
+        off = F.when(F.col("__pid") == pid, F.lit(int(o))).otherwise(off)
+    return (part
+            .withColumn("shuffle_rank",
+                        (F.col("__local_rank") + off).cast("bigint"))
+            .withColumn("shard",
+                        F.floor(F.col("shuffle_rank")
+                                / F.lit(int(shard_size))).cast("bigint"))
+            .drop("__pid", "__local_rank", "__k"))

@@ -1334,7 +1334,83 @@ order by s.doc_id
 """
 
 
+def llm_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/mixing.py
+    chunk_documents) — the RAG / long-context prep step: each document
+    becomes sliding windows of 32 whitespace tokens advancing by 24,
+    the last window being the first to reach the end.  Per-chunk text
+    is value-checked via md5 against the oracle's list-slice
+    arithmetic.  Plan: entirely row-local JVM expressions (split /
+    explode / slice) — zero shuffles."""
+    from ..operators.mixing import chunk_documents
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return (chunk_documents(docs, chunk_tokens=32, stride=24)
+            .select("doc_id",
+                    F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                    "n_doc_tokens", "chunk_tokens",
+                    F.md5("chunk_text").alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+LLM_CHUNKING_SQL = """
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents
+), n as (
+  select doc_id, t, cast(len(t) as bigint) as n_tok from toks
+), c as (
+  select doc_id, t, n_tok,
+         unnest(generate_series(0,
+             cast(ceil(greatest(n_tok - 32, 0) / 24.0) as bigint)))
+             as chunk_idx
+  from n
+)
+select doc_id,
+       cast(chunk_idx as bigint) as chunk_idx,
+       n_tok as n_doc_tokens,
+       cast(len(t[chunk_idx*24+1 : chunk_idx*24+32]) as bigint)
+           as chunk_tokens,
+       md5(array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' '))
+           as chunk_md5
+from c
+order by doc_id, chunk_idx
+"""
+
+
+def llm_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment
+    (operators/mixing.py global_shuffle) — the dataloader handoff:
+    reproducible pseudo-random document order (md5 of seed+id), cut
+    into fixed-size shards.  The global rank is a distributed two-phase
+    prefix count (range partition -> local row_number -> broadcast
+    offsets), no single-task window; the oracle is a plain global
+    row_number over the same md5 order, so every rank and shard is
+    value-checked."""
+    from ..operators.mixing import global_shuffle
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    return (global_shuffle(docs, "doc_id", seed="42", shard_size=64,
+                           num_partitions=8)
+            .select("doc_id", "lang", "shuffle_rank", "shard")
+            .orderBy("doc_id"))
+
+
+LLM_GLOBAL_SHUFFLE_SQL = """
+select doc_id, lang,
+       cast(row_number() over (
+            order by md5('shuf42:' || cast(doc_id as varchar))) - 1
+            as bigint) as shuffle_rank,
+       cast(floor((row_number() over (
+            order by md5('shuf42:' || cast(doc_id as varchar))) - 1)
+            / 64) as bigint) as shard
+from documents
+order by doc_id
+"""
+
+
 LLMOPS_QUERIES = {
+    "llm_chunking": llm_chunking,
+    "llm_global_shuffle": llm_global_shuffle,
     "llm_boilerplate": llm_boilerplate,
     "llm_text_analysis": llm_text_analysis,
     "llm_vocab": llm_vocab,
@@ -1365,6 +1441,8 @@ LLMOPS_QUERIES = {
 }
 
 LLMOPS_ORACLE = {
+    "llm_chunking": LLM_CHUNKING_SQL,
+    "llm_global_shuffle": LLM_GLOBAL_SHUFFLE_SQL,
     "llm_boilerplate": LLM_BOILERPLATE_SQL,
     "llm_text_analysis": LLM_TEXT_ANALYSIS_SQL,
     "llm_vocab": LLM_VOCAB_SQL,

@@ -423,3 +423,76 @@ def test_temperature_mixture_flattens_strata(spark):
     mixed = temperature_mixture(withnull, "lang", "doc_id",
                                 temperature=1.0)
     assert mixed.where("lang is null").count() == 10
+
+
+def test_chunk_documents_window_rule(spark):
+    """Window contract: starts advance by stride; the LAST window is
+    the first reaching the end; a short doc emits exactly one chunk;
+    no window is fully contained in its predecessor."""
+    from dremio_oss_spark.operators.mixing import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # n=10 > chunk
+         (2, " ".join(f"u{i}" for i in range(4))),    # n=4 = chunk
+         (3, "a b"),                                  # n=2 < chunk
+         (4, " ".join(f"v{i}" for i in range(5)))],   # n=5: tail window
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, stride=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n=10: n_chunks = ceil(6/2)+1 = 4; every chunk full length
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert all(r["chunk_tokens"] == 4 for r in c1)
+    # chunk 1 starts at token 2 (stride), overlaps 2 tokens with chunk 0
+    assert c1[1]["chunk_text"].split(" ")[0] == "t2"
+    # exact fit: one chunk
+    assert [r["chunk_idx"] for r in by_doc[2]] == [0]
+    # short doc: one short chunk
+    assert by_doc[3][0]["chunk_tokens"] == 2
+    assert by_doc[3][0]["chunk_text"] == "a b"
+    # n=5: n_chunks = ceil(1/2)+1 = 2; the tail window is SHORT (3
+    # tokens from start 2) but reaches the end
+    c4 = sorted(by_doc[4], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_tokens"] for r in c4] == [4, 3]
+    assert c4[1]["chunk_text"] == "v2 v3 v4"
+    # stride > chunk refuses (gaps would drop tokens)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_global_shuffle_matches_serial_rank(spark):
+    """The two-phase distributed rank equals a plain global row_number
+    over the same md5 order, shards are full-sized except the last, and
+    the permutation is deterministic per seed and changes with it."""
+    from pyspark.sql import Window
+
+    from dremio_oss_spark.operators.mixing import global_shuffle
+
+    df = spark.range(0, 257).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(df, "doc_id", seed="7", shard_size=50,
+                         num_partitions=5)
+    serial = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(
+            F.md5(F.concat(F.lit("shuf7:"),
+                           F.col("doc_id").cast("string"))))) - 1)
+    got = {r["doc_id"]: (r["shuffle_rank"], r["shard"])
+           for r in out.collect()}
+    for r in serial.collect():
+        assert got[r["doc_id"]] == (r["r"], r["r"] // 50), r["doc_id"]
+    # shard sizes: five full shards of 50, one remainder of 7
+    sizes = sorted(n for _, n in
+                   out.groupBy("shard").count().collect())
+    assert sizes == [7, 50, 50, 50, 50, 50]
+    # deterministic per seed; a different seed permutes differently
+    again = global_shuffle(df, "doc_id", seed="7", shard_size=50,
+                           num_partitions=3)
+    assert {r["doc_id"]: r["shuffle_rank"] for r in again.collect()} \
+        == {k: v[0] for k, v in got.items()}
+    other = global_shuffle(df, "doc_id", seed="8", shard_size=50,
+                           num_partitions=5)
+    assert {r["doc_id"]: r["shuffle_rank"] for r in other.collect()} \
+        != {k: v[0] for k, v in got.items()}
