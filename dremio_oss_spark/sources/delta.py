@@ -1388,6 +1388,38 @@ def _dv_commit_marked(spark: SparkSession, table: str,
                                               | prev_feats)}}])
     hits_df = marked.select(
         F.element_at(F.split("__file", "/"), -1).alias("base"), "__pos")
+    rel_of_base = {os.path.basename(rel): rel for rel in snap.files}
+    # Small-DML fast path: collect up to cap+1 (file, pos) rows in ONE
+    # job and encode the bitmaps on the driver — no pandas-UDF stage,
+    # no Python worker pool (its spin-up dominates metadata-sized MOR
+    # commits).  `limit` may return an arbitrary subset, but the rows
+    # are only USED when none were truncated (len <= cap), so the
+    # driver always encodes the complete position set or not at all.
+    try:
+        cap = int(spark.conf.get(
+            "spark.dremio.dv.driverEncodeMaxRows", "200000"))
+    except (TypeError, ValueError):
+        cap = 200_000
+    small = None
+    if cap > 0:
+        got = hits_df.limit(cap + 1).collect()
+        if len(got) <= cap:
+            small = got
+    if small is not None:
+        by_base: dict[str, set[int]] = {}
+        for r in small:
+            by_base.setdefault(r["base"], set()).add(int(r["__pos"]))
+        enc_rows = []
+        for base, poss in sorted(by_base.items()):
+            desc = snap.dvs.get(rel_of_base[base])
+            if desc:
+                poss |= set(_dv_positions(table, desc))
+            enc_rows.append({"base": base,
+                             "blob": encode_rbm_array(sorted(poss)),
+                             "card": len(poss)})
+        return _dv_finish_commit(spark, table, snap, enc_rows,
+                                 rel_of_base, operation, post, changes,
+                                 protocol_bump)
     # Distributed bitmap encode: positions group per file on the
     # executors, merge with that file's EXISTING DV (descriptor shipped
     # as JSON, decoded in the task), and come back as one row per hit
@@ -1418,9 +1450,23 @@ def _dv_commit_marked(spark: SparkSession, table: str,
     enc_rows = (hits_df.groupBy("base")
                 .applyInPandas(enc, "base string, blob binary, card long")
                 .collect())
+    return _dv_finish_commit(spark, table, snap, enc_rows, rel_of_base,
+                             operation, post, changes, protocol_bump)
+
+
+def _dv_finish_commit(spark: SparkSession, table: str,
+                      snap: "DeltaSnapshot", enc_rows, rel_of_base,
+                      operation: str, post: DataFrame | None,
+                      changes: DataFrame | None,
+                      protocol_bump: list) -> int:
+    """Write the DV sidecar + log actions for per-file bitmap blobs
+    (from either the driver-side or the distributed encode) and commit."""
+    import struct
+    import uuid
+    import zlib
+
     if not enc_rows and (post is None or post.isEmpty()):
         return snap.version  # nothing matched, nothing to add; no commit
-    rel_of_base = {os.path.basename(rel): rel for rel in snap.files}
     version = snap.version + 1
     blobs = {rel_of_base[r["base"]]: (bytes(r["blob"]), r["card"])
              for r in enc_rows}

@@ -1057,6 +1057,37 @@ def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
     assert read_delta(spark, t).count() == 86
 
 
+def test_delta_dv_distributed_encode_path(spark, tmp_path):
+    """The distributed (applyInPandas) bitmap encode — taken when the
+    marked set exceeds spark.dremio.dv.driverEncodeMaxRows — produces
+    the same DVs as the driver-side fast path: same cardinality, same
+    survivors, existing-DV merge included."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources.delta import (
+        delete_from_delta, read_delta, resolve_snapshot, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t)
+    spark.conf.set("spark.dremio.dv.driverEncodeMaxRows", "0")
+    try:
+        delete_from_delta(spark, t, "k >= 90", mode="merge-on-read")
+        snap = resolve_snapshot(spark, t)
+        assert snap.dvs and sum(
+            d["cardinality"] for d in snap.dvs.values()) == 10
+        # stacking through the distributed path merges existing DVs
+        delete_from_delta(spark, t, "k < 5", mode="merge-on-read")
+        assert sum(d["cardinality"]
+                   for d in resolve_snapshot(spark, t).dvs.values()) == 15
+        cur = read_delta(spark, t)
+        assert cur.count() == 85
+        assert cur.where("k >= 90 or k < 5").count() == 0
+    finally:
+        spark.conf.unset("spark.dremio.dv.driverEncodeMaxRows")
+
+
 def test_delta_dv_survives_checkpoint(spark, tmp_path):
     """DV descriptors ride through parquet checkpoints (add actions are
     re-encoded there) — a post-checkpoint read must still hide the
