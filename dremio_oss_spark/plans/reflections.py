@@ -331,15 +331,29 @@ class Reflection:
         if not set(q.dims) <= set(self.dims):
             return False
         if not set(q.measures) <= set(self.measures):
-            # NDV over a STORED DIM answers from the dim grain even
-            # without a declared sketch measure: an HLL estimate
-            # depends only on the distinct value SET, and the rollup
-            # cells carry exactly the distinct dim values of each query
-            # group — so approx_count_distinct over the materialization
-            # equals the base plan's value bit-for-bit
+            # Measures computable at the DIM GRAIN even without a
+            # declared partial (the reference's normalization matches
+            # aggregates over dimension columns the same way):
+            # - NDV over a stored dim: an HLL estimate depends only on
+            #   the distinct value SET, and the rollup cells carry
+            #   exactly the distinct dim values of each query group —
+            #   bit-identical to the base plan
+            # - MIN/MAX over a stored dim: min over distinct values
+            #   equals min over rows (multiplicity-blind, null cells
+            #   skipped by min/max on both sides) — EXACT, any dtype
+            # - COUNT(dim): the dim is constant within a cell, so
+            #   count(dim) = sum of count(*) over non-null-dim cells —
+            #   needs the count(*) partial (always declared since
+            #   reflections carry an implicit count(*))
+            has_count_all = Measure("count", "*") in self.measures
             missing = set(q.measures) - set(self.measures)
-            if not all(m.kind == "ndv" and m.col in self.dims
-                       for m in missing):
+            for m in missing:
+                if m.col not in self.dims:
+                    return False
+                if m.kind in ("ndv", "min", "max"):
+                    continue
+                if m.kind == "count" and has_count_all:
+                    continue
                 return False
         # filters must reference reflection dims only (pushable post-rollup):
         # any column-looking identifier that is NOT a dim, a measure output,
@@ -1006,17 +1020,22 @@ class ReflectionStore:
         mat = self.scan_materialization(refl, q.filters)
         if not q.measures:  # pure GROUP BY / DISTINCT: dims roll up alone
             return mat.select(*q.dims).distinct(), True
-        rolled = mat.groupBy(*q.dims).agg(
-            *[
-                # ndv: estimate the unioned sketch (or compute from the
-                # stored dim when covers() admitted a dim-grain answer)
-                (F.hll_sketch_estimate(F.hll_union_agg(F.col(m.name)))
-                 .alias(m.name) if m.kind == "ndv"
-                 and m.name in mat.columns else
-                 F.approx_count_distinct(m.column).alias(m.name)
-                 if m.kind == "ndv" else
-                 _ROLLUP[m.kind](F.col(m.name)).alias(m.name))
-                for m in q.measures
-            ]
-        )
-        return rolled, True
+
+        def _roll(m: Measure):
+            if m.name in mat.columns:
+                # ndv: estimate the unioned sketch partials
+                if m.kind == "ndv":
+                    return F.hll_sketch_estimate(
+                        F.hll_union_agg(F.col(m.name))).alias(m.name)
+                return _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+            # no declared partial: covers() admitted a DIM-GRAIN answer
+            # (ndv / min / max / count over a stored dim — see covers())
+            if m.kind == "ndv":
+                return F.approx_count_distinct(m.column).alias(m.name)
+            if m.kind in ("min", "max"):
+                return _ROLLUP[m.kind](m.column).alias(m.name)
+            return F.expr(
+                f"coalesce(sum(case when {m.col} is not null "
+                f"then count_all end), 0)").alias(m.name)
+
+        return mat.groupBy(*q.dims).agg(*[_roll(m) for m in q.measures]), True

@@ -1067,6 +1067,19 @@ class _Extractor:
             (vn, vk), (pn, _pk) = kids
             vn, vk = self._strip_col_cast(vn, vk)
             return f"{col_side(vn, vk)} like {self._render_literal(pn)}"
+        if c == "Between":
+            # RuntimeReplaceable: its single tree child is a With/
+            # CommonExpressionRef expansion, but the node embeds the
+            # original input/lower/upper as self-contained expression
+            # arrays — render `(x >= lo and x <= hi)` from those
+            inn = _expr(node["input"])
+            lo_n, _lk3 = self._strip_cast(*_expr(node["lower"]))
+            up_n, _uk3 = self._strip_cast(*_expr(node["upper"]))
+            if _cls(lo_n) != "Literal" or _cls(up_n) != "Literal":
+                raise _Unsupported("BETWEEN without literal bounds")
+            cs = col_side(*self._strip_col_cast(*inn))
+            return (f"({cs} >= {self._render_literal(lo_n)} and "
+                    f"{cs} <= {self._render_literal(up_n)})")
         raise _Unsupported(f"predicate {c}")
 
     def _edge(self, jt: str, expr_root, right_tables: frozenset,
@@ -1582,19 +1595,29 @@ def match_and_execute(store, ex: ExtractedAgg):
         aggs.append(F.expr(_ae_sql(key_ae)).alias(_ae_name(key_ae)))
 
     def _measure_rollup(m):
-        if m.kind != "ndv":
-            return _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
         if m.name in mat.columns:
-            # declared APPROX COUNT DISTINCT measure: union the HLL
-            # sketch partials, estimate once at the query grain (the
-            # reference's NDV-from-reflection rewrite,
-            # HyperLogLog.java:28)
-            return F.hll_sketch_estimate(
-                F.hll_union_agg(F.col(m.name))).alias(m.name)
-        # ndv over a STORED DIM (covers() admitted it): HLL++ over the
-        # rollup cells sees the same distinct set as the base plan at
-        # the same default rsd — bit-identical estimate
-        return F.approx_count_distinct(m.column).alias(m.name)
+            if m.kind == "ndv":
+                # declared APPROX COUNT DISTINCT measure: union the HLL
+                # sketch partials, estimate once at the query grain
+                # (the reference's NDV-from-reflection rewrite,
+                # HyperLogLog.java:28)
+                return F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col(m.name))).alias(m.name)
+            return _ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+        # no declared partial: covers() admitted a DIM-GRAIN answer —
+        # ndv (same distinct set, same default rsd -> bit-identical
+        # HLL++ estimate), min/max (multiplicity-blind, null cells
+        # skipped on both sides), count(dim) (dim constant per cell ->
+        # sum of count(*) over non-null-dim cells; 0 when no cells)
+        if m.kind == "ndv":
+            return F.approx_count_distinct(m.column).alias(m.name)
+        if m.kind in ("min", "max"):
+            return _ROLLUP[m.kind](m.column).alias(m.name)
+        if m.kind == "count":
+            return F.expr(
+                f"coalesce(sum(case when {m.col} is not null "
+                f"then count_all end), 0)").alias(m.name)
+        raise _Unsupported(f"no partial for measure {m.kind}({m.col})")
 
     aggs += [_measure_rollup(m) for m in ex.measures]
     if ex.grouping_sets is not None:

@@ -2317,3 +2317,98 @@ def test_external_reflection_respects_policies(spark):
     finally:
         eng.sql("alter table nation drop row access policy only_zero")
         eng._default_refl_store().drop("xpol")
+
+
+def test_null_dim_substitution_battery(spark, tmp_path):
+    """Adversarial soundness battery on a NULL-BEARING base table (the
+    TPC-H fixtures have no NULLs): every accelerated answer must equal
+    the unaccelerated plan across the round-7/8 substitution surface —
+    OR/NOT/LIKE/BETWEEN predicates, conditional aggregates, expression
+    dims, grouping sets, HAVING, and the dim-grain measures (min/max/
+    count/ndv over a stored dim, no declared partial needed)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    rows, i = [], 0
+    for a in ["x", "y", None]:
+        for b in ["p", "q", None]:
+            for v in [1, 2, None, 5]:
+                for d in ["2021-03-05", "2022-11-30", None]:
+                    rows.append((i, a, b, v, d))
+                    i += 1
+    df = (spark.createDataFrame(
+        rows, "id long, a string, b string, v int, d string")
+        .withColumn("d", F.col("d").cast("date")))
+    p = str(tmp_path / "nulltab")
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("nulltab_t")
+
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE nulltab_t CREATE AGGREGATE REFLECTION r_nullb "
+            "USING DIMENSIONS (a, b, d) "
+            "MEASURES (v (SUM, COUNT, MIN, MAX))")
+    try:
+        accelerated_cases = [
+            "select a, count(*) n, sum(v) s from nulltab_t "
+            "where a = 'x' or not (b = 'p') group by a",
+            "select a, sum(v) s from nulltab_t where b not like 'q%' "
+            "group by a",
+            "select a, count(v) c from nulltab_t where b is null "
+            "group by a",
+            "select a, sum(case when b = 'p' then v when b = 'q' "
+            "then v else 0 end) s, count(case when b = 'p' then v end) "
+            "c from nulltab_t group by a",
+            "select a, sum(case when b is null then v else 0 end) s "
+            "from nulltab_t group by a",
+            "select a, avg(year(d)) ay from nulltab_t group by a",
+            "select a, b, sum(v) s, count(*) n from nulltab_t "
+            "group by rollup(a, b)",
+            "select b, count(v) c from nulltab_t group by b "
+            "having count(*) > 10",
+            # dim-grain measures: no declared partial for b/d
+            "select a, min(b) mn, max(b) mx from nulltab_t group by a",
+            "select a, min(d) mn, max(d) mx from nulltab_t group by a",
+            "select a, count(b) cb, count(d) cd, count(*) n "
+            "from nulltab_t group by a",
+            "select b, count(d) cd from nulltab_t where a = 'nope' "
+            "group by b",
+            # BETWEEN (RuntimeReplaceable node), incl. NOT and inside
+            # conditional-agg predicates and over expression dims
+            "select a, sum(v) s from nulltab_t where d between "
+            "date '2021-01-01' and date '2021-12-31' group by a",
+            "select a, sum(v) s from nulltab_t where d not between "
+            "date '2021-01-01' and date '2021-12-31' group by a",
+            "select a, sum(v) s from nulltab_t where year(d) between "
+            "2021 and 2022 group by a",
+            "select a, sum(case when d between date '2021-01-01' and "
+            "date '2021-12-31' then v else 0 end) s from nulltab_t "
+            "group by a",
+        ]
+        fallthrough_cases = [
+            # sound refusals must still answer correctly from the base
+            "select a, sum(v) s from nulltab_t where a <=> 'x' "
+            "group by a",
+            "select a, avg(distinct v) ad from nulltab_t group by a",
+            "select case when a = 'x' then 'X' else 'other' end k, "
+            "sum(v) s from nulltab_t group by 1",
+        ]
+
+        def norm(got):
+            return sorted(
+                [tuple(round(x, 9) if isinstance(x, float) else x
+                       for x in r) for r in got],
+                key=lambda t: tuple((z is None, str(z)) for z in t))
+
+        for q in accelerated_cases:
+            got = eng.sql(q)
+            assert eng.last_plan_accelerated == "r_nullb", \
+                f"expected acceleration: {q}"
+            assert norm(got.collect()) == norm(spark.sql(q).collect()), q
+        for q in fallthrough_cases:
+            got = eng.sql(q)
+            assert eng.last_plan_accelerated is None, \
+                f"expected fall-through: {q}"
+            assert norm(got.collect()) == norm(spark.sql(q).collect()), q
+    finally:
+        eng._default_refl_store().drop("r_nullb")
