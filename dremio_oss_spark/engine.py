@@ -1652,24 +1652,58 @@ class Engine:
             return self._status("ROLLBACK", out)
 
         m = re.match(r"\s*optimize\s+table\s+'([^']+)'"
-                     r"(?:\s+for\s+partitions\s+(.+?))?"
-                     r"(?:\s+zorder\s+by\s*\(([^)]+)\))?\s*$", query, re.I)
+                     r"\s+rewrite\s+manifests\s*$", query, re.I)
         if m:
-            path, where, zcols = m.group(1), m.group(2), m.group(3)
+            # metadata-only arm (parserImpls.ftl OPTIMIZE REWRITE
+            # MANIFESTS): Iceberg re-consolidates manifests; Delta's
+            # analog is materializing a checkpoint
+            path = m.group(1)
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
+            out = (D.rewrite_manifests_delta(self.spark, path)
+                   if fmt == "delta"
+                   else I.rewrite_manifests_iceberg(path))
+            return self._status("OPTIMIZE REWRITE MANIFESTS", out)
+
+        m = re.match(r"\s*optimize\s+table\s+'([^']+)'"
+                     r"(?:\s+rewrite\s+data\s+using\s+bin_pack)?"
+                     r"(?:\s+for\s+partitions\s+(.+?))?"
+                     r"(?:\s+zorder\s+by\s*\(([^)]+)\))?"
+                     r"(?:\s*\(([^)]*=[^)]*)\))?\s*$", query, re.I)
+        if m:
+            path, where, zcols, opts = (m.group(1), m.group(2),
+                                        m.group(3), m.group(4))
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            options = None
+            if opts:
+                # MIN_INPUT_FILES=5, TARGET_FILE_SIZE_MB=256, ... —
+                # ParseOptimizeOptions' four names, validated
+                options = {}
+                for item in opts.split(","):
+                    k, _, v = item.partition("=")
+                    k = k.strip().lower()
+                    if k not in ("min_input_files",
+                                 "target_file_size_mb",
+                                 "min_file_size_mb",
+                                 "max_file_size_mb"):
+                        raise ValueError(f"unknown OPTIMIZE option {k!r}")
+                    options[k] = float(v.strip())
             if zcols:
                 if fmt != "delta":
                     raise ValueError(
                         "ZORDER BY is implemented for Delta tables")
                 out = D.optimize_delta(
                     self.spark, path, where=where,
-                    zorder_by=[c.strip() for c in zcols.split(",")])
+                    zorder_by=[c.strip() for c in zcols.split(",")],
+                    options=options)
                 return self._status("OPTIMIZE ZORDER", out)
             fn = D.optimize_delta if fmt == "delta" else I.optimize_iceberg
             return self._status("OPTIMIZE", fn(self.spark, path,
-                                               where=where))
+                                               where=where,
+                                               options=options))
 
         m = re.match(r"\s*vacuum\s+table\s+'([^']+)'\s*$", query, re.I)
         if m:

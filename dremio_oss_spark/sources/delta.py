@@ -1769,19 +1769,53 @@ def _zorder_rewrite(zorder_by: list[str], n_files: int, bits: int = 16):
     return rw
 
 
+def _binpack_select(table: str, hit_rel: list[str],
+                    options: dict) -> tuple[list[str], int] | None:
+    """Bin-pack candidate selection per the reference's OPTIMIZE
+    options (`parserImpls.ftl` ParseOptimizeOptions,
+    OptimizeHandler.java): files smaller than MIN_FILE_SIZE_MB or
+    larger than MAX_FILE_SIZE_MB qualify; fewer than MIN_INPUT_FILES
+    qualifying files → no-op (None).  Returns (candidates, n_output)
+    with n_output sized so rewritten files land near
+    TARGET_FILE_SIZE_MB.  Sizes come from the snapshot's file listing
+    (driver-side getsize — file-count bounded, the same metadata the
+    commit already walks)."""
+    import math
+
+    tgt_mb = float(options.get("target_file_size_mb", 256))
+    mn = float(options.get("min_file_size_mb", 0.75 * tgt_mb)) * 2**20
+    mx = float(options.get("max_file_size_mb", 1.8 * tgt_mb)) * 2**20
+    min_in = int(options.get("min_input_files", 5))
+    sizes = {rel: os.path.getsize(os.path.join(table, rel))
+             for rel in hit_rel}
+    cand = [rel for rel in hit_rel
+            if sizes[rel] < mn or sizes[rel] > mx]
+    if len(cand) < max(1, min_in):
+        return None
+    n_out = max(1, math.ceil(sum(sizes[r] for r in cand)
+                             / (tgt_mb * 2**20)))
+    return cand, n_out
+
+
 def optimize_delta(spark: SparkSession, table: str,
                    where: str | None = None,
                    zorder_by: list[str] | None = None,
-                   zorder_files: int = 8) -> int:
-    """OPTIMIZE <delta table> [FOR PARTITIONS <pred>] [ZORDER BY cols]:
+                   zorder_files: int = 8,
+                   options: dict | None = None) -> int:
+    """OPTIMIZE <delta table> [REWRITE DATA USING BIN_PACK]
+    [FOR PARTITIONS <pred>] [ZORDER BY cols] [(options)]:
     bin-pack live files (dataChange=false — readers of this version see
     identical rows, streams don't reprocess).  With `where`, only files
     containing matching rows compact (their deletion vectors fold in;
     untouched files keep theirs).  With `zorder_by`, rewritten rows
     cluster along a Z-curve so min/max file skipping works on every
-    listed column.  Reference: dremio-oss OPTIMIZE TABLE
-    (`parserImpls.ftl` OPTIMIZE, `OptimizeHandler.java`); Z-curve layout
-    follows the public Delta OPTIMIZE ZORDER design."""
+    listed column.  With `options` (the reference's MIN_INPUT_FILES /
+    TARGET_FILE_SIZE_MB / MIN_FILE_SIZE_MB / MAX_FILE_SIZE_MB,
+    ParseOptimizeOptions), only out-of-band-sized files rewrite, into
+    outputs near the target size; fewer than MIN_INPUT_FILES qualifying
+    files is a no-op commit-free return.  Reference: dremio-oss
+    OPTIMIZE TABLE (`parserImpls.ftl` OPTIMIZE, `OptimizeHandler.java`);
+    Z-curve layout follows the public Delta OPTIMIZE ZORDER design."""
     snap = resolve_snapshot(spark, table)
     if where is None:
         hit_rel = sorted(snap.files)
@@ -1790,9 +1824,28 @@ def optimize_delta(spark: SparkSession, table: str,
         hit_rel = _mark_hit_files(table, live.where(where))
     rewrite = (_zorder_rewrite(zorder_by, zorder_files)
                if zorder_by else (lambda hits: hits))
+    if options:
+        got = _binpack_select(table, hit_rel, options)
+        if got is None:
+            return snap.version  # below MIN_INPUT_FILES: no-op
+        hit_rel, n_out = got
+        if not zorder_by:
+            rewrite = lambda hits: hits.repartition(n_out)  # noqa: E731
     return _cow_commit(
         spark, table, "OPTIMIZE", hit_rel, rewrite, None,
         data_change=False)
+
+
+def rewrite_manifests_delta(spark: SparkSession, table: str) -> int:
+    """OPTIMIZE TABLE ... REWRITE MANIFESTS on a Delta table: metadata
+    compaction without touching data — materialize a CHECKPOINT of the
+    current version (the Delta analog of Iceberg manifest rewriting:
+    readers resolve state from one parquet checkpoint instead of
+    replaying the JSON commit chain).  Returns the checkpointed
+    version."""
+    snap = resolve_snapshot(spark, table)
+    checkpoint_delta(spark, table, snap.version)
+    return snap.version
 
 
 def vacuum_delta(spark: SparkSession, table: str,

@@ -1804,26 +1804,72 @@ def _mor_merge_iceberg(spark: SparkSession, table: str,
 
 
 def optimize_iceberg(spark: SparkSession, table: str,
-                     where: str | None = None) -> int:
-    """OPTIMIZE TABLE [FOR PARTITIONS <pred>] — bin-pack data files into
+                     where: str | None = None,
+                     options: dict | None = None) -> int:
+    """OPTIMIZE TABLE [REWRITE DATA USING BIN_PACK]
+    [FOR PARTITIONS <pred>] [(options)] — bin-pack data files into
     one per partition (`replace` snapshot: same rows, fewer files).
     With `where`, only files containing matching rows compact
     (partition-scoped maintenance: the 100 TB pattern is compacting the
     hot recent partitions without touching cold history); delete files
-    are carried for the untouched remainder.  Reference: dremio-oss
-    OPTIMIZE TABLE (`OptimizeHandler.java`, `parserImpls.ftl` OPTIMIZE
-    with FOR PARTITIONS)."""
+    are carried for the untouched remainder.  With `options` (the
+    reference's MIN_INPUT_FILES / TARGET_FILE_SIZE_MB /
+    MIN_FILE_SIZE_MB / MAX_FILE_SIZE_MB, ParseOptimizeOptions), only
+    out-of-band-sized files rewrite, into outputs near the target size;
+    below MIN_INPUT_FILES is a commit-free no-op.  Reference:
+    dremio-oss OPTIMIZE TABLE (`OptimizeHandler.java`,
+    `parserImpls.ftl` OPTIMIZE with FOR PARTITIONS)."""
+    from .delta import _binpack_select
+
     snap = resolve_snapshot(table)
     if where is None:
         hit_abs = {os.path.realpath(p) for p, _ in snap.files}
-        return _cow_commit_iceberg(
-            spark, table, "replace", hit_abs, lambda hits: hits)
-    live = _live_iceberg_with_file(spark, table)
-    hit_abs = {r[0] for r in
-               live.where(where).select("__file").distinct().collect()}
-    # not "replace": delete files must survive for the untouched files
-    return _cow_commit_iceberg(
-        spark, table, "replace-partial", hit_abs, lambda hits: hits)
+        operation = "replace"
+    else:
+        live = _live_iceberg_with_file(spark, table)
+        hit_abs = {r[0] for r in
+                   live.where(where).select("__file").distinct()
+                   .collect()}
+        # not "replace": deletes must survive for the untouched files
+        operation = "replace-partial"
+    rewrite = lambda hits: hits  # noqa: E731
+    if options:
+        got = _binpack_select(
+            table, [os.path.relpath(p, table) for p in hit_abs],
+            options)
+        if got is None:
+            return snap.snapshot_id  # below MIN_INPUT_FILES: no-op
+        cand, n_out = got
+        hit_abs = {os.path.realpath(os.path.join(table, rel))
+                   for rel in cand}
+        if hit_abs != {os.path.realpath(p) for p, _ in snap.files}:
+            operation = "replace-partial"  # subset: carry deletes
+        rewrite = lambda hits: hits.repartition(n_out)  # noqa: E731
+    return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite)
+
+
+def rewrite_manifests_iceberg(table: str) -> int:
+    """OPTIMIZE TABLE ... REWRITE MANIFESTS: metadata-only snapshot
+    whose fresh manifest + manifest list cover the unchanged live set —
+    no data file moves (the reference's rewrite-manifests action,
+    OptimizeHandler.java REWRITE MANIFESTS arm).  This engine already
+    writes one consolidated manifest per commit, so the rewrite is a
+    re-consolidation: it exists for surface parity and for tables whose
+    metadata was produced elsewhere."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    snap = resolve_snapshot(table)
+    live = [(os.path.relpath(p, table), pv) for p, pv in snap.files]
+    part_names = [pf["source"] if pf["transform"] == "identity"
+                  else pf["name"] for pf in snap.spec_fields]
+    stats = {os.path.relpath(p, table): st
+             for p, st in snap.stats.items()}
+    carried = ([(os.path.relpath(p, table), cols,
+                 snap.delete_seq.get(p)) for p, cols in snap.deletes]
+               + [(os.path.relpath(p, table), None, None)
+                  for p in snap.pos_deletes])
+    return _commit_snapshot(table, meta, "rewrite-manifests", live, [],
+                            part_names, stats, carried, added=set())
 
 
 def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:

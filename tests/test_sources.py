@@ -2567,3 +2567,80 @@ def test_copy_into_continue_consumes_all_corrupt_file(spark, tmp_path):
     assert read_copy_errors(spark, tgt).count() == 3
     assert sorted(r["a"] for r in read_table(spark, tgt).collect()) \
         == [1, 2]
+
+
+def test_optimize_binpack_options_and_rewrite_manifests(spark, tmp_path):
+    """The reference's OPTIMIZE surface beyond plain bin-pack
+    (parserImpls.ftl OPTIMIZE): REWRITE MANIFESTS (metadata-only) and
+    REWRITE DATA USING BIN_PACK with MIN_INPUT_FILES /
+    TARGET_FILE_SIZE_MB / MIN_FILE_SIZE_MB / MAX_FILE_SIZE_MB — small
+    files compact, in-band files stay, below MIN_INPUT_FILES is a
+    commit-free no-op; rows identical throughout on BOTH formats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                resolve_snapshot,
+                                                write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        read_iceberg, resolve_snapshot as rs_i, write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  (F.col("id") % 7).alias("v"))
+
+    td = str(tmp_path / "d")
+    # 8 small files -> all under min_file_size, all candidates
+    write_delta(spark, df.repartition(8), td)
+    v0 = resolve_snapshot(spark, td).version
+    # below MIN_INPUT_FILES: no-op, NO new commit
+    eng.sql(f"optimize table '{td}' rewrite data using bin_pack "
+            f"(min_input_files=50, target_file_size_mb=256)")
+    assert resolve_snapshot(spark, td).version == v0
+    # qualifying: 8 small files compact into ~1
+    eng.sql(f"optimize table '{td}' rewrite data using bin_pack "
+            f"(min_input_files=5, target_file_size_mb=256)")
+    snap = resolve_snapshot(spark, td)
+    assert snap.version == v0 + 1
+    assert len(snap.files) < 8
+    assert read_delta(spark, td).count() == 1000
+    assert (read_delta(spark, td).agg(F.sum("k")).collect()[0][0]
+            == 1000 * 999 // 2)
+    # REWRITE MANIFESTS on delta: a checkpoint materializes, no new
+    # version, rows unchanged
+    eng.sql(f"optimize table '{td}' rewrite manifests")
+    v = resolve_snapshot(spark, td).version
+    assert v == snap.version
+    assert os.path.exists(os.path.join(
+        td, "_delta_log", f"{v:020d}.checkpoint.parquet"))
+    assert read_delta(spark, td).count() == 1000
+
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df.repartition(6), ti)
+    sid0 = rs_i(ti).snapshot_id
+    eng.sql(f"optimize table '{ti}' rewrite data using bin_pack "
+            f"(min_input_files=50)")
+    assert rs_i(ti).snapshot_id == sid0  # no-op below MIN_INPUT_FILES
+    eng.sql(f"optimize table '{ti}' rewrite data using bin_pack "
+            f"(min_input_files=3, target_file_size_mb=128)")
+    snap_i = rs_i(ti)
+    assert snap_i.snapshot_id != sid0
+    assert len(snap_i.files) < 6
+    assert read_iceberg(spark, ti).count() == 1000
+    # REWRITE MANIFESTS on iceberg: metadata-only snapshot, same rows,
+    # same data files
+    files_before = {os.path.basename(p) for p, _ in snap_i.files}
+    eng.sql(f"optimize table '{ti}' rewrite manifests")
+    snap_i2 = rs_i(ti)
+    assert snap_i2.snapshot_id == snap_i.snapshot_id + 1
+    assert {os.path.basename(p) for p, _ in snap_i2.files} \
+        == files_before
+    assert read_iceberg(spark, ti).count() == 1000
+    # unknown option name refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OPTIMIZE option"):
+        eng.sql(f"optimize table '{ti}' rewrite data using bin_pack "
+                f"(bogus_knob=1)")
