@@ -1639,6 +1639,18 @@ class Engine:
                             insert_not_matched=insert_nm,
                             update_matched=sets is not None))
 
+        m = re.match(r"\s*truncate\s+(?:table\s+)?'([^']+)'\s*$",
+                     query, re.I)
+        if m:
+            # SqlTruncateTable: metadata-only delete-all commit
+            path = m.group(1)
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.truncate_delta(self.spark, path)
+                   if fmt == "delta" else I.truncate_iceberg(path))
+            return self._status("TRUNCATE TABLE", out)
+
         m = re.match(
             r"\s*rollback\s+table\s+'([^']+)'\s+to\s+snapshot\s+"
             r"'?(\d+)'?\s*$", query, re.I)
@@ -2078,16 +2090,18 @@ class Engine:
             return self._status("ALTER PIPE", f"{p.name} {p.status}")
         m = re.match(
             r"\s*alter\s+pipe\s+(\w+)\s+as\s+copy\s+into\s+'([^']+)'"
-            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?\s*$",
+            r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?"
+            r"(?:\s+on_error\s+'(\w+)')?\s*$",
             query, re.I)
         if m:
-            name, target, glob_, fmt = m.groups()
+            name, target, glob_, fmt, onerr = m.groups()
             reg = self._pipes()
             if name not in reg._pipes:
                 raise ValueError(f"no pipe {name!r}")
             status = reg._pipes[name].status
             reg.create_pipe(name, target, glob_,
-                            fmt=(fmt or "parquet").lower())
+                            fmt=(fmt or "parquet").lower(),
+                            on_error=(onerr or "abort").lower())
             reg._pipes[name].status = status  # redefinition keeps state
             return self._status("ALTER PIPE", name)
         # ALTER USER <name> SET PASSWORD '<pw>' (SqlAlterUser): store a
@@ -2916,6 +2930,7 @@ class Engine:
             m = re.match(
                 r"\s*(?:create\s+table|insert\s+into|delete\s+from|"
                 r"update|merge\s+into|rollback\s+table|copy\s+into|"
+                r"truncate|"
                 r"alter\s+table)"  # schema changes invalidate too
                 r"[^']*'([^']+)'", query, re.I | re.S)
             if m:
@@ -2989,7 +3004,7 @@ class Engine:
         # fallback explain() runs self.sql(), which applies DML/DDL for
         # real (a review finding: EXPLAIN PLAN FOR INSERT inserted)
         m = re.match(
-            r"\s*(insert\s+into|create\s+table|copy\s+into|"
+            r"\s*(insert\s+into|create\s+table|copy\s+into|truncate|"
             r"rollback\s+table|optimize\s+table|vacuum)\b"
             r"[^']*'([^']+)'(.*)$", stmt, re.I | re.S)
         if m:
@@ -3003,7 +3018,7 @@ class Engine:
                              self.explain(sel.group(1))[:4000]))
             return self.spark.createDataFrame(
                 rows, "aspect string, detail string")
-        if re.match(r"\s*(insert|create|drop|alter|merge|delete|update|"
+        if re.match(r"\s*(insert|create|drop|alter|merge|delete|update|truncate|"
                     r"copy|rollback|optimize|vacuum|grant|revoke)\b",
                     stmt, re.I):
             return self.spark.createDataFrame(

@@ -1836,6 +1836,31 @@ def optimize_delta(spark: SparkSession, table: str,
         data_change=False)
 
 
+def truncate_delta(spark: SparkSession, table: str) -> int:
+    """TRUNCATE TABLE (reference SqlTruncateTable,
+    `TruncateTableHandler.java`): remove every live row in one commit.
+    Metadata-only — the commit lists a `remove` per live file, no scan,
+    no rewrite (time travel to prior versions still works; VACUUM
+    reclaims the files later).  On a CDF-enabled table the change rows
+    must be staged, so it routes through the scan-based DELETE
+    instead."""
+    snap = resolve_snapshot(spark, table)
+    if _cdf_enabled(snap):
+        return delete_from_delta(spark, table, "true",
+                                 mode="copy-on-write")
+    if not snap.files:
+        return snap.version  # already empty: no-op
+    version = snap.version + 1
+    actions = [{"commitInfo": {"operation": "TRUNCATE",
+                               "timestamp": _commit_ts()}}]
+    actions += [{"remove": {"path": rel, "deletionTimestamp": version,
+                            "dataChange": True}}
+                for rel in sorted(snap.files)]
+    version = _commit_with_cdc_cleanup(table, version, actions)
+    _maybe_checkpoint(spark, table, version)
+    return version
+
+
 def rewrite_manifests_delta(spark: SparkSession, table: str) -> int:
     """OPTIMIZE TABLE ... REWRITE MANIFESTS on a Delta table: metadata
     compaction without touching data — materialize a CHECKPOINT of the

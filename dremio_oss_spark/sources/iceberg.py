@@ -1848,6 +1848,24 @@ def optimize_iceberg(spark: SparkSession, table: str,
     return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite)
 
 
+def truncate_iceberg(table: str) -> int:
+    """TRUNCATE TABLE (reference SqlTruncateTable,
+    `TruncateTableHandler.java`): one metadata-only `delete` snapshot
+    with an EMPTY live set — every data file tombstones, every
+    merge-on-read delete file drops (nothing left to apply to).  No
+    scan, no rewrite; prior snapshots stay time-travelable."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    snap = resolve_snapshot(table)
+    if not snap.files and not snap.deletes and not snap.pos_deletes:
+        return snap.snapshot_id  # already empty: no-op
+    removed = [(os.path.relpath(p, table), pv) for p, pv in snap.files]
+    part_names = [pf["source"] if pf["transform"] == "identity"
+                  else pf["name"] for pf in snap.spec_fields]
+    return _commit_snapshot(table, meta, "delete", [], removed,
+                            part_names, {}, [], added=set())
+
+
 def rewrite_manifests_iceberg(table: str) -> int:
     """OPTIMIZE TABLE ... REWRITE MANIFESTS: metadata-only snapshot
     whose fresh manifest + manifest list cover the unchanged live set —

@@ -2644,3 +2644,63 @@ def test_optimize_binpack_options_and_rewrite_manifests(spark, tmp_path):
     with _pytest.raises(ValueError, match="OPTIMIZE option"):
         eng.sql(f"optimize table '{ti}' rewrite data using bin_pack "
                 f"(bogus_knob=1)")
+
+
+def test_truncate_table_both_formats(spark, tmp_path):
+    """TRUNCATE TABLE (SqlTruncateTable, TruncateTableHandler.java):
+    metadata-only delete-all commit on both formats — zero rows after,
+    prior versions still time-travelable, re-insert works, EXPLAIN is a
+    dry-run, and a CDF-enabled Delta table routes through the scan
+    path so change rows exist."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta, read_delta_cdf,
+                                                resolve_snapshot,
+                                                write_delta)
+    from dremio_oss_spark.sources.iceberg import (
+        delete_from_iceberg, read_iceberg,
+        resolve_snapshot as rs_i, write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") % 3).alias("v"))
+
+    td = str(tmp_path / "d")
+    write_delta(spark, df, td)
+    # EXPLAIN is a dry-run: nothing committed
+    eng.sql(f"explain plan for truncate table '{td}'")
+    assert read_delta(spark, td).count() == 50
+    eng.sql(f"truncate table '{td}'")
+    assert read_delta(spark, td).count() == 0
+    assert read_delta(spark, td, version=0).count() == 50  # time travel
+    write_delta(spark, df.where("k < 7"), td, mode="append")
+    assert read_delta(spark, td).count() == 7
+    # idempotent on an empty table: no new version
+    eng.sql(f"truncate table '{td}'")
+    v = resolve_snapshot(spark, td).version
+    eng.sql(f"truncate table '{td}'")
+    assert resolve_snapshot(spark, td).version == v
+
+    # CDF-enabled table: truncate stages delete change rows
+    tc = str(tmp_path / "dc")
+    write_delta(spark, df, tc, enable_cdf=True)
+    eng.sql(f"truncate table '{tc}'")
+    assert read_delta(spark, tc).count() == 0
+    ch = read_delta_cdf(spark, tc, 1)
+    assert ch.where("_change_type = 'delete'").count() == 50
+
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df, ti,
+                  properties={"write.update.mode": "merge-on-read"})
+    # leave a MOR delete file in play: truncate must drop it too
+    delete_from_iceberg(spark, ti, "k = 1", mode="merge-on-read")
+    assert read_iceberg(spark, ti).count() == 49
+    sid_pre = rs_i(ti).snapshot_id
+    eng.sql(f"truncate table '{ti}'")
+    snap = rs_i(ti)
+    assert read_iceberg(spark, ti).count() == 0
+    assert not snap.files and not snap.deletes and not snap.pos_deletes
+    assert read_iceberg(spark, ti, snapshot_id=sid_pre).count() == 49
+    write_iceberg(spark, df.where("k < 5"), ti, mode="append")
+    assert read_iceberg(spark, ti).count() == 5
