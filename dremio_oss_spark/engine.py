@@ -1646,6 +1646,11 @@ class Engine:
             path = m.group(1)
             fmt = self._lake_format(path)
             if fmt is None:
+                # snapshot-store tables keep their library semantics
+                from .sources import dml
+                if dml.current_snapshot(path) is not None:
+                    dml.truncate(self.spark, path)
+                    return self._status("TRUNCATE TABLE", path)
                 return None
             out = (D.truncate_delta(self.spark, path)
                    if fmt == "delta" else I.truncate_iceberg(path))

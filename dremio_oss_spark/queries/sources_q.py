@@ -1210,7 +1210,70 @@ order by fmt
 """
 
 
+def maintenance_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-maintenance surface end-to-end on BOTH formats via engine
+    SQL: bin-pack OPTIMIZE with the reference's size options
+    (ParseOptimizeOptions — small files compact toward the target, a
+    below-MIN_INPUT_FILES run is a commit-free no-op), REWRITE
+    MANIFESTS (metadata-only), then TRUNCATE (metadata-only delete-all,
+    SqlTruncateTable) and a re-insert.  Every phase's row count is
+    asserted in-query; the final state must match a closed-form oracle
+    over nation."""
+    from ..engine import Engine
+    from ..sources.delta import read_delta, resolve_snapshot as rs_d
+    from ..sources.delta import write_delta
+    from ..sources.iceberg import read_iceberg, write_iceberg
+    from .tpch import dsum
+
+    eng = Engine(spark)
+    base = _scratch("maint", sf)
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+
+    results = []
+    for fmt in ("delta", "iceberg"):
+        t = os.path.join(base, fmt)
+        write = write_delta if fmt == "delta" else write_iceberg
+        read = read_delta if fmt == "delta" else read_iceberg
+        write(spark, nat.repartition(6), t)
+        # below MIN_INPUT_FILES: commit-free no-op
+        eng.sql(f"optimize table '{t}' rewrite data using bin_pack "
+                f"(min_input_files=50)")
+        # qualifying: 6 small files bin-pack toward the target size
+        eng.sql(f"optimize table '{t}' rewrite data using bin_pack "
+                f"(min_input_files=3, target_file_size_mb=64)")
+        assert read(spark, t).count() == nat.count(), \
+            f"{fmt}: OPTIMIZE changed row count"
+        eng.sql(f"optimize table '{t}' rewrite manifests")
+        eng.sql(f"truncate table '{t}'")
+        assert read(spark, t).count() == 0, f"{fmt}: TRUNCATE left rows"
+        write(spark, nat.where("n_regionkey <> 2"), t, mode="append")
+        results.append(
+            read(spark, t).groupBy()
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 dsum(F.col("n_regionkey").cast("double"), 2)
+                 .alias("region_sum"))
+            .withColumn("fmt", F.lit(fmt)))
+    return results[0].unionByName(results[1]).orderBy("fmt")
+
+
+MAINTENANCE_SQL = """
+with kept as (
+  select n_regionkey from nation where n_regionkey <> 2
+), one as (
+  select cast(count(*) as bigint) as n_rows,
+         cast(sum(cast(cast(n_regionkey as double) as decimal(18,2)))
+              as double) as region_sum
+  from kept
+)
+select n_rows, region_sum, 'delta' as fmt from one
+union all
+select n_rows, region_sum, 'iceberg' as fmt from one
+order by fmt
+"""
+
+
 SOURCES_QUERIES = {
+    "src_maintenance": maintenance_lifecycle,
     "src_count_metadata": count_metadata,
     "src_use_branch": use_branch,
     "src_delta_dv": delta_dv,
@@ -1237,6 +1300,7 @@ SOURCES_QUERIES = {
 }
 
 SOURCES_ORACLE = {
+    "src_maintenance": MAINTENANCE_SQL,
     "src_count_metadata": COUNT_METADATA_SQL,
     "src_use_branch": USE_BRANCH_SQL,
     "src_delta_dv": DELTA_DV_SQL,
