@@ -2899,6 +2899,19 @@ class Engine:
             sid = merge_iceberg_branch(path, m.group(5), m.group(6))
             return self._status("MERGE BRANCH",
                                 f"{m.group(5)} -> {m.group(6)} @ {sid}")
+        # ALTER BRANCH/TAG <name> ASSIGN (BRANCH|TAG|REF|SNAPSHOT) <to>
+        # IN '<path>' (SqlAssignBranch/SqlAssignTag, versionSupport.ftl)
+        m = re.match(
+            r"\s*alter\s+(?:branch|tag)\s+(\w+)\s+assign\s+"
+            r"(branch|tag|ref|snapshot)\s+'?(\w+)'?\s+in\s+'([^']+)'\s*$",
+            query, re.I)
+        if m and self._lake_format(m.group(4)) == "iceberg":
+            from .sources.iceberg import assign_iceberg_ref
+
+            sid = assign_iceberg_ref(m.group(4), m.group(1),
+                                     m.group(2).lower(), m.group(3))
+            return self._status(
+                "ASSIGN REF", f"{m.group(1)} -> {m.group(3)} @ {sid}")
         # EXPLAIN PLAN FOR <query or DML> (parserImpls.ftl:1726
         # SqlExplainQueryDML): dry-run — for lake DML, describe the
         # planned action and the scan that would find the hit rows,

@@ -1040,6 +1040,40 @@ def create_iceberg_ref(table: str, name: str, kind: str = "branch",
     return sid
 
 
+def assign_iceberg_ref(table: str, name: str, to_kind: str,
+                       to_value: str) -> int:
+    """ALTER BRANCH/TAG <name> ASSIGN (BRANCH|TAG|REF|SNAPSHOT) <to>
+    (reference SqlAssignBranch/SqlAssignTag, versionSupport.ftl):
+    repoint an existing ref at another ref's commit or an explicit
+    snapshot id.  A reassigned BRANCH also resets its fork base — the
+    reassignment is a new lineage start, so a later MERGE BRANCH
+    fast-forward check measures from here."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise FileNotFoundError(f"no ref {name!r} in {table}")
+    if to_kind == "snapshot":
+        sid = int(to_value)
+        if not any(s["snapshot-id"] == sid
+                   for s in meta.get("snapshots") or []):
+            raise FileNotFoundError(f"no snapshot {sid} in {table}")
+    else:  # branch / tag / ref: resolve the target ref's commit
+        target = refs.get(to_value)
+        if to_value == "main" and target is None:
+            sid = meta["current-snapshot-id"]
+        elif target is None:
+            raise FileNotFoundError(f"no ref {to_value!r} in {table}")
+        else:
+            sid = int(target["snapshot-id"])
+    refs[name]["snapshot-id"] = sid
+    if refs[name].get("type") == "branch":
+        refs[name]["base-snapshot"] = sid
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return sid
+
+
 def drop_iceberg_ref(table: str, name: str) -> None:
     with open(_metadata_file(table)) as f:
         meta = json.load(f)

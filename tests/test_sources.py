@@ -2704,3 +2704,39 @@ def test_truncate_table_both_formats(spark, tmp_path):
     assert read_iceberg(spark, ti, snapshot_id=sid_pre).count() == 49
     write_iceberg(spark, df.where("k < 5"), ti, mode="append")
     assert read_iceberg(spark, ti).count() == 5
+
+
+def test_assign_branch_and_tag(spark, tmp_path):
+    """ALTER BRANCH/TAG ... ASSIGN (SqlAssignBranch/SqlAssignTag,
+    versionSupport.ftl): repoint a ref at another ref's commit or an
+    explicit snapshot; a reassigned branch resets its fork base so
+    MERGE BRANCH fast-forward measures from the new lineage start."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.iceberg import (read_iceberg,
+                                                  resolve_snapshot,
+                                                  write_iceberg)
+
+    eng = Engine(spark)
+    t = str(tmp_path / "i")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg(spark, df, t)
+    sid0 = resolve_snapshot(t).snapshot_id
+    eng.sql(f"create tag v1 in '{t}'")
+    write_iceberg(spark, spark.range(10, 20)
+                  .select(F.col("id").alias("k")), t, mode="append")
+    eng.sql(f"create branch dev in '{t}'")
+    # tag points at sid0; reassign it to the branch's commit
+    eng.sql(f"alter tag v1 assign branch dev in '{t}'")
+    assert read_iceberg(spark, t, ref="v1").count() == 20
+    # reassign the branch back to an explicit snapshot
+    eng.sql(f"alter branch dev assign snapshot {sid0} in '{t}'")
+    assert read_iceberg(spark, t, ref="dev").count() == 10
+    # unknown ref / snapshot refuse
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        eng.sql(f"alter tag v1 assign branch nope in '{t}'")
+    with _pytest.raises(FileNotFoundError):
+        eng.sql(f"alter branch dev assign snapshot 999999 in '{t}'")
