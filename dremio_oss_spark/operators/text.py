@@ -317,3 +317,31 @@ def boilerplate_stats(df, text_col: str = "text", id_col: str = "doc_id",
             .withColumn("boilerplate_ratio",
                         F.round(F.col("n_boiler") / F.col("n_shingles"),
                                 6)))
+
+
+def quality_classifier(col: Column) -> list[Column]:
+    """Hashed-unigram LINEAR quality classifier — the fasttext-style
+    learned-filter shape (score = w·x over hashed token features) that
+    curation pipelines run after the heuristic gates.  The "pretrained"
+    weight table is deterministic: w(t) = md5-prefix of 'qw:'+t mapped
+    to an INTEGER in [-1000, 1000], so the model is reproducible, the
+    doc score is an exact integer sum (order-independent — float
+    accumulation order never changes a verdict), and the whole forward
+    pass replicates arithmetically in the SQL oracle.  A real deployment
+    swaps the hash for a broadcast weight map; the plan shape (row-local
+    F.aggregate over the token array, zero shuffles, zero Python) is
+    identical.
+
+    Returns [clf_sum (bigint), clf_mean (double, rounded), clf_keep]."""
+    toks = tokens(col)
+    w_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("qw:"), t)), 1, 7), 16, 10)
+            .cast("bigint") % 2001 - 1000))
+    n = F.size(toks)
+    mean = F.round(w_sum.cast("double") / (1000.0 * n), 6)
+    return [w_sum.alias("clf_sum"),
+            mean.alias("clf_mean"),
+            (mean >= 0).alias("clf_keep")]

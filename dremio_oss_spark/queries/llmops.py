@@ -1408,7 +1408,45 @@ order by doc_id
 """
 
 
+def llm_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-unigram linear quality classifier (operators/text.py
+    quality_classifier) — the learned-filter stage after heuristic
+    gates: integer weight per hashed token, exact integer doc score,
+    keep verdict at mean >= 0.  Entirely row-local JVM (F.aggregate
+    over the token array; zero shuffles, zero Python); the oracle
+    replays the identical md5-weight arithmetic per token."""
+    from ..operators.text import quality_classifier
+
+    docs = load(spark, sf, "documents")
+    return (docs.select("doc_id", "lang",
+                        *quality_classifier(F.col("text")))
+            .orderBy("doc_id"))
+
+
+LLM_QUALITY_CLASSIFIER_SQL = """
+with toks as (
+  select doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') as t
+  from documents
+), scored as (
+  select doc_id, lang,
+         cast(list_sum(list_transform(t, x ->
+              cast(concat('0x', substr(md5(concat('qw:', x)), 1, 7))
+                   as bigint) % 2001 - 1000)) as bigint) as clf_sum,
+         len(t) as n
+  from toks
+)
+select doc_id, lang, clf_sum,
+       round(cast(clf_sum as double) / (1000.0 * n), 6) as clf_mean,
+       (round(cast(clf_sum as double) / (1000.0 * n), 6) >= 0)
+           as clf_keep
+from scored
+order by doc_id
+"""
+
+
 LLMOPS_QUERIES = {
+    "llm_quality_classifier": llm_quality_classifier,
     "llm_chunking": llm_chunking,
     "llm_global_shuffle": llm_global_shuffle,
     "llm_boilerplate": llm_boilerplate,
@@ -1441,6 +1479,7 @@ LLMOPS_QUERIES = {
 }
 
 LLMOPS_ORACLE = {
+    "llm_quality_classifier": LLM_QUALITY_CLASSIFIER_SQL,
     "llm_chunking": LLM_CHUNKING_SQL,
     "llm_global_shuffle": LLM_GLOBAL_SHUFFLE_SQL,
     "llm_boilerplate": LLM_BOILERPLATE_SQL,

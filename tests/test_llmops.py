@@ -496,3 +496,25 @@ def test_global_shuffle_matches_serial_rank(spark):
                            num_partitions=5)
     assert {r["doc_id"]: r["shuffle_rank"] for r in other.collect()} \
         != {k: v[0] for k, v in got.items()}
+
+
+def test_quality_classifier_row_local_and_deterministic(spark):
+    """The classifier forward pass is row-local (no shuffle, no Python
+    in the plan) and deterministic; empty-ish docs still score."""
+    from dremio_oss_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzz qqq"), (3, "a")],
+        "doc_id long, text string")
+    out = df.select("doc_id", *quality_classifier(F.col("text")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "classifier must not shuffle"
+    assert "Python" not in plan and "ArrowEval" not in plan, \
+        "classifier must stay JVM-side"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in out.collect()}
+    for k in rows:
+        assert rows[k]["clf_sum"] == again[k]["clf_sum"]
+        assert rows[k]["clf_keep"] == (rows[k]["clf_mean"] >= 0)
+    # score bounds: |mean| <= 1 by construction
+    assert all(abs(r["clf_mean"]) <= 1.0 for r in rows.values())
