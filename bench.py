@@ -39,7 +39,7 @@ def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
     from pyspark.sql import functions as F
 
     done = os.path.join(dst, "_DONE")
-    marker = "v4-docs-vocabshift"  # corpus layout version; bump to rebuild
+    marker = "v5-events-upsampled"  # corpus layout version; bump to rebuild
     if os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == marker:
@@ -121,10 +121,25 @@ def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
     out.write.mode("overwrite").parquet(
         os.path.join(dst, "embeddings.parquet"))
 
-    # events pass through for any query that needs the table present
+    # events, one decade up: event_id and user_id shift per copy (10x
+    # users, each keeping their original event sequence and timestamps
+    # — per-user session/window structure is preserved exactly, so
+    # windowed-aggregation STATE grows 10x, the realistic axis for
+    # streaming scale)
     ev = os.path.join(src, "events.parquet")
     if os.path.exists(ev):
-        rd("events").write.mode("overwrite").parquet(
+        evd = rd("events")
+        max_eid = evd.agg(F.max("event_id")).collect()[0][0] + 1
+        max_uid = evd.agg(F.max("user_id")).collect()[0][0] + 1
+        eparts = [evd.withColumn("event_id",
+                                 F.col("event_id") + F.lit(i * max_eid))
+                  .withColumn("user_id",
+                              F.col("user_id") + F.lit(i * max_uid))
+                  for i in range(copies)]
+        out = eparts[0]
+        for p in eparts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
             os.path.join(dst, "events.parquet"))
     with open(done, "w") as f:
         f.write(marker)
@@ -197,10 +212,17 @@ def main() -> None:
                       "op_rollup_cube", "op_distinct_aggregates",
                       "op_pivot", "op_limit_offset",
                       "op_full_outer_join"}
+            # streaming decade: 10x users -> 10x windowed-agg state
+            # (events upsampled user-shifted, timestamps preserved);
+            # multimodal decade rides the 10x documents corpus
+            sf1_stream = {"stream_tumbling_window",
+                          "stream_session_window",
+                          "stream_stream_join",
+                          "stream_stateful_totals"}
             for name in sorted(q for q in queries
-                               if (q.startswith(("tpch_", "llm_"))
+                               if (q.startswith(("tpch_", "llm_", "mm_"))
                                    or q in sf1_src or q in sf1_refl
-                                   or q in sf1_op)
+                                   or q in sf1_op or q in sf1_stream)
                                and q not in sf1_skip):
                 t0 = time.perf_counter()
                 try:
@@ -263,7 +285,7 @@ def main() -> None:
         sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
     )
     if sf1_timings:
-        for fam in ("tpch", "llm", "src", "refl", "op"):
+        for fam in ("tpch", "llm", "src", "refl", "op", "stream", "mm"):
             fam_t = [t for n, t in sf1_timings.items()
                      if n.startswith(f"sf1_{fam}_")]
             if fam_t:

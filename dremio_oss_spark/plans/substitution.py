@@ -401,6 +401,9 @@ class ExtractedAgg:
     extra_cdistincts: tuple = ()
     # conditional-aggregate payloads referenced only by HAVING
     extra_condaggs: tuple = ()
+    # avg-over-expression-dim keys referenced by HAVING or inside
+    # post-agg arithmetic (their __ae_ rollup columns must compute)
+    extra_avgexprs: tuple = ()
     # base columns conditional-agg CASE predicates reference — matched
     # as extra dims (the cell-constant reduction needs them stored)
     condagg_cols: tuple = ()
@@ -760,12 +763,11 @@ class _Extractor:
                 raise _Unsupported("non-numeric post-agg literal")
             return ("lit", str(v), str(dt))
         if c == "AggregateExpression":
-            got = self._classify_agg(node, kids)
-            if got[0] == "avgexpr":
-                # count-weighted avg inside post-agg arithmetic is a
-                # sound fall-through for now
-                raise _Unsupported("avg expression in post-agg expr")
-            return ("agg",) + got
+            # every aggregate shape splices as a post-agg leaf: plain
+            # measures, reduced AVG, conditional aggs, distinct aggs,
+            # and count-weighted avg-over-expression-dims (each leaf's
+            # rollup column is computed via its own channel)
+            return ("agg",) + self._classify_agg(node, kids)
         # a group dim: plain column, whitelisted expression, or a
         # projection alias of one — anything else refuses inside
         return ("dim", self._dim_key(node, kids))
@@ -1308,6 +1310,7 @@ class _Extractor:
         # still computes it when the top projection drops its output
         having_dd: list[tuple] = []
         having_ca: list[tuple] = []
+        having_ae: list[tuple] = []
 
         def having_name(attr):
             got = by_id.get(_attr_id(attr))
@@ -1317,6 +1320,9 @@ class _Extractor:
             if k == "condagg":
                 having_ca.append(p)
                 return _ca_name(p)
+            if k == "avgexpr":
+                having_ae.append(p)
+                return _ae_name(p)
             if k == "measure":
                 return p.name
             if k == "avg":  # reduced form spliced as an expression
@@ -1365,6 +1371,9 @@ class _Extractor:
                 # double arithmetic for SUM-kind decimals (see _post_col)
                 return (f"cast({_ca_name(p3)} as double)"
                         if p3[0] == "sum" else _ca_name(p3))
+            if k3 == "avgexpr":
+                having_ae.append(p3)
+                return _ae_name(p3)
             having_dd.append(p3)
             dkind, key = p3
             if dkind == "avg":
@@ -1440,6 +1449,11 @@ class _Extractor:
                         # its underlying partials
                         having_ca.append(p3)
                         all_ms += _ca_measures(p3)
+                    elif k3 == "avgexpr":
+                        # count-weighted avg leaf: rollup computes the
+                        # __ae_ column from the count(*) partial
+                        having_ae.append(p3)
+                        all_ms.append(Measure("count", "*"))
                     else:
                         having_dd.append(p3)
         if limit is not None and not order:
@@ -1462,6 +1476,7 @@ class _Extractor:
             all_measures=tuple(all_ms),
             extra_cdistincts=tuple(dict.fromkeys(having_dd)),
             extra_condaggs=tuple(dict.fromkeys(having_ca)),
+            extra_avgexprs=tuple(dict.fromkeys(having_ae)),
             condagg_cols=tuple(dict.fromkeys(self.condagg_cols)),
             casts=casts_map,
             qualified=dict(self.qualified),
@@ -1590,7 +1605,8 @@ def match_and_execute(store, ex: ExtractedAgg):
         aggs.append(F.expr(_ca_sql(p_ca)).alias(_ca_name(p_ca)))
     # avg over integer expression dims: count-weighted (see _ae_sql)
     ae_keys = tuple(dict.fromkeys(
-        p for _, k, p in ex.outputs if k == "avgexpr"))
+        tuple(p for _, k, p in ex.outputs if k == "avgexpr")
+        + tuple(ex.extra_avgexprs)))
     for key_ae in ae_keys:
         aggs.append(F.expr(_ae_sql(key_ae)).alias(_ae_name(key_ae)))
 
@@ -1691,6 +1707,8 @@ def match_and_execute(store, ex: ExtractedAgg):
             # truncates the result scale)
             col = F.col(_ca_name(p3))
             return col.cast("double") if p3[0] == "sum" else col
+        if k3 == "avgexpr":  # computed in the rollup under its __ae_
+            return F.col(_ae_name(p3))
         dkind, key = p3
         if dkind == "avg":
             return (F.col(_dd_name(("sum", key))).cast("double")

@@ -1080,8 +1080,12 @@ def transparent_avgexpr(spark: SparkSession, sf: str) -> DataFrame:
             "MEASURES (o_totalprice (SUM))")
     df = eng.sql(
         "select o_orderpriority, avg(year(o_orderdate)) as avg_year, "
-        "avg(month(o_orderdate)) as avg_month, count(*) as n "
-        "from orders group by o_orderpriority order by o_orderpriority")
+        "avg(month(o_orderdate)) as avg_month, "
+        "avg(year(o_orderdate)) * 2 + 1 as avg_year_scaled, "
+        "count(*) as n "
+        "from orders group by o_orderpriority "
+        "having avg(year(o_orderdate)) > 1900 "
+        "order by o_orderpriority")
     assert eng.last_plan_accelerated == "t_aex", \
         "avg-over-expression-dim substitution missed"
     # control: dtype-blind fn refuses
@@ -1096,9 +1100,11 @@ TRANSPARENT_AVGEXPR_SQL = """
 select o_orderpriority,
        avg(cast(year(o_orderdate) as bigint)) as avg_year,
        avg(cast(month(o_orderdate) as bigint)) as avg_month,
+       avg(cast(year(o_orderdate) as bigint)) * 2 + 1 as avg_year_scaled,
        cast(count(*) as bigint) as n
 from orders
 group by o_orderpriority
+having avg(cast(year(o_orderdate) as bigint)) > 1900
 order by o_orderpriority
 """
 

@@ -2281,10 +2281,22 @@ def test_avg_over_expression_dim_substitutes(spark):
     eng.sql("select o_orderpriority, avg(abs(o_totalprice)) as x "
             "from orders group by o_orderpriority")
     assert eng.last_plan_accelerated is None
-    # post-agg arithmetic over the form refuses
-    eng.sql("select o_orderpriority, avg(year(o_orderdate)) + 1 as x "
-            "from orders group by o_orderpriority")
-    assert eng.last_plan_accelerated is None
+    # post-agg arithmetic over the form substitutes (the __ae_ rollup
+    # column splices as a post-agg leaf), values equal the base plan
+    q_pa = ("select o_orderpriority, avg(year(o_orderdate)) + 1 as x "
+            "from orders group by o_orderpriority "
+            "order by o_orderpriority")
+    df_pa = eng.sql(q_pa)
+    assert eng.last_plan_accelerated == "t_ae"
+    assert df_pa.collect() == spark.sql(q_pa).collect()
+    # ... and HAVING over the form substitutes too
+    q_h = ("select o_orderpriority, count(*) n from orders "
+           "group by o_orderpriority "
+           "having avg(year(o_orderdate)) > 1900 "
+           "order by o_orderpriority")
+    df_h = eng.sql(q_h)
+    assert eng.last_plan_accelerated == "t_ae"
+    assert df_h.collect() == spark.sql(q_h).collect()
     eng._default_refl_store().drop("t_ae")
     eng2._default_refl_store().drop("t_aen")
 
