@@ -687,6 +687,7 @@ class Engine:
         "version", "nodes", "memory", "roles", "membership", "privileges",
         "timezone_names", "user_defined_functions", "dependencies",
         "reflections", "materializations", "jobs", "options", "engines",
+        "reflection_routing",
     })
 
     def _expand_sys_tables(self, query: str) -> str:
@@ -954,6 +955,40 @@ class Engine:
         if m:
             self._default_refl_store().drop(m.group(1))
             return self._status("DROP REFLECTION", m.group(1))
+        m = re.match(
+            r"\s*alter\s+(table|vds|view|pds|dataset|space|folder)\s+"
+            r"([\w.]+)\s+route\s+(?:all\s+)?reflections\s+to\s+"
+            r"(?:(default)\s+)?(queue|engine)(?:\s+(\w+))?\s*$",
+            query, re.I)
+        if m:
+            # SqlAlterDatasetReflectionRouting (alter.ftl:625): pin a
+            # dataset's (or a whole space/folder's) reflection
+            # MAINTENANCE jobs to a workload queue or an engine —
+            # refresh work rides that scheduler pool instead of the
+            # cost-classified default
+            scope, name, isdef, kind, target = m.groups()
+            routing = self._refl_routing_map()
+            scope_kind = ("prefix" if scope.lower() in ("space", "folder")
+                          else "dataset")
+            if isdef:
+                routing.pop(name, None)
+                return self._status("ROUTE REFLECTIONS",
+                                    f"{name} -> default {kind.lower()}")
+            if target is None:
+                raise ValueError("ROUTE REFLECTIONS TO QUEUE/ENGINE "
+                                 "needs a name (or DEFAULT)")
+            if kind.lower() == "queue":
+                qname = target.upper()
+                if qname not in self._workload().queues:
+                    raise ValueError(f"unknown queue {target!r}")
+                routing[name] = (scope_kind, "queue", qname)
+            else:
+                if target not in getattr(self, "_engines", {}):
+                    raise ValueError(f"unknown engine {target!r}")
+                routing[name] = (scope_kind, "engine", target)
+            return self._status(
+                "ROUTE REFLECTIONS",
+                f"{name} -> {kind.lower()} {routing[name][2]}")
         m = re.match(r"\s*refresh\s+reflection\s+(\w+)\s*$", query, re.I)
         if m:
             name = m.group(1)
@@ -1129,7 +1164,76 @@ class Engine:
         except Exception:  # noqa: BLE001 — conf access never fatal
             return True
 
+    def _refl_routing_map(self) -> dict:
+        """dataset/space name -> (scope, 'queue'|'engine', target)."""
+        r = getattr(self, "_refl_routing", None)
+        if r is None:
+            r = self._refl_routing = {}
+        return r
+
+    def _workload(self):
+        wm = getattr(self, "_workload_mgr", None)
+        if wm is None:
+            from .plans.workload import WorkloadManager
+
+            wm = self._workload_mgr = WorkloadManager(self.spark)
+        return wm
+
+    def _route_for(self, dataset: str) -> tuple | None:
+        """Resolve the routing entry for a dataset: exact dataset match
+        first, then any space/folder prefix (dotted or flat form)."""
+        routing = self._refl_routing_map()
+        got = routing.get(dataset)
+        if got is not None and got[0] == "dataset":
+            return got
+        for key, ent in routing.items():
+            if ent[0] != "prefix":
+                continue
+            if (dataset.startswith(f"{key}.")
+                    or dataset.startswith(f"{key}__")):
+                return ent
+        return None
+
+    def sys_reflection_routing(self) -> DataFrame:
+        """sys.reflection_routing: where each dataset's reflection
+        maintenance jobs run (SqlAlterDatasetReflectionRouting state)."""
+        wm = self._workload()
+        rows = []
+        for key, (scope, kind, target) in sorted(
+                self._refl_routing_map().items()):
+            pool = (wm.queues[target].pool if kind == "queue"
+                    else f"engine_{target}")
+            rows.append((key, scope, kind, target, pool))
+        return self.spark.createDataFrame(
+            rows or [("", "", "", "", "")],
+            "dataset string, scope string, route_type string, "
+            "target string, scheduler_pool string").where("dataset <> ''")
+
     def _refresh_stale_reflection(self, refl) -> None:
+        route = self._route_for(refl.table)
+        if route is not None:
+            # routed maintenance: the refresh's Spark jobs run in the
+            # routed queue's scheduler pool (with its admission slot)
+            # or the engine's dedicated pool
+            _scope, kind, target = route
+            sc = self.spark.sparkContext
+            if kind == "queue":
+                with self._workload().admit_to(target):
+                    self.last_refresh_route = (
+                        refl.name, target,
+                        sc.getLocalProperty("spark.scheduler.pool"))
+                    return self._refresh_unrouted(refl)
+            prev = sc.getLocalProperty("spark.scheduler.pool")
+            sc.setLocalProperty("spark.scheduler.pool", f"engine_{target}")
+            try:
+                self.last_refresh_route = (refl.name, target,
+                                           f"engine_{target}")
+                return self._refresh_unrouted(refl)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", prev)
+        return self._refresh_unrouted(refl)
+
+    def _refresh_unrouted(self, refl) -> None:
         store = self._default_refl_store()
         p = getattr(self, "_refl_view_paths", {}).get(refl.table)
         if p is not None:

@@ -89,7 +89,16 @@ class WorkloadManager:
         """Admit a query: block until its queue has a free slot, pin the
         Spark jobs run inside the context to the queue's scheduler pool,
         release the slot on exit.  Yields the queue name."""
-        qname = self.classify(df, reflection_job)
+        with self.admit_to(self.classify(df, reflection_job),
+                           timeout=timeout) as qname:
+            yield qname
+
+    @contextmanager
+    def admit_to(self, qname: str, timeout: float | None = None):
+        """Admission into a NAMED queue, bypassing cost classification —
+        the reflection-routing hook (`ALTER ... ROUTE REFLECTIONS TO
+        QUEUE <q>`, SqlAlterDatasetReflectionRouting): the user pins the
+        dataset's maintenance jobs to a queue regardless of cost."""
         q = self.queues[qname]
         if not q._sem.acquire(timeout=timeout):
             raise TimeoutError(

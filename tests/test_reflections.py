@@ -2424,3 +2424,66 @@ def test_null_dim_substitution_battery(spark, tmp_path):
             assert norm(got.collect()) == norm(spark.sql(q).collect()), q
     finally:
         eng._default_refl_store().drop("r_nullb")
+
+
+def test_reflection_routing_to_queue_and_engine(spark):
+    """ALTER TABLE ... ROUTE REFLECTIONS TO QUEUE/ENGINE
+    (SqlAlterDatasetReflectionRouting, alter.ftl:625): refresh jobs for
+    a routed dataset run pinned to the queue's scheduler pool (with its
+    admission slot) or the engine's pool; DEFAULT clears; unknown
+    targets refuse; space-level routing covers its datasets by prefix;
+    sys.reflection_routing surfaces the state."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_route "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM))")
+    try:
+        eng.sql("alter table orders route all reflections "
+                "to queue reflection_large")
+        rows = eng.sql("select * from sys.reflection_routing").collect()
+        assert [(r["dataset"], r["route_type"], r["target"],
+                 r["scheduler_pool"]) for r in rows] == \
+            [("orders", "queue", "REFLECTION_LARGE", "wlm_refl_large")]
+        store = eng._default_refl_store()
+        refl = store._reflections["t_route"]
+        sc = spark.sparkContext
+        before = sc.getLocalProperty("spark.scheduler.pool")
+        eng.sql("refresh reflection t_route")
+        assert eng.last_refresh_route == \
+            ("t_route", "REFLECTION_LARGE", "wlm_refl_large")
+        # the pin is scoped: restored after the refresh
+        assert sc.getLocalProperty("spark.scheduler.pool") == before
+        assert refl.invalid is False
+
+        # engine routing (engine must exist in the registry)
+        eng.alter_engine("etl", min_replicas=1, max_replicas=4)
+        eng.sql("alter table orders route reflections to engine etl")
+        eng.sql("refresh reflection t_route")
+        assert eng.last_refresh_route == ("t_route", "etl", "engine_etl")
+
+        # DEFAULT clears
+        eng.sql("alter table orders route reflections to default queue")
+        assert eng.sql("select * from sys.reflection_routing").count() == 0
+
+        # space-level prefix routing reaches its datasets
+        eng.sql("alter space sales route all reflections "
+                "to queue reflection_small")
+        assert eng._route_for("sales.orders_v") == \
+            ("prefix", "queue", "REFLECTION_SMALL")
+        assert eng._route_for("sales__orders_v") == \
+            ("prefix", "queue", "REFLECTION_SMALL")
+        assert eng._route_for("other.t") is None
+
+        # unknown targets refuse
+        with _pytest.raises(ValueError, match="unknown queue"):
+            eng.sql("alter table orders route reflections to queue nope")
+        with _pytest.raises(ValueError, match="unknown engine"):
+            eng.sql("alter table orders route reflections to engine nope")
+    finally:
+        eng._default_refl_store().drop("t_route")
