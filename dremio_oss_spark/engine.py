@@ -1461,6 +1461,40 @@ class Engine:
             [(f"{space}.{name}", ddl)], "view_name string, ddl string"
         )
 
+    def show_create_table(self, path: str) -> DataFrame:
+        """SHOW CREATE TABLE '<path>' (SqlShowCreate,
+        parserImpls.ftl:1834): reconstructed DDL for a lake table —
+        column list from the current snapshot's schema, partition spec
+        (Iceberg transforms rendered as written), and table
+        properties."""
+        fmt = self._lake_format(path)
+        if fmt is None:
+            raise ValueError(f"not a lakehouse table: {path}")
+        if fmt == "delta":
+            from .sources.delta import resolve_snapshot as _rs
+            snap = _rs(self.spark, path)
+            part = list(snap.partition_cols)
+            props = dict(snap.config)
+        else:
+            from .sources.iceberg import resolve_snapshot as _ri
+            snap = _ri(path)
+            part = [pf["source"] if pf["transform"] == "identity"
+                    else f"{pf['transform']}({pf['source']})"
+                    for pf in snap.spec_fields]
+            props = dict(snap.properties)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}"
+                         for f in (snap.schema.fields if snap.schema
+                                   else []))
+        ddl = f"CREATE TABLE '{path}' ({cols}) USING {fmt.upper()}"
+        if part:
+            ddl += f" PARTITIONED BY ({', '.join(part)})"
+        if props:
+            kv = ", ".join(f"'{k}' = '{v}'"
+                           for k, v in sorted(props.items()))
+            ddl += f" TBLPROPERTIES ({kv})"
+        return self.spark.createDataFrame(
+            [(path, ddl)], "table_name string, ddl string")
+
     def show_table_properties(self, table_path: str) -> DataFrame:
         """SHOW TBLPROPERTIES (SqlShowTableProperties, parserImpls.ftl):
         format/location plus snapshot-store state (current snapshot,
@@ -2925,6 +2959,16 @@ class Engine:
                      query, re.I)
         if m:
             return self.show_table_properties(m.group(1))
+        # SHOW CREATE VIEW <space>.<name> | SHOW CREATE TABLE '<path>'
+        # (SqlShowCreate, parserImpls.ftl:1834)
+        m = re.match(r"\s*show\s+create\s+view\s+(\w+)\.(\w+)\s*$",
+                     query, re.I)
+        if m:
+            return self.show_create_vds(m.group(1), m.group(2))
+        m = re.match(r"\s*show\s+create\s+table\s+'([^']+)'\s*$",
+                     query, re.I)
+        if m:
+            return self.show_create_table(m.group(1))
         # USE REF|BRANCH|TAG|COMMIT <name> [IN '<path>']
         # (versionSupport.ftl SqlUseVersion): session default version
         # context; per-path IN form pins one table, the global form

@@ -2740,3 +2740,42 @@ def test_assign_branch_and_tag(spark, tmp_path):
         eng.sql(f"alter tag v1 assign branch nope in '{t}'")
     with _pytest.raises(FileNotFoundError):
         eng.sql(f"alter branch dev assign snapshot 999999 in '{t}'")
+
+
+def test_show_create_table_sql(spark, tmp_path):
+    """SHOW CREATE TABLE '<path>' / SHOW CREATE VIEW s.v (SqlShowCreate,
+    parserImpls.ftl:1834): reconstructed DDL carries columns, the
+    partition spec (Iceberg transforms as written), and properties."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+    from dremio_oss_spark.sources.iceberg import write_iceberg
+
+    eng = Engine(spark)
+    df = spark.range(20).select(F.col("id").alias("k"),
+                                (F.col("id") % 3).alias("p"),
+                                F.col("id").cast("double").alias("v"))
+    td = str(tmp_path / "d")
+    write_delta(spark, df, td, partition_by=["p"],
+                config={"delta.enableChangeDataFeed": "true"})
+    ddl = eng.sql(f"show create table '{td}'").collect()[0]["ddl"]
+    assert ddl.startswith(f"CREATE TABLE '{td}' (")
+    assert "k BIGINT" in ddl and "USING DELTA" in ddl
+    assert "PARTITIONED BY (p)" in ddl
+    assert "'delta.enableChangeDataFeed' = 'true'" in ddl
+
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df, ti, partition_by=["bucket(4, k)"])
+    ddl = eng.sql(f"show create table '{ti}'").collect()[0]["ddl"]
+    assert "USING ICEBERG" in ddl and "bucket" in ddl
+
+    eng.create_space("s")
+    eng.create_vds("s", "twenty", "select id as k from range(20)")
+    ddl = eng.sql("show create view s.twenty").collect()[0]["ddl"]
+    assert ddl.startswith("CREATE VDS s.twenty AS select")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a lakehouse"):
+        eng.sql(f"show create table '{tmp_path}'")
