@@ -401,20 +401,23 @@ def _property_engine(spark):
     return spark._prop_engine
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=12, deadline=None)
 @given(
-    st.lists(st.sampled_from(["sum", "min", "max", "count", "avg"]),
+    st.lists(st.sampled_from(["sum", "min", "max", "count", "avg",
+                              "condagg", "mindim", "countdim",
+                              "postagg"]),
              min_size=1, max_size=3),
-    st.sampled_from([None, "d1 = 'x0'", "m1 > 50", "d1 in ('x0','x1')"]),
+    st.sampled_from([None, "d1 = 'x0'", "m1 > 50", "d1 in ('x0','x1')",
+                     "d1 between 'x0' and 'x1'",
+                     "not (d1 like 'x1%')"]),
     st.booleans(),
 )
 def test_substitution_equals_unaccelerated(spark, kinds, flt, left_join):
     """Equivalence property over the transparent substituter: for random
-    measure sets, filters, and join types, the accelerated answer must
-    equal the unaccelerated plan bit-for-bit (same grouping, same
-    nulls).  Exercises the round-7 LEFT-star and AVG/count paths."""
-    from pyspark.sql import functions as F
-
+    measure sets (incl. conditional aggregates, dim-grain min/count,
+    and post-agg arithmetic over AVG), filters (incl. BETWEEN and NOT
+    LIKE), and join types, the accelerated answer must equal the
+    unaccelerated plan bit-for-bit (same grouping, same nulls)."""
     from dremio_oss_spark.engine import Engine
 
     fact = spark.createDataFrame(
@@ -427,12 +430,20 @@ def test_substitution_equals_unaccelerated(spark, kinds, flt, left_join):
     fact.createOrReplaceTempView("pb_fact")
     dim.createOrReplaceTempView("pb_dim")
 
-    meas_sql, agg_cols = [], []
+    meas_sql = []
     for j, k in enumerate(sorted(set(kinds))):
-        col = "m2" if k in ("count", "avg") else "m1"  # m2 has NULLs
-        meas_sql.append(f"{k}({col}) as a{j}")
-        agg_cols.append(getattr(F, k if k != "avg" else "avg")(col)
-                        .alias(f"a{j}"))
+        if k == "condagg":  # pivot shape over a dim predicate
+            meas_sql.append(
+                f"sum(case when d1 = 'x0' then m1 else 0 end) as a{j}")
+        elif k == "mindim":  # dim-grain measure, no declared partial
+            meas_sql.append(f"min(d1) as a{j}")
+        elif k == "countdim":  # dim-grain null-aware count
+            meas_sql.append(f"count(dimk) as a{j}")
+        elif k == "postagg":  # arithmetic over a reduced AVG
+            meas_sql.append(f"avg(m2) * 2 + 1 as a{j}")
+        else:
+            col = "m2" if k in ("count", "avg") else "m1"  # m2: NULLs
+            meas_sql.append(f"{k}({col}) as a{j}")
     ddl_meas = "m1 (SUM, MIN, MAX, COUNT), m2 (SUM, COUNT)"
     join_sql = (" left join pb_dim on dimk = dk" if left_join else "")
     ddl_join = (" JOINS (LEFT pb_dim ON dimk = dk)" if left_join else "")
