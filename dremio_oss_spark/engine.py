@@ -2932,7 +2932,97 @@ class Engine:
             repl, query, flags=re.I)
 
     # -- SQL entry ---------------------------------------------------------
+    # statements the plan cache must never serve or retain: quoted lake
+    # PATHS bind the scan to ONE snapshot (the reference likewise
+    # refuses to cache versioned tables, PlanCacheUtils.java:43 "don't
+    # allow these plans to enter the cache" — plain string literals are
+    # fine), sys./INFORMATION_SCHEMA views re-materialize per call, and
+    # plan-time-folded / non-deterministic functions would freeze their
+    # fold (uncacheableFunctions in supportPlanCache)
+    _PC_EXCLUDE = re.compile(
+        r"'[^']*[/\\][^']*'"                      # path-like quoted ref
+        r"|\bsys\s*\.|\binformation_schema\s*\."  # live catalog views
+        r"|\b(last_query_id|is_member|current_timestamp|"
+        r"current_date|current_time|now|rand|random|uuid|table)\s*\(",
+        re.I)
+
     def sql(self, query: str) -> DataFrame:
+        """Engine statement entry point, fronted by a PLAN CACHE
+        (reference `PlanCache.java` / `PlanCacheUtils.supportPlanCache`):
+        a repeated SELECT reuses its analyzed DataFrame — substitution
+        probe, view expansion, and rewrites all skip — as long as no
+        intervening engine statement could have changed what it sees.
+        Invalidation is wholesale on ANY non-SELECT statement (DDL, DML,
+        USE, ALTER SESSION, policy/reflection changes — the
+        PlanCacheInvalidationHelper role); SELECTs naming quoted lake
+        paths or plan-time-folded functions never enter the cache.
+        The cached object is a PLAN, not rows — every hit re-executes.
+        Contract: catalog changes must flow through engine statements
+        or the reflection store (whose mutation counter also keys the
+        generation); re-binding a session temp view behind the engine's
+        back is outside the cache's visibility, as in the reference.
+        Tune: spark.dremio.plancache.enabled / .maxsize (default 128)."""
+        is_select = bool(re.match(r"\s*(select|with)\b", query, re.I))
+        cache = getattr(self, "_plan_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._plan_cache = OrderedDict()
+            self._plan_cache_gen = 0
+            self.plan_cache_hits = 0
+        if not is_select:
+            self._plan_cache_gen += 1
+            cache.clear()
+            return self._sql_uncached(query)
+        enabled = str(self.spark.conf.get(
+            "spark.dremio.plancache.enabled", "true")).lower() == "true"
+        cacheable = (enabled and not getattr(self, "_accel_disabled", 0)
+                     and not self._PC_EXCLUDE.search(query))
+        if not cacheable:
+            return self._sql_uncached(query)
+        # the principal and namespace context are attribute-settable
+        # (no statement to observe): they key the entry — a policied
+        # plan folded for user A must never serve user B
+        key = (" ".join(query.split()),
+               getattr(self, "session_user", None),
+               getattr(self, "_current_space", None))
+        # generation = (statement counter, reflection-store mutation
+        # counter): library-level refresh/rebuild/drop on the store
+        # must invalidate too — a cached plan scanning a GC'd
+        # materialization generation would fail or serve stale partials
+        # (the reference's PlanCacheSynchronizer role)
+        gen = (self._plan_cache_gen,
+               getattr(getattr(self, "_refl_store", None),
+                       "mutations", 0))
+        ent = cache.get(key)
+        if ent is not None and ent[0] == gen:
+            cache.move_to_end(key)
+            self.plan_cache_hits += 1
+            self.last_plan_accelerated = ent[2]
+            self.last_count_from_metadata = ent[3]
+            self._query_seq += 1
+            self._last_query_id = f"q-{self._query_seq}"
+            return ent[1]
+        df = self._sql_uncached(query)
+        # recompute: planning may itself auto-refresh a stale
+        # reflection (bumping the store counter); the entry must carry
+        # the SETTLED generation or the very next hit re-plans
+        gen = (self._plan_cache_gen,
+               getattr(getattr(self, "_refl_store", None),
+                       "mutations", 0))
+        cache[key] = (gen, df,
+                      self.last_plan_accelerated,
+                      self.last_count_from_metadata)
+        try:
+            cap = int(self.spark.conf.get(
+                "spark.dremio.plancache.maxsize", "128"))
+        except (TypeError, ValueError):
+            cap = 128
+        while len(cache) > max(1, cap):
+            cache.popitem(last=False)
+        return df
+
+    def _sql_uncached(self, query: str) -> DataFrame:
         if re.search(r"\b__base_\w+", query):
             # `__base_<t>` temp views hold the PRE-POLICY snapshot of
             # policied tables; they are engine internals — naming one in

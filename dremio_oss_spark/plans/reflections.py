@@ -428,8 +428,16 @@ class ReflectionStore:
         self._reflections: dict[str, Reflection] = {}
         self._raw: dict[str, RawReflection] = {}
         self._external: dict[str, ExternalReflection] = {}
+        # bumped on every mutation (create/rebuild/refresh/drop/
+        # compact): the engine's plan cache keys on it so a cached plan
+        # never outlives the materialization generation it scans — the
+        # reference's PlanCacheSynchronizer contract
+        self.mutations = 0
 
     # -- DDL ---------------------------------------------------------------
+    def _bump(self) -> None:
+        self.mutations += 1  # plan-cache sync (PlanCacheSynchronizer)
+
     def create_aggregation_reflection(
         self,
         name: str,
@@ -451,6 +459,7 @@ class ReflectionStore:
         then reference dim-table columns.  With `filters`, the
         materialization is PARTIAL (built over WHERE ∧filters) and only
         substitutes for queries whose filter implies it (see covers)."""
+        self._bump()
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
         # every aggregation reflection maintains a ROW-COUNT partial:
@@ -509,6 +518,7 @@ class ReflectionStore:
         `display_cols` — narrower files + sorted layout gives min/max
         row-group pruning on the sort column (the reference's raw
         reflection role, ReflectionServiceImpl.java)."""
+        self._bump()
         path = os.path.join(self.root, name)
         shutil.rmtree(path, ignore_errors=True)
         proj = source.select(*display_cols)
@@ -568,6 +578,7 @@ class ReflectionStore:
         fingerprinted (the reference's computeDatasetHash) so a later
         definition change surfaces as OUT_OF_SYNC instead of silently
         serving a mismatched shape."""
+        self._bump()
         dfp, tfp = _schema_fp(dataset_df), _schema_fp(target_df)
         if dfp != tfp:
             raise ValueError(
@@ -579,6 +590,7 @@ class ReflectionStore:
         return ext
 
     def drop(self, name: str) -> None:
+        self.mutations += 1  # plan-cache sync
         if self._external.pop(name, None) is not None:
             return  # no managed materialization to delete
         refl = (self._reflections.pop(name, None)
@@ -604,6 +616,7 @@ class ReflectionStore:
         the engine lock without a refresh deleting files under an
         in-flight accelerated read (reference: every refresh creates a
         new materialization id, ReflectionServiceImpl)."""
+        self.mutations += 1  # plan-cache sync (PlanCacheSynchronizer)
         old_g = getattr(refl, "generation", 0)
         new_dir = os.path.join(refl.path, f"data-g{old_g + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)

