@@ -2642,6 +2642,43 @@ class Engine:
                         if df is not None:
                             self.last_plan_accelerated = got[1]
                             return df
+                # ANY-SHAPE raw swap: when the fragment extractors
+                # refuse (window functions, DISTINCT, joins, CTEs), a
+                # raw reflection still answers by re-binding the scan —
+                # raws hold EVERY row, analysis against the swapped
+                # binding succeeds only if it carries every referenced
+                # column, and conform() refuses any output drift (e.g.
+                # `select *` over a narrower raw).  This is the
+                # reference's scan-level materialization match
+                # (SubstitutionProvider.java:40 on the TableScan).
+                for refl in self._refl_store._raw.values():
+                    if (getattr(refl, "invalid", False)
+                            or policied([refl.table])):
+                        continue
+                    if not re.search(rf"\b{re.escape(refl.table)}\b",
+                                     q, re.I):
+                        continue
+                    try:
+                        orig = self.spark.table(refl.table)
+                    except Exception:  # noqa: BLE001 — not a view here
+                        continue
+                    store = self._refl_store
+                    mat = store._read_data(store._data_dir(refl))
+                    try:
+                        mat.createOrReplaceTempView(refl.table)
+                        try:
+                            cand = self.spark.sql(q)
+                            cand.schema  # force analysis on the swap
+                        except Exception:  # noqa: BLE001 — uncovered col
+                            continue
+                        df = conform(cand)
+                        if df is not None:
+                            self.last_plan_accelerated = refl.name
+                            return df
+                    finally:
+                        # restore no matter what: a leaked swap would
+                        # redirect every later query in the session
+                        orig.createOrReplaceTempView(refl.table)
         except Exception:  # noqa: BLE001 — fall through, plan normally
             self.last_plan_accelerated = None
         return None

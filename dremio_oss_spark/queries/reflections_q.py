@@ -1109,7 +1109,56 @@ order by o_orderpriority
 """
 
 
+def raw_any_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Any-shape RAW substitution — the reference's scan-level
+    materialization match (SubstitutionProvider.java:40 on the
+    TableScan): a window-function query and a DISTINCT (shapes the
+    aggregate and scan-fragment matchers refuse) answer from a raw
+    reflection by re-binding the scan; analysis against the swapped
+    binding succeeds only when the raw carries every referenced column,
+    and output-schema conformance refuses drift (`select *` over a
+    narrower raw falls through — asserted)."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE RAW REFLECTION r_rawany "
+            "USING DISPLAY (o_orderkey, o_custkey, o_orderpriority, "
+            "o_totalprice)")
+    df = eng.sql(
+        "select o_orderpriority, o_orderkey, "
+        "row_number() over (partition by o_orderpriority "
+        "order by o_orderkey) as rn "
+        "from orders where o_custkey < 100 "
+        "order by o_orderpriority, o_orderkey")
+    assert eng.last_plan_accelerated == "r_rawany", \
+        "window-over-raw substitution missed"
+    # DISTINCT accelerates too
+    eng.sql("select distinct o_orderpriority from orders")
+    assert eng.last_plan_accelerated == "r_rawany"
+    # control: an uncovered column falls through
+    eng.sql("select o_orderdate from orders limit 1")
+    assert eng.last_plan_accelerated is None, \
+        "unsound raw swap (uncovered column)"
+    # control: select * over the narrower raw falls through
+    eng.sql("select * from orders")
+    assert eng.last_plan_accelerated is None, \
+        "unsound raw swap (narrower star)"
+    return df
+
+
+RAW_ANY_SHAPE_SQL = """
+select o_orderpriority, o_orderkey,
+       cast(row_number() over (partition by o_orderpriority
+            order by o_orderkey) as bigint) as rn
+from orders where o_custkey < 100
+order by o_orderpriority, o_orderkey
+"""
+
+
 REFLECTION_QUERIES = {
+    "refl_raw_window": raw_any_shape,
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
     "refl_transparent_cdistinct": transparent_cdistinct,
@@ -1135,6 +1184,7 @@ REFLECTION_QUERIES = {
 }
 
 REFLECTION_ORACLE = {
+    "refl_raw_window": RAW_ANY_SHAPE_SQL,
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
     "refl_transparent_raw": TRANSPARENT_RAW_SQL,
     "refl_transparent_cdistinct": TRANSPARENT_CDISTINCT_SQL,

@@ -2549,3 +2549,53 @@ def test_plan_cache_hits_and_invalidation(spark, tmp_path):
         assert n1 == n2  # same plan, re-executed fine
     finally:
         eng._default_refl_store().drop("t_pc")
+
+
+def test_raw_swap_any_query_shape(spark):
+    """Any-shape raw substitution (the reference's scan-level
+    materialization match): window functions, DISTINCT, CTE rollups,
+    and joins over a raw-reflected table answer from the
+    materialization; `select *` and queries touching uncovered columns
+    fall through; the session binding is restored either way."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE RAW REFLECTION raw_any "
+            "USING DISPLAY (o_orderkey, o_custkey, o_orderpriority, "
+            "o_totalprice)")
+    try:
+        def norm(rows):
+            return sorted(map(tuple, rows),
+                          key=lambda t: tuple((x is None, str(x))
+                                              for x in t))
+
+        accelerated = [
+            "select o_custkey, o_orderkey, row_number() over "
+            "(partition by o_custkey order by o_orderkey) rn "
+            "from orders where o_orderpriority = '1-URGENT'",
+            "select distinct o_orderpriority from orders",
+            "with u as (select o_custkey, o_totalprice from orders "
+            "where o_orderpriority = '1-URGENT') "
+            "select o_custkey, count(*) n from u group by o_custkey",
+            "select o.o_orderkey, c.c_name from orders o join customer "
+            "c on o.o_custkey = c.c_custkey "
+            "where o.o_orderpriority = '2-HIGH'",
+        ]
+        for q in accelerated:
+            got = eng.sql(q)
+            assert eng.last_plan_accelerated == "raw_any", q
+            assert norm(got.collect()) == norm(spark.sql(q).collect()), q
+        fallthrough = [
+            "select * from orders",                # narrower raw
+            "select o_orderdate, o_orderkey from orders",  # uncovered
+        ]
+        for q in fallthrough:
+            got = eng.sql(q)
+            assert eng.last_plan_accelerated is None, q
+            assert norm(got.collect()) == norm(spark.sql(q).collect()), q
+        # binding restored after every probe
+        assert len(spark.table("orders").columns) == 6
+    finally:
+        eng._default_refl_store().drop("raw_any")
