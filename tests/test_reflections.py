@@ -2599,3 +2599,52 @@ def test_raw_swap_any_query_shape(spark):
         assert len(spark.table("orders").columns) == 6
     finally:
         eng._default_refl_store().drop("raw_any")
+
+
+def test_condagg_and_dimgrain_over_nullable_star(spark, tmp_path):
+    """Conditional-agg CASE predicates and dim-grain measures over a
+    NULL-EXTENDED (left-star) dim column: unmatched fact rows form
+    dim=NULL cells, the predicate evaluates per cell exactly as the
+    base plan evaluates it per row (incl. `is null` branches), and
+    count(dim)/min(dim) skip the null cells like base count/min."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    fact = spark.createDataFrame(
+        [(i, f"x{i % 3}", i % 5 if i % 4 else 99, float(i))
+         for i in range(60)],
+        "fk long, d1 string, dimk long, m1 double")
+    dim = spark.createDataFrame([(k, f"g{k % 2}") for k in range(5)],
+                                "dk long, grp string")
+    fact.write.parquet(str(tmp_path / "f"))
+    dim.write.parquet(str(tmp_path / "dm"))
+    spark.read.parquet(str(tmp_path / "f")) \
+        .createOrReplaceTempView("cns_fact")
+    spark.read.parquet(str(tmp_path / "dm")) \
+        .createOrReplaceTempView("cns_dim")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE cns_fact CREATE AGGREGATE REFLECTION cns_r "
+            "USING DIMENSIONS (d1, dimk, grp) "
+            "MEASURES (m1 (SUM, COUNT)) "
+            "JOINS (LEFT cns_dim ON dimk = dk)")
+    try:
+        def norm(rows):
+            return sorted(map(tuple, rows),
+                          key=lambda t: tuple((x is None, str(x))
+                                              for x in t))
+
+        for q in [
+            "select d1, sum(case when grp = 'g0' then m1 else 0 end) s "
+            "from cns_fact left join cns_dim on dimk = dk group by d1",
+            "select d1, sum(case when grp is null then m1 else 0 end) "
+            "s, count(*) n from cns_fact left join cns_dim "
+            "on dimk = dk group by d1",
+            "select d1, min(grp) mn, count(grp) cg from cns_fact "
+            "left join cns_dim on dimk = dk group by d1",
+        ]:
+            got = eng.sql(q)
+            assert eng.last_plan_accelerated == "cns_r", q
+            assert norm(got.collect()) == norm(spark.sql(q).collect()), q
+    finally:
+        eng._default_refl_store().drop("cns_r")
