@@ -1860,14 +1860,43 @@ class Engine:
                                                where=where,
                                                options=options))
 
-        m = re.match(r"\s*vacuum\s+table\s+'([^']+)'\s*$", query, re.I)
+        m = re.match(
+            r"\s*vacuum\s+table\s+'([^']+)'"
+            r"(?:\s+expire\s+snapshots"
+            r"(?:\s+older_than\s*=?\s*'([^']+)')?"
+            r"(?:\s+retain_last\s*=?\s*(\d+))?"
+            r"|\s+(remove)\s+orphan\s+files"
+            r"(?:\s+older_than\s*=?\s*'([^']+)')?)?\s*$", query, re.I)
         if m:
+            # SqlVacuumTable (parserImpls.ftl:1306): EXPIRE SNAPSHOTS
+            # [older_than='ts'] [retain_last=n] | REMOVE ORPHAN FILES
+            # [older_than='ts'] — a bare VACUUM TABLE = default expire
             path = m.group(1)
             fmt = self._lake_format(path)
             if fmt is None:
                 return None
-            out = (D.vacuum_delta(self.spark, path) if fmt == "delta"
-                   else I.expire_iceberg_snapshots(path))
+
+            def _ms(s):
+                import datetime as _dt
+                if s is None:
+                    return None
+                return int(_dt.datetime.fromisoformat(s).timestamp()
+                           * 1000)
+            if m.group(4):  # REMOVE ORPHAN FILES
+                cutoff = _ms(m.group(5))
+                out = (D.remove_orphan_delta_files(self.spark, path,
+                                                   cutoff)
+                       if fmt == "delta"
+                       else I.remove_orphan_iceberg_files(path, cutoff))
+                return self._status("VACUUM REMOVE ORPHAN FILES",
+                                    f"{len(out)} files removed")
+            keep = int(m.group(3)) if m.group(3) else 1
+            cutoff = _ms(m.group(2))
+            out = (D.vacuum_delta(self.spark, path, keep_last=keep,
+                                  older_than_ms=cutoff)
+                   if fmt == "delta"
+                   else I.expire_iceberg_snapshots(
+                       path, keep_last=keep, older_than_ms=cutoff))
             return self._status("VACUUM", f"{len(out)} files removed")
 
         # VACUUM CATALOG '<root>' [RETAIN <n> SNAPSHOTS]: catalog-wide

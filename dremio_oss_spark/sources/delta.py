@@ -1874,13 +1874,21 @@ def rewrite_manifests_delta(spark: SparkSession, table: str) -> int:
 
 
 def vacuum_delta(spark: SparkSession, table: str,
-                 keep_last: int = 1) -> list[str]:
+                 keep_last: int = 1,
+                 older_than_ms: int | None = None) -> list[str]:
     """VACUUM <delta table>: physically delete data files no longer
-    referenced by the last `keep_last` versions (default: current only
-    — delta.io VACUUM semantics; RETAIN n keeps time travel to the
-    last n versions working).  Returns deleted table-relative paths."""
+    referenced by the retained versions (default: current only —
+    delta.io VACUUM semantics; RETAIN n keeps time travel to the last
+    n versions working; `older_than_ms` additionally retains every
+    version committed at-or-after the cutoff).  Returns deleted
+    table-relative paths."""
     commits = [v for v, _ in _commit_files(table)]
     keep_versions = commits[-max(1, keep_last):]
+    if older_than_ms is not None:
+        by_v = dict(_commit_files(table))
+        keep_versions = sorted(set(keep_versions) | {
+            v for v in commits
+            if os.path.getmtime(by_v[v]) * 1000 >= older_than_ms})
     live: set[str] = set()
     snap = None
     for v in keep_versions:
@@ -1899,6 +1907,39 @@ def vacuum_delta(spark: SparkSession, table: str,
             if fn.endswith(".parquet") and os.path.realpath(p) not in live:
                 os.remove(p)
                 removed.append(os.path.relpath(p, table))
+    return sorted(removed)
+
+
+def remove_orphan_delta_files(spark: SparkSession, table: str,
+                              older_than_ms: int | None = None
+                              ) -> list[str]:
+    """VACUUM TABLE ... REMOVE ORPHAN FILES [older_than = 'ts'] on a
+    Delta table: delete parquet files under the table referenced by NO
+    version of the log (aborted writes, leftover staging) — time travel
+    stays intact, unlike retention VACUUM.  The mtime cutoff protects
+    files an in-flight commit wrote but has not referenced yet.
+    Returns deleted table-relative paths."""
+    referenced: set[str] = set()
+    for v, _ in _commit_files(table):
+        snap = resolve_snapshot(spark, table, v)
+        referenced.update(os.path.realpath(os.path.join(table, rel))
+                          for rel in snap.files)
+    removed: list[str] = []
+    for root, dirs, files in os.walk(table):
+        # the log, CDF files, and DV sidecars are never data orphans
+        if _LOG_DIR in root or "_change_data" in root:
+            continue
+        for fn in files:
+            p = os.path.join(root, fn)
+            if not fn.endswith(".parquet"):
+                continue
+            if os.path.realpath(p) in referenced:
+                continue
+            if (older_than_ms is not None
+                    and os.path.getmtime(p) * 1000 >= older_than_ms):
+                continue
+            os.remove(p)
+            removed.append(os.path.relpath(p, table))
     return sorted(removed)
 
 

@@ -1924,17 +1924,31 @@ def rewrite_manifests_iceberg(table: str) -> int:
                             part_names, stats, carried, added=set())
 
 
-def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
-    """VACUUM TABLE EXPIRE SNAPSHOTS — retain the most recent
-    `keep_last` snapshots, then physically delete data files referenced
-    only by expired snapshots.  Returns deleted table-relative paths.
-    Reference: dremio-oss VACUUM TABLE ... EXPIRE SNAPSHOTS
-    (`VacuumTableHandler.java`)."""
+def expire_iceberg_snapshots(table: str, keep_last: int = 1,
+                             older_than_ms: int | None = None
+                             ) -> list[str]:
+    """VACUUM TABLE EXPIRE SNAPSHOTS [older_than = 'ts']
+    [retain_last = n] — expire snapshots strictly older than the cutoff
+    (default: everything but the newest), always retaining at least the
+    `keep_last` most recent regardless of age; then physically delete
+    data files referenced only by expired snapshots.  Returns deleted
+    table-relative paths.  Reference: dremio-oss VACUUM TABLE ...
+    EXPIRE SNAPSHOTS (`VacuumTableHandler.java`, options grammar
+    VacuumTableExpireSnapshotOptions, parserImpls.ftl:1264)."""
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: s["snapshot-id"])
     retained = snaps[-keep_last:] if keep_last > 0 else snaps
+    if older_than_ms is not None:
+        # age-based retention composes with retain_last: keep anything
+        # at-or-after the cutoff PLUS the retain_last newest
+        kept_ids = {s["snapshot-id"] for s in retained}
+        retained = retained + [
+            s for s in snaps
+            if s.get("timestamp-ms", 0) >= older_than_ms
+            and s["snapshot-id"] not in kept_ids]
+        retained.sort(key=lambda s: s["snapshot-id"])
     # any snapshot a ref (branch/tag) points at stays alive — tags pin
     # history against expiry, the spec's retention contract
     ref_sids = {int(r["snapshot-id"])
@@ -1962,6 +1976,42 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1) -> list[str]:
     mf = _metadata_file(table)
     with open(mf, "w") as f:
         json.dump(meta, f)
+    return sorted(removed)
+
+
+def remove_orphan_iceberg_files(table: str,
+                                older_than_ms: int | None = None
+                                ) -> list[str]:
+    """VACUUM TABLE ... REMOVE ORPHAN FILES [older_than = 'ts']:
+    delete parquet files under the table directory referenced by NO
+    snapshot at all (aborted writes, leftover staging) — history stays
+    intact, unlike EXPIRE SNAPSHOTS.  `older_than` guards against
+    deleting files an IN-FLIGHT commit just wrote but has not yet
+    referenced (the reference applies the same mtime cutoff,
+    VacuumTableRemoveOrphanFilesOptions).  Returns deleted
+    table-relative paths."""
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        snap = resolve_snapshot(table, s["snapshot-id"])
+        referenced.update(os.path.realpath(p) for p, _ in snap.files)
+        referenced.update(os.path.realpath(p) for p, _ in snap.deletes)
+        referenced.update(os.path.realpath(p) for p in snap.pos_deletes)
+    removed: list[str] = []
+    data_dir = os.path.join(table, "data")
+    for root, _, files in os.walk(data_dir):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if not fn.endswith(".parquet"):
+                continue
+            if os.path.realpath(p) in referenced:
+                continue
+            if (older_than_ms is not None
+                    and os.path.getmtime(p) * 1000 >= older_than_ms):
+                continue  # too fresh: may belong to an in-flight commit
+            os.remove(p)
+            removed.append(os.path.relpath(p, table))
     return sorted(removed)
 
 

@@ -2779,3 +2779,69 @@ def test_show_create_table_sql(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not a lakehouse"):
         eng.sql(f"show create table '{tmp_path}'")
+
+
+def test_vacuum_table_options_and_orphan_removal(spark, tmp_path):
+    """SqlVacuumTable option arms (parserImpls.ftl:1264-1306): EXPIRE
+    SNAPSHOTS retain_last keeps time travel to n versions; older_than
+    retains everything newer than the cutoff; REMOVE ORPHAN FILES
+    deletes only never-referenced parquet (history intact), with the
+    mtime cutoff protecting fresh unreferenced files."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                write_delta)
+    from dremio_oss_spark.sources.iceberg import (read_iceberg,
+                                                  resolve_snapshot,
+                                                  write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.range(20).select(F.col("id").alias("k"))
+
+    # --- delta: retain_last keeps older versions readable
+    td = str(tmp_path / "d")
+    write_delta(spark, df, td)
+    write_delta(spark, df.where("k < 10"), td, mode="overwrite")
+    write_delta(spark, df.where("k < 5"), td, mode="overwrite")
+    eng.sql(f"vacuum table '{td}' expire snapshots retain_last = 2")
+    assert read_delta(spark, td, version=1).count() == 10  # retained
+    assert read_delta(spark, td).count() == 5
+
+    # orphan: drop an unreferenced parquet into the table dir
+    orphan = os.path.join(td, "part-orphan.parquet")
+    spark.range(3).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(str(tmp_path / "o" / "*.parquet"))[0]
+    _shutil.copy(src, orphan)
+    # a FUTURE cutoff treats the file as too fresh: protected
+    eng.sql(f"vacuum table '{td}' remove orphan files "
+            f"older_than = '2000-01-01 00:00:00'")
+    assert os.path.exists(orphan)
+    # without a cutoff it goes; live data intact
+    eng.sql(f"vacuum table '{td}' remove orphan files")
+    assert not os.path.exists(orphan)
+    assert read_delta(spark, td).count() == 5
+
+    # --- iceberg: older_than retains newer snapshots
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df, ti)
+    write_iceberg(spark, df.where("k < 8"), ti, mode="overwrite")
+    cutoff_before_all = "2000-01-01 00:00:00"
+    eng.sql(f"vacuum table '{ti}' expire snapshots "
+            f"older_than = '{cutoff_before_all}' retain_last = 1")
+    # everything is newer than 2000: both snapshots retained
+    assert read_iceberg(spark, ti).count() == 8
+    # orphan removal on iceberg
+    orphan_i = os.path.join(ti, "data", "orphan.parquet")
+    _shutil.copy(src, orphan_i)
+    eng.sql(f"vacuum table '{ti}' remove orphan files")
+    assert not os.path.exists(orphan_i)
+    assert read_iceberg(spark, ti).count() == 8
+    sid = resolve_snapshot(ti).snapshot_id
+    assert read_iceberg(spark, ti, snapshot_id=sid).count() == 8
