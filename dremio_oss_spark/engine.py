@@ -1954,6 +1954,26 @@ class Engine:
             return self._status("ALTER TABLE RENAME COLUMN",
                                 f"{old} -> {new} @ {out}")
 
+        # CHANGE/ALTER/MODIFY COLUMN c [newname] newtype
+        # (SqlAlterTableChangeColumn, alter.ftl:152): widening type
+        # promotion and/or rename
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+(?:change|modify|alter)\s+"
+            r"column\s+(\w+)\s+(\w+)\s+([\w(),]+)\s*$", query, re.I)
+        if m:
+            path, col, new_name, new_type = m.groups()
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return None
+            out = (D.change_delta_column(self.spark, path, col,
+                                         new_name, new_type)
+                   if fmt == "delta"
+                   else I.change_iceberg_column(self.spark, path, col,
+                                                new_name, new_type))
+            return self._status(
+                "ALTER TABLE CHANGE COLUMN",
+                f"{col} -> {new_name} {new_type} @ {out}")
+
         # SET/UNSET TBLPROPERTIES (SqlAlterTableProperties): the spec's
         # properties map; write.delete/update/merge.mode (Iceberg) and
         # delta.enableDeletionVectors (Delta) route later DML to the

@@ -2130,6 +2130,58 @@ def rename_delta_column(spark: SparkSession, table: str,
                        partition_by=snap.partition_cols)
 
 
+_LEGAL_PROMOTIONS = {
+    # Iceberg's legal type promotions (spec "Schema Evolution") — the
+    # widenings every reader of old data can apply losslessly
+    ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("float", "double"),
+}
+
+
+def _check_promotion(old_t: str, new_t: str) -> None:
+    if old_t == new_t:
+        return
+    if (old_t, new_t) in _LEGAL_PROMOTIONS:
+        return
+    import re as _re
+
+    mo = _re.fullmatch(r"decimal\((\d+),(\d+)\)", old_t)
+    mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", new_t)
+    if mo and mn and mn.group(2) == mo.group(2) \
+            and int(mn.group(1)) >= int(mo.group(1)):
+        return  # precision widening at the same scale
+    raise ValueError(
+        f"illegal type change {old_t} -> {new_t}; only widening "
+        "promotions are allowed (int->bigint, float->double, "
+        "decimal precision growth — Iceberg schema-evolution rules)")
+
+
+def change_delta_column(spark: SparkSession, table: str, col: str,
+                        new_name: str, new_type: str) -> int:
+    """ALTER TABLE ... CHANGE/MODIFY COLUMN c [newname] newtype
+    (reference SqlAlterTableChangeColumn, alter.ftl:152): rename and/or
+    a WIDENING type promotion, validated against Iceberg's legal
+    promotions.  Same stated deviation as RENAME COLUMN: applied as a
+    copy-on-write rewrite (cast + rename) so every reader stays
+    correct without column-mapping metadata."""
+    snap = resolve_snapshot(spark, table)
+    if col in snap.partition_cols:
+        raise ValueError(f"cannot change partition column {col!r}")
+    types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    if col not in types:
+        raise ValueError(f"no column {col!r}")
+    if new_name != col and new_name in types:
+        raise ValueError(f"column {new_name!r} already exists")
+    _check_promotion(types[col], new_type.lower())
+    df = read_delta(spark, table)
+    df = df.withColumn(col, F.col(col).cast(new_type))
+    if new_name != col:
+        df = df.withColumnRenamed(col, new_name)
+    return write_delta(spark, df, table, mode="overwrite",
+                       partition_by=snap.partition_cols)
+
+
 def read_delta_incremental(spark: SparkSession, table: str,
                            from_version: int,
                            to_version: int | None = None) -> DataFrame:

@@ -2147,6 +2147,53 @@ def iceberg_history(table: str) -> list[dict]:
     ]
 
 
+def change_iceberg_column(spark: SparkSession, table: str, col: str,
+                          new_name: str, new_type: str) -> int:
+    """ALTER TABLE ... CHANGE/MODIFY COLUMN c [newname] newtype on an
+    Iceberg table (SqlAlterTableChangeColumn, alter.ftl:152): a
+    WIDENING type promotion (validated against the spec's legal
+    schema-evolution promotions) and/or a rename, applied as a
+    copy-on-write rewrite — same stated deviation as RENAME COLUMN."""
+    from .delta import _check_promotion
+
+    snap = resolve_snapshot(table)
+    if any(pf["source"] == col for pf in snap.spec_fields):
+        raise ValueError(f"cannot change partition source column {col!r}")
+    types = {f.name: f.dataType.simpleString()
+             for f in snap.schema.fields}
+    if col not in types:
+        raise ValueError(f"no column {col!r}")
+    if new_name != col and new_name in types:
+        raise ValueError(f"column {new_name!r} already exists")
+    _check_promotion(types[col], new_type.lower())
+    df = read_iceberg(spark, table)
+    df = df.withColumn(col, F.col(col).cast(new_type))
+    if new_name != col:
+        df = df.withColumnRenamed(col, new_name)
+    sid = write_iceberg(spark, df, table, mode="overwrite")
+    # point the metadata at a schema generation carrying the promoted
+    # type (and name) — field ids preserved, like the spec's evolution
+    from pyspark.sql.types import _parse_datatype_string
+
+    ice_t = _iceberg_type(_parse_datatype_string(new_type))
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    cur_id = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    fields = [({**fl, "name": new_name, "type": ice_t}
+               if fl["name"] == col else dict(fl))
+              for fl in cur["fields"]]
+    new_id = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"type": "struct", "schema-id": new_id,
+                    "fields": fields})
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_id
+    with open(_metadata_file(table), "w") as f:
+        json.dump(meta, f)
+    return sid
+
+
 def rename_iceberg_column(spark: SparkSession, table: str,
                           old: str, new: str) -> int:
     """ALTER TABLE ... RENAME COLUMN on an Iceberg table, as a

@@ -2845,3 +2845,45 @@ def test_vacuum_table_options_and_orphan_removal(spark, tmp_path):
     assert read_iceberg(spark, ti).count() == 8
     sid = resolve_snapshot(ti).snapshot_id
     assert read_iceberg(spark, ti, snapshot_id=sid).count() == 8
+
+
+def test_change_column_type_promotion(spark, tmp_path):
+    """ALTER TABLE ... CHANGE/MODIFY COLUMN (SqlAlterTableChangeColumn,
+    alter.ftl:152): widening promotions (int->bigint, float->double,
+    decimal precision growth) and renames apply on both formats;
+    narrowing and partition columns refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import read_delta, write_delta
+    from dremio_oss_spark.sources.iceberg import (read_iceberg,
+                                                  write_iceberg)
+
+    eng = Engine(spark)
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("v"),
+        (F.col("id") % 3).alias("p"))
+
+    td = str(tmp_path / "d")
+    write_delta(spark, df, td, partition_by=["p"])
+    eng.sql(f"alter table '{td}' change column k k bigint")
+    eng.sql(f"alter table '{td}' modify column v val double")
+    out = read_delta(spark, td)
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert dict(out.dtypes)["val"] == "double"
+    assert out.agg(F.sum("k")).collect()[0][0] == 45
+    with _pytest.raises(ValueError, match="illegal type change"):
+        eng.sql(f"alter table '{td}' change column k k int")  # narrow
+    with _pytest.raises(ValueError, match="partition"):
+        eng.sql(f"alter table '{td}' change column p p bigint")
+
+    ti = str(tmp_path / "i")
+    write_iceberg(spark, df.drop("p"), ti)
+    eng.sql(f"alter table '{ti}' change column k k bigint")
+    out = read_iceberg(spark, ti)
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert out.count() == 10
+    with _pytest.raises(ValueError, match="illegal type change"):
+        eng.sql(f"alter table '{ti}' change column v v int")
