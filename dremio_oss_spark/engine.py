@@ -925,15 +925,20 @@ class Engine:
         m = re.match(
             r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+create\s+"
             r"raw\s+reflection\s+(\w+)\s+using\s+display\s*\(([^)]*)\)"
-            r"(?:\s+localsort\s+by\s*\((\w+)\))?\s*$",
+            r"(?:\s+localsort\s+by\s*\((\w+)\))?"
+            r"(?:\s+refresh\s+by\s+append\s*\((\w+)\))?\s*$",
             query, re.I)
         if m:
-            t, name, cols_s, sort_col = m.groups()
+            t, name, cols_s, sort_col, wm = m.groups()
             cols = [c.strip() for c in cols_s.split(",") if c.strip()]
+            if wm and wm not in cols:
+                raise ValueError(
+                    f"watermark column {wm!r} must be a DISPLAY column")
             store = self._default_refl_store()
             store.create_raw_reflection(
                 name, self._resolve_table(t), table=t,
-                display_cols=cols, sort_col=sort_col)
+                display_cols=cols, sort_col=sort_col,
+                watermark_col=wm)
             return self._status("CREATE RAW REFLECTION",
                                 f"{name} on {t}: {len(cols)} columns")
         m = re.match(
@@ -1243,6 +1248,11 @@ class Engine:
         dims = {js.dim_table: self._resolve_table(js.dim_table)
                 for js in joins} or None
         if getattr(refl, "watermark_col", None):
+            if refl.name in store._raw:
+                # append-based raw incremental: new rows append as new
+                # files; existing files never rewrite
+                store.incremental_refresh_raw(refl.name, base)
+                return
             # the existing incremental machinery: only rows past the
             # watermark re-aggregate and merge into the partials
             src = store._join_star(base, joins, dims)

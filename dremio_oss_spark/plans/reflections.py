@@ -413,6 +413,9 @@ class RawReflection:
     cols: tuple[str, ...]
     path: str
     sort_col: str | None = None  # LOCALSORT layout, kept for rebuilds
+    # append-based incremental refresh watermark (REFRESH BY APPEND):
+    # rows past max(watermark_col) append to the current generation
+    watermark_col: str | None = None
     stale: bool = False
     invalid: bool = False  # quarantined after a failed refresh
     generation: int = 0    # see Reflection.generation
@@ -512,6 +515,7 @@ class ReflectionStore:
         table: str,
         display_cols: list[str],
         sort_col: str | None = None,
+        watermark_col: str | None = None,
     ) -> "RawReflection":
         """ALTER TABLE ... CREATE RAW REFLECTION: a column-projected
         (optionally sorted) copy.  Accelerates scans needing only
@@ -526,9 +530,39 @@ class ReflectionStore:
             proj = proj.sortWithinPartitions(sort_col)
         proj.write.mode("overwrite").parquet(os.path.join(path, "data"))
         refl = RawReflection(name, table, tuple(display_cols), path,
-                             sort_col=sort_col)
+                             sort_col=sort_col,
+                             watermark_col=watermark_col)
         self._raw[name] = refl
         return refl
+
+    def incremental_refresh_raw(self, name: str,
+                                source: DataFrame) -> int:
+        """Append-based incremental refresh for a RAW reflection
+        (the reference's append-only incremental,
+        IncrementalUpdateServiceUtils.java:46): rows past the stored
+        high-watermark append as NEW files into the current generation
+        — existing files are immutable, in-flight readers keep their
+        planned file list, and the refresh cost is O(new rows), never
+        a rescan.  Requires a declared watermark_col and an append-only
+        base (the same contract as the agg incremental path)."""
+        rr = self._raw[name]
+        if not rr.watermark_col:
+            raise ValueError(
+                f"raw reflection {name!r} has no watermark column; "
+                "use rebuild()")
+        cur = self._read_data(self._data_dir(rr))
+        hw = cur.agg(F.max(rr.watermark_col)).collect()[0][0]
+        new = source.select(*rr.cols)
+        if hw is not None:
+            new = new.where(F.col(rr.watermark_col) > F.lit(hw))
+        if rr.sort_col:
+            new = new.sortWithinPartitions(rr.sort_col)
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(self._data_dir(rr))
+            self.mutations += 1  # plan-cache sync
+        rr.stale = False
+        return n
 
     def rebuild(self, name: str, source: DataFrame,
                 dim_sources: dict[str, DataFrame] | None = None) -> None:

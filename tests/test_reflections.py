@@ -2648,3 +2648,65 @@ def test_condagg_and_dimgrain_over_nullable_star(spark, tmp_path):
             assert norm(got.collect()) == norm(spark.sql(q).collect()), q
     finally:
         eng._default_refl_store().drop("cns_r")
+
+
+def test_raw_incremental_refresh_appends_only(spark, tmp_path):
+    """RAW reflections with REFRESH BY APPEND(col): rows past the
+    high-watermark append as NEW files into the current generation —
+    existing files never rewrite (asserted by file set), refresh cost
+    is O(new rows), results stay exact, and the incremental path equals
+    a full rebuild."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+
+    base = spark.range(100).select(F.col("id").alias("k"),
+                                   (F.col("id") % 7).alias("v"))
+    p = str(tmp_path / "t")
+    base.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("rinc_t")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE rinc_t CREATE RAW REFLECTION r_inc "
+            "USING DISPLAY (k, v) LOCALSORT BY (k) "
+            "REFRESH BY APPEND (k)")
+    store = eng._default_refl_store()
+    refl = store._raw["r_inc"]
+    gen_dir = store._data_dir(refl)
+    files_before = set(glob.glob(os.path.join(gen_dir, "*.parquet")))
+    # grow the base (append-only), refresh incrementally
+    grown = base.unionByName(
+        spark.range(100, 130).select(F.col("id").alias("k"),
+                                     (F.col("id") % 7).alias("v")))
+    grown.write.mode("overwrite").parquet(str(tmp_path / "t2"))
+    spark.read.parquet(str(tmp_path / "t2")) \
+        .createOrReplaceTempView("rinc_t")
+    try:
+        n = store.incremental_refresh_raw(
+            "r_inc", spark.table("rinc_t"))
+        assert n == 30
+        files_after = set(glob.glob(os.path.join(gen_dir, "*.parquet")))
+        assert files_before <= files_after, "existing files rewritten"
+        assert len(files_after) > len(files_before)
+        # the materialization now answers with the full row set
+        got = eng.sql("select count(*) n, sum(k) s from rinc_t")
+        assert eng.last_plan_accelerated == "r_inc"
+        assert got.collect()[0][:] == (130, 130 * 129 // 2)
+        # idempotent: nothing past the watermark -> no new files
+        assert store.incremental_refresh_raw(
+            "r_inc", spark.table("rinc_t")) == 0
+        assert set(glob.glob(os.path.join(gen_dir, "*.parquet"))) \
+            == files_after
+        # a raw without a watermark refuses the incremental path
+        eng.sql("ALTER TABLE rinc_t CREATE RAW REFLECTION r_plain "
+                "USING DISPLAY (k)")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="watermark"):
+            store.incremental_refresh_raw("r_plain",
+                                          spark.table("rinc_t"))
+    finally:
+        store.drop("r_inc")
+        store.drop("r_plain")
