@@ -2690,6 +2690,38 @@ class Engine:
                     if df is not None:
                         self.last_plan_accelerated = got[1]
                         return df
+            if ex is None:
+                # UNION ALL of aggregate fragments: substitute every
+                # branch (all-or-nothing) and union positionally — SQL
+                # union names come from the first branch, which the
+                # substituted frames preserve, so conform() still
+                # verifies the output schema
+                from .plans.substitution import extract_union_branches
+
+                got_u = extract_union_branches(analyzed)
+                if got_u is not None:
+                    branches, order = got_u
+                    if all(not policied(b.tables) for b in branches):
+                        subs = [match_and_execute(self._refl_store, b)
+                                for b in branches]
+                    else:
+                        subs = [None]
+                    if all(s is not None for s in subs):
+                        from functools import reduce as _reduce
+
+                        from .plans.substitution import _sort_col
+
+                        u = _reduce(lambda a, b: a.union(b),
+                                    [s[0] for s in subs])
+                        if order:
+                            u = u.orderBy(*[
+                                _sort_col(F.col(n), asc, nf)
+                                for n, asc, nf in order])
+                        df = conform(u)
+                        if df is not None:
+                            self.last_plan_accelerated = ",".join(
+                                dict.fromkeys(s[1] for s in subs))
+                            return df
             # non-aggregate scan: a covering RAW reflection swaps the
             # scan (narrow sorted files) — the raw-reflection role
             if self._refl_store._raw:

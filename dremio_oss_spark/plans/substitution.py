@@ -1914,3 +1914,46 @@ def match_and_execute_raw(store, ex: ExtractedScan):
                 df = df.limit(ex.limit)
             return df, refl.name
     return None
+
+
+def extract_union_branches(analyzed_json: str
+                           ) -> tuple[list, list | None] | None:
+    """Top-level UNION ALL of independently-matchable aggregate
+    fragments (the stacked-rollup BI shape: two GROUP BYs unioned),
+    optionally under an ORDER BY over plain output columns.  Returns
+    (one ExtractedAgg per branch, order_spec) where order_spec is
+    [(output_name, ascending, nulls_first), ...] or None when no sort
+    wraps the union.  Returns None outright when the root shape or any
+    branch falls outside the matchable fragment — substitution is
+    all-or-nothing so a partially-accelerated union never mixes
+    materialized and live semantics in one result."""
+    try:
+        root = _tree(json.loads(analyzed_json))
+    except (KeyError, ValueError, TypeError):
+        return None
+    node, kids = root
+    order = None
+    if _cls(node) == "Sort":
+        order = []
+        for so_arr in node.get("order") or []:
+            try:
+                so, so_kids = _expr(so_arr)
+            except (ValueError, KeyError, TypeError, IndexError):
+                return None
+            if not so_kids or _cls(so_kids[0][0]) != "AttributeReference":
+                return None  # sort over an expression: out of fragment
+            order.append((
+                so_kids[0][0]["name"],
+                "Ascending" in str(so.get("direction")),
+                "NullsFirst" in str(so.get("nullOrdering"))))
+        node, kids = kids[0]
+    if _cls(node) != "Union" or len(kids) < 2:
+        return None
+    out = []
+    for child in kids:
+        try:
+            out.append(_Extractor(child).extract())
+        except (_Unsupported, KeyError, ValueError, TypeError,
+                IndexError):
+            return None
+    return out, order

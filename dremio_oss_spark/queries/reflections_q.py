@@ -1157,7 +1157,58 @@ order by o_orderpriority, o_orderkey
 """
 
 
+def transparent_union(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL of aggregate fragments — each branch substitutes
+    against its own covering reflection (DIFFERENT materializations
+    over different tables in one query), all-or-nothing so a partially
+    matched union never mixes materialized and live semantics.  The
+    reference's substitution likewise applies per-subtree
+    (SubstitutionProvider.java:40)."""
+    from ..catalog import register_testdata
+    from ..engine import Engine
+
+    register_testdata(spark, sf)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION t_un1 "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION t_un2 "
+            "USING DIMENSIONS (l_returnflag) "
+            "MEASURES (l_quantity (SUM, COUNT))")
+    df = eng.sql(
+        "select o_orderpriority as k, count(*) as n from orders "
+        "group by o_orderpriority "
+        "union all "
+        "select l_returnflag as k, count(*) as n from lineitem "
+        "group by l_returnflag "
+        "order by k, n")
+    assert eng.last_plan_accelerated == "t_un1,t_un2", \
+        "union-branch substitution missed"
+    # control: a branch over an uncovered grouping falls the whole
+    # union through
+    eng.sql("select o_orderpriority as k, count(*) as n from orders "
+            "group by o_orderpriority union all "
+            "select o_orderstatus as k, count(*) as n from orders "
+            "group by o_orderstatus")
+    assert eng.last_plan_accelerated is None, \
+        "unsound union substitution (uncovered branch)"
+    return df
+
+
+TRANSPARENT_UNION_SQL = """
+select k, n from (
+  select o_orderpriority as k, cast(count(*) as bigint) as n
+  from orders group by o_orderpriority
+  union all
+  select l_returnflag as k, cast(count(*) as bigint) as n
+  from lineitem group by l_returnflag
+)
+order by k, n
+"""
+
+
 REFLECTION_QUERIES = {
+    "refl_transparent_union": transparent_union,
     "refl_raw_window": raw_any_shape,
     "refl_transparent_sql": transparent_sql,
     "refl_transparent_raw": transparent_raw,
@@ -1184,6 +1235,7 @@ REFLECTION_QUERIES = {
 }
 
 REFLECTION_ORACLE = {
+    "refl_transparent_union": TRANSPARENT_UNION_SQL,
     "refl_raw_window": RAW_ANY_SHAPE_SQL,
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,
     "refl_transparent_raw": TRANSPARENT_RAW_SQL,

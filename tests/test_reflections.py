@@ -2710,3 +2710,65 @@ def test_raw_incremental_refresh_appends_only(spark, tmp_path):
     finally:
         store.drop("r_inc")
         store.drop("r_plain")
+
+
+def test_union_branch_substitution(spark):
+    """UNION ALL of aggregate fragments substitutes all-or-nothing:
+    each branch answers from its own covering reflection (possibly
+    DIFFERENT reflections over different tables — multi-
+    materialization in one query), a single unmatchable branch falls
+    the whole union through, and plain UNION (distinct) refuses."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION ub_r1 "
+            "USING DIMENSIONS (o_orderpriority, o_orderstatus) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION ub_r2 "
+            "USING DIMENSIONS (l_returnflag) "
+            "MEASURES (l_quantity (SUM))")
+    try:
+        def norm(rows):
+            return sorted(map(tuple, rows),
+                          key=lambda t: tuple((x is None, str(x))
+                                              for x in t))
+
+        q = ("select o_orderpriority as k, count(*) as n from orders "
+             "group by o_orderpriority union all "
+             "select o_orderstatus as k, count(*) as n from orders "
+             "group by o_orderstatus")
+        got = eng.sql(q)
+        assert eng.last_plan_accelerated == "ub_r1"
+        assert norm(got.collect()) == norm(spark.sql(q).collect())
+
+        q2 = ("select o_orderpriority as k, count(*) as n from orders "
+              "group by o_orderpriority union all "
+              "select l_returnflag as k, count(*) as n from lineitem "
+              "group by l_returnflag")
+        got = eng.sql(q2)
+        assert eng.last_plan_accelerated == "ub_r1,ub_r2"
+        assert norm(got.collect()) == norm(spark.sql(q2).collect())
+
+        # an unmatchable branch (computed group key) falls the whole
+        # union through — never a mixed materialized/live result
+        q3 = ("select o_orderpriority as k, count(*) as n from orders "
+              "group by o_orderpriority union all "
+              "select cast(o_orderdate as string) as k, count(*) as n "
+              "from orders group by o_orderdate")
+        got = eng.sql(q3)
+        assert eng.last_plan_accelerated is None
+        assert norm(got.collect()) == norm(spark.sql(q3).collect())
+
+        # UNION (distinct) refuses: the dedup wrapper is outside the
+        # matched fragment
+        q4 = ("select o_orderpriority as k from orders group by "
+              "o_orderpriority union select o_orderstatus as k "
+              "from orders group by o_orderstatus")
+        got = eng.sql(q4)
+        assert eng.last_plan_accelerated is None
+        assert norm(got.collect()) == norm(spark.sql(q4).collect())
+    finally:
+        eng._default_refl_store().drop("ub_r1")
+        eng._default_refl_store().drop("ub_r2")
