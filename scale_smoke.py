@@ -390,6 +390,46 @@ def _packing(docs):
     return pack_sequences(toks, "n_tok", "doc_id", context_len=2048)
 
 
+def plan_cache_case(spark, n_repeats: int = 30) -> None:
+    """Statement plan cache (reference PlanCache.java): the FIRST run of
+    a SELECT pays analysis + substitution probing; repeats serve the
+    cached plan — planning latency per statement must drop by an order
+    of magnitude at BI dashboard-style repetition rates.  Measures
+    PLANNING only (engine.sql returns a lazy frame; no collect)."""
+    import tempfile
+
+    from dremio_oss_spark.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="plancache_")
+    spark.range(200_000).selectExpr(
+        "id as k", "id % 13 as d", "cast(id as double) as v"
+    ).write.mode("overwrite").parquet(os.path.join(d, "t"))
+    spark.read.parquet(os.path.join(d, "t")).createOrReplaceTempView(
+        "pc_t")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE pc_t CREATE AGGREGATE REFLECTION pc_r "
+            "USING DIMENSIONS (d) MEASURES (v (SUM, COUNT))")
+    q = "select d, sum(v) s, count(*) n from pc_t group by d having count(*) > 10"
+    t0 = time.perf_counter()
+    eng.sql(q)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_repeats):
+        eng.sql(q)
+    t_rep = (time.perf_counter() - t0) / n_repeats
+    assert eng.plan_cache_hits >= n_repeats
+    assert eng.last_plan_accelerated == "pc_r"
+    print(json.dumps({
+        "op": "plan_cache", "first_plan_ms": round(t_first * 1000, 1),
+        "cached_plan_ms": round(t_rep * 1000, 2),
+        "speedup_x": round(t_first / max(t_rep, 1e-9), 1),
+        "hits": eng.plan_cache_hits,
+    }))
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
@@ -405,6 +445,7 @@ def main() -> None:
 
     metadata_scale_case(spark, n_files=12_000)
     footer_stats_threshold_case(spark, n_files=200)
+    plan_cache_case(spark)
     engine_distributed_plan_case(spark, n_files=120_000)
     dv_decode_scale_case(spark, n_files=20_000)
     eq_delete_seq_scale_case(spark, n_files=20_000)
