@@ -549,3 +549,32 @@ def test_iceberg_eq_delete_sequence_model_based(spark, tmp_path):
         write_iceberg(spark, to_df({k0: 7.25}), t, mode="append")
         model[k0] = 7.25
         check()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**40),  # multi-key span
+            st.integers(min_value=0, max_value=70_000),  # container edge
+        ),
+        min_size=0, max_size=400),
+    st.one_of(st.none(), st.tuples(
+        st.integers(min_value=0, max_value=100_000),
+        st.integers(min_value=1, max_value=8_000))),
+)
+def test_roaring_roundtrip_property(vals, dense_run):
+    """RoaringFormatSpec codec roundtrip: random sparse positions
+    (across 32-bit key buckets), container-boundary values, and a
+    dense contiguous run (array->bitmap container switch) all decode
+    back to the exact input set."""
+    from dremio_oss_spark.sources.roaring import (decode_rbm_array,
+                                                  encode_rbm_array)
+
+    poss = set(vals)
+    if dense_run:
+        start, n = dense_run
+        poss |= set(range(start, start + n))  # forces bitmap containers
+    want = sorted(poss)
+    got = decode_rbm_array(encode_rbm_array(want))
+    assert got == want
