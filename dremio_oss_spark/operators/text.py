@@ -345,3 +345,50 @@ def quality_classifier(col: Column) -> list[Column]:
     return [w_sum.alias("clf_sum"),
             mean.alias("clf_mean"),
             (mean >= 0).alias("clf_keep")]
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     alpha: float = 1.0) -> DataFrame:
+    """Count-based bigram language-model scoring — the deterministic
+    core of PERPLEXITY FILTERING (the CCNet-style curation step; a real
+    deployment swaps the corpus counts for a pretrained KenLM table,
+    the plan shape is identical): per token position,
+
+        logp_i = ln((c(w_{i-1}, w_i) + alpha) / (c(w_{i-1}) + alpha·V))
+
+    with add-alpha smoothing over the corpus vocabulary V; the doc
+    score is the mean logp (higher = more typical text, the filter
+    threshold's axis).
+
+    Determinism across engines (the tfidf/bm25 discipline): every log
+    computes once per position, quantizes to decimal(18,9), sums
+    exactly (order-independent), and only the final mean rounds to 6.
+
+    Scale: ONE explode for unigram counts, ONE for bigram counts (the
+    inverted-index shape), two equi-joins back — no all-pairs, no
+    driver state; counts tables are vocabulary-sized."""
+    toks = tokens(F.col(text_col))
+    base = (df.select(id_col, toks.alias("__t"))
+            .where(F.size("__t") >= 2))
+    uni = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    vocab = uni.count()  # scalar: corpus vocabulary size
+    bi = base.select(
+        id_col,
+        F.expr("explode(transform(sequence(1, size(__t) - 1), "
+               "i -> struct(__t[i-1] as w1, __t[i] as w2)))").alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            id_col,
+            F.log((F.col("cb") + F.lit(float(alpha)))
+                  / (F.col("cu") + F.lit(float(alpha)) * vocab))
+            .cast("decimal(18,9)").alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round((F.sum("lp") / F.count(F.lit(1)))
+                         .cast("double"), 6).alias("mean_logp")))

@@ -1445,7 +1445,54 @@ order by doc_id
 """
 
 
+def llm_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-based bigram LM scoring (operators/text.py
+    bigram_lm_scores) — the deterministic core of perplexity filtering:
+    add-one-smoothed ln p(w_i | w_{i-1}) from corpus counts, mean per
+    doc.  Logs quantize to decimal(18,9) before the order-independent
+    exact sum (the tfidf/bm25 discipline), so the oracle replays the
+    identical arithmetic."""
+    from ..operators.text import bigram_lm_scores
+
+    return (bigram_lm_scores(load(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
+LLM_BIGRAM_LM_SQL = """
+with toks as (
+  select doc_id, string_split_regex(trim(lower(text)), '\\s+') as t
+  from documents
+), uni as (
+  select unnest(t) as w from toks
+), ucnt as (
+  select w, count(*) as cu from uni group by w
+), voc as (
+  select cast(count(*) as double) as v from ucnt
+), bi as (
+  select doc_id, t[i] as w1, t[i + 1] as w2
+  from toks, unnest(generate_series(1, len(t) - 1)) as g(i)
+  where len(t) >= 2
+), bcnt as (
+  select w1, w2, count(*) as cb from bi group by w1, w2
+), scored as (
+  select bi.doc_id,
+         cast(ln((cb + 1.0) / (cu + 1.0 * v)) as decimal(18,9)) as lp
+  from bi
+  join bcnt using (w1, w2)
+  join ucnt on bi.w1 = ucnt.w
+  cross join voc
+)
+select doc_id,
+       cast(count(*) as bigint) as n_bigrams,
+       round(cast(sum(lp) / count(*) as double), 6) as mean_logp
+from scored
+group by doc_id
+order by doc_id
+"""
+
+
 LLMOPS_QUERIES = {
+    "llm_bigram_lm": llm_bigram_lm,
     "llm_quality_classifier": llm_quality_classifier,
     "llm_chunking": llm_chunking,
     "llm_global_shuffle": llm_global_shuffle,
@@ -1479,6 +1526,7 @@ LLMOPS_QUERIES = {
 }
 
 LLMOPS_ORACLE = {
+    "llm_bigram_lm": LLM_BIGRAM_LM_SQL,
     "llm_quality_classifier": LLM_QUALITY_CLASSIFIER_SQL,
     "llm_chunking": LLM_CHUNKING_SQL,
     "llm_global_shuffle": LLM_GLOBAL_SHUFFLE_SQL,

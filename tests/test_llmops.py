@@ -518,3 +518,31 @@ def test_quality_classifier_row_local_and_deterministic(spark):
         assert rows[k]["clf_keep"] == (rows[k]["clf_mean"] >= 0)
     # score bounds: |mean| <= 1 by construction
     assert all(abs(r["clf_mean"]) <= 1.0 for r in rows.values())
+
+
+def test_bigram_lm_scores_reference(spark):
+    """Bigram LM scores equal a hand-computed reference on a tiny
+    corpus: smoothed in-corpus probabilities, per-doc means, and docs
+    shorter than one bigram are excluded."""
+    import math
+
+    from dremio_oss_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "c c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 3 not in out  # a single token has no bigram
+    # corpus: tokens a*3 b*3 z*1 c*2 -> V=4
+    # bigrams: (a,b)x3 (b,a)x1 (c,c)x1
+    V = 4
+
+    def lp(cb, cu):
+        return round(math.log((cb + 1) / (cu + V)), 9)
+
+    d1 = (lp(3, 3) + lp(1, 3) + lp(3, 3)) / 3  # a-b, b-a, a-b
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_logp"] - round(d1, 6)) < 1e-9
+    d4 = lp(1, 2)  # c-c over context c (cu=2)
+    assert out[4]["n_bigrams"] == 1
+    assert abs(out[4]["mean_logp"] - round(d4, 6)) < 1e-9
