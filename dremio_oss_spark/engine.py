@@ -2247,8 +2247,12 @@ class Engine:
             query, re.I)
         if m:
             # SqlAlterClearPlanCache: drop cached plans/relations so the
-            # next query replans from scratch
+            # next query replans from scratch.  The engine's statement
+            # PLAN CACHE already cleared before dispatch (every
+            # non-SELECT invalidates wholesale); this also drops Spark's
+            # cached relations
             self.spark.catalog.clearCache()
+            getattr(self, "_plan_cache", {}).clear()
             return self._status("CLEAR PLAN CACHE", "ok")
         m = re.match(
             r"\s*(create|drop)\s+(user|role)\s+(\w+)\s*$", query, re.I)

@@ -2772,3 +2772,63 @@ def test_union_branch_substitution(spark):
     finally:
         eng._default_refl_store().drop("ub_r1")
         eng._default_refl_store().drop("ub_r2")
+
+
+def test_round8_feature_composition(spark):
+    """The round-8 features composed in ONE session: agg + raw
+    reflections accelerate union and window shapes, plan-cache hits
+    preserve the acceleration markers, and — the security-critical
+    interaction — attaching a row policy immediately stops BOTH
+    acceleration paths AND the plan cache never serves a pre-policy
+    plan (the policy DDL invalidates wholesale)."""
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION fc_agg "
+            "USING DIMENSIONS (o_orderpriority) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    eng.sql("ALTER TABLE orders CREATE RAW REFLECTION fc_raw "
+            "USING DISPLAY (o_orderkey, o_custkey, o_orderpriority)")
+    q_agg = ("select o_orderpriority, count(*) as n from orders "
+             "group by o_orderpriority")
+    q_win = ("select o_custkey, row_number() over (order by o_orderkey)"
+             " as rn from orders where o_orderpriority = '1-URGENT'")
+    try:
+        n_all = eng.sql(q_agg)
+        assert eng.last_plan_accelerated == "fc_agg"
+        total_all = sum(r["n"] for r in n_all.collect())
+        eng.sql(q_win)
+        assert eng.last_plan_accelerated == "fc_raw"
+        # cache hits preserve the markers
+        h0 = eng.plan_cache_hits
+        eng.sql(q_agg)
+        assert eng.plan_cache_hits == h0 + 1
+        assert eng.last_plan_accelerated == "fc_agg"
+        eng.sql(q_win)
+        assert eng.last_plan_accelerated == "fc_raw"
+
+        # row policy attaches -> NO acceleration path may serve raw
+        # rows, and the plan cache must not serve the pre-policy plans
+        eng.sql("create function fc_pol(pri string) return "
+                "pri = '1-URGENT'")
+        eng.sql("alter table orders add row access policy "
+                "fc_pol(o_orderpriority)")
+        filtered = eng.sql(q_agg)
+        assert eng.last_plan_accelerated is None, \
+            "policied table served from a reflection"
+        rows = filtered.collect()
+        assert sum(r["n"] for r in rows) < total_all
+        assert {r["o_orderpriority"] for r in rows} == {"1-URGENT"}
+        eng.sql(q_win)
+        assert eng.last_plan_accelerated is None
+
+        # dropping the policy restores acceleration (fresh plans)
+        eng.sql("alter table orders drop row access policy "
+                "fc_pol(o_orderpriority)")
+        eng.sql(q_agg)
+        assert eng.last_plan_accelerated == "fc_agg"
+    finally:
+        eng._default_refl_store().drop("fc_agg")
+        eng._default_refl_store().drop("fc_raw")
