@@ -817,6 +817,10 @@ class _Extractor:
                 self.expr_alias[_attr_id(gattr)] = \
                     self.expr_alias[_attr_id(src)]
         self.env[_attr_id(gid_attr)] = None  # refuse via _resolve
+        # remembered so grouping()/grouping_id() OUTPUTS can classify:
+        # within one expanded set the id is a constant, so those
+        # outputs splice as per-set literals at match time
+        self._gid_attr = _attr_id(gid_attr)
         sets: list[tuple[int, tuple]] = []
         for row in rows:
             if len(row) != len(out_exprs):
@@ -1220,9 +1224,14 @@ class _Extractor:
         # aggregate output list
         outputs: list[tuple[str, str, object, int]] = []
         casts_map: dict[str, str] = {}
+        gid_id = getattr(self, "_gid_attr", None)
         for item in agg["aggregateExpressions"]:
             top, tkids = _expr(item)
             if _cls(top) == "AttributeReference":
+                if gid_id is not None and _attr_id(top) == gid_id:
+                    outputs.append((top["name"], "gid", None,
+                                    _attr_id(top)))
+                    continue
                 outputs.append((top["name"], "dim",
                                 self._dim_key(top, []),
                                 _attr_id(top)))
@@ -1236,6 +1245,28 @@ class _Extractor:
                 child, ckids = ckids[0]
             if cast_to is not None:
                 casts_map[top["name"]] = cast_to
+            # grouping_id() / grouping(col): expressions over the
+            # synthetic grouping-id attr — constant within each
+            # expanded set, so they splice as per-set literals
+            if (gid_id is not None
+                    and _cls(child) == "AttributeReference"
+                    and _attr_id(child) == gid_id):
+                outputs.append((top["name"], "gid", None,
+                                _attr_id(top)))
+                continue
+            if gid_id is not None and _cls(child) == "BitwiseAnd":
+                (ln4, lk4), (rn4, _rk4) = ckids
+                if (_cls(ln4) == "ShiftRight"
+                        and _cls(rn4) == "Literal"
+                        and str(rn4.get("value")) == "1"):
+                    (an4, _ak4), (kn4, _kk4) = lk4
+                    if (_cls(an4) == "AttributeReference"
+                            and _attr_id(an4) == gid_id
+                            and _cls(kn4) == "Literal"):
+                        outputs.append((top["name"], "gbit",
+                                        int(kn4["value"]),
+                                        _attr_id(top)))
+                        continue
             if _cls(child) != "AggregateExpression":
                 try:
                     # a group-by key (plain column or the same temporal
@@ -1658,6 +1689,11 @@ def match_and_execute(store, ex: ExtractedAgg):
                      + [_ca_name(p) for p in ex.condaggs]
                      + [_ae_name(k) for k in ae_keys]
                      + [m.name for m in ex.measures])
+        # grouping()/grouping_id() outputs: constants within a set —
+        # each frame carries its set's id as a literal column
+        needs_gid = any(k in ("gid", "gbit") for _, k, _p in ex.outputs)
+        if needs_gid:
+            agg_names = agg_names + ["__gs_gid"]
         frames = []
         for _gid, mask in ex.grouping_sets:
             g_cols = [_dim_col(k).alias(internal[k])
@@ -1670,6 +1706,9 @@ def match_and_execute(store, ex: ExtractedAgg):
                     fset = fset.withColumn(
                         internal[k],
                         F.lit(None).cast(dtypes[internal[k]]))
+            if needs_gid:
+                fset = fset.withColumn(
+                    "__gs_gid", F.lit(int(_gid)).cast("bigint"))
             frames.append(fset.select(*names, *agg_names))
         df = _reduce(lambda a, b: a.unionByName(b), frames)
     elif aggs:
@@ -1735,6 +1774,11 @@ def match_and_execute(store, ex: ExtractedAgg):
             col = F.col(_ca_name(payload))
         elif kind == "avgexpr":
             col = F.col(_ae_name(payload))
+        elif kind == "gid":  # per-set literal carried by each frame
+            col = F.col("__gs_gid")
+        elif kind == "gbit":  # grouping(col): one bit of the set id
+            col = F.shiftright(F.col("__gs_gid"),
+                               int(payload)).bitwiseAND(F.lit(1))
         else:
             col = F.col(payload.name)
         cast_to = (ex.casts or {}).get(out_name)

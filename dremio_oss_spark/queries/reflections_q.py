@@ -704,16 +704,11 @@ def transparent_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "MEASURES (l_quantity (SUM), l_orderkey (COUNT))")
     df = eng.sql(
         "select l_returnflag, l_linestatus, "
+        "grouping(l_linestatus) as g, grouping_id() as gid, "
         "sum(l_quantity) as s, count(l_orderkey) as n "
         "from lineitem group by rollup(l_returnflag, l_linestatus)")
     assert eng.last_plan_accelerated == "t_gs", \
         "rollup substitution missed"
-    # control: grouping() indicator refuses
-    eng.sql("select l_returnflag, grouping(l_returnflag) as g, "
-            "count(l_orderkey) as n from lineitem "
-            "group by rollup(l_returnflag)")
-    assert eng.last_plan_accelerated is None, \
-        "unsound grouping() substitution"
     # control: non-dim rollup column refuses
     eng.sql("select l_shipdate, count(l_orderkey) as n from lineitem "
             "group by rollup(l_shipdate)")
@@ -722,11 +717,16 @@ def transparent_rollup(spark: SparkSession, sf: str) -> DataFrame:
     # decimal-exact emitted sum for the cross-engine hash
     return df.select(
         "l_returnflag", "l_linestatus",
+        F.col("g").cast("bigint").alias("g"),
+        F.col("gid").cast("bigint").alias("gid"),
         F.round(F.col("s").cast("double"), 2).alias("s"), "n")
 
 
 TRANSPARENT_ROLLUP_SQL = """
 select l_returnflag, l_linestatus,
+       cast(grouping(l_linestatus) as bigint) as g,
+       cast(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+            as bigint) as gid,
        round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2)
          as s,
        count(l_orderkey) as n

@@ -1803,11 +1803,14 @@ def test_rollup_cube_grouping_sets_substitute(spark):
         assert eng.last_plan_accelerated == "gsr", q
         assert canon(df) == canon(spark.sql(q)), q
 
-    # control: grouping() indicator output falls through
-    eng.sql("select l_returnflag, grouping(l_returnflag) as g, "
-            "count(l_orderkey) as n from lineitem "
-            "group by rollup(l_returnflag)")
-    assert eng.last_plan_accelerated is None
+    # grouping()/grouping_id() outputs now SUBSTITUTE: constants
+    # within each expanded set, spliced as per-set literals
+    qg = ("select l_returnflag, grouping(l_returnflag) as g, "
+          "grouping_id() as gid, count(l_orderkey) as n from lineitem "
+          "group by rollup(l_returnflag)")
+    dfg = eng.sql(qg)
+    assert eng.last_plan_accelerated == "gsr"
+    assert canon(dfg) == canon(spark.sql(qg))
     # control: rollup over a non-dim column falls through
     eng.sql("select l_shipdate, count(l_orderkey) as n from lineitem "
             "group by rollup(l_shipdate)")
