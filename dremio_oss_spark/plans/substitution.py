@@ -404,6 +404,9 @@ class ExtractedAgg:
     # avg-over-expression-dim keys referenced by HAVING or inside
     # post-agg arithmetic (their __ae_ rollup columns must compute)
     extra_avgexprs: tuple = ()
+    # HAVING references grouping()/grouping_id(): the per-set frames
+    # must carry the __gs_gid literal even when no output projects it
+    having_gid: bool = False
     # base columns conditional-agg CASE predicates reference — matched
     # as extra dims (the cell-constant reduction needs them stored)
     condagg_cols: tuple = ()
@@ -1342,6 +1345,7 @@ class _Extractor:
         having_dd: list[tuple] = []
         having_ca: list[tuple] = []
         having_ae: list[tuple] = []
+        having_gid: list[bool] = []
 
         def having_name(attr):
             got = by_id.get(_attr_id(attr))
@@ -1354,6 +1358,12 @@ class _Extractor:
             if k == "avgexpr":
                 having_ae.append(p)
                 return _ae_name(p)
+            if k == "gid":  # HAVING grouping_id() = n: per-set literal
+                having_gid.append(True)
+                return "__gs_gid"
+            if k == "gbit":
+                having_gid.append(True)
+                return f"(shiftright(__gs_gid, {p}) & 1)"
             if k == "measure":
                 return p.name
             if k == "avg":  # reduced form spliced as an expression
@@ -1508,6 +1518,7 @@ class _Extractor:
             extra_cdistincts=tuple(dict.fromkeys(having_dd)),
             extra_condaggs=tuple(dict.fromkeys(having_ca)),
             extra_avgexprs=tuple(dict.fromkeys(having_ae)),
+            having_gid=bool(having_gid),
             condagg_cols=tuple(dict.fromkeys(self.condagg_cols)),
             casts=casts_map,
             qualified=dict(self.qualified),
@@ -1691,7 +1702,9 @@ def match_and_execute(store, ex: ExtractedAgg):
                      + [m.name for m in ex.measures])
         # grouping()/grouping_id() outputs: constants within a set —
         # each frame carries its set's id as a literal column
-        needs_gid = any(k in ("gid", "gbit") for _, k, _p in ex.outputs)
+        needs_gid = (any(k in ("gid", "gbit")
+                         for _, k, _p in ex.outputs)
+                     or ex.having_gid)
         if needs_gid:
             agg_names = agg_names + ["__gs_gid"]
         frames = []

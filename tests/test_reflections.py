@@ -1811,6 +1811,20 @@ def test_rollup_cube_grouping_sets_substitute(spark):
     dfg = eng.sql(qg)
     assert eng.last_plan_accelerated == "gsr"
     assert canon(dfg) == canon(spark.sql(qg))
+    # HAVING over grouping_id()/grouping(): filters to detail or
+    # subtotal rows via the per-set literal carried by each frame
+    for qh in (
+        "select l_returnflag, l_linestatus, count(l_orderkey) as n "
+        "from lineitem group by rollup(l_returnflag, l_linestatus) "
+        "having grouping_id() = 0",
+        "select l_returnflag, l_linestatus, "
+        "grouping(l_linestatus) as gs, count(l_orderkey) as n "
+        "from lineitem group by rollup(l_returnflag, l_linestatus) "
+        "having grouping(l_linestatus) = 1",
+    ):
+        dfh = eng.sql(qh)
+        assert eng.last_plan_accelerated == "gsr", qh
+        assert canon(dfh) == canon(spark.sql(qh)), qh
     # control: rollup over a non-dim column falls through
     eng.sql("select l_shipdate, count(l_orderkey) as n from lineitem "
             "group by rollup(l_shipdate)")
