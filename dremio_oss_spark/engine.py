@@ -2704,7 +2704,7 @@ class Engine:
 
                 got_u = extract_union_branches(analyzed)
                 if got_u is not None:
-                    branches, order = got_u
+                    branches, order, u_limit = got_u
                     if all(not policied(b.tables) for b in branches):
                         subs = [match_and_execute(self._refl_store, b)
                                 for b in branches]
@@ -2721,6 +2721,9 @@ class Engine:
                             u = u.orderBy(*[
                                 _sort_col(F.col(n), asc, nf)
                                 for n, asc, nf in order])
+                        if u_limit is not None:
+                            # sort+limit plans as TakeOrderedAndProject
+                            u = u.limit(u_limit)
                         df = conform(u)
                         if df is not None:
                             self.last_plan_accelerated = ",".join(

@@ -1989,6 +1989,20 @@ def extract_union_branches(analyzed_json: str
     except (KeyError, ValueError, TypeError):
         return None
     node, kids = root
+    limit = None
+    if _cls(node) == "GlobalLimit":
+        # LIMIT peels as the usual GlobalLimit/LocalLimit PAIR carrying
+        # the same literal (the leaderboard shape: union + order +
+        # limit); a bare/mismatched pair refuses
+        gl, _glk = _expr(node["limitExpr"])
+        inner, ikids = kids[0]
+        if _cls(inner) != "LocalLimit" or _cls(gl) != "Literal":
+            return None
+        ll, _llk = _expr(inner["limitExpr"])
+        if _cls(ll) != "Literal" or ll.get("value") != gl.get("value"):
+            return None
+        limit = int(gl["value"])
+        node, kids = ikids[0]
     order = None
     if _cls(node) == "Sort":
         order = []
@@ -2006,6 +2020,8 @@ def extract_union_branches(analyzed_json: str
         node, kids = kids[0]
     if _cls(node) != "Union" or len(kids) < 2:
         return None
+    if limit is not None and order is None:
+        return None  # LIMIT without total ORDER: row-arbitrary, refuse
     out = []
     for child in kids:
         try:
@@ -2013,4 +2029,4 @@ def extract_union_branches(analyzed_json: str
         except (_Unsupported, KeyError, ValueError, TypeError,
                 IndexError):
             return None
-    return out, order
+    return out, order, limit

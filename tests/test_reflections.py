@@ -2778,6 +2778,22 @@ def test_union_branch_substitution(spark):
         assert eng.last_plan_accelerated is None
         assert norm(got.collect()) == norm(spark.sql(q3).collect())
 
+        # ORDER BY + LIMIT over the union (the leaderboard shape):
+        # the limit pair peels, sort+limit re-apply post-union
+        q_ol = ("select o_orderpriority as k, count(*) as n from "
+                "orders group by o_orderpriority union all "
+                "select o_orderstatus as k, count(*) as n from orders "
+                "group by o_orderstatus order by n desc, k limit 4")
+        got = eng.sql(q_ol)
+        assert eng.last_plan_accelerated == "ub_r1"
+        assert [tuple(r) for r in got.collect()] == \
+            [tuple(r) for r in spark.sql(q_ol).collect()]
+        # LIMIT without a total ORDER is row-arbitrary: refuses
+        eng.sql("select o_orderpriority as k from orders group by "
+                "o_orderpriority union all select o_orderstatus as k "
+                "from orders group by o_orderstatus limit 3")
+        assert eng.last_plan_accelerated is None
+
         # UNION (distinct) refuses: the dedup wrapper is outside the
         # matched fragment
         q4 = ("select o_orderpriority as k from orders group by "
