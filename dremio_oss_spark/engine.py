@@ -2407,6 +2407,12 @@ class Engine:
         self.last_plan_accelerated = None
         if getattr(self, "_accel_disabled", 0):
             return None  # view-definition planning must not substitute
+        if re.search(r"\b(?:sys|information_schema)\.", query, re.I):
+            # engine catalog views resolve AFTER this probe
+            # (_expand_sys_tables); analyzing them raw would just log a
+            # TABLE_OR_VIEW_NOT_FOUND at ERROR level before the
+            # fall-through — and sys.* is never accelerable anyway
+            return None
         store = getattr(self, "_refl_store", None)
         if store is None or not (store._reflections or store._raw
                                  or getattr(store, "_external", None)):
