@@ -208,6 +208,12 @@ class Engine:
         # (USE ... IN '<path>') overrides; explicit AT clauses win
         self._use_version: tuple[str, str] | None = None
         self._use_version_in: dict[str, tuple[str, str]] = {}
+        # versioned (Nessie dataplane) sources: name -> commit-store
+        # root (sources/dataplane.py).  Per-source USE BRANCH context:
+        # name -> (kind, ref); explicit AT clauses win
+        # (DataplanePlugin.java, parserImpls.ftl:943)
+        self._versioned_sources: dict[str, str] = {}
+        self._use_version_src: dict[str, tuple[str, str]] = {}
         # ALTER USER ... SET PASSWORD surface (SqlAlterUser): principals
         # carry an optional salted credential; no authn happens locally
         self._passwords: dict[str, str] = {}
@@ -2238,10 +2244,108 @@ class Engine:
             reg = self._pipe_registry = PipeRegistry(self.spark)
         return reg
 
+    # -- ANALYZE TABLE statistics (StatisticsService.java) -------------------
+    def analyze_statistics(self, target: str,
+                           columns: list[str] | None = None,
+                           delete: bool = False) -> dict | None:
+        """ANALYZE TABLE <t> FOR [ALL] COLUMNS [(...)] COMPUTE|DELETE
+        STATISTICS (reference `SqlAnalyzeTableStatistics`,
+        `StatisticsService.java`): one pass computes rowcount / nulls /
+        NDV / min / max plus quantile histograms (the t-digest role —
+        see plans/statistics.py) and lands them in the engine stats
+        store (sys.statistics / sys.histograms).
+
+        CBO wiring: when the target is a CATALOG table (not a temp
+        view), the same statement also issues Spark's native
+        `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]` so
+        Catalyst's cost-based optimizer (join reorder, broadcast
+        thresholds) consumes the numbers — the reference feeds
+        `DremioCost`/`RelMdDistinctRowCount` from the same store."""
+        store = getattr(self, "_table_stats", None)
+        if store is None:
+            store = self._table_stats = {}
+        key = target.strip("'")
+        if delete:
+            return store.pop(key, None)
+        from .plans.statistics import analyze_histogram, analyze_table
+
+        if target.startswith("'"):
+            df = self.sql(f"select * from {target}")
+        else:
+            df = self._resolve_table(target)
+        cols_df = analyze_table(df, columns)
+        hist_df = analyze_histogram(df, columns)
+        entry = {
+            "columns": [tuple(r) for r in cols_df.collect()],
+            "histogram": [tuple(r) for r in hist_df.collect()],
+        }
+        store[key] = entry
+        # push into Spark's catalog stats when the name is a real
+        # catalog table — temp views have no catalog entry for CBO
+        if not target.startswith("'"):
+            try:
+                is_catalog = (self.spark.catalog.tableExists(target)
+                              and self.spark.catalog.getTable(target)
+                              .tableType not in (None, "TEMPORARY"))
+            except Exception:  # noqa: BLE001
+                is_catalog = False
+            if is_catalog:
+                self.spark.sql(
+                    f"ANALYZE TABLE {target} COMPUTE STATISTICS")
+                cl = ", ".join(columns) if columns else None
+                self.spark.sql(
+                    f"ANALYZE TABLE {target} COMPUTE STATISTICS FOR "
+                    + (f"COLUMNS {cl}" if cl else "ALL COLUMNS"))
+        return entry
+
+    def sys_statistics(self) -> DataFrame:
+        """sys.statistics: per-column stats from ANALYZE (reference
+        sys.table_statistics via StatisticsService)."""
+        rows = [
+            (t, c[0], c[1], c[2], int(c[3]), c[5], c[6])
+            for t, e in sorted(getattr(self, "_table_stats",
+                                       {}).items())
+            for c in e["columns"]
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", 0, 0, 0, "", "")],
+            "table_name string, column_name string, n_rows bigint, "
+            "n_nulls bigint, ndv bigint, min_value string, "
+            "max_value string").where(
+                "table_name <> ''" if not rows else "true")
+
+    def sys_histograms(self) -> DataFrame:
+        """sys.histograms: quantile sketches from ANALYZE (the
+        reference's t-digest histogram store)."""
+        rows = [
+            (t, h[0], h[1], h[2])
+            for t, e in sorted(getattr(self, "_table_stats",
+                                       {}).items())
+            for h in e["histogram"]
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", 0.0, 0.0)],
+            "table_name string, column_name string, percentile double, "
+            "value double").where(
+                "table_name <> ''" if not rows else "true")
+
     def _admin_statement(self, query: str) -> DataFrame | None:
         """Remaining small productions of the reference grammar
         (Parser.tdd): CLEAR PLAN CACHE, user/role DDL, pipe statements,
-        DROP FUNCTION."""
+        DROP FUNCTION, ANALYZE TABLE statistics."""
+        # ANALYZE TABLE <t|'path'> FOR {ALL COLUMNS|COLUMNS (...)}
+        #   COMPUTE|DELETE STATISTICS   (SqlAnalyzeTableStatistics)
+        m = re.match(
+            r"\s*analyze\s+table\s+('[^']+'|[\w.]+)\s+for\s+"
+            r"(?:all\s+columns|columns\s*\(([^)]*)\))\s+"
+            r"(compute|delete)\s+statistics\s*$", query, re.I)
+        if m:
+            cols = ([c.strip() for c in m.group(2).split(",")]
+                    if m.group(2) else None)
+            self.analyze_statistics(
+                m.group(1), cols, delete=m.group(3).lower() == "delete")
+            return self._status(
+                f"ANALYZE {m.group(3).upper()}", m.group(1))
         m = re.match(
             r"\s*alter\s+(?:session|system)\s+clear\s+plan\s+cache\s*$",
             query, re.I)
@@ -2857,6 +2961,289 @@ class Engine:
         call table(<name>.external_query('<remote sql>'))."""
         self._ext_sources[name] = source
 
+    # -- versioned (Nessie dataplane) sources ------------------------------
+    def create_versioned_source(self, name: str, root: str) -> None:
+        """Register a catalog-level versioned source: one Nessie-style
+        commit tree over every table/view under `root`
+        (sources/dataplane.py; reference DataplanePlugin.java — the
+        plugin whose namespace resolves through Nessie refs)."""
+        from .sources import dataplane
+
+        os.makedirs(root, exist_ok=True)
+        dataplane.init_source(root)
+        self._versioned_sources[name] = root
+
+    def _vsrc_ref(self, src: str,
+                  mode: str | None, arg: str | None
+                  ) -> tuple[str | None, str | None]:
+        """Resolve the (ref, commit_id) a versioned-source table ref
+        binds to: explicit AT clause > per-source USE context > global
+        USE (when the source carries that ref) > main."""
+        from .sources import dataplane
+
+        root = self._versioned_sources[src]
+        if mode is not None:
+            mode = mode.lower()
+            if mode == "commit":
+                return None, arg
+            return arg, None
+        use = self._use_version_src.get(src)
+        if use is None and self._use_version is not None:
+            kind, name = self._use_version
+            if kind == "commit":
+                return None, name
+            try:  # global USE applies only where the ref exists
+                dataplane.resolve_ref(root, name)
+                return name, None
+            except ValueError:
+                return None, None
+        if use is not None:
+            kind, name = use
+            return (None, name) if kind == "commit" else (name, None)
+        return None, None
+
+    def _expand_versioned_refs(self, query: str,
+                               overrides: dict | None = None) -> str:
+        """Rewrite `<source>.<key> [AT BRANCH|TAG|COMMIT <ref>]` table
+        refs in FROM/JOIN into temp views resolved through the source's
+        commit tree (DataplanePlugin table resolution; AT grammar
+        parserImpls.ftl:943).  Versioned VIEWS expand inline, their own
+        table refs pinned at the SAME ref (`overrides`) so a view read
+        AT BRANCH dev sees dev's tables."""
+        if not self._versioned_sources:
+            return query
+        from .sources import dataplane
+
+        names = "|".join(re.escape(n) for n in self._versioned_sources)
+
+        def repl(m: "re.Match[str]") -> str:
+            kw, src, key = m.group(1), m.group(2), m.group(3)
+            mode, arg = m.group(4), m.group(5) or m.group(6)
+            root = self._versioned_sources[src]
+            if mode is None and overrides and src in overrides:
+                mode, arg = overrides[src]
+            ref, cid = self._vsrc_ref(src, mode, arg)
+            st = dataplane.state_at(root, ref, commit_id=cid)
+            content = st.get(key)
+            if content is None:
+                raise ValueError(
+                    f"no table or view {src}.{key} at "
+                    f"{cid or ref or 'main'}")
+            if content["type"] == "ICEBERG_VIEW":
+                inner = self._expand_versioned_refs(
+                    content["sql"],
+                    overrides={src: (("commit", cid) if cid
+                                     else ("branch", ref or "main"))})
+                return f"{kw} ({inner})"
+            df, _ = dataplane.read_table(
+                self.spark, root, key, ref=ref, commit_id=cid)
+            view = "__dp_" + str(abs(hash(
+                (src, key, ref, cid,
+                 content["snapshot_id"]))) % 10**8)
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return re.sub(
+            rf"\b(from|join)\s+({names})\.((?:\w+\.)*\w+)"
+            r"(?:\s+at\s+(branch|tag|commit|ref)\s+"
+            r"(?:'([^']+)'|(\w+)))?",
+            repl, query, flags=re.I)
+
+    def _dataplane_statement(self, query: str) -> DataFrame | None:
+        """Statement router for catalog-level versioned sources: branch
+        and tag DDL addressed `IN <source>` (unquoted registered name),
+        USE BRANCH per source, SHOW BRANCHES/TAGS/LOGS, and table DDL /
+        DML on `<source>.<key>` refs — the reference's dataplane SQL
+        surface (parserImpls.ftl:943, DataplanePlugin.java)."""
+        if not self._versioned_sources:
+            return None
+        from .sources import dataplane
+
+        names = "|".join(re.escape(n) for n in self._versioned_sources)
+        at = (r"(?:\s+at\s+(?:branch|ref)\s+(\w+))?")
+        # CREATE BRANCH/TAG <name> IN <src> [FROM <ref> | AT COMMIT 'c']
+        m = re.match(
+            rf"\s*create\s+(branch|tag)\s+(\w+)\s+in\s+({names})"
+            r"(?:\s+from\s+(\w+)|\s+at\s+commit\s+'([^']+)')?\s*$",
+            query, re.I)
+        if m:
+            root = self._versioned_sources[m.group(3)]
+            head = dataplane.create_ref(
+                root, m.group(2), m.group(1).lower(),
+                from_ref=m.group(4), at_commit=m.group(5))
+            return self._status(
+                f"CREATE {m.group(1).upper()}",
+                f"{m.group(2)} in {m.group(3)} @ {head}")
+        # DROP BRANCH/TAG <name> IN <src>
+        m = re.match(
+            rf"\s*drop\s+(?:branch|tag)\s+(\w+)\s+in\s+({names})\s*$",
+            query, re.I)
+        if m:
+            dataplane.drop_ref(self._versioned_sources[m.group(2)],
+                               m.group(1))
+            return self._status("DROP REF", m.group(1))
+        # ALTER BRANCH/TAG <name> ASSIGN (BRANCH|TAG|COMMIT) <to> IN <src>
+        m = re.match(
+            rf"\s*alter\s+(?:branch|tag)\s+(\w+)\s+assign\s+"
+            rf"(branch|tag|ref|commit)\s+'?([\w-]+)'?\s+in\s+({names})\s*$",
+            query, re.I)
+        if m:
+            root = self._versioned_sources[m.group(4)]
+            kind = m.group(2).lower()
+            head = dataplane.assign_ref(
+                root, m.group(1),
+                to_ref=None if kind == "commit" else m.group(3),
+                to_commit=m.group(3) if kind == "commit" else None)
+            return self._status(
+                "ASSIGN REF", f"{m.group(1)} -> {m.group(3)} @ {head}")
+        # MERGE BRANCH <src-branch> INTO <target> IN <src>
+        m = re.match(
+            rf"\s*merge\s+branch\s+(\w+)\s+into\s+(\w+)\s+in\s+"
+            rf"({names})\s*$", query, re.I)
+        if m:
+            res = dataplane.merge_branch(
+                self._versioned_sources[m.group(3)], m.group(1),
+                m.group(2), author=self.session_user)
+            return self._status(
+                "MERGE BRANCH",
+                f"{m.group(1)} -> {m.group(2)} @ {res['commit']} "
+                f"({len(res['merged_keys'])} keys)")
+        # USE BRANCH/TAG/COMMIT <name> IN <src>  (unquoted source form)
+        m = re.match(
+            rf"\s*use\s+(branch|tag|ref|commit)\s+'?([\w-]+)'?\s+in\s+"
+            rf"({names})\s*$", query, re.I)
+        if m:
+            kind = {"ref": "branch"}.get(m.group(1).lower(),
+                                         m.group(1).lower())
+            if kind != "commit":  # fail fast on unknown refs
+                dataplane.resolve_ref(
+                    self._versioned_sources[m.group(3)], m.group(2))
+            self._use_version_src[m.group(3)] = (kind, m.group(2))
+            return self._status(
+                "USE VERSION",
+                f"{kind} {m.group(2)} in {m.group(3)}")
+        # SHOW BRANCHES/TAGS IN <src>
+        m = re.match(
+            rf"\s*show\s+(branches|tags)\s+in\s+({names})\s*$",
+            query, re.I)
+        if m:
+            refs = dataplane._load_refs(self._versioned_sources[m.group(2)])
+            rows = [(n, c) for n, c in
+                    sorted(refs[m.group(1).lower()].items())]
+            return self.spark.createDataFrame(
+                rows or [(None, None)],
+                "ref_name string, commit_id string").where(
+                    "ref_name is not null" if not rows else "true")
+        # SHOW LOGS [AT BRANCH <b>] IN <src>
+        m = re.match(
+            rf"\s*show\s+logs?{at}\s+in\s+({names})\s*$", query, re.I)
+        if m:
+            entries = dataplane.log(self._versioned_sources[m.group(2)],
+                                    m.group(1) or None)
+            rows = [(c["id"], c["branch"], c["author"], c["message"],
+                     c["ts_ms"]) for c in entries]
+            return self.spark.createDataFrame(
+                rows, "commit_id string, branch string, author string, "
+                      "message string, ts_ms long")
+        # CREATE TABLE <src>.<key> [AT BRANCH b] [PARTITION BY (...)]
+        #   AS <select>
+        m = re.match(
+            rf"\s*create\s+table\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"(?:\s+partition\s+by\s+\(([^)]*)\))?"
+            r"\s+as\s+(.+)$", query, re.I | re.S)
+        if m:
+            src, key, branch = m.group(1), m.group(2), m.group(3) or None
+            branch = branch or self._default_branch(src)
+            df = self._sql_uncached(m.group(5).strip())
+            part = ([c.strip() for c in m.group(4).split(",")]
+                    if m.group(4) else None)
+            cid = dataplane.ctas(
+                self.spark, self._versioned_sources[src], branch,
+                key, df, author=self.session_user, partition_by=part)
+            return self._status("CREATE TABLE",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # CREATE VIEW <src>.<key> [AT BRANCH b] AS <sql>
+        m = re.match(
+            rf"\s*create\s+(?:or\s+replace\s+)?view\s+"
+            rf"({names})\.((?:\w+\.)*\w+){at}\s+as\s+(.+)$",
+            query, re.I | re.S)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            cid = dataplane.create_view(
+                self._versioned_sources[src], branch, key,
+                m.group(4).strip(), author=self.session_user)
+            return self._status("CREATE VIEW",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # INSERT INTO <src>.<key> [AT BRANCH b] <select|values>
+        m = re.match(
+            rf"\s*insert\s+into\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"\s+(.+)$", query, re.I | re.S)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            body = m.group(4).strip()
+            df = (self.spark.sql(body)
+                  if re.match(r"values\b", body, re.I)
+                  else self._sql_uncached(body))
+            root = self._versioned_sources[src]
+            tgt, content = dataplane.read_table(self.spark, root, key,
+                                                ref=branch)
+            cols = [f.name for f in tgt.schema.fields]
+            df = df.toDF(*cols)  # positional, as INSERT INTO is
+            cid = dataplane.insert_into(self.spark, root, branch, key,
+                                        df, author=self.session_user)
+            return self._status("INSERT",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # DELETE FROM <src>.<key> [AT BRANCH b] [WHERE p]
+        m = re.match(
+            rf"\s*delete\s+from\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"(?:\s+where\s+(.+?))?\s*$", query, re.I | re.S)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            cid = dataplane.delete_where(
+                self.spark, self._versioned_sources[src], branch, key,
+                m.group(4) or "true", author=self.session_user)
+            return self._status("DELETE",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # UPDATE <src>.<key> [AT BRANCH b] SET ... [WHERE p]
+        m = re.match(
+            rf"\s*update\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*$",
+            query, re.I | re.S)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            assignments = {}
+            for part in _split_top_level(m.group(4), ","):
+                c, e = part.split("=", 1)
+                assignments[c.strip()] = e.strip()
+            cid = dataplane.update_where(
+                self.spark, self._versioned_sources[src], branch, key,
+                assignments, m.group(5), author=self.session_user)
+            return self._status("UPDATE",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # DROP TABLE/VIEW <src>.<key> [AT BRANCH b]
+        m = re.match(
+            rf"\s*drop\s+(?:table|view)\s+({names})\.((?:\w+\.)*\w+)"
+            rf"{at}\s*$", query, re.I)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            cid = dataplane.drop_table(
+                self._versioned_sources[src], branch, key,
+                author=self.session_user)
+            return self._status("DROP",
+                                f"{src}.{key} @ {branch} ({cid})")
+        return None
+
+    def _default_branch(self, src: str) -> str:
+        use = self._use_version_src.get(src)
+        if use and use[0] == "branch":
+            return use[1]
+        return "main"
+
     def _expand_external_query(self, query: str) -> str:
         """table(<src>.external_query('<sql>')) → temp view of the
         remote result (ref `exec/tablefunctions/ExternalQuery.java`,
@@ -3118,7 +3505,11 @@ class Engine:
         enabled = str(self.spark.conf.get(
             "spark.dremio.plancache.enabled", "true")).lower() == "true"
         cacheable = (enabled and not getattr(self, "_accel_disabled", 0)
-                     and not self._PC_EXCLUDE.search(query))
+                     and not self._PC_EXCLUDE.search(query)
+                     # versioned-source refs bind to ONE catalog commit
+                     # at plan time, same exclusion as quoted lake paths
+                     and not any(re.search(rf"\b{re.escape(n)}\.", query)
+                                 for n in self._versioned_sources))
         if not cacheable:
             return self._sql_uncached(query)
         # the principal and namespace context are attribute-settable
@@ -3218,8 +3609,10 @@ class Engine:
                 self._use_version_in[path] = (kind, name)
             else:
                 # the latest USE wins everywhere: a global USE replaces
-                # any per-path overrides from earlier IN-form statements
+                # any per-path/per-source overrides from earlier
+                # IN-form statements
                 self._use_version_in.clear()
+                self._use_version_src.clear()
                 self._use_version = (kind, name)
             return self._status(
                 "USE VERSION",
@@ -3250,6 +3643,13 @@ class Engine:
             return self._status("ALTER SESSION SET",
                                 f"{m.group(1)} = {val}")
         stmt = self._admin_statement(query)
+        if stmt is not None:
+            return stmt
+        # catalog-level versioned sources (Nessie dataplane): branch
+        # DDL IN <source>, USE BRANCH per source, table DDL/DML on
+        # <source>.<key> refs — before the per-table path arms so an
+        # unquoted registered source name never reaches Spark's parser
+        stmt = self._dataplane_statement(query)
         if stmt is not None:
             return stmt
         # branch/tag DDL on Iceberg paths (Nessie grammar,
@@ -3342,6 +3742,7 @@ class Engine:
         query = self._expand_external_query(query)
         query = self._expand_sys_tables(query)
         query = self._expand_metadata_fns(query)
+        query = self._expand_versioned_refs(query)
         query = self._expand_lake_refs(query)
         query = self._expand_tabular(query)
         query = _rewrite_convert(query)

@@ -76,3 +76,53 @@ def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "column_name string, n_rows bigint, n_nulls bigint, "
         "ndv_approx bigint, ndv_exact bigint, min_value string, max_value string",
     )
+
+
+# percentiles the reference's t-digest histograms serve to the planner
+# (range-predicate selectivity needs tails + quartiles)
+DEFAULT_PERCENTILES = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
+                      percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+                      accuracy: int = 1_000_000) -> DataFrame:
+    """Quantile histogram per numeric/temporal column — the engine-side
+    analog of the reference's t-digest column histograms
+    (`exec/expr/fn/tdigest/TDigest.java:32`, collected by
+    `StatisticsService.java` and consumed for range-predicate
+    selectivity in `RelMdDistinctRowCount.java`).
+
+    Spark-first: `percentile_approx` IS Spark's mergeable quantile
+    sketch (Greenwald-Khanna; same role as t-digest — bounded-memory,
+    partial-aggregable, so the sketch merges across 1000 executors
+    without a global sort).  All requested columns run in ONE
+    aggregation pass.  At `accuracy` >= the row count the result is
+    exact (== DuckDB quantile_disc), which is what the oracle checks;
+    at 100 TB the same plan degrades gracefully to approximate.
+
+    Returns long-format rows: (column_name, percentile, value)."""
+    num_kinds = ("int", "bigint", "smallint", "tinyint", "double",
+                 "float", "decimal", "date", "timestamp")
+    cols = [
+        f.name for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and f.dataType.simpleString().startswith(num_kinds)
+    ]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [], "column_name string, percentile double, value double")
+    pct = list(percentiles)
+    pct_sql = ", ".join(repr(p) for p in pct)
+    aggs = [
+        F.expr(f"percentile_approx(cast({c} as double), "
+               f"array({pct_sql}), {accuracy})").alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (c, float(p), None if row[c] is None else float(row[c][i]))
+        for c in cols
+        for i, p in enumerate(pct)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column_name string, percentile double, value double")

@@ -1272,7 +1272,71 @@ order by fmt
 """
 
 
+def catalog_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalog-level (Nessie dataplane) versioning end-to-end: a
+    versioned source holding TWO tables; a branch receives writes to
+    both; a cross-table join AT BRANCH differs from main; one MERGE
+    BRANCH advances both tables atomically, after which main agrees
+    with the branch.  Reference `plugins/dataplane/.../
+    DataplanePlugin.java`, `services/nessie/`, grammar
+    `parserImpls.ftl:943` (sources/dataplane.py)."""
+    from ..engine import Engine
+
+    root = _scratch("dataplane", sf)
+    eng = Engine(spark)
+    eng.create_versioned_source("dpx", root)
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    eng.sql("CREATE TABLE dpx.cust AS "
+            "select c_custkey, c_mktsegment from customer")
+    eng.sql("CREATE TABLE dpx.ord AS "
+            "select o_orderkey, o_custkey from orders")
+    eng.sql("CREATE BRANCH dev IN dpx")
+    # both tables written ON THE BRANCH: shifted key copies, so every
+    # new order joins exactly one new customer and nothing else
+    eng.sql("INSERT INTO dpx.cust AT BRANCH dev "
+            "select c_custkey + 1000000, c_mktsegment "
+            "from customer where c_custkey <= 20")
+    eng.sql("INSERT INTO dpx.ord AT BRANCH dev "
+            "select o_orderkey + 1000000, o_custkey + 1000000 "
+            "from orders where o_custkey <= 20")
+    join = ("select count(*) as n from dpx.cust{at} c "
+            "join dpx.ord{at} o on c.c_custkey = o.o_custkey")
+    main_n = eng.sql(join.format(at="")).first()["n"]
+    dev_n = eng.sql(join.format(at=" AT BRANCH dev")).first()["n"]
+    eng.sql("MERGE BRANCH dev INTO main IN dpx")
+    merged_n = eng.sql(join.format(at="")).first()["n"]
+    tag_ok = 1  # a tag made now pins the merged state
+    eng.sql("CREATE TAG rel IN dpx")
+    eng.sql("INSERT INTO dpx.cust VALUES (2000000, 'ZZ')")
+    tag_n = eng.sql(
+        "select count(*) as n from dpx.cust AT TAG rel").first()["n"]
+    cust_total = eng.sql(
+        "select count(*) as n from dpx.cust").first()["n"]
+    tag_ok = int(tag_n == cust_total - 1)
+    return spark.createDataFrame(
+        [(int(main_n), int(dev_n), int(merged_n), tag_ok)],
+        "main_n long, dev_n long, merged_n long, tag_pinned int")
+
+
+CATALOG_BRANCH_SQL = """
+with j as (
+  select cast(count(*) as bigint) as n
+  from customer c join orders o on c.c_custkey = o.o_custkey
+), extra as (
+  select cast(count(*) as bigint) as n
+  from orders where o_custkey <= 20
+)
+select j.n as main_n,
+       j.n + extra.n as dev_n,
+       j.n + extra.n as merged_n,
+       1 as tag_pinned
+from j, extra
+"""
+
+
 SOURCES_QUERIES = {
+    "src_catalog_branch": catalog_branch,
     "src_maintenance": maintenance_lifecycle,
     "src_count_metadata": count_metadata,
     "src_use_branch": use_branch,
@@ -1300,6 +1364,7 @@ SOURCES_QUERIES = {
 }
 
 SOURCES_ORACLE = {
+    "src_catalog_branch": CATALOG_BRANCH_SQL,
     "src_maintenance": MAINTENANCE_SQL,
     "src_count_metadata": COUNT_METADATA_SQL,
     "src_use_branch": USE_BRANCH_SQL,

@@ -627,7 +627,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      deletes: list[tuple[str, list[str]]] | None = None,
                      branch: str | None = None,
                      summary_extra: dict | None = None,
-                     added: set[str] | None = None) -> int:
+                     added: set[str] | None = None,
+                     detached: bool = False) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -713,7 +714,14 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
          "manifest-list": mlist})
     meta["last-sequence-number"] = seq
     refs = meta.setdefault("refs", {})
-    if branch is not None and branch != "main":
+    if detached:
+        # DETACHED commit (catalog-owned pointer, the Nessie model: the
+        # table's own current-snapshot-id and refs are NOT authority —
+        # a versioned-source commit map is; see sources/dataplane.py).
+        # The snapshot is appended and the hint moves so readers can
+        # resolve it BY ID, but no table-level ref advances.
+        pass
+    elif branch is not None and branch != "main":
         # branch commit: only the branch ref advances; main untouched
         refs[branch] = {"snapshot-id": sid, "type": "branch",
                         **({"base-snapshot":
@@ -1134,7 +1142,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                   branch: str | None = None,
                   sort_by: list[str] | None = None,
                   txn: tuple[str, int] | None = None,
-                  properties: dict[str, str] | None = None) -> int:
+                  properties: dict[str, str] | None = None,
+                  parent_snapshot: int | None = None) -> int:
     """CTAS / INSERT INTO for an Iceberg table: stage parquet under
     data/, commit a new snapshot (metadata json + Avro manifests).
 
@@ -1147,9 +1156,18 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
     `sort_by` (LOCALSORT layout): range-partition + sort staged data so
     files cover disjoint key ranges and the manifest column bounds
     prune lookups to one file.
+
+    `parent_snapshot` commits DETACHED against that snapshot as the
+    previous state: no table-level ref (including main) advances — the
+    caller (a versioned-source catalog, `sources/dataplane.py`) records
+    the returned snapshot id as the branch's pointer, the way Nessie
+    owns the metadata location and the table's own pointer is not
+    authority (reference `plugins/dataplane/.../DataplanePlugin.java`).
     """
     from .delta import _stage_files
 
+    if parent_snapshot is not None and branch is not None:
+        raise ValueError("give parent_snapshot OR branch, not both")
     if sort_by:
         # explicit partition count: AQE coalescing respects a
         # user-specified repartition, keeping one file per key range
@@ -1166,7 +1184,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
         if r.get("type") == "tag":
             raise ValueError(f"{branch!r} is a tag; tags are read-only")
     try:
-        prev = resolve_snapshot(table, ref=branch)
+        prev = resolve_snapshot(table, snapshot_id=parent_snapshot,
+                                ref=branch)
         with open(_metadata_file(table)) as f:
             meta = json.load(f)
         prev_files = [
@@ -1268,7 +1287,8 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                             else "overwrite", live, removed, part_names,
                             stats, carried_deletes, branch=branch,
                             summary_extra=extra,
-                            added={rel for rel, _ in staged})
+                            added={rel for rel, _ in staged},
+                            detached=parent_snapshot is not None)
 
 
 def last_iceberg_txn_version(table: str, app_id: str) -> int | None:
@@ -1292,17 +1312,23 @@ def last_iceberg_txn_version(table: str, app_id: str) -> int | None:
 
 def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
                         hit_abs: set[str], rewrite,
-                        inserts: DataFrame | None = None) -> int:
+                        inserts: DataFrame | None = None,
+                        parent_snapshot: int | None = None) -> int:
     """Shared copy-on-write snapshot commit: re-stage the hit files
     through `rewrite(hits_df)`, optionally stage `inserts` as new files,
     carry every untouched file forward, and commit one snapshot.
+
+    `parent_snapshot` rewrites against THAT snapshot's state and commits
+    DETACHED (no table-level ref advances) — the versioned-catalog DML
+    path (`sources/dataplane.py`), where the catalog commit owns the
+    resulting snapshot id.
 
     Scale shape mirrors the Delta path: ONE scan over the hit files
     (file-level skipping), plan construction O(1) in file count; the
     manifest rewrite is metadata-sized."""
     from .delta import _scan_with_partition_values, _stage_files
 
-    snap = resolve_snapshot(table)
+    snap = resolve_snapshot(table, parent_snapshot)
     with open(_metadata_file(table)) as f:
         meta = json.load(f)
     all_files = [(os.path.relpath(p, table), pv, os.path.realpath(p))
@@ -1353,7 +1379,42 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
                   for p in snap.pos_deletes])
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
                             part_names, stats, carried,
-                            added={rel for rel, _ in staged})
+                            added={rel for rel, _ in staged},
+                            detached=parent_snapshot is not None)
+
+
+def cow_rewrite_detached(spark: SparkSession, table: str,
+                         parent_snapshot: int, op: str,
+                         predicate: str | None,
+                         assignments: dict[str, str] | None = None
+                         ) -> int | None:
+    """DELETE/UPDATE against an explicit parent snapshot, committed
+    DETACHED — the versioned-catalog (Nessie) DML path, where
+    `sources/dataplane.py` records the returned snapshot id as the
+    branch's pointer.  Same hit-file pruning as the unversioned COW
+    path: only files containing matches are rewritten.  Returns None
+    when no file matched (no snapshot created)."""
+    pred = predicate or "true"
+    live = _live_iceberg_with_file(spark, table, parent_snapshot)
+    hit_abs = {r[0] for r in
+               live.where(pred).select("__file").distinct().collect()}
+    if not hit_abs:
+        return None
+    if op == "delete":
+        rewrite = lambda hits: hits.where(f"not ({pred})")  # noqa: E731
+        operation = "delete"
+    else:
+        def rewrite(hits: DataFrame) -> DataFrame:
+            types = {f.name: f.dataType for f in hits.schema.fields}
+            out, cond = hits, F.expr(pred)
+            for c, e in (assignments or {}).items():
+                out = out.withColumn(
+                    c, F.when(cond, F.expr(e).cast(types[c]))
+                    .otherwise(F.col(c)))
+            return out
+        operation = "overwrite"
+    return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite,
+                               parent_snapshot=parent_snapshot)
 
 
 def _scan_with_partition_values_iceberg(
@@ -1367,9 +1428,11 @@ def _scan_with_partition_values_iceberg(
         keep_file=keep_file, keep_pos=keep_pos)
 
 
-def _live_iceberg_with_file(spark: SparkSession, table: str) -> DataFrame:
+def _live_iceberg_with_file(spark: SparkSession, table: str,
+                            snapshot_id: int | None = None) -> DataFrame:
     return _scan_with_partition_values_iceberg(
-        spark, table, resolve_snapshot(table), keep_file=True)
+        spark, table, resolve_snapshot(table, snapshot_id),
+        keep_file=True)
 
 
 def delete_from_iceberg(spark: SparkSession, table: str,

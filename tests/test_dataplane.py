@@ -1,0 +1,243 @@
+"""Catalog-level versioned source (Nessie dataplane) tests.
+
+Reference behavior: dremio-oss `plugins/dataplane/.../DataplanePlugin.java`
+(versioned source), `services/nessie/` (commit model), grammar
+`sabot/grammar/.../parserImpls.ftl:943` (branch/tag DDL, AT BRANCH).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dremio_oss_spark.engine import Engine
+from dremio_oss_spark.sources import dataplane as dp
+from dremio_oss_spark.sources.iceberg import ConcurrentWriteError
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark)
+    e.create_versioned_source("dpsrc", str(tmp_path / "dpsrc"))
+    spark.read.parquet(os.path.join(SF_SMALL, "nation.parquet")) \
+        .createOrReplaceTempView("nation")
+    spark.read.parquet(os.path.join(SF_SMALL, "region.parquet")) \
+        .createOrReplaceTempView("region")
+    return e
+
+
+def _n(e, sql):
+    return e.sql(sql).first()["n"]
+
+
+def test_branch_isolation_and_atomic_merge(eng):
+    """Two tables written on a branch stay invisible on main until ONE
+    merge advances both atomically."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE TABLE dpsrc.reg AS select * from region")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'X', 0)")
+    eng.sql("INSERT INTO dpsrc.reg AT BRANCH dev VALUES (9, 'Y')")
+    # isolation: main sees neither write
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    assert _n(eng, "select count(*) as n from dpsrc.reg") == 5
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT BRANCH dev") == 26
+    assert _n(eng, "select count(*) as n from dpsrc.reg AT BRANCH dev") == 6
+    # cross-table join AT BRANCH resolves BOTH refs through the branch
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT BRANCH dev t "
+                   "join dpsrc.reg AT BRANCH dev r "
+                   "on t.n_regionkey = r.r_regionkey") == 26
+    eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+    assert _n(eng, "select count(*) as n from dpsrc.reg") == 6
+
+
+def test_merge_conflict_rejects_everything(eng):
+    """A key changed on both sides since the base rejects the WHOLE
+    merge (Nessie VALUE_DIFFERS) — even keys that would merge clean."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE TABLE dpsrc.reg AS select * from region")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'X', 0)")
+    eng.sql("INSERT INTO dpsrc.reg AT BRANCH dev VALUES (9, 'Y')")
+    eng.sql("INSERT INTO dpsrc.reg VALUES (8, 'Z')")  # main diverges
+    with pytest.raises(ValueError, match="conflict on reg"):
+        eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    # atomicity: the clean key (nat) did NOT advance either
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    assert _n(eng, "select count(*) as n from dpsrc.reg") == 6
+
+
+def test_remerge_uses_new_base(eng):
+    """After a merge, further branch commits merge again — the base is
+    the prior merge point (merge_parent edge), so already-merged
+    changes never conflict with themselves."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (90, 'A', 0)")
+    eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (91, 'B', 0)")
+    eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 27
+    # idempotent re-merge: no changes -> noop, head unchanged
+    root = eng._versioned_sources["dpsrc"]
+    head = dp._load_refs(root)["branches"]["main"]
+    res = dp.merge_branch(root, "dev", "main")
+    assert res["noop"] and dp._load_refs(root)["branches"]["main"] == head
+
+
+def test_tag_pins_and_is_immutable(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE TAG v1 IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat VALUES (99, 'X', 0)")
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT TAG v1") == 25
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+    # reassign moves the tag; drop removes it
+    eng.sql("ALTER TAG v1 ASSIGN BRANCH main IN dpsrc")
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT TAG v1") == 26
+    eng.sql("DROP TAG v1 IN dpsrc")
+    with pytest.raises(ValueError, match="no branch or tag"):
+        eng.sql("select count(*) as n from dpsrc.nat AT TAG v1")
+
+
+def test_versioned_view_expands_at_readers_ref(eng):
+    """A view's inner table refs resolve at the READER's ref — AT
+    BRANCH dev over a view sees dev's tables (versioned views,
+    DataplanePlugin)."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE VIEW dpsrc.v AS "
+            "select count(*) as n from dpsrc.nat")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'X', 0)")
+    assert _n(eng, "select n from dpsrc.v") == 25
+    assert _n(eng, "select n from dpsrc.v AT BRANCH dev") == 26
+
+
+def test_branch_dml_cow_detached(eng):
+    """DELETE/UPDATE AT BRANCH rewrite against the branch snapshot and
+    commit detached — main never observes them; the table's own
+    metadata refs never advance (the catalog owns the pointer)."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("DELETE FROM dpsrc.nat AT BRANCH dev WHERE n_nationkey < 5")
+    eng.sql("UPDATE dpsrc.nat AT BRANCH dev SET n_name = 'Q' "
+            "WHERE n_nationkey = 7")
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT BRANCH dev") == 20
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    assert eng.sql("select n_name from dpsrc.nat AT BRANCH dev "
+                   "where n_nationkey = 7").first()["n_name"] == "Q"
+    assert eng.sql("select n_name from dpsrc.nat "
+                   "where n_nationkey = 7").first()["n_name"] != "Q"
+    # detached contract: the Iceberg table's own refs map is EMPTY of
+    # any branch pointer for dev commits (catalog is authority)
+    root = eng._versioned_sources["dpsrc"]
+    st = dp.state_at(root, "dev")
+    loc = os.path.join(root, st["nat"]["location"])
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    with open(hint) as f:
+        v = f.read().strip()
+    with open(os.path.join(loc, "metadata",
+                           f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert "dev" not in (meta.get("refs") or {})
+    assert meta.get("current-snapshot-id") != st["nat"]["snapshot_id"]
+
+
+def test_drop_table_on_branch_only(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("DROP TABLE dpsrc.nat AT BRANCH dev")
+    with pytest.raises(ValueError, match="no table or view"):
+        eng.sql("select count(*) as n from dpsrc.nat AT BRANCH dev")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    with pytest.raises(ValueError, match="no table or view"):
+        eng.sql("select count(*) as n from dpsrc.nat")
+
+
+def test_use_branch_session_context(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("USE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat VALUES (99, 'X', 0)")  # -> dev
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+    eng.sql("USE BRANCH main IN dpsrc")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    # explicit AT wins over session context
+    eng.sql("USE BRANCH dev IN dpsrc")
+    assert _n(eng,
+              "select count(*) as n from dpsrc.nat AT BRANCH main") == 25
+
+
+def test_show_branches_tags_logs(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("CREATE TAG v1 IN dpsrc")
+    got = {r["ref_name"] for r in eng.sql("SHOW BRANCHES IN dpsrc").collect()}
+    assert got == {"main", "dev"}
+    got = {r["ref_name"] for r in eng.sql("SHOW TAGS IN dpsrc").collect()}
+    assert got == {"v1"}
+    logs = eng.sql("SHOW LOGS IN dpsrc").collect()
+    assert [r["message"] for r in logs] == ["create table nat"]
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'X', 0)")
+    logs = eng.sql("SHOW LOGS AT BRANCH dev IN dpsrc").collect()
+    assert [r["message"] for r in logs] == [
+        "insert into nat", "create table nat"]
+
+
+def test_at_commit_reads_history(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    root = eng._versioned_sources["dpsrc"]
+    c0 = dp._load_refs(root)["branches"]["main"]
+    eng.sql("INSERT INTO dpsrc.nat VALUES (99, 'X', 0)")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+    assert _n(eng, f"select count(*) as n from dpsrc.nat "
+                   f"AT COMMIT '{c0}'") == 25
+
+
+def test_cas_guard_raises_on_stale_head(eng, spark):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    root = eng._versioned_sources["dpsrc"]
+    stale = dp._load_refs(root)["branches"]["main"]
+    eng.sql("INSERT INTO dpsrc.nat VALUES (99, 'X', 0)")
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        dp.commit(root, "main", {"x": None}, "stale write",
+                  expect_head=stale)
+
+
+def test_state_checkpoint_bounds_chain_walk(eng, spark):
+    """>_CHECKPOINT_EVERY commits embed a full key-list checkpoint;
+    state folding stops there instead of replaying to the root."""
+    root = eng._versioned_sources["dpsrc"]
+    for i in range(dp._CHECKPOINT_EVERY + 3):
+        dp.commit(root, "main", {f"k{i}": {"type": "ICEBERG_VIEW",
+                                           "sql": f"select {i}"}},
+                  f"put k{i}")
+    entries = dp.log(root, "main")
+    assert any("full_state" in c for c in entries)
+    st = dp.state_at(root, "main")
+    assert len(st) == dp._CHECKPOINT_EVERY + 3
+    # a checkpointed walk reads <= _CHECKPOINT_EVERY commits
+    newest_ckpt = next(c for c in entries if "full_state" in c)
+    assert entries.index(newest_ckpt) < dp._CHECKPOINT_EVERY
+
+
+def test_create_on_two_branches_no_collision(eng):
+    """The same key CTAS'd independently on two branches gets distinct
+    physical locations (content-id model) and a merge conflict."""
+    eng.sql("CREATE BRANCH b1 IN dpsrc")
+    eng.sql("CREATE BRANCH b2 IN dpsrc")
+    eng.sql("CREATE TABLE dpsrc.t AT BRANCH b1 AS select 1 as x")
+    eng.sql("CREATE TABLE dpsrc.t AT BRANCH b2 AS select 2 as x")
+    root = eng._versioned_sources["dpsrc"]
+    l1 = dp.state_at(root, "b1")["t"]["location"]
+    l2 = dp.state_at(root, "b2")["t"]["location"]
+    assert l1 != l2
+    eng.sql("MERGE BRANCH b1 INTO main IN dpsrc")
+    with pytest.raises(ValueError, match="conflict on t"):
+        eng.sql("MERGE BRANCH b2 INTO main IN dpsrc")
+    assert eng.sql("select x from dpsrc.t").first()["x"] == 1
