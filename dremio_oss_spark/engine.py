@@ -693,7 +693,8 @@ class Engine:
         "version", "nodes", "memory", "roles", "membership", "privileges",
         "timezone_names", "user_defined_functions", "dependencies",
         "reflections", "materializations", "jobs", "options", "engines",
-        "reflection_routing",
+        "reflection_routing", "statistics", "histograms",
+        "reflection_recommendations",
     })
 
     def _expand_sys_tables(self, query: str) -> str:
@@ -2329,6 +2330,29 @@ class Engine:
             "value double").where(
                 "table_name <> ''" if not rows else "true")
 
+    def sys_reflection_recommendations(self) -> DataFrame:
+        """sys.reflection_recommendations: ranked candidate aggregate
+        reflections from the recorded workload + ANALYZE stats
+        (reference `ReflectionSuggester.java:56` — suggestions a user
+        replays as the `ddl` column verbatim)."""
+        from .plans.suggester import suggest
+
+        rows = [
+            (s["dataset"], s["reflection_name"], s["dimensions"],
+             s["measures"], s["dropped_high_ndv"], s["query_count"],
+             float(s["estimated_reduction"] or 0.0), float(s["score"]),
+             s["ddl"])
+            for s in suggest(getattr(self, "_agg_workload", []),
+                             getattr(self, "_table_stats", None))
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", "", "", "", 0, 0.0, 0.0, "")],
+            "dataset string, reflection_name string, dimensions string, "
+            "measures string, dropped_high_ndv string, "
+            "query_count int, estimated_reduction double, score double, "
+            "ddl string").where(
+                "dataset <> ''" if not rows else "true")
+
     def _admin_statement(self, query: str) -> DataFrame | None:
         """Remaining small productions of the reference grammar
         (Parser.tdd): CLEAR PLAN CACHE, user/role DDL, pipe statements,
@@ -3737,6 +3761,21 @@ class Engine:
                     self._mark_reflections_stale(view)
             return lake
         accelerated = self._try_accelerate(query)
+        # workload recording for the reflection suggester
+        # (ReflectionSuggester.java): parse-only, fail-safe, no planning
+        try:
+            from .plans.suggester import AggWorkloadRecord, parse_agg_shape
+
+            rec = parse_agg_shape(query)
+            if rec is not None:
+                log = getattr(self, "_agg_workload", None)
+                if log is None:
+                    log = self._agg_workload = []
+                log.append(AggWorkloadRecord(
+                    rec.dataset, rec.dims, rec.measures,
+                    accelerated is not None))
+        except Exception:  # noqa: BLE001 — recording must never break SQL
+            pass
         if accelerated is not None:
             return accelerated
         query = self._expand_external_query(query)

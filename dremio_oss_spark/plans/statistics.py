@@ -102,19 +102,32 @@ def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
 
     Returns long-format rows: (column_name, percentile, value)."""
     num_kinds = ("int", "bigint", "smallint", "tinyint", "double",
-                 "float", "decimal", "date", "timestamp")
-    cols = [
-        f.name for f in df.schema.fields
-        if (columns is None or f.name in columns)
-        and f.dataType.simpleString().startswith(num_kinds)
-    ]
+                 "float", "decimal")
+    temporal_kinds = ("date", "timestamp")
+    cols: list[str] = []
+    exprs: dict[str, str] = {}
+    for f in df.schema.fields:
+        if columns is not None and f.name not in columns:
+            continue
+        kind = f.dataType.simpleString()
+        if kind.startswith(num_kinds):
+            cols.append(f.name)
+            exprs[f.name] = f"cast({f.name} as double)"
+        elif kind.startswith(temporal_kinds):
+            # temporal histograms sketch epoch micros (the reference's
+            # t-digest likewise stores temporal values numerically);
+            # NTZ/date route through timestamp_ltz — double can't hold
+            # them directly
+            cols.append(f.name)
+            exprs[f.name] = (f"cast(unix_micros(cast({f.name} as "
+                             "timestamp_ltz)) as double)")
     if not cols:
         return df.sparkSession.createDataFrame(
             [], "column_name string, percentile double, value double")
     pct = list(percentiles)
     pct_sql = ", ".join(repr(p) for p in pct)
     aggs = [
-        F.expr(f"percentile_approx(cast({c} as double), "
+        F.expr(f"percentile_approx({exprs[c]}, "
                f"array({pct_sql}), {accuracy})").alias(c)
         for c in cols
     ]

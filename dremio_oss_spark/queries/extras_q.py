@@ -144,6 +144,48 @@ select * from s order by column_name
 
 
 # --------------------------------------------------------------------------
+# Quantile histogram statistics (the reference's t-digest column
+# histograms: TDigest.java:32 via StatisticsService.java) through the
+# ANALYZE TABLE statement + sys.histograms store
+def histogram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    eng.sql("ANALYZE TABLE lineitem FOR COLUMNS "
+            "(l_extendedprice, l_quantity, l_discount) "
+            "COMPUTE STATISTICS")
+    return eng.sql(
+        "select column_name, percentile, value from sys.histograms "
+        "order by column_name, percentile")
+
+
+HISTOGRAM_STATS_SQL = """
+with q as (
+  select 'l_discount' as column_name,
+         quantile_disc(cast(l_discount as double),
+           [0.01,0.05,0.1,0.25,0.5,0.75,0.9,0.95,0.99]) as vs
+  from lineitem
+  union all
+  select 'l_extendedprice',
+         quantile_disc(cast(l_extendedprice as double),
+           [0.01,0.05,0.1,0.25,0.5,0.75,0.9,0.95,0.99])
+  from lineitem
+  union all
+  select 'l_quantity',
+         quantile_disc(cast(l_quantity as double),
+           [0.01,0.05,0.1,0.25,0.5,0.75,0.9,0.95,0.99])
+  from lineitem
+)
+select column_name,
+       unnest([0.01,0.05,0.1,0.25,0.5,0.75,0.9,0.95,0.99]) as percentile,
+       unnest(vs) as value
+from q
+order by column_name, percentile
+"""
+
+
+# --------------------------------------------------------------------------
 # LISTAGG with WITHIN GROUP ordering + DISTINCT
 # (ListAggAccumulator.java; SURVEY.md §7.2 hard part 3)
 def listagg_group(spark: SparkSession, sf: str) -> DataFrame:
@@ -293,6 +335,7 @@ EXTRAS_QUERIES = {
     "ext_jdbc_postgres": jdbc_postgres_pushdown,
     "src_time_travel": time_travel,
     "stats_analyze": analyze_stats,
+    "stats_histogram": histogram_stats,
     "op_listagg_group": listagg_group,
     "op_hll_sketch": hll_sketch,
 }
@@ -303,6 +346,7 @@ EXTRAS_ORACLE = {
     "ext_jdbc_postgres": JDBC_POSTGRES_SQL,
     "src_time_travel": TIME_TRAVEL_SQL,
     "stats_analyze": ANALYZE_STATS_SQL,
+    "stats_histogram": HISTOGRAM_STATS_SQL,
     "op_listagg_group": LISTAGG_GROUP_SQL,
     "op_hll_sketch": HLL_SKETCH_SQL,
 }

@@ -1207,7 +1207,59 @@ order by k, n
 """
 
 
+def suggester(spark: SparkSession, sf: str) -> DataFrame:
+    """Reflection recommendation loop (ReflectionSuggester.java:56):
+    an engine records an aggregate workload over orders, ANALYZE
+    supplies column NDVs, and sys.reflection_recommendations emits one
+    ranked candidate — low-NDV dims kept, the near-unique key dropped,
+    avg decomposed to SUM+COUNT partials.  The emitted DDL is then
+    replayed and the original workload re-runs accelerated (asserted
+    engine-side; the oracle checks the recommendation content)."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    load(spark, sf, "orders").createOrReplaceTempView("sugg_ord")
+    eng.sql("select o_orderstatus, sum(o_totalprice) as s "
+            "from sugg_ord group by o_orderstatus").collect()
+    eng.sql("select o_orderpriority, avg(o_totalprice) as a "
+            "from sugg_ord group by o_orderpriority").collect()
+    eng.sql("select o_orderkey, count(*) as c "
+            "from sugg_ord group by o_orderkey").collect()
+    eng.sql("ANALYZE TABLE sugg_ord FOR COLUMNS (o_orderstatus, "
+            "o_orderpriority, o_orderkey, o_totalprice) "
+            "COMPUTE STATISTICS")
+    rec = eng.sql(
+        "select dataset, dimensions, dropped_high_ndv, measures, "
+        "query_count from sys.reflection_recommendations "
+        "where dataset = 'sugg_ord'")
+    row = rec.collect()
+    # close the loop: the suggested DDL must accelerate the workload
+    ddl = eng.sql("select ddl from sys.reflection_recommendations "
+                  "where dataset = 'sugg_ord'").first()["ddl"]
+    eng.sql(ddl)
+    eng.sql("select o_orderstatus, sum(o_totalprice) as s "
+            "from sugg_ord group by o_orderstatus").collect()
+    accelerated = eng.last_plan_accelerated is not None
+    eng._refl_store.drop("refl_suggested_sugg_ord")
+    spark.catalog.dropTempView("sugg_ord")
+    return spark.createDataFrame(
+        [tuple(row[0]) + (int(accelerated),)],
+        "dataset string, dimensions string, dropped_high_ndv string, "
+        "measures string, query_count int, accelerated int")
+
+
+SUGGESTER_SQL = """
+select 'sugg_ord' as dataset,
+       'o_orderstatus, o_orderpriority' as dimensions,
+       'o_orderkey' as dropped_high_ndv,
+       'o_totalprice (COUNT, SUM)' as measures,
+       3 as query_count,
+       1 as accelerated
+"""
+
+
 REFLECTION_QUERIES = {
+    "refl_suggester": suggester,
     "refl_transparent_union": transparent_union,
     "refl_raw_window": raw_any_shape,
     "refl_transparent_sql": transparent_sql,
@@ -1235,6 +1287,7 @@ REFLECTION_QUERIES = {
 }
 
 REFLECTION_ORACLE = {
+    "refl_suggester": SUGGESTER_SQL,
     "refl_transparent_union": TRANSPARENT_UNION_SQL,
     "refl_raw_window": RAW_ANY_SHAPE_SQL,
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,

@@ -435,3 +435,61 @@ def test_deletion_vector_decode_is_distributed(spark, tmp_path):
     cur = D.read_delta(spark, t)
     assert cur.count() == 45
     assert cur.where("k % 10 = 3").count() == 0
+
+
+def test_analyze_feeds_spark_cbo(spark):
+    """ANALYZE TABLE through the engine pushes rowcount/NDV into
+    Spark's catalog so CBO actually consumes them (the reference feeds
+    DremioCost/RelMdDistinctRowCount from its StatisticsService store):
+    the optimized plan of a catalog-table scan carries a rowCount only
+    after the engine statement ran, and a multi-join plan re-costs."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    for t in ("cbo_l", "cbo_o", "cbo_n"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"CREATE TABLE cbo_l USING parquet LOCATION "
+              f"'{SF_SMALL}/lineitem.parquet'")
+    spark.sql(f"CREATE TABLE cbo_o USING parquet LOCATION "
+              f"'{SF_SMALL}/orders.parquet'")
+    spark.sql(f"CREATE TABLE cbo_n USING parquet LOCATION "
+              f"'{SF_SMALL}/nation.parquet'")
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        q = ("select count(*) as n from cbo_l l "
+             "join cbo_o o on l.l_orderkey = o.o_orderkey "
+             "join cbo_n n on o.o_custkey % 25 = n.n_nationkey")
+
+        def opt(sql):
+            return spark.sql(sql)._jdf.queryExecution().optimizedPlan()
+
+        def scan_rowcount(t):
+            return str(spark.table(t)._jdf.queryExecution()
+                       .optimizedPlan().stats().rowCount())
+
+        assert scan_rowcount("cbo_o") == "None"  # no stats yet
+        before = opt(q).toString()
+        eng.sql("ANALYZE TABLE cbo_l FOR COLUMNS (l_orderkey) "
+                "COMPUTE STATISTICS")
+        eng.sql("ANALYZE TABLE cbo_o FOR COLUMNS (o_orderkey, o_custkey) "
+                "COMPUTE STATISTICS")
+        eng.sql("ANALYZE TABLE cbo_n FOR ALL COLUMNS COMPUTE STATISTICS")
+        # CBO sees exact row counts on every scan...
+        assert scan_rowcount("cbo_o") != "None"
+        # ...and the join tree re-costs with them
+        assert opt(q).toString() != before
+        # the engine store serves the same numbers via sys.statistics
+        got = {r["table_name"] for r in
+               eng.sql("select table_name from sys.statistics").collect()}
+        assert {"cbo_l", "cbo_o", "cbo_n"} <= got
+        hist = eng.sql(
+            "select count(*) as n from sys.histograms "
+            "where table_name = 'cbo_n'").first()["n"]
+        assert hist > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in ("cbo_l", "cbo_o", "cbo_n"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

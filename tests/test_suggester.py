@@ -1,0 +1,116 @@
+"""Reflection suggester tests (ReflectionSuggester.java:56).
+
+The loop the reference supports: run a workload -> ANALYZE the dataset
+-> read sys.reflection_recommendations -> replay the suggested DDL ->
+the SAME workload now answers from the reflection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dremio_oss_spark.engine import Engine
+from dremio_oss_spark.plans.suggester import parse_agg_shape, suggest
+
+from .conftest import SF_SMALL
+
+
+def test_parse_agg_shape():
+    r = parse_agg_shape(
+        "select o_orderstatus, sum(o_totalprice) as s, count(*) as c "
+        "from orders where o_custkey < 10 "
+        "group by o_orderstatus order by s limit 5")
+    assert r is not None
+    assert r.dataset == "orders"
+    assert r.dims == ("o_orderstatus",)
+    assert set(r.measures) == {("sum", "o_totalprice"), ("count", "*")}
+    # joins / non-aggregates / internal views don't record
+    assert parse_agg_shape("select * from orders") is None
+    assert parse_agg_shape(
+        "select a, count(*) from t join u on 1=1 group by a") is None
+    assert parse_agg_shape(
+        "select a, count(*) from __lake_123 group by a") is None
+
+
+def test_suggest_drops_high_ndv_dims_and_ranks():
+    from dremio_oss_spark.plans.suggester import AggWorkloadRecord
+
+    recs = [
+        AggWorkloadRecord("orders", ("o_orderstatus",),
+                          (("sum", "o_totalprice"),), False),
+        AggWorkloadRecord("orders", ("o_orderstatus", "o_orderkey"),
+                          (("count", "*"),), False),
+        AggWorkloadRecord("lineitem", ("l_returnflag",),
+                          (("avg", "l_quantity"),), False),
+        # accelerated queries don't generate suggestions
+        AggWorkloadRecord("part", ("p_type",),
+                          (("count", "*"),), True),
+    ]
+    stats = {"orders": {"columns": [
+        ("o_orderstatus", 1000, 0, 3, 3, "", ""),
+        ("o_orderkey", 1000, 0, 1000, 1000, "", ""),
+        ("o_totalprice", 1000, 0, 990, 990, "", ""),
+    ]}}
+    got = suggest(recs, stats)
+    by_ds = {s["dataset"]: s for s in got}
+    assert set(by_ds) == {"orders", "lineitem"}
+    o = by_ds["orders"]
+    assert o["dimensions"] == "o_orderstatus"
+    assert o["dropped_high_ndv"] == "o_orderkey"
+    assert "o_totalprice (SUM)" in o["measures"]
+    # orders: 2 misses + stats-known reduction -> outranks lineitem
+    assert got[0]["dataset"] == "orders"
+    # avg decomposes to SUM + COUNT partials
+    li = by_ds["lineitem"]
+    assert "l_quantity (COUNT, SUM)" in li["measures"]
+
+
+def test_suggested_reflection_accelerates_its_workload(spark):
+    """The full loop: workload -> ANALYZE -> recommendation -> replay
+    the emitted DDL -> the same query now answers from the
+    reflection (last_plan_accelerated set, values unchanged)."""
+    eng = Engine(spark)
+    spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet")) \
+        .createOrReplaceTempView("sugg_orders")
+    q1 = ("select o_orderstatus, sum(o_totalprice) as s "
+          "from sugg_orders group by o_orderstatus")
+    q2 = ("select o_orderpriority, count(*) as c "
+          "from sugg_orders group by o_orderpriority")
+    q3 = ("select o_orderkey, sum(o_totalprice) as s "
+          "from sugg_orders group by o_orderkey")  # high-NDV dim
+    base1 = {(r["o_orderstatus"], round(float(r["s"]), 2))
+             for r in eng.sql(q1).collect()}
+    eng.sql(q2).collect()
+    eng.sql(q3).collect()
+    eng.sql("ANALYZE TABLE sugg_orders FOR COLUMNS "
+            "(o_orderstatus, o_orderpriority, o_orderkey, o_totalprice) "
+            "COMPUTE STATISTICS")
+    recs = eng.sql("select * from sys.reflection_recommendations "
+                   "where dataset = 'sugg_orders'").collect()
+    assert len(recs) == 1
+    rec = recs[0]
+    dims = set(d.strip() for d in rec["dimensions"].split(","))
+    assert dims == {"o_orderstatus", "o_orderpriority"}
+    assert rec["dropped_high_ndv"] == "o_orderkey"
+    assert rec["query_count"] == 3
+    assert rec["estimated_reduction"] > 10
+    # replay the emitted DDL verbatim; the workload now accelerates
+    eng.sql(rec["ddl"])
+    assert eng.sql(q1) is not None
+    assert eng.last_plan_accelerated == "refl_suggested_sugg_orders"
+    got1 = {(r["o_orderstatus"], round(float(r["s"]), 2))
+            for r in eng.sql(q1).collect()}
+    assert got1 == base1
+    eng.sql(q2).collect()
+    assert eng.last_plan_accelerated == "refl_suggested_sugg_orders"
+    # accelerated queries stop feeding the recommendation queue
+    eng.sql("select o_orderstatus, sum(o_totalprice) as s2 "
+            "from sugg_orders group by o_orderstatus").collect()
+    recs = eng.sql("select query_count from "
+                   "sys.reflection_recommendations "
+                   "where dataset = 'sugg_orders'").collect()
+    assert recs and recs[0]["query_count"] == 3  # unchanged
+    eng._refl_store.drop("refl_suggested_sugg_orders")
+    spark.catalog.dropTempView("sugg_orders")
