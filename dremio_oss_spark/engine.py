@@ -851,7 +851,7 @@ class Engine:
 
                 joins, dim_sources = [], {}
                 for jm in re.finditer(
-                        r"(?:(left|inner)\s+)?([\w.]+)\s+on\s+"
+                        r"(?:(left|inner|full)\s+)?([\w.]+)\s+on\s+"
                         r"(\w+)\s*=\s*(\w+)", join_s, re.I):
                     jt, dim_t, fk, dk = jm.groups()
                     joins.append(JoinSpec(
@@ -3120,18 +3120,71 @@ class Engine:
                 to_commit=m.group(3) if kind == "commit" else None)
             return self._status(
                 "ASSIGN REF", f"{m.group(1)} -> {m.group(3)} @ {head}")
-        # MERGE BRANCH <src-branch> INTO <target> IN <src>
+        # MERGE BRANCH <src-branch> INTO <target> IN <src> [DRY RUN]
         m = re.match(
             rf"\s*merge\s+branch\s+(\w+)\s+into\s+(\w+)\s+in\s+"
-            rf"({names})\s*$", query, re.I)
+            rf"({names})(\s+dry\s+run)?\s*$", query, re.I)
         if m:
+            root = self._versioned_sources[m.group(3)]
+            if m.group(4):  # Nessie dry-run merge check: no commit
+                res = dataplane.merge_dry_run(root, m.group(1),
+                                              m.group(2))
+                return self.spark.createDataFrame(
+                    [(", ".join(res["mergeable_keys"]),
+                      ", ".join(res["conflicts"]),
+                      res["would_succeed"])],
+                    "mergeable_keys string, conflicts string, "
+                    "would_succeed boolean")
             res = dataplane.merge_branch(
-                self._versioned_sources[m.group(3)], m.group(1),
-                m.group(2), author=self.session_user)
+                root, m.group(1), m.group(2), author=self.session_user)
             return self._status(
                 "MERGE BRANCH",
                 f"{m.group(1)} -> {m.group(2)} @ {res['commit']} "
                 f"({len(res['merged_keys'])} keys)")
+        # MERGE INTO <src>.<key> [AT BRANCH b] USING <view|(subq)>
+        #   ON <cond> [WHEN MATCHED THEN UPDATE SET ...]
+        #   [WHEN NOT MATCHED THEN INSERT *]
+        m = re.match(
+            rf"\s*merge\s+into\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"\s+using\s+(?:\((?P<subq>.+?)\)(?:\s+(?:as\s+)?\w+)?"
+            r"|(?P<sview>\w+))\s+on\s+(?P<cond>.+?)\s+"
+            r"(?:when\s+matched\s+then\s+update\s+set\s+(?P<sets>.+?))?"
+            r"(?:\s*when\s+not\s+matched\s+then\s+insert\s+\*)?\s*$",
+            query, re.I | re.S)
+        if m and (m.group("sets") is not None
+                  or re.search(r"when\s+not\s+matched", query, re.I)):
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            keys = [k.strip().split(".")[-1]
+                    for k in re.split(r"\band\b", m.group("cond"),
+                                      flags=re.I)
+                    for k in [k.split("=")[0]]]
+            sets = m.group("sets")
+            update_set = None
+            if sets is not None and sets.strip() != "*":
+                update_set = {}
+                for part in _split_top_level(sets, ","):
+                    c, _, e = part.partition("=")
+                    update_set[c.strip().split(".")[-1]] = e.strip()
+            source = (self._sql_uncached(m.group("subq"))
+                      if m.group("subq") is not None
+                      else self.spark.table(m.group("sview")))
+            cid = dataplane.merge_into(
+                self.spark, self._versioned_sources[src], branch, key,
+                source, on=keys, update_set=update_set,
+                insert_not_matched=bool(
+                    re.search(r"when\s+not\s+matched", query, re.I)),
+                update_matched=sets is not None,
+                author=self.session_user)
+            return self._status("MERGE",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # VACUUM SOURCE <src>: catalog GC of unreachable locations
+        m = re.match(rf"\s*vacuum\s+source\s+({names})\s*$", query, re.I)
+        if m:
+            removed = dataplane.gc_unreachable(
+                self._versioned_sources[m.group(1)])
+            return self._status("VACUUM SOURCE",
+                                f"removed {len(removed)} locations")
         # USE BRANCH/TAG/COMMIT <name> IN <src>  (unquoted source form)
         m = re.match(
             rf"\s*use\s+(branch|tag|ref|commit)\s+'?([\w-]+)'?\s+in\s+"

@@ -503,8 +503,12 @@ class ReflectionStore:
         df = fact
         for js in joins:
             dim = dim_sources[js.dim_table]
-            df = df.join(F.broadcast(dim),
-                         F.col(js.fact_key) == F.col(js.dim_key),
+            # Spark cannot broadcast a FULL outer build side (both
+            # sides null-extend); those edges shuffle, every other
+            # edge broadcasts the dim
+            if js.join_type != "full":
+                dim = F.broadcast(dim)
+            df = df.join(dim, F.col(js.fact_key) == F.col(js.dim_key),
                          js.join_type)
         return df
 

@@ -453,6 +453,10 @@ class _Extractor:
         self.env: dict[int, tuple[str | None, str] | None] = {}
         self.tables: list[str] = []
         self.filter_exprs: list = []
+        # tables incident to a FULL outer edge: BOTH sides are
+        # null-extended there, so query filters touching them refuse
+        # (same below/above-join conflation argument as `nullable`)
+        self.full_tables: set[str] = set()
         # (join_type, condition expr, tables on the null-extended side)
         self.edges: list = []
         # tables null-extended by some LEFT OUTER edge — filters and
@@ -530,10 +534,9 @@ class _Extractor:
             jt_obj = node.get("joinType", {}).get("object", "")
             jt = {"Inner$": "inner",
                   "LeftOuter$": "left",
-                  "RightOuter$": "right"}.get(jt_obj.rsplit(".", 1)[-1])
+                  "RightOuter$": "right",
+                  "FullOuter$": "full"}.get(jt_obj.rsplit(".", 1)[-1])
             if jt is None:
-                # FULL outer refuses: the reference's substitution
-                # likewise normalizes only side-preserving stars
                 raise _Unsupported("non-inner join")
             if jt == "right":
                 # `dim RIGHT JOIN fact` IS `fact LEFT JOIN dim`: swap
@@ -542,17 +545,27 @@ class _Extractor:
                 # (it resolves columns by attribute, not position)
                 kids = [kids[1], kids[0]]
                 jt = "left"
+            n_pre = len(self.tables)
             pend_l = self._walk_source(*kids[0])
             n_mid = len(self.tables)
             pend_r = self._walk_source(*kids[1])
             right_tables = frozenset(self.tables[n_mid:])
-            if jt == "left":
+            if jt in ("left", "full"):
                 if len(right_tables) != 1:
                     # only leaf dims on the nullable side: a multi-table
                     # nullable subtree makes edge order significant and
                     # the unordered JoinSpec set can't express it
                     raise _Unsupported("left join of a join subtree")
                 self.nullable |= right_tables
+            if jt == "full":
+                # FULL outer (the reference normalizes it when the
+                # reflection declared the same edge): null-extended
+                # rows on BOTH sides group like values in the rollup —
+                # the LEFT algebra plus dim-only rows whose fact
+                # measures are null.  Every incident table joins the
+                # filter-refusal set.
+                self.full_tables |= set(
+                    self.tables[n_pre:n_mid]) | right_tables
             cond = node.get("condition")
             if not cond:
                 raise _Unsupported("cross join")
@@ -771,9 +784,53 @@ class _Extractor:
             # and count-weighted avg-over-expression-dims (each leaf's
             # rollup column is computed via its own channel)
             return ("agg",) + self._classify_agg(node, kids)
+        if c == "CaseWhen":
+            # CASE WHEN over aggregate outputs (`CASE WHEN count(*)>0
+            # THEN sum(x)/count(*) END` — the guarded-ratio shape BI
+            # tools emit): the aggregate leaves roll up through their
+            # own channels; the CASE re-applies over the re-aggregated
+            # partials.  Children alternate (cond, value) per branch,
+            # odd trailing child is the ELSE.
+            n_branch = len(kids) // 2
+            branches = [
+                (self._post_pred(*kids[2 * i]),
+                 self._post_expr(*kids[2 * i + 1]))
+                for i in range(n_branch)
+            ]
+            els = (self._post_expr(*kids[-1])
+                   if len(kids) % 2 else None)
+            return ("case", branches, els)
         # a group dim: plain column, whitelisted expression, or a
         # projection alias of one — anything else refuses inside
         return ("dim", self._dim_key(node, kids))
+
+    _POST_CMP = {
+        "EqualTo": "=", "GreaterThan": ">", "LessThan": "<",
+        "GreaterThanOrEqual": ">=", "LessThanOrEqual": "<=",
+    }
+
+    def _post_pred(self, node, kids) -> tuple:
+        """Canonicalize a predicate over POST-AGGREGATION expressions
+        (a CASE WHEN condition): comparisons / boolean combinators /
+        null tests whose operands are `_post_expr` trees.  Re-applied
+        verbatim over the rollup's re-aggregated partials — sound
+        because every operand value is identical there by the same
+        argument as the post-agg arithmetic itself."""
+        c = _cls(node)
+        if c in self._POST_CMP:
+            return ("cmp", self._POST_CMP[c],
+                    self._post_expr(*kids[0]),
+                    self._post_expr(*kids[1]))
+        if c in ("And", "Or"):
+            return (c.lower(), self._post_pred(*kids[0]),
+                    self._post_pred(*kids[1]))
+        if c == "Not":
+            return ("not", self._post_pred(*kids[0]))
+        if c == "IsNull":
+            return ("isnull", self._post_expr(*kids[0]))
+        if c == "IsNotNull":
+            return ("isnotnull", self._post_expr(*kids[0]))
+        raise _Unsupported(f"post-agg predicate {c}")
 
     def _walk_expand(self, node, kids) -> list[tuple[int, tuple]]:
         """Parse a grouping-sets Expand: walk the real source below it,
@@ -1033,6 +1090,20 @@ class _Extractor:
                         f"{n.get('dataType')})")
             if c2 == "Literal":
                 return self._render_literal(n)
+            if c2 == "CaseWhen":
+                # CASE WHEN over hoisted aggregate outputs inside
+                # HAVING (`HAVING CASE WHEN count(*)>0 THEN sum(x)/
+                # count(*) END > k`): conditions re-render through the
+                # predicate walker, values through this expression
+                # walker — all against the rollup's output names
+                n_b = len(k) // 2
+                arms = " ".join(
+                    f"when {self._render_pred(*k[2 * i], name_of)} "
+                    f"then {hav_expr(*k[2 * i + 1])}"
+                    for i in range(n_b))
+                els = (f" else {hav_expr(*k[-1])}"
+                       if len(k) % 2 else "")
+                return f"(case {arms}{els} end)"
             raise _Unsupported("having expression")
 
         if c in _CMP:
@@ -1109,7 +1180,7 @@ class _Extractor:
                     or _cls(rn) != "AttributeReference"):
                 raise _Unsupported("join condition on expressions")
             a, b = self._resolve(ln), self._resolve(rn)
-            if jt == "left":
+            if jt in ("left", "full"):
                 in_right = (a[0] in right_tables, b[0] in right_tables)
                 if in_right == (True, True) or in_right == (False, False):
                     raise _Unsupported("left-join condition sides")
@@ -1295,8 +1366,27 @@ class _Extractor:
                 yield from _post_leaves(p[3])
             elif t in ("neg", "cast"):
                 yield from _post_leaves(p[-1])
+            elif t == "case":
+                for pred, val in p[1]:
+                    yield from _pred_leaves(pred)
+                    yield from _post_leaves(val)
+                if p[2] is not None:
+                    yield from _post_leaves(p[2])
             else:
                 yield p
+
+        def _pred_leaves(pr):
+            t = pr[0]
+            if t == "cmp":
+                yield from _post_leaves(pr[2])
+                yield from _post_leaves(pr[3])
+            elif t in ("and", "or"):
+                yield from _pred_leaves(pr[1])
+                yield from _pred_leaves(pr[2])
+            elif t == "not":
+                yield from _pred_leaves(pr[1])
+            else:  # isnull / isnotnull
+                yield from _post_leaves(pr[1])
 
         for _, k, payload, _i in outputs:
             if k == "dim" and payload not in dims:
@@ -1322,9 +1412,10 @@ class _Extractor:
                 yield from _refs(*kk)
 
         filt: list[str] = []
+        refuse_filter = self.nullable | self.full_tables
         for fe in self.filter_exprs:
             for node2, kids2 in self._iter_conj(fe):
-                if any(t in self.nullable
+                if any(t in refuse_filter
                        for t, _c in _refs(node2, kids2)):
                     raise _Unsupported("filter on nullable-side column")
                 filt.append(self._render_pred(node2, kids2))
@@ -1397,6 +1488,13 @@ class _Extractor:
                 return f"(- {_post_sql(p[1])})"
             if t == "cast":
                 return f"cast({_post_sql(p[2])} as {p[1]})"
+            if t == "case":
+                arms = " ".join(
+                    f"when {_pred_sql(pr)} then {_post_sql(v)}"
+                    for pr, v in p[1])
+                els = (f" else {_post_sql(p[2])}"
+                       if p[2] is not None else "")
+                return f"(case {arms}{els} end)"
             if t == "lit":
                 return f"cast('{p[1]}' as {p[2]})"
             if t == "dim":
@@ -1421,6 +1519,18 @@ class _Extractor:
                 return (f"(cast({_dd_name(('sum', key))} as double)"
                         f" / {_dd_name(('count', key))})")
             return _dd_name(p3)
+
+        def _pred_sql(pr) -> str:
+            t = pr[0]
+            if t == "cmp":
+                return f"({_post_sql(pr[2])} {pr[1]} {_post_sql(pr[3])})"
+            if t in ("and", "or"):
+                return f"({_pred_sql(pr[1])} {t} {_pred_sql(pr[2])})"
+            if t == "not":
+                return f"(not {_pred_sql(pr[1])})"
+            if t == "isnull":
+                return f"({_post_sql(pr[1])} is null)"
+            return f"({_post_sql(pr[1])} is not null)"
 
         havings: list[str] = []
         for fe in post_agg_filters:
@@ -1558,8 +1668,8 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
         for other, my_col, their_col, jt in adj.get(t, ()):
             if other in seen:
                 continue
-            if jt == "left" and other not in ex.nullable:
-                return None  # left edge oriented against preservation
+            if jt in ("left", "full") and other not in ex.nullable:
+                return None  # outer edge oriented against preservation
             specs.append(JoinSpec(other, my_col, their_col,
                                   join_type=jt))
             seen.add(other)
@@ -1743,6 +1853,13 @@ def match_and_execute(store, ex: ExtractedAgg):
             return -_post_col(p[1])
         if t == "cast":
             return _post_col(p[2]).cast(p[1])
+        if t == "case":
+            col = None
+            for pr, v in p[1]:
+                col = (F.when(_pred_col(pr), _post_col(v)) if col is None
+                       else col.when(_pred_col(pr), _post_col(v)))
+            return (col.otherwise(_post_col(p[2]))
+                    if p[2] is not None else col)
         if t == "lit":
             return F.expr(f"cast('{p[1]}' as {p[2]})")
         if t == "dim":
@@ -1766,6 +1883,25 @@ def match_and_execute(store, ex: ExtractedAgg):
             return (F.col(_dd_name(("sum", key))).cast("double")
                     / F.col(_dd_name(("count", key))))
         return F.col(_dd_name(p3))
+
+    def _pred_col(pr):
+        """Boolean rendering of a post-agg CASE predicate."""
+        import operator as _op
+
+        t = pr[0]
+        if t == "cmp":
+            fn = {"=": _op.eq, ">": _op.gt, "<": _op.lt,
+                  ">=": _op.ge, "<=": _op.le}[pr[1]]
+            return fn(_post_col(pr[2]), _post_col(pr[3]))
+        if t == "and":
+            return _pred_col(pr[1]) & _pred_col(pr[2])
+        if t == "or":
+            return _pred_col(pr[1]) | _pred_col(pr[2])
+        if t == "not":
+            return ~_pred_col(pr[1])
+        if t == "isnull":
+            return _post_col(pr[1]).isNull()
+        return _post_col(pr[1]).isNotNull()
 
     cols = []
     for out_name, kind, payload in ex.outputs:

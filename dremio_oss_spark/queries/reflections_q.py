@@ -742,8 +742,8 @@ def transparent_ratio(spark: SparkSession, sf: str) -> DataFrame:
     re-aggregated partials; every aggregate leaf rolls up even when the
     expression is the only place it appears.  The reflection's sum
     partials are decimal-exact, so the emitted double ratio matches the
-    oracle's decimal arithmetic bit-for-bit.  Control: a CASE WHEN
-    inside the expression falls through."""
+    oracle's decimal arithmetic bit-for-bit.  A CASE WHEN inside
+    the expression also splices (value-checked against the base plan)."""
     from ..catalog import register_testdata
     from ..engine import Engine
 
@@ -762,12 +762,19 @@ def transparent_ratio(spark: SparkSession, sf: str) -> DataFrame:
         "group by l_returnflag order by l_returnflag")
     assert eng.last_plan_accelerated == "t_ratio", \
         "post-aggregation arithmetic substitution missed"
-    # control: CASE WHEN inside the expression refuses
-    eng.sql("select l_returnflag, sum(l_extendedprice) * "
-            "(case when count(*) > 0 then 1 else 0 end) as x "
-            "from lineitem group by l_returnflag")
-    assert eng.last_plan_accelerated is None, \
-        "unsound CASE substitution"
+    # CASE WHEN inside the expression now SPLICES (the guarded-ratio
+    # shape; see refl_transparent_caseagg) — must substitute AND match
+    qc = ("select l_returnflag, sum(l_extendedprice) * "
+          "(case when count(*) > 0 then 1 else 0 end) as x "
+          "from lineitem group by l_returnflag")
+    got_c = eng.sql(qc)
+    assert eng.last_plan_accelerated == "t_ratio", \
+        "CASE post-agg substitution missed"
+    base_c = {r["l_returnflag"]: float(r["x"])
+              for r in spark.sql(qc).collect()}
+    for r in got_c.collect():
+        b = base_c[r["l_returnflag"]]
+        assert abs(float(r["x"]) - b) < 1e-9 * max(1.0, abs(b))
     return df
 
 
@@ -1258,8 +1265,134 @@ select 'sugg_ord' as dataset,
 """
 
 
+def transparent_fulljoin(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER fact-dim star substitution: a reflection declaring
+    the same FULL edge answers the query — null-extended rows on BOTH
+    sides (lineitems without a dim match AND the dim row matching no
+    lineitem) group like values, the LEFT algebra plus dim-only rows
+    (`SubstitutionProvider.java:40` scope).  Controls asserted: a WHERE
+    on a full-side column falls through, and an INNER query never
+    matches the FULL reflection."""
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    d = _scratch_dir("fulljoin", sf)
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    supp = (load(spark, sf, "supplier").where("s_suppkey <= 50")
+            .select("s_suppkey", "s_nationkey"))
+    extra = spark.createDataFrame(
+        [(999999, 99)], supp.schema)
+    supp.unionByName(extra).write.mode("overwrite").parquet(d)
+    spark.read.parquet(d).createOrReplaceTempView("supp_fj")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION fjoin "
+            "USING DIMENSIONS (s_nationkey, l_returnflag) "
+            "MEASURES (l_extendedprice (SUM)) "
+            "JOINS (full supp_fj on l_suppkey = s_suppkey)")
+    q = ("select s_nationkey, sum(l_extendedprice) as s, count(*) as c "
+         "from lineitem full outer join supp_fj "
+         "on l_suppkey = s_suppkey group by s_nationkey")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "fjoin", \
+        "full-outer star did not substitute"
+    # control 1: WHERE on a full-side column refuses (sound)
+    eng.sql(q.replace("group by", "where l_returnflag = 'R' group by")
+            ).collect()
+    assert eng.last_plan_accelerated is None, \
+        "filter on full-side column must not substitute"
+    # control 2: an INNER query never answers from a FULL reflection
+    eng.sql("select s_nationkey, sum(l_extendedprice) as s "
+            "from lineitem join supp_fj on l_suppkey = s_suppkey "
+            "group by s_nationkey").collect()
+    assert eng.last_plan_accelerated is None, \
+        "inner query must not match full reflection"
+    # the result stays LAZY over the materialization: do not drop it
+    return (df.withColumn("s", F.col("s").cast("double"))
+            .orderBy("s_nationkey"))
+
+
+TRANSPARENT_FULLJOIN_SQL = """
+with supp_fj as (
+  select s_suppkey, s_nationkey from supplier where s_suppkey <= 50
+  union all select 999999, 99
+)
+select s_nationkey,
+       cast(sum(cast(l_extendedprice as decimal(28,4))) as double) as s,
+       count(*) as c
+from lineitem full outer join supp_fj on l_suppkey = s_suppkey
+group by s_nationkey
+order by s_nationkey
+"""
+
+
+def transparent_caseagg(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN over aggregate outputs inside post-agg arithmetic AND
+    inside HAVING — the guarded-ratio shape BI tools emit (`CASE WHEN
+    count(*)>0 THEN sum(x) END`), spliced over the rollup's
+    re-aggregated partials.  Control asserted: a CASE over an
+    uncovered aggregate leaf (min, not declared) falls through."""
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION caseagg "
+            "USING DIMENSIONS (o_orderstatus, o_orderpriority) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    q = ("select o_orderstatus, "
+         "case when count(*) >= 100 then sum(o_totalprice) end as big_s, "
+         "case when sum(o_totalprice) is null then 0 else count(*) end "
+         "as nn_c from orders group by o_orderstatus "
+         "having case when count(*) > 0 then sum(o_totalprice) "
+         "else 0.0 end > 1000.0")
+    df = eng.sql(q)
+    assert eng.last_plan_accelerated == "caseagg", \
+        "CASE-over-aggregates did not substitute"
+    # control: CASE over an uncovered leaf refuses
+    eng.sql("select o_orderstatus, case when min(o_totalprice) > 0 "
+            "then 1 else 0 end as m from orders "
+            "group by o_orderstatus").collect()
+    assert eng.last_plan_accelerated is None, \
+        "uncovered CASE leaf must not substitute"
+    # the result stays LAZY over the materialization: do not drop it
+    return (df.withColumn("big_s", F.col("big_s").cast("double"))
+            .withColumn("nn_c", F.col("nn_c").cast("long"))
+            .orderBy("o_orderstatus"))
+
+
+TRANSPARENT_CASEAGG_SQL = """
+select o_orderstatus,
+       cast(case when count(*) >= 100
+            then sum(cast(o_totalprice as decimal(28,4))) end
+            as double) as big_s,
+       cast(case when sum(o_totalprice) is null then 0 else count(*) end
+            as bigint) as nn_c
+from orders
+group by o_orderstatus
+having case when count(*) > 0
+       then cast(sum(cast(o_totalprice as decimal(28,4))) as double)
+       else 0.0 end > 1000.0
+order by o_orderstatus
+"""
+
+
+def _scratch_dir(name: str, sf: str) -> str:
+    import shutil
+
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
+    d = os.path.join(_REPO, ".scratch", f"{name}-{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 REFLECTION_QUERIES = {
     "refl_suggester": suggester,
+    "refl_transparent_fulljoin": transparent_fulljoin,
+    "refl_transparent_caseagg": transparent_caseagg,
     "refl_transparent_union": transparent_union,
     "refl_raw_window": raw_any_shape,
     "refl_transparent_sql": transparent_sql,
@@ -1288,6 +1421,8 @@ REFLECTION_QUERIES = {
 
 REFLECTION_ORACLE = {
     "refl_suggester": SUGGESTER_SQL,
+    "refl_transparent_fulljoin": TRANSPARENT_FULLJOIN_SQL,
+    "refl_transparent_caseagg": TRANSPARENT_CASEAGG_SQL,
     "refl_transparent_union": TRANSPARENT_UNION_SQL,
     "refl_raw_window": RAW_ANY_SHAPE_SQL,
     "refl_transparent_sql": TRANSPARENT_SQL_SQL,

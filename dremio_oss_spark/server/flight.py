@@ -13,11 +13,17 @@ server IS the library surface.
 Scope: the read path (GetFlightInfo + DoGet), PREPARED STATEMENTS with
 parameter binding (CreatePreparedStatement / DoPut(parameters) / DoGet,
 the flow `DremioFlightProducer.java` serves FlightSQL clients), and a
-health action, with optional bearer-token auth.  Stated deviation: the
-prepared-statement flow rides generic Flight actions/descriptors rather
-than the FlightSQL protobuf envelope (pyarrow ships no FlightSQL
-bindings); the wire SHAPE — opaque statement handle, Arrow-batch
-parameter upload, one-shot execution tickets — matches.
+health action, with optional bearer-token auth.
+
+The server speaks BOTH envelopes: the real FlightSQL protobuf protocol
+(CommandStatementQuery / CommandPreparedStatementQuery /
+TicketStatementQuery / ActionCreatePreparedStatement* packed in
+google.protobuf.Any — see `flightsql_codec.py`; pyarrow ships no
+FlightSQL bindings, so the handful of one-field messages are
+wire-coded by hand and pinned to golden byte vectors in tests), and a
+generic plain-SQL descriptor fallback for pyarrow-only clients.  A
+stock FlightSQL client (ADBC / the FlightSQL JDBC driver) negotiates
+the protobuf path; `flight_query` below uses the generic one.
 
 Scale note: results materialize driver-side as one Arrow table per
 request (`DataFrame.toArrow`), so the endpoint is for RESULT-SET-sized
@@ -146,8 +152,15 @@ class EngineFlightServer(flight.FlightServerBase):
         carries the handle, the stream carries ONE record batch whose
         row binds the positional parameters (FlightSQL
         DoPutPreparedStatementQuery shape)."""
+        from . import flightsql_codec as fsql
+
+        cmd = descriptor.command
+        env = fsql.any_unpack(cmd)
+        if (env is not None
+                and env[0] == "CommandPreparedStatementQuery"):
+            cmd = fsql.bytes_field(env[1])
         with self._lock:
-            st = self._prepared.get(descriptor.command)
+            st = self._prepared.get(cmd)
         if st is None:
             raise flight.FlightServerError(
                 "DoPut without a prepared-statement handle")
@@ -161,12 +174,36 @@ class EngineFlightServer(flight.FlightServerBase):
     def get_flight_info(self, context, descriptor):
         import uuid
 
-        with self._lock:
-            st = self._prepared.get(descriptor.command)
-        if st is not None:
-            sql = self._bind(st["sql"], st["params"] or [])
+        from . import flightsql_codec as fsql
+
+        # FlightSQL protobuf envelope first (CommandStatementQuery /
+        # CommandPreparedStatementQuery packed in Any — the protocol a
+        # stock FlightSQL client speaks, DremioFlightProducer.java:89);
+        # anything else falls back to the generic plain-SQL descriptor
+        env = fsql.any_unpack(descriptor.command)
+        flightsql = env is not None
+        if flightsql:
+            name, payload = env
+            if name == "CommandStatementQuery":
+                sql = fsql.str_field(payload)
+            elif name == "CommandPreparedStatementQuery":
+                handle = fsql.bytes_field(payload)
+                with self._lock:
+                    st = self._prepared.get(handle)
+                if st is None:
+                    raise flight.FlightServerError(
+                        "unknown prepared-statement handle")
+                sql = self._bind(st["sql"], st["params"] or [])
+            else:
+                raise flight.FlightServerError(
+                    f"unsupported FlightSQL command {name}")
         else:
-            sql = descriptor.command.decode()
+            with self._lock:
+                st = self._prepared.get(descriptor.command)
+            if st is not None:
+                sql = self._bind(st["sql"], st["params"] or [])
+            else:
+                sql = descriptor.command.decode()
         ticket = f"q:{uuid.uuid4().hex}".encode()
         with self._lock:
             df = self._run(sql)
@@ -178,12 +215,25 @@ class EngineFlightServer(flight.FlightServerBase):
             while len(self._planned) > 32:  # bounded: drop oldest
                 self._planned.pop(next(iter(self._planned)))
             schema = df.limit(0).toArrow().schema
+        # FlightSQL tickets carry an Any-packed TicketStatementQuery
+        # whose statement_handle is our opaque ticket (the redeem key
+        # stays the inner handle, so generic and FlightSQL paths share
+        # the planned-frame cache)
+        wire_ticket = (fsql.ticket_statement_query(ticket)
+                       if flightsql else ticket)
         endpoint = flight.FlightEndpoint(
-            flight.Ticket(ticket),
+            flight.Ticket(wire_ticket),
             [flight.Location.for_grpc_tcp("127.0.0.1", self.port)])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
     def do_get(self, context, ticket):
+        from . import flightsql_codec as fsql
+
+        raw = ticket.ticket
+        env = fsql.any_unpack(raw)
+        if env is not None and env[0] == "TicketStatementQuery":
+            raw = fsql.bytes_field(env[1])
+        ticket = flight.Ticket(raw)
         with self._lock:
             df = self._planned.pop(ticket.ticket, None)
             if df is None:
@@ -217,17 +267,34 @@ class EngineFlightServer(flight.FlightServerBase):
         if action.type == "version":
             return [self.engine.spark.version.encode()]
         if action.type == "CreatePreparedStatement":
+            from . import flightsql_codec as fsql
+
+            body = action.body.to_pybytes()
+            env = fsql.any_unpack(body)
+            sql = (fsql.str_field(env[1])
+                   if env is not None
+                   and env[0] == "ActionCreatePreparedStatementRequest"
+                   else body.decode())
             handle = f"ps:{uuid.uuid4().hex}".encode()
             with self._lock:
-                self._prepared[handle] = {
-                    "sql": action.body.to_pybytes().decode(),
-                    "params": None}
+                self._prepared[handle] = {"sql": sql, "params": None}
                 while len(self._prepared) > 64:  # bounded
                     self._prepared.pop(next(iter(self._prepared)))
+            # FlightSQL callers get the protobuf result envelope back;
+            # generic callers get the raw handle (documented fallback)
+            if env is not None:
+                return [fsql.action_create_prepared_result(handle)]
             return [handle]
         if action.type == "ClosePreparedStatement":
+            from . import flightsql_codec as fsql
+
+            body = action.body.to_pybytes()
+            env = fsql.any_unpack(body)
+            if (env is not None
+                    and env[0] == "ActionClosePreparedStatementRequest"):
+                body = fsql.bytes_field(env[1])
             with self._lock:
-                self._prepared.pop(action.body.to_pybytes(), None)
+                self._prepared.pop(body, None)
             return [b"ok"]
         raise flight.FlightServerError(f"unknown action {action.type!r}")
 

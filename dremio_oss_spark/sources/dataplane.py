@@ -496,6 +496,104 @@ def delete_where(spark: SparkSession, root: str, branch: str, key: str,
                   author=author, expect_head=head)
 
 
+def merge_into(spark: SparkSession, root: str, branch: str, key: str,
+               source: DataFrame, on: list[str],
+               update_set: dict[str, str] | None = None,
+               insert_not_matched: bool = True,
+               update_matched: bool = True,
+               author: str = "$dremio$") -> str:
+    """MERGE INTO <source>.<key> AT BRANCH <branch> USING ... —
+    copy-on-write against the branch snapshot, detached commit (same
+    hit-file pruning and unhinted AQE-costed source join as the
+    unversioned MERGE)."""
+    from .iceberg import merge_into_iceberg
+
+    head = _load_refs(root)["branches"][branch]
+    content = dict(_table_content(root, branch, key))
+    loc = os.path.join(root, content["location"])
+    sid = merge_into_iceberg(
+        spark, loc, source, on, update_set=update_set,
+        insert_not_matched=insert_not_matched,
+        update_matched=update_matched,
+        parent_snapshot=content["snapshot_id"])
+    content["snapshot_id"] = sid
+    return commit(root, branch, {key: content}, f"merge into {key}",
+                  author=author, expect_head=head)
+
+
+def merge_dry_run(root: str, source: str, target: str = "main") -> dict:
+    """MERGE BRANCH ... DRY RUN (Nessie's dry-run merge check): report
+    what WOULD merge — changed keys and per-key conflicts — without
+    committing anything."""
+    refs = _load_refs(root)
+    for b in (source, target):
+        if b not in refs["branches"]:
+            raise ValueError(f"no branch {b!r} in {root}")
+    src_head, tgt_head = refs["branches"][source], refs["branches"][target]
+    base = _merge_base(root, src_head, tgt_head)
+    base_state = state_at(root, commit_id=base) if base else {}
+    src_state = state_at(root, commit_id=src_head) if src_head else {}
+    tgt_state = state_at(root, commit_id=tgt_head) if tgt_head else {}
+
+    def _changes(state: dict) -> dict:
+        return {k: state.get(k) for k in set(state) | set(base_state)
+                if state.get(k) != base_state.get(k)}
+
+    src_c, tgt_c = _changes(src_state), _changes(tgt_state)
+    conflicts = sorted(k for k in set(src_c) & set(tgt_c)
+                       if src_c[k] != tgt_c[k])
+    mergeable = sorted(k for k in src_c if k not in conflicts
+                       and tgt_state.get(k) != src_c[k])
+    return {"mergeable_keys": mergeable, "conflicts": conflicts,
+            "would_succeed": not conflicts}
+
+
+def gc_unreachable(root: str) -> list[str]:
+    """Catalog GC (the Nessie GC role): delete table directories
+    referenced ONLY by commits that are no longer reachable from any
+    branch or tag — e.g. the CTAS of a branch that was later DROPped
+    without merging.  Reachability is the ancestry walk of every ref
+    head (parents + merge parents), so `AT COMMIT` time travel over
+    live history keeps working; unreachable commit files are removed
+    with their data.  Metadata-sized: walks KB JSON, then one rmtree
+    per dead location.  Returns the deleted relative paths."""
+    import shutil
+
+    refs = _load_refs(root)
+    heads = [c for c in list(refs["branches"].values())
+             + list(refs["tags"].values()) if c]
+    reachable: set[str] = set()
+    for h in heads:
+        reachable |= set(_ancestors(root, h))
+    live: set[str] = set()
+    dead_commits: list[str] = []
+    for fn in sorted(os.listdir(_commits_dir(root))):
+        if not fn.endswith(".json"):
+            continue
+        cid = fn[:-5]
+        c = _read_commit(root, cid)
+        contents = (list(c["operations"].values())
+                    + list(c.get("full_state", {}).values()))
+        if cid in reachable:
+            for content in contents:
+                if content and content.get("location"):
+                    live.add(content["location"])
+        else:
+            dead_commits.append(cid)
+    removed: list[str] = []
+    tables_dir = os.path.join(root, "tables")
+    if os.path.isdir(tables_dir):
+        for d in sorted(os.listdir(tables_dir)):
+            rel = os.path.join("tables", d)
+            if rel not in live:
+                shutil.rmtree(os.path.join(root, rel),
+                              ignore_errors=True)
+                removed.append(rel)
+    for cid in dead_commits:
+        os.unlink(os.path.join(_commits_dir(root), cid + ".json"))
+    return removed
+
+
 def update_where(spark: SparkSession, root: str, branch: str, key: str,
                  assignments: dict[str, str], predicate: str | None,
                  author: str = "$dremio$") -> str:

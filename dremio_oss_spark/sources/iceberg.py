@@ -1744,7 +1744,8 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
                        update_set: dict[str, str] | None = None,
                        insert_not_matched: bool = True,
                        mode: str | None = None,
-                       update_matched: bool = True) -> int:
+                       update_matched: bool = True,
+                       parent_snapshot: int | None = None) -> int:
     """MERGE INTO <iceberg table> USING <source> ON <key equality> —
     WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT *.  `source`
     must be unique on the keys (SQL MERGE cardinality rule).
@@ -1760,11 +1761,17 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
     if not update_matched:
         # INSERT-ONLY MERGE: matched rows untouched — one anti-join
         # append snapshot, no rewrite/marking in either mode
-        live_keys = read_iceberg(spark, table).select(*on).distinct()
+        live_keys = (read_iceberg(spark, table,
+                                  snapshot_id=parent_snapshot)
+                     .select(*on).distinct())
         inserts = source.join(live_keys, on, "left_anti")
         return _cow_commit_iceberg(spark, table, "overwrite", set(),
-                                   lambda h: h, inserts)
-    mode = _dml_mode(table, "merge", mode)
+                                   lambda h: h, inserts,
+                                   parent_snapshot=parent_snapshot)
+    if parent_snapshot is not None:
+        mode = "copy-on-write"  # detached (catalog-branch) MERGE is COW
+    else:
+        mode = _dml_mode(table, "merge", mode)
     if mode == "merge-on-read":
         return _mor_merge_iceberg(spark, table, source, on, update_set,
                                   insert_not_matched)
@@ -1772,7 +1779,7 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
         raise ValueError(f"unknown MERGE mode {mode!r}; "
                          "use 'copy-on-write' or 'merge-on-read'")
     keys = source.select(*on).distinct()
-    live = _live_iceberg_with_file(spark, table)
+    live = _live_iceberg_with_file(spark, table, parent_snapshot)
     hit_abs = {r[0] for r in
                live.join(keys, on, "left_semi")
                .select("__file").distinct().collect()}
@@ -1805,12 +1812,14 @@ def merge_into_iceberg(spark: SparkSession, table: str, source: DataFrame,
         return joined.select(*out_cols)
 
     inserts = (
-        source.join(read_iceberg(spark, table).select(*on).distinct(),
-                    on, "left_anti")
+        source.join(read_iceberg(spark, table,
+                                 snapshot_id=parent_snapshot)
+                    .select(*on).distinct(), on, "left_anti")
         if insert_not_matched else None
     )
     return _cow_commit_iceberg(spark, table, "overwrite", hit_abs,
-                               rewrite, inserts)
+                               rewrite, inserts,
+                               parent_snapshot=parent_snapshot)
 
 
 def _mor_merge_iceberg(spark: SparkSession, table: str,

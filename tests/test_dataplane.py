@@ -241,3 +241,60 @@ def test_create_on_two_branches_no_collision(eng):
     with pytest.raises(ValueError, match="conflict on t"):
         eng.sql("MERGE BRANCH b2 INTO main IN dpsrc")
     assert eng.sql("select x from dpsrc.t").first()["x"] == 1
+
+
+def test_merge_into_on_branch(eng, spark):
+    """MERGE INTO <src>.<key> AT BRANCH: COW against the branch
+    snapshot (detached), matched rows update, unmatched insert; main
+    never observes it."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    spark.sql("select 3 as n_nationkey, 'PATCHED' as n_name, "
+              "9 as n_regionkey union all select 99, 'NEW', 0") \
+        .createOrReplaceTempView("dp_patch")
+    eng.sql("MERGE INTO dpsrc.nat AT BRANCH dev USING dp_patch "
+            "ON n_nationkey = n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET n_name = 'PATCHED', "
+            "n_regionkey = 9 WHEN NOT MATCHED THEN INSERT *")
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT BRANCH dev") == 26
+    assert eng.sql("select n_name from dpsrc.nat AT BRANCH dev "
+                   "where n_nationkey = 3").first()["n_name"] == "PATCHED"
+    assert eng.sql("select n_name from dpsrc.nat "
+                   "where n_nationkey = 3").first()["n_name"] != "PATCHED"
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+    spark.catalog.dropTempView("dp_patch")
+
+
+def test_merge_branch_dry_run(eng):
+    """DRY RUN reports mergeable keys / conflicts without committing
+    (Nessie's dry-run merge check)."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE TABLE dpsrc.reg AS select * from region")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'X', 0)")
+    eng.sql("INSERT INTO dpsrc.reg AT BRANCH dev VALUES (9, 'Y')")
+    eng.sql("INSERT INTO dpsrc.reg VALUES (8, 'Z')")  # main diverges
+    row = eng.sql("MERGE BRANCH dev INTO main IN dpsrc DRY RUN").first()
+    assert row["mergeable_keys"] == "nat"
+    assert row["conflicts"] == "reg"
+    assert row["would_succeed"] is False
+    # nothing committed by the dry run
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+
+
+def test_vacuum_source_gc(eng):
+    """Catalog GC removes locations reachable only through dropped
+    refs; everything reachable (including history) survives."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH tmp IN dpsrc")
+    eng.sql("CREATE TABLE dpsrc.scratch AT BRANCH tmp AS select 1 as x")
+    root = eng._versioned_sources["dpsrc"]
+    assert len(os.listdir(os.path.join(root, "tables"))) == 2
+    # still referenced by a live branch: GC removes nothing
+    assert dp.gc_unreachable(root) == []
+    eng.sql("DROP BRANCH tmp IN dpsrc")
+    removed = dp.gc_unreachable(root)
+    assert len(removed) == 1 and removed[0].startswith("tables/scratch")
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25

@@ -1987,11 +1987,14 @@ def test_post_aggregation_arithmetic_substitutes(spark):
     eng.sql("select l_returnflag, max(l_quantity) + l_orderkey as x "
             "from lineitem group by l_returnflag, l_orderkey")
     assert eng.last_plan_accelerated is None  # l_orderkey not a dim
-    # control: CASE WHEN inside refuses
-    eng.sql("select l_returnflag, sum(l_extendedprice) * "
-            "(case when count(*) > 0 then 1 else 0 end) as x "
-            "from lineitem group by l_returnflag")
-    assert eng.last_plan_accelerated is None
+    # CASE WHEN inside post-agg arithmetic now SPLICES (the guarded
+    # ratio shape) — values must match the base plan
+    qc = ("select l_returnflag, sum(l_extendedprice) * "
+          "(case when count(*) > 0 then 1 else 0 end) as x "
+          "from lineitem group by l_returnflag")
+    dfc = eng.sql(qc)
+    assert eng.last_plan_accelerated == "pae"
+    assert canon(dfc) == canon(spark.sql(qc))
     eng._default_refl_store().drop("pae")
 
 
@@ -2865,3 +2868,40 @@ def test_round8_feature_composition(spark):
     finally:
         eng._default_refl_store().drop("fc_agg")
         eng._default_refl_store().drop("fc_raw")
+
+
+def test_case_when_guarded_ratio_substitutes(spark, tmp_path):
+    """CASE WHEN count(*)>0 THEN sum(x)/count(*) END — the division
+    re-applies over decimal partials; values agree with the base plan
+    to float tolerance (decimal vs double division rounding)."""
+    from dremio_oss_spark.engine import Engine
+
+    import os as _os
+
+    eng = Engine(spark)
+    spark.read.parquet(_os.path.join(SF_SMALL, "orders.parquet")) \
+        .createOrReplaceTempView("cw_orders")
+    eng.sql("ALTER TABLE cw_orders CREATE AGGREGATE REFLECTION cwr "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    q = ("select o_orderstatus, case when count(*) > 0 then "
+         "sum(o_totalprice)/count(*) else 0.0 end as r "
+         "from cw_orders group by o_orderstatus")
+    base = {r["o_orderstatus"]: float(r["r"])
+            for r in spark.sql(q).collect()}
+    got_df = eng.sql(q)
+    assert eng.last_plan_accelerated == "cwr"
+    got = {r["o_orderstatus"]: float(r["r"]) for r in got_df.collect()}
+    assert base.keys() == got.keys()
+    for k in base:
+        assert abs(base[k] - got[k]) < 1e-6 * max(1.0, abs(base[k]))
+    # nested CASE predicate shapes: AND/OR/NOT/null tests all splice
+    q2 = ("select o_orderstatus, case when count(*) > 10 and "
+          "not (sum(o_totalprice) is null) then count(*) else -1 end "
+          "as c from cw_orders group by o_orderstatus")
+    base2 = sorted(tuple(r) for r in spark.sql(q2).collect())
+    got2_df = eng.sql(q2)
+    assert eng.last_plan_accelerated == "cwr"
+    assert sorted(tuple(r) for r in got2_df.collect()) == base2
+    eng._refl_store.drop("cwr")
+    spark.catalog.dropTempView("cw_orders")
