@@ -3199,6 +3199,28 @@ class Engine:
             return self._status(
                 "USE VERSION",
                 f"{kind} {m.group(2)} in {m.group(3)}")
+        # SHOW TABLES/VIEWS IN <src> [AT BRANCH/TAG/COMMIT <ref>]
+        m = re.match(
+            rf"\s*show\s+(tables|views)\s+in\s+({names})"
+            r"(?:\s+at\s+(branch|tag|commit)\s+'?([\w-]+)'?)?\s*$",
+            query, re.I)
+        if m:
+            ref, cid = self._vsrc_ref(m.group(2), m.group(3),
+                                      m.group(4))
+            st = dataplane.state_at(
+                self._versioned_sources[m.group(2)], ref,
+                commit_id=cid)
+            want = ("ICEBERG_TABLE" if m.group(1).lower() == "tables"
+                    else "ICEBERG_VIEW")
+            rows = [(k, c.get("location", ""),
+                     c.get("snapshot_id"))
+                    for k, c in sorted(st.items())
+                    if c["type"] == want]
+            return self.spark.createDataFrame(
+                rows or [("", "", None)],
+                "table_name string, location string, "
+                "snapshot_id long").where(
+                    "table_name <> ''" if not rows else "true")
         # SHOW BRANCHES/TAGS IN <src>
         m = re.match(
             rf"\s*show\s+(branches|tags)\s+in\s+({names})\s*$",
@@ -3266,8 +3288,13 @@ class Engine:
             root = self._versioned_sources[src]
             tgt, content = dataplane.read_table(self.spark, root, key,
                                                 ref=branch)
-            cols = [f.name for f in tgt.schema.fields]
-            df = df.toDF(*cols)  # positional, as INSERT INTO is
+            # positional resolution + implicit INSERT cast to the
+            # table's column types (VALUES literals arrive as
+            # int/decimal; the writer's append check is strict)
+            df = df.toDF(*[f.name for f in tgt.schema.fields])
+            df = df.select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in tgt.schema.fields])
             cid = dataplane.insert_into(self.spark, root, branch, key,
                                         df, author=self.session_user)
             return self._status("INSERT",
@@ -3300,6 +3327,27 @@ class Engine:
                 self.spark, self._versioned_sources[src], branch, key,
                 assignments, m.group(5), author=self.session_user)
             return self._status("UPDATE",
+                                f"{src}.{key} @ {branch} ({cid})")
+        # ALTER TABLE <src>.<key> [AT BRANCH b]
+        #   ADD COLUMNS (c type, ...) | DROP COLUMN c
+        m = re.match(
+            rf"\s*alter\s+table\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"\s+(?:add\s+columns\s*\(([^)]*)\)"
+            r"|drop\s+column\s+(\w+))\s*$", query, re.I)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            add = None
+            if m.group(4):
+                add = {}
+                for part in _split_top_level(m.group(4), ","):
+                    cname, _, ctype = part.strip().partition(" ")
+                    add[cname.strip()] = ctype.strip()
+            drop = [m.group(5)] if m.group(5) else None
+            cid = dataplane.alter_table(
+                self._versioned_sources[src], branch, key,
+                add=add, drop=drop, author=self.session_user)
+            return self._status("ALTER TABLE",
                                 f"{src}.{key} @ {branch} ({cid})")
         # DROP TABLE/VIEW <src>.<key> [AT BRANCH b]
         m = re.match(

@@ -1226,12 +1226,13 @@ def suggester(spark: SparkSession, sf: str) -> DataFrame:
 
     eng = Engine(spark)
     load(spark, sf, "orders").createOrReplaceTempView("sugg_ord")
+    # workload recording happens at PLAN time — no execution needed
     eng.sql("select o_orderstatus, sum(o_totalprice) as s "
-            "from sugg_ord group by o_orderstatus").collect()
+            "from sugg_ord group by o_orderstatus")
     eng.sql("select o_orderpriority, avg(o_totalprice) as a "
-            "from sugg_ord group by o_orderpriority").collect()
+            "from sugg_ord group by o_orderpriority")
     eng.sql("select o_orderkey, count(*) as c "
-            "from sugg_ord group by o_orderkey").collect()
+            "from sugg_ord group by o_orderkey")
     eng.sql("ANALYZE TABLE sugg_ord FOR COLUMNS (o_orderstatus, "
             "o_orderpriority, o_orderkey, o_totalprice) "
             "COMPUTE STATISTICS")
@@ -1245,7 +1246,7 @@ def suggester(spark: SparkSession, sf: str) -> DataFrame:
                   "where dataset = 'sugg_ord'").first()["ddl"]
     eng.sql(ddl)
     eng.sql("select o_orderstatus, sum(o_totalprice) as s "
-            "from sugg_ord group by o_orderstatus").collect()
+            "from sugg_ord group by o_orderstatus")  # plan-only probe
     accelerated = eng.last_plan_accelerated is not None
     eng._refl_store.drop("refl_suggested_sugg_ord")
     spark.catalog.dropTempView("sugg_ord")
@@ -1297,15 +1298,16 @@ def transparent_fulljoin(spark: SparkSession, sf: str) -> DataFrame:
     df = eng.sql(q)
     assert eng.last_plan_accelerated == "fjoin", \
         "full-outer star did not substitute"
-    # control 1: WHERE on a full-side column refuses (sound)
-    eng.sql(q.replace("group by", "where l_returnflag = 'R' group by")
-            ).collect()
+    # control 1: WHERE on a full-side column refuses (sound).
+    # Plan-only: the substitution decision is made at plan time, so
+    # the fall-through base plan is never EXECUTED here
+    eng.sql(q.replace("group by", "where l_returnflag = 'R' group by"))
     assert eng.last_plan_accelerated is None, \
         "filter on full-side column must not substitute"
     # control 2: an INNER query never answers from a FULL reflection
     eng.sql("select s_nationkey, sum(l_extendedprice) as s "
             "from lineitem join supp_fj on l_suppkey = s_suppkey "
-            "group by s_nationkey").collect()
+            "group by s_nationkey")
     assert eng.last_plan_accelerated is None, \
         "inner query must not match full reflection"
     # the result stays LAZY over the materialization: do not drop it
@@ -1354,7 +1356,7 @@ def transparent_caseagg(spark: SparkSession, sf: str) -> DataFrame:
     # control: CASE over an uncovered leaf refuses
     eng.sql("select o_orderstatus, case when min(o_totalprice) > 0 "
             "then 1 else 0 end as m from orders "
-            "group by o_orderstatus").collect()
+            "group by o_orderstatus")  # plan-only: decision is at plan time
     assert eng.last_plan_accelerated is None, \
         "uncovered CASE leaf must not substitute"
     # the result stays LAZY over the materialization: do not drop it

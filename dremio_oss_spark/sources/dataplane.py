@@ -521,6 +521,27 @@ def merge_into(spark: SparkSession, root: str, branch: str, key: str,
                   author=author, expect_head=head)
 
 
+def alter_table(root: str, branch: str, key: str,
+                add: dict[str, str] | None = None,
+                drop: list[str] | None = None,
+                author: str = "$dremio$") -> str:
+    """ALTER TABLE <source>.<key> AT BRANCH <branch> ADD COLUMNS/DROP
+    COLUMN — branch-scoped schema evolution: the new schema rides a
+    detached snapshot pinned to the branch's catalog pointer; every
+    other ref keeps its schema (per-snapshot schema-id resolution,
+    `iceberg.alter_iceberg_detached`)."""
+    from .iceberg import alter_iceberg_detached
+
+    head = _load_refs(root)["branches"][branch]
+    content = dict(_table_content(root, branch, key))
+    loc = os.path.join(root, content["location"])
+    sid = alter_iceberg_detached(loc, content["snapshot_id"],
+                                 add=add, drop=drop)
+    content["snapshot_id"] = sid
+    return commit(root, branch, {key: content}, f"alter {key}",
+                  author=author, expect_head=head)
+
+
 def merge_dry_run(root: str, source: str, target: str = "main") -> dict:
     """MERGE BRANCH ... DRY RUN (Nessie's dry-run merge check): report
     what WOULD merge — changed keys and per-key conflicts — without

@@ -142,6 +142,7 @@ class IcebergSnapshot:
             for c in partition_cols
         ]
         self.default_spec_id = 0  # set by resolve_snapshot
+        self.schema_id = 0  # the schema this snapshot pinned (spec v2)
 
 
 def _snapshot_ts_ms(meta: dict) -> int:
@@ -192,9 +193,10 @@ class _SnapshotMeta:
     this so a million-file table never replays manifests on the driver."""
 
     def __init__(self, sid, schema, part_cols, spec_fields,
-                 default_spec_id, snap_rec, meta):
+                 default_spec_id, snap_rec, meta, schema_id=0):
         self.sid = sid
         self.schema = schema
+        self.schema_id = schema_id
         self.part_cols = part_cols
         self.spec_fields = spec_fields
         self.default_spec_id = default_spec_id
@@ -219,11 +221,21 @@ def _snapshot_meta(table: str, snapshot_id: int | None = None,
     except StopIteration:
         raise FileNotFoundError(f"no snapshot {sid} in {table}") from None
 
-    # schema: v2 keeps a list + current-schema-id; v1 a single "schema"
+    # schema: v2 keeps a list; each SNAPSHOT pins the schema-id it was
+    # written under (spec v2 snapshot schema-id).  Resolution rule
+    # matches the spec/Spark: a CURRENT-state read (no explicit
+    # snapshot or ref) uses current-schema-id — ALTER TABLE evolves
+    # what the next read/append sees; an EXPLICIT snapshot/ref read
+    # (time travel, catalog-branch resolution) uses the snapshot's
+    # pinned schema — branch-detached schema evolution relies on this.
+    # Legacy snapshots without the stamp fall back to current.
+    explicit = snapshot_id is not None
+    sch_id = (snap.get("schema-id", meta.get("current-schema-id", 0))
+              if explicit else meta.get("current-schema-id", 0))
     if "schemas" in meta:
         schema_json = next(
             s for s in meta["schemas"]
-            if s.get("schema-id") == meta.get("current-schema-id", 0)
+            if s.get("schema-id") == sch_id
         )
     else:
         schema_json = meta["schema"]
@@ -252,7 +264,8 @@ def _snapshot_meta(table: str, snapshot_id: int | None = None,
                 if pf.get("transform") == "identity":
                     part_cols.append(source)
     return _SnapshotMeta(sid, schema, part_cols, spec_fields,
-                         meta.get("default-spec-id", 0), snap, meta)
+                         meta.get("default-spec-id", 0), snap, meta,
+                         schema_id=sch_id)
 
 
 def resolve_snapshot(table: str, snapshot_id: int | None = None,
@@ -291,6 +304,7 @@ def resolve_snapshot(table: str, snapshot_id: int | None = None,
                 stats[p] = json.loads(sj)
     out = IcebergSnapshot(sid, schema, part_cols, files, spec_fields,
                           stats)
+    out.schema_id = sm.schema_id
     out.deletes = deletes
     out.pos_deletes = pos_deletes
     out.file_seq = file_seq
@@ -628,7 +642,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
                      branch: str | None = None,
                      summary_extra: dict | None = None,
                      added: set[str] | None = None,
-                     detached: bool = False) -> int:
+                     detached: bool = False,
+                     schema_id: int | None = None) -> int:
     """Write a fresh manifest (complete live listing + tombstones for
     `removed`), its manifest list, the next vN.metadata.json, and move the
     version hint.  Fresh-per-snapshot manifests are the spec's
@@ -710,6 +725,8 @@ def _commit_snapshot(table: str, meta: dict, operation: str,
     meta.setdefault("snapshots", []).append(
         {"snapshot-id": sid, "timestamp-ms": _snapshot_ts_ms(meta),
          "sequence-number": seq,
+         "schema-id": (schema_id if schema_id is not None
+                       else meta.get("current-schema-id", 0)),
          "summary": {"operation": operation, **(summary_extra or {})},
          "manifest-list": mlist})
     meta["last-sequence-number"] = seq
@@ -1288,7 +1305,10 @@ def write_iceberg(spark: SparkSession, df: DataFrame, table: str,
                             stats, carried_deletes, branch=branch,
                             summary_extra=extra,
                             added={rel for rel, _ in staged},
-                            detached=parent_snapshot is not None)
+                            detached=parent_snapshot is not None,
+                            schema_id=(prev.schema_id
+                                       if parent_snapshot is not None
+                                       and existed else None))
 
 
 def last_iceberg_txn_version(table: str, app_id: str) -> int | None:
@@ -1380,7 +1400,10 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     return _commit_snapshot(table, meta, operation, keep + staged, hits,
                             part_names, stats, carried,
                             added={rel for rel, _ in staged},
-                            detached=parent_snapshot is not None)
+                            detached=parent_snapshot is not None,
+                            schema_id=(snap.schema_id
+                                       if parent_snapshot is not None
+                                       else None))
 
 
 def cow_rewrite_detached(spark: SparkSession, table: str,
@@ -2153,6 +2176,58 @@ def alter_iceberg(table: str, add: dict[str, str] | None = None,
     with open(_metadata_file(table), "w") as f:
         json.dump(meta, f)
     return new_id
+
+
+def alter_iceberg_detached(table: str, parent_snapshot: int,
+                           add: dict[str, str] | None = None,
+                           drop: list[str] | None = None) -> int:
+    """Branch-scoped schema evolution (the Nessie dataplane model:
+    `ALTER TABLE <src>.<t> AT BRANCH b ADD COLUMNS ...`): append a new
+    schema entry WITHOUT moving current-schema-id, then commit a
+    DETACHED metadata-only snapshot that carries the parent's live file
+    set under the new schema-id.  Only readers resolving THIS snapshot
+    (the catalog branch) see the evolved schema — main and every other
+    ref keep theirs, because schema resolution is per-snapshot (spec v2
+    snapshot schema-id).  Returns the new snapshot id."""
+    from .delta import _ddl_type
+
+    prev = resolve_snapshot(table, parent_snapshot)
+    with open(_metadata_file(table)) as f:
+        meta = json.load(f)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    base = next(s for s in schemas
+                if s.get("schema-id", 0) == prev.schema_id)
+    dropped = set(drop or [])
+    spec_sources = {pf["source"] for pf in prev.spec_fields}
+    bad = dropped & spec_sources
+    if bad:
+        raise ValueError(
+            f"cannot drop partition source column(s) {sorted(bad)}")
+    fields = [dict(f) for f in base["fields"] if f["name"] not in dropped]
+    next_fid = max((f["id"] for s in schemas for f in s["fields"]),
+                   default=0) + 1
+    for name, ddl in (add or {}).items():
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fields.append({"id": next_fid, "name": name, "required": False,
+                       "type": _iceberg_type(_ddl_type(ddl))})
+        next_fid += 1
+    new_id = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"type": "struct", "schema-id": new_id,
+                    "fields": fields})
+    meta["schemas"] = schemas  # current-schema-id NOT moved
+    live = [(os.path.relpath(p, table), pv) for p, pv in prev.files]
+    part_names = [pf["source"] if pf["transform"] == "identity"
+                  else pf["name"] for pf in prev.spec_fields]
+    stats = {os.path.relpath(p, table): st
+             for p, st in prev.stats.items()}
+    carried = ([(os.path.relpath(p, table), cols,
+                 prev.delete_seq.get(p)) for p, cols in prev.deletes]
+               + [(os.path.relpath(p, table), None, None)
+                  for p in prev.pos_deletes])
+    return _commit_snapshot(table, meta, "alter", live, [], part_names,
+                            stats, carried, added=set(),
+                            detached=True, schema_id=new_id)
 
 
 def alter_iceberg_partition_spec(table: str, specs: list[str]) -> int:

@@ -298,3 +298,32 @@ def test_vacuum_source_gc(eng):
     removed = dp.gc_unreachable(root)
     assert len(removed) == 1 and removed[0].startswith("tables/scratch")
     assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+
+
+def test_branch_scoped_schema_evolution(eng, spark):
+    """ALTER TABLE AT BRANCH evolves the schema for THAT branch only
+    (per-snapshot schema-id): adds null-fill on old rows, branch
+    inserts carry the new column, main keeps its schema until merge."""
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("ALTER TABLE dpsrc.nat AT BRANCH dev "
+            "ADD COLUMNS (score double, tag string)")
+    assert eng.sql("select * from dpsrc.nat AT BRANCH dev").columns == [
+        "n_nationkey", "n_name", "n_regionkey", "score", "tag"]
+    assert eng.sql("select * from dpsrc.nat").columns == [
+        "n_nationkey", "n_name", "n_regionkey"]
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev "
+            "VALUES (99, 'X', 0, 1.5, 'new')")
+    got = eng.sql("select score, tag from dpsrc.nat AT BRANCH dev "
+                  "where n_nationkey = 99").first()
+    assert got["score"] == 1.5 and got["tag"] == "new"
+    assert _n(eng, "select count(*) as n from dpsrc.nat AT BRANCH dev "
+                   "where score is null") == 25
+    eng.sql("ALTER TABLE dpsrc.nat AT BRANCH dev DROP COLUMN tag")
+    assert "tag" not in eng.sql(
+        "select * from dpsrc.nat AT BRANCH dev").columns
+    # main still inserts with ITS schema
+    eng.sql("INSERT INTO dpsrc.nat VALUES (98, 'Y', 1)")
+    # conflict: both branches changed nat
+    with pytest.raises(ValueError, match="conflict"):
+        eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
