@@ -3059,11 +3059,19 @@ class Engine:
                     overrides={src: (("commit", cid) if cid
                                      else ("branch", ref or "main"))})
                 return f"{kw} ({inner})"
+            # same manifest-level pruning as quoted lake refs: safe
+            # single-table equality conjuncts narrow the FILE set
+            # before Spark plans (the WHERE still row-filters)
+            bindings = self._safe_equality_bindings(query, key)
             df, _ = dataplane.read_table(
-                self.spark, root, key, ref=ref, commit_id=cid)
+                self.spark, root, key, ref=ref, commit_id=cid,
+                equality=bindings)
+            # keyed by the bindings too: a concurrent query's
+            # differently-pruned set must not swap under this one
             view = "__dp_" + str(abs(hash(
-                (src, key, ref, cid,
-                 content["snapshot_id"]))) % 10**8)
+                (src, key, ref, cid, content["snapshot_id"],
+                 tuple(sorted((k, str(v))
+                       for k, v in bindings.items()))))) % 10**8)
             df.createOrReplaceTempView(view)
             return f"{kw} {view}"
 

@@ -200,10 +200,17 @@ def commit(root: str, branch: str, operations: dict[str, dict | None],
                 f"branch {branch!r} of {root} advanced concurrently "
                 f"(expected {expect_head}, found {head}); re-plan "
                 "against the new head and retry")
-        seq = 1 + max(
-            (int(fn.split("-")[0][1:]) for fn in
-             os.listdir(_commits_dir(root)) if fn.endswith(".json")),
-            default=0)
+        # next commit sequence rides the refs map (one read, no
+        # directory listing — a million-commit store pays O(1) here);
+        # pre-counter stores fall back to one listdir then persist
+        seq = refs.get("seq")
+        if seq is None:
+            seq = max(
+                (int(fn.split("-")[0][1:]) for fn in
+                 os.listdir(_commits_dir(root)) if fn.endswith(".json")),
+                default=0)
+        seq += 1
+        refs["seq"] = seq
         cid = f"c{seq:06d}-{uuid.uuid4().hex[:8]}"
         rec = {
             "id": cid,

@@ -327,3 +327,16 @@ def test_branch_scoped_schema_evolution(eng, spark):
     # conflict: both branches changed nat
     with pytest.raises(ValueError, match="conflict"):
         eng.sql("MERGE BRANCH dev INTO main IN dpsrc")
+
+
+def test_versioned_ref_scan_prunes_files(eng):
+    """Equality conjuncts on a versioned-source ref prune the FILE set
+    through the same manifest-level planner as quoted lake paths — the
+    pruned scan reads fewer files than the full table."""
+    eng.sql("CREATE TABLE dpsrc.nat PARTITION BY (n_regionkey) "
+            "AS select * from nation")
+    full = eng.sql("select n_name from dpsrc.nat")
+    pruned = eng.sql("select n_name from dpsrc.nat where n_regionkey = 2")
+    n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
+    assert n_pruned < n_full, (n_pruned, n_full)
+    assert pruned.count() == 5  # rows still correct (5 nations/region)
