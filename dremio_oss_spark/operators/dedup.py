@@ -613,3 +613,73 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
         F.count_distinct("shingle").cast("bigint").alias("n_shared_kgrams"),
         F.count_distinct("eval_id").cast("bigint").alias("n_eval_docs"),
     )
+
+
+def span_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 8) -> DataFrame:
+    """EXACT-SUBSTRING (span) dedup — the training-data pass of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22): find every k-token span that occurs more than once across
+    the corpus, keep the FIRST occurrence (by doc id, then position)
+    and mark every later occurrence's token positions for removal.
+    Unlike document-level dedup (exact/MinHash above), this removes
+    boilerplate repeated INSIDE otherwise-unique documents — the case
+    that inflates memorization.
+
+    Spark-first shape (scales to 100 TB):
+    - tokenization and span hashing are ROW-LOCAL: the token array
+      materializes once per doc, spans hash via md5 inside codegen
+      (md5 for DuckDB-oracle parity; swap xxhash64 in production, same
+      plan), and only (id, pos, hash) rows explode — k-fold smaller
+      than exploding tokens;
+    - first-occurrence ranking is ONE shuffle on the span hash
+      (uniform — hashes of natural text don't skew);
+    - duplicate spans explode to their covered positions and aggregate
+      per doc (second shuffle, doc-id keyed), then join back to the
+      doc table (third, same key — AQE broadcasts when small).
+
+    Returns one row per input doc:
+    (id_col, n_tokens, n_dup_spans, n_tokens_removed)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)),
+                                    r"\s+", " "), " ")
+    base = df.select(F.col(id_col), toks.alias("toks")) \
+        .withColumn("n", F.size("toks"))
+    spans = (
+        base.where(F.col("n") >= k)
+        .select(id_col, "toks",
+                F.explode(F.sequence(
+                    F.lit(1), F.col("n") - F.lit(k) + 1)).alias("p"))
+        .select(id_col, "p",
+                F.md5(F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("p"), k)))
+                .alias("h"))
+    )
+    ranked = spans.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("h").orderBy(id_col, "p")))
+    dups = ranked.where(F.col("rn") > 1)
+    dead = (
+        dups.select(id_col,
+                    F.explode(F.sequence(
+                        F.col("p"), F.col("p") + F.lit(k - 1)))
+                    .alias("q"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("q").alias("n_tokens_removed"))
+    )
+    ndup = dups.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        base.select(id_col, F.col("n").cast("long").alias("n_tokens"))
+        .join(ndup, id_col, "left")
+        .join(dead, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

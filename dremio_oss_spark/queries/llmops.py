@@ -116,6 +116,53 @@ order by fp
 
 
 # --------------------------------------------------------------------------
+# Exact-substring (span) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better": duplicated k-token spans ACROSS
+# the corpus, first occurrence kept, later occurrences' positions marked
+def llm_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.span_dedup(load(spark, sf, "documents"), k=8) \
+        .orderBy("doc_id")
+
+
+LLM_SPAN_DEDUP_SQL = """
+with d as (
+  select doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+           as toks
+  from documents
+), base as (
+  select doc_id, len(toks) as n, toks from d
+), spans as (
+  select doc_id, t.i as p,
+         md5(array_to_string(toks[t.i:t.i+7], ' ')) as h
+  from base, unnest(range(1, n - 8 + 2)) as t(i)
+  where n >= 8
+), ranked as (
+  select doc_id, p,
+         row_number() over (partition by h order by doc_id, p) as rn
+  from spans
+), dups as (
+  select doc_id, p from ranked where rn > 1
+), dead as (
+  select doc_id, count(distinct t.q) as n_tokens_removed
+  from dups, unnest(range(p, p + 8)) as t(q)
+  group by doc_id
+), ndup as (
+  select doc_id, count(*) as n_dup_spans from dups group by doc_id
+)
+select b.doc_id,
+       cast(b.n as bigint) as n_tokens,
+       cast(coalesce(nd.n_dup_spans, 0) as bigint) as n_dup_spans,
+       cast(coalesce(de.n_tokens_removed, 0) as bigint)
+         as n_tokens_removed
+from base b
+left join ndup nd using (doc_id)
+left join dead de using (doc_id)
+order by b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs (full pipeline, oracle-checked)
 def llm_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_lsh_dedup(load(spark, sf, "documents")).orderBy("id_a", "id_b")
@@ -1502,6 +1549,7 @@ LLMOPS_QUERIES = {
     "llm_kmeans": llm_kmeans,
     "llm_semdedup": llm_semdedup,
     "llm_exact_dedup": llm_exact_dedup,
+    "llm_span_dedup": llm_span_dedup,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_simhash": llm_simhash,
@@ -1536,6 +1584,7 @@ LLMOPS_ORACLE = {
     "llm_kmeans": LLM_KMEANS_SQL,
     "llm_semdedup": LLM_SEMDEDUP_SQL,
     "llm_exact_dedup": LLM_EXACT_DEDUP_SQL,
+    "llm_span_dedup": LLM_SPAN_DEDUP_SQL,
     "llm_minhash_lsh": LLM_MINHASH_LSH_SQL,
     "llm_dedup_clusters": LLM_DEDUP_CLUSTERS_SQL,
     "llm_simhash": LLM_SIMHASH_SQL,

@@ -546,3 +546,36 @@ def test_bigram_lm_scores_reference(spark):
     d4 = lp(1, 2)  # c-c over context c (cu=2)
     assert out[4]["n_bigrams"] == 1
     assert abs(out[4]["mean_logp"] - round(d4, 6)) < 1e-9
+
+
+def test_span_dedup_first_occurrence_and_edges(spark):
+    """Exact-substring dedup: a span repeated across docs keeps its
+    first (doc, pos) occurrence; repeats WITHIN one doc count too;
+    docs shorter than k pass through with zeros; overlapping duplicate
+    spans count distinct positions once."""
+    from dremio_oss_spark.operators.dedup import span_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, boiler + " alpha beta"),              # first occurrence
+        (2, "intro words here " + boiler),        # cross-doc duplicate
+        (3, boiler + " middle " + boiler),        # 2nd span is a dup of doc1's
+        (4, "short doc"),                         # < k tokens
+        (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),    # unique, no dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1 owns the first occurrences: nothing removed
+    assert got[1]["n_dup_spans"] == 0 and got[1]["n_tokens_removed"] == 0
+    # doc 2: the 9-token boilerplate yields 2 duplicate 8-gram spans
+    # covering 9 distinct positions
+    assert got[2]["n_dup_spans"] == 2
+    assert got[2]["n_tokens_removed"] == 9
+    # doc 3: its SECOND copy duplicates (the first copy in doc 1 wins
+    # ... and doc 3's own first copy was itself a dup of doc 1's)
+    assert got[3]["n_dup_spans"] >= 2
+    assert got[3]["n_tokens_removed"] >= 9
+    # short doc: zero spans, zero removed, token count still reported
+    assert got[4]["n_tokens"] == 2 and got[4]["n_dup_spans"] == 0
+    assert got[5]["n_dup_spans"] == 0
