@@ -477,9 +477,27 @@ class Engine:
             F.col("tableName").alias("table_name"),
             F.lit("TABLE").alias("table_type"),
         )
-        return tables.join(
+        out = tables.join(
             views.select("table_name"), "table_name", "left_anti"
         ).unionByName(views)
+        if self._versioned_sources:
+            # versioned (dataplane) sources list their MAIN-branch
+            # contents, schema = the source name (the reference's
+            # InfoSchema shows Nessie sources the same way)
+            from .sources import dataplane
+
+            rows = []
+            for src, root in sorted(self._versioned_sources.items()):
+                for key, content in sorted(
+                        dataplane.state_at(root, "main").items()):
+                    rows.append((src, key,
+                                 "TABLE" if content["type"]
+                                 == "ICEBERG_TABLE" else "VIEW"))
+            if rows:
+                out = out.unionByName(self.spark.createDataFrame(
+                    rows, "table_schema string, table_name string, "
+                          "table_type string"))
+        return out
 
     def information_schema_columns(self) -> DataFrame:
         """INFORMATION_SCHEMA."COLUMNS": one row per (table, column) with

@@ -340,3 +340,14 @@ def test_versioned_ref_scan_prunes_files(eng):
     n_full, n_pruned = len(full.inputFiles()), len(pruned.inputFiles())
     assert n_pruned < n_full, (n_pruned, n_full)
     assert pruned.count() == 5  # rows still correct (5 nations/region)
+
+
+def test_information_schema_lists_versioned_sources(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE VIEW dpsrc.v AS select 1 as x")
+    rows = {(r["table_schema"], r["table_name"], r["table_type"])
+            for r in eng.sql(
+                "select * from information_schema.tables "
+                "where table_schema = 'dpsrc'").collect()}
+    assert ("dpsrc", "nat", "TABLE") in rows
+    assert ("dpsrc", "v", "VIEW") in rows
