@@ -2292,7 +2292,7 @@ class Engine:
             df = self.sql(f"select * from {target}")
         else:
             df = self._resolve_table(target)
-        cols_df = analyze_table(df, columns)
+        cols_df = analyze_table(df, columns, exact_ndv=False)
         hist_df = analyze_histogram(df, columns)
         entry = {
             "columns": [tuple(r) for r in cols_df.collect()],

@@ -19,12 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def analyze_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_ndv: bool = True) -> DataFrame:
     """One row per analyzed column: n_rows, n_nulls, ndv(+exact), min, max.
 
     Single aggregation pass over the table — all columns' accumulators run
     in the same stage (the reference likewise batches all requested
     columns into one ANALYZE job).
+
+    `exact_ndv=False` (the ENGINE's ANALYZE path) skips the per-column
+    exact-distinct branches — the reference stores HLL NDV only; the
+    exact pass exists for oracle comparison at test scale and would be
+    one extra shuffle per column at 100 TB.  ndv_exact then mirrors the
+    HLL estimate so the output schema stays stable.
     """
     cols = columns or df.columns
     # a single-file table arrives as ONE input split; fan out first so
@@ -48,17 +55,20 @@ def analyze_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(c).cast("string").alias(f"_max_{c}"),
         ]
     base_df = df.agg(*aggs)
-    ndv_branches = [
-        df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
-            F.lit(c).alias("c"), "ndvx"
-        )
-        for c in cols
-    ]
-    ndv_df = ndv_branches[0]
-    for b in ndv_branches[1:]:
-        ndv_df = ndv_df.unionByName(b)
     row = base_df.collect()[0]
-    ndvx = {r["c"]: r["ndvx"] for r in ndv_df.collect()}
+    if exact_ndv:
+        ndv_branches = [
+            df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
+                F.lit(c).alias("c"), "ndvx"
+            )
+            for c in cols
+        ]
+        ndv_df = ndv_branches[0]
+        for b in ndv_branches[1:]:
+            ndv_df = ndv_df.unionByName(b)
+        ndvx = {r["c"]: r["ndvx"] for r in ndv_df.collect()}
+    else:
+        ndvx = {c: row[f"_ndv_{c}"] for c in cols}
     out = [
         (
             c,
