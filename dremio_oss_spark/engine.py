@@ -3901,6 +3901,12 @@ class Engine:
                 log.append(AggWorkloadRecord(
                     rec.dataset, rec.dims, rec.measures,
                     accelerated is not None))
+                # bounded: a long-lived server must not grow the log
+                # with the query stream — shapes repeat, and the
+                # suggester only counts, so dropping the OLDEST half
+                # keeps recent workload representative
+                if len(log) > 100_000:
+                    del log[:50_000]
         except Exception:  # noqa: BLE001 — recording must never break SQL
             pass
         if accelerated is not None:

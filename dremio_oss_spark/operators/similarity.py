@@ -95,6 +95,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     import pandas as pd
 
     q_rows = q.collect()
+    # contract assert: the query set ships in the UDF closure, so it
+    # must stay broadcast-sized — fail LOUDLY on misuse instead of
+    # OOMing the driver; corpus-sized query sets belong on the ANN
+    # paths (lsh_ann / ivf_ann below)
+    _MAX_Q = 10_000
+    if len(q_rows) > _MAX_Q:
+        raise ValueError(
+            f"brute_force_topk query set has {len(q_rows)} rows; the "
+            f"closure-broadcast contract caps it at {_MAX_Q} — use "
+            "lsh_ann/ivf_ann for corpus-scale query sets")
     qids = [r["qid"] for r in q_rows]
     qm = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
