@@ -2375,6 +2375,30 @@ class Engine:
         """Remaining small productions of the reference grammar
         (Parser.tdd): CLEAR PLAN CACHE, user/role DDL, pipe statements,
         DROP FUNCTION, ANALYZE TABLE statistics."""
+        # LOAD MATERIALIZATION METADATA <name> (SqlLoadMaterialization,
+        # parserImpls.ftl:1406 — reflection-manager internal: surface
+        # the materialization as a queryable frame)
+        m = re.match(
+            r"\s*load\s+materialization\s+metadata\s+([\w.\"]+)\s*$",
+            query, re.I)
+        if m:
+            store = self._default_refl_store()
+            return store.load_materialization(
+                m.group(1).strip('"').split(".")[-1])
+        # COMPACT MATERIALIZATION <name> AS '<id>'
+        # (SqlCompactMaterialization, parserImpls.ftl:1428: rewrite the
+        # materialization's small files into one compacted generation)
+        m = re.match(
+            r"\s*compact\s+materialization\s+([\w.\"]+)\s+as\s+"
+            r"'([^']*)'\s*$", query, re.I)
+        if m:
+            store = self._default_refl_store()
+            before, after = store.compact_materialization(
+                m.group(1).strip('"').split(".")[-1])
+            return self._status(
+                "COMPACT MATERIALIZATION",
+                f"{m.group(1)} ({before} -> {after} files, "
+                f"id {m.group(2)})")
         # ANALYZE TABLE <t|'path'> FOR {ALL COLUMNS|COLUMNS (...)}
         #   COMPUTE|DELETE STATISTICS   (SqlAnalyzeTableStatistics)
         m = re.match(

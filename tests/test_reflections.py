@@ -2905,3 +2905,34 @@ def test_case_when_guarded_ratio_substitutes(spark, tmp_path):
     assert sorted(tuple(r) for r in got2_df.collect()) == base2
     eng._refl_store.drop("cwr")
     spark.catalog.dropTempView("cw_orders")
+
+
+def test_load_and_compact_materialization_sql(spark):
+    """SQL arms for the reflection-manager internals
+    (SqlLoadMaterialization parserImpls.ftl:1406,
+    SqlCompactMaterialization :1428): LOAD exposes the materialization
+    as a queryable frame, COMPACT rewrites it to target-sized files
+    with identical rows and keeps substitution live."""
+    import os as _os
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.read.parquet(_os.path.join(SF_SMALL, "orders.parquet")) \
+        .createOrReplaceTempView("lcm_orders")
+    eng.sql("ALTER TABLE lcm_orders CREATE AGGREGATE REFLECTION lcm "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    mat = eng.sql("LOAD MATERIALIZATION METADATA lcm")
+    assert {"o_orderstatus", "sum_o_totalprice",
+            "count_all"} <= set(mat.columns)
+    n_before = mat.count()
+    res = eng.sql("COMPACT MATERIALIZATION lcm AS 'g2'").first()
+    assert "files" in res["result"]
+    q = ("select o_orderstatus, sum(o_totalprice) as s "
+         "from lcm_orders group by o_orderstatus")
+    got = eng.sql(q)
+    assert eng.last_plan_accelerated == "lcm"
+    assert got.count() == n_before
+    eng._refl_store.drop("lcm")
+    spark.catalog.dropTempView("lcm_orders")
