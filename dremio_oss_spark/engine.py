@@ -1881,6 +1881,14 @@ class Engine:
                                  "max_file_size_mb"):
                         raise ValueError(f"unknown OPTIMIZE option {k!r}")
                     options[k] = float(v.strip())
+            if not zcols and fmt == "delta":
+                # declared clustering key (ALTER TABLE CLUSTER BY,
+                # SqlAlterTableClusterKey): OPTIMIZE without an
+                # explicit ZORDER applies it
+                ck = D.delta_properties(self.spark, path).get(
+                    "dremio.cluster_by")
+                if ck:
+                    zcols = ck
             if zcols:
                 if fmt != "delta":
                     raise ValueError(
@@ -2048,6 +2056,102 @@ class Engine:
                 I.set_iceberg_properties(path, unset)
             return self._status("ALTER TABLE UNSET TBLPROPERTIES",
                                 ", ".join(sorted(unset)))
+
+        # -- remaining alter.ftl productions -------------------------------
+        def _set_props(path: str, props: dict) -> bool:
+            fmt = self._lake_format(path)
+            if fmt is None:
+                return False
+            (D.set_delta_properties(self.spark, path, props)
+             if fmt == "delta"
+             else I.set_iceberg_properties(path, props))
+            return True
+
+        # ALTER TABLE '<path>' ADD PRIMARY KEY (a, b) | DROP PRIMARY KEY
+        # (SqlAlterTableAddPrimaryKey/Drop, alter.ftl:97-99): a declared
+        # N:1 uniqueness hint — stored as a table property the way the
+        # reference records identifier fields; surfaced by SHOW
+        # TBLPROPERTIES, consumed by star-join soundness reasoning
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+"
+            r"(?:add\s+primary\s+key\s*\(([^)]*)\)"
+            r"|(drop)\s+primary\s+key)\s*$", query, re.I)
+        if m:
+            cols = (None if m.group(3) else
+                    ",".join(c.strip() for c in m.group(2).split(",")))
+            if _set_props(m.group(1), {"dremio.primary_key": cols}):
+                return self._status(
+                    "ALTER TABLE PRIMARY KEY", cols or "dropped")
+        # ALTER TABLE '<path>' LOCALSORT BY (a, b) | DROP LOCALSORT
+        # (SqlAlterTableSortOrder, alter.ftl:275/:103): declared write
+        # sort order — later OPTIMIZE runs apply it
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+"
+            r"(?:localsort\s+by\s*\(([^)]*)\)|(drop)\s+localsort)\s*$",
+            query, re.I)
+        if m:
+            cols = (None if m.group(3) else
+                    ",".join(c.strip() for c in m.group(2).split(",")))
+            if _set_props(m.group(1), {"dremio.localsort": cols}):
+                return self._status(
+                    "ALTER TABLE LOCALSORT", cols or "dropped")
+        # ALTER TABLE '<path>' CLUSTER BY (a, b) | DROP CLUSTERING KEY
+        # (SqlAlterTableClusterKey, alter.ftl:280/:101): declared
+        # multidimensional clustering — OPTIMIZE without an explicit
+        # ZORDER uses it
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+"
+            r"(?:cluster\s+by\s*\(([^)]*)\)"
+            r"|(drop)\s+clustering\s+key)\s*$", query, re.I)
+        if m:
+            cols = (None if m.group(3) else
+                    ",".join(c.strip() for c in m.group(2).split(",")))
+            if _set_props(m.group(1), {"dremio.cluster_by": cols}):
+                return self._status(
+                    "ALTER TABLE CLUSTER BY", cols or "dropped")
+        # ALTER TABLE '<path>' ENABLE|DISABLE SCHEMA LEARNING
+        # (SqlAlterTableToggleSchemaLearning) and ENABLE|DISABLE
+        # APPROXIMATE STATS (SqlSetApprox — ANALYZE consults it: exact
+        # NDV when approximation is disabled)
+        m = re.match(
+            r"\s*alter\s+table\s+'([^']+)'\s+(enable|disable)\s+"
+            r"(schema\s+learning|approximate\s+stats)\s*$", query, re.I)
+        if m:
+            key = ("dremio.schema_learning"
+                   if m.group(3).lower().startswith("schema")
+                   else "dremio.approximate_stats")
+            val = str(m.group(2).lower() == "enable").lower()
+            if _set_props(m.group(1), {key: val}):
+                return self._status("ALTER TABLE", f"{key} = {val}")
+        # ALTER TABLE/DATASET <name|'path'> ENABLE|DISABLE RAW|AGGREGATE
+        # ACCELERATION (SqlAccelToggle, alter.ftl:250): per-dataset
+        # substitution gate — disabled kinds stop matching immediately
+        m = re.match(
+            r"\s*alter\s+(?:table|dataset|vds)\s+(?:'([^']+)'|([\w.]+))"
+            r"\s+(enable|disable)\s+(raw|aggregate)\s+acceleration\s*$",
+            query, re.I)
+        if m:
+            name = (self._register_path_reflection_view(m.group(1))
+                    if m.group(1) else m.group(2))
+            togg = getattr(self, "_accel_toggles", None)
+            if togg is None:
+                togg = self._accel_toggles = {}
+            kind = "raw" if m.group(4).lower() == "raw" else "agg"
+            togg.setdefault(name, {})[kind] = \
+                m.group(3).lower() == "enable"
+            return self._status(
+                "ACCELERATION",
+                f"{m.group(4).lower()} {m.group(3).lower()}d on {name}")
+        # ALTER TABLE <name> FORGET METADATA (SqlForgetTable,
+        # alter.ftl:200): unpromote a folder dataset — the name stops
+        # resolving until re-promoted
+        m = re.match(
+            r"\s*alter\s+table\s+([\w.]+)\s+forget\s+metadata\s*$",
+            query, re.I)
+        if m and m.group(1) in getattr(self, "_datasets", {}):
+            self._datasets.pop(m.group(1))
+            self.spark.catalog.dropTempView(m.group(1))
+            return self._status("FORGET METADATA", m.group(1))
         return None
 
     # -- metadata table functions (ref MetadataFunctionsMacro.java:36) -----
@@ -2288,11 +2392,26 @@ class Engine:
             return store.pop(key, None)
         from .plans.statistics import analyze_histogram, analyze_table
 
+        exact = False
         if target.startswith("'"):
             df = self.sql(f"select * from {target}")
+            # SqlSetApprox: ALTER TABLE ... DISABLE APPROXIMATE STATS
+            # flips this dataset's ANALYZE to exact NDV
+            path = target.strip("'")
+            fmt = self._lake_format(path)
+            from .sources import delta as D
+            from .sources import iceberg as I
+            try:
+                props = ({} if fmt is None else
+                         D.delta_properties(self.spark, path)
+                         if fmt == "delta" else
+                         I.resolve_snapshot(path).properties)
+            except Exception:  # noqa: BLE001
+                props = {}
+            exact = props.get("dremio.approximate_stats") == "false"
         else:
             df = self._resolve_table(target)
-        cols_df = analyze_table(df, columns, exact_ndv=False)
+        cols_df = analyze_table(df, columns, exact_ndv=exact)
         hist_df = analyze_histogram(df, columns)
         entry = {
             "columns": [tuple(r) for r in cols_df.collect()],
@@ -2321,7 +2440,9 @@ class Engine:
         """sys.statistics: per-column stats from ANALYZE (reference
         sys.table_statistics via StatisticsService)."""
         rows = [
-            (t, c[0], c[1], c[2], int(c[3]), c[5], c[6])
+            # ndv_exact (c[4]) mirrors the HLL estimate unless DISABLE
+            # APPROXIMATE STATS made ANALYZE compute the exact pass
+            (t, c[0], c[1], c[2], int(c[4]), c[5], c[6])
             for t, e in sorted(getattr(self, "_table_stats",
                                        {}).items())
             for c in e["columns"]
@@ -2555,6 +2676,21 @@ class Engine:
                                 f"{m.group(1)}.{m.group(2)}")
         return None
 
+    def _accel_accept(self, refl) -> bool:
+        """Per-dataset acceleration gate (SqlAccelToggle): False when
+        the reflection's dataset has its kind (raw/aggregate) disabled
+        via ALTER ... DISABLE RAW|AGGREGATE ACCELERATION."""
+        togg = getattr(self, "_accel_toggles", None)
+        if not togg:
+            return True
+        t = togg.get(getattr(refl, "table", None))
+        if t is None:
+            return True
+        from .plans.reflections import RawReflection
+
+        kind = "raw" if isinstance(refl, RawReflection) else "agg"
+        return t.get(kind, True)
+
     def _try_accelerate(self, query: str) -> DataFrame | None:
         """Transparent reflection substitution for plain SQL (the
         reference's core acceleration UX: SubstitutionProvider matches
@@ -2664,10 +2800,11 @@ class Engine:
         try:
             q = AggQuery(table=table, dims=tuple(dims),
                          measures=tuple(measures), filters=filters)
-            refl = store.find_match(q)
+            refl = store.find_match(q, accept=self._accel_accept)
             if refl is None:
                 return None
-            df, substituted = store.execute(q, base=None)
+            df, substituted = store.execute(q, base=None,
+                                accept=self._accel_accept)
             if not substituted:
                 return None
             # select by SPEC, not by rename: `sum(x) as a, sum(x) as b`
@@ -2864,7 +3001,8 @@ class Engine:
         try:
             ex = extract_agg_query(analyzed)
             if ex is not None and not policied(ex.tables):
-                got = match_and_execute(self._refl_store, ex)
+                got = match_and_execute(self._refl_store, ex,
+                                        self._accel_accept)
                 if got is not None:
                     df = conform(got[0])
                     if df is not None:
@@ -2882,7 +3020,8 @@ class Engine:
                 if got_u is not None:
                     branches, order, u_limit = got_u
                     if all(not policied(b.tables) for b in branches):
-                        subs = [match_and_execute(self._refl_store, b)
+                        subs = [match_and_execute(self._refl_store, b,
+                                                  self._accel_accept)
                                 for b in branches]
                     else:
                         subs = [None]
@@ -2910,7 +3049,8 @@ class Engine:
             if self._refl_store._raw:
                 exs = extract_scan_query(analyzed)
                 if exs is not None and not policied([exs.table]):
-                    got = match_and_execute_raw(self._refl_store, exs)
+                    got = match_and_execute_raw(
+                        self._refl_store, exs, self._accel_accept)
                     if got is not None:
                         df = conform(got[0])
                         if df is not None:

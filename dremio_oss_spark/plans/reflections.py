@@ -1039,6 +1039,7 @@ class ReflectionStore:
         q: AggQuery,
         base: DataFrame,
         dim_sources: dict[str, DataFrame] | None = None,
+        accept=None,
     ) -> tuple[DataFrame, bool]:
         """Answer an AggQuery, substituting a reflection when one covers it.
 
@@ -1046,7 +1047,7 @@ class ReflectionStore:
         base table (nor re-runs any star join): SUMs re-sum partial sums,
         COUNTs re-sum partial counts, MIN/MAX re-min/max.
         """
-        refl = self.find_match(q)
+        refl = self.find_match(q, accept=accept)
         if refl is None:
             df = self._join_star(base, q.joins, dim_sources)
             for f in q.filters:

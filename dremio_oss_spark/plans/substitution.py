@@ -1701,12 +1701,14 @@ def _owner_ok(refl, ex: ExtractedAgg) -> bool:
     return all(owner.get(n) == t for n, t in ex.qualified.items())
 
 
-def match_and_execute(store, ex: ExtractedAgg):
+def match_and_execute(store, ex: ExtractedAgg, accept=None):
     """Try every fact orientation against the store; return
     (DataFrame, reflection_name) answered from a materialization, or
     None.  The rollup groups the materialization by the query's own
     keys (including temporal expressions over stored dims), re-rolls
-    the partials, and re-shapes to the query's output names/ORDER BY."""
+    the partials, and re-shapes to the query's output names/ORDER BY.
+    `accept` filters candidates (the engine's per-dataset
+    ENABLE/DISABLE AGGREGATE ACCELERATION toggle, SqlAccelToggle)."""
     from pyspark.sql import functions as F
 
     from .reflections import _ROLLUP
@@ -1717,7 +1719,9 @@ def match_and_execute(store, ex: ExtractedAgg):
         q = to_agg_query(ex, fact)
         if q is None:
             continue
-        refl = store.find_match(q, accept=lambda r: _owner_ok(r, ex))
+        refl = store.find_match(
+            q, accept=lambda r: _owner_ok(r, ex)
+            and (accept is None or accept(r)))
         if refl is not None:
             break
     if refl is None:
@@ -2083,16 +2087,18 @@ def extract_scan_query(analyzed_json: str) -> ExtractedScan | None:
         return None
 
 
-def match_and_execute_raw(store, ex: ExtractedScan):
+def match_and_execute_raw(store, ex: ExtractedScan, accept=None):
     """Answer a scan query from a covering RAW reflection: the
     materialization carries the base columns, so filters/sorts re-apply
-    directly and only the narrow sorted files scan."""
+    directly and only the narrow sorted files scan.  `accept` filters
+    candidates (ENABLE/DISABLE RAW ACCELERATION, SqlAccelToggle)."""
     from pyspark.sql import functions as F
 
     need = ex.needed_cols
     for refl in store._raw.values():
         if (not getattr(refl, "invalid", False)
-                and refl.table == ex.table and need <= set(refl.cols)):
+                and refl.table == ex.table and need <= set(refl.cols)
+                and (accept is None or accept(refl))):
             mat = store._read_data(store._data_dir(refl))
             df = mat
             for f in ex.filters:

@@ -1212,6 +1212,11 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     return version
 
 
+def delta_properties(spark: SparkSession, table: str) -> dict:
+    """Current metaData.configuration (table properties) map."""
+    return dict(resolve_snapshot(spark, table).config)
+
+
 def set_delta_properties(spark: SparkSession, table: str,
                          props: dict[str, str | None]) -> int:
     """ALTER TABLE SET/UNSET TBLPROPERTIES on a Delta table: one

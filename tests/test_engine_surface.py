@@ -1367,3 +1367,83 @@ def test_merge_using_path_and_subquery(spark, tmp_path):
     assert cur.count() == 11
     assert cur.where("k = 2").collect()[0]["v"] == 220.0
     assert cur.where("k = 50").collect()[0]["v"] == 5000.0
+
+
+def test_alter_ftl_remaining_productions(spark, tmp_path):
+    """The remaining alter.ftl statement families: PRIMARY KEY /
+    LOCALSORT / CLUSTER BY declarations land as table properties (and
+    OPTIMIZE consumes the clustering key); SCHEMA LEARNING and
+    APPROXIMATE STATS toggles; ENABLE/DISABLE RAW|AGGREGATE
+    ACCELERATION gates substitution immediately; FORGET METADATA
+    unpromotes a folder dataset."""
+    import os as _os
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.delta import write_delta
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark)
+    t = str(tmp_path / "alt_t")
+    write_delta(spark, spark.read.parquet(
+        _os.path.join(SF_SMALL, "nation.parquet")), t)
+    # property-backed declarations, visible via SHOW TBLPROPERTIES
+    eng.sql(f"ALTER TABLE '{t}' ADD PRIMARY KEY (n_nationkey)")
+    eng.sql(f"ALTER TABLE '{t}' LOCALSORT BY (n_name)")
+    eng.sql(f"ALTER TABLE '{t}' CLUSTER BY (n_regionkey, n_nationkey)")
+    eng.sql(f"ALTER TABLE '{t}' DISABLE APPROXIMATE STATS")
+    eng.sql(f"ALTER TABLE '{t}' ENABLE SCHEMA LEARNING")
+    props = {r["property"]: r["value"] for r in
+             eng.sql(f"SHOW TBLPROPERTIES '{t}'").collect()}
+    assert props["dremio.primary_key"] == "n_nationkey"
+    assert props["dremio.localsort"] == "n_name"
+    assert props["dremio.cluster_by"] == "n_regionkey,n_nationkey"
+    assert props["dremio.approximate_stats"] == "false"
+    assert props["dremio.schema_learning"] == "true"
+    # DISABLE APPROXIMATE STATS -> ANALYZE computes exact NDV
+    eng.sql(f"ANALYZE TABLE '{t}' FOR COLUMNS (n_nationkey) "
+            "COMPUTE STATISTICS")
+    ndv = eng.sql(f"select ndv from sys.statistics where table_name = "
+                  f"'{t}' and column_name = 'n_nationkey'").first()["ndv"]
+    assert ndv == 25  # exact (HLL++ gives 26 at this cardinality)
+    # OPTIMIZE without explicit ZORDER consumes the clustering key
+    res = eng.sql(f"OPTIMIZE TABLE '{t}'").first()
+    assert res["operation"] == "OPTIMIZE ZORDER"
+    # drops clear the declarations
+    eng.sql(f"ALTER TABLE '{t}' DROP PRIMARY KEY")
+    eng.sql(f"ALTER TABLE '{t}' DROP LOCALSORT")
+    eng.sql(f"ALTER TABLE '{t}' DROP CLUSTERING KEY")
+    props = {r["property"]: r["value"] for r in
+             eng.sql(f"SHOW TBLPROPERTIES '{t}'").collect()}
+    assert "dremio.primary_key" not in props
+    assert "dremio.cluster_by" not in props
+    # acceleration toggle: a covering reflection stops matching when
+    # its kind is disabled, resumes on enable
+    spark.read.parquet(_os.path.join(SF_SMALL, "orders.parquet")) \
+        .createOrReplaceTempView("acc_orders")
+    eng.sql("ALTER TABLE acc_orders CREATE AGGREGATE REFLECTION accr "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    q = ("select o_orderstatus, sum(o_totalprice) as s "
+         "from acc_orders group by o_orderstatus")
+    eng.sql(q)
+    assert eng.last_plan_accelerated == "accr"
+    eng.sql("ALTER TABLE acc_orders DISABLE AGGREGATE ACCELERATION")
+    eng.sql(q)
+    assert eng.last_plan_accelerated is None
+    eng.sql("ALTER TABLE acc_orders DISABLE RAW ACCELERATION")
+    eng.sql("ALTER TABLE acc_orders ENABLE AGGREGATE ACCELERATION")
+    eng.sql(q)  # raw disabled, agg enabled -> agg matches again
+    assert eng.last_plan_accelerated == "accr"
+    eng._refl_store.drop("accr")
+    # FORGET METADATA unpromotes
+    folder = str(tmp_path / "folder_ds")
+    spark.read.parquet(_os.path.join(SF_SMALL, "region.parquet")) \
+        .write.mode("overwrite").parquet(folder)
+    eng.promote_folder_dataset("forgetme", folder)
+    assert eng.sql("select count(*) as n from forgetme").first()["n"] == 5
+    eng.sql("ALTER TABLE forgetme FORGET METADATA")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        eng.sql("select count(*) as n from forgetme").collect()
+    spark.catalog.dropTempView("acc_orders")
