@@ -392,3 +392,89 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                  F.round((F.sum("lp") / F.count(F.lit(1)))
                          .cast("double"), 6).alias("mean_logp")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 20, min_pair_count: int = 2) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al., ACL 2016 —
+    the byte-pair-encoding merge-table learner every GPT-style
+    tokenizer prep runs over its corpus).
+
+    Spark-first shape, the industrial two-phase layout:
+    1. ONE corpus pass builds the WORD FREQUENCY table (lowercased
+       whitespace words -> counts; a single shuffle over the 100 TB
+       corpus).  Every later step runs on this table, whose size is the
+       VOCABULARY (millions of rows at web scale), not the corpus.
+    2. The merge loop is a driver-paced iteration over the cached word
+       table: adjacent-symbol pairs explode row-locally (weighted by
+       word count), the arg-max pair is one tiny agg, and the merge
+       applies as a JVM-side F.aggregate fold (leftmost, non-
+       overlapping — the reference algorithm's scan order) — no Python
+       in any per-row path.
+
+    Deterministic: ties break on (count desc, left asc, right asc).
+    Returns the merge table (rank, left, right, merged, pair_count) —
+    the artifact a tokenizer ships.
+    """
+    sess = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                    r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        # symbols: characters + the end-of-word marker (Sennrich's </w>)
+        .select(
+            "cnt",
+            F.concat(
+                F.array_remove(F.split(F.col("w"), ""), ""),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+        )
+    )
+    merges: list[tuple] = []
+    cur = words.persist()
+    cur.count()  # materialize before the loop
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                cur.where(F.size("syms") >= 2)
+                .select(
+                    "cnt",
+                    F.explode(F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) as l, "
+                        "element_at(syms, i + 1) as r))")).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("n"))
+            )
+            best = (pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                    .first())
+            if best is None or best["n"] < min_pair_count:
+                break
+            left, right, n = best["l"], best["r"], int(best["n"])
+            merges.append((rank, left, right, left + right, n))
+            # leftmost non-overlapping merge as a JVM fold: append each
+            # symbol, collapsing it into the accumulator's tail when
+            # (tail, symbol) == (left, right)
+            lq = left.replace("\\", "\\\\").replace("'", "\\'")
+            rq = right.replace("\\", "\\\\").replace("'", "\\'")
+            nxt = cur.select(
+                "cnt",
+                F.expr(
+                    "aggregate(syms, cast(array() as array<string>), "
+                    "(acc, s) -> if(size(acc) > 0 "
+                    f"and element_at(acc, -1) = '{lq}' and s = '{rq}', "
+                    "concat(slice(acc, 1, size(acc) - 1), "
+                    f"array('{lq}{rq}')), concat(acc, array(s))))"
+                ).alias("syms"),
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return sess.createDataFrame(
+        merges or [(0, "", "", "", 0)],
+        "rank int, left string, right string, merged string, "
+        "pair_count long").where("rank > 0" if not merges else "true")

@@ -1111,6 +1111,20 @@ order by a1.vec_id
 # One explode + one groupBy (single shuffle on the token key); top-k via
 # a rank over the global ordering — Spark's TakeOrderedAndProject keeps
 # the driver set k-bounded at any corpus size.
+def llm_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. ACL'16) over
+    the documents corpus: one corpus pass builds the word-frequency
+    table, then the merge loop runs on that vocabulary-sized frame.
+    ITERATIVE (driver-paced argmax per merge) — outside the SQL-
+    expressible fragment, so the driver records the rows-only check;
+    exact parity with the sequential reference algorithm is pinned by
+    `test_bpe_train_matches_reference_algorithm`."""
+    from ..operators.text import bpe_train
+
+    return bpe_train(load(spark, sf, "documents"),
+                     n_merges=10).orderBy("rank")
+
+
 def llm_vocab(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     toks = docs.select(
@@ -1550,6 +1564,7 @@ LLMOPS_QUERIES = {
     "llm_semdedup": llm_semdedup,
     "llm_exact_dedup": llm_exact_dedup,
     "llm_span_dedup": llm_span_dedup,
+    "llm_bpe_train": llm_bpe_train,
     "llm_minhash_lsh": llm_minhash_lsh,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_simhash": llm_simhash,

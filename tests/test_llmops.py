@@ -579,3 +579,67 @@ def test_span_dedup_first_occurrence_and_edges(spark):
     # short doc: zero spans, zero removed, token count still reported
     assert got[4]["n_tokens"] == 2 and got[4]["n_dup_spans"] == 0
     assert got[5]["n_dup_spans"] == 0
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The distributed BPE trainer reproduces Sennrich et al.'s
+    sequential reference algorithm EXACTLY (same merge sequence, same
+    weighted pair counts, same tie-break) on a corpus with ties,
+    overlaps (aaa), and multi-merge chains."""
+    from collections import Counter
+
+    from dremio_oss_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "aaa aaa banana",
+    ]
+
+    # independent sequential reference (Sennrich alg. 1)
+    def ref_bpe(texts, n_merges, min_count=2):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                words[w] += 1
+        vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            best = min(pairs.items(),
+                       key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (a, b), n = best
+            if n < min_count:
+                break
+            out.append((rank, a, b, a + b, n))
+            nv = {}
+            for syms, c in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                nv[key] = nv.get(key, 0) + c
+            vocab = nv
+        return out
+
+    expected = ref_bpe(texts, 12)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in bpe_train(df, n_merges=12).orderBy("rank").collect()]
+    assert got == expected
+    # sanity on the shape the corpus implies: 'newest' (x6) drives the
+    # earliest merges
+    assert expected[0][4] >= 6
