@@ -527,6 +527,28 @@ class Engine:
                 for i, f_ in enumerate(schema.fields, start=1):
                     rows.append((name, f_.name, i,
                                  f_.dataType.simpleString(), f_.nullable))
+        # versioned-source tables resolve through the catalog commit
+        # tree (their names aren't session views); schema comes from the
+        # main-branch snapshot's metadata — a KB-sized JSON read each
+        if self._versioned_sources:
+            from .sources import dataplane
+            from .sources.iceberg import _snapshot_meta
+
+            for src, root in sorted(self._versioned_sources.items()):
+                for key, content in sorted(
+                        dataplane.state_at(root, "main").items()):
+                    if content["type"] != "ICEBERG_TABLE":
+                        continue
+                    try:
+                        sm = _snapshot_meta(
+                            os.path.join(root, content["location"]),
+                            content["snapshot_id"])
+                    except Exception:  # noqa: BLE001
+                        continue
+                    for i, f_ in enumerate(sm.schema.fields, start=1):
+                        rows.append((f"{src}.{key}", f_.name, i,
+                                     f_.dataType.simpleString(),
+                                     f_.nullable))
         rows.sort()
         return self.spark.createDataFrame(
             rows or [("", "", 0, "", True)],

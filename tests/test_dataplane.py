@@ -351,3 +351,13 @@ def test_information_schema_lists_versioned_sources(eng):
                 "where table_schema = 'dpsrc'").collect()}
     assert ("dpsrc", "nat", "TABLE") in rows
     assert ("dpsrc", "v", "VIEW") in rows
+
+
+def test_information_schema_columns_versioned(eng):
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    rows = eng.sql(
+        "select column_name, data_type from information_schema.columns "
+        "where table_name = 'dpsrc.nat' order by ordinal_position"
+    ).collect()
+    assert [r["column_name"] for r in rows] == [
+        "n_nationkey", "n_name", "n_regionkey"]
