@@ -395,7 +395,8 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
-              n_merges: int = 20, min_pair_count: int = 2) -> DataFrame:
+              n_merges: int = 20, min_pair_count: int = 2,
+              driver_max_vocab: int = 100_000) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al., ACL 2016 —
     the byte-pair-encoding merge-table learner every GPT-style
     tokenizer prep runs over its corpus).
@@ -415,6 +416,13 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     Deterministic: ties break on (count desc, left asc, right asc).
     Returns the merge table (rank, left, right, merged, pair_count) —
     the artifact a tokenizer ships.
+
+    Threshold switch (the dedup_clusters pattern): when the word table
+    fits comfortably on the driver (<= `driver_max_vocab` rows), the
+    merge loop runs as the sequential reference algorithm over the
+    collected counts — per-merge Spark jobs on a KB-sized frame are
+    pure scheduling overhead.  Above it, the distributed loop runs;
+    both paths produce the identical merge sequence (pinned in tests).
     """
     sess = df.sparkSession
     words = (
@@ -432,8 +440,50 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         )
     )
     merges: list[tuple] = []
-    cur = words.persist()
-    cur.count()  # materialize before the loop
+    # the word table is VOCABULARY-sized; iterating it across the full
+    # shuffle width pays task-scheduling overhead per merge — coalesce
+    # to a handful of partitions (still distributed at web-scale
+    # vocabularies, where callers raise shuffle.partitions anyway)
+    cur = words.coalesce(8).persist()
+    n_vocab = cur.count()  # materialize before the loop
+    if n_vocab <= driver_max_vocab:
+        rows = [(tuple(r["syms"]), int(r["cnt"])) for r in cur.collect()]
+        cur.unpersist()
+        vocab: dict[tuple, int] = {}
+        for syms, c in rows:
+            vocab[syms] = vocab.get(syms, 0) + c
+        for rank in range(1, n_merges + 1):
+            pairs: dict[tuple, int] = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pairs[k] = pairs.get(k, 0) + c
+            if not pairs:
+                break
+            (a, b), n = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if n < min_pair_count:
+                break
+            merges.append((rank, a, b, a + b, n))
+            nv: dict[tuple, int] = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                k2 = tuple(out)
+                nv[k2] = nv.get(k2, 0) + c
+            vocab = nv
+        return sess.createDataFrame(
+            merges or [(0, "", "", "", 0)],
+            "rank int, left string, right string, merged string, "
+            "pair_count long").where("rank > 0" if not merges
+                                     else "true")
     try:
         for rank in range(1, n_merges + 1):
             pairs = (
@@ -456,19 +506,26 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             merges.append((rank, left, right, left + right, n))
             # leftmost non-overlapping merge as a JVM fold: append each
             # symbol, collapsing it into the accumulator's tail when
-            # (tail, symbol) == (left, right)
-            lq = left.replace("\\", "\\\\").replace("'", "\\'")
-            rq = right.replace("\\", "\\\\").replace("'", "\\'")
-            nxt = cur.select(
-                "cnt",
-                F.expr(
-                    "aggregate(syms, cast(array() as array<string>), "
-                    "(acc, s) -> if(size(acc) > 0 "
-                    f"and element_at(acc, -1) = '{lq}' and s = '{rq}', "
-                    "concat(slice(acc, 1, size(acc) - 1), "
-                    f"array('{lq}{rq}')), concat(acc, array(s))))"
-                ).alias("syms"),
-            ).persist()
+            # (tail, symbol) == (left, right).  The pair rides in as
+            # literal COLUMNS so the fold expression TEXT is identical
+            # every iteration — Spark's codegen cache then compiles the
+            # generated class once instead of once per merge (the cold
+            # cost was ~1 s/iteration of Janino compilation)
+            nxt = (
+                cur.withColumn("__l", F.lit(left))
+                .withColumn("__r", F.lit(right))
+                .withColumn("__m", F.lit(left + right))
+                .select(
+                    "cnt",
+                    F.expr(
+                        "aggregate(syms, cast(array() as array<string>),"
+                        " (acc, s) -> if(size(acc) > 0 "
+                        "and element_at(acc, -1) = __l and s = __r, "
+                        "concat(slice(acc, 1, size(acc) - 1), "
+                        "array(__m)), concat(acc, array(s))))"
+                    ).alias("syms"),
+                ).persist()
+            )
             nxt.count()
             cur.unpersist()
             cur = nxt

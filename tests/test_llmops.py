@@ -643,3 +643,20 @@ def test_bpe_train_matches_reference_algorithm(spark):
     # sanity on the shape the corpus implies: 'newest' (x6) drives the
     # earliest merges
     assert expected[0][4] >= 6
+
+
+def test_bpe_train_distributed_path_matches_driver_path(spark):
+    """Both sides of the vocab-size threshold switch produce the
+    IDENTICAL merge sequence (driver_max_vocab=0 forces the
+    distributed loop)."""
+    from dremio_oss_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low lower lowest newest newest news",),
+         ("widest wide widen new newer newest",)], "text string")
+    a = [tuple(r) for r in
+         bpe_train(df, n_merges=8).orderBy("rank").collect()]
+    b = [tuple(r) for r in
+         bpe_train(df, n_merges=8, driver_max_vocab=0)
+         .orderBy("rank").collect()]
+    assert a == b and len(a) >= 4
