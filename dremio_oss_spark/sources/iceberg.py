@@ -1962,6 +1962,7 @@ def optimize_iceberg(spark: SparkSession, table: str,
         # not "replace": deletes must survive for the untouched files
         operation = "replace-partial"
     rewrite = lambda hits: hits  # noqa: E731
+    n_binpack = None
     if options:
         got = _binpack_select(
             table, [os.path.relpath(p, table) for p in hit_abs],
@@ -1969,11 +1970,33 @@ def optimize_iceberg(spark: SparkSession, table: str,
         if got is None:
             return snap.snapshot_id  # below MIN_INPUT_FILES: no-op
         cand, n_out = got
+        n_binpack = int(n_out)
         hit_abs = {os.path.realpath(os.path.join(table, rel))
                    for rel in cand}
         if hit_abs != {os.path.realpath(p) for p, _ in snap.files}:
             operation = "replace-partial"  # subset: carry deletes
         rewrite = lambda hits: hits.repartition(n_out)  # noqa: E731
+    # declared LOCALSORT (ALTER TABLE ... LOCALSORT BY,
+    # SqlAlterTableSortOrder): the compaction rewrite range-clusters
+    # on the declared keys, so the rewritten files cover disjoint key
+    # ranges and manifest column bounds prune point lookups — the
+    # reference's sort-on-OPTIMIZE behavior
+    sort_cols = [c.strip() for c in
+                 (snap.properties.get("dremio.localsort") or "").split(",")
+                 if c.strip()]
+    if sort_cols:
+        n_range = n_binpack
+        if n_range is None:
+            # default bin-pack emits one file per range slice; bound
+            # by the session shuffle width (AQE respects an explicit
+            # repartitionByRange count, keeping one file per range)
+            n_range = max(1, min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                len(hit_abs)))
+
+        def rewrite(hits, _n=n_range, _c=sort_cols):  # noqa: E731
+            return (hits.repartitionByRange(_n, *_c)
+                    .sortWithinPartitions(*_c))
     return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite)
 
 

@@ -2887,3 +2887,44 @@ def test_change_column_type_promotion(spark, tmp_path):
     assert out.count() == 10
     with _pytest.raises(ValueError, match="illegal type change"):
         eng.sql(f"alter table '{ti}' change column v v int")
+
+
+def test_optimize_applies_declared_localsort(spark, tmp_path):
+    """ALTER TABLE LOCALSORT BY then OPTIMIZE: the compaction rewrite
+    range-clusters on the declared keys — rewritten files cover
+    disjoint key ranges (checked via per-file min/max stats), rows
+    unchanged."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.sources.iceberg import (read_iceberg,
+                                                  resolve_snapshot,
+                                                  write_iceberg)
+
+    t = str(tmp_path / "ls_t")
+    df = spark.range(0, 4000).select(
+        (F.col("id") * 7919 % 4000).alias("k"),
+        F.col("id").alias("v"))
+    # several unsorted files
+    write_iceberg(spark, df.repartition(6), t)
+    eng = Engine(spark)
+    eng.sql(f"ALTER TABLE '{t}' LOCALSORT BY (k)")
+    eng.sql(f"OPTIMIZE TABLE '{t}'")
+    snap = resolve_snapshot(t)
+    ranges = []
+    for p, _pv in snap.files:
+        st = snap.stats.get(p) or {}
+        lo = (st.get("minValues") or {}).get("k")
+        hi = (st.get("maxValues") or {}).get("k")
+        assert lo is not None and hi is not None
+        ranges.append((int(lo), int(hi)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually range-split
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2, f"overlapping key ranges {ranges}"
+    got = read_iceberg(spark, t)
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).first()[0] == sum(range(4000))
