@@ -3250,7 +3250,20 @@ class Engine:
             root = self._versioned_sources[src]
             if mode is None and overrides and src in overrides:
                 mode, arg = overrides[src]
-            ref, cid = self._vsrc_ref(src, mode, arg)
+            if mode is not None and mode.lower() == "timestamp":
+                # Nessie timestamp-resolved ref: the newest main-chain
+                # commit at or before the instant
+                from datetime import datetime as _dt
+
+                ts_ms = (int(arg) if arg.isdigit() else
+                         int(_dt.fromisoformat(arg).timestamp() * 1000))
+                cid = dataplane.resolve_at_timestamp(root, ts_ms)
+                if cid is None:
+                    raise ValueError(
+                        f"no commit in {src} at or before {arg}")
+                ref = None
+            else:
+                ref, cid = self._vsrc_ref(src, mode, arg)
             st = dataplane.state_at(root, ref, commit_id=cid)
             content = st.get(key)
             if content is None:
@@ -3281,7 +3294,7 @@ class Engine:
 
         return re.sub(
             rf"\b(from|join)\s+({names})\.((?:\w+\.)*\w+)"
-            r"(?:\s+at\s+(branch|tag|commit|ref)\s+"
+            r"(?:\s+at\s+(branch|tag|commit|ref|timestamp)\s+"
             r"(?:'([^']+)'|(\w+)))?",
             repl, query, flags=re.I)
 
@@ -3411,6 +3424,35 @@ class Engine:
             return self._status(
                 "USE VERSION",
                 f"{kind} {m.group(2)} in {m.group(3)}")
+        # DESCRIBE [TABLE] <src>.<key> [AT BRANCH/TAG/COMMIT <ref>]
+        m = re.match(
+            rf"\s*desc(?:ribe)?\s+(?:table\s+)?({names})\."
+            rf"((?:\w+\.)*\w+)"
+            r"(?:\s+at\s+(branch|tag|commit)\s+'?([\w-]+)'?)?\s*$",
+            query, re.I)
+        if m:
+            from .sources.iceberg import _snapshot_meta
+
+            src, key = m.group(1), m.group(2)
+            ref, cid = self._vsrc_ref(src, m.group(3), m.group(4))
+            root = self._versioned_sources[src]
+            st = dataplane.state_at(root, ref, commit_id=cid)
+            content = st.get(key)
+            if content is None:
+                raise ValueError(f"no table or view {src}.{key}")
+            if content["type"] == "ICEBERG_VIEW":
+                return self.spark.createDataFrame(
+                    [("sql", content["sql"], "")],
+                    "column_name string, data_type string, "
+                    "comment string")
+            sm = _snapshot_meta(
+                os.path.join(root, content["location"]),
+                content["snapshot_id"])
+            rows = [(f.name, f.dataType.simpleString(), "")
+                    for f in sm.schema.fields]
+            return self.spark.createDataFrame(
+                rows, "column_name string, data_type string, "
+                      "comment string")
         # SHOW TABLES/VIEWS IN <src> [AT BRANCH/TAG/COMMIT <ref>]
         m = re.match(
             rf"\s*show\s+(tables|views)\s+in\s+({names})"

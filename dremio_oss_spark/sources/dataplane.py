@@ -154,6 +154,20 @@ def state_at(root: str, ref: str | None = None,
     return state
 
 
+def resolve_at_timestamp(root: str, ts_ms: int,
+                         ref: str | None = None) -> str | None:
+    """The newest commit on `ref`'s first-parent chain at or before
+    `ts_ms` (Nessie's timestamp-resolved reference: `AT TIMESTAMP` on a
+    versioned source).  None when the branch has no commit that old."""
+    cid = resolve_ref(root, ref)
+    while cid is not None:
+        c = _read_commit(root, cid)
+        if c["ts_ms"] <= ts_ms:
+            return cid
+        cid = c["parents"][0] if c["parents"] else None
+    return None
+
+
 def log(root: str, ref: str | None = None,
         commit_id: str | None = None) -> list[dict]:
     """Commit log, newest first, along the first-parent chain (squash

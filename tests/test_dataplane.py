@@ -361,3 +361,30 @@ def test_information_schema_columns_versioned(eng):
     ).collect()
     assert [r["column_name"] for r in rows] == [
         "n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_describe_and_at_timestamp(eng, spark):
+    """DESCRIBE on a versioned ref resolves the branch's (possibly
+    evolved) schema; AT TIMESTAMP resolves the newest commit at or
+    before the instant (Nessie timestamp-resolved refs)."""
+    import time as _time
+
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    t_after_create = int(_time.time() * 1000)
+    cols = [r["column_name"] for r in
+            eng.sql("DESCRIBE dpsrc.nat").collect()]
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("ALTER TABLE dpsrc.nat AT BRANCH dev ADD COLUMNS (x double)")
+    cols_dev = [r["column_name"] for r in
+                eng.sql("DESCRIBE dpsrc.nat AT BRANCH dev").collect()]
+    assert cols_dev[-1] == "x"
+    assert "x" not in [r["column_name"] for r in
+                       eng.sql("DESCRIBE dpsrc.nat").collect()]
+    _time.sleep(0.05)
+    eng.sql("INSERT INTO dpsrc.nat VALUES (99, 'Z', 0)")
+    n_then = eng.sql(
+        f"select count(*) as n from dpsrc.nat "
+        f"AT TIMESTAMP '{t_after_create}'").first()["n"]
+    assert n_then == 25
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
