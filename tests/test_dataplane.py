@@ -388,3 +388,25 @@ def test_describe_and_at_timestamp(eng, spark):
         f"AT TIMESTAMP '{t_after_create}'").first()["n"]
     assert n_then == 25
     assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
+
+
+def test_state_walk_bounded_by_checkpoint(eng, monkeypatch):
+    """state_at reads O(_CHECKPOINT_EVERY) commit files regardless of
+    history length — the key-list checkpoint bound the 100 TB design
+    relies on (a million-commit catalog resolves in ~16 reads)."""
+    root = eng._versioned_sources["dpsrc"]
+    for i in range(3 * dp._CHECKPOINT_EVERY + 5):
+        dp.commit(root, "main",
+                  {f"k{i}": {"type": "ICEBERG_VIEW", "sql": f"sel {i}"}},
+                  f"put {i}")
+    reads = {"n": 0}
+    orig = dp._read_commit
+
+    def counting(r, c):
+        reads["n"] += 1
+        return orig(r, c)
+
+    monkeypatch.setattr(dp, "_read_commit", counting)
+    st = dp.state_at(root, "main")
+    assert len(st) == 3 * dp._CHECKPOINT_EVERY + 5
+    assert reads["n"] <= dp._CHECKPOINT_EVERY + 1, reads["n"]
