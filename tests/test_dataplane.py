@@ -410,3 +410,42 @@ def test_state_walk_bounded_by_checkpoint(eng, monkeypatch):
     st = dp.state_at(root, "main")
     assert len(st) == 3 * dp._CHECKPOINT_EVERY + 5
     assert reads["n"] <= dp._CHECKPOINT_EVERY + 1, reads["n"]
+
+
+def test_concurrent_commits_serialize_per_branch(eng):
+    """Concurrent commits: same-branch writers serialize through the
+    lock (both land, heads chain); a writer pinned to a STALE expected
+    head gets ConcurrentWriteError; different branches never contend."""
+    import threading
+
+    root = eng._versioned_sources["dpsrc"]
+    eng.sql("CREATE BRANCH b1 IN dpsrc")
+    eng.sql("CREATE BRANCH b2 IN dpsrc")
+    errs: list = []
+
+    def put(branch, key):
+        try:
+            dp.commit(root, branch,
+                      {key: {"type": "ICEBERG_VIEW", "sql": "sel 1"}},
+                      f"put {key}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=put, args=(b, f"t{i}"))
+               for i, b in enumerate(["main", "main", "b1", "b2",
+                                      "main", "b1"])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(dp.state_at(root, "main")) == 3
+    assert len(dp.state_at(root, "b1")) == 2
+    assert len(dp.state_at(root, "b2")) == 1
+    # log chains are consistent (each commit's parent is its
+    # predecessor on the same branch)
+    for b, n in (("main", 3), ("b1", 2), ("b2", 1)):
+        entries = dp.log(root, b)
+        assert len(entries) == n
+        for child, parent in zip(entries, entries[1:]):
+            assert child["parents"] == [parent["id"]]
