@@ -265,13 +265,11 @@ def create_ref(root: str, name: str, kind: str = "branch",
     """CREATE BRANCH/TAG <name> IN <source> [AT BRANCH/TAG/COMMIT ...]
     (parserImpls.ftl:943).  New refs point at the head of `from_ref`
     (default main) or an explicit commit."""
-    with _lock(root):
+    head = resolve_ref(root, from_ref, at_commit)
+    with _lock(root):  # check-and-set under ONE lock scope
         refs = _load_refs(root)
         if name in refs["branches"] or name in refs["tags"]:
             raise ValueError(f"ref {name!r} already exists in {root}")
-    head = resolve_ref(root, from_ref, at_commit)
-    with _lock(root):
-        refs = _load_refs(root)
         refs["branches" if kind == "branch" else "tags"][name] = head
         _store_refs(root, refs)
     return head
