@@ -3251,13 +3251,24 @@ class Engine:
             if mode is None and overrides and src in overrides:
                 mode, arg = overrides[src]
             if mode is not None and mode.lower() == "timestamp":
-                # Nessie timestamp-resolved ref: the newest main-chain
-                # commit at or before the instant
+                # Nessie timestamp-resolved ref: the newest commit at
+                # or before the instant ON THE SESSION'S CHAIN — USE
+                # BRANCH dev resolves against dev, default main.  Naive
+                # ISO strings are UTC (the reference's server parses
+                # timestamps in UTC, never the server's local zone).
                 from datetime import datetime as _dt
+                from datetime import timezone as _tz
 
-                ts_ms = (int(arg) if arg.isdigit() else
-                         int(_dt.fromisoformat(arg).timestamp() * 1000))
-                cid = dataplane.resolve_at_timestamp(root, ts_ms)
+                if arg.isdigit():
+                    ts_ms = int(arg)
+                else:
+                    dt = _dt.fromisoformat(arg)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_tz.utc)
+                    ts_ms = int(dt.timestamp() * 1000)
+                use_ref, use_cid = self._vsrc_ref(src, None, None)
+                cid = dataplane.resolve_at_timestamp(
+                    root, ts_ms, ref=use_ref, commit_id=use_cid)
                 if cid is None:
                     raise ValueError(
                         f"no commit in {src} at or before {arg}")

@@ -324,9 +324,18 @@ class Reflection:
             ):
                 return False
         # join-tree matching (star case): every join edge the query needs
-        # must be materialized; extra reflection edges are harmless under
-        # the N:1 FK assumption (see JoinSpec)
+        # must be materialized; extra INNER/LEFT reflection edges are
+        # harmless under the N:1 FK assumption (see JoinSpec).  A FULL
+        # outer edge is NOT: it adds dim-only null-extended rows that
+        # inflate count(*)/sums for any query that did not ask for that
+        # edge, so full edges must match exactly on both sides.
         if not set(q.joins) <= set(self.joins):
+            return False
+        q_joins = set(q.joins)
+        if any(
+            js.join_type == "full" and js not in q_joins
+            for js in self.joins
+        ):
             return False
         if not set(q.dims) <= set(self.dims):
             return False

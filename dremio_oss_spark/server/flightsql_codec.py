@@ -138,8 +138,11 @@ def action_close_prepared_request(handle: bytes) -> bytes:
 
 
 def str_field(payload: bytes, num: int = 1) -> str:
-    return parse_fields(payload)[num][0].decode()
+    # proto3 encoders OMIT default-valued fields: an empty query /
+    # handle arrives as a missing field, not an empty one — decode to
+    # "" instead of raising KeyError at the handler
+    return parse_fields(payload).get(num, [b""])[0].decode()
 
 
 def bytes_field(payload: bytes, num: int = 1) -> bytes:
-    return parse_fields(payload)[num][0]
+    return parse_fields(payload).get(num, [b""])[0]

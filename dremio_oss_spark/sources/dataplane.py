@@ -155,11 +155,14 @@ def state_at(root: str, ref: str | None = None,
 
 
 def resolve_at_timestamp(root: str, ts_ms: int,
-                         ref: str | None = None) -> str | None:
+                         ref: str | None = None,
+                         commit_id: str | None = None) -> str | None:
     """The newest commit on `ref`'s first-parent chain at or before
     `ts_ms` (Nessie's timestamp-resolved reference: `AT TIMESTAMP` on a
-    versioned source).  None when the branch has no commit that old."""
-    cid = resolve_ref(root, ref)
+    versioned source).  None when the branch has no commit that old.
+    `ref`/`commit_id` pick the chain to walk — the caller's session
+    context (USE BRANCH) resolves against ITS branch, not always main."""
+    cid = resolve_ref(root, ref, commit_id)
     while cid is not None:
         c = _read_commit(root, cid)
         if c["ts_ms"] <= ts_ms:
@@ -225,7 +228,13 @@ def commit(root: str, branch: str, operations: dict[str, dict | None],
                 default=0)
         seq += 1
         refs["seq"] = seq
-        cid = f"c{seq:06d}-{uuid.uuid4().hex[:8]}"
+        # DETERMINISTIC id: the commit file name is derived solely from
+        # the sequence the writer planned against, so two processes that
+        # raced past the same refs snapshot claim the SAME file and the
+        # O_EXCL below hands exactly one of them the commit (the Iceberg
+        # committer idiom); a random suffix would let both "win" and the
+        # refs.json os.replace would silently drop one head advance.
+        cid = f"c{seq:06d}"
         rec = {
             "id": cid,
             "parents": [head] if head else [],
@@ -247,9 +256,17 @@ def commit(root: str, branch: str, operations: dict[str, dict | None],
                 else:
                     base[key] = content
             rec["full_state"] = base
-        # O_EXCL claim — the commit file is the uniqueness token
+        # O_EXCL claim — the commit file is the uniqueness token; a
+        # cross-process loser hits FileExistsError here and surfaces the
+        # same ConcurrentWriteError as an in-process CAS mismatch
         path = os.path.join(_commits_dir(root), cid + ".json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit {cid} of {root} was claimed by another "
+                "process; re-plan against the new head and retry"
+            ) from None
         with os.fdopen(fd, "w") as f:
             json.dump(rec, f)
         refs["branches"][branch] = cid
@@ -596,42 +613,49 @@ def gc_unreachable(root: str) -> list[str]:
     head (parents + merge parents), so `AT COMMIT` time travel over
     live history keeps working; unreachable commit files are removed
     with their data.  Metadata-sized: walks KB JSON, then one rmtree
-    per dead location.  Returns the deleted relative paths."""
+    per dead location.  Returns the deleted relative paths.
+
+    The WHOLE body holds the catalog lock: a commit landing between the
+    refs read and the sweep would be invisible to the reachability set
+    and GC would delete the just-created commit file out from under its
+    branch head (driver-found r9), so VACUUM serializes with commits —
+    exactly Nessie's GC-vs-commit exclusion."""
     import shutil
 
-    refs = _load_refs(root)
-    heads = [c for c in list(refs["branches"].values())
-             + list(refs["tags"].values()) if c]
-    reachable: set[str] = set()
-    for h in heads:
-        reachable |= set(_ancestors(root, h))
-    live: set[str] = set()
-    dead_commits: list[str] = []
-    for fn in sorted(os.listdir(_commits_dir(root))):
-        if not fn.endswith(".json"):
-            continue
-        cid = fn[:-5]
-        c = _read_commit(root, cid)
-        contents = (list(c["operations"].values())
-                    + list(c.get("full_state", {}).values()))
-        if cid in reachable:
-            for content in contents:
-                if content and content.get("location"):
-                    live.add(content["location"])
-        else:
-            dead_commits.append(cid)
-    removed: list[str] = []
-    tables_dir = os.path.join(root, "tables")
-    if os.path.isdir(tables_dir):
-        for d in sorted(os.listdir(tables_dir)):
-            rel = os.path.join("tables", d)
-            if rel not in live:
-                shutil.rmtree(os.path.join(root, rel),
-                              ignore_errors=True)
-                removed.append(rel)
-    for cid in dead_commits:
-        os.unlink(os.path.join(_commits_dir(root), cid + ".json"))
-    return removed
+    with _lock(root):
+        refs = _load_refs(root)
+        heads = [c for c in list(refs["branches"].values())
+                 + list(refs["tags"].values()) if c]
+        reachable: set[str] = set()
+        for h in heads:
+            reachable |= set(_ancestors(root, h))
+        live: set[str] = set()
+        dead_commits: list[str] = []
+        for fn in sorted(os.listdir(_commits_dir(root))):
+            if not fn.endswith(".json"):
+                continue
+            cid = fn[:-5]
+            c = _read_commit(root, cid)
+            contents = (list(c["operations"].values())
+                        + list(c.get("full_state", {}).values()))
+            if cid in reachable:
+                for content in contents:
+                    if content and content.get("location"):
+                        live.add(content["location"])
+            else:
+                dead_commits.append(cid)
+        removed: list[str] = []
+        tables_dir = os.path.join(root, "tables")
+        if os.path.isdir(tables_dir):
+            for d in sorted(os.listdir(tables_dir)):
+                rel = os.path.join("tables", d)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(root, rel),
+                                  ignore_errors=True)
+                    removed.append(rel)
+        for cid in dead_commits:
+            os.unlink(os.path.join(_commits_dir(root), cid + ".json"))
+        return removed
 
 
 def update_where(spark: SparkSession, root: str, branch: str, key: str,

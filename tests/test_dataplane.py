@@ -390,6 +390,39 @@ def test_describe_and_at_timestamp(eng, spark):
     assert _n(eng, "select count(*) as n from dpsrc.nat") == 26
 
 
+def test_at_timestamp_honors_use_branch_and_utc(eng):
+    """AT TIMESTAMP resolves on the SESSION branch's chain (USE BRANCH
+    dev -> dev history, not main's), and a naive ISO timestamp is
+    interpreted as UTC regardless of the server's local timezone
+    (driver-found r9)."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    _time.sleep(0.05)
+    eng.sql("INSERT INTO dpsrc.nat AT BRANCH dev VALUES (99, 'Z', 0)")
+    _time.sleep(0.05)
+    t_now_ms = int(_time.time() * 1000)
+    eng.sql("USE BRANCH dev IN dpsrc")
+    try:
+        # on dev's chain "now" includes the dev-only insert; resolving
+        # against main (the old bug) would return 25
+        n = eng.sql(f"select count(*) as n from dpsrc.nat "
+                    f"AT TIMESTAMP '{t_now_ms}'").first()["n"]
+        assert n == 26
+        # naive ISO == the same instant expressed in UTC, not local
+        # (+1 s: the ISO form floors to whole seconds)
+        iso_utc = datetime.fromtimestamp(
+            t_now_ms / 1000 + 1, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S")
+        n_iso = eng.sql(f"select count(*) as n from dpsrc.nat "
+                        f"AT TIMESTAMP '{iso_utc}'").first()["n"]
+        assert n_iso == 26
+    finally:
+        eng.sql("USE BRANCH main IN dpsrc")
+
+
 def test_state_walk_bounded_by_checkpoint(eng, monkeypatch):
     """state_at reads O(_CHECKPOINT_EVERY) commit files regardless of
     history length — the key-list checkpoint bound the 100 TB design
@@ -449,3 +482,83 @@ def test_concurrent_commits_serialize_per_branch(eng):
         assert len(entries) == n
         for child, parent in zip(entries, entries[1:]):
             assert child["parents"] == [parent["id"]]
+
+
+def test_cross_process_claim_is_deterministic(eng):
+    """Two PROCESSES that planned against the same refs snapshot claim
+    the SAME commit file (ids are derived from seq alone, no random
+    suffix), so O_EXCL hands the commit to exactly one: the loser gets
+    ConcurrentWriteError instead of a silent last-writer-wins on
+    refs.json (driver-found r9).  A retry against the advanced head
+    lands on the next seq."""
+    root = eng._versioned_sources["dpsrc"]
+    dp.commit(root, "main", {"t0": {"type": "ICEBERG_VIEW", "sql": "s"}},
+              "seed")
+    refs = dp._load_refs(root)
+    seq, head = refs["seq"], refs["branches"]["main"]
+    # simulate the WINNING process: same snapshot, claimed c{seq+1} and
+    # advanced refs.json before our in-process commit runs
+    win_id = f"c{seq + 1:06d}"
+    win_path = os.path.join(dp._commits_dir(root), win_id + ".json")
+    with open(win_path, "x") as f:
+        json.dump({"id": win_id, "parents": [head], "branch": "main",
+                   "ts_ms": 0, "author": "other", "message": "win",
+                   "operations": {"t1": {"type": "ICEBERG_VIEW",
+                                         "sql": "w"}}}, f)
+    with pytest.raises(ConcurrentWriteError):
+        dp.commit(root, "main",
+                  {"t2": {"type": "ICEBERG_VIEW", "sql": "l"}}, "lose")
+    # loser never moved the head or the counter
+    refs2 = dp._load_refs(root)
+    assert refs2["branches"]["main"] == head and refs2["seq"] == seq
+    # winner publishes its refs (what the other process's commit() did)
+    refs2["branches"]["main"] = win_id
+    refs2["seq"] = seq + 1
+    dp._store_refs(root, refs2)
+    # retry against the NEW head succeeds on the next seq, chain intact
+    cid = dp.commit(root, "main",
+                    {"t2": {"type": "ICEBERG_VIEW", "sql": "l"}}, "retry")
+    assert cid == f"c{seq + 2:06d}"
+    assert set(dp.state_at(root, "main")) == {"t0", "t1", "t2"}
+
+
+def test_gc_serializes_with_commits(eng):
+    """VACUUM SOURCE holds the catalog lock for its WHOLE sweep: a
+    commit can never land between the refs read and the commit-file
+    sweep and be GC'd as unreachable (driver-found r9).  Stress: one
+    thread commits while another runs GC; every branch head must stay
+    resolvable afterwards."""
+    import threading
+
+    root = eng._versioned_sources["dpsrc"]
+    stop = threading.Event()
+    errs: list = []
+
+    def committer():
+        try:
+            for i in range(30):
+                dp.commit(root, "main",
+                          {f"t{i}": {"type": "ICEBERG_VIEW", "sql": "s"}},
+                          f"c{i}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            stop.set()
+
+    def collector():
+        try:
+            while not stop.is_set():
+                dp.gc_unreachable(root)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=committer),
+               threading.Thread(target=collector)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every commit survived GC: the full chain still walks
+    assert len(dp.state_at(root, "main")) == 30
+    assert len(dp.log(root, "main")) == 30

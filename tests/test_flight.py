@@ -512,6 +512,14 @@ def test_flightsql_codec_golden_vectors():
     # non-FlightSQL bytes fall through to None (generic path)
     assert fsql.any_unpack(b"select 1 as n") is None
     assert fsql.any_unpack(b"") is None
+    # proto3 encoders OMIT default-valued fields: an empty query /
+    # handle arrives with the field MISSING from the payload entirely —
+    # decode to ""/b"", never KeyError (driver-found r9)
+    assert fsql.str_field(b"") == ""
+    assert fsql.bytes_field(b"") == b""
+    # and our own encoder's empty output still round-trips
+    _, empty_payload = fsql.any_unpack(fsql.command_statement_query(""))
+    assert fsql.str_field(empty_payload) == ""
 
 
 def test_flightsql_protobuf_statement_flow(flight_setup):

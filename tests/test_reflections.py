@@ -138,6 +138,48 @@ def test_join_reflection_rejects_uncovered_edge(spark):
     assert store.find_match(q2) is not None
 
 
+def test_full_edge_reflection_refuses_query_without_the_edge():
+    """A FULL outer star edge adds dim-only null-extended rows, so the
+    'extra reflection edges are harmless' N:1 argument does NOT apply:
+    a reflection declaring a full edge must refuse any query that does
+    not carry that exact edge (driver-found r9: a bare
+    `group by l_returnflag` over lineitem substituted a FULL-edge
+    reflection and returned a spurious NULL group with inflated
+    count(*))."""
+    from dremio_oss_spark.plans.reflections import (
+        AggQuery, JoinSpec, Measure, Reflection,
+    )
+
+    full_edge = JoinSpec("supp_fj", "l_suppkey", "s_suppkey", "full")
+    refl = Reflection(
+        name="fjoin", table="lineitem",
+        dims=("l_returnflag", "s_nationkey"),
+        measures=(Measure("count", "*"),), path="/dev/null",
+        joins=(full_edge,),
+    )
+    # bare single-table aggregate: no joins -> must refuse
+    q_bare = AggQuery(
+        table="lineitem", dims=("l_returnflag",),
+        measures=(Measure("count", "*"),),
+    )
+    assert not refl.covers(q_bare)
+    # query carrying the exact full edge still matches
+    q_full = AggQuery(
+        table="lineitem", dims=("l_returnflag",),
+        measures=(Measure("count", "*"),), joins=(full_edge,),
+    )
+    assert refl.covers(q_full)
+    # extra INNER edges stay harmless (unchanged N:1 behavior)
+    inner = JoinSpec("supplier", "l_suppkey", "s_suppkey")
+    refl_inner = Reflection(
+        name="li_supp", table="lineitem",
+        dims=("l_returnflag", "s_nationkey"),
+        measures=(Measure("count", "*"),), path="/dev/null",
+        joins=(inner,),
+    )
+    assert refl_inner.covers(q_bare)
+
+
 def test_join_substituted_plan_scans_materialization(spark):
     df = reflections_q.join_rollup(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
