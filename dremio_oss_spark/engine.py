@@ -2412,7 +2412,7 @@ class Engine:
         key = target.strip("'")
         if delete:
             return store.pop(key, None)
-        from .plans.statistics import analyze_histogram, analyze_table
+        from .plans.statistics import analyze_full
 
         exact = False
         if target.startswith("'"):
@@ -2433,8 +2433,10 @@ class Engine:
             exact = props.get("dremio.approximate_stats") == "false"
         else:
             df = self._resolve_table(target)
-        cols_df = analyze_table(df, columns, exact_ndv=exact)
-        hist_df = analyze_histogram(df, columns)
+        # ONE aggregation job computes stats + histograms together (the
+        # reference batches a single ANALYZE into one job, never a scan
+        # per artifact)
+        cols_df, hist_df = analyze_full(df, columns, exact_ndv=exact)
         entry = {
             "columns": [tuple(r) for r in cols_df.collect()],
             "histogram": [tuple(r) for r in hist_df.collect()],

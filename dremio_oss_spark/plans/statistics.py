@@ -18,99 +18,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def analyze_table(df: DataFrame, columns: list[str] | None = None,
-                  exact_ndv: bool = True) -> DataFrame:
-    """One row per analyzed column: n_rows, n_nulls, ndv(+exact), min, max.
-
-    Single aggregation pass over the table — all columns' accumulators run
-    in the same stage (the reference likewise batches all requested
-    columns into one ANALYZE job).
-
-    `exact_ndv=False` (the ENGINE's ANALYZE path) skips the per-column
-    exact-distinct branches — the reference stores HLL NDV only; the
-    exact pass exists for oracle comparison at test scale and would be
-    one extra shuffle per column at 100 TB.  ndv_exact then mirrors the
-    HLL estimate so the output schema stays stable.
-    """
-    cols = columns or df.columns
-    # a single-file table arrives as ONE input split; fan out first so
-    # partial aggregation parallelizes (on a real lake the scan is
-    # already wide and this repartition is unnecessary but harmless)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.repartition(n_part)
-    # TWO plan shapes, deliberately:
-    # 1. everything non-distinct (count/nulls/HLL-ndv/min/max for ALL
-    #    columns) in ONE single-pass aggregate — no Expand;
-    # 2. exact NDV as one narrow two-phase distinct per column, unioned
-    #    into a single job.  Multiple count_distinct in one agg would
-    #    Expand the FULL row width x (n_cols+1); per-column branches
-    #    each scan (column-pruned) and shuffle only their own values.
-    aggs = [F.count(F.lit(1)).alias("_n_rows")]
-    for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
-            F.approx_count_distinct(c).alias(f"_ndv_{c}"),
-            F.min(c).cast("string").alias(f"_min_{c}"),
-            F.max(c).cast("string").alias(f"_max_{c}"),
-        ]
-    base_df = df.agg(*aggs)
-    row = base_df.collect()[0]
-    if exact_ndv:
-        ndv_branches = [
-            df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
-                F.lit(c).alias("c"), "ndvx"
-            )
-            for c in cols
-        ]
-        ndv_df = ndv_branches[0]
-        for b in ndv_branches[1:]:
-            ndv_df = ndv_df.unionByName(b)
-        ndvx = {r["c"]: r["ndvx"] for r in ndv_df.collect()}
-    else:
-        ndvx = {c: row[f"_ndv_{c}"] for c in cols}
-    out = [
-        (
-            c,
-            row["_n_rows"],
-            row[f"_nulls_{c}"],
-            row[f"_ndv_{c}"],
-            ndvx[c],
-            row[f"_min_{c}"],
-            row[f"_max_{c}"],
-        )
-        for c in cols
-    ]
-    return df.sparkSession.createDataFrame(
-        out,
-        "column_name string, n_rows bigint, n_nulls bigint, "
-        "ndv_approx bigint, ndv_exact bigint, min_value string, max_value string",
-    )
-
-
 # percentiles the reference's t-digest histograms serve to the planner
 # (range-predicate selectivity needs tails + quartiles)
 DEFAULT_PERCENTILES = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
 
+_STATS_SCHEMA = (
+    "column_name string, n_rows bigint, n_nulls bigint, "
+    "ndv_approx bigint, ndv_exact bigint, min_value string, "
+    "max_value string"
+)
+_HIST_SCHEMA = "column_name string, percentile double, value double"
 
-def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
-                      percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
-                      accuracy: int = 1_000_000) -> DataFrame:
-    """Quantile histogram per numeric/temporal column — the engine-side
-    analog of the reference's t-digest column histograms
-    (`exec/expr/fn/tdigest/TDigest.java:32`, collected by
-    `StatisticsService.java` and consumed for range-predicate
-    selectivity in `RelMdDistinctRowCount.java`).
 
-    Spark-first: `percentile_approx` IS Spark's mergeable quantile
-    sketch (Greenwald-Khanna; same role as t-digest — bounded-memory,
-    partial-aggregable, so the sketch merges across 1000 executors
-    without a global sort).  All requested columns run in ONE
-    aggregation pass.  At `accuracy` >= the row count the result is
-    exact (== DuckDB quantile_disc), which is what the oracle checks;
-    at 100 TB the same plan degrades gracefully to approximate.
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ONLY a narrow input (single-file test fixture) so
+    the partial aggregation parallelizes.  A real lake scan is already
+    wider than the core count — repartitioning there would shuffle the
+    ENTIRE table before a partial aggregate that is already parallel
+    per input split (at 100 TB: a 100 TB shuffle for nothing), so wide
+    inputs pass through untouched and the aggregate's map side runs on
+    the scan partitions directly."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part)
+    return df
 
-    Returns long-format rows: (column_name, percentile, value)."""
+
+def _stats_aggs(cols: list[str]) -> list:
+    """Accumulators for the non-distinct stats of ALL columns — one
+    single-pass aggregate, no Expand (multiple count_distinct in one
+    agg would Expand the full row width x (n_cols+1))."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"_nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"_ndv_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    return aggs
+
+
+def _exact_ndv(df: DataFrame, cols: list[str]) -> dict:
+    """Exact NDV as one narrow two-phase distinct per column, unioned
+    into a single job: each branch scans column-pruned and shuffles
+    only its own values."""
+    branches = [
+        df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
+            F.lit(c).alias("c"), "ndvx")
+        for c in cols
+    ]
+    ndv_df = branches[0]
+    for b in branches[1:]:
+        ndv_df = ndv_df.unionByName(b)
+    return {r["c"]: r["ndvx"] for r in ndv_df.collect()}
+
+
+def _hist_exprs(df: DataFrame,
+                columns: list[str] | None) -> tuple[list[str], dict]:
+    """Numeric/temporal columns eligible for quantile histograms and
+    their double-valued sketch inputs (temporal sketches epoch micros —
+    the reference's t-digest likewise stores temporal values
+    numerically; NTZ/date route through timestamp_ltz)."""
     num_kinds = ("int", "bigint", "smallint", "tinyint", "double",
                  "float", "decimal")
     temporal_kinds = ("date", "timestamp")
@@ -124,16 +94,97 @@ def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
             cols.append(f.name)
             exprs[f.name] = f"cast({f.name} as double)"
         elif kind.startswith(temporal_kinds):
-            # temporal histograms sketch epoch micros (the reference's
-            # t-digest likewise stores temporal values numerically);
-            # NTZ/date route through timestamp_ltz — double can't hold
-            # them directly
             cols.append(f.name)
             exprs[f.name] = (f"cast(unix_micros(cast({f.name} as "
                              "timestamp_ltz)) as double)")
+    return cols, exprs
+
+
+def _decode_stats(row, cols: list[str], ndvx: dict) -> list[tuple]:
+    return [
+        (c, row["_n_rows"], row[f"_nulls_{c}"], row[f"_ndv_{c}"],
+         ndvx[c], row[f"_min_{c}"], row[f"_max_{c}"])
+        for c in cols
+    ]
+
+
+def analyze_full(df: DataFrame, columns: list[str] | None = None,
+                 exact_ndv: bool = True,
+                 percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+                 accuracy: int = 1_000_000
+                 ) -> tuple[DataFrame, DataFrame]:
+    """The engine's ANALYZE: column stats AND quantile histograms from
+    ONE aggregation job — the reference likewise batches everything a
+    single ANALYZE statement requests into one job
+    (StatisticsService.java), never a scan per artifact.
+
+    percentile_approx IS Spark's mergeable quantile sketch
+    (Greenwald-Khanna; same role as t-digest — bounded memory, partial-
+    aggregable, merges across 1000 executors without a global sort), so
+    its accumulators ride the same single-pass aggregate as count/nulls/
+    HLL/min/max.  Returns (stats_df, histogram_df)."""
+    spark = df.sparkSession
+    cols = columns or df.columns
+    df = _fan_out(df)
+    aggs = _stats_aggs(cols)
+    hcols, hexprs = _hist_exprs(df, columns)
+    pct = list(percentiles)
+    if hcols and pct:
+        pct_sql = ", ".join(repr(p) for p in pct)
+        aggs += [
+            F.expr(f"percentile_approx({hexprs[c]}, "
+                   f"array({pct_sql}), {accuracy})").alias(f"_pct_{c}")
+            for c in hcols
+        ]
+    row = df.agg(*aggs).collect()[0]
+    ndvx = (_exact_ndv(df, cols) if exact_ndv
+            else {c: row[f"_ndv_{c}"] for c in cols})
+    stats_df = spark.createDataFrame(
+        _decode_stats(row, cols, ndvx), _STATS_SCHEMA)
+    hist_rows = [
+        (c, float(p),
+         None if row[f"_pct_{c}"] is None else float(row[f"_pct_{c}"][i]))
+        for c in hcols
+        for i, p in enumerate(pct)
+    ] if pct else []
+    hist_df = spark.createDataFrame(hist_rows, _HIST_SCHEMA)
+    return stats_df, hist_df
+
+
+def analyze_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_ndv: bool = True) -> DataFrame:
+    """One row per analyzed column: n_rows, n_nulls, ndv(+exact), min,
+    max — a single aggregation pass over the table.
+
+    `exact_ndv=False` (the ENGINE's ANALYZE path) skips the per-column
+    exact-distinct branches — the reference stores HLL NDV only; the
+    exact pass exists for oracle comparison at test scale and would be
+    one extra shuffle per column at 100 TB.  ndv_exact then mirrors the
+    HLL estimate so the output schema stays stable."""
+    stats_df, _ = analyze_full(df, columns, exact_ndv=exact_ndv,
+                               percentiles=())
+    return stats_df
+
+
+def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
+                      percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+                      accuracy: int = 1_000_000) -> DataFrame:
+    """Quantile histogram per numeric/temporal column — the engine-side
+    analog of the reference's t-digest column histograms
+    (`exec/expr/fn/tdigest/TDigest.java:32`, collected by
+    `StatisticsService.java` and consumed for range-predicate
+    selectivity in `RelMdDistinctRowCount.java`).
+
+    All requested columns run in ONE aggregation pass.  At `accuracy`
+    >= the row count the result is exact (== DuckDB quantile_disc),
+    which is what the oracle checks; at 100 TB the same plan degrades
+    gracefully to approximate.
+
+    Returns long-format rows: (column_name, percentile, value)."""
+    spark = df.sparkSession
+    cols, exprs = _hist_exprs(df, columns)
     if not cols:
-        return df.sparkSession.createDataFrame(
-            [], "column_name string, percentile double, value double")
+        return spark.createDataFrame([], _HIST_SCHEMA)
     pct = list(percentiles)
     pct_sql = ", ".join(repr(p) for p in pct)
     aggs = [
@@ -147,5 +198,4 @@ def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
         for c in cols
         for i, p in enumerate(pct)
     ]
-    return df.sparkSession.createDataFrame(
-        out, "column_name string, percentile double, value double")
+    return spark.createDataFrame(out, _HIST_SCHEMA)
