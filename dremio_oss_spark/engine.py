@@ -2508,6 +2508,14 @@ class Engine:
             for s in suggest(getattr(self, "_agg_workload", []),
                              getattr(self, "_table_stats", None))
         ]
+        skipped = getattr(self, "_agg_workload_skipped", 0)
+        if skipped:
+            # completeness marker: aggregate statements seen but outside
+            # the per-dataset analyzer scope (joins/subqueries) — the
+            # workload was NOT empty, it just needs a human look
+            rows.append(("(unparsed)", "", "", "",
+                         f"{skipped} multi-table/subquery aggregates "
+                         "not analyzed", skipped, 0.0, 0.0, ""))
         return self.spark.createDataFrame(
             rows or [("", "", "", "", "", 0, 0.0, 0.0, "")],
             "dataset string, reflection_name string, dimensions string, "
@@ -4135,6 +4143,16 @@ class Engine:
             from .plans.suggester import AggWorkloadRecord, parse_agg_shape
 
             rec = parse_agg_shape(query)
+            if rec is None and re.match(r"\s*select\b", query, re.I) \
+                    and re.search(r"\bgroup\s+by\b", query, re.I):
+                # aggregate-shaped but outside the per-dataset analyzer
+                # scope (joins/subqueries — ReflectionSuggester.java is
+                # likewise per-dataset): COUNT it so a star-join
+                # workload surfaces as "N unparsed aggregates" in
+                # sys.reflection_recommendations instead of looking
+                # like no workload at all
+                self._agg_workload_skipped = getattr(
+                    self, "_agg_workload_skipped", 0) + 1
             if rec is not None:
                 log = getattr(self, "_agg_workload", None)
                 if log is None:

@@ -775,6 +775,53 @@ where (p_brand = 'Brand#1' and l_quantity between 1 and 11 and p_size between 1 
 
 
 # --------------------------------------------------------------------------
+# Q19_1: the reference corpus ships queries/tpch/19_1.sql alongside 19 —
+# same discount-revenue disjunction, but the equi-join predicate factored
+# OUT of the OR (19 embeds `p_partkey = l_partkey` in every disjunct; 19_1
+# hoists it, the planner-friendly form).  Reference quantity windows
+# (base, base+10) and size ranges kept; brands mapped into the synthetic
+# data's Brand#1..25 domain.
+def q19_1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#21")
+            & (F.col("l_quantity") >= 2) & (F.col("l_quantity") <= 2 + 10)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("l_quantity") >= 14) & (F.col("l_quantity") <= 14 + 10)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & (F.col("l_quantity") >= 23) & (F.col("l_quantity") <= 23 + 10)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+Q19_1_SQL = f"""
+select cast(sum({REV_SQL}) as double) as revenue
+from lineitem, part
+where p_partkey = l_partkey
+  and ((p_brand = 'Brand#21' and l_quantity >= 2 and l_quantity <= 2 + 10
+        and p_size between 1 and 5)
+    or (p_brand = 'Brand#13' and l_quantity >= 14 and l_quantity <= 14 + 10
+        and p_size between 1 and 10)
+    or (p_brand = 'Brand#5' and l_quantity >= 23 and l_quantity <= 23 + 10
+        and p_size between 1 and 15))
+"""
+
+
+# --------------------------------------------------------------------------
 # Q20 variant (no partsupp): suppliers who shipped >50 units of 'small%'
 # parts in 1997 — IN over grouped HAVING subquery (semi join)
 def q20(spark: SparkSession, sf: str) -> DataFrame:
@@ -919,6 +966,7 @@ TPCH_QUERIES = {
         start=1,
     )
 }
+TPCH_QUERIES["tpch_q19_1"] = q19_1
 
 TPCH_ORACLE = {
     f"tpch_q{i:02d}": sql
@@ -929,3 +977,4 @@ TPCH_ORACLE = {
         start=1,
     )
 }
+TPCH_ORACLE["tpch_q19_1"] = Q19_1_SQL
