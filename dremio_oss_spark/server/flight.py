@@ -66,6 +66,14 @@ class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
         return _BearerMiddleware()
 
 
+# catalog-metadata commands a stock FlightSQL client issues on connect
+# (DremioFlightProducer.java:567-584,814 routing)
+_METADATA_COMMANDS = frozenset({
+    "CommandGetCatalogs", "CommandGetDbSchemas", "CommandGetTables",
+    "CommandGetTableTypes", "CommandGetSqlInfo",
+})
+
+
 class EngineFlightServer(flight.FlightServerBase):
     """`grpc://host:port` front of an Engine.  Tickets carry SQL text."""
 
@@ -184,6 +192,20 @@ class EngineFlightServer(flight.FlightServerBase):
         flightsql = env is not None
         if flightsql:
             name, payload = env
+            if name in _METADATA_COMMANDS:
+                # catalog-metadata command (the connect-time burst of a
+                # stock ADBC/JDBC client): FlightInfo carries the fixed
+                # protocol schema and the ticket is the packed command
+                # itself, recomputed at DoGet — idempotent metadata
+                # needs no planned-frame cache
+                # (DremioFlightProducer.getFlightInfoForFlightSqlCommands)
+                schema = self._metadata_schema(name, payload)
+                endpoint = flight.FlightEndpoint(
+                    flight.Ticket(descriptor.command),
+                    [flight.Location.for_grpc_tcp("127.0.0.1",
+                                                  self.port)])
+                return flight.FlightInfo(schema, descriptor, [endpoint],
+                                         -1, -1)
             if name == "CommandStatementQuery":
                 sql = fsql.str_field(payload)
             elif name == "CommandPreparedStatementQuery":
@@ -226,11 +248,51 @@ class EngineFlightServer(flight.FlightServerBase):
             [flight.Location.for_grpc_tcp("127.0.0.1", self.port)])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
+    def _metadata_schema(self, name: str, payload: bytes):
+        from . import flightsql_codec as fsql
+        from . import flightsql_metadata as meta
+
+        if name == "CommandGetCatalogs":
+            return meta.GET_CATALOGS_SCHEMA
+        if name == "CommandGetDbSchemas":
+            return meta.GET_DB_SCHEMAS_SCHEMA
+        if name == "CommandGetTableTypes":
+            return meta.GET_TABLE_TYPES_SCHEMA
+        if name == "CommandGetSqlInfo":
+            return meta.GET_SQL_INFO_SCHEMA
+        req = fsql.parse_get_tables(payload)
+        return (meta.GET_TABLES_SCHEMA if req["include_schema"]
+                else meta.GET_TABLES_SCHEMA_NO_SCHEMA)
+
+    def _metadata_table(self, name: str, payload: bytes):
+        from . import flightsql_codec as fsql
+        from . import flightsql_metadata as meta
+
+        if name == "CommandGetCatalogs":
+            return meta.get_catalogs_table(self.engine)
+        if name == "CommandGetTableTypes":
+            return meta.get_table_types_table(self.engine)
+        if name == "CommandGetSqlInfo":
+            return meta.get_sql_info_table(
+                self.engine, fsql.parse_sql_info_ids(payload))
+        if name == "CommandGetDbSchemas":
+            return meta.get_db_schemas_table(
+                self.engine, **fsql.parse_get_db_schemas(payload))
+        return meta.get_tables_table(
+            self.engine, **fsql.parse_get_tables(payload))
+
     def do_get(self, context, ticket):
         from . import flightsql_codec as fsql
 
         raw = ticket.ticket
         env = fsql.any_unpack(raw)
+        if env is not None and env[0] in _METADATA_COMMANDS:
+            # metadata tickets carry the packed command itself; the
+            # answer is recomputed from the live catalog (engine state
+            # reads serialize like statement planning)
+            with self._lock:
+                table = self._metadata_table(*env)
+            return flight.RecordBatchStream(table)
         if env is not None and env[0] == "TicketStatementQuery":
             raw = fsql.bytes_field(env[1])
         ticket = flight.Ticket(raw)
@@ -334,6 +396,26 @@ def flight_prepared_query(port: int, sql: str, params: list,
         client.do_action(
             flight.Action("ClosePreparedStatement", handle), opts)
         return out
+    finally:
+        client.close()
+
+
+def flight_metadata(port: int, command: bytes,
+                    token: str | None = None) -> pa.Table:
+    """Client helper for the catalog-metadata commands: build the
+    Any-packed command with the `flightsql_codec` constructors
+    (command_get_tables / _catalogs / _db_schemas / _table_types /
+    _sql_info), GetFlightInfo -> DoGet — exactly the connect-time flow
+    of a stock ADBC/JDBC FlightSQL client."""
+    opts = None
+    if token:
+        opts = flight.FlightCallOptions(
+            headers=[(b"authorization", f"Bearer {token}".encode())])
+    client = flight.connect(f"grpc://127.0.0.1:{port}")
+    try:
+        desc = flight.FlightDescriptor.for_command(command)
+        info = client.get_flight_info(desc, opts)
+        return client.do_get(info.endpoints[0].ticket, opts).read_all()
     finally:
         client.close()
 

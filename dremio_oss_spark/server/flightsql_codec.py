@@ -22,6 +22,22 @@ format is hand-codable exactly:
                                               3: parameter_schema (bytes) }
     ActionClosePreparedStatementRequest   = { 1: handle (bytes) }
 
+Catalog-metadata commands (`DremioFlightProducer.java:567-584,814` —
+a stock ADBC/JDBC FlightSQL client issues these on CONNECT, before
+any statement runs):
+
+    CommandGetCatalogs                    = { }
+    CommandGetDbSchemas                   = { 1: catalog (string),
+                                              2: db_schema_filter_pattern }
+    CommandGetTables                      = { 1: catalog,
+                                              2: db_schema_filter_pattern,
+                                              3: table_name_filter_pattern,
+                                              4: table_types (repeated str),
+                                              5: include_schema (bool) }
+    CommandGetTableTypes                  = { }
+    CommandGetSqlInfo                     = { 1: info (repeated uint32,
+                                                 packed or unpacked) }
+
 Bytes produced here are REAL protocol bytes — a stock FlightSQL client
 (ADBC, the JDBC driver) interoperates; golden byte vectors are pinned
 in tests/test_flight.py so the codec is checked against the protobuf
@@ -135,6 +151,96 @@ def action_create_prepared_result(handle: bytes,
 def action_close_prepared_request(handle: bytes) -> bytes:
     return any_pack("ActionClosePreparedStatementRequest",
                     field_bytes(1, handle))
+
+
+def field_varint(num: int, value: int) -> bytes:
+    """One varint field (wire type 0) — bools and uint32s."""
+    return _varint(num << 3) + _varint(value)
+
+
+# -- catalog-metadata commands (DremioFlightProducer.java:567-584,814) ------
+
+def command_get_catalogs() -> bytes:
+    return any_pack("CommandGetCatalogs", b"")
+
+
+def command_get_table_types() -> bytes:
+    return any_pack("CommandGetTableTypes", b"")
+
+
+def command_get_db_schemas(catalog: str | None = None,
+                           db_schema_filter_pattern: str | None = None
+                           ) -> bytes:
+    msg = b""
+    if catalog is not None:
+        msg += field_bytes(1, catalog.encode())
+    if db_schema_filter_pattern is not None:
+        msg += field_bytes(2, db_schema_filter_pattern.encode())
+    return any_pack("CommandGetDbSchemas", msg)
+
+
+def command_get_tables(catalog: str | None = None,
+                       db_schema_filter_pattern: str | None = None,
+                       table_name_filter_pattern: str | None = None,
+                       table_types: tuple[str, ...] = (),
+                       include_schema: bool = False) -> bytes:
+    msg = b""
+    if catalog is not None:
+        msg += field_bytes(1, catalog.encode())
+    if db_schema_filter_pattern is not None:
+        msg += field_bytes(2, db_schema_filter_pattern.encode())
+    if table_name_filter_pattern is not None:
+        msg += field_bytes(3, table_name_filter_pattern.encode())
+    for t in table_types:
+        msg += field_bytes(4, t.encode())
+    if include_schema:
+        msg += field_varint(5, 1)
+    return any_pack("CommandGetTables", msg)
+
+
+def command_get_sql_info(*info: int) -> bytes:
+    # proto3 repeated uint32 is PACKED by default: one length-delimited
+    # field holding concatenated varints; no field at all when empty
+    # (= "send everything you have")
+    msg = (field_bytes(1, b"".join(_varint(i) for i in info))
+           if info else b"")
+    return any_pack("CommandGetSqlInfo", msg)
+
+
+def parse_get_db_schemas(payload: bytes) -> dict:
+    f = parse_fields(payload)
+    return {
+        "catalog": (f[1][0].decode() if 1 in f else None),
+        "db_schema_filter_pattern": (f[2][0].decode() if 2 in f else None),
+    }
+
+
+def parse_get_tables(payload: bytes) -> dict:
+    f = parse_fields(payload)
+    return {
+        "catalog": (f[1][0].decode() if 1 in f else None),
+        "db_schema_filter_pattern": (f[2][0].decode() if 2 in f else None),
+        "table_name_filter_pattern": (f[3][0].decode() if 3 in f else None),
+        "table_types": tuple(b.decode() for b in f.get(4, [])),
+        "include_schema": bool(f.get(5, [0])[0]),
+    }
+
+
+def parse_sql_info_ids(payload: bytes) -> tuple[int, ...]:
+    """Requested SqlInfo ids: packed (one bytes blob of varints — what
+    proto3 encoders emit) or unpacked (repeated varint fields) both
+    decode; no field means "all"."""
+    f = parse_fields(payload)
+    out: list[int] = []
+    for v in f.get(1, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            i = 0
+            while i < len(v):
+                n, i = _read_varint(v, i)
+                out.append(n)
+    return tuple(out)
 
 
 def str_field(payload: bytes, num: int = 1) -> str:

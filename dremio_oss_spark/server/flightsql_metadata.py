@@ -1,0 +1,249 @@
+"""FlightSQL catalog-metadata result builders.
+
+Reference: `services/arrow-flight/.../DremioFlightProducer.java:567-584,
+814` serves `CommandGetCatalogs` / `CommandGetDbSchemas` /
+`CommandGetTables` / `CommandGetTableTypes` / `CommandGetSqlInfo` — the
+commands a stock ADBC/JDBC FlightSQL client issues on CONNECT before any
+statement runs.  Result schemas are the protocol's fixed
+`FlightSqlProducer.Schemas.*` (public arrow-flight-sql); the reference's
+answers (`FlightWorkManager.java:716,869,1228`,
+`DremioFlightSqlInfoUtils.java:56`): catalogs stream ZERO rows and
+catalog_name is NULL everywhere (Dremio reports catalogs unsupported —
+`withSqlCatalogTerm("")`), db_schemas/tables come from the
+INFORMATION_SCHEMA namespace with JDBC LIKE-pattern filters, table
+types are the catalog-api TableType enum (information_schema.proto:127),
+and SqlInfo is a dense-union keyed by the public SqlInfo ids.
+
+Spark-first: everything answers from the engine's existing
+INFORMATION_SCHEMA frames (metadata-sized collects), never a data scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# fixed result schemas (FlightSqlProducer.Schemas — public protocol)
+GET_CATALOGS_SCHEMA = pa.schema(
+    [pa.field("catalog_name", pa.utf8(), nullable=False)])
+GET_DB_SCHEMAS_SCHEMA = pa.schema([
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8(), nullable=False),
+])
+GET_TABLE_TYPES_SCHEMA = pa.schema(
+    [pa.field("table_type", pa.utf8(), nullable=False)])
+_TABLES_FIELDS = [
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8()),
+    pa.field("table_name", pa.utf8(), nullable=False),
+    pa.field("table_type", pa.utf8(), nullable=False),
+]
+GET_TABLES_SCHEMA_NO_SCHEMA = pa.schema(_TABLES_FIELDS)
+GET_TABLES_SCHEMA = pa.schema(
+    _TABLES_FIELDS
+    + [pa.field("table_schema", pa.binary(), nullable=False)])
+
+# SqlInfo value: dense union, type ids 0..5 in protocol order
+_SQL_INFO_VALUE_TYPE = pa.dense_union(
+    [
+        pa.field("string_value", pa.utf8()),
+        pa.field("bool_value", pa.bool_()),
+        pa.field("bigint_value", pa.int64()),
+        pa.field("int32_bitmask", pa.int32()),
+        pa.field("string_list", pa.list_(pa.utf8())),
+        pa.field("int32_to_int32_list_map",
+                 pa.map_(pa.int32(), pa.list_(pa.int32()))),
+    ],
+    type_codes=[0, 1, 2, 3, 4, 5],
+)
+GET_SQL_INFO_SCHEMA = pa.schema([
+    pa.field("info_name", pa.uint32(), nullable=False),
+    pa.field("value", _SQL_INFO_VALUE_TYPE, nullable=False),
+])
+
+# the catalog-api TableType enum minus UNKNOWN (information_schema
+# .proto:127; FlightWorkManager.runGetTablesTypes filters UNKNOWN out)
+TABLE_TYPES = ("TABLE", "SYSTEM_TABLE", "VIEW")
+
+# public SqlInfo ids (FlightSql.proto) this server answers — the subset
+# the reference's SqlInfoBuilder fills that has engine-side meaning
+FLIGHT_SQL_SERVER_NAME = 0
+FLIGHT_SQL_SERVER_VERSION = 1
+FLIGHT_SQL_SERVER_ARROW_VERSION = 2
+FLIGHT_SQL_SERVER_READ_ONLY = 3
+SQL_DDL_CATALOG = 500
+SQL_DDL_SCHEMA = 501
+SQL_DDL_TABLE = 502
+SQL_IDENTIFIER_CASE = 503
+SQL_IDENTIFIER_QUOTE_CHAR = 504
+SQL_QUOTED_IDENTIFIER_CASE = 505
+SQL_ALL_TABLES_ARE_SELECTABLE = 506
+SQL_NULL_ORDERING = 507
+SQL_KEYWORDS = 508
+SQL_NUMERIC_FUNCTIONS = 509
+SQL_STRING_FUNCTIONS = 510
+SQL_SYSTEM_FUNCTIONS = 511
+SQL_DATETIME_FUNCTIONS = 512
+SQL_SEARCH_STRING_ESCAPE = 513
+
+
+def sql_info_values(engine) -> dict[int, object]:
+    """id -> python value; type drives the union branch (str -> 0,
+    bool -> 1, int -> 2, list[str] -> 4)."""
+    return {
+        FLIGHT_SQL_SERVER_NAME: "dremio-oss-spark",
+        FLIGHT_SQL_SERVER_VERSION: engine.spark.version,
+        FLIGHT_SQL_SERVER_ARROW_VERSION: pa.__version__,
+        FLIGHT_SQL_SERVER_READ_ONLY: False,
+        SQL_DDL_CATALOG: False,   # no catalog DDL (catalogs unsupported,
+        SQL_DDL_SCHEMA: False,    # same answers as the reference)
+        SQL_DDL_TABLE: True,
+        SQL_IDENTIFIER_CASE: 1,   # case-insensitive, stored as declared
+        SQL_IDENTIFIER_QUOTE_CHAR: '"',
+        SQL_QUOTED_IDENTIFIER_CASE: 1,
+        SQL_ALL_TABLES_ARE_SELECTABLE: True,
+        SQL_NULL_ORDERING: 2,     # nulls sorted at start (Spark default
+        #                           NULLS FIRST for ASC)
+        SQL_KEYWORDS: ["SELECT", "FROM", "WHERE", "GROUP", "ORDER",
+                       "BY", "HAVING", "JOIN", "UNION", "LIMIT"],
+        SQL_NUMERIC_FUNCTIONS: ["ABS", "CEILING", "FLOOR", "MOD",
+                                "POWER", "ROUND", "SQRT", "TRUNCATE"],
+        SQL_STRING_FUNCTIONS: ["CONCAT", "LENGTH", "LOWER", "LTRIM",
+                               "REPLACE", "RTRIM", "SUBSTRING",
+                               "TRIM", "UPPER"],
+        SQL_SYSTEM_FUNCTIONS: ["USER", "SESSION_USER", "CURRENT_USER"],
+        SQL_DATETIME_FUNCTIONS: ["CURRENT_DATE", "CURRENT_TIMESTAMP",
+                                 "DATE_ADD", "DATE_TRUNC", "EXTRACT",
+                                 "NOW"],
+        SQL_SEARCH_STRING_ESCAPE: "\\",
+    }
+
+
+def _like_re(pattern: str | None) -> re.Pattern | None:
+    """JDBC LIKE filter pattern (% any run, _ one char) -> regex."""
+    if pattern is None or pattern == "":
+        return None
+    return re.compile(
+        "^" + re.escape(pattern).replace("%", ".*").replace("_", ".")
+        + "$")
+
+
+def _catalog_rows(engine) -> list[tuple[str, str, str]]:
+    """(db_schema_name, table_name, table_type) over the engine's
+    INFORMATION_SCHEMA frame — one metadata-sized collect."""
+    out = []
+    for r in engine.information_schema_tables().collect():
+        schema = r["table_schema"] or ""
+        out.append((schema, r["table_name"], r["table_type"]))
+    return sorted(out)
+
+
+def get_catalogs_table(engine) -> pa.Table:
+    # the reference streams ZERO catalog rows (catalogs unsupported)
+    return GET_CATALOGS_SCHEMA.empty_table()
+
+
+def get_table_types_table(engine) -> pa.Table:
+    return pa.table({"table_type": list(TABLE_TYPES)},
+                    schema=GET_TABLE_TYPES_SCHEMA)
+
+
+def get_db_schemas_table(engine, catalog: str | None = None,
+                         db_schema_filter_pattern: str | None = None
+                         ) -> pa.Table:
+    pat = _like_re(db_schema_filter_pattern)
+    names = sorted({s for s, _, _ in _catalog_rows(engine)
+                    if pat is None or pat.match(s)})
+    return pa.table(
+        {"catalog_name": pa.array([None] * len(names), pa.utf8()),
+         "db_schema_name": pa.array(names, pa.utf8())},
+        schema=GET_DB_SCHEMAS_SCHEMA)
+
+
+def _table_ipc_schema(engine, schema_name: str, table_name: str) -> bytes:
+    """Serialized Arrow IPC schema of one table (the include_schema
+    payload a JDBC client renders as result-set metadata)."""
+    try:
+        name = (f"{schema_name}.{table_name}" if schema_name
+                else table_name)
+        df = engine.sql(f"select * from {name} limit 0")
+        return df.toArrow().schema.serialize().to_pybytes()
+    except Exception:  # noqa: BLE001 — dropped mid-listing / unresolvable
+        return pa.schema([]).serialize().to_pybytes()
+
+
+def get_tables_table(engine, catalog: str | None = None,
+                     db_schema_filter_pattern: str | None = None,
+                     table_name_filter_pattern: str | None = None,
+                     table_types: tuple[str, ...] = (),
+                     include_schema: bool = False) -> pa.Table:
+    spat = _like_re(db_schema_filter_pattern)
+    tpat = _like_re(table_name_filter_pattern)
+    rows = [
+        (s, t, ty) for s, t, ty in _catalog_rows(engine)
+        if (spat is None or spat.match(s))
+        and (tpat is None or tpat.match(t))
+        and (not table_types or ty in table_types)
+    ]
+    cols = {
+        "catalog_name": pa.array([None] * len(rows), pa.utf8()),
+        "db_schema_name": pa.array([s for s, _, _ in rows], pa.utf8()),
+        "table_name": pa.array([t for _, t, _ in rows], pa.utf8()),
+        "table_type": pa.array([ty for _, _, ty in rows], pa.utf8()),
+    }
+    if not include_schema:
+        return pa.table(cols, schema=GET_TABLES_SCHEMA_NO_SCHEMA)
+    cols["table_schema"] = pa.array(
+        [_table_ipc_schema(engine, s, t) for s, t, _ in rows],
+        pa.binary())
+    return pa.table(cols, schema=GET_TABLES_SCHEMA)
+
+
+def get_sql_info_table(engine, ids: tuple[int, ...] = ()) -> pa.Table:
+    """Dense-union SqlInfo rows; empty `ids` means everything served."""
+    vals = sql_info_values(engine)
+    keys = [i for i in (ids or sorted(vals)) if i in vals]
+    # dense-union children: one array per branch, offsets point into
+    # the branch that row's value landed in
+    strings: list[str] = []
+    bools: list[bool] = []
+    ints: list[int] = []
+    slists: list[list[str]] = []
+    type_ids: list[int] = []
+    offsets: list[int] = []
+    for k in keys:
+        v = vals[k]
+        if isinstance(v, bool):
+            type_ids.append(1)
+            offsets.append(len(bools))
+            bools.append(v)
+        elif isinstance(v, int):
+            type_ids.append(2)
+            offsets.append(len(ints))
+            ints.append(v)
+        elif isinstance(v, list):
+            type_ids.append(4)
+            offsets.append(len(slists))
+            slists.append(v)
+        else:
+            type_ids.append(0)
+            offsets.append(len(strings))
+            strings.append(str(v))
+    value = pa.UnionArray.from_dense(
+        pa.array(type_ids, pa.int8()),
+        pa.array(offsets, pa.int32()),
+        [
+            pa.array(strings, pa.utf8()),
+            pa.array(bools, pa.bool_()),
+            pa.array(ints, pa.int64()),
+            pa.array([], pa.int32()),
+            pa.array(slists, pa.list_(pa.utf8())),
+            pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+        ],
+        ["string_value", "bool_value", "bigint_value", "int32_bitmask",
+         "string_list", "int32_to_int32_list_map"],
+        [0, 1, 2, 3, 4, 5],
+    )
+    return pa.Table.from_arrays(
+        [pa.array(keys, pa.uint32()), value], schema=GET_SQL_INFO_SCHEMA)

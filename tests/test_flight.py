@@ -597,3 +597,127 @@ def test_flightsql_generic_fallback_still_serves(flight_setup):
     _eng, server = flight_setup
     t = flight_query(server.port, "select count(*) as n from nation")
     assert t.column("n")[0].as_py() == 25
+
+
+def test_flightsql_metadata_codec_golden_bytes():
+    """Golden wire bytes for the catalog-metadata commands
+    (FlightSql.proto; DremioFlightProducer.java:567-584,814) — the
+    codec is checked against the protobuf spec, not against itself."""
+    from dremio_oss_spark.server import flightsql_codec as fsql
+
+    # CommandGetCatalogs: empty message in the Any
+    url = (b"type.googleapis.com/arrow.flight.protocol.sql."
+           b"CommandGetCatalogs")
+    golden = b"\x0a" + bytes([len(url)]) + url + b"\x12\x00"
+    assert fsql.command_get_catalogs() == golden
+    # CommandGetTables with every field: strings are tag 0a/12/1a,
+    # repeated table_types tag 22, include_schema bool tag 28
+    inner = (b"\x0a\x03cat"          # 1: catalog "cat"
+             b"\x12\x02s%"           # 2: db_schema_filter_pattern "s%"
+             b"\x1a\x02t_"           # 3: table_name_filter_pattern "t_"
+             b"\x22\x05TABLE"        # 4: table_types "TABLE"
+             b"\x22\x04VIEW"         # 4: table_types "VIEW"
+             b"\x28\x01")            # 5: include_schema true
+    got = fsql.command_get_tables("cat", "s%", "t_", ("TABLE", "VIEW"),
+                                  include_schema=True)
+    name, payload = fsql.any_unpack(got)
+    assert name == "CommandGetTables" and payload == inner
+    req = fsql.parse_get_tables(payload)
+    assert req == {"catalog": "cat", "db_schema_filter_pattern": "s%",
+                   "table_name_filter_pattern": "t_",
+                   "table_types": ("TABLE", "VIEW"),
+                   "include_schema": True}
+    # CommandGetSqlInfo: packed repeated uint32 (1 -> field 1 wt 2)
+    name, payload = fsql.any_unpack(fsql.command_get_sql_info(0, 1, 504))
+    assert name == "CommandGetSqlInfo"
+    assert payload == b"\x0a\x04\x00\x01\xf8\x03"  # varints 0,1,504
+    assert fsql.parse_sql_info_ids(payload) == (0, 1, 504)
+    # unpacked form (what a proto2-style encoder emits) parses too
+    assert fsql.parse_sql_info_ids(b"\x08\x00\x08\xf8\x03") == (0, 504)
+    # empty = "send everything"
+    assert fsql.parse_sql_info_ids(b"") == ()
+    # CommandGetDbSchemas parse with missing optional fields
+    assert fsql.parse_get_db_schemas(b"") == {
+        "catalog": None, "db_schema_filter_pattern": None}
+
+
+def test_flightsql_get_tables_and_schemas_e2e(flight_setup):
+    """The connect-time burst of a stock ADBC/JDBC FlightSQL client:
+    GetTableTypes, GetCatalogs, GetDbSchemas, GetTables (with LIKE
+    filters and include_schema) all answer from the live engine
+    catalog over the wire."""
+    import pyarrow as pa
+
+    from dremio_oss_spark.server import flightsql_codec as fsql
+    from dremio_oss_spark.server.flight import flight_metadata
+
+    _eng, server = flight_setup
+    # table types: the catalog-api enum minus UNKNOWN
+    tt = flight_metadata(server.port, fsql.command_get_table_types())
+    assert tt.column("table_type").to_pylist() == [
+        "TABLE", "SYSTEM_TABLE", "VIEW"]
+    # catalogs: zero rows, exactly like the reference (unsupported)
+    cats = flight_metadata(server.port, fsql.command_get_catalogs())
+    assert cats.num_rows == 0
+    assert cats.schema.field("catalog_name").type == pa.utf8()
+    # db schemas: the session namespace, pattern-filterable
+    schemas = flight_metadata(server.port, fsql.command_get_db_schemas())
+    assert schemas.num_rows >= 1
+    assert schemas.column("catalog_name").null_count == schemas.num_rows
+    # tables: the registered testdata views are listed
+    tabs = flight_metadata(server.port, fsql.command_get_tables())
+    names = tabs.column("table_name").to_pylist()
+    for t in ("lineitem", "orders", "customer"):
+        assert t in names, names
+    # LIKE pattern narrows (l% matches lineitem) and types filter works
+    only_l = flight_metadata(
+        server.port,
+        fsql.command_get_tables(table_name_filter_pattern="line%"))
+    assert only_l.column("table_name").to_pylist() == ["lineitem"]
+    no_views = flight_metadata(
+        server.port, fsql.command_get_tables(table_types=("TABLE",)))
+    assert "VIEW" not in set(no_views.column("table_type").to_pylist())
+    # include_schema: the per-table IPC schema bytes decode to the
+    # actual Arrow schema of the table
+    with_schema = flight_metadata(
+        server.port,
+        fsql.command_get_tables(table_name_filter_pattern="nation",
+                                include_schema=True))
+    assert with_schema.num_rows == 1
+    blob = with_schema.column("table_schema").to_pylist()[0]
+    ipc_schema = pa.ipc.read_schema(pa.BufferReader(blob))
+    assert [f.name for f in ipc_schema] == [
+        "n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_flightsql_get_sql_info_e2e(flight_setup):
+    """GetSqlInfo serves the dense-union protocol schema; requested ids
+    filter, empty request returns everything served."""
+    import pyarrow as pa
+
+    from dremio_oss_spark.server import flightsql_codec as fsql
+    from dremio_oss_spark.server import flightsql_metadata as meta
+    from dremio_oss_spark.server.flight import flight_metadata
+
+    _eng, server = flight_setup
+    info = flight_metadata(
+        server.port,
+        fsql.command_get_sql_info(
+            meta.FLIGHT_SQL_SERVER_NAME,
+            meta.FLIGHT_SQL_SERVER_READ_ONLY,
+            meta.SQL_IDENTIFIER_QUOTE_CHAR,
+            meta.SQL_KEYWORDS))
+    assert info.column("info_name").to_pylist() == [
+        0, 3, 504, 508]
+    vals = info.column("value")
+    assert vals.type == meta._SQL_INFO_VALUE_TYPE
+    py = vals.to_pylist()
+    assert py[0] == "dremio-oss-spark"
+    assert py[1] is False
+    assert py[2] == '"'
+    assert py[3] == ["SELECT", "FROM", "WHERE", "GROUP", "ORDER",
+                     "BY", "HAVING", "JOIN", "UNION", "LIMIT"]
+    # empty request = every served id, sorted
+    allinfo = flight_metadata(server.port, fsql.command_get_sql_info())
+    ids = allinfo.column("info_name").to_pylist()
+    assert ids == sorted(ids) and len(ids) >= 15
