@@ -567,19 +567,32 @@ class Engine:
         store = getattr(self, "_refl_store", None)
         rows = []
         if store is not None:
+            def _status_of(r) -> str:
+                # EXPIRED (past grace, never served) > STALE (commit-
+                # driven) > DUE (past refresh period, still served) —
+                # the reference's materialization states from
+                # DependencyManager/RefreshDoneHandler
+                if r.invalid:
+                    return "INVALID"
+                if store.is_expired(r):
+                    return "EXPIRED"
+                if r.stale:
+                    return "STALE"
+                if store.is_due(r):
+                    return "DUE"
+                return "CAN_ACCELERATE"
+
             for r in store._reflections.values():
                 rows.append((
                     r.name, r.table, ",".join(r.dims),
                     ",".join(m.name for m in r.measures),
                     len(r.joins), str(r.watermark) if r.watermark else None,
-                    "INVALID" if r.invalid else
-                    "STALE" if r.stale else "CAN_ACCELERATE",
+                    _status_of(r),
                 ))
             for rr in store._raw.values():
                 rows.append((rr.name, rr.table,
                              ",".join(rr.cols), "", 0, None,
-                             "INVALID" if rr.invalid else
-                             "STALE" if rr.stale else "CAN_ACCELERATE"))
+                             _status_of(rr)))
             for ee in getattr(store, "_external", {}).values():
                 rows.append((ee.name, ee.table,
                              f"external:{ee.target}", "", 0, None,
@@ -1051,9 +1064,107 @@ class Engine:
             # shape-preserving rebuild (joins/layout/filters kept) —
             # the earlier re-create dropped the star edges
             self._refresh_stale_reflection(refl)
+            refl.stale = False
             refl.invalid = False  # a successful refresh ends quarantine
+            store._stamp(refl)
             return self._status("REFRESH REFLECTION", name)
+        # refresh POLICY: the reference's per-dataset
+        # AccelerationSettings (refreshPeriod/gracePeriod), consumed by
+        # DependencyManager to schedule refreshes and by the planner to
+        # EXPIRE materializations (RefreshDoneHandler computes the next
+        # refresh/expiry instants from the same two settings)
+        m = re.match(
+            r"\s*alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+set\s+"
+            r"acceleration\s+refresh\s+every\s+(\d+)\s*"
+            r"(second|minute|hour|day)s?"
+            r"(?:\s+expire\s+after\s+(\d+)\s*(second|minute|hour|day)s?"
+            r"|\s+(never\s+expire))?\s*$",
+            query, re.I)
+        if m:
+            t, n, unit, g, gunit, never = m.groups()
+            mult = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400}
+            refresh_s = int(n) * mult[unit.lower()]
+            grace_s = (int(g) * mult[gunit.lower()] if g else None)
+            self._default_refl_store().set_refresh_policy(
+                t, refresh_s, grace_s)
+            return self._status(
+                "SET ACCELERATION REFRESH",
+                f"{t}: refresh every {refresh_s}s"
+                + (f", expire after {grace_s}s" if grace_s is not None
+                   else ", never expire"))
+        # REFRESH REFLECTIONS [for one dataset] (alter.ftl:198
+        # SqlRefreshReflectionsForDataset; bare form = everything due):
+        # refreshes every DUE reflection in dependency order —
+        # reflections on base datasets before reflections on VDS that
+        # read them (DependencyManager's dependency-driven ordering), so
+        # a dependent's refresh query sees fresh upstream data
+        m = re.match(
+            r"\s*(?:alter\s+(?:table|vds|dataset)\s+([\w.]+)\s+)?"
+            r"refresh\s+reflections\s*$", query, re.I)
+        if m:
+            names = self.refresh_due_reflections(m.group(1))
+            return self._status(
+                "REFRESH REFLECTIONS",
+                ",".join(names) if names else "(none due)")
         return None
+
+    def refresh_due_reflections(self, dataset: str | None = None
+                                ) -> list[str]:
+        """Refresh every reflection that is DUE (commit-stale, invalid,
+        or older than its dataset's refresh period) in dependency
+        order; returns the refreshed names in execution order."""
+        store = self._default_refl_store()
+        due = [r for r in (list(store._reflections.values())
+                           + list(store._raw.values()))
+               if (dataset is None or r.table == dataset)
+               and (store.is_due(r) or r.invalid)]
+        ordered = self._refl_dependency_order(due)
+        for r in ordered:
+            self._refresh_stale_reflection(r)
+            r.stale = False
+            r.invalid = False
+            store._stamp(r)
+        return [r.name for r in ordered]
+
+    def _vds_sql_of(self, dataset: str) -> str | None:
+        """The defining SQL when `dataset` names a VDS (flat or dotted
+        form), else None."""
+        for space, sp in getattr(self, "spaces", {}).items():
+            for vname, sql in sp.vds.items():
+                if dataset in (self._flat(space, vname),
+                               f"{space}.{vname}"):
+                    return sql
+        return None
+
+    def _refl_dependency_order(self, refls: list) -> list:
+        """Kahn topo-sort: reflection A depends on reflection B when
+        A's dataset is a VDS whose SQL references B's dataset — B
+        refreshes first so A's refresh reads fresh data (the
+        reference's DependencyManager refresh ordering).  Stable by
+        name within a rank; cycles (self-referential VDS chains) fall
+        back to name order for the remainder rather than dropping."""
+        deps: dict[str, set] = {}
+        for r in refls:
+            sql = self._vds_sql_of(r.table)
+            deps[r.name] = set()
+            if sql:
+                for r2 in refls:
+                    if r2.name != r.name and re.search(
+                            rf"\b{re.escape(r2.table)}\b", sql):
+                        deps[r.name].add(r2.name)
+        by_name = {r.name: r for r in refls}
+        out, done = [], set()
+        pending = sorted(deps)
+        while pending:
+            ready = [n for n in pending if deps[n] <= done]
+            if not ready:  # cycle: deterministic fallback
+                ready = pending
+            for n in ready:
+                out.append(by_name[n])
+                done.add(n)
+            pending = [n for n in pending if n not in done]
+        return out
 
     # -- tabular SQL UDFs (CREATE FUNCTION ... RETURNS TABLE) ----------------
     def create_tabular_udf(self, name: str, params: list[str], sql: str) -> None:

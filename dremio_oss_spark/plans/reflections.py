@@ -298,6 +298,12 @@ class Reflection:
     # ...): an invalid reflection never matches, so queries plan
     # normally and surface the real error instead of stale data
     invalid: bool = False
+    # epoch ms of the last successful materialization build — drives the
+    # dataset-level refresh/grace policy (the reference's
+    # AccelerationSettings refreshPeriod/gracePeriod consumed by
+    # DependencyManager: due when older than the refresh period, never
+    # served once older than the grace period)
+    last_refresh_ms: int = 0
     # bare column name -> owning table across the reflection's star
     # (None value = the name exists in 2+ star tables, i.e. ambiguous).
     # Plan-tree substitution matches QUALIFIED columns against this map:
@@ -428,6 +434,7 @@ class RawReflection:
     stale: bool = False
     invalid: bool = False  # quarantined after a failed refresh
     generation: int = 0    # see Reflection.generation
+    last_refresh_ms: int = 0  # see Reflection.last_refresh_ms
 
 
 class ReflectionStore:
@@ -445,10 +452,57 @@ class ReflectionStore:
         # never outlives the materialization generation it scans — the
         # reference's PlanCacheSynchronizer contract
         self.mutations = 0
+        # dataset -> {"refresh_s": n|None, "grace_s": m|None} — the
+        # reference's per-dataset AccelerationSettings
+        # (refreshPeriod/gracePeriod; DependencyManager consumes them
+        # to schedule refreshes and expire materializations)
+        self.refresh_policies: dict[str, dict] = {}
 
     # -- DDL ---------------------------------------------------------------
     def _bump(self) -> None:
         self.mutations += 1  # plan-cache sync (PlanCacheSynchronizer)
+
+    # -- refresh policy (AccelerationSettings / DependencyManager) ----------
+    @staticmethod
+    def _now_ms() -> int:
+        import time
+
+        return int(time.time() * 1000)
+
+    def _stamp(self, refl) -> None:
+        refl.last_refresh_ms = self._now_ms()
+
+    def set_refresh_policy(self, dataset: str,
+                           refresh_s: float | None,
+                           grace_s: float | None) -> None:
+        """ALTER DATASET ... SET ACCELERATION REFRESH EVERY n [EXPIRE
+        AFTER m]: dataset-level policy applied to every reflection on
+        that dataset (reference AccelerationSettings)."""
+        self.refresh_policies[dataset] = {"refresh_s": refresh_s,
+                                          "grace_s": grace_s}
+        self._bump()  # policy flips change what substitutes
+
+    def is_due(self, refl) -> bool:
+        """Needs a refresh: commit-driven staleness OR older than the
+        dataset's refresh period (DependencyManager.shouldRefresh)."""
+        if getattr(refl, "stale", False):
+            return True
+        pol = self.refresh_policies.get(refl.table)
+        if not pol or pol["refresh_s"] is None:
+            return False
+        return (self._now_ms() - refl.last_refresh_ms
+                > pol["refresh_s"] * 1000)
+
+    def is_expired(self, refl) -> bool:
+        """Past the grace period: the materialization must never be
+        served again until refreshed (the reference expires
+        materializations after gracePeriod — an expired reflection
+        plans from base, never from stale data)."""
+        pol = self.refresh_policies.get(refl.table)
+        if not pol or pol["grace_s"] is None:
+            return False
+        return (self._now_ms() - refl.last_refresh_ms
+                > pol["grace_s"] * 1000)
 
     def create_aggregation_reflection(
         self,
@@ -545,6 +599,7 @@ class ReflectionStore:
         refl = RawReflection(name, table, tuple(display_cols), path,
                              sort_col=sort_col,
                              watermark_col=watermark_col)
+        self._stamp(refl)
         self._raw[name] = refl
         return refl
 
@@ -604,7 +659,8 @@ class ReflectionStore:
         """Column-level substitution: if a raw reflection covers `cols`,
         scan the narrow materialization instead of the base table."""
         for refl in self._raw.values():
-            if (not refl.invalid and refl.table == table
+            if (not refl.invalid and not self.is_expired(refl)
+                    and refl.table == table
                     and set(cols) <= set(refl.cols)):
                 mat = self._read_data(self._data_dir(refl))
                 return mat.select(*cols), True
@@ -782,6 +838,7 @@ class ReflectionStore:
     def _full_refresh(self, refl: Reflection, source: DataFrame) -> None:
         agg = self._aggregate(source, refl)
         self._publish_data(refl, lambda p: self._write_data(refl, agg, p))
+        self._stamp(refl)
         if refl.watermark_col:
             wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
             refl.watermark = wm
@@ -813,6 +870,7 @@ class ReflectionStore:
         wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
         refl.watermark = wm
         self._write_meta(refl)
+        self._stamp(refl)
         return n_new
 
     def cdf_incremental_refresh(self, refl_name: str,
@@ -895,6 +953,7 @@ class ReflectionStore:
         if n_changes == 0:
             refl.base_version = head
             self._write_meta(refl)
+            self._stamp(refl)  # verified current against the head
             return 0
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
@@ -924,6 +983,7 @@ class ReflectionStore:
             refl, lambda p: self._write_data(refl, merged, p))
         refl.base_version = head
         self._write_meta(refl)
+        self._stamp(refl)
         return n_changes
 
     def snapshot_incremental_refresh(self, refl_name: str,
@@ -1012,7 +1072,8 @@ class ReflectionStore:
             return (len(r.dims), size)
 
         covering = [r for r in self._reflections.values()
-                    if r.covers(q) and (accept is None or accept(r))]
+                    if r.covers(q) and not self.is_expired(r)
+                    and (accept is None or accept(r))]
         return min(covering, key=cost) if covering else None
 
     def scan_materialization(self, refl: Reflection,

@@ -2097,6 +2097,7 @@ def match_and_execute_raw(store, ex: ExtractedScan, accept=None):
     need = ex.needed_cols
     for refl in store._raw.values():
         if (not getattr(refl, "invalid", False)
+                and not store.is_expired(refl)
                 and refl.table == ex.table and need <= set(refl.cols)
                 and (accept is None or accept(refl))):
             mat = store._read_data(store._data_dir(refl))

@@ -1381,6 +1381,97 @@ order by o_orderstatus
 """
 
 
+def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """Refresh/grace/expiry policy loop, value-checked end-to-end
+    (reference AccelerationSettings refreshPeriod/gracePeriod;
+    `DependencyManager.java` schedules refreshes, `RefreshDoneHandler`
+    computes the next refresh/expiry instants): a DUE-but-within-grace
+    reflection still serves its LAST build (asserted: the pre-append
+    aggregate), an EXPIRED one refuses and the query plans fresh from
+    base, and REFRESH REFLECTIONS brings the materialization current so
+    it serves again.  The returned frame is the post-refresh accelerated
+    answer — the oracle recomputes it over the full base table."""
+    from pyspark.sql import functions as F
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    d = _scratch_dir("refreshpol", sf)
+    orders = load(spark, sf, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    base.write.mode("overwrite").parquet(d)
+    spark.read.parquet(d).createOrReplaceTempView("rp_ord")
+    eng.sql("ALTER TABLE rp_ord CREATE AGGREGATE REFLECTION rp_refl "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    eng.sql("ALTER DATASET rp_ord SET ACCELERATION "
+            "REFRESH EVERY 1 SECOND EXPIRE AFTER 600 SECONDS")
+    # base-table commit the policy clock has not seen: append the
+    # held-out third and swap the view
+    orders.where("o_orderkey % 3 = 0").write.mode("append").parquet(d)
+    spark.read.parquet(d).createOrReplaceTempView("rp_ord")
+    store = eng._refl_store
+    refl = store._reflections["rp_refl"]
+
+    def counts(df) -> dict:
+        return {r[0]: r[1] for r in df.select(
+            "o_orderstatus", "c").collect()}
+
+    base_counts = {r[0]: r[1] for r in
+                   base.groupBy("o_orderstatus").count().collect()}
+    full_counts = {r[0]: r[1] for r in
+                   orders.groupBy("o_orderstatus").count().collect()}
+    # DUE (past refresh period, within grace): still serves the OLD
+    # materialization
+    refl.last_refresh_ms = store._now_ms() - 30_000
+    q_a = eng.sql("select o_orderstatus, sum(o_totalprice) as s_a, "
+                  "count(o_totalprice) as c from rp_ord "
+                  "group by o_orderstatus")
+    assert eng.last_plan_accelerated == "rp_refl", \
+        "within-grace reflection must still substitute"
+    assert counts(q_a) == base_counts, \
+        "within-grace serves the LAST build, not fresh data"
+    # EXPIRED (past grace): refuses — the query plans from base and
+    # sees the appended rows without any refresh
+    refl.last_refresh_ms = store._now_ms() - 10**9
+    q_b = eng.sql("select o_orderstatus, sum(o_totalprice) as s_b, "
+                  "count(o_totalprice) as c from rp_ord "
+                  "group by o_orderstatus")
+    assert eng.last_plan_accelerated is None, \
+        "expired reflection must never serve"
+    assert counts(q_b) == full_counts
+    # REFRESH REFLECTIONS refreshes the due list; the reflection serves
+    # again, now current
+    out = eng.sql("REFRESH REFLECTIONS").first()
+    assert "rp_refl" in out[1], out
+    q_c = eng.sql("select o_orderstatus, sum(o_totalprice) as s, "
+                  "count(o_totalprice) as c from rp_ord "
+                  "group by o_orderstatus")
+    assert eng.last_plan_accelerated == "rp_refl", \
+        "refreshed reflection must substitute again"
+    # collect BEFORE dropping: drop() deletes the materialization files
+    # the lazy q_c scans
+    rows = sorted((r[0], float(r[1]), r[2])
+                  for r in q_c.withColumn("s", F.col("s").cast("double"))
+                  .collect())
+    store.refresh_policies.pop("rp_ord", None)
+    store.drop("rp_refl")
+    spark.catalog.dropTempView("rp_ord")
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, s double, c bigint") \
+        .orderBy("o_orderstatus")
+
+
+REFRESH_POLICY_SQL = """
+select o_orderstatus,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as s,
+       count(o_totalprice) as c
+from orders
+group by o_orderstatus
+order by o_orderstatus
+"""
+
+
 def _scratch_dir(name: str, sf: str) -> str:
     import shutil
 
@@ -1419,6 +1510,7 @@ REFLECTION_QUERIES = {
     "refl_incremental_refresh": incremental,
     "refl_join_rollup": join_rollup,
     "refl_filter_subsumption": filter_subsumption,
+    "refl_refresh_policy": refresh_policy,
 }
 
 REFLECTION_ORACLE = {
@@ -1449,4 +1541,5 @@ REFLECTION_ORACLE = {
     "refl_incremental_refresh": INCREMENTAL_SQL,
     "refl_join_rollup": JOIN_ROLLUP_SQL,
     "refl_filter_subsumption": FILTER_SUBSUMPTION_SQL,
+    "refl_refresh_policy": REFRESH_POLICY_SQL,
 }

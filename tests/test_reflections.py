@@ -2978,3 +2978,95 @@ def test_load_and_compact_materialization_sql(spark):
     assert got.count() == n_before
     eng._refl_store.drop("lcm")
     spark.catalog.dropTempView("lcm_orders")
+
+
+def test_refresh_policy_grace_and_expiry(spark):
+    """Dataset-level refresh/grace policy (the reference's
+    AccelerationSettings refreshPeriod/gracePeriod consumed by
+    DependencyManager/RefreshDoneHandler): past the refresh period the
+    reflection is DUE but still substitutes; past the grace period it
+    is EXPIRED and never serves until refreshed."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("ord_pol")
+    eng.sql("ALTER TABLE ord_pol CREATE AGGREGATE REFLECTION pol_r "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    eng.sql("ALTER DATASET ord_pol SET ACCELERATION "
+            "REFRESH EVERY 1 SECOND EXPIRE AFTER 60 SECONDS")
+    store = eng._refl_store
+    refl = store._reflections["pol_r"]
+
+    def probe(alias):  # fresh text per probe (plan cache keys on text)
+        eng.sql(f"select o_orderstatus, sum(o_totalprice) as {alias} "
+                "from ord_pol group by o_orderstatus")
+        return eng.last_plan_accelerated
+
+    def status():
+        return eng.sql("select status from sys.reflections "
+                       "where reflection_name = 'pol_r'").first()[0]
+
+    # fresh: substitutes
+    assert probe("s1") == "pol_r" and status() == "CAN_ACCELERATE"
+    # past refresh period, within grace: DUE, still substitutes
+    refl.last_refresh_ms = store._now_ms() - 5_000
+    assert probe("s2") == "pol_r" and status() == "DUE"
+    # past grace: EXPIRED, refuses — plans from base
+    refl.last_refresh_ms = store._now_ms() - 120_000
+    assert probe("s3") is None and status() == "EXPIRED"
+    # REFRESH REFLECTIONS brings it current and it serves again
+    out = eng.sql("REFRESH REFLECTIONS").collect()
+    assert "pol_r" in out[0][1]
+    assert probe("s4") == "pol_r" and status() == "CAN_ACCELERATE"
+    # no-expiry policy: even ancient materializations keep serving
+    eng.sql("ALTER DATASET ord_pol SET ACCELERATION "
+            "REFRESH EVERY 1 SECOND NEVER EXPIRE")
+    refl.last_refresh_ms = store._now_ms() - 100_000_000
+    assert probe("s5") == "pol_r" and status() == "DUE"
+    eng._refl_store.drop("pol_r")
+    spark.catalog.dropTempView("ord_pol")
+
+
+def test_refresh_reflections_dependency_order(spark):
+    """REFRESH REFLECTIONS refreshes in dependency order: a reflection
+    on a VDS refreshes AFTER the reflection on the base dataset its SQL
+    reads (DependencyManager's dependency-driven ordering)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("dep_base")
+    eng.create_vds("dsp", "v1",
+                   "select o_orderstatus, o_totalprice from dep_base")
+    eng.sql("ALTER TABLE dsp__v1 CREATE AGGREGATE REFLECTION zz_on_vds "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    eng.sql("ALTER TABLE dep_base CREATE AGGREGATE REFLECTION aa_on_base "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM, COUNT))")
+    store = eng._refl_store
+    store._reflections["zz_on_vds"].stale = True
+    store._reflections["aa_on_base"].stale = True
+    names = eng.refresh_due_reflections()
+    # zz sorts before aa alphabetically is false (aa < zz) — flip the
+    # names so ALPHABETICAL order alone would run the VDS one first,
+    # proving the dependency edge (not name order) drove the result
+    names2_first = names.index("aa_on_base") < names.index("zz_on_vds")
+    assert names2_first, names
+    # and with adversarial naming: base named zz, vds named aa
+    eng.sql("ALTER TABLE dep_base CREATE AGGREGATE REFLECTION "
+            "zz_base2 USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (MIN))")
+    eng.sql("ALTER TABLE dsp__v1 CREATE AGGREGATE REFLECTION aa_vds2 "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (MAX))")
+    for n in ("zz_base2", "aa_vds2"):
+        store._reflections[n].stale = True
+    names = eng.refresh_due_reflections()
+    assert names.index("zz_base2") < names.index("aa_vds2"), names
+    for n in ("zz_on_vds", "aa_on_base", "zz_base2", "aa_vds2"):
+        store.drop(n)
+    eng.drop_vds("dsp", "v1")
+    spark.catalog.dropTempView("dep_base")
