@@ -894,7 +894,33 @@ class Engine:
             query, re.I | re.S)
         if m:
             t, name, dim_s, meas_s, join_s, part_s, sort_s = m.groups()
-            dims = [d.strip() for d in dim_s.split(",") if d.strip()]
+            # dimension granularity (grammar alter.ftl:441-472
+            # IdentifierWithGranularity): `ts BY DAY` materializes
+            # cast(ts as date); with
+            # spark.dremio.reflections.defaultDateGranularity=true,
+            # plain TIMESTAMP dims default to DAY exactly like the
+            # reference (ReflectionExpander.java:194-210 defaults
+            # missing granularity to DATE) — off by default here so
+            # raw-grain timestamp dims keep full fidelity
+            dims, granularity = [], {}
+            for d in dim_s.split(","):
+                d = d.strip()
+                if not d:
+                    continue
+                gm = re.fullmatch(r"(\w+)\s+by\s+day", d, re.I)
+                if gm:
+                    dims.append(gm.group(1))
+                    granularity[gm.group(1)] = "day"
+                else:
+                    dims.append(d)
+            if (self.spark.conf.get(
+                    "spark.dremio.reflections.defaultDateGranularity",
+                    "false").lower() == "true"):
+                dtypes = dict(self._resolve_table(t).dtypes)
+                for d in dims:
+                    if (d not in granularity
+                            and dtypes.get(d, "").startswith("timestamp")):
+                        granularity[d] = "day"
             # star edges FIRST: expression measures may reference dim
             # columns, so their canonical probe must see the whole star
             joins = None
@@ -971,7 +997,8 @@ class Engine:
                 partition_by=[c.strip() for c in part_s.split(",")
                               if c.strip()] if part_s else None,
                 sort_by=[c.strip() for c in sort_s.split(",")
-                         if c.strip()] if sort_s else None)
+                         if c.strip()] if sort_s else None,
+                granularity=granularity or None)
             # path-anchored: record the built-at version so commit-driven
             # refreshes can fold only the CHANGE FEED since this point
             p = getattr(self, "_refl_view_paths", {}).get(t)

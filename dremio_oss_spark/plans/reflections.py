@@ -136,6 +136,24 @@ class JoinSpec:
     join_type: str = "inner"
 
 
+# temporal grain ordering for dimension granularity (alter.ftl:441-472
+# IdentifierWithGranularity / ReflectionExpander.java:194-210): a BY DAY
+# dimension stores cast(ts as date), so only day-or-coarser expressions
+# over it can substitute.  Ranks cover date_trunc/trunc format aliases.
+_GRAIN_RANK = {
+    "raw": 0, "second": 1, "minute": 2, "hour": 3,
+    "day": 4, "dd": 4, "week": 5,
+    "month": 6, "mon": 6, "mm": 6, "quarter": 7,
+    "year": 8, "yy": 8, "yyyy": 8,
+}
+
+
+def grain_at_least(need: str, have: str) -> bool:
+    """True when a query needing `need` grain can answer from a
+    materialization stored at `have` grain (coarser-or-equal)."""
+    return _GRAIN_RANK.get(need, 0) >= _GRAIN_RANK.get(have, 0)
+
+
 @dataclass(frozen=True)
 class AggQuery:
     """Declarative aggregate query: the IR substitution matches on."""
@@ -145,6 +163,12 @@ class AggQuery:
     measures: tuple[Measure, ...]
     filters: tuple[str, ...] = ()  # SQL predicates over dims only
     joins: tuple[JoinSpec, ...] = ()  # star edges off the fact table
+    # finest TEMPORAL grain the query needs per dim column, as sorted
+    # (col, grain) pairs — "raw" when the column itself is grouped,
+    # "day"/"month"/... when only f(col) at that grain appears.  Callers
+    # that don't analyze grain (the regex fragment) leave it empty,
+    # which covers() reads as raw — sound against BY DAY reflections.
+    dim_grain: tuple = ()
 
 
 # -- filter subsumption (partial reflections) ------------------------------
@@ -312,10 +336,35 @@ class Reflection:
     # aggregates the wrong column.  dict-None (legacy/API reflections)
     # keeps the caller-responsible bare-name behavior.
     col_owner: dict | None = None
+    # dim column -> temporal granularity ("day"): the materialization
+    # stores cast(col as date) under the same name (BY DAY sugar,
+    # grammar alter.ftl:441-472; the reference defaults TIMESTAMP dims
+    # to DATE, ReflectionExpander.java:194-210).  Queries needing finer
+    # grain on that column refuse in covers().
+    granularity: dict | None = None
 
     def covers(self, q: AggQuery) -> bool:
         if self.invalid or q.table != self.table:
             return False
+        # dimension granularity: a BY DAY dim lost sub-day values, so
+        # any finer-grain use of it refuses — raw grouping, measures
+        # over it, or any filter mentioning it (filter literals may
+        # carry sub-day precision)
+        if self.granularity:
+            grain_map = dict(q.dim_grain)
+            for col, stored in self.granularity.items():
+                if any(re.search(rf"\b{re.escape(col)}\b", f)
+                       for f in q.filters):
+                    return False
+                if any(m.col == col
+                       or (m.is_expr
+                           and re.search(rf"\b{re.escape(col)}\b",
+                                         m.col))
+                       for m in q.measures):
+                    return False
+                if col in q.dims and not grain_at_least(
+                        grain_map.get(col, "raw"), stored):
+                    return False
         # partial reflection: every materialization predicate must be
         # implied by some query predicate, else the reflection is missing
         # rows the query needs
@@ -517,6 +566,7 @@ class ReflectionStore:
         filters: list[str] | None = None,
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        granularity: dict | None = None,
     ) -> Reflection:
         """ALTER TABLE ... CREATE AGGREGATION REFLECTION equivalent.
 
@@ -546,6 +596,7 @@ class ReflectionStore:
             partition_by=tuple(partition_by or ()),
             sort_by=tuple(sort_by or ()),
             col_owner=owner,
+            granularity=dict(granularity) if granularity else None,
         )
         src = self._join_star(source, refl.joins, dim_sources)
         for f in refl.filters:
@@ -785,6 +836,14 @@ class ReflectionStore:
         return df
 
     # -- refresh -----------------------------------------------------------
+    def _group_keys(self, refl: Reflection) -> list:
+        """Group-by keys over BASE-grain rows: a BY DAY dim stores
+        cast(col as date) under the SAME column name
+        (ReflectionExpander.java:194-210 makeCast to DATE)."""
+        g = getattr(refl, "granularity", None) or {}
+        return [F.col(d).cast("date").alias(d) if g.get(d) == "day"
+                else F.col(d) for d in refl.dims]
+
     def _aggregate(self, df: DataFrame, refl: Reflection) -> DataFrame:
         aggs = []
         dtypes = dict(df.dtypes)
@@ -810,7 +869,7 @@ class ReflectionStore:
                 if m.kind == "sum":
                     col = col.cast("decimal(28,4)")
                 aggs.append(getattr(F, m.kind)(col).alias(m.name))
-        return df.groupBy(*refl.dims).agg(*aggs)
+        return df.groupBy(*self._group_keys(refl)).agg(*aggs)
 
     def _write_data(self, refl: Reflection, df: DataFrame,
                     path: str) -> None:
@@ -973,7 +1032,7 @@ class ReflectionStore:
                 aggs.append(
                     F.sum(m.column.cast("decimal(28,4)") * sign)
                     .alias(m.name))
-        delta = ch.groupBy(*refl.dims).agg(*aggs)
+        delta = ch.groupBy(*self._group_keys(refl)).agg(*aggs)
         existing = self._read_data(self._data_dir(refl))
         merged = (existing.unionByName(delta).groupBy(*refl.dims).agg(
             *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)

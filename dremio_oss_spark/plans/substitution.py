@@ -1676,6 +1676,29 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
             frontier.append(other)
     if seen != set(ex.tables):
         return None
+    # finest grain the query needs per dim column: raw for direct
+    # grouping / distinct-agg / conditional-agg use, the temporal fn's
+    # grain otherwise — covers() checks this against BY DAY dims
+    from .reflections import _GRAIN_RANK
+
+    grain: dict[str, str] = {}
+
+    def _need(col: str, g: str) -> None:
+        cur = grain.get(col)
+        if cur is None or _GRAIN_RANK.get(g, 0) < _GRAIN_RANK.get(cur, 0):
+            grain[col] = g
+
+    for k in ex.dims:
+        if k[0] in ("year", "month", "quarter"):
+            _need(_dim_base(k), k[0])
+        elif k[0] in ("trunc", "dtrunc"):
+            _need(_dim_base(k), str(k[1]).lower())
+        else:  # the column itself, or a non-temporal fn of it
+            _need(_dim_base(k), "raw")
+    for c in ex.cdistinct_base_cols:
+        _need(c, "raw")
+    for c in ex.condagg_cols:
+        _need(c, "raw")
     return AggQuery(
         table=fact,
         # expression dims match on their BASE column (the reflection
@@ -1687,7 +1710,8 @@ def to_agg_query(ex: ExtractedAgg, fact: str) -> AggQuery | None:
             list(ex.base_dims) + list(ex.cdistinct_base_cols)
             + list(ex.condagg_cols))),
         measures=ex.measures,
-        filters=ex.filters, joins=tuple(specs))
+        filters=ex.filters, joins=tuple(specs),
+        dim_grain=tuple(sorted(grain.items())))
 
 
 def _owner_ok(refl, ex: ExtractedAgg) -> bool:

@@ -1381,6 +1381,55 @@ order by o_orderstatus
 """
 
 
+def dim_granularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Dimension granularity `BY DAY` (grammar alter.ftl:441-472
+    IdentifierWithGranularity; ReflectionExpander.java:194-210 casts the
+    materialized dim to DATE): a day-grouped query answers from the
+    DATE-grain materialization; finer-grain uses refuse — hour grouping,
+    raw-timestamp grouping, and sub-day filters all fall through."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    load(spark, sf, "events").createOrReplaceTempView("ev_gran")
+    eng.sql("ALTER TABLE ev_gran CREATE AGGREGATE REFLECTION t_gran "
+            "USING DIMENSIONS (event_type, ts BY DAY) "
+            "MEASURES (value (SUM))")
+    df = eng.sql(
+        "select event_type, date_trunc('day', ts) as d, "
+        "cast(sum(value) as double) as s, count(*) as n "
+        "from ev_gran group by event_type, date_trunc('day', ts) "
+        "order by event_type, d")
+    assert eng.last_plan_accelerated == "t_gran", \
+        "day-grouped query must answer from the BY DAY materialization"
+    # control 1: hour grouping needs sub-day values the DATE cast lost
+    eng.sql("select event_type, date_trunc('hour', ts) as h, "
+            "count(*) as n from ev_gran "
+            "group by event_type, date_trunc('hour', ts)")
+    assert eng.last_plan_accelerated is None, \
+        "hour-grouped query must NOT match a BY DAY reflection"
+    # control 2: raw-timestamp grouping refuses
+    eng.sql("select ts, count(*) as n from ev_gran group by ts")
+    assert eng.last_plan_accelerated is None, \
+        "raw-ts grouping must NOT match a BY DAY reflection"
+    # control 3: a filter on the granular column may carry sub-day
+    # precision — refuse
+    eng.sql("select event_type, count(*) as n from ev_gran "
+            "where ts >= '2024-01-01 06:30:00' group by event_type")
+    assert eng.last_plan_accelerated is None, \
+        "sub-day filter must NOT match a BY DAY reflection"
+    return df
+
+
+DIM_GRANULARITY_SQL = """
+select event_type, date_trunc('day', ts) as d,
+       cast(sum(cast(value as decimal(28,4))) as double) as s,
+       count(*) as n
+from events
+group by event_type, date_trunc('day', ts)
+order by event_type, d
+"""
+
+
 def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
     """Refresh/grace/expiry policy loop, value-checked end-to-end
     (reference AccelerationSettings refreshPeriod/gracePeriod;
@@ -1511,6 +1560,7 @@ REFLECTION_QUERIES = {
     "refl_join_rollup": join_rollup,
     "refl_filter_subsumption": filter_subsumption,
     "refl_refresh_policy": refresh_policy,
+    "refl_dim_granularity": dim_granularity,
 }
 
 REFLECTION_ORACLE = {
@@ -1542,4 +1592,5 @@ REFLECTION_ORACLE = {
     "refl_join_rollup": JOIN_ROLLUP_SQL,
     "refl_filter_subsumption": FILTER_SUBSUMPTION_SQL,
     "refl_refresh_policy": REFRESH_POLICY_SQL,
+    "refl_dim_granularity": DIM_GRANULARITY_SQL,
 }

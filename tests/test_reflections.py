@@ -3070,3 +3070,48 @@ def test_refresh_reflections_dependency_order(spark):
         store.drop(n)
     eng.drop_vds("dsp", "v1")
     spark.catalog.dropTempView("dep_base")
+
+
+def test_dim_granularity_by_day(spark):
+    """BY DAY dims store cast(ts as date) under the same name
+    (ReflectionExpander.java:194-210): the materialization's dim column
+    is DATE-typed and rolls up to day cells; the conf-gated reference
+    default (spark.dremio.reflections.defaultDateGranularity=true)
+    applies DAY to plain TIMESTAMP dims exactly like the reference's
+    default-DATE behavior."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "events").createOrReplaceTempView("ev_g")
+    eng.sql("ALTER TABLE ev_g CREATE AGGREGATE REFLECTION g1 "
+            "USING DIMENSIONS (event_type, ts BY DAY) "
+            "MEASURES (value (SUM))")
+    store = eng._refl_store
+    refl = store._reflections["g1"]
+    assert refl.granularity == {"ts": "day"}
+    mat = spark.read.parquet(store._data_dir(refl))
+    assert dict(mat.dtypes)["ts"] == "date"
+    # day cells, not raw-ts cells: strictly fewer rows than raw grain
+    raw_groups = spark.table("ev_g").select("event_type", "ts") \
+        .distinct().count()
+    assert mat.count() < raw_groups
+    # the reference default: plain TIMESTAMP dims default to DAY when
+    # the conf is on; non-temporal dims never do
+    spark.conf.set("spark.dremio.reflections.defaultDateGranularity",
+                   "true")
+    try:
+        eng.sql("ALTER TABLE ev_g CREATE AGGREGATE REFLECTION g2 "
+                "USING DIMENSIONS (event_type, ts) "
+                "MEASURES (value (SUM))")
+        assert store._reflections["g2"].granularity == {"ts": "day"}
+    finally:
+        spark.conf.unset("spark.dremio.reflections.defaultDateGranularity")
+    # off (default): plain ts dim stays raw grain
+    eng.sql("ALTER TABLE ev_g CREATE AGGREGATE REFLECTION g3 "
+            "USING DIMENSIONS (event_type, ts) "
+            "MEASURES (value (SUM))")
+    assert store._reflections["g3"].granularity is None
+    for n in ("g1", "g2", "g3"):
+        store.drop(n)
+    spark.catalog.dropTempView("ev_g")
