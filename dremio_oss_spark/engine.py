@@ -3569,6 +3569,51 @@ class Engine:
                 self._versioned_sources[m.group(1)])
             return self._status("VACUUM SOURCE",
                                 f"removed {len(removed)} locations")
+        # OPTIMIZE TABLE <src>.<key> [AT BRANCH b] — bin-pack the
+        # branch snapshot DETACHED, advance only this branch's pointer
+        # (the reference supports OPTIMIZE on versioned tables,
+        # OptimizeHandler.java:129)
+        m = re.match(
+            rf"\s*optimize\s+table\s+({names})\.((?:\w+\.)*\w+){at}"
+            r"(?:\s+rewrite\s+data(?:\s+using\s+bin_pack)?)?"
+            r"(?:\s*\(([^)]*=[^)]*)\))?\s*$",
+            query, re.I)
+        if m:
+            src, key = m.group(1), m.group(2)
+            branch = m.group(3) or self._default_branch(src)
+            options = None
+            if m.group(4):
+                # same ParseOptimizeOptions names as the quoted arm
+                options = {}
+                for item in m.group(4).split(","):
+                    k, _, v = item.partition("=")
+                    k = k.strip().lower()
+                    if k not in ("min_input_files",
+                                 "target_file_size_mb",
+                                 "min_file_size_mb",
+                                 "max_file_size_mb"):
+                        raise ValueError(f"unknown OPTIMIZE option {k!r}")
+                    options[k] = float(v.strip())
+            cid, before, after = dataplane.optimize_table(
+                self.spark, self._versioned_sources[src], branch, key,
+                options=options, author=self.session_user)
+            return self._status(
+                "OPTIMIZE TABLE",
+                f"{src}.{key} @ {branch}: {before} -> {after} files "
+                f"({cid})")
+        # VACUUM TABLE <src>.<key> EXPIRE SNAPSHOTS — expire Iceberg
+        # snapshots no catalog commit references (branch/tag/AT COMMIT
+        # history all stays resolvable)
+        m = re.match(
+            rf"\s*vacuum\s+table\s+({names})\.((?:\w+\.)*\w+)"
+            r"\s+expire\s+snapshots\s*$", query, re.I)
+        if m:
+            removed = dataplane.vacuum_table(
+                self._versioned_sources[m.group(1)], m.group(2))
+            return self._status(
+                "VACUUM TABLE",
+                f"{m.group(1)}.{m.group(2)}: removed {len(removed)} "
+                "files")
         # USE BRANCH/TAG/COMMIT <name> IN <src>  (unquoted source form)
         m = re.match(
             rf"\s*use\s+(branch|tag|ref|commit)\s+'?([\w-]+)'?\s+in\s+"

@@ -1272,6 +1272,90 @@ order by fmt
 """
 
 
+def branch_optimize(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMIZE / VACUUM on a VERSIONED table (the reference's
+    OptimizeHandler.java:129 supports versioned tables): small inserts
+    on a branch fragment the file set; OPTIMIZE TABLE ... AT BRANCH dev
+    bin-packs the branch snapshot DETACHED and advances only dev's
+    pointer — rows identical (value-checked here), file count drops
+    (asserted), and main's snapshot id and contents are untouched
+    (asserted).  VACUUM TABLE then expires only snapshots no catalog
+    commit references, with every ref still resolving."""
+    from ..engine import Engine
+    from ..sources import dataplane
+    from ..sources.iceberg import resolve_snapshot
+
+    root = _scratch("dpoptimize", sf)
+    eng = Engine(spark)
+    eng.create_versioned_source("dpo", root)
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    eng.sql("CREATE TABLE dpo.ord AS select o_orderkey, o_custkey, "
+            "o_totalprice from orders")
+    eng.sql("CREATE BRANCH dev IN dpo")
+    for i, mod in enumerate((97, 89, 83), start=1):
+        eng.sql(f"INSERT INTO dpo.ord AT BRANCH dev "
+                f"select o_orderkey + {i * 1000000}, o_custkey, "
+                f"o_totalprice from orders where o_orderkey % {mod} = 0")
+
+    def _snap(ref):
+        content = dataplane.state_at(root, ref)["ord"]
+        return content["snapshot_id"], len(resolve_snapshot(
+            os.path.join(root, content["location"]),
+            content["snapshot_id"]).files)
+
+    main_sid_before, _ = _snap("main")
+    _, dev_files_before = _snap("dev")
+    main_n_before = eng.sql(
+        "select count(*) as n from dpo.ord").first()["n"]
+    eng.sql("OPTIMIZE TABLE dpo.ord AT BRANCH dev "
+            "(min_input_files = 2)")
+    dev_sid_after, dev_files_after = _snap("dev")
+    main_sid_after, _ = _snap("main")
+    assert dev_files_after < dev_files_before, \
+        (dev_files_before, dev_files_after)
+    assert main_sid_after == main_sid_before, \
+        "OPTIMIZE on dev must not move main's snapshot"
+    files_dropped = int(dev_files_after < dev_files_before)
+    # VACUUM expires only catalog-unreferenced snapshots; every ref
+    # still reads (main count unchanged proves main's files survive)
+    dataplane.vacuum_table(root, "ord")
+    main_n_after = eng.sql(
+        "select count(*) as n2 from dpo.ord").first()["n2"]
+    vacuum_ok = int(main_n_after == main_n_before)
+    df = eng.sql(
+        "select count(*) as n, "
+        "cast(sum(cast(o_totalprice as decimal(28,4))) as double) as s "
+        "from dpo.ord AT BRANCH dev")
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "n", "s",
+        F.lit(files_dropped).alias("files_dropped"),
+        F.lit(int(main_sid_after == main_sid_before))
+        .alias("main_untouched"),
+        F.lit(vacuum_ok).alias("vacuum_ok"))
+
+
+BRANCH_OPTIMIZE_SQL = """
+with dev as (
+  select o_orderkey, o_custkey, o_totalprice from orders
+  union all
+  select o_orderkey + 1000000, o_custkey, o_totalprice from orders
+  where o_orderkey % 97 = 0
+  union all
+  select o_orderkey + 2000000, o_custkey, o_totalprice from orders
+  where o_orderkey % 89 = 0
+  union all
+  select o_orderkey + 3000000, o_custkey, o_totalprice from orders
+  where o_orderkey % 83 = 0
+)
+select count(*) as n,
+       cast(sum(cast(o_totalprice as decimal(28,4))) as double) as s,
+       1 as files_dropped, 1 as main_untouched, 1 as vacuum_ok
+from dev
+"""
+
+
 def catalog_branch(spark: SparkSession, sf: str) -> DataFrame:
     """Catalog-level (Nessie dataplane) versioning end-to-end: a
     versioned source holding TWO tables; a branch receives writes to
@@ -1337,6 +1421,7 @@ from j, extra
 
 SOURCES_QUERIES = {
     "src_catalog_branch": catalog_branch,
+    "src_branch_optimize": branch_optimize,
     "src_maintenance": maintenance_lifecycle,
     "src_count_metadata": count_metadata,
     "src_use_branch": use_branch,
@@ -1365,6 +1450,7 @@ SOURCES_QUERIES = {
 
 SOURCES_ORACLE = {
     "src_catalog_branch": CATALOG_BRANCH_SQL,
+    "src_branch_optimize": BRANCH_OPTIMIZE_SQL,
     "src_maintenance": MAINTENANCE_SQL,
     "src_count_metadata": COUNT_METADATA_SQL,
     "src_use_branch": USE_BRANCH_SQL,

@@ -676,3 +676,63 @@ def update_where(spark: SparkSession, root: str, branch: str, key: str,
     content["snapshot_id"] = sid
     return commit(root, branch, {key: content}, f"update {key}",
                   author=author, expect_head=head)
+
+
+def optimize_table(spark: SparkSession, root: str, branch: str, key: str,
+                   options: dict | None = None,
+                   author: str = "$dremio$") -> tuple[str, int, int]:
+    """OPTIMIZE TABLE <source>.<key> AT BRANCH <branch> — bin-pack the
+    BRANCH snapshot's data files into a DETACHED Iceberg snapshot, then
+    advance only this branch's catalog pointer via a commit (the
+    reference supports OPTIMIZE on versioned tables,
+    `OptimizeHandler.java:129`): same rows, fewer files, and every
+    other ref's snapshot id is untouched — their file sets stay live
+    because expiry is a separate VACUUM decision, never a side effect
+    of maintenance on one branch.  Returns (commit_id, files_before,
+    files_after)."""
+    from .iceberg import optimize_iceberg, resolve_snapshot
+
+    head = _load_refs(root)["branches"][branch]
+    content = dict(_table_content(root, branch, key))
+    if content.get("type") != "ICEBERG_TABLE":
+        raise ValueError(f"{key!r} is a view; OPTIMIZE needs a table")
+    loc = os.path.join(root, content["location"])
+    before = len(resolve_snapshot(loc, content["snapshot_id"]).files)
+    sid = optimize_iceberg(spark, loc, options=options,
+                           parent_snapshot=content["snapshot_id"])
+    if sid == content["snapshot_id"]:
+        return head, before, before  # below thresholds: commit-free
+    after = len(resolve_snapshot(loc, sid).files)
+    content["snapshot_id"] = sid
+    cid = commit(root, branch, {key: content}, f"optimize {key}",
+                 author=author, expect_head=head)
+    return cid, before, after
+
+
+def vacuum_table(root: str, key: str) -> list[str]:
+    """VACUUM TABLE on a versioned table: expire underlying Iceberg
+    snapshots referenced by NO catalog commit — reachable-history
+    snapshots all survive (every branch, tag, and AT COMMIT point keeps
+    resolving), so only snapshots orphaned by GC'd commits or never
+    referenced (superseded detached rewrites) delete.  Holds the
+    catalog lock: serializes with commits exactly like gc_unreachable.
+    Returns deleted table-relative file paths."""
+    from .iceberg import expire_iceberg_snapshots
+
+    with _lock(root):
+        keep: set[int] = set()
+        location: str | None = None
+        for fn in sorted(os.listdir(_commits_dir(root))):
+            if not fn.endswith(".json"):
+                continue
+            c = _read_commit(root, fn[:-5])
+            entries = (list(c["operations"].items())
+                       + list(c.get("full_state", {}).items()))
+            for k, content in entries:
+                if k == key and content and content.get("snapshot_id"):
+                    keep.add(content["snapshot_id"])
+                    location = content["location"]
+        if location is None:
+            raise ValueError(f"no table {key!r} in {root}")
+        return expire_iceberg_snapshots(
+            os.path.join(root, location), keep_ids=keep)

@@ -1934,7 +1934,8 @@ def _mor_merge_iceberg(spark: SparkSession, table: str,
 
 def optimize_iceberg(spark: SparkSession, table: str,
                      where: str | None = None,
-                     options: dict | None = None) -> int:
+                     options: dict | None = None,
+                     parent_snapshot: int | None = None) -> int:
     """OPTIMIZE TABLE [REWRITE DATA USING BIN_PACK]
     [FOR PARTITIONS <pred>] [(options)] — bin-pack data files into
     one per partition (`replace` snapshot: same rows, fewer files).
@@ -1950,12 +1951,16 @@ def optimize_iceberg(spark: SparkSession, table: str,
     `parserImpls.ftl` OPTIMIZE with FOR PARTITIONS)."""
     from .delta import _binpack_select
 
-    snap = resolve_snapshot(table)
+    # parent_snapshot: compact THAT snapshot's file set and commit
+    # DETACHED — the versioned-catalog maintenance path
+    # (OptimizeHandler.java:129 versioned-table support), where the
+    # dataplane commit owns the resulting snapshot id
+    snap = resolve_snapshot(table, parent_snapshot)
     if where is None:
         hit_abs = {os.path.realpath(p) for p, _ in snap.files}
         operation = "replace"
     else:
-        live = _live_iceberg_with_file(spark, table)
+        live = _live_iceberg_with_file(spark, table, parent_snapshot)
         hit_abs = {r[0] for r in
                    live.where(where).select("__file").distinct()
                    .collect()}
@@ -1997,7 +2002,8 @@ def optimize_iceberg(spark: SparkSession, table: str,
         def rewrite(hits, _n=n_range, _c=sort_cols):  # noqa: E731
             return (hits.repartitionByRange(_n, *_c)
                     .sortWithinPartitions(*_c))
-    return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite)
+    return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite,
+                               parent_snapshot=parent_snapshot)
 
 
 def truncate_iceberg(table: str) -> int:
@@ -2043,7 +2049,8 @@ def rewrite_manifests_iceberg(table: str) -> int:
 
 
 def expire_iceberg_snapshots(table: str, keep_last: int = 1,
-                             older_than_ms: int | None = None
+                             older_than_ms: int | None = None,
+                             keep_ids: set[int] | None = None
                              ) -> list[str]:
     """VACUUM TABLE EXPIRE SNAPSHOTS [older_than = 'ts']
     [retain_last = n] — expire snapshots strictly older than the cutoff
@@ -2057,7 +2064,13 @@ def expire_iceberg_snapshots(table: str, keep_last: int = 1,
         meta = json.load(f)
     snaps = sorted(meta.get("snapshots") or [],
                    key=lambda s: s["snapshot-id"])
-    retained = snaps[-keep_last:] if keep_last > 0 else snaps
+    if keep_ids is not None:
+        # explicit keep-set (the versioned-catalog VACUUM: every
+        # snapshot any catalog commit references survives, so AT
+        # COMMIT time travel over live history keeps working)
+        retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    else:
+        retained = snaps[-keep_last:] if keep_last > 0 else snaps
     if older_than_ms is not None:
         # age-based retention composes with retain_last: keep anything
         # at-or-after the cutoff PLUS the retain_last newest

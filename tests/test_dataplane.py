@@ -562,3 +562,58 @@ def test_gc_serializes_with_commits(eng):
     # every commit survived GC: the full chain still walks
     assert len(dp.state_at(root, "main")) == 30
     assert len(dp.log(root, "main")) == 30
+
+
+def test_optimize_and_vacuum_on_versioned_table(eng, spark):
+    """OPTIMIZE TABLE <src>.<key> AT BRANCH compacts the branch
+    snapshot DETACHED (OptimizeHandler.java:129 versioned support):
+    rows identical, file count drops, other refs' snapshots untouched;
+    VACUUM TABLE expires only snapshots no catalog commit references —
+    every branch/tag/AT COMMIT read keeps resolving."""
+    import os as _os
+
+    from dremio_oss_spark.sources.iceberg import resolve_snapshot
+
+    root = eng._versioned_sources["dpsrc"]
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    for i in range(3):
+        eng.sql(f"INSERT INTO dpsrc.nat AT BRANCH dev "
+                f"VALUES ({100 + i}, 'X{i}', 0)")
+
+    def snap(ref):
+        c = dp.state_at(root, ref)["nat"]
+        return c["snapshot_id"], len(resolve_snapshot(
+            _os.path.join(root, c["location"]), c["snapshot_id"]).files)
+
+    main_before = snap("main")
+    _, dev_files = snap("dev")
+    assert dev_files >= 4
+    out = eng.sql("OPTIMIZE TABLE dpsrc.nat AT BRANCH dev "
+                  "(min_input_files = 2)").first()
+    assert "files" in out[1]
+    dev_sid2, dev_files2 = snap("dev")
+    assert dev_files2 < dev_files
+    assert snap("main") == main_before, "main must not move"
+    assert _n(eng, "select count(*) as n from dpsrc.nat "
+                   "AT BRANCH dev") == 28
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    # view refuses
+    eng.sql("CREATE VIEW dpsrc.v AS select * from dpsrc.nat")
+    with pytest.raises(ValueError, match="view"):
+        eng.sql("OPTIMIZE TABLE dpsrc.v")
+    # VACUUM: the pre-optimize dev snapshot is still referenced by
+    # HISTORY commits (AT COMMIT time travel), so nothing it holds may
+    # vanish; a truly unreferenced snapshot's files do
+    log_before = dp.log(root, "dev")
+    eng.sql("VACUUM TABLE dpsrc.nat EXPIRE SNAPSHOTS")
+    # all refs + history still read
+    assert _n(eng, "select count(*) as n from dpsrc.nat") == 25
+    assert _n(eng, "select count(*) as n from dpsrc.nat "
+                   "AT BRANCH dev") == 28
+    pre = log_before[1]["id"]   # pre-optimize head (all 3 inserts)
+    mid = log_before[2]["id"]   # after 2 of 3 inserts
+    assert _n(eng, f"select count(*) as n from dpsrc.nat "
+                   f"AT COMMIT '{pre}'") == 28
+    assert _n(eng, f"select count(*) as n from dpsrc.nat "
+                   f"AT COMMIT '{mid}'") == 27
