@@ -16,8 +16,35 @@ JOB; `GET /api/v3/job/{id}` polls its state and
 - GET  /api/v3/job/{id}          {"jobState": RUNNING|COMPLETED|FAILED,
                                   "rowCount", "errorMessage"?}
 - GET  /api/v3/job/{id}/results  ?offset=&limit= pages stored rows
-- GET  /api/v3/catalog   table/view listing (INFORMATION_SCHEMA shape)
+- GET  /api/v3/catalog   table/view/space listing (INFORMATION_SCHEMA
+                         shape + space containers)
 - GET  /health           liveness probe
+
+Catalog CRUD (the reference's v3 catalog API,
+`dac/backend/.../dac/api/CatalogResource.java:57` — spaces, folders,
+VDS — and reflection management, `ReflectionResource.java:47`):
+
+- GET    /api/v3/catalog/by-path/{seg}/{seg}...  entity by path
+- GET    /api/v3/catalog/{id}                    entity by id
+- POST   /api/v3/catalog        create space/folder/VDS from a
+                                CatalogEntity body ({"entityType":
+                                "space"|"folder"|"dataset", ...})
+- PUT    /api/v3/catalog/{id}   update a VDS definition ({"sql": ...})
+- DELETE /api/v3/catalog/{id}   delete space/folder/VDS
+- POST   /api/v3/catalog/{id}/refresh   REFRESH DATASET (metadata) +
+                                dependent-reflection staleness
+- GET    /api/v3/reflection                 list reflections
+- GET    /api/v3/reflection/{name}          one reflection
+- POST   /api/v3/reflection     create from the reference's Reflection
+                                body shape (type AGGREGATION|RAW,
+                                dimensionFields/measureFields with
+                                measureTypeList, displayFields)
+- DELETE /api/v3/reflection/{name}
+
+Entity ids are deterministic path-shaped strings ("space/<name>",
+"dataset/<space>.<dotted name>", "table/<name>",
+"reflection/<name>") rather than the reference's UUIDs — same
+addressing power, no id store to persist.
 
 Same scale contract as the Flight endpoint: results materialize
 driver-side per request — result-set-sized reads only (the reference's
@@ -134,7 +161,76 @@ class _Handler(BaseHTTPRequestHandler):
         return (self.headers.get("Authorization")
                 == f"Bearer {self.token}")
 
+    # -- catalog entities (CatalogResource.java:57) ----------------------
+    def _vds_entity(self, space: str, name: str) -> dict:
+        return {"entityType": "dataset", "type": "VIRTUAL_DATASET",
+                "id": f"dataset/{space}.{name}",
+                "path": [space] + name.split("."),
+                "sql": self.engine.spaces[space].vds[name]}
+
+    def _space_entity(self, name: str) -> dict:
+        sp = self.engine.spaces[name]
+        children = (
+            [{"id": f"dataset/{name}.{v}", "type": "VIRTUAL_DATASET",
+              "path": [name] + v.split(".")} for v in sorted(sp.vds)]
+            + [{"id": f"folder/{name}.{f}", "type": "CONTAINER",
+                "containerType": "FOLDER",
+                "path": [name] + f.split(".")}
+               for f in sorted(sp.folders)])
+        return {"entityType": "space", "id": f"space/{name}",
+                "name": name, "children": children}
+
+    def _entity_by_id(self, eid: str) -> dict | None:
+        kind, _, rest = eid.partition("/")
+        if kind == "space" and rest in self.engine.spaces:
+            return self._space_entity(rest)
+        if kind == "dataset":
+            space, _, name = rest.partition(".")
+            sp = self.engine.spaces.get(space)
+            if sp and name in sp.vds:
+                return self._vds_entity(space, name)
+        if kind == "table":
+            try:
+                df = self.engine.spark.table(rest)
+            except Exception:  # noqa: BLE001
+                return None
+            return {"entityType": "dataset",
+                    "type": "PHYSICAL_DATASET",
+                    "id": eid, "path": [rest],
+                    "fields": [{"name": f.name,
+                                "type": f.dataType.simpleString()}
+                               for f in df.schema.fields]}
+        return None
+
+    def _reflection_entity(self, name: str) -> dict | None:
+        store = getattr(self.engine, "_refl_store", None)
+        if store is None:
+            return None
+        r = store._reflections.get(name)
+        if r is not None:
+            return {"id": f"reflection/{name}", "name": name,
+                    "type": "AGGREGATION", "datasetId": r.table,
+                    "dimensionFields": [{"name": d} for d in r.dims],
+                    "measureFields": [
+                        {"name": m.col,
+                         "measureTypeList": [m.kind.upper()]}
+                        for m in r.measures],
+                    "status": {"availability": "AVAILABLE"
+                               if not (r.invalid or r.stale)
+                               else "EXPIRED"}}
+        rr = store._raw.get(name)
+        if rr is not None:
+            return {"id": f"reflection/{name}", "name": name,
+                    "type": "RAW", "datasetId": rr.table,
+                    "displayFields": [{"name": c} for c in rr.cols],
+                    "status": {"availability": "AVAILABLE"
+                               if not (rr.invalid or rr.stale)
+                               else "EXPIRED"}}
+        return None
+
     def do_GET(self):
+        from urllib.parse import unquote
+
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
         if self.path == "/health":
@@ -145,13 +241,59 @@ class _Handler(BaseHTTPRequestHandler):
                     rows = [
                         {"name": r["table_name"],
                          "schema": r["table_schema"],
-                         "type": r["table_type"]}
+                         "type": r["table_type"],
+                         "id": f"table/{r['table_name']}"}
                         for r in
                         self.engine.information_schema_tables().collect()]
+                    rows += [
+                        {"name": s, "schema": "", "type": "CONTAINER",
+                         "entityType": "space", "id": f"space/{s}"}
+                        for s in sorted(self.engine.spaces)]
             except Exception as e:  # error envelope, like the POST path
                 return self._send(500, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
             return self._send(200, {"data": rows})
+        if self.path.startswith("/api/v3/catalog/by-path/"):
+            segs = [unquote(s) for s in
+                    self.path[len("/api/v3/catalog/by-path/"):]
+                    .rstrip("/").split("/") if s]
+            with _ENGINE_LOCK:
+                if len(segs) == 1:
+                    ent = (self._entity_by_id(f"space/{segs[0]}")
+                           or self._entity_by_id(f"table/{segs[0]}"))
+                else:
+                    ent = self._entity_by_id(
+                        f"dataset/{segs[0]}.{'.'.join(segs[1:])}")
+            if ent is None:
+                return self._send(404, {"errorMessage":
+                                        f"no entity at {'/'.join(segs)}"})
+            return self._send(200, ent)
+        if (self.path.startswith("/api/v3/catalog/")
+                and "/by-path/" not in self.path):
+            eid = unquote(self.path[len("/api/v3/catalog/"):].rstrip("/"))
+            with _ENGINE_LOCK:
+                ent = self._entity_by_id(eid)
+            if ent is None:
+                return self._send(404,
+                                  {"errorMessage": f"no entity {eid}"})
+            return self._send(200, ent)
+        if self.path.rstrip("/") == "/api/v3/reflection":
+            store = getattr(self.engine, "_refl_store", None)
+            names = ([] if store is None else
+                     sorted(list(store._reflections)
+                            + list(store._raw)))
+            with _ENGINE_LOCK:
+                return self._send(200, {
+                    "data": [self._reflection_entity(n) for n in names]})
+        if self.path.startswith("/api/v3/reflection/"):
+            name = unquote(
+                self.path[len("/api/v3/reflection/"):].rstrip("/"))
+            with _ENGINE_LOCK:
+                ent = self._reflection_entity(name)
+            if ent is None:
+                return self._send(404, {"errorMessage":
+                                        f"no reflection {name}"})
+            return self._send(200, ent)
         if self.path.startswith("/api/v3/job/"):
             from urllib.parse import parse_qs, urlparse
 
@@ -217,9 +359,89 @@ class _Handler(BaseHTTPRequestHandler):
             self.jobs.finish(jid, state="FAILED",
                              error=f"{type(e).__name__}: {e}")
 
+    def _read_json(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        req = json.loads(self.rfile.read(n) or b"{}")
+        if not isinstance(req, dict):
+            raise ValueError("body must be a JSON object")
+        return req
+
+    def _create_catalog_entity(self, req: dict):
+        """POST /api/v3/catalog (CatalogResource.createCatalogItem):
+        spaces, folders, and VIRTUAL_DATASET (VDS) bodies."""
+        et = req.get("entityType")
+        if et == "space":
+            self.engine.create_space(req["name"])
+            return self._space_entity(req["name"])
+        if et == "folder":
+            path = req["path"]
+            self.engine.create_folder(path[0], ".".join(path[1:]))
+            return {"entityType": "folder",
+                    "id": f"folder/{path[0]}.{'.'.join(path[1:])}",
+                    "path": path}
+        if et == "dataset" and req.get("type") == "VIRTUAL_DATASET":
+            path, sql = req["path"], req["sql"]
+            self.engine.create_vds(path[0], ".".join(path[1:]), sql)
+            return self._vds_entity(path[0], ".".join(path[1:]))
+        raise ValueError(f"unsupported entityType {et!r}")
+
+    def _create_reflection(self, req: dict):
+        """POST /api/v3/reflection (ReflectionResource.createReflection):
+        translate the Reflection body into the engine's reflection DDL
+        so the SQL and REST surfaces create identical objects."""
+        name, ds = req["name"], req["datasetId"]
+        if req.get("type") == "RAW":
+            cols = ", ".join(f["name"] for f in req["displayFields"])
+            self.engine.sql(
+                f"ALTER TABLE {ds} CREATE RAW REFLECTION {name} "
+                f"USING DISPLAY ({cols})")
+        else:
+            dims = ", ".join(f["name"]
+                             for f in req.get("dimensionFields", []))
+            meas = ", ".join(
+                f"{f['name']} ({', '.join(f.get('measureTypeList') or ['SUM'])})"
+                for f in req.get("measureFields", []))
+            self.engine.sql(
+                f"ALTER TABLE {ds} CREATE AGGREGATE REFLECTION {name} "
+                f"USING DIMENSIONS ({dims}) MEASURES ({meas})")
+        return self._reflection_entity(name)
+
     def do_POST(self):
+        from urllib.parse import unquote
+
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        if self.path.rstrip("/") == "/api/v3/catalog":
+            try:
+                with _ENGINE_LOCK:
+                    ent = self._create_catalog_entity(self._read_json())
+                return self._send(200, ent)
+            except Exception as e:  # noqa: BLE001 — error envelope
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        m_refresh = (self.path.startswith("/api/v3/catalog/")
+                     and self.path.rstrip("/").endswith("/refresh"))
+        if m_refresh:
+            eid = unquote(self.path[len("/api/v3/catalog/"):]
+                          .rstrip("/")[:-len("/refresh")])
+            kind, _, rest = eid.partition("/")
+            try:
+                with _ENGINE_LOCK:
+                    # REFRESH DATASET semantics: re-pin file metadata
+                    # and mark dependent reflections stale
+                    self.engine.refresh_dataset(rest)
+                return self._send(200, {"id": eid, "refreshed": True})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/reflection":
+            try:
+                with _ENGINE_LOCK:
+                    ent = self._create_reflection(self._read_json())
+                return self._send(200, ent)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if self.path != "/api/v3/sql":
             return self._send(404, {"errorMessage": f"no route {self.path}"})
         try:
@@ -282,6 +504,86 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # planner/execution error envelope
             return self._send(400, {"errorMessage":
                                     f"{type(e).__name__}: {e}"})
+
+
+    def do_PUT(self):
+        from urllib.parse import unquote
+
+        if not self._authed():
+            return self._send(401, {"errorMessage": "unauthorized"})
+        if not self.path.startswith("/api/v3/catalog/"):
+            return self._send(404, {"errorMessage":
+                                    f"no route {self.path}"})
+        eid = unquote(self.path[len("/api/v3/catalog/"):].rstrip("/"))
+        kind, _, rest = eid.partition("/")
+        try:
+            req = self._read_json()
+            if kind != "dataset":
+                raise ValueError("only VDS entities are updatable")
+            space, _, name = rest.partition(".")
+            with _ENGINE_LOCK:
+                if name not in self.engine.spaces[space].vds:
+                    return self._send(
+                        404, {"errorMessage": f"no entity {eid}"})
+                # updateCatalogItem on a VDS: re-define (the engine
+                # re-plans and re-registers the view)
+                self.engine.create_vds(space, name, req["sql"])
+                return self._send(200, self._vds_entity(space, name))
+        except Exception as e:  # noqa: BLE001
+            return self._send(400, {"errorMessage":
+                                    f"{type(e).__name__}: {e}"})
+
+    def do_DELETE(self):
+        from urllib.parse import unquote
+
+        if not self._authed():
+            return self._send(401, {"errorMessage": "unauthorized"})
+        try:
+            if self.path.startswith("/api/v3/reflection/"):
+                name = unquote(
+                    self.path[len("/api/v3/reflection/"):].rstrip("/"))
+                with _ENGINE_LOCK:
+                    store = self.engine._default_refl_store()
+                    if (name not in store._reflections
+                            and name not in store._raw):
+                        return self._send(
+                            404, {"errorMessage": f"no reflection {name}"})
+                    store.drop(name)
+                return self._send(200, {"deleted": name})
+            if self.path.startswith("/api/v3/catalog/"):
+                eid = unquote(
+                    self.path[len("/api/v3/catalog/"):].rstrip("/"))
+                kind, _, rest = eid.partition("/")
+                with _ENGINE_LOCK:
+                    if kind == "dataset":
+                        space, _, name = rest.partition(".")
+                        if name not in self.engine.spaces[space].vds:
+                            return self._send(
+                                404, {"errorMessage": f"no entity {eid}"})
+                        self.engine.drop_vds(space, name)
+                    elif kind == "folder":
+                        space, _, path = rest.partition(".")
+                        self.engine.drop_folder(space, path)
+                    elif kind == "space":
+                        sp = self.engine.spaces.get(rest)
+                        if sp is None:
+                            return self._send(
+                                404, {"errorMessage": f"no entity {eid}"})
+                        if sp.vds:
+                            # same contract as the namespace service:
+                            # non-empty containers refuse
+                            raise ValueError(
+                                f"space {rest} not empty: "
+                                f"{sorted(sp.vds)}")
+                        del self.engine.spaces[rest]
+                    else:
+                        return self._send(
+                            404, {"errorMessage": f"no entity {eid}"})
+                return self._send(200, {"deleted": eid})
+        except Exception as e:  # noqa: BLE001
+            return self._send(400, {"errorMessage":
+                                    f"{type(e).__name__}: {e}"})
+        return self._send(404, {"errorMessage": f"no route {self.path}"})
 
 
 def serve_rest_background(engine, port: int = 0,

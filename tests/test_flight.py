@@ -721,3 +721,109 @@ def test_flightsql_get_sql_info_e2e(flight_setup):
     allinfo = flight_metadata(server.port, fsql.command_get_sql_info())
     ids = allinfo.column("info_name").to_pylist()
     assert ids == sorted(ids) and len(ids) >= 15
+
+
+def test_rest_catalog_crud_and_reflections(spark):
+    """REST v3 catalog CRUD (CatalogResource.java:57) + reflection
+    management (ReflectionResource.java:47): spaces/folders/VDS
+    create/read/update/delete, promote-style refresh, and a reflection
+    created over REST accelerating a query submitted over the SQL
+    route."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            base + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # create space / folder / VDS
+        code, sp = call("POST", "/api/v3/catalog",
+                        {"entityType": "space", "name": "mart"})
+        assert code == 200 and sp["id"] == "space/mart"
+        code, _ = call("POST", "/api/v3/catalog",
+                       {"entityType": "folder",
+                        "path": ["mart", "sales"]})
+        assert code == 200
+        code, vds = call("POST", "/api/v3/catalog", {
+            "entityType": "dataset", "type": "VIRTUAL_DATASET",
+            "path": ["mart", "sales", "by_status"],
+            "sql": "select o_orderstatus, count(*) as n from orders "
+                   "group by o_orderstatus"})
+        assert code == 200 and vds["path"] == ["mart", "sales",
+                                               "by_status"]
+        # read back: by id, by path, in the top-level listing
+        code, ent = call("GET", "/api/v3/catalog/"
+                                "dataset/mart.sales.by_status")
+        assert code == 200 and "group by o_orderstatus" in ent["sql"]
+        code, ent = call("GET",
+                         "/api/v3/catalog/by-path/mart/sales/by_status")
+        assert code == 200 and ent["type"] == "VIRTUAL_DATASET"
+        code, ent = call("GET", "/api/v3/catalog/by-path/mart")
+        assert code == 200 and any(
+            c["path"][-1] == "by_status" for c in ent["children"])
+        code, top = call("GET", "/api/v3/catalog")
+        assert any(x.get("id") == "space/mart" for x in top["data"])
+        # the VDS is queryable over the SQL route
+        code, out = call("POST", "/api/v3/sql",
+                         {"sql": "select sum(n) as total "
+                                 "from mart.sales.by_status"})
+        assert code == 200 and out["rows"][0]["total"] > 0
+        # update the definition
+        code, ent = call("PUT",
+                         "/api/v3/catalog/dataset/mart.sales.by_status",
+                         {"sql": "select o_orderpriority, count(*) as n "
+                                 "from orders group by o_orderpriority"})
+        assert code == 200 and "o_orderpriority" in ent["sql"]
+        # reflection over REST accelerates a SQL-route query
+        code, refl = call("POST", "/api/v3/reflection", {
+            "type": "AGGREGATION", "name": "rest_refl",
+            "datasetId": "orders",
+            "dimensionFields": [{"name": "o_orderstatus"}],
+            "measureFields": [{"name": "o_totalprice",
+                               "measureTypeList": ["SUM"]}]})
+        assert code == 200 and refl["id"] == "reflection/rest_refl"
+        code, out = call("POST", "/api/v3/sql",
+                         {"sql": "select o_orderstatus, "
+                                 "sum(o_totalprice) as s from orders "
+                                 "group by o_orderstatus"})
+        assert code == 200 and out["accelerated_by"] == "rest_refl"
+        code, lst = call("GET", "/api/v3/reflection")
+        assert any(r["name"] == "rest_refl" for r in lst["data"])
+        code, _ = call("DELETE", "/api/v3/reflection/rest_refl")
+        assert code == 200
+        code, _ = call("GET", "/api/v3/reflection/rest_refl")
+        assert code == 404
+        # deletes: non-empty space refuses, then empties cleanly
+        code, err = call("DELETE", "/api/v3/catalog/space/mart")
+        assert code == 400 and "not empty" in err["errorMessage"]
+        code, _ = call("DELETE",
+                       "/api/v3/catalog/dataset/mart.sales.by_status")
+        assert code == 200
+        code, _ = call("DELETE", "/api/v3/catalog/folder/mart.sales")
+        assert code == 200
+        code, _ = call("DELETE", "/api/v3/catalog/space/mart")
+        assert code == 200
+        code, _ = call("GET", "/api/v3/catalog/space/mart")
+        assert code == 404
+    finally:
+        server.shutdown()
