@@ -71,6 +71,14 @@ class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
 _METADATA_COMMANDS = frozenset({
     "CommandGetCatalogs", "CommandGetDbSchemas", "CommandGetTables",
     "CommandGetTableTypes", "CommandGetSqlInfo",
+    "CommandGetXdbcTypeInfo",
+})
+# FK metadata: the reference returns the protocol schema with ZERO
+# endpoints and raises UNIMPLEMENTED on the stream (no PK/FK
+# constraints tracked — DremioFlightProducer.java:621-661)
+_KEYS_COMMANDS = frozenset({
+    "CommandGetPrimaryKeys", "CommandGetExportedKeys",
+    "CommandGetImportedKeys",
 })
 
 
@@ -192,6 +200,13 @@ class EngineFlightServer(flight.FlightServerBase):
         flightsql = env is not None
         if flightsql:
             name, payload = env
+            if name in _KEYS_COMMANDS:
+                from . import flightsql_metadata as meta
+
+                schema = (meta.GET_PRIMARY_KEYS_SCHEMA
+                          if name == "CommandGetPrimaryKeys"
+                          else meta.GET_KEYS_SCHEMA)
+                return flight.FlightInfo(schema, descriptor, [], -1, -1)
             if name in _METADATA_COMMANDS:
                 # catalog-metadata command (the connect-time burst of a
                 # stock ADBC/JDBC client): FlightInfo carries the fixed
@@ -260,6 +275,8 @@ class EngineFlightServer(flight.FlightServerBase):
             return meta.GET_TABLE_TYPES_SCHEMA
         if name == "CommandGetSqlInfo":
             return meta.GET_SQL_INFO_SCHEMA
+        if name == "CommandGetXdbcTypeInfo":
+            return meta.GET_TYPE_INFO_SCHEMA
         req = fsql.parse_get_tables(payload)
         return (meta.GET_TABLES_SCHEMA if req["include_schema"]
                 else meta.GET_TABLES_SCHEMA_NO_SCHEMA)
@@ -275,6 +292,10 @@ class EngineFlightServer(flight.FlightServerBase):
         if name == "CommandGetSqlInfo":
             return meta.get_sql_info_table(
                 self.engine, fsql.parse_sql_info_ids(payload))
+        if name == "CommandGetXdbcTypeInfo":
+            f = fsql.parse_fields(payload)
+            dt = f.get(1, [None])[0]
+            return meta.get_type_info_table(self.engine, dt)
         if name == "CommandGetDbSchemas":
             return meta.get_db_schemas_table(
                 self.engine, **fsql.parse_get_db_schemas(payload))
@@ -286,6 +307,9 @@ class EngineFlightServer(flight.FlightServerBase):
 
         raw = ticket.ticket
         env = fsql.any_unpack(raw)
+        if env is not None and env[0] in _KEYS_COMMANDS:
+            raise flight.FlightServerError(
+                f"{env[0]} not supported.")  # reference UNIMPLEMENTED
         if env is not None and env[0] in _METADATA_COMMANDS:
             # metadata tickets carry the packed command itself; the
             # answer is recomputed from the live catalog (engine state

@@ -207,6 +207,37 @@ def command_get_sql_info(*info: int) -> bytes:
     return any_pack("CommandGetSqlInfo", msg)
 
 
+def command_get_xdbc_type_info(data_type: int | None = None) -> bytes:
+    msg = field_varint(1, data_type) if data_type is not None else b""
+    return any_pack("CommandGetXdbcTypeInfo", msg)
+
+
+def _keys_cmd(name: str, catalog: str | None, db_schema: str | None,
+              table: str) -> bytes:
+    msg = b""
+    if catalog is not None:
+        msg += field_bytes(1, catalog.encode())
+    if db_schema is not None:
+        msg += field_bytes(2, db_schema.encode())
+    msg += field_bytes(3, table.encode())
+    return any_pack(name, msg)
+
+
+def command_get_primary_keys(table: str, catalog: str | None = None,
+                             db_schema: str | None = None) -> bytes:
+    return _keys_cmd("CommandGetPrimaryKeys", catalog, db_schema, table)
+
+
+def command_get_exported_keys(table: str, catalog: str | None = None,
+                              db_schema: str | None = None) -> bytes:
+    return _keys_cmd("CommandGetExportedKeys", catalog, db_schema, table)
+
+
+def command_get_imported_keys(table: str, catalog: str | None = None,
+                              db_schema: str | None = None) -> bytes:
+    return _keys_cmd("CommandGetImportedKeys", catalog, db_schema, table)
+
+
 def parse_get_db_schemas(payload: bytes) -> dict:
     f = parse_fields(payload)
     return {

@@ -247,3 +247,111 @@ def get_sql_info_table(engine, ids: tuple[int, ...] = ()) -> pa.Table:
     )
     return pa.Table.from_arrays(
         [pa.array(keys, pa.uint32()), value], schema=GET_SQL_INFO_SCHEMA)
+
+
+# foreign-key metadata commands: the reference answers with the fixed
+# protocol schema and ZERO endpoints, and its stream handler raises
+# UNIMPLEMENTED (DremioFlightProducer.java:621-661 — Dremio tracks no
+# PK/FK constraints); same here
+GET_KEYS_SCHEMA = pa.schema([
+    pa.field("pk_catalog_name", pa.utf8()),
+    pa.field("pk_db_schema_name", pa.utf8()),
+    pa.field("pk_table_name", pa.utf8(), nullable=False),
+    pa.field("pk_column_name", pa.utf8(), nullable=False),
+    pa.field("fk_catalog_name", pa.utf8()),
+    pa.field("fk_db_schema_name", pa.utf8()),
+    pa.field("fk_table_name", pa.utf8(), nullable=False),
+    pa.field("fk_column_name", pa.utf8(), nullable=False),
+    pa.field("key_sequence", pa.int32(), nullable=False),
+    pa.field("fk_key_name", pa.utf8()),
+    pa.field("pk_key_name", pa.utf8()),
+    pa.field("update_rule", pa.uint8(), nullable=False),
+    pa.field("delete_rule", pa.uint8(), nullable=False),
+])
+GET_PRIMARY_KEYS_SCHEMA = pa.schema([
+    pa.field("catalog_name", pa.utf8()),
+    pa.field("db_schema_name", pa.utf8()),
+    pa.field("table_name", pa.utf8(), nullable=False),
+    pa.field("column_name", pa.utf8(), nullable=False),
+    pa.field("key_sequence", pa.int32(), nullable=False),
+    pa.field("key_name", pa.utf8()),
+])
+
+# GetXdbcTypeInfo result schema (FlightSqlProducer.Schemas
+# .GET_TYPE_INFO_SCHEMA — the JDBC getTypeInfo row shape)
+GET_TYPE_INFO_SCHEMA = pa.schema([
+    pa.field("type_name", pa.utf8(), nullable=False),
+    pa.field("data_type", pa.int32(), nullable=False),
+    pa.field("column_size", pa.int32()),
+    pa.field("literal_prefix", pa.utf8()),
+    pa.field("literal_suffix", pa.utf8()),
+    pa.field("create_params", pa.list_(
+        pa.field("item", pa.utf8(), nullable=False))),
+    pa.field("nullable", pa.int32(), nullable=False),
+    pa.field("case_sensitive", pa.bool_(), nullable=False),
+    pa.field("searchable", pa.int32(), nullable=False),
+    pa.field("unsigned_attribute", pa.bool_()),
+    pa.field("fixed_prec_scale", pa.bool_(), nullable=False),
+    pa.field("auto_increment", pa.bool_()),
+    pa.field("local_type_name", pa.utf8()),
+    pa.field("minimum_scale", pa.int32()),
+    pa.field("maximum_scale", pa.int32()),
+    pa.field("sql_data_type", pa.int32(), nullable=False),
+    pa.field("datetime_subcode", pa.int32()),
+    pa.field("num_prec_radix", pa.int32()),
+    pa.field("interval_precision", pa.int32()),
+])
+
+# (type_name, java.sql.Types code, column_size, prefix/suffix,
+#  create_params, case_sensitive, radix) — the engine's SQL type
+# surface, codes per java.sql.Types (the reference maps MinorType ->
+# Types the same way, DremioFlightSqlInfoUtils.getSqlTypeFromMinorType)
+_TYPE_INFO_ROWS = (
+    ("BOOLEAN", 16, 1, None, None, [], False, None),
+    ("INTEGER", 4, 10, None, None, [], False, 10),
+    ("BIGINT", -5, 19, None, None, [], False, 10),
+    ("FLOAT", 6, 7, None, None, [], False, 10),
+    ("DOUBLE", 8, 15, None, None, [], False, 10),
+    ("DECIMAL", 3, 38, None, None, ["precision", "scale"], False, 10),
+    ("VARCHAR", 12, 65536, "'", "'", ["length"], True, None),
+    ("VARBINARY", -3, 65536, None, None, ["length"], False, None),
+    ("DATE", 91, 10, "DATE '", "'", [], False, None),
+    ("TIMESTAMP", 93, 26, "TIMESTAMP '", "'", [], False, None),
+)
+
+
+def get_type_info_table(engine,
+                        data_type: int | None = None) -> pa.Table:
+    """CommandGetXdbcTypeInfo: one row per served SQL type, optionally
+    filtered to a single java.sql.Types code (the request's data_type
+    field) — FlightWorkManager.runGetTypeInfo's role."""
+    rows = [r for r in _TYPE_INFO_ROWS
+            if data_type is None or r[1] == data_type]
+    cols = {
+        "type_name": [r[0] for r in rows],
+        "data_type": pa.array([r[1] for r in rows], pa.int32()),
+        "column_size": pa.array([r[2] for r in rows], pa.int32()),
+        "literal_prefix": [r[3] for r in rows],
+        "literal_suffix": [r[4] for r in rows],
+        "create_params": pa.array(
+            [r[5] for r in rows],
+            pa.list_(pa.field("item", pa.utf8(), nullable=False))),
+        "nullable": pa.array([1] * len(rows), pa.int32()),
+        "case_sensitive": [r[6] for r in rows],
+        "searchable": pa.array([3] * len(rows), pa.int32()),
+        "unsigned_attribute": pa.array([False] * len(rows), pa.bool_()),
+        "fixed_prec_scale": [r[0] == "DECIMAL" for r in rows],
+        "auto_increment": pa.array([False] * len(rows), pa.bool_()),
+        "local_type_name": [r[0] for r in rows],
+        "minimum_scale": pa.array(
+            [0 if r[0] == "DECIMAL" else None for r in rows],
+            pa.int32()),
+        "maximum_scale": pa.array(
+            [37 if r[0] == "DECIMAL" else None for r in rows],
+            pa.int32()),
+        "sql_data_type": pa.array([r[1] for r in rows], pa.int32()),
+        "datetime_subcode": pa.array([None] * len(rows), pa.int32()),
+        "num_prec_radix": pa.array([r[7] for r in rows], pa.int32()),
+        "interval_precision": pa.array([None] * len(rows), pa.int32()),
+    }
+    return pa.table(cols, schema=GET_TYPE_INFO_SCHEMA)

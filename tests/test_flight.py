@@ -827,3 +827,45 @@ def test_rest_catalog_crud_and_reflections(spark):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_flightsql_type_info_and_keys_commands(flight_setup):
+    """CommandGetXdbcTypeInfo serves the JDBC getTypeInfo row shape
+    (optionally filtered by java.sql.Types code); the PK/FK commands
+    answer the protocol schema with ZERO endpoints and raise
+    UNIMPLEMENTED on the stream, exactly the reference's behavior
+    (DremioFlightProducer.java:621-661)."""
+    import pyarrow.flight as fl
+
+    from dremio_oss_spark.server import flightsql_codec as fsql
+    from dremio_oss_spark.server import flightsql_metadata as meta
+    from dremio_oss_spark.server.flight import flight_metadata
+
+    _eng, server = flight_setup
+    ti = flight_metadata(server.port, fsql.command_get_xdbc_type_info())
+    assert ti.schema.equals(meta.GET_TYPE_INFO_SCHEMA)
+    names = ti.column("type_name").to_pylist()
+    assert "VARCHAR" in names and "DECIMAL" in names
+    only = flight_metadata(server.port,
+                           fsql.command_get_xdbc_type_info(12))
+    assert only.column("type_name").to_pylist() == ["VARCHAR"]
+    # keys: schema-only FlightInfo, zero endpoints
+    client = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    try:
+        for cmd, schema in (
+                (fsql.command_get_primary_keys("orders"),
+                 meta.GET_PRIMARY_KEYS_SCHEMA),
+                (fsql.command_get_exported_keys("orders"),
+                 meta.GET_KEYS_SCHEMA),
+                (fsql.command_get_imported_keys("orders"),
+                 meta.GET_KEYS_SCHEMA)):
+            info = client.get_flight_info(
+                fl.FlightDescriptor.for_command(cmd))
+            assert info.schema.equals(schema)
+            assert len(info.endpoints) == 0
+        # a direct DoGet on a keys ticket surfaces UNIMPLEMENTED
+        with pytest.raises(fl.FlightServerError, match="not supported"):
+            client.do_get(fl.Ticket(
+                fsql.command_get_primary_keys("orders"))).read_all()
+    finally:
+        client.close()
