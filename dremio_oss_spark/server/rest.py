@@ -269,7 +269,8 @@ class _Handler(BaseHTTPRequestHandler):
                                         f"no entity at {'/'.join(segs)}"})
             return self._send(200, ent)
         if (self.path.startswith("/api/v3/catalog/")
-                and "/by-path/" not in self.path):
+                and "/by-path/" not in self.path
+                and not self.path.startswith("/api/v3/catalog/search")):
             eid = unquote(self.path[len("/api/v3/catalog/"):].rstrip("/"))
             with _ENGINE_LOCK:
                 ent = self._entity_by_id(eid)
@@ -277,6 +278,29 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404,
                                   {"errorMessage": f"no entity {eid}"})
             return self._send(200, ent)
+        if self.path.startswith("/api/v3/catalog/search"):
+            # CatalogResource.search: substring match over entity names
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query).get(
+                "query", [""])[0].lower()
+            with _ENGINE_LOCK:
+                hits = []
+                for r in self.engine.information_schema_tables().collect():
+                    if q in r["table_name"].lower():
+                        hits.append({"name": r["table_name"],
+                                     "type": r["table_type"],
+                                     "id": f"table/{r['table_name']}"})
+                for sname, sp in self.engine.spaces.items():
+                    if q in sname.lower():
+                        hits.append({"name": sname, "type": "CONTAINER",
+                                     "id": f"space/{sname}"})
+                    for v in sp.vds:
+                        if q in v.lower():
+                            hits.append({"name": f"{sname}.{v}",
+                                         "type": "VIRTUAL_DATASET",
+                                         "id": f"dataset/{sname}.{v}"})
+            return self._send(200, {"data": hits})
         if self.path.rstrip("/") == "/api/v3/reflection":
             store = getattr(self.engine, "_refl_store", None)
             names = ([] if store is None else
@@ -434,6 +458,29 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.startswith("/api/v3/catalog/search"):
+            # CatalogResource.search: substring match over entity names
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query).get(
+                "query", [""])[0].lower()
+            with _ENGINE_LOCK:
+                hits = []
+                for r in self.engine.information_schema_tables().collect():
+                    if q in r["table_name"].lower():
+                        hits.append({"name": r["table_name"],
+                                     "type": r["table_type"],
+                                     "id": f"table/{r['table_name']}"})
+                for sname, sp in self.engine.spaces.items():
+                    if q in sname.lower():
+                        hits.append({"name": sname, "type": "CONTAINER",
+                                     "id": f"space/{sname}"})
+                    for v in sp.vds:
+                        if q in v.lower():
+                            hits.append({"name": f"{sname}.{v}",
+                                         "type": "VIRTUAL_DATASET",
+                                         "id": f"dataset/{sname}.{v}"})
+            return self._send(200, {"data": hits})
         if self.path.rstrip("/") == "/api/v3/reflection":
             try:
                 with _ENGINE_LOCK:

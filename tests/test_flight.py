@@ -869,3 +869,34 @@ def test_flightsql_type_info_and_keys_commands(flight_setup):
                 fsql.command_get_primary_keys("orders"))).read_all()
     finally:
         client.close()
+
+
+def test_rest_catalog_search(spark):
+    """GET /api/v3/catalog/search?query= (CatalogResource.search):
+    substring match over table/space/VDS names."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.create_space("searchsp")
+    eng.create_vds("searchsp", "lineview", "select 1 as one")
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    try:
+        with rq.urlopen(f"http://127.0.0.1:{port}"
+                        f"/api/v3/catalog/search?query=line") as r:
+            hits = _json.loads(r.read())["data"]
+        names = {h["name"] for h in hits}
+        assert "lineitem" in names
+        assert "searchsp.lineview" in names
+        assert all("line" in n.lower() for n in names)
+    finally:
+        server.shutdown()
+        eng.drop_vds("searchsp", "lineview")
