@@ -578,3 +578,47 @@ def test_roaring_roundtrip_property(vals, dense_run):
     want = sorted(poss)
     got = decode_rbm_array(encode_rbm_array(want))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sampled_from(["date_trunc('day', ts)", "date_trunc('month', ts)",
+                     "year(ts)", "month(ts)", "quarter(ts)",
+                     "date_trunc('hour', ts)",
+                     "date_trunc('minute', ts)", "ts"]),
+    st.booleans(),
+)
+def test_by_day_grain_matching_equals_unaccelerated(spark, expr,
+                                                    extra_dim):
+    """Grain-matching property for BY DAY dims: for ANY temporal
+    grouping expression, the engine's answer equals the unaccelerated
+    plan, and the acceleration decision follows the grain rule —
+    day-or-coarser expressions substitute, sub-day and raw ones refuse
+    (the DATE-cast materialization lost those values)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    if not hasattr(spark, "_grain_engine"):
+        load(spark, SF_SMALL, "events").createOrReplaceTempView(
+            "pb_events")
+        eng = Engine(spark)
+        eng.sql("ALTER TABLE pb_events CREATE AGGREGATE REFLECTION "
+                "prop_gr USING DIMENSIONS (event_type, ts BY DAY) "
+                "MEASURES (value (SUM))")
+        spark._grain_engine = eng
+    eng = spark._grain_engine
+    dims = (["event_type"] if extra_dim else []) + [expr]
+    q = (f"select {', '.join(dims)}, "
+         f"cast(sum(value) as decimal(28,4)) as s, count(*) as n "
+         f"from pb_events group by {', '.join(dims)}")
+    got = eng.sql(q)
+    day_ok = any(g in expr for g in
+                 ("'day'", "'month'", "year", "month", "quarter"))
+    assert (eng.last_plan_accelerated == "prop_gr") == day_ok, \
+        (expr, eng.last_plan_accelerated)
+    base = spark.sql(q)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(got) == canon(base), expr
