@@ -357,7 +357,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _run_job(self, jid: str, sql: str) -> None:
         """Execute a statement into the job store (worker thread for
-        async submits; inline for synchronous POSTs)."""
+        async submits; inline for synchronous POSTs).  The worker tags
+        its Spark jobs with the REST job id (setJobGroup is
+        thread-local), so POST /job/{id}/cancel can reach the running
+        stages — the reference's JobsService cancel
+        (JobResource.java:158)."""
+        sc = self.engine.spark.sparkContext
+        sc.setJobGroup(f"rest-job-{jid}",
+                       f"REST async job {jid}", True)
         try:
             with _ENGINE_LOCK:
                 df = self.engine.sql(sql)
@@ -371,6 +378,9 @@ class _Handler(BaseHTTPRequestHandler):
             # serialized.  For a mutating statement engine.sql executes
             # the commit itself, so DML/DDL stays fully serialized.
             rows = df.limit(self.max_stored).collect()
+            job = self.jobs.get(jid)
+            if job is not None and job["state"] == "CANCELED":
+                return  # cancel raced a fast completion: stays CANCELED
             self.jobs.finish(
                 jid, state="COMPLETED",
                 schema=[{"name": f.name,
@@ -380,8 +390,16 @@ class _Handler(BaseHTTPRequestHandler):
                       for r in rows],
                 accelerated_by=accelerated)
         except Exception as e:  # noqa: BLE001 — recorded on the job
+            job = self.jobs.get(jid)
+            if job is not None and job["state"] == "CANCELED":
+                return  # cancellation raced the failure: keep CANCELED
             self.jobs.finish(jid, state="FAILED",
                              error=f"{type(e).__name__}: {e}")
+        finally:
+            # pyspark has no clearJobGroup; reset the thread-locals
+            for k in ("spark.jobGroup.id", "spark.job.description",
+                      "spark.job.interruptOnCancel"):
+                sc.setLocalProperty(k, None)
 
     def _read_json(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)
@@ -481,6 +499,25 @@ class _Handler(BaseHTTPRequestHandler):
                                          "type": "VIRTUAL_DATASET",
                                          "id": f"dataset/{sname}.{v}"})
             return self._send(200, {"data": hits})
+        m_cancel = (self.path.startswith("/api/v3/job/")
+                    and self.path.rstrip("/").endswith("/cancel"))
+        if m_cancel:
+            jid = self.path[len("/api/v3/job/"):].rstrip("/")
+            jid = jid[:-len("/cancel")]
+            job = self.jobs.get(jid)
+            if job is None:
+                return self._send(404, {"errorMessage": f"no job {jid}"})
+            if job["state"] != "RUNNING":
+                return self._send(400, {"errorMessage":
+                                        f"job {jid} already "
+                                        f"{job['state']}"})
+            # flip state FIRST so the worker's failure handler keeps
+            # CANCELED, then kill the tagged Spark stages
+            self.jobs.finish(jid, state="CANCELED",
+                             error="Query cancelled by user")
+            self.engine.spark.sparkContext.cancelJobGroup(
+                f"rest-job-{jid}")
+            return self._send(200, {"id": jid, "jobState": "CANCELED"})
         if self.path.rstrip("/") == "/api/v3/reflection":
             try:
                 with _ENGINE_LOCK:

@@ -900,3 +900,58 @@ def test_rest_catalog_search(spark):
     finally:
         server.shutdown()
         eng.drop_vds("searchsp", "lineview")
+
+
+def test_rest_job_cancel(spark):
+    """POST /api/v3/job/{id}/cancel (JobResource.java:158): a running
+    async job flips to CANCELED and its tagged Spark stages are killed;
+    canceling a finished job errors cleanly."""
+    import json as _json
+    import time as _time
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body).encode() if body is not None else b"",
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # a deliberately slow statement (cartesian-ish aggregation)
+        code, out = call("POST", "/api/v3/sql", {
+            "sql": "select count(*) as n from lineitem a "
+                   "join lineitem b on a.l_partkey = b.l_partkey "
+                   "join lineitem c on b.l_suppkey = c.l_suppkey",
+            "async": True})
+        assert code == 200 and out["jobState"] == "RUNNING"
+        jid = out["id"]
+        _time.sleep(0.3)
+        code, out = call("POST", f"/api/v3/job/{jid}/cancel")
+        if code == 200:  # raced completions are legitimate on tiny data
+            assert out["jobState"] == "CANCELED"
+            _time.sleep(1.0)  # worker must not overwrite the state
+            code, st = call("GET", f"/api/v3/job/{jid}")
+            assert st["jobState"] == "CANCELED"
+            # canceling again errors cleanly
+            code, err = call("POST", f"/api/v3/job/{jid}/cancel")
+            assert code == 400 and "already" in err["errorMessage"]
+        code, _ = call("POST", "/api/v3/job/nope/cancel")
+        assert code == 404
+    finally:
+        server.shutdown()
