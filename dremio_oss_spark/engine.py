@@ -3562,11 +3562,20 @@ class Engine:
                 author=self.session_user)
             return self._status("MERGE",
                                 f"{src}.{key} @ {branch} ({cid})")
-        # VACUUM SOURCE <src>: catalog GC of unreachable locations
-        m = re.match(rf"\s*vacuum\s+source\s+({names})\s*$", query, re.I)
+        # VACUUM SOURCE <src> [OLDER_THAN n unit]: catalog GC of
+        # unreachable locations; OLDER_THAN is the Nessie-GC cutoff —
+        # artifacts younger than the window never delete (protects
+        # in-flight writes whose catalog commit has not landed)
+        mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        m = re.match(
+            rf"\s*vacuum\s+source\s+({names})"
+            r"(?:\s+older_than\s+(\d+)\s*(second|minute|hour|day)s?)?"
+            r"\s*$", query, re.I)
         if m:
+            grace_ms = (int(m.group(2)) * mult[m.group(3).lower()]
+                        * 1000 if m.group(2) else 0)
             removed = dataplane.gc_unreachable(
-                self._versioned_sources[m.group(1)])
+                self._versioned_sources[m.group(1)], grace_ms=grace_ms)
             return self._status("VACUUM SOURCE",
                                 f"removed {len(removed)} locations")
         # OPTIMIZE TABLE <src>.<key> [AT BRANCH b] — bin-pack the
@@ -3606,10 +3615,15 @@ class Engine:
         # history all stays resolvable)
         m = re.match(
             rf"\s*vacuum\s+table\s+({names})\.((?:\w+\.)*\w+)"
-            r"\s+expire\s+snapshots\s*$", query, re.I)
+            r"\s+expire\s+snapshots"
+            r"(?:\s+older_than\s+(\d+)\s*(second|minute|hour|day)s?)?"
+            r"\s*$", query, re.I)
         if m:
+            grace_ms = (int(m.group(3)) * mult[m.group(4).lower()]
+                        * 1000 if m.group(3) else 0)
             removed = dataplane.vacuum_table(
-                self._versioned_sources[m.group(1)], m.group(2))
+                self._versioned_sources[m.group(1)], m.group(2),
+                grace_ms=grace_ms)
             return self._status(
                 "VACUUM TABLE",
                 f"{m.group(1)}.{m.group(2)}: removed {len(removed)} "

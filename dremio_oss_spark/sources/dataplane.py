@@ -605,7 +605,7 @@ def merge_dry_run(root: str, source: str, target: str = "main") -> dict:
             "would_succeed": not conflicts}
 
 
-def gc_unreachable(root: str) -> list[str]:
+def gc_unreachable(root: str, grace_ms: int = 0) -> list[str]:
     """Catalog GC (the Nessie GC role): delete table directories
     referenced ONLY by commits that are no longer reachable from any
     branch or tag — e.g. the CTAS of a branch that was later DROPped
@@ -619,9 +619,18 @@ def gc_unreachable(root: str) -> list[str]:
     refs read and the sweep would be invisible to the reachability set
     and GC would delete the just-created commit file out from under its
     branch head (driver-found r9), so VACUUM serializes with commits —
-    exactly Nessie's GC-vs-commit exclusion."""
+    exactly Nessie's GC-vs-commit exclusion.
+
+    `grace_ms` is the Nessie-GC cutoff policy: artifacts YOUNGER than
+    the grace window never delete, protecting in-flight writes — the
+    lock covers commit() but not the long Spark write BEFORE it, so a
+    table dir created by a CTAS whose catalog commit has not landed yet
+    is "unreachable" only because it is mid-flight.  Production sets
+    this above the longest write (the reference's default cutoff is
+    hours); 0 keeps the eager test-scale behavior."""
     import shutil
 
+    now_ms = int(time.time() * 1000)
     with _lock(root):
         refs = _load_refs(root)
         heads = [c for c in list(refs["branches"].values())
@@ -642,14 +651,23 @@ def gc_unreachable(root: str) -> list[str]:
                 for content in contents:
                     if content and content.get("location"):
                         live.add(content["location"])
-            else:
+            elif now_ms - c.get("ts_ms", 0) >= grace_ms:
                 dead_commits.append(cid)
+            else:
+                # young unreachable commit (e.g. a ref being reassigned
+                # concurrently): within grace, keep its locations live
+                for content in contents:
+                    if content and content.get("location"):
+                        live.add(content["location"])
         removed: list[str] = []
         tables_dir = os.path.join(root, "tables")
         if os.path.isdir(tables_dir):
             for d in sorted(os.listdir(tables_dir)):
                 rel = os.path.join("tables", d)
                 if rel not in live:
+                    if (grace_ms and now_ms - os.path.getmtime(
+                            os.path.join(root, rel)) * 1000 < grace_ms):
+                        continue  # mid-flight write: commit pending
                     shutil.rmtree(os.path.join(root, rel),
                                   ignore_errors=True)
                     removed.append(rel)
@@ -709,7 +727,8 @@ def optimize_table(spark: SparkSession, root: str, branch: str, key: str,
     return cid, before, after
 
 
-def vacuum_table(root: str, key: str) -> list[str]:
+def vacuum_table(root: str, key: str,
+                 grace_ms: int = 0) -> list[str]:
     """VACUUM TABLE on a versioned table: expire underlying Iceberg
     snapshots referenced by NO catalog commit — reachable-history
     snapshots all survive (every branch, tag, and AT COMMIT point keeps
@@ -734,5 +753,12 @@ def vacuum_table(root: str, key: str) -> list[str]:
                     location = content["location"]
         if location is None:
             raise ValueError(f"no table {key!r} in {root}")
+        # grace window (Nessie GC cutoff): a DETACHED snapshot written
+        # by an in-flight DML whose catalog commit has not landed yet
+        # is unreferenced only because it is mid-write — snapshots
+        # younger than the grace never expire
+        older_than = (int(time.time() * 1000) - grace_ms
+                      if grace_ms else None)
         return expire_iceberg_snapshots(
-            os.path.join(root, location), keep_ids=keep)
+            os.path.join(root, location), keep_ids=keep,
+            older_than_ms=older_than)

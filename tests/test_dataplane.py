@@ -617,3 +617,42 @@ def test_optimize_and_vacuum_on_versioned_table(eng, spark):
                    f"AT COMMIT '{pre}'") == 28
     assert _n(eng, f"select count(*) as n from dpsrc.nat "
                    f"AT COMMIT '{mid}'") == 27
+
+
+def test_vacuum_grace_protects_inflight_artifacts(eng):
+    """The Nessie-GC cutoff: VACUUM with OLDER_THAN never deletes
+    artifacts younger than the window — an in-flight write's detached
+    snapshot / table dir is 'unreachable' only because its catalog
+    commit has not landed yet (the lock covers commit(), not the long
+    Spark write before it)."""
+    import os as _os
+
+    from dremio_oss_spark.sources.iceberg import resolve_snapshot
+
+    root = eng._versioned_sources["dpsrc"]
+    eng.sql("CREATE TABLE dpsrc.nat AS select * from nation")
+    # simulate a mid-flight DML: a detached snapshot exists, catalog
+    # commit not yet landed
+    c = dp.state_at(root, "main")["nat"]
+    loc = _os.path.join(root, c["location"])
+    from dremio_oss_spark.sources.iceberg import cow_rewrite_detached
+    sid = cow_rewrite_detached(eng.spark, loc, c["snapshot_id"],
+                               "delete", "n_nationkey = 0")
+    assert sid is not None and sid != c["snapshot_id"]
+    # graceful VACUUM spares the young unreferenced snapshot
+    eng.sql("VACUUM TABLE dpsrc.nat EXPIRE SNAPSHOTS OLDER_THAN 1 HOUR")
+    assert resolve_snapshot(loc, sid) is not None
+    # and a branch mid-creation: simulate with an unreachable commit
+    # younger than the grace — VACUUM SOURCE with OLDER_THAN keeps it
+    eng.sql("CREATE BRANCH tmp IN dpsrc")
+    eng.sql("CREATE TABLE dpsrc.tmp_t AT BRANCH tmp AS "
+            "select * from region")
+    eng.sql("DROP BRANCH tmp IN dpsrc")
+    removed = eng.sql("VACUUM SOURCE dpsrc OLDER_THAN 1 HOUR").first()
+    assert "removed 0 locations" in removed[1]
+    # eager VACUUM (grace 0) reclaims both
+    eng.sql("VACUUM TABLE dpsrc.nat EXPIRE SNAPSHOTS")
+    with pytest.raises(Exception):
+        resolve_snapshot(loc, sid)
+    removed = eng.sql("VACUUM SOURCE dpsrc").first()
+    assert "removed 1 locations" in removed[1]
