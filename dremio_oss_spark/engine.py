@@ -4120,9 +4120,19 @@ class Engine:
         # must invalidate too — a cached plan scanning a GC'd
         # materialization generation would fail or serve stale partials
         # (the reference's PlanCacheSynchronizer role)
-        gen = (self._plan_cache_gen,
-               getattr(getattr(self, "_refl_store", None),
-                       "mutations", 0))
+        store = getattr(self, "_refl_store", None)
+
+        def _gen():
+            # generation also carries the EXPIRED-reflection set: grace
+            # expiry flips with wall-clock time, not a store mutation,
+            # so a cached substituted plan must stop serving the moment
+            # its reflection crosses the grace boundary
+            return (self._plan_cache_gen,
+                    getattr(store, "mutations", 0),
+                    store.expired_fingerprint()
+                    if store is not None else None)
+
+        gen = _gen()
         ent = cache.get(key)
         if ent is not None and ent[0] == gen:
             cache.move_to_end(key)
@@ -4136,9 +4146,8 @@ class Engine:
         # recompute: planning may itself auto-refresh a stale
         # reflection (bumping the store counter); the entry must carry
         # the SETTLED generation or the very next hit re-plans
-        gen = (self._plan_cache_gen,
-               getattr(getattr(self, "_refl_store", None),
-                       "mutations", 0))
+        store = getattr(self, "_refl_store", None)
+        gen = _gen()
         cache[key] = (gen, df,
                       self.last_plan_accelerated,
                       self.last_count_from_metadata)

@@ -542,6 +542,19 @@ class ReflectionStore:
         return (self._now_ms() - refl.last_refresh_ms
                 > pol["refresh_s"] * 1000)
 
+    def expired_fingerprint(self) -> frozenset | None:
+        """Names of currently-EXPIRED reflections, or None when no
+        dataset declares a grace period.  Keys the engine's plan cache:
+        expiry flips with TIME, not with a store mutation, so a cached
+        substituted plan must invalidate the moment its reflection
+        crosses the grace boundary (and vice versa after a refresh)."""
+        if not any(p.get("grace_s") is not None
+                   for p in self.refresh_policies.values()):
+            return None
+        return frozenset(
+            r.name for r in list(self._reflections.values())
+            + list(self._raw.values()) if self.is_expired(r))
+
     def is_expired(self, refl) -> bool:
         """Past the grace period: the materialization must never be
         served again until refreshed (the reference expires

@@ -3115,3 +3115,38 @@ def test_dim_granularity_by_day(spark):
     for n in ("g1", "g2", "g3"):
         store.drop(n)
     spark.catalog.dropTempView("ev_g")
+
+
+def test_plan_cache_invalidates_on_expiry(spark):
+    """Grace expiry flips with TIME, not a store mutation — the plan
+    cache must stop serving a cached SUBSTITUTED plan the moment its
+    reflection crosses the grace boundary (same SELECT text, no
+    intervening statement)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("pc_ord")
+    eng.sql("ALTER TABLE pc_ord CREATE AGGREGATE REFLECTION pc_r "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    eng.sql("ALTER DATASET pc_ord SET ACCELERATION "
+            "REFRESH EVERY 1 SECOND EXPIRE AFTER 600 SECONDS")
+    store = eng._refl_store
+    refl = store._reflections["pc_r"]
+    q = ("select o_orderstatus, sum(o_totalprice) as s from pc_ord "
+         "group by o_orderstatus")
+    eng.sql(q)
+    assert eng.last_plan_accelerated == "pc_r"
+    hits0 = eng.plan_cache_hits
+    eng.sql(q)  # same text: cache hit, still accelerated
+    assert eng.plan_cache_hits == hits0 + 1
+    assert eng.last_plan_accelerated == "pc_r"
+    # cross the grace boundary WITHOUT any statement in between
+    refl.last_refresh_ms = store._now_ms() - 10**9
+    eng.sql(q)
+    assert eng.last_plan_accelerated is None, \
+        "cached substituted plan served past expiry"
+    store.refresh_policies.pop("pc_ord", None)
+    store.drop("pc_r")
+    spark.catalog.dropTempView("pc_ord")
