@@ -606,7 +606,8 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("only VDS entities are updatable")
             space, _, name = rest.partition(".")
             with _ENGINE_LOCK:
-                if name not in self.engine.spaces[space].vds:
+                if (space not in self.engine.spaces
+                        or name not in self.engine.spaces[space].vds):
                     return self._send(
                         404, {"errorMessage": f"no entity {eid}"})
                 # updateCatalogItem on a VDS: re-define (the engine
@@ -641,7 +642,9 @@ class _Handler(BaseHTTPRequestHandler):
                 with _ENGINE_LOCK:
                     if kind == "dataset":
                         space, _, name = rest.partition(".")
-                        if name not in self.engine.spaces[space].vds:
+                        if (space not in self.engine.spaces
+                                or name not in
+                                self.engine.spaces[space].vds):
                             return self._send(
                                 404, {"errorMessage": f"no entity {eid}"})
                         self.engine.drop_vds(space, name)

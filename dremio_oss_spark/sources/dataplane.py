@@ -710,7 +710,10 @@ def optimize_table(spark: SparkSession, root: str, branch: str, key: str,
     files_after)."""
     from .iceberg import optimize_iceberg, resolve_snapshot
 
-    head = _load_refs(root)["branches"][branch]
+    refs = _load_refs(root)
+    if branch not in refs["branches"]:
+        raise ValueError(f"no branch {branch!r} in {root}")
+    head = refs["branches"][branch]
     content = dict(_table_content(root, branch, key))
     if content.get("type") != "ICEBERG_TABLE":
         raise ValueError(f"{key!r} is a view; OPTIMIZE needs a table")
