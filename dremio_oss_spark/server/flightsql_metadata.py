@@ -72,6 +72,8 @@ FLIGHT_SQL_SERVER_NAME = 0
 FLIGHT_SQL_SERVER_VERSION = 1
 FLIGHT_SQL_SERVER_ARROW_VERSION = 2
 FLIGHT_SQL_SERVER_READ_ONLY = 3
+FLIGHT_SQL_SERVER_SQL = 4
+FLIGHT_SQL_SERVER_SUBSTRAIT = 5
 SQL_DDL_CATALOG = 500
 SQL_DDL_SCHEMA = 501
 SQL_DDL_TABLE = 502
@@ -86,6 +88,7 @@ SQL_STRING_FUNCTIONS = 510
 SQL_SYSTEM_FUNCTIONS = 511
 SQL_DATETIME_FUNCTIONS = 512
 SQL_SEARCH_STRING_ESCAPE = 513
+SQL_SUPPORTS_CONVERT = 517
 
 
 def sql_info_values(engine) -> dict[int, object]:
@@ -96,6 +99,8 @@ def sql_info_values(engine) -> dict[int, object]:
         FLIGHT_SQL_SERVER_VERSION: engine.spark.version,
         FLIGHT_SQL_SERVER_ARROW_VERSION: pa.__version__,
         FLIGHT_SQL_SERVER_READ_ONLY: False,
+        FLIGHT_SQL_SERVER_SQL: True,
+        FLIGHT_SQL_SERVER_SUBSTRAIT: False,
         SQL_DDL_CATALOG: False,   # no catalog DDL (catalogs unsupported,
         SQL_DDL_SCHEMA: False,    # same answers as the reference)
         SQL_DDL_TABLE: True,
@@ -117,6 +122,13 @@ def sql_info_values(engine) -> dict[int, object]:
                                  "DATE_ADD", "DATE_TRUNC", "EXTRACT",
                                  "NOW"],
         SQL_SEARCH_STRING_ESCAPE: "\\",
+        # java.sql.Types conversion map (the reference fills this from
+        # ServerMeta convert support, DremioFlightSqlInfoUtils
+        # .getSupportsConvert): numerics interconvert + to VARCHAR(12)
+        SQL_SUPPORTS_CONVERT: {
+            t: [4, -5, 6, 8, 3, 12]
+            for t in (4, -5, 6, 8, 3)  # INTEGER BIGINT FLOAT DOUBLE DECIMAL
+        },
     }
 
 
@@ -210,6 +222,7 @@ def get_sql_info_table(engine, ids: tuple[int, ...] = ()) -> pa.Table:
     bools: list[bool] = []
     ints: list[int] = []
     slists: list[list[str]] = []
+    maps: list[list[tuple]] = []
     type_ids: list[int] = []
     offsets: list[int] = []
     for k in keys:
@@ -226,6 +239,10 @@ def get_sql_info_table(engine, ids: tuple[int, ...] = ()) -> pa.Table:
             type_ids.append(4)
             offsets.append(len(slists))
             slists.append(v)
+        elif isinstance(v, dict):  # int32 -> list<int32> (branch 5)
+            type_ids.append(5)
+            offsets.append(len(maps))
+            maps.append(sorted(v.items()))
         else:
             type_ids.append(0)
             offsets.append(len(strings))
@@ -239,7 +256,7 @@ def get_sql_info_table(engine, ids: tuple[int, ...] = ()) -> pa.Table:
             pa.array(ints, pa.int64()),
             pa.array([], pa.int32()),
             pa.array(slists, pa.list_(pa.utf8())),
-            pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+            pa.array(maps, pa.map_(pa.int32(), pa.list_(pa.int32()))),
         ],
         ["string_value", "bool_value", "bigint_value", "int32_bitmask",
          "string_list", "int32_to_int32_list_map"],

@@ -438,8 +438,14 @@ class _Handler(BaseHTTPRequestHandler):
                 f"ALTER TABLE {ds} CREATE RAW REFLECTION {name} "
                 f"USING DISPLAY ({cols})")
         else:
-            dims = ", ".join(f["name"]
-                             for f in req.get("dimensionFields", []))
+            # ReflectionDimensionField carries an optional granularity
+            # (reflection-intent.proto:79, DATE|NORMAL): DATE renders
+            # as the BY DAY sugar, materializing cast(col as date)
+            dims = ", ".join(
+                f["name"] + (" BY DAY"
+                             if str(f.get("granularity", "")
+                                    ).upper() == "DATE" else "")
+                for f in req.get("dimensionFields", []))
             meas = ", ".join(
                 f"{f['name']} ({', '.join(f.get('measureTypeList') or ['SUM'])})"
                 for f in req.get("measureFields", []))

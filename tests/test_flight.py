@@ -721,6 +721,13 @@ def test_flightsql_get_sql_info_e2e(flight_setup):
     allinfo = flight_metadata(server.port, fsql.command_get_sql_info())
     ids = allinfo.column("info_name").to_pylist()
     assert ids == sorted(ids) and len(ids) >= 15
+    # the map-valued branch (SQL_SUPPORTS_CONVERT, union type id 5)
+    conv = flight_metadata(
+        server.port,
+        fsql.command_get_sql_info(meta.SQL_SUPPORTS_CONVERT))
+    m = conv.column("value").to_pylist()[0]
+    m = dict(m) if not isinstance(m, dict) else m
+    assert 12 in m[4], m  # INTEGER converts to VARCHAR
 
 
 def test_rest_catalog_crud_and_reflections(spark):
@@ -954,4 +961,45 @@ def test_rest_job_cancel(spark):
         code, _ = call("POST", "/api/v3/job/nope/cancel")
         assert code == 404
     finally:
+        server.shutdown()
+
+
+def test_rest_reflection_dimension_granularity(spark):
+    """REST Reflection bodies carry per-dimension granularity
+    (reflection-intent.proto:79, DATE|NORMAL): DATE materializes the
+    dim as cast(col as date), exactly the SQL BY DAY sugar."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    try:
+        req = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/reflection",
+            data=_json.dumps({
+                "type": "AGGREGATION", "name": "rest_gran",
+                "datasetId": "events",
+                "dimensionFields": [
+                    {"name": "event_type"},
+                    {"name": "ts", "granularity": "DATE"}],
+                "measureFields": [{"name": "value",
+                                   "measureTypeList": ["SUM"]}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            assert r.status == 200
+        refl = eng._refl_store._reflections["rest_gran"]
+        assert refl.granularity == {"ts": "day"}
+        mat = spark.read.parquet(eng._refl_store._data_dir(refl))
+        assert dict(mat.dtypes)["ts"] == "date"
+    finally:
+        eng._refl_store.drop("rest_gran")
         server.shutdown()
