@@ -1147,12 +1147,22 @@ class Engine:
                if (dataset is None or r.table == dataset)
                and (store.is_due(r) or r.invalid)]
         ordered = self._refl_dependency_order(due)
+        done: list[str] = []
         for r in ordered:
-            self._refresh_stale_reflection(r)
+            try:
+                self._refresh_stale_reflection(r)
+            except Exception:  # noqa: BLE001 — quarantine, keep going
+                # same fail-safe contract as auto-refresh: one broken
+                # reflection (base dropped, column gone) must not fail
+                # the whole due list; it quarantines INVALID and stops
+                # matching until repaired
+                r.invalid = True
+                continue
             r.stale = False
             r.invalid = False
             store._stamp(r)
-        return [r.name for r in ordered]
+            done.append(r.name)
+        return done
 
     def _vds_sql_of(self, dataset: str) -> str | None:
         """The defining SQL when `dataset` names a VDS (flat or dotted

@@ -3150,3 +3150,32 @@ def test_plan_cache_invalidates_on_expiry(spark):
     store.refresh_policies.pop("pc_ord", None)
     store.drop("pc_r")
     spark.catalog.dropTempView("pc_ord")
+
+
+def test_refresh_reflections_quarantines_broken_entries(spark):
+    """One broken reflection (its base view dropped) must not fail the
+    whole REFRESH REFLECTIONS batch: it quarantines INVALID and the
+    healthy reflections still refresh (the auto-refresh fail-safe
+    contract applied to the due list)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("rr_ok")
+    load(spark, SF_SMALL, "nation").createOrReplaceTempView("rr_gone")
+    eng.sql("ALTER TABLE rr_ok CREATE AGGREGATE REFLECTION rr_good "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    eng.sql("ALTER TABLE rr_gone CREATE AGGREGATE REFLECTION rr_bad "
+            "USING DIMENSIONS (n_regionkey) MEASURES (n_nationkey (MIN))")
+    store = eng._refl_store
+    store._reflections["rr_good"].stale = True
+    store._reflections["rr_bad"].stale = True
+    spark.catalog.dropTempView("rr_gone")  # break rr_bad's base
+    names = eng.refresh_due_reflections()
+    assert names == ["rr_good"], names
+    assert store._reflections["rr_bad"].invalid
+    assert not store._reflections["rr_good"].stale
+    for n in ("rr_good", "rr_bad"):
+        store.drop(n)
+    spark.catalog.dropTempView("rr_ok")
