@@ -143,6 +143,9 @@ class _Handler(BaseHTTPRequestHandler):
     max_stored = 10_000    # per-job stored-row cap for paging
     token: str | None = None
     jobs: _Jobs = None
+    # saved SQL scripts (the reference's ScriptsResource.java:61 — the
+    # SQL-runner's persistence surface): id -> {name, content, ...}
+    scripts: dict = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -301,6 +304,22 @@ class _Handler(BaseHTTPRequestHandler):
                                          "type": "VIRTUAL_DATASET",
                                          "id": f"dataset/{sname}.{v}"})
             return self._send(200, {"data": hits})
+        from urllib.parse import parse_qs, urlparse
+
+        if urlparse(self.path).path.rstrip("/") == "/api/v3/scripts":
+            q = parse_qs(urlparse(self.path).query)
+            search = (q.get("search", [""])[0] or "").lower()
+            data = [sc for sc in self.scripts.values()
+                    if search in sc["name"].lower()]
+            data.sort(key=lambda sc: sc["name"])
+            return self._send(200, {"data": data, "total": len(data)})
+        if self.path.startswith("/api/v3/scripts/"):
+            sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
+            sc = self.scripts.get(sid)
+            if sc is None:
+                return self._send(404,
+                                  {"errorMessage": f"no script {sid}"})
+            return self._send(200, sc)
         if self.path.rstrip("/") == "/api/v3/reflection":
             store = getattr(self.engine, "_refl_store", None)
             names = ([] if store is None else
@@ -505,6 +524,32 @@ class _Handler(BaseHTTPRequestHandler):
                                          "type": "VIRTUAL_DATASET",
                                          "id": f"dataset/{sname}.{v}"})
             return self._send(200, {"data": hits})
+        if self.path.rstrip("/") == "/api/v3/scripts":
+            import time as _time
+            import uuid as _uuid
+
+            try:
+                req = self._read_json()
+                sid = _uuid.uuid4().hex[:16]
+                sc = {"id": sid, "name": req["name"],
+                      "content": req["content"],
+                      "createdAt": int(_time.time() * 1000),
+                      "modifiedAt": int(_time.time() * 1000)}
+                self.scripts[sid] = sc
+                return self._send(200, sc)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/scripts:batchDelete":
+            try:
+                ids = self._read_json().get("ids", [])
+                deleted = [i for i in ids if self.scripts.pop(i, None)]
+                return self._send(200, {"deleted": deleted,
+                                        "notFound": [i for i in ids
+                                                     if i not in deleted]})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         m_cancel = (self.path.startswith("/api/v3/job/")
                     and self.path.rstrip("/").endswith("/cancel"))
         if m_cancel:
@@ -524,6 +569,22 @@ class _Handler(BaseHTTPRequestHandler):
             self.engine.spark.sparkContext.cancelJobGroup(
                 f"rest-job-{jid}")
             return self._send(200, {"id": jid, "jobState": "CANCELED"})
+        from urllib.parse import parse_qs, urlparse
+
+        if urlparse(self.path).path.rstrip("/") == "/api/v3/scripts":
+            q = parse_qs(urlparse(self.path).query)
+            search = (q.get("search", [""])[0] or "").lower()
+            data = [sc for sc in self.scripts.values()
+                    if search in sc["name"].lower()]
+            data.sort(key=lambda sc: sc["name"])
+            return self._send(200, {"data": data, "total": len(data)})
+        if self.path.startswith("/api/v3/scripts/"):
+            sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
+            sc = self.scripts.get(sid)
+            if sc is None:
+                return self._send(404,
+                                  {"errorMessage": f"no script {sid}"})
+            return self._send(200, sc)
         if self.path.rstrip("/") == "/api/v3/reflection":
             try:
                 with _ENGINE_LOCK:
@@ -601,6 +662,23 @@ class _Handler(BaseHTTPRequestHandler):
 
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        if self.path.startswith("/api/v3/scripts/"):
+            import time as _time
+
+            sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
+            sc = self.scripts.get(sid)
+            if sc is None:
+                return self._send(404,
+                                  {"errorMessage": f"no script {sid}"})
+            try:
+                req = self._read_json()
+                sc.update({k: req[k] for k in ("name", "content")
+                           if k in req})
+                sc["modifiedAt"] = int(_time.time() * 1000)
+                return self._send(200, sc)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if not self.path.startswith("/api/v3/catalog/"):
             return self._send(404, {"errorMessage":
                                     f"no route {self.path}"})
@@ -629,6 +707,12 @@ class _Handler(BaseHTTPRequestHandler):
 
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        if self.path.startswith("/api/v3/scripts/"):
+            sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
+            if self.scripts.pop(sid, None) is None:
+                return self._send(404,
+                                  {"errorMessage": f"no script {sid}"})
+            return self._send(200, {"deleted": sid})
         try:
             if self.path.startswith("/api/v3/reflection/"):
                 name = unquote(
@@ -686,7 +770,8 @@ def serve_rest_background(engine, port: int = 0,
     `server.server_address[1]` is the bound port, `server.shutdown()`
     stops it."""
     handler = type("BoundHandler", (_Handler,),
-                   {"engine": engine, "token": token, "jobs": _Jobs()})
+                   {"engine": engine, "token": token, "jobs": _Jobs(),
+                    "scripts": {}})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

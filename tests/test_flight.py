@@ -1003,3 +1003,62 @@ def test_rest_reflection_dimension_granularity(spark):
     finally:
         eng._refl_store.drop("rest_gran")
         server.shutdown()
+
+
+def test_rest_scripts_crud(spark):
+    """Saved SQL scripts CRUD (ScriptsResource.java:61): create, list
+    with search, get, update, single + batch delete — and a stored
+    script runs through the SQL route."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, sc = call("POST", "/api/v3/scripts",
+                        {"name": "daily rollup",
+                         "content": "select count(*) as n from orders"})
+        assert code == 200 and sc["id"]
+        sid = sc["id"]
+        code, sc2 = call("POST", "/api/v3/scripts",
+                         {"name": "other", "content": "select 1"})
+        code, lst = call("GET", "/api/v3/scripts?search=daily")
+        assert [x["name"] for x in lst["data"]] == ["daily rollup"]
+        code, got = call("GET", f"/api/v3/scripts/{sid}")
+        assert got["content"].startswith("select count")
+        # the stored script runs through the SQL route
+        code, out = call("POST", "/api/v3/sql", {"sql": got["content"]})
+        assert code == 200 and out["rows"][0]["n"] > 0
+        code, upd = call("PUT", f"/api/v3/scripts/{sid}",
+                         {"content": "select 2 as two"})
+        assert upd["content"] == "select 2 as two"
+        assert upd["modifiedAt"] >= upd["createdAt"]
+        code, res = call("POST", "/api/v3/scripts:batchDelete",
+                         {"ids": [sid, "nope"]})
+        assert res["deleted"] == [sid] and res["notFound"] == ["nope"]
+        code, _ = call("DELETE", f"/api/v3/scripts/{sc2['id']}")
+        assert code == 200
+        code, lst = call("GET", "/api/v3/scripts")
+        assert lst["total"] == 0
+    finally:
+        server.shutdown()
