@@ -1501,12 +1501,23 @@ class Engine:
         store = getattr(self, "_refl_store", None)
         if store is None or not self._auto_refresh_enabled():
             return
+        # time-DUE refresh is OPT-IN (the reference refreshes due
+        # reflections from a background scheduler, never inline — the
+        # default here matches: DUE keeps serving until REFRESH
+        # REFLECTIONS or expiry; the conf trades first-query latency
+        # for inline freshness where no scheduler exists)
+        auto_due = str(self.spark.conf.get(
+            "spark.dremio.reflections.autoRefreshDue",
+            "false")).lower() == "true"
         for refl in list(store._reflections.values()) + list(
                 store._raw.values()):
-            if getattr(refl, "stale", False):
+            if (getattr(refl, "stale", False)
+                    or (auto_due and store.is_due(refl))):
                 try:
                     self._refresh_stale_reflection(refl)
+                    refl.stale = False
                     refl.invalid = False
+                    store._stamp(refl)
                 except Exception:  # noqa: BLE001 — quarantine, don't raise
                     refl.invalid = True
 

@@ -3179,3 +3179,37 @@ def test_refresh_reflections_quarantines_broken_entries(spark):
     for n in ("rr_good", "rr_bad"):
         store.drop(n)
     spark.catalog.dropTempView("rr_ok")
+
+
+def test_auto_refresh_due_conf(spark):
+    """spark.dremio.reflections.autoRefreshDue=true refreshes time-DUE
+    reflections inline at the substitution probe (the scheduler-less
+    deployment knob); default off keeps serving the last build."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("ad_ord")
+    eng.sql("ALTER TABLE ad_ord CREATE AGGREGATE REFLECTION ad_r "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    eng.sql("ALTER DATASET ad_ord SET ACCELERATION "
+            "REFRESH EVERY 1 SECOND NEVER EXPIRE")
+    store = eng._refl_store
+    refl = store._reflections["ad_r"]
+    # default: DUE does not refresh inline
+    refl.last_refresh_ms = store._now_ms() - 60_000
+    eng.sql("select o_orderstatus, sum(o_totalprice) as s1 "
+            "from ad_ord group by o_orderstatus")
+    assert store.is_due(refl), "still due — no inline refresh by default"
+    spark.conf.set("spark.dremio.reflections.autoRefreshDue", "true")
+    try:
+        eng.sql("select o_orderstatus, sum(o_totalprice) as s2 "
+                "from ad_ord group by o_orderstatus")
+        assert eng.last_plan_accelerated == "ad_r"
+        assert not store.is_due(refl), "inline refresh must re-stamp"
+    finally:
+        spark.conf.unset("spark.dremio.reflections.autoRefreshDue")
+    store.refresh_policies.pop("ad_ord", None)
+    store.drop("ad_r")
+    spark.catalog.dropTempView("ad_ord")
