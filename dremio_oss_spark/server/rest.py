@@ -585,6 +585,34 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404,
                                   {"errorMessage": f"no script {sid}"})
             return self._send(200, sc)
+        if (self.path.startswith("/api/v3/catalog/file/")
+                and not m_refresh):
+            # promoteToDataset (CatalogResource.java:116): format a
+            # folder/file of parquet as a named PHYSICAL dataset with a
+            # PINNED file listing (engine.promote_folder_dataset — the
+            # reference's folder auto-promotion); the id addresses the
+            # filesystem path, the body names the dataset
+            fs_path = unquote(
+                self.path[len("/api/v3/catalog/file/"):].rstrip("/"))
+            if not fs_path.startswith("/"):
+                fs_path = "/" + fs_path
+            try:
+                req = self._read_json()
+                name = (req.get("path") or [None])[-1] or req.get("name")
+                if not name:
+                    raise ValueError("body needs path or name")
+                with _ENGINE_LOCK:
+                    n = self.engine.promote_folder_dataset(name, fs_path)
+                return self._send(200, {
+                    "entityType": "dataset",
+                    "type": "PHYSICAL_DATASET",
+                    "id": f"table/{name}", "path": [name],
+                    "fileCount": n})
+            except FileNotFoundError as e:
+                return self._send(404, {"errorMessage": str(e)})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if self.path.rstrip("/") == "/api/v3/reflection":
             try:
                 with _ENGINE_LOCK:

@@ -1062,3 +1062,55 @@ def test_rest_scripts_crud(spark):
         assert lst["total"] == 0
     finally:
         server.shutdown()
+
+
+def test_rest_promote_to_dataset(spark, tmp_path):
+    """POST /api/v3/catalog/file/{path} with a Dataset body promotes a
+    parquet folder to a named physical dataset with a pinned file
+    listing (CatalogResource.java:116 promoteToDataset)."""
+    import json as _json
+    import urllib.parse as up
+    import urllib.request as rq
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    d = str(tmp_path / "folderds")
+    spark.range(100).toDF("k").repartition(3).write.parquet(d)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    try:
+        req = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/catalog/file/"
+            + up.quote(d.lstrip("/"), safe=""),
+            data=_json.dumps({"entityType": "dataset",
+                              "type": "PHYSICAL_DATASET",
+                              "path": ["promoted_ds"]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            out = _json.loads(r.read())
+        assert out["type"] == "PHYSICAL_DATASET"
+        assert out["fileCount"] == 3
+        assert spark.table("promoted_ds").count() == 100
+        # promoted datasets are queryable + refreshable over REST
+        req2 = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/catalog/"
+            "table/promoted_ds/refresh", data=b"",
+            headers={"Content-Type": "application/json"})
+        with rq.urlopen(req2) as r:
+            assert _json.loads(r.read())["refreshed"]
+        # missing path -> 404 envelope
+        req3 = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/catalog/file/"
+            + up.quote("/no/such/dir", safe=""),
+            data=_json.dumps({"path": ["nope"]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            rq.urlopen(req3)
+            raise AssertionError("expected 404")
+        except rq.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        spark.catalog.dropTempView("promoted_ds")
