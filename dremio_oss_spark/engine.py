@@ -1142,9 +1142,18 @@ class Engine:
         or older than its dataset's refresh period) in dependency
         order; returns the refreshed names in execution order."""
         store = self._default_refl_store()
+
+        # ALTER VDS space.name ... passes the dotted form while a
+        # VDS-backed reflection may record the flattened temp-view name
+        # (_flat); canonicalize both sides so neither form silently
+        # refreshes nothing
+        def _canon(name: str) -> str:
+            return name.replace(".", "__").lower()
+
+        want = _canon(dataset) if dataset is not None else None
         due = [r for r in (list(store._reflections.values())
                            + list(store._raw.values()))
-               if (dataset is None or r.table == dataset)
+               if (want is None or _canon(r.table) == want)
                and (store.is_due(r) or r.invalid)]
         ordered = self._refl_dependency_order(due)
         done: list[str] = []

@@ -1118,6 +1118,7 @@ class ReflectionStore:
                 refl, lambda p: self._write_data(refl, merged, p))
         refl.base_version = head
         self._write_meta(refl)
+        self._stamp(refl)
         return n_new
 
     def _write_meta(self, refl: Reflection) -> None:

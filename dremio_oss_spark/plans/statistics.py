@@ -39,7 +39,18 @@ def _fan_out(df: DataFrame) -> DataFrame:
     inputs pass through untouched and the aggregate's map side runs on
     the scan partitions directly."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
+    # decide width WITHOUT materializing the RDD lineage
+    # (df.rdd.getNumPartitions() builds the whole RDD DAG just to count
+    # splits — driver-side planning cost paid on every ANALYZE of a
+    # wide lake scan).  inputFiles() answers from the already-resolved
+    # file index; Spark splits files >= maxPartitionBytes further, so
+    # file count is a LOWER bound on scan partitions — if even the file
+    # count clears the core count, the scan is certainly wide enough.
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file relation (VALUES, view)
+        files = []
+    if len(files) < n_part:
         return df.repartition(n_part)
     return df
 

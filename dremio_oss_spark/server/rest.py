@@ -124,13 +124,22 @@ class _Jobs:
 
     def finish(self, jid: str, **fields) -> None:
         with self._lock:
+            job = self._jobs.get(jid)
+            if job is None:
+                return
+            # CANCELED is terminal: a worker's COMPLETED/FAILED landing
+            # after a cancel must not overwrite what the client was
+            # already told (check-and-set under THIS lock — the worker's
+            # own pre-check races otherwise)
+            state = fields.pop("state", None)
+            if job["state"] == "CANCELED" and state != "CANCELED":
+                return
             # state flips LAST: readers poll job["state"] without this
             # lock, so rows/schema must be in place before COMPLETED is
             # observable (dict.update applies kwargs in caller order)
-            state = fields.pop("state", None)
-            self._jobs[jid].update(fields)
+            job.update(fields)
             if state is not None:
-                self._jobs[jid]["state"] = state
+                job["state"] = state
 
     def get(self, jid: str) -> dict | None:
         with self._lock:
@@ -569,22 +578,6 @@ class _Handler(BaseHTTPRequestHandler):
             self.engine.spark.sparkContext.cancelJobGroup(
                 f"rest-job-{jid}")
             return self._send(200, {"id": jid, "jobState": "CANCELED"})
-        from urllib.parse import parse_qs, urlparse
-
-        if urlparse(self.path).path.rstrip("/") == "/api/v3/scripts":
-            q = parse_qs(urlparse(self.path).query)
-            search = (q.get("search", [""])[0] or "").lower()
-            data = [sc for sc in self.scripts.values()
-                    if search in sc["name"].lower()]
-            data.sort(key=lambda sc: sc["name"])
-            return self._send(200, {"data": data, "total": len(data)})
-        if self.path.startswith("/api/v3/scripts/"):
-            sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
-            sc = self.scripts.get(sid)
-            if sc is None:
-                return self._send(404,
-                                  {"errorMessage": f"no script {sid}"})
-            return self._send(200, sc)
         if (self.path.startswith("/api/v3/catalog/file/")
                 and not m_refresh):
             # promoteToDataset (CatalogResource.java:116): format a

@@ -223,7 +223,7 @@ def commit(root: str, branch: str, operations: dict[str, dict | None],
         seq = refs.get("seq")
         if seq is None:
             seq = max(
-                (int(fn.split("-")[0][1:]) for fn in
+                (int(fn[:-5].split("-")[0][1:]) for fn in
                  os.listdir(_commits_dir(root)) if fn.endswith(".json")),
                 default=0)
         seq += 1

@@ -656,3 +656,23 @@ def test_vacuum_grace_protects_inflight_artifacts(eng):
         resolve_snapshot(loc, sid)
     removed = eng.sql("VACUUM SOURCE dpsrc").first()
     assert "removed 1 locations" in removed[1]
+
+
+def test_seq_fallback_parses_new_format_commit_ids(eng):
+    """A refs.json REBUILT without the seq counter (restore/repair)
+    must re-derive the sequence from the commit file names, including
+    NEW-format deterministic ids `c000001.json` — int("000001.json")
+    raised ValueError before the extension strip (advisor-found r10)."""
+    root = eng._versioned_sources["dpsrc"]
+    dp.commit(root, "main", {"a": {"type": "ICEBERG_VIEW", "sql": "x"}},
+              "one")
+    dp.commit(root, "main", {"b": {"type": "ICEBERG_VIEW", "sql": "y"}},
+              "two")
+    refs = dp._load_refs(root)
+    last = refs["seq"]
+    refs.pop("seq")            # simulate a pre-counter / rebuilt store
+    dp._store_refs(root, refs)
+    cid = dp.commit(root, "main",
+                    {"c": {"type": "ICEBERG_VIEW", "sql": "z"}}, "three")
+    assert cid == f"c{last + 1:06d}"
+    assert dp._load_refs(root)["seq"] == last + 1

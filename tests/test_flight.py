@@ -1046,6 +1046,13 @@ def test_rest_scripts_crud(spark):
         assert [x["name"] for x in lst["data"]] == ["daily rollup"]
         code, got = call("GET", f"/api/v3/scripts/{sid}")
         assert got["content"].startswith("select count")
+        # POST with a query string / id suffix is NOT a GET alias
+        # (advisor-found r10: copied list/get branches in do_POST made
+        # these return listings instead of errors)
+        code, out = call("POST", "/api/v3/scripts?search=daily", {})
+        assert code == 404 and "data" not in out
+        code, out = call("POST", f"/api/v3/scripts/{sid}", {})
+        assert code == 404 and "content" not in out
         # the stored script runs through the SQL route
         code, out = call("POST", "/api/v3/sql", {"sql": got["content"]})
         assert code == 200 and out["rows"][0]["n"] > 0
@@ -1114,3 +1121,26 @@ def test_rest_promote_to_dataset(spark, tmp_path):
     finally:
         server.shutdown()
         spark.catalog.dropTempView("promoted_ds")
+
+
+def test_jobs_finish_canceled_is_terminal():
+    """_Jobs.finish refuses to transition out of CANCELED (check-and-set
+    under the store lock): a worker's COMPLETED landing after a cancel
+    must not overwrite what the client was already told (advisor-found
+    r10 race between the worker's state read and its finish call)."""
+    from dremio_oss_spark.server.rest import _Jobs
+
+    jobs = _Jobs()
+    jid = jobs.create()
+    jobs.finish(jid, state="CANCELED", error="Query cancelled by user")
+    # late worker completion: ignored wholesale (state AND fields)
+    jobs.finish(jid, state="COMPLETED", rows=[{"n": 1}],
+                schema=[{"name": "n", "type": "bigint"}])
+    job = jobs.get(jid)
+    assert job["state"] == "CANCELED" and job["rows"] == []
+    # late failure: equally ignored
+    jobs.finish(jid, state="FAILED", error="boom")
+    assert jobs.get(jid)["state"] == "CANCELED"
+    assert jobs.get(jid)["error"] == "Query cancelled by user"
+    # unknown job id is a no-op, not a KeyError
+    jobs.finish("nope", state="COMPLETED")

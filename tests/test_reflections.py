@@ -3213,3 +3213,65 @@ def test_auto_refresh_due_conf(spark):
     store.refresh_policies.pop("ad_ord", None)
     store.drop("ad_r")
     spark.catalog.dropTempView("ad_ord")
+
+
+def test_snapshot_incremental_refresh_stamps(spark, tmp_path):
+    """A successful snapshot-diff incremental refresh must re-stamp
+    last_refresh_ms like the full-refresh and CDF paths do — otherwise
+    the reflection appears DUE/EXPIRED right after refreshing
+    (advisor-found r10)."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.plans import Measure
+    from dremio_oss_spark.plans.reflections import ReflectionStore
+    from dremio_oss_spark.sources.delta import write_delta
+
+    store = ReflectionStore(spark, str(tmp_path / "refl"))
+    t = str(tmp_path / "d")
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("v"))
+    write_delta(spark, df, t)
+    store.create_aggregation_reflection(
+        "st_r", spark.createDataFrame([], df.schema), "st_tbl", ["g"],
+        [Measure("count", "*")])
+    store.snapshot_incremental_refresh("st_r", t)  # full build
+    refl = store._reflections["st_r"]
+    write_delta(spark, df, t, mode="append")
+    refl.last_refresh_ms = 0  # pretend ancient
+    assert store.snapshot_incremental_refresh("st_r", t) == 20
+    assert refl.last_refresh_ms > 0, \
+        "merge branch must _stamp like the CDF path"
+    # the zero-new fast path also counts as a successful refresh
+    refl.last_refresh_ms = 0
+    assert store.snapshot_incremental_refresh("st_r", t) == 0
+    store.drop("st_r")
+
+
+def test_refresh_reflections_for_dotted_vds_name(spark):
+    """ALTER VDS space.name REFRESH REFLECTIONS passes the dotted form
+    while VDS-backed reflections record the flattened temp-view name —
+    the per-dataset filter must match through either spelling
+    (advisor-found r10: dotted form silently refreshed nothing)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("dn_base")
+    eng.create_vds("dnsp", "v1",
+                   "select o_orderstatus, o_totalprice from dn_base")
+    eng.sql("ALTER TABLE dnsp__v1 CREATE AGGREGATE REFLECTION dn_r "
+            "USING DIMENSIONS (o_orderstatus) "
+            "MEASURES (o_totalprice (SUM))")
+    store = eng._refl_store
+    store._reflections["dn_r"].stale = True
+    # dotted form reaches the flat-recorded reflection
+    out = eng.sql("ALTER VDS dnsp.v1 REFRESH REFLECTIONS").first()
+    assert "dn_r" in out[1], out
+    assert not store._reflections["dn_r"].stale
+    # flat form keeps working too
+    store._reflections["dn_r"].stale = True
+    assert eng.refresh_due_reflections("dnsp__v1") == ["dn_r"]
+    store.drop("dn_r")
+    eng.drop_vds("dnsp", "v1")
+    spark.catalog.dropTempView("dn_base")
