@@ -203,6 +203,11 @@ class Engine:
         self.session_user: str = "$dremio$"
         self._query_seq = 0
         self._last_query_id: str | None = None
+        # per-job telemetry (reference services/jobtelemetry +
+        # JobProfileResource.java:64): profiles land here from the REST
+        # server and from profiled_sql(); sys.jobs reads it back
+        from .plans.telemetry import JobTelemetryStore
+        self.job_telemetry = JobTelemetryStore()
         # USE BRANCH|TAG|REF|COMMIT session version context
         # (versionSupport.ftl SqlUseVersion): global default + per-path
         # (USE ... IN '<path>') overrides; explicit AT clauses win
@@ -629,20 +634,72 @@ class Engine:
             "materialization string, dataset string, n_files int, "
             "bytes long, watermark string").where("materialization <> ''")
 
+    _SYS_JOBS_SCHEMA = (
+        "job_id string, status string, n_stages int, query_type string, "
+        "user_name string, sql string, start_ms long, end_ms long, "
+        "planning_ms double, execution_ms double, accelerated_by string, "
+        "rows_returned long")
+
     def sys_jobs(self) -> DataFrame:
-        """sys.jobs equivalent: active + recent Spark jobs from the
-        status tracker (reference exposes the jobs service as a system
-        table)."""
+        """sys.jobs (the reference's jobs service as a system table,
+        SystemTable JOBS / JobsListingResource.java:63): tracked query
+        jobs from the telemetry store — SQL text, user, planning and
+        execution wall, acceleration, rows — plus any live untracked
+        Spark jobs from the status tracker."""
+        rows: list[tuple] = list(self.job_telemetry.rows_for_sys_jobs())
+        seen_live = {r[0] for r in rows}
         st = self.spark.sparkContext.statusTracker()
-        rows = []
         for jid in sorted(st.getActiveJobsIds()):
             info = st.getJobInfo(jid)
-            if info:
-                rows.append((jid, str(info.status), len(info.stageIds)))
+            if info and str(jid) not in seen_live:
+                rows.append((str(jid), str(info.status),
+                             len(info.stageIds), "SPARK", None, None,
+                             None, None, None, None, None, None))
         return self.spark.createDataFrame(
-            rows or [(-1, "", 0)],
-            "job_id int, status string, n_stages int",
-        ).where("job_id >= 0")
+            rows or [("", "", 0, "", None, None, None, None, None,
+                      None, None, None)],
+            self._SYS_JOBS_SCHEMA,
+        ).where("job_id <> ''")
+
+    def profiled_sql(self, query: str, user: str | None = None,
+                     query_type: str = "LIBRARY"):
+        """Plan a statement WITH telemetry capture: registers the job,
+        times planning, records the acceleration outcome.  Returns
+        (DataFrame, job_id); the caller completes the profile after
+        executing via `finish_job` (execution is lazy — planning wall
+        is all that exists at sql() time).  This is the library-level
+        JobsService submit (reference LocalJobsService.submitJob)."""
+        import time as _time
+        import uuid as _uuid
+
+        jid = _uuid.uuid4().hex[:16]
+        tel = self.job_telemetry
+        tel.start(jid, query, user or self.session_user, query_type)
+        t0 = _time.perf_counter()
+        try:
+            df = self.sql(query)
+        except Exception as e:  # noqa: BLE001 — profile the failure too
+            tel.complete(jid, state="FAILED",
+                         error=f"{type(e).__name__}: {e}")
+            raise
+        tel.planned(jid, (_time.perf_counter() - t0) * 1000,
+                    accelerated_by=getattr(
+                        self, "last_plan_accelerated", None))
+        return df, jid
+
+    def finish_job(self, jid: str, df: DataFrame | None = None,
+                   state: str = "COMPLETED",
+                   execution_ms: float | None = None,
+                   row_count: int | None = None,
+                   error: str | None = None,
+                   job_group: str | None = None) -> None:
+        """Complete a profiled job: snapshot the executed plan's
+        operator metrics and the job group's stage metrics into the
+        telemetry store (JobProfileResource's QueryProfile capture)."""
+        self.job_telemetry.complete(
+            jid, state=state, df=df, execution_ms=execution_ms,
+            row_count=row_count, error=error,
+            sc=self.spark.sparkContext, job_group=job_group)
 
     def sys_options(self) -> DataFrame:
         keys = [

@@ -16,6 +16,14 @@ JOB; `GET /api/v3/job/{id}` polls its state and
 - GET  /api/v3/job/{id}          {"jobState": RUNNING|COMPLETED|FAILED,
                                   "rowCount", "errorMessage"?}
 - GET  /api/v3/job/{id}/results  ?offset=&limit= pages stored rows
+- GET  /api/v3/job/{id}/profile  the query profile captured at
+                         execution time (JobProfileResource.java:64):
+                         executed plan text, per-stage task metrics,
+                         per-operator SQLMetrics, planning/execution
+                         wall split, acceleration
+- GET  /api/v3/jobs-listing      filterable/sortable job summaries
+                         (JobsListingResource.java:63-132):
+                         ?filter=&state=&user=&sort=&order=&offset=&limit=
 - GET  /api/v3/catalog   table/view/space listing (INFORMATION_SCHEMA
                          shape + space containers)
 - GET  /health           liveness probe
@@ -352,6 +360,17 @@ class _Handler(BaseHTTPRequestHandler):
             u = urlparse(self.path)
             parts = u.path.rstrip("/").split("/")
             jid = parts[4] if len(parts) > 4 else ""
+            if len(parts) == 6 and parts[5] == "profile":
+                # GET /api/v3/job/{id}/profile — the reference's query
+                # profile (JobProfileResource.java:64): plan text +
+                # per-phase stage metrics + per-operator SQLMetrics;
+                # answers for library-profiled jobs too, so the lookup
+                # is telemetry-first
+                prof = self.engine.job_telemetry.profile(jid)
+                if prof is None:
+                    return self._send(404, {"errorMessage":
+                                            f"no profile for job {jid}"})
+                return self._send(200, prof)
             job = self.jobs.get(jid)
             if job is None:
                 return self._send(404, {"errorMessage": f"no job {jid}"})
@@ -381,6 +400,25 @@ class _Handler(BaseHTTPRequestHandler):
                     "schema": job["schema"], "rows": page,
                     "rowCount": len(job["rows"]),
                     "offset": offset, "returned": len(page)})
+        if urlparse(self.path).path.rstrip("/") == "/api/v3/jobs-listing":
+            # filterable jobs listing (JobsListingResource.java:92-132):
+            # ?filter=<sql substring>&state=&user=&sort=&order=&offset=&limit=
+            q = parse_qs(urlparse(self.path).query)
+
+            def one(key, default=""):
+                return q.get(key, [default])[0]
+
+            try:
+                listing = self.engine.job_telemetry.listing(
+                    filter_text=one("filter"), state=one("state"),
+                    user=one("user"), sort=one("sort", "startTime"),
+                    order=one("order", "desc"),
+                    offset=int(one("offset", "0")),
+                    limit=int(one("limit", "100")))
+            except ValueError:
+                return self._send(400, {"errorMessage":
+                                        "bad offset/limit"})
+            return self._send(200, listing)
         return self._send(404, {"errorMessage": f"no route {self.path}"})
 
     def _run_job(self, jid: str, sql: str) -> None:
@@ -390,14 +428,21 @@ class _Handler(BaseHTTPRequestHandler):
         thread-local), so POST /job/{id}/cancel can reach the running
         stages — the reference's JobsService cancel
         (JobResource.java:158)."""
+        import time as _time
+
         sc = self.engine.spark.sparkContext
         sc.setJobGroup(f"rest-job-{jid}",
                        f"REST async job {jid}", True)
+        tel = self.engine.job_telemetry
+        tel.start(jid, sql, user="$dremio$", query_type="REST")
         try:
+            t_plan = _time.perf_counter()
             with _ENGINE_LOCK:
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
+            tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
+                        accelerated_by=accelerated)
             # execution runs OUTSIDE the engine lock: engine.sql already
             # analyzed the plan (views expanded, policies applied, state
             # restored), so concurrent jobs interleave at the Spark
@@ -405,7 +450,13 @@ class _Handler(BaseHTTPRequestHandler):
             # (ForemenWorkManager.java:715) with only statement PLANNING
             # serialized.  For a mutating statement engine.sql executes
             # the commit itself, so DML/DDL stays fully serialized.
-            rows = df.limit(self.max_stored).collect()
+            t_exec = _time.perf_counter()
+            # capture metrics from the frame that EXECUTES (the limited
+            # one) — df itself never runs, so its plan's SQLMetrics
+            # would stay zero
+            ldf = df.limit(self.max_stored)
+            rows = ldf.collect()
+            exec_ms = (_time.perf_counter() - t_exec) * 1000
             job = self.jobs.get(jid)
             if job is not None and job["state"] == "CANCELED":
                 return  # cancel raced a fast completion: stays CANCELED
@@ -417,12 +468,16 @@ class _Handler(BaseHTTPRequestHandler):
                 rows=[{k: _json_cell(v) for k, v in r.asDict().items()}
                       for r in rows],
                 accelerated_by=accelerated)
+            tel.complete(jid, state="COMPLETED", df=ldf,
+                         execution_ms=exec_ms, row_count=len(rows),
+                         sc=sc, job_group=f"rest-job-{jid}")
         except Exception as e:  # noqa: BLE001 — recorded on the job
+            err = f"{type(e).__name__}: {e}"
+            tel.complete(jid, state="FAILED", error=err)
             job = self.jobs.get(jid)
             if job is not None and job["state"] == "CANCELED":
                 return  # cancellation raced the failure: keep CANCELED
-            self.jobs.finish(jid, state="FAILED",
-                             error=f"{type(e).__name__}: {e}")
+            self.jobs.finish(jid, state="FAILED", error=err)
         finally:
             # pyspark has no clearJobGroup; reset the thread-locals
             for k in ("spark.jobGroup.id", "spark.job.description",
@@ -575,6 +630,8 @@ class _Handler(BaseHTTPRequestHandler):
             # CANCELED, then kill the tagged Spark stages
             self.jobs.finish(jid, state="CANCELED",
                              error="Query cancelled by user")
+            self.engine.job_telemetry.complete(
+                jid, state="CANCELED", error="Query cancelled by user")
             self.engine.spark.sparkContext.cancelJobGroup(
                 f"rest-job-{jid}")
             return self._send(200, {"id": jid, "jobState": "CANCELED"})
@@ -640,21 +697,38 @@ class _Handler(BaseHTTPRequestHandler):
                              daemon=True).start()
             return self._send(200, {"id": jid, "jobState": "RUNNING"})
         try:
+            import time as _time
+
             # {"store": true} widens the collect to max_stored rows so
             # the job can be re-paged beyond `limit` afterwards; the
             # default sync hot path collects exactly `limit` rows, as
             # before the job store existed
             n_collect = (max(limit, self.max_stored)
                          if req.get("store") and limit else limit)
+            jid = self.jobs.create()
+            tel = self.engine.job_telemetry
+            tel.start(jid, sql, user="$dremio$", query_type="REST")
+            sc = self.engine.spark.sparkContext
+            sc.setJobGroup(f"rest-job-{jid}", f"REST sync job {jid}",
+                           True)
+            t_plan = _time.perf_counter()
             with _ENGINE_LOCK:
                 # the lock also makes accelerated_by read THIS query's
                 # marker, not a concurrent request's
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-            # collect outside the lock (see _run_job): reads interleave
-            rows = df.limit(n_collect).collect()
-            jid = self.jobs.create()
+            tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
+                        accelerated_by=accelerated)
+            # collect outside the lock (see _run_job): reads interleave;
+            # metrics come from the frame that EXECUTES (the limited one)
+            t_exec = _time.perf_counter()
+            ldf = df.limit(n_collect)
+            rows = ldf.collect()
+            tel.complete(jid, state="COMPLETED", df=ldf,
+                         execution_ms=(_time.perf_counter() - t_exec)
+                         * 1000, row_count=len(rows), sc=sc,
+                         job_group=f"rest-job-{jid}")
             json_rows = [{k: _json_cell(v) for k, v in r.asDict().items()}
                          for r in rows]
             schema = [{"name": f.name, "type": f.dataType.simpleString()}
@@ -674,8 +748,14 @@ class _Handler(BaseHTTPRequestHandler):
             }
             return self._send(200, payload)
         except Exception as e:  # planner/execution error envelope
-            return self._send(400, {"errorMessage":
-                                    f"{type(e).__name__}: {e}"})
+            err = f"{type(e).__name__}: {e}"
+            try:  # jid exists once the telemetry start ran
+                self.engine.job_telemetry.complete(
+                    jid, state="FAILED", error=err)
+                self.jobs.finish(jid, state="FAILED", error=err)
+            except NameError:
+                pass
+            return self._send(400, {"errorMessage": err})
 
 
     def do_PUT(self):

@@ -1144,3 +1144,105 @@ def test_jobs_finish_canceled_is_terminal():
     assert jobs.get(jid)["error"] == "Query cancelled by user"
     # unknown job id is a no-op, not a KeyError
     jobs.finish("nope", state="COMPLETED")
+
+
+def test_rest_job_profile_and_jobs_listing(spark):
+    """Per-job query profiles (JobProfileResource.java:64,
+    jobAnalysis.proto:75) + filterable jobs listing
+    (JobsListingResource.java:63-132): run queries through REST, fetch
+    each profile — executed plan text, per-stage task metrics, nonzero
+    per-operator SQLMetrics, acceleration flag — then page/filter the
+    listing; sys.jobs surfaces the same columns."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def get(path):
+        try:
+            with rq.urlopen(f"http://127.0.0.1:{port}" + path) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    def post(body):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/sql",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            return _json.loads(r.read())
+
+    try:
+        out = post({"sql": "select o_orderstatus, count(*) as n "
+                           "from orders group by o_orderstatus"})
+        jid = out["id"]
+        code, prof = get(f"/api/v3/job/{jid}/profile")
+        assert code == 200
+        # plan text is the EXECUTED physical plan
+        assert prof["plan"] and "HashAggregate" in prof["plan"]
+        # per-operator SQLMetrics with nonzero rows processed
+        ops = {o["operatorName"]: o["metrics"] for o in prof["operators"]}
+        assert any("HashAggregate" in n for n in ops)
+        assert any(m.get("numOutputRows", 0) > 0 for m in ops.values())
+        # phase (stage) metrics captured from the status tracker
+        assert prof["phases"] and all(
+            p["numTasks"] > 0 for p in prof["phases"])
+        assert sum(p["completedTasks"] for p in prof["phases"]) > 0
+        # wall-clock split + state + row count
+        assert prof["planningTimeMs"] > 0
+        assert prof["executionTimeMs"] > 0
+        assert prof["state"] == "COMPLETED" and prof["rowsReturned"] == 3
+        assert prof["isAccelerated"] is False
+        code, _ = get("/api/v3/job/nope/profile")
+        assert code == 404
+
+        # a failed statement profiles as FAILED with the error
+        try:
+            post({"sql": "select * from no_such_table_xyz"})
+        except rq.HTTPError:
+            pass
+        out2 = post({"sql": "select count(*) as n from nation"})
+
+        # jobs listing: filter by SQL substring, state, paging
+        code, lst = get("/api/v3/jobs-listing")
+        assert code == 200 and lst["total"] >= 3
+        assert lst["jobs"][0]["startTime"] >= lst["jobs"][-1]["startTime"]
+        code, lst = get("/api/v3/jobs-listing?filter=o_orderstatus")
+        assert [j["id"] for j in lst["jobs"]] == [jid]
+        assert lst["jobs"][0]["queryText"].startswith("select o_order")
+        code, lst = get("/api/v3/jobs-listing?state=FAILED")
+        assert lst["total"] == 1 and lst["jobs"][0]["state"] == "FAILED"
+        code, lst = get("/api/v3/jobs-listing?limit=1&offset=0")
+        assert len(lst["jobs"]) == 1 and lst["next"] == 1
+
+        # acceleration flag rides the profile (reflection-backed query)
+        eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION jp_r "
+                "USING DIMENSIONS (o_orderstatus) "
+                "MEASURES (o_totalprice (SUM))")
+        out3 = post({"sql": "select o_orderstatus, sum(o_totalprice) s "
+                            "from orders group by o_orderstatus"})
+        code, prof3 = get(f"/api/v3/job/{out3['id']}/profile")
+        assert prof3["isAccelerated"] and prof3["accelerated_by"] == "jp_r"
+
+        # sys.jobs carries the same columns, value-visible
+        sj = eng.sys_jobs().where("query_type = 'REST'")
+        row = {r["job_id"]: r for r in sj.collect()}[jid]
+        assert row["status"] == "COMPLETED" and row["rows_returned"] == 3
+        assert row["planning_ms"] > 0 and row["execution_ms"] > 0
+        assert row["sql"].startswith("select o_orderstatus")
+        assert out2["rows"][0]["n"] > 0  # sanity on the second job
+    finally:
+        store = getattr(eng, "_refl_store", None)
+        if store is not None and "jp_r" in store._reflections:
+            store.drop("jp_r")
+        server.shutdown()

@@ -197,7 +197,10 @@ def test_roles_explain_json_sys_jobs(spark):
     assert isinstance(parsed, list) and parsed  # list of plan nodes
     assert "class" in parsed[0]
 
-    assert eng.sys_jobs().columns == ["job_id", "status", "n_stages"]
+    assert eng.sys_jobs().columns == [
+        "job_id", "status", "n_stages", "query_type", "user_name",
+        "sql", "start_ms", "end_ms", "planning_ms", "execution_ms",
+        "accelerated_by", "rows_returned"]
 
 
 def test_dialect_rewrites_and_sys_reflections(spark, tmp_path):
@@ -320,3 +323,38 @@ def test_information_schema_sql_addressable(spark):
         "select * from information_schema.columns "
         "where table_name = 'region'").collect()}
     assert cols == {"r_regionkey", "r_name"}
+
+
+def test_profiled_sql_library_flow(spark):
+    """Library-level job telemetry (the JobsService submit shape
+    without a server): profiled_sql registers + times planning,
+    finish_job snapshots executed-plan operator metrics, and sys.jobs
+    surfaces the job with its SQL/timings/rows."""
+    import time as _time
+
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    df, jid = eng.profiled_sql(
+        "select r_regionkey, count(*) as n from region "
+        "group by r_regionkey", user="alex")
+    t0 = _time.perf_counter()
+    rows = df.collect()
+    eng.finish_job(jid, df=df, row_count=len(rows),
+                   execution_ms=(_time.perf_counter() - t0) * 1000)
+    prof = eng.job_telemetry.profile(jid)
+    assert prof["state"] == "COMPLETED" and prof["queryUser"] == "alex"
+    assert prof["queryType"] == "LIBRARY"
+    assert "HashAggregate" in prof["plan"]
+    assert any(o["metrics"].get("numOutputRows", 0) > 0
+               for o in prof["operators"])
+    row = {r["job_id"]: r for r in eng.sys_jobs().collect()}[jid]
+    assert row["user_name"] == "alex" and row["rows_returned"] == 5
+    # failed planning profiles as FAILED and re-raises
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.profiled_sql("select * from nope_xyz")
+    failed = [j for j in eng.job_telemetry.listing(state="FAILED")["jobs"]
+              if "nope_xyz" in j["queryText"]]
+    assert len(failed) == 1 and failed[0]["isComplete"]
