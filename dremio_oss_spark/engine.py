@@ -154,6 +154,11 @@ def _rewrite_convert(query: str) -> str:
     )
 
 
+class ConcurrentModificationError(RuntimeError):
+    """Optimistic-concurrency version (`tag`) mismatch on a principal
+    update — the reference's ConcurrentModificationException surface."""
+
+
 class Space:
     """A namespace node holding virtual datasets (views)."""
 
@@ -185,6 +190,13 @@ class Engine:
         self._acl: dict[str, dict[str, set[str]]] = {}
         # principal -> roles directly granted to it (users/roles graph)
         self._roles: dict[str, set[str]] = {}
+        # user profiles for the principal REST CRUD
+        # (dac/api/UserResource.java — name/first/last/email/active +
+        # a `tag` optimistic-concurrency version) and explicit role
+        # entities (created via DDL or REST, distinct from edge-implied
+        # role names)
+        self._users: dict[str, dict] = {}
+        self._role_defs: set[str] = set()
         # execution-engine registry (SqlAlterEngine surface): name ->
         # autoscaling bounds; purely declarative here (local[] has one
         # "engine"), but the statement surface and sys view are real
@@ -249,6 +261,72 @@ class Engine:
 
     def revoke_role(self, role: str, to: str) -> None:
         self._roles.get(to, set()).discard(role)
+
+    def _drop_principal(self, name: str) -> None:
+        """Remove a user/role everywhere: membership edges (both
+        directions), ACL grantee sets, profile store — DROP USER/ROLE's
+        scrub, shared with the REST DELETE routes."""
+        self._roles.pop(name, None)
+        for members in self._roles.values():
+            members.discard(name)
+        for privs in self._acl.values():
+            for grantees in privs.values():
+                grantees.discard(name)
+        self._users.pop(name, None)
+        self._role_defs.discard(name)
+
+    # -- principal CRUD (dac/api/UserResource.java / UsersResource.java:
+    # the admin-tooling surface over the same stores GRANT/REVOKE uses)
+    _USER_ATTRS = ("firstName", "lastName", "email", "active")
+
+    def create_user(self, name: str, **attrs) -> dict:
+        if name in self._users:
+            raise ValueError(f"user {name!r} already exists")
+        self._users[name] = {
+            "name": name,
+            **{k: attrs[k] for k in self._USER_ATTRS if k in attrs},
+            "tag": "0"}
+        self._roles.setdefault(name, set())
+        return self.get_user(name)
+
+    def get_user(self, name: str) -> dict | None:
+        u = self._users.get(name)
+        if u is None:
+            return None
+        return {"id": name, **u,
+                "roles": sorted(self._roles.get(name, ()))}
+
+    def update_user(self, name: str, **attrs) -> dict:
+        u = self._users.get(name)
+        if u is None:
+            raise KeyError(f"no user {name!r}")
+        sent = attrs.pop("tag", None)
+        if sent is not None and sent != u["tag"]:
+            raise ConcurrentModificationError(
+                f"user {name!r} tag mismatch: expected {u['tag']!r}")
+        u.update({k: attrs[k] for k in self._USER_ATTRS if k in attrs})
+        u["tag"] = str(int(u["tag"]) + 1)
+        return self.get_user(name)
+
+    def list_users(self, filter_text: str = "") -> list[dict]:
+        f = filter_text.lower()
+        return [self.get_user(n) for n in sorted(self._users)
+                if f in n.lower()]
+
+    def create_role(self, name: str) -> dict:
+        self._role_defs.add(name)
+        self._roles.setdefault(name, set())
+        return {"id": name, "name": name,
+                "members": sorted(m for m, rs in self._roles.items()
+                                  if name in rs)}
+
+    def list_roles(self) -> list[dict]:
+        names = self._role_defs | {
+            r for rs in self._roles.values() for r in rs}
+        return [{"id": n, "name": n,
+                 "members": sorted(m for m, rs in self._roles.items()
+                                   if n in rs)}
+                for n in sorted(names)]
 
     def _principals(self, user: str) -> set[str]:
         """user + every role reachable through membership edges."""
@@ -1734,6 +1812,106 @@ class Engine:
         register_all(self.spark)
         return self.spark.sql("show functions")
 
+    # dialect-level functions handled by engine REWRITES or Column
+    # helpers rather than registry entries — surfaced to the SQL editor
+    # with signatures (FunctionsListService.java:66 serves exactly this
+    # metadata for autocomplete/docs/side panel)
+    _DIALECT_FUNCTIONS: list[tuple[str, list[tuple[str, str]], str, str]] = [
+        ("NDV", [("expression", "ANY")], "BIGINT",
+         "Approximate distinct count (DremioSqlOperatorTable.java:76); "
+         "rewrites to approx_count_distinct"),
+        ("FLATTEN", [("list_expression", "LIST")], "ANY",
+         "Unnest a list column to one row per element "
+         "(SqlFlattenOperator.java); rewrites to explode"),
+        ("TDIGEST_QUANTILE", [("quantile", "DOUBLE"),
+                              ("expression", "NUMERIC")], "DOUBLE",
+         "Approximate quantile; rewrites to percentile_approx"),
+        ("HLL", [("expression", "ANY")], "BINARY",
+         "HyperLogLog sketch aggregate (HyperLogLog.java); rewrites to "
+         "hll_sketch_agg"),
+        ("HLL_MERGE", [("sketch", "BINARY")], "BINARY",
+         "Merge HLL sketches; rewrites to hll_union_agg"),
+        ("HLL_DECODE", [("sketch", "BINARY")], "BIGINT",
+         "Estimate an HLL sketch; rewrites to hll_sketch_estimate"),
+        ("CONVERT_FROM", [("expression", "BINARY|STRING"),
+                          ("codec", "STRING literal")], "ANY",
+         "Decode bytes per codec (exec/expr/fn/impl/conv/); JSON codec "
+         "does plan-time schema discovery"),
+        ("CONVERT_TO", [("expression", "ANY"),
+                        ("codec", "STRING literal")], "BINARY",
+         "Encode a value per codec (exec/expr/fn/impl/conv/)"),
+        ("CONVERT_TOJSON", [("expression", "ANY")], "STRING",
+         "Render a value as JSON; rewrites to to_json"),
+        ("TO_CHAR", [("expression", "DATE|TIME|TIMESTAMP|NUMERIC"),
+                     ("format", "STRING")], "STRING",
+         "Format with Dremio/Joda tokens (DateToCharFunctions.java); "
+         "format shim in functions/datetime_fmt.py"),
+        ("TO_DATE", [("expression", "STRING"),
+                     ("format", "STRING")], "DATE",
+         "Parse with Dremio/Joda tokens (DateFunctionsUtils.java)"),
+    ]
+
+    def functions_list(self, include_builtins: bool = False) -> list[dict]:
+        """Function metadata for the SQL editor — name, signatures
+        (parameters + return type), description — mirroring the
+        reference's FunctionsListService.java:66 Response shape.  The
+        dialect surface (SQL shims, pandas shims, rewrite-handled
+        names) always carries full signatures; Spark built-ins are
+        name-level entries, opt-in (the editor's autocomplete dictionary
+        — per-name detail via DESCRIBE FUNCTION stays on demand)."""
+        from .functions.shims import _PANDAS_SHIMS, _SQL_FUNCTIONS
+
+        out: list[dict] = []
+        for name, sig in sorted(_SQL_FUNCTIONS.items()):
+            m = re.match(r"\s*\((.*?)\)\s*RETURNS\s+(\w+)", sig, re.S)
+            params = []
+            if m and m.group(1).strip():
+                for p in _split_top_level(m.group(1), ","):
+                    pn, _, pt = p.strip().partition(" ")
+                    params.append({"name": pn,
+                                   "type": (pt.strip() or "ANY").upper()})
+            out.append({
+                "name": name.upper(), "origin": "sql-shim",
+                "signatures": [{"parameters": params,
+                                "returnType": (m.group(2).upper()
+                                               if m else "ANY")}],
+                "description": "Dremio dialect function (Catalyst-"
+                               "inlined SQL shim, functions/shims.py)"})
+        pandas_sigs = {
+            "st_geohash": ([("lat", "DOUBLE"), ("lon", "DOUBLE"),
+                            ("precision", "INT")], "STRING"),
+            "normalize_string": ([("expression", "STRING")], "STRING"),
+        }
+        for name in sorted(_PANDAS_SHIMS):
+            params, ret = pandas_sigs.get(
+                name, ([("expression", "BINARY" if "_to" not in name
+                         else "BIGINT")],
+                       "BIGINT" if "_from" in name else "BINARY"))
+            out.append({
+                "name": name.upper(), "origin": "pandas-shim",
+                "signatures": [{"parameters": [
+                    {"name": n, "type": t} for n, t in params],
+                    "returnType": ret}],
+                "description": "Arrow-batched pandas UDF shim "
+                               "(functions/shims.py)"})
+        for name, params, ret, desc in self._DIALECT_FUNCTIONS:
+            out.append({
+                "name": name, "origin": "dialect-rewrite",
+                "signatures": [{"parameters": [
+                    {"name": n, "type": t} for n, t in params],
+                    "returnType": ret}],
+                "description": desc})
+        if include_builtins:
+            have = {f["name"] for f in out}
+            for fn in self.spark.catalog.listFunctions():
+                if fn.name.upper() in have:
+                    continue
+                out.append({"name": fn.name.upper(), "origin": "spark",
+                            "signatures": [],
+                            "description": fn.description or ""})
+        out.sort(key=lambda f: f["name"])
+        return out
+
     def show_create_vds(self, space: str, name: str) -> DataFrame:
         """SHOW CREATE VIEW space.name: reconstructed DDL from the stored
         SQL (VDS = stored SQL, dataset.proto:60)."""
@@ -2811,14 +2989,41 @@ class Engine:
             # user is a principal with no members, a role may have them
             if verb == "create":
                 self._roles.setdefault(name, set())
+                if kind == "user":
+                    self._users.setdefault(name, {"name": name})
+                else:
+                    self._role_defs.add(name)
             else:
-                self._roles.pop(name, None)
-                for members in self._roles.values():
-                    members.discard(name)
-                for privs in self._acl.values():
-                    for grantees in privs.values():
-                        grantees.discard(name)
+                self._drop_principal(name)
             return self._status(f"{verb.upper()} {kind.upper()}", name)
+        # GRANT ROLE r TO USER|ROLE p / REVOKE ROLE r FROM USER|ROLE p
+        # (Parser.tdd SqlGrantRole/SqlRevokeRole — membership edges)
+        m = re.match(
+            r"\s*(grant|revoke)\s+role\s+(\w+)\s+(?:to|from)\s+"
+            r"(?:user|role)\s+(\w+)\s*$", query, re.I)
+        if m:
+            verb, role, prin = (m.group(1).lower(), m.group(2),
+                                m.group(3))
+            (self.grant_role if verb == "grant"
+             else self.revoke_role)(role, prin)
+            return self._status(f"{verb.upper()} ROLE",
+                                f"{role} -> {prin}")
+        # GRANT p[, ...] ON [entity-type] obj TO USER|ROLE g and the
+        # matching REVOKE ... FROM (Parser.tdd SqlGrant/SqlRevoke; the
+        # entity-type keyword is addressing sugar — the ACL keys on the
+        # object name either way)
+        m = re.match(
+            r"\s*(grant|revoke)\s+([\w_]+(?:\s*,\s*[\w_]+)*)\s+on\s+"
+            r"(?:(?:table|vds|pds|view|space|folder|source|system|"
+            r"project)\s+)?'?([\w./]+)'?\s+(?:to|from)\s+"
+            r"(?:user|role)\s+(\w+)\s*$", query, re.I)
+        if m and m.group(2).lower() != "role":
+            verb, privs, obj, grantee = m.groups()
+            for p in privs.split(","):
+                (self.grant if verb.lower() == "grant"
+                 else self.revoke)(p.strip(), obj, grantee)
+            return self._status(verb.upper(),
+                                f"{privs} on {obj} -> {grantee}")
         m = re.match(
             r"\s*create\s+pipe\s+(\w+)\s+as\s+copy\s+into\s+'([^']+)'"
             r"\s+from\s+'([^']+)'(?:\s+file_format\s+'(\w+)')?"

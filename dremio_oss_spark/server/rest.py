@@ -163,6 +163,11 @@ class _Handler(BaseHTTPRequestHandler):
     # saved SQL scripts (the reference's ScriptsResource.java:61 — the
     # SQL-runner's persistence surface): id -> {name, content, ...}
     scripts: dict = None
+    # collaboration wiki + tags per catalog entity
+    # (CollaborationResource.java:43): entity-id -> {"tag": {"tags",
+    # "version"}, "wiki": {"text", "version"}}; versions are the
+    # reference's optimistic-concurrency guards
+    collab: dict = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -288,6 +293,20 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404, {"errorMessage":
                                         f"no entity at {'/'.join(segs)}"})
             return self._send(200, ent)
+        c_eid, c_kind = self._collab_route()
+        if c_kind:
+            # GET /api/v3/catalog/{id}/collaboration/tag|wiki
+            # (CollaborationResource.java:52-70): absent entries answer
+            # the empty shape, like the reference's orElseGet defaults
+            with _ENGINE_LOCK:
+                if self._entity_by_id(c_eid) is None:
+                    return self._send(404, {"errorMessage":
+                                            f"no entity {c_eid}"})
+                ent = (self.collab.get(c_eid) or {}).get(c_kind)
+            if c_kind == "tag":
+                return self._send(200, ent or {"tags": [],
+                                               "version": None})
+            return self._send(200, ent or {"text": "", "version": None})
         if (self.path.startswith("/api/v3/catalog/")
                 and "/by-path/" not in self.path
                 and not self.path.startswith("/api/v3/catalog/search")):
@@ -300,26 +319,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, ent)
         if self.path.startswith("/api/v3/catalog/search"):
             # CatalogResource.search: substring match over entity names
+            # AND collaboration tags (SearchServiceImpl indexes the
+            # CollaborationTagStore alongside names; results carry tags)
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(self.path).query).get(
                 "query", [""])[0].lower()
             with _ENGINE_LOCK:
-                hits = []
-                for r in self.engine.information_schema_tables().collect():
-                    if q in r["table_name"].lower():
-                        hits.append({"name": r["table_name"],
-                                     "type": r["table_type"],
-                                     "id": f"table/{r['table_name']}"})
-                for sname, sp in self.engine.spaces.items():
-                    if q in sname.lower():
-                        hits.append({"name": sname, "type": "CONTAINER",
-                                     "id": f"space/{sname}"})
-                    for v in sp.vds:
-                        if q in v.lower():
-                            hits.append({"name": f"{sname}.{v}",
-                                         "type": "VIRTUAL_DATASET",
-                                         "id": f"dataset/{sname}.{v}"})
+                hits = self._catalog_search(q)
             return self._send(200, {"data": hits})
         from urllib.parse import parse_qs, urlparse
 
@@ -400,6 +407,87 @@ class _Handler(BaseHTTPRequestHandler):
                     "schema": job["schema"], "rows": page,
                     "rowCount": len(job["rows"]),
                     "offset": offset, "returned": len(page)})
+        for tool in ("tableau", "powerbi"):
+            prefix = f"/api/v3/{tool}/"
+            if not self.path.startswith(prefix):
+                continue
+            # GET /api/v3/tableau|powerbi/{entity-id}?port= — BI connect
+            # files (TableauResource.java:44 / PowerBIResource.java over
+            # BaseBIToolResource): a .tds / .pbids attachment pointing
+            # the BI tool at this engine's Flight SQL endpoint
+            from urllib.parse import parse_qs, urlparse
+
+            from .bi import powerbi_pbids, tableau_tds
+
+            u = urlparse(self.path)
+            eid = unquote(u.path[len(prefix):].rstrip("/"))
+            with _ENGINE_LOCK:
+                ent = self._entity_by_id(eid)
+            if ent is None:
+                return self._send(404, {"errorMessage":
+                                        f"no entity {eid}"})
+            dataset = eid.partition("/")[2]  # name after the kind
+            host = (self.headers.get("Host") or "localhost").split(":")[0]
+            try:
+                flight_port = int(
+                    parse_qs(u.query).get("port", ["32010"])[0])
+            except ValueError:
+                return self._send(400, {"errorMessage": "bad port"})
+            fname = dataset.rpartition(".")[2] or dataset
+            if tool == "tableau":
+                body = tableau_tds(dataset, host, flight_port).encode()
+                ctype = "application/tds"
+                fname += ".tds"
+            else:
+                body = json.dumps(
+                    powerbi_pbids(dataset, host, flight_port),
+                    indent=2).encode()
+                ctype = "application/json"
+                fname += ".pbids"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Disposition",
+                             f'attachment; filename="{fname}"')
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
+        if self.path.startswith("/api/v3/user/"):
+            # GET /user/{id} and /user/by-name/{name}
+            # (dac/api/UserResource.java:77-167; ids are names here,
+            # so both routes answer from the same store)
+            name = unquote(self.path[len("/api/v3/user/"):].rstrip("/"))
+            if name.startswith("by-name/"):
+                name = name[len("by-name/"):]
+            with _ENGINE_LOCK:
+                u = self.engine.get_user(name)
+            if u is None:
+                return self._send(404, {"errorMessage":
+                                        f"no user {name}"})
+            return self._send(200, u)
+        if urlparse(self.path).path.rstrip("/") == "/api/v3/users":
+            # UsersResource listing/search (?filter= substring)
+            q = parse_qs(urlparse(self.path).query)
+            with _ENGINE_LOCK:
+                users = self.engine.list_users(
+                    q.get("filter", [""])[0])
+            return self._send(200, {"users": users})
+        if self.path.rstrip("/") == "/api/v3/roles":
+            with _ENGINE_LOCK:
+                return self._send(200,
+                                  {"roles": self.engine.list_roles()})
+        if urlparse(self.path).path.rstrip("/") == "/api/v3/sql/functions":
+            # function registry for the SQL editor
+            # (FunctionsListService.java:66 via SQLResource @Path
+            # /sql/functions): names + signatures + descriptions;
+            # ?builtins=true appends Spark's own registry name-level
+            q = parse_qs(urlparse(self.path).query)
+            want_builtins = (q.get("builtins", ["false"])[0].lower()
+                             == "true")
+            with _ENGINE_LOCK:
+                fns = self.engine.functions_list(
+                    include_builtins=want_builtins)
+            return self._send(200, {"functions": fns})
         if urlparse(self.path).path.rstrip("/") == "/api/v3/jobs-listing":
             # filterable jobs listing (JobsListingResource.java:92-132):
             # ?filter=<sql substring>&state=&user=&sort=&order=&offset=&limit=
@@ -484,6 +572,90 @@ class _Handler(BaseHTTPRequestHandler):
                       "spark.job.interruptOnCancel"):
                 sc.setLocalProperty(k, None)
 
+    def _catalog_search(self, q: str) -> list[dict]:
+        """Substring search over entity names AND collaboration tags
+        (the reference's SearchServiceImpl joins the name index with
+        CollaborationTagStore rows, so a dataset tagged "pii" is found
+        by ?query=pii even when no name matches).  Caller holds the
+        engine lock.  Every hit carries its tags like the reference's
+        search results."""
+
+        def tags_of(eid: str) -> list[str]:
+            ent = (self.collab.get(eid) or {}).get("tag")
+            return ent["tags"] if ent else []
+
+        def tag_match(eid: str) -> bool:
+            return any(q in t.lower() for t in tags_of(eid))
+
+        hits = []
+        for r in self.engine.information_schema_tables().collect():
+            eid = f"table/{r['table_name']}"
+            if q in r["table_name"].lower() or tag_match(eid):
+                hits.append({"name": r["table_name"],
+                             "type": r["table_type"], "id": eid,
+                             "tags": tags_of(eid)})
+        for sname, sp in self.engine.spaces.items():
+            eid = f"space/{sname}"
+            if q in sname.lower() or tag_match(eid):
+                hits.append({"name": sname, "type": "CONTAINER",
+                             "id": eid, "tags": tags_of(eid)})
+            for v in sp.vds:
+                eid = f"dataset/{sname}.{v}"
+                if q in v.lower() or tag_match(eid):
+                    hits.append({"name": f"{sname}.{v}",
+                                 "type": "VIRTUAL_DATASET", "id": eid,
+                                 "tags": tags_of(eid)})
+        return hits
+
+    def _collab_route(self) -> tuple[str | None, str | None]:
+        """(entity-id, 'tag'|'wiki') when the path is a collaboration
+        route (CollaborationResource.java:40 `@Path(\"/catalog/{id}/
+        collaboration\")`), else (None, None)."""
+        from urllib.parse import unquote
+
+        p = self.path.rstrip("/")
+        if not p.startswith("/api/v3/catalog/"):
+            return None, None
+        for kind in ("tag", "wiki"):
+            suf = f"/collaboration/{kind}"
+            if p.endswith(suf):
+                eid = unquote(p[len("/api/v3/catalog/"):-len(suf)])
+                return eid, kind
+        return None, None
+
+    def _set_collab(self, eid: str, kind: str, req: dict) -> tuple:
+        """Set tags/wiki with the reference's optimistic-concurrency
+        contract (CollaborationHelper.validateVersions): a POST that
+        carries a version not matching the stored one is a CONCURRENT
+        MODIFICATION (409); the first write needs no version.  Returns
+        (status, payload)."""
+        with _ENGINE_LOCK:
+            if self._entity_by_id(eid) is None:
+                return 404, {"errorMessage": f"no entity {eid}"}
+            ent = self.collab.setdefault(eid, {})
+            cur = ent.get(kind)
+            sent = req.get("version")
+            if cur is not None and sent != cur["version"]:
+                return 409, {"errorMessage":
+                             f"version mismatch for {eid} {kind}: "
+                             f"expected {cur['version']!r}, got "
+                             f"{sent!r}"}
+            if kind == "tag":
+                tags = req.get("tags")
+                if (not isinstance(tags, list)
+                        or not all(isinstance(t, str) for t in tags)):
+                    return 400, {"errorMessage":
+                                 "tags must be a list of strings"}
+                ver = str(int(cur["version"]) + 1) if cur else "0"
+                ent["tag"] = {"tags": tags, "version": ver}
+                return 200, ent["tag"]
+            text = req.get("text")
+            if not isinstance(text, str):
+                return 400, {"errorMessage": "text must be a string"}
+            ver = (cur["version"] + 1) if cur else 0
+            ent["wiki"] = {"text": text, "version": ver}
+            return 200, ent["wiki"]
+
     def _read_json(self) -> dict:
         n = int(self.headers.get("Content-Length") or 0)
         req = json.loads(self.rfile.read(n) or b"{}")
@@ -550,6 +722,57 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001 — error envelope
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/user":
+            # POST /user — create (dac/api/UserResource.java:84)
+            try:
+                req = self._read_json()
+                with _ENGINE_LOCK:
+                    u = self.engine.create_user(
+                        req["name"],
+                        **{k: v for k, v in req.items() if k != "name"})
+                return self._send(200, u)
+            except ValueError as e:
+                return self._send(409, {"errorMessage": str(e)})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/role":
+            try:
+                req = self._read_json()
+                with _ENGINE_LOCK:
+                    r = self.engine.create_role(req["name"])
+                return self._send(200, r)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        m_member = (self.path.startswith("/api/v3/role/")
+                    and self.path.rstrip("/").endswith("/member"))
+        if m_member:
+            # POST /role/{name}/member {"name": principal} — membership
+            # edge, same store GRANT ROLE writes
+            role = self.path[len("/api/v3/role/"):].rstrip("/")
+            role = role[:-len("/member")]
+            try:
+                req = self._read_json()
+                with _ENGINE_LOCK:
+                    self.engine.grant_role(role, req["name"])
+                    out = [r for r in self.engine.list_roles()
+                           if r["name"] == role][0]
+                return self._send(200, out)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+        c_eid, c_kind = self._collab_route()
+        if c_kind:
+            # POST /api/v3/catalog/{id}/collaboration/tag|wiki
+            # (CollaborationResource.java:58-76 setTags/setWiki)
+            try:
+                req = self._read_json()
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
+            code, payload = self._set_collab(c_eid, c_kind, req)
+            return self._send(code, payload)
         m_refresh = (self.path.startswith("/api/v3/catalog/")
                      and self.path.rstrip("/").endswith("/refresh"))
         if m_refresh:
@@ -567,26 +790,14 @@ class _Handler(BaseHTTPRequestHandler):
                                         f"{type(e).__name__}: {e}"})
         if self.path.startswith("/api/v3/catalog/search"):
             # CatalogResource.search: substring match over entity names
+            # AND collaboration tags (SearchServiceImpl indexes the
+            # CollaborationTagStore alongside names; results carry tags)
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(self.path).query).get(
                 "query", [""])[0].lower()
             with _ENGINE_LOCK:
-                hits = []
-                for r in self.engine.information_schema_tables().collect():
-                    if q in r["table_name"].lower():
-                        hits.append({"name": r["table_name"],
-                                     "type": r["table_type"],
-                                     "id": f"table/{r['table_name']}"})
-                for sname, sp in self.engine.spaces.items():
-                    if q in sname.lower():
-                        hits.append({"name": sname, "type": "CONTAINER",
-                                     "id": f"space/{sname}"})
-                    for v in sp.vds:
-                        if q in v.lower():
-                            hits.append({"name": f"{sname}.{v}",
-                                         "type": "VIRTUAL_DATASET",
-                                         "id": f"dataset/{sname}.{v}"})
+                hits = self._catalog_search(q)
             return self._send(200, {"data": hits})
         if self.path.rstrip("/") == "/api/v3/scripts":
             import time as _time
@@ -780,6 +991,26 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.startswith("/api/v3/user/"):
+            # PUT /user/{id} — update with the `tag` optimistic guard
+            # (dac/api/UserResource.java:145)
+            from ..engine import ConcurrentModificationError
+
+            name = unquote(self.path[len("/api/v3/user/"):].rstrip("/"))
+            try:
+                req = self._read_json()
+                with _ENGINE_LOCK:
+                    u = self.engine.update_user(
+                        name,
+                        **{k: v for k, v in req.items() if k != "name"})
+                return self._send(200, u)
+            except ConcurrentModificationError as e:
+                return self._send(409, {"errorMessage": str(e)})
+            except KeyError as e:
+                return self._send(404, {"errorMessage": str(e)})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if not self.path.startswith("/api/v3/catalog/"):
             return self._send(404, {"errorMessage":
                                     f"no route {self.path}"})
@@ -814,6 +1045,29 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404,
                                   {"errorMessage": f"no script {sid}"})
             return self._send(200, {"deleted": sid})
+        if self.path.startswith("/api/v3/user/"):
+            name = unquote(self.path[len("/api/v3/user/"):].rstrip("/"))
+            with _ENGINE_LOCK:
+                if self.engine.get_user(name) is None:
+                    return self._send(404, {"errorMessage":
+                                            f"no user {name}"})
+                self.engine._drop_principal(name)
+            return self._send(200, {"deleted": name})
+        if self.path.startswith("/api/v3/role/"):
+            rest = unquote(self.path[len("/api/v3/role/"):].rstrip("/"))
+            role, _, member = rest.partition("/member/")
+            with _ENGINE_LOCK:
+                if member:
+                    # DELETE /role/{name}/member/{principal}
+                    self.engine.revoke_role(role, member)
+                    return self._send(200, {"role": role,
+                                            "removed": member})
+                known = {r["name"] for r in self.engine.list_roles()}
+                if role not in known:
+                    return self._send(404, {"errorMessage":
+                                            f"no role {role}"})
+                self.engine._drop_principal(role)
+            return self._send(200, {"deleted": role})
         try:
             if self.path.startswith("/api/v3/reflection/"):
                 name = unquote(
@@ -872,7 +1126,7 @@ def serve_rest_background(engine, port: int = 0,
     stops it."""
     handler = type("BoundHandler", (_Handler,),
                    {"engine": engine, "token": token, "jobs": _Jobs(),
-                    "scripts": {}})
+                    "scripts": {}, "collab": {}})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

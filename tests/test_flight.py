@@ -1246,3 +1246,321 @@ def test_rest_job_profile_and_jobs_listing(spark):
         if store is not None and "jp_r" in store._reflections:
             store.drop("jp_r")
         server.shutdown()
+
+
+def test_rest_collaboration_wiki_and_tags(spark):
+    """Collaboration wiki + tags CRUD (CollaborationResource.java:43:
+    GET/POST /catalog/{id}/collaboration/tag|wiki) with the reference's
+    optimistic version guard, and tag-indexed catalog search — a tag
+    hit finds a dataset whose NAME does not match the query."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # empty defaults (reference orElseGet shapes)
+        code, out = call("GET",
+                         "/api/v3/catalog/table/orders/collaboration/tag")
+        assert code == 200 and out == {"tags": [], "version": None}
+        code, out = call(
+            "GET", "/api/v3/catalog/table/orders/collaboration/wiki")
+        assert code == 200 and out == {"text": "", "version": None}
+        # unknown entity refuses
+        code, _ = call("GET",
+                       "/api/v3/catalog/table/nope/collaboration/tag")
+        assert code == 404
+
+        # first write needs no version; returns version 0
+        code, tags = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/tag",
+            {"tags": ["pii", "finance"]})
+        assert code == 200 and tags == {"tags": ["pii", "finance"],
+                                        "version": "0"}
+        # stale/absent version on update: 409 (ConcurrentModification)
+        code, out = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/tag",
+            {"tags": ["x"]})
+        assert code == 409
+        code, tags = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/tag",
+            {"tags": ["pii"], "version": "0"})
+        assert code == 200 and tags["version"] == "1"
+
+        # wiki: integer versions, same guard
+        code, wiki = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/wiki",
+            {"text": "# Orders\nFact table."})
+        assert code == 200 and wiki["version"] == 0
+        code, _ = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/wiki",
+            {"text": "v2", "version": 99})
+        assert code == 409
+        code, wiki = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/wiki",
+            {"text": "v2", "version": 0})
+        assert code == 200 and wiki == {"text": "v2", "version": 1}
+        code, got = call(
+            "GET", "/api/v3/catalog/table/orders/collaboration/wiki")
+        assert got == wiki
+
+        # bad payloads refuse
+        code, _ = call(
+            "POST", "/api/v3/catalog/table/orders/collaboration/tag",
+            {"tags": "notalist", "version": "1"})
+        assert code == 400
+
+        # search finds the dataset BY TAG (name doesn't contain "pii")
+        code, out = call("GET", "/api/v3/catalog/search?query=pii")
+        hits = {h["id"]: h for h in out["data"]}
+        assert "table/orders" in hits
+        assert hits["table/orders"]["tags"] == ["pii"]
+        # name hits still work and carry (possibly empty) tags
+        code, out = call("GET", "/api/v3/catalog/search?query=lineitem")
+        hits = {h["id"]: h for h in out["data"]}
+        assert "table/lineitem" in hits
+        assert hits["table/lineitem"]["tags"] == []
+        # VDS entities collaborate too
+        eng.create_space("mkt")
+        eng.create_vds("mkt", "v_cust", "select 1 as x")
+        code, out = call(
+            "POST", "/api/v3/catalog/dataset/mkt.v_cust/collaboration/tag",
+            {"tags": ["gold-layer"]})
+        assert code == 200
+        code, out = call("GET", "/api/v3/catalog/search?query=gold")
+        assert [h["id"] for h in out["data"]] == ["dataset/mkt.v_cust"]
+    finally:
+        server.shutdown()
+
+
+def test_rest_sql_functions_listing(spark):
+    """Function listing for the SQL editor (FunctionsListService.java:66
+    served at /sql/functions): every dialect shim appears with
+    name/parameters/returnType — CONVERT_FROM and TO_CHAR carry arity —
+    and ?builtins=true appends Spark's registry."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def get(path):
+        with rq.urlopen(f"http://127.0.0.1:{port}" + path) as r:
+            return _json.loads(r.read())
+
+    try:
+        out = get("/api/v3/sql/functions")
+        fns = {f["name"]: f for f in out["functions"]}
+        # rewrite-handled dialect names with arity
+        cf = fns["CONVERT_FROM"]
+        assert [p["name"] for p in cf["signatures"][0]["parameters"]] \
+            == ["expression", "codec"]
+        tc = fns["TO_CHAR"]
+        assert len(tc["signatures"][0]["parameters"]) == 2
+        assert tc["signatures"][0]["returnType"] == "STRING"
+        assert fns["NDV"]["signatures"][0]["returnType"] == "BIGINT"
+        # SQL shims carry their declared parameter types
+        gd = fns["GEO_DISTANCE"]
+        sig = gd["signatures"][0]
+        assert [p["type"] for p in sig["parameters"]] == ["DOUBLE"] * 4
+        assert sig["returnType"] == "DOUBLE" and gd["origin"] == "sql-shim"
+        # pandas shims present with signatures
+        assert fns["ST_GEOHASH"]["signatures"][0]["parameters"][2] == \
+            {"name": "precision", "type": "INT"}
+        # codec shim family is covered (CONVERT_FROM_UTF8 etc.)
+        assert "CONVERT_FROM_UTF8" in fns and "CONVERT_TO_BASE64" in fns
+        # sorted, no dup names, builtins excluded by default
+        names = [f["name"] for f in out["functions"]]
+        assert names == sorted(names) and len(names) == len(set(names))
+        assert "ABS" not in fns
+        out2 = get("/api/v3/sql/functions?builtins=true")
+        fns2 = {f["name"] for f in out2["functions"]}
+        assert "ABS" in fns2 and len(fns2) > len(fns)
+    finally:
+        server.shutdown()
+
+
+def test_rest_user_role_crud_and_sql_grants(spark):
+    """Principal REST CRUD (dac/api/UserResource.java:77-167,
+    UsersResource listing) wired to the SAME stores the GRANT/REVOKE
+    layer uses: create a role over REST, GRANT ON an object via SQL,
+    and policy enforcement observes the membership."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # user CRUD with the tag optimistic guard
+        code, u = call("POST", "/api/v3/user",
+                       {"name": "maria", "firstName": "Maria",
+                        "email": "m@corp.io"})
+        assert code == 200 and u["id"] == "maria" and u["tag"] == "0"
+        code, _ = call("POST", "/api/v3/user", {"name": "maria"})
+        assert code == 409
+        code, u = call("PUT", "/api/v3/user/maria",
+                       {"email": "maria@corp.io", "tag": "0"})
+        assert code == 200 and u["tag"] == "1"
+        code, _ = call("PUT", "/api/v3/user/maria",
+                       {"email": "x", "tag": "0"})
+        assert code == 409
+        code, got = call("GET", "/api/v3/user/by-name/maria")
+        assert got["email"] == "maria@corp.io"
+        code, lst = call("GET", "/api/v3/users?filter=mar")
+        assert [x["name"] for x in lst["users"]] == ["maria"]
+
+        # role via REST + membership
+        code, r = call("POST", "/api/v3/role", {"name": "pii_readers"})
+        assert code == 200 and r["members"] == []
+        code, r = call("POST", "/api/v3/role/pii_readers/member",
+                       {"name": "maria"})
+        assert r["members"] == ["maria"]
+
+        # GRANT via SQL; enforcement sees the REST-created membership
+        eng.sql("GRANT SELECT ON TABLE customer TO ROLE pii_readers")
+        assert eng.check_access("maria", "SELECT", "customer")
+        assert not eng.check_access("eve", "SELECT", "customer")
+        assert eng.table("customer", user="maria").count() > 0
+        import pytest as _pytest
+        with _pytest.raises(PermissionError):
+            eng.table("customer", user="eve")
+
+        # membership removal closes access
+        code, _ = call("DELETE", "/api/v3/role/pii_readers/member/maria")
+        assert code == 200
+        assert not eng.check_access("maria", "SELECT", "customer")
+
+        # role listing + delete scrubs grants
+        code, roles = call("GET", "/api/v3/roles")
+        assert "pii_readers" in {r["name"] for r in roles["roles"]}
+        code, _ = call("DELETE", "/api/v3/role/pii_readers")
+        assert code == 200
+        priv = {(r["privilege"], r["grantee"]) for r in
+                eng.show_grants("customer").collect()}
+        assert ("SELECT", "pii_readers") not in priv
+        # deny-all allowlist remains (revoking last grantee keeps gate)
+        assert not eng.check_access("anyone", "SELECT", "customer")
+        eng._acl.pop("customer", None)  # restore open default
+
+        code, _ = call("DELETE", "/api/v3/user/maria")
+        assert code == 200
+        code, _ = call("GET", "/api/v3/user/maria")
+        assert code == 404
+        code, _ = call("DELETE", "/api/v3/role/nope")
+        assert code == 404
+    finally:
+        server.shutdown()
+
+
+def test_rest_bi_connect_files(spark):
+    """BI-tool connect files (TableauResource.java:44 /
+    PowerBIResource.java over BaseBIToolResource): GET per dataset
+    returns a .tds / .pbids attachment pointing at the Flight endpoint
+    — golden-body assertions."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def get(path):
+        try:
+            with rq.urlopen(f"http://127.0.0.1:{port}" + path) as r:
+                return (r.status, r.read(),
+                        dict(r.headers))
+        except rq.HTTPError as e:
+            return e.code, e.read(), {}
+
+    try:
+        code, body, hdrs = get("/api/v3/tableau/table/orders?port=32010")
+        assert code == 200
+        assert hdrs["Content-Disposition"] == \
+            'attachment; filename="orders.tds"'
+        assert hdrs["Content-Type"] == "application/tds"
+        golden_tds = (
+            "<?xml version='1.0' encoding='utf-8'?>\n"
+            "<datasource inline='true' version='18.1'>\n"
+            "  <connection class='genericodbc' dbname='DREMIO'"
+            " odbc-dbms-name='Dremio'"
+            " odbc-driver='Arrow Flight SQL ODBC Driver'"
+            " odbc-dsn='' schema=\"\" port=\"32010\""
+            " server=\"127.0.0.1\" username=''>\n"
+            "    <relation name=\"orders\" type='table'"
+            " table=\"[orders]\" />\n"
+            "  </connection>\n"
+            "  <aliases enabled='yes' />\n"
+            "</datasource>\n")
+        assert body.decode() == golden_tds
+
+        # VDS: schema = parent path, object = leaf
+        eng.create_space("bi")
+        eng.create_vds("bi", "v_orders", "select 1 as x")
+        code, body, hdrs = get("/api/v3/powerbi/dataset/bi.v_orders")
+        assert code == 200
+        assert hdrs["Content-Disposition"] == \
+            'attachment; filename="v_orders.pbids"'
+        doc = _json.loads(body)
+        assert doc == {
+            "version": "0.1",
+            "connections": [{
+                "details": {"protocol": "dremio",
+                            "address": {"server": "127.0.0.1:32010",
+                                        "schema": "bi",
+                                        "object": "v_orders"}},
+                "mode": "DirectQuery"}]}
+        code, _, _ = get("/api/v3/tableau/table/nope")
+        assert code == 404
+    finally:
+        server.shutdown()
