@@ -622,3 +622,121 @@ def test_by_day_grain_matching_equals_unaccelerated(spark, expr,
         return sorted(tuple(r) for r in df.collect())
 
     assert canon(got) == canon(base), expr
+
+
+def test_pred_implies_soundness_exhaustive():
+    """Filter-subsumption soundness (plans/reflections.py pred_implies
+    decides whether a PARTIAL reflection silently answers a query — the
+    one matcher whose bug class is wrong-rows-served): EXHAUSTIVELY over
+    the op fragment {>=, >, <=, <, =, in} × a literal set, whenever
+    pred_implies(query, reflection) says True, the query predicate's
+    satisfying rows must be a SUBSET of the reflection predicate's —
+    checked against BOTH a Python real-semantics domain (literals ±
+    strict-neighborhood witnesses, so >= vs > strictness bugs can't
+    hide between sample points) and DuckDB WHERE evaluation on the
+    same domain."""
+    import itertools
+
+    import duckdb
+
+    from dremio_oss_spark.plans.reflections import parse_pred, pred_implies
+
+    # numeric: literals {0,1,2}; domain adds ±0.25 neighborhoods so a
+    # strictness mistake (x>=1 ⇏ x>1) always has a witness
+    lits = [0.0, 1.0, 2.0]
+    domain = sorted({x for v in lits for x in
+                     (v - 0.25, v, v + 0.25)} | {-5.0, 5.0})
+    ops = [">=", ">", "<=", "<", "="]
+    preds = [(f"c {op} {v}", ("c", op, (v,)))
+             for op in ops for v in lits]
+    preds += [(f"c in ({', '.join(str(v) for v in combo)})",
+               ("c", "in", combo))
+              for n in (1, 2) for combo in
+              itertools.combinations(lits, n)]
+    # the parser must agree with the hand-built tuples
+    for text, tup in preds:
+        assert parse_pred(text) == tup, text
+
+    def sat_py(tup):
+        col, op, vals = tup
+        if op == "in":
+            return {x for x in domain if x in vals}
+        import operator
+        f = {">=": operator.ge, ">": operator.gt, "<=": operator.le,
+             "<": operator.lt, "=": operator.eq}[op]
+        return {x for x in domain if f(x, vals[0])}
+
+    con = duckdb.connect()
+    con.execute("create table t(c double)")
+    con.executemany("insert into t values (?)", [(x,) for x in domain])
+
+    def sat_sql(text):
+        return {r[0] for r in
+                con.execute(f"select c from t where {text}").fetchall()}
+
+    n_true = 0
+    for (ta, a), (tb, b) in itertools.product(preds, preds):
+        pa, pb = sat_py(a), sat_py(b)
+        assert pa == sat_sql(ta), f"python/SQL semantics drift: {ta}"
+        if pred_implies(a, b):
+            n_true += 1
+            assert pa <= pb, (
+                f"UNSOUND: {ta} claimed to imply {tb} but "
+                f"{sorted(pa - pb)} satisfy the query and not the "
+                "reflection — a partial reflection would serve wrong "
+                "rows")
+    # non-vacuous: the fragment has plenty of true implications
+    assert n_true > 100, n_true
+    # different column never implies
+    assert not pred_implies(("a", "=", (1.0,)), ("b", "=", (1.0,)))
+    # string/number mixes refuse
+    assert not pred_implies(("c", "=", ("x",)), ("c", ">=", (1.0,)))
+    con.close()
+
+
+def test_pred_implies_soundness_strings_and_parser():
+    """Same soundness over STRING literals (ISO dates compare
+    lexicographically — the partial-reflection date fragment), plus
+    parser refusal cases: anything outside the fragment must parse to
+    None (sound: no silent acceleration), and mixed-type IN lists
+    refuse."""
+    import itertools
+
+    from dremio_oss_spark.plans.reflections import parse_pred, pred_implies
+
+    lits = ["2024-01-01", "2024-06-15", "2024-12-31"]
+    domain = sorted(set(lits) | {"2023-12-31", "2024-01-02",
+                                 "2024-06-14", "2024-06-16",
+                                 "2025-01-01", ""})
+    ops = [">=", ">", "<=", "<", "="]
+    preds = [(f"c {op} '{v}'", ("c", op, (v,))) for op in ops
+             for v in lits]
+    preds += [("c in ('2024-01-01', '2024-12-31')",
+               ("c", "in", ("2024-01-01", "2024-12-31")))]
+    for text, tup in preds:
+        assert parse_pred(text) == tup, text
+
+    import operator
+    fmap = {">=": operator.ge, ">": operator.gt, "<=": operator.le,
+            "<": operator.lt, "=": operator.eq}
+
+    def sat(tup):
+        col, op, vals = tup
+        if op == "in":
+            return {x for x in domain if x in vals}
+        return {x for x in domain if fmap[op](x, vals[0])}
+
+    n_true = 0
+    for (ta, a), (tb, b) in itertools.product(preds, preds):
+        if pred_implies(a, b):
+            n_true += 1
+            assert sat(a) <= sat(b), f"UNSOUND: {ta} => {tb}"
+    assert n_true > 20, n_true
+
+    # parser refusals: outside-fragment shapes must be None
+    for bad in ("c <> 5", "c != 5", "c like 'a%'", "c is null",
+                "c between 1 and 2", "lower(c) = 'x'",
+                "c in (1, 'x')",      # mixed-type IN
+                "c in 1",             # malformed IN
+                "c = a_column"):      # non-literal rhs
+        assert parse_pred(bad) is None, bad
