@@ -241,16 +241,33 @@ class EngineFlightServer(flight.FlightServerBase):
                 sql = self._bind(st["sql"], st["params"] or [])
             else:
                 sql = descriptor.command.decode()
+        import time as _time
+
         ticket = f"q:{uuid.uuid4().hex}".encode()
+        # per-job telemetry rides the opaque ticket id (profiles show
+        # up in sys.jobs / GET /job/{id}/profile with queryType FLIGHT)
+        jid = ticket.decode()[2:18]
+        tel = self.engine.job_telemetry
+        tel.start(jid, sql, query_type="FLIGHT")
         with self._lock:
-            df = self._run(sql)
+            t_plan = _time.perf_counter()
+            try:
+                df = self._run(sql)
+            except Exception as e:  # noqa: BLE001 — profile + re-raise
+                tel.complete(jid, state="FAILED", error=str(e))
+                raise
+            tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
+                        accelerated_by=getattr(
+                            self.engine, "last_plan_accelerated", None))
             # cache the PLANNED frame under a fresh opaque ticket so
             # DoGet streams this statement's result instead of running
             # engine.sql again (DML executes eagerly inside sql() — a
             # second call would apply it twice)
-            self._planned[ticket] = df
+            self._planned[ticket] = (df, jid)
             while len(self._planned) > 32:  # bounded: drop oldest
-                self._planned.pop(next(iter(self._planned)))
+                _, djid = self._planned.pop(next(iter(self._planned)))
+                tel.complete(djid, state="CANCELED",
+                             error="ticket expired unredeemed")
             schema = df.limit(0).toArrow().schema
         # FlightSQL tickets carry an Any-packed TicketStatementQuery
         # whose statement_handle is our opaque ticket (the redeem key
@@ -319,23 +336,49 @@ class EngineFlightServer(flight.FlightServerBase):
             return flight.RecordBatchStream(table)
         if env is not None and env[0] == "TicketStatementQuery":
             raw = fsql.bytes_field(env[1])
+        import time as _time
+        import uuid as _uuid
+
         ticket = flight.Ticket(raw)
+        tel = self.engine.job_telemetry
         with self._lock:
-            df = self._planned.pop(ticket.ticket, None)
-            if df is None:
+            entry = self._planned.pop(ticket.ticket, None)
+            if entry is None:
                 if ticket.ticket.startswith(b"q:"):
                     # an issued ticket must redeem EXACTLY once — running
                     # the (unknown) statement again is not an option
                     raise flight.FlightServerError(
                         "ticket already redeemed or expired")
                 # direct DoGet with plain SQL: a read-only convenience
-                df = self._run(ticket.ticket.decode())
+                sql = ticket.ticket.decode()
+                jid = _uuid.uuid4().hex[:16]
+                tel.start(jid, sql, query_type="FLIGHT")
+                t_plan = _time.perf_counter()
+                try:
+                    df = self._run(sql)
+                except Exception as e:  # noqa: BLE001
+                    tel.complete(jid, state="FAILED", error=str(e))
+                    raise
+                tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
+                            accelerated_by=getattr(
+                                self.engine, "last_plan_accelerated",
+                                None))
+            else:
+                df, jid = entry
         # materialization runs OUTSIDE the engine lock: the frame is
         # already analyzed, so concurrent DoGets interleave at the
         # Spark scheduler (reference: concurrent jobs execution,
         # ForemenWorkManager.java:715); only statement planning — and
         # thereby every mutating commit — serializes
-        table = df.toArrow()
+        t_exec = _time.perf_counter()
+        try:
+            table = df.toArrow()
+        except Exception as e:  # noqa: BLE001 — execution failure
+            tel.complete(jid, state="FAILED", error=str(e))
+            raise
+        tel.complete(jid, state="COMPLETED", df=df,
+                     execution_ms=(_time.perf_counter() - t_exec) * 1000,
+                     row_count=table.num_rows)
         return flight.RecordBatchStream(table)
 
     def list_actions(self, context):

@@ -1564,3 +1564,38 @@ def test_rest_bi_connect_files(spark):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_flight_queries_profile_into_telemetry(flight_setup, spark):
+    """Flight statements land in the SAME job-telemetry store the REST
+    profile route serves: GetFlightInfo records planning, DoGet records
+    execution + operator metrics, queryType is FLIGHT."""
+    from dremio_oss_spark.server.flight import flight_query
+
+    eng, server = flight_setup
+    before = {j["id"] for j in
+              eng.job_telemetry.listing(limit=1000)["jobs"]}
+    tab = flight_query(
+        server.port,
+        "select n_regionkey, count(*) as n from nation "
+        "group by n_regionkey")
+    assert tab.num_rows == 5
+    jobs = [j for j in eng.job_telemetry.listing(limit=1000)["jobs"]
+            if j["id"] not in before and j["queryType"] == "FLIGHT"]
+    assert len(jobs) == 1
+    j = jobs[0]
+    assert j["state"] == "COMPLETED" and j["rowsReturned"] == 5
+    prof = eng.job_telemetry.profile(j["id"])
+    assert prof["planningTimeMs"] > 0 and prof["executionTimeMs"] > 0
+    assert "HashAggregate" in prof["plan"]
+    assert any(o["metrics"].get("numOutputRows", 0) > 0
+               for o in prof["operators"])
+    # a failing statement profiles FAILED
+    import pyarrow.flight as fl
+    import pytest as _pytest
+    with _pytest.raises(fl.FlightServerError):
+        flight_query(server.port, "select * from flight_no_such")
+    failed = [x for x in eng.job_telemetry.listing(
+        state="FAILED", limit=1000)["jobs"]
+        if "flight_no_such" in x["queryText"]]
+    assert failed and failed[0]["queryType"] == "FLIGHT"
