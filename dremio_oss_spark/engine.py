@@ -1912,6 +1912,85 @@ class Engine:
         out.sort(key=lambda f: f["name"])
         return out
 
+    AUTOCOMPLETE_MAX = 50  # reference caps suggestion lists
+
+    def autocomplete_suggestions(self, prefix: str = "",
+                                 kind: str = "CONTAINER",
+                                 keys: list[list[str]] | None = None
+                                 ) -> dict:
+        """SQL-editor autocomplete (`SQLResource.java:111` POST
+        /sql/autocomplete via AutocompleteProxy.java:60-98): CONTAINER
+        suggests tables/spaces/VDS under the given context keys, COLUMN
+        suggests a table's columns with types, REFERENCE suggests a
+        versioned source's branches/tags.  Pure catalog metadata —
+        nothing scans data."""
+        p = (prefix or "").lower()
+        keys = keys or [[]]
+        out: list[dict] = []
+        kind = kind.upper()
+        if kind == "CONTAINER":
+            for key in keys:
+                if not key:  # top level: tables + spaces + sources
+                    for r in self.information_schema_tables().collect():
+                        if r["table_name"].lower().startswith(p):
+                            out.append({"name": r["table_name"],
+                                        "path": [r["table_name"]],
+                                        "type": r["table_type"]})
+                    for s in self.spaces:
+                        if s.lower().startswith(p):
+                            out.append({"name": s, "path": [s],
+                                        "type": "SPACE"})
+                    for s in self._versioned_sources:
+                        if s.lower().startswith(p):
+                            out.append({"name": s, "path": [s],
+                                        "type": "SOURCE"})
+                elif key[0] in self.spaces:
+                    for v in self.spaces[key[0]].vds:
+                        if v.lower().startswith(p):
+                            out.append({"name": v, "path": [key[0], v],
+                                        "type": "VIRTUAL_DATASET"})
+                elif key[0] in self._versioned_sources:
+                    from .sources import dataplane as dp
+                    root = self._versioned_sources[key[0]]
+                    for t in sorted(dp.state_at(root)):
+                        if t.lower().startswith(p):
+                            out.append({"name": t, "path": [key[0], t],
+                                        "type": "TABLE"})
+        elif kind == "COLUMN":
+            for key in keys:
+                name = ".".join(key)
+                try:
+                    schema = self.table(name).schema
+                except Exception:  # noqa: BLE001 — unknown table: skip
+                    continue
+                for f in schema.fields:
+                    if f.name.lower().startswith(p):
+                        out.append({"name": f.name, "path": key + [f.name],
+                                    "type": "COLUMN",
+                                    "columnType":
+                                        f.dataType.simpleString()})
+        elif kind == "REFERENCE":
+            from .sources import dataplane as dp
+            for key in keys:
+                root = self._versioned_sources.get(key[0] if key else "")
+                if root is None:
+                    continue
+                refs = dp._load_refs(root)
+                for b in sorted(refs["branches"]):
+                    if b.lower().startswith(p):
+                        out.append({"name": b, "path": key + [b],
+                                    "type": "BRANCH"})
+                for t in sorted(refs.get("tags", ())):
+                    if t.lower().startswith(p):
+                        out.append({"name": t, "path": key + [t],
+                                    "type": "TAG"})
+        else:
+            raise ValueError(f"unknown autocomplete type {kind!r}")
+        out.sort(key=lambda s: (s["name"], s["type"]))
+        return {"suggestionsType": kind, "count": len(out),
+                "maxCount": self.AUTOCOMPLETE_MAX,
+                "suggestions": out[:self.AUTOCOMPLETE_MAX]}
+
     def show_create_vds(self, space: str, name: str) -> DataFrame:
         """SHOW CREATE VIEW space.name: reconstructed DDL from the stored
         SQL (VDS = stored SQL, dataset.proto:60)."""

@@ -722,6 +722,21 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001 — error envelope
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/sql/autocomplete":
+            # SQL-editor suggestions (SQLResource.java:111,
+            # AutocompleteProxy.java: CONTAINER/COLUMN/REFERENCE over
+            # {prefix, type, catalogEntityKeys})
+            try:
+                req = self._read_json()
+                with _ENGINE_LOCK:
+                    resp = self.engine.autocomplete_suggestions(
+                        prefix=req.get("prefix", ""),
+                        kind=req.get("type", "CONTAINER"),
+                        keys=req.get("catalogEntityKeys"))
+                return self._send(200, resp)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if self.path.rstrip("/") == "/api/v3/user":
             # POST /user — create (dac/api/UserResource.java:84)
             try:

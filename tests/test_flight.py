@@ -1599,3 +1599,71 @@ def test_flight_queries_profile_into_telemetry(flight_setup, spark):
         state="FAILED", limit=1000)["jobs"]
         if "flight_no_such" in x["queryText"]]
     assert failed and failed[0]["queryType"] == "FLIGHT"
+
+
+def test_rest_sql_autocomplete(spark, tmp_path):
+    """SQL-editor autocomplete (SQLResource.java:111 POST
+    /sql/autocomplete, AutocompleteProxy.java:60-98): CONTAINER
+    suggestions at top level and inside a space, COLUMN suggestions
+    with types, REFERENCE suggestions from a versioned source's
+    branches/tags."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def post(body):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}/api/v3/sql/autocomplete",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # top-level containers by prefix
+        code, out = post({"prefix": "line", "type": "CONTAINER",
+                          "catalogEntityKeys": [[]]})
+        assert code == 200 and out["suggestionsType"] == "CONTAINER"
+        assert [s["name"] for s in out["suggestions"]] == ["lineitem"]
+        # space context lists its VDS
+        eng.create_space("mart")
+        eng.create_vds("mart", "daily_rev", "select 1 as x")
+        eng.create_vds("mart", "monthly_rev", "select 2 as x")
+        code, out = post({"prefix": "d", "type": "CONTAINER",
+                          "catalogEntityKeys": [["mart"]]})
+        assert [s["name"] for s in out["suggestions"]] == ["daily_rev"]
+        assert out["suggestions"][0]["path"] == ["mart", "daily_rev"]
+        # column suggestions carry types
+        code, out = post({"prefix": "o_order", "type": "COLUMN",
+                          "catalogEntityKeys": [["orders"]]})
+        names = {s["name"]: s["columnType"] for s in out["suggestions"]}
+        assert "o_orderkey" in names and "o_orderdate" in names
+        assert names["o_orderkey"] == "bigint"
+        assert names["o_orderdate"].startswith(("date", "timestamp"))
+        # reference suggestions from a versioned source
+        eng.create_versioned_source("acsrc", str(tmp_path / "acsrc"))
+        eng.sql("CREATE BRANCH dev IN acsrc")
+        eng.sql("CREATE BRANCH feature_x IN acsrc")
+        code, out = post({"prefix": "", "type": "REFERENCE",
+                          "catalogEntityKeys": [["acsrc"]]})
+        assert {s["name"] for s in out["suggestions"]} \
+            >= {"main", "dev", "feature_x"}
+        assert all(s["type"] == "BRANCH" for s in out["suggestions"])
+        # unknown type is an error envelope
+        code, _ = post({"prefix": "", "type": "NOPE"})
+        assert code == 400
+    finally:
+        server.shutdown()
