@@ -740,3 +740,53 @@ def test_pred_implies_soundness_strings_and_parser():
                 "c in 1",             # malformed IN
                 "c = a_column"):      # non-literal rhs
         assert parse_pred(bad) is None, bad
+
+
+def test_pred_conjunction_subsumption_soundness():
+    """The covers() conjunction rule (plans/reflections.py:371-380:
+    every REFLECTION predicate implied by SOME query predicate) must be
+    row-sound for conjunctive WHERE lists: whenever the rule accepts,
+    the query's AND-intersection must be a subset of the reflection's.
+    Randomized over predicate lists with a seeded generator."""
+    import itertools
+    import operator
+    import random
+
+    from dremio_oss_spark.plans.reflections import pred_implies
+
+    rng = random.Random(11)
+    lits = [0.0, 1.0, 2.0, 3.0]
+    domain = sorted({x for v in lits for x in
+                     (v - 0.25, v, v + 0.25)} | {-5.0, 7.0})
+    ops = [">=", ">", "<=", "<", "="]
+    pool = [("c", op, (v,)) for op in ops for v in lits]
+    pool += [("c", "in", combo) for combo in
+             itertools.combinations(lits, 2)]
+    fmap = {">=": operator.ge, ">": operator.gt, "<=": operator.le,
+            "<": operator.lt, "=": operator.eq}
+
+    def sat(tup):
+        _, op, vals = tup
+        if op == "in":
+            return {x for x in domain if x in vals}
+        return {x for x in domain if fmap[op](x, vals[0])}
+
+    def sat_all(preds):
+        rows = set(domain)
+        for p in preds:
+            rows &= sat(p)
+        return rows
+
+    n_accept = 0
+    for _ in range(4000):
+        q_preds = rng.sample(pool, rng.randint(1, 3))
+        r_preds = rng.sample(pool, rng.randint(1, 2))
+        accepted = all(
+            any(pred_implies(qp, rp) for qp in q_preds)
+            for rp in r_preds)
+        if accepted:
+            n_accept += 1
+            assert sat_all(q_preds) <= sat_all(r_preds), (
+                f"UNSOUND conjunction: {q_preds} accepted against "
+                f"{r_preds}")
+    assert n_accept > 200, n_accept  # non-vacuous
