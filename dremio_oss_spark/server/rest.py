@@ -488,6 +488,18 @@ class _Handler(BaseHTTPRequestHandler):
                 fns = self.engine.functions_list(
                     include_builtins=want_builtins)
             return self._send(200, {"functions": fns})
+        if (self.path.startswith("/api/v3/jobs-listing/")
+                and self.path.rstrip("/").endswith("/jobDetails")):
+            # GET /jobs-listing/{jobId}/jobDetails
+            # (JobsListingResource.java:131 getJobDetails) — same
+            # profile document the /job/{id}/profile route serves
+            jid = self.path[len("/api/v3/jobs-listing/"):].rstrip("/")
+            jid = jid[:-len("/jobDetails")]
+            prof = self.engine.job_telemetry.profile(jid)
+            if prof is None:
+                return self._send(404, {"errorMessage":
+                                        f"no job {jid}"})
+            return self._send(200, prof)
         if urlparse(self.path).path.rstrip("/") == "/api/v3/jobs-listing":
             # filterable jobs listing (JobsListingResource.java:92-132):
             # ?filter=<sql substring>&state=&user=&sort=&order=&offset=&limit=

@@ -1224,6 +1224,12 @@ def test_rest_job_profile_and_jobs_listing(spark):
         assert lst["total"] == 1 and lst["jobs"][0]["state"] == "FAILED"
         code, lst = get("/api/v3/jobs-listing?limit=1&offset=0")
         assert len(lst["jobs"]) == 1 and lst["next"] == 1
+        # jobDetails alias (JobsListingResource.java:131) serves the
+        # same profile document
+        code, det = get(f"/api/v3/jobs-listing/{jid}/jobDetails")
+        assert code == 200 and det["plan"] == prof["plan"]
+        code, _ = get("/api/v3/jobs-listing/nope/jobDetails")
+        assert code == 404
 
         # acceleration flag rides the profile (reflection-backed query)
         eng.sql("ALTER TABLE orders CREATE AGGREGATE REFLECTION jp_r "
