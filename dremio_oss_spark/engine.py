@@ -3647,56 +3647,25 @@ class Engine:
         the noop sink, so nothing is collected to the driver."""
         import json as _json
 
+        from .plans.telemetry import plan_operator_profile
+
         df = query if isinstance(query, DataFrame) else self.sql(query)
         # run THIS queryExecution's physical plan (a sink like noop would
         # plan a separate execution whose metrics we couldn't read);
         # count() over the internal-row RDD executes distributed with
         # nothing shipped to the driver but the count
-        qe = df._jdf.queryExecution()
-        qe.toRdd().count()
-        wrappers = {"AdaptiveSparkPlan", "ResultQueryStage",
-                    "ShuffleQueryStage", "TableCacheQueryStage",
-                    "BroadcastQueryStage"}
+        df._jdf.queryExecution().toRdd().count()
         rows: list[tuple] = []
-
-        def kids(node):
-            out = []
-            ch = node.children()
-            for i in range(ch.size()):
-                out.append(ch.apply(i))
-            if not out:
-                for attr in ("executedPlan", "plan", "finalPhysicalPlan"):
-                    if hasattr(node, attr):
-                        try:
-                            out = [getattr(node, attr)()]
-                            break
-                        except Exception:  # noqa: BLE001 — wrapper probing
-                            pass
-            return out
-
-        def walk(node, depth):
-            name = node.nodeName()
-            if name in wrappers:
-                for c in kids(node):
-                    walk(c, depth)
-                return
-            it = node.metrics().iterator()
-            m = {}
-            while it.hasNext():
-                kv = it.next()
-                m[kv._1()] = kv._2().value()
+        for o in plan_operator_profile(df):  # shared AQE-unwrapping walk
+            m = o["metrics"]
             t = next((m[k] for k in
                       ("aggTime", "time in aggregation build",
                        "scanTime", "pipelineTime", "sortTime")
                       if k in m), None)
-            rows.append((len(rows), depth, name,
+            rows.append((o["operatorId"], o["depth"], o["operatorName"],
                          m.get("numOutputRows"), t,
                          m.get("peakMemory"),
                          m.get("spillSize"), _json.dumps(m)))
-            for c in kids(node):
-                walk(c, depth + 1)
-
-        walk(qe.executedPlan(), 0)
         return self.spark.createDataFrame(
             rows,
             "op_id int, depth int, operator string, rows_out long, "
