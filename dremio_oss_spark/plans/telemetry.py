@@ -144,6 +144,7 @@ class JobTelemetryStore:
                 "accelerated_by": None, "rowsReturned": None,
                 "error": None, "plan": None, "operators": [],
                 "phases": [], "isComplete": False, "cached_plan": False,
+                "wlmQueue": None,
             }
             while len(self._jobs) > self._cap:
                 # evict oldest COMPLETE first; never a running job
@@ -155,7 +156,8 @@ class JobTelemetryStore:
 
     def planned(self, jid: str, planning_ms: float,
                 accelerated_by: str | None = None,
-                cached: bool = False) -> None:
+                cached: bool = False,
+                wlm_queue: str | None = None) -> None:
         with self._lock:
             job = self._jobs.get(jid)
             if job is None:
@@ -164,6 +166,14 @@ class JobTelemetryStore:
             job["accelerated_by"] = accelerated_by
             job["isAccelerated"] = bool(accelerated_by)
             job["cached_plan"] = cached
+            if wlm_queue is not None:
+                job["wlmQueue"] = wlm_queue
+
+    def set_queue(self, jid: str, wlm_queue: str) -> None:
+        with self._lock:
+            job = self._jobs.get(jid)
+            if job is not None:
+                job["wlmQueue"] = wlm_queue
 
     def complete(self, jid: str, state: str = "COMPLETED",
                  df: DataFrame | None = None,
@@ -244,7 +254,7 @@ class JobTelemetryStore:
                       ("id", "queryType", "queryUser", "queryText",
                        "isAccelerated", "accelerated_by", "state",
                        "startTime", "endTime", "duration",
-                       "rowsReturned", "isComplete")}
+                       "rowsReturned", "isComplete", "wlmQueue")}
                      for j in page]
         nxt = (offset + limit) if offset + limit < total else None
         return {"jobs": summaries, "total": total, "next": nxt}

@@ -370,9 +370,18 @@ class EngineFlightServer(flight.FlightServerBase):
         # Spark scheduler (reference: concurrent jobs execution,
         # ForemenWorkManager.java:715); only statement planning — and
         # thereby every mutating commit — serializes
+        # cost-based WLM admission around the materialization, like the
+        # REST paths (BasicResourceAllocator.java:155)
+        wm = self.engine._workload()
+        try:
+            qname = wm.classify(df)
+        except Exception:  # noqa: BLE001 — command frames lack stats
+            qname = "SMALL"
+        tel.set_queue(jid, qname)
         t_exec = _time.perf_counter()
         try:
-            table = df.toArrow()
+            with wm.admit_to(qname):
+                table = df.toArrow()
         except Exception as e:  # noqa: BLE001 — execution failure
             tel.complete(jid, state="FAILED", error=str(e))
             raise

@@ -541,8 +541,17 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
+            # cost-based WLM routing (BasicResourceAllocator.java:155):
+            # classify by Catalyst's plan-size estimate, queue-admit the
+            # EXECUTION (planning never queues — the reference costs at
+            # plan time and queues the fragments)
+            wm = self.engine._workload()
+            try:
+                qname = wm.classify(df)
+            except Exception:  # noqa: BLE001 — command frames lack stats
+                qname = "SMALL"
             tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
-                        accelerated_by=accelerated)
+                        accelerated_by=accelerated, wlm_queue=qname)
             # execution runs OUTSIDE the engine lock: engine.sql already
             # analyzed the plan (views expanded, policies applied, state
             # restored), so concurrent jobs interleave at the Spark
@@ -555,7 +564,8 @@ class _Handler(BaseHTTPRequestHandler):
             # one) — df itself never runs, so its plan's SQLMetrics
             # would stay zero
             ldf = df.limit(self.max_stored)
-            rows = ldf.collect()
+            with wm.admit_to(qname):
+                rows = ldf.collect()
             exec_ms = (_time.perf_counter() - t_exec) * 1000
             job = self.jobs.get(jid)
             if job is not None and job["state"] == "CANCELED":
@@ -956,13 +966,19 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
+            wm = self.engine._workload()
+            try:  # cost-based WLM routing, same as the async worker
+                qname = wm.classify(df)
+            except Exception:  # noqa: BLE001 — command frames lack stats
+                qname = "SMALL"
             tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
-                        accelerated_by=accelerated)
+                        accelerated_by=accelerated, wlm_queue=qname)
             # collect outside the lock (see _run_job): reads interleave;
             # metrics come from the frame that EXECUTES (the limited one)
             t_exec = _time.perf_counter()
             ldf = df.limit(n_collect)
-            rows = ldf.collect()
+            with wm.admit_to(qname):
+                rows = ldf.collect()
             tel.complete(jid, state="COMPLETED", df=ldf,
                          execution_ms=(_time.perf_counter() - t_exec)
                          * 1000, row_count=len(rows), sc=sc,

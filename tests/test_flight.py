@@ -1203,6 +1203,9 @@ def test_rest_job_profile_and_jobs_listing(spark):
         assert prof["executionTimeMs"] > 0
         assert prof["state"] == "COMPLETED" and prof["rowsReturned"] == 3
         assert prof["isAccelerated"] is False
+        # cost-based WLM routing recorded (BasicResourceAllocator.java:
+        # 155 -- sf0.001 aggregates cost under the LARGE threshold)
+        assert prof["wlmQueue"] == "SMALL"
         code, _ = get("/api/v3/job/nope/profile")
         assert code == 404
 
