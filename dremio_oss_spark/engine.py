@@ -882,8 +882,14 @@ class Engine:
         "timezone_names", "user_defined_functions", "dependencies",
         "reflections", "materializations", "jobs", "options", "engines",
         "reflection_routing", "statistics", "histograms",
-        "reflection_recommendations",
+        "reflection_recommendations", "queues",
     })
+
+    def sys_queues(self) -> DataFrame:
+        """sys.queues (WLM queue limits + live occupancy) — the
+        workload manager's view, SQL-addressable like the rest of the
+        sys.* registry."""
+        return self._workload().sys_queues()
 
     def _expand_sys_tables(self, query: str) -> str:
         """Make `sys.<name>` and `INFORMATION_SCHEMA.<view>` table refs

@@ -900,6 +900,10 @@ def test_sys_tables_sql_addressable(spark):
     ).first()["n"]
     assert udfs > 50
     assert "version" in eng.sql("select * from sys.version").columns
+    queues = {r["queue"]: r for r in
+              eng.sql("select * from sys.queues").collect()}
+    assert queues["SMALL"]["max_concurrency"] == 10
+    assert queues["LARGE"]["active"] == 0
 
 
 def test_aggregate_reflection_layout_fields(spark, tmp_path):
