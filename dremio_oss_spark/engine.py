@@ -300,12 +300,13 @@ class Engine:
         u = self._users.get(name)
         if u is None:
             raise KeyError(f"no user {name!r}")
+        cur_tag = u.setdefault("tag", "0")  # defensive: old stores
         sent = attrs.pop("tag", None)
-        if sent is not None and sent != u["tag"]:
+        if sent is not None and sent != cur_tag:
             raise ConcurrentModificationError(
-                f"user {name!r} tag mismatch: expected {u['tag']!r}")
+                f"user {name!r} tag mismatch: expected {cur_tag!r}")
         u.update({k: attrs[k] for k in self._USER_ATTRS if k in attrs})
-        u["tag"] = str(int(u["tag"]) + 1)
+        u["tag"] = str(int(cur_tag) + 1)
         return self.get_user(name)
 
     def list_users(self, filter_text: str = "") -> list[dict]:
@@ -725,11 +726,19 @@ class Engine:
         execution wall, acceleration, rows — plus any live untracked
         Spark jobs from the status tracker."""
         rows: list[tuple] = list(self.job_telemetry.rows_for_sys_jobs())
-        seen_live = {r[0] for r in rows}
         st = self.spark.sparkContext.statusTracker()
+        # live Spark jobs that BELONG to a tracked RUNNING query (the
+        # REST/Flight workers tag their groups rest-job-{id}) are that
+        # query's execution, not separate entries — exclude them so a
+        # running statement shows once
+        tracked_live: set[int] = set()
+        for r in rows:
+            if r[1] == "RUNNING":
+                tracked_live.update(st.getJobIdsForGroup(
+                    f"rest-job-{r[0]}"))
         for jid in sorted(st.getActiveJobsIds()):
             info = st.getJobInfo(jid)
-            if info and str(jid) not in seen_live:
+            if info and jid not in tracked_live:
                 rows.append((str(jid), str(info.status),
                              len(info.stageIds), "SPARK", None, None,
                              None, None, None, None, None, None))
@@ -3075,7 +3084,8 @@ class Engine:
             if verb == "create":
                 self._roles.setdefault(name, set())
                 if kind == "user":
-                    self._users.setdefault(name, {"name": name})
+                    self._users.setdefault(name,
+                                           {"name": name, "tag": "0"})
                 else:
                     self._role_defs.add(name)
             else:

@@ -15,6 +15,8 @@ stats DataFrame/store the engine's sys.statistics view serves.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,17 @@ _STATS_SCHEMA = (
 _HIST_SCHEMA = "column_name string, percentile double, value double"
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size conf ('134217728', '128m', '128MB') -> bytes."""
+    s = v.strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
+                      ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[:-len(suf)])) * mult
+    return int(s)
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Repartition ONLY a narrow input (single-file test fixture) so
     the partial aggregation parallelizes.  A real lake scan is already
@@ -42,15 +55,38 @@ def _fan_out(df: DataFrame) -> DataFrame:
     # decide width WITHOUT materializing the RDD lineage
     # (df.rdd.getNumPartitions() builds the whole RDD DAG just to count
     # splits — driver-side planning cost paid on every ANALYZE of a
-    # wide lake scan).  inputFiles() answers from the already-resolved
-    # file index; Spark splits files >= maxPartitionBytes further, so
-    # file count is a LOWER bound on scan partitions — if even the file
-    # count clears the core count, the scan is certainly wide enough.
+    # wide lake scan).  Reproduce Spark's own split arithmetic
+    # (FilePartition.maxSplitBytes: bytesPerCore over openCost-adjusted
+    # totals) from the resolved file list instead — file COUNT alone is
+    # no proxy in either direction, since bin-packing merges small
+    # files (300 x 1 MB -> a few splits) and splitting divides large
+    # ones (3 x 10 GB -> hundreds).  Stat cost is capped: more than 10k
+    # files IS a wide lake scan.
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file relation (VALUES, view)
         files = []
-    if len(files) < n_part:
+    if len(files) > 10_000:
+        return df
+    spark = df.sparkSession
+    max_pb = _parse_bytes(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    open_cost = _parse_bytes(spark.conf.get(
+        "spark.sql.files.openCostInBytes", str(4 * 1024 * 1024)))
+    parallelism = int(spark.conf.get(
+        "spark.sql.files.minPartitionNum",
+        str(spark.sparkContext.defaultParallelism)))
+    adjusted = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            adjusted += os.path.getsize(p) + open_cost
+        except OSError:  # remote FS path: assume a full split per file
+            adjusted += max_pb
+    bytes_per_core = adjusted // max(parallelism, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    est_splits = (adjusted + max_split - 1) // max(max_split, 1)
+    if est_splits < n_part:
         return df.repartition(n_part)
     return df
 

@@ -147,11 +147,16 @@ class JobTelemetryStore:
                 "wlmQueue": None,
             }
             while len(self._jobs) > self._cap:
-                # evict oldest COMPLETE first; never a running job
+                # evict oldest COMPLETE first; running jobs survive the
+                # soft cap, but abandoned RUNNING entries (profiled_sql
+                # without finish_job) must not grow the store without
+                # bound — past 4x cap the oldest goes regardless
                 victim = next((k for k, v in self._jobs.items()
                                if v["isComplete"]), None)
                 if victim is None:
-                    break
+                    if len(self._jobs) <= 4 * self._cap:
+                        break
+                    victim = next(iter(self._jobs))
                 self._jobs.pop(victim)
 
     def planned(self, jid: str, planning_ms: float,

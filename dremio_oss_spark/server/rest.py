@@ -488,13 +488,14 @@ class _Handler(BaseHTTPRequestHandler):
                 fns = self.engine.functions_list(
                     include_builtins=want_builtins)
             return self._send(200, {"functions": fns})
-        if (self.path.startswith("/api/v3/jobs-listing/")
-                and self.path.rstrip("/").endswith("/jobDetails")):
+        _jd_path = urlparse(self.path).path.rstrip("/")
+        if (_jd_path.startswith("/api/v3/jobs-listing/")
+                and _jd_path.endswith("/jobDetails")):
             # GET /jobs-listing/{jobId}/jobDetails
             # (JobsListingResource.java:131 getJobDetails) — same
             # profile document the /job/{id}/profile route serves
-            jid = self.path[len("/api/v3/jobs-listing/"):].rstrip("/")
-            jid = jid[:-len("/jobDetails")]
+            jid = _jd_path[len("/api/v3/jobs-listing/"):
+                           -len("/jobDetails")].rstrip("/")
             prof = self.engine.job_telemetry.profile(jid)
             if prof is None:
                 return self._send(404, {"errorMessage":
@@ -521,18 +522,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, listing)
         return self._send(404, {"errorMessage": f"no route {self.path}"})
 
-    def _run_job(self, jid: str, sql: str) -> None:
-        """Execute a statement into the job store (worker thread for
-        async submits; inline for synchronous POSTs).  The worker tags
-        its Spark jobs with the REST job id (setJobGroup is
-        thread-local), so POST /job/{id}/cancel can reach the running
-        stages — the reference's JobsService cancel
-        (JobResource.java:158)."""
+    def _exec_tracked(self, jid: str, sql: str, n_collect: int
+                      ) -> tuple:
+        """The one tracked-execution path both the async worker and the
+        sync POST share: tag the thread's Spark jobs with the REST job
+        id (so /job/{id}/cancel reaches the running stages —
+        JobResource.java:158), record telemetry (start/planned/
+        complete), classify + queue-admit the execution under WLM
+        (BasicResourceAllocator.java:155), store the result in the job
+        store.  Returns (df, rows, json_rows, schema, accelerated);
+        raises after recording FAILED on both stores.  Both raced
+        cancels are safe store-side: CANCELED is terminal in _Jobs and
+        the telemetry store, so the late COMPLETED/FAILED no-ops."""
         import time as _time
 
         sc = self.engine.spark.sparkContext
-        sc.setJobGroup(f"rest-job-{jid}",
-                       f"REST async job {jid}", True)
+        sc.setJobGroup(f"rest-job-{jid}", f"REST job {jid}", True)
         tel = self.engine.job_telemetry
         tel.start(jid, sql, user="$dremio$", query_type="REST")
         try:
@@ -541,10 +546,10 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
-            # cost-based WLM routing (BasicResourceAllocator.java:155):
-            # classify by Catalyst's plan-size estimate, queue-admit the
-            # EXECUTION (planning never queues — the reference costs at
-            # plan time and queues the fragments)
+            # cost-based WLM routing: classify by Catalyst's plan-size
+            # estimate, queue-admit the EXECUTION (planning never
+            # queues — the reference costs at plan time and queues the
+            # fragments)
             wm = self.engine._workload()
             try:
                 qname = wm.classify(df)
@@ -563,36 +568,40 @@ class _Handler(BaseHTTPRequestHandler):
             # capture metrics from the frame that EXECUTES (the limited
             # one) — df itself never runs, so its plan's SQLMetrics
             # would stay zero
-            ldf = df.limit(self.max_stored)
+            ldf = df.limit(n_collect)
             with wm.admit_to(qname):
                 rows = ldf.collect()
             exec_ms = (_time.perf_counter() - t_exec) * 1000
-            job = self.jobs.get(jid)
-            if job is not None and job["state"] == "CANCELED":
-                return  # cancel raced a fast completion: stays CANCELED
-            self.jobs.finish(
-                jid, state="COMPLETED",
-                schema=[{"name": f.name,
-                         "type": f.dataType.simpleString()}
-                        for f in df.schema.fields],
-                rows=[{k: _json_cell(v) for k, v in r.asDict().items()}
-                      for r in rows],
-                accelerated_by=accelerated)
+            json_rows = [{k: _json_cell(v) for k, v in
+                          r.asDict().items()} for r in rows]
+            schema = [{"name": f.name,
+                       "type": f.dataType.simpleString()}
+                      for f in df.schema.fields]
+            self.jobs.finish(jid, state="COMPLETED", schema=schema,
+                             rows=json_rows[:self.max_stored],
+                             accelerated_by=accelerated)
             tel.complete(jid, state="COMPLETED", df=ldf,
                          execution_ms=exec_ms, row_count=len(rows),
                          sc=sc, job_group=f"rest-job-{jid}")
+            return df, rows, json_rows, schema, accelerated
         except Exception as e:  # noqa: BLE001 — recorded on the job
             err = f"{type(e).__name__}: {e}"
             tel.complete(jid, state="FAILED", error=err)
-            job = self.jobs.get(jid)
-            if job is not None and job["state"] == "CANCELED":
-                return  # cancellation raced the failure: keep CANCELED
             self.jobs.finish(jid, state="FAILED", error=err)
+            raise
         finally:
             # pyspark has no clearJobGroup; reset the thread-locals
             for k in ("spark.jobGroup.id", "spark.job.description",
                       "spark.job.interruptOnCancel"):
                 sc.setLocalProperty(k, None)
+
+    def _run_job(self, jid: str, sql: str) -> None:
+        """Async worker-thread wrapper: errors are already recorded on
+        the job store, nothing to send."""
+        try:
+            self._exec_tracked(jid, sql, self.max_stored)
+        except Exception:  # noqa: BLE001 — recorded by _exec_tracked
+            pass
 
     def _catalog_search(self, q: str) -> list[dict]:
         """Substring search over entity names AND collaboration tags
@@ -945,54 +954,19 @@ class _Handler(BaseHTTPRequestHandler):
                              daemon=True).start()
             return self._send(200, {"id": jid, "jobState": "RUNNING"})
         try:
-            import time as _time
-
             # {"store": true} widens the collect to max_stored rows so
             # the job can be re-paged beyond `limit` afterwards; the
             # default sync hot path collects exactly `limit` rows, as
-            # before the job store existed
+            # before the job store existed.  Synchronous POSTs share
+            # the async worker's whole tracked-execution path
+            # (_exec_tracked: job-group tagging, telemetry, WLM
+            # admission, job-store landing) and only differ in who
+            # reads the result
             n_collect = (max(limit, self.max_stored)
                          if req.get("store") and limit else limit)
             jid = self.jobs.create()
-            tel = self.engine.job_telemetry
-            tel.start(jid, sql, user="$dremio$", query_type="REST")
-            sc = self.engine.spark.sparkContext
-            sc.setJobGroup(f"rest-job-{jid}", f"REST sync job {jid}",
-                           True)
-            t_plan = _time.perf_counter()
-            with _ENGINE_LOCK:
-                # the lock also makes accelerated_by read THIS query's
-                # marker, not a concurrent request's
-                df = self.engine.sql(sql)
-                accelerated = getattr(
-                    self.engine, "last_plan_accelerated", None)
-            wm = self.engine._workload()
-            try:  # cost-based WLM routing, same as the async worker
-                qname = wm.classify(df)
-            except Exception:  # noqa: BLE001 — command frames lack stats
-                qname = "SMALL"
-            tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
-                        accelerated_by=accelerated, wlm_queue=qname)
-            # collect outside the lock (see _run_job): reads interleave;
-            # metrics come from the frame that EXECUTES (the limited one)
-            t_exec = _time.perf_counter()
-            ldf = df.limit(n_collect)
-            with wm.admit_to(qname):
-                rows = ldf.collect()
-            tel.complete(jid, state="COMPLETED", df=ldf,
-                         execution_ms=(_time.perf_counter() - t_exec)
-                         * 1000, row_count=len(rows), sc=sc,
-                         job_group=f"rest-job-{jid}")
-            json_rows = [{k: _json_cell(v) for k, v in r.asDict().items()}
-                         for r in rows]
-            schema = [{"name": f.name, "type": f.dataType.simpleString()}
-                      for f in df.schema.fields]
-            # synchronous POSTs also land in the job store so clients
-            # can re-page what was collected (the store honors its
-            # max_stored cap even when the client's limit exceeds it)
-            self.jobs.finish(jid, state="COMPLETED", schema=schema,
-                             rows=json_rows[:self.max_stored],
-                             accelerated_by=accelerated)
+            _df, _rows, json_rows, schema, accelerated = \
+                self._exec_tracked(jid, sql, n_collect)
             payload = {
                 "id": jid,
                 "schema": schema,
@@ -1002,14 +976,9 @@ class _Handler(BaseHTTPRequestHandler):
             }
             return self._send(200, payload)
         except Exception as e:  # planner/execution error envelope
-            err = f"{type(e).__name__}: {e}"
-            try:  # jid exists once the telemetry start ran
-                self.engine.job_telemetry.complete(
-                    jid, state="FAILED", error=err)
-                self.jobs.finish(jid, state="FAILED", error=err)
-            except NameError:
-                pass
-            return self._send(400, {"errorMessage": err})
+            # _exec_tracked already recorded FAILED on both stores
+            return self._send(400, {"errorMessage":
+                                    f"{type(e).__name__}: {e}"})
 
 
     def do_PUT(self):
@@ -1101,7 +1070,12 @@ class _Handler(BaseHTTPRequestHandler):
             role, _, member = rest.partition("/member/")
             with _ENGINE_LOCK:
                 if member:
-                    # DELETE /role/{name}/member/{principal}
+                    # DELETE /role/{name}/member/{principal} — a typo'd
+                    # role or a non-member must NOT look like success
+                    if role not in self.engine._roles.get(member, set()):
+                        return self._send(404, {
+                            "errorMessage":
+                                f"{member} is not a member of {role}"})
                     self.engine.revoke_role(role, member)
                     return self._send(200, {"role": role,
                                             "removed": member})

@@ -1676,3 +1676,64 @@ def test_rest_sql_autocomplete(spark, tmp_path):
         assert code == 400
     finally:
         server.shutdown()
+
+
+def test_review_findings_r11_regressions(spark):
+    """Round-11 self-review regressions: (1) a CREATE USER DDL
+    principal updates over REST without a KeyError; (5) removing a
+    non-member/nonexistent role membership is 404, not silent success;
+    (6) jobDetails resolves with a query string; (7) the telemetry
+    store stays bounded even when jobs never complete."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.plans.telemetry import JobTelemetryStore
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # (1) DDL-created user has no explicit tag — PUT must work
+        eng.sql("CREATE USER ddl_made")
+        code, u = call("PUT", "/api/v3/user/ddl_made",
+                       {"email": "d@x.io"})
+        assert code == 200 and u["email"] == "d@x.io" and u["tag"] == "1"
+
+        # (5) non-member removal refuses
+        call("POST", "/api/v3/role", {"name": "r11_role"})
+        code, _ = call("DELETE", "/api/v3/role/r11_role/member/nobody")
+        assert code == 404
+        code, _ = call("DELETE", "/api/v3/role/ghost_role/member/x")
+        assert code == 404
+
+        # (6) jobDetails with a query string still resolves
+        code, out = call("POST", "/api/v3/sql",
+                         {"sql": "select 1 as one"})
+        jid = out["id"]
+        code, det = call("GET",
+                         f"/api/v3/jobs-listing/{jid}/jobDetails?x=1")
+        assert code == 200 and det["id"] == jid
+
+        # (7) abandoned RUNNING jobs cannot grow the store unboundedly
+        s = JobTelemetryStore(cap=4)
+        for i in range(50):
+            s.start(f"zombie{i}", "select 1")
+        assert len(s._jobs) <= 16  # hard bound at 4x cap
+    finally:
+        eng._drop_principal("ddl_made")
+        eng._drop_principal("r11_role")
+        server.shutdown()
