@@ -3021,6 +3021,59 @@ class Engine:
             "ddl string").where(
                 "dataset <> ''" if not rows else "true")
 
+    def reflection_recommendations(self, dataset: str,
+                                   rtype: str = "ALL") -> list[dict]:
+        """Reflection-body-shaped recommendations for ONE dataset
+        (reference `DatasetResource.java:82-89` POST
+        /dataset/{id}/reflection/recommendation[/{type}],
+        ReflectionSuggestionType AGG|RAW|ALL).  AGG candidates come
+        from the workload suggester; the RAW candidate is the
+        all-display-fields raw reflection.  Each entry is directly
+        POSTable to /api/v3/reflection to create it."""
+        from .plans.suggester import suggest
+
+        rtype = rtype.upper()
+        if rtype not in ("AGG", "RAW", "ALL"):
+            raise ValueError(
+                f"invalid reflection recommendation type: {rtype}")
+        out: list[dict] = []
+        if rtype in ("AGG", "ALL"):
+            for s in suggest(getattr(self, "_agg_workload", []),
+                             getattr(self, "_table_stats", None)):
+                if s["dataset"] != dataset:
+                    continue
+                dims = [d.strip()
+                        for d in s["dimensions"].split(",") if d.strip()]
+                meas = []
+                for part in re.findall(r"(\w+)\s*\(([^)]*)\)",
+                                       s["measures"]):
+                    meas.append({"name": part[0],
+                                 "measureTypeList":
+                                     [t.strip() for t in
+                                      part[1].split(",")]})
+                out.append({
+                    "type": "AGGREGATION", "name": s["reflection_name"],
+                    "datasetId": dataset,
+                    "dimensionFields": [{"name": d} for d in dims],
+                    "measureFields": meas,
+                    "queryCount": s["query_count"],
+                    "score": s["score"], "ddl": s["ddl"]})
+        if rtype in ("RAW", "ALL"):
+            try:
+                cols = [f.name for f in self.table(dataset).schema.fields]
+            except Exception:  # noqa: BLE001 — unknown dataset: no RAW
+                cols = []
+            if cols:
+                safe = re.sub(r"\W", "_", dataset)
+                out.append({
+                    "type": "RAW", "name": f"raw_suggested_{safe}",
+                    "datasetId": dataset,
+                    "displayFields": [{"name": c} for c in cols],
+                    "ddl": f"ALTER DATASET {dataset} CREATE RAW "
+                           f"REFLECTION raw_suggested_{safe} USING "
+                           f"DISPLAY ({', '.join(cols)})"})
+        return out
+
     def _admin_statement(self, query: str) -> DataFrame | None:
         """Remaining small productions of the reference grammar
         (Parser.tdd): CLEAR PLAN CACHE, user/role DDL, pipe statements,

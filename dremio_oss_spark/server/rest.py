@@ -768,6 +768,28 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.startswith("/api/v3/dataset/"):
+            # POST /dataset/{id}/reflection/recommendation[/{type}]
+            # (DatasetResource.java:82-89): Reflection-body-shaped
+            # candidates, each POSTable straight to /reflection
+            rest = self.path[len("/api/v3/dataset/"):].rstrip("/")
+            m = (rest.rsplit("/reflection/recommendation", 1)
+                 if "/reflection/recommendation" in rest else None)
+            if m is not None:
+                eid, tail = m[0], m[1].lstrip("/")
+                rtype = tail or "ALL"
+                ds = unquote(eid).partition("/")[2] or unquote(eid)
+                with _ENGINE_LOCK:
+                    if self._entity_by_id(unquote(eid)) is None:
+                        return self._send(404, {"errorMessage":
+                                                f"no dataset {eid}"})
+                    try:
+                        recs = self.engine.reflection_recommendations(
+                            ds, rtype)
+                    except ValueError as e:
+                        return self._send(400,
+                                          {"errorMessage": str(e)})
+                return self._send(200, {"data": recs})
         if self.path.rstrip("/") == "/api/v3/user":
             # POST /user — create (dac/api/UserResource.java:84)
             try:

@@ -1737,3 +1737,89 @@ def test_review_findings_r11_regressions(spark):
         eng._drop_principal("ddl_made")
         eng._drop_principal("r11_role")
         server.shutdown()
+
+
+def test_rest_reflection_recommendations_roundtrip(spark):
+    """POST /dataset/{id}/reflection/recommendation[/{type}]
+    (DatasetResource.java:82-89): AGG candidates from the recorded
+    workload, the RAW candidate from the schema — and the AGG body
+    POSTs straight back to /reflection to create it (the full
+    recommend -> create loop)."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=_json.dumps(body if body is not None else {}).encode(),
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # record a workload of unaccelerated aggregates
+        eng.sql("select o_orderstatus, sum(o_totalprice) as s "
+                "from orders group by o_orderstatus").collect()
+        eng.sql("select o_orderpriority, count(*) as c "
+                "from orders group by o_orderpriority").collect()
+
+        code, out = call(
+            "POST", "/api/v3/dataset/table/orders/"
+                    "reflection/recommendation/AGG")
+        assert code == 200 and len(out["data"]) == 1
+        agg = out["data"][0]
+        assert agg["type"] == "AGGREGATION"
+        dims = {d["name"] for d in agg["dimensionFields"]}
+        assert dims == {"o_orderstatus", "o_orderpriority"}
+        meas = {m["name"]: m["measureTypeList"]
+                for m in agg["measureFields"]}
+        assert "o_totalprice" in meas and "SUM" in meas["o_totalprice"]
+
+        # RAW: all display fields
+        code, out = call(
+            "POST", "/api/v3/dataset/table/orders/"
+                    "reflection/recommendation/RAW")
+        raw = out["data"][0]
+        assert raw["type"] == "RAW"
+        assert {f["name"] for f in raw["displayFields"]} \
+            >= {"o_orderkey", "o_orderstatus", "o_totalprice"}
+
+        # ALL = both; bad type is a 400; unknown dataset 404
+        code, out = call("POST", "/api/v3/dataset/table/orders/"
+                                 "reflection/recommendation")
+        assert {r["type"] for r in out["data"]} == {"AGGREGATION", "RAW"}
+        code, _ = call("POST", "/api/v3/dataset/table/orders/"
+                               "reflection/recommendation/NOPE")
+        assert code == 400
+        code, _ = call("POST", "/api/v3/dataset/table/ghost/"
+                               "reflection/recommendation")
+        assert code == 404
+
+        # the loop closes: POST the AGG body to /reflection, query
+        # accelerates
+        code, created = call("POST", "/api/v3/reflection", agg)
+        assert code == 200, created
+        eng.sql("select 1").collect()  # bust the plan cache
+        eng.sql("select o_orderstatus, sum(o_totalprice) as s "
+                "from orders group by o_orderstatus").collect()
+        assert eng.last_plan_accelerated == agg["name"]
+    finally:
+        store = getattr(eng, "_refl_store", None)
+        if store is not None and "refl_suggested_orders" in getattr(
+                store, "_reflections", {}):
+            store.drop("refl_suggested_orders")
+        server.shutdown()
