@@ -264,6 +264,36 @@ class JobTelemetryStore:
         nxt = (offset + limit) if offset + limit < total else None
         return {"jobs": summaries, "total": total, "next": nxt}
 
+    def daily_stats(self, start_ms: int = 0, end_ms: int = 0
+                    ) -> list[dict]:
+        """Per-UTC-day job counts by queryType + unique users — the
+        aggregation behind the reference's /cluster/jobstats
+        (DailyJobStatsResource.java:88) and /stats/jobsandusers
+        (JobAndUserStatsResource.java:57) dashboards.  Bounds are
+        epoch-ms, 0 = unbounded."""
+        import datetime as _dt
+
+        with self._lock:
+            jobs = [dict(j) for j in self._jobs.values()]
+        days: dict[str, dict] = {}
+        for j in jobs:
+            ts = j["startTime"]
+            if (start_ms and ts < start_ms) or (end_ms and ts > end_ms):
+                continue
+            day = _dt.datetime.fromtimestamp(
+                ts / 1000, _dt.timezone.utc).strftime("%Y-%m-%d")
+            d = days.setdefault(day, {"date": day, "total": 0,
+                                      "users": set()})
+            d["total"] += 1
+            d[j["queryType"]] = d.get(j["queryType"], 0) + 1
+            d["users"].add(j["queryUser"])
+        out = []
+        for day in sorted(days):
+            d = days[day]
+            d["totalUniqueUsers"] = len(d.pop("users"))
+            out.append(d)
+        return out
+
     def rows_for_sys_jobs(self) -> list[tuple]:
         """Flat rows for the sys.jobs system table (one per tracked
         job) — schema kept in Engine.sys_jobs."""

@@ -476,6 +476,50 @@ class _Handler(BaseHTTPRequestHandler):
             with _ENGINE_LOCK:
                 return self._send(200,
                                   {"roles": self.engine.list_roles()})
+        _stats_path = urlparse(self.path).path.rstrip("/")
+        if _stats_path == "/api/v3/cluster/jobstats":
+            # daily job counts (DailyJobStatsResource.java:88
+            # /cluster/jobstats?start=&end=) from the telemetry store
+            q = parse_qs(urlparse(self.path).query)
+            try:
+                stats = self.engine.job_telemetry.daily_stats(
+                    int(q.get("start", ["0"])[0]),
+                    int(q.get("end", ["0"])[0]))
+            except ValueError:
+                return self._send(400, {"errorMessage":
+                                        "bad start/end"})
+            return self._send(200, {"edition": "spark-oss",
+                                    "jobStats": stats})
+        if _stats_path == "/api/v3/stats/jobsandusers":
+            # per-day jobs + unique users
+            # (JobAndUserStatsResource.java:57 ?numDaysBack=)
+            import time as _time
+
+            q = parse_qs(urlparse(self.path).query)
+            try:
+                days_back = int(q.get("numDaysBack", ["7"])[0])
+            except ValueError:
+                return self._send(400, {"errorMessage":
+                                        "bad numDaysBack"})
+            start = int(_time.time() * 1000) - days_back * 86_400_000
+            return self._send(200, {
+                "edition": "spark-oss",
+                "stats": self.engine.job_telemetry.daily_stats(start)})
+        if _stats_path == "/api/v3/cluster/stats":
+            # catalog + job totals (ClusterStatsResource.java:97)
+            with _ENGINE_LOCK:
+                n_tables = (self.engine.information_schema_tables()
+                            .count())
+                vds = sum(len(sp.vds) for sp in
+                          self.engine.spaces.values())
+                sources = (sorted(self.engine._versioned_sources)
+                           + sorted(self.engine._sources))
+            jobs = self.engine.job_telemetry.listing(limit=1)["total"]
+            return self._send(200, {
+                "edition": "spark-oss",
+                "sources": [{"name": s} for s in sources],
+                "datasets": {"tables": n_tables, "vds": vds},
+                "jobs": {"tracked": jobs}})
         if urlparse(self.path).path.rstrip("/") == "/api/v3/sql/functions":
             # function registry for the SQL editor
             # (FunctionsListService.java:66 via SQLResource @Path

@@ -1823,3 +1823,64 @@ def test_rest_reflection_recommendations_roundtrip(spark):
                 store, "_reflections", {}):
             store.drop("refl_suggested_orders")
         server.shutdown()
+
+
+def test_rest_stats_endpoints(spark):
+    """Stats dashboards over the telemetry store: /cluster/jobstats
+    (DailyJobStatsResource.java:88 — per-day totals by query type),
+    /stats/jobsandusers (JobAndUserStatsResource.java:57 — adds unique
+    users), /cluster/stats (ClusterStatsResource.java:97 — catalog +
+    job totals)."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.catalog import register_testdata
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=(_json.dumps(body).encode()
+                  if body is not None else None),
+            headers={"Content-Type": "application/json"}, method=method)
+        with rq.urlopen(req) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        call("POST", "/api/v3/sql", {"sql": "select 1 as a"})
+        call("POST", "/api/v3/sql", {"sql": "select 2 as b"})
+        df, jid = eng.profiled_sql("select 3 as c", user="dash_user")
+        eng.finish_job(jid, df=df, row_count=1)
+
+        code, out = call("GET", "/api/v3/cluster/jobstats")
+        assert code == 200 and out["edition"] == "spark-oss"
+        assert len(out["jobStats"]) == 1  # all today
+        today = out["jobStats"][0]
+        assert today["total"] >= 3 and today["REST"] >= 2
+        assert today["LIBRARY"] >= 1
+
+        # window that excludes everything
+        code, out = call("GET",
+                         "/api/v3/cluster/jobstats?start=1&end=2")
+        assert out["jobStats"] == []
+
+        code, out = call("GET", "/api/v3/stats/jobsandusers")
+        day = out["stats"][0]
+        assert day["totalUniqueUsers"] >= 2  # $dremio$ + dash_user
+
+        eng.create_space("statsp")
+        eng.create_vds("statsp", "v1", "select 1 as x")
+        code, out = call("GET", "/api/v3/cluster/stats")
+        assert out["datasets"]["vds"] >= 1
+        assert out["datasets"]["tables"] > 0
+        assert out["jobs"]["tracked"] >= 3
+    finally:
+        server.shutdown()
