@@ -4328,6 +4328,56 @@ class Engine:
                             if "." in pm.group(3) else int(pm.group(3)))
         return out
 
+    def create_dir_source(self, name: str, path: str) -> None:
+        """Register a filesystem (dfs/NAS) source: `<name>.<table>` in
+        SQL resolves to the dataset at `<path>/<table>` — the
+        reference's FileSystemPlugin namespace (a NAS/S3 source's
+        folders and files ARE its tables, format sniffed per
+        `FormatCreator.java`)."""
+        if not os.path.isdir(path):
+            raise ValueError(f"no such directory: {path}")
+        self._sources[name] = path
+
+    def list_dir_source_tables(self, name: str) -> list[str]:
+        """Dataset names visible under a dir source: parquet folders
+        and files with a registered extension, top level (the
+        reference's source-browse listing)."""
+        root = self._sources[name]
+        out = []
+        for fn in sorted(os.listdir(root)):
+            full = os.path.join(root, fn)
+            base, ext = os.path.splitext(fn)
+            if os.path.isdir(full) or ext.lstrip(".").lower() in (
+                    "parquet", "csv", "tsv", "psv", "json"):
+                out.append(base)
+        return sorted(set(out))
+
+    def _expand_dir_sources(self, query: str) -> str:
+        """Rewrite `<source>.<table>` refs over registered dir sources
+        into temp views backed by the file/folder at
+        `<root>/<table>[.<ext>]` (FileSystemPlugin resolution).  Views
+        are namespaced `<source>__<table>` so two sources exposing the
+        same table name never collide."""
+        for name, root in self._sources.items():
+            pat = rf"\b{re.escape(name)}\.([A-Za-z_]\w*)\b"
+            for m in re.finditer(pat, query):
+                tbl = m.group(1)
+                df = None
+                for cand in ([os.path.join(root, tbl)]
+                             + [os.path.join(root, f"{tbl}.{e}")
+                                for e in ("parquet", "csv", "tsv",
+                                          "psv", "json")]):
+                    df = self._raw_path_df(cand)
+                    if df is not None:
+                        break
+                if df is None:
+                    raise ValueError(
+                        f"no dataset {tbl!r} under source {name!r} "
+                        f"({root})")
+                df.createOrReplaceTempView(f"{name}__{tbl}")
+            query = re.sub(pat, rf"{name}__\1", query)
+        return query
+
     def _raw_path_df(self, path: str) -> DataFrame | None:
         """DataFrame over a plain file/folder path, format by extension
         (parquet dirs, .parquet/.csv/.tsv/.psv/.json files) — the
@@ -4787,6 +4837,7 @@ class Engine:
             return accelerated
         query = self._expand_external_query(query)
         query = self._expand_sys_tables(query)
+        query = self._expand_dir_sources(query)
         query = self._expand_metadata_fns(query)
         query = self._expand_versioned_refs(query)
         query = self._expand_lake_refs(query)

@@ -1419,8 +1419,63 @@ from j, extra
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# Named filesystem (dfs/NAS) source: <source>.<table> namespace over a
+# directory (FileSystemPlugin resolution; FormatCreator.java sniffing)
+def named_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Attach the sf dir as a NAS source and resolve `<source>.<table>`
+    refs through engine SQL — a join + aggregate entirely in the
+    source's namespace, plus a csv dataset under the same source to
+    prove per-file format sniffing (reference `FileSystemPlugin`,
+    `FormatCreator.java`)."""
+    import csv as _csv
+
+    from ..engine import Engine
+
+    d = _scratch("named_source", sf)
+    # one csv TABLE inside the source dir (top-level file = dataset)
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey").orderBy("c_custkey").limit(100)
+    with open(os.path.join(d, "custfile.csv"), "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["c_custkey", "c_nationkey"])
+        for r in cust.collect():
+            w.writerow([r["c_custkey"], r["c_nationkey"]])
+    # parquet datasets resolve straight out of the sf dir
+    eng = Engine(spark)
+    eng.create_dir_source("nas_src", sf)
+    eng.create_dir_source("nas_scratch", d)
+    return eng.sql("""
+        select r.r_name as region_name,
+               cast(count(*) as bigint) as n_nations,
+               cast(sum(n.n_nationkey) as bigint) as key_sum,
+               cast(max(cf.n_cust) as bigint) as cust_sample
+        from nas_src.nation n
+        join nas_src.region r on n.n_regionkey = r.r_regionkey
+        cross join (select count(*) as n_cust
+                    from nas_scratch.custfile) cf
+        group by r.r_name
+        order by r.r_name""")
+
+
+NAMED_SOURCE_SQL = """
+select r.r_name as region_name,
+       cast(count(*) as bigint) as n_nations,
+       cast(sum(n.n_nationkey) as bigint) as key_sum,
+       cast(max(cf.n_cust) as bigint) as cust_sample
+from nation n
+join region r on n.n_regionkey = r.r_regionkey
+cross join (select least(count(*), 100) as n_cust from customer) cf
+group by r.r_name
+order by r.r_name
+"""
+
+
 SOURCES_QUERIES = {
     "src_catalog_branch": catalog_branch,
+    "src_named_source": named_source,
     "src_branch_optimize": branch_optimize,
     "src_maintenance": maintenance_lifecycle,
     "src_count_metadata": count_metadata,
@@ -1450,6 +1505,7 @@ SOURCES_QUERIES = {
 
 SOURCES_ORACLE = {
     "src_catalog_branch": CATALOG_BRANCH_SQL,
+    "src_named_source": NAMED_SOURCE_SQL,
     "src_branch_optimize": BRANCH_OPTIMIZE_SQL,
     "src_maintenance": MAINTENANCE_SQL,
     "src_count_metadata": COUNT_METADATA_SQL,

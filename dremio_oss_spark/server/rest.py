@@ -476,6 +476,39 @@ class _Handler(BaseHTTPRequestHandler):
             with _ENGINE_LOCK:
                 return self._send(200,
                                   {"roles": self.engine.list_roles()})
+        if self.path.rstrip("/") == "/api/v3/source":
+            # source listing (dac/api SourceResource shape: name +
+            # type + config)
+            with _ENGINE_LOCK:
+                data = ([{"name": n, "type": "NAS",
+                          "config": {"path": p}}
+                         for n, p in sorted(
+                             self.engine._sources.items())]
+                        + [{"name": n, "type": "NESSIE",
+                            "config": {"path": p}}
+                           for n, p in sorted(
+                               self.engine._versioned_sources.items())])
+            return self._send(200, {"data": data})
+        if self.path.startswith("/api/v3/source/"):
+            name = unquote(self.path[len("/api/v3/source/"):]
+                           .rstrip("/"))
+            with _ENGINE_LOCK:
+                if name in self.engine._sources:
+                    return self._send(200, {
+                        "name": name, "type": "NAS",
+                        "config": {"path": self.engine._sources[name]},
+                        "tables":
+                            self.engine.list_dir_source_tables(name)})
+                if name in self.engine._versioned_sources:
+                    from ..sources import dataplane as dp
+                    root = self.engine._versioned_sources[name]
+                    refs = dp._load_refs(root)
+                    return self._send(200, {
+                        "name": name, "type": "NESSIE",
+                        "config": {"path": root},
+                        "branches": sorted(refs["branches"]),
+                        "tags": sorted(refs.get("tags", ()))})
+            return self._send(404, {"errorMessage": f"no source {name}"})
         _stats_path = urlparse(self.path).path.rstrip("/")
         if _stats_path == "/api/v3/cluster/jobstats":
             # daily job counts (DailyJobStatsResource.java:88
@@ -812,6 +845,37 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001
                 return self._send(400, {"errorMessage":
                                         f"{type(e).__name__}: {e}"})
+        if self.path.rstrip("/") == "/api/v3/source":
+            # POST /source — attach a source (SourceResource create):
+            # NAS/dfs = a directory whose files/folders are tables,
+            # NESSIE = a versioned (dataplane) catalog source
+            try:
+                req = self._read_json()
+                name, stype = req["name"], req.get("type", "NAS").upper()
+                path = (req.get("config") or {}).get("path") \
+                    or req.get("path")
+                if not path:
+                    raise ValueError("config.path required")
+                with _ENGINE_LOCK:
+                    if (name in self.engine._sources
+                            or name in self.engine._versioned_sources):
+                        return self._send(409, {
+                            "errorMessage":
+                                f"source {name} already exists"})
+                    if stype == "NESSIE":
+                        self.engine.create_versioned_source(name, path)
+                    elif stype in ("NAS", "DFS", "FILESYSTEM"):
+                        self.engine.create_dir_source(name, path)
+                    else:
+                        raise ValueError(
+                            f"unsupported source type {stype}")
+                return self._send(200, {"name": name, "type": stype,
+                                        "config": {"path": path}})
+            except ValueError as e:
+                return self._send(400, {"errorMessage": str(e)})
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, {"errorMessage":
+                                        f"{type(e).__name__}: {e}"})
         if self.path.startswith("/api/v3/dataset/"):
             # POST /dataset/{id}/reflection/recommendation[/{type}]
             # (DatasetResource.java:82-89): Reflection-body-shaped
@@ -1131,6 +1195,19 @@ class _Handler(BaseHTTPRequestHandler):
                                             f"no user {name}"})
                 self.engine._drop_principal(name)
             return self._send(200, {"deleted": name})
+        if self.path.startswith("/api/v3/source/"):
+            name = unquote(self.path[len("/api/v3/source/"):]
+                           .rstrip("/"))
+            with _ENGINE_LOCK:
+                if self.engine._sources.pop(name, None) is not None:
+                    return self._send(200, {"deleted": name})
+                # versioned sources detach from the catalog; the
+                # commit store on disk is NOT deleted (the reference
+                # detaches sources without dropping remote data)
+                if self.engine._versioned_sources.pop(name, None) \
+                        is not None:
+                    return self._send(200, {"deleted": name})
+            return self._send(404, {"errorMessage": f"no source {name}"})
         if self.path.startswith("/api/v3/role/"):
             rest = unquote(self.path[len("/api/v3/role/"):].rstrip("/"))
             role, _, member = rest.partition("/member/")

@@ -1884,3 +1884,87 @@ def test_rest_stats_endpoints(spark):
         assert out["jobs"]["tracked"] >= 3
     finally:
         server.shutdown()
+
+
+def test_rest_source_crud_and_named_source_sql(spark, tmp_path):
+    """Source REST CRUD (dac/api SourceResource shape) + the
+    FileSystemPlugin namespace: attach a NAS source over REST, query
+    `<source>.<table>` through SQL, browse its tables, detach; a
+    NESSIE source attaches to the dataplane with branch listing."""
+    import json as _json
+    import os as _os
+    import urllib.request as rq
+
+    from dremio_oss_spark.engine import Engine
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(
+            f"http://127.0.0.1:{port}" + path,
+            data=(_json.dumps(body).encode()
+                  if body is not None else None),
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, src = call("POST", "/api/v3/source",
+                         {"name": "nas1", "type": "NAS",
+                          "config": {"path": SF_SMALL}})
+        assert code == 200 and src["type"] == "NAS"
+        # duplicate refuses; bad path refuses
+        code, _ = call("POST", "/api/v3/source",
+                       {"name": "nas1", "config": {"path": SF_SMALL}})
+        assert code == 409
+        code, _ = call("POST", "/api/v3/source",
+                       {"name": "nope", "config": {"path": "/no/dir"}})
+        assert code == 400
+
+        # named-source SQL resolution: <source>.<table> reads the file
+        n = eng.sql("select count(*) as n from nas1.nation").first()["n"]
+        assert n == 25
+        # join across the same source
+        got = eng.sql(
+            "select r.r_name, count(*) as c from nas1.nation n "
+            "join nas1.region r on n.n_regionkey = r.r_regionkey "
+            "group by r.r_name order by r.r_name").collect()
+        assert len(got) == 5 and all(r["c"] == 5 for r in got)
+        # unknown table under the source errors clearly
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="no dataset"):
+            eng.sql("select * from nas1.ghost_table")
+
+        # browse
+        code, det = call("GET", "/api/v3/source/nas1")
+        assert "nation" in det["tables"] and "lineitem" in det["tables"]
+
+        # NESSIE source type attaches the dataplane
+        code, _ = call("POST", "/api/v3/source",
+                       {"name": "dpl1", "type": "NESSIE",
+                        "config": {"path": str(tmp_path / "dpl1")}})
+        assert code == 200
+        eng.sql("CREATE BRANCH dev IN dpl1")
+        code, det = call("GET", "/api/v3/source/dpl1")
+        assert set(det["branches"]) >= {"main", "dev"}
+
+        code, lst = call("GET", "/api/v3/source")
+        assert {s["name"] for s in lst["data"]} >= {"nas1", "dpl1"}
+
+        code, _ = call("DELETE", "/api/v3/source/nas1")
+        assert code == 200
+        code, _ = call("GET", "/api/v3/source/nas1")
+        assert code == 404
+        code, _ = call("DELETE", "/api/v3/source/ghost")
+        assert code == 404
+        assert _os.path.isdir(str(tmp_path / "dpl1"))  # detach keeps data
+    finally:
+        server.shutdown()
