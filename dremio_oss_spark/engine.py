@@ -581,6 +581,16 @@ class Engine:
                 out = out.unionByName(self.spark.createDataFrame(
                     rows, "table_schema string, table_name string, "
                           "table_type string"))
+        if self._sources:
+            # dir (dfs/NAS) sources list their top-level datasets,
+            # schema = the source name (FileSystemPlugin namespace)
+            rows = [(src, t, "TABLE")
+                    for src in sorted(self._sources)
+                    for t in self.list_dir_source_tables(src)]
+            if rows:
+                out = out.unionByName(self.spark.createDataFrame(
+                    rows, "table_schema string, table_name string, "
+                          "table_type string"))
         return out
 
     def information_schema_columns(self) -> DataFrame:

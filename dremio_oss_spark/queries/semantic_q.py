@@ -60,6 +60,10 @@ def info_schema(spark: SparkSession, sf: str) -> DataFrame:
                 "orders", "lineitem", "events", "documents", "embeddings",
             )
         )
+        # each dataset shows once per schema that exposes it (the bare
+        # session view AND the testdata dir-source namespace); the
+        # oracle's single-schema listing compares on distinct names
+        .distinct()
         .orderBy("table_name")
     )
 
