@@ -4368,9 +4368,20 @@ class Engine:
         `<root>/<table>[.<ext>]` (FileSystemPlugin resolution).  Views
         are namespaced `<source>__<table>` so two sources exposing the
         same table name never collide."""
+        if not self._sources:
+            return query
+
+        def in_string(pos: int) -> bool:
+            # inside a single-quoted SQL literal? (an odd number of
+            # quotes before `pos`) — '/root/testdata/sf0.01/x.parquet'
+            # must never be parsed as source `testdata` table `sf0`
+            return query.count("'", 0, pos) % 2 == 1
+
         for name, root in self._sources.items():
             pat = rf"\b{re.escape(name)}\.([A-Za-z_]\w*)\b"
-            for m in re.finditer(pat, query):
+            matched = [m for m in re.finditer(pat, query)
+                       if not in_string(m.start())]
+            for m in matched:
                 tbl = m.group(1)
                 df = None
                 for cand in ([os.path.join(root, tbl)]
@@ -4385,7 +4396,10 @@ class Engine:
                         f"no dataset {tbl!r} under source {name!r} "
                         f"({root})")
                 df.createOrReplaceTempView(f"{name}__{tbl}")
-            query = re.sub(pat, rf"{name}__\1", query)
+            # rewrite back-to-front so earlier spans keep their offsets
+            for m in reversed(matched):
+                query = (query[:m.start()] + f"{name}__{m.group(1)}"
+                         + query[m.end():])
         return query
 
     def _raw_path_df(self, path: str) -> DataFrame | None:

@@ -1451,3 +1451,37 @@ def test_alter_ftl_remaining_productions(spark, tmp_path):
     with _pt.raises(Exception):
         eng.sql("select count(*) as n from forgetme").collect()
     spark.catalog.dropTempView("acc_orders")
+
+
+def test_dir_source_namespace_and_quoted_path_safety(spark, tmp_path):
+    """Named dir-source refs resolve in SQL while quoted lake paths
+    whose text CONTAINS `<source>.<word>` (e.g.
+    '/root/testdata/sf0.01/x.parquet' with source `testdata`) are never
+    misparsed as namespace refs."""
+    import os
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    assert eng.sql(
+        "select count(*) as n from testdata.region").first()["n"] == 5
+    # quoted path containing "testdata.sf0..." stays a path
+    p = os.path.join(SF_SMALL, "nation.parquet")
+    assert eng.sql(
+        f"select count(*) as n from '{p}'").first()["n"] == 25
+    # mixed: namespace ref AND quoted path in ONE statement
+    row = eng.sql(
+        f"select (select count(*) from testdata.region) as a, "
+        f"(select count(*) from '{p}') as b").first()
+    assert (row["a"], row["b"]) == (5, 25)
+    # csv file under a fresh dir source resolves with sniffed format
+    d = str(tmp_path / "srcdir")
+    os.makedirs(d)
+    load(spark, SF_SMALL, "region").select("r_regionkey", "r_name") \
+        .toPandas().to_csv(os.path.join(d, "reg.csv"), index=False)
+    eng.create_dir_source("csvsrc", d)
+    assert eng.sql(
+        "select count(*) as n from csvsrc.reg").first()["n"] == 5
+    assert eng.list_dir_source_tables("csvsrc") == ["reg"]
