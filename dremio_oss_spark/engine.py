@@ -583,10 +583,17 @@ class Engine:
                           "table_type string"))
         if self._sources:
             # dir (dfs/NAS) sources list their top-level datasets,
-            # schema = the source name (FileSystemPlugin namespace)
+            # schema = the source name (FileSystemPlugin namespace).
+            # Dedup at the PRODUCER: a dataset already visible as a
+            # session view/table (add_testdata_source registers both)
+            # lists once — every consumer (columns view, catalog
+            # listing, search, autocomplete) keys on table_name
+            seen = {r["table_name"] for r in
+                    out.select("table_name").collect()}
             rows = [(src, t, "TABLE")
                     for src in sorted(self._sources)
-                    for t in self.list_dir_source_tables(src)]
+                    for t in self.list_dir_source_tables(src)
+                    if t not in seen]
             if rows:
                 out = out.unionByName(self.spark.createDataFrame(
                     rows, "table_schema string, table_name string, "
@@ -1965,10 +1972,16 @@ class Engine:
                         if s.lower().startswith(p):
                             out.append({"name": s, "path": [s],
                                         "type": "SPACE"})
-                    for s in self._versioned_sources:
+                    for s in (set(self._versioned_sources)
+                              | set(self._sources)):
                         if s.lower().startswith(p):
                             out.append({"name": s, "path": [s],
                                         "type": "SOURCE"})
+                elif key[0] in self._sources:
+                    for t in self.list_dir_source_tables(key[0]):
+                        if t.lower().startswith(p):
+                            out.append({"name": t, "path": [key[0], t],
+                                        "type": "TABLE"})
                 elif key[0] in self.spaces:
                     for v in self.spaces[key[0]].vds:
                         if v.lower().startswith(p):
@@ -4349,18 +4362,28 @@ class Engine:
         self._sources[name] = path
 
     def list_dir_source_tables(self, name: str) -> list[str]:
-        """Dataset names visible under a dir source: parquet folders
-        and files with a registered extension, top level (the
-        reference's source-browse listing)."""
+        """Dataset names visible under a dir source — only names the
+        `<source>.<table>` resolver can actually open: identifier-named
+        parquet folders and identifier-stemmed files with a registered
+        extension (advertising an unqueryable entry is a lie the user
+        hits at SELECT time)."""
         root = self._sources[name]
-        out = []
+        out = set()
         for fn in sorted(os.listdir(root)):
             full = os.path.join(root, fn)
+            if os.path.isdir(full):
+                if (re.fullmatch(r"[A-Za-z_]\w*", fn)
+                        and any(f.endswith(".parquet")
+                                for _, _, fs in os.walk(full)
+                                for f in fs)):
+                    out.add(fn)
+                continue
             base, ext = os.path.splitext(fn)
-            if os.path.isdir(full) or ext.lstrip(".").lower() in (
-                    "parquet", "csv", "tsv", "psv", "json"):
-                out.append(base)
-        return sorted(set(out))
+            if (ext.lstrip(".").lower() in
+                    ("parquet", "csv", "tsv", "psv", "json")
+                    and re.fullmatch(r"[A-Za-z_]\w*", base)):
+                out.add(base)
+        return sorted(out)
 
     def _expand_dir_sources(self, query: str) -> str:
         """Rewrite `<source>.<table>` refs over registered dir sources
@@ -4371,17 +4394,40 @@ class Engine:
         if not self._sources:
             return query
 
-        def in_string(pos: int) -> bool:
-            # inside a single-quoted SQL literal? (an odd number of
-            # quotes before `pos`) — '/root/testdata/sf0.01/x.parquet'
-            # must never be parsed as source `testdata` table `sf0`
-            return query.count("'", 0, pos) % 2 == 1
+        def string_mask(q: str) -> list[bool]:
+            # positions inside single-quoted SQL literals — a match in
+            # '/root/testdata/sf0.01/x.parquet' must never be parsed as
+            # source `testdata` table `sf0`.  Handles backslash escapes
+            # (Spark default) and '' doubling.
+            mask = [False] * len(q)
+            ins, i = False, 0
+            while i < len(q):
+                c = q[i]
+                if not ins:
+                    ins = c == "'"
+                else:
+                    mask[i] = True
+                    if c == "\\":
+                        if i + 1 < len(q):
+                            mask[i + 1] = True
+                        i += 1
+                    elif c == "'":
+                        if i + 1 < len(q) and q[i + 1] == "'":
+                            mask[i + 1] = True
+                            i += 1  # '' = escaped quote, stay in string
+                        else:
+                            ins = False
+                            mask[i] = False  # closing quote boundary
+                i += 1
+            return mask
 
         for name, root in self._sources.items():
             pat = rf"\b{re.escape(name)}\.([A-Za-z_]\w*)\b"
-            matched = [m for m in re.finditer(pat, query)
-                       if not in_string(m.start())]
-            for m in matched:
+            mask = string_mask(query)
+            resolved = []
+            for m in re.finditer(pat, query):
+                if mask[m.start()]:
+                    continue
                 tbl = m.group(1)
                 df = None
                 for cand in ([os.path.join(root, tbl)]
@@ -4392,12 +4438,14 @@ class Engine:
                     if df is not None:
                         break
                 if df is None:
-                    raise ValueError(
-                        f"no dataset {tbl!r} under source {name!r} "
-                        f"({root})")
+                    # not a dataset under the source: leave the token
+                    # for Spark — it may be a table alias or column
+                    # qualifier that merely shares the source's name
+                    continue
                 df.createOrReplaceTempView(f"{name}__{tbl}")
+                resolved.append(m)
             # rewrite back-to-front so earlier spans keep their offsets
-            for m in reversed(matched):
+            for m in reversed(resolved):
                 query = (query[:m.start()] + f"{name}__{m.group(1)}"
                          + query[m.end():])
         return query

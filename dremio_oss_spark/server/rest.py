@@ -489,9 +489,9 @@ class _Handler(BaseHTTPRequestHandler):
                            for n, p in sorted(
                                self.engine._versioned_sources.items())])
             return self._send(200, {"data": data})
-        if self.path.startswith("/api/v3/source/"):
-            name = unquote(self.path[len("/api/v3/source/"):]
-                           .rstrip("/"))
+        if urlparse(self.path).path.startswith("/api/v3/source/"):
+            name = unquote(urlparse(self.path).path
+                           [len("/api/v3/source/"):].rstrip("/"))
             with _ENGINE_LOCK:
                 if name in self.engine._sources:
                     return self._send(200, {
@@ -1195,9 +1195,11 @@ class _Handler(BaseHTTPRequestHandler):
                                             f"no user {name}"})
                 self.engine._drop_principal(name)
             return self._send(200, {"deleted": name})
-        if self.path.startswith("/api/v3/source/"):
-            name = unquote(self.path[len("/api/v3/source/"):]
-                           .rstrip("/"))
+        if self.path.split("?")[0].startswith("/api/v3/source/"):
+            from urllib.parse import urlparse as _up
+
+            name = unquote(_up(self.path).path
+                           [len("/api/v3/source/"):].rstrip("/"))
             with _ENGINE_LOCK:
                 if self.engine._sources.pop(name, None) is not None:
                     return self._send(200, {"deleted": name})

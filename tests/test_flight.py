@@ -1862,10 +1862,12 @@ def test_rest_stats_endpoints(spark):
 
         code, out = call("GET", "/api/v3/cluster/jobstats")
         assert code == 200 and out["edition"] == "spark-oss"
-        assert len(out["jobStats"]) == 1  # all today
-        today = out["jobStats"][0]
-        assert today["total"] >= 3 and today["REST"] >= 2
-        assert today["LIBRARY"] >= 1
+        # sum across day buckets — the test may straddle UTC midnight
+        assert 1 <= len(out["jobStats"]) <= 2
+        tot = sum(d["total"] for d in out["jobStats"])
+        rest = sum(d.get("REST", 0) for d in out["jobStats"])
+        lib = sum(d.get("LIBRARY", 0) for d in out["jobStats"])
+        assert tot >= 3 and rest >= 2 and lib >= 1
 
         # window that excludes everything
         code, out = call("GET",
@@ -1873,8 +1875,9 @@ def test_rest_stats_endpoints(spark):
         assert out["jobStats"] == []
 
         code, out = call("GET", "/api/v3/stats/jobsandusers")
-        day = out["stats"][0]
-        assert day["totalUniqueUsers"] >= 2  # $dremio$ + dash_user
+        assert max(d["totalUniqueUsers"] for d in out["stats"]) >= 1
+        users_seen = sum(d["totalUniqueUsers"] for d in out["stats"])
+        assert users_seen >= 2  # $dremio$ + dash_user (any bucketing)
 
         eng.create_space("statsp")
         eng.create_vds("statsp", "v1", "select 1 as x")
@@ -1938,10 +1941,16 @@ def test_rest_source_crud_and_named_source_sql(spark, tmp_path):
             "join nas1.region r on n.n_regionkey = r.r_regionkey "
             "group by r.r_name order by r.r_name").collect()
         assert len(got) == 5 and all(r["c"] == 5 for r in got)
-        # unknown table under the source errors clearly
+        # unknown table under the source: the token falls through to
+        # Spark (it may be an alias/column qualifier), which errors
         import pytest as _pytest
-        with _pytest.raises(Exception, match="no dataset"):
-            eng.sql("select * from nas1.ghost_table")
+        with _pytest.raises(Exception,
+                            match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+            eng.sql("select * from nas1.ghost_table").collect()
+        # an alias that shadows the source name keeps working
+        assert eng.sql("select nas1.r_name from nas1.region nas1 "
+                       "order by nas1.r_name limit 1"
+                       ).first()["r_name"] == "AFRICA"
 
         # browse
         code, det = call("GET", "/api/v3/source/nas1")
