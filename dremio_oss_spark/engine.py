@@ -587,17 +587,20 @@ class Engine:
             # Dedup at the PRODUCER: a dataset already visible as a
             # session view/table (add_testdata_source registers both)
             # lists once — every consumer (columns view, catalog
-            # listing, search, autocomplete) keys on table_name
-            seen = {r["table_name"] for r in
-                    out.select("table_name").collect()}
+            # listing, search, autocomplete) keys on table_name.  The
+            # dedup is a LAZY anti-join, not a driver collect: callers
+            # compose this frame into bigger plans
             rows = [(src, t, "TABLE")
                     for src in sorted(self._sources)
-                    for t in self.list_dir_source_tables(src)
-                    if t not in seen]
+                    for t in self.list_dir_source_tables(src)]
             if rows:
-                out = out.unionByName(self.spark.createDataFrame(
+                fresh = self.spark.createDataFrame(
                     rows, "table_schema string, table_name string, "
-                          "table_type string"))
+                          "table_type string").join(
+                    out.select("table_name"), "table_name", "left_anti")
+                out = out.unionByName(
+                    fresh.select("table_schema", "table_name",
+                                 "table_type"))
         return out
 
     def information_schema_columns(self) -> DataFrame:
