@@ -60,10 +60,8 @@ def info_schema(spark: SparkSession, sf: str) -> DataFrame:
                 "orders", "lineitem", "events", "documents", "embeddings",
             )
         )
-        # each dataset shows once per schema that exposes it (the bare
-        # session view AND the testdata dir-source namespace); the
-        # oracle's single-schema listing compares on distinct names
-        .distinct()
+        # producer-level dedup in information_schema_tables guarantees
+        # one row per name even with the testdata dir source registered
         .orderBy("table_name")
     )
 
