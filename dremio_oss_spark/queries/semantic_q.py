@@ -60,8 +60,11 @@ def info_schema(spark: SparkSession, sf: str) -> DataFrame:
                 "orders", "lineitem", "events", "documents", "embeddings",
             )
         )
-        # producer-level dedup in information_schema_tables guarantees
-        # one row per name even with the testdata dir source registered
+        # the producer dedups DIR-source rows against session views,
+        # but versioned-source rows (and name overlaps across several
+        # sources) union with no per-name dedup — the oracle lists each
+        # name once, so distinct() is required for the comparison
+        .distinct()
         .orderBy("table_name")
     )
 
