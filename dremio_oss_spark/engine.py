@@ -4366,6 +4366,25 @@ class Engine:
             raise ValueError(f"no such directory: {path}")
         self._sources[name] = path
 
+    @staticmethod
+    def _has_parquet_shallow(root: str, depth: int = 2) -> bool:
+        """Bounded parquet-content probe: scandir at most `depth` levels
+        (top-level files + one partition level, e.g. `tbl/p=1/x.parquet`)
+        — a deep parquet-free subtree must not make source-browse walk
+        it entirely (listing stays O(top-level entries))."""
+        try:
+            with os.scandir(root) as it:
+                subdirs = []
+                for e in it:
+                    if e.is_file() and e.name.endswith(".parquet"):
+                        return True
+                    if depth > 1 and e.is_dir():
+                        subdirs.append(e.path)
+            return any(Engine._has_parquet_shallow(d, depth - 1)
+                       for d in subdirs)
+        except OSError:
+            return False
+
     def list_dir_source_tables(self, name: str) -> list[str]:
         """Dataset names visible under a dir source — only names the
         `<source>.<table>` resolver can actually open: identifier-named
@@ -4378,9 +4397,7 @@ class Engine:
             full = os.path.join(root, fn)
             if os.path.isdir(full):
                 if (re.fullmatch(r"[A-Za-z_]\w*", fn)
-                        and any(f.endswith(".parquet")
-                                for _, _, fs in os.walk(full)
-                                for f in fs)):
+                        and self._has_parquet_shallow(full)):
                     out.add(fn)
                 continue
             base, ext = os.path.splitext(fn)

@@ -1485,3 +1485,49 @@ def test_dir_source_namespace_and_quoted_path_safety(spark, tmp_path):
     assert eng.sql(
         "select count(*) as n from csvsrc.reg").first()["n"] == 5
     assert eng.list_dir_source_tables("csvsrc") == ["reg"]
+
+
+def test_dir_source_listing_probe_is_depth_bounded(spark, tmp_path):
+    """The parquet-content probe behind list_dir_source_tables scandirs
+    at most two levels: a deep parquet-free subtree is neither listed
+    nor walked past level two, while a one-level-partitioned parquet
+    folder IS listed (SCALE.md's bounded-probe contract)."""
+    import os
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    root = str(tmp_path / "src")
+    # deep parquet-free subtree: parquet only at level 5 -> invisible
+    deep = os.path.join(root, "deepdir", "a", "b", "c", "d")
+    os.makedirs(deep)
+    load(spark, SF_SMALL, "region").write.parquet(
+        os.path.join(deep, "hidden"))
+    # partitioned folder: parquet one level down -> visible
+    part = os.path.join(root, "part_tbl")
+    load(spark, SF_SMALL, "region").write.partitionBy("r_regionkey") \
+        .parquet(part)
+    # plain parquet folder -> visible
+    load(spark, SF_SMALL, "nation").write.parquet(
+        os.path.join(root, "flat_tbl"))
+    eng.create_dir_source("bounded", root)
+    assert eng.list_dir_source_tables("bounded") == [
+        "flat_tbl", "part_tbl"]
+    # the probe itself never descends past its depth budget
+    walked = []
+    real_scandir = os.scandir
+
+    def spy(path="."):
+        walked.append(str(path))
+        return real_scandir(path)
+
+    try:
+        os.scandir = spy
+        assert not Engine._has_parquet_shallow(
+            os.path.join(root, "deepdir"))
+    finally:
+        os.scandir = real_scandir
+    # deepdir + its single level-2 child: nothing deeper was opened
+    assert all(d.count(os.sep) - root.count(os.sep) <= 2
+               for d in walked)
