@@ -1,0 +1,1367 @@
+"""Dataset explore/transform service — the visual curation path behind
+the reference UI.
+
+A user opens a table ("new untitled"), chains point-and-click
+transforms (rename / drop / extract / replace / split / calculated
+field / filter / group-by / join / sort), previews each step, and
+finally saves the result as a virtual dataset.  Server-side that is a
+chain of immutable DATASET VERSIONS, each holding a declarative
+``VirtualDatasetState`` from which SQL is (re)generated.
+
+Reference behavior (behavioral spec only; this is an original
+Spark-first implementation):
+
+- ``dac/backend/.../explore/DatasetVersionResource.java`` — the REST
+  surface: preview / transformAndPreview / transformPeek / save /
+  history / extract-replace-split recommendation cards.
+- ``dac/backend/.../explore/Transformer.java`` +
+  ``TransformActor.java`` — one visit method per transform type;
+  nesting rules (when a transform must wrap the current state in a
+  subquery) at ``TransformActor.java:236-906``.
+- ``dac/backend/.../explore/DatasetStateMutator.java`` — state
+  surgery: ``nest()`` (``:224``, alias ``nested_<i>``), ``apply()``
+  (``:279`` — new column takes the dropped source's position),
+  ``findColForModification`` (``:339`` — nest first when the column
+  is grouped/ordered), ``uniqueColumnName`` (``:102``).
+- ``dac/backend/.../explore/SQLGenerator.java`` — state → SQL;
+  clause assembly at ``:774-786``, expression visitors ``:798-1136``,
+  measure functions ``:842-877``.
+- ``dac/backend/src/main/proto/explore.proto`` — the state/transform
+  model this module mirrors as plain JSON-friendly dicts
+  (``VirtualDatasetState``:364, ``Transform``:581,
+  ``TransformType``:561, ``Expression``:210, ``FilterDefinition``:292).
+
+Scale notes: everything here is CATALOG-SIZED driver work — states are
+small dicts, SQL generation is string assembly, and the only Spark
+jobs are the previews the user explicitly requests (sample-limited,
+like the reference's UI_PREVIEW jobs).  The generated SQL is planned
+by Catalyst like any other statement, so pushdown/pruning on the
+eventual saved VDS is unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+import threading
+import time
+import uuid
+
+from .engine import ConcurrentModificationError
+
+
+class ExploreError(ValueError):
+    """Client error in a transform/preview request (HTTP 400)."""
+
+
+class VersionNotFoundError(KeyError):
+    """Unknown dataset version (HTTP 404)."""
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*$")
+
+
+def quote_ident(name: str) -> str:
+    """Spark-dialect identifier quoting (SQLGenerator.quoteIdentifier —
+    the reference quotes reserved words and non-identifier names)."""
+    if _IDENT.match(name) and name.upper() not in _RESERVED:
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
+_RESERVED = {
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "JOIN", "ON",
+    "USER", "TABLE", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "AND",
+    "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE", "END", "AS", "IN",
+    "BETWEEN", "LIKE", "NULL", "TRUE", "FALSE", "CAST", "COUNT",
+    "SUM", "AVG", "MIN", "MAX", "DATE", "TIME", "TIMESTAMP", "VALUES",
+}
+
+# explore.proto DataType:484 → Spark SQL cast targets
+_SQL_TYPE = {
+    "TEXT": "STRING", "BINARY": "BINARY", "BOOLEAN": "BOOLEAN",
+    "FLOAT": "DOUBLE", "INTEGER": "BIGINT", "DECIMAL": "DECIMAL(38,6)",
+    "DATE": "DATE", "TIME": "STRING", "DATETIME": "TIMESTAMP",
+}
+
+# Spark type name → explore DataType (for sqlFields in responses)
+_DATA_TYPE_OF = {
+    "string": "TEXT", "binary": "BINARY", "boolean": "BOOLEAN",
+    "double": "FLOAT", "float": "FLOAT", "int": "INTEGER",
+    "bigint": "INTEGER", "smallint": "INTEGER", "tinyint": "INTEGER",
+    "date": "DATE", "timestamp": "DATETIME", "timestamp_ntz": "DATETIME",
+}
+
+
+def data_type_of(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return "DECIMAL"
+    if t.startswith("array"):
+        return "LIST"
+    if t.startswith("map") or t.startswith("struct"):
+        return "STRUCT" if t.startswith("struct") else "MAP"
+    return _DATA_TYPE_OF.get(t, "OTHER")
+
+
+def _sql_literal(value, data_type: str) -> str:
+    """Typed literal for FilterValue/FilterRange bounds
+    (SQLGenerator.java:543-616 quotes per DataType)."""
+    if value is None:
+        return "NULL"
+    s = str(value)
+    if data_type in ("INTEGER", "FLOAT", "DECIMAL", "BOOLEAN"):
+        return s
+    if data_type == "DATE":
+        return f"DATE '{s}'"
+    if data_type == "DATETIME":
+        return f"TIMESTAMP '{s}'"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _regex_literal(pat: str) -> str:
+    return "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+# --------------------------------------------------------------------------
+# Expression → SQL (SQLGenerator's EvaluatingExpressionVisitor :798)
+# --------------------------------------------------------------------------
+
+def _col_sql(col: dict) -> str:
+    table = col.get("table")
+    name = quote_ident(col["name"])
+    return f"{quote_ident(table)}.{name}" if table else name
+
+
+def _extract_rule_sql(rule: dict, operand: str) -> str:
+    """ExtractRule (explore.proto:867) → SQL.
+
+    position: 0-based inclusive offsets, each with a direction
+    (FROM_THE_START | FROM_THE_END) → SUBSTRING arithmetic.
+    pattern: regex with index/indexType (INDEX = n-th match,
+    INDEX_BACKWARDS = n-th from the end, CAPTURE_GROUP = group of the
+    first match) — the reference evaluates these in its
+    extract_pattern UDF; here they compile to regexp_extract_all /
+    regexp_extract, which stay whole-stage-codegen JVM expressions."""
+    kind = rule["type"]
+    if kind == "position":
+        pos = rule["position"]
+        start, end = pos["startIndex"], pos["endIndex"]
+
+        def off(o, default_dir):
+            v = int(o["value"]) if isinstance(o, dict) else int(o)
+            d = (o.get("direction", default_dir)
+                 if isinstance(o, dict) else default_dir)
+            return v, d
+
+        sv, sd = off(start, "FROM_THE_START")
+        ev, ed = off(end, "FROM_THE_END"
+                     if isinstance(end, dict)
+                     and end.get("direction") == "FROM_THE_END"
+                     else "FROM_THE_START")
+        s_expr = (str(sv + 1) if sd == "FROM_THE_START"
+                  else f"LENGTH({operand}) - {sv}")
+        e_expr = (str(ev + 1) if ed == "FROM_THE_START"
+                  else f"LENGTH({operand}) - {ev}")
+        return (f"SUBSTRING({operand}, {s_expr}, "
+                f"({e_expr}) - ({s_expr}) + 1)")
+    if kind == "pattern":
+        pat = rule["pattern"]
+        rx = pat["pattern"]
+        if pat.get("ignoreCase"):
+            rx = "(?i)" + rx
+        idx = int(pat.get("index", 0))
+        index_type = pat.get("indexType", "INDEX")
+        lit = _regex_literal(rx)
+        if index_type == "CAPTURE_GROUP":
+            return f"REGEXP_EXTRACT({operand}, {lit}, {idx + 1})"
+        if index_type == "INDEX_BACKWARDS":
+            return (f"ELEMENT_AT(REVERSE(REGEXP_EXTRACT_ALL({operand}, "
+                    f"{lit}, 0)), {idx + 1})")
+        return (f"ELEMENT_AT(REGEXP_EXTRACT_ALL({operand}, {lit}, 0), "
+                f"{idx + 1})")
+    raise ExploreError(f"unknown extract rule type: {kind}")
+
+
+def _pattern_cond_sql(rule: dict, operand: str) -> str:
+    """ReplacePatternRule (explore.proto:928) → boolean match SQL."""
+    sel = rule["selectionType"]
+    if sel == "IS_NULL":
+        return f"{operand} IS NULL"
+    pat = rule.get("selectionPattern", "")
+    if sel == "MATCHES":
+        return f"REGEXP_LIKE({operand}, {_regex_literal(pat)})"
+    subject = operand
+    if rule.get("ignoreCase"):
+        subject = f"LOWER({operand})"
+        pat = pat.lower()
+    lit = "'" + pat.replace("'", "''") + "'"
+    if sel == "CONTAINS":
+        return f"CONTAINS({subject}, {lit})"
+    if sel == "STARTS_WITH":
+        return f"STARTSWITH({subject}, {lit})"
+    if sel == "ENDS_WITH":
+        return f"ENDSWITH({subject}, {lit})"
+    if sel == "EXACT":
+        return f"{subject} = {lit}"
+    raise ExploreError(f"unknown selection type: {sel}")
+
+
+def _pattern_regex(rule: dict) -> str:
+    """The regex that matches the selected fragment (for SELECTION
+    replacement via regexp_replace)."""
+    sel = rule["selectionType"]
+    pat = rule.get("selectionPattern", "")
+    esc = re.escape(pat)
+    body = {"CONTAINS": esc, "STARTS_WITH": "^" + esc,
+            "ENDS_WITH": esc + "$", "EXACT": "^" + esc + "$",
+            "MATCHES": pat}.get(sel)
+    if body is None:
+        raise ExploreError(f"selection type {sel} has no fragment regex")
+    if rule.get("ignoreCase"):
+        body = "(?i)" + body
+    return body
+
+
+def _split_array_sql(rule: dict, operand: str) -> str:
+    pat = rule["pattern"]
+    rx = pat if rule.get("matchType") == "regex" else re.escape(pat)
+    if rule.get("ignoreCase"):
+        rx = "(?i)" + rx
+    return f"SPLIT({operand}, {_regex_literal(rx)})"
+
+
+def _field_transform_sql(ft: dict, operand: str) -> str:
+    """FieldTransformation (explore.proto:772) → SQL
+    (SQLGenerator's EvaluatingFieldTransformationVisitor :897)."""
+    kind = ft["type"]
+    if kind == "ConvertCase":
+        case = ft["convertCase"]["convertCase"]
+        fn = {"LOWER_CASE": "LOWER", "UPPER_CASE": "UPPER",
+              "TITLE_CASE": "INITCAP"}[case]
+        return f"{fn}({operand})"
+    if kind == "Trim":
+        tt = ft["trim"]["trimType"]
+        fn = {"BOTH": "TRIM", "LEFT": "LTRIM", "RIGHT": "RTRIM"}[tt]
+        return f"{fn}({operand})"
+    if kind == "Extract":
+        return _extract_rule_sql(ft["extract"]["rule"], operand)
+    if kind == "ReplacePattern":
+        rp = ft["replace"]
+        rule, rtype = rp["rule"], rp.get("replaceType", "VALUE")
+        repl = rp.get("replacementValue", "")
+        if rtype == "SELECTION":
+            rx = _pattern_regex(rule)
+            lit = "'" + repl.replace("\\", "\\\\").replace("'", "''") + "'"
+            return (f"REGEXP_REPLACE({operand}, {_regex_literal(rx)}, "
+                    f"{lit})")
+        cond = _pattern_cond_sql(rule, operand)
+        if rtype == "NULL":
+            return f"CASE WHEN {cond} THEN NULL ELSE {operand} END"
+        lit = "'" + repl.replace("'", "''") + "'"
+        return f"CASE WHEN {cond} THEN {lit} ELSE {operand} END"
+    if kind == "ReplaceValue":
+        rv = ft["replaceValue"]
+        vals = rv.get("replacedValuesList", rv.get("replacedValues", []))
+        dt = rv.get("replacementType", "TEXT")
+        repl = ("NULL" if rv.get("replaceNull") and not vals
+                else _sql_literal(rv.get("replacementValue"), dt))
+        conds = []
+        if vals:
+            in_list = ", ".join(_sql_literal(v, dt) for v in vals)
+            conds.append(f"{operand} IN ({in_list})")
+        if rv.get("replaceNull"):
+            conds.append(f"{operand} IS NULL")
+        cond = " OR ".join(conds) if conds else "FALSE"
+        return f"CASE WHEN {cond} THEN {repl} ELSE {operand} END"
+    if kind == "ReplaceCustom":
+        rc = ft["replaceCustom"]
+        dt = rc.get("replacementType", "TEXT")
+        repl = ("NULL" if rc.get("replaceType") == "NULL"
+                else _sql_literal(rc.get("replacementValue"), dt))
+        return (f"CASE WHEN {rc['booleanExpression']} THEN {repl} "
+                f"ELSE {operand} END")
+    if kind == "Split":
+        sp = ft["split"]
+        arr = _split_array_sql(sp["rule"], operand)
+        pos = sp["position"]
+        if pos == "FIRST":
+            return f"ELEMENT_AT({arr}, 1)"
+        if pos == "LAST":
+            return f"ELEMENT_AT({arr}, -1)"
+        if pos == "INDEX":
+            return f"TRY_ELEMENT_AT({arr}, {int(sp['index']) + 1})"
+        if pos == "ALL":
+            mx = sp.get("maxFields", sp.get("max_fields"))
+            return f"SLICE({arr}, 1, {int(mx)})" if mx else arr
+        raise ExploreError(f"unknown split position: {pos}")
+    if kind == "UnnestList":
+        # flatten: handled by the caller via EXPLODE on the column
+        return f"EXPLODE({operand})"
+    if kind == "SimpleConvertToType":
+        dt = ft["simpleConvertToType"]["dataType"]
+        return f"CAST({operand} AS {_SQL_TYPE[dt]})"
+    if kind == "ConvertToTypeIfPossible":
+        c = ft["convertToTypeIfPossible"]
+        dt, action = c["desiredType"], c["actionForNonMatchingValue"]
+        cast = f"TRY_CAST({operand} AS {_SQL_TYPE[dt]})"
+        if action == "REPLACE_WITH_DEFAULT":
+            dflt = _sql_literal(c.get("defaultValue"), dt)
+            return f"COALESCE({cast}, {dflt})"
+        return cast  # REPLACE_WITH_NULL; DELETE_RECORDS adds a filter
+    if kind == "ConvertToJSON":
+        return f"TO_JSON(STRUCT({operand}))"
+    if kind == "ConvertFromJSON":
+        # schema discovery happens at preview; keep the raw parse here
+        return f"FROM_JSON({operand}, 'STRING')"
+    if kind == "ConvertListToText":
+        delim = ft.get("listToText", {}).get("delimiter", ",")
+        lit = "'" + delim.replace("'", "''") + "'"
+        return f"ARRAY_JOIN(TRANSFORM({operand}, x -> CAST(x AS STRING)), {lit})"
+    if kind == "ConvertFloatToInteger":
+        mode = ft["floatToInteger"]["rounding"]
+        fn = {"FLOOR": "FLOOR", "CEILING": "CEILING",
+              "ROUND": "ROUND"}[mode]
+        return f"CAST({fn}({operand}) AS BIGINT)"
+    if kind == "ConvertFloatToDecimal":
+        scale = int(ft["floatToDecimal"].get("roundingDecimalPlaces", 2))
+        return f"CAST({operand} AS DECIMAL(38,{scale}))"
+    if kind == "ConvertDateToText":
+        fmt = ft["dateToText"]["format"]
+        return f"DATE_FORMAT({operand}, '{fmt}')"
+    if kind == "ConvertTextToDate":
+        fmt = ft["textToDate"]["format"]
+        dt = ft["textToDate"].get("desiredType", "DATE")
+        if dt == "DATE":
+            return f"TO_DATE({operand}, '{fmt}')"
+        return f"TO_TIMESTAMP({operand}, '{fmt}')"
+    raise ExploreError(f"unsupported field transformation: {kind}")
+
+
+def expr_sql(expr: dict) -> str:
+    """Expression (explore.proto:210) → SQL."""
+    kind = expr["type"]
+    if kind == "ColumnReference":
+        return _col_sql(expr["col"])
+    if kind == "CalculatedField":
+        return "(" + expr["calculatedField"]["exp"] + ")"
+    if kind == "Trim":
+        t = expr["trim"]
+        fn = {"BOTH": "TRIM", "LEFT": "LTRIM",
+              "RIGHT": "RTRIM"}[t["trimType"]]
+        return f"{fn}({expr_sql(t['operand'])})"
+    if kind == "ConvertCase":
+        c = expr["convertCase"]
+        fn = {"LOWER_CASE": "LOWER", "UPPER_CASE": "UPPER",
+              "TITLE_CASE": "INITCAP"}[c["convertCase"]]
+        return f"{fn}({expr_sql(c['operand'])})"
+    if kind == "Extract":
+        e = expr["extract"]
+        return _extract_rule_sql(e["rule"], expr_sql(e["operand"]))
+    if kind == "FieldTransformation":
+        f = expr["fieldTransformation"]
+        return _field_transform_sql(f["transformation"],
+                                    expr_sql(f["operand"]))
+    if kind == "ConvertType":
+        c = expr["convertType"]
+        operand = expr_sql(c["operand"])
+        target = _SQL_TYPE[c["desiredType"]]
+        if c.get("castWhenPossible"):
+            cast = f"TRY_CAST({operand} AS {target})"
+            if c.get("actionForNonMatchingValue") == "REPLACE_WITH_DEFAULT":
+                dflt = _sql_literal(c.get("defaultValue"),
+                                    c["desiredType"])
+                return f"COALESCE({cast}, {dflt})"
+            return cast
+        return f"CAST({operand} AS {target})"
+    if kind == "Measure":
+        m = expr["measure"]
+        mt = m["measureType"]
+        if mt == "Count_Star":
+            return "COUNT(*)"
+        operand = expr_sql(m["operand"])
+        fn = {"Sum": "SUM", "Average": "AVG", "Count": "COUNT",
+              "Minimum": "MIN", "Maximum": "MAX",
+              "Standard_Deviation": "STDDEV",
+              "Standard_Deviation_Population": "STDDEV_POP",
+              "Variance": "VAR_SAMP",
+              "Variance_Population": "VAR_POP"}.get(mt)
+        if fn is None:
+            if mt == "Count_Distinct":
+                return f"COUNT(DISTINCT {operand})"
+            raise ExploreError(f"unknown measure type: {mt}")
+        return f"{fn}({operand})"
+    raise ExploreError(f"unsupported expression type: {kind}")
+
+
+def col_ref(name: str, table: str | None = None) -> dict:
+    col = {"name": name}
+    if table:
+        col["table"] = table
+    return {"type": "ColumnReference", "col": col}
+
+
+# --------------------------------------------------------------------------
+# Filter → SQL (SQLGenerator.java:525-646)
+# --------------------------------------------------------------------------
+
+def filter_sql(f: dict) -> str:
+    operand = expr_sql(f["operand"])
+    fd = f["filterDef"]
+    kind = fd["type"]
+    if kind == "Value":
+        v = fd["value"]
+        dt = v.get("dataType", "TEXT")
+        vals = v.get("valuesList", v.get("values", []))
+        cond = (f"{operand} IN ("
+                + ", ".join(_sql_literal(x, dt) for x in vals) + ")")
+    elif kind == "Range":
+        r = fd["range"]
+        dt = r.get("dataType", "TEXT")
+        parts = []
+        if r.get("lowerBound") is not None:
+            op = ">=" if r.get("lowerBoundInclusive", True) else ">"
+            parts.append(f"{operand} {op} "
+                         f"{_sql_literal(r['lowerBound'], dt)}")
+        if r.get("upperBound") is not None:
+            op = "<=" if r.get("upperBoundInclusive", True) else "<"
+            parts.append(f"{operand} {op} "
+                         f"{_sql_literal(r['upperBound'], dt)}")
+        if not parts:
+            raise ExploreError("At least one bound should not be null.")
+        cond = " AND ".join(parts)
+    elif kind == "Custom":
+        cond = "(" + fd["custom"]["expression"] + ")"
+    elif kind == "Pattern":
+        cond = _pattern_cond_sql(fd["pattern"]["rule"], operand)
+    else:
+        raise ExploreError(f"unsupported filter type: {kind}")
+    if f.get("keepNull"):
+        cond = f"({cond} OR {operand} IS NULL)"
+    if f.get("exclude"):
+        cond = f"NOT ({cond})"
+    return cond
+
+
+# --------------------------------------------------------------------------
+# VirtualDatasetState → SQL (SQLGenerator.java:774-786)
+# --------------------------------------------------------------------------
+
+def _from_sql(frm: dict) -> tuple[str, str | None]:
+    """Returns (FROM clause fragment, effective alias)."""
+    kind = frm["type"]
+    if kind == "Table":
+        t = frm["table"]
+        path = t["datasetPath"]
+        ref = ".".join(quote_ident(p) for p in path.split("."))
+        alias = t.get("alias")
+        return (f"{ref} AS {quote_ident(alias)}" if alias else ref,
+                alias or path.rsplit(".", 1)[-1])
+    if kind == "SQL":
+        s = frm["sql"]
+        alias = s.get("alias") or "nested_sql"
+        return (f"(\n{s['sql']}\n) AS {quote_ident(alias)}", alias)
+    if kind == "SubQuery":
+        sq = frm["subQuery"]
+        alias = sq["alias"]
+        inner = generate_sql(sq["suqQuery"])
+        return (f"(\n{inner}\n) AS {quote_ident(alias)}", alias)
+    raise ExploreError(f"unknown from type: {kind}")
+
+
+def generate_sql(state: dict) -> str:
+    cols = state.get("columns") or []
+    select = (", ".join(
+        f"{expr_sql(c['value'])} AS {quote_ident(c['name'])}"
+        for c in cols) or "*")
+    frm, _alias = _from_sql(state["from"])
+    join_sql = ""
+    for j in state.get("joins") or []:
+        jt = {"Inner": "INNER JOIN", "LeftOuter": "LEFT OUTER JOIN",
+              "RightOuter": "RIGHT OUTER JOIN",
+              "FullOuter": "FULL OUTER JOIN"}[j["joinType"]]
+        right = ".".join(quote_ident(p)
+                         for p in j["rightTable"].split("."))
+        alias = j["joinAlias"]
+        conds = " AND ".join(
+            f"{quote_ident(_alias)}.{quote_ident(c['leftColumn'])} = "
+            f"{quote_ident(alias)}.{quote_ident(c['rightColumn'])}"
+            for c in j.get("joinConditionsList",
+                           j.get("joinConditions", []))) or "TRUE"
+        join_sql += (f"\n {jt} {right} AS {quote_ident(alias)}"
+                     f" ON {conds}")
+    where = ""
+    filters = state.get("filters") or []
+    if filters:
+        where = "\nWHERE " + "\n  AND ".join(
+            filter_sql(f) for f in filters)
+    group = ""
+    group_bys = state.get("groupBys") or []
+    if group_bys:
+        group = "\nGROUP BY " + ", ".join(
+            expr_sql(g["value"]) for g in group_bys)
+    order = ""
+    orders = state.get("orders") or []
+    if orders:
+        order = "\nORDER BY " + ", ".join(
+            f"{quote_ident(o['name'])} {o.get('direction', 'ASC')}"
+            for o in orders)
+    return f"SELECT {select}\nFROM {frm}{join_sql}{where}{group}{order}"
+
+
+# --------------------------------------------------------------------------
+# DatasetStateMutator (DatasetStateMutator.java)
+# --------------------------------------------------------------------------
+
+class StateMutator:
+    def __init__(self, state: dict, preview: bool = False):
+        self.state = copy.deepcopy(state)
+        self.preview = preview
+        self.added: list[str] = []
+        self.removed: list[str] = []
+        self.modified: list[str] = []
+
+    # -- lookup -----------------------------------------------------------
+    def _columns(self) -> list[dict]:
+        cols = self.state.get("columns")
+        if cols is None:
+            raise ExploreError(
+                "Columns should be populated whenever a dataset is created.")
+        return cols
+
+    def _find_col(self, name: str) -> tuple[int, dict] | None:
+        for i, c in enumerate(self._columns()):
+            if c["name"] == name:
+                return i, c
+        return None
+
+    def _find_col_or_fail(self, name: str) -> tuple[int, dict]:
+        found = self._find_col(name)
+        if found is None:
+            names = ", ".join(c["name"] for c in self._columns())
+            raise ExploreError(
+                f"Invalid col name {name}. It is not in the current "
+                f"schema: {names}")
+        return found
+
+    def unique_column_name(self, name: str) -> str:
+        new, i = name, 0
+        while self._find_col(new) is not None:
+            new = f"{name}{i}"
+            i += 1
+        return new
+
+    def find_col_value(self, name: str) -> dict:
+        return self._find_col_or_fail(name)[1]["value"]
+
+    def is_grouped(self) -> bool:
+        return bool(self.state.get("groupBys"))
+
+    def _is_grouped_by(self, name: str) -> bool:
+        return any(g["name"] == name
+                   for g in self.state.get("groupBys") or [])
+
+    def _is_ordered_by(self, name: str) -> bool:
+        return any(o["name"] == name
+                   for o in self.state.get("orders") or [])
+
+    # -- nesting (DatasetStateMutator.java:224) ---------------------------
+    def _referred_tables(self) -> set[str]:
+        return set(self.state.get("referredTables") or [])
+
+    def nest(self) -> None:
+        tables = self._referred_tables()
+        i = 0
+        while f"nested_{i}" in tables:
+            i += 1
+        alias = f"nested_{i}"
+        new_cols = [{"name": c["name"], "value": col_ref(c["name"])}
+                    for c in self._columns()]
+        self.state = {
+            "columns": new_cols,
+            "from": {"type": "SubQuery",
+                     "subQuery": {"alias": alias,
+                                  "suqQuery": self.state}},
+            "context": self.state.get("context"),
+            "referredTables": sorted(tables | {alias}),
+        }
+
+    def _nest_if_used(self, name: str) -> None:
+        """findColForModification's rule (:339): modifying a column
+        referenced by a group-by or sort wraps the state first."""
+        if self._is_grouped_by(name) or self._is_ordered_by(name):
+            self.nest()
+
+    # -- mutations ---------------------------------------------------------
+    def rename(self, old: str, new: str) -> None:
+        _, col = self._find_col_or_fail(old)
+        col["name"] = new
+        for o in self.state.get("orders") or []:
+            if o["name"] == old:
+                o["name"] = new
+        self.modified.append(new)
+
+    def apply(self, old: str, new: str, value: dict,
+              drop_source: bool) -> None:
+        if old == new and not drop_source:
+            raise ExploreError(
+                f"You cannot use a column name that already exists "
+                f"in the table: {new}")
+        self._nest_if_used(old)
+        drop = drop_source and not self.preview
+        idx, _ = self._find_col_or_fail(old)
+        if drop:
+            self._columns().pop(idx)
+            next_index = idx
+        else:
+            next_index = idx + 1
+        name = (new + " (new)"
+                if old == new and self.preview else new)
+        self._columns().insert(next_index,
+                               {"name": name, "value": value})
+        self.added.append(name)
+        if drop_source:
+            self.removed.append(old)
+
+    def drop_column(self, name: str) -> None:
+        self._nest_if_used(name)
+        idx, _ = self._find_col_or_fail(name)
+        if not self.preview:
+            self._columns().pop(idx)
+        self.removed.append(name)
+
+    def add_filter(self, f: dict) -> None:
+        self.state.setdefault("filters", []).append(f)
+
+    def set_orders(self, orders: list[dict]) -> None:
+        self.state["orders"] = orders
+        self.modified.extend(o["name"] for o in orders)
+
+    def grouped_by(self, new_columns: list[dict],
+                   group_bys: list[dict]) -> None:
+        keep = [o for o in self.state.get("orders") or []
+                if any(g["name"] == o["name"] for g in group_bys)]
+        self.state["orders"] = keep
+        self.state["columns"] = new_columns
+        self.state["groupBys"] = group_bys
+
+    def add_join(self, join: dict) -> None:
+        self.state.setdefault("joins", []).append(join)
+
+    def update_column_tables(self) -> None:
+        """After a join, qualify unqualified column refs with the
+        from-alias so they cannot collide with right-table names
+        (DatasetStateMutator.updateColumnTables :93)."""
+        _, alias = _from_sql(self.state["from"])
+        for c in self._columns():
+            v = c["value"]
+            if v["type"] == "ColumnReference" and not v["col"].get("table"):
+                v["col"]["table"] = alias
+
+    def from_alias(self) -> str:
+        return _from_sql(self.state["from"])[1]
+
+
+# --------------------------------------------------------------------------
+# Transformer (TransformActor.java visit methods)
+# --------------------------------------------------------------------------
+
+def _get(d: dict, key: str, default=None):
+    """Accept both `fooList` (protostuff JSON) and `foo` spellings."""
+    if key in d:
+        return d[key]
+    if key.endswith("List") and key[:-4] in d:
+        return d[key[:-4]]
+    return d.get(key + "List", default)
+
+
+class Transformer:
+    """Applies one transform to a VirtualDatasetState, returning the
+    new state (TransformActor.java; nesting decisions preserved)."""
+
+    def __init__(self, engine=None):
+        self.engine = engine
+
+    def apply(self, state: dict, transform: dict,
+              preview: bool = False) -> dict:
+        m = StateMutator(state, preview=preview)
+        kind = transform.get("type")
+        fn = getattr(self, f"_t_{kind}", None)
+        if fn is None:
+            raise ExploreError(f"unsupported transform type: {kind}")
+        fn(m, transform)
+        return m.state
+
+    # each _t_* mirrors TransformActor.visit(TransformX)
+    def _t_createFromParent(self, m: StateMutator, t: dict) -> None:
+        frm = t["createFrom"]
+        m.state = {"columns": [], "from": frm,
+                   "referredTables": []}
+
+    def _t_updateSQL(self, m: StateMutator, t: dict) -> None:
+        m.state = {"columns": [],
+                   "from": {"type": "SQL",
+                            "sql": {"sql": t["sql"],
+                                    "alias": "nested_0"}},
+                   "context": _get(t, "sqlContextList"),
+                   "referredTables": ["nested_0"]}
+
+    def _t_drop(self, m: StateMutator, t: dict) -> None:
+        m.drop_column(t["droppedColumnName"])
+
+    def _t_rename(self, m: StateMutator, t: dict) -> None:
+        m.rename(t["oldColumnName"], t["newColumnName"])
+
+    def _t_sort(self, m: StateMutator, t: dict) -> None:
+        m.set_orders([{"name": t["sortedColumnName"],
+                       "direction": t.get("order", "ASC")}])
+
+    def _t_sorts(self, m: StateMutator, t: dict) -> None:
+        m.set_orders([{"name": o["name"],
+                       "direction": o.get("direction", "ASC")}
+                      for o in _get(t, "columnsList", [])])
+
+    def _t_convertCase(self, m: StateMutator, t: dict) -> None:
+        old = t["columnName"]
+        value = {"type": "ConvertCase",
+                 "convertCase": {"convertCase": t["convertCase"],
+                                 "operand": m.find_col_value(old)}}
+        m.apply(old, t["newColumnName"], value,
+                t.get("dropSourceColumn", True))
+
+    def _t_trim(self, m: StateMutator, t: dict) -> None:
+        old = t["columnName"]
+        value = {"type": "Trim",
+                 "trim": {"operand": m.find_col_value(old),
+                          "trimType": t["trimType"]}}
+        m.apply(old, t["newColumnName"], value,
+                t.get("dropSourceColumn", True))
+
+    def _t_extract(self, m: StateMutator, t: dict) -> None:
+        old = t["sourceColumnName"]
+        value = {"type": "Extract",
+                 "extract": {"rule": t["rule"],
+                             "operand": m.find_col_value(old)}}
+        m.apply(old, t["newColumnName"], value,
+                t.get("dropSourceColumn", True))
+
+    def _t_addCalculatedField(self, m: StateMutator, t: dict) -> None:
+        # nest unconditionally — the user expression may reference any
+        # current output column (TransformActor.java:320)
+        m.nest()
+        value = {"type": "CalculatedField",
+                 "calculatedField": {"exp": t["expression"]}}
+        m.apply(t["sourceColumnName"], t["newColumnName"], value,
+                t.get("dropSourceColumn", False))
+
+    def _t_field(self, m: StateMutator, t: dict) -> None:
+        old = t["sourceColumnName"]
+        if old is None:
+            raise ExploreError(
+                "sourceColumnName is missing in field transformation")
+        new = t.get("newColumnName") or old
+        drop = t.get("dropSourceColumn", True)
+        ft = t["fieldTransformation"]
+        if ft["type"] == "UnnestList":
+            # flatten nests first so EXPLODE sits alone in its select
+            m.nest()
+        value = {"type": "FieldTransformation",
+                 "fieldTransformation": {
+                     "transformation": ft,
+                     "operand": m.find_col_value(old)}}
+        m.apply(old, new, value, drop)
+        if ft["type"] == "ConvertToTypeIfPossible":
+            c = ft["convertToTypeIfPossible"]
+            if c.get("actionForNonMatchingValue") == "DELETE_RECORDS":
+                m.add_filter({
+                    "operand": col_ref(new if drop else old),
+                    "filterDef": {"type": "Custom", "custom": {
+                        "expression":
+                            f"{quote_ident(new)} IS NOT NULL"}}})
+
+    def _t_filter(self, m: StateMutator, t: dict) -> None:
+        col = t["sourceColumnName"]
+        fd = t["filter"]
+        # TransformActor.java:718 — aggregate/unnest operands and
+        # Custom expressions force a nest before filtering
+        operand_expr = m.find_col_value(col)
+        needs_nest = (operand_expr.get("type") == "Measure"
+                      or "EXPLODE" in expr_sql(operand_expr).upper()
+                      or fd.get("type") == "Custom")
+        if fd.get("type") == "Range":
+            r = fd["range"]
+            if r.get("lowerBound") is None and r.get("upperBound") is None:
+                raise ExploreError(
+                    "At least one bound should not be null.")
+        if needs_nest:
+            m.nest()
+        m.add_filter({"operand": m.find_col_value(col),
+                      "filterDef": fd,
+                      "keepNull": t.get("keepNull", False),
+                      "exclude": t.get("exclude", False)})
+
+    def _t_groupBy(self, m: StateMutator, t: dict) -> None:
+        dims = _get(t, "columnsDimensionsList", []) or []
+        measures = _get(t, "columnsMeasuresList", []) or []
+        if m.is_grouped():
+            m.nest()
+        else:
+            for d in dims:
+                if m.find_col_value(d["column"]).get("type") == "Measure":
+                    m.nest()
+                    break
+            else:
+                for me in measures:
+                    if (me.get("column") and m.find_col_value(
+                            me["column"]).get("type") == "Measure"):
+                        m.nest()
+                        break
+        new_cols, group_bys = [], []
+        for d in dims:
+            c = {"name": d["column"],
+                 "value": m.find_col_value(d["column"])}
+            new_cols.append(c)
+            group_bys.append(c)
+        for me in measures:
+            mt = me["type"]
+            if mt != "Count_Star" and me.get("column"):
+                operand = m.find_col_value(me["column"])
+                name = f"{mt}_{me['column']}"
+            else:
+                operand, name = None, mt
+            measure = {"measureType": mt}
+            if operand is not None:
+                measure["operand"] = operand
+            new_cols.append({"name": name,
+                             "value": {"type": "Measure",
+                                       "measure": measure}})
+        m.grouped_by(new_cols, group_bys)
+
+    def _t_join(self, m: StateMutator, t: dict) -> None:
+        right_path = _get(t, "rightTableFullPathList")
+        if isinstance(right_path, list):
+            right_path = ".".join(right_path)
+        leaf = right_path.rsplit(".", 1)[-1]
+        join_alias = f"join_{leaf}"
+        m.nest()
+        conds = _get(t, "joinConditionsList", []) or []
+        m.add_join({"joinType": t["joinType"],
+                    "rightTable": right_path,
+                    "joinAlias": join_alias,
+                    "joinConditions": conds})
+        m.update_column_tables()
+        if self.engine is None:
+            raise ExploreError("join requires an engine for the "
+                               "right-side schema")
+        right_cols = [f.name for f in
+                      self.engine.table(right_path).schema.fields]
+        edge = len(m._columns())
+        for jc in conds:
+            right_cols.remove(jc["rightColumn"])
+            right_col = m.unique_column_name(jc["rightColumn"])
+            # move the left key to the edge, right key beside it
+            idx, col = m._find_col_or_fail(jc["leftColumn"])
+            cols = m._columns()
+            cols.append(cols.pop(idx))
+            cols.append({"name": right_col,
+                         "value": col_ref(jc["rightColumn"],
+                                          join_alias)})
+            m.added.extend([jc["leftColumn"], right_col])
+        for rc in right_cols:
+            m._columns().append(
+                {"name": m.unique_column_name(rc),
+                 "value": col_ref(rc, join_alias)})
+
+    def _t_convertToSingleType(self, m: StateMutator, t: dict) -> None:
+        old = t["sourceColumnName"]
+        dt = t.get("desiredType", "TEXT")
+        value = {"type": "ConvertType",
+                 "convertType": {"desiredType": dt,
+                                 "castWhenPossible":
+                                     t.get("castWhenPossible", True),
+                                 "actionForNonMatchingValue":
+                                     t.get("actionForNonMatchingValue",
+                                           "REPLACE_WITH_NULL"),
+                                 "defaultValue": t.get("defaultValue"),
+                                 "operand": m.find_col_value(old)}}
+        m.apply(old, t["newColumnName"], value,
+                t.get("dropSourceColumn", True))
+
+
+def describe_transform(t: dict) -> str:
+    """Human description stored on history items
+    (Transformer.describe :109 → TransformBase.accept(DescribeTransformation))."""
+    kind = t.get("type")
+    if kind == "rename":
+        return (f"Renamed {t['oldColumnName']} to "
+                f"{t['newColumnName']}")
+    if kind == "drop":
+        return f"Dropped {t['droppedColumnName']}"
+    if kind == "convertCase":
+        return f"Converted case of {t['columnName']}"
+    if kind == "trim":
+        return f"Trimmed {t['columnName']}"
+    if kind == "extract":
+        return f"Extracted from {t['sourceColumnName']}"
+    if kind == "addCalculatedField":
+        return f"Added calculated field {t['newColumnName']}"
+    if kind == "field":
+        return (f"Modified {t['sourceColumnName']}: "
+                f"{t['fieldTransformation'].get('type')}")
+    if kind == "filter":
+        return f"Filtered on {t['sourceColumnName']}"
+    if kind == "groupBy":
+        return "Grouped"
+    if kind in ("sort", "sorts"):
+        return "Sorted"
+    if kind == "join":
+        rt = _get(t, "rightTableFullPathList")
+        rt = ".".join(rt) if isinstance(rt, list) else rt
+        return f"Joined with {rt}"
+    if kind == "updateSQL":
+        return "Edited SQL"
+    if kind == "createFromParent":
+        return "Created"
+    return kind or "transform"
+
+
+# --------------------------------------------------------------------------
+# Recommenders (ExtractRecommender / ReplaceRecommender /
+# SplitRecommender + CardGenerator)
+# --------------------------------------------------------------------------
+
+_CHAR_CLASSES = [("0123456789", r"\d"),
+                 ("abcdefghijklmnopqrstuvwxyz", "[a-z]"),
+                 ("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "[A-Z]")]
+
+
+def _classify_fragment(text: str) -> str | None:
+    """Pattern candidate for the selected fragment (the reference's
+    ExtractRecommender builds digit/word/char-class candidates)."""
+    if not text:
+        return None
+    if text.isdigit():
+        return r"\d+"
+    if text.isalpha():
+        return "[a-zA-Z]+"
+    if re.fullmatch(r"\w+", text):
+        return r"\w+"
+    return None
+
+
+def recommend_extract(selection: dict) -> list[dict]:
+    """Extract rule candidates for a text selection
+    (ExtractRecommender.java — position rules from both ends plus a
+    pattern rule when the fragment is a clean char class)."""
+    cell = selection.get("cellText") or ""
+    off = int(selection.get("offset", 0))
+    length = int(selection.get("length", 0))
+    rules = []
+    if length > 0:
+        rules.append({"type": "position", "position": {
+            "startIndex": {"value": off,
+                           "direction": "FROM_THE_START"},
+            "endIndex": {"value": off + length - 1,
+                         "direction": "FROM_THE_START"}}})
+        if cell:
+            rules.append({"type": "position", "position": {
+                "startIndex": {"value": len(cell) - off - 1,
+                               "direction": "FROM_THE_END"},
+                "endIndex": {"value": len(cell) - off - length,
+                             "direction": "FROM_THE_END"}}})
+    frag = cell[off:off + length]
+    pat = _classify_fragment(frag)
+    if pat:
+        rules.append({"type": "pattern",
+                      "pattern": {"pattern": pat, "index": 0,
+                                  "indexType": "INDEX"}})
+    return rules
+
+
+def recommend_replace(selection: dict) -> list[dict]:
+    """ReplacePatternRule candidates (ReplaceRecommender.java:60 —
+    exact / contains / starts-with / ends-with around the selection)."""
+    cell = selection.get("cellText") or ""
+    off = int(selection.get("offset", 0))
+    length = int(selection.get("length", 0))
+    frag = cell[off:off + length]
+    rules = []
+    if not cell:
+        return [{"selectionType": "IS_NULL"}]
+    if frag and frag != cell:
+        rules.append({"selectionType": "CONTAINS",
+                      "selectionPattern": frag})
+        if off == 0:
+            rules.append({"selectionType": "STARTS_WITH",
+                          "selectionPattern": frag})
+        if off + length == len(cell):
+            rules.append({"selectionType": "ENDS_WITH",
+                          "selectionPattern": frag})
+    rules.append({"selectionType": "EXACT", "selectionPattern": cell})
+    return rules
+
+
+def recommend_split(selection: dict) -> list[dict]:
+    """SplitRule candidates: delimiters present in the cell text
+    (SplitRecommender.java:49 — space/comma/dash/etc. + the selected
+    fragment itself)."""
+    cell = selection.get("cellText") or ""
+    off = int(selection.get("offset", 0))
+    length = int(selection.get("length", 0))
+    frag = cell[off:off + length]
+    rules = []
+    if frag:
+        rules.append({"pattern": frag, "matchType": "exact",
+                      "ignoreCase": False})
+    for d in (" ", ",", "-", ";", ":", "|", "\t"):
+        if d in cell and d != frag:
+            rules.append({"pattern": d, "matchType": "exact",
+                          "ignoreCase": False})
+    return rules
+
+
+# --------------------------------------------------------------------------
+# ExploreService — versions store + preview/save/history
+# --------------------------------------------------------------------------
+
+TMP_PATH = "tmp.UNTITLED"  # DatasetTool.TMP_DATASET_PATH
+_CARD_SAMPLE = 500  # reference card generators sample the preview
+
+
+class ExploreService:
+    """Versioned dataset-state store over the engine
+    (DatasetVersionMutator + DatasetTool roles).  Entries are keyed
+    (dotted path, version); save() lands a VDS in a space and stamps
+    an OCC tag (save :769 — savedTag mismatch → 409)."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.transformer = Transformer(engine)
+        self._versions: dict[tuple[str, str], dict] = {}
+        self._saved_tags: dict[str, str] = {}
+        self._lock = threading.RLock()
+
+    # -- version store -----------------------------------------------------
+    def get_version(self, path: str, version: str) -> dict:
+        with self._lock:
+            entry = self._versions.get((path, version))
+        if entry is None:
+            raise VersionNotFoundError(f"{path} version {version}")
+        return entry
+
+    def _put(self, path: str, version: str, entry: dict) -> dict:
+        entry.setdefault("fullPath", path)
+        entry.setdefault("version", version)
+        entry.setdefault("createdAt", int(time.time() * 1000))
+        with self._lock:
+            self._versions[(path, version)] = entry
+        return entry
+
+    def _fields_of(self, sql: str) -> list[dict]:
+        df = self.engine.sql(sql)
+        return [{"name": f.name,
+                 "type": data_type_of(f.dataType.simpleString())}
+                for f in df.schema.fields]
+
+    # -- creation ----------------------------------------------------------
+    def new_untitled_from_table(self, parent: str,
+                                version: str) -> dict:
+        """POST /datasets/new_untitled?parentDataset=
+        (DatasetsResource.newUntitled :180): version 0 state is a
+        plain FromTable with the parent's columns materialized."""
+        schema = self.engine.table(parent).schema
+        cols = [{"name": f.name, "value": col_ref(f.name)}
+                for f in schema.fields]
+        state = {"columns": cols,
+                 "from": {"type": "Table",
+                          "table": {"datasetPath": parent}},
+                 "referredTables": [parent]}
+        sql = generate_sql(state)
+        return self._put(TMP_PATH, version, {
+            "state": state, "sql": sql,
+            "name": "UNTITLED",
+            "derivation": "DERIVED_PHYSICAL",
+            "lastTransform": {
+                "type": "createFromParent",
+                "createFrom": state["from"]},
+            "previousVersion": None,
+            "sqlFields": [{"name": f.name,
+                           "type": data_type_of(
+                               f.dataType.simpleString())}
+                          for f in schema.fields]})
+
+    def new_untitled_sql(self, sql: str, version: str,
+                         context: list[str] | None = None) -> dict:
+        """POST /datasets/new_untitled_sql (DatasetsResource:267):
+        FromSQL aliased nested_0, like the reference (:282)."""
+        state = {"columns": [],
+                 "from": {"type": "SQL",
+                          "sql": {"sql": sql, "alias": "nested_0"}},
+                 "context": context or [],
+                 "referredTables": ["nested_0"]}
+        gen = generate_sql(state)
+        return self._put(TMP_PATH, version, {
+            "state": state, "sql": gen, "name": "UNTITLED",
+            "derivation": "SQL",
+            "lastTransform": {"type": "updateSQL", "sql": sql},
+            "previousVersion": None,
+            "sqlFields": self._fields_of(gen)})
+
+    # -- transform ---------------------------------------------------------
+    def transform(self, path: str, version: str, transform: dict,
+                  new_version: str, preview: bool = False) -> dict:
+        """transformAndPreview (DatasetVersionResource:459): apply,
+        store the new version with previousVersion back-link."""
+        base = self.get_version(path, version)
+        new_state = self.transformer.apply(base["state"], transform,
+                                           preview=preview)
+        sql = generate_sql(new_state)
+        fields = self._fields_of(sql)  # validates the generated SQL
+        return self._put(path, new_version, {
+            "state": new_state, "sql": sql,
+            "name": base.get("name", "UNTITLED"),
+            "derivation": base.get("derivation", "UNKNOWN"),
+            "lastTransform": transform,
+            "previousVersion": {"datasetPath": path,
+                                "datasetVersion": version},
+            "sqlFields": fields})
+
+    def transform_peek(self, path: str, version: str,
+                       transform: dict, limit: int = 50) -> dict:
+        """transformPeek (:673): ephemeral — preview rows, no stored
+        version."""
+        base = self.get_version(path, version)
+        state = self.transformer.apply(base["state"], transform,
+                                       preview=True)
+        sql = generate_sql(state)
+        return {"sql": sql, "data": self._preview_data(sql, limit)}
+
+    # -- preview / run -----------------------------------------------------
+    def _preview_data(self, sql: str, limit: int) -> dict:
+        from .server.rest import _json_cell
+
+        df = self.engine.sql(sql).limit(int(limit))
+        rows = df.collect()
+        return {"columns": [{"name": f.name,
+                             "type": data_type_of(
+                                 f.dataType.simpleString())}
+                            for f in df.schema.fields],
+                "rows": [[_json_cell(v) for v in r] for r in rows],
+                "returnedRowCount": len(rows)}
+
+    def preview(self, path: str, version: str,
+                limit: int = 50) -> dict:
+        entry = self.get_version(path, version)
+        return {"dataset": self.dataset_ui(entry),
+                "data": self._preview_data(entry["sql"], limit),
+                "history": self.history(path, version)}
+
+    def run(self, path: str, version: str) -> dict:
+        from .server.rest import _json_cell
+
+        entry = self.get_version(path, version)
+        df = self.engine.sql(entry["sql"])
+        rows = df.collect()
+        return {"dataset": self.dataset_ui(entry),
+                "data": {"columns": [
+                    {"name": f.name,
+                     "type": data_type_of(f.dataType.simpleString())}
+                    for f in df.schema.fields],
+                    "rows": [[_json_cell(v) for v in r]
+                             for r in rows],
+                    "returnedRowCount": len(rows)},
+                "history": self.history(path, version)}
+
+    def dataset_ui(self, entry: dict) -> dict:
+        return {"datasetVersion": entry["version"],
+                "fullPath": entry["fullPath"].split("."),
+                "displayFullPath": entry["fullPath"].split("."),
+                "sql": entry["sql"],
+                "derivation": entry.get("derivation", "UNKNOWN"),
+                "sqlFields": entry.get("sqlFields", []),
+                "canReapply": entry.get("previousVersion") is not None}
+
+    # -- history (DatasetTool.getHistory) -----------------------------------
+    def history(self, path: str, version: str) -> dict:
+        items = []
+        p, v = path, version
+        seen = set()
+        while (p, v) not in seen:
+            seen.add((p, v))
+            try:
+                entry = self.get_version(p, v)
+            except VersionNotFoundError:
+                break
+            items.append({
+                "datasetVersion": v,
+                "versionedResourcePath": f"/dataset/{p}/version/{v}",
+                "transformDescription": describe_transform(
+                    entry.get("lastTransform") or {}),
+                "createdAt": entry.get("createdAt")})
+            prev = entry.get("previousVersion")
+            if not prev:
+                break
+            p, v = prev["datasetPath"], prev["datasetVersion"]
+        items.reverse()  # oldest first, like the reference
+        return {"items": items, "currentDatasetVersion": version,
+                "tipVersion": version}
+
+    # -- save (DatasetVersionResource.save :769) -----------------------------
+    def save(self, path: str, version: str, as_path: str,
+             saved_tag: str | None = None) -> dict:
+        entry = self.get_version(path, version)
+        space, _, name = as_path.partition(".")
+        if not name:
+            raise ExploreError(
+                f"save target must be space.name, got {as_path}")
+        with self._lock:
+            current = self._saved_tags.get(as_path)
+            if current is not None and saved_tag != current:
+                # the OCC clobber guard (savedTag contract, :695-698)
+                raise ConcurrentModificationError(as_path)
+            self.engine.create_space(space)
+            self.engine.create_vds(space, name, entry["sql"])
+            new_tag = uuid.uuid4().hex[:12]
+            self._saved_tags[as_path] = new_tag
+        saved = dict(entry)
+        saved["fullPath"] = as_path
+        saved["name"] = name
+        self._put(as_path, version, saved)
+        ui = self.dataset_ui(saved)
+        ui["savedTag"] = new_tag
+        return {"dataset": ui,
+                "history": self.history(as_path, version)}
+
+    # -- recommendation cards ------------------------------------------------
+    def _card_sample(self, path: str, version: str,
+                     col: str) -> list[str | None]:
+        entry = self.get_version(path, version)
+        inner = entry["sql"]
+        sql = (f"SELECT {quote_ident(col)} AS v FROM (\n{inner}\n) "
+               f"__card LIMIT {_CARD_SAMPLE}")
+        return [r["v"] for r in self.engine.sql(sql).collect()]
+
+    @staticmethod
+    def _rule_match_fn(kind: str, rule: dict):
+        """Python evaluator mirroring the generated SQL — cards are
+        sample-sized, so local evaluation (one pass over ≤500 cells)
+        replaces the reference's per-card preview jobs."""
+        if kind == "extract":
+            if rule["type"] == "position":
+                pos = rule["position"]
+
+                def _off(o):
+                    return (int(o["value"]),
+                            o.get("direction", "FROM_THE_START"))
+
+                sv, sd = _off(pos["startIndex"])
+                ev, ed = _off(pos["endIndex"])
+
+                def match(s):
+                    if s is None:
+                        return None
+                    st = sv if sd == "FROM_THE_START" else len(s) - sv - 1
+                    en = ev if ed == "FROM_THE_START" else len(s) - ev - 1
+                    if st < 0 or en < st or en >= len(s):
+                        return None
+                    return s[st:en + 1] or None
+                return match
+            rx = rule["pattern"]["pattern"]
+            flags = re.I if rule["pattern"].get("ignoreCase") else 0
+            idx = int(rule["pattern"].get("index", 0))
+            itype = rule["pattern"].get("indexType", "INDEX")
+
+            def match(s):
+                if s is None:
+                    return None
+                if itype == "CAPTURE_GROUP":
+                    m0 = re.search(rx, s, flags)
+                    if not m0 or idx >= len(m0.groups()):
+                        return None
+                    return m0.group(idx + 1)
+                hits = [m0.group(0)
+                        for m0 in re.finditer(rx, s, flags)]
+                if itype == "INDEX_BACKWARDS":
+                    hits.reverse()
+                return hits[idx] if idx < len(hits) else None
+            return match
+        if kind == "replace":
+            sel = rule["selectionType"]
+            pat = rule.get("selectionPattern", "")
+
+            def match(s):
+                if sel == "IS_NULL":
+                    return s is None
+                if s is None:
+                    return False
+                subject, p = ((s.lower(), pat.lower())
+                              if rule.get("ignoreCase") else (s, pat))
+                if sel == "CONTAINS":
+                    return p in subject
+                if sel == "STARTS_WITH":
+                    return subject.startswith(p)
+                if sel == "ENDS_WITH":
+                    return subject.endswith(p)
+                if sel == "EXACT":
+                    return subject == p
+                if sel == "MATCHES":
+                    return re.search(pat, s) is not None
+                return False
+            return match
+        # split
+        pat = rule["pattern"]
+        rx = pat if rule.get("matchType") == "regex" else re.escape(pat)
+        flags = re.I if rule.get("ignoreCase") else 0
+
+        def match(s):
+            return (s is not None
+                    and re.search(rx, s, flags) is not None)
+        return match
+
+    def card(self, path: str, version: str, col: str, kind: str,
+             rule: dict) -> dict:
+        """One recommendation card with matched/unmatched counts and
+        highlighted examples over the preview sample (CardGenerator)."""
+        sample = self._card_sample(path, version, col)
+        fn = self._rule_match_fn(kind, rule)
+        matched = unmatched = 0
+        examples = []
+        for v in sample:
+            hit = fn(v)
+            ok = hit is not None and hit is not False
+            matched += ok
+            unmatched += not ok
+            if ok and len(examples) < 3 and isinstance(v, str):
+                pos = []
+                if kind == "extract" and isinstance(hit, str):
+                    at = v.find(hit)
+                    if at >= 0:
+                        pos = [{"offset": at, "length": len(hit)}]
+                examples.append({"text": v, "position": pos})
+        return {"rule": rule, "matchedCount": matched,
+                "unmatchedCount": unmatched, "examples": examples,
+                "description": _describe_rule(kind, rule)}
+
+    def cards(self, path: str, version: str, col: str, kind: str,
+              selection: dict) -> list[dict]:
+        rec = {"extract": recommend_extract,
+               "replace": recommend_replace,
+               "split": recommend_split}[kind]
+        return [self.card(path, version, col, kind, r)
+                for r in rec(selection)]
+
+
+def _describe_rule(kind: str, rule: dict) -> str:
+    if kind == "extract":
+        if rule["type"] == "position":
+            p = rule["position"]
+            return (f"Extract characters {p['startIndex']['value']} - "
+                    f"{p['endIndex']['value']}")
+        return f"Extract pattern {rule['pattern']['pattern']}"
+    if kind == "replace":
+        sel = rule["selectionType"]
+        if sel == "IS_NULL":
+            return "Replace null values"
+        return f"{sel.replace('_', ' ').title()} " \
+               f"{rule.get('selectionPattern', '')}"
+    return f"Split on {rule.get('pattern', '')!r}"

@@ -118,14 +118,112 @@ order by c_custkey limit 20
 """
 
 
+def explore_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """The UI curation path (DatasetVersionResource.java /
+    Transformer.java / SQLGenerator.java): new-untitled over orders,
+    then filter → calculated field → group-by → sort applied as
+    TRANSFORM OBJECTS; the engine runs the REGENERATED SQL.  The
+    oracle replays the same pipeline as hand-written SQL, so this
+    value-checks the whole state→SQL generator."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("orders", "v0")
+    svc.transform("tmp.UNTITLED", "v0", {
+        "type": "filter", "sourceColumnName": "o_orderstatus",
+        "filter": {"type": "Value",
+                   "value": {"values": ["F"], "dataType": "TEXT"}}},
+        "v1")
+    svc.transform("tmp.UNTITLED", "v1", {
+        "type": "addCalculatedField", "newColumnName": "custmod",
+        "sourceColumnName": "o_custkey",
+        "expression": "o_custkey % 5", "dropSourceColumn": False},
+        "v2")
+    svc.transform("tmp.UNTITLED", "v2", {
+        "type": "groupBy",
+        "columnsDimensions": [{"column": "o_orderpriority"}],
+        "columnsMeasures": [
+            {"type": "Count_Star"},
+            {"type": "Sum", "column": "custmod"},
+            {"type": "Maximum", "column": "o_totalprice"}]}, "v3")
+    svc.transform("tmp.UNTITLED", "v3", {
+        "type": "sort", "sortedColumnName": "o_orderpriority",
+        "order": "ASC"}, "v4")
+    return eng.sql(svc.get_version("tmp.UNTITLED", "v4")["sql"])
+
+
+EXPLORE_TRANSFORMS_SQL = """
+select o_orderpriority,
+       count(*) as Count_Star,
+       cast(sum(o_custkey % 5) as bigint) as Sum_custmod,
+       max(o_totalprice) as Maximum_o_totalprice
+from orders where o_orderstatus in ('F')
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def explore_field_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-cleaning transform family (TransformActor.java:289-320 +
+    the FieldTransformation SQL visitors): convert-case, positional
+    extract, pattern replace and split each compile to one generated
+    statement whose values the oracle replays with plain SQL."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("customer", "e0")
+    svc.transform("tmp.UNTITLED", "e0", {
+        "type": "convertCase", "columnName": "c_mktsegment",
+        "convertCase": "LOWER_CASE", "newColumnName": "seg_lower",
+        "dropSourceColumn": False}, "e1")
+    svc.transform("tmp.UNTITLED", "e1", {
+        "type": "extract", "sourceColumnName": "c_name",
+        "newColumnName": "cust_id",
+        "rule": {"type": "position", "position": {
+            "startIndex": {"value": 9, "direction": "FROM_THE_START"},
+            "endIndex": {"value": 17,
+                         "direction": "FROM_THE_START"}}},
+        "dropSourceColumn": False}, "e2")
+    svc.transform("tmp.UNTITLED", "e2", {
+        "type": "field", "sourceColumnName": "c_name",
+        "newColumnName": "first_token", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "Split", "split": {
+                "rule": {"pattern": "#", "matchType": "exact",
+                         "ignoreCase": False},
+                "position": "FIRST"}}}, "e3")
+    df = eng.sql(svc.get_version("tmp.UNTITLED", "e3")["sql"])
+    return (df.select("c_custkey", "seg_lower", "cust_id",
+                      "first_token")
+            .orderBy("c_custkey").limit(50))
+
+
+EXPLORE_FIELD_TRANSFORMS_SQL = """
+select c_custkey,
+       lower(c_mktsegment) as seg_lower,
+       substring(c_name, 10, 9) as cust_id,
+       str_split(c_name, '#')[1] as first_token
+from customer
+order by c_custkey limit 50
+"""
+
+
 SEMANTIC_QUERIES = {
     "cat_vds_query": vds_query,
     "cat_information_schema": info_schema,
     "cat_policy_enforcement": policy_enforcement,
+    "cat_explore_transforms": explore_transforms,
+    "cat_explore_field_transforms": explore_field_transforms,
 }
 
 SEMANTIC_ORACLE = {
     "cat_vds_query": VDS_QUERY_SQL,
     "cat_information_schema": INFO_SCHEMA_SQL,
     "cat_policy_enforcement": POLICY_ENFORCEMENT_SQL,
+    "cat_explore_transforms": EXPLORE_TRANSFORMS_SQL,
+    "cat_explore_field_transforms": EXPLORE_FIELD_TRANSFORMS_SQL,
 }

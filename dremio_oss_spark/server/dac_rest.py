@@ -1,0 +1,628 @@
+"""DAC-style UI-backend routes: dataset explore/transform, home-space
+file uploads, the SQL editor's resource tree, login/temporary tokens,
+and jobs-page filter values + result downloads.
+
+Reference surfaces (behavioral spec only):
+
+- ``dac/.../explore/DatasetVersionResource.java`` +
+  ``DatasetsResource.java`` — new_untitled / preview /
+  transformAndPreview / transformPeek / save / history / recommendation
+  cards (wired to :mod:`dremio_oss_spark.explore`).
+- ``dac/.../resource/HomeResource.java`` — upload_start /
+  file_preview_unsaved / upload_finish / file_format / delete (wired to
+  :mod:`dremio_oss_spark.home`).
+- ``dac/.../resource/ResourceTreeResource.java`` — the editor sidebar:
+  root listing (:87) and per-node expansion (:109-143).
+- ``dac/.../resource/LogInLogOutResource.java`` (:92 login → token,
+  :165 logout) + ``TemporaryTokenResource.java`` (:52 — short-lived
+  tokens scoped to one request path, used for download links).
+- ``dac/.../resource/JobsFiltersResource.java`` (:55-77 — the jobs
+  page's filter dropdown payloads) and the job-results download flow.
+
+Every route here is driver-side catalog/metadata work or a
+result-set-sized read; the only Spark jobs are explore previews and
+upload promotes the user explicitly requests.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from urllib.parse import parse_qs, unquote, urlparse
+
+from ..explore import ExploreError, VersionNotFoundError
+
+
+class TokenManager:
+    """Session + temporary tokens (TokenManager role).  Session tokens
+    authenticate any route; temp tokens only the path they were minted
+    for, until expiry.  Stores are bounded by eviction of expired
+    entries on every mint."""
+
+    def __init__(self):
+        self._sessions: dict[str, dict] = {}
+        self._temp: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def _evict(self) -> None:
+        now = time.time()
+        for store in (self._sessions, self._temp):
+            dead = [t for t, e in store.items()
+                    if e["expires"] < now]
+            for t in dead:
+                store.pop(t, None)
+
+    def login(self, user: str, ttl_seconds: int = 30 * 3600) -> dict:
+        tok = uuid.uuid4().hex
+        with self._lock:
+            self._evict()
+            exp = time.time() + ttl_seconds
+            self._sessions[tok] = {"user": user, "expires": exp}
+        return {"token": tok, "userName": user,
+                "expires": int(exp * 1000)}
+
+    def logout(self, token: str) -> bool:
+        with self._lock:
+            return self._sessions.pop(token, None) is not None
+
+    def mint_temp(self, path: str, duration_seconds: int) -> str:
+        tok = uuid.uuid4().hex
+        with self._lock:
+            self._evict()
+            self._temp[tok] = {"path": path.split("?")[0],
+                               "expires": time.time()
+                               + min(max(duration_seconds, 1), 3600)}
+        return tok
+
+    def user_of(self, token: str) -> str | None:
+        with self._lock:
+            e = self._sessions.get(token)
+        if e and e["expires"] >= time.time():
+            return e["user"]
+        return None
+
+    def check(self, token: str | None, path: str) -> bool:
+        if not token:
+            return False
+        now = time.time()
+        with self._lock:
+            s = self._sessions.get(token)
+            if s and s["expires"] >= now:
+                return True
+            t = self._temp.get(token)
+        return bool(t and t["expires"] >= now
+                    and urlparse(path).path == t["path"])
+
+
+def _engine_lock():
+    from . import rest
+
+    return rest._ENGINE_LOCK
+
+
+def _q(h, key: str, default: str = "") -> str:
+    return parse_qs(urlparse(h.path).query).get(key, [default])[0]
+
+
+def _send_error(h, e: Exception):
+    if isinstance(e, VersionNotFoundError):
+        return h._send(404, {"errorMessage": str(e)})
+    if isinstance(e, FileNotFoundError):
+        return h._send(404, {"errorMessage": str(e)})
+    if type(e).__name__ == "ConcurrentModificationError":
+        return h._send(409, {"errorMessage": str(e)})
+    if isinstance(e, (ExploreError, ValueError, KeyError)):
+        return h._send(400, {"errorMessage": str(e)})
+    return h._send(400, {"errorMessage": f"{type(e).__name__}: {e}"})
+
+
+# --------------------------------------------------------------------------
+# login / temp tokens
+# --------------------------------------------------------------------------
+
+def handle_login_post(h) -> bool:
+    """POST /api/v3/login {userName, password} — issues a session
+    token when the user exists (LogInLogOutResource.java:92).  Runs
+    BEFORE the bearer check: login is how you get a bearer."""
+    if urlparse(h.path).path.rstrip("/") != "/api/v3/login":
+        return False
+    try:
+        req = h._read_json()
+        user = req.get("userName") or req.get("username") or ""
+        if not req.get("password"):
+            h._send(401, {"errorMessage": "password required"})
+            return True
+        with _engine_lock():
+            known = h.engine.get_user(user)
+        if known is None:
+            h._send(401, {"errorMessage": f"unknown user {user}"})
+            return True
+        h._send(200, h.tokens.login(user))
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
+def handle_auth(h, method: str) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if p == "/api/v3/login" and method == "DELETE":
+        hdr = h.headers.get("Authorization") or ""
+        tok = hdr[7:] if hdr.startswith("Bearer ") else hdr
+        h.tokens.logout(tok)
+        h._send(200, {"loggedOut": True})
+        return True
+    if p == "/api/v3/login" and method == "GET":
+        # isUserAuthorized (:176) — reaching here means auth passed
+        h._send(200, {"authorized": True})
+        return True
+    if p == "/api/v3/temp-token" and method == "POST":
+        request = _q(h, "request")
+        if not request:
+            h._send(400, {"errorMessage": "request param required"})
+            return True
+        try:
+            duration = int(_q(h, "durationSeconds", "60"))
+        except ValueError:
+            h._send(400, {"errorMessage": "bad durationSeconds"})
+            return True
+        if not request.startswith("/"):
+            request = "/" + request
+        h._send(200, {"token": h.tokens.mint_temp(request, duration)})
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
+# explore: new_untitled / version routes
+# --------------------------------------------------------------------------
+
+_CARD_KINDS = {"extract": "extract", "extract_preview": "extract",
+               "replace": "replace", "replace_preview": "replace",
+               "split": "split", "split_preview": "split",
+               "keeponly": "replace", "keeponly_preview": "replace",
+               "exclude": "replace", "exclude_preview": "replace"}
+
+
+def handle_datasets_post(h) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if p == "/api/v3/datasets/new_untitled":
+        try:
+            parent = unquote(_q(h, "parentDataset"))
+            version = _q(h, "newVersion") or uuid.uuid4().hex[:12]
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                entry = h.explore.new_untitled_from_table(parent,
+                                                          version)
+                out = h.explore.preview(entry["fullPath"], version,
+                                        limit=limit)
+            h._send(200, out)
+        except Exception as e:  # noqa: BLE001
+            _send_error(h, e)
+        return True
+    if p == "/api/v3/datasets/new_untitled_sql":
+        try:
+            req = h._read_json()
+            version = _q(h, "newVersion") or uuid.uuid4().hex[:12]
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                entry = h.explore.new_untitled_sql(
+                    req["sql"], version,
+                    context=req.get("context"))
+                out = h.explore.preview(entry["fullPath"], version,
+                                        limit=limit)
+            h._send(200, out)
+        except Exception as e:  # noqa: BLE001
+            _send_error(h, e)
+        return True
+    return False
+
+
+def _version_route(h) -> tuple[str, str, str] | None:
+    """Parse /api/v3/dataset/{cpath}/version/{v}[/{action}]."""
+    p = urlparse(h.path).path
+    if not p.startswith("/api/v3/dataset/"):
+        return None
+    rest = p[len("/api/v3/dataset/"):].rstrip("/")
+    if "/version/" not in rest:
+        return None
+    cpath, _, tail = rest.partition("/version/")
+    version, _, action = tail.partition("/")
+    return unquote(cpath), unquote(version), action
+
+
+def handle_version_get(h) -> bool:
+    route = _version_route(h)
+    if route is None:
+        return False
+    cpath, version, action = route
+    try:
+        with _engine_lock():
+            if action in ("", "preview"):
+                limit = int(_q(h, "limit", "50"))
+                out = (h.explore.preview(cpath, version, limit=limit)
+                       if action == "preview" else
+                       h.explore.dataset_ui(
+                           h.explore.get_version(cpath, version)))
+            elif action == "history":
+                out = h.explore.history(cpath, version)
+            elif action == "run":
+                out = h.explore.run(cpath, version)
+            else:
+                return False
+        h._send(200, out)
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
+def handle_version_post(h) -> bool:
+    route = _version_route(h)
+    if route is None:
+        return False
+    cpath, version, action = route
+    try:
+        if action in ("transformAndPreview", "transform_and_preview",
+                      "transformAndRun", "transform_and_run"):
+            new_version = _q(h, "newVersion")
+            if not new_version:
+                h._send(400, {"errorMessage":
+                              "Query parameter 'newVersion' should "
+                              "not be null"})
+                return True
+            transform = h._read_json()
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                h.explore.transform(cpath, version, transform,
+                                    new_version)
+                out = (h.explore.run(cpath, new_version)
+                       if "Run" in action or "_run" in action else
+                       h.explore.preview(cpath, new_version,
+                                         limit=limit))
+            h._send(200, out)
+            return True
+        if action == "transformPeek":
+            transform = h._read_json()
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                out = h.explore.transform_peek(cpath, version,
+                                               transform, limit=limit)
+            h._send(200, out)
+            return True
+        if action == "save":
+            as_path = unquote(_q(h, "as")) or cpath
+            saved_tag = _q(h, "savedTag") or None
+            with _engine_lock():
+                out = h.explore.save(cpath, version, as_path,
+                                     saved_tag=saved_tag)
+            h._send(200, out)
+            return True
+        if action in _CARD_KINDS:
+            kind = _CARD_KINDS[action]
+            req = h._read_json()
+            preview = action.endswith("_preview")
+            selection = req.get("selection", req)
+            col = selection.get("colName")
+            if not col:
+                h._send(400, {"errorMessage": "colName required"})
+                return True
+            with _engine_lock():
+                if preview:
+                    out = h.explore.card(cpath, version, col, kind,
+                                         req["rule"])
+                else:
+                    out = {"cards": h.explore.cards(
+                        cpath, version, col, kind, selection)}
+            h._send(200, out)
+            return True
+        return False
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+        return True
+
+
+# --------------------------------------------------------------------------
+# home space (HomeResource.java)
+# --------------------------------------------------------------------------
+
+def _home_route(h) -> tuple[str, str] | None:
+    """Parse /api/v3/home/{home}[/{action}/{path...}] →
+    (action, path)."""
+    p = urlparse(h.path).path
+    if not p.startswith("/api/v3/home/"):
+        return None
+    rest = p[len("/api/v3/home/"):].rstrip("/")
+    if not rest:
+        return None
+    parts = rest.split("/", 2)
+    if len(parts) == 1:
+        return "", ""
+    action = parts[1]
+    path = unquote(parts[2]) if len(parts) > 2 else ""
+    return action, path
+
+
+def handle_home(h, method: str) -> bool:
+    route = _home_route(h)
+    if route is None:
+        return False
+    action, path = route
+    try:
+        if method == "GET" and action == "":
+            h._send(200, h.home.list_home())
+            return True
+        if method == "GET" and action == "file_format":
+            h._send(200, h.home.get_format(path))
+            return True
+        if method == "PUT" and action == "file_format":
+            req = h._read_json()
+            fmt = req.get("fileFormat", req)
+            with _engine_lock():
+                h._send(200, h.home.save_format(path, fmt))
+            return True
+        if method == "DELETE" and action == "file":
+            with _engine_lock():
+                h.home.delete_file(path)
+            h._send(200, {"deleted": path})
+            return True
+        if method != "POST":
+            return False
+        if action == "upload_start":
+            length = int(h.headers.get("Content-Length") or 0)
+            data = h.rfile.read(length) if length else b""
+            ext = _q(h, "extension") or None
+            h._send(200, h.home.upload_start(path, data,
+                                             extension=ext))
+            return True
+        if action == "upload_cancel":
+            h.home.upload_cancel(path)
+            h._send(200, {"canceled": path})
+            return True
+        if action == "file_preview_unsaved":
+            fmt = _maybe_json(h)
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                out = h.home.file_preview_unsaved(path, fmt,
+                                                  limit=limit)
+            h._send(200, out)
+            return True
+        if action == "upload_finish":
+            fmt = _maybe_json(h)
+            with _engine_lock():
+                out = h.home.upload_finish(path, fmt)
+            h._send(200, out)
+            return True
+        return False
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+        return True
+
+
+def _maybe_json(h) -> dict | None:
+    length = int(h.headers.get("Content-Length") or 0)
+    if not length:
+        return None
+    body = h.rfile.read(length)
+    if not body.strip():
+        return None
+    req = json.loads(body)
+    return req.get("fileFormat", req) or None
+
+
+# --------------------------------------------------------------------------
+# resource tree (ResourceTreeResource.java)
+# --------------------------------------------------------------------------
+
+def _tree_roots(h, show_spaces: bool, show_sources: bool,
+                show_homes: bool) -> list[dict]:
+    out = []
+    eng = h.engine
+    if show_homes and getattr(h, "home", None) is not None \
+            and h.home._registered:
+        out.append({"name": f"@{h.home.source_name}", "type": "HOME",
+                    "fullPath": [h.home.source_name]})
+    if show_spaces:
+        out += [{"name": s, "type": "SPACE", "fullPath": [s]}
+                for s in sorted(eng.spaces)]
+    if show_sources:
+        out += [{"name": n, "type": "SOURCE", "fullPath": [n]}
+                for n in sorted(eng._sources)]
+        out += [{"name": n, "type": "SOURCE", "fullPath": [n],
+                 "sourceType": "NESSIE"}
+                for n in sorted(getattr(eng, "_versioned_sources",
+                                        {}))]
+    return out
+
+
+def _tree_children(h, root_path: str,
+                   show_datasets: bool) -> list[dict]:
+    eng = h.engine
+    parts = root_path.split(".")
+    root = parts[0]
+    if root in eng.spaces:
+        sp = eng.spaces[root]
+        prefix = ".".join(parts[1:])
+        depth = len(parts) - 1
+        out = []
+        for f in sorted(sp.folders):
+            fp = f.split(".")
+            if len(fp) == depth + 1 and (not prefix
+                                         or f.startswith(prefix + ".")):
+                out.append({"name": fp[-1], "type": "FOLDER",
+                            "fullPath": [root] + fp})
+        if show_datasets:
+            for v in sorted(sp.vds):
+                vp = v.split(".")
+                folder = ".".join(vp[:-1])
+                if folder == prefix:
+                    out.append({"name": vp[-1],
+                                "type": "VIRTUAL_DATASET",
+                                "fullPath": [root] + vp})
+        return out
+    if root in eng._sources:
+        if not show_datasets:
+            return []
+        return [{"name": t, "type": "PHYSICAL_DATASET",
+                 "fullPath": [root, t]}
+                for t in eng.list_dir_source_tables(root)]
+    raise FileNotFoundError(f"no container {root_path}")
+
+
+def handle_resourcetree(h) -> bool:
+    p = urlparse(h.path).path
+    if not p.startswith("/api/v3/resourcetree"):
+        return False
+    q = parse_qs(urlparse(h.path).query)
+
+    def flag(name, default="false"):
+        return q.get(name, [default])[0].lower() == "true"
+
+    rest = p[len("/api/v3/resourcetree"):].strip("/")
+    try:
+        with _engine_lock():
+            if not rest:
+                resources = _tree_roots(h, flag("showSpaces", "true"),
+                                        flag("showSources", "true"),
+                                        flag("showHomes", "true"))
+            elif rest.endswith("/expand"):
+                root_path = unquote(rest[:-len("/expand")])
+                # root listing plus each expanded level down the path
+                resources = _tree_roots(h, flag("showSpaces", "true"),
+                                        flag("showSources", "true"),
+                                        flag("showHomes", "true"))
+                parts = root_path.split(".")
+                for i in range(1, len(parts) + 1):
+                    node = ".".join(parts[:i])
+                    for child in _tree_children(
+                            h, node, flag("showDatasets", "true")):
+                        if child not in resources:
+                            resources.append(child)
+            else:
+                resources = _tree_children(h, unquote(rest),
+                                           flag("showDatasets",
+                                                "true"))
+        h._send(200, {"resources": resources})
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
+# --------------------------------------------------------------------------
+# jobs filters + download (JobsFiltersResource.java; download flow)
+# --------------------------------------------------------------------------
+
+def handle_jobs_filters(h) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if not p.startswith("/api/v3/jobs/filters/"):
+        return False
+    kind = p[len("/api/v3/jobs/filters/"):]
+    flt = _q(h, "filter").lower()
+    try:
+        limit = int(_q(h, "limit", "25"))
+    except ValueError:
+        h._send(400, {"errorMessage": "bad limit"})
+        return True
+    eng = h.engine
+    with _engine_lock():
+        if kind == "spaces":
+            names = sorted(eng.spaces)
+        elif kind == "users":
+            seen = {j.get("user") or j.get("queryUser") or ""
+                    for j in _telemetry_jobs(eng)}
+            names = sorted({u["name"] for u in eng.list_users()}
+                           | {u for u in seen if u})
+        elif kind == "queues":
+            seen = {j.get("queue") or "" for j in _telemetry_jobs(eng)}
+            wlm = getattr(eng._workload(), "queues", None)
+            defined = set(wlm() if callable(wlm) else wlm or [])
+            names = sorted({q for q in (seen | set(defined)) if q})
+        else:
+            h._send(404, {"errorMessage": f"no filter {kind}"})
+            return True
+    items = [{"id": n, "label": n} for n in names
+             if flt in n.lower()][:limit]
+    h._send(200, {"items": items})
+    return True
+
+
+def _telemetry_jobs(eng) -> list[dict]:
+    tel = getattr(eng, "job_telemetry", None)
+    if tel is None:
+        return []
+    try:
+        return tel.listing(limit=1000).get("jobs", [])
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def handle_job_download(h) -> bool:
+    """GET /api/v3/job/{id}/download?format=csv|json — the stored
+    result set as an attachment (the reference's download flow; temp
+    tokens mint against exactly this path)."""
+    p = urlparse(h.path).path.rstrip("/")
+    parts = p.split("/")
+    if (len(parts) != 6 or parts[:4] != ["", "api", "v3", "job"]
+            or parts[5] != "download"):
+        return False
+    jid = parts[4]
+    job = h.jobs.get(jid)
+    if job is None:
+        h._send(404, {"errorMessage": f"no job {jid}"})
+        return True
+    if job["state"] != "COMPLETED":
+        h._send(400, {"errorMessage":
+                      f"job {jid} is {job['state']}"})
+        return True
+    fmt = _q(h, "format", "json").lower()
+    names = [c["name"] for c in job["schema"]]
+    # stored rows are JSON objects keyed by column (the /sql shape)
+    rows = [[r.get(n) for n in names] if isinstance(r, dict) else r
+            for r in job["rows"]]
+    if fmt == "csv":
+        import csv
+        import io
+
+        buf = io.StringIO()
+        w = csv.writer(buf, lineterminator="\n")
+        w.writerow(names)
+        w.writerows(rows)
+        body = buf.getvalue().encode()
+        ctype, fname = "text/csv", f"{jid}.csv"
+    elif fmt == "json":
+        body = "\n".join(
+            json.dumps(dict(zip(names, row)))
+            for row in rows).encode()
+        ctype, fname = "application/json", f"{jid}.json"
+    else:
+        h._send(400, {"errorMessage": f"unsupported format {fmt}"})
+        return True
+    h.send_response(200)
+    h.send_header("Content-Type", ctype)
+    h.send_header("Content-Disposition",
+                  f'attachment; filename="{fname}"')
+    h.send_header("Content-Length", str(len(body)))
+    h.end_headers()
+    h.wfile.write(body)
+    return True
+
+
+# --------------------------------------------------------------------------
+# dispatcher
+# --------------------------------------------------------------------------
+
+def handle(h, method: str) -> bool:
+    """Route one request; returns True when handled.  Called by the
+    rest-server handler after auth."""
+    if handle_auth(h, method):
+        return True
+    if method == "GET":
+        return (handle_version_get(h) or handle_resourcetree(h)
+                or handle_jobs_filters(h) or handle_job_download(h)
+                or handle_home(h, method))
+    if method == "POST":
+        return (handle_datasets_post(h) or handle_version_post(h)
+                or handle_home(h, method))
+    if method in ("PUT", "DELETE"):
+        return handle_home(h, method)
+    return False

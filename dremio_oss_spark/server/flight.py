@@ -46,10 +46,14 @@ class _BearerMiddleware(flight.ServerMiddleware):
 
 class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
     """Reject calls lacking the configured bearer token (the reference
-    gates Flight behind the same auth as JDBC/REST)."""
+    gates Flight behind the same auth as JDBC/REST).  When a session
+    TokenManager is attached, REST-login session tokens authenticate
+    too — the reference's login flow issues one token both servers
+    honor (LogInLogOutResource.java:92 → TokenManager)."""
 
-    def __init__(self, token: str):
+    def __init__(self, token: str, tokens=None):
         self._token = token
+        self._tokens = tokens
 
     def start_call(self, info, headers):
         vals = (headers.get("authorization")
@@ -59,11 +63,14 @@ class _BearerMiddlewareFactory(flight.ServerMiddlewareFactory):
         want = f"Bearer {self._token}"
         # EXACT match — substring checks would accept any token that
         # merely contains the real one
-        ok = any((v.decode() if isinstance(v, bytes) else v) == want
-                 for v in vals)
-        if not ok:
-            raise flight.FlightUnauthenticatedError("missing/bad token")
-        return _BearerMiddleware()
+        for v in vals:
+            s = v.decode() if isinstance(v, bytes) else v
+            if s == want:
+                return _BearerMiddleware()
+            if (self._tokens is not None and s.startswith("Bearer ")
+                    and self._tokens.user_of(s[7:]) is not None):
+                return _BearerMiddleware()
+        raise flight.FlightUnauthenticatedError("missing/bad token")
 
 
 # catalog-metadata commands a stock FlightSQL client issues on connect
@@ -86,10 +93,11 @@ class EngineFlightServer(flight.FlightServerBase):
     """`grpc://host:port` front of an Engine.  Tickets carry SQL text."""
 
     def __init__(self, engine, location: str = "grpc://127.0.0.1:0",
-                 token: str | None = None):
+                 token: str | None = None, tokens=None):
         middleware = {}
         if token:
-            middleware["auth"] = _BearerMiddlewareFactory(token)
+            middleware["auth"] = _BearerMiddlewareFactory(
+                token, tokens=tokens)
         super().__init__(location, middleware=middleware)
         self.engine = engine
         self._location = location
@@ -437,11 +445,13 @@ class EngineFlightServer(flight.FlightServerBase):
         raise flight.FlightServerError(f"unknown action {action.type!r}")
 
 
-def serve_background(engine, token: str | None = None
+def serve_background(engine, token: str | None = None, tokens=None
                      ) -> tuple[EngineFlightServer, threading.Thread]:
     """Start the server on an ephemeral port; returns (server, thread).
-    `server.port` is the bound port; `server.shutdown()` stops it."""
-    server = EngineFlightServer(engine, token=token)
+    `server.port` is the bound port; `server.shutdown()` stops it.
+    `tokens` (a dac_rest.TokenManager) lets REST-login session tokens
+    authenticate Flight calls too."""
+    server = EngineFlightServer(engine, token=token, tokens=tokens)
     t = threading.Thread(target=server.serve, daemon=True)
     t.start()
     return server, t

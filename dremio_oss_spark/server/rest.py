@@ -168,6 +168,11 @@ class _Handler(BaseHTTPRequestHandler):
     # "version"}, "wiki": {"text", "version"}}; versions are the
     # reference's optimistic-concurrency guards
     collab: dict = None
+    # DAC UI-backend services (dac_rest.py): explore/transform version
+    # store, home-space uploads, session + temporary tokens
+    explore = None
+    home = None
+    tokens = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -181,10 +186,20 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _authed(self) -> bool:
+        hdr = self.headers.get("Authorization") or ""
+        bearer = hdr[7:] if hdr.startswith("Bearer ") else None
+        if self.tokens is not None:
+            # session tokens (POST /login) authenticate any route;
+            # temp tokens only their minted path until expiry
+            from urllib.parse import parse_qs, urlparse
+
+            qtok = parse_qs(urlparse(self.path).query).get(
+                "token", [None])[0]
+            if self.tokens.check(bearer or qtok, self.path):
+                return True
         if not self.token:
             return True
-        return (self.headers.get("Authorization")
-                == f"Bearer {self.token}")
+        return bearer == self.token
 
     # -- catalog entities (CatalogResource.java:57) ----------------------
     def _vds_entity(self, space: str, name: str) -> dict:
@@ -260,6 +275,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(401, {"errorMessage": "unauthorized"})
         if self.path == "/health":
             return self._send(200, {"status": "ok"})
+        from . import dac_rest
+
+        if dac_rest.handle(self, "GET"):
+            return None
         if self.path.rstrip("/") == "/api/v3/catalog":
             try:
                 with _ENGINE_LOCK:
@@ -820,8 +839,16 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         from urllib.parse import unquote
 
+        from . import dac_rest
+
+        # login runs BEFORE the bearer check — it's how a client gets
+        # a bearer (LogInLogOutResource.java:92)
+        if dac_rest.handle_login_post(self):
+            return None
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        if dac_rest.handle(self, "POST"):
+            return None
         if self.path.rstrip("/") == "/api/v3/catalog":
             try:
                 with _ENGINE_LOCK:
@@ -1116,6 +1143,10 @@ class _Handler(BaseHTTPRequestHandler):
 
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        from . import dac_rest
+
+        if dac_rest.handle(self, "PUT"):
+            return None
         if self.path.startswith("/api/v3/scripts/"):
             import time as _time
 
@@ -1181,6 +1212,10 @@ class _Handler(BaseHTTPRequestHandler):
 
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
+        from . import dac_rest
+
+        if dac_rest.handle(self, "DELETE"):
+            return None
         if self.path.startswith("/api/v3/scripts/"):
             sid = self.path[len("/api/v3/scripts/"):].rstrip("/")
             if self.scripts.pop(sid, None) is None:
@@ -1286,9 +1321,16 @@ def serve_rest_background(engine, port: int = 0,
     """Bind (ephemeral port by default) and serve in a daemon thread;
     `server.server_address[1]` is the bound port, `server.shutdown()`
     stops it."""
+    from ..explore import ExploreService
+    from ..home import HomeService
+    from .dac_rest import TokenManager
+
     handler = type("BoundHandler", (_Handler,),
                    {"engine": engine, "token": token, "jobs": _Jobs(),
-                    "scripts": {}, "collab": {}})
+                    "scripts": {}, "collab": {},
+                    "explore": ExploreService(engine),
+                    "home": HomeService(engine),
+                    "tokens": TokenManager()})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -1,0 +1,384 @@
+"""REST tests for the DAC UI-backend routes: explore/transform,
+home-space uploads, resource tree, login/temp tokens, jobs filters and
+result download (dac_rest.py against the reference's
+DatasetVersionResource / HomeResource / ResourceTreeResource /
+LogInLogOutResource / TemporaryTokenResource / JobsFiltersResource)."""
+
+from __future__ import annotations
+
+import json as _json
+import time
+import urllib.request as rq
+
+import pytest
+
+from dremio_oss_spark.catalog import register_testdata
+from dremio_oss_spark.engine import Engine
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def rest(spark):
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    eng.create_user("alice", firstName="Alice")
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    yield eng, port
+    server.shutdown()
+
+
+def _call(port, method, path, body=None, token=None, raw=False,
+          raw_body=None):
+    data = (raw_body if raw_body is not None
+            else _json.dumps(body).encode() if body is not None
+            else None)
+    req = rq.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json",
+                 **({"Authorization": f"Bearer {token}"}
+                    if token else {})})
+    try:
+        with rq.urlopen(req) as r:
+            payload = r.read()
+            return r.status, (payload if raw else _json.loads(payload))
+    except rq.HTTPError as e:
+        payload = e.read()
+        try:
+            return e.code, _json.loads(payload)
+        except ValueError:
+            return e.code, payload
+
+
+def test_explore_rest_flow(rest):
+    eng, port = rest
+    # new untitled over orders
+    code, out = _call(port, "POST",
+                      "/api/v3/datasets/new_untitled"
+                      "?parentDataset=orders&newVersion=v0&limit=5")
+    assert code == 200, out
+    assert out["data"]["returnedRowCount"] == 5
+    assert out["dataset"]["datasetVersion"] == "v0"
+    path = ".".join(out["dataset"]["fullPath"])
+    # transform: filter
+    code, out = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/v0/transformAndPreview"
+        "?newVersion=v1&limit=5",
+        body={"type": "filter", "sourceColumnName": "o_orderstatus",
+              "filter": {"type": "Value",
+                         "value": {"values": ["F"],
+                                   "dataType": "TEXT"}}})
+    assert code == 200, out
+    assert "WHERE" in out["dataset"]["sql"]
+    # transform: group by
+    code, out = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/v1/transformAndPreview"
+        "?newVersion=v2",
+        body={"type": "groupBy",
+              "columnsDimensions": [{"column": "o_orderpriority"}],
+              "columnsMeasures": [{"type": "Count_Star"}]})
+    assert code == 200, out
+    cols = [c["name"] for c in out["data"]["columns"]]
+    assert cols == ["o_orderpriority", "Count_Star"]
+    # history lists the chain
+    code, hist = _call(port, "GET",
+                       f"/api/v3/dataset/{path}/version/v2/history")
+    assert code == 200
+    assert [i["datasetVersion"] for i in hist["items"]] == \
+        ["v0", "v1", "v2"]
+    # recommendation cards over a text column
+    code, cards = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/v0/extract",
+        body={"colName": "o_orderpriority", "cellText": "1-URGENT",
+              "offset": 2, "length": 6})
+    assert code == 200 and cards["cards"], cards
+    assert cards["cards"][0]["matchedCount"] > 0
+    # save as VDS, then query it through the SQL API
+    code, saved = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/v2/save?as=analytics.prio")
+    assert code == 200, saved
+    assert saved["dataset"]["savedTag"]
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select * from analytics.prio"})
+    assert code == 200 and out["rowCount"] == 5
+    # stale save → 409
+    code, out = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/v2/save?as=analytics.prio")
+    assert code == 409
+    # missing newVersion → 400; unknown version → 404
+    code, _ = _call(port, "POST",
+                    f"/api/v3/dataset/{path}/version/v0/"
+                    "transformAndPreview",
+                    body={"type": "drop",
+                          "droppedColumnName": "o_comment"})
+    assert code == 400
+    code, _ = _call(port, "GET",
+                    f"/api/v3/dataset/{path}/version/nope/preview")
+    assert code == 404
+
+
+def test_home_upload_flow(rest):
+    eng, port = rest
+    csv = b"city,pop\nparis,2100000\nlyon,520000\n"
+    code, out = _call(port, "POST",
+                      "/api/v3/home/@home/upload_start/cities"
+                      "?extension=csv", raw_body=csv)
+    assert code == 200 and out["isStaged"], out
+    assert out["fileFormat"]["type"] == "Text"
+    # preview under the sniffed default settings
+    code, prev = _call(port, "POST",
+                       "/api/v3/home/@home/file_preview_unsaved/"
+                       "cities")
+    assert code == 200, prev
+    assert [c["name"] for c in prev["columns"]] == ["city", "pop"]
+    assert prev["returnedRowCount"] == 2
+    # promote
+    code, fin = _call(port, "POST",
+                      "/api/v3/home/@home/upload_finish/cities",
+                      body={"fileFormat": {"type": "Text",
+                                           "fieldDelimiter": ",",
+                                           "extractHeader": True}})
+    assert code == 200 and fin["sqlPath"] == "home.cities", fin
+    # the promoted dataset answers SQL
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select pop from home.cities "
+                                   "where city = 'paris'"})
+    assert code == 200 and out["rows"][0]["pop"] == 2100000
+    # it shows up in home listing and the resource tree
+    code, home = _call(port, "GET", "/api/v3/home/@home")
+    assert code == 200
+    assert [c["name"] for c in home["children"]] == ["cities"]
+    code, tree = _call(port, "GET", "/api/v3/resourcetree/home")
+    assert code == 200
+    assert {"name": "cities", "type": "PHYSICAL_DATASET",
+            "fullPath": ["home", "cities"]} in tree["resources"]
+    # format settings round-trip; flipping extractHeader
+    # re-materializes with positional column names
+    code, fmt = _call(port, "GET",
+                      "/api/v3/home/@home/file_format/cities")
+    assert code == 200 and fmt["fileFormat"]["extractHeader"]
+    code, _ = _call(port, "PUT",
+                    "/api/v3/home/@home/file_format/cities",
+                    body={"fileFormat": {"type": "Text",
+                                         "fieldDelimiter": ",",
+                                         "extractHeader": False}})
+    assert code == 200
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select count(*) as n "
+                                   "from home.cities"})
+    assert code == 200 and out["rows"][0]["n"] == 3  # header is data
+    # delete removes the dataset
+    code, _ = _call(port, "DELETE", "/api/v3/home/@home/file/cities")
+    assert code == 200
+    code, home = _call(port, "GET", "/api/v3/home/@home")
+    assert home["children"] == []
+
+
+def test_home_upload_xlsx(rest, tmp_path):
+    eng, port = rest
+    # hand-rolled OOXML workbook (inline strings, no external libs):
+    # sku | qty rows (a1,3), (b2,9)
+    import zipfile
+
+    p = tmp_path / "inv.xlsx"
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>sku</t></is></c><c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>
+  <row r="2"><c r="A2" t="inlineStr"><is><t>a1</t></is></c><c r="B2"><v>3</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>b2</t></is></c><c r="B3"><v>9</v></c></row>
+ </sheetData>
+</worksheet>"""
+    workbook = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheets><sheet name="Sheet1" sheetId="1"/></sheets>
+</workbook>"""
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    code, out = _call(port, "POST",
+                      "/api/v3/home/@home/upload_start/inv"
+                      "?extension=xlsx", raw_body=p.read_bytes())
+    assert code == 200, out
+    assert out["fileFormat"]["type"] == "Excel"
+    code, prev = _call(port, "POST",
+                       "/api/v3/home/@home/file_preview_unsaved/inv")
+    assert code == 200, prev
+    assert [c["name"] for c in prev["columns"]] == ["sku", "qty"]
+    code, fin = _call(port, "POST",
+                      "/api/v3/home/@home/upload_finish/inv")
+    assert code == 200, fin
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select sum(qty) as s "
+                                   "from home.inv"})
+    assert code == 200 and out["rows"][0]["s"] == 12
+    _call(port, "DELETE", "/api/v3/home/@home/file/inv")
+
+
+def test_resource_tree(rest):
+    eng, port = rest
+    eng.create_space("marketing")
+    eng.create_folder("marketing", "q1")
+    eng.create_vds("marketing", "q1.top_regions",
+                   "select r_regionkey from region")
+    # root: spaces + sources
+    code, tree = _call(port, "GET", "/api/v3/resourcetree")
+    assert code == 200
+    names = {(r["name"], r["type"]) for r in tree["resources"]}
+    assert ("marketing", "SPACE") in names
+    # space children: folder level only
+    code, tree = _call(port, "GET", "/api/v3/resourcetree/marketing")
+    assert code == 200
+    assert {"name": "q1", "type": "FOLDER",
+            "fullPath": ["marketing", "q1"]} in tree["resources"]
+    # folder children: the VDS
+    code, tree = _call(port, "GET",
+                       "/api/v3/resourcetree/marketing.q1")
+    assert code == 200
+    assert tree["resources"] == [
+        {"name": "top_regions", "type": "VIRTUAL_DATASET",
+         "fullPath": ["marketing", "q1", "top_regions"]}]
+    # expand walks root → folder → dataset in one response
+    code, tree = _call(port, "GET",
+                       "/api/v3/resourcetree/marketing.q1/expand")
+    assert code == 200
+    types = {r["type"] for r in tree["resources"]}
+    assert {"SPACE", "FOLDER", "VIRTUAL_DATASET"} <= types
+    # unknown container → 404
+    code, _ = _call(port, "GET", "/api/v3/resourcetree/nope")
+    assert code == 404
+
+
+def test_jobs_filters_and_download(rest):
+    eng, port = rest
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select r_regionkey, r_name "
+                                   "from region order by r_regionkey"})
+    assert code == 200
+    jid = out["id"]
+    # download as CSV attachment
+    code, body = _call(port, "GET",
+                       f"/api/v3/job/{jid}/download?format=csv",
+                       raw=True)
+    assert code == 200
+    lines = body.decode().splitlines()
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 6 and lines[1].startswith("0,")
+    # download as JSON lines
+    code, body = _call(port, "GET",
+                       f"/api/v3/job/{jid}/download?format=json",
+                       raw=True)
+    assert code == 200
+    first = _json.loads(body.decode().splitlines()[0])
+    assert first == {"r_regionkey": 0, "r_name": "AFRICA"}
+    # filter payloads
+    code, out = _call(port, "GET", "/api/v3/jobs/filters/spaces")
+    assert code == 200
+    assert any(i["id"] == "marketing" for i in out["items"])
+    code, out = _call(port, "GET",
+                      "/api/v3/jobs/filters/users?filter=ali")
+    assert code == 200
+    assert any(i["id"] == "alice" for i in out["items"])
+    code, _ = _call(port, "GET", "/api/v3/jobs/filters/nope")
+    assert code == 404
+
+
+def test_login_logout_and_temp_tokens(spark):
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.create_user("bob")
+    server, _t = serve_rest_background(eng, token="static-secret")
+    port = server.server_address[1]
+    try:
+        # no auth → 401
+        code, _ = _call(port, "GET", "/api/v3/catalog")
+        assert code == 401
+        # login must not require auth; bad user / empty password → 401
+        code, _ = _call(port, "POST", "/api/v3/login",
+                        body={"userName": "mallory",
+                              "password": "pw"})
+        assert code == 401
+        code, _ = _call(port, "POST", "/api/v3/login",
+                        body={"userName": "bob", "password": ""})
+        assert code == 401
+        code, out = _call(port, "POST", "/api/v3/login",
+                          body={"userName": "bob", "password": "pw"})
+        assert code == 200 and out["token"], out
+        session = out["token"]
+        # the session token authenticates REST
+        code, _ = _call(port, "GET", "/api/v3/catalog",
+                        token=session)
+        assert code == 200
+        code, out = _call(port, "GET", "/api/v3/login", token=session)
+        assert code == 200 and out["authorized"]
+        # temp token: scoped to ONE path
+        code, out = _call(port, "POST",
+                          "/api/v3/temp-token"
+                          "?request=/api/v3/sql/functions"
+                          "&durationSeconds=60", token=session)
+        assert code == 200
+        temp = out["token"]
+        code, _ = _call(port, "GET", "/api/v3/sql/functions",
+                        token=temp)
+        assert code == 200
+        code, _ = _call(port, "GET", "/api/v3/reflection", token=temp)
+        assert code == 401  # off-scope path refused
+        # temp token in the query string (download-link style)
+        code, _ = _call(port, "GET",
+                        f"/api/v3/sql/functions?token={temp}")
+        assert code == 200
+        # logout invalidates the session
+        code, _ = _call(port, "DELETE", "/api/v3/login",
+                        token=session)
+        assert code == 200
+        code, _ = _call(port, "GET", "/api/v3/catalog", token=session)
+        assert code == 401
+        # the static token still works (ops bypass)
+        code, _ = _call(port, "GET", "/api/v3/catalog",
+                        token="static-secret")
+        assert code == 200
+        # expired temp token refused
+        tm = server.RequestHandlerClass.tokens
+        tok = tm.mint_temp("/api/v3/sql/functions", 1)
+        tm._temp[tok]["expires"] = time.time() - 1
+        code, _ = _call(port, "GET", "/api/v3/sql/functions",
+                        token=tok)
+        assert code == 401
+    finally:
+        server.shutdown()
+
+
+def test_session_token_authenticates_flight(spark):
+    import pyarrow.flight as fl
+
+    from dremio_oss_spark.server.dac_rest import TokenManager
+    from dremio_oss_spark.server.flight import (
+        flight_query,
+        serve_background,
+    )
+
+    eng = Engine(spark)
+    tm = TokenManager()
+    server, _t = serve_background(eng, token="flight-secret",
+                                  tokens=tm)
+    try:
+        session = tm.login("carol")["token"]
+        table = flight_query(server.port, "select 1 as one",
+                             token=session)
+        assert table.column("one").to_pylist() == [1]
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            flight_query(server.port, "select 1", token="forged")
+        # the static token keeps working alongside sessions
+        assert flight_query(server.port, "select 2 as two",
+                            token="flight-secret") \
+            .column("two").to_pylist() == [2]
+    finally:
+        server.shutdown()

@@ -1,0 +1,363 @@
+"""Dataset explore/transform service tests — the visual-curation chain
+(new_untitled → transforms → preview → save) value-checked against
+hand-written DuckDB SQL (DatasetVersionResource.java / Transformer.java
+/ SQLGenerator.java behaviors)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dremio_oss_spark.engine import (
+    ConcurrentModificationError,
+    Engine,
+)
+from dremio_oss_spark.explore import (
+    ExploreError,
+    ExploreService,
+    StateMutator,
+    VersionNotFoundError,
+    expr_sql,
+    generate_sql,
+)
+from tests.conftest import SF_SMALL
+from tests.oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def svc(spark):
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    return ExploreService(eng)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb_conn(SF_SMALL)
+    yield con
+    con.close()
+
+
+def test_new_untitled_preview_matches_parent(svc, oracle):
+    entry = svc.new_untitled_from_table("region", "v0")
+    assert entry["sql"].startswith("SELECT r_regionkey")
+    out = svc.preview("tmp.UNTITLED", "v0", limit=100)
+    assert out["data"]["returnedRowCount"] == 5
+    assert [c["name"] for c in out["data"]["columns"]][:2] == [
+        "r_regionkey", "r_name"]
+    assert out["history"]["items"][0]["transformDescription"] == "Created"
+
+
+def test_transform_chain_matches_oracle(svc, oracle):
+    """Chain 4 transforms over orders; every intermediate preview and
+    the final result value-match the equivalent hand-written SQL (the
+    VERDICT 'done' bar for the explore surface)."""
+    svc.new_untitled_from_table("orders", "c0")
+    # 1: filter to F-status rows
+    svc.transform("tmp.UNTITLED", "c0", {
+        "type": "filter", "sourceColumnName": "o_orderstatus",
+        "filter": {"type": "Value",
+                   "value": {"values": ["F"], "dataType": "TEXT"}}},
+        "c1")
+    p = compare(svc.engine.sql(svc.get_version("tmp.UNTITLED", "c1")["sql"]),
+                oracle.execute(
+                    "SELECT * FROM orders WHERE o_orderstatus IN ('F')"
+                ).fetchdf())
+    assert not p, p
+    # 2: calculated field (nests: the expression may use any column)
+    svc.transform("tmp.UNTITLED", "c1", {
+        "type": "addCalculatedField", "newColumnName": "custmod",
+        "sourceColumnName": "o_custkey",
+        "expression": "o_custkey % 5", "dropSourceColumn": False},
+        "c2")
+    sql2 = svc.get_version("tmp.UNTITLED", "c2")["sql"]
+    assert "nested_0" in sql2  # addCalculatedField nests unconditionally
+    # 3: group by priority
+    svc.transform("tmp.UNTITLED", "c2", {
+        "type": "groupBy",
+        "columnsDimensions": [{"column": "o_orderpriority"}],
+        "columnsMeasures": [
+            {"type": "Count_Star"},
+            {"type": "Sum", "column": "custmod"},
+            {"type": "Maximum", "column": "o_totalprice"}]},
+        "c3")
+    # 4: deterministic order
+    svc.transform("tmp.UNTITLED", "c3", {
+        "type": "sort", "sortedColumnName": "o_orderpriority",
+        "order": "ASC"}, "c4")
+    final_sql = svc.get_version("tmp.UNTITLED", "c4")["sql"]
+    p = compare(
+        svc.engine.sql(final_sql),
+        oracle.execute("""
+            SELECT o_orderpriority,
+                   count(*) AS Count_Star,
+                   CAST(SUM(o_custkey % 5) AS BIGINT) AS Sum_custmod,
+                   MAX(o_totalprice) AS Maximum_o_totalprice
+            FROM orders WHERE o_orderstatus IN ('F')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """).fetchdf(),
+        ordered=True)
+    assert not p, p
+    # history walks the chain oldest-first
+    hist = svc.history("tmp.UNTITLED", "c4")
+    assert [i["datasetVersion"] for i in hist["items"]] == [
+        "c0", "c1", "c2", "c3", "c4"]
+    assert hist["items"][1]["transformDescription"] == \
+        "Filtered on o_orderstatus"
+
+
+def test_group_by_on_grouped_state_nests(svc, oracle):
+    svc.new_untitled_from_table("nation", "g0")
+    svc.transform("tmp.UNTITLED", "g0", {
+        "type": "groupBy",
+        "columnsDimensions": [{"column": "n_regionkey"}],
+        "columnsMeasures": [{"type": "Count_Star"}]}, "g1")
+    # second group-by must wrap the first in a subquery
+    svc.transform("tmp.UNTITLED", "g1", {
+        "type": "groupBy", "columnsDimensions": [],
+        "columnsMeasures": [{"type": "Sum", "column": "Count_Star"},
+                            {"type": "Maximum",
+                             "column": "n_regionkey"}]}, "g2")
+    sql = svc.get_version("tmp.UNTITLED", "g2")["sql"]
+    assert "nested_0" in sql
+    p = compare(
+        svc.engine.sql(sql),
+        oracle.execute("""
+            SELECT CAST(SUM(Count_Star) AS BIGINT) AS Sum_Count_Star,
+                   MAX(n_regionkey) AS Maximum_n_regionkey
+            FROM (SELECT n_regionkey, count(*) AS Count_Star
+                  FROM nation GROUP BY n_regionkey) nested_0
+        """).fetchdf())
+    assert not p, p
+
+
+def test_field_transforms_match_oracle(svc, oracle):
+    """convertCase / trim / extract / replace / split compile to SQL
+    whose values match DuckDB equivalents."""
+    svc.new_untitled_from_table("region", "f0")
+    # UPPER via convertCase, keep source
+    svc.transform("tmp.UNTITLED", "f0", {
+        "type": "convertCase", "columnName": "r_name",
+        "convertCase": "LOWER_CASE", "newColumnName": "lower_name",
+        "dropSourceColumn": False}, "f1")
+    # extract first 3 chars by position
+    svc.transform("tmp.UNTITLED", "f1", {
+        "type": "extract", "sourceColumnName": "r_name",
+        "newColumnName": "prefix3",
+        "rule": {"type": "position", "position": {
+            "startIndex": {"value": 0, "direction": "FROM_THE_START"},
+            "endIndex": {"value": 2, "direction": "FROM_THE_START"}}},
+        "dropSourceColumn": False}, "f2")
+    # replace pattern: AMERICA -> AM (selection replacement)
+    svc.transform("tmp.UNTITLED", "f2", {
+        "type": "field", "sourceColumnName": "r_name",
+        "newColumnName": "patched", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ReplacePattern",
+            "replace": {"rule": {"selectionType": "CONTAINS",
+                                 "selectionPattern": "ERICA"},
+                        "replaceType": "SELECTION",
+                        "replacementValue": "_X_"}}}, "f3")
+    # split on the letter E, take the first token
+    svc.transform("tmp.UNTITLED", "f3", {
+        "type": "field", "sourceColumnName": "r_name",
+        "newColumnName": "first_word", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "Split", "split": {
+                "rule": {"pattern": "E", "matchType": "exact",
+                         "ignoreCase": False},
+                "position": "FIRST"}}}, "f4")
+    sql = svc.get_version("tmp.UNTITLED", "f4")["sql"]
+    p = compare(
+        svc.engine.sql(sql).select(
+            "r_regionkey", "lower_name", "prefix3", "patched",
+            "first_word"),
+        oracle.execute("""
+            SELECT r_regionkey,
+                   LOWER(r_name) AS lower_name,
+                   SUBSTRING(r_name, 1, 3) AS prefix3,
+                   REGEXP_REPLACE(r_name, 'ERICA', '_X_') AS patched,
+                   STR_SPLIT(r_name, 'E')[1] AS first_word
+            FROM region
+        """).fetchdf())
+    assert not p, p
+
+
+def test_join_transform_matches_oracle(svc, oracle):
+    svc.new_untitled_from_table("nation", "j0")
+    svc.transform("tmp.UNTITLED", "j0", {
+        "type": "join", "joinType": "Inner",
+        "rightTableFullPathList": ["region"],
+        "joinConditionsList": [{"leftColumn": "n_regionkey",
+                                "rightColumn": "r_regionkey"}]}, "j1")
+    sql = svc.get_version("tmp.UNTITLED", "j1")["sql"]
+    assert "join_region" in sql
+    p = compare(
+        svc.engine.sql(sql).select("n_name", "r_name"),
+        oracle.execute("""
+            SELECT n_name, r_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+        """).fetchdf())
+    assert not p, p
+
+
+def test_modifying_sorted_column_nests(svc):
+    svc.new_untitled_from_table("region", "s0")
+    svc.transform("tmp.UNTITLED", "s0", {
+        "type": "sort", "sortedColumnName": "r_name",
+        "order": "DESC"}, "s1")
+    # converting the sorted column wraps the sorted query first
+    svc.transform("tmp.UNTITLED", "s1", {
+        "type": "convertCase", "columnName": "r_name",
+        "convertCase": "TITLE_CASE", "newColumnName": "r_name",
+        "dropSourceColumn": True}, "s2")
+    sql = svc.get_version("tmp.UNTITLED", "s2")["sql"]
+    assert "nested_0" in sql
+    rows = svc.engine.sql(sql).collect()
+    assert [r["r_name"] for r in rows][:2] == ["Middle East", "Europe"]
+
+
+def test_transform_peek_is_ephemeral(svc):
+    svc.new_untitled_from_table("region", "p0")
+    out = svc.transform_peek("tmp.UNTITLED", "p0", {
+        "type": "drop", "droppedColumnName": "r_name"}, limit=10)
+    assert out["data"]["returnedRowCount"] == 5
+    # peek stores nothing
+    with pytest.raises(VersionNotFoundError):
+        svc.get_version("tmp.UNTITLED", "p0-peek")
+    # preview-mode drop keeps the column marked, not removed
+    cols = [c["name"] for c in out["data"]["columns"]]
+    assert "r_name" in cols
+
+
+def test_save_as_vds_occ_and_roundtrip(svc):
+    svc.new_untitled_from_table("region", "sv0")
+    svc.transform("tmp.UNTITLED", "sv0", {
+        "type": "rename", "oldColumnName": "r_name",
+        "newColumnName": "region_name"}, "sv1")
+    out = svc.save("tmp.UNTITLED", "sv1", "curated.regions_renamed")
+    tag = out["dataset"]["savedTag"]
+    assert tag
+    # the saved VDS answers SQL through the engine
+    rows = svc.engine.sql(
+        "select region_name from curated.regions_renamed "
+        "order by region_name").collect()
+    assert rows[0]["region_name"] == "AFRICA"
+    # regenerated SQL round-trips: stored VDS text == generated text
+    assert svc.engine.spaces["curated"].vds["regions_renamed"] == \
+        svc.get_version("tmp.UNTITLED", "sv1")["sql"]
+    # stale/missing tag clobbers are refused (OCC)
+    with pytest.raises(ConcurrentModificationError):
+        svc.save("tmp.UNTITLED", "sv1", "curated.regions_renamed")
+    # correct tag overwrites
+    out2 = svc.save("tmp.UNTITLED", "sv1", "curated.regions_renamed",
+                    saved_tag=tag)
+    assert out2["dataset"]["savedTag"] != tag
+
+
+def test_new_untitled_sql_and_update_sql(svc, oracle):
+    svc.new_untitled_sql(
+        "SELECT n_regionkey, count(*) AS cnt FROM nation "
+        "GROUP BY n_regionkey", "q0")
+    entry = svc.get_version("tmp.UNTITLED", "q0")
+    assert "nested_0" not in entry["sql"] or "FROM (" in entry["sql"]
+    p = compare(
+        svc.engine.sql(entry["sql"]),
+        oracle.execute(
+            "SELECT n_regionkey, count(*) AS cnt FROM nation "
+            "GROUP BY n_regionkey").fetchdf())
+    assert not p, p
+    # updateSQL replaces the whole state
+    svc.transform("tmp.UNTITLED", "q0", {
+        "type": "updateSQL",
+        "sql": "SELECT r_name FROM region"}, "q1")
+    assert svc.get_version(
+        "tmp.UNTITLED", "q1")["sqlFields"] == [
+        {"name": "r_name", "type": "TEXT"}]
+
+
+def test_recommendation_cards(svc):
+    svc.new_untitled_from_table("customer", "r0")
+    sel = {"colName": "c_name", "cellText": "Customer#000000001",
+           "offset": 9, "length": 9}
+    cards = svc.cards("tmp.UNTITLED", "r0", "c_name", "extract", sel)
+    assert cards, "extract recommender returned no cards"
+    # the position card matches every sampled customer name
+    pos = cards[0]
+    assert pos["rule"]["type"] == "position"
+    assert pos["matchedCount"] > 0 and pos["unmatchedCount"] == 0
+    assert pos["examples"] and pos["examples"][0]["position"]
+    # replace cards: CONTAINS on the selection
+    rcards = svc.cards("tmp.UNTITLED", "r0", "c_name", "replace", sel)
+    assert any(c["rule"]["selectionType"] == "CONTAINS"
+               for c in rcards)
+    contains = next(c for c in rcards
+                    if c["rule"]["selectionType"] == "CONTAINS")
+    assert contains["matchedCount"] >= 1
+    # split cards on the # separator inside customer names
+    sel2 = {"colName": "c_name", "cellText": "Customer#000000001",
+            "offset": 8, "length": 1}
+    scards = svc.cards("tmp.UNTITLED", "r0", "c_name", "split", sel2)
+    assert scards and scards[0]["matchedCount"] > 0
+    assert scards[0]["unmatchedCount"] == 0  # every name has a '#'
+    # the recommended extract rule, applied as a transform, yields the
+    # selected fragment
+    svc.transform("tmp.UNTITLED", "r0", {
+        "type": "extract", "sourceColumnName": "c_name",
+        "newColumnName": "cust_id", "rule": pos["rule"],
+        "dropSourceColumn": False}, "r1")
+    row = svc.engine.sql(
+        svc.get_version("tmp.UNTITLED", "r1")["sql"]).select(
+        "c_name", "cust_id").first()
+    assert row["cust_id"] == row["c_name"][9:18]
+
+
+def test_errors_are_client_errors(svc):
+    svc.new_untitled_from_table("region", "e0")
+    with pytest.raises(ExploreError, match="Invalid col name"):
+        svc.transform("tmp.UNTITLED", "e0", {
+            "type": "drop", "droppedColumnName": "nope"}, "e1")
+    with pytest.raises(ExploreError, match="bound"):
+        svc.transform("tmp.UNTITLED", "e0", {
+            "type": "filter", "sourceColumnName": "r_name",
+            "filter": {"type": "Range", "range": {
+                "dataType": "TEXT"}}}, "e1")
+    with pytest.raises(VersionNotFoundError):
+        svc.preview("tmp.UNTITLED", "missing-version")
+    with pytest.raises(ExploreError, match="already exists"):
+        StateMutator({"columns": [
+            {"name": "a", "value": {"type": "ColumnReference",
+                                    "col": {"name": "a"}}}],
+            "from": {"type": "Table",
+                     "table": {"datasetPath": "t"}}}).apply(
+            "a", "a", {"type": "ColumnReference",
+                       "col": {"name": "a"}}, drop_source=False)
+
+
+def test_expression_sql_shapes():
+    """Unit coverage of generator corners: quoting, measures, filters."""
+    assert expr_sql({"type": "Measure",
+                     "measure": {"measureType": "Count_Star"}}) == \
+        "COUNT(*)"
+    assert expr_sql(
+        {"type": "Measure",
+         "measure": {"measureType": "Count_Distinct",
+                     "operand": {"type": "ColumnReference",
+                                 "col": {"name": "x"}}}}) == \
+        "COUNT(DISTINCT x)"
+    # reserved word and odd chars quote
+    assert expr_sql({"type": "ColumnReference",
+                     "col": {"name": "select"}}) == "`select`"
+    assert expr_sql({"type": "ColumnReference",
+                     "col": {"name": "a b", "table": "t"}}) == \
+        "t.`a b`"
+    state = {"columns": [{"name": "n", "value": {
+        "type": "ColumnReference", "col": {"name": "n"}}}],
+        "from": {"type": "Table", "table": {"datasetPath": "t"}},
+        "filters": [{"operand": {"type": "ColumnReference",
+                                 "col": {"name": "n"}},
+                     "filterDef": {"type": "Range", "range": {
+                         "lowerBound": "3", "dataType": "INTEGER",
+                         "lowerBoundInclusive": False}},
+                     "keepNull": True, "exclude": True}]}
+    sql = generate_sql(state)
+    assert "NOT ((n > 3 OR n IS NULL))" in sql
