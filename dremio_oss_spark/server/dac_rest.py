@@ -466,6 +466,20 @@ def _tree_children(h, root_path: str,
         return [{"name": t, "type": "PHYSICAL_DATASET",
                  "fullPath": [root, t]}
                 for t in eng.list_dir_source_tables(root)]
+    if root in getattr(eng, "_versioned_sources", {}):
+        if not show_datasets:
+            return []
+        from ..sources import dataplane
+
+        out = []
+        for key, content in sorted(dataplane.state_at(
+                eng._versioned_sources[root], "main").items()):
+            kind = ("PHYSICAL_DATASET"
+                    if content["type"] == "ICEBERG_TABLE"
+                    else "VIRTUAL_DATASET")
+            out.append({"name": key, "type": kind,
+                        "fullPath": [root, key]})
+        return out
     raise FileNotFoundError(f"no container {root_path}")
 
 
@@ -608,6 +622,194 @@ def handle_job_download(h) -> bool:
 
 
 # --------------------------------------------------------------------------
+# admin/ops: backup + restore, export-profiles, kvstore report, system
+# (BackupResource.java:64, ExportProfilesResource.java:48,
+# KVStoreReportResource.java:61, SystemResource.java:66-114)
+# --------------------------------------------------------------------------
+
+def _backup_payload(h) -> dict:
+    """Catalog-store snapshot (the reference backs up its KV store;
+    here that is the semantic layer + principals + server stores —
+    reflection MATERIALIZATIONS stay on disk and are rebuilt by
+    refresh, exactly like the reference's backup, which excludes
+    acceleration data by default)."""
+    eng = h.engine
+    return {
+        "version": 1,
+        "spaces": {name: {"folders": sorted(sp.folders),
+                          "vds": dict(sp.vds)}
+                   for name, sp in eng.spaces.items()},
+        "dirSources": dict(eng._sources),
+        "versionedSources": dict(getattr(eng, "_versioned_sources",
+                                         {})),
+        "users": {n: dict(u) for n, u in eng._users.items()},
+        "roleDefs": sorted(eng._role_defs),
+        "membership": {m: sorted(rs)
+                       for m, rs in eng._roles.items() if rs},
+        "acl": {obj: {priv: sorted(gs)
+                      for priv, gs in privs.items()}
+                for obj, privs in eng._acl.items()},
+        "scripts": dict(h.scripts or {}),
+        "collab": dict(h.collab or {}),
+    }
+
+
+def _restore_payload(h, data: dict) -> dict:
+    eng = h.engine
+    counts = {"spaces": 0, "vds": 0, "sources": 0, "users": 0,
+              "roles": 0, "scripts": 0}
+    for name, root in (data.get("dirSources") or {}).items():
+        if name not in eng._sources:
+            eng.create_dir_source(name, root)
+            counts["sources"] += 1
+    for name, root in (data.get("versionedSources") or {}).items():
+        if name not in getattr(eng, "_versioned_sources", {}):
+            eng.create_versioned_source(name, root)
+            counts["sources"] += 1
+    for name, sp in (data.get("spaces") or {}).items():
+        eng.create_space(name)
+        counts["spaces"] += 1
+        for f in sp.get("folders", []):
+            eng.create_folder(name, f)
+        for vname, sql in sp.get("vds", {}).items():
+            eng.create_vds(name, vname, sql)
+            counts["vds"] += 1
+    for name, u in (data.get("users") or {}).items():
+        if name not in eng._users:
+            eng._users[name] = dict(u)
+            eng._roles.setdefault(name, set())
+            counts["users"] += 1
+    for r in data.get("roleDefs") or []:
+        eng._role_defs.add(r)
+        eng._roles.setdefault(r, set())
+        counts["roles"] += 1
+    for m, rs in (data.get("membership") or {}).items():
+        eng._roles.setdefault(m, set()).update(rs)
+    for obj, privs in (data.get("acl") or {}).items():
+        slot = eng._acl.setdefault(obj, {})
+        for priv, gs in privs.items():
+            slot.setdefault(priv, set()).update(gs)
+    if h.scripts is not None:
+        for sid, sc in (data.get("scripts") or {}).items():
+            h.scripts.setdefault(sid, sc)
+            counts["scripts"] += 1
+    if h.collab is not None:
+        for eid, c in (data.get("collab") or {}).items():
+            h.collab.setdefault(eid, c)
+    return counts
+
+
+def handle_admin(h, method: str) -> bool:
+    import os
+
+    p = urlparse(h.path).path.rstrip("/")
+    if p == "/api/v3/backup" and method == "POST":
+        try:
+            req = h._read_json()
+            backup_dir = req.get("backupDir") or req.get("path")
+            if not backup_dir:
+                raise ValueError("backupDir required")
+            os.makedirs(backup_dir, exist_ok=True)
+            with _engine_lock():
+                payload = _backup_payload(h)
+            out = os.path.join(backup_dir, "catalog_backup.json")
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=1, default=str)
+            h._send(200, {"backupPath": out,
+                          "tables": len(payload["spaces"]),
+                          "files": 1})
+        except Exception as e:  # noqa: BLE001
+            _send_error(h, e)
+        return True
+    if p == "/api/v3/backup/restore" and method == "POST":
+        try:
+            req = h._read_json()
+            backup_dir = req.get("backupDir") or req.get("path")
+            src = os.path.join(backup_dir, "catalog_backup.json")
+            with open(src) as f:
+                data = json.load(f)
+            with _engine_lock():
+                counts = _restore_payload(h, data)
+            h._send(200, {"restored": counts})
+        except Exception as e:  # noqa: BLE001
+            _send_error(h, e)
+        return True
+    if p == "/api/v3/export-profiles" and method == "POST":
+        try:
+            req = h._read_json()
+            out_dir = req.get("outputFilePath") or req.get("path")
+            if not out_dir:
+                raise ValueError("outputFilePath required")
+            os.makedirs(out_dir, exist_ok=True)
+            tel = getattr(h.engine, "job_telemetry", None)
+            jobs = (tel.listing(limit=100000).get("jobs", [])
+                    if tel is not None else [])
+            exported = skipped = 0
+            for j in jobs:
+                jid = j.get("id") or j.get("jobId")
+                prof = tel.profile(jid) if jid else None
+                if prof is None:
+                    skipped += 1
+                    continue
+                with open(os.path.join(out_dir,
+                                       f"profile_{jid}.json"),
+                          "w") as f:
+                    json.dump(prof, f, default=str)
+                exported += 1
+            h._send(200, {"profilesExported": exported,
+                          "profilesSkipped": skipped,
+                          "outputPath": out_dir})
+        except Exception as e:  # noqa: BLE001
+            _send_error(h, e)
+        return True
+    if p == "/api/v3/kvstore/report" and method == "GET":
+        want = parse_qs(urlparse(h.path).query).get("store", [])
+        eng = h.engine
+        tel = getattr(eng, "job_telemetry", None)
+        stores = {
+            "spaces": len(eng.spaces),
+            "vds": sum(len(sp.vds) for sp in eng.spaces.values()),
+            "sources": len(eng._sources)
+            + len(getattr(eng, "_versioned_sources", {})),
+            "users": len(eng._users),
+            "roles": len(eng._role_defs),
+            "scripts": len(h.scripts or {}),
+            "collab": len(h.collab or {}),
+            "jobs": len(h.jobs._jobs) if h.jobs else 0,
+            "profiles": (len(tel.listing(
+                limit=100000).get("jobs", []))
+                if tel is not None else 0),
+            "datasetVersions": len(h.explore._versions)
+            if h.explore is not None else 0,
+        }
+        if want:
+            stores = {k: v for k, v in stores.items() if k in want}
+        h._send(200, {"stores": [
+            {"name": k, "records": v}
+            for k, v in sorted(stores.items())]})
+        return True
+    if p == "/api/v3/system/nodes" and method == "GET":
+        with _engine_lock():
+            rows = h.engine.sys_nodes().collect()
+        h._send(200, [{"name": r["host"], "host": r["host"],
+                       "port": r["port"],
+                       "status": "green",
+                       "runningTasks": r["n_running_tasks"]}
+                      for r in rows])
+        return True
+    if p == "/api/v3/system/cluster-resource-info" and method == "GET":
+        sc = h.engine.spark.sparkContext
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+        n = max(len(infos), 1)
+        h._send(200, {"executorCount": len(infos),
+                      "averageExecutorCores":
+                          sc.defaultParallelism // n,
+                      "clusterType": "local"})
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # dispatcher
 # --------------------------------------------------------------------------
 
@@ -615,6 +817,8 @@ def handle(h, method: str) -> bool:
     """Route one request; returns True when handled.  Called by the
     rest-server handler after auth."""
     if handle_auth(h, method):
+        return True
+    if handle_admin(h, method):
         return True
     if method == "GET":
         return (handle_version_get(h) or handle_resourcetree(h)

@@ -382,3 +382,87 @@ def test_session_token_authenticates_flight(spark):
             .column("two").to_pylist() == [2]
     finally:
         server.shutdown()
+
+
+def test_admin_backup_restore_kvstore_system(rest, tmp_path):
+    """Backup/restore + kvstore report + system nodes
+    (BackupResource.java:64, KVStoreReportResource.java:61,
+    SystemResource.java:111)."""
+    eng, port = rest
+    eng.create_space("bkspace")
+    eng.create_vds("bkspace", "five",
+                   "select r_regionkey from region")
+    eng.create_user("backup_user")
+    bdir = str(tmp_path / "bk")
+    code, out = _call(port, "POST", "/api/v3/backup",
+                      body={"backupDir": bdir})
+    assert code == 200 and out["backupPath"].endswith(".json"), out
+    with open(out["backupPath"]) as f:
+        snap = _json.load(f)
+    assert "bkspace" in snap["spaces"]
+    assert snap["spaces"]["bkspace"]["vds"]["five"].startswith(
+        "select")
+    assert "backup_user" in snap["users"]
+    # wipe, then restore into the same engine
+    eng.drop_vds("bkspace", "five")
+    eng.spaces.pop("bkspace")
+    eng._drop_principal("backup_user")
+    code, out = _call(port, "POST", "/api/v3/backup/restore",
+                      body={"backupDir": bdir})
+    assert code == 200 and out["restored"]["vds"] >= 1, out
+    assert eng.get_user("backup_user") is not None
+    rows = eng.sql("select count(*) as n from bkspace.five").collect()
+    assert rows[0]["n"] == 5
+    # kvstore report lists per-store record counts
+    code, rep = _call(port, "GET", "/api/v3/kvstore/report")
+    assert code == 200
+    stores = {s["name"]: s["records"] for s in rep["stores"]}
+    assert stores["spaces"] >= 1 and stores["users"] >= 1
+    code, rep = _call(port, "GET",
+                      "/api/v3/kvstore/report?store=users")
+    assert [s["name"] for s in rep["stores"]] == ["users"]
+    # system info
+    code, nodes = _call(port, "GET", "/api/v3/system/nodes")
+    assert code == 200 and isinstance(nodes, list)
+    code, info = _call(port, "GET",
+                       "/api/v3/system/cluster-resource-info")
+    assert code == 200 and "executorCount" in info
+
+
+def test_admin_export_profiles(rest, tmp_path):
+    eng, port = rest
+    # run one profiled statement so telemetry has something to export
+    df, jid = eng.profiled_sql("select count(*) as n from nation")
+    df.collect()
+    eng.finish_job(jid, df)
+    out_dir = str(tmp_path / "profiles")
+    code, out = _call(port, "POST", "/api/v3/export-profiles",
+                      body={"outputFilePath": out_dir})
+    assert code == 200, out
+    assert out["profilesExported"] >= 1
+    import os
+
+    files = os.listdir(out_dir)
+    assert files and all(f.startswith("profile_") for f in files)
+    prof = _json.loads(
+        open(os.path.join(out_dir, files[0])).read())
+    assert prof  # plan/metrics document
+
+
+def test_resource_tree_versioned_source(rest, tmp_path):
+    """SOURCE node expansion for a versioned (dataplane) source lists
+    its main-branch tables (ResourceTreeResource source children)."""
+    eng, port = rest
+    eng.create_versioned_source("dpsrc_tree", str(tmp_path / "dp"))
+    eng.sql("CREATE TABLE dpsrc_tree.regx AS "
+            "select r_regionkey from region")
+    code, tree = _call(port, "GET", "/api/v3/resourcetree")
+    assert code == 200
+    assert any(r["name"] == "dpsrc_tree"
+               and r.get("sourceType") == "NESSIE"
+               for r in tree["resources"])
+    code, tree = _call(port, "GET", "/api/v3/resourcetree/dpsrc_tree")
+    assert code == 200
+    assert tree["resources"] == [
+        {"name": "regx", "type": "PHYSICAL_DATASET",
+         "fullPath": ["dpsrc_tree", "regx"]}]
