@@ -279,13 +279,25 @@ class Engine:
     # the admin-tooling surface over the same stores GRANT/REVOKE uses)
     _USER_ATTRS = ("firstName", "lastName", "email", "active")
 
+    @staticmethod
+    def _pw_hash(name: str, password: str) -> str:
+        import hashlib
+
+        # name-salted so equal passwords don't share hashes
+        return hashlib.sha256(
+            f"{name}\x00{password}".encode()).hexdigest()
+
     def create_user(self, name: str, **attrs) -> dict:
         if name in self._users:
             raise ValueError(f"user {name!r} already exists")
+        password = attrs.pop("password", None)
         self._users[name] = {
             "name": name,
             **{k: attrs[k] for k in self._USER_ATTRS if k in attrs},
             "tag": "0"}
+        if password:
+            self._users[name]["_pw_hash"] = self._pw_hash(name,
+                                                          password)
         self._roles.setdefault(name, set())
         return self.get_user(name)
 
@@ -293,8 +305,27 @@ class Engine:
         u = self._users.get(name)
         if u is None:
             return None
-        return {"id": name, **u,
+        # underscore keys are server internals (password hash) and
+        # must never serialize out of the profile store
+        return {"id": name,
+                **{k: v for k, v in u.items()
+                   if not k.startswith("_")},
                 "roles": sorted(self._roles.get(name, ()))}
+
+    def check_password(self, name: str, password: str) -> bool:
+        """True only for a user with a STORED credential that matches.
+        A user without one can never log in — password-less login
+        would turn any known username into a bearer-gate bypass."""
+        u = self._users.get(name)
+        if u is None or not password:
+            return False
+        want = u.get("_pw_hash")
+        if want is None:
+            return False
+        import hmac
+
+        return hmac.compare_digest(want,
+                                   self._pw_hash(name, password))
 
     def update_user(self, name: str, **attrs) -> dict:
         u = self._users.get(name)
@@ -4367,23 +4398,34 @@ class Engine:
         self._sources[name] = path
 
     @staticmethod
-    def _has_parquet_shallow(root: str, depth: int = 2) -> bool:
-        """Bounded parquet-content probe: scandir at most `depth` levels
-        (top-level files + one partition level, e.g. `tbl/p=1/x.parquet`)
-        — a deep parquet-free subtree must not make source-browse walk
-        it entirely (listing stays O(top-level entries))."""
-        try:
-            with os.scandir(root) as it:
-                subdirs = []
-                for e in it:
-                    if e.is_file() and e.name.endswith(".parquet"):
-                        return True
-                    if depth > 1 and e.is_dir():
-                        subdirs.append(e.path)
-            return any(Engine._has_parquet_shallow(d, depth - 1)
-                       for d in subdirs)
-        except OSError:
-            return False
+    def _has_parquet_shallow(root: str, budget: int = 512) -> bool:
+        """Bounded OPENABLE-parquet probe: depth-first scandir that
+        only descends through hive-style `key=value` partition dirs,
+        with a global dirent budget and first-.parquet early exit.
+        Spark's parquet reader opens exactly that shape (flat files or
+        partition dirs at any depth) — parquet buried under arbitrary
+        non-partition nesting is unreadable via `spark.read.parquet
+        (root)`, so advertising such a folder would list an
+        unqueryable table.  The budget bounds pathological wide
+        parquet-free trees: listing stays O(budget) per candidate, not
+        O(subtree)."""
+        stack = [root]
+        while stack and budget > 0:
+            d = stack.pop()
+            try:
+                with os.scandir(d) as it:
+                    for e in it:
+                        budget -= 1
+                        if budget < 0:
+                            return False
+                        if (e.is_file()
+                                and e.name.endswith(".parquet")):
+                            return True
+                        if e.is_dir() and "=" in e.name:
+                            stack.append(e.path)
+            except OSError:
+                pass
+        return False
 
     def list_dir_source_tables(self, name: str) -> list[str]:
         """Dataset names visible under a dir source — only names the

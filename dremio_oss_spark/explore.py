@@ -190,6 +190,8 @@ def _pattern_cond_sql(rule: dict, operand: str) -> str:
         return f"{operand} IS NULL"
     pat = rule.get("selectionPattern", "")
     if sel == "MATCHES":
+        if rule.get("ignoreCase"):
+            pat = "(?i)" + pat
         return f"REGEXP_LIKE({operand}, {_regex_literal(pat)})"
     subject = operand
     if rule.get("ignoreCase"):
@@ -773,8 +775,12 @@ class Transformer:
         if ft["type"] == "ConvertToTypeIfPossible":
             c = ft["convertToTypeIfPossible"]
             if c.get("actionForNonMatchingValue") == "DELETE_RECORDS":
+                # the filter must see the CAST RESULT, not the raw
+                # base column a same-SELECT WHERE would resolve to —
+                # nest first so the new column is a subquery output
+                m.nest()
                 m.add_filter({
-                    "operand": col_ref(new if drop else old),
+                    "operand": m.find_col_value(new),
                     "filterDef": {"type": "Custom", "custom": {
                         "expression":
                             f"{quote_ident(new)} IS NOT NULL"}}})
@@ -855,8 +861,11 @@ class Transformer:
                                "right-side schema")
         right_cols = [f.name for f in
                       self.engine.table(right_path).schema.fields]
-        edge = len(m._columns())
         for jc in conds:
+            if jc["rightColumn"] not in right_cols:
+                raise ExploreError(
+                    f"join condition column {jc['rightColumn']!r} is "
+                    f"not an (unused) column of {right_path}")
             right_cols.remove(jc["rightColumn"])
             right_col = m.unique_column_name(jc["rightColumn"])
             # move the left key to the edge, right key beside it
@@ -1112,6 +1121,11 @@ class ExploreService:
                   new_version: str, preview: bool = False) -> dict:
         """transformAndPreview (DatasetVersionResource:459): apply,
         store the new version with previousVersion back-link."""
+        if new_version == version:
+            # a self-referential back-link would make every chain
+            # walker (history, reapply) see a cycle
+            raise ExploreError(
+                "newVersion must differ from the current version")
         base = self.get_version(path, version)
         new_state = self.transformer.apply(base["state"], transform,
                                            preview=preview)
@@ -1305,7 +1319,10 @@ class ExploreService:
                 if sel == "EXACT":
                     return subject == p
                 if sel == "MATCHES":
-                    return re.search(pat, s) is not None
+                    return re.search(
+                        pat, s,
+                        re.I if rule.get("ignoreCase") else 0
+                    ) is not None
                 return False
             return match
         # split
@@ -1349,6 +1366,142 @@ class ExploreService:
                "split": recommend_split}[kind]
         return [self.card(path, version, col, kind, r)
                 for r in rec(selection)]
+
+    # -- clean data card (DatasetVersionResource.getCleanDataCard :1240) ----
+    @staticmethod
+    def _value_type(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "INTEGER"
+        if isinstance(v, float):
+            return "FLOAT"
+        s = str(v).strip()
+        try:
+            int(s)
+            return "INTEGER"
+        except ValueError:
+            pass
+        try:
+            float(s)
+            return "FLOAT"
+        except ValueError:
+            return "TEXT"
+
+    def clean_card(self, path: str, version: str, col: str) -> dict:
+        """Type histogram + convert-to-single-type panes over the
+        preview sample (the reference runs HistogramGenerator preview
+        jobs; the sample is ≤500 cells, evaluated locally)."""
+        sample = self._card_sample(path, version, col)
+        hist: dict[str, int] = {}
+        for v in sample:
+            t = self._value_type(v)
+            if t == "NULL":
+                continue
+            hist[t] = hist.get(t, 0) + 1
+        total = sum(hist.values())
+        convert_to_singles = []
+        for want in ("TEXT", "INTEGER", "FLOAT"):
+            for cast_when_possible in (True, False):
+                if want == "TEXT" or cast_when_possible:
+                    # everything text-casts; numbers inter-cast
+                    non_matching = (0 if want == "TEXT" else
+                                    hist.get("TEXT", 0))
+                else:
+                    non_matching = total - hist.get(want, 0)
+                convert_to_singles.append({
+                    "desiredType": want,
+                    "castWhenPossible": cast_when_possible,
+                    "nonMatchingCount": non_matching})
+        return {
+            "newFieldName": f"{col}_2",
+            "convertToSingles": convert_to_singles,
+            "split": [{"type": t,
+                       "matchingPercent": (hist.get(t, 0) * 100.0
+                                           / total if total else 0.0)}
+                      for t in ("TEXT", "INTEGER", "FLOAT")],
+            "availableValues": total,
+            "availableValuesCount": total}
+
+    # -- join recommendations (JoinRecommender.recommendJoins) ---------------
+    def join_recommendations(self, path: str, version: str) -> dict:
+        """Suggest equi-joins against catalog tables sharing column
+        names with the current output schema (the reference mixes FK
+        hints and past-join history; name-match is the cold-start
+        heuristic both use first).  Pure catalog-metadata work."""
+        entry = self.get_version(path, version)
+        mine = {f["name"] for f in entry.get("sqlFields", [])}
+        recs = []
+        try:
+            tables = [r["table_name"] for r in
+                      self.engine.information_schema_tables()
+                      .select("table_name").collect()]
+        except Exception:  # noqa: BLE001 — no catalog, no recs
+            tables = []
+        base = entry["state"].get("from", {})
+        base_table = (base.get("table", {}).get("datasetPath")
+                      if base.get("type") == "Table" else None)
+        for t in sorted(set(tables)):
+            if t == base_table:
+                continue
+            try:
+                cols = {f.name for f in
+                        self.engine.table(t).schema.fields}
+            except Exception:  # noqa: BLE001
+                continue
+            shared = sorted(mine & cols)
+            if shared:
+                recs.append({
+                    "joinType": "Inner",
+                    "rightTableFullPathList": t.split("."),
+                    "matchingKeys": {c: c for c in shared}})
+        return {"recommendations": recs}
+
+    # -- reapply (editOriginalSql :999 / reapplyAndSave :1029) ---------------
+    def reapply(self, path: str, version: str,
+                new_version: str) -> dict:
+        """Re-derive the head by replaying the history's transform
+        chain from the root state — the reference's editOriginalSql
+        (Transformer.editOriginalSql :143).  Proves the stored chain
+        regenerates the same SQL (the 'transforms are the source of
+        truth' contract)."""
+        chain: list[tuple[str, str]] = []
+        seen: set[tuple[str, str]] = set()
+        p, v = path, version
+        while True:
+            if (p, v) in seen:  # defensive: corrupt back-links must
+                raise ExploreError(  # not hang the server
+                    f"version chain cycle at {p}@{v}")
+            seen.add((p, v))
+            entry = self.get_version(p, v)
+            chain.append((p, v))
+            prev = entry.get("previousVersion")
+            if not prev:
+                break
+            p, v = prev["datasetPath"], prev["datasetVersion"]
+        chain.reverse()  # root first
+        root_path, root_version = chain[0]
+        cur = self.get_version(root_path, root_version)
+        state = cur["state"]
+        for (cp, cv) in chain[1:]:
+            t = self.get_version(cp, cv).get("lastTransform")
+            if t is None:
+                raise ExploreError(
+                    f"version {cv} has no recorded transform")
+            state = self.transformer.apply(state, t)
+        sql = generate_sql(state)
+        return self._put(path, new_version, {
+            "state": state, "sql": sql,
+            "name": self.get_version(path, version).get("name",
+                                                        "UNTITLED"),
+            "derivation": "DERIVED_VIRTUAL",
+            "lastTransform": self.get_version(
+                path, version).get("lastTransform"),
+            "previousVersion": {"datasetPath": path,
+                                "datasetVersion": version},
+            "sqlFields": self._fields_of(sql)})
 
 
 def _describe_rule(kind: str, rule: dict) -> str:

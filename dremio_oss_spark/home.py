@@ -66,8 +66,11 @@ class HomeService:
 
             root = tempfile.mkdtemp(prefix="dremio_home_")
         self.root = root
-        self.staging = os.path.join(root, "_staging")
-        self.uploads = os.path.join(root, "_uploads")
+        # dot-prefixed: fails the dir-source identifier regex, so the
+        # staging/keep areas can NEVER list as datasets and no legal
+        # upload name (identifiers only) can collide with them
+        self.staging = os.path.join(root, ".staging")
+        self.uploads = os.path.join(root, ".uploads")
         os.makedirs(self.staging, exist_ok=True)
         os.makedirs(self.uploads, exist_ok=True)
         self._formats: dict[str, dict] = {}
@@ -85,9 +88,8 @@ class HomeService:
 
     def _ensure_source(self) -> None:
         # register the home dir as a queryable source on first promote
-        # (a dot-containing _staging/_uploads name never lists: the
-        # dir-source lister only advertises identifier-named entries,
-        # and those two start with '_' but contain no parquet)
+        # (.staging/.uploads are dot-prefixed, so the identifier-only
+        # dir-source lister skips them even when they hold parquet)
         if not self._registered:
             self.engine.create_dir_source(self.source_name, self.root)
             self._registered = True

@@ -131,13 +131,13 @@ def handle_login_post(h) -> bool:
     try:
         req = h._read_json()
         user = req.get("userName") or req.get("username") or ""
-        if not req.get("password"):
-            h._send(401, {"errorMessage": "password required"})
-            return True
         with _engine_lock():
-            known = h.engine.get_user(user)
-        if known is None:
-            h._send(401, {"errorMessage": f"unknown user {user}"})
+            ok = h.engine.check_password(user,
+                                         req.get("password") or "")
+        if not ok:
+            # one message for unknown user / no credential / wrong
+            # password — distinguishing them enumerates usernames
+            h._send(401, {"errorMessage": "invalid credentials"})
             return True
         h._send(200, h.tokens.login(user))
     except Exception as e:  # noqa: BLE001
@@ -189,7 +189,9 @@ def handle_datasets_post(h) -> bool:
     p = urlparse(h.path).path.rstrip("/")
     if p == "/api/v3/datasets/new_untitled":
         try:
-            parent = unquote(_q(h, "parentDataset"))
+            # _q values are already parse_qs-decoded; a second
+            # unquote would double-decode literal %s in names
+            parent = _q(h, "parentDataset")
             version = _q(h, "newVersion") or uuid.uuid4().hex[:12]
             limit = int(_q(h, "limit", "50"))
             with _engine_lock():
@@ -249,6 +251,8 @@ def handle_version_get(h) -> bool:
                 out = h.explore.history(cpath, version)
             elif action == "run":
                 out = h.explore.run(cpath, version)
+            elif action == "join_recs":
+                out = h.explore.join_recommendations(cpath, version)
             else:
                 return False
         h._send(200, out)
@@ -291,11 +295,30 @@ def handle_version_post(h) -> bool:
             h._send(200, out)
             return True
         if action == "save":
-            as_path = unquote(_q(h, "as")) or cpath
+            as_path = _q(h, "as") or cpath
             saved_tag = _q(h, "savedTag") or None
             with _engine_lock():
                 out = h.explore.save(cpath, version, as_path,
                                      saved_tag=saved_tag)
+            h._send(200, out)
+            return True
+        if action == "clean":
+            req = h._read_json()
+            col = req.get("colName")
+            if not col:
+                h._send(400, {"errorMessage": "colName required"})
+                return True
+            with _engine_lock():
+                out = h.explore.clean_card(cpath, version, col)
+            h._send(200, out)
+            return True
+        if action == "editOriginalSql":
+            new_version = _q(h, "newVersion") or uuid.uuid4().hex[:12]
+            limit = int(_q(h, "limit", "50"))
+            with _engine_lock():
+                h.explore.reapply(cpath, version, new_version)
+                out = h.explore.preview(cpath, new_version,
+                                        limit=limit)
             h._send(200, out)
             return True
         if action in _CARD_KINDS:

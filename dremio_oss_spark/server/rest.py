@@ -1316,11 +1316,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_rest_background(engine, port: int = 0,
-                          token: str | None = None
+                          token: str | None = None, tokens=None
                           ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind (ephemeral port by default) and serve in a daemon thread;
     `server.server_address[1]` is the bound port, `server.shutdown()`
-    stops it."""
+    stops it.  Pass a dac_rest.TokenManager as `tokens` to share
+    login sessions with a Flight server (`flight.serve_background
+    (tokens=...)`); one is created otherwise (also reachable at
+    `server.RequestHandlerClass.tokens`)."""
     from ..explore import ExploreService
     from ..home import HomeService
     from .dac_rest import TokenManager
@@ -1330,7 +1333,7 @@ def serve_rest_background(engine, port: int = 0,
                     "scripts": {}, "collab": {},
                     "explore": ExploreService(engine),
                     "home": HomeService(engine),
-                    "tokens": TokenManager()})
+                    "tokens": tokens or TokenManager()})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -294,7 +294,8 @@ def test_login_logout_and_temp_tokens(spark):
     from dremio_oss_spark.server.rest import serve_rest_background
 
     eng = Engine(spark)
-    eng.create_user("bob")
+    eng.create_user("bob", password="pw")
+    eng.create_user("nopw")  # no stored credential -> can never log in
     server, _t = serve_rest_background(eng, token="static-secret")
     port = server.server_address[1]
     try:
@@ -309,6 +310,16 @@ def test_login_logout_and_temp_tokens(spark):
         code, _ = _call(port, "POST", "/api/v3/login",
                         body={"userName": "bob", "password": ""})
         assert code == 401
+        # wrong password and credential-less users are refused: a
+        # known username must NEVER bypass the bearer gate
+        code, _ = _call(port, "POST", "/api/v3/login",
+                        body={"userName": "bob", "password": "WRONG"})
+        assert code == 401
+        code, _ = _call(port, "POST", "/api/v3/login",
+                        body={"userName": "nopw", "password": "x"})
+        assert code == 401
+        # the profile store never leaks the credential hash
+        assert "_pw_hash" not in eng.get_user("bob")
         code, out = _call(port, "POST", "/api/v3/login",
                           body={"userName": "bob", "password": "pw"})
         assert code == 200 and out["token"], out
@@ -466,3 +477,38 @@ def test_resource_tree_versioned_source(rest, tmp_path):
     assert tree["resources"] == [
         {"name": "regx", "type": "PHYSICAL_DATASET",
          "fullPath": ["dpsrc_tree", "regx"]}]
+
+
+def test_explore_clean_joinrecs_reapply_rest(rest):
+    """clean data card, join recommendations and editOriginalSql over
+    REST (DatasetVersionResource.java:1240, :1302, :999)."""
+    eng, port = rest
+    code, out = _call(port, "POST",
+                      "/api/v3/datasets/new_untitled"
+                      "?parentDataset=nation&newVersion=n0&limit=5")
+    assert code == 200, out
+    path = ".".join(out["dataset"]["fullPath"])
+    code, card = _call(port, "POST",
+                       f"/api/v3/dataset/{path}/version/n0/clean",
+                       body={"colName": "n_name"})
+    assert code == 200, card
+    split = {s["type"]: s["matchingPercent"] for s in card["split"]}
+    assert split["TEXT"] == 100.0
+    code, recs = _call(port, "GET",
+                       f"/api/v3/dataset/{path}/version/n0/join_recs")
+    assert code == 200 and isinstance(recs["recommendations"], list)
+    # chain one transform then reapply from the root
+    code, _ = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/n0/transformAndPreview"
+        "?newVersion=n1&limit=5",
+        body={"type": "drop", "droppedColumnName": "n_name"})
+    assert code == 200
+    code, out = _call(
+        port, "POST",
+        f"/api/v3/dataset/{path}/version/n1/editOriginalSql"
+        "?newVersion=n2&limit=5")
+    assert code == 200, out
+    assert out["dataset"]["sql"] == _call(
+        port, "GET",
+        f"/api/v3/dataset/{path}/version/n1")[1]["sql"]

@@ -1487,11 +1487,14 @@ def test_dir_source_namespace_and_quoted_path_safety(spark, tmp_path):
     assert eng.list_dir_source_tables("csvsrc") == ["reg"]
 
 
-def test_dir_source_listing_probe_is_depth_bounded(spark, tmp_path):
-    """The parquet-content probe behind list_dir_source_tables scandirs
-    at most two levels: a deep parquet-free subtree is neither listed
-    nor walked past level two, while a one-level-partitioned parquet
-    folder IS listed (SCALE.md's bounded-probe contract)."""
+def test_dir_source_listing_probe_is_bounded_and_openable(
+        spark, tmp_path):
+    """The parquet-content probe behind list_dir_source_tables lists
+    exactly what `spark.read.parquet(dir)` can open — flat files or
+    hive-partitioned at ANY depth — while (a) never descending into
+    non-partition nesting (that parquet is unreadable from the root)
+    and (b) giving up on pathological parquet-free trees after a
+    fixed dirent budget (SCALE.md's bounded-probe contract)."""
     import os
 
     from dremio_oss_spark.catalog import load
@@ -1499,22 +1502,34 @@ def test_dir_source_listing_probe_is_depth_bounded(spark, tmp_path):
 
     eng = Engine(spark)
     root = str(tmp_path / "src")
-    # deep parquet-free subtree: parquet only at level 5 -> invisible
+    # parquet under NON-partition nesting: unreadable from the root,
+    # so it must not list
     deep = os.path.join(root, "deepdir", "a", "b", "c", "d")
     os.makedirs(deep)
     load(spark, SF_SMALL, "region").write.parquet(
         os.path.join(deep, "hidden"))
-    # partitioned folder: parquet one level down -> visible
+    # two-level hive partitioning: readable, must list
+    part2 = os.path.join(root, "part2_tbl")
+    load(spark, SF_SMALL, "nation").write \
+        .partitionBy("n_regionkey", "n_nationkey").parquet(part2)
+    # one-level partitioned and flat folders: readable, must list
     part = os.path.join(root, "part_tbl")
     load(spark, SF_SMALL, "region").write.partitionBy("r_regionkey") \
         .parquet(part)
-    # plain parquet folder -> visible
     load(spark, SF_SMALL, "nation").write.parquet(
         os.path.join(root, "flat_tbl"))
     eng.create_dir_source("bounded", root)
-    assert eng.list_dir_source_tables("bounded") == [
-        "flat_tbl", "part_tbl"]
-    # the probe itself never descends past its depth budget
+    listed = eng.list_dir_source_tables("bounded")
+    assert listed == ["flat_tbl", "part2_tbl", "part_tbl"]
+    # every listed entry actually opens through the resolver
+    for t in listed:
+        assert eng.sql(
+            f"select count(*) as n from bounded.{t}").first()["n"] > 0
+    # budget bound: a wide parquet-free tree stops at the dirent
+    # budget instead of being walked entirely
+    wide = str(tmp_path / "wide")
+    for i in range(40):
+        os.makedirs(os.path.join(wide, f"p={i}", f"q={i}"))
     walked = []
     real_scandir = os.scandir
 
@@ -1524,10 +1539,7 @@ def test_dir_source_listing_probe_is_depth_bounded(spark, tmp_path):
 
     try:
         os.scandir = spy
-        assert not Engine._has_parquet_shallow(
-            os.path.join(root, "deepdir"))
+        assert not Engine._has_parquet_shallow(wide, budget=20)
     finally:
         os.scandir = real_scandir
-    # deepdir + its single level-2 child: nothing deeper was opened
-    assert all(d.count(os.sep) - root.count(os.sep) <= 2
-               for d in walked)
+    assert len(walked) <= 22  # root + at most budget dir opens

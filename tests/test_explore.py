@@ -361,3 +361,129 @@ def test_expression_sql_shapes():
                      "keepNull": True, "exclude": True}]}
     sql = generate_sql(state)
     assert "NOT ((n > 3 OR n IS NULL))" in sql
+
+
+def test_reapply_regenerates_identical_sql(svc):
+    """editOriginalSql contract: replaying the stored transform chain
+    from the root state regenerates EXACTLY the head version's SQL —
+    transforms, not SQL text, are the source of truth."""
+    svc.new_untitled_from_table("nation", "ra0")
+    svc.transform("tmp.UNTITLED", "ra0", {
+        "type": "rename", "oldColumnName": "n_name",
+        "newColumnName": "nation_name"}, "ra1")
+    svc.transform("tmp.UNTITLED", "ra1", {
+        "type": "filter", "sourceColumnName": "n_regionkey",
+        "filter": {"type": "Range", "range": {
+            "lowerBound": "2", "dataType": "INTEGER"}}}, "ra2")
+    svc.transform("tmp.UNTITLED", "ra2", {
+        "type": "groupBy",
+        "columnsDimensions": [{"column": "n_regionkey"}],
+        "columnsMeasures": [{"type": "Count_Star"}]}, "ra3")
+    head_sql = svc.get_version("tmp.UNTITLED", "ra3")["sql"]
+    out = svc.reapply("tmp.UNTITLED", "ra3", "ra4")
+    assert out["sql"] == head_sql
+    rows = {r["n_regionkey"]: r["Count_Star"]
+            for r in svc.engine.sql(out["sql"]).collect()}
+    assert rows == {2: 5, 3: 5, 4: 5}
+
+
+def test_clean_card_and_join_recs(svc):
+    svc.new_untitled_from_table("nation", "cc0")
+    # numeric string column via calculated field: mixed-type probe
+    svc.transform("tmp.UNTITLED", "cc0", {
+        "type": "addCalculatedField", "newColumnName": "mixed",
+        "sourceColumnName": "n_name",
+        "expression": "CASE WHEN n_nationkey % 2 = 0 "
+                      "THEN CAST(n_nationkey AS STRING) "
+                      "ELSE n_name END",
+        "dropSourceColumn": False}, "cc1")
+    card = svc.clean_card("tmp.UNTITLED", "cc1", "mixed")
+    split = {s["type"]: s["matchingPercent"] for s in card["split"]}
+    assert 0 < split["INTEGER"] < 100
+    assert 0 < split["TEXT"] < 100
+    assert card["availableValues"] == 25
+    # convert-to-INTEGER (strict) reports the TEXT cells non-matching
+    strict = next(c for c in card["convertToSingles"]
+                  if c["desiredType"] == "INTEGER"
+                  and not c["castWhenPossible"])
+    assert strict["nonMatchingCount"] == 12  # 12 odd keys keep names
+    # join recommendations: nation shares n_regionkey-ish names?
+    # region/nation share no identical names, so derive a shared col
+    svc.transform("tmp.UNTITLED", "cc1", {
+        "type": "rename", "oldColumnName": "n_regionkey",
+        "newColumnName": "r_regionkey"}, "cc2")
+    recs = svc.join_recommendations("tmp.UNTITLED", "cc2")
+    paths = {".".join(r["rightTableFullPathList"])
+             for r in recs["recommendations"]}
+    assert "region" in paths
+    rec = next(r for r in recs["recommendations"]
+               if r["rightTableFullPathList"] == ["region"])
+    assert rec["matchingKeys"] == {"r_regionkey": "r_regionkey"}
+
+
+def test_review_findings_r12_regressions(svc):
+    """Regression pins for this round's self-review findings:
+    self-referential newVersion refused (cycle guard), reapply
+    refuses corrupted chains instead of hanging, DELETE_RECORDS
+    actually deletes (nests so the filter sees the cast result),
+    MATCHES+ignoreCase consistent, join condition validation."""
+    svc.new_untitled_from_table("nation", "rg0")
+    # newVersion == version refused (was: stored a self-cycle that
+    # hung reapply forever under the engine lock)
+    with pytest.raises(ExploreError, match="must differ"):
+        svc.transform("tmp.UNTITLED", "rg0", {
+            "type": "drop", "droppedColumnName": "n_name"}, "rg0")
+    # a manually-corrupted back-link raises instead of hanging
+    svc.transform("tmp.UNTITLED", "rg0", {
+        "type": "drop", "droppedColumnName": "n_name"}, "rg1")
+    entry = svc.get_version("tmp.UNTITLED", "rg1")
+    entry["previousVersion"] = {"datasetPath": "tmp.UNTITLED",
+                                "datasetVersion": "rg1"}
+    with pytest.raises(ExploreError, match="cycle"):
+        svc.reapply("tmp.UNTITLED", "rg1", "rg2")
+    entry["previousVersion"] = {"datasetPath": "tmp.UNTITLED",
+                                "datasetVersion": "rg0"}
+    # DELETE_RECORDS deletes rows whose cast fails (was: the WHERE
+    # resolved the raw base column in the same SELECT and kept them)
+    svc.transform("tmp.UNTITLED", "rg0", {
+        "type": "addCalculatedField", "newColumnName": "maybe_num",
+        "sourceColumnName": "n_name",
+        "expression": "CASE WHEN n_nationkey % 2 = 0 "
+                      "THEN CAST(n_nationkey AS STRING) "
+                      "ELSE n_name END",
+        "dropSourceColumn": False}, "dr1")
+    svc.transform("tmp.UNTITLED", "dr1", {
+        "type": "field", "sourceColumnName": "maybe_num",
+        "newColumnName": "as_int", "dropSourceColumn": True,
+        "fieldTransformation": {
+            "type": "ConvertToTypeIfPossible",
+            "convertToTypeIfPossible": {
+                "desiredType": "INTEGER",
+                "actionForNonMatchingValue": "DELETE_RECORDS"}}},
+        "dr2")
+    rows = svc.engine.sql(
+        svc.get_version("tmp.UNTITLED", "dr2")["sql"]).collect()
+    assert len(rows) == 13  # only the 13 even keys cast
+    assert all(r["as_int"] is not None for r in rows)
+    # MATCHES + ignoreCase: card evaluator and filter SQL agree
+    from dremio_oss_spark.explore import (
+        ExploreService as _ES,
+        _pattern_cond_sql,
+    )
+
+    rule = {"selectionType": "MATCHES",
+            "selectionPattern": "^nation_1$", "ignoreCase": True}
+    assert _ES._rule_match_fn("replace", rule)("NATION_1")
+    assert "(?i)" in _pattern_cond_sql(rule, "c")
+    row = svc.engine.sql(
+        "select count(*) as n from nation "
+        f"where {_pattern_cond_sql(rule, 'n_name')}").first()
+    assert row["n"] == 1
+    # bad join condition -> clear client error, not list.remove noise
+    with pytest.raises(ExploreError, match="join condition"):
+        svc.transform("tmp.UNTITLED", "rg0", {
+            "type": "join", "joinType": "Inner",
+            "rightTableFullPathList": ["region"],
+            "joinConditionsList": [
+                {"leftColumn": "n_regionkey",
+                 "rightColumn": "no_such_col"}]}, "rgj")
