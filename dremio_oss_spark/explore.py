@@ -337,7 +337,136 @@ def _field_transform_sql(ft: dict, operand: str) -> str:
         if dt == "DATE":
             return f"TO_DATE({operand}, '{fmt}')"
         return f"TO_TIMESTAMP({operand}, '{fmt}')"
+    if kind == "ReplaceRange":
+        # SQLGenerator.visit(FieldReplaceRange) :1136 — bounds quoted
+        # as the replacement's type; both-bounds-null degenerates to
+        # replace-everything (modulo keepNull / NULL replacement)
+        rr = ft["replaceRange"]
+        dt = rr.get("replacementType", "TEXT")
+        repl = ("NULL" if (rr.get("replaceType") == "NULL"
+                           or rr.get("replacementValue") is None)
+                else _sql_literal(rr.get("replacementValue"), dt))
+        lo, hi = rr.get("lowerBound"), rr.get("upperBound")
+        if lo is None and hi is None:
+            if repl == "NULL":
+                # projecting bare NULL loses the column type; the
+                # never-true branch keeps the operand's type
+                return f"CASE WHEN 1 = 0 THEN {operand} ELSE NULL END"
+            if rr.get("keepNull"):
+                return (f"CASE WHEN {operand} IS NOT NULL "
+                        f"THEN {repl} ELSE NULL END")
+            return repl
+        conds = []
+        if lo is not None:
+            cmp_ = "<=" if rr.get("lowerBoundInclusive") else "<"
+            conds.append(f"{_sql_literal(lo, dt)} {cmp_} {operand}")
+        if hi is not None:
+            cmp_ = ">=" if rr.get("upperBoundInclusive") else ">"
+            conds.append(f"{_sql_literal(hi, dt)} {cmp_} {operand}")
+        return (f"CASE WHEN {' AND '.join(conds)} THEN {repl} "
+                f"ELSE {operand} END")
+    if kind == "ExtractMap":
+        # ExtractMapRecommender.getFunctionExpr :75 — a JSON path over
+        # a struct/map column; bracket form works for both in Spark
+        return operand + _json_path_sql(ft["extractMap"]["rule"]["path"])
+    if kind == "ExtractList":
+        rule = ft["extractList"]["rule"]
+        if rule["type"] == "single":
+            # Dremio list indexing is 0-based bracket access; Spark's
+            # array[i] matches (ExtractListRecommender :125)
+            return f"{operand}[{int(rule['single']['index'])}]"
+        sel = rule["multiple"]["selection"]
+        return _sublist_sql(operand, sel["start"], sel["end"])
+    if kind == "ConvertNumberToDate":
+        nd = ft["numberToDate"]
+        sec = {"EPOCH": operand,
+               "EXCEL": f"(({operand}) - 25569) * 86400",
+               "JULIAN": f"(({operand}) - 2440587.5) * 86400",
+               }[nd["format"]]
+        ts = f"TIMESTAMP_SECONDS({sec})"
+        want = nd.get("desiredType", "DATETIME")
+        if want == "DATE":
+            return f"CAST({ts} AS DATE)"
+        if want == "TIME":
+            return f"DATE_FORMAT({ts}, 'HH:mm:ss')"
+        return ts
+    if kind == "ConvertDateToNumber":
+        dn = ft["dateToNumber"]
+        want = dn.get("desiredType", "INTEGER")
+        base = f"UNIX_TIMESTAMP({operand})"
+        fmt = dn["format"]
+        if fmt == "EPOCH":
+            return (f"CAST({base} AS DOUBLE)" if want == "FLOAT"
+                    else base)
+        days = {"EXCEL": "25569", "JULIAN": "2440587.5"}[fmt]
+        expr = f"{base} / 86400 + {days}"
+        if want == "INTEGER":
+            return f"CAST(CEIL({expr}) AS BIGINT)"
+        return f"({expr})"
+    if kind == "ConvertToTypeWithPatternIfPossible":
+        # SQLGenerator :1301 — date-family only: TO_<TYPE>(e, pattern,
+        # replace-with-null-flag); Spark's TRY_TO_TIMESTAMP is the
+        # flag=1 form, TO_TIMESTAMP the erroring flag=0 form
+        c = ft["toTypeWithPatternIfPossible"]
+        want, pat = c["desiredType"], c["pattern"]
+        if want not in ("DATE", "DATETIME", "TIME"):
+            raise ExploreError(
+                "only DATE, TIME and DATETIME are valid for "
+                f"pattern conversion, got {want}")
+        fn = ("TRY_TO_TIMESTAMP"
+              if c.get("actionForNonMatchingValue",
+                       "REPLACE_WITH_NULL") == "REPLACE_WITH_NULL"
+              else "TO_TIMESTAMP")
+        lit = "'" + pat.replace("'", "''") + "'"
+        ts = f"{fn}({operand}, {lit})"
+        if want == "DATE":
+            return f"CAST({ts} AS DATE)"
+        if want == "TIME":
+            return f"DATE_FORMAT({ts}, 'HH:mm:ss')"
+        return ts
     raise ExploreError(f"unsupported field transformation: {kind}")
+
+
+def _json_path_sql(path: str) -> str:
+    """`a.b[2].c` → `['a']['b'][2]['c']` — bracket element access
+    resolves struct fields, map keys AND array indices in Spark SQL,
+    mirroring ExtractMapRecommender's dotted/indexed JSON paths."""
+    out = []
+    for seg in path.split("."):
+        m = re.fullmatch(r"([^\[\]]*)((?:\[\d+\])*)", seg.strip())
+        if m is None:
+            raise ExploreError(f"bad JSON path segment: {seg!r}")
+        name, idxs = m.groups()
+        if name:
+            out.append("['" + name.replace("'", "''") + "']")
+        out.extend(re.findall(r"\[\d+\]", idxs))
+    if not out:
+        raise ExploreError(f"empty JSON path: {path!r}")
+    return "".join(out)
+
+
+def _sublist_sql(operand: str, start: dict, end: dict) -> str:
+    """ListSelection (both ends INCLUSIVE, each FROM_THE_START or
+    FROM_THE_END) → SLICE(arr, start, length). Spark's SLICE start
+    convention matches Dremio's sublist (1-based, negative counts
+    from the end); the length arithmetic is
+    ExtractListRecommender.getLength :211."""
+    s_val, s_end = int(start["value"]), \
+        start.get("direction") == "FROM_THE_END"
+    e_val, e_end = int(end["value"]), \
+        end.get("direction") == "FROM_THE_END"
+    off = -(s_val + 1) if s_end else s_val + 1
+    if s_end and e_end:
+        length = str(s_val - e_val + 1)
+    elif s_end:  # start from end, end from start
+        length = f"{s_val + e_val + 2} - SIZE({operand})"
+    elif e_end:
+        length = f"SIZE({operand}) - {s_val + e_val}"
+    else:
+        length = str(e_val - s_val + 1)
+    # SLICE errors on a negative length where sublist returns empty —
+    # clamp: an inverted/out-of-range selection yields []
+    return f"SLICE({operand}, {off}, GREATEST(0, {length}))"
 
 
 def expr_sql(expr: dict) -> str:
@@ -784,6 +913,37 @@ class Transformer:
                     "filterDef": {"type": "Custom", "custom": {
                         "expression":
                             f"{quote_ident(new)} IS NOT NULL"}}})
+
+    def _t_lookup(self, m: StateMutator, t: dict) -> None:
+        # the reference itself rejects lookup (TransformActor.java:142
+        # throws UnsupportedOperationException("NYI")) — same contract
+        raise ExploreError("transform type lookup is not implemented")
+
+    def _t_splitByDataType(self, m: StateMutator, t: dict) -> None:
+        """TransformActor.visit(TransformSplitByDataType) :693 — one
+        new column per selected type, prefix+TypeName, each a
+        convert-if-possible with non-matching → NULL (TRY_CAST: the
+        reference builds ExpConvertType REPLACE_WITH_NULL — plain
+        CAST would error instead of splitting)."""
+        old = t["sourceColumnName"]
+        types = _get(t, "selectedTypesList", []) or []
+        if not types:
+            raise ExploreError("select at least one data type")
+        m._nest_if_used(old)
+        p = m.find_col_value(old)
+        idx, _ = m._find_col_or_fail(old)
+        for dt in types:
+            idx += 1
+            new = m.unique_column_name(
+                t["newColumnNamePrefix"] + dt)
+            m._columns().insert(idx, {"name": new, "value": {
+                "type": "ConvertType", "convertType": {
+                    "desiredType": dt, "castWhenPossible": True,
+                    "actionForNonMatchingValue": "REPLACE_WITH_NULL",
+                    "operand": p}}})
+            m.added.append(new)
+        if t.get("dropSourceColumn"):
+            m.drop_column(old)
 
     def _t_filter(self, m: StateMutator, t: dict) -> None:
         col = t["sourceColumnName"]

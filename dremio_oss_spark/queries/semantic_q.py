@@ -212,12 +212,122 @@ order by c_custkey limit 50
 """
 
 
+def explore_clean_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining FieldTransformation kinds (SQLGenerator.java
+    visitors :1136-1330 + TransformActor.java:693): range replace,
+    list extraction (single index + inclusive from-the-end slice),
+    number↔date round-trip (EPOCH/EXCEL serials), and
+    split-by-data-type — one generated statement per version, the
+    final SQL value-checked against the oracle's plain-SQL replay.
+    Number↔date composes TIMESTAMP_SECONDS with UNIX_TIMESTAMP, so the
+    check is timezone-free (the oracle replays the identity)."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("orders", "x0")
+    svc.transform("tmp.UNTITLED", "x0", {
+        "type": "field", "sourceColumnName": "o_totalprice",
+        "newColumnName": "price_banded", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ReplaceRange", "replaceRange": {
+                "lowerBound": "1000", "upperBound": "50000",
+                "lowerBoundInclusive": True,
+                "replacementValue": "-1",
+                "replacementType": "INTEGER"}}}, "x1")
+    svc.transform("tmp.UNTITLED", "x1", {
+        "type": "field", "sourceColumnName": "o_orderpriority",
+        "newColumnName": "prio_parts", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "Split", "split": {
+                "rule": {"pattern": "-", "matchType": "exact"},
+                "position": "ALL"}}}, "x2")
+    svc.transform("tmp.UNTITLED", "x2", {
+        "type": "field", "sourceColumnName": "prio_parts",
+        "newColumnName": "prio_word", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractList", "extractList": {"rule": {
+                "type": "single", "single": {"index": 1}}}}}, "x3")
+    svc.transform("tmp.UNTITLED", "x3", {
+        "type": "field", "sourceColumnName": "prio_parts",
+        "newColumnName": "prio_tail_arr", "dropSourceColumn": True,
+        "fieldTransformation": {
+            "type": "ExtractList", "extractList": {"rule": {
+                "type": "multiple", "multiple": {"selection": {
+                    "start": {"value": 0,
+                              "direction": "FROM_THE_END"},
+                    "end": {"value": 0,
+                            "direction": "FROM_THE_END"}}}}}}}, "x4a")
+    # driver compare hashes scalars only — join the slice to text
+    svc.transform("tmp.UNTITLED", "x4a", {
+        "type": "field", "sourceColumnName": "prio_tail_arr",
+        "newColumnName": "prio_tail", "dropSourceColumn": True,
+        "fieldTransformation": {
+            "type": "ConvertListToText",
+            "listToText": {"delimiter": "|"}}}, "x4")
+    svc.transform("tmp.UNTITLED", "x4", {
+        "type": "addCalculatedField", "newColumnName": "epoch_s",
+        "sourceColumnName": "o_orderkey",
+        "expression": "CAST(o_orderkey AS BIGINT) * 86400",
+        "dropSourceColumn": False}, "x5")
+    svc.transform("tmp.UNTITLED", "x5", {
+        "type": "field", "sourceColumnName": "epoch_s",
+        "newColumnName": "as_ts", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ConvertNumberToDate", "numberToDate": {
+                "format": "EPOCH", "desiredType": "DATETIME"}}}, "x6")
+    svc.transform("tmp.UNTITLED", "x6", {
+        "type": "field", "sourceColumnName": "as_ts",
+        "newColumnName": "excel_serial", "dropSourceColumn": True,
+        "fieldTransformation": {
+            "type": "ConvertDateToNumber", "dateToNumber": {
+                "format": "EXCEL", "desiredType": "INTEGER",
+                "convertType": "DATETIME"}}}, "x7")
+    svc.transform("tmp.UNTITLED", "x7", {
+        "type": "addCalculatedField", "newColumnName": "mixed",
+        "sourceColumnName": "o_orderpriority",
+        "expression": "CASE WHEN o_orderkey % 2 = 0 "
+                      "THEN CAST(o_orderkey AS STRING) "
+                      "ELSE o_orderpriority END",
+        "dropSourceColumn": False}, "x8")
+    svc.transform("tmp.UNTITLED", "x8", {
+        "type": "splitByDataType", "sourceColumnName": "mixed",
+        "newColumnNamePrefix": "mixed_", "dropSourceColumn": True,
+        "selectedTypesList": ["INTEGER", "TEXT"]}, "x9")
+    df = eng.sql(svc.get_version("tmp.UNTITLED", "x9")["sql"])
+    return (df.select("o_orderkey", "price_banded", "prio_word",
+                      "prio_tail", "excel_serial", "mixed_INTEGER",
+                      "mixed_TEXT")
+            .orderBy("o_orderkey").limit(200))
+
+
+EXPLORE_CLEAN_TRANSFORMS_SQL = """
+select o_orderkey,
+       case when 1000 <= o_totalprice and 50000 > o_totalprice
+            then -1 else o_totalprice end as price_banded,
+       str_split(o_orderpriority, '-')[2] as prio_word,
+       str_split(o_orderpriority, '-')[-1] as prio_tail,
+       o_orderkey + 25569 as excel_serial,
+       try_cast(case when o_orderkey % 2 = 0
+                     then cast(o_orderkey as varchar)
+                     else o_orderpriority end as bigint)
+           as mixed_INTEGER,
+       case when o_orderkey % 2 = 0
+            then cast(o_orderkey as varchar)
+            else o_orderpriority end as mixed_TEXT
+from orders
+order by o_orderkey limit 200
+"""
+
+
 SEMANTIC_QUERIES = {
     "cat_vds_query": vds_query,
     "cat_information_schema": info_schema,
     "cat_policy_enforcement": policy_enforcement,
     "cat_explore_transforms": explore_transforms,
     "cat_explore_field_transforms": explore_field_transforms,
+    "cat_explore_clean_transforms": explore_clean_transforms,
 }
 
 SEMANTIC_ORACLE = {
@@ -226,4 +336,5 @@ SEMANTIC_ORACLE = {
     "cat_policy_enforcement": POLICY_ENFORCEMENT_SQL,
     "cat_explore_transforms": EXPLORE_TRANSFORMS_SQL,
     "cat_explore_field_transforms": EXPLORE_FIELD_TRANSFORMS_SQL,
+    "cat_explore_clean_transforms": EXPLORE_CLEAN_TRANSFORMS_SQL,
 }

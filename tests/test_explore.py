@@ -487,3 +487,184 @@ def test_review_findings_r12_regressions(svc):
             "joinConditionsList": [
                 {"leftColumn": "n_regionkey",
                  "rightColumn": "no_such_col"}]}, "rgj")
+
+
+def test_field_transform_range_extract_and_date_number(svc):
+    """The remaining FieldTransformation kinds (explore.proto:759-769):
+    ReplaceRange, ExtractList single/multiple, ExtractMap,
+    ConvertNumberToDate/DateToNumber round-trip, and the
+    pattern-gated date cast — each value-checked through the
+    generated SQL."""
+    svc.new_untitled_from_table("nation", "ft0")
+    # ReplaceRange: keys in [5, 10) -> -1
+    svc.transform("tmp.UNTITLED", "ft0", {
+        "type": "field", "sourceColumnName": "n_nationkey",
+        "newColumnName": "k2", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ReplaceRange", "replaceRange": {
+                "lowerBound": "5", "upperBound": "10",
+                "lowerBoundInclusive": True,
+                "replacementValue": "-1",
+                "replacementType": "INTEGER"}}}, "ft1")
+    rows = {r["n_nationkey"]: r["k2"] for r in svc.engine.sql(
+        svc.get_version("tmp.UNTITLED", "ft1")["sql"]).collect()}
+    assert all(v == -1 for k, v in rows.items() if 5 <= k < 10)
+    assert all(v == k for k, v in rows.items() if not 5 <= k < 10)
+    # ExtractList single + multiple over a split array
+    svc.transform("tmp.UNTITLED", "ft0", {
+        "type": "addCalculatedField", "newColumnName": "phrase",
+        "sourceColumnName": "n_name",
+        "expression": "CONCAT(n_name, ' region ', "
+                      "CAST(n_regionkey AS STRING), ' tail')",
+        "dropSourceColumn": False}, "fl0")
+    svc.transform("tmp.UNTITLED", "fl0", {
+        "type": "field", "sourceColumnName": "phrase",
+        "newColumnName": "words", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "Split", "split": {
+                "rule": {"pattern": " ", "matchType": "exact"},
+                "position": "ALL"}}}, "fl1")
+    svc.transform("tmp.UNTITLED", "fl1", {
+        "type": "field", "sourceColumnName": "words",
+        "newColumnName": "w0", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractList", "extractList": {"rule": {
+                "type": "single", "single": {"index": 0}}}}}, "fl2")
+    svc.transform("tmp.UNTITLED", "fl2", {
+        "type": "field", "sourceColumnName": "words",
+        "newColumnName": "w01", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractList", "extractList": {"rule": {
+                "type": "multiple", "multiple": {"selection": {
+                    "start": {"value": 0,
+                              "direction": "FROM_THE_START"},
+                    "end": {"value": 1,
+                            "direction": "FROM_THE_START"}}}}}}},
+        "fl3")
+    out = svc.engine.sql(
+        svc.get_version("tmp.UNTITLED", "fl3")["sql"]).collect()
+    for r in out:
+        toks = r["phrase"].split(" ")
+        assert r["w0"] == toks[0]
+        assert list(r["w01"]) == toks[0:2]
+    # from-the-end selection: last two tokens
+    svc.transform("tmp.UNTITLED", "fl3", {
+        "type": "field", "sourceColumnName": "words",
+        "newColumnName": "wlast2", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractList", "extractList": {"rule": {
+                "type": "multiple", "multiple": {"selection": {
+                    "start": {"value": 1,
+                              "direction": "FROM_THE_END"},
+                    "end": {"value": 0,
+                            "direction": "FROM_THE_END"}}}}}}},
+        "fl4")
+    for r in svc.engine.sql(
+            svc.get_version("tmp.UNTITLED", "fl4")["sql"]).collect():
+        assert list(r["wlast2"]) == r["phrase"].split(" ")[-2:]
+    # ConvertNumberToDate(EPOCH) then DateToNumber(EPOCH) round-trips
+    svc.transform("tmp.UNTITLED", "ft0", {
+        "type": "addCalculatedField", "newColumnName": "epoch_s",
+        "sourceColumnName": "n_nationkey",
+        "expression": "CAST(n_nationkey AS BIGINT) * 86400",
+        "dropSourceColumn": False}, "nd1")
+    svc.transform("tmp.UNTITLED", "nd1", {
+        "type": "field", "sourceColumnName": "epoch_s",
+        "newColumnName": "as_ts", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ConvertNumberToDate", "numberToDate": {
+                "format": "EPOCH", "desiredType": "DATETIME"}}},
+        "nd2")
+    svc.transform("tmp.UNTITLED", "nd2", {
+        "type": "field", "sourceColumnName": "as_ts",
+        "newColumnName": "back_s", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ConvertDateToNumber", "dateToNumber": {
+                "format": "EPOCH", "desiredType": "INTEGER",
+                "convertType": "DATETIME"}}}, "nd3")
+    for r in svc.engine.sql(
+            svc.get_version("tmp.UNTITLED", "nd3")["sql"]).collect():
+        assert r["back_s"] == r["epoch_s"]
+    # EXCEL day serial: 1970-01-01 epoch == serial 25569
+    svc.transform("tmp.UNTITLED", "nd2", {
+        "type": "field", "sourceColumnName": "as_ts",
+        "newColumnName": "excel_d", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ConvertDateToNumber", "dateToNumber": {
+                "format": "EXCEL", "desiredType": "INTEGER",
+                "convertType": "DATETIME"}}}, "nd4")
+    for r in svc.engine.sql(
+            svc.get_version("tmp.UNTITLED", "nd4")["sql"]).collect():
+        assert r["excel_d"] == 25569 + (
+            r["epoch_s"] + 86399) // 86400  # CEIL of day fraction
+    # pattern-gated date cast: bad rows -> NULL, good rows parse
+    svc.transform("tmp.UNTITLED", "ft0", {
+        "type": "addCalculatedField", "newColumnName": "maybe_date",
+        "sourceColumnName": "n_name",
+        "expression": "CASE WHEN n_nationkey % 2 = 0 "
+                      "THEN '2024/01/15' ELSE n_name END",
+        "dropSourceColumn": False}, "pd1")
+    svc.transform("tmp.UNTITLED", "pd1", {
+        "type": "field", "sourceColumnName": "maybe_date",
+        "newColumnName": "as_date", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ConvertToTypeWithPatternIfPossible",
+            "toTypeWithPatternIfPossible": {
+                "desiredType": "DATE", "pattern": "yyyy/MM/dd",
+                "actionForNonMatchingValue": "REPLACE_WITH_NULL"}}},
+        "pd2")
+    rows = svc.engine.sql(
+        svc.get_version("tmp.UNTITLED", "pd2")["sql"]).collect()
+    assert sum(r["as_date"] is not None for r in rows) == 13
+    assert all(str(r["as_date"]) == "2024-01-15"
+               for r in rows if r["as_date"] is not None)
+
+
+def test_extract_map_and_split_by_data_type(svc):
+    """ExtractMap JSON-path access (ExtractMapRecommender :75) and
+    TransformSplitByDataType (TransformActor :693)."""
+    # build a struct column via calculated field
+    svc.new_untitled_from_table("nation", "em0")
+    svc.transform("tmp.UNTITLED", "em0", {
+        "type": "addCalculatedField", "newColumnName": "obj",
+        "sourceColumnName": "n_name",
+        "expression": "NAMED_STRUCT('a', NAMED_STRUCT('b', "
+                      "ARRAY(n_nationkey, n_regionkey)), "
+                      "'name', n_name)",
+        "dropSourceColumn": False}, "em1")
+    svc.transform("tmp.UNTITLED", "em1", {
+        "type": "field", "sourceColumnName": "obj",
+        "newColumnName": "second", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractMap", "extractMap": {
+                "rule": {"path": "a.b[1]"}}}}, "em2")
+    for r in svc.engine.sql(
+            svc.get_version("tmp.UNTITLED", "em2")["sql"]).collect():
+        assert r["second"] == r["n_regionkey"]
+    # splitByDataType over a mixed text column
+    svc.transform("tmp.UNTITLED", "em0", {
+        "type": "addCalculatedField", "newColumnName": "mixed",
+        "sourceColumnName": "n_name",
+        "expression": "CASE WHEN n_nationkey % 2 = 0 "
+                      "THEN CAST(n_nationkey AS STRING) "
+                      "ELSE n_name END",
+        "dropSourceColumn": False}, "sp1")
+    svc.transform("tmp.UNTITLED", "sp1", {
+        "type": "splitByDataType", "sourceColumnName": "mixed",
+        "newColumnNamePrefix": "mixed_", "dropSourceColumn": True,
+        "selectedTypesList": ["INTEGER", "TEXT"]}, "sp2")
+    entry = svc.get_version("tmp.UNTITLED", "sp2")
+    names = [f["name"] for f in entry["sqlFields"]]
+    assert "mixed_INTEGER" in names and "mixed_TEXT" in names
+    assert "mixed" not in names
+    rows = svc.engine.sql(entry["sql"]).collect()
+    assert sum(r["mixed_INTEGER"] is not None for r in rows) == 13
+    # TEXT cast accepts everything (the reference's split panes do
+    # too — TEXT is the catch-all)
+    assert all(r["mixed_TEXT"] is not None for r in rows)
+    # lookup matches the reference's own NYI refusal
+    with pytest.raises(ExploreError, match="lookup"):
+        svc.transform("tmp.UNTITLED", "em0", {
+            "type": "lookup", "lookedUpColumnName": "n_name",
+            "lookedUpTableName": "region",
+            "lookedUpTableKeyColumnName": "r_name"}, "lk1")
