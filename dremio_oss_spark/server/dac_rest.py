@@ -546,6 +546,79 @@ def handle_resourcetree(h) -> bool:
 
 
 # --------------------------------------------------------------------------
+# SQL-runner session tabs (SQLRunnerResource.java:58-105 over
+# SQLRunnerSessionServiceImpl.java:50-123)
+# --------------------------------------------------------------------------
+
+def _request_user(h) -> str:
+    """The authenticated principal: login-session tokens carry a user;
+    the static service token (and temp tokens) act as admin."""
+    hdr = h.headers.get("Authorization") or ""
+    bearer = hdr[7:] if hdr.startswith("Bearer ") else None
+    u = h.tokens.user_of(bearer) if (h.tokens and bearer) else None
+    return u or "admin"
+
+
+def handle_sqlrunner(h, method: str) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if p != "/api/v3/sql-runner/session" and not p.startswith(
+            "/api/v3/sql-runner/session/tabs/"):
+        return False
+    store = h.sqlrunner
+    user = _request_user(h)
+    sess = store.setdefault(
+        user, {"userId": user, "scriptIds": [],
+               "currentScriptId": ""})
+    if p == "/api/v3/sql-runner/session":
+        if method == "GET":
+            # removeNotAccessibleScripts (:62): drop tabs whose script
+            # was deleted, then re-point the current tab
+            sess["scriptIds"] = [s for s in sess["scriptIds"]
+                                 if s in h.scripts]
+            if not sess["scriptIds"]:
+                sess["currentScriptId"] = ""
+            elif sess["currentScriptId"] not in sess["scriptIds"]:
+                sess["currentScriptId"] = sess["scriptIds"][0]
+            h._send(200, sess)
+            return True
+        if method == "PUT":
+            try:
+                req = h._read_json()
+            except Exception as e:  # noqa: BLE001
+                h._send(400, {"errorMessage": str(e)})
+                return True
+            ids = [str(s) for s in req.get("scriptIds") or []]
+            sess["scriptIds"] = ids
+            sess["currentScriptId"] = str(
+                req.get("currentScriptId") or (ids[0] if ids else ""))
+            h._send(200, sess)
+            return True
+        return False
+    sid = p[len("/api/v3/sql-runner/session/tabs/"):]
+    if method == "PUT":  # newTab (:89): idempotent append + focus
+        if sid not in sess["scriptIds"]:
+            sess["scriptIds"].append(sid)
+        sess["currentScriptId"] = sid
+        h._send(200, sess)
+        return True
+    if method == "DELETE":  # deleteTab (:101)
+        if len(sess["scriptIds"]) <= 1:
+            # LastTabException -> 403: the editor always keeps one tab
+            h._send(403, {"errorMessage": "cannot delete the last tab"})
+            return True
+        if sid in sess["scriptIds"]:
+            sess["scriptIds"].remove(sid)
+            if sess["currentScriptId"] == sid:
+                sess["currentScriptId"] = sess["scriptIds"][0]
+        # TabNotFound also answers noContent (SQLRunnerResource:93-96)
+        h.send_response(204)
+        h.send_header("Content-Length", "0")
+        h.end_headers()
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # jobs filters + download (JobsFiltersResource.java; download flow)
 # --------------------------------------------------------------------------
 
@@ -842,6 +915,8 @@ def handle(h, method: str) -> bool:
     if handle_auth(h, method):
         return True
     if handle_admin(h, method):
+        return True
+    if handle_sqlrunner(h, method):
         return True
     if method == "GET":
         return (handle_version_get(h) or handle_resourcetree(h)

@@ -169,10 +169,12 @@ class _Handler(BaseHTTPRequestHandler):
     # reference's optimistic-concurrency guards
     collab: dict = None
     # DAC UI-backend services (dac_rest.py): explore/transform version
-    # store, home-space uploads, session + temporary tokens
+    # store, home-space uploads, session + temporary tokens, per-user
+    # SQL-runner tab sessions (SQLRunnerResource.java)
     explore = None
     home = None
     tokens = None
+    sqlrunner: dict = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -1330,7 +1332,7 @@ def serve_rest_background(engine, port: int = 0,
 
     handler = type("BoundHandler", (_Handler,),
                    {"engine": engine, "token": token, "jobs": _Jobs(),
-                    "scripts": {}, "collab": {},
+                    "scripts": {}, "collab": {}, "sqlrunner": {},
                     "explore": ExploreService(engine),
                     "home": HomeService(engine),
                     "tokens": tokens or TokenManager()})

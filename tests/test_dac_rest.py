@@ -512,3 +512,67 @@ def test_explore_clean_joinrecs_reapply_rest(rest):
     assert out["dataset"]["sql"] == _call(
         port, "GET",
         f"/api/v3/dataset/{path}/version/n1")[1]["sql"]
+
+
+def test_sql_runner_session_tabs(rest):
+    """Per-user SQL-runner tab session (SQLRunnerResource.java:58-105 /
+    SQLRunnerSessionServiceImpl.java:50-123): auto-created empty
+    session, PUT replace, newTab idempotent append+focus, deleteTab
+    refusing the last tab, and GET dropping tabs whose script was
+    deleted."""
+    eng, port = rest
+    # two scripts to tab between
+    code, s1 = _call(port, "POST", "/api/v3/scripts",
+                     body={"name": "a", "content": "select 1"})
+    assert code == 200, s1
+    code, s2 = _call(port, "POST", "/api/v3/scripts",
+                     body={"name": "b", "content": "select 2"})
+    assert code == 200, s2
+    i1, i2 = s1["id"], s2["id"]
+    code, sess = _call(port, "GET", "/api/v3/sql-runner/session")
+    assert code == 200
+    assert sess["scriptIds"] == [] and sess["currentScriptId"] == ""
+    # newTab: append + focus; idempotent on repeat
+    code, sess = _call(port, "PUT",
+                       f"/api/v3/sql-runner/session/tabs/{i1}")
+    assert code == 200 and sess["currentScriptId"] == i1
+    code, sess = _call(port, "PUT",
+                       f"/api/v3/sql-runner/session/tabs/{i2}")
+    assert sess["scriptIds"] == [i1, i2]
+    code, sess = _call(port, "PUT",
+                       f"/api/v3/sql-runner/session/tabs/{i1}")
+    assert sess["scriptIds"] == [i1, i2]  # no duplicate
+    assert sess["currentScriptId"] == i1  # refocused
+    # PUT session replaces wholesale
+    code, sess = _call(port, "PUT", "/api/v3/sql-runner/session",
+                       body={"scriptIds": [i2, i1],
+                             "currentScriptId": i2})
+    assert code == 200 and sess["scriptIds"] == [i2, i1]
+    # deleteTab: current moves to the first remaining tab
+    code, _ = _call(port, "DELETE",
+                    f"/api/v3/sql-runner/session/tabs/{i2}", raw=True)
+    assert code == 204
+    code, sess = _call(port, "GET", "/api/v3/sql-runner/session")
+    assert sess["scriptIds"] == [i1]
+    assert sess["currentScriptId"] == i1
+    # last tab is protected (LastTabException -> 403)
+    code, out = _call(port, "DELETE",
+                      f"/api/v3/sql-runner/session/tabs/{i1}")
+    assert code == 403, out
+    # deleting the script itself prunes the tab on next GET
+    code, _ = _call(port, "DELETE", f"/api/v3/scripts/{i1}")
+    assert code == 200
+    code, sess = _call(port, "GET", "/api/v3/sql-runner/session")
+    assert sess["scriptIds"] == [] and sess["currentScriptId"] == ""
+    # sessions are per-principal: a login-token user sees their own
+    _call(port, "POST", "/api/v3/login", body={})  # warm route
+    eng.create_user("tabuser", password="pw")
+    code, tok = _call(port, "POST", "/api/v3/login",
+                      body={"userName": "tabuser", "password": "pw"})
+    assert code == 200
+    code, sess2 = _call(port, "PUT",
+                        f"/api/v3/sql-runner/session/tabs/{i2}",
+                        token=tok["token"])
+    assert code == 200 and sess2["userId"] == "tabuser"
+    code, sess = _call(port, "GET", "/api/v3/sql-runner/session")
+    assert sess["userId"] == "admin" and i2 not in sess["scriptIds"]
