@@ -3382,6 +3382,8 @@ class Engine:
         self.last_plan_accelerated = None
         if getattr(self, "_accel_disabled", 0):
             return None  # view-definition planning must not substitute
+        if not getattr(self, "acceleration_enabled", True):
+            return None  # global kill switch (DevelopmentOptions)
         if re.search(r"\b(?:sys|information_schema)\.", query, re.I):
             # engine catalog views resolve AFTER this probe
             # (_expand_sys_tables); analyzing them raw would just log a

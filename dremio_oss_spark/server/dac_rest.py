@@ -546,6 +546,87 @@ def handle_resourcetree(h) -> bool:
 
 
 # --------------------------------------------------------------------------
+# server status / firstuser bootstrap / development options
+# (ServerStatusResource.java:43, BootstrapResource.java:65,
+#  DevelopmentOptionsResource.java:58-88)
+# --------------------------------------------------------------------------
+
+def handle_bootstrap_put(h) -> bool:
+    """PUT /api/v3/bootstrap/firstuser — pre-auth creation of the
+    first admin; refuses once ANY user exists (the reference's
+    validation error), so the open route can never add accounts to a
+    live deployment."""
+    if urlparse(h.path).path.rstrip("/") != \
+            "/api/v3/bootstrap/firstuser":
+        return False
+    try:
+        req = h._read_json()
+        cfg = req.get("userConfig") or req
+        name = cfg.get("userName") or ""
+        if not name:
+            h._send(400, {"errorMessage": "userName required"})
+            return True
+        with _engine_lock():
+            if h.engine.list_users():
+                h._send(403, {"errorMessage":
+                              "First user can only be created when no "
+                              "user is already registered"})
+                return True
+            u = h.engine.create_user(
+                name, password=req.get("password"),
+                **{k: cfg[k] for k in
+                   ("firstName", "lastName", "email") if k in cfg})
+        h._send(200, u)
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
+def handle_devops(h, method: str) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if p == "/api/v3/server_status" and method == "GET":
+        h._send(200, {"status": "OK"})
+        return True
+    if not p.startswith("/api/v3/development_options/acceleration"):
+        return False
+    tail = p[len("/api/v3/development_options/acceleration"):]
+    eng = h.engine
+    if tail == "/enabled":
+        if method == "GET":
+            h._send(200, {"enabled": getattr(
+                eng, "acceleration_enabled", True)})
+            return True
+        if method == "PUT":
+            body = h._read_json()
+            want = body.get("enabled") if isinstance(body, dict) \
+                else str(body).strip().lower() == "true"
+            with _engine_lock():
+                eng.acceleration_enabled = bool(want)
+                # plan-cache entries may be bound to substituted plans
+                getattr(eng, "_plan_cache", {}).clear()
+            h._send(200, {"enabled": bool(want)})
+            return True
+    if tail == "/cacheinitialized" and method == "GET":
+        h._send(200, {"initialized": True})
+        return True
+    if tail == "/clearall" and method == "POST":
+        # clearMaterializations: every reflection's materialization is
+        # invalidated; we mark all stale and rebuild synchronously so
+        # no query ever reads a cleared directory
+        with _engine_lock():
+            store = getattr(eng, "_refl_store", None)
+            n = 0
+            if store is not None:
+                for r in store._reflections.values():
+                    r.stale = True
+                    n += 1
+                eng._refresh_stale_reflections()
+        h._send(200, {"cleared": n})
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # SQL-runner session tabs (SQLRunnerResource.java:58-105 over
 # SQLRunnerSessionServiceImpl.java:50-123)
 # --------------------------------------------------------------------------
@@ -917,6 +998,8 @@ def handle(h, method: str) -> bool:
     if handle_admin(h, method):
         return True
     if handle_sqlrunner(h, method):
+        return True
+    if handle_devops(h, method):
         return True
     if method == "GET":
         return (handle_version_get(h) or handle_resourcetree(h)

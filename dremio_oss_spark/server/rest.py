@@ -1143,6 +1143,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self):
         from urllib.parse import unquote
 
+        from . import dac_rest
+
+        # firstuser bootstrap runs BEFORE the bearer check — it's how
+        # a fresh deployment gets its first admin; the handler itself
+        # refuses once any user exists (BootstrapResource.java:77)
+        if dac_rest.handle_bootstrap_put(self):
+            return None
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
         from . import dac_rest

@@ -576,3 +576,75 @@ def test_sql_runner_session_tabs(rest):
     assert code == 200 and sess2["userId"] == "tabuser"
     code, sess = _call(port, "GET", "/api/v3/sql-runner/session")
     assert sess["userId"] == "admin" and i2 not in sess["scriptIds"]
+
+
+def test_server_status_devoptions_bootstrap(spark):
+    """ServerStatusResource.java:43, DevelopmentOptionsResource.java:
+    58-88 and BootstrapResource.java:65: status ping, the global
+    acceleration kill switch actually gating substitution, clearall
+    forcing a rebuild, and pre-auth firstuser that refuses once any
+    user exists."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng, token="sec")
+    port = server.server_address[1]
+    try:
+        # bootstrap runs BEFORE auth (no bearer passed)
+        code, u = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
+                        body={"userName": "root", "password": "pw",
+                              "firstName": "Root"})
+        assert code == 200 and u["name"] == "root", u
+        # and refuses forever after
+        code, out = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
+                          body={"userName": "other", "password": "x"})
+        assert code == 403, out
+        # the bootstrapped credential logs in
+        code, tok = _call(port, "POST", "/api/v3/login",
+                          body={"userName": "root", "password": "pw"})
+        assert code == 200, tok
+        code, st = _call(port, "GET", "/api/v3/server_status",
+                         token="sec")
+        assert code == 200 and st["status"] == "OK"
+        # acceleration: build a reflection, prove the kill switch gates
+        eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION "
+                "devopt_refl USING DIMENSIONS (n_regionkey) "
+                "MEASURES (n_nationkey (SUM))")
+        q = ("select n_regionkey, sum(n_nationkey) as s "
+             "from nation group by n_regionkey")
+        eng.sql(q).collect()
+        assert eng.last_plan_accelerated
+        code, out = _call(
+            port, "PUT",
+            "/api/v3/development_options/acceleration/enabled",
+            body={"enabled": False}, token="sec")
+        assert code == 200 and out["enabled"] is False
+        eng.sql(q + " -- off").collect()
+        assert not eng.last_plan_accelerated
+        code, out = _call(
+            port, "GET",
+            "/api/v3/development_options/acceleration/enabled",
+            token="sec")
+        assert out["enabled"] is False
+        code, out = _call(
+            port, "PUT",
+            "/api/v3/development_options/acceleration/enabled",
+            body={"enabled": True}, token="sec")
+        eng.sql(q + " -- on").collect()
+        assert eng.last_plan_accelerated
+        code, out = _call(
+            port, "GET",
+            "/api/v3/development_options/acceleration/cacheinitialized",
+            token="sec")
+        assert code == 200 and out["initialized"] is True
+        # clearall marks every reflection stale and rebuilds it
+        code, out = _call(
+            port, "POST",
+            "/api/v3/development_options/acceleration/clearall",
+            token="sec")
+        assert code == 200 and out["cleared"] >= 1
+        eng.sql(q + " -- rebuilt").collect()
+        assert eng.last_plan_accelerated
+    finally:
+        server.shutdown()

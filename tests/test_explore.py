@@ -668,3 +668,112 @@ def test_extract_map_and_split_by_data_type(svc):
             "type": "lookup", "lookedUpColumnName": "n_name",
             "lookedUpTableName": "region",
             "lookedUpTableKeyColumnName": "r_name"}, "lk1")
+
+
+def test_sublist_and_replace_range_property(svc):
+    """Property check of the new generator arithmetic: 120 random
+    ListSelection (value x direction on both ends) and ReplaceRange
+    (bound presence x inclusivity) cases evaluated in ONE Spark
+    statement each, compared against plain-Python models of the
+    reference semantics (ends inclusive; sublist offset 1-based with
+    negative-from-the-end; range bounds quoted as the replacement
+    type).  Randomness is seeded — failures reproduce."""
+    import random
+
+    from dremio_oss_spark.explore import (
+        _field_transform_sql,
+        _json_path_sql,
+        _sublist_sql,
+    )
+
+    rng = random.Random(12)
+    arrs = [[f"t{i}_{j}" for j in range(rng.randint(0, 6))]
+            for i in range(8)]
+
+    def py_sublist(arr, s_val, s_end, e_val, e_end):
+        n = len(arr)
+        start = (n - s_val - 1) if s_end else s_val
+        end = (n - e_val - 1) if e_end else e_val
+        if start < 0 or start >= n:
+            # out-of-range start -> empty: SLICE returns [] past the
+            # tail, and the before-the-head corner (negative resolved
+            # start) is skipped below — no UI selection produces it
+            return []
+        return arr[start:end + 1] if end >= start else []
+
+    cases = []
+    exprs = []
+    for i in range(60):
+        s_val, e_val = rng.randint(0, 7), rng.randint(0, 7)
+        s_end, e_end = rng.random() < 0.5, rng.random() < 0.5
+        sel = {"start": {"value": s_val, "direction":
+                         "FROM_THE_END" if s_end else "FROM_THE_START"},
+               "end": {"value": e_val, "direction":
+                       "FROM_THE_END" if e_end else "FROM_THE_START"}}
+        cases.append((s_val, s_end, e_val, e_end))
+        exprs.append(
+            _sublist_sql("arr", sel["start"], sel["end"])
+            + f" AS c{i}")
+    spark = svc.engine.spark
+    df = spark.createDataFrame([(a,) for a in arrs], "arr array<string>")
+    df.createOrReplaceTempView("prop_arrs")
+    rows = spark.sql(
+        "select arr, " + ", ".join(exprs) + " from prop_arrs").collect()
+    for r in rows:
+        arr = list(r["arr"])
+        for i, (s_val, s_end, e_val, e_end) in enumerate(cases):
+            got = list(r[f"c{i}"] or [])
+            want = py_sublist(arr, s_val, s_end, e_val, e_end)
+            # skip the wrap-around corner where the negative offset
+            # exceeds the array length: Spark yields [] there, and no
+            # UI selection produces it (offsets come from observed
+            # elements) — everything else must match exactly
+            if s_end and s_val >= len(arr):
+                assert got == [], (arr, s_val, e_val, s_end, e_end, got)
+                continue
+            assert got == want, (arr, s_val, e_val, s_end, e_end,
+                                 got, want)
+    # ReplaceRange over integers: every bound-presence x inclusivity
+    exprs, rcases = [], []
+    i = 0
+    for lo in (None, 3, 7):
+        for hi in (None, 5, 9):
+            for lo_inc in (False, True):
+                for hi_inc in (False, True):
+                    ft = {"type": "ReplaceRange", "replaceRange": {
+                        **({"lowerBound": str(lo)}
+                           if lo is not None else {}),
+                        **({"upperBound": str(hi)}
+                           if hi is not None else {}),
+                        "lowerBoundInclusive": lo_inc,
+                        "upperBoundInclusive": hi_inc,
+                        "replacementValue": "-1",
+                        "replacementType": "INTEGER"}}
+                    exprs.append(_field_transform_sql(ft, "v")
+                                 + f" AS r{i}")
+                    rcases.append((lo, hi, lo_inc, hi_inc))
+                    i += 1
+    vals = list(range(0, 12))
+    vdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    vdf.createOrReplaceTempView("prop_vals")
+    rows = spark.sql(
+        "select v, " + ", ".join(exprs) + " from prop_vals").collect()
+    for r in rows:
+        v = r["v"]
+        for i, (lo, hi, lo_inc, hi_inc) in enumerate(rcases):
+            if lo is None and hi is None:
+                want = -1  # replace everything
+            else:
+                in_lo = (lo is None or
+                         (lo <= v if lo_inc else lo < v))
+                in_hi = (hi is None or
+                         (hi >= v if hi_inc else hi > v))
+                want = -1 if (in_lo and in_hi) else v
+            assert r[f"r{i}"] == want, (v, lo, hi, lo_inc, hi_inc,
+                                        r[f"r{i}"], want)
+    # JSON-path parser shapes
+    assert _json_path_sql("a.b[2].c") == "['a']['b'][2]['c']"
+    assert _json_path_sql("x") == "['x']"
+    assert _json_path_sql("x[0][1]") == "['x'][0][1]"
+    with pytest.raises(ExploreError):
+        _json_path_sql("")
