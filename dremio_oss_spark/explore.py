@@ -383,17 +383,31 @@ def _field_transform_sql(ft: dict, operand: str) -> str:
                "EXCEL": f"(({operand}) - 25569) * 86400",
                "JULIAN": f"(({operand}) - 2440587.5) * 86400",
                }[nd["format"]]
-        ts = f"TIMESTAMP_SECONDS({sec})"
         want = nd.get("desiredType", "DATETIME")
         if want == "DATE":
-            return f"CAST({ts} AS DATE)"
+            # day arithmetic, not CAST(ts AS DATE): the cast renders
+            # the instant in the SESSION zone, shifting every serial
+            # by one day for west-of-UTC sessions — the reference's
+            # TO_DATE(epoch) is UTC-fixed
+            return (f"DATE_ADD(DATE '1970-01-01', "
+                    f"CAST(FLOOR(({sec}) / 86400) AS INT))")
+        ts = f"TIMESTAMP_SECONDS({sec})"
         if want == "TIME":
             return f"DATE_FORMAT({ts}, 'HH:mm:ss')"
         return ts
     if kind == "ConvertDateToNumber":
         dn = ft["dateToNumber"]
         want = dn.get("desiredType", "INTEGER")
-        base = f"UNIX_TIMESTAMP({operand})"
+        # convertType (the operand's date family) picks the epoch
+        # expression: a DATE converts via day arithmetic so the serial
+        # is session-timezone-free (UNIX_TIMESTAMP(date) resolves
+        # LOCAL midnight and would skew EXCEL/JULIAN serials by a day
+        # in west-of-UTC sessions); instants use UNIX_TIMESTAMP
+        if dn.get("convertType") == "DATE":
+            base = (f"(DATEDIFF({operand}, DATE '1970-01-01') "
+                    f"* CAST(86400 AS BIGINT))")
+        else:
+            base = f"UNIX_TIMESTAMP({operand})"
         fmt = dn["format"]
         if fmt == "EPOCH":
             return (f"CAST({base} AS DOUBLE)" if want == "FLOAT"

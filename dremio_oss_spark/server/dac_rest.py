@@ -566,6 +566,11 @@ def handle_bootstrap_put(h) -> bool:
         if not name:
             h._send(400, {"errorMessage": "userName required"})
             return True
+        if not req.get("password"):
+            # a credential-less first admin could never log in, and the
+            # route locks after one user — the deployment would brick
+            h._send(400, {"errorMessage": "password required"})
+            return True
         with _engine_lock():
             if h.engine.list_users():
                 h._send(403, {"errorMessage":
@@ -597,30 +602,59 @@ def handle_devops(h, method: str) -> bool:
                 eng, "acceleration_enabled", True)})
             return True
         if method == "PUT":
-            body = h._read_json()
-            want = body.get("enabled") if isinstance(body, dict) \
-                else str(body).strip().lower() == "true"
+            # the reference accepts a bare "true"/"false" body;
+            # _read_json only parses objects — read raw and accept
+            # both shapes, refusing anything that isn't a boolean
+            try:
+                n_bytes = int(h.headers.get("Content-Length") or 0)
+            except ValueError:
+                n_bytes = 0
+            raw = h.rfile.read(n_bytes)
+            try:
+                body = json.loads(raw) if raw else None
+            except ValueError:
+                body = raw.decode("utf-8", "replace").strip()
+            if isinstance(body, dict):
+                body = body.get("enabled")
+            if isinstance(body, str):
+                body = {"true": True, "false": False}.get(
+                    body.strip().strip('"').lower())
+            if not isinstance(body, bool):
+                h._send(400, {"errorMessage":
+                              "body must be true or false"})
+                return True
             with _engine_lock():
-                eng.acceleration_enabled = bool(want)
+                eng.acceleration_enabled = body
                 # plan-cache entries may be bound to substituted plans
                 getattr(eng, "_plan_cache", {}).clear()
-            h._send(200, {"enabled": bool(want)})
+            h._send(200, {"enabled": body})
             return True
     if tail == "/cacheinitialized" and method == "GET":
         h._send(200, {"initialized": True})
         return True
     if tail == "/clearall" and method == "POST":
-        # clearMaterializations: every reflection's materialization is
-        # invalidated; we mark all stale and rebuild synchronously so
-        # no query ever reads a cleared directory
+        # clearMaterializations: EVERY reflection's materialization
+        # (agg AND raw) is invalidated and rebuilt inline — an explicit
+        # admin action, so it rebuilds even when the background
+        # auto-refresh conf is off; no query ever reads a cleared
+        # directory because the swap happens under the engine lock
         with _engine_lock():
             store = getattr(eng, "_refl_store", None)
             n = 0
             if store is not None:
-                for r in store._reflections.values():
+                refls = (list(store._reflections.values())
+                         + list(store._raw.values()))
+                for r in refls:
                     r.stale = True
                     n += 1
-                eng._refresh_stale_reflections()
+                for r in refls:
+                    try:
+                        eng._refresh_stale_reflection(r)
+                        r.stale = False
+                        r.invalid = False
+                        store._stamp(r)
+                    except Exception:  # noqa: BLE001 — quarantine,
+                        r.invalid = True  # same as auto-refresh
         h._send(200, {"cleared": n})
         return True
     return False
@@ -645,6 +679,14 @@ def handle_sqlrunner(h, method: str) -> bool:
     if p != "/api/v3/sql-runner/session" and not p.startswith(
             "/api/v3/sql-runner/session/tabs/"):
         return False
+    # the server is threading: every read-modify-write of the session
+    # dict serializes on the engine lock like the other mutating routes
+    # (two concurrent DELETEs of one tab must not race .remove())
+    with _engine_lock():
+        return _sqlrunner_locked(h, method, p)
+
+
+def _sqlrunner_locked(h, method: str, p: str) -> bool:
     store = h.sqlrunner
     user = _request_user(h)
     sess = store.setdefault(
@@ -683,6 +725,9 @@ def handle_sqlrunner(h, method: str) -> bool:
         h._send(200, sess)
         return True
     if method == "DELETE":  # deleteTab (:101)
+        # the reference checks the last-tab guard BEFORE membership
+        # (SQLRunnerSessionServiceImpl:104-109), so an unknown tab on a
+        # <=1-tab session also answers 403 — order preserved here
         if len(sess["scriptIds"]) <= 1:
             # LastTabException -> 403: the editor always keeps one tab
             h._send(403, {"errorMessage": "cannot delete the last tab"})

@@ -648,3 +648,105 @@ def test_server_status_devoptions_bootstrap(spark):
         assert eng.last_plan_accelerated
     finally:
         server.shutdown()
+
+
+def test_review_findings_r12_rest_regressions(spark):
+    """Pins for this round's self-review findings on the REST layer:
+    bare-boolean PUT body accepted, string/missing bodies coerced
+    strictly (400 on garbage, no silent disable), bootstrap requires a
+    password (else the deployment bricks), clearall covers RAW
+    reflections and rebuilds even with auto-refresh off."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng, token="sec")
+    port = server.server_address[1]
+    try:
+        # bootstrap without a password refuses and creates nothing
+        code, out = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
+                          body={"userName": "root"})
+        assert code == 400, out
+        assert eng.list_users() == []
+        # the bare-boolean body the reference resource accepts
+        code, out = _call(
+            port, "PUT",
+            "/api/v3/development_options/acceleration/enabled",
+            raw_body=b"false", token="sec")
+        assert code == 200 and out["enabled"] is False
+        assert eng.acceleration_enabled is False
+        # JSON-string value coerces by CONTENT, not truthiness
+        code, out = _call(
+            port, "PUT",
+            "/api/v3/development_options/acceleration/enabled",
+            body={"enabled": "true"}, token="sec")
+        assert code == 200 and out["enabled"] is True
+        # garbage and missing keys refuse instead of silently toggling
+        for bad in (b"maybe", b"{}", b"1"):
+            code, out = _call(
+                port, "PUT",
+                "/api/v3/development_options/acceleration/enabled",
+                raw_body=bad, token="sec")
+            assert code == 400, (bad, out)
+        assert eng.acceleration_enabled is True  # unchanged by the 400s
+        # clearall: agg AND raw reflections counted + rebuilt, even
+        # with background auto-refresh disabled
+        eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION r12agg "
+                "USING DIMENSIONS (n_regionkey) "
+                "MEASURES (n_nationkey (SUM))")
+        eng.sql("ALTER TABLE nation CREATE RAW REFLECTION r12raw "
+                "USING DISPLAY (n_nationkey, n_name)")
+        spark.conf.set("spark.dremio.reflections.autoRefresh", "false")
+        try:
+            code, out = _call(
+                port, "POST",
+                "/api/v3/development_options/acceleration/clearall",
+                token="sec")
+            assert code == 200 and out["cleared"] == 2, out
+            store = eng._refl_store
+            refls = (list(store._reflections.values())
+                     + list(store._raw.values()))
+            assert all(not r.stale and not getattr(r, "invalid", False)
+                       for r in refls)
+        finally:
+            spark.conf.unset("spark.dremio.reflections.autoRefresh")
+    finally:
+        server.shutdown()
+
+
+def test_job_dataset_graph(rest):
+    """Jobs-page dataset lineage (JobsListingResource.java:166 /
+    JobDatasetGraphUI): a job over a VDS-on-VDS chain expands parents
+    recursively down to the physical tables, with reflections anchored
+    per dataset; subquery aliases never appear as datasets."""
+    eng, port = rest
+    eng.create_space("lin")
+    eng.create_vds("lin", "base_v",
+                   "select n_nationkey, n_regionkey from nation")
+    eng.create_vds("lin", "top_v",
+                   "select n_regionkey, count(*) as n from lin.base_v "
+                   "group by n_regionkey")
+    eng.sql("ALTER TABLE nation CREATE RAW REFLECTION lin_raw "
+            "USING DISPLAY (n_nationkey, n_regionkey)")
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select * from lin.top_v t "
+                                   "join region r "
+                                   "on t.n_regionkey = r.r_regionkey"})
+    assert code == 200, out
+    jid = out["id"]
+    code, g = _call(port, "GET",
+                    f"/api/v3/jobs-listing/{jid}/datasetGraph")
+    assert code == 200, g
+    nodes = {n["id"]: n for n in g["datasetGraph"]}
+    assert nodes["lin.top_v"]["datasetType"] == "VIRTUAL_DATASET"
+    assert nodes["lin.top_v"]["parents"] == ["lin.base_v"]
+    assert nodes["lin.base_v"]["parents"] == ["nation"]
+    assert nodes["nation"]["datasetType"] == "PHYSICAL_DATASET"
+    assert nodes["region"]["datasetType"] == "PHYSICAL_DATASET"
+    assert "lin_raw" in nodes["nation"]["reflections"]
+    # the join alias 't'/'r' and missing names never become nodes
+    assert set(nodes) == {"lin.top_v", "lin.base_v", "nation",
+                          "region"}
+    code, _ = _call(port, "GET",
+                    "/api/v3/jobs-listing/nope/datasetGraph")
+    assert code == 404

@@ -777,3 +777,51 @@ def test_sublist_and_replace_range_property(svc):
     assert _json_path_sql("x[0][1]") == "['x'][0][1]"
     with pytest.raises(ExploreError):
         _json_path_sql("")
+
+
+def test_date_to_number_timezone_free(svc):
+    """Review pin: ConvertDateToNumber over a DATE operand
+    (convertType=DATE) must be session-timezone-free — in a
+    west-of-UTC session, UNIX_TIMESTAMP(date) resolves LOCAL midnight
+    and CEIL would bump every EXCEL serial by one day.  The generated
+    SQL uses day arithmetic instead, so the serial matches
+    datediff-from-1970 under ANY session zone; number→DATE is pinned
+    UTC the same way."""
+    spark = svc.engine.spark
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        svc.new_untitled_from_table("orders", "tz0")
+        # a true DATE column built by day arithmetic (o_orderdate in
+        # the testdata is a TIMESTAMP; casting it to DATE is itself
+        # session-tz-bound, which is exactly what this test isolates)
+        svc.transform("tmp.UNTITLED", "tz0", {
+            "type": "addCalculatedField", "newColumnName": "d",
+            "sourceColumnName": "o_orderkey",
+            "expression": "DATE_ADD(DATE '1970-01-01', "
+                          "CAST(o_orderkey % 20000 AS INT))",
+            "dropSourceColumn": False}, "tz0b")
+        svc.transform("tmp.UNTITLED", "tz0b", {
+            "type": "field", "sourceColumnName": "d",
+            "newColumnName": "excel_d", "dropSourceColumn": False,
+            "fieldTransformation": {
+                "type": "ConvertDateToNumber", "dateToNumber": {
+                    "format": "EXCEL", "desiredType": "INTEGER",
+                    "convertType": "DATE"}}}, "tz1")
+        svc.transform("tmp.UNTITLED", "tz1", {
+            "type": "field", "sourceColumnName": "excel_d",
+            "newColumnName": "back_date", "dropSourceColumn": False,
+            "fieldTransformation": {
+                "type": "ConvertNumberToDate", "numberToDate": {
+                    "format": "EXCEL", "desiredType": "DATE"}}}, "tz2")
+        rows = svc.engine.sql(
+            svc.get_version("tmp.UNTITLED", "tz2")["sql"]
+        ).select("d", "excel_d", "back_date").limit(500).collect()
+        import datetime
+
+        epoch = datetime.date(1970, 1, 1)
+        for r in rows:
+            assert r["excel_d"] == (r["d"] - epoch).days + 25569, r
+            assert r["back_date"] == r["d"], r
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
