@@ -824,8 +824,73 @@ class Engine:
             raise
         tel.planned(jid, (_time.perf_counter() - t0) * 1000,
                     accelerated_by=getattr(
-                        self, "last_plan_accelerated", None))
+                        self, "last_plan_accelerated", None),
+                    considered=getattr(
+                        self, "last_plan_considered", None))
         return df, jid
+
+    def dataset_graph(self, sql_text: str) -> list[dict]:
+        """Dataset lineage for a statement (the jobs page's
+        `/jobs-listing/{id}/datasetGraph` — JobsListingResource.java:166
+        over JobDatasetGraphUI.of): every dataset the statement's
+        FROM/JOIN clauses reference, VDS expanded RECURSIVELY through
+        their stored view SQL (parents chain), with the reflections
+        anchored on each dataset attached.  Catalog-sized string work
+        on the driver — no planning, no Spark jobs; resolution of
+        physical names goes through `table()` so source/dir/versioned
+        namespaces all classify correctly."""
+        def refs(sql: str) -> list[str]:
+            clean = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", sql)
+            clean = re.sub(r"--[^\n]*", "", clean)
+            return re.findall(
+                r"\b(?:from|join)\s+(`?[A-Za-z_][\w.]*`?)",
+                clean, re.I)
+
+        vds_sql: dict[str, str] = {}
+        for sp_name, sp in self.spaces.items():
+            for vname, vsql in sp.vds.items():
+                vds_sql[f"{sp_name}.{vname}"] = vsql
+        store = getattr(self, "_refl_store", None)
+
+        def refl_names(path: str) -> list[str]:
+            if store is None:
+                return []
+            return sorted(
+                r.name for r in list(store._reflections.values())
+                + list(store._raw.values()) if r.table == path)
+
+        nodes: dict[str, dict] = {}
+
+        def visit(path: str) -> None:
+            path = path.strip("`")
+            if path in nodes:
+                return
+            if path in vds_sql:
+                node = {"id": path, "datasetPath": path.split("."),
+                        "datasetType": "VIRTUAL_DATASET",
+                        "sql": vds_sql[path], "parents": [],
+                        "reflections": refl_names(path)}
+                # insert BEFORE recursing: a cyclic view chain must
+                # terminate, not hang the jobs page
+                nodes[path] = node
+                for p in refs(vds_sql[path]):
+                    p = p.strip("`")
+                    visit(p)
+                    if p in nodes and p not in node["parents"]:
+                        node["parents"].append(p)
+                return
+            try:
+                self.table(path)
+            except Exception:  # noqa: BLE001 — subquery alias, TVF, …
+                return
+            nodes[path] = {"id": path, "datasetPath": path.split("."),
+                           "datasetType": "PHYSICAL_DATASET",
+                           "parents": [],
+                           "reflections": refl_names(path)}
+
+        for name in refs(sql_text):
+            visit(name)
+        return list(nodes.values())
 
     def finish_job(self, jid: str, df: DataFrame | None = None,
                    state: str = "COMPLETED",
@@ -3361,6 +3426,21 @@ class Engine:
         return t.get(kind, True)
 
     def _try_accelerate(self, query: str) -> DataFrame | None:
+        """Wrapper recording the probe's substitution CANDIDATES for
+        the job profile's acceleration section (the reference lists
+        considered/matched reflections per query): every matcher funnels
+        through ReflectionStore._note_candidates, reset here per probe."""
+        store = getattr(self, "_refl_store", None)
+        if store is not None:
+            store.last_candidates = []
+        try:
+            return self._try_accelerate_probe(query)
+        finally:
+            self.last_plan_considered = list(
+                getattr(store, "last_candidates", [])
+                if store is not None else [])
+
+    def _try_accelerate_probe(self, query: str) -> DataFrame | None:
         """Transparent reflection substitution for plain SQL (the
         reference's core acceleration UX: SubstitutionProvider matches
         the user's query tree and answers from a materialization without

@@ -1147,7 +1147,19 @@ class ReflectionStore:
         covering = [r for r in self._reflections.values()
                     if r.covers(q) and not self.is_expired(r)
                     and (accept is None or accept(r))]
+        self._note_candidates(covering)
         return min(covering, key=cost) if covering else None
+
+    def _note_candidates(self, refls) -> None:
+        """Substitution-candidate log for the job profile's
+        acceleration section (the reference records considered/
+        matched reflections per query): the engine resets
+        `last_candidates` at probe start and reads it after — a
+        driver-side list append, nothing touches data."""
+        cur = getattr(self, "last_candidates", None)
+        if cur is None:
+            cur = self.last_candidates = []
+        cur.extend(r.name for r in refls if r.name not in cur)
 
     def scan_materialization(self, refl: Reflection,
                              filters: tuple[str, ...]) -> DataFrame:

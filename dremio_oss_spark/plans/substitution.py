@@ -2119,24 +2119,27 @@ def match_and_execute_raw(store, ex: ExtractedScan, accept=None):
     from pyspark.sql import functions as F
 
     need = ex.needed_cols
-    for refl in store._raw.values():
+    covering = [
+        refl for refl in store._raw.values()
         if (not getattr(refl, "invalid", False)
-                and not store.is_expired(refl)
-                and refl.table == ex.table and need <= set(refl.cols)
-                and (accept is None or accept(refl))):
-            mat = store._read_data(store._data_dir(refl))
-            df = mat
-            for f in ex.filters:
-                df = df.where(f)
-            if ex.order_by:
-                # sort on BASE columns before the projection — the sort
-                # key may be a column the final SELECT drops
-                df = df.orderBy(*[_sort_col(F.col(c), asc, nf)
-                                  for c, asc, nf in ex.order_by])
-            df = df.select(*[F.col(c).alias(n) for n, c in ex.outputs])
-            if ex.limit is not None:
-                df = df.limit(ex.limit)
-            return df, refl.name
+            and not store.is_expired(refl)
+            and refl.table == ex.table and need <= set(refl.cols)
+            and (accept is None or accept(refl)))]
+    store._note_candidates(covering)
+    for refl in covering:
+        mat = store._read_data(store._data_dir(refl))
+        df = mat
+        for f in ex.filters:
+            df = df.where(f)
+        if ex.order_by:
+            # sort on BASE columns before the projection — the sort
+            # key may be a column the final SELECT drops
+            df = df.orderBy(*[_sort_col(F.col(c), asc, nf)
+                              for c, asc, nf in ex.order_by])
+        df = df.select(*[F.col(c).alias(n) for n, c in ex.outputs])
+        if ex.limit is not None:
+            df = df.limit(ex.limit)
+        return df, refl.name
     return None
 
 

@@ -142,6 +142,7 @@ class JobTelemetryStore:
                 "duration": None, "planningTimeMs": None,
                 "executionTimeMs": None, "isAccelerated": False,
                 "accelerated_by": None, "rowsReturned": None,
+                "consideredReflections": [],
                 "error": None, "plan": None, "operators": [],
                 "phases": [], "isComplete": False, "cached_plan": False,
                 "wlmQueue": None,
@@ -162,7 +163,8 @@ class JobTelemetryStore:
     def planned(self, jid: str, planning_ms: float,
                 accelerated_by: str | None = None,
                 cached: bool = False,
-                wlm_queue: str | None = None) -> None:
+                wlm_queue: str | None = None,
+                considered: list[str] | None = None) -> None:
         with self._lock:
             job = self._jobs.get(jid)
             if job is None:
@@ -170,6 +172,9 @@ class JobTelemetryStore:
             job["planningTimeMs"] = round(planning_ms, 3)
             job["accelerated_by"] = accelerated_by
             job["isAccelerated"] = bool(accelerated_by)
+            # substitution candidates the probe considered (the
+            # reference profile's acceleration section)
+            job["consideredReflections"] = list(considered or [])
             job["cached_plan"] = cached
             if wlm_queue is not None:
                 job["wlmQueue"] = wlm_queue

@@ -266,7 +266,9 @@ class EngineFlightServer(flight.FlightServerBase):
                 raise
             tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
                         accelerated_by=getattr(
-                            self.engine, "last_plan_accelerated", None))
+                            self.engine, "last_plan_accelerated", None),
+                        considered=getattr(
+                            self.engine, "last_plan_considered", None))
             # cache the PLANNED frame under a fresh opaque ticket so
             # DoGet streams this statement's result instead of running
             # engine.sql again (DML executes eagerly inside sql() — a
@@ -370,6 +372,9 @@ class EngineFlightServer(flight.FlightServerBase):
                 tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
                             accelerated_by=getattr(
                                 self.engine, "last_plan_accelerated",
+                                None),
+                            considered=getattr(
+                                self.engine, "last_plan_considered",
                                 None))
             else:
                 df, jid = entry

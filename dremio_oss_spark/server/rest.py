@@ -599,6 +599,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404, {"errorMessage":
                                         f"no job {jid}"})
             return self._send(200, prof)
+        if (_jd_path.startswith("/api/v3/jobs-listing/")
+                and _jd_path.endswith("/datasetGraph")):
+            # GET /jobs-listing/{jobId}/datasetGraph
+            # (JobsListingResource.java:166 — the jobs page's dataset
+            # lineage panel: referenced datasets, VDS parent chains,
+            # reflections per dataset)
+            jid = _jd_path[len("/api/v3/jobs-listing/"):
+                           -len("/datasetGraph")].rstrip("/")
+            prof = self.engine.job_telemetry.profile(jid)
+            if prof is None:
+                return self._send(404, {"errorMessage":
+                                        f"no job {jid}"})
+            with _ENGINE_LOCK:
+                graph = self.engine.dataset_graph(prof["queryText"])
+            return self._send(200, {"datasetGraph": graph})
         if urlparse(self.path).path.rstrip("/") == "/api/v3/jobs-listing":
             # filterable jobs listing (JobsListingResource.java:92-132):
             # ?filter=<sql substring>&state=&user=&sort=&order=&offset=&limit=
@@ -654,7 +669,9 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception:  # noqa: BLE001 — command frames lack stats
                 qname = "SMALL"
             tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
-                        accelerated_by=accelerated, wlm_queue=qname)
+                        accelerated_by=accelerated, wlm_queue=qname,
+                        considered=getattr(
+                            self.engine, "last_plan_considered", None))
             # execution runs OUTSIDE the engine lock: engine.sql already
             # analyzed the plan (views expanded, policies applied, state
             # restored), so concurrent jobs interleave at the Spark
@@ -1152,8 +1169,6 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
-        from . import dac_rest
-
         if dac_rest.handle(self, "PUT"):
             return None
         if self.path.startswith("/api/v3/scripts/"):

@@ -358,3 +358,34 @@ def test_profiled_sql_library_flow(spark):
     failed = [j for j in eng.job_telemetry.listing(state="FAILED")["jobs"]
               if "nope_xyz" in j["queryText"]]
     assert len(failed) == 1 and failed[0]["isComplete"]
+
+
+def test_profile_acceleration_considered_reflections(spark):
+    """The job profile's acceleration section lists the substitution
+    CANDIDATES, not just the chosen one (the reference profile's
+    considered/matched reflections): two covering agg reflections ->
+    both considered, the cheaper chosen; an unaccelerable query
+    considers nothing."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION cons_a "
+            "USING DIMENSIONS (n_regionkey) "
+            "MEASURES (n_nationkey (SUM))")
+    eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION cons_b "
+            "USING DIMENSIONS (n_regionkey, n_name) "
+            "MEASURES (n_nationkey (SUM))")
+    q = ("select n_regionkey, sum(n_nationkey) as s from nation "
+         "group by n_regionkey")
+    df, jid = eng.profiled_sql(q)
+    df.collect()
+    prof = eng.job_telemetry.profile(jid)
+    assert set(prof["consideredReflections"]) == {"cons_a", "cons_b"}
+    # fewer dims wins the costing
+    assert prof["accelerated_by"] == "cons_a"
+    df, jid = eng.profiled_sql("select count(*) as n from region")
+    df.collect()
+    prof = eng.job_telemetry.profile(jid)
+    assert prof["consideredReflections"] == []
+    assert prof["accelerated_by"] is None
