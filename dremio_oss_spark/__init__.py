@@ -11,4 +11,7 @@ and the large-scale data-pipeline operators (dedup, similarity, text).
 from .catalog import Catalog, load, register_testdata
 from .session import build_spark
 
-__all__ = ["Catalog", "build_spark", "load", "register_testdata"]
+__version__ = "0.12.0"  # bumped per build round
+
+__all__ = ["Catalog", "build_spark", "load", "register_testdata",
+           "__version__"]

@@ -546,6 +546,68 @@ def handle_resourcetree(h) -> bool:
 
 
 # --------------------------------------------------------------------------
+# version info + per-user preferences (InformationResource.java:35,
+# UserPreferenceResource.java:58 over userpreference.proto — STARRED
+# is the only preference type, the UI's catalog stars)
+# --------------------------------------------------------------------------
+
+def handle_info(h) -> bool:
+    if urlparse(h.path).path.rstrip("/") != "/api/v3/info":
+        return False
+    from .. import __version__ as _v
+
+    h._send(200, {
+        "version": _v,
+        "buildTime": 0,  # not a build artifact — library install
+        "commit": {"hash": "", "time": 0},
+        "clusterType": f"SPARK/{h.engine.spark.version}"})
+    return True
+
+
+def handle_user_preferences(h, method: str) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    prefix = "/api/v3/users/preferences/"
+    if not p.startswith(prefix):
+        return False
+    parts = p[len(prefix):].split("/")
+    ptype = parts[0].upper()
+    if ptype != "STARRED":  # validatePreferenceType: the only type
+        h._send(400, {"errorMessage":
+                      f"unknown preference type {parts[0]!r}"})
+        return True
+    with _engine_lock():
+        user = _request_user(h)
+        prefs = h.prefs.setdefault(user, [])
+        if len(parts) == 1 and method == "GET":
+            h._send(200, {"preferenceType": ptype, "entities": [
+                {"entityId": e} for e in prefs]})
+            return True
+        if len(parts) == 2 and method in ("PUT", "DELETE"):
+            eid = unquote(parts[1])
+            if method == "PUT":
+                if h._entity_by_id(eid) is None:
+                    h._send(404, {"errorMessage":
+                                  f"no entity {eid!r}"})
+                    return True
+                if eid in prefs:
+                    # addEntityToPreference: duplicate star -> 400
+                    h._send(400, {"errorMessage":
+                                  f"{eid!r} already starred"})
+                    return True
+                prefs.append(eid)
+            else:
+                if eid not in prefs:
+                    h._send(404, {"errorMessage":
+                                  f"{eid!r} is not starred"})
+                    return True
+                prefs.remove(eid)
+            h._send(200, {"preferenceType": ptype, "entities": [
+                {"entityId": e} for e in prefs]})
+            return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # server status / firstuser bootstrap / development options
 # (ServerStatusResource.java:43, BootstrapResource.java:65,
 #  DevelopmentOptionsResource.java:58-88)
@@ -1045,6 +1107,10 @@ def handle(h, method: str) -> bool:
     if handle_sqlrunner(h, method):
         return True
     if handle_devops(h, method):
+        return True
+    if method == "GET" and handle_info(h):
+        return True
+    if handle_user_preferences(h, method):
         return True
     if method == "GET":
         return (handle_version_get(h) or handle_resourcetree(h)

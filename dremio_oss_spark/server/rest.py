@@ -175,6 +175,8 @@ class _Handler(BaseHTTPRequestHandler):
     home = None
     tokens = None
     sqlrunner: dict = None
+    # per-user STARRED entities (UserPreferenceResource.java)
+    prefs: dict = None
 
     def log_message(self, *a):  # quiet
         pass
@@ -1354,7 +1356,7 @@ def serve_rest_background(engine, port: int = 0,
 
     handler = type("BoundHandler", (_Handler,),
                    {"engine": engine, "token": token, "jobs": _Jobs(),
-                    "scripts": {}, "collab": {}, "sqlrunner": {},
+                    "scripts": {}, "collab": {}, "sqlrunner": {}, "prefs": {},
                     "explore": ExploreService(engine),
                     "home": HomeService(engine),
                     "tokens": tokens or TokenManager()})

@@ -750,3 +750,44 @@ def test_job_dataset_graph(rest):
     code, _ = _call(port, "GET",
                     "/api/v3/jobs-listing/nope/datasetGraph")
     assert code == 404
+
+
+def test_info_and_user_preferences(rest):
+    """GET /info version payload (InformationResource.java:35) and the
+    per-user STARRED preference store (UserPreferenceResource.java:
+    58-150): star/unstar catalog entities with duplicate-star 400,
+    unknown-entity 404, unknown-type 400."""
+    eng, port = rest
+    code, info = _call(port, "GET", "/api/v3/info")
+    assert code == 200 and info["version"]
+    assert info["clusterType"].startswith("SPARK/")
+    eng.create_space("favs")
+    eng.create_vds("favs", "starme", "select 1 as one")
+    code, out = _call(port, "GET",
+                      "/api/v3/users/preferences/starred")
+    assert code == 200 and out["entities"] == []
+    code, out = _call(port, "PUT",
+                      "/api/v3/users/preferences/starred/"
+                      "dataset%2Ffavs.starme")
+    assert code == 200, out
+    assert out["entities"] == [{"entityId": "dataset/favs.starme"}]
+    # duplicate star -> 400; unknown entity -> 404; bad type -> 400
+    code, _ = _call(port, "PUT",
+                    "/api/v3/users/preferences/starred/"
+                    "dataset%2Ffavs.starme")
+    assert code == 400
+    code, _ = _call(port, "PUT",
+                    "/api/v3/users/preferences/starred/"
+                    "dataset%2Fnope.nope")
+    assert code == 404
+    code, _ = _call(port, "GET",
+                    "/api/v3/users/preferences/followed")
+    assert code == 400
+    code, out = _call(port, "DELETE",
+                      "/api/v3/users/preferences/starred/"
+                      "dataset%2Ffavs.starme")
+    assert code == 200 and out["entities"] == []
+    code, _ = _call(port, "DELETE",
+                    "/api/v3/users/preferences/starred/"
+                    "dataset%2Ffavs.starme")
+    assert code == 404
