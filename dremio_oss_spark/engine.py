@@ -839,17 +839,74 @@ class Engine:
         on the driver — no planning, no Spark jobs; resolution of
         physical names goes through `table()` so source/dir/versioned
         namespaces all classify correctly."""
-        def refs(sql: str) -> list[str]:
-            clean = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", sql)
-            clean = re.sub(r"--[^\n]*", "", clean)
-            return re.findall(
-                r"\b(?:from|join)\s+(`?[A-Za-z_][\w.]*`?)",
-                clean, re.I)
+        _STOP = frozenset((
+            "where", "group", "order", "join", "on", "having", "limit",
+            "union", "left", "right", "inner", "full", "cross",
+            "lateral", "qualify", "using", "values", "select",
+            "window", "natural", "semi", "anti", "except",
+            "intersect", "distribute", "cluster", "sort", "as"))
 
-        vds_sql: dict[str, str] = {}
+        def strip_sql(sql: str) -> str:
+            # ONE pass over string literals and -- comments: stripping
+            # either first corrupts the other (an apostrophe inside a
+            # comment, or '--' inside a literal)
+            out, i, n = [], 0, len(sql)
+            while i < n:
+                c = sql[i]
+                if c == "'":
+                    i += 1
+                    while i < n:
+                        if sql[i] == "\\":
+                            i += 2
+                            continue
+                        if sql[i] == "'":
+                            if i + 1 < n and sql[i + 1] == "'":
+                                i += 2
+                                continue
+                            i += 1
+                            break
+                        i += 1
+                    out.append("''")
+                    continue
+                if c == "-" and sql[i:i + 2] == "--":
+                    while i < n and sql[i] != "\n":
+                        i += 1
+                    continue
+                out.append(c)
+                i += 1
+            return "".join(out)
+
+        def refs(sql: str) -> list[str]:
+            # FROM/JOIN targets INCLUDING old-style comma lists
+            # ("from a, b c, d"), skipping aliases by keyword guard
+            clean = strip_sql(sql)
+            out: list[str] = []
+            for m in re.finditer(r"\b(?:from|join)\s+", clean, re.I):
+                pos = m.end()
+                while True:
+                    mi = re.match(r"`?([A-Za-z_][\w.]*)`?",
+                                  clean[pos:])
+                    if mi is None or mi.group(1).lower() in _STOP:
+                        break
+                    out.append(mi.group(1))
+                    pos += mi.end()
+                    ma = re.match(r"\s+(?:as\s+)?([A-Za-z_]\w*)",
+                                  clean[pos:])
+                    if ma and ma.group(1).lower() not in _STOP:
+                        pos += ma.end()  # table alias
+                    mc = re.match(r"\s*,\s*", clean[pos:])
+                    if mc is None:
+                        break
+                    pos += mc.end()
+            return out
+
+        # Spark SQL identifiers are case-insensitive: match lowered,
+        # display the catalog's stored spelling
+        vds_sql: dict[str, tuple[str, str]] = {}
         for sp_name, sp in self.spaces.items():
             for vname, vsql in sp.vds.items():
-                vds_sql[f"{sp_name}.{vname}"] = vsql
+                canon = f"{sp_name}.{vname}"
+                vds_sql[canon.lower()] = (canon, vsql)
         store = getattr(self, "_refl_store", None)
 
         def refl_names(path: str) -> list[str]:
@@ -857,36 +914,40 @@ class Engine:
                 return []
             return sorted(
                 r.name for r in list(store._reflections.values())
-                + list(store._raw.values()) if r.table == path)
+                + list(store._raw.values())
+                if r.table.lower() == path.lower())
 
         nodes: dict[str, dict] = {}
 
-        def visit(path: str) -> None:
-            path = path.strip("`")
-            if path in nodes:
-                return
-            if path in vds_sql:
-                node = {"id": path, "datasetPath": path.split("."),
+        def visit(path: str) -> str | None:
+            """Returns the node key, or None when not a dataset."""
+            key = path.strip("`").lower()
+            if key in nodes:
+                return key
+            if key in vds_sql:
+                canon, vsql = vds_sql[key]
+                node = {"id": canon, "datasetPath": canon.split("."),
                         "datasetType": "VIRTUAL_DATASET",
-                        "sql": vds_sql[path], "parents": [],
-                        "reflections": refl_names(path)}
+                        "sql": vsql, "parents": [],
+                        "reflections": refl_names(key)}
                 # insert BEFORE recursing: a cyclic view chain must
                 # terminate, not hang the jobs page
-                nodes[path] = node
-                for p in refs(vds_sql[path]):
-                    p = p.strip("`")
-                    visit(p)
-                    if p in nodes and p not in node["parents"]:
-                        node["parents"].append(p)
-                return
+                nodes[key] = node
+                for p in refs(vsql):
+                    pk = visit(p)
+                    pid = nodes[pk]["id"] if pk else None
+                    if pid and pid not in node["parents"]:
+                        node["parents"].append(pid)
+                return key
             try:
-                self.table(path)
+                self.table(key)
             except Exception:  # noqa: BLE001 — subquery alias, TVF, …
-                return
-            nodes[path] = {"id": path, "datasetPath": path.split("."),
-                           "datasetType": "PHYSICAL_DATASET",
-                           "parents": [],
-                           "reflections": refl_names(path)}
+                return None
+            nodes[key] = {"id": key, "datasetPath": key.split("."),
+                          "datasetType": "PHYSICAL_DATASET",
+                          "parents": [],
+                          "reflections": refl_names(key)}
+            return key
 
         for name in refs(sql_text):
             visit(name)
@@ -1797,6 +1858,30 @@ class Engine:
                     store._stamp(refl)
                 except Exception:  # noqa: BLE001 — quarantine, don't raise
                     refl.invalid = True
+
+    def clear_all_materializations(self) -> int:
+        """DevelopmentOptionsResource.clearMaterializations: mark EVERY
+        reflection (agg AND raw) stale and rebuild INLINE, regardless
+        of the background auto-refresh conf — an explicit admin action,
+        so no query ever reads a cleared materialization.  Same
+        quarantine contract as `_refresh_stale_reflections`: a broken
+        rebuild marks the reflection invalid instead of raising."""
+        store = getattr(self, "_refl_store", None)
+        if store is None:
+            return 0
+        refls = (list(store._reflections.values())
+                 + list(store._raw.values()))
+        for r in refls:
+            r.stale = True
+        for r in refls:
+            try:
+                self._refresh_stale_reflection(r)
+                r.stale = False
+                r.invalid = False
+                store._stamp(r)
+            except Exception:  # noqa: BLE001 — quarantine, don't raise
+                r.invalid = True
+        return len(refls)
 
     # -- Hive UDF loading (plugins/hive-function-registry) ------------------
     def register_hive_udf(self, name: str, class_name: str, jar_path: str) -> None:
@@ -3663,6 +3748,9 @@ class Engine:
             except Exception:
                 return None  # sound fall-through: plan normally
             self.last_plan_accelerated = hits[0][0].name
+            # the matched external reflection is a considered candidate
+            # (profile contract: accelerated_by is always in the list)
+            self._refl_store._note_candidates([h[0] for h in hits])
             return df
         finally:
             # restore the session bindings no matter what — a leaked
@@ -3839,6 +3927,7 @@ class Engine:
                         df = conform(cand)
                         if df is not None:
                             self.last_plan_accelerated = refl.name
+                            store._note_candidates([refl])
                             return df
                     finally:
                         # restore no matter what: a leaked swap would
@@ -4816,6 +4905,7 @@ class Engine:
             self.plan_cache_hits += 1
             self.last_plan_accelerated = ent[2]
             self.last_count_from_metadata = ent[3]
+            self.last_plan_considered = list(ent[4])
             self._query_seq += 1
             self._last_query_id = f"q-{self._query_seq}"
             return ent[1]
@@ -4827,7 +4917,8 @@ class Engine:
         gen = _gen()
         cache[key] = (gen, df,
                       self.last_plan_accelerated,
-                      self.last_count_from_metadata)
+                      self.last_count_from_metadata,
+                      list(getattr(self, "last_plan_considered", [])))
         try:
             cap = int(self.spark.conf.get(
                 "spark.dremio.plancache.maxsize", "128"))
@@ -4848,8 +4939,10 @@ class Engine:
         self.last_count_from_metadata = None
         # reset HERE, not only inside _try_accelerate: statements that
         # return from earlier handlers (DDL, lake DML, SHOW ...) must
-        # not inherit the previous query's acceleration marker
+        # not inherit the previous query's acceleration marker —
+        # same for the considered-candidates list
         self.last_plan_accelerated = None
+        self.last_plan_considered = []
         if self._policy_built_for:
             self._ensure_policy_views()
         # catalog statements Spark SQL lacks: SHOW BRANCHES/TAGS/LOGS IN '<path>'

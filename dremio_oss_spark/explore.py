@@ -391,10 +391,19 @@ def _field_transform_sql(ft: dict, operand: str) -> str:
             # TO_DATE(epoch) is UTC-fixed
             return (f"DATE_ADD(DATE '1970-01-01', "
                     f"CAST(FLOOR(({sec}) / 86400) AS INT))")
-        ts = f"TIMESTAMP_SECONDS({sec})"
         if want == "TIME":
-            return f"DATE_FORMAT({ts}, 'HH:mm:ss')"
-        return ts
+            # seconds-of-day arithmetic, not DATE_FORMAT of the
+            # instant: rendering goes through the SESSION zone and
+            # would shift every serial by the UTC offset (same skew
+            # class as the DATE branch) — the reference's
+            # TO_TIME(epoch) is UTC-fixed
+            sod = f"PMOD(CAST(FLOOR({sec}) AS BIGINT), 86400)"
+            return (f"CONCAT(LPAD(CAST(FLOOR(({sod}) / 3600) AS "
+                    f"STRING), 2, '0'), ':', "
+                    f"LPAD(CAST(FLOOR(PMOD({sod}, 3600) / 60) AS "
+                    f"STRING), 2, '0'), ':', "
+                    f"LPAD(CAST(PMOD({sod}, 60) AS STRING), 2, '0'))")
+        return f"TIMESTAMP_SECONDS({sec})"
     if kind == "ConvertDateToNumber":
         dn = ft["dateToNumber"]
         want = dn.get("desiredType", "INTEGER")

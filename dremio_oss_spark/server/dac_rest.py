@@ -695,28 +695,8 @@ def handle_devops(h, method: str) -> bool:
         h._send(200, {"initialized": True})
         return True
     if tail == "/clearall" and method == "POST":
-        # clearMaterializations: EVERY reflection's materialization
-        # (agg AND raw) is invalidated and rebuilt inline — an explicit
-        # admin action, so it rebuilds even when the background
-        # auto-refresh conf is off; no query ever reads a cleared
-        # directory because the swap happens under the engine lock
         with _engine_lock():
-            store = getattr(eng, "_refl_store", None)
-            n = 0
-            if store is not None:
-                refls = (list(store._reflections.values())
-                         + list(store._raw.values()))
-                for r in refls:
-                    r.stale = True
-                    n += 1
-                for r in refls:
-                    try:
-                        eng._refresh_stale_reflection(r)
-                        r.stale = False
-                        r.invalid = False
-                        store._stamp(r)
-                    except Exception:  # noqa: BLE001 — quarantine,
-                        r.invalid = True  # same as auto-refresh
+            n = eng.clear_all_materializations()
         h._send(200, {"cleared": n})
         return True
     return False

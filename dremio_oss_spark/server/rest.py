@@ -283,7 +283,16 @@ class _Handler(BaseHTTPRequestHandler):
 
         if dac_rest.handle(self, "GET"):
             return None
-        if self.path.rstrip("/") == "/api/v3/catalog":
+        from urllib.parse import parse_qs as _pq
+        from urllib.parse import urlparse as _up
+
+        if _up(self.path).path.rstrip("/") == "/api/v3/catalog":
+            # ?include=datasetCount attaches CatalogItemStats to
+            # containers (CatalogResource.java:75 include param over
+            # CatalogServiceHelper's BoundedDatasetCount) — catalog
+            # dict sizes, no data touched, never bounded here
+            want_stats = "datasetCount" in _pq(
+                _up(self.path).query).get("include", [])
             try:
                 with _ENGINE_LOCK:
                     rows = [
@@ -295,7 +304,12 @@ class _Handler(BaseHTTPRequestHandler):
                         self.engine.information_schema_tables().collect()]
                     rows += [
                         {"name": s, "schema": "", "type": "CONTAINER",
-                         "entityType": "space", "id": f"space/{s}"}
+                         "entityType": "space", "id": f"space/{s}",
+                         **({"stats": {
+                             "datasetCount":
+                                 len(self.engine.spaces[s].vds),
+                             "datasetCountBounded": False}}
+                            if want_stats else {})}
                         for s in sorted(self.engine.spaces)]
             except Exception as e:  # error envelope, like the POST path
                 return self._send(500, {"errorMessage":
@@ -661,6 +675,10 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.engine.sql(sql)
                 accelerated = getattr(
                     self.engine, "last_plan_accelerated", None)
+                # snapshot INSIDE the lock, like accelerated: another
+                # job's planning overwrites the engine attr otherwise
+                considered = list(getattr(
+                    self.engine, "last_plan_considered", []))
             # cost-based WLM routing: classify by Catalyst's plan-size
             # estimate, queue-admit the EXECUTION (planning never
             # queues — the reference costs at plan time and queues the
@@ -672,8 +690,7 @@ class _Handler(BaseHTTPRequestHandler):
                 qname = "SMALL"
             tel.planned(jid, (_time.perf_counter() - t_plan) * 1000,
                         accelerated_by=accelerated, wlm_queue=qname,
-                        considered=getattr(
-                            self.engine, "last_plan_considered", None))
+                        considered=considered)
             # execution runs OUTSIDE the engine lock: engine.sql already
             # analyzed the plan (views expanded, policies applied, state
             # restored), so concurrent jobs interleave at the Spark

@@ -791,3 +791,26 @@ def test_info_and_user_preferences(rest):
                     "/api/v3/users/preferences/starred/"
                     "dataset%2Ffavs.starme")
     assert code == 404
+
+
+def test_catalog_include_dataset_count(rest):
+    """GET /catalog?include=datasetCount attaches CatalogItemStats to
+    containers (CatalogResource.java:75); without the include param no
+    stats field appears."""
+    eng, port = rest
+    eng.create_space("counted")
+    eng.create_vds("counted", "a", "select 1 as x")
+    eng.create_vds("counted", "b", "select 2 as x")
+    code, out = _call(port, "GET",
+                      "/api/v3/catalog?include=datasetCount")
+    assert code == 200
+    sp = next(r for r in out["data"]
+              if r.get("entityType") == "space"
+              and r["name"] == "counted")
+    assert sp["stats"] == {"datasetCount": 2,
+                           "datasetCountBounded": False}
+    code, out = _call(port, "GET", "/api/v3/catalog")
+    sp = next(r for r in out["data"]
+              if r.get("entityType") == "space"
+              and r["name"] == "counted")
+    assert "stats" not in sp

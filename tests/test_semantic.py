@@ -389,3 +389,57 @@ def test_profile_acceleration_considered_reflections(spark):
     prof = eng.job_telemetry.profile(jid)
     assert prof["consideredReflections"] == []
     assert prof["accelerated_by"] is None
+
+
+def test_review_findings_r12_lineage_and_considered(spark):
+    """Pins for the third self-review pass: consideredReflections
+    resets for non-probe statements and carries through plan-cache
+    hits; dataset_graph is case-insensitive, parses comma joins, and
+    survives apostrophes in comments; number->TIME serials are
+    session-timezone-free."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng.sql("ALTER TABLE nation CREATE AGGREGATE REFLECTION pin_agg "
+            "USING DIMENSIONS (n_regionkey) "
+            "MEASURES (n_nationkey (SUM))")
+    q = ("select n_regionkey, sum(n_nationkey) as s from nation "
+         "group by n_regionkey")
+    eng.sql(q)
+    assert eng.last_plan_considered == ["pin_agg"]
+    # a statement that never probes must not inherit the list
+    eng.sql("show schemas")
+    assert eng.last_plan_considered == []
+    # plan-cache hit restores the considered list with the frame
+    eng.sql(q)  # miss or hit — prime
+    eng.sql(q)  # definite hit
+    assert eng.last_plan_considered == ["pin_agg"]
+    assert eng.last_plan_accelerated == "pin_agg"
+    # dataset_graph: case-insensitive VDS + reflections, comma joins,
+    # comment apostrophes
+    eng.create_space("pin")
+    eng.create_vds("pin", "v1", "select n_nationkey, n_regionkey "
+                                "from nation")
+    g = eng.dataset_graph(
+        "select * -- don't trip on this\n"
+        "from PIN.V1 p, region r where p.n_regionkey = r.r_regionkey")
+    nodes = {n["id"]: n for n in g}
+    assert nodes["pin.v1"]["datasetType"] == "VIRTUAL_DATASET"
+    assert nodes["pin.v1"]["parents"] == ["nation"]
+    assert "region" in nodes  # comma-join table captured
+    assert "pin_agg" in nodes["nation"]["reflections"]
+    # NUMBER->TIME serial is zone-free
+    from dremio_oss_spark.explore import _field_transform_sql
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        expr = _field_transform_sql(
+            {"type": "ConvertNumberToDate",
+             "numberToDate": {"format": "EPOCH",
+                              "desiredType": "TIME"}}, "3661")
+        got = spark.sql(f"select {expr} as t").first()["t"]
+        assert got == "01:01:01", got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
