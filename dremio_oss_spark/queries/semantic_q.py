@@ -321,6 +321,58 @@ order by o_orderkey limit 200
 """
 
 
+def explore_reapply(spark: SparkSession, sf: str) -> DataFrame:
+    """editOriginalSql (DatasetVersionResource.java:999 /
+    Transformer.editOriginalSql:143): replay the stored transform
+    chain from the root state and run the REGENERATED head SQL — the
+    'transforms are the source of truth' contract, value-checked
+    against the oracle's hand-written replay of the same chain
+    (rename → range filter → group-by → sort)."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("customer", "r0")
+    svc.transform("tmp.UNTITLED", "r0", {
+        "type": "rename", "oldColumnName": "c_mktsegment",
+        "newColumnName": "segment"}, "r1")
+    svc.transform("tmp.UNTITLED", "r1", {
+        "type": "filter", "sourceColumnName": "c_acctbal",
+        "filter": {"type": "Range", "range": {
+            "lowerBound": "0", "dataType": "FLOAT"}}}, "r2")
+    svc.transform("tmp.UNTITLED", "r2", {
+        "type": "groupBy",
+        "columnsDimensions": [{"column": "segment"}],
+        "columnsMeasures": [
+            {"type": "Count_Star"},
+            {"type": "Average", "column": "c_acctbal"}]}, "r3")
+    svc.transform("tmp.UNTITLED", "r3", {
+        "type": "sort", "sortedColumnName": "segment",
+        "order": "ASC"}, "r4")
+    head_sql = svc.get_version("tmp.UNTITLED", "r4")["sql"]
+    out = svc.reapply("tmp.UNTITLED", "r4", "r5")
+    assert out["sql"] == head_sql  # regeneration is EXACT
+    df = eng.sql(out["sql"])
+    # decimal-cast the float aggregate (oracle-hash stability; see
+    # queries/tpch.py docstring)
+    return df.select(
+        "segment", "Count_Star",
+        F.round(F.col("Average_c_acctbal").cast("decimal(18,3)"),
+                2).cast("double").alias("avg_bal"))
+
+
+EXPLORE_REAPPLY_SQL = """
+select c_mktsegment as segment,
+       count(*) as Count_Star,
+       cast(round(cast(avg(c_acctbal) as decimal(18,3)), 2) as double) as avg_bal
+from customer
+where c_acctbal > 0
+group by c_mktsegment
+order by segment
+"""
+
+
 SEMANTIC_QUERIES = {
     "cat_vds_query": vds_query,
     "cat_information_schema": info_schema,
@@ -328,6 +380,7 @@ SEMANTIC_QUERIES = {
     "cat_explore_transforms": explore_transforms,
     "cat_explore_field_transforms": explore_field_transforms,
     "cat_explore_clean_transforms": explore_clean_transforms,
+    "cat_explore_reapply": explore_reapply,
 }
 
 SEMANTIC_ORACLE = {
@@ -337,4 +390,5 @@ SEMANTIC_ORACLE = {
     "cat_explore_transforms": EXPLORE_TRANSFORMS_SQL,
     "cat_explore_field_transforms": EXPLORE_FIELD_TRANSFORMS_SQL,
     "cat_explore_clean_transforms": EXPLORE_CLEAN_TRANSFORMS_SQL,
+    "cat_explore_reapply": EXPLORE_REAPPLY_SQL,
 }
