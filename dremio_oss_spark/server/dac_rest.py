@@ -872,6 +872,23 @@ def handle_job_download(h) -> bool:
             json.dumps(dict(zip(names, row)))
             for row in rows).encode()
         ctype, fname = "application/json", f"{jid}.json"
+    elif fmt == "parquet":
+        # DownloadFormat.PARQUET (DatasetDownloadManager.java:76) —
+        # columns carry the stored rows' JSON projection types
+        # (dates/decimals stringified at store time, like the /sql
+        # response the rows came from)
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {n: [row[i] for row in rows]
+                for i, n in enumerate(names)}
+        buf = io.BytesIO()
+        pq.write_table(pa.table(cols), buf)
+        body = buf.getvalue()
+        ctype = "application/octet-stream"
+        fname = f"{jid}.parquet"
     else:
         h._send(400, {"errorMessage": f"unsupported format {fmt}"})
         return True

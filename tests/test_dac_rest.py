@@ -814,3 +814,26 @@ def test_catalog_include_dataset_count(rest):
               if r.get("entityType") == "space"
               and r["name"] == "counted")
     assert "stats" not in sp
+
+
+def test_job_download_parquet(rest):
+    """format=parquet streams a readable parquet file of the stored
+    result set (DownloadFormat.PARQUET,
+    DatasetDownloadManager.java:76)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    eng, port = rest
+    code, out = _call(port, "POST", "/api/v3/sql",
+                      body={"sql": "select r_regionkey, r_name "
+                                   "from region order by r_regionkey"})
+    assert code == 200, out
+    jid = out["id"]
+    code, raw = _call(port, "GET",
+                      f"/api/v3/job/{jid}/download?format=parquet",
+                      raw=True)
+    assert code == 200
+    t = pq.read_table(io.BytesIO(raw))
+    assert t.num_rows == 5
+    assert t.column("r_regionkey").to_pylist() == [0, 1, 2, 3, 4]
