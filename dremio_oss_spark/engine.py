@@ -847,30 +847,39 @@ class Engine:
             "intersect", "distribute", "cluster", "sort", "as"))
 
         def strip_sql(sql: str) -> str:
-            # ONE pass over string literals and -- comments: stripping
-            # either first corrupts the other (an apostrophe inside a
-            # comment, or '--' inside a literal)
+            # ONE pass over ' and " string literals, -- line comments
+            # and /* */ block comments: stripping any of these with
+            # separate regexes corrupts the others (an apostrophe
+            # inside a comment, '--' inside a literal, a quote inside
+            # a block comment).  An unterminated context consumes to
+            # EOF by construction — same as the SQL parser would.
             out, i, n = [], 0, len(sql)
             while i < n:
                 c = sql[i]
-                if c == "'":
+                if c in ("'", '"'):  # Spark: both are string literals
+                    q = c
                     i += 1
                     while i < n:
                         if sql[i] == "\\":
                             i += 2
                             continue
-                        if sql[i] == "'":
-                            if i + 1 < n and sql[i + 1] == "'":
-                                i += 2
+                        if sql[i] == q:
+                            if i + 1 < n and sql[i + 1] == q:
+                                i += 2  # doubled quote stays inside
                                 continue
                             i += 1
                             break
                         i += 1
-                    out.append("''")
+                    out.append(q + q)
                     continue
                 if c == "-" and sql[i:i + 2] == "--":
                     while i < n and sql[i] != "\n":
                         i += 1
+                    continue
+                if c == "/" and sql[i:i + 2] == "/*":
+                    end = sql.find("*/", i + 2)
+                    i = n if end < 0 else end + 2
+                    out.append(" ")
                     continue
                 out.append(c)
                 i += 1
@@ -921,7 +930,8 @@ class Engine:
 
         def visit(path: str) -> str | None:
             """Returns the node key, or None when not a dataset."""
-            key = path.strip("`").lower()
+            disp = path.strip("`")
+            key = disp.lower()
             if key in nodes:
                 return key
             if key in vds_sql:
@@ -943,7 +953,9 @@ class Engine:
                 self.table(key)
             except Exception:  # noqa: BLE001 — subquery alias, TVF, …
                 return None
-            nodes[key] = {"id": key, "datasetPath": key.split("."),
+            # id keeps the QUERY's spelling (like the VDS branch keeps
+            # the catalog's) — resolution alone is case-insensitive
+            nodes[key] = {"id": disp, "datasetPath": disp.split("."),
                           "datasetType": "PHYSICAL_DATASET",
                           "parents": [],
                           "reflections": refl_names(key)}

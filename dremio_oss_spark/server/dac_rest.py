@@ -877,15 +877,21 @@ def handle_job_download(h) -> bool:
         # columns carry the stored rows' JSON projection types
         # (dates/decimals stringified at store time, like the /sql
         # response the rows came from)
-        import io
+        try:
+            import io
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-        cols = {n: [row[i] for row in rows]
-                for i, n in enumerate(names)}
-        buf = io.BytesIO()
-        pq.write_table(pa.table(cols), buf)
+            cols = {n: [row[i] for row in rows]
+                    for i, n in enumerate(names)}
+            buf = io.BytesIO()
+            pq.write_table(pa.table(cols), buf)
+        except Exception as e:  # noqa: BLE001 — arrow absent or
+            # rows it cannot type: an error BODY, not a dropped socket
+            h._send(400, {"errorMessage":
+                          f"parquet download failed: {e}"})
+            return True
         body = buf.getvalue()
         ctype = "application/octet-stream"
         fname = f"{jid}.parquet"
@@ -932,6 +938,8 @@ def _backup_payload(h) -> dict:
                 for obj, privs in eng._acl.items()},
         "scripts": dict(h.scripts or {}),
         "collab": dict(h.collab or {}),
+        "prefs": {u: list(es)
+                  for u, es in (h.prefs or {}).items() if es},
     }
 
 
@@ -977,6 +985,10 @@ def _restore_payload(h, data: dict) -> dict:
     if h.collab is not None:
         for eid, c in (data.get("collab") or {}).items():
             h.collab.setdefault(eid, c)
+    if h.prefs is not None:
+        for u, es in (data.get("prefs") or {}).items():
+            cur = h.prefs.setdefault(u, [])
+            cur.extend(e for e in es if e not in cur)
     return counts
 
 
@@ -1056,6 +1068,7 @@ def handle_admin(h, method: str) -> bool:
             "roles": len(eng._role_defs),
             "scripts": len(h.scripts or {}),
             "collab": len(h.collab or {}),
+            "prefs": sum(len(v) for v in (h.prefs or {}).values()),
             "jobs": len(h.jobs._jobs) if h.jobs else 0,
             "profiles": (len(tel.listing(
                 limit=100000).get("jobs", []))

@@ -837,3 +837,42 @@ def test_job_download_parquet(rest):
     t = pq.read_table(io.BytesIO(raw))
     assert t.num_rows == 5
     assert t.column("r_regionkey").to_pylist() == [0, 1, 2, 3, 4]
+
+
+def test_prefs_survive_backup_restore(rest, tmp_path):
+    """Review pin: STARRED preferences ride the backup payload and
+    restore into a fresh server, like sibling handler state
+    (scripts/collab); the kvstore report counts them."""
+    import json as _j
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng, port = rest
+    eng.create_space("bk")
+    eng.create_vds("bk", "v", "select 1 as x")
+    code, _ = _call(port, "PUT",
+                    "/api/v3/users/preferences/starred/"
+                    "dataset%2Fbk.v")
+    assert code == 200
+    bdir = str(tmp_path / "bk")
+    code, out = _call(port, "POST", "/api/v3/backup",
+                      body={"backupDir": bdir})
+    assert code == 200, out
+    payload = _j.load(open(f"{bdir}/catalog_backup.json"))
+    assert payload["prefs"] == {"admin": ["dataset/bk.v"]}
+    code, rep = _call(port, "GET",
+                      "/api/v3/kvstore/report?store=prefs")
+    assert rep["stores"] == [{"name": "prefs", "records": 1}]
+    # restore into a fresh server: the star comes back
+    eng2 = Engine(eng.spark)
+    server2, _t = serve_rest_background(eng2)
+    port2 = server2.server_address[1]
+    try:
+        code, out = _call(port2, "POST", "/api/v3/backup/restore",
+                          body={"backupDir": bdir})
+        assert code == 200, out
+        code, out = _call(port2, "GET",
+                          "/api/v3/users/preferences/starred")
+        assert out["entities"] == [{"entityId": "dataset/bk.v"}]
+    finally:
+        server2.shutdown()

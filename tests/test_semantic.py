@@ -443,3 +443,23 @@ def test_review_findings_r12_lineage_and_considered(spark):
         assert got == "01:01:01", got
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_dataset_graph_block_comments_and_double_quotes(spark):
+    """Review pin: the lineage scanner handles /* */ block comments
+    and double-quoted strings in one pass — an apostrophe inside
+    either must not swallow later FROM clauses; physical node ids keep
+    the query's spelling."""
+    from dremio_oss_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    g = eng.dataset_graph(
+        '/* don\'t */ select * from nation n '
+        'join region r on n.n_regionkey = r.r_regionkey '
+        'where r.r_name <> "it\'s fine" '
+        "union all select * from nation, region")
+    ids = {n["id"] for n in g}
+    assert ids == {"nation", "region"}
+    g = eng.dataset_graph("select * from NATION")
+    assert [n["id"] for n in g] == ["NATION"]  # query spelling kept
