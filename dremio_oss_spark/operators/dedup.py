@@ -27,9 +27,30 @@ N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
+def _hash_mode() -> str:
+    """`spark.dremio.dedup.hash`: `md5` (default — cross-engine
+    deterministic, what the DuckDB oracle replays) or `xxhash64` (the
+    production path: ONE JVM hash call instead of an md5+substr+conv
+    chain, ~10x less per-row hash CPU at 100 TB).  Only the hash
+    EXPRESSION changes — bands, buckets, joins and shuffles are
+    identical, so the plan shape carries over verbatim."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    try:
+        mode = s.conf.get("spark.dremio.dedup.hash", "md5") \
+            if s is not None else "md5"
+    except Exception:  # noqa: BLE001 — session mid-teardown
+        mode = "md5"
+    return (mode or "md5").lower()
+
+
 def _h64(c: Column, seed: int) -> Column:
     """Deterministic 60-bit hash identical in Spark and DuckDB:
-    first 15 hex chars of md5(seed || ':' || value)."""
+    first 15 hex chars of md5(seed || ':' || value).  In xxhash64 mode
+    the oracle cannot replay it — production only."""
+    if _hash_mode() == "xxhash64":
+        return F.xxhash64(F.concat(F.lit(f"{seed}:"), c))
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10)
         .cast("bigint")
@@ -58,6 +79,10 @@ def lane_params(i: int) -> tuple[int, int]:
 
 
 def _hbase(c: Column) -> Column:
+    if _hash_mode() == "xxhash64":
+        # pmod: xxhash64 is signed and the lane affine maps need
+        # h in [0, P) exactly like the md5 path
+        return F.pmod(F.xxhash64(c), F.lit(_P_BASE)).cast("bigint")
     return (
         F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint") % _P_BASE
     )

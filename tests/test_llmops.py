@@ -660,3 +660,43 @@ def test_bpe_train_distributed_path_matches_driver_path(spark):
          bpe_train(df, n_merges=8, driver_max_vocab=0)
          .orderBy("rank").collect()]
     assert a == b and len(a) >= 4
+
+
+def test_dedup_hash_mode_xxhash64(spark):
+    """`spark.dremio.dedup.hash=xxhash64` — the production hash path
+    (one JVM hash call per shingle instead of the md5 chain the DuckDB
+    oracle replays): identical plan shape, md5 fully absent from the
+    signature plan, and exact duplicates still collide into LSH
+    candidate pairs (identical docs hash identically under ANY hash)."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup,
+        minhash_signatures,
+        shingle_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").limit(200)
+    dup = docs.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000))
+    both = docs.unionByName(dup)
+    spark.conf.set("spark.dremio.dedup.hash", "xxhash64")
+    try:
+        sig = minhash_signatures(shingle_table(both))
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan and "md5" not in plan
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in lsh_candidate_pairs(sig).collect()}
+        for r in dup.select("doc_id").collect():
+            orig = r["doc_id"] - 10_000_000
+            assert (orig, r["doc_id"]) in pairs
+        # the full pipeline verifies the exact-duplicate pairs at
+        # jaccard 1.0 under the production hash
+        out = minhash_lsh_dedup(both).collect()
+        verified = {(r["id_a"], r["id_b"]): r for r in out}
+        for r in dup.select("doc_id").collect():
+            key = (r["doc_id"] - 10_000_000, r["doc_id"])
+            assert key in verified
+    finally:
+        spark.conf.unset("spark.dremio.dedup.hash")
