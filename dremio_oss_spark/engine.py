@@ -829,6 +829,79 @@ class Engine:
                         self, "last_plan_considered", None))
         return df, jid
 
+    _SQL_REF_STOP = frozenset((
+        "where", "group", "order", "join", "on", "having", "limit",
+        "union", "left", "right", "inner", "full", "cross",
+        "lateral", "qualify", "using", "values", "select",
+        "window", "natural", "semi", "anti", "except",
+        "intersect", "distribute", "cluster", "sort", "as"))
+
+    @staticmethod
+    def _strip_sql(sql: str) -> str:
+        """ONE pass over ' and " string literals, -- line comments and
+        /* */ block comments: stripping any of these with separate
+        regexes corrupts the others (an apostrophe inside a comment,
+        '--' inside a literal, a quote inside a block comment).  An
+        unterminated context consumes to EOF by construction — same as
+        the SQL parser would."""
+        out, i, n = [], 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c in ("'", '"'):  # Spark: both are string literals
+                q = c
+                i += 1
+                while i < n:
+                    if sql[i] == "\\":
+                        i += 2
+                        continue
+                    if sql[i] == q:
+                        if i + 1 < n and sql[i + 1] == q:
+                            i += 2  # doubled quote stays inside
+                            continue
+                        i += 1
+                        break
+                    i += 1
+                out.append(q + q)
+                continue
+            if c == "-" and sql[i:i + 2] == "--":
+                while i < n and sql[i] != "\n":
+                    i += 1
+                continue
+            if c == "/" and sql[i:i + 2] == "/*":
+                end = sql.find("*/", i + 2)
+                i = n if end < 0 else end + 2
+                out.append(" ")
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    @classmethod
+    def _sql_from_refs(cls, sql: str) -> list[str]:
+        """FROM/JOIN targets INCLUDING old-style comma lists
+        ("from a, b c, d"), skipping aliases by keyword guard —
+        shared by dataset_graph and dataset_descendants."""
+        clean = cls._strip_sql(sql)
+        out: list[str] = []
+        for m in re.finditer(r"\b(?:from|join)\s+", clean, re.I):
+            pos = m.end()
+            while True:
+                mi = re.match(r"`?([A-Za-z_][\w.]*)`?", clean[pos:])
+                if mi is None or mi.group(1).lower() in \
+                        cls._SQL_REF_STOP:
+                    break
+                out.append(mi.group(1))
+                pos += mi.end()
+                ma = re.match(r"\s+(?:as\s+)?([A-Za-z_]\w*)",
+                              clean[pos:])
+                if ma and ma.group(1).lower() not in cls._SQL_REF_STOP:
+                    pos += ma.end()  # table alias
+                mc = re.match(r"\s*,\s*", clean[pos:])
+                if mc is None:
+                    break
+                pos += mc.end()
+        return out
+
     def dataset_graph(self, sql_text: str) -> list[dict]:
         """Dataset lineage for a statement (the jobs page's
         `/jobs-listing/{id}/datasetGraph` — JobsListingResource.java:166
@@ -839,76 +912,7 @@ class Engine:
         on the driver — no planning, no Spark jobs; resolution of
         physical names goes through `table()` so source/dir/versioned
         namespaces all classify correctly."""
-        _STOP = frozenset((
-            "where", "group", "order", "join", "on", "having", "limit",
-            "union", "left", "right", "inner", "full", "cross",
-            "lateral", "qualify", "using", "values", "select",
-            "window", "natural", "semi", "anti", "except",
-            "intersect", "distribute", "cluster", "sort", "as"))
-
-        def strip_sql(sql: str) -> str:
-            # ONE pass over ' and " string literals, -- line comments
-            # and /* */ block comments: stripping any of these with
-            # separate regexes corrupts the others (an apostrophe
-            # inside a comment, '--' inside a literal, a quote inside
-            # a block comment).  An unterminated context consumes to
-            # EOF by construction — same as the SQL parser would.
-            out, i, n = [], 0, len(sql)
-            while i < n:
-                c = sql[i]
-                if c in ("'", '"'):  # Spark: both are string literals
-                    q = c
-                    i += 1
-                    while i < n:
-                        if sql[i] == "\\":
-                            i += 2
-                            continue
-                        if sql[i] == q:
-                            if i + 1 < n and sql[i + 1] == q:
-                                i += 2  # doubled quote stays inside
-                                continue
-                            i += 1
-                            break
-                        i += 1
-                    out.append(q + q)
-                    continue
-                if c == "-" and sql[i:i + 2] == "--":
-                    while i < n and sql[i] != "\n":
-                        i += 1
-                    continue
-                if c == "/" and sql[i:i + 2] == "/*":
-                    end = sql.find("*/", i + 2)
-                    i = n if end < 0 else end + 2
-                    out.append(" ")
-                    continue
-                out.append(c)
-                i += 1
-            return "".join(out)
-
-        def refs(sql: str) -> list[str]:
-            # FROM/JOIN targets INCLUDING old-style comma lists
-            # ("from a, b c, d"), skipping aliases by keyword guard
-            clean = strip_sql(sql)
-            out: list[str] = []
-            for m in re.finditer(r"\b(?:from|join)\s+", clean, re.I):
-                pos = m.end()
-                while True:
-                    mi = re.match(r"`?([A-Za-z_][\w.]*)`?",
-                                  clean[pos:])
-                    if mi is None or mi.group(1).lower() in _STOP:
-                        break
-                    out.append(mi.group(1))
-                    pos += mi.end()
-                    ma = re.match(r"\s+(?:as\s+)?([A-Za-z_]\w*)",
-                                  clean[pos:])
-                    if ma and ma.group(1).lower() not in _STOP:
-                        pos += ma.end()  # table alias
-                    mc = re.match(r"\s*,\s*", clean[pos:])
-                    if mc is None:
-                        break
-                    pos += mc.end()
-            return out
-
+        refs = self._sql_from_refs
         # Spark SQL identifiers are case-insensitive: match lowered,
         # display the catalog's stored spelling
         vds_sql: dict[str, tuple[str, str]] = {}
@@ -964,6 +968,64 @@ class Engine:
         for name in refs(sql_text):
             visit(name)
         return list(nodes.values())
+
+    def move_vds(self, old_path: str, new_path: str) -> str:
+        """Rename/move a VDS (DatasetResource.java:483 renameDataset /
+        :494 moveDataset — both are a namespace move): re-register
+        under the new path, drop the old binding.  Refuses clobbering
+        an existing dataset; pure catalog work."""
+        osp, _, oname = old_path.partition(".")
+        nsp, _, nname = new_path.partition(".")
+        if not (osp and oname and nsp and nname):
+            raise ValueError("dataset paths must be space.name")
+        sp = self.spaces.get(osp)
+        if sp is None or oname not in sp.vds:
+            raise ValueError(f"no such dataset: {old_path}")
+        tgt = self.spaces.get(nsp)
+        if tgt is not None and nname in tgt.vds:
+            raise ValueError(f"dataset exists: {new_path}")
+        self.create_vds(nsp, nname, sp.vds[oname])
+        self.drop_vds(osp, oname)
+        return new_path
+
+    def copy_vds(self, from_path: str, to_path: str) -> str:
+        """copyFrom (DatasetResource.java:466): a new VDS with the
+        source's SQL under the target path."""
+        fsp, _, fname = from_path.partition(".")
+        tsp, _, tname = to_path.partition(".")
+        sp = self.spaces.get(fsp)
+        if sp is None or fname not in sp.vds:
+            raise ValueError(f"no such dataset: {from_path}")
+        tgt = self.spaces.get(tsp)
+        if tgt is not None and tname in tgt.vds:
+            raise ValueError(f"dataset exists: {to_path}")
+        self.create_vds(tsp, tname, sp.vds[fname])
+        return to_path
+
+    def dataset_descendants(self, path: str) -> list[list[str]]:
+        """Every VDS that reads this dataset, DIRECTLY OR TRANSITIVELY
+        (DatasetResource.java:139 getDescendants): BFS over the
+        direct-reference edges parsed from stored view SQL with the
+        same scanner the lineage graph uses.  Catalog-sized driver
+        work."""
+        edges: dict[str, set[str]] = {}  # parent(lower) -> children
+        for sp_name, sp in self.spaces.items():
+            for vname, vsql in sp.vds.items():
+                child = f"{sp_name}.{vname}"
+                for p in self._sql_from_refs(vsql):
+                    edges.setdefault(
+                        p.strip("`").lower(), set()).add(child)
+        out: list[str] = []
+        seen = {path.lower()}
+        frontier = [path.lower()]
+        while frontier:
+            cur = frontier.pop()
+            for child in sorted(edges.get(cur, ())):
+                if child.lower() not in seen:
+                    seen.add(child.lower())
+                    out.append(child)
+                    frontier.append(child.lower())
+        return [c.split(".") for c in sorted(out)]
 
     def finish_job(self, jid: str, df: DataFrame | None = None,
                    state: str = "COMPLETED",

@@ -546,6 +546,77 @@ def handle_resourcetree(h) -> bool:
 
 
 # --------------------------------------------------------------------------
+# dataset-level ops: rename / move / copy / descendants / acceleration
+# settings (explore DatasetResource.java:138-507)
+# --------------------------------------------------------------------------
+
+def handle_dataset_ops(h, method: str) -> bool:
+    p = urlparse(h.path).path.rstrip("/")
+    if not p.startswith("/api/v3/dataset/") or "/version/" in p:
+        return False
+    rest = p[len("/api/v3/dataset/"):]
+    eng = h.engine
+    try:
+        if rest.endswith("/descendants") and method == "GET":
+            cpath = unquote(rest[:-len("/descendants")])
+            with _engine_lock():
+                h._send(200, eng.dataset_descendants(cpath))
+            return True
+        if rest.endswith("/acceleration/settings"):
+            cpath = unquote(rest[:-len("/acceleration/settings")])
+            with _engine_lock():
+                store = eng._default_refl_store()
+                if method == "GET":
+                    pol = store.refresh_policies.get(cpath, {})
+                    r_s, g_s = pol.get("refresh_s"), pol.get("grace_s")
+                    h._send(200, {
+                        "accelerationRefreshPeriod":
+                            int(r_s * 1000) if r_s else 3600_000,
+                        "accelerationGracePeriod":
+                            int(g_s * 1000) if g_s else 10_800_000,
+                        "method": "FULL"})
+                    return True
+                if method == "PUT":
+                    req = h._read_json()
+                    r_ms = req.get("accelerationRefreshPeriod")
+                    g_ms = req.get("accelerationGracePeriod")
+                    store.set_refresh_policy(
+                        cpath,
+                        r_ms / 1000 if r_ms else None,
+                        g_ms / 1000 if g_ms else None)
+                    h._send(200, {"updated": cpath})
+                    return True
+            return False
+        if rest.endswith("/rename") and method == "POST":
+            cpath = unquote(rest[:-len("/rename")])
+            to = _q(h, "renameTo")
+            if not to:
+                h._send(400, {"errorMessage": "renameTo required"})
+                return True
+            space = cpath.partition(".")[0]
+            with _engine_lock():
+                newp = eng.move_vds(cpath, f"{space}.{to}")
+            h._send(200, {"fullPath": newp.split(".")})
+            return True
+        if "/moveTo/" in rest and method == "POST":
+            cpath, _, newp = rest.partition("/moveTo/")
+            with _engine_lock():
+                moved = eng.move_vds(unquote(cpath), unquote(newp))
+            h._send(200, {"fullPath": moved.split(".")})
+            return True
+        if "/copyFrom/" in rest and method == "PUT":
+            cpath, _, src = rest.partition("/copyFrom/")
+            with _engine_lock():
+                copied = eng.copy_vds(unquote(src), unquote(cpath))
+            h._send(200, {"fullPath": copied.split(".")})
+            return True
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
 # version info + per-user preferences (InformationResource.java:35,
 # UserPreferenceResource.java:58 over userpreference.proto — STARRED
 # is the only preference type, the UI's catalog stars)
@@ -1121,6 +1192,8 @@ def handle(h, method: str) -> bool:
     if method == "GET" and handle_info(h):
         return True
     if handle_user_preferences(h, method):
+        return True
+    if handle_dataset_ops(h, method):
         return True
     if method == "GET":
         return (handle_version_get(h) or handle_resourcetree(h)

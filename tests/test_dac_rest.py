@@ -876,3 +876,53 @@ def test_prefs_survive_backup_restore(rest, tmp_path):
         assert out["entities"] == [{"entityId": "dataset/bk.v"}]
     finally:
         server2.shutdown()
+
+
+def test_dataset_ops_rename_move_copy_descendants(rest):
+    """Dataset-level ops (explore DatasetResource.java:138-507):
+    rename within a space, move across spaces (collision-refused),
+    copyFrom, transitive descendants via the stored-SQL reference
+    scanner, and acceleration settings round-trip."""
+    eng, port = rest
+    eng.create_space("ops1")
+    eng.create_space("ops2")
+    eng.create_vds("ops1", "base", "select n_nationkey k, n_regionkey "
+                                   "from nation")
+    eng.create_vds("ops1", "mid", "select k from ops1.base")
+    eng.create_vds("ops2", "top", "select count(*) c from ops1.mid")
+    # descendants of base: mid directly, top transitively
+    code, out = _call(port, "GET",
+                      "/api/v3/dataset/ops1.base/descendants")
+    assert code == 200
+    assert out == [["ops1", "mid"], ["ops2", "top"]]
+    # rename: ops1.mid -> ops1.mid2 (queryable under the new name)
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/ops1.mid/rename?renameTo=mid2")
+    assert code == 200 and out["fullPath"] == ["ops1", "mid2"]
+    assert eng.sql("select * from ops1.mid2").count() == 25
+    # move across spaces; clobber refused
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/ops1.mid2/moveTo/ops2.mid3")
+    assert code == 200 and out["fullPath"] == ["ops2", "mid3"]
+    eng.create_vds("ops1", "blocker", "select 1 x")
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/ops2.mid3/moveTo/ops1.blocker")
+    assert code == 400, out
+    # copyFrom: new VDS with the source SQL
+    code, out = _call(port, "PUT",
+                      "/api/v3/dataset/ops1.copy1/copyFrom/ops2.mid3")
+    assert code == 200 and out["fullPath"] == ["ops1", "copy1"]
+    assert eng.sql("select * from ops1.copy1").count() == 25
+    # acceleration settings round-trip
+    code, st = _call(port, "GET",
+                     "/api/v3/dataset/ops1.base/acceleration/settings")
+    assert code == 200 and st["accelerationRefreshPeriod"] == 3600_000
+    code, _ = _call(port, "PUT",
+                    "/api/v3/dataset/ops1.base/acceleration/settings",
+                    body={"accelerationRefreshPeriod": 60_000,
+                          "accelerationGracePeriod": 120_000})
+    assert code == 200
+    code, st = _call(port, "GET",
+                     "/api/v3/dataset/ops1.base/acceleration/settings")
+    assert st["accelerationRefreshPeriod"] == 60_000
+    assert st["accelerationGracePeriod"] == 120_000
