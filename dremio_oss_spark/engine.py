@@ -969,38 +969,80 @@ class Engine:
             visit(name)
         return list(nodes.values())
 
+    def _vds_at(self, path: str) -> tuple:
+        """(space, stored-name, sql) for a dotted VDS path, matching
+        the stored spelling CASE-INSENSITIVELY (Spark identifiers
+        are); raises when the path does not name a VDS."""
+        spn, _, name = path.partition(".")
+        if not (spn and name):
+            raise ValueError("dataset paths must be space.name")
+        for sp_name, sp in self.spaces.items():
+            if sp_name.lower() != spn.lower():
+                continue
+            for vname, vsql in sp.vds.items():
+                if vname.lower() == name.lower():
+                    return sp_name, vname, vsql
+        raise ValueError(f"no such dataset: {path}")
+
+    def _vds_target_ok(self, new_path: str) -> tuple:
+        """Validated (space, name) for a move/copy TARGET: the space
+        must already exist (an unknown container is a client error,
+        not an implicit create — DatasetResource 404s it) and no
+        dataset may already answer the name (case-insensitive)."""
+        nsp, _, nname = new_path.partition(".")
+        if not (nsp and nname):
+            raise ValueError("dataset paths must be space.name")
+        tgt = next((sp for n, sp in self.spaces.items()
+                    if n.lower() == nsp.lower()), None)
+        if tgt is None:
+            raise ValueError(f"no such space: {nsp}")
+        if any(v.lower() == nname.lower() for v in tgt.vds):
+            raise ValueError(f"dataset exists: {new_path}")
+        return nsp, nname
+
     def move_vds(self, old_path: str, new_path: str) -> str:
         """Rename/move a VDS (DatasetResource.java:483 renameDataset /
         :494 moveDataset — both are a namespace move): re-register
-        under the new path, drop the old binding.  Refuses clobbering
-        an existing dataset; pure catalog work."""
-        osp, _, oname = old_path.partition(".")
-        nsp, _, nname = new_path.partition(".")
-        if not (osp and oname and nsp and nname):
-            raise ValueError("dataset paths must be space.name")
-        sp = self.spaces.get(osp)
-        if sp is None or oname not in sp.vds:
-            raise ValueError(f"no such dataset: {old_path}")
-        tgt = self.spaces.get(nsp)
-        if tgt is not None and nname in tgt.vds:
-            raise ValueError(f"dataset exists: {new_path}")
-        self.create_vds(nsp, nname, sp.vds[oname])
+        under the new path, drop the old binding, and MIGRATE the
+        dataset's acceleration config (refresh policy, reflection
+        anchors) so a rename never orphans settings.  Clobber and
+        unknown-container refuse; all checks are case-insensitive
+        like Spark resolution."""
+        osp, oname, sql = self._vds_at(old_path)
+        nsp0, _, nname0 = new_path.partition(".")
+        same = (f"{osp}.{oname}".lower()
+                == f"{nsp0}.{nname0}".lower() if nname0 else False)
+        if same:
+            # respell-only rename: create-then-drop would register the
+            # new temp view (case-insensitive name!) and then drop it
+            sp = self.spaces[osp]
+            sp.vds[nname0] = sp.vds.pop(oname)
+            return f"{osp}.{nname0}"
+        nsp, nname = self._vds_target_ok(new_path)
+        self.create_vds(nsp, nname, sql)
         self.drop_vds(osp, oname)
-        return new_path
+        old_l, new_l = f"{osp}.{oname}".lower(), \
+            f"{nsp}.{nname}".lower()
+        store = getattr(self, "_refl_store", None)
+        if store is not None:
+            pol = store.refresh_policies.pop(old_l, None)
+            if pol is not None:
+                store.refresh_policies[new_l] = pol
+            for r in (list(store._reflections.values())
+                      + list(store._raw.values())):
+                if r.table.lower() == old_l:
+                    r.table = f"{nsp}.{nname}"
+            store._bump()
+        return f"{nsp}.{nname}"
 
     def copy_vds(self, from_path: str, to_path: str) -> str:
         """copyFrom (DatasetResource.java:466): a new VDS with the
-        source's SQL under the target path."""
-        fsp, _, fname = from_path.partition(".")
-        tsp, _, tname = to_path.partition(".")
-        sp = self.spaces.get(fsp)
-        if sp is None or fname not in sp.vds:
-            raise ValueError(f"no such dataset: {from_path}")
-        tgt = self.spaces.get(tsp)
-        if tgt is not None and tname in tgt.vds:
-            raise ValueError(f"dataset exists: {to_path}")
-        self.create_vds(tsp, tname, sp.vds[fname])
-        return to_path
+        source's SQL under the target path (same validation as
+        move_vds: shaped paths, existing target space, no clobber)."""
+        _, _, sql = self._vds_at(from_path)
+        tsp, tname = self._vds_target_ok(to_path)
+        self.create_vds(tsp, tname, sql)
+        return f"{tsp}.{tname}"
 
     def dataset_descendants(self, path: str) -> list[list[str]]:
         """Every VDS that reads this dataset, DIRECTLY OR TRANSITIVELY

@@ -31,9 +31,14 @@ def _hash_mode() -> str:
     """`spark.dremio.dedup.hash`: `md5` (default — cross-engine
     deterministic, what the DuckDB oracle replays) or `xxhash64` (the
     production path: ONE JVM hash call instead of an md5+substr+conv
-    chain, ~10x less per-row hash CPU at 100 TB).  Only the hash
-    EXPRESSION changes — bands, buckets, joins and shuffles are
-    identical, so the plan shape carries over verbatim."""
+    chain, ~10x less per-row hash CPU at 100 TB).  The switch scopes
+    to the PER-SHINGLE minhash base hash (`_hbase`) only — `_h64`
+    stays md5 unconditionally because simhash's oracle SQL and the
+    similarity planes' hardcoded `_plane_matrix` both replay the md5
+    derivation, and those are per-doc/per-plane hashes, not the hot
+    path.  Only the hash expression changes — bands, buckets, joins
+    and shuffles are identical, so the plan shape carries over
+    verbatim."""
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
@@ -47,10 +52,10 @@ def _hash_mode() -> str:
 
 def _h64(c: Column, seed: int) -> Column:
     """Deterministic 60-bit hash identical in Spark and DuckDB:
-    first 15 hex chars of md5(seed || ':' || value).  In xxhash64 mode
-    the oracle cannot replay it — production only."""
-    if _hash_mode() == "xxhash64":
-        return F.xxhash64(F.concat(F.lit(f"{seed}:"), c))
+    first 15 hex chars of md5(seed || ':' || value).  ALWAYS md5 —
+    simhash oracle parity and similarity._plane_component's
+    must-match-_plane_matrix contract depend on this derivation
+    (the xxhash64 conf deliberately does not reach here)."""
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10)
         .cast("bigint")

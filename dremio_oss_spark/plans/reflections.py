@@ -527,8 +527,10 @@ class ReflectionStore:
         """ALTER DATASET ... SET ACCELERATION REFRESH EVERY n [EXPIRE
         AFTER m]: dataset-level policy applied to every reflection on
         that dataset (reference AccelerationSettings)."""
-        self.refresh_policies[dataset] = {"refresh_s": refresh_s,
-                                          "grace_s": grace_s}
+        # keyed LOWERED: Spark identifiers are case-insensitive, and
+        # the REST settings surface + DDL must hit one entry
+        self.refresh_policies[dataset.lower()] = {
+            "refresh_s": refresh_s, "grace_s": grace_s}
         self._bump()  # policy flips change what substitutes
 
     def is_due(self, refl) -> bool:
@@ -536,7 +538,7 @@ class ReflectionStore:
         dataset's refresh period (DependencyManager.shouldRefresh)."""
         if getattr(refl, "stale", False):
             return True
-        pol = self.refresh_policies.get(refl.table)
+        pol = self.refresh_policies.get(refl.table.lower())
         if not pol or pol["refresh_s"] is None:
             return False
         return (self._now_ms() - refl.last_refresh_ms
@@ -560,7 +562,7 @@ class ReflectionStore:
         served again until refreshed (the reference expires
         materializations after gracePeriod — an expired reflection
         plans from base, never from stale data)."""
-        pol = self.refresh_policies.get(refl.table)
+        pol = self.refresh_policies.get(refl.table.lower())
         if not pol or pol["grace_s"] is None:
             return False
         return (self._now_ms() - refl.last_refresh_ms

@@ -556,24 +556,52 @@ def handle_dataset_ops(h, method: str) -> bool:
         return False
     rest = p[len("/api/v3/dataset/"):]
     eng = h.engine
+
+    def dataset_known(cpath: str) -> bool:
+        # a VDS, or a physical name the engine resolves — an unknown
+        # path must 404, not answer defaults (DatasetResource does)
+        try:
+            eng._vds_at(cpath)
+            return True
+        except ValueError:
+            pass
+        try:
+            eng.table(cpath)
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
     try:
         if rest.endswith("/descendants") and method == "GET":
             cpath = unquote(rest[:-len("/descendants")])
             with _engine_lock():
+                if not dataset_known(cpath):
+                    h._send(404, {"errorMessage":
+                                  f"no dataset {cpath}"})
+                    return True
                 h._send(200, eng.dataset_descendants(cpath))
             return True
         if rest.endswith("/acceleration/settings"):
             cpath = unquote(rest[:-len("/acceleration/settings")])
             with _engine_lock():
+                if not dataset_known(cpath):
+                    h._send(404, {"errorMessage":
+                                  f"no dataset {cpath}"})
+                    return True
                 store = eng._default_refl_store()
                 if method == "GET":
-                    pol = store.refresh_policies.get(cpath, {})
+                    pol = store.refresh_policies.get(
+                        cpath.lower(), {})
                     r_s, g_s = pol.get("refresh_s"), pol.get("grace_s")
+                    # `is not None`: refresh_s == 0 (always due) must
+                    # not display as the 1h default
                     h._send(200, {
                         "accelerationRefreshPeriod":
-                            int(r_s * 1000) if r_s else 3600_000,
+                            int(r_s * 1000) if r_s is not None
+                            else 3600_000,
                         "accelerationGracePeriod":
-                            int(g_s * 1000) if g_s else 10_800_000,
+                            int(g_s * 1000) if g_s is not None
+                            else 10_800_000,
                         "method": "FULL"})
                     return True
                 if method == "PUT":
@@ -582,8 +610,8 @@ def handle_dataset_ops(h, method: str) -> bool:
                     g_ms = req.get("accelerationGracePeriod")
                     store.set_refresh_policy(
                         cpath,
-                        r_ms / 1000 if r_ms else None,
-                        g_ms / 1000 if g_ms else None)
+                        r_ms / 1000 if r_ms is not None else None,
+                        g_ms / 1000 if g_ms is not None else None)
                     h._send(200, {"updated": cpath})
                     return True
             return False
@@ -593,9 +621,11 @@ def handle_dataset_ops(h, method: str) -> bool:
             if not to:
                 h._send(400, {"errorMessage": "renameTo required"})
                 return True
-            space = cpath.partition(".")[0]
+            # rename keeps the PARENT path (space or space.folder…) —
+            # only the leaf name changes (renameDataset :485)
+            parent = cpath.rsplit(".", 1)[0]
             with _engine_lock():
-                newp = eng.move_vds(cpath, f"{space}.{to}")
+                newp = eng.move_vds(cpath, f"{parent}.{to}")
             h._send(200, {"fullPath": newp.split(".")})
             return True
         if "/moveTo/" in rest and method == "POST":

@@ -926,3 +926,64 @@ def test_dataset_ops_rename_move_copy_descendants(rest):
                      "/api/v3/dataset/ops1.base/acceleration/settings")
     assert st["accelerationRefreshPeriod"] == 60_000
     assert st["accelerationGracePeriod"] == 120_000
+
+
+def test_review_findings_r12_dataset_ops_regressions(rest):
+    """Pins for the fifth self-review pass: case-variant rename keeps
+    the dataset queryable, rename preserves the folder parent,
+    acceleration settings migrate with a move and honor zero periods,
+    unknown targets/datasets 404/400 instead of auto-creating, and
+    policy keys are case-insensitive between DDL and REST."""
+    eng, port = rest
+    eng.create_space("rg")
+    eng.create_vds("rg", "v1", "select n_nationkey k from nation")
+    # case-variant rename: the view must survive (create-then-drop
+    # would delete the case-insensitively-identical temp view)
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/rg.v1/rename?renameTo=V1")
+    assert code == 200 and out["fullPath"] == ["rg", "V1"]
+    assert eng.sql("select * from rg.V1").count() == 25
+    assert "V1" in eng.spaces["rg"].vds
+    # foldered rename keeps the parent
+    eng.create_folder("rg", "fold")
+    eng.create_vds("rg", "fold.inner", "select 1 x")
+    code, out = _call(
+        port, "POST",
+        "/api/v3/dataset/rg.fold.inner/rename?renameTo=inner2")
+    assert code == 200 and out["fullPath"] == ["rg", "fold", "inner2"]
+    assert "fold.inner2" in eng.spaces["rg"].vds
+    # settings migrate with a move; zero periods round-trip as zero
+    code, _ = _call(port, "PUT",
+                    "/api/v3/dataset/rg.V1/acceleration/settings",
+                    body={"accelerationRefreshPeriod": 0,
+                          "accelerationGracePeriod": 0})
+    assert code == 200
+    code, st = _call(port, "GET",
+                     "/api/v3/dataset/rg.V1/acceleration/settings")
+    assert st["accelerationRefreshPeriod"] == 0
+    assert st["accelerationGracePeriod"] == 0
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/rg.V1/moveTo/rg.v2")
+    assert code == 200, out
+    code, st = _call(port, "GET",
+                     "/api/v3/dataset/rg.v2/acceleration/settings")
+    assert st["accelerationRefreshPeriod"] == 0
+    # DDL-set policy reads back over REST regardless of case
+    eng.sql("alter vds RG.V2 set acceleration refresh every 90 seconds")
+    code, st = _call(port, "GET",
+                     "/api/v3/dataset/rg.v2/acceleration/settings")
+    assert st["accelerationRefreshPeriod"] == 90_000
+    # unknown dataset -> 404; unknown target space -> 400; bad shape
+    code, _ = _call(port, "GET",
+                    "/api/v3/dataset/no.such/descendants")
+    assert code == 404
+    code, _ = _call(port, "GET",
+                    "/api/v3/dataset/no.such/acceleration/settings")
+    assert code == 404
+    code, out = _call(port, "POST",
+                      "/api/v3/dataset/rg.v2/moveTo/typoSpace.v")
+    assert code == 400 and "no such space" in out["errorMessage"]
+    assert "typoSpace" not in eng.spaces
+    code, out = _call(port, "PUT",
+                      "/api/v3/dataset/noDot/copyFrom/rg.v2")
+    assert code == 400, out
