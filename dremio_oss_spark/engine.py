@@ -1019,20 +1019,42 @@ class Engine:
             sp.vds[nname0] = sp.vds.pop(oname)
             return f"{osp}.{nname0}"
         nsp, nname = self._vds_target_ok(new_path)
-        self.create_vds(nsp, nname, sql)
-        self.drop_vds(osp, oname)
         old_l, new_l = f"{osp}.{oname}".lower(), \
             f"{nsp}.{nname}".lower()
         store = getattr(self, "_refl_store", None)
-        if store is not None:
-            pol = store.refresh_policies.pop(old_l, None)
-            if pol is not None:
-                store.refresh_policies[new_l] = pol
-            for r in (list(store._reflections.values())
-                      + list(store._raw.values())):
-                if r.table.lower() == old_l:
-                    r.table = f"{nsp}.{nname}"
-            store._bump()
+        self.create_vds(nsp, nname, sql)
+        moved: list = []  # reflections whose anchor we re-pointed
+        pol = None
+        try:
+            # migrate settings BEFORE dropping the old binding, and
+            # roll everything back if any step raises — a half-moved
+            # dataset (registered under both paths, settings split)
+            # must never survive (move is all-or-nothing, like the
+            # reference's single namespace rename)
+            if store is not None:
+                pol = store.refresh_policies.pop(old_l, None)
+                if pol is not None:
+                    store.refresh_policies[new_l] = pol
+                for r in (list(store._reflections.values())
+                          + list(store._raw.values())):
+                    if r.table.lower() == old_l:
+                        r.table = f"{nsp}.{nname}"
+                        moved.append(r)
+                store._bump()
+            self.drop_vds(osp, oname)
+        except BaseException:
+            if store is not None:
+                if pol is not None:
+                    store.refresh_policies.pop(new_l, None)
+                    store.refresh_policies[old_l] = pol
+                for r in moved:
+                    r.table = f"{osp}.{oname}"
+                store._bump()
+            try:
+                self.drop_vds(nsp, nname)
+            except Exception:  # noqa: BLE001 — keep original error
+                pass
+            raise
         return f"{nsp}.{nname}"
 
     def copy_vds(self, from_path: str, to_path: str) -> str:

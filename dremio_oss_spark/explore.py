@@ -1353,21 +1353,50 @@ class ExploreService:
                 "data": self._preview_data(entry["sql"], limit),
                 "history": self.history(path, version)}
 
-    def run(self, path: str, version: str) -> dict:
+    def run(self, path: str, version: str, limit: int | None = None,
+            executor=None) -> dict:
+        """run (DatasetVersionResource.java run): execute the
+        version's regenerated SQL.  Run is the full-execution path,
+        but results still flow through the JOBS STORE, never an
+        unbounded driver collect — the reference's own shape (run
+        submits through QueryExecutor/JobsService and the UI pages).
+        The REST route passes `executor`, a closure over the
+        handler's `_exec_tracked`: it runs the statement under a job
+        id with the store's `max_stored` cap and returns
+        (job_id, schema, row_dicts); this method then returns the
+        FIRST PAGE plus the jobId so clients page
+        `/api/v3/job/{id}/results` and stream `/job/{id}/download`.
+        Without an executor (unit/embedded use) it executes with an
+        explicit `limit` cap (default the DAC page size, 500) —
+        there is no uncapped path."""
         from .server.rest import _json_cell
 
         entry = self.get_version(path, version)
-        df = self.engine.sql(entry["sql"])
-        rows = df.collect()
-        return {"dataset": self.dataset_ui(entry),
-                "data": {"columns": [
-                    {"name": f.name,
-                     "type": data_type_of(f.dataType.simpleString())}
-                    for f in df.schema.fields],
-                    "rows": [[_json_cell(v) for v in r]
-                             for r in rows],
-                    "returnedRowCount": len(rows)},
-                "history": self.history(path, version)}
+        page = int(limit or 500)
+        if executor is not None:
+            job_id, schema, row_dicts = executor(entry["sql"])
+            names = [c["name"] for c in schema]
+            columns = [{"name": c["name"],
+                        "type": data_type_of(c["type"])}
+                       for c in schema]
+            rows = [[r.get(n) for n in names]
+                    for r in row_dicts[:page]]
+        else:
+            job_id = None
+            df = self.engine.sql(entry["sql"]).limit(page)
+            collected = df.collect()
+            columns = [{"name": f.name,
+                        "type": data_type_of(f.dataType.simpleString())}
+                       for f in df.schema.fields]
+            rows = [[_json_cell(v) for v in r] for r in collected]
+        out = {"dataset": self.dataset_ui(entry),
+               "data": {"columns": columns, "rows": rows,
+                        "returnedRowCount": len(rows)},
+               "history": self.history(path, version)}
+        if job_id is not None:
+            out["jobId"] = {"id": job_id}
+            out["paginationUrl"] = f"/api/v3/job/{job_id}/results"
+        return out
 
     def dataset_ui(self, entry: dict) -> dict:
         return {"datasetVersion": entry["version"],

@@ -138,6 +138,14 @@ class HomeService:
         stem = self._check_name(name)
         ext = (extension or os.path.splitext(name)[1].lstrip(".")
                or "csv").lower()
+        # the extension is client-supplied (?extension= query param):
+        # anything but a bare alnum token ('/', '..', whitespace)
+        # could point the staged write outside .staging or strand
+        # junk files _staged_path can never resolve — refuse it like
+        # _check_name refuses non-identifier stems
+        if not re.fullmatch(r"[a-z0-9]{1,8}", ext):
+            raise ValueError(
+                f"file extension must be alphanumeric, got {ext!r}")
         staged = os.path.join(self.staging, f"{stem}.{ext}")
         with open(staged, "wb") as f:
             f.write(data)

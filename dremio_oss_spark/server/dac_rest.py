@@ -67,20 +67,40 @@ class TokenManager:
         with self._lock:
             return self._sessions.pop(token, None) is not None
 
-    def mint_temp(self, path: str, duration_seconds: int) -> str:
+    def mint_temp(self, path: str, duration_seconds: int,
+                  user: str | None = None) -> str:
         tok = uuid.uuid4().hex
         with self._lock:
             self._evict()
             self._temp[tok] = {"path": path.split("?")[0],
+                               "user": user,
                                "expires": time.time()
                                + min(max(duration_seconds, 1), 3600)}
         return tok
 
     def user_of(self, token: str) -> str | None:
+        """SESSION tokens only — the full-auth resolver (Flight keys
+        its bearer check off this, and temp tokens must never widen
+        past their minted path into a whole-protocol credential)."""
         with self._lock:
             e = self._sessions.get(token)
         if e and e["expires"] >= time.time():
             return e["user"]
+        return None
+
+    def principal_of(self, token: str) -> str | None:
+        """Identity resolver for per-user state: session tokens carry
+        the logged-in user; temp tokens act AS THE USER WHO MINTED
+        THEM (TemporaryTokenResource mints within the caller's
+        session) — never as an implicit admin.  Grants no access by
+        itself: path/route checks stay with check()/user_of()."""
+        u = self.user_of(token)
+        if u is not None:
+            return u
+        with self._lock:
+            t = self._temp.get(token)
+        if t and t["expires"] >= time.time():
+            return t.get("user")
         return None
 
     def check(self, token: str | None, path: str) -> bool:
@@ -169,7 +189,8 @@ def handle_auth(h, method: str) -> bool:
             return True
         if not request.startswith("/"):
             request = "/" + request
-        h._send(200, {"token": h.tokens.mint_temp(request, duration)})
+        h._send(200, {"token": h.tokens.mint_temp(
+            request, duration, user=_request_user(h))})
         return True
     return False
 
@@ -234,12 +255,35 @@ def _version_route(h) -> tuple[str, str, str] | None:
     return unquote(cpath), unquote(version), action
 
 
+def _job_executor(h):
+    """Executor closure handed to ExploreService.run: execute the
+    statement under a tracked job id, capped at the job store's
+    max_stored rows — run results then page through
+    /api/v3/job/{id}/results and stream through /job/{id}/download
+    like every other statement.  _exec_tracked takes the engine lock
+    itself for planning, so callers must NOT hold it."""
+    def execute(sql: str):
+        jid = h.jobs.create()
+        _df, _rows, json_rows, schema, _acc = h._exec_tracked(
+            jid, sql, h.max_stored)
+        return jid, schema, json_rows
+    return execute
+
+
 def handle_version_get(h) -> bool:
     route = _version_route(h)
     if route is None:
         return False
     cpath, version, action = route
     try:
+        if action == "run":
+            # OUTSIDE the engine lock: the tracked-job executor
+            # serializes planning on it internally
+            out = h.explore.run(cpath, version,
+                                limit=h.default_limit,
+                                executor=_job_executor(h))
+            h._send(200, out)
+            return True
         with _engine_lock():
             if action in ("", "preview"):
                 limit = int(_q(h, "limit", "50"))
@@ -249,8 +293,6 @@ def handle_version_get(h) -> bool:
                            h.explore.get_version(cpath, version)))
             elif action == "history":
                 out = h.explore.history(cpath, version)
-            elif action == "run":
-                out = h.explore.run(cpath, version)
             elif action == "join_recs":
                 out = h.explore.join_recommendations(cpath, version)
             else:
@@ -277,13 +319,19 @@ def handle_version_post(h) -> bool:
                 return True
             transform = h._read_json()
             limit = int(_q(h, "limit", "50"))
+            run_arm = "Run" in action or "_run" in action
             with _engine_lock():
                 h.explore.transform(cpath, version, transform,
                                     new_version)
-                out = (h.explore.run(cpath, new_version)
-                       if "Run" in action or "_run" in action else
+                out = (None if run_arm else
                        h.explore.preview(cpath, new_version,
                                          limit=limit))
+            if run_arm:
+                # run executes OUTSIDE the engine lock via the
+                # tracked-job executor (capped + pageable results)
+                out = h.explore.run(cpath, new_version,
+                                    limit=h.default_limit,
+                                    executor=_job_executor(h))
             h._send(200, out)
             return True
         if action == "transformPeek":
@@ -744,6 +792,12 @@ def handle_bootstrap_put(h) -> bool:
                 name, password=req.get("password"),
                 **{k: cfg[k] for k in
                    ("firstName", "lastName", "email") if k in cfg})
+            # the first user IS the deployment admin (the reference
+            # makes firstuser an admin member) — record the role so
+            # the ops-route gate (_is_admin) recognizes the account
+            h.engine.create_role("ADMIN")
+            h.engine.grant_role("ADMIN", name)
+            u = h.engine.get_user(name)
         h._send(200, u)
     except Exception as e:  # noqa: BLE001
         _send_error(h, e)
@@ -808,13 +862,67 @@ def handle_devops(h, method: str) -> bool:
 # SQLRunnerSessionServiceImpl.java:50-123)
 # --------------------------------------------------------------------------
 
-def _request_user(h) -> str:
-    """The authenticated principal: login-session tokens carry a user;
-    the static service token (and temp tokens) act as admin."""
+def _bearer_of(h) -> str | None:
+    """The presented credential: Authorization bearer, else the
+    ?token= query param (download-link style)."""
     hdr = h.headers.get("Authorization") or ""
-    bearer = hdr[7:] if hdr.startswith("Bearer ") else None
-    u = h.tokens.user_of(bearer) if (h.tokens and bearer) else None
-    return u or "admin"
+    if hdr.startswith("Bearer "):
+        return hdr[7:]
+    return parse_qs(urlparse(h.path).query).get("token", [None])[0]
+
+
+def _request_user(h) -> str:
+    """The authenticated principal: login-session tokens (and temp
+    tokens, via the user recorded at mint time) carry a user; the
+    static service token acts as the distinct `$service` operator
+    principal so its per-user state (SQL-runner tabs, stars) never
+    aliases a real account; the anonymous caller on an OPEN
+    (token-less) server is the deployment's de-facto admin."""
+    bearer = _bearer_of(h)
+    if bearer:
+        u = h.tokens.principal_of(bearer) if h.tokens else None
+        if u:
+            return u
+        if h.token and bearer == h.token:
+            return "$service"
+    return "admin"
+
+
+def _is_admin(h) -> bool:
+    """Gate for admin/ops routes (backup, restore, export-profiles,
+    kvstore report): the reference restricts these to the admin role
+    (@RolesAllowed("admin") on BackupResource/ExportProfilesResource).
+    Admin here is: the static service token, a session/temp-token user
+    holding the ADMIN role, or the anonymous caller on an open
+    (token-less) deployment — never an arbitrary logged-in user."""
+    bearer = _bearer_of(h)
+    if h.token and bearer == h.token:
+        return True
+    u = h.tokens.principal_of(bearer) if (h.tokens and bearer) else None
+    if u is not None:
+        roles = getattr(h.engine, "_roles", {}).get(u, set())
+        return any(str(r).upper() == "ADMIN" for r in roles)
+    return h.token is None
+
+
+def _confined_path(h, raw: str, what: str) -> str:
+    """Resolve a client-supplied filesystem path for the ops routes,
+    refusing anything outside the configured backup root (handler
+    attr `backup_root`).  With no root configured (dev/open mode) the
+    path is still normalized so later joins can't traverse."""
+    import os
+
+    if not raw:
+        raise ValueError(f"{what} required")
+    p = os.path.realpath(raw)
+    root = getattr(h, "backup_root", None)
+    if root is not None:
+        rootp = os.path.realpath(root)
+        if p != rootp and not p.startswith(rootp + os.sep):
+            raise ValueError(
+                f"{what} {raw!r} is outside the configured backup "
+                f"root {root!r}")
+    return p
 
 
 def handle_sqlrunner(h, method: str) -> bool:
@@ -1097,12 +1205,22 @@ def handle_admin(h, method: str) -> bool:
     import os
 
     p = urlparse(h.path).path.rstrip("/")
+    # privileged ops surface: any authenticated principal is NOT
+    # enough — backup/restore write+read server filesystem paths and
+    # restore can mint credentials (injected _pw_hash users), so these
+    # require the admin gate like the reference's @RolesAllowed
+    if p in ("/api/v3/backup", "/api/v3/backup/restore",
+             "/api/v3/export-profiles", "/api/v3/kvstore/report") \
+            and not _is_admin(h):
+        h._send(403, {"errorMessage":
+                      "admin role required for ops routes"})
+        return True
     if p == "/api/v3/backup" and method == "POST":
         try:
             req = h._read_json()
-            backup_dir = req.get("backupDir") or req.get("path")
-            if not backup_dir:
-                raise ValueError("backupDir required")
+            backup_dir = _confined_path(
+                h, req.get("backupDir") or req.get("path"),
+                "backupDir")
             os.makedirs(backup_dir, exist_ok=True)
             with _engine_lock():
                 payload = _backup_payload(h)
@@ -1118,7 +1236,9 @@ def handle_admin(h, method: str) -> bool:
     if p == "/api/v3/backup/restore" and method == "POST":
         try:
             req = h._read_json()
-            backup_dir = req.get("backupDir") or req.get("path")
+            backup_dir = _confined_path(
+                h, req.get("backupDir") or req.get("path"),
+                "backupDir")
             src = os.path.join(backup_dir, "catalog_backup.json")
             with open(src) as f:
                 data = json.load(f)
@@ -1131,9 +1251,9 @@ def handle_admin(h, method: str) -> bool:
     if p == "/api/v3/export-profiles" and method == "POST":
         try:
             req = h._read_json()
-            out_dir = req.get("outputFilePath") or req.get("path")
-            if not out_dir:
-                raise ValueError("outputFilePath required")
+            out_dir = _confined_path(
+                h, req.get("outputFilePath") or req.get("path"),
+                "outputFilePath")
             os.makedirs(out_dir, exist_ok=True)
             tel = getattr(h.engine, "job_telemetry", None)
             jobs = (tel.listing(limit=100000).get("jobs", [])

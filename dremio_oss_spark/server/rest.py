@@ -159,6 +159,9 @@ class _Handler(BaseHTTPRequestHandler):
     default_limit = 500    # DAC-style result cap
     max_stored = 10_000    # per-job stored-row cap for paging
     token: str | None = None
+    # ops-route filesystem confinement: when set, backup/restore/
+    # export-profiles paths must resolve under this directory
+    backup_root: str | None = None
     jobs: _Jobs = None
     # saved SQL scripts (the reference's ScriptsResource.java:61 — the
     # SQL-runner's persistence surface): id -> {name, content, ...}
@@ -1181,11 +1184,25 @@ class _Handler(BaseHTTPRequestHandler):
 
         from . import dac_rest
 
-        # firstuser bootstrap runs BEFORE the bearer check — it's how
-        # a fresh deployment gets its first admin; the handler itself
-        # refuses once any user exists (BootstrapResource.java:77)
-        if dac_rest.handle_bootstrap_put(self):
-            return None
+        # firstuser bootstrap runs BEFORE the bearer check ONLY on an
+        # open (token-less) deployment — it's how a fresh install gets
+        # its first admin; the handler itself refuses once any user
+        # exists (BootstrapResource.java:77).  When a static service
+        # token IS configured, bootstrap must present it: the engine
+        # starts with zero users, so an unauthenticated pre-auth
+        # bootstrap would let any client mint an admin credential and
+        # log in past the configured token.  (The reference has no
+        # static-token gate, so ITS pre-auth bootstrap carries no such
+        # bypass — ours would.)
+        from urllib.parse import urlparse as _up
+
+        if _up(self.path).path.rstrip("/") == \
+                "/api/v3/bootstrap/firstuser":
+            if self.token and not self._authed():
+                return self._send(401,
+                                  {"errorMessage": "unauthorized"})
+            if dac_rest.handle_bootstrap_put(self):
+                return None
         if not self._authed():
             return self._send(401, {"errorMessage": "unauthorized"})
         if dac_rest.handle(self, "PUT"):
@@ -1359,7 +1376,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_rest_background(engine, port: int = 0,
-                          token: str | None = None, tokens=None
+                          token: str | None = None, tokens=None,
+                          backup_root: str | None = None
                           ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind (ephemeral port by default) and serve in a daemon thread;
     `server.server_address[1]` is the bound port, `server.shutdown()`
@@ -1373,6 +1391,7 @@ def serve_rest_background(engine, port: int = 0,
 
     handler = type("BoundHandler", (_Handler,),
                    {"engine": engine, "token": token, "jobs": _Jobs(),
+                    "backup_root": backup_root,
                     "scripts": {}, "collab": {}, "sqlrunner": {}, "prefs": {},
                     "explore": ExploreService(engine),
                     "home": HomeService(engine),

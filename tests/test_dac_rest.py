@@ -591,14 +591,24 @@ def test_server_status_devoptions_bootstrap(spark):
     server, _t = serve_rest_background(eng, token="sec")
     port = server.server_address[1]
     try:
-        # bootstrap runs BEFORE auth (no bearer passed)
+        # on a token-gated server, bootstrap is NOT pre-auth: letting
+        # an anonymous client mint the first admin would bypass the
+        # static token entirely (zero users exist at install time)
+        code, _ = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
+                        body={"userName": "mallory",
+                              "password": "pw"})
+        assert code == 401
+        assert eng.list_users() == []
         code, u = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
                         body={"userName": "root", "password": "pw",
-                              "firstName": "Root"})
+                              "firstName": "Root"}, token="sec")
         assert code == 200 and u["name"] == "root", u
+        # the first user is the deployment admin
+        assert "ADMIN" in u["roles"], u
         # and refuses forever after
         code, out = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
-                          body={"userName": "other", "password": "x"})
+                          body={"userName": "other", "password": "x"},
+                          token="sec")
         assert code == 403, out
         # the bootstrapped credential logs in
         code, tok = _call(port, "POST", "/api/v3/login",
@@ -665,7 +675,7 @@ def test_review_findings_r12_rest_regressions(spark):
     try:
         # bootstrap without a password refuses and creates nothing
         code, out = _call(port, "PUT", "/api/v3/bootstrap/firstuser",
-                          body={"userName": "root"})
+                          body={"userName": "root"}, token="sec")
         assert code == 400, out
         assert eng.list_users() == []
         # the bare-boolean body the reference resource accepts
@@ -987,3 +997,250 @@ def test_review_findings_r12_dataset_ops_regressions(rest):
     code, out = _call(port, "PUT",
                       "/api/v3/dataset/noDot/copyFrom/rg.v2")
     assert code == 400, out
+
+
+# --------------------------------------------------------------------------
+# round-13 security hardening (ADVICE r12: bootstrap bypass, ops-route
+# admin gate + path confinement, upload extension, temp-token identity,
+# move_vds atomicity)
+# --------------------------------------------------------------------------
+
+def test_ops_routes_admin_gate_and_path_confinement(spark, tmp_path):
+    """Backup/restore/export-profiles/kvstore-report are privileged
+    (the reference gates them behind the admin role): a plain
+    logged-in user must neither write server filesystem paths nor
+    restore credential-bearing users; admin paths are confined to the
+    configured backup root."""
+    import os
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.create_user("ops", password="pw")
+    eng.create_user("pleb", password="pw")
+    eng.create_role("ADMIN")
+    eng.grant_role("ADMIN", "ops")
+    root = str(tmp_path / "backups")
+    server, _t = serve_rest_background(eng, token="sec",
+                                       backup_root=root)
+    port = server.server_address[1]
+    try:
+        _, lp = _call(port, "POST", "/api/v3/login",
+                      body={"userName": "pleb", "password": "pw"})
+        _, lo = _call(port, "POST", "/api/v3/login",
+                      body={"userName": "ops", "password": "pw"})
+        bdir = os.path.join(root, "b1")
+        # a plain user is refused on every ops route
+        for method, path in (("POST", "/api/v3/backup"),
+                             ("POST", "/api/v3/backup/restore"),
+                             ("POST", "/api/v3/export-profiles"),
+                             ("GET", "/api/v3/kvstore/report")):
+            code, out = _call(
+                port, method, path,
+                body=({"backupDir": bdir, "outputFilePath": bdir}
+                      if method == "POST" else None),
+                token=lp["token"])
+            assert code == 403, (path, out)
+        # the ADMIN-role session and the static token both pass
+        code, out = _call(port, "POST", "/api/v3/backup",
+                          body={"backupDir": bdir},
+                          token=lo["token"])
+        assert code == 200, out
+        code, out = _call(port, "GET", "/api/v3/kvstore/report",
+                          token="sec")
+        assert code == 200, out
+        # confinement: paths outside the backup root refuse even for
+        # an admin (traversal and absolute escapes alike)
+        for evil in (str(tmp_path / ".." / "evil"),
+                     os.path.join(root, "..", "evil"),
+                     "/etc/cron.d"):
+            code, out = _call(port, "POST", "/api/v3/backup",
+                              body={"backupDir": evil}, token="sec")
+            assert code == 400, (evil, out)
+            assert not os.path.exists(os.path.realpath(evil)) or \
+                evil == "/etc/cron.d"
+        code, out = _call(port, "POST", "/api/v3/export-profiles",
+                          body={"outputFilePath": "/etc/xdg"},
+                          token="sec")
+        assert code == 400, out
+    finally:
+        server.shutdown()
+
+
+def test_upload_extension_validated(rest):
+    """ADVICE r12: the client-supplied ?extension= must be a bare
+    alnum token — '/', '..' or whitespace would stage writes outside
+    .staging or strand files _staged_path can never resolve."""
+    eng, port = rest
+    for bad in ("csv/../../x", "c%20sv", "..", "a.b"):
+        code, out = _call(
+            port, "POST",
+            "/api/v3/home/@home/upload_start/extcheck"
+            f"?extension={bad}",
+            raw_body=b"a,b\n1,2\n")
+        assert code == 400, (bad, out)
+    code, out = _call(port, "POST",
+                      "/api/v3/home/@home/upload_start/extcheck"
+                      "?extension=CSV",
+                      raw_body=b"a,b\n1,2\n")
+    assert code == 200 and out["name"] == "extcheck.csv", out
+
+
+def test_temp_token_carries_minting_user(spark):
+    """ADVICE r12: a temp token acts as the user who minted it (not
+    as 'admin'), the static token gets the distinct $service
+    principal, and temp tokens still do NOT authenticate as full
+    sessions (user_of stays session-only for Flight)."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.create_user("carol", password="pw")
+    server, _t = serve_rest_background(eng, token="sec")
+    port = server.server_address[1]
+    tm = server.RequestHandlerClass.tokens
+    try:
+        _, sess = _call(port, "POST", "/api/v3/login",
+                        body={"userName": "carol", "password": "pw"})
+        # carol stars an entity, then mints a temp token for the
+        # preference route: the temp token must see CAROL's stars
+        eng.create_space("tts")
+        eng.create_vds("tts", "v1", "select 1 as x")
+        code, _ = _call(port, "PUT",
+                        "/api/v3/users/preferences/STARRED/"
+                        "dataset%2Ftts.v1", token=sess["token"])
+        assert code == 200
+        code, out = _call(port, "POST",
+                          "/api/v3/temp-token?request="
+                          "/api/v3/users/preferences/STARRED"
+                          "&durationSeconds=60",
+                          token=sess["token"])
+        assert code == 200
+        temp = out["token"]
+        assert tm.principal_of(temp) == "carol"
+        assert tm.user_of(temp) is None  # not a session credential
+        code, out = _call(port, "GET",
+                          f"/api/v3/users/preferences/STARRED"
+                          f"?token={temp}")
+        assert code == 200, out
+        assert [e["entityId"] for e in out["entities"]] == \
+            ["dataset/tts.v1"]
+        # the static token's per-user state is its own principal —
+        # it must NOT alias carol (or any real account)
+        code, out = _call(port, "GET",
+                          "/api/v3/users/preferences/STARRED",
+                          token="sec")
+        assert code == 200 and out["entities"] == [], out
+    finally:
+        server.shutdown()
+
+
+def test_move_vds_rolls_back_on_failure(spark):
+    """ADVICE r12: move_vds is all-or-nothing — when a post-create
+    step raises, the new registration is dropped and the refresh
+    policy/reflection anchors stay on the old path."""
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    eng.create_space("mv")
+    eng.create_space("mv2")
+    eng.create_vds("mv", "src", "select * from nation")
+    eng.sql("alter vds mv.src set acceleration refresh every "
+            "120 seconds")
+    store = eng._refl_store
+    assert "mv.src" in store.refresh_policies
+    orig_drop = eng.drop_vds
+    calls = {"n": 0}
+
+    def exploding_drop(space, name):
+        if (space, name) == ("mv", "src"):
+            calls["n"] += 1
+            raise RuntimeError("simulated drop failure")
+        return orig_drop(space, name)
+
+    eng.drop_vds = exploding_drop
+    try:
+        with _pytest.raises(RuntimeError, match="simulated"):
+            eng.move_vds("mv.src", "mv2.dst")
+    finally:
+        eng.drop_vds = orig_drop
+    assert calls["n"] == 1
+    # old binding and its settings survive; the target is gone
+    assert "src" in eng.spaces["mv"].vds
+    assert "dst" not in eng.spaces["mv2"].vds
+    assert "mv.src" in store.refresh_policies
+    assert "mv2.dst" not in store.refresh_policies
+    assert eng.sql("select count(*) as n from mv.src"
+                   ).collect()[0]["n"] > 0
+
+
+def test_explore_run_routes_through_jobs_store(spark):
+    """VERDICT r12 weak: run must never collect an unbounded result
+    driver-side — it executes under a job id, stores at most
+    max_stored rows, returns the FIRST PAGE + jobId, and pages/
+    downloads through the normal job routes."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng)
+    hcls = server.RequestHandlerClass
+    old_stored, old_page = hcls.max_stored, hcls.default_limit
+    hcls.max_stored, hcls.default_limit = 200, 25
+    port = server.server_address[1]
+    try:
+        code, out = _call(port, "POST",
+                          "/api/v3/datasets/new_untitled"
+                          "?parentDataset=orders&newVersion=r0"
+                          "&limit=5")
+        assert code == 200, out
+        path = ".".join(out["dataset"]["fullPath"])
+        code, out = _call(port, "GET",
+                          f"/api/v3/dataset/{path}/version/r0/run")
+        assert code == 200, out
+        # first page only, plus the job handle
+        assert out["data"]["returnedRowCount"] == 25
+        assert len(out["data"]["rows"]) == 25
+        jid = out["jobId"]["id"]
+        assert out["paginationUrl"] == f"/api/v3/job/{jid}/results"
+        # the job store holds the capped result set (orders at this
+        # SF is far bigger than 200 rows)
+        total = eng.spark.table("orders").count()
+        assert total > 200
+        code, res = _call(port, "GET",
+                          f"/api/v3/job/{jid}/results"
+                          "?offset=190&limit=50")
+        assert code == 200, res
+        assert res["rowCount"] == 200          # capped, not `total`
+        assert len(res["rows"]) == 10          # 190..200
+        # the download streams the stored rows as CSV
+        code, raw = _call(port, "GET",
+                          f"/api/v3/job/{jid}/download?format=csv",
+                          raw=True)
+        assert code == 200
+        lines = raw.decode().strip().splitlines()
+        assert len(lines) == 201  # header + 200 stored rows
+        assert lines[0].split(",")[0] == "o_orderkey"
+        # transformAndRun takes the same path
+        code, out = _call(
+            port, "POST",
+            f"/api/v3/dataset/{path}/version/r0/transformAndRun"
+            "?newVersion=r1",
+            body={"type": "drop",
+                  "droppedColumnName": "o_orderpriority"})
+        assert code == 200, out
+        assert out["jobId"]["id"] != jid
+        assert out["data"]["returnedRowCount"] == 25
+        assert "o_orderpriority" not in [
+            c["name"] for c in out["data"]["columns"]]
+    finally:
+        hcls.max_stored, hcls.default_limit = old_stored, old_page
+        server.shutdown()
+    # embedded (no-executor) use still has NO uncapped path
+    from dremio_oss_spark.explore import ExploreService
+
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("orders", "e0")
+    out = svc.run("tmp.UNTITLED", "e0", limit=7)
+    assert out["data"]["returnedRowCount"] == 7
+    assert "jobId" not in out
