@@ -1218,6 +1218,13 @@ def recommend_split(selection: dict) -> list[dict]:
 
 TMP_PATH = "tmp.UNTITLED"  # DatasetTool.TMP_DATASET_PATH
 _CARD_SAMPLE = 500  # reference card generators sample the preview
+_HISTOGRAM_BUCKETS = 200      # HistogramGenerator.BUCKETS
+_HISTOGRAM_MAX_VALUES = 200   # top-K cap on the unbinned values arm
+_TRUNC_UNITS = [              # TruncEvalEnum divisors, in seconds
+    ("SECOND", 1), ("MINUTE", 60), ("HOUR", 3600), ("DAY", 86400),
+    ("WEEK", 604800), ("MONTH", 2592000), ("QUARTER", 7776000),
+    ("YEAR", 31536000), ("DECADE", 315360000),
+    ("CENTURY", 3153600000), ("MILLENNIUM", 31536000000)]
 
 
 class ExploreService:
@@ -1636,6 +1643,231 @@ class ExploreService:
                       for t in ("TEXT", "INTEGER", "FLOAT")],
             "availableValues": total,
             "availableValuesCount": total}
+
+    # -- value-distribution histogram + selection counts ---------------------
+    # (HistogramGenerator.java:58-916: the data behind the column-
+    #  details panel and the replace/keeponly/exclude values card.
+    #  BUCKETS=200 bins for numeric columns after a MIN/MAX prelim
+    #  query; date_trunc-bucketed bins for date/time columns with the
+    #  truncation unit chosen so one bin ≈ one unit
+    #  (TruncEvalEnum.getSortedAscValues); plain GROUP BY value ordered
+    #  by count for text.  Every heavy step is Spark SQL through the
+    #  normal engine path — one shuffle on the column, pushdown intact
+    #  — and the driver receives a BOUNDED result: ≤ ~BUCKETS binned
+    #  rows, and the unbinned arm is top-K-capped (the reference pages
+    #  an unbounded values list; at 100 TB a high-cardinality column
+    #  would funnel every distinct value through the driver, so we cap
+    #  and report the true total separately).)
+
+    def _column_type(self, entry: dict, col: str) -> str:
+        for f in entry.get("sqlFields", []):
+            if f["name"].lower() == col.lower():
+                return f["type"]
+        for f in self.engine.sql(entry["sql"]).schema.fields:
+            if f.name.lower() == col.lower():
+                return data_type_of(f.dataType.simpleString())
+        raise ExploreError(f"no column {col!r} in dataset")
+
+    @staticmethod
+    def _trunc_unit(duration_seconds: float, buckets: int) -> str:
+        """Smallest date_trunc unit whose length covers one bucket
+        (HistogramGenerator: range/divisor ≤ 1 walk over
+        TruncEvalEnum ascending)."""
+        per_bucket = round(duration_seconds / buckets)
+        for name, divisor in _TRUNC_UNITS:
+            if per_bucket / divisor <= 1:
+                return name
+        return _TRUNC_UNITS[-1][0]
+
+    @staticmethod
+    def _step_trunc(dt, unit: str):
+        """Next bin start after `dt` for a date_trunc unit (the
+        empty-bin filler's increment; produceRanges' plusX calls)."""
+        import datetime as _dt
+
+        fixed = {"SECOND": _dt.timedelta(seconds=1),
+                 "MINUTE": _dt.timedelta(minutes=1),
+                 "HOUR": _dt.timedelta(hours=1),
+                 "DAY": _dt.timedelta(days=1),
+                 "WEEK": _dt.timedelta(weeks=1)}
+        if unit in fixed:
+            return dt + fixed[unit]
+        months = {"MONTH": 1, "QUARTER": 3}.get(unit)
+        if months is not None:
+            m = dt.month - 1 + months
+            return dt.replace(year=dt.year + m // 12,
+                              month=m % 12 + 1)
+        years = {"YEAR": 1, "DECADE": 10, "CENTURY": 100,
+                 "MILLENNIUM": 1000}[unit]
+        return dt.replace(year=dt.year + years)
+
+    def value_histogram(self, path: str, version: str, col: str,
+                        sample_limit: int | None = None,
+                        buckets: int = _HISTOGRAM_BUCKETS) -> dict:
+        """Column value-distribution (HistogramGenerator.getHistogram):
+        returns {"availableValues": [HistogramValue...],
+        "availableValuesCount": total}.  `sample_limit` caps the
+        examined rows like the reference's preview-job results table
+        (None = whole dataset, which is what the oracle-checked
+        registered query uses for determinism)."""
+        entry = self.get_version(path, version)
+        inner = entry["sql"]
+        if sample_limit:
+            inner = (f"SELECT * FROM (\n{inner}\n) __hg_sample "
+                     f"LIMIT {int(sample_limit)}")
+        ctype = self._column_type(entry, col)
+        q = quote_ident(col)
+        values: list[dict] = []
+        total = 0
+
+        def _hval(label, count, lo, hi):
+            return {"type": ctype, "value": label, "count": count,
+                    "percent": 0.0,
+                    "valueRange": {"lowerLimit": lo, "upperLimit": hi}}
+
+        binned_rows = None
+        if ctype in ("INTEGER", "FLOAT", "DECIMAL"):
+            mm = self.engine.sql(
+                f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "
+                f"FROM (\n{inner}\n) __hg").collect()[0]
+            if mm["colMin"] is not None:
+                lo, hi = float(mm["colMin"]), float(mm["colMax"])
+                width = abs(hi - lo) / buckets
+                if ctype != "FLOAT":
+                    # integer bins round to whole numbers, min 1
+                    width = float(round(width)) or (
+                        1.0 if abs(hi - lo) > 1 else 0.0)
+                if width > 0:
+                    binned_rows = self.engine.sql(
+                        f"SELECT ROUND(CAST({q} AS DOUBLE)/{width!r})"
+                        f"*{width!r} AS dremio_value, COUNT(*) AS "
+                        f"dremio_value_count FROM (\n{inner}\n) __hg "
+                        f"WHERE {q} IS NOT NULL "
+                        f"GROUP BY 1 ORDER BY 1").collect()
+                    # ROUND-binning keys are multiples of `width`;
+                    # fill empty bins between the observed extremes so
+                    # the card renders a continuous axis (bounded by
+                    # `buckets`+2 entries)
+                    by_key = {r["dremio_value"]:
+                              r["dremio_value_count"]
+                              for r in binned_rows}
+                    if by_key:
+                        kmin = min(by_key)
+                        kmax = max(by_key)
+                        k, guard = kmin, 0
+                        while k <= kmax + width / 2 and \
+                                guard <= buckets + 2:
+                            n = 0
+                            for seen in by_key:
+                                if abs(seen - k) < width / 2:
+                                    n = by_key[seen]
+                                    break
+                            values.append(_hval(
+                                str(k), n, k - width / 2,
+                                k + width / 2))
+                            total += n
+                            k += width
+                            guard += 1
+        elif ctype in ("DATE", "TIME", "DATETIME"):
+            mm = self.engine.sql(
+                f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "
+                f"FROM (\n{inner}\n) __hg").collect()[0]
+            if mm["colMin"] is not None:
+                duration = (mm["colMax"] - mm["colMin"]
+                            ).total_seconds()
+                unit = self._trunc_unit(duration, buckets)
+                binned_rows = self.engine.sql(
+                    f"SELECT date_trunc('{unit}', {q}) AS "
+                    f"dremio_value, COUNT(*) AS dremio_value_count "
+                    f"FROM (\n{inner}\n) __hg "
+                    f"WHERE {q} IS NOT NULL "
+                    f"GROUP BY 1 ORDER BY 1").collect()
+                by_key = {r["dremio_value"]: r["dremio_value_count"]
+                          for r in binned_rows}
+                if by_key:
+                    k, kmax = min(by_key), max(by_key)
+                    guard = 0
+                    while k <= kmax and guard <= buckets + 2:
+                        nxt = self._step_trunc(k, unit)
+                        n = by_key.get(k, 0)
+                        values.append(_hval(str(k), n, str(k),
+                                            str(nxt)))
+                        total += n
+                        k = nxt
+                        guard += 1
+        if binned_rows is None:
+            # text/boolean/degenerate-numeric: plain GROUP BY value,
+            # most-frequent first, top-K capped (determinism tiebreak
+            # on the value itself); the true total comes from the
+            # aggregate, not the capped list
+            rows = self.engine.sql(
+                f"SELECT {q} AS dremio_value, COUNT(*) AS "
+                f"dremio_value_count FROM (\n{inner}\n) __hg "
+                f"GROUP BY {q} ORDER BY dremio_value_count DESC, "
+                f"dremio_value LIMIT {_HISTOGRAM_MAX_VALUES}"
+            ).collect()
+            total = self.engine.sql(
+                f"SELECT COUNT(*) AS n FROM (\n{inner}\n) __hg"
+            ).collect()[0]["n"]
+            for r in rows:
+                v = r["dremio_value"]
+                label = None if v is None else str(v)
+                values.append(_hval(label, r["dremio_value_count"],
+                                    label, label))
+        for v in values:
+            v["percent"] = (v["count"] * 100.0 / total) if total \
+                else 0.0
+        return {"availableValues": values,
+                "availableValuesCount": total}
+
+    def selection_count(self, path: str, version: str, col: str,
+                        selected: list, replace_null: bool = False,
+                        sample_limit: int | None = None) -> int:
+        """HistogramGenerator.getSelectionCount: COUNT(*) of rows whose
+        cell matches any selected value (typed literals, NULL via IS
+        NULL; empty strings only match TEXT columns — the reference
+        filters them out for every other type)."""
+        entry = self.get_version(path, version)
+        inner = entry["sql"]
+        if sample_limit:
+            inner = (f"SELECT * FROM (\n{inner}\n) __hg_sample "
+                     f"LIMIT {int(sample_limit)}")
+        ctype = self._column_type(entry, col)
+        q = quote_ident(col)
+        preds = []
+        for v in selected or []:
+            if v is None:
+                preds.append(f"{q} IS NULL")
+            elif v == "" and ctype != "TEXT":
+                continue
+            else:
+                preds.append(f"{q} = {_sql_literal(v, ctype)}")
+        if replace_null:
+            preds.append(f"{q} IS NULL")
+        if not preds:
+            return 0
+        sql = (f"SELECT COUNT(*) AS dremio_selection_count FROM "
+               f"(\n{inner}\n) __sel WHERE " + " OR ".join(preds))
+        return int(self.engine.sql(sql).collect()[0]
+                   ["dremio_selection_count"])
+
+    def values_card(self, path: str, version: str, col: str,
+                    selected: list | None = None,
+                    replace_null: bool = False,
+                    sample_limit: int | None = None) -> dict:
+        """ReplaceValuesCard (DatasetVersionResource.
+        genReplaceValuesCard): histogram + matched/unmatched counts
+        for the replace/keeponly/exclude values UI."""
+        hist = self.value_histogram(path, version, col,
+                                    sample_limit=sample_limit)
+        matched = self.selection_count(
+            path, version, col, selected or [],
+            replace_null=replace_null, sample_limit=sample_limit)
+        total = hist["availableValuesCount"]
+        return {"availableValues": hist["availableValues"],
+                "matchedValues": matched,
+                "unmatchedValues": total - matched,
+                "availableValuesCount": total}
 
     # -- join recommendations (JoinRecommender.recommendJoins) ---------------
     def join_recommendations(self, path: str, version: str) -> dict:

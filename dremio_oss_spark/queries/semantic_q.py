@@ -373,7 +373,87 @@ order by segment
 """
 
 
+def explore_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Column value-distribution, numeric arm (HistogramGenerator.
+    java:110-320): BUCKETS=200 bins keyed ROUND(col/width)*width with
+    width = (max-min)/BUCKETS from a MIN/MAX prelim query.  The
+    ExploreService path is exercised first (bounded, percent-summing
+    payload); the returned frame re-expresses the identical binning
+    with INTEGER bin ids so the DuckDB oracle replays the same IEEE
+    arithmetic hash-safely (float bin labels would drift on
+    formatting, not value)."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("orders", "h0")
+    card = svc.value_histogram("tmp.UNTITLED", "h0", "o_totalprice")
+    vals = card["availableValues"]
+    assert 0 < len(vals) <= 202, len(vals)
+    assert sum(v["count"] for v in vals) == \
+        card["availableValuesCount"]
+    mm = eng.sql("SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo, "
+                 "CAST(MAX(o_totalprice) AS DOUBLE) AS hi "
+                 "FROM orders").collect()[0]
+    width = abs(mm["hi"] - mm["lo"]) / 200
+    return eng.sql(
+        f"SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE)/{width!r}) "
+        f"AS BIGINT) AS bin_idx, COUNT(*) AS cnt "
+        f"FROM orders GROUP BY bin_idx ORDER BY bin_idx")
+
+
+EXPLORE_VALUE_HISTOGRAM_SQL = """
+with mm as (select cast(min(o_totalprice) as double) as lo,
+                   cast(max(o_totalprice) as double) as hi
+            from orders)
+select cast(round(cast(o_totalprice as double) / ((hi - lo) / 200))
+            as bigint) as bin_idx,
+       count(*) as cnt
+from orders, mm
+group by bin_idx
+order by bin_idx
+"""
+
+
+def explore_values_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Replace-values card, text arm (HistogramGenerator group-by-value
+    + getSelectionCount; DatasetVersionResource.genReplaceValuesCard):
+    the SERVICE OUTPUT itself becomes the result frame — every
+    (value, count) pair plus the matched/total summary rows — so the
+    oracle value-checks the card end-to-end, not just the SQL it
+    runs."""
+    from ..explore import ExploreService
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("customer", "vc0")
+    card = svc.values_card("tmp.UNTITLED", "vc0", "c_mktsegment",
+                           selected=["BUILDING"])
+    assert card["matchedValues"] + card["unmatchedValues"] == \
+        card["availableValuesCount"]
+    rows = [(v["value"], int(v["count"]))
+            for v in card["availableValues"]]
+    rows.append(("__matched__", int(card["matchedValues"])))
+    rows.append(("__total__", int(card["availableValuesCount"])))
+    return spark.createDataFrame(rows, "val string, cnt bigint")
+
+
+EXPLORE_VALUES_CARD_SQL = """
+select c_mktsegment as val, count(*) as cnt
+from customer group by c_mktsegment
+union all
+select '__matched__' as val, count(*) as cnt
+from customer where c_mktsegment = 'BUILDING'
+union all
+select '__total__' as val, count(*) as cnt from customer
+"""
+
+
 SEMANTIC_QUERIES = {
+    "cat_value_histogram": explore_value_histogram,
+    "cat_values_card": explore_values_card,
     "cat_vds_query": vds_query,
     "cat_information_schema": info_schema,
     "cat_policy_enforcement": policy_enforcement,
@@ -384,6 +464,8 @@ SEMANTIC_QUERIES = {
 }
 
 SEMANTIC_ORACLE = {
+    "cat_value_histogram": EXPLORE_VALUE_HISTOGRAM_SQL,
+    "cat_values_card": EXPLORE_VALUES_CARD_SQL,
     "cat_vds_query": VDS_QUERY_SQL,
     "cat_information_schema": INFO_SCHEMA_SQL,
     "cat_policy_enforcement": POLICY_ENFORCEMENT_SQL,

@@ -369,6 +369,38 @@ def handle_version_post(h) -> bool:
                                         limit=limit)
             h._send(200, out)
             return True
+        if action in ("replace_values_preview",
+                      "keeponly_values_preview",
+                      "exclude_values_preview"):
+            # ReplaceValuesCard (getValuesCard over
+            # ReplaceValuesPreviewReq): histogram + matched counts
+            # for an explicit replacedValues list
+            req = h._read_json()
+            selection = req.get("selection", req)
+            col = selection.get("colName")
+            if not col:
+                h._send(400, {"errorMessage": "colName required"})
+                return True
+            with _engine_lock():
+                out = h.explore.values_card(
+                    cpath, version, col,
+                    selected=req.get("replacedValues") or [],
+                    replace_null=bool(req.get("replaceNull")),
+                    sample_limit=h.max_stored)
+            h._send(200, out)
+            return True
+        if action == "histogram":
+            # column-details distribution (HistogramGenerator direct)
+            req = h._read_json()
+            col = (req.get("selection", req)).get("colName")
+            if not col:
+                h._send(400, {"errorMessage": "colName required"})
+                return True
+            with _engine_lock():
+                out = h.explore.value_histogram(
+                    cpath, version, col, sample_limit=h.max_stored)
+            h._send(200, out)
+            return True
         if action in _CARD_KINDS:
             kind = _CARD_KINDS[action]
             req = h._read_json()
@@ -385,6 +417,19 @@ def handle_version_post(h) -> bool:
                 else:
                     out = {"cards": h.explore.cards(
                         cpath, version, col, kind, selection)}
+                    if kind == "replace":
+                        # getCards pairs the pattern cards with the
+                        # values card; a whole-cell selection counts
+                        # as the selected value (getCards :1208-1215)
+                        cell = selection.get("cellText")
+                        whole = (cell is None or
+                                 (int(selection.get("offset", 0)) == 0
+                                  and len(cell or "") ==
+                                  int(selection.get("length", 0))))
+                        out["values"] = h.explore.values_card(
+                            cpath, version, col,
+                            selected=([cell] if whole else []),
+                            sample_limit=h.max_stored)
             h._send(200, out)
             return True
         return False

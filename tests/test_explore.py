@@ -825,3 +825,150 @@ def test_date_to_number_timezone_free(svc):
             assert r["back_date"] == r["d"], r
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_value_histogram_numeric_bins(svc, oracle):
+    """HistogramGenerator numeric arm: BUCKETS=200 ROUND-bins whose
+    counts match a hand-written GROUP BY oracle in DuckDB, contiguous
+    fill (empty bins present, zero-count), percents sum to ~100."""
+    svc.new_untitled_from_table("orders", "hg0")
+    card = svc.value_histogram("tmp.UNTITLED", "hg0", "o_totalprice")
+    vals = card["availableValues"]
+    assert 0 < len(vals) <= 202
+    total = card["availableValuesCount"]
+    assert sum(v["count"] for v in vals) == total
+    assert abs(sum(v["percent"] for v in vals) - 100.0) < 1e-6
+    # every entry carries a [lower, upper) range one bin wide
+    widths = {round(v["valueRange"]["upperLimit"]
+                    - v["valueRange"]["lowerLimit"], 6)
+              for v in vals}
+    assert len(widths) == 1
+    # oracle: identical binning arithmetic in DuckDB
+    exp = {int(r[0]): r[1] for r in oracle.execute("""
+        with mm as (select cast(min(o_totalprice) as double) lo,
+                           cast(max(o_totalprice) as double) hi
+                    from orders)
+        select cast(round(cast(o_totalprice as double)
+                          / ((hi - lo) / 200)) as bigint) bin_idx,
+               count(*) n
+        from orders, mm group by bin_idx""").fetchall()}
+    assert total == sum(exp.values())
+    assert len([v for v in vals if v["count"]]) == len(exp)
+    width = (vals[0]["valueRange"]["upperLimit"]
+             - vals[0]["valueRange"]["lowerLimit"])
+    for v in vals:
+        if v["count"]:
+            idx = round(float(v["value"]) / width)
+            assert exp[idx] == v["count"], (idx, v)
+
+
+def test_value_histogram_date_truncation(svc, oracle):
+    """Date arm: trunc unit chosen so one bin ≈ one unit
+    (TruncEvalEnum walk); counts match date_trunc GROUP BY oracle;
+    bins are contiguous (zero-filled)."""
+    svc.new_untitled_from_table("orders", "hgd0")
+    card = svc.value_histogram("tmp.UNTITLED", "hgd0", "o_orderdate")
+    vals = card["availableValues"]
+    assert vals and card["availableValuesCount"] == \
+        sum(v["count"] for v in vals)
+    # orders spans ~7 years; 200 buckets => ~13-day bins; the
+    # TruncEvalEnum walk picks the first unit covering a bucket:
+    # WEEK leaves 1.8 buckets/unit, so MONTH wins
+    exp = {str(r[0]): r[1] for r in oracle.execute("""
+        select date_trunc('month', o_orderdate) b, count(*) n
+        from orders group by b order by b""").fetchall()}
+    got = {v["value"]: v["count"] for v in vals if v["count"]}
+    assert len(got) == len(exp)
+    for k, n in got.items():
+        # Spark date_trunc returns timestamps; DuckDB dates
+        assert exp[k.split(" ")[0]] == n, (k, n)
+
+
+def test_value_histogram_text_topk_and_selection(svc, oracle):
+    svc.new_untitled_from_table("customer", "hgt0")
+    card = svc.values_card("tmp.UNTITLED", "hgt0", "c_mktsegment",
+                           selected=["BUILDING", "AUTOMOBILE"])
+    exp = dict(oracle.execute(
+        "select c_mktsegment, count(*) from customer "
+        "group by 1").fetchall())
+    got = {v["value"]: v["count"] for v in card["availableValues"]}
+    assert got == exp
+    want = oracle.execute(
+        "select count(*) from customer where c_mktsegment in "
+        "('BUILDING','AUTOMOBILE')").fetchone()[0]
+    assert card["matchedValues"] == want
+    assert card["unmatchedValues"] == \
+        card["availableValuesCount"] - want
+    # NULL selection counts IS NULL rows; empty string is dropped for
+    # non-text; typed literals for dates
+    assert svc.selection_count("tmp.UNTITLED", "hgt0", "c_acctbal",
+                               [""]) == 0
+    n_null = svc.selection_count("tmp.UNTITLED", "hgt0",
+                                 "c_mktsegment", [None])
+    assert n_null == oracle.execute(
+        "select count(*) from customer where c_mktsegment is null"
+    ).fetchone()[0]
+    svc.new_untitled_from_table("orders", "hgs0")
+    one_day = svc.engine.sql(
+        "select cast(o_orderdate as string) d, count(*) n "
+        "from orders group by 1 order by n desc limit 1").collect()[0]
+    assert svc.selection_count("tmp.UNTITLED", "hgs0", "o_orderdate",
+                               [one_day["d"]]) == one_day["n"]
+
+
+def test_value_histogram_rest_routes(spark):
+    """replace_values_preview / histogram routes + the values card
+    folded into the replace card response (getCards :1208-1215)."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def call(method, path, body=None):
+        req = rq.Request(f"http://127.0.0.1:{port}{path}",
+                         data=_json.dumps(body).encode()
+                         if body is not None else None,
+                         method=method,
+                         headers={"Content-Type": "application/json"})
+        with rq.urlopen(req) as r:
+            return r.status, _json.loads(r.read())
+
+    try:
+        code, out = call("POST", "/api/v3/datasets/new_untitled"
+                         "?parentDataset=customer&newVersion=rh0"
+                         "&limit=5")
+        assert code == 200, out
+        path = ".".join(out["dataset"]["fullPath"])
+        code, card = call(
+            "POST",
+            f"/api/v3/dataset/{path}/version/rh0/"
+            "replace_values_preview",
+            body={"selection": {"colName": "c_mktsegment"},
+                  "replacedValues": ["MACHINERY"]})
+        assert code == 200, card
+        assert card["matchedValues"] > 0
+        assert card["matchedValues"] + card["unmatchedValues"] == \
+            card["availableValuesCount"]
+        code, hist = call(
+            "POST",
+            f"/api/v3/dataset/{path}/version/rh0/histogram",
+            body={"colName": "c_acctbal"})
+        assert code == 200 and hist["availableValues"], hist
+        assert len(hist["availableValues"]) <= 202
+        # whole-cell selection folds a values card into replace cards
+        code, rep = call(
+            "POST",
+            f"/api/v3/dataset/{path}/version/rh0/replace",
+            body={"colName": "c_mktsegment",
+                  "cellText": "MACHINERY", "offset": 0,
+                  "length": 9})
+        assert code == 200, rep
+        assert rep["values"]["matchedValues"] == \
+            card["matchedValues"]
+    finally:
+        server.shutdown()
