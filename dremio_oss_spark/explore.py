@@ -1193,6 +1193,81 @@ def recommend_replace(selection: dict) -> list[dict]:
     return rules
 
 
+def recommend_extract_map(selection: dict) -> list[dict]:
+    """ExtractMapRule candidates (ExtractMapRecommender.java:38-44):
+    the client either sends the resolved mapPathList, or — for a raw
+    text selection inside a rendered JSON cell — the selection is
+    located to its element path with the JSONElementLocator port
+    (jsonlocate.locate), which is the nested-cell selection→path
+    mapping the heuristic-only card lacked."""
+    from .jsonlocate import JsonLocateError, locate, to_rule_path
+
+    if selection.get("mapPathList"):
+        return [{"path": ".".join(selection["mapPathList"])}]
+    cell = selection.get("cellText") or ""
+    off = int(selection.get("offset", 0))
+    length = int(selection.get("length", 0))
+    try:
+        start, end = locate(cell, off, off + length)
+    except JsonLocateError as e:
+        raise ExploreError(f"invalid JSON: {e}") from e
+    if not start:
+        raise ExploreError("selection does not cover a JSON element")
+    # a selection spanning two siblings recommends their common
+    # ancestor path; identical paths recommend the element itself
+    common = []
+    for a, b in zip(start, end):
+        if a == b:
+            common.append(a)
+        else:
+            break
+    if not common:
+        raise ExploreError("selection does not cover a JSON element")
+    return [{"path": to_rule_path(common)}]
+
+
+def recommend_extract_list(selection: dict) -> list[dict]:
+    """ExtractListRule candidates (ExtractListRecommender.java:50-83):
+    locate the selection inside the rendered array cell; a single
+    element recommends single(index); a span recommends the four
+    from-start/from-end sublist combinations."""
+    from .jsonlocate import JsonLocateError, locate
+
+    cell = selection.get("cellText") or ""
+    off = int(selection.get("offset", 0))
+    length = int(selection.get("length", 0))
+    try:
+        sel_start, sel_end = locate(cell, off, off + length)
+    except JsonLocateError as e:
+        raise ExploreError(f"invalid JSON: {e}") from e
+
+    def _array_el(p):
+        from .jsonlocate import ArrEl
+
+        if len(p) == 1 and isinstance(p[0], ArrEl):
+            return p[0]
+        raise ExploreError(f"not an array selection: {p}")
+
+    start, end = _array_el(sel_start), _array_el(sel_end)
+    if start is end or start.position == end.position:
+        return [{"type": "single",
+                 "single": {"index": start.position}}]
+
+    def from_start(a):
+        return {"value": a.position, "direction": "FROM_THE_START"}
+
+    def from_end(a):
+        return {"value": a.count - a.position - 1,
+                "direction": "FROM_THE_END"}
+
+    return [{"type": "multiple",
+             "multiple": {"selection": {"start": s, "end": e}}}
+            for s, e in ((from_start(start), from_start(end)),
+                         (from_start(start), from_end(end)),
+                         (from_end(start), from_start(end)),
+                         (from_end(start), from_end(end)))]
+
+
 def recommend_split(selection: dict) -> list[dict]:
     """SplitRule candidates: delimiters present in the cell text
     (SplitRecommender.java:49 — space/comma/dash/etc. + the selected
@@ -1544,6 +1619,58 @@ class ExploreService:
                     ) is not None
                 return False
             return match
+        if kind == "extract_map":
+            # `expr.path IS NOT NULL` (ExtractMapTransformRuleWrapper.
+            # getMatchFunctionExpr) evaluated on the sample cell
+            from .jsonlocate import ArrEl, ObjEl, parse_path
+
+            segs = parse_path(rule["path"])
+
+            def match(v):
+                cur = v
+                for seg in segs:
+                    if cur is None:
+                        return None
+                    try:
+                        if isinstance(seg, ObjEl):
+                            cur = (cur.get(seg.field)
+                                   if isinstance(cur, dict)
+                                   else cur[seg.field])
+                        elif isinstance(seg, ArrEl):
+                            cur = (cur[seg.position]
+                                   if isinstance(cur, (list, tuple))
+                                   and 0 <= seg.position < len(cur)
+                                   else None)
+                    except (KeyError, ValueError, TypeError):
+                        return None
+                return cur
+            return match
+        if kind == "extract_list":
+            if rule["type"] == "single":
+                idx = int(rule["single"]["index"])
+
+                def match(v):
+                    if v is None or idx >= len(v):
+                        return None
+                    return v[idx]
+                return match
+            sel = rule["multiple"]["selection"]
+
+            def _resolve(o, n):
+                return (n - int(o["value"]) - 1
+                        if o.get("direction") == "FROM_THE_END"
+                        else int(o["value"]))
+
+            def match(v):
+                if v is None:
+                    return None
+                s = _resolve(sel["start"], len(v))
+                e = _resolve(sel["end"], len(v))
+                if s < 0 or e < s:
+                    return None
+                out = list(v[s:e + 1])
+                return out or None
+            return match
         # split
         pat = rule["pattern"]
         rx = pat if rule.get("matchType") == "regex" else re.escape(pat)
@@ -1582,7 +1709,9 @@ class ExploreService:
               selection: dict) -> list[dict]:
         rec = {"extract": recommend_extract,
                "replace": recommend_replace,
-               "split": recommend_split}[kind]
+               "split": recommend_split,
+               "extract_map": recommend_extract_map,
+               "extract_list": recommend_extract_list}[kind]
         return [self.card(path, version, col, kind, r)
                 for r in rec(selection)]
 
@@ -1961,4 +2090,14 @@ def _describe_rule(kind: str, rule: dict) -> str:
             return "Replace null values"
         return f"{sel.replace('_', ' ').title()} " \
                f"{rule.get('selectionPattern', '')}"
+    if kind == "extract_map":
+        # ExtractMapTransformRuleWrapper.describe
+        return f"extract from map {rule['path']}"
+    if kind == "extract_list":
+        if rule["type"] == "single":
+            return f"Extract list element {rule['single']['index']}"
+        s = rule["multiple"]["selection"]
+        return (f"Extract list elements {s['start']['value']} "
+                f"({s['start']['direction']}) - {s['end']['value']} "
+                f"({s['end']['direction']})")
     return f"Split on {rule.get('pattern', '')!r}"

@@ -451,7 +451,81 @@ select '__total__' as val, count(*) as cnt from customer
 """
 
 
+def explore_json_extract_path(spark: SparkSession, sf: str
+                              ) -> DataFrame:
+    """JSON cell selection → element path → extract transform
+    (JSONElementLocator.java locate + ExtractMapRecommender /
+    ExtractListRecommender getRules): render a nested cell to JSON,
+    locate two character-range selections (a nested struct member and
+    an array element), feed the recommended rules into the
+    extract_map/extract_list TRANSFORMS, and run the regenerated SQL —
+    the oracle replays the flattening by hand, value-checking the
+    locate→recommend→SQL pipeline end-to-end."""
+    import json as _json
+
+    from ..explore import (ExploreService, recommend_extract_list,
+                           recommend_extract_map)
+
+    eng = Engine(spark)
+    eng.add_testdata_source(sf)
+    svc = ExploreService(eng)
+    svc.new_untitled_from_table("orders", "jp0")
+    svc.transform("tmp.UNTITLED", "jp0", {
+        "type": "addCalculatedField", "newColumnName": "payload",
+        "sourceColumnName": "o_orderstatus",
+        "expression": "named_struct('status', o_orderstatus, 'prio', "
+                      "named_struct('label', o_orderpriority), "
+                      "'prices', array(o_totalprice, "
+                      "o_totalprice * 2))",
+        "dropSourceColumn": False}, "j0")
+    # render one cell the way the UI does and select inside it
+    row = eng.sql(svc.get_version("tmp.UNTITLED", "j0")["sql"]) \
+        .limit(1).collect()[0]
+    cell = _json.dumps(row["payload"].asDict(recursive=True))
+    frag = _json.loads(cell)["prio"]["label"]
+    off = cell.find(f'"{frag}"') + 1
+    map_rules = recommend_extract_map(
+        {"cellText": cell, "offset": off, "length": len(frag)})
+    assert map_rules == [{"path": "prio.label"}], map_rules
+    arr_cell = _json.dumps(
+        _json.loads(cell)["prices"])
+    a_off = arr_cell.find(",") + 2
+    list_rules = recommend_extract_list(
+        {"cellText": arr_cell, "offset": a_off,
+         "length": len(arr_cell) - a_off - 1})
+    assert list_rules == [{"type": "single",
+                           "single": {"index": 1}}], list_rules
+    svc.transform("tmp.UNTITLED", "j0", {
+        "type": "field", "sourceColumnName": "payload",
+        "newColumnName": "prio_label", "dropSourceColumn": False,
+        "fieldTransformation": {
+            "type": "ExtractMap",
+            "extractMap": {"rule": map_rules[0]}}}, "j1")
+    svc.transform("tmp.UNTITLED", "j1", {
+        "type": "addCalculatedField", "newColumnName": "price2",
+        "sourceColumnName": "payload",
+        "expression": "payload['prices'][1]",
+        "dropSourceColumn": False}, "j2")
+    v = "j2"
+    for i, col in enumerate(["payload", "o_custkey", "o_orderstatus",
+                             "o_totalprice", "o_orderdate",
+                             "o_orderpriority"]):
+        svc.transform("tmp.UNTITLED", v, {
+            "type": "drop", "droppedColumnName": col}, f"j3_{i}")
+        v = f"j3_{i}"
+    return eng.sql(svc.get_version("tmp.UNTITLED", v)["sql"])
+
+
+EXPLORE_JSON_EXTRACT_SQL = """
+select o_orderkey,
+       o_orderpriority as prio_label,
+       o_totalprice * 2 as price2
+from orders
+"""
+
+
 SEMANTIC_QUERIES = {
+    "cat_json_extract_path": explore_json_extract_path,
     "cat_value_histogram": explore_value_histogram,
     "cat_values_card": explore_values_card,
     "cat_vds_query": vds_query,
@@ -464,6 +538,7 @@ SEMANTIC_QUERIES = {
 }
 
 SEMANTIC_ORACLE = {
+    "cat_json_extract_path": EXPLORE_JSON_EXTRACT_SQL,
     "cat_value_histogram": EXPLORE_VALUE_HISTOGRAM_SQL,
     "cat_values_card": EXPLORE_VALUES_CARD_SQL,
     "cat_vds_query": VDS_QUERY_SQL,

@@ -203,7 +203,13 @@ _CARD_KINDS = {"extract": "extract", "extract_preview": "extract",
                "replace": "replace", "replace_preview": "replace",
                "split": "split", "split_preview": "split",
                "keeponly": "replace", "keeponly_preview": "replace",
-               "exclude": "replace", "exclude_preview": "replace"}
+               "exclude": "replace", "exclude_preview": "replace",
+               # JSON cell selection → element path
+               # (JSONElementLocator via jsonlocate.locate)
+               "extract_map": "extract_map",
+               "extract_struct_preview": "extract_map",
+               "extract_list": "extract_list",
+               "extract_list_preview": "extract_list"}
 
 
 def handle_datasets_post(h) -> bool:
