@@ -1379,10 +1379,153 @@ def handle_admin(h, method: str) -> bool:
 # dispatcher
 # --------------------------------------------------------------------------
 
+def _nessie_ref_json(kind: str, name: str, head: str | None) -> dict:
+    return {"type": kind, "name": name, "hash": head}
+
+
+def _nessie_content_json(root: str, key: str, content: dict) -> dict:
+    """Dataplane content → Nessie v2 Content JSON.  Content ids are
+    derived deterministically from the key + physical binding (our
+    store keys commits, not content objects)."""
+    import os as _os
+    import uuid as _uuid
+
+    cid = str(_uuid.uuid5(_uuid.NAMESPACE_URL,
+                          f"{key}|{content.get('location') or content.get('sql', '')}"))
+    if content.get("type") == "ICEBERG_VIEW":
+        return {"type": "ICEBERG_VIEW", "id": cid,
+                "sqlText": content.get("sql", ""), "dialect": "SPARK"}
+    return {"type": "ICEBERG_TABLE", "id": cid,
+            "metadataLocation": _os.path.join(
+                root, content.get("location", ""), "metadata"),
+            "snapshotId": content.get("snapshot_id")}
+
+
+def handle_nessie_proxy(h, method: str) -> bool:
+    """Nessie REST v2 proxy over a dataplane (versioned) source
+    (NessieSourceResource.java:41 routing into ProxyV2TreeResource.
+    java:67-395): a stock Nessie client can browse branches/tags,
+    per-ref entries, the commit log, and table/view contents of the
+    engine's versioned catalog.
+
+    GET  /nessie-proxy/v2/source/{src}/trees
+    GET  /nessie-proxy/v2/source/{src}/trees/{ref}
+    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/entries
+    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/history
+    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/contents/{key}
+
+    Refs accept the v2 `name@hash` form.  Read-only: the reference
+    proxies writes through to an EXTERNAL Nessie server, but our
+    commit store is engine-internal and all writes flow through SQL
+    DDL/DML + the dataplane CAS — mutating verbs answer 405 so a
+    client never half-commits around the engine's locking."""
+    from ..sources import dataplane
+
+    p = urlparse(h.path).path.rstrip("/")
+    prefix = "/nessie-proxy/v2/source/"
+    if not p.startswith(prefix):
+        return False
+    rest = p[len(prefix):]
+    src, _, tail = rest.partition("/")
+    src = unquote(src)
+    if method != "GET":
+        h._send(405, {"errorMessage":
+                      "the Nessie proxy is read-only here; use SQL "
+                      "DDL/DML (CREATE BRANCH / AT BRANCH ...) for "
+                      "writes"})
+        return True
+    root = h.engine._versioned_sources.get(src)
+    if root is None:
+        h._send(404, {"errorMessage": f"no versioned source {src!r}"})
+        return True
+    if not tail.startswith("trees"):
+        h._send(404, {"errorMessage": f"no route {p}"})
+        return True
+    parts = [unquote(x) for x in tail.split("/")]
+    try:
+        with _engine_lock():
+            refs = dataplane._load_refs(root)
+            if len(parts) == 1:  # /trees — getAllReferences
+                out = {"references":
+                       [_nessie_ref_json("BRANCH", n, c) for n, c in
+                        sorted(refs["branches"].items())]
+                       + [_nessie_ref_json("TAG", n, c) for n, c in
+                          sorted(refs["tags"].items())],
+                       "hasMore": False}
+                h._send(200, out)
+                return True
+            ref_name, _, at_hash = parts[1].partition("@")
+            kind = ("BRANCH" if ref_name in refs["branches"] else
+                    "TAG" if ref_name in refs["tags"] else None)
+            if kind is None:
+                h._send(404, {"errorMessage":
+                              f"no branch or tag {ref_name!r}"})
+                return True
+            head = dataplane.resolve_ref(
+                root, ref_name, commit_id=at_hash or None)
+            eff = _nessie_ref_json(kind, ref_name, head)
+            if len(parts) == 2:  # /trees/{ref} — getReferenceByName
+                h._send(200, {"reference": eff})
+                return True
+            action = parts[2]
+            if action == "entries" and len(parts) == 3:
+                st = dataplane.state_at(root, ref_name,
+                                        commit_id=at_hash or None)
+                entries = [{"name": {"elements": key.split(".")},
+                            "type": content.get("type",
+                                                "ICEBERG_TABLE"),
+                            "contentId": _nessie_content_json(
+                                root, key, content)["id"]}
+                           for key, content in sorted(st.items())]
+                h._send(200, {"entries": entries, "hasMore": False,
+                              "effectiveReference": eff})
+                return True
+            if action == "history" and len(parts) == 3:
+                import datetime as _dt
+
+                log = dataplane.log(root, ref_name,
+                                    commit_id=at_hash or None)
+                h._send(200, {"logEntries": [
+                    {"commitMeta": {
+                        "hash": c["id"],
+                        "message": c["message"],
+                        "author": c["author"],
+                        "commitTime": _dt.datetime.fromtimestamp(
+                            c["ts_ms"] / 1000,
+                            _dt.timezone.utc).isoformat()}}
+                    for c in log], "hasMore": False})
+                return True
+            if action == "contents" and len(parts) >= 4:
+                key = "/".join(parts[3:])
+                # Nessie keys are dot-separated elements; accept both
+                # a.b and a/b path spellings
+                key = key.replace("/", ".")
+                st = dataplane.state_at(root, ref_name,
+                                        commit_id=at_hash or None)
+                content = st.get(key)
+                if content is None:
+                    h._send(404, {"errorMessage":
+                                  f"no content {key!r} at "
+                                  f"{ref_name!r}"})
+                    return True
+                h._send(200, {"content": _nessie_content_json(
+                    root, key, content),
+                    "effectiveReference": eff})
+                return True
+        h._send(404, {"errorMessage": f"no route {p}"})
+    except ValueError as e:
+        h._send(404, {"errorMessage": str(e)})
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
 def handle(h, method: str) -> bool:
     """Route one request; returns True when handled.  Called by the
     rest-server handler after auth."""
     if handle_auth(h, method):
+        return True
+    if handle_nessie_proxy(h, method):
         return True
     if handle_admin(h, method):
         return True

@@ -676,3 +676,115 @@ def test_seq_fallback_parses_new_format_commit_ids(eng):
                     {"c": {"type": "ICEBERG_VIEW", "sql": "z"}}, "three")
     assert cid == f"c{last + 1:06d}"
     assert dp._load_refs(root)["seq"] == last + 1
+
+
+def test_nessie_proxy_routes(eng):
+    """Nessie REST v2 proxy (NessieSourceResource.java:41 +
+    ProxyV2TreeResource.java): a vanilla Nessie client walks
+    trees/entries/history/contents over the seeded dataplane source
+    and the output matches SHOW BRANCHES / SHOW LOGS."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng.sql("CREATE TABLE dpsrc.base AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("CREATE TABLE dpsrc.folder.extra AT BRANCH dev "
+            "AS select * from region")
+    eng.sql("CREATE VIEW dpsrc.v_nat AT BRANCH dev "
+            "AS select n_name from dpsrc.base")
+    eng.sql("CREATE TAG rel1 IN dpsrc")  # tag at main's head
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def get(path):
+        req = rq.Request(f"http://127.0.0.1:{port}{path}")
+        try:
+            with rq.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # trees matches SHOW BRANCHES / SHOW TAGS
+        code, out = get("/nessie-proxy/v2/source/dpsrc/trees")
+        assert code == 200, out
+        got = {(r["type"], r["name"]): r["hash"]
+               for r in out["references"]}
+        branches = {r["ref_name"]: r["commit_id"] for r in
+                    eng.sql("SHOW BRANCHES IN dpsrc").collect()}
+        tags = {r["ref_name"]: r["commit_id"] for r in
+                eng.sql("SHOW TAGS IN dpsrc").collect()}
+        assert got == {**{("BRANCH", n): c for n, c in
+                          branches.items()},
+                       **{("TAG", n): c for n, c in tags.items()}}
+        # single reference; @hash form resolves
+        code, ref = get("/nessie-proxy/v2/source/dpsrc/trees/dev")
+        assert code == 200 and ref["reference"]["type"] == "BRANCH"
+        dev_head = ref["reference"]["hash"]
+        code, ref2 = get(
+            f"/nessie-proxy/v2/source/dpsrc/trees/dev@{dev_head}")
+        assert code == 200 and ref2["reference"]["hash"] == dev_head
+        # entries: dev sees base + folder.extra + v_nat; main only base
+        code, ents = get(
+            "/nessie-proxy/v2/source/dpsrc/trees/dev/entries")
+        assert code == 200
+        names = {tuple(e["name"]["elements"]): e["type"]
+                 for e in ents["entries"]}
+        assert names == {("base",): "ICEBERG_TABLE",
+                         ("folder", "extra"): "ICEBERG_TABLE",
+                         ("v_nat",): "ICEBERG_VIEW"}
+        assert ents["effectiveReference"]["name"] == "dev"
+        code, ents_main = get(
+            "/nessie-proxy/v2/source/dpsrc/trees/main/entries")
+        assert {tuple(e["name"]["elements"])
+                for e in ents_main["entries"]} == {("base",)}
+        # history matches SHOW LOGS (same ids, same order)
+        code, hist = get(
+            "/nessie-proxy/v2/source/dpsrc/trees/dev/history")
+        assert code == 200
+        want = [r["commit_id"] for r in
+                eng.sql("SHOW LOGS AT BRANCH dev IN dpsrc").collect()]
+        assert [e["commitMeta"]["hash"]
+                for e in hist["logEntries"]] == want
+        assert all(e["commitMeta"]["commitTime"].endswith("+00:00")
+                   for e in hist["logEntries"])
+        # contents: table carries snapshot + metadata location; view
+        # carries its SQL; both key spellings work
+        code, c = get("/nessie-proxy/v2/source/dpsrc/trees/dev/"
+                      "contents/folder.extra")
+        assert code == 200 and c["content"]["type"] == "ICEBERG_TABLE"
+        assert c["content"]["snapshotId"] is not None
+        code, c2 = get("/nessie-proxy/v2/source/dpsrc/trees/dev/"
+                       "contents/folder/extra")
+        assert code == 200 and c2["content"] == c["content"]
+        code, cv = get("/nessie-proxy/v2/source/dpsrc/trees/dev/"
+                       "contents/v_nat")
+        assert cv["content"]["type"] == "ICEBERG_VIEW"
+        assert "n_name" in cv["content"]["sqlText"]
+        # a tag resolves entries at ITS pinned commit
+        code, enttag = get(
+            "/nessie-proxy/v2/source/dpsrc/trees/rel1/entries")
+        assert code == 200
+        assert enttag["effectiveReference"]["type"] == "TAG"
+        assert {tuple(e["name"]["elements"])
+                for e in enttag["entries"]} == {("base",)}
+        # errors: unknown source / ref / key; writes refused
+        assert get("/nessie-proxy/v2/source/nope/trees")[0] == 404
+        assert get("/nessie-proxy/v2/source/dpsrc/trees/nope")[0] \
+            == 404
+        assert get("/nessie-proxy/v2/source/dpsrc/trees/dev/"
+                   "contents/nope")[0] == 404
+        req = rq.Request(
+            f"http://127.0.0.1:{port}"
+            "/nessie-proxy/v2/source/dpsrc/trees/x",
+            data=b"{}", method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            rq.urlopen(req)
+            raise AssertionError("POST should be refused")
+        except rq.HTTPError as e:
+            assert e.code == 405
+    finally:
+        server.shutdown()
