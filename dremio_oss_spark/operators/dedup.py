@@ -53,13 +53,29 @@ def _hash_mode() -> str:
 def _h64(c: Column, seed: int) -> Column:
     """Deterministic 60-bit hash identical in Spark and DuckDB:
     first 15 hex chars of md5(seed || ':' || value).  ALWAYS md5 —
-    simhash oracle parity and similarity._plane_component's
-    must-match-_plane_matrix contract depend on this derivation
-    (the xxhash64 conf deliberately does not reach here)."""
+    oracle SQL replays this exact derivation (the xxhash64 conf
+    deliberately does not reach here; hot paths that want the one-call
+    JVM hash go through _h64_tok)."""
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10)
         .cast("bigint")
     )
+
+
+def _h64_tok(c: Column, seed: int) -> Column:
+    """The conf-gated per-token hash for simhash: md5-derived by
+    default (DuckDB-replayable — the registered queries' oracles
+    replay it), ONE xxhash64 call under
+    `spark.dremio.dedup.hash=xxhash64` (the production path: per-token
+    is the hot hash in simhash, exactly like minhash's per-shingle
+    `_hbase`).  Signed xxhash64 is masked to the same 60-bit-positive
+    domain so downstream bit/band arithmetic is mode-independent; the
+    plan shape (explode + groupBy + band join) is identical."""
+    if _hash_mode() == "xxhash64":
+        mask = (1 << 60) - 1
+        return F.xxhash64(F.concat(F.lit(f"{seed}:"), c)) \
+            .bitwiseAND(F.lit(mask))
+    return _h64(c, seed)
 
 
 def h64_sql(expr: str, seed: int) -> str:
@@ -475,7 +491,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("tok"),
-    ).withColumn("h", _h64(F.col("tok"), 0))
+    ).withColumn("h", _h64_tok(F.col("tok"), 0))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -168,13 +168,39 @@ def _plane_component(plane: int, i: int) -> Column:
     return (_h64(F.lit(f"p{plane}:{i}"), 7) % 2001 - 1000).cast("double")
 
 
+def _plane_mode() -> str:
+    """`spark.dremio.ann.planes`: `md5` (default — every entry is an
+    md5-derived integer the DuckDB oracle can replay arithmetically,
+    which is what makes the ANN path VALUE-checkable, not just
+    row-counted) or `gaussian` (the production path: one seeded
+    `numpy` standard-normal draw — the textbook random-projection LSH
+    plane family, zero hashing).  Either way the matrix is a ONE-TIME
+    driver-side plan constant (dim x tables*planes floats shipped in
+    the UDF closure); the per-row cost — the Arrow-batched matmul — is
+    identical, so this switch trades oracle replayability for
+    plane-quality, not CPU."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    try:
+        mode = s.conf.get("spark.dremio.ann.planes", "md5") \
+            if s is not None else "md5"
+    except Exception:  # noqa: BLE001 — session mid-teardown
+        mode = "md5"
+    return (mode or "md5").lower()
+
+
 def _plane_matrix(n_tables: int, n_planes: int, dim: int):
-    """(dim x n_tables*n_planes) hyperplane matrix; entries identical to
-    _plane_component (same md5 derivation) so both impls agree."""
+    """(dim x n_tables*n_planes) hyperplane matrix; md5 mode keeps
+    entries identical to _plane_component (same derivation) so the
+    oracle SQL agrees; gaussian mode is a deterministic seeded draw."""
     import hashlib
 
     import numpy as np
 
+    if _plane_mode() == "gaussian":
+        rng = np.random.default_rng(7)
+        return rng.standard_normal((dim, n_tables * n_planes))
     m = np.empty((dim, n_tables * n_planes), dtype=np.float64)
     for p in range(n_tables * n_planes):
         for i in range(dim):

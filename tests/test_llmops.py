@@ -700,3 +700,78 @@ def test_dedup_hash_mode_xxhash64(spark):
             assert key in verified
     finally:
         spark.conf.unset("spark.dremio.dedup.hash")
+
+
+def test_simhash_hash_mode_xxhash64(spark):
+    """The production hash switch now also covers simhash: under
+    `spark.dremio.dedup.hash=xxhash64` the per-token hash is ONE JVM
+    xxhash64 (md5 absent from the plan), the banded near-pair plan
+    shape is unchanged (no cartesian), and exact duplicates still
+    collide at hamming distance 0."""
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.operators.dedup import (simhash,
+                                                  simhash_near_pairs)
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").limit(120)
+    dup = docs.limit(4).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000))
+    both = docs.unionByName(dup)
+    spark.conf.set("spark.dremio.dedup.hash", "xxhash64")
+    try:
+        sh = simhash(both)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan and "md5" not in plan
+        # signatures stay in the 60-bit-positive domain (banding math)
+        assert all(0 <= r["simhash"] < (1 << 60)
+                   for r in sh.limit(50).collect())
+        pairs_df = simhash_near_pairs(sh, max_hamming=2)
+        pplan = pairs_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in pplan
+        assert "md5" not in pplan
+        pairs = {(r["id_a"], r["id_b"]) for r in pairs_df.collect()}
+        for r in dup.select("doc_id").collect():
+            assert (r["doc_id"] - 10_000_000, r["doc_id"]) in pairs
+        # deterministic across sessions (seeded, not RNG-per-run)
+        again = {r["doc_id"]: r["simhash"] for r in
+                 simhash(both).collect()}
+        first = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+        assert again == first
+    finally:
+        spark.conf.unset("spark.dremio.dedup.hash")
+
+
+def test_ann_plane_mode_gaussian(spark):
+    """`spark.dremio.ann.planes=gaussian` — the production plane
+    family (one seeded normal draw, no hashing; the md5 planes exist
+    for DuckDB-replayable oracles): same matrix shape, deterministic,
+    and LSH top-k recall vs exact brute force holds on the testdata
+    embeddings."""
+    import numpy as np
+
+    from dremio_oss_spark.catalog import load
+    from dremio_oss_spark.operators.similarity import (_plane_matrix,
+                                                       brute_force_topk,
+                                                       lsh_topk)
+    from tests.conftest import SF_SMALL
+
+    spark.conf.set("spark.dremio.ann.planes", "gaussian")
+    try:
+        m = _plane_matrix(4, 8, 16)
+        assert m.shape == (16, 32)
+        # seeded: identical across calls; normal-ish: mean ~0, sd ~1
+        assert np.allclose(m, _plane_matrix(4, 8, 16))
+        assert abs(float(m.mean())) < 0.2 and \
+            0.7 < float(m.std()) < 1.3
+        corpus = load(spark, SF_SMALL, "embeddings").limit(400)
+        queries = corpus.limit(8)
+        exact = brute_force_topk(corpus, queries, k=5)
+        approx = lsh_topk(corpus, queries, k=5)
+        # lsh_topk excludes the self-match; compare on non-self pairs
+        e = {(r["qid"], r["nid"]) for r in exact.collect()
+             if r["qid"] != r["nid"]}
+        a = {(r["qid"], r["nid"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.4, recall
+    finally:
+        spark.conf.unset("spark.dremio.ann.planes")
