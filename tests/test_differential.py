@@ -1,0 +1,291 @@
+"""Randomized differential SQL testing: a seeded generator emits
+random projections / filters / aggregates / joins over the testdata
+tables in a cross-engine-deterministic ANSI subset, runs each query
+through Engine.sql AND DuckDB, and value-compares the results (the
+same gate the driver applies to the curated corpus).
+
+The reference ships no sqllogictest-style fuzzing; this exceeds it
+where it's cheapest.  The grammar deliberately stays inside the
+constructs whose semantics are bit-identical in Spark and DuckDB:
+
+- integer arithmetic is BIGINT end-to-end (DuckDB raises on INT32
+  overflow where Spark wraps; casting the leaves removes the class),
+  with non-negative modulo and small multipliers
+- SUM is wrapped CAST(... AS BIGINT) (DuckDB sums BIGINT into
+  HUGEINT, Spark into BIGINT)
+- doubles appear only under MIN/MAX/comparisons (sum/avg of doubles
+  is order-dependent)
+- string functions: upper/lower/trim/reverse/substr(>=1)/left/right/
+  lpad/replace/concat/length — identical in both dialects
+- timestamps compare against literals and feed year()/month()/day()
+
+Divergences found by the initial 2000-seed sweep and their
+resolution are documented in DIALECT_DELTAS below.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from dremio_oss_spark.catalog import register_testdata
+from dremio_oss_spark.engine import Engine
+from tests.conftest import SF_SMALL
+from tests.oracle import compare, duckdb_conn
+
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_DIFF_SEEDS", "200"))
+
+# Dialect deltas the generator works around (each was a real
+# divergence in the initial sweep; "fixed" here means the grammar
+# encodes the portable form both engines agree on):
+DIALECT_DELTAS = """
+1. repeat(s, n): DuckDB errors on negative n where Spark returns ''
+   — the grammar only emits non-negative repeat counts.
+2. lpad(s, n, p) with n < len(s): both truncate, but lpad(s, 0)
+   returns '' in both — kept; negative n differs (Spark '' vs DuckDB
+   error) — the grammar only emits n >= 0.
+3. substr(s, 0, n): Spark treats start 0 as 1; DuckDB's substr(s, 0)
+   eats one character of length — the grammar only emits start >= 1.
+"""
+
+TABLES = {
+    "nation": {"int": ["n_nationkey", "n_regionkey"],
+               "str": ["n_name"], "num": [], "ts": []},
+    "region": {"int": ["r_regionkey"], "str": ["r_name"],
+               "num": [], "ts": []},
+    "customer": {"int": ["c_custkey", "c_nationkey"],
+                 "str": ["c_name", "c_mktsegment"],
+                 "num": ["c_acctbal"], "ts": []},
+    "orders": {"int": ["o_orderkey", "o_custkey"],
+               "str": ["o_orderstatus", "o_orderpriority"],
+               "num": ["o_totalprice"], "ts": ["o_orderdate"]},
+    "lineitem": {"int": ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_linenumber"],
+                 "str": ["l_returnflag", "l_linestatus"],
+                 "num": ["l_quantity", "l_extendedprice",
+                         "l_discount"],
+                 "ts": ["l_shipdate"]},
+    "supplier": {"int": ["s_suppkey", "s_nationkey"],
+                 "str": ["s_name"], "num": ["s_acctbal"], "ts": []},
+    "part": {"int": ["p_partkey", "p_size"],
+             "str": ["p_name", "p_brand", "p_type"],
+             "num": ["p_retailprice"], "ts": []},
+}
+
+# (left_table, right_table, left_key, right_key) natural equi-joins
+JOINS = [
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+]
+
+_STR_LITS = ["A", "e", "ou", "BUILDING", "1-URGENT", "F", "O", "%a%"]
+
+
+class _Gen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.cols: dict[str, list[str]] = {}
+
+    # -- expressions --------------------------------------------------------
+    def int_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        leaf = not self.cols["int"] or depth >= 2 or r.random() < 0.4
+        if leaf:
+            if self.cols["int"] and r.random() < 0.8:
+                return f"CAST({r.choice(self.cols['int'])} AS BIGINT)"
+            return str(r.randint(0, 50))
+        op = r.choice(["add", "sub", "mul", "mod", "case", "abs",
+                       "len"])
+        a = self.int_expr(depth + 1)
+        if op == "add":
+            return f"({a} + {self.int_expr(depth + 1)})"
+        if op == "sub":
+            return f"({a} - {self.int_expr(depth + 1)})"
+        if op == "mul":
+            return f"({a} * {r.randint(0, 7)})"
+        if op == "mod":
+            # non-negative dividend: remainder sign conventions agree
+            return f"(ABS({a}) % {r.randint(2, 97)})"
+        if op == "case":
+            return (f"(CASE WHEN {self.bool_expr(depth + 1)} "
+                    f"THEN {a} ELSE {self.int_expr(depth + 1)} END)")
+        if op == "abs":
+            return f"ABS({a})"
+        return (f"CAST(LENGTH({self.str_expr(depth + 1)}) AS BIGINT)"
+                if self.cols["str"] else a)
+
+    def str_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        if not self.cols["str"]:
+            return "'x'"
+        col = r.choice(self.cols["str"])
+        if depth >= 2 or r.random() < 0.4:
+            return col
+        op = r.choice(["upper", "lower", "trim", "reverse", "substr",
+                       "left", "right", "lpad", "replace", "concat"])
+        inner = self.str_expr(depth + 1)
+        if op in ("upper", "lower", "trim", "reverse"):
+            return f"{op.upper()}({inner})"
+        if op == "substr":
+            return (f"SUBSTR({inner}, {r.randint(1, 5)}, "
+                    f"{r.randint(0, 8)})")
+        if op == "left":
+            return f"LEFT({inner}, {r.randint(0, 6)})"
+        if op == "right":
+            return f"RIGHT({inner}, {r.randint(0, 6)})"
+        if op == "lpad":
+            return f"LPAD({inner}, {r.randint(0, 10)}, '#')"
+        if op == "replace":
+            return f"REPLACE({inner}, '{r.choice('aeiou')}', '_')"
+        return f"CONCAT({inner}, '_', {self.str_expr(depth + 1)})"
+
+    def bool_expr(self, depth: int = 0) -> str:
+        r = self.rng
+        kind = r.choice(["int_cmp", "str_cmp", "in", "like", "null",
+                         "between", "and", "or", "not", "ts"])
+        if depth >= 2 and kind in ("and", "or", "not"):
+            kind = "int_cmp"
+        if kind == "and":
+            return (f"({self.bool_expr(depth + 1)} AND "
+                    f"{self.bool_expr(depth + 1)})")
+        if kind == "or":
+            return (f"({self.bool_expr(depth + 1)} OR "
+                    f"{self.bool_expr(depth + 1)})")
+        if kind == "not":
+            return f"(NOT {self.bool_expr(depth + 1)})"
+        if kind == "str_cmp" and self.cols["str"]:
+            return (f"({self.str_expr(depth + 1)} "
+                    f"{r.choice(['=', '<>', '<', '>'])} "
+                    f"'{r.choice(_STR_LITS)}')")
+        if kind == "in" and self.cols["str"]:
+            lits = ", ".join(f"'{x}'" for x in
+                             r.sample(_STR_LITS, r.randint(1, 3)))
+            return f"({r.choice(self.cols['str'])} IN ({lits}))"
+        if kind == "like" and self.cols["str"]:
+            pat = r.choice(["%a%", "B%", "%T", "%-%", "_", "%e%"])
+            return f"({r.choice(self.cols['str'])} LIKE '{pat}')"
+        if kind == "null":
+            pool = (self.cols["int"] + self.cols["str"]
+                    + self.cols["num"])
+            return (f"({r.choice(pool)} IS "
+                    f"{r.choice(['NULL', 'NOT NULL'])})")
+        if kind == "between":
+            lo = r.randint(0, 500)
+            return (f"({self.int_expr(depth + 1)} BETWEEN {lo} "
+                    f"AND {lo + r.randint(0, 5000)})")
+        if kind == "ts" and self.cols["ts"]:
+            col = r.choice(self.cols["ts"])
+            y = r.randint(1992, 1998)
+            return (f"({col} {r.choice(['<', '>=', '<'])} "
+                    f"TIMESTAMP '{y}-0{r.randint(1, 9)}-15 "
+                    f"00:00:00')")
+        if kind == "num" or (kind == "ts" and not self.cols["ts"]):
+            pass
+        if self.cols["num"] and r.random() < 0.4:
+            return (f"({r.choice(self.cols['num'])} "
+                    f"{r.choice(['<', '>', '<=', '>='])} "
+                    f"{r.randint(0, 9000)}.5)")
+        return (f"({self.int_expr(depth + 1)} "
+                f"{r.choice(['=', '<>', '<', '<=', '>', '>='])} "
+                f"{self.int_expr(depth + 1)})")
+
+    # -- whole statements ----------------------------------------------------
+    def query(self) -> str:
+        r = self.rng
+        base = r.choice(list(TABLES))
+        tables = [base]
+        join_sql = f"FROM {base}"
+        # 0-2 join hops along the natural FK edges
+        for _ in range(r.randint(0, 2)):
+            edges = [e for e in JOINS if e[0] in tables
+                     and e[1] not in tables] + \
+                    [e for e in JOINS if e[1] in tables
+                     and e[0] not in tables]
+            if not edges:
+                break
+            lt, rt, lk, rk = r.choice(edges)
+            new = rt if rt not in tables else lt
+            join_sql += (f" JOIN {new} ON {lt}.{lk} = {rt}.{rk}")
+            tables.append(new)
+        self.cols = {k: [c for t in tables for c in TABLES[t][k]]
+                     for k in ("int", "str", "num", "ts")}
+        where = f"WHERE {self.bool_expr()}" if r.random() < 0.8 else ""
+        if r.random() < 0.5 and self.cols["str"]:
+            # aggregate form
+            keys = r.sample(self.cols["str"],
+                            r.randint(1, min(2, len(self.cols["str"]))))
+            aggs = [f"COUNT(*) AS cnt"]
+            if self.cols["int"]:
+                c = r.choice(self.cols["int"])
+                aggs.append(f"CAST(SUM(CAST({c} AS BIGINT)) "
+                            f"AS BIGINT) AS s0")
+                aggs.append(f"MIN({c}) AS m0")
+            if self.cols["num"]:
+                aggs.append(f"MAX({r.choice(self.cols['num'])}) "
+                            f"AS mx0")
+            if self.cols["ts"]:
+                aggs.append(f"MAX({r.choice(self.cols['ts'])}) "
+                            f"AS mt0")
+            having = (f"HAVING COUNT(*) > {r.randint(0, 3)}"
+                      if r.random() < 0.3 else "")
+            sel = ", ".join(
+                [f"{k} AS g{i}" for i, k in enumerate(keys)] + aggs)
+            return (f"SELECT {sel} {join_sql} {where} "
+                    f"GROUP BY {', '.join(keys)} {having}")
+        # projection form
+        projs = []
+        for i in range(r.randint(1, 4)):
+            kind = r.choice(["int", "str", "bool"])
+            e = {"int": self.int_expr, "str": self.str_expr,
+                 "bool": self.bool_expr}[kind]()
+            projs.append(f"{e} AS p{i}")
+        if self.cols["ts"] and r.random() < 0.4:
+            c = r.choice(self.cols["ts"])
+            projs.append(f"CAST(YEAR({c}) AS BIGINT) AS py")
+        return f"SELECT {', '.join(projs)} {join_sql} {where}"
+
+
+@pytest.fixture(scope="module")
+def diff_env(spark):
+    register_testdata(spark, SF_SMALL)
+    eng = Engine(spark)
+    con = duckdb_conn(SF_SMALL)
+    yield eng, con
+    con.close()
+
+
+def test_differential_random_queries(diff_env):
+    """N_SEEDS random queries, each value-compared Spark-vs-DuckDB.
+    On failure the seed and SQL are in the assertion message —
+    reproduce with _Gen(seed).query()."""
+    eng, con = diff_env
+    failures = []
+    for seed in range(N_SEEDS):
+        sql = _Gen(seed).query()
+        try:
+            oracle = con.execute(sql).fetchdf()
+            problems = compare(eng.sql(sql), oracle, ordered=False)
+        except Exception as e:  # noqa: BLE001 — engine-side error
+            problems = [f"exception: {type(e).__name__}: {e}"]
+        if problems:
+            failures.append((seed, sql, problems[:2]))
+            if len(failures) >= 3:
+                break
+    assert not failures, failures
+
+
+def test_differential_seed_corpus(diff_env):
+    """Pinned seed corpus: seeds that exercised every grammar arm in
+    the initial sweep stay green forever (cheap regression net for
+    the dialect-rewrite layer)."""
+    eng, con = diff_env
+    for seed in (3, 7, 11, 19, 42, 101, 555, 1234, 4242, 9001):
+        sql = _Gen(seed).query()
+        oracle = con.execute(sql).fetchdf()
+        problems = compare(eng.sql(sql), oracle, ordered=False)
+        assert not problems, (seed, sql, problems[:2])
