@@ -1875,28 +1875,28 @@ class ExploreService:
                         f"GROUP BY 1 ORDER BY 1").collect()
                     # ROUND-binning keys are multiples of `width`;
                     # fill empty bins between the observed extremes so
-                    # the card renders a continuous axis (bounded by
-                    # `buckets`+2 entries)
-                    by_key = {r["dremio_value"]:
+                    # the card renders a continuous axis.  Bin keys
+                    # index as round(key/width) — float-exact enough
+                    # for bin-sized integers.  Integer widths round
+                    # down, so the span can exceed `buckets` bins;
+                    # past 2*buckets+2 the zero-fill is skipped (only
+                    # OBSERVED bins emitted) rather than ever dropping
+                    # counted rows.
+                    by_idx = {int(round(r["dremio_value"] / width)):
                               r["dremio_value_count"]
                               for r in binned_rows}
-                    if by_key:
-                        kmin = min(by_key)
-                        kmax = max(by_key)
-                        k, guard = kmin, 0
-                        while k <= kmax + width / 2 and \
-                                guard <= buckets + 2:
-                            n = 0
-                            for seen in by_key:
-                                if abs(seen - k) < width / 2:
-                                    n = by_key[seen]
-                                    break
+                    if by_idx:
+                        i0, i1 = min(by_idx), max(by_idx)
+                        fill = (i1 - i0 + 1) <= buckets * 2 + 2
+                        idxs = (range(i0, i1 + 1) if fill
+                                else sorted(by_idx))
+                        for i in idxs:
+                            n = by_idx.get(i, 0)
+                            k = i * width
                             values.append(_hval(
                                 str(k), n, k - width / 2,
                                 k + width / 2))
                             total += n
-                            k += width
-                            guard += 1
         elif ctype in ("DATE", "TIME", "DATETIME"):
             mm = self.engine.sql(
                 f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "

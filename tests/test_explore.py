@@ -972,3 +972,27 @@ def test_value_histogram_rest_routes(spark):
             card["matchedValues"]
     finally:
         server.shutdown()
+
+
+def test_value_histogram_integer_wide_span_never_drops(svc, oracle):
+    """Integer widths round down, so a range of ~1.5x the bucket count
+    yields more bins than buckets — the fill must degrade to
+    observed-bins-only, never drop counted rows."""
+    svc.new_untitled_from_table("orders", "hgw0")
+    svc.transform("tmp.UNTITLED", "hgw0", {
+        "type": "addCalculatedField", "newColumnName": "k300",
+        "sourceColumnName": "o_orderkey",
+        "expression": "cast(o_orderkey % 300 as int)",
+        "dropSourceColumn": False}, "hgw1")
+    card = svc.value_histogram("tmp.UNTITLED", "hgw1", "k300")
+    total = card["availableValuesCount"]
+    want = oracle.execute("select count(*) from orders").fetchone()[0]
+    assert total == want  # every row counted, none truncated away
+    assert sum(v["count"] for v in card["availableValues"]) == total
+    # width rounded to 1 -> one bin per distinct value, no zero-fill
+    exp = dict(oracle.execute(
+        "select o_orderkey % 300, count(*) from orders "
+        "group by 1").fetchall())
+    got = {int(float(v["value"])): v["count"]
+           for v in card["availableValues"]}
+    assert got == exp
