@@ -247,7 +247,39 @@ class _Gen:
         if self.cols["ts"] and r.random() < 0.4:
             c = r.choice(self.cols["ts"])
             projs.append(f"CAST(YEAR({c}) AS BIGINT) AS py")
-        return f"SELECT {', '.join(projs)} {join_sql} {where}"
+        distinct = "DISTINCT " if r.random() < 0.2 else ""
+        sql = (f"SELECT {distinct}{', '.join(projs)} "
+               f"{join_sql} {where}")
+        if r.random() < 0.25:
+            # UNION ALL of the same projection under a second filter
+            # (column classes are identical by construction)
+            sql += (f" UNION ALL SELECT {distinct}"
+                    f"{', '.join(projs)} {join_sql} "
+                    f"WHERE {self.bool_expr()}")
+        return sql
+
+    def ordered_query(self) -> str:
+        """ORDER BY + LIMIT form, compared ORDERED: the sort covers
+        every output column with explicit NULLS FIRST (Spark defaults
+        nulls-first ASC, DuckDB nulls-last — the one ordering delta),
+        so ties are full-row-equal and the LIMIT cut is
+        value-identical regardless of which tied row wins."""
+        r = self.rng
+        base = r.choice(list(TABLES))
+        self.cols = {k: list(v) for k, v in TABLES[base].items()}
+        projs = []
+        for i in range(r.randint(1, 3)):
+            kind = r.choice(["int", "str"])
+            e = {"int": self.int_expr,
+                 "str": self.str_expr}[kind]()
+            projs.append(f"{e} AS p{i}")
+        names = [f"p{i}" for i in range(len(projs))]
+        order = ", ".join(
+            f"{n} {r.choice(['ASC', 'DESC'])} NULLS FIRST"
+            for n in names)
+        where = f"WHERE {self.bool_expr()}" if r.random() < 0.7 else ""
+        return (f"SELECT {', '.join(projs)} FROM {base} {where} "
+                f"ORDER BY {order} LIMIT {r.randint(1, 40)}")
 
 
 @pytest.fixture(scope="module")
@@ -266,10 +298,12 @@ def test_differential_random_queries(diff_env):
     eng, con = diff_env
     failures = []
     for seed in range(N_SEEDS):
-        sql = _Gen(seed).query()
+        g = _Gen(seed)
+        ordered = seed % 5 == 4   # every 5th seed: ORDER BY + LIMIT
+        sql = g.ordered_query() if ordered else g.query()
         try:
             oracle = con.execute(sql).fetchdf()
-            problems = compare(eng.sql(sql), oracle, ordered=False)
+            problems = compare(eng.sql(sql), oracle, ordered=ordered)
         except Exception as e:  # noqa: BLE001 — engine-side error
             problems = [f"exception: {type(e).__name__}: {e}"]
         if problems:
