@@ -19,8 +19,10 @@ constructs whose semantics are bit-identical in Spark and DuckDB:
   lpad/replace/concat/length — identical in both dialects
 - timestamps compare against literals and feed year()/month()/day()
 
-Divergences found by the initial 2000-seed sweep and their
-resolution are documented in DIALECT_DELTAS below.
+Divergences encountered while building the grammar and their
+resolution are documented in DIALECT_DELTAS below.  Sweep record:
+2,000 seeds (base grammar) + 3,482 seeds (with DISTINCT / UNION ALL /
+ORDER BY+LIMIT arms) ran clean against DuckDB at sf0.001.
 """
 
 from __future__ import annotations
