@@ -104,19 +104,33 @@ def data_type_of(spark_type: str) -> str:
     return _DATA_TYPE_OF.get(t, "OTHER")
 
 
+_NUMERIC_LIT = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
 def _sql_literal(value, data_type: str) -> str:
     """Typed literal for FilterValue/FilterRange bounds
-    (SQLGenerator.java:543-616 quotes per DataType)."""
+    (SQLGenerator.java:543-616 quotes per DataType).  Values are
+    CLIENT-SUPPLIED (filter transforms, replace-values selection
+    counts), so non-text literals are validated — a numeric slot must
+    BE a number and quoted temporals escape their quotes; anything
+    else would interpolate raw into generated SQL."""
     if value is None:
         return "NULL"
     s = str(value)
-    if data_type in ("INTEGER", "FLOAT", "DECIMAL", "BOOLEAN"):
-        return s
+    if data_type == "BOOLEAN":
+        if s.lower() in ("true", "false"):
+            return s.lower()
+        raise ExploreError(f"bad BOOLEAN literal: {s!r}")
+    if data_type in ("INTEGER", "FLOAT", "DECIMAL"):
+        if not _NUMERIC_LIT.match(s.strip()):
+            raise ExploreError(f"bad {data_type} literal: {s!r}")
+        return s.strip()
+    esc = s.replace("'", "''")
     if data_type == "DATE":
-        return f"DATE '{s}'"
+        return f"DATE '{esc}'"
     if data_type == "DATETIME":
-        return f"TIMESTAMP '{s}'"
-    return "'" + s.replace("'", "''") + "'"
+        return f"TIMESTAMP '{esc}'"
+    return "'" + esc + "'"
 
 
 def _regex_literal(pat: str) -> str:
@@ -1830,6 +1844,41 @@ class ExploreService:
                  "MILLENNIUM": 1000}[unit]
         return dt.replace(year=dt.year + years)
 
+    def _sample_inner(self, path: str, version: str,
+                      sample_limit: int | None) -> str:
+        """The FROM-able source every histogram/selection query of one
+        card computation shares.  With a sample limit, the sample is
+        MATERIALIZED once per (path, version, limit) — a bare LIMIT
+        subquery is nondeterministic per action, so running MIN/MAX,
+        the GROUP BY, the COUNT(*) and the selection COUNT over
+        independent LIMIT samples could disagree (bins outside the
+        prelim [lo, hi], matched > total).  The reference evaluates
+        every card number over ONE preview-job results table
+        (DatasetsUtil.getDatasetPreviewJob); this is the same shape:
+        collect once (≤ the job store's cap), re-register, reuse.
+        Versions are immutable, so cached samples never go stale; the
+        cache keeps the 8 most recent."""
+        entry = self.get_version(path, version)
+        if not sample_limit:
+            return entry["sql"]
+        key = (path, version, int(sample_limit))
+        cache = getattr(self, "_hg_samples", None)
+        if cache is None:
+            cache = self._hg_samples = {}
+        view = cache.get(key)
+        if view is None:
+            df = self.engine.sql(entry["sql"]).limit(int(sample_limit))
+            rows = df.collect()
+            view = f"__hg_sample_{abs(hash(key)) % 10**10}"
+            self.engine.spark.createDataFrame(
+                rows, df.schema).createOrReplaceTempView(view)
+            cache[key] = view
+            while len(cache) > 8:
+                old_key = next(iter(cache))
+                self.engine.spark.catalog.dropTempView(
+                    cache.pop(old_key))
+        return f"SELECT * FROM {view}"
+
     def value_histogram(self, path: str, version: str, col: str,
                         sample_limit: int | None = None,
                         buckets: int = _HISTOGRAM_BUCKETS) -> dict:
@@ -1840,10 +1889,7 @@ class ExploreService:
         (None = whole dataset, which is what the oracle-checked
         registered query uses for determinism)."""
         entry = self.get_version(path, version)
-        inner = entry["sql"]
-        if sample_limit:
-            inner = (f"SELECT * FROM (\n{inner}\n) __hg_sample "
-                     f"LIMIT {int(sample_limit)}")
+        inner = self._sample_inner(path, version, sample_limit)
         ctype = self._column_type(entry, col)
         q = quote_ident(col)
         values: list[dict] = []
@@ -1914,16 +1960,23 @@ class ExploreService:
                 by_key = {r["dremio_value"]: r["dremio_value_count"]
                           for r in binned_rows}
                 if by_key:
-                    k, kmax = min(by_key), max(by_key)
-                    guard = 0
-                    while k <= kmax and guard <= buckets + 2:
+                    kmin, kmax = min(by_key), max(by_key)
+                    # pre-walk the fill axis; when the span exceeds
+                    # 2*buckets+2 bins degrade to OBSERVED bins only —
+                    # a truncated fill would silently drop counted
+                    # rows (same class as the integer-arm fix)
+                    axis = [kmin]
+                    while axis[-1] < kmax and \
+                            len(axis) <= buckets * 2 + 2:
+                        axis.append(self._step_trunc(axis[-1], unit))
+                    if axis[-1] < kmax:
+                        axis = sorted(by_key)
+                    for k in axis:
                         nxt = self._step_trunc(k, unit)
                         n = by_key.get(k, 0)
                         values.append(_hval(str(k), n, str(k),
                                             str(nxt)))
                         total += n
-                        k = nxt
-                        guard += 1
         if binned_rows is None:
             # text/boolean/degenerate-numeric: plain GROUP BY value,
             # most-frequent first, top-K capped (determinism tiebreak
@@ -1957,10 +2010,7 @@ class ExploreService:
         NULL; empty strings only match TEXT columns — the reference
         filters them out for every other type)."""
         entry = self.get_version(path, version)
-        inner = entry["sql"]
-        if sample_limit:
-            inner = (f"SELECT * FROM (\n{inner}\n) __hg_sample "
-                     f"LIMIT {int(sample_limit)}")
+        inner = self._sample_inner(path, version, sample_limit)
         ctype = self._column_type(entry, col)
         q = quote_ident(col)
         preds = []
@@ -1993,9 +2043,13 @@ class ExploreService:
             path, version, col, selected or [],
             replace_null=replace_null, sample_limit=sample_limit)
         total = hist["availableValuesCount"]
+        # clamp: the binned arms exclude NULL rows from the total
+        # (like the reference's histogram, which `continue`s null
+        # bins) while a replaceNull/None selection COUNTS them — the
+        # reference would render a negative unmatched count here
         return {"availableValues": hist["availableValues"],
                 "matchedValues": matched,
-                "unmatchedValues": total - matched,
+                "unmatchedValues": max(total - matched, 0),
                 "availableValuesCount": total}
 
     # -- join recommendations (JoinRecommender.recommendJoins) ---------------

@@ -273,7 +273,16 @@ def locate_path(cell_text: str, path) -> tuple[int, int] | None:
     """Path → character interval (JSONElementLocator.locatePath:
     119-177): scalar values map to their text span (inside the quotes
     for strings); containers span from their opener to the matching
-    closer."""
+    closer.
+
+    Reference-parity quirk, kept deliberately: a path naming an
+    OBJECT-VALUED ARRAY ELEMENT (e.g. `value.topping[0]` over a list
+    of objects) returns None — the live path only equals such a
+    searched path at the element's END_OBJECT token, and the
+    reference's switch returns null for END_* tokens
+    (JSONElementLocator.java:168-173).  Field paths INTO the element
+    (`value.topping[0].type`) and container paths via their field
+    (`value.topping`) resolve normally."""
     if isinstance(path, str):
         path = parse_path(path)
     tr = _Tracker()

