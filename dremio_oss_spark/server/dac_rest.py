@@ -299,6 +299,19 @@ def handle_version_get(h) -> bool:
                            h.explore.get_version(cpath, version)))
             elif action == "history":
                 out = h.explore.history(cpath, version)
+            elif action == "review":
+                # reviewDatasetVersion (DatasetVersionResource.java:
+                # 427): reload a version's preview when the UI
+                # navigates back to it; the jobId the original run
+                # produced is echoed so the client can re-attach to
+                # stored results instead of re-executing
+                limit = int(_q(h, "limit", "50"))
+                out = h.explore.preview(cpath, version, limit=limit)
+                jid = _q(h, "jobId")
+                if jid:
+                    out["jobId"] = {"id": jid}
+                    out["paginationUrl"] = \
+                        f"/api/v3/job/{jid}/results"
             elif action == "join_recs":
                 out = h.explore.join_recommendations(cpath, version)
             else:

@@ -1244,3 +1244,27 @@ def test_explore_run_routes_through_jobs_store(spark):
     out = svc.run("tmp.UNTITLED", "e0", limit=7)
     assert out["data"]["returnedRowCount"] == 7
     assert "jobId" not in out
+
+
+def test_review_route_reloads_version(rest):
+    """reviewDatasetVersion (DatasetVersionResource.java:427): the UI
+    back-navigation reload — same preview payload, with the original
+    run's jobId echoed for stored-result re-attachment."""
+    eng, port = rest
+    code, out = _call(port, "POST",
+                      "/api/v3/datasets/new_untitled"
+                      "?parentDataset=region&newVersion=rv0&limit=3")
+    assert code == 200, out
+    path = ".".join(out["dataset"]["fullPath"])
+    code, rev = _call(port, "GET",
+                      f"/api/v3/dataset/{path}/version/rv0/review"
+                      "?limit=3&jobId=abc123")
+    assert code == 200, rev
+    assert rev["data"]["returnedRowCount"] == 3
+    assert rev["dataset"]["datasetVersion"] == "rv0"
+    assert rev["jobId"] == {"id": "abc123"}
+    assert rev["paginationUrl"] == "/api/v3/job/abc123/results"
+    # without a jobId the payload is a plain preview reload
+    code, rev2 = _call(port, "GET",
+                       f"/api/v3/dataset/{path}/version/rv0/review")
+    assert code == 200 and "jobId" not in rev2

@@ -21,8 +21,9 @@ constructs whose semantics are bit-identical in Spark and DuckDB:
 
 Divergences encountered while building the grammar and their
 resolution are documented in DIALECT_DELTAS below.  Sweep record:
-2,000 seeds (base grammar) + 3,482 seeds (with DISTINCT / UNION ALL /
-ORDER BY+LIMIT arms) ran clean against DuckDB at sf0.001.
+2,000 seeds (base grammar) + 3,482 seeds (+ DISTINCT / UNION ALL /
+ORDER BY+LIMIT arms) + 3,000 seeds (+ COUNT(DISTINCT) and correlated
+EXISTS / IN subquery arms) ran clean against DuckDB at sf0.001.
 """
 
 from __future__ import annotations
@@ -92,6 +93,7 @@ class _Gen:
     def __init__(self, seed: int):
         self.rng = random.Random(seed)
         self.cols: dict[str, list[str]] = {}
+        self.tables: list[str] = []
 
     # -- expressions --------------------------------------------------------
     def int_expr(self, depth: int = 0) -> str:
@@ -146,11 +148,43 @@ class _Gen:
             return f"REPLACE({inner}, '{r.choice('aeiou')}', '_')"
         return f"CONCAT({inner}, '_', {self.str_expr(depth + 1)})"
 
+    def subquery_pred(self) -> str | None:
+        """IN / EXISTS subquery against a FK-adjacent table the query
+        does NOT already join (correlated EXISTS or uncorrelated IN —
+        three-valued IN semantics match because the key columns are
+        non-null)."""
+        r = self.rng
+        edges = [e for e in JOINS
+                 if e[0] in self.tables and e[1] not in self.tables] \
+            + [(e[1], e[0], e[3], e[2]) for e in JOINS
+               if e[1] in self.tables and e[0] not in self.tables]
+        if not edges:
+            return None
+        here, there, hk, tk = r.choice(edges)
+        sub_cols = TABLES[there]
+        inner_pred = ""
+        if sub_cols["str"] and r.random() < 0.6:
+            inner_pred = (f" AND {r.choice(sub_cols['str'])} "
+                          f"LIKE '{r.choice(['%a%', 'B%', '%e%'])}'")
+        if r.random() < 0.5:
+            return (f"{here}.{hk} IN (SELECT {tk} FROM {there} "
+                    f"WHERE {tk} >= {r.randint(0, 20)}{inner_pred})")
+        neg = "NOT " if r.random() < 0.3 else ""
+        return (f"{neg}EXISTS (SELECT 1 FROM {there} WHERE "
+                f"{there}.{tk} = {here}.{hk}{inner_pred})")
+
     def bool_expr(self, depth: int = 0) -> str:
         r = self.rng
         kind = r.choice(["int_cmp", "str_cmp", "in", "like", "null",
-                         "between", "and", "or", "not", "ts"])
+                         "between", "and", "or", "not", "ts", "subq"])
         if depth >= 2 and kind in ("and", "or", "not"):
+            kind = "int_cmp"
+        if kind == "subq" and depth == 0:
+            p = self.subquery_pred()
+            if p:
+                return f"({p})"
+            kind = "int_cmp"
+        elif kind == "subq":
             kind = "int_cmp"
         if kind == "and":
             return (f"({self.bool_expr(depth + 1)} AND "
@@ -216,17 +250,22 @@ class _Gen:
             tables.append(new)
         self.cols = {k: [c for t in tables for c in TABLES[t][k]]
                      for k in ("int", "str", "num", "ts")}
+        self.tables = tables
         where = f"WHERE {self.bool_expr()}" if r.random() < 0.8 else ""
         if r.random() < 0.5 and self.cols["str"]:
             # aggregate form
             keys = r.sample(self.cols["str"],
                             r.randint(1, min(2, len(self.cols["str"]))))
-            aggs = [f"COUNT(*) AS cnt"]
+            aggs = ["COUNT(*) AS cnt"]
             if self.cols["int"]:
                 c = r.choice(self.cols["int"])
                 aggs.append(f"CAST(SUM(CAST({c} AS BIGINT)) "
                             f"AS BIGINT) AS s0")
                 aggs.append(f"MIN({c}) AS m0")
+                if r.random() < 0.4:
+                    aggs.append(f"COUNT(DISTINCT "
+                                f"{r.choice(self.cols['int'])}) "
+                                f"AS cd0")
             if self.cols["num"]:
                 aggs.append(f"MAX({r.choice(self.cols['num'])}) "
                             f"AS mx0")
@@ -269,6 +308,7 @@ class _Gen:
         r = self.rng
         base = r.choice(list(TABLES))
         self.cols = {k: list(v) for k, v in TABLES[base].items()}
+        self.tables = [base]
         projs = []
         for i in range(r.randint(1, 3)):
             kind = r.choice(["int", "str"])
