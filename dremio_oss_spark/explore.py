@@ -1343,6 +1343,19 @@ class ExploreService:
         entry.setdefault("createdAt", int(time.time() * 1000))
         with self._lock:
             self._versions[(path, version)] = entry
+        # version ids are CLIENT-SUPPLIED, so a re-created version can
+        # overwrite an existing entry — drop any materialized
+        # histogram sample keyed to the old content or cards would
+        # silently read the previous dataset's rows
+        cache = getattr(self, "_hg_samples", None)
+        if cache:
+            for key in [k for k in cache
+                        if k[0] == path and k[1] == version]:
+                try:
+                    self.engine.spark.catalog.dropTempView(
+                        cache.pop(key))
+                except Exception:  # noqa: BLE001 — view already gone
+                    pass
         return entry
 
     def _fields_of(self, sql: str) -> list[dict]:
@@ -1867,9 +1880,13 @@ class ExploreService:
             cache = self._hg_samples = {}
         view = cache.get(key)
         if view is None:
+            import uuid as _uuid
+
             df = self.engine.sql(entry["sql"]).limit(int(sample_limit))
             rows = df.collect()
-            view = f"__hg_sample_{abs(hash(key)) % 10**10}"
+            # collision-free name (a hashed name could alias two live
+            # keys and silently repoint the older one's view)
+            view = f"__hg_sample_{_uuid.uuid4().hex[:12]}"
             self.engine.spark.createDataFrame(
                 rows, df.schema).createOrReplaceTempView(view)
             cache[key] = view

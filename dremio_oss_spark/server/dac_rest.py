@@ -970,10 +970,14 @@ def _is_admin(h) -> bool:
     if u is not None:
         # transitive membership, same walker check_access uses —
         # GRANT ROLE ADMIN TO ROLE ops; GRANT ROLE ops TO USER bob
-        # makes bob an admin here too
-        roles = h.engine._principals(u) if hasattr(
-            h.engine, "_principals") else \
-            getattr(h.engine, "_roles", {}).get(u, set())
+        # makes bob an admin here too.  _principals includes the
+        # USERNAME itself; exclude it or a user merely NAMED
+        # 'admin'/'ADMIN' (self-registered via POST /user) would pass
+        # the role gate with zero grants
+        if hasattr(h.engine, "_principals"):
+            roles = h.engine._principals(u) - {u}
+        else:
+            roles = getattr(h.engine, "_roles", {}).get(u, set())
         return any(str(r).upper() == "ADMIN" for r in roles)
     return h.token is None
 

@@ -1268,3 +1268,61 @@ def test_review_route_reloads_version(rest):
     code, rev2 = _call(port, "GET",
                        f"/api/v3/dataset/{path}/version/rv0/review")
     assert code == 200 and "jobId" not in rev2
+
+
+def test_admin_gate_username_is_not_a_role(spark):
+    """Second-review finding: a user merely NAMED 'Admin' (self-
+    registered) must NOT pass the ops-route gate — only a granted
+    (possibly transitive) ADMIN role or the static token does."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.create_user("Admin", password="pw")   # name, not a role
+    eng.create_user("bob", password="pw")
+    eng.create_role("ADMIN")
+    eng.create_role("ops_team")
+    eng.grant_role("ADMIN", "ops_team")       # transitive chain
+    eng.grant_role("ops_team", "bob")
+    server, _t = serve_rest_background(eng, token="sec")
+    port = server.server_address[1]
+    try:
+        _, la = _call(port, "POST", "/api/v3/login",
+                      body={"userName": "Admin", "password": "pw"})
+        _, lb = _call(port, "POST", "/api/v3/login",
+                      body={"userName": "bob", "password": "pw"})
+        code, out = _call(port, "GET", "/api/v3/kvstore/report",
+                          token=la["token"])
+        assert code == 403, out   # the NAME grants nothing
+        code, out = _call(port, "GET", "/api/v3/kvstore/report",
+                          token=lb["token"])
+        assert code == 200, out   # transitive ADMIN membership does
+    finally:
+        server.shutdown()
+
+
+def test_version_overwrite_invalidates_sample_cache(rest):
+    """Second-review finding: version ids are client-supplied, so
+    re-creating a version must drop its materialized histogram
+    sample — cards must never read the previous dataset's rows."""
+    eng, port = rest
+    svc = None
+    code, out = _call(port, "POST",
+                      "/api/v3/datasets/new_untitled"
+                      "?parentDataset=region&newVersion=ow1&limit=2")
+    assert code == 200, out
+    path = ".".join(out["dataset"]["fullPath"])
+    code, h1 = _call(port, "POST",
+                     f"/api/v3/dataset/{path}/version/ow1/histogram",
+                     body={"colName": "r_name"})
+    assert code == 200 and h1["availableValuesCount"] > 0
+    # overwrite the SAME version id with a different parent
+    code, out = _call(port, "POST",
+                      "/api/v3/datasets/new_untitled"
+                      "?parentDataset=orders&newVersion=ow1&limit=2")
+    assert code == 200, out
+    code, h2 = _call(port, "POST",
+                     f"/api/v3/dataset/{path}/version/ow1/histogram",
+                     body={"colName": "o_orderstatus"})
+    assert code == 200, h2
+    # counts come from ORDERS (thousands of rows), not stale region
+    assert h2["availableValuesCount"] > h1["availableValuesCount"]

@@ -217,11 +217,9 @@ class _Gen:
         if kind == "ts" and self.cols["ts"]:
             col = r.choice(self.cols["ts"])
             y = r.randint(1992, 1998)
-            return (f"({col} {r.choice(['<', '>=', '<'])} "
+            return (f"({col} {r.choice(['<', '<=', '>='])} "
                     f"TIMESTAMP '{y}-0{r.randint(1, 9)}-15 "
                     f"00:00:00')")
-        if kind == "num" or (kind == "ts" and not self.cols["ts"]):
-            pass
         if self.cols["num"] and r.random() < 0.4:
             return (f"({r.choice(self.cols['num'])} "
                     f"{r.choice(['<', '>', '<=', '>='])} "
