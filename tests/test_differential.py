@@ -366,10 +366,26 @@ def _compare_nullsafe(spark_df, oracle_df, ordered: bool
     if problems:
         return problems
 
+    def _cell(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            # _canon_cell stringifies float NaN as "NaN"; the grammar
+            # never produces that literal string
+            return None if v == "NaN" else v
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        try:  # pd.NA-style scalars raise on ==; they ARE na
+            import pandas as _pd
+
+            if _pd.api.types.is_scalar(v) and _pd.isna(v):
+                return None
+        except Exception:  # noqa: BLE001 — non-scalar cells pass through
+            pass
+        return v
+
     def _nn(rows):
-        return [tuple(None if (isinstance(v, float) and math.isnan(v))
-                      or v == "NaN" else v for v in row)
-                for row in rows]
+        return [tuple(_cell(v) for v in row) for row in rows]
 
     a = _nn(canonicalize(sp, ordered))
     b = _nn(canonicalize(oracle_df, ordered))
