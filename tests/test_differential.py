@@ -25,8 +25,8 @@ resolution are documented in DIALECT_DELTAS below.  Sweep record:
 ORDER BY+LIMIT arms) + 3,000 seeds (+ COUNT(DISTINCT) and correlated
 EXISTS / IN subquery arms) + 3,904 fresh-range seeds (10000+) +
 3,809 seeds with the LEFT JOIN arm (which immediately caught the
-CONCAT-null delta, #4 below, before re-running clean) — 16,195
-total against DuckDB at sf0.001.
+CONCAT-null delta, #4 below, before re-running clean) + 3,792 more
+fresh-range seeds (30000+) — 19,987 total against DuckDB at sf0.001.
 """
 
 from __future__ import annotations
