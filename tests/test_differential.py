@@ -16,7 +16,8 @@ constructs whose semantics are bit-identical in Spark and DuckDB:
 - doubles appear only under MIN/MAX/comparisons (sum/avg of doubles
   is order-dependent)
 - string functions: upper/lower/trim/reverse/substr(>=1)/left/right/
-  lpad/replace/concat/length — identical in both dialects
+  lpad/replace/length and ANSI ||-concatenation — identical in both
+  dialects (CONCAT itself is NOT: see delta #4)
 - timestamps compare against literals and feed year()/month()/day()
 
 Divergences encountered while building the grammar and their
