@@ -1483,13 +1483,14 @@ class ExploreService:
         entry = self.get_version(path, version)
         page = int(limit or 500)
         if executor is not None:
-            job_id, schema, row_dicts = executor(entry["sql"])
-            names = [c["name"] for c in schema]
+            # executor rows are POSITIONAL (schema order) so duplicate
+            # output column names keep distinct cells, matching the
+            # no-executor collect path
+            job_id, schema, pos_rows = executor(entry["sql"])
             columns = [{"name": c["name"],
                         "type": data_type_of(c["type"])}
                        for c in schema]
-            rows = [[r.get(n) for n in names]
-                    for r in row_dicts[:page]]
+            rows = [list(r) for r in pos_rows[:page]]
         else:
             job_id = None
             df = self.engine.sql(entry["sql"]).limit(page)
@@ -1960,7 +1961,10 @@ class ExploreService:
                                 str(k), n, k - width / 2,
                                 k + width / 2))
                             total += n
-        elif ctype in ("DATE", "TIME", "DATETIME"):
+        elif ctype in ("DATE", "DATETIME"):
+            # TIME deliberately excluded: datetime.time values don't
+            # subtract (no span/total_seconds), so TIME columns route
+            # to the group-by-value arm below instead of a 500
             mm = self.engine.sql(
                 f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "
                 f"FROM (\n{inner}\n) __hg").collect()[0]

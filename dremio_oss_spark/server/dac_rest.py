@@ -267,12 +267,18 @@ def _job_executor(h):
     max_stored rows — run results then page through
     /api/v3/job/{id}/results and stream through /job/{id}/download
     like every other statement.  _exec_tracked takes the engine lock
-    itself for planning, so callers must NOT hold it."""
+    itself for planning, so callers must NOT hold it.  Rows come back
+    POSITIONAL (list-of-cell-lists, schema order), not name-keyed: a
+    query with duplicate output column names (SELECT a, a) must keep
+    both cells distinct, which an asDict()-shaped row collapses."""
+    from .rest import _json_cell
+
     def execute(sql: str):
         jid = h.jobs.create()
-        _df, _rows, json_rows, schema, _acc = h._exec_tracked(
+        _df, rows, _json_rows, schema, _acc = h._exec_tracked(
             jid, sql, h.max_stored)
-        return jid, schema, json_rows
+        pos_rows = [[_json_cell(v) for v in r] for r in rows]
+        return jid, schema, pos_rows
     return execute
 
 
@@ -961,8 +967,15 @@ def _is_admin(h) -> bool:
     kvstore report): the reference restricts these to the admin role
     (@RolesAllowed("admin") on BackupResource/ExportProfilesResource).
     Admin here is: the static service token, a session/temp-token user
-    holding the ADMIN role, or the anonymous caller on an open
-    (token-less) deployment — never an arbitrary logged-in user."""
+    holding the ADMIN role, or ANY caller on an open (token-less)
+    deployment — never an arbitrary logged-in user on a secured one.
+    The open-server check comes FIRST: an open server's anonymous
+    fallback principal is 'admin' with no granted roles, so a temp
+    token minted there must not be denied while the same caller
+    without the token passes (presenting a credential can't grant
+    LESS than presenting none)."""
+    if h.token is None:
+        return True
     bearer = _bearer_of(h)
     if h.token and bearer == h.token:
         return True
@@ -979,7 +992,7 @@ def _is_admin(h) -> bool:
         else:
             roles = getattr(h.engine, "_roles", {}).get(u, set())
         return any(str(r).upper() == "ADMIN" for r in roles)
-    return h.token is None
+    return False
 
 
 def _confined_path(h, raw: str, what: str) -> str:
@@ -1000,6 +1013,27 @@ def _confined_path(h, raw: str, what: str) -> str:
                 f"{what} {raw!r} is outside the configured backup "
                 f"root {root!r}")
     return p
+
+
+def _confined_dir(h, raw: str, what: str) -> str:
+    """_confined_path + mkdir -p + post-creation re-resolve: the
+    directory that exists AFTER makedirs is re-verified inside the
+    root, so a symlink swapped in between the check and the write
+    can't redirect the output outside it (the TOCTOU the plain
+    check-then-use left open)."""
+    import os
+
+    p = _confined_path(h, raw, what)
+    os.makedirs(p, exist_ok=True)
+    p2 = os.path.realpath(p)
+    root = getattr(h, "backup_root", None)
+    if root is not None:
+        rootp = os.path.realpath(root)
+        if p2 != rootp and not p2.startswith(rootp + os.sep):
+            raise ValueError(
+                f"{what} {raw!r} escaped the backup root after "
+                f"creation")
+    return p2
 
 
 def handle_sqlrunner(h, method: str) -> bool:
@@ -1295,10 +1329,9 @@ def handle_admin(h, method: str) -> bool:
     if p == "/api/v3/backup" and method == "POST":
         try:
             req = h._read_json()
-            backup_dir = _confined_path(
+            backup_dir = _confined_dir(
                 h, req.get("backupDir") or req.get("path"),
                 "backupDir")
-            os.makedirs(backup_dir, exist_ok=True)
             with _engine_lock():
                 payload = _backup_payload(h)
             out = os.path.join(backup_dir, "catalog_backup.json")
@@ -1328,10 +1361,9 @@ def handle_admin(h, method: str) -> bool:
     if p == "/api/v3/export-profiles" and method == "POST":
         try:
             req = h._read_json()
-            out_dir = _confined_path(
+            out_dir = _confined_dir(
                 h, req.get("outputFilePath") or req.get("path"),
                 "outputFilePath")
-            os.makedirs(out_dir, exist_ok=True)
             tel = getattr(h.engine, "job_telemetry", None)
             jobs = (tel.listing(limit=100000).get("jobs", [])
                     if tel is not None else [])

@@ -71,6 +71,7 @@ remain fully serialized."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -1377,14 +1378,33 @@ class _Handler(BaseHTTPRequestHandler):
 
 def serve_rest_background(engine, port: int = 0,
                           token: str | None = None, tokens=None,
-                          backup_root: str | None = None
+                          backup_root: str | None = "auto"
                           ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Bind (ephemeral port by default) and serve in a daemon thread;
     `server.server_address[1]` is the bound port, `server.shutdown()`
     stops it.  Pass a dac_rest.TokenManager as `tokens` to share
     login sessions with a Flight server (`flight.serve_background
     (tokens=...)`); one is created otherwise (also reachable at
-    `server.RequestHandlerClass.tokens`)."""
+    `server.RequestHandlerClass.tokens`).
+
+    `backup_root` confines the admin backup/restore routes.  The
+    default "auto" resolves to an `_ops` directory under the Spark
+    warehouse dir (the server's data root), so a default deployment
+    can never back up to / restore from arbitrary filesystem paths;
+    pass an explicit directory to relocate it, or explicit None to
+    opt OUT of confinement (dev only)."""
+    if backup_root == "auto":
+        import tempfile
+        try:
+            wh = engine.spark.conf.get("spark.sql.warehouse.dir")
+            for pfx in ("file://", "file:"):
+                if wh.startswith(pfx):
+                    wh = wh[len(pfx):]
+                    break
+            backup_root = os.path.join(wh, "_ops")
+        except Exception:  # noqa: BLE001 — no warehouse conf
+            backup_root = os.path.join(tempfile.gettempdir(),
+                                       "dremio_spark_ops")
     from ..explore import ExploreService
     from ..home import HomeService
     from .dac_rest import TokenManager

@@ -24,7 +24,10 @@ def rest(spark):
     register_testdata(spark, SF_SMALL)
     eng = Engine(spark)
     eng.create_user("alice", firstName="Alice")
-    server, _t = serve_rest_background(eng)
+    # backup_root=None: explicit opt-out of ops-path confinement so
+    # the backup tests can target pytest tmp_path dirs (the default
+    # "auto" confines to <warehouse>/_ops)
+    server, _t = serve_rest_background(eng, backup_root=None)
     port = server.server_address[1]
     yield eng, port
     server.shutdown()
@@ -875,7 +878,7 @@ def test_prefs_survive_backup_restore(rest, tmp_path):
     assert rep["stores"] == [{"name": "prefs", "records": 1}]
     # restore into a fresh server: the star comes back
     eng2 = Engine(eng.spark)
-    server2, _t = serve_rest_background(eng2)
+    server2, _t = serve_rest_background(eng2, backup_root=None)
     port2 = server2.server_address[1]
     try:
         code, out = _call(port2, "POST", "/api/v3/backup/restore",
@@ -1326,3 +1329,90 @@ def test_version_overwrite_invalidates_sample_cache(rest):
     assert code == 200, h2
     # counts come from ORDERS (thousands of rows), not stale region
     assert h2["availableValuesCount"] > h1["availableValuesCount"]
+
+
+def test_review_findings_r13_advice_regressions(spark, tmp_path):
+    """ADVICE r13 regressions, all four:
+    (1) run() through the tracked-job executor keeps DUPLICATE output
+        column names as distinct positional cells;
+    (2) the default server confines ops paths to <warehouse>/_ops
+        ("auto" backup_root) — arbitrary absolute paths refuse;
+    (3) on an OPEN (token-less) server a minted temp token passes the
+        admin gate exactly like the anonymous caller (a credential
+        can't grant less than none);
+    (4) a TIME-typed column routes to the group-by-value histogram
+        arm instead of raising on date subtraction."""
+    import os
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng)   # default backup_root
+    port = server.server_address[1]
+    hcls = server.RequestHandlerClass
+    try:
+        # (1) duplicate output column names through the run executor
+        code, out = _call(port, "POST",
+                          "/api/v3/datasets/new_untitled_sql"
+                          "?newVersion=dup1&limit=2",
+                          body={"sql": "select r_regionkey as d, "
+                                       "r_name as d from region"})
+        assert code == 200, out
+        path = ".".join(out["dataset"]["fullPath"])
+        code, out = _call(port, "GET",
+                          f"/api/v3/dataset/{path}/version/dup1/run")
+        assert code == 200, out
+        assert [c["name"] for c in out["data"]["columns"]] == \
+            ["d", "d"]
+        for row in out["data"]["rows"]:
+            assert isinstance(row[0], int) and \
+                isinstance(row[1], str), row  # NOT collapsed
+        # (2) default confinement: escape refused, confined path works
+        assert hcls.backup_root and hcls.backup_root.endswith("_ops")
+        code, out = _call(port, "POST", "/api/v3/backup",
+                          body={"backupDir": str(tmp_path / "esc")})
+        assert code == 400, out
+        assert not (tmp_path / "esc").exists()
+        inside = os.path.join(hcls.backup_root, "b1")
+        code, out = _call(port, "POST", "/api/v3/backup",
+                          body={"backupDir": inside})
+        assert code == 200, out
+        assert os.path.exists(out["backupPath"])
+        # (3) open-server temp token passes the admin gate
+        code, out = _call(port, "POST",
+                          "/api/v3/temp-token?request="
+                          "/api/v3/kvstore/report&durationSeconds=60")
+        assert code == 200, out
+        code, rep = _call(port, "GET",
+                          f"/api/v3/kvstore/report?token={out['token']}")
+        assert code == 200, rep
+        # (4) TIME column histogram: group-by-value arm, no 500.
+        # sqlFields types are what _column_type consults; a
+        # convert-to-TIME transform records TIME over an HH:mm:ss
+        # string column — simulate that recorded field type directly.
+        code, out = _call(port, "POST",
+                          "/api/v3/datasets/new_untitled_sql"
+                          "?newVersion=tt1&limit=2",
+                          body={"sql": "select concat(lpad(cast("
+                                       "r_regionkey as string), 2, "
+                                       "'0'), ':00:00') as t "
+                                       "from region"})
+        assert code == 200, out
+        tpath = ".".join(out["dataset"]["fullPath"])
+        entry = hcls.explore.get_version(tpath, "tt1")
+        for f in entry["sqlFields"]:
+            if f["name"] == "t":
+                f["type"] = "TIME"
+        code, hist = _call(port, "POST",
+                           f"/api/v3/dataset/{tpath}/version/tt1/"
+                           f"histogram", body={"colName": "t"})
+        assert code == 200, hist
+        assert hist["availableValuesCount"] == 5
+        assert {v["value"] for v in hist["availableValues"]} == \
+            {"00:00:00", "01:00:00", "02:00:00", "03:00:00",
+             "04:00:00"}
+        assert all(v["type"] == "TIME"
+                   for v in hist["availableValues"])
+    finally:
+        server.shutdown()
