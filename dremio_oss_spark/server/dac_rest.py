@@ -1459,24 +1459,183 @@ def _nessie_content_json(root: str, key: str, content: dict) -> dict:
             "snapshotId": content.get("snapshot_id")}
 
 
+def _nessie_content_parse(root: str, cj: dict) -> dict:
+    """Nessie v2 Content JSON → dataplane content dict (the inverse of
+    _nessie_content_json, for proxied Put operations).  The canonical
+    metadataLocation is <root>/<rel>/metadata; a bare <root>/<rel> and
+    an engine-relative <rel> are accepted too, so a client can replay
+    a content object it previously read from /contents verbatim."""
+    if cj.get("type") == "ICEBERG_VIEW":
+        return {"type": "ICEBERG_VIEW", "sql": cj.get("sqlText", "")}
+    loc = cj.get("metadataLocation") or ""
+    if loc.endswith("/metadata"):
+        loc = loc[: -len("/metadata")]
+    rootp = root.rstrip("/") + "/"
+    if loc.startswith(rootp):
+        loc = loc[len(rootp):]
+    return {"type": "ICEBERG_TABLE", "location": loc,
+            "snapshot_id": cj.get("snapshotId")}
+
+
+def _nessie_op_parse(op: dict) -> tuple[str, str, dict | None]:
+    """One Operations entry → (kind, dotted key, content-or-None).
+    Accepts both the v2 type-discriminator shape ({"type": "PUT", ...})
+    and the wrapped legacy shape ({"Put": {...}})."""
+    body, kind = op, str(op.get("type", "")).upper()
+    for wrapped in ("Put", "Delete", "Unchanged"):
+        if wrapped in op:
+            body, kind = op[wrapped], wrapped.upper()
+            break
+    key = ".".join(body["key"]["elements"])
+    return kind, key, body.get("content")
+
+
+def _nessie_proxy_write(h, method: str, root: str, parts: list[str],
+                        p: str) -> bool:
+    """Mutating Nessie v2 verbs (ProxyV2TreeResource.java:112
+    createReference, :226 assignReference, :245 deleteReference, :363
+    commitMultipleOperations, plus mergeRefIntoBranch) routed through
+    the SAME dataplane CAS the SQL DDL/DML uses — a proxy commit and a
+    `CREATE BRANCH` / `INSERT AT BRANCH` are indistinguishable in the
+    commit log, and a stale expected-hash fails with Nessie's 409
+    without half-writing (the commit file O_EXCL claim is all-or-
+    nothing)."""
+    from ..sources import dataplane
+    from ..sources.iceberg import ConcurrentWriteError
+
+    author = _request_user(h)
+    try:
+        with _engine_lock():
+            # POST /trees?name=X&type=BRANCH|TAG — createReference
+            if method == "POST" and len(parts) == 1:
+                name = _q(h, "name")
+                if not name:
+                    raise ValueError("query param 'name' required")
+                kind = (_q(h, "type") or "BRANCH").upper()
+                src_ref = h._read_json() or {}
+                head = dataplane.create_ref(
+                    root, name,
+                    kind="branch" if kind == "BRANCH" else "tag",
+                    from_ref=src_ref.get("name"),
+                    at_commit=src_ref.get("hash"))
+                h._send(200, {"reference":
+                              _nessie_ref_json(kind, name, head)})
+                return True
+            if len(parts) >= 2:
+                ref_name, _, at_hash = parts[1].partition("@")
+            # DELETE /trees/{name@hash} — deleteReference (CAS)
+            if method == "DELETE" and len(parts) == 2:
+                refs = dataplane._load_refs(root)
+                kind = ("BRANCH" if ref_name in refs["branches"]
+                        else "TAG")
+                head = dataplane.drop_ref(
+                    root, ref_name,
+                    expect_head=at_hash if at_hash else ...)
+                h._send(200, {"reference":
+                              _nessie_ref_json(kind, ref_name, head)})
+                return True
+            # PUT /trees/{name@hash} — assignReference (CAS)
+            if method == "PUT" and len(parts) == 2:
+                to = h._read_json() or {}
+                refs = dataplane._load_refs(root)
+                kind = ("BRANCH" if ref_name in refs["branches"]
+                        else "TAG")
+                head = dataplane.assign_ref(
+                    root, ref_name, to_ref=to.get("name"),
+                    to_commit=to.get("hash"),
+                    expect_head=at_hash if at_hash else ...)
+                h._send(200, {"reference":
+                              _nessie_ref_json(kind, ref_name, head)})
+                return True
+            # POST /trees/{branch@hash}/history/commit
+            if method == "POST" and parts[2:] == ["history", "commit"]:
+                req = h._read_json() or {}
+                message = (req.get("commitMeta") or {}).get(
+                    "message", "proxy commit")
+                ops: dict[str, dict | None] = {}
+                added: list[dict] = []
+                for op in req.get("operations", []):
+                    kind, key, content = _nessie_op_parse(op)
+                    if kind == "PUT":
+                        ops[key] = _nessie_content_parse(root, content)
+                        added.append(
+                            {"key": {"elements": key.split(".")},
+                             "contentId": _nessie_content_json(
+                                 root, key, ops[key])["id"]})
+                    elif kind == "DELETE":
+                        ops[key] = None
+                    # UNCHANGED: a consistency assertion only — the
+                    # whole-branch expected-hash CAS subsumes it here
+                if not ops:
+                    raise ValueError("commit carries no operations")
+                cid = dataplane.commit(
+                    root, ref_name, ops, message, author=author,
+                    expect_head=at_hash if at_hash else ...)
+                h._send(200, {"targetBranch": _nessie_ref_json(
+                    "BRANCH", ref_name, cid),
+                    "addedContents": added})
+                return True
+            # POST /trees/{branch@hash}/history/merge
+            if method == "POST" and parts[2:] == ["history", "merge"]:
+                req = h._read_json() or {}
+                src_name = req.get("fromRefName")
+                if not src_name:
+                    raise ValueError("fromRefName required")
+                old_head = dataplane.resolve_ref(root, ref_name)
+                if at_hash and at_hash != old_head:
+                    raise ConcurrentWriteError(
+                        f"branch {ref_name!r} advanced concurrently "
+                        f"(expected {at_hash}, found {old_head})")
+                out = dataplane.merge_branch(root, src_name, ref_name,
+                                             author=author)
+                h._send(200, {
+                    "wasApplied": not out.get("noop", False),
+                    "wasSuccessful": True,
+                    "targetBranch": ref_name,
+                    "effectiveTargetHash": old_head,
+                    "resultantTargetHash": out["commit"]})
+                return True
+        h._send(405, {"errorMessage":
+                      f"unsupported Nessie mutation {method} {p}; "
+                      "supported: createReference, assignReference, "
+                      "deleteReference, commit, merge"})
+    except ConcurrentWriteError as e:
+        h._send(409, {"errorMessage": str(e),
+                      "errorCode": "REFERENCE_CONFLICT"})
+    except ValueError as e:
+        msg = str(e)
+        conflict = ("already exists" in msg or "conflict" in msg
+                    or "VALUE_DIFFERS" in msg)
+        h._send(409 if conflict else 404,
+                {"errorMessage": msg,
+                 **({"errorCode": "REFERENCE_CONFLICT"}
+                    if conflict else {})})
+    except Exception as e:  # noqa: BLE001
+        _send_error(h, e)
+    return True
+
+
 def handle_nessie_proxy(h, method: str) -> bool:
     """Nessie REST v2 proxy over a dataplane (versioned) source
     (NessieSourceResource.java:41 routing into ProxyV2TreeResource.
     java:67-395): a stock Nessie client can browse branches/tags,
     per-ref entries, the commit log, and table/view contents of the
-    engine's versioned catalog.
+    engine's versioned catalog — and commit to it.
 
-    GET  /nessie-proxy/v2/source/{src}/trees
-    GET  /nessie-proxy/v2/source/{src}/trees/{ref}
-    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/entries
-    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/history
-    GET  /nessie-proxy/v2/source/{src}/trees/{ref}/contents/{key}
+    GET    /nessie-proxy/v2/source/{src}/trees
+    POST   /nessie-proxy/v2/source/{src}/trees?name&type
+    GET    /nessie-proxy/v2/source/{src}/trees/{ref}
+    PUT    /nessie-proxy/v2/source/{src}/trees/{ref}      (assign)
+    DELETE /nessie-proxy/v2/source/{src}/trees/{ref}
+    GET    /nessie-proxy/v2/source/{src}/trees/{ref}/entries
+    GET    /nessie-proxy/v2/source/{src}/trees/{ref}/history
+    POST   /nessie-proxy/v2/source/{src}/trees/{br}/history/commit
+    POST   /nessie-proxy/v2/source/{src}/trees/{br}/history/merge
+    GET    /nessie-proxy/v2/source/{src}/trees/{ref}/contents/{key}
 
-    Refs accept the v2 `name@hash` form.  Read-only: the reference
-    proxies writes through to an EXTERNAL Nessie server, but our
-    commit store is engine-internal and all writes flow through SQL
-    DDL/DML + the dataplane CAS — mutating verbs answer 405 so a
-    client never half-commits around the engine's locking."""
+    Refs accept the v2 `name@hash` form; on mutating verbs the hash is
+    the optimistic-concurrency guard (stale → 409, nothing written).
+    Writes flow through the same dataplane CAS as SQL DDL/DML."""
     from ..sources import dataplane
 
     p = urlparse(h.path).path.rstrip("/")
@@ -1486,12 +1645,6 @@ def handle_nessie_proxy(h, method: str) -> bool:
     rest = p[len(prefix):]
     src, _, tail = rest.partition("/")
     src = unquote(src)
-    if method != "GET":
-        h._send(405, {"errorMessage":
-                      "the Nessie proxy is read-only here; use SQL "
-                      "DDL/DML (CREATE BRANCH / AT BRANCH ...) for "
-                      "writes"})
-        return True
     root = h.engine._versioned_sources.get(src)
     if root is None:
         h._send(404, {"errorMessage": f"no versioned source {src!r}"})
@@ -1500,6 +1653,8 @@ def handle_nessie_proxy(h, method: str) -> bool:
         h._send(404, {"errorMessage": f"no route {p}"})
         return True
     parts = [unquote(x) for x in tail.split("/")]
+    if method != "GET":
+        return _nessie_proxy_write(h, method, root, parts, p)
     try:
         with _engine_lock():
             refs = dataplane._load_refs(root)

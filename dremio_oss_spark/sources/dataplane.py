@@ -292,23 +292,37 @@ def create_ref(root: str, name: str, kind: str = "branch",
     return head
 
 
-def drop_ref(root: str, name: str) -> None:
+def drop_ref(root: str, name: str,
+             expect_head: str | None | object = ...) -> str | None:
+    """Delete a branch/tag.  `expect_head` is the optimistic guard the
+    Nessie v2 DELETE carries in its `name@hash` path element — a stale
+    hash raises ConcurrentWriteError (Nessie's REFERENCE_CONFLICT)
+    instead of deleting a ref someone else just advanced.  Returns the
+    head the ref pointed at when deleted."""
     if name == "main":
         raise ValueError("cannot drop main")
     with _lock(root):
         refs = _load_refs(root)
-        if name in refs["branches"]:
-            del refs["branches"][name]
-        elif name in refs["tags"]:
-            del refs["tags"][name]
-        else:
+        kind = ("branches" if name in refs["branches"]
+                else "tags" if name in refs["tags"] else None)
+        if kind is None:
             raise ValueError(f"no branch or tag {name!r} in {root}")
+        head = refs[kind][name]
+        if expect_head is not ... and expect_head != head:
+            raise ConcurrentWriteError(
+                f"ref {name!r} of {root} advanced concurrently "
+                f"(expected {expect_head}, found {head})")
+        del refs[kind][name]
         _store_refs(root, refs)
+    return head
 
 
 def assign_ref(root: str, name: str, to_ref: str | None = None,
-               to_commit: str | None = None) -> str | None:
-    """ALTER BRANCH/TAG <name> ASSIGN ... — repoint an existing ref."""
+               to_commit: str | None = None,
+               expect_head: str | None | object = ...) -> str | None:
+    """ALTER BRANCH/TAG <name> ASSIGN ... — repoint an existing ref.
+    `expect_head` guards like drop_ref (Nessie v2 PUT /trees/{name@hash}
+    assign semantics)."""
     head = resolve_ref(root, to_ref, to_commit)
     with _lock(root):
         refs = _load_refs(root)
@@ -316,6 +330,10 @@ def assign_ref(root: str, name: str, to_ref: str | None = None,
                 else "tags" if name in refs["tags"] else None)
         if kind is None:
             raise ValueError(f"no branch or tag {name!r} in {root}")
+        if expect_head is not ... and expect_head != refs[kind][name]:
+            raise ConcurrentWriteError(
+                f"ref {name!r} of {root} advanced concurrently "
+                f"(expected {expect_head}, found {refs[kind][name]})")
         refs[kind][name] = head
         _store_refs(root, refs)
     return head
