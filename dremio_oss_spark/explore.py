@@ -1897,15 +1897,32 @@ class ExploreService:
                     cache.pop(old_key))
         return f"SELECT * FROM {view}"
 
+    def _hg_exec(self, sql: str, plan_lock=None) -> list:
+        """One histogram statement.  With `plan_lock` (a context-
+        manager factory, e.g. the REST engine lock): PLAN under the
+        lock, EXECUTE the bounded collect outside it — the tracked-job
+        shape (_exec_tracked) used by the full-scan mode, so a
+        whole-dataset GROUP BY never serializes the server.  Without
+        it the caller holds whatever lock it wants around the whole
+        card (the sample path's shape)."""
+        if plan_lock is None:
+            return self.engine.sql(sql).collect()
+        with plan_lock():
+            df = self.engine.sql(sql)
+        return df.collect()
+
     def value_histogram(self, path: str, version: str, col: str,
                         sample_limit: int | None = None,
-                        buckets: int = _HISTOGRAM_BUCKETS) -> dict:
+                        buckets: int = _HISTOGRAM_BUCKETS,
+                        plan_lock=None) -> dict:
         """Column value-distribution (HistogramGenerator.getHistogram):
         returns {"availableValues": [HistogramValue...],
         "availableValuesCount": total}.  `sample_limit` caps the
         examined rows like the reference's preview-job results table
         (None = whole dataset, which is what the oracle-checked
-        registered query uses for determinism)."""
+        registered query and the REST ?mode=full job use — exact, and
+        still safe to collect because the OUTPUT is bin-/top-K-bounded
+        regardless of table size)."""
         entry = self.get_version(path, version)
         inner = self._sample_inner(path, version, sample_limit)
         ctype = self._column_type(entry, col)
@@ -1920,9 +1937,9 @@ class ExploreService:
 
         binned_rows = None
         if ctype in ("INTEGER", "FLOAT", "DECIMAL"):
-            mm = self.engine.sql(
+            mm = self._hg_exec(
                 f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "
-                f"FROM (\n{inner}\n) __hg").collect()[0]
+                f"FROM (\n{inner}\n) __hg", plan_lock)[0]
             if mm["colMin"] is not None:
                 lo, hi = float(mm["colMin"]), float(mm["colMax"])
                 width = abs(hi - lo) / buckets
@@ -1931,12 +1948,12 @@ class ExploreService:
                     width = float(round(width)) or (
                         1.0 if abs(hi - lo) > 1 else 0.0)
                 if width > 0:
-                    binned_rows = self.engine.sql(
+                    binned_rows = self._hg_exec(
                         f"SELECT ROUND(CAST({q} AS DOUBLE)/{width!r})"
                         f"*{width!r} AS dremio_value, COUNT(*) AS "
                         f"dremio_value_count FROM (\n{inner}\n) __hg "
                         f"WHERE {q} IS NOT NULL "
-                        f"GROUP BY 1 ORDER BY 1").collect()
+                        f"GROUP BY 1 ORDER BY 1", plan_lock)
                     # ROUND-binning keys are multiples of `width`;
                     # fill empty bins between the observed extremes so
                     # the card renders a continuous axis.  Bin keys
@@ -1965,19 +1982,19 @@ class ExploreService:
             # TIME deliberately excluded: datetime.time values don't
             # subtract (no span/total_seconds), so TIME columns route
             # to the group-by-value arm below instead of a 500
-            mm = self.engine.sql(
+            mm = self._hg_exec(
                 f"SELECT MIN({q}) AS colMin, MAX({q}) AS colMax "
-                f"FROM (\n{inner}\n) __hg").collect()[0]
+                f"FROM (\n{inner}\n) __hg", plan_lock)[0]
             if mm["colMin"] is not None:
                 duration = (mm["colMax"] - mm["colMin"]
                             ).total_seconds()
                 unit = self._trunc_unit(duration, buckets)
-                binned_rows = self.engine.sql(
+                binned_rows = self._hg_exec(
                     f"SELECT date_trunc('{unit}', {q}) AS "
                     f"dremio_value, COUNT(*) AS dremio_value_count "
                     f"FROM (\n{inner}\n) __hg "
                     f"WHERE {q} IS NOT NULL "
-                    f"GROUP BY 1 ORDER BY 1").collect()
+                    f"GROUP BY 1 ORDER BY 1", plan_lock)
                 by_key = {r["dremio_value"]: r["dremio_value_count"]
                           for r in binned_rows}
                 if by_key:
@@ -2003,15 +2020,15 @@ class ExploreService:
             # most-frequent first, top-K capped (determinism tiebreak
             # on the value itself); the true total comes from the
             # aggregate, not the capped list
-            rows = self.engine.sql(
+            rows = self._hg_exec(
                 f"SELECT {q} AS dremio_value, COUNT(*) AS "
                 f"dremio_value_count FROM (\n{inner}\n) __hg "
                 f"GROUP BY {q} ORDER BY dremio_value_count DESC, "
-                f"dremio_value LIMIT {_HISTOGRAM_MAX_VALUES}"
-            ).collect()
-            total = self.engine.sql(
-                f"SELECT COUNT(*) AS n FROM (\n{inner}\n) __hg"
-            ).collect()[0]["n"]
+                f"dremio_value LIMIT {_HISTOGRAM_MAX_VALUES}",
+                plan_lock)
+            total = self._hg_exec(
+                f"SELECT COUNT(*) AS n FROM (\n{inner}\n) __hg",
+                plan_lock)[0]["n"]
             for r in rows:
                 v = r["dremio_value"]
                 label = None if v is None else str(v)

@@ -282,6 +282,54 @@ def _job_executor(h):
     return execute
 
 
+def _histogram_full_job(h, cpath: str, version: str, col: str) -> dict:
+    """?mode=full histogram: the exact whole-dataset distribution run
+    as a TRACKED JOB (job id in the response, telemetry recorded,
+    Spark jobs group-tagged so /job/{id}/cancel reaches the running
+    stages).  Safe at any table size because value_histogram's OUTPUT
+    is bin-/top-K-bounded by construction — the full scan happens
+    executor-side, the driver only collects the card.  Statement
+    PLANNING serializes on the engine lock (the _exec_tracked shape);
+    the scan itself runs outside it, so a long full-scan histogram
+    never blocks other statements."""
+    import time as _time
+
+    jid = h.jobs.create()
+    sc = h.engine.spark.sparkContext
+    sc.setJobGroup(f"rest-job-{jid}", f"REST job {jid}", True)
+    tel = h.engine.job_telemetry
+    tel.start(jid, f"HISTOGRAM FULL {cpath}@{version}.{col}",
+              user=_request_user(h), query_type="UI_RUN")
+    try:
+        t0 = _time.perf_counter()
+        out = h.explore.value_histogram(
+            cpath, version, col, sample_limit=None,
+            plan_lock=_engine_lock)
+        rows = [{"dremio_value": v["value"],
+                 "dremio_value_count": v["count"]}
+                for v in out["availableValues"]]
+        h.jobs.finish(jid, state="COMPLETED", schema=[
+            {"name": "dremio_value", "type": "string"},
+            {"name": "dremio_value_count", "type": "bigint"}],
+            rows=rows)
+        tel.complete(jid, state="COMPLETED",
+                     execution_ms=(_time.perf_counter() - t0) * 1000,
+                     row_count=len(rows), sc=sc,
+                     job_group=f"rest-job-{jid}")
+        out["jobId"] = {"id": jid}
+        out["mode"] = "full"
+        return out
+    except Exception as e:  # noqa: BLE001 — recorded on the job
+        err = f"{type(e).__name__}: {e}"
+        tel.complete(jid, state="FAILED", error=err)
+        h.jobs.finish(jid, state="FAILED", error=err)
+        raise
+    finally:
+        for k in ("spark.jobGroup.id", "spark.job.description",
+                  "spark.job.interruptOnCancel"):
+            sc.setLocalProperty(k, None)
+
+
 def handle_version_get(h) -> bool:
     route = _version_route(h)
     if route is None:
@@ -415,15 +463,23 @@ def handle_version_post(h) -> bool:
             h._send(200, out)
             return True
         if action == "histogram":
-            # column-details distribution (HistogramGenerator direct)
+            # column-details distribution (HistogramGenerator direct).
+            # Default: the preview-SAMPLE card (max_stored rows, like
+            # the reference's preview-job results table).  ?mode=full
+            # (VERDICT r13 item 5): the EXACT whole-dataset
+            # distribution as a tracked job — the reference's
+            # sample-card vs explicit-full-scan-job distinction.
             req = h._read_json()
             col = (req.get("selection", req)).get("colName")
             if not col:
                 h._send(400, {"errorMessage": "colName required"})
                 return True
-            with _engine_lock():
-                out = h.explore.value_histogram(
-                    cpath, version, col, sample_limit=h.max_stored)
+            if (_q(h, "mode", "sample") or "sample").lower() == "full":
+                out = _histogram_full_job(h, cpath, version, col)
+            else:
+                with _engine_lock():
+                    out = h.explore.value_histogram(
+                        cpath, version, col, sample_limit=h.max_stored)
             h._send(200, out)
             return True
         if action in _CARD_KINDS:

@@ -1323,11 +1323,10 @@ def _dv_mark(spark: SparkSession, table: str, predicate: str,
         post = None
         if set_exprs is not None:
             # MOR UPDATE: append the post-image of the marked rows as
-            # new files (their old copies become DV-dead)
-            types = {f.name: f.dataType for f in snap.schema.fields}
-            post = marked.select(*table_cols)
-            for c, e in set_exprs.items():
-                post = post.withColumn(c, F.expr(e).cast(types[c]))
+            # new files (their old copies become DV-dead); all SETs
+            # evaluate against the pre-image together
+            post = _apply_set_exprs(marked.select(*table_cols),
+                                    set_exprs)
         changes = None
         if _cdf_enabled(snap):
             # a MOR mark is still a data change: stage the changed rows
@@ -1512,6 +1511,33 @@ def _dv_finish_commit(spark: SparkSession, table: str,
     return version
 
 
+def _apply_set_exprs(df: DataFrame, set_exprs: dict[str, str],
+                     predicate: str | None = None) -> DataFrame:
+    """SQL UPDATE SET semantics: every SET expression AND the WHERE
+    predicate evaluate against the PRE-update row, in ONE projection.
+    The old sequential withColumn loop was wrong twice over: a later
+    SET's predicate re-tested an already-updated value, and
+    cross-column SETs (SET a = b, b = a) read their co-assignee's
+    post-image.  Found by the DML differential fuzzer (seed 5:
+    `SET val = val - 12, cat = 'y' WHERE val > 75` left cat untouched
+    on every row the val assignment had already dropped below the
+    threshold).  `predicate=None` means the input is pre-filtered to
+    matching rows (MOR post-image paths) — assignments still must
+    evaluate against the pre-image together."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    cond = None if predicate is None else F.expr(predicate)
+    cols = []
+    for c in df.columns:
+        if c in set_exprs:
+            val = F.expr(set_exprs[c]).cast(types[c])
+            cols.append((val if cond is None else
+                         F.when(cond, val).otherwise(F.col(c)))
+                        .alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def update_delta(spark: SparkSession, table: str,
                  set_exprs: dict[str, str], predicate: str = "true",
                  mode: str | None = None) -> int:
@@ -1540,22 +1566,12 @@ def update_delta(spark: SparkSession, table: str,
     hit_rel = _mark_hit_files(table, live.where(predicate))
 
     def rewrite(hits: DataFrame) -> DataFrame:
-        out = hits
-        cond = F.expr(predicate)
-        for c, e in set_exprs.items():
-            typ = dict((f.name, f.dataType) for f in hits.schema.fields)[c]
-            out = out.withColumn(
-                c, F.when(cond, F.expr(e).cast(typ)).otherwise(F.col(c)))
-        return out
+        return _apply_set_exprs(hits, set_exprs, predicate)
 
     changes = None
     if _cdf_enabled(snap):
         pre = live.where(predicate).drop("__file")
-        post = pre
-        types = {f.name: f.dataType for f in pre.schema.fields
-                 if f.name != "_change_type"}
-        for c, e in set_exprs.items():
-            post = post.withColumn(c, F.expr(e).cast(types[c]))
+        post = _apply_set_exprs(pre, set_exprs)
         changes = (
             pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(

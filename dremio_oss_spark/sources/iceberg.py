@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .avro_codec import read_avro_file
-from .delta import ConcurrentWriteError, _src_expr
+from .delta import ConcurrentWriteError, _apply_set_exprs, _src_expr
 
 _STATUS_DELETED = 2
 
@@ -1428,13 +1428,7 @@ def cow_rewrite_detached(spark: SparkSession, table: str,
         operation = "delete"
     else:
         def rewrite(hits: DataFrame) -> DataFrame:
-            types = {f.name: f.dataType for f in hits.schema.fields}
-            out, cond = hits, F.expr(pred)
-            for c, e in (assignments or {}).items():
-                out = out.withColumn(
-                    c, F.when(cond, F.expr(e).cast(types[c]))
-                    .otherwise(F.col(c)))
-            return out
+            return _apply_set_exprs(hits, assignments or {}, pred)
         operation = "overwrite"
     return _cow_commit_iceberg(spark, table, operation, hit_abs, rewrite,
                                parent_snapshot=parent_snapshot)
@@ -1692,10 +1686,9 @@ def _mor_update_iceberg(spark: SparkSession, table: str,
             return snap.snapshot_id  # nothing matched; no commit
 
         table_cols = [f.name for f in snap.schema.fields]
-        types = {f.name: f.dataType for f in snap.schema.fields}
-        post = hits.select(*table_cols)
-        for c, e in set_exprs.items():
-            post = post.withColumn(c, F.expr(e).cast(types[c]))
+        # all SETs evaluate against the pre-image together (see
+        # delta._apply_set_exprs — DML-fuzzer finding)
+        post = _apply_set_exprs(hits.select(*table_cols), set_exprs)
         out, part_names = _apply_transforms(post, snap.spec_fields)
         staged = _stage_files(spark, out, os.path.join(table, "data"),
                               sid_next, part_names)
@@ -1746,14 +1739,7 @@ def update_iceberg(spark: SparkSession, table: str,
                live.where(predicate).select("__file").distinct().collect()}
 
     def rewrite(hits: DataFrame) -> DataFrame:
-        types = {f.name: f.dataType for f in hits.schema.fields}
-        out = hits
-        cond = F.expr(predicate)
-        for c, e in set_exprs.items():
-            out = out.withColumn(
-                c, F.when(cond, F.expr(e).cast(types[c]))
-                .otherwise(F.col(c)))
-        return out
+        return _apply_set_exprs(hits, set_exprs, predicate)
 
     return _cow_commit_iceberg(spark, table, "overwrite", hit_abs, rewrite)
 

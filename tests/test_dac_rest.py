@@ -1416,3 +1416,64 @@ def test_review_findings_r13_advice_regressions(spark, tmp_path):
                    for v in hist["availableValues"])
     finally:
         server.shutdown()
+
+
+def test_histogram_full_mode_vs_sample(spark):
+    """VERDICT r13 item 5: the default histogram is the preview-SAMPLE
+    card (max_stored rows); ?mode=full runs the exact whole-dataset
+    GROUP BY as a tracked job — counts cover every row, the response
+    carries the jobId, and the job lands in the jobs/telemetry
+    stores."""
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng)
+    hcls = server.RequestHandlerClass
+    old_stored = hcls.max_stored
+    hcls.max_stored = 100     # sample sees 100 rows; full sees all
+    port = server.server_address[1]
+    try:
+        code, out = _call(port, "POST",
+                          "/api/v3/datasets/new_untitled"
+                          "?parentDataset=orders&newVersion=h0"
+                          "&limit=2")
+        assert code == 200, out
+        path = ".".join(out["dataset"]["fullPath"])
+        total = eng.spark.table("orders").count()
+        assert total > 100
+        code, samp = _call(port, "POST",
+                           f"/api/v3/dataset/{path}/version/h0/"
+                           f"histogram", body={"colName":
+                                               "o_orderstatus"})
+        assert code == 200, samp
+        assert samp["availableValuesCount"] == 100   # sample-bounded
+        assert "jobId" not in samp
+        code, full = _call(port, "POST",
+                           f"/api/v3/dataset/{path}/version/h0/"
+                           f"histogram?mode=full",
+                           body={"colName": "o_orderstatus"})
+        assert code == 200, full
+        assert full["mode"] == "full"
+        assert full["availableValuesCount"] == total  # exact
+        assert sum(v["count"] for v in full["availableValues"]) \
+            == total
+        # the skew is visible only in full mode at this sample size:
+        # every status present with its true count
+        by_val = {v["value"]: v["count"]
+                  for v in full["availableValues"]}
+        truth = {r["o_orderstatus"]: r["n"] for r in eng.sql(
+            "select o_orderstatus, count(*) as n from orders "
+            "group by 1").collect()}
+        assert by_val == truth
+        # tracked: the job is COMPLETED in the jobs store with the
+        # bounded card as its result rows
+        jid = full["jobId"]["id"]
+        code, job = _call(port, "GET", f"/api/v3/job/{jid}")
+        assert code == 200 and job["jobState"] == "COMPLETED", job
+        code, res = _call(port, "GET", f"/api/v3/job/{jid}/results")
+        assert code == 200
+        assert res["rowCount"] == len(full["availableValues"])
+    finally:
+        hcls.max_stored = old_stored
+        server.shutdown()

