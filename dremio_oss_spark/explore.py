@@ -1472,8 +1472,10 @@ class ExploreService:
         The REST route passes `executor`, a closure over the
         handler's `_exec_tracked`: it runs the statement under a job
         id with the store's `max_stored` cap and returns
-        (job_id, schema, row_dicts); this method then returns the
-        FIRST PAGE plus the jobId so clients page
+        (job_id, schema, positional_rows) — rows are POSITIONAL cell
+        lists in schema order, never name-keyed (duplicate output
+        column names must keep distinct cells); this method returns
+        the FIRST PAGE plus the jobId so clients page
         `/api/v3/job/{id}/results` and stream `/job/{id}/download`.
         Without an executor (unit/embedded use) it executes with an
         explicit `limit` cap (default the DAC page size, 500) —
@@ -1925,7 +1927,14 @@ class ExploreService:
         regardless of table size)."""
         entry = self.get_version(path, version)
         inner = self._sample_inner(path, version, sample_limit)
-        ctype = self._column_type(entry, col)
+        if plan_lock is None:
+            ctype = self._column_type(entry, col)
+        else:
+            # _column_type's fallback PLANS entry["sql"] for its
+            # schema — planning stays serialized on the engine lock in
+            # full-scan mode exactly like every _hg_exec statement
+            with plan_lock():
+                ctype = self._column_type(entry, col)
         q = quote_ident(col)
         values: list[dict] = []
         total = 0

@@ -1074,9 +1074,12 @@ def _confined_path(h, raw: str, what: str) -> str:
 def _confined_dir(h, raw: str, what: str) -> str:
     """_confined_path + mkdir -p + post-creation re-resolve: the
     directory that exists AFTER makedirs is re-verified inside the
-    root, so a symlink swapped in between the check and the write
-    can't redirect the output outside it (the TOCTOU the plain
-    check-then-use left open)."""
+    root, so a symlink swapped in between check and use is DETECTED
+    and the request refused before any file write.  Residual window:
+    makedirs itself may follow a just-swapped symlink and leave stray
+    empty directories at the target (no file content ever lands
+    there — the re-check rejects before the write, and the backup
+    write opens its final component O_NOFOLLOW)."""
     import os
 
     p = _confined_path(h, raw, what)
@@ -1391,7 +1394,13 @@ def handle_admin(h, method: str) -> bool:
             with _engine_lock():
                 payload = _backup_payload(h)
             out = os.path.join(backup_dir, "catalog_backup.json")
-            with open(out, "w") as f:
+            # O_NOFOLLOW: a symlink swapped in as the final component
+            # after the containment re-check must not redirect the
+            # backup file outside the root
+            flags = os.O_WRONLY | os.O_CREAT | os.O_TRUNC
+            if hasattr(os, "O_NOFOLLOW"):
+                flags |= os.O_NOFOLLOW
+            with os.fdopen(os.open(out, flags, 0o600), "w") as f:
                 json.dump(payload, f, indent=1, default=str)
             h._send(200, {"backupPath": out,
                           "tables": len(payload["spaces"]),
@@ -1521,6 +1530,8 @@ def _nessie_content_parse(root: str, cj: dict) -> dict:
     metadataLocation is <root>/<rel>/metadata; a bare <root>/<rel> and
     an engine-relative <rel> are accepted too, so a client can replay
     a content object it previously read from /contents verbatim."""
+    import os as _os
+
     if cj.get("type") == "ICEBERG_VIEW":
         return {"type": "ICEBERG_VIEW", "sql": cj.get("sqlText", "")}
     loc = cj.get("metadataLocation") or ""
@@ -1529,6 +1540,19 @@ def _nessie_content_parse(root: str, cj: dict) -> dict:
     rootp = root.rstrip("/") + "/"
     if loc.startswith(rootp):
         loc = loc[len(rootp):]
+    # CLIENT-SUPPLIED path: confine to the source root before storing
+    # — dataplane consumes locations via os.path.join(root, loc), so
+    # an absolute or ..-traversal location would register catalog
+    # content pointing anywhere on the server filesystem (SQL DDL only
+    # ever mints locations via _new_location; the proxy is the one
+    # channel accepting external ones)
+    full = _os.path.realpath(_os.path.join(root, loc))
+    rootr = _os.path.realpath(root)
+    if full != rootr and not full.startswith(rootr + _os.sep):
+        raise ValueError(
+            f"metadataLocation {cj.get('metadataLocation')!r} is "
+            f"outside the source root")
+    loc = _os.path.relpath(full, rootr)
     return {"type": "ICEBERG_TABLE", "location": loc,
             "snapshot_id": cj.get("snapshotId")}
 
@@ -1560,60 +1584,73 @@ def _nessie_proxy_write(h, method: str, root: str, parts: list[str],
     from ..sources.iceberg import ConcurrentWriteError
 
     author = _request_user(h)
+    # read the request body BEFORE taking the engine lock: a slow
+    # client trickling its body must never stall every other
+    # statement's planning (every other route reads first too)
+    body = (h._read_json() or {}) if method in ("POST", "PUT") else {}
     try:
-        with _engine_lock():
+        # malformed-request errors answer 400 straight away — they are
+        # client mistakes, not missing references (a Nessie client
+        # branches on 404 as REFERENCE_NOT_FOUND)
+        if method == "POST" and len(parts) == 1:
             # POST /trees?name=X&type=BRANCH|TAG — createReference
-            if method == "POST" and len(parts) == 1:
-                name = _q(h, "name")
-                if not name:
-                    raise ValueError("query param 'name' required")
-                kind = (_q(h, "type") or "BRANCH").upper()
-                src_ref = h._read_json() or {}
+            name = _q(h, "name")
+            if not name:
+                h._send(400, {"errorMessage":
+                              "query param 'name' required"})
+                return True
+            kind = (_q(h, "type") or "BRANCH").upper()
+            with _engine_lock():
                 head = dataplane.create_ref(
                     root, name,
                     kind="branch" if kind == "BRANCH" else "tag",
-                    from_ref=src_ref.get("name"),
-                    at_commit=src_ref.get("hash"))
-                h._send(200, {"reference":
-                              _nessie_ref_json(kind, name, head)})
+                    from_ref=body.get("name"),
+                    at_commit=body.get("hash"))
+            h._send(200, {"reference":
+                          _nessie_ref_json(kind, name, head)})
+            return True
+        if len(parts) >= 2:
+            ref_name, _, at_hash = parts[1].partition("@")
+        # DELETE /trees/{name@hash} — deleteReference (CAS)
+        if method == "DELETE" and len(parts) == 2:
+            if ref_name == "main":
+                h._send(400, {"errorMessage": "cannot drop main"})
                 return True
-            if len(parts) >= 2:
-                ref_name, _, at_hash = parts[1].partition("@")
-            # DELETE /trees/{name@hash} — deleteReference (CAS)
-            if method == "DELETE" and len(parts) == 2:
+            with _engine_lock():
                 refs = dataplane._load_refs(root)
                 kind = ("BRANCH" if ref_name in refs["branches"]
                         else "TAG")
                 head = dataplane.drop_ref(
                     root, ref_name,
                     expect_head=at_hash if at_hash else ...)
-                h._send(200, {"reference":
-                              _nessie_ref_json(kind, ref_name, head)})
-                return True
-            # PUT /trees/{name@hash} — assignReference (CAS)
-            if method == "PUT" and len(parts) == 2:
-                to = h._read_json() or {}
+            h._send(200, {"reference":
+                          _nessie_ref_json(kind, ref_name, head)})
+            return True
+        # PUT /trees/{name@hash} — assignReference (CAS)
+        if method == "PUT" and len(parts) == 2:
+            with _engine_lock():
                 refs = dataplane._load_refs(root)
                 kind = ("BRANCH" if ref_name in refs["branches"]
                         else "TAG")
                 head = dataplane.assign_ref(
-                    root, ref_name, to_ref=to.get("name"),
-                    to_commit=to.get("hash"),
+                    root, ref_name, to_ref=body.get("name"),
+                    to_commit=body.get("hash"),
                     expect_head=at_hash if at_hash else ...)
-                h._send(200, {"reference":
-                              _nessie_ref_json(kind, ref_name, head)})
-                return True
-            # POST /trees/{branch@hash}/history/commit
-            if method == "POST" and parts[2:] == ["history", "commit"]:
-                req = h._read_json() or {}
-                message = (req.get("commitMeta") or {}).get(
-                    "message", "proxy commit")
-                ops: dict[str, dict | None] = {}
-                added: list[dict] = []
-                for op in req.get("operations", []):
+            h._send(200, {"reference":
+                          _nessie_ref_json(kind, ref_name, head)})
+            return True
+        # POST /trees/{branch@hash}/history/commit
+        if method == "POST" and parts[2:] == ["history", "commit"]:
+            message = (body.get("commitMeta") or {}).get(
+                "message", "proxy commit")
+            ops: dict[str, dict | None] = {}
+            added: list[dict] = []
+            try:
+                for op in body.get("operations", []):
                     kind, key, content = _nessie_op_parse(op)
                     if kind == "PUT":
-                        ops[key] = _nessie_content_parse(root, content)
+                        ops[key] = _nessie_content_parse(root,
+                                                         content)
                         added.append(
                             {"key": {"elements": key.split(".")},
                              "contentId": _nessie_content_json(
@@ -1622,21 +1659,31 @@ def _nessie_proxy_write(h, method: str, root: str, parts: list[str],
                         ops[key] = None
                     # UNCHANGED: a consistency assertion only — the
                     # whole-branch expected-hash CAS subsumes it here
-                if not ops:
-                    raise ValueError("commit carries no operations")
+            except (KeyError, ValueError, TypeError) as e:
+                # malformed operation (missing key/elements, escaped
+                # metadataLocation): a client error, never 404/500
+                h._send(400, {"errorMessage":
+                              f"bad operation: {e}"})
+                return True
+            if not ops:
+                h._send(400, {"errorMessage":
+                              "commit carries no operations"})
+                return True
+            with _engine_lock():
                 cid = dataplane.commit(
                     root, ref_name, ops, message, author=author,
                     expect_head=at_hash if at_hash else ...)
-                h._send(200, {"targetBranch": _nessie_ref_json(
-                    "BRANCH", ref_name, cid),
-                    "addedContents": added})
+            h._send(200, {"targetBranch": _nessie_ref_json(
+                "BRANCH", ref_name, cid),
+                "addedContents": added})
+            return True
+        # POST /trees/{branch@hash}/history/merge
+        if method == "POST" and parts[2:] == ["history", "merge"]:
+            src_name = body.get("fromRefName")
+            if not src_name:
+                h._send(400, {"errorMessage": "fromRefName required"})
                 return True
-            # POST /trees/{branch@hash}/history/merge
-            if method == "POST" and parts[2:] == ["history", "merge"]:
-                req = h._read_json() or {}
-                src_name = req.get("fromRefName")
-                if not src_name:
-                    raise ValueError("fromRefName required")
+            with _engine_lock():
                 old_head = dataplane.resolve_ref(root, ref_name)
                 if at_hash and at_hash != old_head:
                     raise ConcurrentWriteError(
@@ -1644,13 +1691,13 @@ def _nessie_proxy_write(h, method: str, root: str, parts: list[str],
                         f"(expected {at_hash}, found {old_head})")
                 out = dataplane.merge_branch(root, src_name, ref_name,
                                              author=author)
-                h._send(200, {
-                    "wasApplied": not out.get("noop", False),
-                    "wasSuccessful": True,
-                    "targetBranch": ref_name,
-                    "effectiveTargetHash": old_head,
-                    "resultantTargetHash": out["commit"]})
-                return True
+            h._send(200, {
+                "wasApplied": not out.get("noop", False),
+                "wasSuccessful": True,
+                "targetBranch": ref_name,
+                "effectiveTargetHash": old_head,
+                "resultantTargetHash": out["commit"]})
+            return True
         h._send(405, {"errorMessage":
                       f"unsupported Nessie mutation {method} {p}; "
                       "supported: createReference, assignReference, "

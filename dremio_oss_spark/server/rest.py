@@ -710,8 +710,19 @@ class _Handler(BaseHTTPRequestHandler):
             with wm.admit_to(qname):
                 rows = ldf.collect()
             exec_ms = (_time.perf_counter() - t_exec) * 1000
-            json_rows = [{k: _json_cell(v) for k, v in
-                          r.asDict().items()} for r in rows]
+            names = [f.name for f in df.schema.fields]
+            if len(set(names)) == len(names):
+                json_rows = [{k: _json_cell(v) for k, v in
+                              r.asDict().items()} for r in rows]
+            else:
+                # duplicate output names (SELECT a, a) cannot live in
+                # a JSON object: store POSITIONAL cell lists instead
+                # (schema carries the names) so every consumer of the
+                # stored result — /results pages, /download, the run
+                # first page — keeps both cells distinct; the results
+                # and download routes are both list-aware
+                json_rows = [[_json_cell(v) for v in r]
+                             for r in rows]
             schema = [{"name": f.name,
                        "type": f.dataType.simpleString()}
                       for f in df.schema.fields]

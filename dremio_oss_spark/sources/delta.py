@@ -1523,13 +1523,26 @@ def _apply_set_exprs(df: DataFrame, set_exprs: dict[str, str],
     on every row the val assignment had already dropped below the
     threshold).  `predicate=None` means the input is pre-filtered to
     matching rows (MOR post-image paths) — assignments still must
-    evaluate against the pre-image together."""
+    evaluate against the pre-image together.
+
+    SET targets resolve CASE-INSENSITIVELY like the rest of Spark SQL
+    (the engine passes raw statement identifiers through); an
+    assignment matching no column raises instead of silently adding
+    one."""
+    by_lower = {c.lower(): c for c in df.columns}
+    resolved: dict[str, str] = {}
+    for k, e in set_exprs.items():
+        c = by_lower.get(k.lower())
+        if c is None:
+            raise ValueError(
+                f"UPDATE SET references unknown column {k!r}")
+        resolved[c] = e
     types = {f.name: f.dataType for f in df.schema.fields}
     cond = None if predicate is None else F.expr(predicate)
     cols = []
     for c in df.columns:
-        if c in set_exprs:
-            val = F.expr(set_exprs[c]).cast(types[c])
+        if c in resolved:
+            val = F.expr(resolved[c]).cast(types[c])
             cols.append((val if cond is None else
                          F.when(cond, val).otherwise(F.col(c)))
                         .alias(c))

@@ -1477,3 +1477,94 @@ def test_histogram_full_mode_vs_sample(spark):
     finally:
         hcls.max_stored = old_stored
         server.shutdown()
+
+
+def test_review_findings_r14_self_review(spark, tmp_path):
+    """Round-14 self-review regressions: (1) duplicate output column
+    names stay distinct through the STORED result too (/results pages
+    + csv download, not just the run first page); (2) a proxied
+    Nessie Put whose metadataLocation escapes the source root answers
+    400 and registers nothing; (3) UPDATE SET resolves its target
+    column case-insensitively like the rest of Spark SQL."""
+    import json as _j
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+    from dremio_oss_spark.sources.delta import (read_delta,
+                                                update_delta,
+                                                write_delta)
+
+    eng = Engine(spark)
+    eng.add_testdata_source(SF_SMALL)
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+    try:
+        # (1) dup columns: stored rows are positional lists
+        code, out = _call(port, "POST", "/api/v3/sql",
+                          body={"sql": "select r_regionkey as d, "
+                                       "r_name as d from region"})
+        assert code == 200, out
+        jid = out["id"]
+        code, res = _call(port, "GET",
+                          f"/api/v3/job/{jid}/results?limit=3")
+        assert code == 200, res
+        assert [c["name"] for c in res["schema"]] == ["d", "d"]
+        for row in res["rows"]:
+            assert isinstance(row, list) and len(row) == 2, row
+            assert isinstance(row[0], int) and \
+                isinstance(row[1], str), row
+        code, raw = _call(port, "GET",
+                          f"/api/v3/job/{jid}/download?format=csv",
+                          raw=True)
+        assert code == 200
+        lines = raw.decode().strip().splitlines()
+        assert lines[0] == "d,d"
+        assert all(len(ln.split(",")) == 2 for ln in lines[1:])
+        # unique-name results keep the dict shape (API unchanged)
+        code, out = _call(port, "POST", "/api/v3/sql",
+                          body={"sql": "select r_regionkey "
+                                       "from region"})
+        code, res = _call(port, "GET",
+                          f"/api/v3/job/{out['id']}/results?limit=1")
+        assert isinstance(res["rows"][0], dict)
+        # (2) proxied Put escaping the source root → 400, no commit
+        eng.create_versioned_source("vsec", str(tmp_path / "vsec"))
+        for evil in ("/etc/passwd_dir/metadata",
+                     str(tmp_path / "vsec") + "/../out/metadata"):
+            code, out = _call(
+                port, "POST",
+                "/nessie-proxy/v2/source/vsec/trees/main/history/"
+                "commit",
+                body={"commitMeta": {"message": "x"},
+                      "operations": [
+                          {"type": "PUT",
+                           "key": {"elements": ["t"]},
+                           "content": {"type": "ICEBERG_TABLE",
+                                       "metadataLocation": evil}}]})
+            assert code == 400, (evil, out)
+        code, ents = _call(port, "GET",
+                           "/nessie-proxy/v2/source/vsec/trees/main/"
+                           "entries")
+        assert ents["entries"] == []          # nothing half-committed
+        # malformed requests are 400s, not 404s
+        assert _call(port, "POST",
+                     "/nessie-proxy/v2/source/vsec/trees")[0] == 400
+        assert _call(
+            port, "POST",
+            "/nessie-proxy/v2/source/vsec/trees/main/history/commit",
+            body={"operations": []})[0] == 400
+        assert _call(
+            port, "DELETE",
+            "/nessie-proxy/v2/source/vsec/trees/main")[0] == 400
+        # (3) case-insensitive UPDATE SET target resolution
+        d = str(tmp_path / "ci_delta")
+        df = spark.createDataFrame([(1, 10), (2, 80)],
+                                   "k long, val long")
+        write_delta(spark, df, d)
+        update_delta(spark, d, {"VAL": "val + 5"}, "k = 2")
+        got = {(r["k"], r["val"])
+               for r in read_delta(spark, d).collect()}
+        assert got == {(1, 10), (2, 85)}
+        with pytest.raises(ValueError, match="unknown column"):
+            update_delta(spark, d, {"nope": "1"}, "true")
+    finally:
+        server.shutdown()
