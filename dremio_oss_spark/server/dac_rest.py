@@ -1796,6 +1796,43 @@ def handle_nessie_proxy(h, method: str) -> bool:
                 h._send(200, {"entries": entries, "hasMore": False,
                               "effectiveReference": eff})
                 return True
+            if action == "diff" and len(parts) == 4:
+                # GET /trees/{from}/diff/{to} (getDiff,
+                # ProxyV2TreeResource.java:195): per-key from/to
+                # content pairs for keys whose content differs —
+                # catalog-sized (two checkpoint-bounded state walks),
+                # never data-sized
+                to_name, _, to_hash = parts[3].partition("@")
+                if (to_name not in refs["branches"]
+                        and to_name not in refs["tags"]):
+                    h._send(404, {"errorMessage":
+                                  f"no branch or tag {to_name!r}"})
+                    return True
+                to_kind = ("BRANCH" if to_name in refs["branches"]
+                           else "TAG")
+                to_head = dataplane.resolve_ref(
+                    root, to_name, commit_id=to_hash or None)
+                st_from = dataplane.state_at(
+                    root, ref_name, commit_id=at_hash or None)
+                st_to = dataplane.state_at(
+                    root, to_name, commit_id=to_hash or None)
+                diffs = []
+                for key in sorted(set(st_from) | set(st_to)):
+                    a, b = st_from.get(key), st_to.get(key)
+                    if a == b:
+                        continue
+                    diffs.append({
+                        "key": {"elements": key.split(".")},
+                        "from": (None if a is None else
+                                 _nessie_content_json(root, key, a)),
+                        "to": (None if b is None else
+                               _nessie_content_json(root, key, b))})
+                h._send(200, {
+                    "diffs": diffs, "hasMore": False,
+                    "effectiveFromReference": eff,
+                    "effectiveToReference": _nessie_ref_json(
+                        to_kind, to_name, to_head)})
+                return True
             if action == "history" and len(parts) == 3:
                 import datetime as _dt
 

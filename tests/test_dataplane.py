@@ -934,3 +934,54 @@ def test_nessie_proxy_write_routes(eng):
         assert call("POST", f"{base}/trees/main/diff")[0] == 405
     finally:
         server.shutdown()
+
+
+def test_nessie_proxy_diff_route(eng):
+    """GET /trees/{from}/diff/{to} (getDiff, ProxyV2TreeResource.java:
+    195): per-key from/to content pairs; branch-only keys appear with
+    a null side, @hash pins resolve, identical keys are omitted."""
+    import json as _json
+    import urllib.request as rq
+
+    from dremio_oss_spark.server.rest import serve_rest_background
+
+    eng.sql("CREATE TABLE dpsrc.base AS select * from nation")
+    eng.sql("CREATE BRANCH dev IN dpsrc")
+    eng.sql("CREATE TABLE dpsrc.extra AT BRANCH dev "
+            "AS select * from region")
+    eng.sql("INSERT INTO dpsrc.base AT BRANCH dev "
+            "VALUES (99, 'X', 0)")
+    server, _t = serve_rest_background(eng)
+    port = server.server_address[1]
+
+    def get(path):
+        try:
+            with rq.urlopen(
+                    f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, _json.loads(r.read())
+        except rq.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    base = "/nessie-proxy/v2/source/dpsrc"
+    try:
+        code, out = get(f"{base}/trees/main/diff/dev")
+        assert code == 200, out
+        by_key = {tuple(d["key"]["elements"]):
+                  (d["from"], d["to"]) for d in out["diffs"]}
+        # extra exists only on dev; base diverged (insert on dev)
+        assert set(by_key) == {("extra",), ("base",)}
+        assert by_key[("extra",)][0] is None
+        assert by_key[("extra",)][1]["type"] == "ICEBERG_TABLE"
+        assert by_key[("base",)][0]["snapshotId"] != \
+            by_key[("base",)][1]["snapshotId"]
+        assert out["effectiveFromReference"]["name"] == "main"
+        assert out["effectiveToReference"]["name"] == "dev"
+        # identical refs → empty diff; pinned @hash resolves
+        code, out = get(f"{base}/trees/main/diff/main")
+        assert code == 200 and out["diffs"] == []
+        dev_head = get(f"{base}/trees/dev")[1]["reference"]["hash"]
+        code, out = get(f"{base}/trees/main/diff/dev@{dev_head}")
+        assert code == 200 and len(out["diffs"]) == 2
+        assert get(f"{base}/trees/main/diff/nope")[0] == 404
+    finally:
+        server.shutdown()
