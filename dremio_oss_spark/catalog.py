@@ -86,10 +86,31 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table without registering a view."""
+    """Load one testdata table without registering a view.
+
+    Memoized per (session, path, mtime): each `spark.read.parquet` costs a
+    ~70-90 ms py4j+footer round-trip, and the query suite issues ~225 of
+    them per run — pure planning overhead for immutable fixture tables.
+    The cached object is a DataFrame HANDLE (a logical plan), never data;
+    the mtime in the key invalidates the entry if the fixture dir is ever
+    rebuilt (bench.py's upsampled sf1/sf5 corpora), and the cache dies
+    with the session object.
+    """
     if name == "events":
         _allow_nanos(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (p, os.path.getmtime(p))
+    except OSError:
+        return spark.read.parquet(p)  # missing: surface Spark's error
+    try:
+        memo = spark.__dict__.setdefault("_dremio_load_memo", {})
+    except (AttributeError, TypeError):  # pragma: no cover — frozen obj
+        return spark.read.parquet(p)
+    hit = memo.get(key)
+    if hit is None:
+        hit = memo[key] = spark.read.parquet(p)
+    return hit
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

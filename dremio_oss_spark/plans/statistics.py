@@ -107,19 +107,51 @@ def _stats_aggs(cols: list[str]) -> list:
     return aggs
 
 
+# cast-to-string is injective for these type prefixes (JVM rendering
+# round-trips numerics; dates/timestamps format canonically), so
+# per-column string distinctness == native distinctness
+_NDV_STRINGABLE = ("int", "bigint", "smallint", "tinyint", "double",
+                   "float", "decimal", "string", "varchar", "char",
+                   "date", "timestamp", "boolean")
+
+
 def _exact_ndv(df: DataFrame, cols: list[str]) -> dict:
-    """Exact NDV as one narrow two-phase distinct per column, unioned
-    into a single job: each branch scans column-pruned and shuffles
-    only its own values."""
-    branches = [
-        df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
-            F.lit(c).alias("c"), "ndvx")
-        for c in cols
+    """Exact NDV for ALL columns in one pass: explode each row to
+    narrow (column_index, value-as-string) pairs, then a two-shuffle
+    distinct-count grouped by column index.  The previous shape — one
+    two-phase distinct per column, unioned — read the table k times and
+    ran k+1 AQE stages (9 jobs for 4 columns); this is ONE scan of just
+    the analyzed columns and one action regardless of k.  The exploded
+    exchange is k×N narrow rows — the same total bytes the k separate
+    shuffles carried.  Columns whose type does not render injectively
+    to string (binary, arrays, maps) keep the per-column branch."""
+    stringable = [
+        c for c in cols
+        if df.schema[c].dataType.simpleString().startswith(_NDV_STRINGABLE)
     ]
-    ndv_df = branches[0]
-    for b in branches[1:]:
-        ndv_df = ndv_df.unionByName(b)
-    return {r["c"]: r["ndvx"] for r in ndv_df.collect()}
+    out: dict = {}
+    if stringable:
+        pairs = df.select(F.posexplode(F.array(
+            *[F.col(c).cast("string") for c in stringable]
+        )).alias("_i", "_v"))
+        ndv = (pairs.groupBy("_i")
+               .agg(F.count_distinct("_v").alias("ndvx")))
+        got = {r["_i"]: r["ndvx"] for r in ndv.collect()}
+        # a column of ALL nulls produces no non-null pairs -> ndv 0
+        out.update({c: int(got.get(i, 0))
+                    for i, c in enumerate(stringable)})
+    rest = [c for c in cols if c not in out]
+    if rest:
+        branches = [
+            df.groupBy().agg(F.count_distinct(c).alias("ndvx")).select(
+                F.lit(c).alias("c"), "ndvx")
+            for c in rest
+        ]
+        ndv_df = branches[0]
+        for b in branches[1:]:
+            ndv_df = ndv_df.unionByName(b)
+        out.update({r["c"]: r["ndvx"] for r in ndv_df.collect()})
+    return out
 
 
 def _hist_exprs(df: DataFrame,

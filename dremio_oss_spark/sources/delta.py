@@ -351,6 +351,38 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     broadcast of an unbounded side never appears there)."""
     if not snap.dvs:
         return df
+    # Small-DV fast path: when the descriptors' summed cardinality is
+    # under `spark.dremio.dv.inlineFilterMaxRows` (default 4096), decode
+    # the bitmaps on the driver (descriptor count is live-file bounded;
+    # the position total is cap-bounded, so this never unbounds driver
+    # memory — same conf pattern as the write side's
+    # `driverEncodeMaxRows`) and apply them as a row-local NOT-IN filter
+    # instead of a mapInPandas decode + anti-join.  That removes a
+    # Python-worker stage and an AQE join stage from every read of a
+    # lightly-deleted table — the dominant fixed cost of metadata-sized
+    # MOR reads.  Cardinality is required by the DV spec; any missing
+    # field falls through to the distributed path (_dv_rows_df), which
+    # remains the plan for heavily-deleted tables.
+    try:
+        cap = int(spark.conf.get(
+            "spark.dremio.dv.inlineFilterMaxRows", "4096"))
+    except (TypeError, ValueError):
+        cap = 4096
+    cards = [d.get("cardinality") for d in snap.dvs.values()]
+    inline = (cap > 0 and all(isinstance(c, int) for c in cards)
+              and sum(cards) <= cap)
+    if inline:
+        dead = None
+        for rel, desc in sorted(snap.dvs.items()):
+            poss = [int(p) for p in _dv_positions(table, desc)]
+            c = ((F.col("__del_base") == os.path.basename(rel))
+                 & F.col("__pos").isin(poss))
+            dead = c if dead is None else (dead | c)
+        out = (df.withColumn("__del_base",
+                             F.element_at(F.split("__file", "/"), -1))
+               .where(~dead)
+               .drop("__del_base"))
+        return out.drop("__file", "__pos") if drop_identity else out
     dels = _dv_rows_df(spark, table, snap.dvs)
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
@@ -1179,6 +1211,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
         {"commitInfo": {"operation": operation, "timestamp": _commit_ts()}}
     ]
     staged: list[tuple[str, dict]] = []
+    to_stage: DataFrame | None = None
     if hit_rel:
         has_dv = bool(snap.dvs)
         hits_df = _scan_with_partition_values(
@@ -1186,8 +1219,7 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
             {rel: snap.files[rel] for rel in hit_rel},
             keep_file=has_dv, keep_pos=has_dv)
         hits_df = _apply_deletion_vectors(spark, hits_df, table, snap)
-        staged += _stage_files(
-            spark, rewrite(hits_df), table, version, part_cols)
+        to_stage = rewrite(hits_df)
         actions.extend(
             {"remove": {"path": rel, "deletionTimestamp": version,
                         "dataChange": data_change}}
@@ -1196,7 +1228,13 @@ def _cow_commit(spark: SparkSession, table: str, operation: str,
     if inserts is not None:
         cols = [f.name for f in snap.schema.fields] if snap.schema else None
         ins = inserts.select(*cols) if cols else inserts
-        staged += _stage_files(spark, ins, table, version, part_cols)
+        # one staging write for rewrite + inserts together (they land in
+        # the same version under the same partitioning) — the second
+        # write job bought nothing but fixed cost
+        to_stage = ins if to_stage is None else (
+            to_stage.unionByName(ins.select(*to_stage.columns)))
+    if to_stage is not None:
+        staged += _stage_files(spark, to_stage, table, version, part_cols)
     hit_set = set(hit_rel)
     stats_map = _collect_stats(spark, table, staged, snap.schema,
                                part_cols)

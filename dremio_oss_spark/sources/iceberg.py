@@ -422,7 +422,8 @@ def read_iceberg_changes(spark: SparkSession, table: str,
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
                             snap: "IcebergSnapshot",
-                            keep_file: bool = False) -> DataFrame:
+                            keep_file: bool = False,
+                            keep_pos: bool = False) -> DataFrame:
     """Merge-on-read position deletes (spec content=1): the scan carries
     (`__file`, `__pos`) identity via the parquet `_metadata.row_index`
     column, and the tiny delete files anti-join it away by
@@ -438,6 +439,52 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     (`HashJoinPrule` DIST vs BROADCAST), never forced."""
     if not snap.pos_deletes:
         return df
+    # Small-delete fast path: position-delete files expose their row
+    # count in the parquet footer (a ~1 ms metadata read, no Spark job);
+    # when the summed count is under
+    # `spark.dremio.posdelete.inlineFilterMaxRows` (default 4096), read
+    # the (file_path, pos) rows driver-side with pyarrow and apply them
+    # as a row-local NOT-IN filter — no delete-file scan job, no AQE
+    # anti-join stage.  Bounded by the conf exactly like the Delta DV
+    # inline path; a heavily-deleted table falls through to the
+    # distributed anti-join below unchanged.
+    try:
+        cap = int(spark.conf.get(
+            "spark.dremio.posdelete.inlineFilterMaxRows", "4096"))
+    except (TypeError, ValueError):
+        cap = 4096
+    if cap > 0:
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for p in snap.pos_deletes:
+                total += pq.ParquetFile(p).metadata.num_rows
+                if total > cap:
+                    break
+            if total <= cap:
+                by_base: dict[str, set[int]] = {}
+                for p in snap.pos_deletes:
+                    t = pq.read_table(p, columns=["file_path", "pos"])
+                    for fp, pos in zip(t.column("file_path").to_pylist(),
+                                       t.column("pos").to_pylist()):
+                        by_base.setdefault(
+                            os.path.basename(fp), set()).add(int(pos))
+                dead = None
+                for base, poss in sorted(by_base.items()):
+                    c = ((F.col("__del_base") == base)
+                         & F.col("__pos").isin(sorted(poss)))
+                    dead = c if dead is None else (dead | c)
+                out = (df.withColumn(
+                        "__del_base",
+                        F.element_at(F.split("__file", "/"), -1))
+                       .where(~dead)
+                       .drop("__del_base"))
+                if not keep_pos:
+                    out = out.drop("__pos")
+                return out if keep_file else out.drop("__file")
+        except Exception:  # noqa: BLE001 — non-local paths etc.
+            pass  # distributed path below handles every case
     dels = (spark.read.parquet(*snap.pos_deletes)
             .select(F.element_at(F.split("file_path", "/"), -1)
                     .alias("__del_base"),
@@ -446,7 +493,9 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
            .join(dels, ["__del_base", "__pos"], "left_anti")
-           .drop("__del_base", "__pos"))
+           .drop("__del_base"))
+    if not keep_pos:
+        out = out.drop("__pos")
     # `keep_file`: sequence-aware equality deletes still need the
     # row's data-file identity after the positional pass
     return out if keep_file else out.drop("__file")
@@ -1360,6 +1409,7 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
     staged: list[tuple[str, dict]] = []
     part_names = [pf["source"] if pf["transform"] == "identity"
                   else pf["name"] for pf in snap.spec_fields]
+    to_stage: DataFrame | None = None
     if hits:
         has_pos = bool(snap.pos_deletes)
         hits_df = _scan_with_partition_values(
@@ -1367,15 +1417,19 @@ def _cow_commit_iceberg(spark: SparkSession, table: str, operation: str,
             {os.path.join(table, rel): pv for rel, pv in hits},
             keep_file=has_pos or _eq_seq_aware(snap), keep_pos=has_pos)
         hits_df = _apply_mor_deletes(spark, hits_df, snap)
-        out, part_names = _apply_transforms(rewrite(hits_df),
-                                            snap.spec_fields)
-        staged += _stage_files(spark, out, os.path.join(table, "data"),
-                               sid_next, part_names)
+        to_stage, part_names = _apply_transforms(rewrite(hits_df),
+                                                 snap.spec_fields)
     if inserts is not None:
         cols = [f.name for f in snap.schema.fields]
         out, part_names = _apply_transforms(inserts.select(*cols),
                                             snap.spec_fields)
-        staged += _stage_files(spark, out, os.path.join(table, "data"),
+        # one staging write for rewrite + inserts (same snapshot, same
+        # spec) — a second write job is pure fixed cost
+        to_stage = out if to_stage is None else (
+            to_stage.unionByName(out.select(*to_stage.columns)))
+    if to_stage is not None:
+        staged += _stage_files(spark, to_stage,
+                               os.path.join(table, "data"),
                                sid_next, part_names)
     cur_spec = str(meta.get("default-spec-id", 0))
     staged = [(os.path.join("data", rel), {**pv, "__spec_id": cur_spec})
@@ -1563,7 +1617,17 @@ def _write_delete_files(spark: SparkSession, table: str,
     stage = os.path.join(table, "data",
                          f"_del_stage_{uuid.uuid4().hex[:8]}")
     if prefix == "pos-delete":
-        keys = (keys.repartitionByRange("file_path", "pos")
+        # REBALANCE + sortWithinPartitions: the spec requires each
+        # delete FILE sorted by (file_path, pos) — which a per-partition
+        # sort satisfies — not disjoint spans across files.  The
+        # previous repartitionByRange bought disjoint spans at the cost
+        # of a range-bound SAMPLING pass that re-executes the
+        # (join-shaped) keys plan before the write — an extra AQE job
+        # per MOR DELETE/UPDATE/MERGE, the dominant fixed cost of
+        # metadata-sized DML.  The AQE rebalance shuffle needs no
+        # sampling: a metadata-sized delete coalesces to ONE file, a
+        # billion-row delete splits to advisory-sized parallel tasks.
+        keys = (keys.hint("rebalance", "file_path")
                 .sortWithinPartitions("file_path", "pos"))
     else:  # equality deletes: key-only and small, one file
         keys = keys.coalesce(1)
@@ -1633,16 +1697,10 @@ def _live_mor_with_identity(spark: SparkSession, table: str,
     live = _scan_with_partition_values_iceberg(
         spark, table, snap, keep_file=True, keep_pos=True)
     if snap.pos_deletes:
-        dels = (spark.read.parquet(*snap.pos_deletes)
-                .select(F.element_at(F.split("file_path", "/"), -1)
-                        .alias("__del_base"),
-                        F.col("pos").alias("__pos"))
-                .distinct())
-        live = (live.withColumn(
-                    "__del_base",
-                    F.element_at(F.split("__file", "/"), -1))
-                .join(dels, ["__del_base", "__pos"], "left_anti")
-                .drop("__del_base"))
+        # shared with the read path: small delete sets become a
+        # row-local inline filter, large ones the distributed anti-join
+        live = _apply_position_deletes(spark, live, snap,
+                                       keep_file=True, keep_pos=True)
     return _apply_equality_deletes(spark, live, snap)
 
 

@@ -128,71 +128,100 @@ def copy_into(
             "left_anti",
         )
 
+    # ONE aggregated pass computes every piece of load accounting —
+    # per-file good/bad row counts — instead of the previous 4-5
+    # separate actions (error count, bad-file list, good-file list,
+    # loadable-file list, loaded-row count).  The collect is bounded by
+    # the FILE count of this COPY INTO batch (one row per source file),
+    # not by row count, so it stays metadata-sized at any data scale.
     consumed_extra: list[str] = []  # skip_file: bad files marked consumed
-    if error_mode:
-        bad = src.where(F.col(corrupt_col).isNotNull())
-        errors = bad.select(
-            F.lit(job_id or _new_job_id()).alias("job_id"),
-            F.element_at(F.split("_src_file", "/"), -1)
-            .alias("file_name"),
-            F.col(corrupt_col).alias("raw_record"),
-            F.lit("malformed record").alias("reason"),
-        )
-        n_err = errors.count()
-        if n_err:
-            errors.write.mode("append").parquet(
-                os.path.join(target, ERRORS_DIR))
-            # back-compat raw-lines sink for the continue mode
-            if on_error == "continue":
-                (bad.select(F.col(corrupt_col).alias("raw_record"))
-                 .write.mode("append")
-                 .parquet(os.path.join(target, "_rejects")))
-        if n_err:
-            bad_files = [r[0] for r in
-                         bad.select("_src_file").distinct().collect()]
-            if on_error == "skip_file":
-                # a file with ANY malformed record skips WHOLE and is
-                # consumed (never retried; corrected files arrive under
-                # a new name — the pipe contract)
-                consumed_extra = bad_files
-                src = src.where(~F.col("_src_file").isin(bad_files))
-            else:
-                # continue: good rows of a bad file load, so the file
-                # lands in `files` below — EXCEPT an all-corrupt file,
-                # which contributes no good rows and would otherwise
-                # never reach the ledger: each re-run would re-classify
-                # it and append duplicate _copy_errors records forever
-                src = src.where(F.col(corrupt_col).isNull())
-                good_files = {r[0] for r in
-                              src.select("_src_file").distinct()
-                              .collect()}
-                consumed_extra = [f for f in bad_files
-                                  if f not in good_files]
-        else:
-            src = src.where(F.col(corrupt_col).isNull())
-        src = src.drop(corrupt_col)
-
+    bad_expr = (F.col(corrupt_col).isNotNull() if error_mode
+                else F.lit(False))
+    per_file = {
+        r["_src_file"]: (r["n_good"], r["n_bad"])
+        for r in src.groupBy("_src_file").agg(
+            F.sum(F.when(bad_expr, 0).otherwise(1)).alias("n_good"),
+            F.sum(F.when(bad_expr, 1).otherwise(0)).alias("n_bad"),
+        ).collect()
+    }
     try:
-        files = [r[0] for r in src.select("_src_file").distinct().collect()]
+        if error_mode:
+            bad = src.where(F.col(corrupt_col).isNotNull())
+            n_err = sum(nb for _, nb in per_file.values())
+            if n_err:
+                errors = bad.select(
+                    F.lit(job_id or _new_job_id()).alias("job_id"),
+                    F.element_at(F.split("_src_file", "/"), -1)
+                    .alias("file_name"),
+                    F.col(corrupt_col).alias("raw_record"),
+                    F.lit("malformed record").alias("reason"),
+                )
+                errors.write.mode("append").parquet(
+                    os.path.join(target, ERRORS_DIR))
+                # back-compat raw-lines sink for the continue mode
+                if on_error == "continue":
+                    (bad.select(F.col(corrupt_col).alias("raw_record"))
+                     .write.mode("append")
+                     .parquet(os.path.join(target, "_rejects")))
+                bad_files = sorted(
+                    f for f, (_, nb) in per_file.items() if nb)
+                if on_error == "skip_file":
+                    # a file with ANY malformed record skips WHOLE and
+                    # is consumed (never retried; corrected files
+                    # arrive under a new name — the pipe contract)
+                    consumed_extra = bad_files
+                    src = src.where(~F.col("_src_file").isin(bad_files))
+                    files = sorted(f for f, (ng, nb) in per_file.items()
+                                   if not nb and ng)
+                else:
+                    # continue: good rows of a bad file load, so the
+                    # file lands in `files` — EXCEPT an all-corrupt
+                    # file, which contributes no good rows and would
+                    # otherwise never reach the ledger: each re-run
+                    # would re-classify it and append duplicate
+                    # _copy_errors records forever
+                    src = src.where(F.col(corrupt_col).isNull())
+                    files = sorted(f for f, (ng, _) in per_file.items()
+                                   if ng)
+                    consumed_extra = [f for f in bad_files
+                                      if f not in files]
+            else:
+                src = src.where(F.col(corrupt_col).isNull())
+                files = sorted(f for f, (ng, _) in per_file.items()
+                               if ng)
+            src = src.drop(corrupt_col)
+        else:
+            files = sorted(f for f, (ng, _) in per_file.items() if ng)
         if not files and not consumed_extra:
             return 0
-        rows = src.drop("_src_file")
-        if cached is None:
-            # count + write would scan/parse the source twice; one
-            # materialized pass serves both
-            cached = rows = rows.cache()
-        n = rows.count()
+        n = sum(per_file[f][0] for f in files)
         if files:
-            rows.write.mode("append").parquet(target)
+            src.drop("_src_file").write.mode("append").parquet(target)
         if files or consumed_extra:
-            spark.createDataFrame(
-                [(f,) for f in files + consumed_extra],
-                "file_name string"
-            ).write.mode("append").parquet(ledger_path)
+            # the ledger batch is one tiny row per consumed file —
+            # metadata by construction — so write it driver-side
+            # (pyarrow) instead of paying a Spark job for a KB of data;
+            # readers (`spark.read.parquet`) see the same schema
+            _append_ledger(ledger_path, files + consumed_extra)
         return n
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def _append_ledger(ledger_path: str, file_names: list[str]) -> None:
+    """Append (file_name) rows to the loaded-files ledger as one
+    driver-written parquet part (the batch is file-count bounded)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(ledger_path, exist_ok=True)
+    t = pa.table({"file_name": pa.array(file_names, type=pa.string())})
+    pq.write_table(
+        t, os.path.join(ledger_path,
+                        f"part-ledger-{uuid.uuid4().hex[:12]}.parquet"))
 
 
 def _new_job_id() -> str:
