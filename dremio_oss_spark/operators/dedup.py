@@ -346,7 +346,6 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     pairs = (minhash_lsh_dedup(df, text_col, id_col, threshold)
              .select("id_a", "id_b")
              .persist(StorageLevel.MEMORY_AND_DISK))
-    n_pairs = pairs.count()
     # Threshold switch (same pattern as the lake-metadata planner's
     # distributedFileThreshold): a pair graph is usually orders of
     # magnitude smaller than the corpus, and below the threshold an
@@ -355,10 +354,18 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     # is convergence-state sized, not corpus sized.  Above it, the
     # distributed label-propagation loop below runs unchanged, so a
     # 100 TB corpus whose pair graph is billions of edges never
-    # funnels through the driver.
+    # funnels through the driver.  The route decision and the edge
+    # fetch are ONE action: limit(max+1).collect() short-circuits as
+    # soon as the cap is exceeded (a billion-edge graph never gets
+    # fully counted just to pick the strategy — the old count() did).
     driver_max = int(spark.conf.get(
         "spark.dremio.dedup.clusters.driverMaxEdges", "2000000"))
-    if n_pairs <= driver_max:
+    small = None
+    if driver_max > 0:
+        got = pairs.limit(driver_max + 1).collect()
+        if len(got) <= driver_max:
+            small = got
+    if small is not None:
         parent: dict = {}
 
         def find(x):
@@ -371,7 +378,7 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
 
         # one job, not toLocalIterator's sequential per-partition jobs:
         # the threshold already bounds this at driver_max edges
-        for row in pairs.collect():
+        for row in small:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # union by min: smaller id becomes the root, so the
@@ -522,31 +529,20 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
     n_bands = max_hamming + 1
     width = -(-bits // n_bands)  # ceil: top band covers the leftover bits
     mask = (1 << width) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sh.select(
-        "doc_id", F.col("simhash"), F.explode(bands).alias("bb")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bb.band").alias("band"),
-        F.col("bb.key").alias("key"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key"
-    )
+
+    def _bands(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(col, b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
     # A close pair can collide in several bands; emit it exactly once by
     # keeping only the FIRST band where the keys agree (for band b:
     # every earlier band must differ).  Pure codegen'd bit math on the
@@ -560,6 +556,72 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
         first_band = first_band & (
             (F.col("band") <= bp) | (_key(F.col("ha"), bp) != _key(F.col("hb"), bp))
         )
+
+    # NARROW signatures (the oracle fixture's 16-bit form): the banded
+    # key domain is tiny (16 values per band at bits=16/hamming=3), so
+    # the doc-level band join degenerates toward all-pairs as the corpus
+    # grows.  But the SIGNATURE space is bounded at 2^bits — run the
+    # pair search in DISTINCT-signature space (candidate work bounded by
+    # min(m, 2^bits)² instead of n²) and expand back to doc ids through
+    # two equi-joins whose output IS the result set.  Same pairs, same
+    # hammings, each emitted exactly once: equal-sig pairs come from the
+    # within-group arm, different-sig pairs from the canonical (ha < hb)
+    # sig pair expanded over its two disjoint doc groups.  Wide
+    # signatures (the 60-bit production width) keep the direct banded
+    # join — there distinct sigs ≈ docs and the extra joins buy nothing.
+    try:
+        sig_cap = int(sh.sparkSession.conf.get(
+            "spark.dremio.dedup.simhash.distinctSigMaxSpace",
+            str(1 << 20)))
+    except (TypeError, ValueError):
+        sig_cap = 1 << 20
+    if (1 << bits) <= sig_cap:
+        sigs = sh.select("simhash").distinct()
+        sb = sigs.select(
+            F.col("simhash"), F.explode(_bands(F.col("simhash"))).alias("bb")
+        ).select("simhash", F.col("bb.band").alias("band"),
+                 F.col("bb.key").alias("key"))
+        pa = sb.select(F.col("simhash").alias("ha"), "band", "key")
+        pb = sb.select(F.col("simhash").alias("hb"), "band", "key")
+        sig_pairs = (
+            pa.join(pb, ["band", "key"])
+            .where(F.col("ha") < F.col("hb"))
+            .where(first_band)
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("ha", "hb", "hamming")
+        )
+        da = sh.select(F.col("doc_id").alias("id_x"),
+                       F.col("simhash").alias("ha"))
+        db = sh.select(F.col("doc_id").alias("id_y"),
+                       F.col("simhash").alias("hb"))
+        cross = (sig_pairs.join(da, "ha").join(db, "hb")
+                 .select(F.least("id_x", "id_y").alias("id_a"),
+                         F.greatest("id_x", "id_y").alias("id_b"),
+                         "hamming"))
+        same = (sh.select(F.col("doc_id").alias("id_a"), "simhash")
+                .join(sh.select(F.col("doc_id").alias("id_b"), "simhash"),
+                      "simhash")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.lit(0).cast("integer").alias("hamming")))
+        return cross.unionByName(same)
+
+    banded = sh.select(
+        "doc_id", F.col("simhash"), F.explode(_bands(F.col("simhash"))).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.key").alias("key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"), "band", "key"
+    )
     return (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))

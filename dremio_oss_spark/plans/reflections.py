@@ -928,9 +928,21 @@ class ReflectionStore:
         new_rows = source.where(F.col(refl.watermark_col) > F.lit(refl.watermark))
         for f in refl.filters:
             new_rows = new_rows.where(f)
-        n_new = new_rows.count()
-        if n_new == 0:
-            return 0
+        # One pass over the new rows: the row count rides the merge
+        # write as an observed metric instead of a separate count()
+        # scan (same shape as _fold_signed_changes; gated off under a
+        # sort layout, whose range-sampling pass would double-count).
+        obs = None
+        if not refl.sort_by:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_rows = new_rows.observe(
+                obs, F.count(F.lit(1)).alias("n"))
+        else:
+            n_new = new_rows.count()
+            if n_new == 0:
+                return 0
         delta = self._aggregate(new_rows, refl)
         existing = self._read_data(self._data_dir(refl))
         merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
@@ -941,6 +953,14 @@ class ReflectionStore:
         )
         self._publish_data(
             refl, lambda p: self._write_data(refl, merged, p))
+        if obs is not None:
+            n_new = int(obs.get["n"])
+            if n_new == 0:
+                # identical content republished; keep the watermark —
+                # max(source) here could sit BELOW the stored watermark
+                # (a narrower source) and re-folding that gap later
+                # would double-count
+                return 0
         wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
         refl.watermark = wm
         self._write_meta(refl)
@@ -1023,12 +1043,26 @@ class ReflectionStore:
                              head) -> int:
         for f in refl.filters:
             ch = ch.where(f)
-        n_changes = ch.count()
-        if n_changes == 0:
-            refl.base_version = head
-            self._write_meta(refl)
-            self._stamp(refl)  # verified current against the head
-            return 0
+        # One pass over the change feed: the change-row count rides the
+        # fold's own execution as an observed metric instead of a
+        # separate ch.count() scan — at CDC scale that halves the feed
+        # reads (and locally removes one fixed-cost job per refresh).
+        # Gated off when the materialization layout needs a range sort:
+        # repartitionByRange's sampling pass re-executes the child plan
+        # inside the same execution and would double-count the metric.
+        obs = None
+        if not refl.sort_by:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            ch = ch.observe(obs, F.count(F.lit(1)).alias("n"))
+        else:
+            n_changes = ch.count()
+            if n_changes == 0:
+                refl.base_version = head
+                self._write_meta(refl)
+                self._stamp(refl)  # verified current against the head
+                return 0
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit(1)).otherwise(F.lit(-1))
@@ -1055,6 +1089,12 @@ class ReflectionStore:
             .where(F.col(count_name) > 0))
         self._publish_data(
             refl, lambda p: self._write_data(refl, merged, p))
+        if obs is not None:
+            # zero matching changes: the publish rewrote identical
+            # content (existing regrouped is an identity — every stored
+            # group keeps count(*) > 0); state advances exactly as the
+            # old early-exit did
+            n_changes = int(obs.get["n"])
         refl.base_version = head
         self._write_meta(refl)
         self._stamp(refl)
@@ -1109,8 +1149,24 @@ class ReflectionStore:
             return -1  # full build marker
         for f in refl.filters:
             new_rows = new_rows.where(f)
-        n_new = new_rows.count()
-        if n_new:
+        if not refl.sort_by:
+            # one pass: count rides the merge write (see
+            # _fold_signed_changes); zero new rows republishes
+            # identical content, which is harmless
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_rows = new_rows.observe(
+                obs, F.count(F.lit(1)).alias("n"))
+            delta = self._aggregate(new_rows, refl)
+            existing = self._read_data(self._data_dir(refl))
+            merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
+                *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
+                  for m in refl.measures])
+            self._publish_data(
+                refl, lambda p: self._write_data(refl, merged, p))
+            n_new = int(obs.get["n"])
+        elif (n_new := new_rows.count()):
             delta = self._aggregate(new_rows, refl)
             existing = self._read_data(self._data_dir(refl))
             merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
