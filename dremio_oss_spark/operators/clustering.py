@@ -175,7 +175,15 @@ def semdedup(
 
     from .similarity import cosine
 
-    assigned = kmeans(corpus, k, n_iters, dim, id_col, vec_col)
+    # the assignment frame feeds TWO plan branches (cluster membership
+    # for the cell-pair search, and the final keep/dup_of join); persist
+    # it so the pandas-UDF assign pass + ranking window run once, not
+    # twice.  Sized one row per vector (id, cluster, dist, count) —
+    # corpus-metadata, not corpus-content.
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = kmeans(corpus, k, n_iters, dim, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )

@@ -883,11 +883,20 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("late")
         )
     )
-    agg = lo.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    # per-orderkey supplier/late counts as WINDOW aggregates over lo, not
+    # a groupBy + self-join: the join form computes the lo subtree twice
+    # and shuffles it twice more (agg + join sides); the window form is
+    # one extra sort on the orderkey partitioning.  Same rows provably:
+    # count()/sum() over (partition by l_orderkey) are exactly the
+    # joined n_supp/n_late.  Measured at sf0.1: 19 Exchanges -> 12, SMJ
+    # eliminated, 16 HashAggregates -> 8 (plans/r14/tpch_q21_*.txt).
+    w = Window.partitionBy("l_orderkey")
     return (
-        lo.join(agg, F.col("l_orderkey") == F.col("a_orderkey"))
+        lo.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("late").over(w).alias("n_late"),
+        )
         .where((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(load(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
