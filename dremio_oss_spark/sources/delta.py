@@ -352,10 +352,10 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     if not snap.dvs:
         return df
     # Small-DV fast path: when the descriptors' summed cardinality is
-    # under `spark.dremio.dv.inlineFilterMaxRows` (default 65536 — the decode
-    # is ~8 bytes/position, so the cap bounds driver cost at ~512 KB,
-    # far under the fixed cost of the Python stage + AQE join stage the
-    # distributed path pays per read), decode
+    # under `spark.dremio.dv.inlineFilterMaxRows` (default 4096 — measured
+    # crossover: the positions ship as isin() literals, and py4j literal
+    # transfer + analysis is ~1 ms/element, so tens-of-thousands of
+    # positions cost far more than the anti-join they replace), decode
     # the bitmaps on the driver (descriptor count is live-file bounded;
     # the position total is cap-bounded, so this never unbounds driver
     # memory — same conf pattern as the write side's
@@ -368,9 +368,9 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     # remains the plan for heavily-deleted tables.
     try:
         cap = int(spark.conf.get(
-            "spark.dremio.dv.inlineFilterMaxRows", "65536"))
+            "spark.dremio.dv.inlineFilterMaxRows", "4096"))
     except (TypeError, ValueError):
-        cap = 65536
+        cap = 4096
     cards = [d.get("cardinality") for d in snap.dvs.values()]
     inline = (cap > 0 and all(isinstance(c, int) for c in cards)
               and sum(cards) <= cap)

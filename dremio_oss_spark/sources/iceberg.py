@@ -442,9 +442,9 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     # Small-delete fast path: position-delete files expose their row
     # count in the parquet footer (a ~1 ms metadata read, no Spark job);
     # when the summed count is under
-    # `spark.dremio.posdelete.inlineFilterMaxRows` (default 65536; ~8
-    # bytes/position caps driver cost at ~512 KB vs a delete-file scan +
-    # distinct + anti-join per read), read
+    # `spark.dremio.posdelete.inlineFilterMaxRows` (default 4096 — measured
+    # crossover, see delta.py: py4j literal transfer makes large inline
+    # lists slower than the anti-join they replace), read
     # the (file_path, pos) rows driver-side with pyarrow and apply them
     # as a row-local NOT-IN filter — no delete-file scan job, no AQE
     # anti-join stage.  Bounded by the conf exactly like the Delta DV
@@ -452,9 +452,9 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     # distributed anti-join below unchanged.
     try:
         cap = int(spark.conf.get(
-            "spark.dremio.posdelete.inlineFilterMaxRows", "65536"))
+            "spark.dremio.posdelete.inlineFilterMaxRows", "4096"))
     except (TypeError, ValueError):
-        cap = 65536
+        cap = 4096
     if cap > 0:
         try:
             import pyarrow.parquet as pq
