@@ -455,14 +455,30 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
             "spark.dremio.posdelete.inlineFilterMaxRows", "4096"))
     except (TypeError, ValueError):
         cap = 4096
-    if cap > 0:
+    # Medium-delete-set cap: up to this many positions are still read
+    # driver-side with pyarrow, but shipped as ONE Arrow batch into a
+    # broadcast anti-join instead of isin() literals (measured: py4j
+    # literal transfer is ~1 ms/element, so the inline form loses past a
+    # few thousand) — no delete-file scan job, no Python stage, and the
+    # scan side never shuffles.  Conf-bounded (default 1M ≈ 8 MB int64 +
+    # dictionary basenames); beyond it the distributed AQE-costed
+    # anti-join below remains the plan, as billion-row delete sets must
+    # never land on the driver.
+    try:
+        med = int(spark.conf.get(
+            "spark.dremio.posdelete.broadcastDecodeMaxRows", "1000000"))
+    except (TypeError, ValueError):
+        med = 1000000
+    dels = None
+    if cap > 0 or med > 0:
         try:
             import pyarrow.parquet as pq
 
+            lim = max(cap, med)
             total = 0
             for p in snap.pos_deletes:
                 total += pq.ParquetFile(p).metadata.num_rows
-                if total > cap:
+                if total > lim:
                     break
             if total <= cap:
                 by_base: dict[str, set[int]] = {}
@@ -485,13 +501,26 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
                 if not keep_pos:
                     out = out.drop("__pos")
                 return out if keep_file else out.drop("__file")
+            if total <= med:
+                import pandas as pd
+
+                parts = [pq.read_table(p, columns=["file_path", "pos"])
+                         .to_pandas() for p in snap.pos_deletes]
+                pdf = pd.concat(parts, ignore_index=True)
+                pdf["__del_base"] = pdf["file_path"].map(os.path.basename)
+                pdf = (pdf[["__del_base", "pos"]]
+                       .rename(columns={"pos": "__pos"})
+                       .drop_duplicates())
+                pdf["__pos"] = pdf["__pos"].astype("int64")
+                dels = F.broadcast(spark.createDataFrame(pdf))
         except Exception:  # noqa: BLE001 — non-local paths etc.
-            pass  # distributed path below handles every case
-    dels = (spark.read.parquet(*snap.pos_deletes)
-            .select(F.element_at(F.split("file_path", "/"), -1)
-                    .alias("__del_base"),
-                    F.col("pos").alias("__pos"))
-            .distinct())
+            dels = None  # distributed path below handles every case
+    if dels is None:
+        dels = (spark.read.parquet(*snap.pos_deletes)
+                .select(F.element_at(F.split("file_path", "/"), -1)
+                        .alias("__del_base"),
+                        F.col("pos").alias("__pos"))
+                .distinct())
     out = (df.withColumn("__del_base",
                          F.element_at(F.split("__file", "/"), -1))
            .join(dels, ["__del_base", "__pos"], "left_anti")

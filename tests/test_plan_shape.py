@@ -368,17 +368,21 @@ def test_merge_source_join_is_costed_not_forced(spark, tmp_path):
 
     # source-level guard: no forced broadcast anywhere in the MERGE or
     # MOR-delete paths of either lake format.  A broadcast is allowed
-    # ONLY when gated on the distributed-metadata threshold (the
-    # file-count-bounded metadata-map pattern); every occurrence must
-    # sit inside such a gate.
+    # ONLY when bounded by an explicit gate: the distributed-metadata
+    # threshold (file-count-bounded metadata maps) or a conf row cap
+    # (`broadcastDecodeMaxRows` — the medium-delete-set decode, whose
+    # frame is cardinality-capped before the hint is applied); every
+    # occurrence must sit inside such a gate.
     for fn in (D.merge_into_delta, D._apply_deletion_vectors,
                I.merge_into_iceberg, I._apply_position_deletes,
                I._apply_equality_deletes):
         src_txt = inspect.getsource(fn)
         n_bcast = src_txt.count("F.broadcast")
         if n_bcast:
-            assert (src_txt.count("_distributed_threshold") >= n_bcast
-                    ), f"{fn.__name__}: ungated F.broadcast"
+            n_gates = (src_txt.count("_distributed_threshold")
+                       + src_txt.count("broadcastDecodeMaxRows\", "))
+            assert n_gates >= n_bcast, \
+                f"{fn.__name__}: ungated F.broadcast"
 
     t = str(tmp_path / "t")
     df = spark.createDataFrame(
@@ -420,7 +424,12 @@ def test_deletion_vector_decode_is_distributed(spark, tmp_path):
     from dremio_oss_spark.sources import delta as D
 
     src = inspect.getsource(D._apply_deletion_vectors)
-    assert "_dv_rows_df" in src and "F.broadcast" not in src
+    assert "_dv_rows_df" in src
+    # the only broadcast is the conf-row-capped medium-set decode; the
+    # beyond-cap path must stay _dv_rows_df with an unhinted join
+    assert (src.count("F.broadcast")
+            <= src.count("broadcastDecodeMaxRows\", ")), \
+        "ungated F.broadcast in _apply_deletion_vectors"
     assert "mapInPandas" in inspect.getsource(D._dv_rows_df)
 
     t = str(tmp_path / "t")

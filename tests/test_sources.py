@@ -1088,6 +1088,65 @@ def test_delta_dv_distributed_encode_path(spark, tmp_path):
         spark.conf.unset("spark.dremio.dv.driverEncodeMaxRows")
 
 
+def test_medium_delete_set_broadcast_decode(spark, tmp_path):
+    """Medium delete sets (above the inline-literal cap, under
+    `broadcastDecodeMaxRows`) are decoded on the driver into one
+    Arrow-backed frame and applied via a broadcast anti-join: no
+    Python-worker decode stage, no scan-side exchange — and the result
+    is identical to both the inline and the distributed paths.  Covers
+    Delta DVs and Iceberg position deletes."""
+    from pyspark.sql import functions as F
+
+    from dremio_oss_spark.sources import delta as D
+    from dremio_oss_spark.sources import iceberg as I
+
+    def plan_of(df):
+        df.collect()  # finalize adaptive plan
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+
+    td = str(tmp_path / "t_delta")
+    D.write_delta(spark, df, td)
+    D.delete_from_delta(spark, td, "k % 10 = 3", mode="merge-on-read")
+    ti = str(tmp_path / "t_ice")
+    I.write_iceberg(spark, df, ti)
+    I.delete_from_iceberg(spark, ti, "k % 10 = 3", mode="merge-on-read")
+
+    for reader, inline_conf, med_conf in (
+        (lambda: D.read_delta(spark, td),
+         "spark.dremio.dv.inlineFilterMaxRows",
+         "spark.dremio.dv.broadcastDecodeMaxRows"),
+        (lambda: I.read_iceberg(spark, ti),
+         "spark.dremio.posdelete.inlineFilterMaxRows",
+         "spark.dremio.posdelete.broadcastDecodeMaxRows"),
+    ):
+        try:
+            # route the 20-row delete set down each of the three paths
+            spark.conf.set(inline_conf, "2")          # medium path
+            med = reader()
+            med_plan = plan_of(med)
+            assert ("BroadcastHashJoin" in med_plan
+                    and "LeftAnti" in med_plan), med_plan
+            assert "InPandas" not in med_plan, med_plan
+            spark.conf.set(med_conf, "0")             # distributed path
+            dist = reader()
+            dist_plan = plan_of(dist)
+            assert "LeftAnti" in dist_plan
+            spark.conf.unset(inline_conf)
+            spark.conf.unset(med_conf)                # inline path
+            inl = reader()
+            assert rows_of(med) == rows_of(dist) == rows_of(inl)
+            assert len(rows_of(med)) == 180
+        finally:
+            spark.conf.unset(inline_conf)
+            spark.conf.unset(med_conf)
+
+
 def test_delta_dv_survives_checkpoint(spark, tmp_path):
     """DV descriptors ride through parquet checkpoints (add actions are
     re-encoded there) — a post-checkpoint read must still hide the
