@@ -48,6 +48,7 @@ import time
 import uuid
 
 from .engine import ConcurrentModificationError
+from .localframe import meta_df
 
 
 class ExploreError(ValueError):
@@ -1890,7 +1891,7 @@ class ExploreService:
             # collision-free name (a hashed name could alias two live
             # keys and silently repoint the older one's view)
             view = f"__hg_sample_{_uuid.uuid4().hex[:12]}"
-            self.engine.spark.createDataFrame(
+            meta_df(self.engine.spark, 
                 rows, df.schema).createOrReplaceTempView(view)
             cache[key] = view
             while len(cache) > 8:

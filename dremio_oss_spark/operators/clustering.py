@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .similarity import DEC
+from ..localframe import meta_df
 
 
 def _dist_dec(vec, cvec):
@@ -88,7 +89,7 @@ def _assign(corpus: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
     # centroid arrays costs Catalyst a K x dim expression tree to
     # analyze — planning time, not row time)
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = meta_df(spark, 
         [(i, [float(x) for x in c[i]]) for i in range(len(c))],
         "cid int, cvec array<double>",
     )

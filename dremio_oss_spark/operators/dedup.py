@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localframe import meta_df
 
 N_HASHES = 16
 N_BANDS = 4
@@ -390,7 +391,7 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
         rows = [(i, find(i)) for i in parent]
         pairs.unpersist()
         idt = df.schema[id_col].dataType.simpleString()
-        labels = spark.createDataFrame(rows, f"id {idt}, label {idt}")
+        labels = meta_df(spark, rows, f"id {idt}, label {idt}")
         return _attach_cluster_output(df, labels, id_col)
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))

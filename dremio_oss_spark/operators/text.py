@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localframe import meta_df
 
 # tiny per-language stopword sets for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -479,7 +480,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
                 k2 = tuple(out)
                 nv[k2] = nv.get(k2, 0) + c
             vocab = nv
-        return sess.createDataFrame(
+        return meta_df(sess, 
             merges or [(0, "", "", "", 0)],
             "rank int, left string, right string, merged string, "
             "pair_count long").where("rank > 0" if not merges
@@ -531,7 +532,7 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             cur = nxt
     finally:
         cur.unpersist()
-    return sess.createDataFrame(
+    return meta_df(sess, 
         merges or [(0, "", "", "", 0)],
         "rank int, left string, right string, merged string, "
         "pair_count long").where("rank > 0" if not merges else "true")

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localframe import meta_df
 
 # percentiles the reference's t-digest histograms serve to the planner
 # (range-predicate selectivity needs tails + quartiles)
@@ -218,7 +219,7 @@ def analyze_full(df: DataFrame, columns: list[str] | None = None,
     row = df.agg(*aggs).collect()[0]
     ndvx = (_exact_ndv(df, cols) if exact_ndv
             else {c: row[f"_ndv_{c}"] for c in cols})
-    stats_df = spark.createDataFrame(
+    stats_df = meta_df(spark, 
         _decode_stats(row, cols, ndvx), _STATS_SCHEMA)
     hist_rows = [
         (c, float(p),
@@ -226,7 +227,7 @@ def analyze_full(df: DataFrame, columns: list[str] | None = None,
         for c in hcols
         for i, p in enumerate(pct)
     ] if pct else []
-    hist_df = spark.createDataFrame(hist_rows, _HIST_SCHEMA)
+    hist_df = meta_df(spark, hist_rows, _HIST_SCHEMA)
     return stats_df, hist_df
 
 
@@ -263,7 +264,7 @@ def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
     spark = df.sparkSession
     cols, exprs = _hist_exprs(df, columns)
     if not cols:
-        return spark.createDataFrame([], _HIST_SCHEMA)
+        return meta_df(spark, [], _HIST_SCHEMA)
     pct = list(percentiles)
     pct_sql = ", ".join(repr(p) for p in pct)
     aggs = [
@@ -277,4 +278,4 @@ def analyze_histogram(df: DataFrame, columns: list[str] | None = None,
         for c in cols
         for i, p in enumerate(pct)
     ]
-    return spark.createDataFrame(out, _HIST_SCHEMA)
+    return meta_df(spark, out, _HIST_SCHEMA)

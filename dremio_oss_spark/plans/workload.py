@@ -29,6 +29,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from ..localframe import meta_df
 
 
 @dataclass
@@ -122,7 +123,7 @@ class WorkloadManager:
         rows = [(q.name, q.max_concurrency, q.active,
                  q.memory_limit_bytes, q.pool)
                 for q in self.queues.values()]
-        return self.spark.createDataFrame(
+        return meta_df(self.spark, 
             rows,
             "queue string, max_concurrency int, active int, "
             "memory_limit_bytes long, scheduler_pool string")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load, load_events
+from ..localframe import meta_df
 from .tpch import _dec, dsum
 
 
@@ -774,7 +775,7 @@ order by l_linestatus
 # --------------------------------------------------------------------------
 # VALUES literal rows (reference: ValuesCreator.java:32)
 def values_literal(spark: SparkSession, sf: str) -> DataFrame:
-    df = spark.createDataFrame(
+    df = meta_df(spark, 
         [(1, "one", 1.5), (2, "two", 2.5), (3, "three", None)],
         "id INT, name STRING, score DOUBLE",
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
 from ..plans import AggQuery, JoinSpec, Measure, ReflectionStore
+from ..localframe import meta_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
 
@@ -1250,7 +1251,7 @@ def suggester(spark: SparkSession, sf: str) -> DataFrame:
     accelerated = eng.last_plan_accelerated is not None
     eng._refl_store.drop("refl_suggested_sugg_ord")
     spark.catalog.dropTempView("sugg_ord")
-    return spark.createDataFrame(
+    return meta_df(spark, 
         [tuple(row[0]) + (int(accelerated),)],
         "dataset string, dimensions string, dropped_high_ndv string, "
         "measures string, query_count int, accelerated int")
@@ -1283,7 +1284,7 @@ def transparent_fulljoin(spark: SparkSession, sf: str) -> DataFrame:
     li.createOrReplaceTempView("lineitem")
     supp = (load(spark, sf, "supplier").where("s_suppkey <= 50")
             .select("s_suppkey", "s_nationkey"))
-    extra = spark.createDataFrame(
+    extra = meta_df(spark, 
         [(999999, 99)], supp.schema)
     supp.unionByName(extra).write.mode("overwrite").parquet(d)
     spark.read.parquet(d).createOrReplaceTempView("supp_fj")
@@ -1506,7 +1507,7 @@ def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
     store.refresh_policies.pop("rp_ord", None)
     store.drop("rp_refl")
     spark.catalog.dropTempView("rp_ord")
-    return spark.createDataFrame(
+    return meta_df(spark, 
         rows, "o_orderstatus string, s double, c bigint") \
         .orderBy("o_orderstatus")
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_testdata
+from ..localframe import meta_df
 
 
 # --------------------------------------------------------------------------
@@ -128,7 +129,7 @@ def range_join(spark: SparkSession, sf: str) -> DataFrame:
     # side parallelizes (at lake scale the scan is already wide)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     li = load(spark, sf, "lineitem").repartition(n_part)
-    buckets = spark.createDataFrame(
+    buckets = meta_df(spark, 
         [
             ("1992H1", "1992-01-01", "1992-06-30"),
             ("1992H2", "1992-07-01", "1992-12-31"),
@@ -242,7 +243,7 @@ def sample_to_limit(spark: SparkSession, sf: str) -> DataFrame:
     # TABLESAMPLE lowered to limit (SamplePrel -> SampleToLimitPrule):
     # deterministic row-count contract, content-agnostic
     n = load(spark, sf, "lineitem").limit(1000).count()
-    return spark.createDataFrame([(n,)], "sampled_rows bigint")
+    return meta_df(spark, [(n,)], "sampled_rows bigint")
 
 
 SAMPLE_TO_LIMIT_SQL = """

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import Engine
+from ..localframe import meta_df
 
 
 def vds_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -437,7 +438,7 @@ def explore_values_card(spark: SparkSession, sf: str) -> DataFrame:
             for v in card["availableValues"]]
     rows.append(("__matched__", int(card["matchedValues"])))
     rows.append(("__total__", int(card["availableValuesCount"])))
-    return spark.createDataFrame(rows, "val string, cnt bigint")
+    return meta_df(spark, rows, "val string, cnt bigint")
 
 
 EXPLORE_VALUES_CARD_SQL = """

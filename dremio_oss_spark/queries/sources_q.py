@@ -23,6 +23,7 @@ from ..catalog import load
 from ..sources import dml
 from ..sources.formats import FormatRegistry
 from ..sources.writer import copy_into, ctas, insert_into, read_table
+from ..localframe import meta_df
 
 _SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
@@ -278,7 +279,7 @@ def dml_cow(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn(
         "c_acctbal", F.lit(0.0)
     ).unionByName(
-        spark.createDataFrame(
+        meta_df(spark, 
             [(10_000_001, "Customer#fresh", 0, 1.5, "NEW")],
             "c_custkey bigint, c_name string, c_nationkey bigint, "
             "c_acctbal double, c_mktsegment string",
@@ -1072,7 +1073,7 @@ def count_metadata(spark: SparkSession, sf: str) -> DataFrame:
     scan_n = eng.sql(
         f"select count(*) as n from '{t}' where l_quantity < 10"
     ).first()["n"]
-    return spark.createDataFrame(
+    return meta_df(spark, 
         [(int(meta_n), bool(from_metadata), int(scan_n))],
         "n_rows long, from_metadata boolean, n_small long",
     )
@@ -1100,14 +1101,14 @@ def use_branch(spark: SparkSession, sf: str) -> DataFrame:
     eng = Engine(spark)
     eng.sql(f"CREATE BRANCH dev IN '{t}'")
     nat = load(spark, sf, "nation")
-    extra = spark.createDataFrame([(999, "ZZZ", 0)], nat.schema)
+    extra = meta_df(spark, [(999, "ZZZ", 0)], nat.schema)
     write_iceberg(spark, extra, t, mode="append", branch="dev")
     q = f"select count(*) as n from '{t}'"
     eng.sql(f"USE BRANCH dev IN '{t}'")
     dev_n = eng.sql(q).first()["n"]
     eng.sql(f"USE BRANCH main IN '{t}'")
     main_n = eng.sql(q).first()["n"]
-    return spark.createDataFrame(
+    return meta_df(spark, 
         [(int(main_n), int(dev_n))], "main_n long, dev_n long"
     )
 
@@ -1147,7 +1148,7 @@ def mor_dml(spark: SparkSession, sf: str) -> DataFrame:
            .where("n_nationkey < 5")
            .select("n_nationkey",
                    (F.col("n_regionkey") + 100).alias("n_regionkey"))
-           .unionByName(spark.createDataFrame(
+           .unionByName(meta_df(spark, 
                [(900, 9), (901, 9)],
                "n_nationkey long, n_regionkey long")
                .select(F.col("n_nationkey").cast("long"),
@@ -1398,7 +1399,7 @@ def catalog_branch(spark: SparkSession, sf: str) -> DataFrame:
     cust_total = eng.sql(
         "select count(*) as n from dpx.cust").first()["n"]
     tag_ok = int(tag_n == cust_total - 1)
-    return spark.createDataFrame(
+    return meta_df(spark, 
         [(int(main_n), int(dev_n), int(merged_n), tag_ok)],
         "main_n long, dev_n long, merged_n long, tag_pinned int")
 

@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+from ..localframe import meta_df
 
 _LOG_DIR = "_delta_log"
 
@@ -271,7 +272,7 @@ def read_delta(spark: SparkSession, path: str,
     if not snap.files:
         if snap.schema is None:
             raise ValueError(f"Delta table {path} has no schema action")
-        return spark.createDataFrame([], snap.schema)
+        return meta_df(spark, [], snap.schema)
     has_dv = bool(snap.dvs)
     df = _scan_with_partition_values(
         spark, path, snap.schema, snap.partition_cols, snap.files,
@@ -353,7 +354,7 @@ def _dv_rows_df(spark: SparkSession, table: str,
 
     desc_rows = [(os.path.basename(rel), json.dumps(desc))
                  for rel, desc in dvs.items()]
-    desc_df = spark.createDataFrame(
+    desc_df = meta_df(spark, 
         desc_rows, "__del_base string, __desc string")
     n_parts = min(len(desc_rows), spark.sparkContext.defaultParallelism)
     desc_df = desc_df.repartition(max(n_parts, 1))
@@ -501,7 +502,7 @@ def _scan_with_partition_values(
         [StructField("__base", StringType()),
          StructField("__file", StringType())]
         + [StructField(f"__pv_{c}", StringType()) for c in part_cols])
-    pv_df = spark.createDataFrame(rows, pv_schema)
+    pv_df = meta_df(spark, rows, pv_schema)
     # one row per file: broadcast below the distributed-metadata
     # threshold (the usual case — file-count-bounded, MBs); above it
     # the hint is dropped so AQE costs the join, because force-shipping
@@ -785,7 +786,7 @@ def _plan_delta_scan_distributed(
     dvs = {r["path"]: r["dv"].asDict() for r in rows
            if r["dv"] is not None and r["dv"]["storageType"] is not None}
     if not files:
-        return spark.createDataFrame([], schema), total, 0
+        return meta_df(spark, [], schema), total, 0
     has_dv = bool(dvs)
     df = _scan_with_partition_values(
         spark, table, schema, pcols, files,
@@ -838,7 +839,7 @@ def plan_delta_scan(spark: SparkSession, table: str,
 
     files = {rel: pv for rel, pv in snap.files.items() if keep(rel)}
     if not files:
-        df = spark.createDataFrame([], snap.schema)
+        df = meta_df(spark, [], snap.schema)
     else:
         has_dv = bool(snap.dvs)
         df = _scan_with_partition_values(
@@ -1525,7 +1526,7 @@ def _dv_commit_marked(spark: SparkSession, table: str,
     desc_rows = [(os.path.basename(rel), json.dumps(desc))
                  for rel, desc in snap.dvs.items()]
     if desc_rows:
-        desc_df = spark.createDataFrame(desc_rows,
+        desc_df = meta_df(spark, desc_rows,
                                         "base string, __desc string")
         hits_df = hits_df.join(desc_df, "base", "left")
     else:
@@ -2129,7 +2130,7 @@ def read_delta_cdf(spark: SparkSession, table: str, start_version: int,
     if not frames:
         schema = (snap.schema.add("_change_type", "string")
                   .add("_commit_version", "long") if snap.schema else None)
-        return spark.createDataFrame([], schema)
+        return meta_df(spark, [], schema)
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2)
@@ -2325,6 +2326,6 @@ def read_delta_incremental(spark: SparkSession, table: str,
     new_files = {rel: pv for rel, pv in snap_to.files.items()
                  if rel not in before}
     if not new_files:
-        return spark.createDataFrame([], snap_to.schema)
+        return meta_df(spark, [], snap_to.schema)
     return _scan_with_partition_values(
         spark, table, snap_to.schema, snap_to.partition_cols, new_files)

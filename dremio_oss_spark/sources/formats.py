@@ -18,6 +18,7 @@ data, so a driver-side read is the honest scale story.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from ..localframe import meta_df
 
 
 class FormatRegistry:
@@ -123,7 +124,7 @@ class FormatRegistry:
                 return str(int(v))
             return str(v)
 
-        sdf = self.spark.createDataFrame(
+        sdf = meta_df(self.spark, 
             [tuple(_cell(v) for v in r) for r in data],
             ", ".join(f"`{h}` string" for h in header),
         )

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from .avro_codec import read_avro_file
 from .delta import ConcurrentWriteError, _apply_set_exprs, _src_expr
+from ..localframe import meta_df
 
 _STATUS_DELETED = 2
 
@@ -326,7 +327,7 @@ def read_iceberg(spark: SparkSession, table: str,
         snapshot_id = resolve_snapshot_at(table, timestamp_ms)
     snap = resolve_snapshot(table, snapshot_id, ref=ref)
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        return meta_df(spark, [], snap.schema)
     # one multi-path scan + broadcast file→partitionValues join — the
     # same O(1)-in-file-count plan the Delta reader uses (manifests, not
     # directory layout, are the partition-value source of truth)
@@ -412,7 +413,7 @@ def read_iceberg_changes(spark: SparkSession, table: str,
                 prior.join(keys, list(cols), "left_semi"),
                 "delete"))
     if not frames:
-        return spark.createDataFrame(
+        return meta_df(spark, 
             [], sto.schema.add("_change_type", "string"))
     out = frames[0]
     for f2 in frames[1:]:
@@ -589,7 +590,7 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
 
     fseq = getattr(snap, "file_seq", None) or {}
     dseq = snap.delete_seq
-    seq_map = spark.createDataFrame(
+    seq_map = meta_df(spark, 
         [(os.path.basename(p), int(fseq.get(p, 0))) for p, _ in snap.files],
         "__eq_base string, __dataseq long")
     if len(snap.files) < _distributed_threshold(spark):
@@ -1019,7 +1020,7 @@ def _plan_iceberg_scan_distributed(
     files = {_local(r["file_path"], table): json.loads(r["partition"])
              for r in rows}
     if not files:
-        return spark.createDataFrame([], sm.schema), total, 0
+        return meta_df(spark, [], sm.schema), total, 0
     snap_like = IcebergSnapshot(sm.sid, sm.schema, sm.part_cols,
                                 list(files.items()), sm.spec_fields)
     snap_like.default_spec_id = sm.default_spec_id
@@ -1112,7 +1113,7 @@ def plan_iceberg_scan(spark: SparkSession, table: str,
     files = [(p, pv) for p, pv in snap.files
              if _spec_keep(pv) and _stats_keep(p)]
     if not files:
-        df = spark.createDataFrame([], snap.schema)
+        df = meta_df(spark, [], snap.schema)
     else:
         has_pos = bool(snap.pos_deletes)
         df = _scan_with_partition_values(
@@ -1581,7 +1582,7 @@ def delete_from_iceberg(spark: SparkSession, table: str,
                 spark, table, snap, keep_file=True, keep_pos=True)
             from .delta import _distributed_threshold
 
-            rel_of = spark.createDataFrame(
+            rel_of = meta_df(spark, 
                 [(os.path.realpath(p), os.path.relpath(p, table))
                  for p, _ in snap.files], "__file string, file_path string")
             if len(snap.files) < _distributed_threshold(spark):
@@ -1760,7 +1761,7 @@ def _mor_update_iceberg(spark: SparkSession, table: str,
         sid_next = max((s["snapshot-id"]
                         for s in meta.get("snapshots") or []),
                        default=0) + 1
-        rel_of = spark.createDataFrame(
+        rel_of = meta_df(spark, 
             [(os.path.realpath(p), os.path.relpath(p, table))
              for p, _ in snap.files], "__file string, file_path string")
         if len(snap.files) < _distributed_threshold(spark):
@@ -1945,7 +1946,7 @@ def _mor_merge_iceberg(spark: SparkSession, table: str,
         sid_next = max((s2["snapshot-id"]
                         for s2 in meta.get("snapshots") or []),
                        default=0) + 1
-        rel_of = spark.createDataFrame(
+        rel_of = meta_df(spark, 
             [(os.path.realpath(p), os.path.relpath(p, table))
              for p, _ in snap.files], "__file string, file_path string")
         if len(snap.files) < _distributed_threshold(spark):
@@ -2503,7 +2504,7 @@ def read_iceberg_incremental(spark: SparkSession, table: str,
     new_files = {p: pv for p, pv in snap_to.files
                  if os.path.realpath(p) not in before}
     if not new_files:
-        return spark.createDataFrame([], snap_to.schema)
+        return meta_df(spark, [], snap_to.schema)
     from .delta import _scan_with_partition_values
 
     has_pos = bool(snap_to.pos_deletes)

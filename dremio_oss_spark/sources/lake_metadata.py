@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .delta import _LOG_DIR, _commit_files, _last_checkpoint
+from ..localframe import meta_df
 
 _DV_TYPE = ("struct<storageType:string,pathOrInlineDv:string,"
             "offset:bigint,sizeInBytes:bigint,cardinality:bigint>")
@@ -235,7 +236,7 @@ def iceberg_manifest_entries_df(spark: SparkSession, table: str,
                 "content int, partition string, stats string, "
                 "equality_ids string")
     if not manifests:
-        return spark.createDataFrame([], schema_s)
+        return meta_df(spark, [], schema_s)
     n_slices = min(len(manifests), 64)
 
     def parse(paths):

@@ -21,6 +21,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..localframe import meta_df
 
 LEDGER_DIR = "_loaded_files"
 ERRORS_DIR = "_copy_errors"
@@ -244,7 +245,7 @@ def read_copy_errors(spark: SparkSession, target: str) -> DataFrame:
         StructField("reason", StringType()),
     ])
     if not os.path.exists(p):
-        return spark.createDataFrame([], schema)
+        return meta_df(spark, [], schema)
     return spark.read.schema(schema).parquet(p)
 
 
