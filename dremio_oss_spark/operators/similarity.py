@@ -75,11 +75,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
     # a single-file corpus arrives as one input split; the scoring pass is
-    # the expensive stage, so fan it out to the session's shuffle width
+    # the expensive stage, so fan it out to the session's shuffle width.
+    # Project BEFORE the repartition and share ONE subtree between the
+    # scoring pass and the rescore join: with identical exchange children
+    # ReuseExchange collapses them to a single scan + a single shuffle
+    # (projecting after gave each branch its own pushed-down projection —
+    # two full-corpus scans AND two full-corpus exchanges), and the
+    # mapInPandas below now ships only (id, vector) per row instead of
+    # every corpus column (guide §4: pass only what the function needs).
+    # the explicit not-null keeps both branches byte-identical: the
+    # rescore join infers isnotnull(id) on its side, and an asymmetric
+    # filter would block the runtime stage-reuse this shape exists for
+    # (null-id corpus rows can never appear in the output either way —
+    # the survivor join drops them)
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    c = corpus.repartition(n_part).select(
+    base = corpus.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
-    )
+    ).repartition(n_part)
+    c = base
     # two-stage scoring: rank the full |Q|x|N| space with cheap double
     # math (codegen-friendly), then decimal-rescore only the top k+buffer
     # survivors so the emitted cos values are bit-stable vs the oracle.
@@ -117,10 +130,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     def _score_batches(it):
         for pdf in it:
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
             sims = xn @ qn.T  # (rows, |Q|)
-            nids = pdf[id_col].to_numpy()
+            nids = pdf["nid"].to_numpy()
             out_qid, out_nid, out_cos = [], [], []
             top = min(n_cand, len(nids))
             for j, qid in enumerate(qids):
@@ -134,7 +147,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 {"qid": out_qid, "nid": out_nid, "cos_fast": out_cos}
             )
 
-    pre = corpus.repartition(n_part).mapInPandas(
+    pre = base.mapInPandas(
         _score_batches, "qid long, nid long, cos_fast double"
     ).where(F.col("qid") != F.col("nid"))
     # explicit self-exclusion: the -inf penalty alone leaks the query

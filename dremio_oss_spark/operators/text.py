@@ -368,13 +368,31 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
 
     Scale: ONE explode for unigram counts, ONE for bigram counts (the
     inverted-index shape), two equi-joins back — no all-pairs, no
-    driver state; counts tables are vocabulary-sized."""
+    driver state; counts tables are vocabulary-sized.
+
+    Plan shape (r14 optimization, guide §5): the vocabulary size rides
+    the plan as a broadcast one-row aggregate instead of a separate
+    eager count() action, so the unigram explode is planned once (AQE
+    stage reuse shares its shuffle with the count join) and the whole
+    operator is ONE job — one fewer full corpus tokenize pass.  (A
+    doc-distinct-bigram regrouping with multiplicity weights was also
+    tried and REVERTED by measurement: on natural text per-doc bigram
+    multiplicities are ~1, so the extra (doc,w1,w2) aggregation cost
+    exactly what the narrower join saved — total flat, plan heavier.)"""
     toks = tokens(F.col(text_col))
     base = (df.select(id_col, toks.alias("__t"))
             .where(F.size("__t") >= 2))
     uni = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
-    vocab = uni.count()  # scalar: corpus vocabulary size
+    # corpus vocabulary size as a broadcast scalar column (not a
+    # separate action): exact in double up to 2^53 distinct tokens,
+    # so (cu + alpha·V) is bit-identical to the old literal form.
+    # The always-true cu >= 0 consumes cu, which stops column pruning
+    # from narrowing this branch's partial aggregate — both uni
+    # branches then sit on byte-identical shuffle children and AQE
+    # stage reuse runs the tokenize+explode+count pass ONCE
+    vc = (uni.where(F.col("cu") >= 0)
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_v")))
     bi = base.select(
         id_col,
         F.expr("explode(transform(sequence(1, size(__t) - 1), "
@@ -384,10 +402,11 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     scored = (
         bi.join(bcnt, ["w1", "w2"])
         .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vc))
         .select(
             id_col,
             F.log((F.col("cb") + F.lit(float(alpha)))
-                  / (F.col("cu") + F.lit(float(alpha)) * vocab))
+                  / (F.col("cu") + F.lit(float(alpha)) * F.col("_v")))
             .cast("decimal(18,9)").alias("lp")))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

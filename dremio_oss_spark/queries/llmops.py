@@ -508,13 +508,23 @@ def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     16 tables with prob ≤ 0.623^16 ≈ 5.2e-4 — and exhaustive check vs the
     exact all-pairs result shows ZERO missed pairs on the sf0.001/0.01/
     0.1 fixtures, so the oracle below stays the plain exact form."""
-    emb = load(spark, sf, "embeddings").where(F.col("vec_id") < 300).repartition(16)
+    # project BEFORE the repartition so every downstream branch (the
+    # bucketing UDF and both vector-reattach joins) shares ONE exchange
+    # child — ReuseExchange collapses what used to be four scans + four
+    # full exchanges into one scan + one exchange (guide §2/§5)
+    emb = (load(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+           .select("vec_id", "embedding").repartition(16))
     bucketed = S._bucketed(
         emb, "vid", "vec", n_tables=16, n_planes=2, dim=64,
         id_col="vec_id", vec_col="embedding",
     )
-    a = bucketed.select(F.col("vid").alias("id_a"), "tbl", "bkt")
-    b = bucketed.select(F.col("vid").alias("id_b"), "tbl", "bkt")
+    # drop the carried vector and re-shuffle the (vid, tbl, bkt) index on
+    # the join key: both self-join sides now sit on byte-identical
+    # exchange subtrees, so the Arrow bucketing stage executes ONCE and
+    # the join reads the same shuffle twice (the dedup band-join pattern)
+    bb = bucketed.select("vid", "tbl", "bkt").repartition("tbl", "bkt")
+    a = bb.select(F.col("vid").alias("id_a"), "tbl", "bkt")
+    b = bb.select(F.col("vid").alias("id_b"), "tbl", "bkt")
     cand = (
         a.join(b, ["tbl", "bkt"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -1229,6 +1229,7 @@ def maintenance_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     eng = Engine(spark)
     base = _scratch("maint", sf)
     nat = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    n_nat = nat.count()  # one action, shared by both formats' asserts
 
     results = []
     for fmt in ("delta", "iceberg"):
@@ -1242,7 +1243,7 @@ def maintenance_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
         # qualifying: 6 small files bin-pack toward the target size
         eng.sql(f"optimize table '{t}' rewrite data using bin_pack "
                 f"(min_input_files=3, target_file_size_mb=64)")
-        assert read(spark, t).count() == nat.count(), \
+        assert read(spark, t).count() == n_nat, \
             f"{fmt}: OPTIMIZE changed row count"
         eng.sql(f"optimize table '{t}' rewrite manifests")
         eng.sql(f"truncate table '{t}'")
