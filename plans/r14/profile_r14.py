@@ -7,7 +7,9 @@ as bench.py) but times the two phases separately:
   exec_s   — noop-sink write of the returned frame (guide §1.4: forces
              every column, unlike the bench's count(); the bench keeps
              count() for methodology continuity)
-Prints a JSON dict to plans/r14/profile.json.  Usage:
+Prints a JSON dict to plans/r14/$PROFILE_OUT (default profile.json —
+set PROFILE_OUT for ad-hoc runs so the committed baseline isn't
+clobbered).  Usage:
   python plans/r14/profile_r14.py [query ...]   (default: all)
 """
 from __future__ import annotations
@@ -51,7 +53,8 @@ def main() -> None:
             out[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
         spark.sparkContext.setJobDescription(None)
 
-    with open(os.path.join(here, "profile.json"), "w") as f:
+    out_name = os.environ.get("PROFILE_OUT", "profile.json")
+    with open(os.path.join(here, out_name), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     tot = sum(v.get("total_s", 0) for v in out.values())
     bld = sum(v.get("build_s", 0) for v in out.values())

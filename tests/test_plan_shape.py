@@ -542,3 +542,47 @@ def test_analyze_no_full_shuffle_on_wide_input(spark, tmp_path):
     h = {(r["column_name"], r["percentile"]): r["value"]
          for r in hist_df.collect()}
     assert h[("l_quantity", 0.5)] is not None
+
+
+def test_exact_quantiles_rule_nulls_and_partition_independence(spark, tmp_path):
+    """r14 optimization: the default histogram quantiles come from the
+    distributed EXACT selection, not the G-K sketch.  Pins (1) the
+    DuckDB quantile_disc rank rule — smallest value whose cumulative
+    count >= clamp(ceil(q*n), 1, n) in IEEE double — on a tie-heavy
+    column, (2) the all-null column -> all-None histogram contract the
+    sketch path had, (3) partition-INDEPENDENCE (the G-K sketch at
+    accuracy >= n measurably returned different sf0.1 values on a
+    3-split vs 32-partition input; exact may not), and (4) the
+    `spark.dremio.stats.quantile.impl=sketch` fallback still runs and
+    agrees at a size where the sketch is truly exact."""
+    import math
+
+    from dremio_oss_spark.plans.statistics import (
+        DEFAULT_PERCENTILES, analyze_histogram)
+
+    d = str(tmp_path / "q")
+    rows = [(float((i * 7) % 5) * 0.25, None) for i in range(999)]
+    spark.createDataFrame(rows, "x double, y double") \
+        .write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d)
+
+    def hist(frame, impl):
+        spark.conf.set("spark.dremio.stats.quantile.impl", impl)
+        try:
+            return {(r["column_name"], r["percentile"]): r["value"]
+                    for r in analyze_histogram(frame, ["x", "y"]).collect()}
+        finally:
+            spark.conf.unset("spark.dremio.stats.quantile.impl")
+
+    got = hist(df, "exact")
+    vals = sorted(v[0] for v in rows)
+    n = len(vals)
+    for q in DEFAULT_PERCENTILES:
+        rank = min(n, max(1, math.ceil(q * n)))
+        assert got[("x", q)] == vals[rank - 1], (q, got[("x", q)])
+        assert got[("y", q)] is None  # all-null column
+    # partition independence of the exact path
+    assert hist(df.repartition(7), "exact") == got
+    assert hist(df.coalesce(1), "exact") == got
+    # sketch fallback: exact regime at this size -> same values
+    assert hist(df, "sketch") == got
