@@ -134,21 +134,65 @@ def checkpoint_delta(spark: SparkSession, table: str,
     # protocol requires of checkpoints
     actions.extend(_txn_states(spark, table, v))
     # schema must union across action kinds (protocol/metaData/add rows
-    # populate disjoint columns) — Spark's JSON reader does that; the
-    # single part file then moves into the protocol's checkpoint name
-    import glob
-    import shutil
-    import uuid
-
-    stage = os.path.join(table, _LOG_DIR,
-                         f"_cp_stage_{uuid.uuid4().hex[:8]}")
-    (spark.read.json(
-        spark.sparkContext.parallelize([json.dumps(a) for a in actions], 1))
-     .coalesce(1).write.mode("overwrite").parquet(stage))
-    part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+    # populate disjoint columns).  Fast path (guide §4 — a checkpoint is
+    # DRIVER-HELD metadata): encode the action dicts straight to nested
+    # parquet with pyarrow — zero Spark jobs, no pickled-RDD Python
+    # boundary, no JSON schema-inference job (the old
+    # read.json(parallelize(...)) shape cost 2 jobs ≈ 2 s per
+    # checkpoint).  The on-disk layout stays nested-struct parquet that
+    # Spark SQL reads directly (lake_metadata's distributed path keeps
+    # working).  ANY arrow conversion failure falls back to the classic
+    # Spark JSON-inference writer, so the emitted state is identical by
+    # construction or the classic path runs.
     cp = os.path.join(table, _LOG_DIR, f"{v:020d}.checkpoint.parquet")
-    os.replace(part, cp)
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def prune(o):
+            # mirror Spark JSON inference, which drops fields it never
+            # sees a value for: null leaves and EMPTY dicts vanish
+            # (parquet cannot encode a zero-field group anyway — an
+            # all-{} partitionValues would otherwise fail the write)
+            if isinstance(o, dict):
+                out = {}
+                for k, val in o.items():
+                    p = prune(val)
+                    if p is None or (p == {} and isinstance(val, dict)):
+                        continue
+                    out[k] = p
+                return out
+            if isinstance(o, list):
+                return [prune(e) for e in o]
+            return o
+
+        pruned = [prune(json.loads(json.dumps(a))) for a in actions]
+        # build COLUMNS explicitly: pa.Table.from_pylist infers its
+        # schema from the first row only (action rows have disjoint
+        # keys), while pa.array over one column's values unions struct
+        # keys across ALL elements — which is what the disjoint action
+        # kinds need
+        keys: list[str] = []
+        for a in pruned:
+            for k in a:
+                if k not in keys:
+                    keys.append(k)
+        tbl = pa.table(
+            {k: pa.array([r.get(k) for r in pruned]) for k in keys})
+        pq.write_table(tbl, cp)
+    except Exception:  # noqa: BLE001 — classic writer on any mismatch
+        import glob
+        import shutil
+        import uuid
+
+        stage = os.path.join(table, _LOG_DIR,
+                             f"_cp_stage_{uuid.uuid4().hex[:8]}")
+        (spark.read.json(
+            spark.sparkContext.parallelize([json.dumps(a) for a in actions], 1))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        os.replace(part, cp)
+        shutil.rmtree(stage, ignore_errors=True)
     with open(os.path.join(table, _LOG_DIR, "_last_checkpoint"), "w") as f:
         json.dump({"version": v, "size": len(actions)}, f)
     return v
@@ -159,13 +203,40 @@ def _maybe_checkpoint(spark: SparkSession, table: str, version: int) -> None:
         checkpoint_delta(spark, table, version)
 
 
+def _cp_normalize(o):
+    """pyarrow python value -> the dict shape the Spark toJSON reader
+    produced: null fields dropped recursively (toJSON omits them), and
+    MAP columns (externally-written checkpoints use map<string,string>
+    partitionValues; pyarrow surfaces maps as [(k, v), ...] pairs)
+    folded to plain dicts."""
+    if isinstance(o, dict):
+        return {k: _cp_normalize(v) for k, v in o.items() if v is not None}
+    if isinstance(o, list):
+        if o and all(isinstance(e, tuple) and len(e) == 2 for e in o):
+            return {k: _cp_normalize(v) for k, v in o}
+        return [_cp_normalize(e) for e in o]
+    return o
+
+
 def _checkpoint_actions(spark: SparkSession, path: str, version: int) -> list[dict]:
-    """Read a classic single-file checkpoint parquet into action dicts."""
+    """Read a classic single-file checkpoint parquet into action dicts.
+
+    Fast path: pyarrow on the driver — the checkpoint is metadata-sized
+    and local, so a Spark scan + toJSON round-trip (1 job per log
+    replay that consults a checkpoint) buys nothing.  Falls back to the
+    Spark reader on any arrow failure (e.g. an exotic type a foreign
+    writer used)."""
     cp = os.path.join(
         path, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
     )
-    rows = spark.read.parquet(cp).toJSON().collect()  # checkpoint is metadata-sized
-    return [json.loads(r) for r in rows]
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(cp).to_pylist()
+        return [_cp_normalize(r) for r in rows]
+    except Exception:  # noqa: BLE001 — classic reader on any mismatch
+        rows = spark.read.parquet(cp).toJSON().collect()
+        return [json.loads(r) for r in rows]
 
 
 class DeltaSnapshot:

@@ -710,6 +710,44 @@ def test_delta_checkpoint_write_and_aged_log(spark, tmp_path):
     assert read_delta(spark, t).count() == 9
 
 
+def test_delta_checkpoint_arrow_roundtrip_action_kinds(spark, tmp_path):
+    """r14 optimization: checkpoints are written AND read with pyarrow
+    on the driver (zero Spark jobs).  Pins that every ACTION KIND
+    survives the round-trip — the naive pa.Table.from_pylist infers
+    its schema from the FIRST row only, which silently nulled every
+    non-protocol action (caught by the 3-way equivalence harness) —
+    and that the on-disk file stays Spark-SQL-readable nested parquet
+    with all top-level action columns."""
+    import os
+
+    from dremio_oss_spark.sources.delta import (
+        _checkpoint_actions, checkpoint_delta, delete_from_delta,
+        resolve_snapshot, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)], "k long, p long, v double")
+    write_delta(spark, df, t, partition_by=["p"], enable_cdf=True)
+    delete_from_delta(spark, t, "k = 1")
+    snap = resolve_snapshot(spark, t)
+    checkpoint_delta(spark, t, snap.version)
+    acts = _checkpoint_actions(spark, t, snap.version)
+    kinds = {k for a in acts for k in a}
+    assert {"protocol", "metaData", "add"} <= kinds, kinds
+    adds = [a["add"] for a in acts if "add" in a]
+    assert {a["path"] for a in adds} == set(snap.files)
+    assert all("partitionValues" in a for a in adds)
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["configuration"]["delta.enableChangeDataFeed"] == "true"
+    assert md["partitionColumns"] == ["p"]
+    # the file itself is plain nested parquet Spark can query
+    cp = os.path.join(t, "_delta_log",
+                      f"{snap.version:020d}.checkpoint.parquet")
+    cdf = spark.read.parquet(cp)
+    assert {"protocol", "metaData", "add"} <= set(cdf.columns)
+    assert cdf.where("add is not null").count() == len(adds)
+
+
 def test_delta_file_stats_skipping(spark, tmp_path):
     """add.stats (numRecords/minValues/maxValues) are collected per
     staged file, survive COW rewrites and checkpoints, and
