@@ -285,10 +285,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
 
     The exploded shingle table feeds four plan branches (signatures,
-    sizes, and both sides of the intersection join); persist it so the
-    tokenize+shingle pass runs once, not four times.  MEMORY_AND_DISK:
-    at cluster scale this is the classic materialize-the-inverted-index
-    step.
+    sizes, and both sides of the intersection join); materialize it
+    once so the tokenize+shingle pass never re-reads the (much wider)
+    text corpus per branch — at cluster scale this is the classic
+    materialize-the-inverted-index step.  localCheckpoint, NOT a
+    columnar cache (r14 #23, measured at the sf5 decade): building the
+    MEMORY_AND_DISK columnar cache for the 13M-row index cost ~6 s
+    while the whole tokenize+hash compute is 1.5 s — the cache write
+    was 4x the work it saved locally; checkpoint's plain block write
+    is cheaper on both ends (cold 22.1→20.5 s, warm 10.8→9.8 s,
+    identical output).  On a real cluster prefer `checkpoint()` with a
+    durable dir (same note as dedup_clusters' label loop).
 
     Bytes-narrowing (guide §2.3): the persisted index carries
     (doc_id, sh_h, _hb) — three longs — not the shingle STRINGS.  Both
@@ -304,13 +311,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     the single action, so the eager materialization only added a
     barrier — warm 8.3 s.)
     """
-    from pyspark.storagelevel import StorageLevel
-
     sh = (shingle_table(df, text_col, id_col)
           .select("doc_id",
                   F.xxhash64("shingle").alias("sh_h"),
                   _hbase(F.col("shingle")).alias("_hb"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .localCheckpoint())
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
     return jaccard_verify(cands, sh, threshold)
