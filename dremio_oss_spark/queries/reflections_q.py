@@ -1467,10 +1467,16 @@ def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
         return {r[0]: r[1] for r in df.select(
             "o_orderstatus", "c").collect()}
 
-    base_counts = {r[0]: r[1] for r in
-                   base.groupBy("o_orderstatus").count().collect()}
-    full_counts = {r[0]: r[1] for r in
-                   orders.groupBy("o_orderstatus").count().collect()}
+    # expectation counts in ONE scan of orders (base is a filter of it):
+    # full = count(*), base = count of the kept two-thirds.  A status
+    # whose rows are ALL held out has base == 0 and must be ABSENT from
+    # base_counts (the old per-frame groupBy never emitted it).
+    exp = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("full"),
+        F.count(F.when(F.expr("o_orderkey % 3 != 0"), 1)).alias("base")
+    ).collect()
+    base_counts = {r[0]: r["base"] for r in exp if r["base"] > 0}
+    full_counts = {r[0]: r["full"] for r in exp}
     # DUE (past refresh period, within grace): still serves the OLD
     # materialization
     refl.last_refresh_ms = store._now_ms() - 30_000
