@@ -454,10 +454,7 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     if not snap.dvs:
         return df
     # Small-DV fast path: when the descriptors' summed cardinality is
-    # under `spark.dremio.dv.inlineFilterMaxRows` (default 4096 — measured
-    # crossover: the positions ship as isin() literals, and py4j literal
-    # transfer + analysis is ~1 ms/element, so tens-of-thousands of
-    # positions cost far more than the anti-join they replace), decode
+    # under `spark.dremio.dv.inlineFilterMaxRows` (default 4096), decode
     # the bitmaps on the driver (descriptor count is live-file bounded;
     # the position total is cap-bounded, so this never unbounds driver
     # memory — same conf pattern as the write side's
@@ -467,7 +464,10 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     # lightly-deleted table — the dominant fixed cost of metadata-sized
     # MOR reads.  Cardinality is required by the DV spec; any missing
     # field falls through to the distributed path (_dv_rows_df), which
-    # remains the plan for heavily-deleted tables.
+    # remains the plan for heavily-deleted tables.  Above the cap the
+    # #14 broadcast-decode path (one Arrow batch, no literals) takes
+    # over; the cap is the measured trade between a zero-job parsed
+    # InSet filter here and that path's broadcast build job.
     try:
         cap = int(spark.conf.get(
             "spark.dremio.dv.inlineFilterMaxRows", "4096"))
@@ -479,10 +479,21 @@ def _apply_deletion_vectors(spark: SparkSession, df: DataFrame,
     if inline:
         dead = None
         for rel, desc in sorted(snap.dvs.items()):
-            poss = [int(p) for p in _dv_positions(table, desc)]
+            poss = sorted(int(p) for p in _dv_positions(table, desc))
+            if not poss:  # empty DV deletes nothing (isin([]) was false)
+                continue
+            # ONE parsed SQL IN-list, not per-element isin() literals:
+            # each F.lit is a py4j round-trip (~0.5-1 ms), so a
+            # near-cap 4k-position filter cost ~2.6 s of pure socket
+            # time PER READ (profiled on src_delta_dv's MOR update).
+            # The parsed In(...) expression is identical semantics
+            # (non-null bigint positions) and Catalyst folds it to an
+            # O(1) InSet above the conversion threshold.
             c = ((F.col("__del_base") == os.path.basename(rel))
-                 & F.col("__pos").isin(poss))
+                 & F.expr(f"__pos IN ({','.join(map(str, poss))})"))
             dead = c if dead is None else (dead | c)
+        if dead is None:  # all DVs empty: nothing to filter
+            return df.drop("__file", "__pos") if drop_identity else df
         out = (df.withColumn("__del_base",
                              F.element_at(F.split("__file", "/"), -1))
                .where(~dead)

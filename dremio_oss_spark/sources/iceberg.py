@@ -491,8 +491,14 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
                             os.path.basename(fp), set()).add(int(pos))
                 dead = None
                 for base, poss in sorted(by_base.items()):
+                    # ONE parsed SQL IN-list, not per-element isin()
+                    # literals — py4j literal transfer is ~0.5-1 ms
+                    # per element (profiled: a near-cap inline filter
+                    # cost seconds of socket time per read); identical
+                    # In(...) semantics for non-null bigint positions
                     c = ((F.col("__del_base") == base)
-                         & F.col("__pos").isin(sorted(poss)))
+                         & F.expr("__pos IN (%s)" % ",".join(
+                             map(str, sorted(poss)))))
                     dead = c if dead is None else (dead | c)
                 out = (df.withColumn(
                         "__del_base",
