@@ -182,7 +182,11 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     minhash_lsh_dedup's narrowing) and skips the md5 then."""
     based = (shingles if "_hb" in shingles.columns
              else shingles.withColumn("_hb", _hbase(F.col("shingle"))))
-    aggs = [F.min(_lane(F.col("_hb"), i)).alias(f"mh{i}") for i in range(n_hashes)]
+    # one parsed expression per lane (lane_sql is the same affine map
+    # _lane built through Column ops — identical tree, 1 py4j call
+    # instead of ~6 per lane; see simhash's construction-cost note)
+    aggs = [F.expr(f"min({lane_sql('_hb', i)}) as mh{i}")
+            for i in range(n_hashes)]
     return based.groupBy("doc_id").agg(*aggs)
 
 
@@ -192,23 +196,14 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = N_BANDS,
 
     The band bucket is the md5 of the concatenated lane values; the join is
     an equi-join on a uniform key (broadcast-free, skew-free)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    # one parsed array(struct(...)) expression — not n_bands x
+    # rows_per_band Column-API calls (construction-cost note in simhash)
+    entries = ", ".join(
+        "struct({b} as band, md5(concat_ws(',', {cols})) as bucket)"
+        .format(b=b, cols=", ".join(f"mh{b * rows_per_band + r}"
+                                    for r in range(rows_per_band)))
+        for b in range(n_bands))
+    bands = F.expr(f"array({entries})")
     banded = signatures.select(
         "doc_id", F.explode(bands).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -529,20 +524,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", _h64_tok(F.col("tok"), 0))
+    # per-bit expressions as ONE parsed SQL string each, not Column-API
+    # chains: every Column operator is a py4j round-trip, so the old
+    # per-bit when/shiftright/sum chains cost ~10 calls x bits per
+    # CONSTRUCTION (~0.6 s at 16 bits, ~4x that for the 60-bit bench
+    # forms, re-paid by every sf1/sf5 decade row).  The parsed trees are
+    # the identical CaseWhen/ShiftRight/Sum expressions.
     bit_sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"s{j}")
+            F.expr(f"sum(case when (shiftright(h, {j}) & 1) = 1 "
+                   f"then 1 else -1 end) as s{j}")
             for j in range(bits)
         ]
     )
-    sh = None
-    for j in range(bits):  # bits <= 60: every weight fits in bigint
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sh = term if sh is None else sh + term
-    return bit_sums.select("doc_id", sh.cast("bigint").alias("simhash"))
+    # bits <= 60: every weight fits in bigint (weights above 2^31 parse
+    # as bigint literals exactly like F.lit(2**j) built LongType ones)
+    sh_terms = " + ".join(
+        f"(case when s{j} > 0 then {2 ** j} else 0 end)"
+        for j in range(bits))
+    return bit_sums.select(
+        "doc_id", F.expr(f"cast({sh_terms} as bigint)").alias("simhash"))
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
@@ -560,32 +561,26 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
     width = -(-bits // n_bands)  # ceil: top band covers the leftover bits
     mask = (1 << width) - 1
 
-    def _bands(col: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(col, b * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
+    # single-parse expressions, not per-band Column-API loops (see
+    # simhash's construction-cost note — these rebuild per call and the
+    # bench decades re-pay them)
+    def _bands(col: str) -> Column:
+        entries = ", ".join(
+            f"struct({b} as band, "
+            f"(shiftright({col}, {b * width}) & {mask}) as key)"
+            for b in range(n_bands))
+        return F.expr(f"array({entries})")
 
     # A close pair can collide in several bands; emit it exactly once by
     # keeping only the FIRST band where the keys agree (for band b:
     # every earlier band must differ).  Pure codegen'd bit math on the
     # carried signatures — no distinct, so nothing quadratic is ever
     # shuffled: the only shuffles are the banded equi-joins themselves.
-    def _key(h: Column, bb: int) -> Column:
-        return F.shiftright(h, bb * width).bitwiseAND(F.lit(mask))
-
-    first_band = F.lit(True)
-    for bp in range(n_bands - 1):
-        first_band = first_band & (
-            (F.col("band") <= bp) | (_key(F.col("ha"), bp) != _key(F.col("hb"), bp))
-        )
+    conds = " and ".join(
+        f"(band <= {bp} or (shiftright(ha, {bp * width}) & {mask}) != "
+        f"(shiftright(hb, {bp * width}) & {mask}))"
+        for bp in range(n_bands - 1))
+    first_band = F.expr(conds) if conds else F.lit(True)
 
     # NARROW signatures (the oracle fixture's 16-bit form): the banded
     # key domain is tiny (16 values per band at bits=16/hamming=3), so
@@ -608,7 +603,7 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
     if (1 << bits) <= sig_cap:
         sigs = sh.select("simhash").distinct()
         sb = sigs.select(
-            F.col("simhash"), F.explode(_bands(F.col("simhash"))).alias("bb")
+            F.col("simhash"), F.explode(_bands("simhash")).alias("bb")
         ).select("simhash", F.col("bb.band").alias("band"),
                  F.col("bb.key").alias("key"))
         pa = sb.select(F.col("simhash").alias("ha"), "band", "key")
@@ -639,7 +634,7 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 2,
         return cross.unionByName(same)
 
     banded = sh.select(
-        "doc_id", F.col("simhash"), F.explode(_bands(F.col("simhash"))).alias("bb")
+        "doc_id", F.col("simhash"), F.explode(_bands("simhash")).alias("bb")
     ).select(
         "doc_id",
         "simhash",

@@ -119,18 +119,62 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+def _wta_exprs(c: str) -> list[str]:
+    """with_text_analysis feature expressions as SQL strings — each is
+    ONE parsed F.expr instead of a Column-API chain (every Column
+    operator is a py4j round-trip; the old ~50-expression builder cost
+    ~0.5 s PER CALL, re-paid by every consumer and every sf1 decade
+    row).  The parsed trees are identical to the Column forms: regex
+    literals carry the same final pattern (backslashes doubled for the
+    SQL escape pass), and double literals are suffixed D so 0.4D etc.
+    stay DoubleType exactly like F.lit(0.4)."""
+    tok = f"split(trim(lower({c})), '\\\\s+')"
+    n = f"cast(size({tok}) as bigint)"
+
+    def hits(lang: str) -> str:
+        pat = "\\\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\\\b"
+        return (f"cast(size(regexp_extract_all(lower({c}), '{pat}', 0)) "
+                "as bigint)")
+
+    n_bpe = (f"cast(size(regexp_extract_all({c}, "
+             "'[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)) as bigint)")
+    pairs = ", ".join(
+        f"struct({hits(lang)} / {n} as score, '{lang}' as lang)"
+        for lang in LANG_MARKERS)
+    best = f"(array_max(array({pairs})))"
+    n_chars = f"cast(length({c}) as bigint)"
+    mwl = f"round(({n_chars} - {n} + 1) / {n}, 6)"
+    n_punct = (f"cast(size(regexp_extract_all({c}, '[^\\\\w\\\\s]', 0)) "
+               "as bigint)")
+    punct_ratio = f"round({n_punct} / {n_chars}, 6)"
+    stop_ratio = f"round({hits('en')} / {n}, 6)"
+    score = (f"round((case when {n} >= 10 and {n} <= 100000 "
+             "then 0.4D else 0.0D end) + "
+             f"(case when {mwl} >= 2 and {mwl} <= 12 "
+             "then 0.3D else 0.0D end) + "
+             f"(case when {punct_ratio} < 0.2D then 0.1D else 0.0D end) + "
+             f"(case when {stop_ratio} > 0.05D then 0.2D else 0.0D end), 6)")
+    fp = f"md5(regexp_replace(trim(lower({c})), '\\\\s+', ' '))"
+    return [
+        f"{n} as n_tokens",
+        f"{n_bpe} as n_bpe_tokens",
+        *[f"round({hits(lang)} / {n}, 6) as score_{lang}"
+          for lang in LANG_MARKERS],
+        (f"case when {best}.score > 0 then {best}.lang "
+         "else 'und' end as lang_pred"),
+        f"{n_chars} as n_chars2",
+        f"{n} as n_words",
+        f"{mwl} as mean_word_len",
+        f"{punct_ratio} as punct_ratio",
+        f"{stop_ratio} as stopword_ratio",
+        f"{score} as quality_score",
+        f"{fp} as fp",
+    ]
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns to a documents DataFrame."""
-    c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
-        bpe_ish_token_count(c).alias("n_bpe_tokens"),
-        *lang_scores(c),
-        lang_id(c).alias("lang_pred"),
-        *quality_features(c),
-        fingerprint(c).alias("fp"),
-    )
+    return df.selectExpr("*", *_wta_exprs(f"`{text_col}`"))
 
 
 def winnow_fingerprints(
