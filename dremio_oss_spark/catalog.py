@@ -100,7 +100,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _allow_nanos(spark)
     p = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        key = (p, os.path.getmtime(p))
+        # a directory's own mtime only moves when entries are added or
+        # renamed — an in-place part-file overwrite would keep serving a
+        # stale plan — so fold in the newest entry's (mtime, size) too
+        mt = os.path.getmtime(p)
+        if os.path.isdir(p):
+            for e in os.scandir(p):
+                s = e.stat()
+                if s.st_mtime > mt:
+                    mt = s.st_mtime
+        key = (p, mt)
     except OSError:
         return spark.read.parquet(p)  # missing: surface Spark's error
     try:

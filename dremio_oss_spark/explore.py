@@ -1365,6 +1365,67 @@ class ExploreService:
                  "type": data_type_of(f.dataType.simpleString())}
                 for f in df.schema.fields]
 
+    @staticmethod
+    def _fields_from_schema(schema) -> list[dict]:
+        return [{"name": f.name,
+                 "type": data_type_of(f.dataType.simpleString())}
+                for f in schema.fields]
+
+    def _derive_schema(self, new_state: dict, base: dict):
+        """Schema of the transformed version by analyzing ONLY the
+        layers this transform added: when the new state nests the
+        previous version's state as a subquery (the common case — most
+        transforms nest first), that inner subtree was already analyzed
+        and validated at its own step, so replace it with an empty
+        stand-in view carrying the previous version's EXACT analyzed
+        schema and analyze the thin outer plan.  Catalyst work per step
+        stays O(new layers) instead of re-analyzing the whole
+        progressively nested chain (O(depth^2) across a transform
+        session).  Returns None when the fast path does not apply —
+        the caller falls back to full analysis."""
+        try:
+            if str(self.engine.spark.conf.get(
+                    "spark.dremio.explore.fastFields",
+                    "true")).lower() != "true":
+                return None
+            prev_schema = base.get("_schema")
+            if prev_schema is None:
+                return None
+            target = base["state"]
+            probe = copy.deepcopy(new_state)
+            node, replaced = probe, False
+            for _ in range(8):  # apply() nests at most twice per step
+                frm = node.get("from") or {}
+                if frm.get("type") != "SubQuery":
+                    break
+                sub = frm["subQuery"]
+                if sub.get("suqQuery") == target:
+                    seq = self._probe_seq = getattr(
+                        self, "_probe_seq", 0) + 1
+                    # unique per call: the engine plan cache keys on
+                    # SQL text and cannot see a re-bound temp view
+                    view = f"__explore_probe_{seq}"
+                    node["from"] = {
+                        "type": "Table",
+                        "table": {"datasetPath": view,
+                                  "alias": sub["alias"]}}
+                    replaced = True
+                    break
+                node = sub["suqQuery"]
+            if not replaced:
+                return None
+            spark = self.engine.spark
+            meta_df(spark, [], prev_schema).createOrReplaceTempView(view)
+            try:
+                return self.engine.sql(generate_sql(probe)).schema
+            finally:
+                try:
+                    spark.catalog.dropTempView(view)
+                except Exception:  # noqa: BLE001 — probe view cleanup
+                    pass
+        except Exception:  # noqa: BLE001 — full analysis is always correct
+            return None
+
     # -- creation ----------------------------------------------------------
     def new_untitled_from_table(self, parent: str,
                                 version: str) -> dict:
@@ -1379,7 +1440,7 @@ class ExploreService:
                           "table": {"datasetPath": parent}},
                  "referredTables": [parent]}
         sql = generate_sql(state)
-        return self._put(TMP_PATH, version, {
+        entry = self._put(TMP_PATH, version, {
             "state": state, "sql": sql,
             "name": "UNTITLED",
             "derivation": "DERIVED_PHYSICAL",
@@ -1391,6 +1452,8 @@ class ExploreService:
                            "type": data_type_of(
                                f.dataType.simpleString())}
                           for f in schema.fields]})
+        entry["_schema"] = schema  # seeds _derive_schema (private)
+        return entry
 
     def new_untitled_sql(self, sql: str, version: str,
                          context: list[str] | None = None) -> dict:
@@ -1402,12 +1465,15 @@ class ExploreService:
                  "context": context or [],
                  "referredTables": ["nested_0"]}
         gen = generate_sql(state)
-        return self._put(TMP_PATH, version, {
+        gschema = self.engine.sql(gen).schema
+        entry = self._put(TMP_PATH, version, {
             "state": state, "sql": gen, "name": "UNTITLED",
             "derivation": "SQL",
             "lastTransform": {"type": "updateSQL", "sql": sql},
             "previousVersion": None,
-            "sqlFields": self._fields_of(gen)})
+            "sqlFields": self._fields_from_schema(gschema)})
+        entry["_schema"] = gschema  # seeds _derive_schema (private)
+        return entry
 
     # -- transform ---------------------------------------------------------
     def transform(self, path: str, version: str, transform: dict,
@@ -1423,15 +1489,22 @@ class ExploreService:
         new_state = self.transformer.apply(base["state"], transform,
                                            preview=preview)
         sql = generate_sql(new_state)
-        fields = self._fields_of(sql)  # validates the generated SQL
-        return self._put(path, new_version, {
+        schema = self._derive_schema(new_state, base)
+        if schema is None:
+            # full analysis also validates the whole generated SQL
+            schema = self.engine.sql(sql).schema
+        entry = self._put(path, new_version, {
             "state": new_state, "sql": sql,
             "name": base.get("name", "UNTITLED"),
             "derivation": base.get("derivation", "UNKNOWN"),
             "lastTransform": transform,
             "previousVersion": {"datasetPath": path,
                                 "datasetVersion": version},
-            "sqlFields": fields})
+            "sqlFields": self._fields_from_schema(schema)})
+        # private (dataset_ui never emits it): seeds the next step's
+        # stand-in analysis with this version's exact analyzed schema
+        entry["_schema"] = schema
+        return entry
 
     def transform_peek(self, path: str, version: str,
                        transform: dict, limit: int = 50) -> dict:

@@ -49,6 +49,11 @@ def meta_df(spark: SparkSession, rows, schema) -> DataFrame:
             raise ValueError("duplicate field names")
         import pandas as pd
 
+        # only row shapes whose tuple() view is the row's VALUES may take
+        # the fast path: a dict would silently become its keys, and
+        # anything else bypasses classic createDataFrame's verifySchema
+        if not all(isinstance(r, (tuple, list)) for r in rows):
+            raise ValueError("non-sequence row shape")
         data = [tuple(r) for r in rows]
         if any(_is_nan(v) for r in data for v in r):
             raise ValueError("NaN payload")

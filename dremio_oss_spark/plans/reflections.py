@@ -785,11 +785,24 @@ class ReflectionStore:
         the engine lock without a refresh deleting files under an
         in-flight accelerated read (reference: every refresh creates a
         new materialization id, ReflectionServiceImpl)."""
-        self.mutations += 1  # plan-cache sync (PlanCacheSynchronizer)
+        new_dir, old_g = self._stage_data(refl, writer)
+        self._commit_staged(refl, old_g)
+
+    def _stage_data(self, refl, writer) -> tuple[str, int]:
+        """Materialize the next generation WITHOUT flipping to it.
+        Used by the observe-based refreshes, whose change count is only
+        known after the write executes: a zero-change refresh discards
+        the staged dir and stays metadata-only (no generation bump, no
+        plan-cache invalidation, no rotation of the grace-window
+        generations)."""
         old_g = getattr(refl, "generation", 0)
         new_dir = os.path.join(refl.path, f"data-g{old_g + 1}")
         shutil.rmtree(new_dir, ignore_errors=True)
         writer(new_dir)
+        return new_dir, old_g
+
+    def _commit_staged(self, refl, old_g: int) -> None:
+        self.mutations += 1  # plan-cache sync (PlanCacheSynchronizer)
         refl.generation = old_g + 1
         for d in os.listdir(refl.path):
             g = None
@@ -803,6 +816,10 @@ class ReflectionStore:
             if g is not None and g < old_g:
                 shutil.rmtree(os.path.join(refl.path, d),
                               ignore_errors=True)
+
+    @staticmethod
+    def _discard_staged(new_dir: str) -> None:
+        shutil.rmtree(new_dir, ignore_errors=True)
 
     def _path_of(self, name: str) -> str:
         refl = self._reflections.get(name) or self._raw.get(name)
@@ -1087,14 +1104,23 @@ class ReflectionStore:
             *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
               for m in refl.measures])
             .where(F.col(count_name) > 0))
-        self._publish_data(
-            refl, lambda p: self._write_data(refl, merged, p))
         if obs is not None:
-            # zero matching changes: the publish rewrote identical
-            # content (existing regrouped is an identity — every stored
-            # group keeps count(*) > 0); state advances exactly as the
-            # old early-exit did
+            # stage the merged write, then consult the observed change
+            # count that rode it: zero matching changes discards the
+            # staged (provably identical — existing regrouped is an
+            # identity, every stored group keeps count(*) > 0) rewrite
+            # and the refresh stays metadata-only, exactly like the old
+            # count()-first early exit; nonzero flips the generation.
+            new_dir, old_g = self._stage_data(
+                refl, lambda p: self._write_data(refl, merged, p))
             n_changes = int(obs.get["n"])
+            if n_changes == 0:
+                self._discard_staged(new_dir)
+            else:
+                self._commit_staged(refl, old_g)
+        else:
+            self._publish_data(
+                refl, lambda p: self._write_data(refl, merged, p))
         refl.base_version = head
         self._write_meta(refl)
         self._stamp(refl)
@@ -1151,8 +1177,8 @@ class ReflectionStore:
             new_rows = new_rows.where(f)
         if not refl.sort_by:
             # one pass: count rides the merge write (see
-            # _fold_signed_changes); zero new rows republishes
-            # identical content, which is harmless
+            # _fold_signed_changes); zero new rows discards the staged
+            # (identical) rewrite so a no-op refresh stays metadata-only
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -1163,9 +1189,13 @@ class ReflectionStore:
             merged = existing.unionByName(delta).groupBy(*refl.dims).agg(
                 *[_ROLLUP[m.kind](F.col(m.name)).alias(m.name)
                   for m in refl.measures])
-            self._publish_data(
+            new_dir, old_g = self._stage_data(
                 refl, lambda p: self._write_data(refl, merged, p))
             n_new = int(obs.get["n"])
+            if n_new == 0:
+                self._discard_staged(new_dir)
+            else:
+                self._commit_staged(refl, old_g)
         elif (n_new := new_rows.count()):
             delta = self._aggregate(new_rows, refl)
             existing = self._read_data(self._data_dir(refl))

@@ -108,12 +108,20 @@ def _stats_aggs(cols: list[str]) -> list:
     return aggs
 
 
-# cast-to-string is injective for these type prefixes (JVM rendering
+# cast-to-string is injective for these types (JVM rendering
 # round-trips numerics; dates/timestamps format canonically), so
-# per-column string distinctness == native distinctness
-_NDV_STRINGABLE = ("int", "bigint", "smallint", "tinyint", "double",
-                   "float", "decimal", "string", "varchar", "char",
-                   "date", "timestamp", "boolean")
+# per-column string distinctness == native distinctness.  Exact names
+# plus the parameterized prefixes — a bare prefix match would route
+# e.g. `interval ...` down this path via the "int" prefix.
+_NDV_STRINGABLE_EXACT = frozenset({
+    "int", "bigint", "smallint", "tinyint", "double", "float",
+    "string", "date", "timestamp", "timestamp_ntz", "boolean"})
+_NDV_STRINGABLE_PARAM = ("decimal(", "varchar(", "char(")
+
+
+def _ndv_stringable(simple: str) -> bool:
+    return (simple in _NDV_STRINGABLE_EXACT
+            or simple.startswith(_NDV_STRINGABLE_PARAM))
 
 
 def _exact_ndv(df: DataFrame, cols: list[str]) -> dict:
@@ -128,12 +136,22 @@ def _exact_ndv(df: DataFrame, cols: list[str]) -> dict:
     to string (binary, arrays, maps) keep the per-column branch."""
     stringable = [
         c for c in cols
-        if df.schema[c].dataType.simpleString().startswith(_NDV_STRINGABLE)
+        if _ndv_stringable(df.schema[c].dataType.simpleString())
     ]
     out: dict = {}
     if stringable:
+        def _as_str(c: str):
+            # float/double: normalize signed zero first — native
+            # distinct aggregation folds -0.0 into 0.0, but the string
+            # renderings '0.0'/'-0.0' differ (+0.0 preserves NaN and
+            # every other value; float->double->string stays injective)
+            t = df.schema[c].dataType.simpleString()
+            col = F.col(c) + F.lit(0.0) if t in ("float", "double") \
+                else F.col(c)
+            return col.cast("string")
+
         pairs = df.select(F.posexplode(F.array(
-            *[F.col(c).cast("string") for c in stringable]
+            *[_as_str(c) for c in stringable]
         )).alias("_i", "_v"))
         ndv = (pairs.groupBy("_i")
                .agg(F.count_distinct("_v").alias("ndvx")))

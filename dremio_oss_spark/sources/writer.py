@@ -111,10 +111,15 @@ def copy_into(
     # ALL rows away (silent data loss on the continue path)
     src = src.withColumn("_src_file", F.input_file_name())
     cached = None
-    if error_mode:
+    if error_mode or fmt in ("csv", "tsv", "psv", "json", "txt",
+                             "xlsx", "xls"):
         # Spark disallows querying only the corrupt-record column of a raw
         # CSV/JSON scan; cache materializes the parse once (documented
-        # workaround) — and the load reads the same cache, so no re-parse
+        # workaround) — and the load reads the same cache, so no re-parse.
+        # Non-error mode caches too whenever the format requires parsing:
+        # the accounting groupBy and the final write are otherwise two
+        # independent parses of the source glob.  Parquet/ORC/arrow skip
+        # the cache — a columnar re-scan is cheaper than the cache build.
         cached = src = src.cache()
 
     ledger_path = os.path.join(target, LEDGER_DIR)
