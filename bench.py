@@ -39,7 +39,29 @@ def ensure_sf1(spark, src: str, dst: str, copies: int = 10) -> str:
     from pyspark.sql import functions as F
 
     done = os.path.join(dst, "_DONE")
-    marker = "v5-events-upsampled"  # corpus layout version; bump to rebuild
+    # corpus layout version + a fingerprint of the SOURCE fixture
+    # (path, per-file size+mtime): an upsample of a since-rebuilt
+    # fixture no longer serves stale data, and an identical source
+    # keeps the skip — the marker proves the corpus current, not
+    # merely present.  (Layout version: bump to force rebuild.)
+    def _src_fp() -> str:
+        parts = [os.path.abspath(src)]
+        try:
+            for fn in sorted(os.listdir(src)):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(src, fn)
+                    st_ = os.stat(p)
+                    mt = st_.st_mtime
+                    if os.path.isdir(p):
+                        for e in os.scandir(p):
+                            s2 = e.stat()
+                            mt = max(mt, s2.st_mtime)
+                    parts.append(f"{fn}:{st_.st_size}:{mt:.0f}")
+        except OSError:
+            pass
+        return ";".join(parts)
+
+    marker = f"v5-events-upsampled|copies={copies}|{_src_fp()}"
     if os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == marker:
@@ -275,9 +297,13 @@ def main() -> None:
             sf5_dir = ensure_sf1(
                 spark, os.path.join(here0, ".scratch", "sf1"),
                 os.path.join(here0, ".scratch", "sf5"), copies=5)
+            # stats_histogram at the decade (VERDICT r14 item 5): the
+            # ANALYZE exact-quantile selection is the one r14 change
+            # whose 100 TB story rests on a conf escape hatch — this
+            # row measures its default path at ~30M rows
             for name in ("tpch_q01", "tpch_q09", "tpch_q21",
                          "llm_minhash_lsh", "llm_dedup_clusters",
-                         "llm_span_dedup"):
+                         "llm_span_dedup", "stats_histogram"):
                 t0 = time.perf_counter()
                 try:
                     queries[name](spark, sf5_dir).count()
@@ -355,7 +381,7 @@ def main() -> None:
                 compact[f"sf1_{fam}_total"] = round(sum(fam_t), 2)
                 compact[f"sf1_{fam}_max"] = round(max(fam_t), 2)
     if sf5_timings:
-        for fam in ("tpch", "llm"):
+        for fam in ("tpch", "llm", "stats"):
             fam_t = [t for n, t in sf5_timings.items()
                      if n.startswith(f"sf5_{fam}_")]
             if fam_t:

@@ -78,7 +78,10 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            df = spark.read.parquet(p)
+            # through load(): shares the per-session handle memo with
+            # every load() caller, so a table some earlier query already
+            # planned costs no second schema-inference job here
+            df = load(spark, sf_dir, t)
             df.createOrReplaceTempView(t)
             out[t] = df
     spark._dremio_testdata_views = (sf_dir, out)

@@ -920,18 +920,73 @@ class ReflectionStore:
              .parquet(path))
         else:
             df.write.mode("overwrite").parquet(path)
+            # seed the read memo with a known-schema handle: the very
+            # next _read_data (substitution probe, refresh merge) would
+            # otherwise pay a schema-inference job on the files just
+            # written.  Partitioned layouts skip the seed (their read
+            # rediscovers __p_ dir columns, which the plain schema
+            # cannot express).
+            key = self._mtime_key(path)
+            if key is not None:
+                self.__dict__.setdefault("_read_data_memo", {})[
+                    key] = self.spark.read.schema(df.schema).parquet(path)
 
     def _read_data(self, path: str) -> DataFrame:
-        df = self.spark.read.parquet(path)
+        """Read a materialization dir, memoizing the DataFrame HANDLE
+        (a logical plan, never data) per (path, max entry mtime): every
+        substitution probe / scan / refresh merge re-reads the current
+        generation, and each fresh `spark.read.parquet` pays a
+        schema-inference job.  The mtime fold invalidates on appends
+        into the current generation (incremental_refresh_raw) — the
+        relation's file listing is snapshotted at read time, so serving
+        a stale handle after an append would also serve stale DATA."""
+        df = self._read_raw(path)
         helpers = [c for c in df.columns if c.startswith("__p_")]
         return df.drop(*helpers) if helpers else df
 
+    @staticmethod
+    def _mtime_key(path: str) -> tuple | None:
+        try:
+            mt = os.path.getmtime(path)
+            for e in os.scandir(path):
+                s = e.stat()
+                if s.st_mtime > mt:
+                    mt = s.st_mtime
+            return (path, mt)
+        except OSError:
+            return None
+
+    def _read_raw(self, path: str) -> DataFrame:
+        """Memoized raw materialization read (keeps __p_ helper
+        columns — scan_materialization prunes on them)."""
+        key = self._mtime_key(path)
+        memo = self.__dict__.setdefault("_read_data_memo", {})
+        if key is not None and key in memo:
+            return memo[key]
+        df = self.spark.read.parquet(path)
+        if key is not None:
+            memo[key] = df
+        return df
+
     def _full_refresh(self, refl: Reflection, source: DataFrame) -> None:
+        # the watermark rides the materialization write as an observed
+        # metric — ONE pass over the source instead of a second full
+        # max() scan (gated off under sort_by: repartitionByRange's
+        # sampling pass re-executes the child inside the same execution
+        # and Observation rejects the duplicate update)
+        obs = None
+        if refl.watermark_col and not refl.sort_by:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            source = source.observe(
+                obs, F.max(F.col(refl.watermark_col)).alias("wm"))
         agg = self._aggregate(source, refl)
         self._publish_data(refl, lambda p: self._write_data(refl, agg, p))
         self._stamp(refl)
         if refl.watermark_col:
-            wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
+            wm = (obs.get["wm"] if obs is not None else
+                  source.agg(F.max(refl.watermark_col)).collect()[0][0])
             refl.watermark = wm
             self._write_meta(refl)
 
@@ -943,13 +998,24 @@ class ReflectionStore:
         if not refl.watermark_col:
             raise ValueError("reflection has no watermark column")
         new_rows = source.where(F.col(refl.watermark_col) > F.lit(refl.watermark))
+        # One pass over the new rows: the folded-row count AND the new
+        # watermark ride the merge write as observed metrics instead of
+        # separate count()/max() scans (same shape as
+        # _fold_signed_changes; gated off under a sort layout, whose
+        # range-sampling pass would double-count).  The watermark
+        # observes the PRE-FILTER frame: when any filtered row folds,
+        # max(source rows > old wm) == max(source) — the value the old
+        # separate max() scan stored; on n == 0 the old watermark is
+        # kept, exactly as before.
+        obs_wm = obs = None
+        if not refl.sort_by:
+            from pyspark.sql import Observation
+
+            obs_wm = Observation()
+            new_rows = new_rows.observe(
+                obs_wm, F.max(F.col(refl.watermark_col)).alias("wm"))
         for f in refl.filters:
             new_rows = new_rows.where(f)
-        # One pass over the new rows: the row count rides the merge
-        # write as an observed metric instead of a separate count()
-        # scan (same shape as _fold_signed_changes; gated off under a
-        # sort layout, whose range-sampling pass would double-count).
-        obs = None
         if not refl.sort_by:
             from pyspark.sql import Observation
 
@@ -968,17 +1034,25 @@ class ReflectionStore:
                 for m in refl.measures
             ]
         )
-        self._publish_data(
-            refl, lambda p: self._write_data(refl, merged, p))
         if obs is not None:
+            # stage, then consult the observed count: zero new rows
+            # discards the staged (identical) rewrite — metadata-only,
+            # like the old count()-first early exit — and KEEPS the
+            # stored watermark (max(source) here could sit BELOW it
+            # for a narrower source and re-folding the gap later would
+            # double-count); nonzero commits the new generation
+            new_dir, old_g = self._stage_data(
+                refl, lambda p: self._write_data(refl, merged, p))
             n_new = int(obs.get["n"])
             if n_new == 0:
-                # identical content republished; keep the watermark —
-                # max(source) here could sit BELOW the stored watermark
-                # (a narrower source) and re-folding that gap later
-                # would double-count
+                self._discard_staged(new_dir)
                 return 0
-        wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
+            self._commit_staged(refl, old_g)
+            wm = obs_wm.get["wm"]
+        else:
+            self._publish_data(
+                refl, lambda p: self._write_data(refl, merged, p))
+            wm = source.agg(F.max(refl.watermark_col)).collect()[0][0]
         refl.watermark = wm
         self._write_meta(refl)
         self._stamp(refl)
@@ -1253,7 +1327,7 @@ class ReflectionStore:
                              filters: tuple[str, ...]) -> DataFrame:
         """The materialization scan with query filters applied, including
         partition-directory pruning through the __p_ helper columns."""
-        raw = self.spark.read.parquet(self._data_dir(refl))
+        raw = self._read_raw(self._data_dir(refl))
         helpers = [c for c in raw.columns if c.startswith("__p_")]
         mat = raw
         for f in filters:

@@ -958,9 +958,12 @@ def external_reflection(spark: SparkSession, sf: str) -> DataFrame:
     # the user-maintained materialization: physically separate dataset
     tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf)))
     tgt_path = os.path.join(_REPO, ".scratch", f"ext_refl_tgt-{tag}")
-    spark.sql("select o_orderpriority, o_totalprice, o_custkey "
-              "from orders").write.mode("overwrite").parquet(tgt_path)
-    spark.read.parquet(tgt_path).createOrReplaceTempView("ord_ext_mat")
+    src = spark.sql("select o_orderpriority, o_totalprice, o_custkey "
+                    "from orders")
+    src.write.mode("overwrite").parquet(tgt_path)
+    # schema is the frame just written: skip the inference job
+    spark.read.schema(src.schema).parquet(tgt_path) \
+        .createOrReplaceTempView("ord_ext_mat")
     eng.sql("ALTER VDS sales.ord_ext CREATE EXTERNAL REFLECTION "
             "r_ext USING ord_ext_mat")
     df = eng.sql(
@@ -1287,7 +1290,9 @@ def transparent_fulljoin(spark: SparkSession, sf: str) -> DataFrame:
     extra = meta_df(spark, 
         [(999999, 99)], supp.schema)
     supp.unionByName(extra).write.mode("overwrite").parquet(d)
-    spark.read.parquet(d).createOrReplaceTempView("supp_fj")
+    # schema is the frame just written: skip the inference job
+    spark.read.schema(supp.schema).parquet(d) \
+        .createOrReplaceTempView("supp_fj")
     eng = Engine(spark)
     eng.sql("ALTER TABLE lineitem CREATE AGGREGATE REFLECTION fjoin "
             "USING DIMENSIONS (s_nationkey, l_returnflag) "
@@ -1450,7 +1455,9 @@ def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
     base = orders.where("o_orderkey % 3 != 0")
     base.write.mode("overwrite").parquet(d)
-    spark.read.parquet(d).createOrReplaceTempView("rp_ord")
+    # schema is the frame just written: skip the inference job
+    spark.read.schema(orders.schema).parquet(d) \
+        .createOrReplaceTempView("rp_ord")
     eng.sql("ALTER TABLE rp_ord CREATE AGGREGATE REFLECTION rp_refl "
             "USING DIMENSIONS (o_orderstatus) "
             "MEASURES (o_totalprice (SUM, COUNT))")
@@ -1459,7 +1466,8 @@ def refresh_policy(spark: SparkSession, sf: str) -> DataFrame:
     # base-table commit the policy clock has not seen: append the
     # held-out third and swap the view
     orders.where("o_orderkey % 3 = 0").write.mode("append").parquet(d)
-    spark.read.parquet(d).createOrReplaceTempView("rp_ord")
+    spark.read.schema(orders.schema).parquet(d) \
+        .createOrReplaceTempView("rp_ord")
     store = eng._refl_store
     refl = store._reflections["rp_refl"]
 

@@ -2197,13 +2197,21 @@ def read_delta_cdf(spark: SparkSession, table: str, start_version: int,
                 "(committed before CDF was enabled); narrow the range")
         add_parts += [(os.path.join(table, rel), v) for rel in adds]
 
+    # cdc files are staged flat with schema = table schema +
+    # `_change_type` (_stage_cdc); passing it explicitly skips one
+    # schema-inference job per version group read
+    cdc_schema = (snap.schema.add("_change_type", "string")
+                  if snap.schema else None)
     frames = []
     for parts, ctype in ((cdc_parts, None), (add_parts, "insert")):
         by_v: dict[int, list[str]] = {}
         for path, v in parts:
             by_v.setdefault(v, []).append(path)
         for v, paths in by_v.items():
-            df = spark.read.parquet(*paths)
+            if ctype is None and cdc_schema is not None:
+                df = spark.read.schema(cdc_schema).parquet(*paths)
+            else:
+                df = spark.read.parquet(*paths)
             if ctype is not None:
                 df = df.withColumn("_change_type", F.lit(ctype))
             frames.append(
