@@ -48,6 +48,17 @@ def _dist_dec(vec, cvec):
     ).cast("double")
 
 
+def _dist_dec_sql(vec: str, cvec: str):
+    """_dist_dec as ONE parsed expression (identical tree): the
+    Column/HOF form costs ~100 py4j round-trips per call site per
+    build, re-paid every k-means assignment pass."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({vec}, {cvec}, (x, c) -> "
+        f"CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c) "
+        f"AS {DEC})), CAST(0 AS {DEC}), "
+        f"(acc, x) -> CAST((acc + x) AS {DEC})) AS DOUBLE)")
+
+
 def _init_centroids(corpus: DataFrame, k: int, id_col: str, vec_col: str):
     """Deterministic seed: the first k vectors by id (k-means++ on a
     sample at production scale; the iteration structure is identical)."""
@@ -96,7 +107,7 @@ def _assign(corpus: DataFrame, cents, id_col: str, vec_col: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
     return (
         cand.join(F.broadcast(cent_df), "cid")
-        .withColumn("dist", _dist_dec(F.col("vec"), F.col("cvec")))
+        .withColumn("dist", _dist_dec_sql("vec", "cvec"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "vec", "cid", "dist")
@@ -174,7 +185,7 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    from .similarity import cosine
+    from .similarity import cosine_sql
 
     # the assignment frame feeds TWO plan branches (cluster membership
     # for the cell-pair search, and the final keep/dup_of join); persist
@@ -220,7 +231,7 @@ def semdedup(
     near = (
         a.join(F.broadcast(cand), "id_a")
         .join(b, "id_b")
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cos", cosine_sql("vec_a", "vec_b"))
         .where(F.col("cos") > threshold)
     )
     dup_of = near.groupBy(F.col("id_b").alias("vec_id")).agg(

@@ -63,6 +63,56 @@ def cosine_dbl(a: Column, b: Column) -> Column:
     return _dot_dbl(a, b) / F.sqrt(_dot_dbl(a, a) * _dot_dbl(b, b))
 
 
+# -- single-parse SQL templates of the array-fold helpers above ------------
+# Every Column operator and HOF lambda above is one or more py4j
+# round-trips at PLAN-CONSTRUCTION time (~40-60 per zip_with/aggregate
+# pair, measured in the r14/r15 send_command counters); a cosine built
+# from Columns costs ~150 round-trips per call site per query build.
+# These emit the IDENTICAL expression tree as ONE parsed SQL string.
+# `a`/`b` are SQL expression strings (usually plain column names).
+
+def _dot_dec_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS {DEC})), "
+        f"CAST(0 AS {DEC}), (acc, x) -> CAST((acc + x) AS {DEC})) "
+        f"AS DOUBLE)"
+    )
+
+
+def _norm_dec_sql(a: str) -> str:
+    return (
+        f"SQRT(CAST(aggregate(transform({a}, x -> "
+        f"CAST((CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS {DEC})), "
+        f"CAST(0 AS {DEC}), (acc, x) -> CAST((acc + x) AS {DEC})) "
+        f"AS DOUBLE))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> Column:
+    """cosine() as one parsed expression — bit-identical tree."""
+    return F.expr(
+        f"({_dot_dec_sql(a, b)}) / "
+        f"(({_norm_dec_sql(a)}) * ({_norm_dec_sql(b)}))"
+    )
+
+
+def _dot_dbl_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def cosine_dbl_sql(a: str, b: str) -> Column:
+    """cosine_dbl() as one parsed expression — bit-identical tree."""
+    return F.expr(
+        f"({_dot_dbl_sql(a, b)}) / "
+        f"SQRT(({_dot_dbl_sql(a, a)}) * ({_dot_dbl_sql(b, b)}))"
+    )
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
@@ -164,7 +214,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     rescored = (
         c.join(F.broadcast(survivors), "nid")
         .join(F.broadcast(q), "qid")
-        .withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("cos", cosine_sql("qvec", "nvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -316,13 +366,13 @@ def _exact_topk(cands: DataFrame, k: int, margin: int = 8) -> DataFrame:
     the final top-k equals an all-exact ranking, at double-math cost."""
     w0 = Window.partitionBy("qid").orderBy(F.desc("cos0"), F.asc("nid"))
     pre = (
-        cands.withColumn("cos0", cosine_dbl(F.col("qvec"), F.col("nvec")))
+        cands.withColumn("cos0", cosine_dbl_sql("qvec", "nvec"))
         .withColumn("rk0", F.row_number().over(w0))
         .where(F.col("rk0") <= k + margin)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
-        pre.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+        pre.withColumn("cos", cosine_sql("qvec", "nvec"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(

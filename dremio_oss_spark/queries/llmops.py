@@ -538,8 +538,8 @@ def llm_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # decimal rescore of the few survivors for oracle-stable values —
     # double-vs-decimal drift is ~1e-12, far inside the 0.01 margin
     return (
-        pairs.where(S.cosine_dbl(F.col("va"), F.col("vb")) >= 0.34)
-        .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
+        pairs.where(S.cosine_dbl_sql("va", "vb") >= 0.34)
+        .withColumn("cos", S.cosine_sql("va", "vb"))
         .where(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
