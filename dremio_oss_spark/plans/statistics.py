@@ -236,6 +236,16 @@ def _exact_quantiles(df: DataFrame, hcols: list[str], hexprs: dict,
     the same sf0.1 column yields 1952.46 on a 3-split scan and
     1952.85 fanned to 32) — deterministic under any partitioning.
 
+    Decade measurement (r15, sf5 ≈ 30M rows, 3 columns, local[32]/8g):
+    this exact path runs 28.1 s cold / 11.2 s warm, while the G-K
+    sketch path (`quantile.impl=sketch`, accuracy=1e6) OOM-thrashes
+    the 8 GB heap and never finishes — 32 concurrent ObjectHashAgg
+    partials each retaining up to 1e6 samples x 3 columns.  The exact
+    selection is therefore the right DEFAULT at scale too; the sketch
+    escape hatch remains for the extreme-NDV regime but its accuracy
+    knob must be sized to memory (retained samples ~ accuracy per
+    partial per column), not left at the oracle-exactness setting.
+
     Returns {col: [value_or_None per percentile]} (a column with zero
     non-null rows yields all Nones, like the sketch path)."""
     from pyspark.sql.window import Window
@@ -311,10 +321,38 @@ def analyze_full(df: DataFrame, columns: list[str] | None = None,
                    f"array({pct_sql}), {accuracy})").alias(f"_pct_{c}")
             for c in hcols
         ]
-    row = df.agg(*aggs).collect()[0]
-    qvals = _exact_quantiles(df, hcols, hexprs, pct) if exact_q else None
-    ndvx = (_exact_ndv(df, cols) if exact_ndv
-            else {c: row[f"_ndv_{c}"] for c in cols})
+    # the stats aggregation, the exact-quantile selection, and the
+    # exact-NDV pass are INDEPENDENT jobs over the same frame: submit
+    # them concurrently (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially) so each job's
+    # stage tail back-fills the others' idle slots.  Job COUNT is
+    # unchanged; only the dead time between actions goes.
+    # inheritable_thread_target propagates the job group/description.
+    concurrent = str(spark.conf.get(
+        "spark.dremio.stats.concurrentAnalyze", "true")).lower() == "true"
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_row = pool.submit(inheritable_thread_target(
+                lambda: df.agg(*aggs).collect()[0]))
+            f_q = (pool.submit(inheritable_thread_target(
+                       lambda: _exact_quantiles(df, hcols, hexprs, pct)))
+                   if exact_q else None)
+            f_ndv = (pool.submit(inheritable_thread_target(
+                         lambda: _exact_ndv(df, cols)))
+                     if exact_ndv else None)
+            row = f_row.result()
+            qvals = f_q.result() if f_q is not None else None
+            ndvx = (f_ndv.result() if f_ndv is not None
+                    else {c: row[f"_ndv_{c}"] for c in cols})
+    else:
+        row = df.agg(*aggs).collect()[0]
+        qvals = _exact_quantiles(df, hcols, hexprs, pct) if exact_q else None
+        ndvx = (_exact_ndv(df, cols) if exact_ndv
+                else {c: row[f"_ndv_{c}"] for c in cols})
     stats_df = meta_df(spark,
         _decode_stats(row, cols, ndvx), _STATS_SCHEMA)
     if exact_q:
